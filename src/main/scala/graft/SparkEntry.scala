@@ -1,13 +1,786 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sqlcompat.{CompatFunctions, SqlRewrite}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry demonstrates one operator class from SURVEY.md §2 (the
+  * DataFusion-45 SQL surface reached through the reference's single
+  * delegation point, `lib/src/context/session.rs:658-673`) or one of
+  * the north-star LLM-pipeline operators. Each SQL-expressible entry
+  * carries a DuckDB oracle with IDENTICAL column names and ordering.
+  *
+  * Numeric policy for hash-exact oracle matches:
+  *  - additive aggregates go through exact DECIMAL arithmetic and are
+  *    cast to DOUBLE only at the end (order-independent, bit-exact in
+  *    both engines);
+  *  - pass-through doubles are untouched;
+  *  - genuinely floating aggregations (stddev/corr) are rounded;
+  *  - array folds use sequential `aggregate` (deterministic order).
+  */
 object SparkEntry {
+
+  private def T(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  // exact-decimal casts sized to the data (FIXTURES.md §B ranges)
+  private def dQty(c: Column) = c.cast(DecimalType(4, 1))   // 1.0..50.0
+  private def dPrice(c: Column) = c.cast(DecimalType(9, 2)) // < 1e7
+  private def dRate(c: Column) = c.cast(DecimalType(3, 2))  // 0.00..0.10
+  private val one = lit(1).cast(DecimalType(3, 2))
+
+  private case class Q(name: String, oracle: Option[String],
+      fn: (SparkSession, String) => DataFrame)
+
+  // ================================================================
+  // Core SQL surface (SURVEY §2.B)
+  // ================================================================
+
+  private val q01 = Q("q01_pricing_summary", Some("""
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(4,1))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-06-30 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""),
+    (s, dir) => T(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2001-06-30 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dQty(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dPrice(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dPrice(col("l_extendedprice")) * (one - dRate(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(dPrice(col("l_extendedprice")) * (one - dRate(col("l_discount"))) *
+          (one + dRate(col("l_tax")))).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus")))
+
+  private val q02 = Q("q02_filter_project", Some("""
+    SELECT o_orderkey, o_totalprice, UPPER(o_orderpriority) AS prio
+    FROM orders
+    WHERE o_totalprice BETWEEN 100000 AND 150000
+      AND o_orderstatus IN ('F','O') AND o_orderpriority LIKE '%URGENT%'
+    ORDER BY o_orderkey"""),
+    (s, dir) => T(s, dir, "orders")
+      .filter(col("o_totalprice").between(100000, 150000) &&
+        col("o_orderstatus").isin("F", "O") &&
+        col("o_orderpriority").like("%URGENT%"))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        upper(col("o_orderpriority")).as("prio"))
+      .orderBy(col("o_orderkey")))
+
+  private val q03 = Q("q03_join_revenue_by_nation", Some("""
+    SELECT r_name, n_name,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(9,2))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_orders
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name"""),
+    (s, dir) => {
+      val c = T(s, dir, "customer"); val o = T(s, dir, "orders")
+      val n = T(s, dir, "nation"); val r = T(s, dir, "region")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(dPrice(col("o_totalprice"))).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("r_name"), col("n_name"))
+    })
+
+  private val q04 = Q("q04_left_join_agg", Some("""
+    SELECT n_name, COUNT(c_custkey) AS n_customers,
+      CAST(COALESCE(SUM(CAST(c_acctbal AS DECIMAL(9,2))), 0) AS DOUBLE) AS total_bal
+    FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+    GROUP BY n_name ORDER BY n_name"""),
+    (s, dir) => {
+      val n = T(s, dir, "nation"); val c = T(s, dir, "customer")
+      n.join(c, n("n_nationkey") === c("c_nationkey"), "left")
+        .groupBy(col("n_name"))
+        .agg(count(col("c_custkey")).as("n_customers"),
+          coalesce(sum(dPrice(col("c_acctbal"))), lit(0).cast(DecimalType(9, 2)))
+            .cast("double").as("total_bal"))
+        .orderBy(col("n_name"))
+    })
+
+  private val q05 = Q("q05_anti_join", Some("""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey"""),
+    (s, dir) => T(s, dir, "customer")
+      .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey")))
+
+  private val q06 = Q("q06_window_topn", Some("""
+    SELECT * FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+        ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM customer JOIN orders ON c_custkey = o_custkey)
+    WHERE rn <= 3 ORDER BY c_mktsegment, rn"""),
+    (s, dir) => {
+      val c = T(s, dir, "customer"); val o = T(s, dir, "orders")
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("c_mktsegment"), col("rn"))
+    })
+
+  private val q07 = Q("q07_window_running", Some("""
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(4,1))) OVER (
+        PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_qty,
+      LAG(l_quantity) OVER (
+        PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
+    FROM lineitem WHERE l_suppkey < 5
+    ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber"""),
+    (s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      T(s, dir, "lineitem").filter(col("l_suppkey") < 5)
+        .withColumn("run_qty", sum(dQty(col("l_quantity")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+        .withColumn("prev_qty", lag(col("l_quantity"), 1).over(w))
+        .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("run_qty"), col("prev_qty"))
+    })
+
+  private val q08 = Q("q08_topk", Some("""
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100"""),
+    (s, dir) => T(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100))
+
+  private val q09 = Q("q09_set_ops", Some("""
+    SELECT o_custkey, 'both' AS op FROM
+      (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+       INTERSECT
+       SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1999)
+    UNION ALL
+    SELECT o_custkey, 'only_1998' AS op FROM
+      (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+       EXCEPT
+       SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1999)
+    ORDER BY op, o_custkey"""),
+    (s, dir) => {
+      val o = T(s, dir, "orders")
+      val a = o.filter(year(col("o_orderdate")) === 1998).select(col("o_custkey")).distinct()
+      val b = o.filter(year(col("o_orderdate")) === 1999).select(col("o_custkey")).distinct()
+      a.intersect(b).withColumn("op", lit("both"))
+        .union(a.except(b).withColumn("op", lit("only_1998")))
+        .orderBy(col("op"), col("o_custkey"))
+    })
+
+  private val q10 = Q("q10_distinct", Some("""
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    ORDER BY l_returnflag, l_linestatus"""),
+    (s, dir) => T(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus")).distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus")))
+
+  private val q11 = Q("q11_rollup", Some("""
+    SELECT COALESCE(r_name, 'ALL') AS r_grp, COALESCE(n_name, 'ALL') AS n_grp,
+      COUNT(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    ORDER BY r_grp, n_grp"""),
+    (s, dir) => {
+      val c = T(s, dir, "customer"); val n = T(s, dir, "nation"); val r = T(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("r_grp"),
+          coalesce(col("n_name"), lit("ALL")).as("n_grp"),
+          col("n_customers"))
+        .orderBy(col("r_grp"), col("n_grp"))
+    })
+
+  private val q12 = Q("q12_having", Some("""
+    SELECT p_brand, COUNT(*) AS n_parts,
+      MIN(p_retailprice) AS min_price, MAX(p_retailprice) AS max_price
+    FROM part GROUP BY p_brand HAVING COUNT(*) > 75
+    ORDER BY p_brand"""),
+    (s, dir) => T(s, dir, "part")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        min(col("p_retailprice")).as("min_price"),
+        max(col("p_retailprice")).as("max_price"))
+      .filter(col("n_parts") > 75)
+      .orderBy(col("p_brand")))
+
+  private val q13 = Q("q13_scalar_subquery", Some("""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders) * 0.95
+    ORDER BY o_orderkey"""),
+    (s, dir) => {
+      val o = T(s, dir, "orders")
+      val m = o.agg(max(col("o_totalprice")).as("mx"))
+      o.crossJoin(broadcast(m))
+        .filter(col("o_totalprice") > col("mx") * 0.95)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    })
+
+  private val q14 = Q("q14_semi_join", Some("""
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_suppkey = s_suppkey AND l_quantity >= 49.5)
+    ORDER BY s_suppkey"""),
+    (s, dir) => T(s, dir, "supplier")
+      .join(T(s, dir, "lineitem").filter(col("l_quantity") >= 49.5),
+        col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey")))
+
+  private val q15 = Q("q15_cte_top_supplier", Some("""
+    WITH rev AS (
+      SELECT l_suppkey,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS total_rev
+      FROM lineitem GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    ORDER BY s_suppkey"""),
+    (s, dir) => {
+      val rev = T(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(dPrice(col("l_extendedprice")) * (one - dRate(col("l_discount"))))
+          .cast("double").as("total_rev"))
+      val mx = rev.agg(max(col("total_rev")).as("mx"))
+      T(s, dir, "supplier")
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .crossJoin(broadcast(mx))
+        .filter(col("total_rev") === col("mx"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+        .orderBy(col("s_suppkey"))
+    })
+
+  private val q16 = Q("q16_case_conditional", Some("""
+    SELECT c_custkey,
+      CASE WHEN c_acctbal < 0 THEN 'debt'
+           WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bal_bucket,
+      COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+      GREATEST(c_acctbal, 0.0) AS pos_bal,
+      LEAST(c_acctbal, 0.0) AS neg_bal
+    FROM customer ORDER BY c_custkey"""),
+    (s, dir) => T(s, dir, "customer")
+      .select(col("c_custkey"),
+        when(col("c_acctbal") < 0, "debt")
+          .when(col("c_acctbal") < 5000, "mid").otherwise("high").as("bal_bucket"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg"),
+        greatest(col("c_acctbal"), lit(0.0)).as("pos_bal"),
+        least(col("c_acctbal"), lit(0.0)).as("neg_bal"))
+      .orderBy(col("c_custkey")))
+
+  private val q17 = Q("q17_string_funcs", Some("""
+    SELECT p_partkey,
+      UPPER(p_name) AS uname,
+      SUBSTRING(p_name, 1, 5) AS pfx,
+      CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+      REPLACE(p_name, ' ', '_') AS snake,
+      LPAD(CAST(p_size AS VARCHAR), 4, '0') AS padded,
+      CONCAT_WS('|', p_brand, p_type) AS tag,
+      SPLIT_PART(p_name, ' ', 1) AS first_word,
+      CAST(STRPOS(p_name, 'e') AS BIGINT) AS e_pos,
+      STARTS_WITH(p_name, 'red') AS is_red
+    FROM part ORDER BY p_partkey"""),
+    (s, dir) => T(s, dir, "part")
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        substring(col("p_name"), 1, 5).as("pfx"),
+        length(col("p_name")).cast("long").as("name_len"),
+        replace(col("p_name"), lit(" "), lit("_")).as("snake"),
+        lpad(col("p_size").cast("string"), 4, "0").as("padded"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("tag"),
+        split_part(col("p_name"), lit(" "), lit(1)).as("first_word"),
+        instr(col("p_name"), "e").cast("long").as("e_pos"),
+        col("p_name").startsWith("red").as("is_red"))
+      .orderBy(col("p_partkey")))
+
+  private val q18 = Q("q18_regex", Some("""
+    SELECT doc_id,
+      CAST(REGEXP_EXTRACT(source, '([a-z]+)([0-9]+)', 2) AS BIGINT) AS src_num,
+      CAST(LENGTH(REGEXP_REPLACE(text, '[aeiou]', '', 'g')) AS BIGINT) AS devoweled_len
+    FROM documents
+    WHERE REGEXP_MATCHES(text, ' spark ')
+    ORDER BY doc_id"""),
+    (s, dir) => T(s, dir, "documents")
+      .filter(col("text").rlike(" spark "))
+      .select(col("doc_id"),
+        regexp_extract(col("source"), "([a-z]+)([0-9]+)", 2).cast("long").as("src_num"),
+        length(regexp_replace(col("text"), "[aeiou]", "")).cast("long").as("devoweled_len"))
+      .orderBy(col("doc_id")))
+
+  private val q19 = Q("q19_math_funcs", Some("""
+    SELECT p_partkey,
+      ABS(p_retailprice - 1000) AS abs_diff,
+      CAST(CEIL(p_retailprice) AS DOUBLE) AS ceil_price,
+      CAST(FLOOR(p_retailprice) AS DOUBLE) AS floor_price,
+      SQRT(p_retailprice) AS sqrt_price,
+      ROUND(LN(p_retailprice), 6) AS ln_price,
+      CAST(p_size % 7 AS BIGINT) AS size_mod,
+      CAST(SIGN(p_retailprice - 1000) AS BIGINT) AS price_sign,
+      POWER(p_size, 2) AS size_sq
+    FROM part ORDER BY p_partkey"""),
+    (s, dir) => T(s, dir, "part")
+      .select(col("p_partkey"),
+        abs(col("p_retailprice") - 1000).as("abs_diff"),
+        ceil(col("p_retailprice")).cast("double").as("ceil_price"),
+        floor(col("p_retailprice")).cast("double").as("floor_price"),
+        sqrt(col("p_retailprice")).as("sqrt_price"),
+        round(log(col("p_retailprice")), 6).as("ln_price"),
+        (col("p_size") % 7).cast("long").as("size_mod"),
+        signum(col("p_retailprice") - 1000).cast("long").as("price_sign"),
+        pow(col("p_size"), 2).as("size_sq"))
+      .orderBy(col("p_partkey")))
+
+  private val q20 = Q("q20_datetime", Some("""
+    SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+      CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mth,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(9,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY month_start, yr, mth
+    ORDER BY month_start"""),
+    (s, dir) => T(s, dir, "orders")
+      .groupBy(
+        // timestamp_ntz: match the oracle's naive TIMESTAMP rendering
+        date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month_start"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mth"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dPrice(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy(col("month_start")))
+
+  private val q21 = Q("q21_date_bin", Some("""
+    SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) AS bin,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(8,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY bin ORDER BY bin"""),
+    (s, dir) => Tables.events(s, dir)
+      .groupBy(CompatFunctions.dateBin(900, col("ts")).cast("timestamp_ntz").as("bin"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(8, 2))).cast("double").as("sum_value"))
+      .orderBy(col("bin")))
+
+  private val q22 = Q("q22_interval_arith", Some("""
+    SELECT o_orderkey, o_orderdate,
+      o_orderdate + INTERVAL 30 DAY AS due_date,
+      CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS days_since_epoch_start
+    FROM orders WHERE o_orderdate >= TIMESTAMP '2001-06-01 00:00:00'
+    ORDER BY o_orderkey"""),
+    (s, dir) => T(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2001-06-01 00:00:00").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_date"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since_epoch_start"))
+      .orderBy(col("o_orderkey")))
+
+  private val q23 = Q("q23_array_funcs", Some("""
+    SELECT vec_id,
+      CAST(len(embedding) AS BIGINT) AS dim,
+      CAST(embedding[1] AS DOUBLE) AS first_elem,
+      CAST(list_min(embedding) AS DOUBLE) AS min_elem,
+      CAST(list_max(embedding) AS DOUBLE) AS max_elem,
+      CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
+        + CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE) AS head_sum,
+      list_contains(list_transform(embedding, x -> x > 0.25), true) AS has_big
+    FROM embeddings ORDER BY vec_id"""),
+    (s, dir) => T(s, dir, "embeddings")
+      .select(col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("first_elem"),
+        array_min(col("embedding")).cast("double").as("min_elem"),
+        array_max(col("embedding")).cast("double").as("max_elem"),
+        (element_at(col("embedding"), 1).cast("double") +
+          element_at(col("embedding"), 2).cast("double") +
+          element_at(col("embedding"), 3).cast("double") +
+          element_at(col("embedding"), 4).cast("double")).as("head_sum"),
+        exists(col("embedding"), x => x > 0.25f).as("has_big"))
+      .orderBy(col("vec_id")))
+
+  private val q24 = Q("q24_explode_tokens", Some("""
+    SELECT tok, COUNT(*) AS n FROM
+      (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok ORDER BY n DESC, tok LIMIT 20"""),
+    (s, dir) => T(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(20))
+
+  private val q25 = Q("q25_json_funcs", Some("""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(8,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY k ORDER BY k"""),
+    (s, dir) => Tables.events(s, dir)
+      .groupBy(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(8, 2))).cast("double").as("sum_value"))
+      .orderBy(col("k")))
+
+  private val q26 = Q("q26_pivot", Some("""
+    SELECT o_orderpriority,
+      COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+      COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+      COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    (s, dir) => T(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0, Seq("F", "O", "P"))
+      .orderBy(col("o_orderpriority")))
+
+  private val q27 = Q("q27_stats_aggs", Some("""
+    SELECT l_returnflag,
+      ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+      ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+      ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS covar_qty_disc
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    (s, dir) => T(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covar_qty_disc"))
+      .orderBy(col("l_returnflag")))
+
+  private val groupingSetsSql = """
+    SELECT COALESCE(r_name, 'ALL') AS r_grp, COALESCE(n_name, 'ALL') AS n_grp,
+      COUNT(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name), (n_name), (r_name, n_name), ())
+    ORDER BY r_grp, n_grp"""
+
+  private val q28 = Q("q28_grouping_sets", Some(groupingSetsSql),
+    (s, dir) => {
+      registerViews(s, dir, "customer", "nation", "region")
+      s.sql(groupingSetsSql)
+    })
+
+  private val q29 = Q("q29_merge_column", Some("""
+    SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_orderkey"""),
+    (s, dir) => {
+      import graft.ops.MergeProcessor
+      val base = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val tgt = T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      MergeProcessor.mergeColumns(base,
+        Seq(MergeProcessor.ColumnTarget("customer", tgt,
+          baseKeys = Seq("o_custkey"), targetKeys = Seq("c_custkey"))))
+        .orderBy(col("o_orderkey"))
+    })
+
+  private val q30 = Q("q30_merge_row", Some("""
+    SELECT * FROM (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000)
+    ORDER BY o_orderkey, o_totalprice"""),
+    (s, dir) => {
+      import graft.ops.MergeProcessor
+      val o = T(s, dir, "orders")
+      MergeProcessor.mergeRows(
+        o.filter(col("o_orderstatus") === "F").select(col("o_orderkey"), col("o_totalprice")),
+        Seq(o.filter(col("o_totalprice") > 400000).select(col("o_orderkey"), col("o_totalprice"))),
+        distinct = false)
+        .orderBy(col("o_orderkey"), col("o_totalprice"))
+    })
+
+  private val q31 = Q("q31_distinct_on", Some("""
+    SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate
+    FROM orders
+    ORDER BY o_custkey, o_orderdate DESC, o_orderkey"""),
+    (s, dir) => {
+      registerViews(s, dir, "orders")
+      // DataFusion-dialect DISTINCT ON → our compat rewrite → spark.sql
+      val sql = """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate
+        FROM orders ORDER BY o_custkey, o_orderdate DESC, o_orderkey"""
+      s.sql(SqlRewrite.rewrite(sql)).orderBy(col("o_custkey"))
+    })
+
+  private val aggFilterSql = """
+    SELECT l_returnflag,
+      COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+      COUNT(*) FILTER (WHERE l_discount = 0) AS n_nodisc,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(4,1))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  private val q32 = Q("q32_agg_filter", Some(aggFilterSql),
+    (s, dir) => {
+      registerViews(s, dir, "lineitem")
+      s.sql(aggFilterSql)
+    })
+
+  private val q33 = Q("q33_approx_aggs", None, // HLL/KLL sketches differ per engine
+    (s, dir) => T(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median_price"))
+      .orderBy(col("l_returnflag")))
+
+  private val q34 = Q("q34_sqlcompat_dialect", Some("""
+    SELECT o_orderkey, CAST(o_orderkey AS VARCHAR) AS key_str,
+      CAST(strpos(o_orderpriority, '-') AS BIGINT) AS dash_pos,
+      time_bucket(INTERVAL '1 day', o_orderdate) AS day_bin,
+      sha256(o_orderpriority) AS prio_sha
+    FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey"""),
+    (s, dir) => {
+      registerViews(s, dir, "orders")
+      CompatFunctions.registerAll(s)
+      // DataFusion dialect: `::` postfix cast, strpos, date_bin, sha256
+      val sql = """SELECT o_orderkey, o_orderkey::STRING AS key_str,
+        CAST(strpos(o_orderpriority, '-') AS BIGINT) AS dash_pos,
+        CAST(date_bin(86400, o_orderdate) AS TIMESTAMP_NTZ) AS day_bin,
+        sha256(o_orderpriority) AS prio_sha
+        FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey"""
+      s.sql(SqlRewrite.rewrite(sql))
+    })
+
+  // ================================================================
+  // LLM-pipeline operators (north star): dedup / similarity / text /
+  // multimodal
+  // ================================================================
+
+  private val d01 = Q("d01_dedup_exact", Some("""
+    SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+      COUNT(*) AS group_size, MIN(doc_id) AS keep_id
+    FROM documents GROUP BY fp ORDER BY keep_id"""),
+    (s, dir) => Dedup.exactGroups(T(s, dir, "documents"), "text", "doc_id")
+      .orderBy(col("keep_id")))
+
+  // 3-gram shingles + 0.3 threshold: ~25 pairs at sf0.01, ~256 at
+  // sf0.1 — the inverted-index join stays near-linear (shared 3-grams
+  // are rare outside true near-dups), where 2-grams would generate
+  // ~10M candidate pairs at sf0.1.
+  private val d02 = Q("d02_dedup_ngram_jaccard", Some("""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT id_a, id_b,
+        CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) AS jaccard
+      FROM inter
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b)
+    WHERE jaccard >= 0.3 ORDER BY id_a, id_b"""),
+    (s, dir) => Dedup.ngramJaccardPairs(T(s, dir, "documents"), "text", "doc_id",
+        n = 3, threshold = 0.3)
+      .orderBy(col("id_a"), col("id_b")))
+
+  private val d03 = Q("d03_dedup_minhash_lsh", None, // xxhash seeds differ per engine
+    (s, dir) => Dedup.minHashLsh(T(s, dir, "documents"), "text", "doc_id",
+        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.3)
+      .orderBy(col("id_a"), col("id_b")))
+
+  private val d04 = Q("d04_dedup_simhash", None, // xxhash-based signature
+    (s, dir) => Dedup.simHash(T(s, dir, "documents"), "text", "doc_id")
+      .orderBy(col("id")))
+
+  private val d05 = Q("d05_embedding_neardup", Some("""
+    WITH c AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        list_sum(list_transform(generate_series(1, len(a.embedding)),
+          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cos_sim FROM c WHERE cos_sim >= 0.5
+    ORDER BY id_a, id_b"""),
+    // 0.5: the synthetic 64-dim embeddings are near-orthogonal (max
+    // pairwise cosine ≈0.51 at sf0.01) — 0.9 would be vacuously empty.
+    (s, dir) => Dedup.embeddingNearDups(T(s, dir, "embeddings"), "embedding", "vec_id",
+        threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b")))
+
+  private val s01 = Q("s01_knn_bruteforce", Some("""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+      list_sum(list_transform(generate_series(1, len(embedding)),
+        i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos_sim
+    FROM embeddings, q WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id LIMIT 10"""),
+    (s, dir) => Similarity.bruteForceTopK(T(s, dir, "embeddings"),
+      "embedding", "vec_id", queryId = 0L, k = 10))
+
+  private val s02 = Q("s02_knn_lsh", None, // bucket assignment is engine-side pseudo-random
+    (s, dir) => Similarity.lshTopK(T(s, dir, "embeddings"),
+      "embedding", "vec_id", queryId = 0L, k = 10, nPlanes = 4))
+
+  private val t01 = Q("t01_lang_id", Some("""
+    WITH sc AS (
+      SELECT doc_id,
+        CAST(LENGTH(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT) AS cjk,
+        ((LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' the ', ' '))) / 4.0
+         + (LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' and ', ' '))) / 4.0
+         + (LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' of ', ' '))) / 3.0) AS s_en,
+        ((LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' der ', ' '))) / 4.0
+         + (LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' und ', ' '))) / 4.0
+         + (LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' nicht ', ' '))) / 6.0) AS s_de,
+        ((LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' le ', ' '))) / 3.0
+         + (LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' et ', ' '))) / 3.0
+         + (LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' les ', ' '))) / 4.0) AS s_fr,
+        ((LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' el ', ' '))) / 3.0
+         + (LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' y ', ' '))) / 2.0
+         + (LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' los ', ' '))) / 4.0) AS s_es
+      FROM documents)
+    SELECT doc_id,
+      CASE WHEN cjk > 0 THEN 'zh'
+           WHEN GREATEST(s_en, s_de, s_fr, s_es) <= 0.0 THEN 'unknown'
+           WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+           WHEN s_de = GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
+           WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+           WHEN s_es = GREATEST(s_en, s_de, s_fr, s_es) THEN 'es'
+           ELSE 'unknown' END AS lang_pred
+    FROM sc ORDER BY doc_id"""),
+    (s, dir) => T(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id")))
+
+  private val t02 = Q("t02_quality_score", Some("""
+    SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS approx_bpe,
+      CAST(LENGTH(replace(text, ' ', '')) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_token_len,
+      0.5 * LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+        + 0.3 * LEAST(
+            ((LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' the ', ' '))) / 4.0
+             + (LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' and ', ' '))) / 4.0
+             + (LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' of ', ' '))) / 3.0)
+            / GREATEST(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 10.0, 1.0)
+        + 0.2 * (1.0 - LEAST(CAST(LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+            / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0) * 10.0, 1.0)) AS quality
+    FROM documents ORDER BY doc_id"""),
+    (s, dir) => T(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.approxBpeTokens(col("text")).as("approx_bpe"),
+        TextAnalysis.meanTokenLen(col("text")).as("mean_token_len"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id")))
+
+  private val t03 = Q("t03_token_stats", Some("""
+    WITH base AS (
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens
+      FROM documents GROUP BY source),
+    dt AS (
+      SELECT source, COUNT(DISTINCT tok) AS distinct_tokens
+      FROM (SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY source)
+    SELECT base.source, n_docs, total_tokens, distinct_tokens
+    FROM base JOIN dt USING (source) ORDER BY source"""),
+    (s, dir) => {
+      val d = T(s, dir, "documents")
+      val base = d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"))
+      val dt = d.select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("tok")).as("distinct_tokens"))
+      base.join(dt, Seq("source"))
+        .select(col("source"), col("n_docs"), col("total_tokens"), col("distinct_tokens"))
+        .orderBy(col("source"))
+    })
+
+  private val t04 = Q("t04_fingerprint", Some("""
+    SELECT doc_id,
+      md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+      SUBSTRING(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 8) AS fp_prefix
+    FROM documents ORDER BY doc_id"""),
+    (s, dir) => T(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        substring(TextAnalysis.fingerprint(col("text")), 1, 8).as("fp_prefix"))
+      .orderBy(col("doc_id")))
+
+  private val m01 = Q("m01_multimodal_meta", Some("""
+    SELECT doc_id AS sample_id, 'image' AS media_type,
+      CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      md5(text) AS payload_md5
+    FROM documents ORDER BY sample_id"""),
+    (s, dir) => Multimodal.metadata(
+        Multimodal.textAsMedia(T(s, dir, "documents"), "doc_id", "text"))
+      .orderBy(col("sample_id")))
+
+  private val m02 = Q("m02_multimodal_decode", Some("""
+    SELECT doc_id AS sample_id, 'image' AS media_type,
+      CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      sha256(text) AS sha256_hex,
+      CAST(list_sum(list_transform(string_split(text, ''), c -> ord(c))) AS DOUBLE)
+        / octet_length(CAST(text AS BLOB)) AS mean_intensity
+    FROM documents ORDER BY sample_id"""),
+    (s, dir) => Multimodal.extractFeatures(
+        Multimodal.textAsMedia(T(s, dir, "documents"), "doc_id", "text"))
+      .toDF()
+      .select(col("sample_id"), col("media_type"), col("n_bytes"),
+        col("sha256_hex"), col("mean_intensity"))
+      .orderBy(col("sample_id")))
+
+  // ================================================================
+
+  private val defs: Seq[Q] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
+    q31, q32, q33, q34,
+    d01, d02, d03, d04, d05, s01, s02,
+    t01, t02, t03, t04, m01, m02)
+
+  private def registerViews(s: SparkSession, dir: String, names: String*): Unit =
+    names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    q01.fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    defs.flatMap(q => q.oracle.map(o => q.name -> o.stripMargin.trim)).toMap
 }

@@ -1,0 +1,113 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (`array<float>`).
+  *
+  * The scalar kernels (dot, norm, cosine) are sequential
+  * `aggregate`/`zip_with` folds over the array — deterministic
+  * summation order (bit-reproducible across engines and runs, which
+  * the differential oracle relies on) and fully codegen'd; no UDFs.
+  *
+  * Scale path: [[lshBuckets]] assigns each vector to a
+  * random-hyperplane sign bucket so the candidate join is
+  * bucket-local: shuffle cost O(#vectors × signatureBytes) instead of
+  * the quadratic cross join. The hyperplanes are pseudo-random but
+  * deterministic (seeded from xxhash64 of (plane, dim)), so results
+  * are stable across runs/executors — no Math.random at plan time.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ as double, sequential fold ⇒ deterministic. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** ‖v‖₂ as double. */
+  def norm(v: Column): Column =
+    sqrt(aggregate(
+      transform(v, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Cosine similarity in double precision. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k by cosine against a single query vector
+    * (given as the row of `emb` with id == queryId). The query side
+    * is a 1-row broadcast, so this is a map-only pass over the corpus
+    * + a TopK (TakeOrderedAndProject) — no shuffle of the corpus.
+    */
+  def bruteForceTopK(
+      emb: DataFrame, vecCol: String, idCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val q = emb.where(col(idCol) === lit(queryId))
+      .select(col(vecCol).as("q_vec"))
+    emb.where(col(idCol) =!= lit(queryId))
+      .crossJoin(broadcast(q))
+      .withColumn("cos_sim", cosine(col(vecCol), col("q_vec")))
+      .select(col(idCol), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for
+    * (plane, dim): xxhash64 → uniform in [-0.5, 0.5). Stable across
+    * executors; good enough for sign-LSH.
+    */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (pmod(xxhash64(lit(plane), dim), lit(1000003L)).cast("double") /
+      lit(1000003.0)) - lit(0.5)
+
+  /** Sign-LSH bucket id from `nPlanes` random hyperplanes: bit j =
+    * sign(v · h_j). Vectors in the same bucket are ANN candidates.
+    */
+  def lshBucket(v: Column, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(v, transform(sequence(lit(0), size(v) - 1),
+          d => planeComponent(p, d)), (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN top-k via sign-LSH bucketing with multi-probe fallback to
+    * neighboring buckets omitted for clarity: candidates = same
+    * bucket; exact cosine re-rank inside the bucket.
+    */
+  def lshTopK(
+      emb: DataFrame, vecCol: String, idCol: String,
+      queryId: Long, k: Int, nPlanes: Int = 8): DataFrame = {
+    val withB = emb.withColumn("bucket", lshBucket(col(vecCol), nPlanes))
+    val q = withB.where(col(idCol) === lit(queryId))
+      .select(col("bucket").as("q_bucket"), col(vecCol).as("q_vec"))
+    withB.where(col(idCol) =!= lit(queryId))
+      .join(broadcast(q), col("bucket") === col("q_bucket"))
+      .withColumn("cos_sim", cosine(col(vecCol), col("q_vec")))
+      .select(col(idCol), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs similarity above a threshold, LSH-blocked (the scale
+    * variant of Dedup.embeddingNearDups). Recall < 1 by construction;
+    * raise nPlanes for precision, lower for recall.
+    */
+  def lshNearDupPairs(
+      emb: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, nPlanes: Int = 6): DataFrame = {
+    val withB = emb
+      .withColumn("bucket", lshBucket(col(vecCol), nPlanes))
+    val a = withB.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = withB.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosine(col("va"), col("vb")))
+      .where(col("cos_sim") >= lit(threshold))
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+}

