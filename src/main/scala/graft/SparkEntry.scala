@@ -588,7 +588,9 @@ object SparkEntry {
   // are rare outside true near-dups), where 2-grams would generate
   // ~10M candidate pairs at sf0.1.
   private val d02 = Q("d02_dedup_ngram_jaccard", Some("""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    WITH toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
     sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
            FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
            WHERE len(ts) >= 3),

@@ -1,0 +1,111 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.util.UUID
+import java.util.concurrent.{ConcurrentHashMap, Executors, ScheduledExecutorService, TimeUnit}
+import scala.jdk.CollectionConverters._
+
+/** One API session = one isolated Spark catalog namespace.
+  *
+  * Mirrors the reference's session model
+  * (`lib/src/context/session_manager.rs:25-37, 210-305`): a named (or
+  * UUID) context with its own table catalog and a TTL refreshed on
+  * every access, reaped by a 1 s interval worker
+  * (`lib/src/server/interval_worker.rs:17-33`). `keepAliveSecs = 0`
+  * means immortal, as documented in the reference's operation guide.
+  *
+  * The Spark analogue of a per-session DataFusion `SessionContext` is
+  * `root.newSession()`: shares the SparkContext (executors, caches)
+  * but has an isolated temp-view catalog and SQLConf — cheap to
+  * create per request, safe for concurrent reads.
+  */
+final class SessionHandle(
+    val id: String,
+    val spark: SparkSession,
+    val keepAliveSecs: Long,
+    val createdAt: Long) {
+
+  @volatile private var lastAccessMs: Long = System.currentTimeMillis()
+
+  /** Registered data sources: name → definition (for detail/refresh). */
+  val dataSources = new ConcurrentHashMap[String, DataSourceDef]()
+
+  def touch(): Unit = lastAccessMs = System.currentTimeMillis()
+
+  /** Remaining TTL in seconds (reference `session.rs:148-162`). */
+  def ttlSecs: Long =
+    if (keepAliveSecs <= 0) Long.MaxValue
+    else keepAliveSecs - (System.currentTimeMillis() - lastAccessMs) / 1000
+
+  def expired: Boolean = keepAliveSecs > 0 && ttlSecs <= 0
+}
+
+/** A registered data source's definition — enough to describe it
+  * back to a client and to refresh (re-ingest) it
+  * (`session_manager.rs:477-491`).
+  */
+final case class DataSourceDef(
+    name: String,
+    format: String,
+    location: Option[String],
+    schemaJson: Option[String])
+
+final class SessionManager(root: SparkSession, reaperPeriodMs: Long = 1000L) {
+
+  private val sessions = new ConcurrentHashMap[String, SessionHandle]()
+
+  private val reaper: ScheduledExecutorService =
+    Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "graft-session-reaper")
+      t.setDaemon(true)
+      t
+    }
+  reaper.scheduleAtFixedRate(() => reap(), reaperPeriodMs, reaperPeriodMs, TimeUnit.MILLISECONDS)
+
+  /** Create a session (named or UUID), default TTL 3600 s like the
+    * reference (`lib/src/settings.rs:211`).
+    */
+  def create(id: Option[String] = None, keepAliveSecs: Long = 3600L): SessionHandle = {
+    val sid = id.getOrElse(UUID.randomUUID().toString)
+    val h = new SessionHandle(sid, root.newSession(), keepAliveSecs, System.currentTimeMillis())
+    val prev = sessions.putIfAbsent(sid, h)
+    if (prev != null) throw new IllegalArgumentException(s"session exists: $sid")
+    h
+  }
+
+  /** Lookup; touches the TTL (reference `session.rs:154-158`). */
+  def get(id: String): Option[SessionHandle] =
+    Option(sessions.get(id)).filterNot(_.expired).map { h => h.touch(); h }
+
+  def list: Seq[SessionHandle] = sessions.values().asScala.toSeq.filterNot(_.expired)
+
+  def remove(id: String): Boolean = Option(sessions.remove(id)).isDefined
+
+  /** Register a DataFrame as a session table + record its definition. */
+  def registerTable(h: SessionHandle, df: DataFrame, ds: DataSourceDef,
+      materialize: Boolean = false): Unit = {
+    val bound = if (materialize) { val c = df.cache(); c.count(); c } else df
+    bound.createOrReplaceTempView(ds.name)
+    h.dataSources.put(ds.name, ds)
+    h.touch()
+  }
+
+  def removeTable(h: SessionHandle, name: String): Boolean = {
+    h.dataSources.remove(name)
+    h.spark.catalog.dropTempView(name)
+  }
+
+  /** SQL with the compat pre-rewrite (`session.rs:658-673` analogue:
+    * the single delegation point from serving layer to engine).
+    */
+  def sql(h: SessionHandle, sqlText: String): DataFrame = {
+    h.touch()
+    h.spark.sql(graft.sqlcompat.SqlRewrite.rewrite(sqlText))
+  }
+
+  private def reap(): Unit =
+    sessions.values().asScala.filter(_.expired).foreach(h => sessions.remove(h.id))
+
+  def shutdown(): Unit = reaper.shutdownNow()
+}

@@ -34,9 +34,14 @@ object Dedup {
         count(lit(1)).as("group_size"),
         min(col(idCol)).as("keep_id"))
 
-  /** Word n-gram shingle set, one row per distinct (id, shingle). */
+  /** Word n-gram shingle set, one row per distinct (id, shingle).
+    * Tokens come from the canonical form (lowercased,
+    * whitespace-collapsed) so exact duplicates under normalization
+    * always produce identical shingle sets — which in turn guarantees
+    * MinHash-LSH recall 1.0 on them.
+    */
   def shingles(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
-    val toks = split(col(textCol), " ")
+    val toks = split(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")), " ")
     // shingle i = tokens[i..i+n): build via transform over an index
     // sequence — stays inside codegen, no explode until after distinct
     val idxs = sequence(lit(0), greatest(size(toks) - lit(n), lit(-1)))

@@ -1,0 +1,270 @@
+package graft.serve
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer => JdkHttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.engine.{DataSourceDef, SessionHandle, SessionManager}
+import graft.ingest.{IngestOptions, Readers, SchemaDsl}
+import graft.ops.MergeProcessor
+
+import java.net.InetSocketAddress
+import scala.jdk.CollectionConverters._
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.Executors
+import scala.util.control.NonFatal
+
+/** REST serving surface (SURVEY §3, §2.A25-A27) on the JDK's
+  * built-in HTTP server — zero extra dependencies.
+  *
+  * Routes (mirroring `lib/src/server/routes.rs:24-57`):
+  *   POST   /dataframe/query          one-shot: ingest → merge → SQL → encode
+  *   POST   /session                  create (optional ?id=&keepAlive=)
+  *   GET    /session                  list
+  *   GET    /session/{id}             detail {id, created, ttl}
+  *   DELETE /session/{id}             destroy
+  *   POST   /session/{id}/query       {sql} JSON or raw application/sql
+  *   POST   /session/{id}/datasource  add data sources (JSON array or single)
+  *   GET    /session/{id}/datasource  list registered sources
+  *   GET    /session/{id}/datasource/{name}  schema detail
+  *   DELETE /session/{id}/datasource/{name}  remove
+  *   GET    /healthz                  204
+  *   GET    /sysinfo                  version info
+  */
+final class GraftServer(root: SparkSession, port: Int = 0) {
+
+  val sessions = new SessionManager(root)
+  private val server = JdkHttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.setExecutor(Executors.newFixedThreadPool(8))
+
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): Unit = server.start()
+  def stop(): Unit = { server.stop(0); sessions.shutdown() }
+
+  // --------------------------------------------------------------
+
+  server.createContext("/healthz", (ex: HttpExchange) => safely(ex) {
+    ex.sendResponseHeaders(204, -1)
+  })
+
+  server.createContext("/sysinfo", (ex: HttpExchange) => safely(ex) {
+    respondJson(ex, 200,
+      s"""{"name":"graft","version":"0.1.0","sparkVersion":"${root.version}"}""")
+  })
+
+  server.createContext("/dataframe/query", (ex: HttpExchange) => safely(ex) {
+    if (ex.getRequestMethod != "POST") respondJson(ex, 405, err("POST only"))
+    else handleDataFrameQuery(ex)
+  })
+
+  private def handleDataFrameQuery(ex: HttpExchange): Unit = {
+    val keepAlive = query(ex).getOrElse("keepAlive", "60").toLong
+    val req = Api.parseDataFrameQuery(readBody(ex))
+    // ephemeral session (reference: response/handler/dataframe.rs:33-36)
+    val h = sessions.create(None, keepAlive)
+    try {
+      req.dataSources.foreach(ingest(h, _))
+      req.processors.foreach(applyMerge(h, _))
+      req.query match {
+        case Some(q) =>
+          val df = sessions.sql(h, q.sql)
+          respondData(ex, df, req.response.format)
+        case None => respondJson(ex, 200, """{"status":"ok"}""")
+      }
+    } finally { sessions.remove(h.id): Unit } // buffered path destroys the session
+  }
+
+  server.createContext("/session", (ex: HttpExchange) => safely(ex) {
+    val path = ex.getRequestURI.getPath.stripPrefix("/session").stripPrefix("/")
+    val parts = if (path.isEmpty) Array.empty[String] else path.split("/")
+    (ex.getRequestMethod, parts) match {
+      case ("POST", Array()) =>
+        val q = query(ex)
+        val h = sessions.create(q.get("id"), q.getOrElse("keepAlive", "3600").toLong)
+        respondJson(ex, 200, sessionJson(h))
+      case ("GET", Array()) =>
+        respondJson(ex, 200,
+          sessions.list.sortBy(_.createdAt).map(sessionJson).mkString("[", ",", "]"))
+      case ("GET", Array(id)) =>
+        withSession(ex, id)(h => respondJson(ex, 200, sessionJson(h)))
+      case ("DELETE", Array(id)) =>
+        if (sessions.remove(id)) respondJson(ex, 200, """{"status":"deleted"}""")
+        else respondJson(ex, 404, err(s"no such session: $id"))
+      case ("POST", Array(id, "query")) =>
+        withSession(ex, id) { h =>
+          val body = readBody(ex)
+          val contentType = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+          // raw application/sql or JSON {sql}/{query,response}
+          // (reference: response/handler/session.rs:90-124)
+          val (sql, fmt) =
+            if (contentType.startsWith("application/sql")) (body, None)
+            else {
+              val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+              val s = Option(n.get("sql")).map(_.asText())
+                .orElse(Option(n.get("query")).map(q =>
+                  if (q.isTextual) q.asText() else q.get("sql").asText()))
+                .getOrElse(throw new IllegalArgumentException("sql required"))
+              (s, Option(n.get("response")).flatMap(r => Option(r.get("format")).map(_.asText())))
+            }
+          respondData(ex, sessions.sql(h, sql), fmt)
+        }
+      case ("POST", Array(id, "datasource")) =>
+        withSession(ex, id) { h =>
+          val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(readBody(ex))
+          val defs =
+            if (n.isArray) n.elements().asScala.toSeq
+            else Option(n.get("dataSources")).filter(_.isArray)
+              .map(_.elements().asScala.toSeq).getOrElse(Seq(n))
+          defs.map(Api.parseDataSource).foreach(ingest(h, _))
+          respondJson(ex, 200, """{"status":"ok"}""")
+        }
+      case ("GET", Array(id, "datasource")) =>
+        withSession(ex, id) { h =>
+          respondJson(ex, 200, h.dataSources.values().asScala.toSeq.sortBy(_.name)
+            .map(d => s"""{"name":"${d.name}","format":"${d.format}"}""")
+            .mkString("[", ",", "]"))
+        }
+      case ("GET", Array(id, "datasource", name)) =>
+        withSession(ex, id) { h =>
+          Option(h.dataSources.get(name)) match {
+            case Some(d) =>
+              val schema = SchemaDsl.toJson(h.spark.table(name).schema)
+              respondJson(ex, 200,
+                s"""{"name":"${d.name}","format":"${d.format}","schema":$schema}""")
+            case None => respondJson(ex, 404, err(s"no such dataSource: $name"))
+          }
+        }
+      case ("DELETE", Array(id, "datasource", name)) =>
+        withSession(ex, id) { h =>
+          if (sessions.removeTable(h, name)) respondJson(ex, 200, """{"status":"deleted"}""")
+          else respondJson(ex, 404, err(s"no such dataSource: $name"))
+        }
+      case _ => respondJson(ex, 404, err("not found"))
+    }
+  })
+
+  // --------------------------------------------------------------
+
+  /** Scheme×format ingest dispatch (`session_manager.rs:336-421`). */
+  private def ingest(h: SessionHandle, ds: Api.DataSourceReq): Unit = {
+    val schema = ds.schemaJson.map(SchemaDsl.fromJson)
+    val opts = IngestOptions(
+      hasHeader = ds.options.hasHeader,
+      inferSchemaRows = ds.options.inferSchemaRows,
+      delimiter = ds.options.delimiter,
+      jsonPath = ds.options.jsonPath,
+      requireNormalize = ds.options.requireNormalize,
+      schema = schema)
+    if (!ds.options.overwrite && h.spark.catalog.tableExists(ds.name))
+      throw new IllegalArgumentException(s"table exists: ${ds.name} (overwrite=false)")
+    val df: DataFrame = (ds.format.toLowerCase, ds.location, ds.data) match {
+      case ("csv", Some(loc), _) => Readers.csv(h.spark, loc, opts)
+      case ("ndjson", Some(loc), _) => Readers.ndJson(h.spark, loc, opts)
+      case ("json", Some(loc), _) => Readers.jsonDocumentFile(h.spark, loc, opts)
+      case ("json", None, Some(text)) => Readers.jsonDocument(h.spark, text, opts)
+      case ("parquet", Some(loc), _) => Readers.parquet(h.spark, loc)
+      case ("avro", Some(loc), _) => Readers.avro(h.spark, loc)
+      case (f, None, None) =>
+        throw new IllegalArgumentException(s"dataSource ${ds.name}: location or data required for $f")
+      case (f, _, _) => throw new IllegalArgumentException(s"unsupported format: $f")
+    }
+    sessions.registerTable(h, df, DataSourceDef(ds.name, ds.format, ds.location, ds.schemaJson))
+  }
+
+  /** Merge-processor step (`session.rs:550-656`). */
+  private def applyMerge(h: SessionHandle, m: Api.MergeProcessorReq): Unit = {
+    val base = h.spark.table(m.baseTable)
+    val merged = m.direction match {
+      case "column" =>
+        MergeProcessor.mergeColumns(base, m.targets.map(t =>
+          MergeProcessor.ColumnTarget(t.table, h.spark.table(t.table), t.baseKeys, t.targetKeys)))
+      case "row" =>
+        MergeProcessor.mergeRows(base, m.targetTables.map(h.spark.table), m.distinct)
+      case d => throw new IllegalArgumentException(s"unknown merge direction: $d")
+    }
+    // materialize + re-register, replacing the base table
+    // (reference: session.rs:646-652)
+    val cached = merged.cache()
+    cached.count()
+    cached.createOrReplaceTempView(m.baseTable)
+    if (m.removeAfterMerged) {
+      val removable = (m.targets.map(_.table) ++ m.targetTables).distinct
+        .filterNot(_ == m.baseTable)
+      removable.foreach(sessions.removeTable(h, _))
+    }
+  }
+
+  // --------------------------------------------------------------
+
+  private def withSession(ex: HttpExchange, id: String)(f: SessionHandle => Unit): Unit =
+    sessions.get(id) match {
+      case Some(h) => f(h)
+      case None    => respondJson(ex, 404, err(s"no such session: $id"))
+    }
+
+  private def respondData(ex: HttpExchange, df: DataFrame, bodyFormat: Option[String]): Unit = {
+    val fmt = ResponseEncoders.negotiate(bodyFormat,
+      Option(ex.getRequestHeaders.getFirst("Accept")))
+    val bytes = ResponseEncoders.encodeToBytes(df, fmt)
+    ex.getResponseHeaders.set("Content-Type", fmt.contentType)
+    ex.sendResponseHeaders(200, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.getResponseBody.close()
+  }
+
+  private def sessionJson(h: SessionHandle): String = {
+    val ttl = if (h.ttlSecs == Long.MaxValue) -1 else h.ttlSecs
+    s"""{"id":"${h.id}","created":${h.createdAt / 1000},"ttl":$ttl}"""
+  }
+
+  private def err(msg: String): String =
+    s"""{"error":${com.fasterxml.jackson.databind.node.TextNode.valueOf(msg).toString}}"""
+
+  private def readBody(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+
+  private def query(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getQuery).map(_.split("&").toSeq
+      .flatMap { kv => kv.split("=", 2) match {
+        case Array(k, v) => Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+        case Array(k) => Some(k -> "")
+        case _ => None
+      }}.toMap).getOrElse(Map.empty)
+
+  private def safely(ex: HttpExchange)(f: => Unit): Unit =
+    try f
+    catch {
+      case e: IllegalArgumentException => respondJson(ex, 400, err(e.getMessage))
+      case NonFatal(e) =>
+        respondJson(ex, 500, err(Option(e.getMessage).getOrElse(e.getClass.getName)))
+    } finally ex.close()
+
+  private def respondJson(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.getResponseBody.close()
+  }
+}
+
+/** Standalone server entry point. */
+object GraftServerMain {
+  def main(args: Array[String]): Unit = {
+    val port = args.headOption.map(_.toInt).getOrElse(4000)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-server")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.sqlcompat.CompatFunctions.registerAll(spark)
+    val server = new GraftServer(spark, port)
+    server.start()
+    println(s"graft server listening on ${server.boundPort}")
+    Thread.currentThread().join()
+  }
+}

@@ -1,0 +1,149 @@
+package graft
+
+import graft.serve.GraftServer
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+
+/** End-to-end REST tests: the full reference flow of SURVEY §3.1/3.2
+  * driven through real HTTP.
+  */
+class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val server = { val s = new GraftServer(SparkFixture.spark); s.start(); s }
+  private lazy val base = s"http://127.0.0.1:${server.boundPort}"
+  private val client = HttpClient.newHttpClient()
+
+  override def afterAll(): Unit = server.stop()
+
+  private def post(path: String, body: String, contentType: String = "application/json") =
+    client.send(HttpRequest.newBuilder(URI.create(s"$base$path"))
+      .header("Content-Type", contentType)
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def get(path: String) =
+    client.send(HttpRequest.newBuilder(URI.create(s"$base$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def delete(path: String) =
+    client.send(HttpRequest.newBuilder(URI.create(s"$base$path")).DELETE().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("healthz is 204") {
+    assert(get("/healthz").statusCode() == 204)
+  }
+
+  test("sysinfo reports engine") {
+    val r = get("/sysinfo")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("\"graft\""))
+  }
+
+  test("one-shot /dataframe/query: parquet ingest + SQL + json response") {
+    val body =
+      s"""{"dataSources":[{"format":"parquet","name":"lineitem",
+          "location":"${SparkFixture.sfDir}/lineitem.parquet"}],
+          "query":{"sql":"SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"}}"""
+    val r = post("/dataframe/query", body)
+    assert(r.statusCode() == 200, r.body())
+    assert(r.headers().firstValue("Content-Type").get().startsWith("application/json"))
+    assert(r.body().startsWith("""[{"l_returnflag":"""))
+  }
+
+  test("one-shot with inline json data source and csv response") {
+    val body =
+      """{"dataSources":[{"format":"json","name":"people",
+          "data":"[{\"name\":\"ann\",\"age\":31},{\"name\":\"bo\",\"age\":25}]"}],
+          "query":{"sql":"SELECT name, age FROM people ORDER BY age"},
+          "response":{"format":"csv"}}"""
+    val r = post("/dataframe/query", body)
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body() == "name,age\nbo,25\nann,31\n")
+  }
+
+  test("session lifecycle: create, query, datasource CRUD, delete") {
+    assert(post("/session?id=it&keepAlive=600", "").statusCode() == 200)
+    // register a datasource
+    val ds = s"""{"format":"parquet","name":"nation","location":"${SparkFixture.sfDir}/nation.parquet"}"""
+    assert(post("/session/it/datasource", ds).statusCode() == 200)
+    // list + detail
+    assert(get("/session/it/datasource").body().contains("\"nation\""))
+    val detail = get("/session/it/datasource/nation")
+    assert(detail.statusCode() == 200)
+    assert(detail.body().contains("\"schema\""))
+    // query (raw application/sql body)
+    val q = post("/session/it/query", "SELECT count(*) AS n FROM nation", "application/sql")
+    assert(q.statusCode() == 200, q.body())
+    assert(q.body() == """[{"n":25}]""")
+    // remove the table then the session
+    assert(delete("/session/it/datasource/nation").statusCode() == 200)
+    val gone = post("/session/it/query", """{"sql":"SELECT * FROM nation"}""")
+    assert(gone.statusCode() == 500)
+    assert(delete("/session/it").statusCode() == 200)
+    assert(get("/session/it").statusCode() == 404)
+  }
+
+  test("merge processor column direction over HTTP") {
+    val body =
+      s"""{"dataSources":[
+           {"format":"parquet","name":"orders","location":"${SparkFixture.sfDir}/orders.parquet"},
+           {"format":"parquet","name":"customer","location":"${SparkFixture.sfDir}/customer.parquet"}],
+          "processor":{"direction":"column","baseTable":"orders",
+            "targets":[{"table":"customer","baseKeys":["o_custkey"],"targetKeys":["c_custkey"]}]},
+          "query":{"sql":"SELECT count(*) AS n FROM orders WHERE c_name IS NOT NULL"}}"""
+    val r = post("/dataframe/query", body)
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body().matches("""\[\{"n":\d+\}\]"""))
+  }
+
+  test("sessions are isolated: same table name, different data") {
+    post("/session?id=iso1", "")
+    post("/session?id=iso2", "")
+    post("/session/iso1/datasource",
+      """{"format":"json","name":"t","data":"[{\"v\":1}]"}""")
+    post("/session/iso2/datasource",
+      """{"format":"json","name":"t","data":"[{\"v\":2}]"}""")
+    assert(post("/session/iso1/query", """{"sql":"SELECT v FROM t"}""").body() == """[{"v":1}]""")
+    assert(post("/session/iso2/query", """{"sql":"SELECT v FROM t"}""").body() == """[{"v":2}]""")
+    delete("/session/iso1"); delete("/session/iso2")
+  }
+
+  test("arrow response format negotiated via Accept header") {
+    post("/session?id=arrow", "")
+    post("/session/arrow/datasource",
+      """{"format":"json","name":"t","data":"[{\"v\":1},{\"v\":2}]"}""")
+    val r = client.send(HttpRequest.newBuilder(URI.create(s"$base/session/arrow/query"))
+      .header("Content-Type", "application/sql")
+      .header("Accept", "application/vnd.apache.arrow.stream")
+      .POST(HttpRequest.BodyPublishers.ofString("SELECT v FROM t ORDER BY v")).build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").get() == "application/vnd.apache.arrow.stream")
+    // ARROW1 magic is only in the file format; stream format starts with
+    // a 0xFFFFFFFF continuation marker in modern IPC
+    assert(r.body().length > 8)
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val rd = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(r.body()), alloc)
+    try {
+      var n = 0L
+      while (rd.loadNextBatch()) n += rd.getVectorSchemaRoot.getRowCount
+      assert(n == 2)
+    } finally { rd.close(); alloc.close() }
+    delete("/session/arrow")
+  }
+
+  test("bad request returns 400 with error body") {
+    val r = post("/dataframe/query", """{"dataSources":[{"format":"csv","name":"x"}]}""")
+    assert(r.statusCode() == 400)
+    assert(r.body().contains("error"))
+  }
+
+  test("unknown session is 404") {
+    assert(post("/session/nope/query", """{"sql":"SELECT 1"}""").statusCode() == 404)
+  }
+}

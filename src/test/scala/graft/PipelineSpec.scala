@@ -1,0 +1,120 @@
+package graft
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.MergeProcessor
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import org.apache.spark.sql.DataFrame
+
+  private def docs: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+      (3L, "completely different content about spark engines"),
+      (4L, "THE  QUICK brown fox jumps over the lazy dog"), // exact dup of 1 after norm
+      (5L, "der hund und die katze und der vogel nicht hier")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups normalized duplicates") {
+    val g = Dedup.exactGroups(docs, "text", "doc_id").collect()
+    val dupGroup = g.find(_.getAs[Long]("group_size") == 2)
+    assert(dupGroup.isDefined, "docs 1 and 4 must share a fingerprint")
+    assert(dupGroup.get.getAs[Long]("keep_id") == 1L)
+    assert(g.length == 4)
+  }
+
+  test("ngram jaccard finds the near-dup pair and not unrelated docs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash lsh candidates match exact jaccard on this corpus") {
+    val got = Dedup.minHashLsh(docs, "text", "doc_id",
+      shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)))
+    assert(got.contains((1L, 4L))) // exact dups always survive LSH
+  }
+
+  test("simhash: identical docs share signature, near-dups are close") {
+    val sig = Dedup.simHash(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(sig(1L) ^ sig(2L)) <
+      java.lang.Long.bitCount(sig(1L) ^ sig(3L)))
+    val pairs = Dedup.simHashPairs(docs, "text", "doc_id", maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((1L, 4L)))
+  }
+
+  test("cosine kernels: orthogonal is 0, identical is 1") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f)),
+      (3L, Array(2f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(df, "embedding", "vec_id", threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 3L)))
+  }
+
+  test("brute-force knn returns k most similar, excluding the query") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0f, 1f)), (3L, Array(0.8f, 0.3f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(df, "embedding", "vec_id", queryId = 0L, k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(1L, 3L))
+  }
+
+  test("language id picks en and de by stopword score") {
+    val langs = docs.select(col("doc_id"), TextAnalysis.languageId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(langs(1L) == "en")
+    assert(langs(5L) == "de")
+  }
+
+  test("token count and quality score bounded") {
+    val r = docs.select(
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.qualityScore(col("text")).as("q")).collect()
+    assert(r.forall(x => x.getLong(0) > 0))
+    assert(r.forall(x => x.getDouble(1) >= 0.0 && x.getDouble(1) <= 1.0))
+  }
+
+  test("multimodal extractFeatures is deterministic and sized right") {
+    val media = Multimodal.textAsMedia(docs, "doc_id", "text")
+    val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.sample_id)
+    val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.sample_id)
+    assert(f1.map(_.sha256_hex).toSeq == f2.map(_.sha256_hex).toSeq)
+    assert(f1.forall(_.feature_vec.length == 8))
+    assert(f1.forall(f => f.n_bytes > 0))
+  }
+
+  test("merge column aliases collisions and drops target keys") {
+    import spark.implicits._
+    val base = Seq((1, "x"), (2, "y")).toDF("id", "name")
+    val tgt = Seq((1, "t1"), (2, "t2")).toDF("tid", "name")
+    val out = MergeProcessor.mergeColumns(base,
+      Seq(MergeProcessor.ColumnTarget("tgt", tgt, Seq("id"), Seq("tid"))))
+    assert(out.columns.toSeq == Seq("id", "name", "tgt_name"))
+    assert(out.count() == 2)
+  }
+
+  test("merge row: union by position, optional distinct") {
+    import spark.implicits._
+    val a = Seq(1, 2).toDF("v")
+    val b = Seq(2, 3).toDF("v")
+    assert(MergeProcessor.mergeRows(a, Seq(b), distinct = false).count() == 4)
+    assert(MergeProcessor.mergeRows(a, Seq(b), distinct = true).count() == 3)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.engine.{DataSourceDef, SessionManager}
+import org.scalatest.funsuite.AnyFunSuite
+
+class SessionManagerSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  test("create, get, list, remove") {
+    val mgr = new SessionManager(spark)
+    try {
+      val h = mgr.create(Some("s1"))
+      assert(mgr.get("s1").exists(_.id == "s1"))
+      assert(mgr.list.map(_.id).contains("s1"))
+      assert(mgr.remove("s1"))
+      assert(mgr.get("s1").isEmpty)
+    } finally mgr.shutdown()
+  }
+
+  test("duplicate id rejected; uuid generated when unnamed") {
+    val mgr = new SessionManager(spark)
+    try {
+      mgr.create(Some("dup"))
+      intercept[IllegalArgumentException](mgr.create(Some("dup")))
+      val anon = mgr.create()
+      assert(anon.id.length == 36)
+    } finally mgr.shutdown()
+  }
+
+  test("temp views are isolated between sessions") {
+    val mgr = new SessionManager(spark)
+    try {
+      val a = mgr.create(Some("a"))
+      val b = mgr.create(Some("b"))
+      import a.spark.implicits._
+      mgr.registerTable(a, Seq(1, 2, 3).toDF("x"), DataSourceDef("t", "json", None, None))
+      assert(mgr.sql(a, "SELECT count(*) c FROM t").collect().head.getLong(0) == 3)
+      intercept[Exception](mgr.sql(b, "SELECT * FROM t").collect())
+    } finally mgr.shutdown()
+  }
+
+  test("ttl expires and reaper removes; access refreshes ttl") {
+    val mgr = new SessionManager(spark, reaperPeriodMs = 50)
+    try {
+      val h = mgr.create(Some("short"), keepAliveSecs = 1)
+      assert(mgr.get("short").isDefined)
+      Thread.sleep(1500)
+      assert(mgr.get("short").isEmpty, "expired session must be gone")
+      // keepAlive=0 is immortal
+      mgr.create(Some("immortal"), keepAliveSecs = 0)
+      Thread.sleep(300)
+      assert(mgr.get("immortal").isDefined)
+      assert(mgr.get("immortal").get.ttlSecs == Long.MaxValue)
+    } finally mgr.shutdown()
+  }
+
+  test("sql goes through the compat rewrite") {
+    val mgr = new SessionManager(spark)
+    try {
+      val h = mgr.create()
+      import h.spark.implicits._
+      mgr.registerTable(h, Seq((1, "a")).toDF("k", "v"), DataSourceDef("t2", "json", None, None))
+      // DataFusion-style postfix cast
+      val r = mgr.sql(h, "SELECT k::STRING AS ks FROM t2").collect()
+      assert(r.head.getString(0) == "1")
+    } finally mgr.shutdown()
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.sqlcompat.SqlRewrite
+import org.scalatest.funsuite.AnyFunSuite
+
+class SqlRewriteSpec extends AnyFunSuite {
+
+  test("postfix cast on identifier") {
+    assert(SqlRewrite.rewrite("SELECT a::INT FROM t") ==
+      "SELECT CAST(a AS INT) FROM t")
+  }
+
+  test("postfix cast on qualified identifier and number") {
+    assert(SqlRewrite.rewrite("SELECT t.a::BIGINT, 1::DOUBLE FROM t") ==
+      "SELECT CAST(t.a AS BIGINT), CAST(1 AS DOUBLE) FROM t")
+  }
+
+  test("postfix cast with parameterized type") {
+    assert(SqlRewrite.rewrite("SELECT a::DECIMAL(10,2) FROM t") ==
+      "SELECT CAST(a AS DECIMAL(10,2)) FROM t")
+  }
+
+  test("postfix cast does not swallow a following alias") {
+    assert(SqlRewrite.rewrite("SELECT a::STRING AS b FROM t") ==
+      "SELECT CAST(a AS STRING) AS b FROM t")
+  }
+
+  test("postfix cast on string literal") {
+    assert(SqlRewrite.rewrite("SELECT '2024-01-01'::DATE") ==
+      "SELECT CAST('2024-01-01' AS DATE)")
+  }
+
+  test(":: inside a string literal is untouched") {
+    assert(SqlRewrite.rewrite("SELECT 'a::b' FROM t") == "SELECT 'a::b' FROM t")
+  }
+
+  test(":: inside comments untouched") {
+    val sql = "SELECT a FROM t -- cast x::INT here\n WHERE b = 1"
+    assert(SqlRewrite.rewrite(sql) == sql)
+  }
+
+  test("DISTINCT ON rewrites to row_number window") {
+    val out = SqlRewrite.rewrite(
+      "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v DESC")
+    assert(out.contains("ROW_NUMBER() OVER (PARTITION BY k ORDER BY k, v DESC)"))
+    assert(out.contains("__graft_rn = 1"))
+  }
+
+  test("DISTINCT ON without ORDER BY orders by keys") {
+    val out = SqlRewrite.rewrite("SELECT DISTINCT ON (k) k, v FROM t")
+    assert(out.contains("PARTITION BY k ORDER BY k"))
+  }
+
+  test("table@namespace gets backtick-quoted") {
+    assert(SqlRewrite.rewrite("SELECT * FROM users@pg WHERE x = 1") ==
+      "SELECT * FROM `users@pg` WHERE x = 1")
+  }
+
+  test("email-like text inside string literal not federated") {
+    val sql = "SELECT * FROM t WHERE email = 'bob@example'"
+    assert(SqlRewrite.rewrite(sql) == sql)
+  }
+
+  test("plain SQL passes through untouched") {
+    val sql = "SELECT a, sum(b) FROM t GROUP BY a HAVING sum(b) > 10 ORDER BY a"
+    assert(SqlRewrite.rewrite(sql) == sql)
+  }
+}
