@@ -19,6 +19,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warmup: JVM/codegen/parquet-footer init shouldn't be billed to
+    // whichever query sorts first
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count(): Unit
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -136,9 +136,11 @@ object Readers {
   def parquetBytes(spark: SparkSession, bytes: Array[Byte]): DataFrame =
     parquet(spark, spool(bytes, ".parquet").toString)
 
-  /** Avro — via spark-avro on the classpath (`object_store/reader.rs:115-134`). */
+  /** Avro (`object_store/reader.rs:115-134`). spark-avro isn't in
+    * this distribution; [[AvroReader]] decodes via Avro core.
+    */
   def avro(spark: SparkSession, path: String): DataFrame =
-    spark.read.format("avro").load(path)
+    AvroReader.read(spark, path)
 
   /** Format sniffing for uploads: content-type first, then file
     * extension (`request/format.rs:8-52`).

@@ -20,20 +20,29 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ as double, sequential fold ⇒ deterministic. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Σ aᵢ·bᵢ as double — codegen'd kernel (bit-identical to the
+    * sequential fold, see [[graft.functions.VectorExpressions]]).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExpressions.dot(a, b)
 
   /** ‖v‖₂ as double. */
-  def norm(v: Column): Column =
-    sqrt(aggregate(
-      transform(v, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+  def norm(v: Column): Column = graft.functions.VectorExpressions.l2norm(v)
 
-  /** Cosine similarity in double precision. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity in double precision, fused single-pass. */
+  def cosine(a: Column, b: Column): Column = graft.functions.VectorExpressions.cosine(a, b)
+
+  /** The composable higher-order-function formulation (kept as the
+    * reference semantics the codegen kernels are tested against).
+    */
+  def cosineFold(a: Column, b: Column): Column = {
+    def dotF(x: Column, y: Column) = aggregate(
+      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    def normF(v: Column) = sqrt(aggregate(
+      transform(v, p => p.cast("double") * p.cast("double")),
+      lit(0.0), (acc, v2) => acc + v2))
+    dotF(a, b) / (normF(a) * normF(b))
+  }
 
   /** Exact brute-force top-k by cosine against a single query vector
     * (given as the row of `emb` with id == queryId). The query side

@@ -28,7 +28,8 @@ object Api {
       delimiter: Char = ',',
       jsonPath: Option[String] = None,
       requireNormalize: Boolean = false,
-      overwrite: Boolean = true)
+      overwrite: Boolean = true,
+      version: Option[Long] = None)  // Delta time travel
 
   final case class MergeTarget(table: String, baseKeys: Seq[String], targetKeys: Seq[String])
 
@@ -79,7 +80,8 @@ object Api {
         delimiter = o.flatMap(text(_, "delimiter")).flatMap(_.headOption).getOrElse(','),
         jsonPath = o.flatMap(text(_, "jsonPath")),
         requireNormalize = o.flatMap(bool(_, "requireNormalize")).getOrElse(false),
-        overwrite = o.flatMap(bool(_, "overwrite")).getOrElse(true)))
+        overwrite = o.flatMap(bool(_, "overwrite")).getOrElse(true),
+        version = o.flatMap(long(_, "version"))))
   }
 
   def parseMerge(n: JsonNode): MergeProcessorReq = {
@@ -110,4 +112,6 @@ object Api {
     Option(n.get(f)).filterNot(_.isNull).map(_.asBoolean())
   private def int(n: JsonNode, f: String): Option[Int] =
     Option(n.get(f)).filterNot(_.isNull).map(_.asInt())
+  private def long(n: JsonNode, f: String): Option[Long] =
+    Option(n.get(f)).filterNot(_.isNull).map(_.asLong())
 }

@@ -164,6 +164,8 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
       case ("json", None, Some(text)) => Readers.jsonDocument(h.spark, text, opts)
       case ("parquet", Some(loc), _) => Readers.parquet(h.spark, loc)
       case ("avro", Some(loc), _) => Readers.avro(h.spark, loc)
+      case ("delta" | "deltalake", Some(loc), _) =>
+        graft.ingest.DeltaReader.read(h.spark, loc, ds.options.version)
       case (f, None, None) =>
         throw new IllegalArgumentException(s"dataSource ${ds.name}: location or data required for $f")
       case (f, _, _) => throw new IllegalArgumentException(s"unsupported format: $f")

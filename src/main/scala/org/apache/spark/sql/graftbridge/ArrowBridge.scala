@@ -75,3 +75,11 @@ object ArrowBridge {
     df.asInstanceOf[ClassicDataset[org.apache.spark.sql.Row]]
       .queryExecution.executedPlan.executeToIterator()
 }
+
+/** Column ⇄ Expression bridge (`ExpressionUtils` is private[sql]). */
+object ExprBridge {
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+  def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+}

@@ -65,6 +65,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 3L)))
   }
 
+  test("codegen cosine kernel is bit-identical to the HOF fold") {
+    val emb = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet").limit(50)
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val pairs = a.join(b, col("id_a") < col("id_b"))
+      .select(
+        Similarity.cosine(col("va"), col("vb")).as("fast"),
+        Similarity.cosineFold(col("va"), col("vb")).as("fold"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"bits differ: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+  }
+
   test("brute-force knn returns k most similar, excluding the query") {
     import spark.implicits._
     val df = Seq(
