@@ -55,6 +55,9 @@ final class SessionManager(root: SparkSession, reaperPeriodMs: Long = 1000L) {
 
   private val sessions = new ConcurrentHashMap[String, SessionHandle]()
 
+  /** Optional `table@ns` federation hook (SURVEY §2.A10-A11). */
+  @volatile var resolver: Option[Federation.NamespaceResolver] = None
+
   private val reaper: ScheduledExecutorService =
     Executors.newSingleThreadScheduledExecutor { r =>
       val t = new Thread(r, "graft-session-reaper")
@@ -101,7 +104,11 @@ final class SessionManager(root: SparkSession, reaperPeriodMs: Long = 1000L) {
     */
   def sql(h: SessionHandle, sqlText: String): DataFrame = {
     h.touch()
-    h.spark.sql(graft.sqlcompat.SqlRewrite.rewrite(sqlText))
+    val rewritten = resolver match {
+      case Some(r) => Federation.prepare(h, sqlText, r)
+      case None    => graft.sqlcompat.SqlRewrite.rewrite(sqlText)
+    }
+    h.spark.sql(rewritten)
   }
 
   private def reap(): Unit =

@@ -33,6 +33,8 @@ import scala.util.control.NonFatal
 final class GraftServer(root: SparkSession, port: Int = 0) {
 
   val sessions = new SessionManager(root)
+  /** Upload size cap, 20 MB default (reference `settings.rs:213`). */
+  @volatile var uploadLimitBytes: Int = 20 * 1024 * 1024
   private val server = JdkHttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.setExecutor(Executors.newFixedThreadPool(8))
 
@@ -107,6 +109,37 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
               (s, Option(n.get("response")).flatMap(r => Option(r.get("format")).map(_.asText())))
             }
           respondData(ex, sessions.sql(h, sql), fmt)
+        }
+      case ("POST", Array(id, "datasource", "upload")) =>
+        withSession(ex, id) { h =>
+          val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+          val boundary = Multipart.boundaryOf(ct).getOrElse(
+            throw new IllegalArgumentException("multipart/form-data with boundary required"))
+          val body = ex.getRequestBody.readAllBytes()
+          // 20 MB default cap (reference settings.rs:213, routes.rs:45-50)
+          if (body.length > uploadLimitBytes)
+            throw new IllegalArgumentException(
+              s"upload exceeds limit ($uploadLimitBytes bytes)")
+          val parts = Multipart.parse(body, boundary).filter(_.body.nonEmpty)
+          if (parts.isEmpty) throw new IllegalArgumentException("no file parts")
+          parts.foreach { part =>
+            val fmt = Readers.sniffFormat(part.contentType, part.filename)
+              .getOrElse(throw new IllegalArgumentException(
+                s"cannot sniff format of ${part.filename.orElse(part.name).getOrElse("part")}"))
+            val name = part.name.orElse(part.filename.map(_.split('.').head))
+              .getOrElse(throw new IllegalArgumentException("part needs a name"))
+            val df = fmt match {
+              case "csv" => Readers.csvBytes(h.spark, part.body)
+              case "json" => Readers.jsonDocument(h.spark,
+                new String(part.body, StandardCharsets.UTF_8))
+              case "ndJson" => Readers.ndJsonBytes(h.spark, part.body)
+              case "parquet" => Readers.parquetBytes(h.spark, part.body)
+              case other => throw new IllegalArgumentException(s"unsupported upload format: $other")
+            }
+            sessions.registerTable(h, df,
+              graft.engine.DataSourceDef(name, fmt, None, None))
+          }
+          respondJson(ex, 200, s"""{"status":"ok","tables":${parts.size}}""")
         }
       case ("POST", Array(id, "datasource")) =>
         withSession(ex, id) { h =>

@@ -11,10 +11,11 @@ import scala.collection.mutable.ListBuffer
   *
   *  - `expr::type` postfix casts            → `CAST(expr AS type)`
   *  - `DISTINCT ON (k, …) cols`             → row_number() window pick
-  *  - `table@namespace` federation factors  → backtick-quoted
-  *    identifier (Spark's lexer rejects bare `@`; the federation
-  *    layer registers a JDBC temp view under the same quoted name —
-  *    reference: `lib/src/data_source/database/table_register.rs:49-54`)
+  *  - `table@namespace` federation factors  → mangled identifier
+  *    `table__at__namespace` (Spark validates temp-view names, so a
+  *    quoted `t@ns` is not registrable; the federation layer
+  *    registers the remote table under the mangled name — reference:
+  *    `lib/src/data_source/database/table_register.rs:49-54`)
   *
   * The tokenizer is quote/comment-aware so rewrites never fire inside
   * string literals, quoted identifiers, or comments (SURVEY §7.4#3).
@@ -30,7 +31,7 @@ object SqlRewrite {
   // for string literals ('…'), quoted identifiers ("…" / `…`) and
   // comments (-- … \n, /* … */). Rewrites only touch isCode runs.
   // ----------------------------------------------------------------
-  private[sqlcompat] def runs(sql: String): List[(String, Boolean)] = {
+  private[graft] def runs(sql: String): List[(String, Boolean)] = {
     val out = ListBuffer.empty[(String, Boolean)]
     val n = sql.length
     var i = 0
@@ -125,10 +126,11 @@ object SqlRewrite {
     sb.toString
   }
 
-  // table@namespace → `table@namespace` (backticked identifier).
+  // table@namespace → table__at__namespace (valid Spark identifier).
   private val FederatedName = """(?<![\w`"'])([A-Za-z_][A-Za-z0-9_]*)@([A-Za-z_][A-Za-z0-9_]*)""".r
+  def mangledName(table: String, ns: String): String = s"${table}__at__$ns"
   private[sqlcompat] def rewriteFederatedNames(sql: String): String =
-    mapCode(sql)(t => FederatedName.replaceAllIn(t, m => s"`${m.group(1)}@${m.group(2)}`"))
+    mapCode(sql)(t => FederatedName.replaceAllIn(t, m => mangledName(m.group(1), m.group(2))))
 
   // SELECT DISTINCT ON (k1, k2) cols FROM … [WHERE …] ORDER BY o1, o2
   //   → SELECT cols FROM (SELECT cols, ROW_NUMBER() OVER

@@ -51,9 +51,9 @@ class SqlRewriteSpec extends AnyFunSuite {
     assert(out.contains("PARTITION BY k ORDER BY k"))
   }
 
-  test("table@namespace gets backtick-quoted") {
+  test("table@namespace gets mangled to a registrable identifier") {
     assert(SqlRewrite.rewrite("SELECT * FROM users@pg WHERE x = 1") ==
-      "SELECT * FROM `users@pg` WHERE x = 1")
+      "SELECT * FROM users__at__pg WHERE x = 1")
   }
 
   test("email-like text inside string literal not federated") {
