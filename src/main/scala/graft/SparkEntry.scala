@@ -571,6 +571,37 @@ object SparkEntry {
       s.sql(SqlRewrite.rewrite(sql))
     })
 
+  private val q35 = Q("q35_list_aggs", Some("""
+    SELECT l_returnflag,
+      array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+      string_agg(DISTINCT l_linestatus, '|' ORDER BY l_linestatus) AS status_agg
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    (s, dir) => T(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        array_join(array_sort(collect_set(col("l_linestatus"))), ",").as("statuses"),
+        array_join(array_sort(collect_set(col("l_linestatus"))), "|").as("status_agg"))
+      .orderBy(col("l_returnflag")))
+
+  private val q36 = Q("q36_unnest_rewrite", Some("""
+    SELECT w AS word, count(*) AS n FROM (
+      SELECT UNNEST(string_split(p_type, ' ')) AS w FROM part)
+    GROUP BY w ORDER BY n DESC, w LIMIT 5"""),
+    (s, dir) => {
+      registerViews(s, dir, "part")
+      // DataFusion select-list UNNEST → rewritten to explode
+      s.sql(SqlRewrite.rewrite("""
+        SELECT w AS word, count(*) AS n FROM (
+          SELECT UNNEST(split(p_type, ' ')) AS w FROM part)
+        GROUP BY w ORDER BY n DESC, w LIMIT 5"""))
+    })
+
+  private val q37 = Q("q37_values_inline", Some("""
+    SELECT * FROM (VALUES (1, 'one'), (2, 'two'), (3, 'three')) AS t(id, name)
+    ORDER BY id"""),
+    (s, dir) => s.sql(
+      "SELECT * FROM (VALUES (1, 'one'), (2, 'two'), (3, 'three')) AS t(id, name) ORDER BY id"))
+
   // ================================================================
   // LLM-pipeline operators (north star): dedup / similarity / text /
   // multimodal
@@ -766,7 +797,7 @@ object SparkEntry {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34,
+    q31, q32, q33, q34, q35, q36, q37,
     d01, d02, d03, d04, d05, s01, s02,
     t01, t02, t03, t04, m01, m02)
 

@@ -24,7 +24,7 @@ object SqlRewrite {
 
   /** Full rewrite pipeline. */
   def rewrite(sql: String): String =
-    rewriteDistinctOn(rewritePostfixCast(rewriteFederatedNames(sql)))
+    rewriteDistinctOn(rewritePostfixCast(rewriteUnnest(rewriteFederatedNames(sql))))
 
   // ----------------------------------------------------------------
   // Tokenizer: splits SQL into (text, isCode) runs where isCode=false
@@ -131,6 +131,14 @@ object SqlRewrite {
   def mangledName(table: String, ns: String): String = s"${table}__at__$ns"
   private[sqlcompat] def rewriteFederatedNames(sql: String): String =
     mapCode(sql)(t => FederatedName.replaceAllIn(t, m => mangledName(m.group(1), m.group(2))))
+
+  // unnest(e) in a select list → explode(e) (DataFusion's UNNEST as a
+  // projection; Spark spells the generator `explode`). FROM-clause
+  // UNNEST lateral tables are not rewritten (LATERAL VIEW exists for
+  // that; document as dialect divergence).
+  private val Unnest = """(?i)\bunnest\s*\(""".r
+  private[sqlcompat] def rewriteUnnest(sql: String): String =
+    mapCode(sql)(t => Unnest.replaceAllIn(t, "explode("))
 
   // SELECT DISTINCT ON (k1, k2) cols FROM … [WHERE …] ORDER BY o1, o2
   //   → SELECT cols FROM (SELECT cols, ROW_NUMBER() OVER

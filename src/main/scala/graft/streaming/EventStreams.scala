@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming extension (SURVEY §7.6).
+  *
+  * The reference has no continuous computation — its "streaming" is
+  * chunked delivery of finished results (SURVEY §1.1) — so nothing
+  * here is parity-gated. These operators extend the engine to live
+  * `events`-shaped streams (ts, user_id, event_type, value, props),
+  * built on the platform primitives a 100 TB/day ingest needs:
+  * event-time watermarks (bounded state under lateness), windowed
+  * pre-aggregation (map-side partials before the state store), and
+  * typed `flatMapGroupsWithState` sessionization (per-key state with
+  * processing-time timeout eviction).
+  *
+  * All transforms take/return streaming DataFrames, so callers
+  * compose them with `spark.readStream` sources (file/kafka/rate) and
+  * any sink; tests drive them with MemoryStream.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums per event type with a watermark.
+    * State is dropped `lateness` past the window end — memory is
+    * O(active windows × event types), independent of stream length.
+    */
+  def windowedStats(
+      events: DataFrame,
+      window: String = "1 minute",
+      lateness: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("ts"), window).as("w"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"), col("approx_users"))
+
+  /** Sliding-window event rate (window/slide), watermarked. */
+  def slidingRate(
+      events: DataFrame,
+      window: String = "5 minutes",
+      slide: String = "1 minute",
+      lateness: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window, slide).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("n_events"))
+
+  final case class Event(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  final case class SessionState(
+      start: Timestamp, var last: Timestamp, var nEvents: Long, var sumValue: Double)
+
+  final case class SessionOut(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, sum_value: Double)
+
+  /** Gap-based sessionization: a session closes when a user is idle
+    * longer than `gapMs`. Classic `flatMapGroupsWithState` shape —
+    * one state entry per active user, emitted and cleared on timeout.
+    *
+    * Keys are hash-partitioned by user_id, so state is distributed
+    * and each executor owns a shard — the standard scale-out story
+    * for per-entity state.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout()): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), timeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.start, s.last, s.nEvents, s.sumValue))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var out = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts.getTime - s.last.getTime <= gapMs =>
+                  s.last = e.ts; s.nEvents += 1; s.sumValue += e.value
+                case Some(s) =>
+                  out ::= SessionOut(userId, s.start, s.last, s.nEvents, s.sumValue)
+                  cur = Some(SessionState(e.ts, e.ts, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(e.ts, e.ts, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (useTimeout) state.setTimeoutDuration(gapMs)
+            }
+            out.reverseIterator
+          }
+      }
+  }
+
+  /** Streaming exact dedup on a fingerprint column with watermarked
+    * state — `dropDuplicates` keyed by digest, the streaming twin of
+    * [[graft.pipeline.Dedup.exactGroups]].
+    */
+  def streamingDedup(docs: DataFrame, textCol: String, tsCol: String,
+      lateness: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fp", graft.pipeline.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicates("fp")
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+
+  test("windowed stats over a memory stream with watermark") {
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long, String, Double)](implicitly[org.apache.spark.sql.Encoder[(Timestamp, Long, String, Double)]], spark.sqlContext)
+    val events = in.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = EventStreams.windowedStats(events, "1 minute", "2 minutes")
+      .writeStream.format("memory").queryName("win_stats")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((ts(0, 10), 1L, "click", 1.0), (ts(0, 40), 2L, "click", 2.0),
+        (ts(1, 10), 1L, "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark past window [10:00,10:01) end + lateness
+      in.addData((ts(5, 0), 3L, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_stats").collect()
+      val first = rows.find(r => r.getAs[Timestamp]("window_start") == ts(0))
+      assert(first.isDefined, s"closed window missing: ${rows.mkString(";")}")
+      assert(first.get.getAs[Long]("n_events") == 2)
+      assert(first.get.getAs[Double]("sum_value") == 3.0)
+    } finally q.stop()
+  }
+
+  test("sessionization with flatMapGroupsWithState closes on gap") {
+    // fMGWS executes on static Datasets too (NoTimeout) — same handler
+    // code path as the stream, deterministic in a single-JVM test.
+    import spark.implicits._
+    val events = Seq(
+      EventStreams.Event(ts(0, 0), 1L, "click", 1.0),
+      EventStreams.Event(ts(0, 10), 1L, "click", 2.0),
+      EventStreams.Event(ts(5, 0), 1L, "click", 4.0), // >1min gap: new session
+      EventStreams.Event(ts(0, 5), 2L, "view", 7.0)).toDS()
+    val sessions = EventStreams.sessionize(events, gapMs = 60_000L,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+      .collect().sortBy(s => (s.user_id, s.session_start.getTime))
+    // batch mode emits closed sessions; the still-open trailing session
+    // per user stays in (discarded) state — user 1's first session is
+    // the only closed one
+    assert(sessions.length == 1, sessions.mkString(";"))
+    assert(sessions.head.user_id == 1L)
+    assert(sessions.head.n_events == 2)
+    assert(sessions.head.sum_value == 3.0)
+    assert(sessions.head.session_start == ts(0, 0))
+    assert(sessions.head.session_end == ts(0, 10))
+  }
+
+  test("streaming dedup drops same-fingerprint docs") {
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long, String)](implicitly[org.apache.spark.sql.Encoder[(Timestamp, Long, String)]], spark.sqlContext)
+    val docs = in.toDF().toDF("ts", "doc_id", "text")
+    val q = EventStreams.streamingDedup(docs, "text", "ts")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((ts(0), 1L, "hello world"), (ts(0, 30), 2L, "HELLO   world"),
+        (ts(1), 3L, "unique doc"))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").collect()
+      assert(out.length == 2, out.mkString(";"))
+      assert(out.map(_.getAs[Long]("doc_id")).toSet.intersect(Set(1L, 2L)).size == 1)
+    } finally q.stop()
+  }
+}
