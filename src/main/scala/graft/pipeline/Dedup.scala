@@ -62,7 +62,13 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, textCol: String, idCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val sh = shingles(docs, textCol, idCol, n).cache()
+    // join/shuffle on the 64-bit shingle hash, not the string: ~25%
+    // the shuffle bytes, primitive-key join. A hash collision would
+    // inflate an intersection count, but 260k distinct shingles in
+    // a 2^64 space puts P(any collision) ~ 1e-9 — far below other
+    // nondeterminism sources.
+    val sh = shingles(docs, textCol, idCol, n)
+      .select(col("id"), xxhash64(col("shingle")).as("shingle")).cache()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("id").as("id_a"), col("shingle"))
     val b = sh.select(col("id").as("id_b"), col("shingle"))
@@ -103,7 +109,8 @@ object Dedup {
       shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sh = shingles(docs, textCol, idCol, shingleN).cache()
+    val sh = shingles(docs, textCol, idCol, shingleN)
+      .select(col("id"), xxhash64(col("shingle")).as("shingle")).cache()
     val sig = minHashSignatures(sh, numHashes)
     // band value = hash of its rowsPerBand signature slots
     val bandCols = (0 until bands).map { b =>
