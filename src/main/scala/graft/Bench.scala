@@ -19,9 +19,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: JVM/codegen/parquet-footer init shouldn't be billed to
-    // whichever query sorts first
+    // warmup: JVM/codegen/shuffle/noop-writer init shouldn't be billed
+    // to whichever query sorts first
     spark.read.parquet(s"$sfDir/lineitem.parquet").count(): Unit
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .groupBy("r_name").count().orderBy("r_name")
+      .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -85,9 +85,17 @@ final class SessionManager(root: SparkSession, reaperPeriodMs: Long = 1000L) {
 
   def remove(id: String): Boolean = Option(sessions.remove(id)).isDefined
 
-  /** Register a DataFrame as a session table + record its definition. */
+  /** Register a DataFrame as a session table + record its definition.
+    * The frame must have been built from `h.spark` — temp views land
+    * in the catalog of the frame's own session, so a root-session
+    * frame would silently register in the wrong (shared) catalog.
+    */
   def registerTable(h: SessionHandle, df: DataFrame, ds: DataSourceDef,
       materialize: Boolean = false): Unit = {
+    require(df.sparkSession eq h.spark,
+      s"DataFrame for '${ds.name}' was built from a different SparkSession " +
+        s"than session '${h.id}' — use h.spark.read... so the temp view " +
+        "lands in the session's isolated catalog")
     val bound = if (materialize) { val c = df.cache(); c.count(); c } else df
     bound.createOrReplaceTempView(ds.name)
     h.dataSources.put(ds.name, ds)

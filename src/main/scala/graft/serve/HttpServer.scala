@@ -157,6 +157,19 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
             .map(d => s"""{"name":"${d.name}","format":"${d.format}"}""")
             .mkString("[", ",", "]"))
         }
+      case ("POST", Array(id, "datasource", name, "refresh")) =>
+        // re-ingest from the recorded definition (A26 refresh,
+        // reference session_manager.rs:477-491)
+        withSession(ex, id) { h =>
+          Option(h.dataSources.get(name)) match {
+            case Some(d) =>
+              val req = Api.DataSourceReq(d.format, d.name, d.location, None,
+                d.schemaJson, Api.Options())
+              ingest(h, req)
+              respondJson(ex, 200, """{"status":"refreshed"}""")
+            case None => respondJson(ex, 404, err(s"no such dataSource: $name"))
+          }
+        }
       case ("GET", Array(id, "datasource", name)) =>
         withSession(ex, id) { h =>
           Option(h.dataSources.get(name)) match {

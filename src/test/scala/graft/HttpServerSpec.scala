@@ -137,6 +137,19 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     delete("/session/arrow")
   }
 
+  test("datasource refresh re-ingests from the recorded definition") {
+    post("/session?id=rf", "")
+    post("/session/rf/datasource",
+      s"""{"format":"parquet","name":"region","location":"${SparkFixture.sfDir}/region.parquet"}""")
+    val r = post("/session/rf/datasource/region/refresh", "")
+    assert(r.statusCode() == 200, r.body())
+    assert(post("/session/rf/query", "SELECT count(*) AS n FROM region", "application/sql")
+      .body() == """[{"n":5}]""")
+    // refresh of an unknown source is 404
+    assert(post("/session/rf/datasource/nope/refresh", "").statusCode() == 404)
+    delete("/session/rf")
+  }
+
   test("bad request returns 400 with error body") {
     val r = post("/dataframe/query", """{"dataSources":[{"format":"csv","name":"x"}]}""")
     assert(r.statusCode() == 400)
