@@ -681,6 +681,10 @@ object SparkEntry {
     (s, dir) => Similarity.lshTopK(T(s, dir, "embeddings"),
       "embedding", "vec_id", queryId = 0L, k = 10, nPlanes = 4))
 
+  private val s03 = Q("s03_knn_ivf", None, // kmeans cells engine-specific
+    (s, dir) => graft.pipeline.Ivf.searchTopK(T(s, dir, "embeddings"),
+      "embedding", "vec_id", queryId = 0L, k = 10, numCells = 8, nprobe = 3))
+
   private val t01 = Q("t01_lang_id", Some("""
     WITH sc AS (
       SELECT doc_id,
@@ -798,7 +802,7 @@ object SparkEntry {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37,
-    d01, d02, d03, d04, d05, s01, s02,
+    d01, d02, d03, d04, d05, s01, s02, s03,
     t01, t02, t03, t04, m01, m02)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =

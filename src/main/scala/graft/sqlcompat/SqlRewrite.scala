@@ -103,10 +103,11 @@ object SqlRewrite {
         var t = PostfixCast.replaceAllIn(text, m =>
           scala.util.matching.Regex.quoteReplacement(
             if (m.group(1).trim.endsWith(")"))
-              // (expr)::t — rewrite conservatively to CAST((expr) AS t)
-              // requires the paren group; leave to Spark: `(x)::t` rare.
+              // (expr)::t / fn(args)::t — needs the whole balanced
+              // group; handled in the paren pass below
               m.group(1) + "::" + m.group(2)
             else s"CAST(${m.group(1).trim} AS ${m.group(2).trim})"))
+        t = rewriteParenCast(t)
         // literal::type — previous run was a string literal
         if (t.startsWith("::") && sb.nonEmpty) {
           val m = """^::\s*([A-Za-z_][A-Za-z0-9_]*(?:\s+[Pp][Rr][Ee][Cc][Ii][Ss][Ii][Oo][Nn])?(?:\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)""".r
@@ -124,6 +125,52 @@ object SqlRewrite {
       }
     }
     sb.toString
+  }
+
+  // `)::type` — wrap back to the matching '(' (and a preceding
+  // function/identifier name, so `fn(x)::t` → CAST(fn(x) AS t)).
+  // Operates within one code run; parens spanning string literals are
+  // out of scope (not produced by the reference's documented flows).
+  private val ParenCastTail =
+    """^\s*([A-Za-z_][A-Za-z0-9_]*(?:\s+[Pp][Rr][Ee][Cc][Ii][Ss][Ii][Oo][Nn])?(?:\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)""".r
+
+  private[sqlcompat] def rewriteParenCast(text: String): String = {
+    var t = text
+    var idx = t.indexOf(")::")
+    var guard = 0
+    while (idx >= 0 && guard < 100) {
+      guard += 1
+      ParenCastTail.findFirstMatchIn(t.substring(idx + 3)) match {
+        case Some(tm) =>
+          // scan back for the balanced '('
+          var depth = 0
+          var j = idx
+          var open = -1
+          while (j >= 0 && open < 0) {
+            t.charAt(j) match {
+              case ')' => depth += 1
+              case '(' => depth -= 1; if (depth == 0) open = j
+              case _ =>
+            }
+            j -= 1
+          }
+          if (open < 0) idx = -1 // unbalanced: leave untouched
+          else {
+            // include a function name directly before '(' if present
+            var s = open
+            var k = open - 1
+            while (k >= 0 && (t.charAt(k).isLetterOrDigit || t.charAt(k) == '_' || t.charAt(k) == '.')) k -= 1
+            if (k < open - 1) s = k + 1
+            val inner = t.substring(s, idx + 1)
+            val tpe = tm.group(1).trim
+            t = t.substring(0, s) + s"CAST($inner AS $tpe)" +
+              t.substring(idx + 3 + tm.end)
+            idx = t.indexOf(")::")
+          }
+        case None => idx = t.indexOf(")::", idx + 3)
+      }
+    }
+    t
   }
 
   // table@namespace → table__at__namespace (valid Spark identifier).

@@ -93,6 +93,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(top == Seq(1L, 3L))
   }
 
+  test("IVF with full probing equals brute force; partial probing returns k") {
+    val emb = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet").limit(200)
+    val brute = Similarity.bruteForceTopK(emb, "embedding", "vec_id", 0L, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val full = graft.pipeline.Ivf.searchTopK(emb, "embedding", "vec_id", 0L,
+        k = 10, numCells = 4, nprobe = 4, iters = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == brute, "nprobe = numCells must be exhaustive")
+    val partial = graft.pipeline.Ivf.searchTopK(emb, "embedding", "vec_id", 0L,
+        k = 10, numCells = 4, nprobe = 1, iters = 2)
+      .collect()
+    assert(partial.length == 10)
+    assert(partial.forall(r => r.getDouble(1) <= 1.0 + 1e-9))
+  }
+
   test("language id picks en and de by stopword score") {
     val langs = docs.select(col("doc_id"), TextAnalysis.languageId(col("text")).as("l"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -30,6 +30,21 @@ class SqlRewriteSpec extends AnyFunSuite {
       "SELECT CAST('2024-01-01' AS DATE)")
   }
 
+  test("parenthesized expression cast") {
+    assert(SqlRewrite.rewrite("SELECT (a + b)::DOUBLE FROM t") ==
+      "SELECT CAST((a + b) AS DOUBLE) FROM t")
+  }
+
+  test("function call cast") {
+    assert(SqlRewrite.rewrite("SELECT sum(x)::DECIMAL(10,2) AS s FROM t") ==
+      "SELECT CAST(sum(x) AS DECIMAL(10,2)) AS s FROM t")
+  }
+
+  test("nested paren cast") {
+    assert(SqlRewrite.rewrite("SELECT f(g(a), h(b))::INT FROM t") ==
+      "SELECT CAST(f(g(a), h(b)) AS INT) FROM t")
+  }
+
   test(":: inside a string literal is untouched") {
     assert(SqlRewrite.rewrite("SELECT 'a::b' FROM t") == "SELECT 'a::b' FROM t")
   }
