@@ -68,10 +68,26 @@ object Multimodal {
     }
   }
 
+  /** Real media ingest: one row per file via the `binaryFile` source
+    * (distributed scan, payload bytes stay executor-side), mapped to
+    * [[mediaSchema]]. `media_type` from the filename extension;
+    * width/height/duration left null for the decoder to fill.
+    */
+  def readMediaDir(spark: SparkSession, dir: String, mediaType: String = ""): DataFrame = {
+    val files = spark.read.format("binaryFile").load(dir)
+    files.select(
+      xxhash64(col("path")).as("sample_id"),
+      (if (mediaType.nonEmpty) lit(mediaType)
+       else lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))).as("media_type"),
+      col("content").as("payload"),
+      lit(null).cast("int").as("width"),
+      lit(null).cast("int").as("height"),
+      lit(null).cast("long").as("duration_ms"))
+  }
+
   /** Wrap a text corpus as fake media samples (UTF-8 bytes as the
-    * payload) — used by tests and the demo queries; real ingest would
-    * read actual media bytes via `binaryFile` source:
-    * `spark.read.format("binaryFile").load(dir)`.
+    * payload) — used by tests and the demo queries; real ingest goes
+    * through [[readMediaDir]].
     */
   def textAsMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(

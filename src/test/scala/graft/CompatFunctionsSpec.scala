@@ -1,0 +1,73 @@
+package graft
+
+import graft.sqlcompat.CompatFunctions
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every FunctionRegistry shim drives through spark.sql. */
+class CompatFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkFixture.spark
+    CompatFunctions.registerAll(s)
+    s
+  }
+
+  private def one(sql: String): Any = spark.sql(sql).collect().head.get(0)
+
+  test("approx_distinct ~ count distinct") {
+    spark.range(1000).createOrReplaceTempView("r1k")
+    val v = one("SELECT approx_distinct(id) FROM r1k").asInstanceOf[Long]
+    assert(v > 900 && v < 1100)
+  }
+
+  test("approx_percentile_cont") {
+    val v = one("SELECT approx_percentile_cont(id, 0.5) FROM r1k")
+    assert(v.toString.toDouble > 400 && v.toString.toDouble < 600)
+  }
+
+  test("sha256 hex matches sha2") {
+    assert(one("SELECT sha256('abc')") == one("SELECT sha2('abc', 256)"))
+  }
+
+  test("iszero") {
+    assert(one("SELECT iszero(0)") == true)
+    assert(one("SELECT iszero(3)") == false)
+  }
+
+  test("to_unixtime") {
+    assert(one("SELECT to_unixtime(TIMESTAMP '1970-01-01 00:01:00')") == 60L)
+  }
+
+  test("strpos keeps DataFusion argument order (string, substring)") {
+    assert(one("SELECT strpos('graft', 'af')") == 3)
+    assert(one("SELECT strpos('graft', 'zz')") == 0)
+  }
+
+  test("generate_series two and three args") {
+    assert(one("SELECT generate_series(1, 5)") ==
+      scala.collection.immutable.ArraySeq(1, 2, 3, 4, 5))
+    assert(one("SELECT generate_series(0, 10, 5)") ==
+      scala.collection.immutable.ArraySeq(0, 5, 10))
+  }
+
+  test("date_bin two-arg bins from the epoch") {
+    assert(one("SELECT CAST(date_bin(3600, TIMESTAMP '2024-05-06 07:40:40') AS STRING)")
+      == "2024-05-06 07:00:00")
+  }
+
+  test("date_bin three-arg honors the origin") {
+    // origin 00:30, stride 1h => bins land on half hours
+    assert(one("SELECT CAST(date_bin(3600, TIMESTAMP '2024-05-06 07:40:40', TIMESTAMP '2024-05-06 00:30:00') AS STRING)")
+      == "2024-05-06 07:30:00")
+  }
+
+  test("date_bin floors correctly below the origin") {
+    assert(one("SELECT CAST(date_bin(3600, TIMESTAMP '1969-12-31 23:10:00') AS STRING)")
+      == "1969-12-31 23:00:00")
+  }
+
+  test("registration never overwrites a builtin") {
+    // `sequence` is builtin; registerAll must leave it intact
+    assert(one("SELECT sequence(1, 3)") ==
+      scala.collection.immutable.ArraySeq(1, 2, 3))
+  }
+}

@@ -132,6 +132,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(f1.forall(f => f.n_bytes > 0))
   }
 
+  test("binaryFile media ingest maps files to the media schema") {
+    val media = Multimodal.readMediaDir(spark, "/root/reference/bin/data/*.parquet")
+    val rows = Multimodal.extractFeatures(media).collect()
+    assert(rows.length == 2) // superstore.parquet + public-apis.parquet
+    assert(rows.forall(_.media_type == "parquet"))
+    assert(rows.forall(_.n_bytes > 0))
+    assert(rows.map(_.sha256_hex).distinct.length == 2)
+  }
+
   test("merge column aliases collisions and drops target keys") {
     import spark.implicits._
     val base = Seq((1, "x"), (2, "y")).toDF("id", "name")
