@@ -711,8 +711,8 @@ object SparkEntry {
            WHEN s_es = GREATEST(s_en, s_de, s_fr, s_es) THEN 'es'
            ELSE 'unknown' END AS lang_pred
     FROM sc ORDER BY doc_id"""),
-    (s, dir) => T(s, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_pred"))
+    (s, dir) => TextAnalysis.withLanguageId(T(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("lang_pred"))
       .orderBy(col("doc_id")))
 
   private val t02 = Q("t02_quality_score", Some("""

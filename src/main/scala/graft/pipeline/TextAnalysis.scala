@@ -67,6 +67,28 @@ object TextAnalysis {
     ) { case (acc, (l, s)) => acc.when(s === best, lit(l)) }.otherwise(lit("unknown"))
   }
 
+  /** Staged language ID over a whole frame: score columns are
+    * materialized in their own projection so each marker count is
+    * computed once — the single-Column [[languageId]] duplicates each
+    * score subtree in `greatest` + the comparisons (~5×), which
+    * CollapseProject would otherwise re-inline.
+    */
+  def withLanguageId(df: DataFrame, textCol: String,
+      outCol: String = "lang_pred"): DataFrame = {
+    val t = col(textCol)
+    val scored = df.withColumns(Map(
+      "__cjk" -> length(regexp_replace(t, "[^\\u4e00-\\u9fff]", "")),
+    ) ++ markers.map { case (l, _) => s"__s_$l" -> langScore(t, l) })
+    val scores = markers.map { case (l, _) => l -> col(s"__s_$l") }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scored
+      .withColumn(outCol,
+        scores.foldLeft(
+          when(col("__cjk") > lit(0), lit("zh")).when(best <= lit(0.0), lit("unknown"))
+        ) { case (acc, (l, s)) => acc.when(s === best, lit(l)) }.otherwise(lit("unknown")))
+      .drop("__cjk" +: markers.map { case (l, _) => s"__s_$l" }: _*)
+  }
+
   /** Punctuation character count. */
   def punctCount(text: Column): Column =
     length(regexp_replace(text, "[^.,;:!?]", "")).cast("long")
