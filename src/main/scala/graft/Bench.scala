@@ -19,12 +19,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: JVM/codegen/shuffle/noop-writer init shouldn't be billed
-    // to whichever query sorts first
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count(): Unit
-    spark.read.parquet(s"$sfDir/region.parquet")
-      .groupBy("r_name").count().orderBy("r_name")
-      .write.format("noop").mode("overwrite").save()
+    // Steady-state measurement: run every query once at the smallest
+    // SF first so codegen compilation + JIT warm on identical code
+    // paths, then time at the target SF. (One-time JVM compile cost
+    // is a constant that vanishes at scale; billing it to whichever
+    // query runs first would misrank the operators.)
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+    else spark.read.parquet(s"$sfDir/lineitem.parquet").count(): Unit
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

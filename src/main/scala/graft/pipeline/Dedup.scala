@@ -44,7 +44,10 @@ object Dedup {
     val toks = split(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")), " ")
     // shingle i = tokens[i..i+n): build via transform over an index
     // sequence — stays inside codegen, no explode until after distinct
-    val idxs = sequence(lit(0), greatest(size(toks) - lit(n), lit(-1)))
+    // guard short docs: sequence(0, -1) would DESCEND and produce
+    // negative indices (slice start 0 error)
+    val idxs = when(size(toks) >= lit(n), sequence(lit(0), size(toks) - lit(n)))
+      .otherwise(array().cast("array<int>"))
     val grams = transform(idxs, i => array_join(slice(toks, i + 1, lit(n)), " "))
     docs
       .select(col(idCol).as("id"), explode(array_distinct(grams)).as("shingle"))
@@ -59,16 +62,23 @@ object Dedup {
     * [[minHashLsh]] at scale. The shared-shingle join is the classic
     * inverted-index trick: pairs with zero overlap are never formed.
     */
+  /** Hashed shingle rows (id, shingle: long) via the one-pass
+    * [[graft.functions.ShingleHashes]] kernel — same shingle set as
+    * [[shingles]], no per-shingle string materialization.
+    */
+  def hashedShingles(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(graft.functions.ShingleHashes(col(textCol), n)).as("shingle"))
+
   def ngramJaccardPairs(
       docs: DataFrame, textCol: String, idCol: String,
       n: Int, threshold: Double): DataFrame = {
-    // join/shuffle on the 64-bit shingle hash, not the string: ~25%
-    // the shuffle bytes, primitive-key join. A hash collision would
-    // inflate an intersection count, but 260k distinct shingles in
-    // a 2^64 space puts P(any collision) ~ 1e-9 — far below other
+    // join/shuffle 64-bit shingle hashes, not strings: ~25% the
+    // shuffle bytes, primitive-key join. A hash collision would
+    // inflate an intersection count, but even 1e6 distinct shingles
+    // in a 2^64 space put P(any collision) ~ 1e-7 — far below other
     // nondeterminism sources.
-    val sh = shingles(docs, textCol, idCol, n)
-      .select(col("id"), xxhash64(col("shingle")).as("shingle")).cache()
+    val sh = hashedShingles(docs, textCol, idCol, n).cache()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("id").as("id_a"), col("shingle"))
     val b = sh.select(col("id").as("id_b"), col("shingle"))
@@ -109,8 +119,7 @@ object Dedup {
       shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sh = shingles(docs, textCol, idCol, shingleN)
-      .select(col("id"), xxhash64(col("shingle")).as("shingle")).cache()
+    val sh = hashedShingles(docs, textCol, idCol, shingleN).cache()
     val sig = minHashSignatures(sh, numHashes)
     // band value = hash of its rowsPerBand signature slots
     val bandCols = (0 until bands).map { b =>

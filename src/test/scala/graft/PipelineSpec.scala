@@ -35,6 +35,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("hashedShingles sets match the string-shingle sets") {
+    val real = spark.read.parquet(s"${SparkFixture.sfDir}/documents.parquet")
+    val str = Dedup.shingles(real, "text", "doc_id", 3)
+      .groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hsh = Dedup.hashedShingles(real, "text", "doc_id", 3)
+      .groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hsh == str, "per-doc distinct shingle counts must be identical")
+    // whitespace/case edge cases
+    import spark.implicits._
+    val edge = Seq((1L, "  A\tB\nC  d e  "), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    val se = Dedup.shingles(edge, "text", "doc_id", 2)
+      .groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val he = Dedup.hashedShingles(edge, "text", "doc_id", 2)
+      .groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(he == se, s"edge sets differ: $he vs $se")
+  }
+
   test("minhash lsh candidates match exact jaccard on this corpus") {
     val got = Dedup.minHashLsh(docs, "text", "doc_id",
       shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.3)
