@@ -250,14 +250,19 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
       case None    => respondJson(ex, 404, err(s"no such session: $id"))
     }
 
+  /** Streamed delivery (reference A15): chunked transfer, the
+    * encoder pulls the result incrementally (`toLocalIterator` /
+    * partition-at-a-time Arrow batches) — memory stays bounded by a
+    * partition, not the result set.
+    */
   private def respondData(ex: HttpExchange, df: DataFrame, bodyFormat: Option[String]): Unit = {
     val fmt = ResponseEncoders.negotiate(bodyFormat,
       Option(ex.getRequestHeaders.getFirst("Accept")))
-    val bytes = ResponseEncoders.encodeToBytes(df, fmt)
     ex.getResponseHeaders.set("Content-Type", fmt.contentType)
-    ex.sendResponseHeaders(200, bytes.length)
-    ex.getResponseBody.write(bytes)
-    ex.getResponseBody.close()
+    ex.sendResponseHeaders(200, 0) // 0 = chunked
+    val out = ex.getResponseBody
+    try ResponseEncoders.encode(df, fmt, out)
+    finally out.close()
   }
 
   private def sessionJson(h: SessionHandle): String = {

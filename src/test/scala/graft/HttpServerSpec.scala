@@ -137,6 +137,19 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     delete("/session/arrow")
   }
 
+  test("EXPLAIN and SHOW TABLES statements work through the session route") {
+    post("/session?id=meta", "")
+    post("/session/meta/datasource",
+      s"""{"format":"parquet","name":"region","location":"${SparkFixture.sfDir}/region.parquet"}""")
+    val sh = post("/session/meta/query", "SHOW TABLES", "application/sql")
+    assert(sh.statusCode() == 200, sh.body())
+    assert(sh.body().contains("\"region\""))
+    val ex = post("/session/meta/query", "EXPLAIN SELECT count(*) FROM region", "application/sql")
+    assert(ex.statusCode() == 200)
+    assert(ex.body().contains("Physical Plan") || ex.body().contains("Aggregate"))
+    delete("/session/meta")
+  }
+
   test("datasource refresh re-ingests from the recorded definition") {
     post("/session?id=rf", "")
     post("/session/rf/datasource",
