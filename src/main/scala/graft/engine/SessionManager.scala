@@ -31,6 +31,22 @@ final class SessionHandle(
   /** Registered data sources: name → definition (for detail/refresh). */
   val dataSources = new ConcurrentHashMap[String, DataSourceDef]()
 
+  /** Frames this session has .cache()'d (merge materializations):
+    * unpersisted on replacement and on session removal — Spark's
+    * CacheManager is shared across newSession()s, so an unreleased
+    * cache would outlive the session.
+    */
+  val cachedFrames = new ConcurrentHashMap[String, DataFrame]()
+
+  /** Per-session spool directory for buffered ingest (HTTP bytes,
+    * uploads); deleted on session removal.
+    */
+  lazy val spoolDir: java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-session-")
+    d.toFile.deleteOnExit()
+    d
+  }
+
   def touch(): Unit = lastAccessMs = System.currentTimeMillis()
 
   /** Remaining TTL in seconds (reference `session.rs:148-162`). */
@@ -83,7 +99,19 @@ final class SessionManager(root: SparkSession, reaperPeriodMs: Long = 1000L) {
 
   def list: Seq[SessionHandle] = sessions.values().asScala.toSeq.filterNot(_.expired)
 
-  def remove(id: String): Boolean = Option(sessions.remove(id)).isDefined
+  def remove(id: String): Boolean = Option(sessions.remove(id)) match {
+    case Some(h) =>
+      // release shared-CacheManager entries and spooled ingest bytes
+      h.cachedFrames.values().asScala.foreach(df =>
+        try df.unpersist() catch { case _: Throwable => () })
+      h.cachedFrames.clear()
+      try {
+        val d = h.spoolDir.toFile
+        if (d.isDirectory) { d.listFiles().foreach(_.delete()); d.delete(): Unit }
+      } catch { case _: Throwable => () }
+      true
+    case None => false
+  }
 
   /** Register a DataFrame as a session table + record its definition.
     * The frame must have been built from `h.spark` — temp views land

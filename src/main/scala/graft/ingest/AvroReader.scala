@@ -32,7 +32,8 @@ object AvroReader {
     }
     val sparkSchema = toStructType(avroSchema)
     val schemaJson = avroSchema.toString // Schema isn't serializable-friendly; ship JSON
-    val rows = spark.sparkContext.binaryFiles(p).flatMap { case (_, pds) =>
+    val scanPath = if (new File(p).isDirectory) s"$p/*.avro" else p
+    val rows = spark.sparkContext.binaryFiles(scanPath).flatMap { case (_, pds) =>
       val sch = new Schema.Parser().parse(schemaJson)
       val in = pds.open()
       val reader = new DataFileStream[GenericRecord](in,

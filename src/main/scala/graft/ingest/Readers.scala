@@ -18,7 +18,10 @@ final case class IngestOptions(
     delimiter: Char = ',',
     jsonPath: Option[String] = None,
     requireNormalize: Boolean = false,
-    schema: Option[StructType] = None)
+    schema: Option[StructType] = None,
+    /** Where to spool buffered bytes; session-scoped dirs are deleted
+      * with their session (falls back to JVM-lifetime temp files). */
+    spoolDir: Option[Path] = None)
 
 /** Format readers for the serving layer (SURVEY §2.A1-A8).
   *
@@ -64,7 +67,7 @@ object Readers {
 
   /** CSV from raw bytes (HTTP body / multipart upload). */
   def csvBytes(spark: SparkSession, bytes: Array[Byte], opts: IngestOptions = IngestOptions()): DataFrame =
-    csv(spark, spool(bytes, ".csv").toString, opts)
+    csv(spark, spool(bytes, ".csv", opts.spoolDir).toString, opts)
 
   /** ndJSON (line-delimited). Spark-native reader
     * (`nd_json.rs:19-62` equivalent).
@@ -76,7 +79,7 @@ object Readers {
     }
 
   def ndJsonBytes(spark: SparkSession, bytes: Array[Byte], opts: IngestOptions = IngestOptions()): DataFrame =
-    ndJson(spark, spool(bytes, ".ndjson").toString, opts)
+    ndJson(spark, spool(bytes, ".ndjson", opts.spoolDir).toString, opts)
 
   /** JSON *document*: a top-level JSON array of records, optionally
     * sliced by a JSONPath (default `$.*` when a path is present) and
@@ -97,7 +100,7 @@ object Readers {
       if (opts.requireNormalize) normalize(selected) else selected
     // ndJSON spool → Spark's JSON decoder does typed decoding/inference
     val nd = records.map(mapper.writeValueAsString).mkString("\n")
-    val spooled = spool(nd.getBytes(StandardCharsets.UTF_8), ".ndjson")
+    val spooled = spool(nd.getBytes(StandardCharsets.UTF_8), ".ndjson", opts.spoolDir)
     opts.schema match {
       case Some(s) => spark.read.schema(s).json(spooled.toString)
       case None    => spark.read.json(spooled.toString)
@@ -133,8 +136,9 @@ object Readers {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  def parquetBytes(spark: SparkSession, bytes: Array[Byte]): DataFrame =
-    parquet(spark, spool(bytes, ".parquet").toString)
+  def parquetBytes(spark: SparkSession, bytes: Array[Byte],
+      spoolDir: Option[Path] = None): DataFrame =
+    parquet(spark, spool(bytes, ".parquet", spoolDir).toString)
 
   /** Avro (`object_store/reader.rs:115-134`). spark-avro isn't in
     * this distribution; [[AvroReader]] decodes via Avro core.
@@ -167,10 +171,17 @@ object Readers {
   private def stripFileScheme(p: String): String =
     if (p.startsWith("file://")) p.substring("file://".length) else p
 
-  /** Spool bytes to a session temp file (deleted on JVM exit). */
-  private def spool(bytes: Array[Byte], suffix: String): Path = {
-    val f = Files.createTempFile("graft-ingest-", suffix)
-    f.toFile.deleteOnExit()
+  /** Spool bytes to a temp file — in the caller's (session-scoped)
+    * directory when given, else JVM-lifetime temp.
+    */
+  private def spool(bytes: Array[Byte], suffix: String, dir: Option[Path]): Path = {
+    val f = dir match {
+      case Some(d) => Files.createTempFile(d, "graft-ingest-", suffix)
+      case None =>
+        val t = Files.createTempFile("graft-ingest-", suffix)
+        t.toFile.deleteOnExit()
+        t
+    }
     Files.write(f, bytes)
     f
   }

@@ -115,11 +115,14 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
           val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
           val boundary = Multipart.boundaryOf(ct).getOrElse(
             throw new IllegalArgumentException("multipart/form-data with boundary required"))
-          val body = ex.getRequestBody.readAllBytes()
           // 20 MB default cap (reference settings.rs:213, routes.rs:45-50)
-          if (body.length > uploadLimitBytes)
-            throw new IllegalArgumentException(
-              s"upload exceeds limit ($uploadLimitBytes bytes)")
+          // — enforced BEFORE buffering: declared length first, then a
+          // bounded read so an undeclared big body can't balloon the heap
+          Option(ex.getRequestHeaders.getFirst("Content-Length"))
+            .map(_.toLong).filter(_ > uploadLimitBytes).foreach { n =>
+              throw new IllegalArgumentException(
+                s"upload of $n bytes exceeds limit ($uploadLimitBytes)") }
+          val body = readBounded(ex.getRequestBody, uploadLimitBytes)
           val parts = Multipart.parse(body, boundary).filter(_.body.nonEmpty)
           if (parts.isEmpty) throw new IllegalArgumentException("no file parts")
           parts.foreach { part =>
@@ -128,12 +131,13 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
                 s"cannot sniff format of ${part.filename.orElse(part.name).getOrElse("part")}"))
             val name = part.name.orElse(part.filename.map(_.split('.').head))
               .getOrElse(throw new IllegalArgumentException("part needs a name"))
+            val sOpts = IngestOptions(spoolDir = Some(h.spoolDir))
             val df = fmt match {
-              case "csv" => Readers.csvBytes(h.spark, part.body)
+              case "csv" => Readers.csvBytes(h.spark, part.body, sOpts)
               case "json" => Readers.jsonDocument(h.spark,
-                new String(part.body, StandardCharsets.UTF_8))
-              case "ndJson" => Readers.ndJsonBytes(h.spark, part.body)
-              case "parquet" => Readers.parquetBytes(h.spark, part.body)
+                new String(part.body, StandardCharsets.UTF_8), sOpts)
+              case "ndJson" => Readers.ndJsonBytes(h.spark, part.body, sOpts)
+              case "parquet" => Readers.parquetBytes(h.spark, part.body, Some(h.spoolDir))
               case other => throw new IllegalArgumentException(s"unsupported upload format: $other")
             }
             sessions.registerTable(h, df,
@@ -154,7 +158,7 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
       case ("GET", Array(id, "datasource")) =>
         withSession(ex, id) { h =>
           respondJson(ex, 200, h.dataSources.values().asScala.toSeq.sortBy(_.name)
-            .map(d => s"""{"name":"${d.name}","format":"${d.format}"}""")
+            .map(d => s"""{"name":${jstr(d.name)},"format":${jstr(d.format)}}""")
             .mkString("[", ",", "]"))
         }
       case ("POST", Array(id, "datasource", name, "refresh")) =>
@@ -176,7 +180,7 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
             case Some(d) =>
               val schema = SchemaDsl.toJson(h.spark.table(name).schema)
               respondJson(ex, 200,
-                s"""{"name":"${d.name}","format":"${d.format}","schema":$schema}""")
+                s"""{"name":${jstr(d.name)},"format":${jstr(d.format)},"schema":$schema}""")
             case None => respondJson(ex, 404, err(s"no such dataSource: $name"))
           }
         }
@@ -200,7 +204,8 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
       delimiter = ds.options.delimiter,
       jsonPath = ds.options.jsonPath,
       requireNormalize = ds.options.requireNormalize,
-      schema = schema)
+      schema = schema,
+      spoolDir = Some(h.spoolDir))
     if (!ds.options.overwrite && h.spark.catalog.tableExists(ds.name))
       throw new IllegalArgumentException(s"table exists: ${ds.name} (overwrite=false)")
     val df: DataFrame = (ds.format.toLowerCase, ds.location, ds.data) match {
@@ -231,10 +236,14 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
       case d => throw new IllegalArgumentException(s"unknown merge direction: $d")
     }
     // materialize + re-register, replacing the base table
-    // (reference: session.rs:646-652)
+    // (reference: session.rs:646-652); release any previous
+    // materialization of the same name (shared CacheManager)
+    Option(h.cachedFrames.get(m.baseTable)).foreach(df =>
+      try df.unpersist() catch { case _: Throwable => () })
     val cached = merged.cache()
     cached.count()
     cached.createOrReplaceTempView(m.baseTable)
+    h.cachedFrames.put(m.baseTable, cached)
     if (m.removeAfterMerged) {
       val removable = (m.targets.map(_.table) ++ m.targetTables).distinct
         .filterNot(_ == m.baseTable)
@@ -261,17 +270,41 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
     ex.getResponseHeaders.set("Content-Type", fmt.contentType)
     ex.sendResponseHeaders(200, 0) // 0 = chunked
     val out = ex.getResponseBody
-    try ResponseEncoders.encode(df, fmt, out)
-    finally out.close()
+    try { ResponseEncoders.encode(df, fmt, out); out.close() }
+    catch { case e: Throwable =>
+      // headers are committed: abort the exchange WITHOUT the clean
+      // zero-chunk terminator so clients see a truncated transfer,
+      // and don't fall through to safely()'s second respond
+      System.err.println(s"[graft] mid-stream failure: ${e.getMessage}")
+      ex.close()
+    }
   }
 
   private def sessionJson(h: SessionHandle): String = {
     val ttl = if (h.ttlSecs == Long.MaxValue) -1 else h.ttlSecs
-    s"""{"id":"${h.id}","created":${h.createdAt / 1000},"ttl":$ttl}"""
+    s"""{"id":${jstr(h.id)},"created":${h.createdAt / 1000},"ttl":$ttl}"""
   }
+
+  /** JSON-escape a string (ids/names come from request bodies). */
+  private def jstr(s: String): String =
+    com.fasterxml.jackson.databind.node.TextNode.valueOf(s).toString
 
   private def err(msg: String): String =
     s"""{"error":${com.fasterxml.jackson.databind.node.TextNode.valueOf(msg).toString}}"""
+
+  /** Read at most `limit` bytes; one byte over throws. */
+  private def readBounded(in: java.io.InputStream, limit: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](64 * 1024)
+    var n = in.read(buf)
+    while (n >= 0) {
+      if (out.size() + n > limit)
+        throw new IllegalArgumentException(s"upload exceeds limit ($limit bytes)")
+      out.write(buf, 0, n)
+      n = in.read(buf)
+    }
+    out.toByteArray
+  }
 
   private def readBody(ex: HttpExchange): String =
     new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)

@@ -193,13 +193,16 @@ object SqlRewrite {
   // Handles the common single-SELECT form (the only form the
   // reference's docs exercise); nested queries pass through untouched.
   private val DistinctOn =
-    """(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\(([^)]*)\)\s*(.*?)\s+FROM\s+(.*?)(?:\s+ORDER\s+BY\s+(.*?))?\s*;?\s*$""".r
+    ("""(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\(([^)]*)\)\s*(.*?)\s+FROM\s+(.*?)""" +
+      """(?:\s+ORDER\s+BY\s+(.*?))?(?:\s+(LIMIT\s+\d+(?:\s+OFFSET\s+\d+)?))?\s*;?\s*$""").r
 
   private[sqlcompat] def rewriteDistinctOn(sql: String): String = sql match {
-    case DistinctOn(keys, cols, rest, order) =>
-      val ord = Option(order).filter(_ != null).map(_.trim).filter(_.nonEmpty)
-        .getOrElse(keys.trim)
-      s"""SELECT ${cols.trim} FROM (SELECT ${cols.trim}, ROW_NUMBER() OVER (PARTITION BY ${keys.trim} ORDER BY $ord) AS __graft_rn FROM $rest) WHERE __graft_rn = 1"""
+    case DistinctOn(keys, cols, rest, order, limit) =>
+      val ord = Option(order).map(_.trim).filter(_.nonEmpty).getOrElse(keys.trim)
+      val lim = Option(limit).map(" " + _.trim).getOrElse("")
+      // outer ORDER BY preserves DISTINCT ON's documented result order
+      // (ORDER BY must start with the keys, as in Postgres/DataFusion)
+      s"""SELECT ${cols.trim} FROM (SELECT ${cols.trim}, ROW_NUMBER() OVER (PARTITION BY ${keys.trim} ORDER BY $ord) AS __graft_rn FROM ${rest.trim}) WHERE __graft_rn = 1 ORDER BY $ord$lim"""
     case _ => sql
   }
 }

@@ -75,6 +75,9 @@ object EventStreams {
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
       timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout()): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    require(timeout != GroupStateTimeout.EventTimeTimeout(),
+      "sessionize supports ProcessingTimeTimeout or NoTimeout; event-time " +
+        "eviction needs setTimeoutTimestamp wiring (not implemented)")
     val useTimeout = timeout != GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_.user_id)
