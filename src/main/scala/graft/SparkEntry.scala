@@ -602,6 +602,64 @@ object SparkEntry {
     (s, dir) => s.sql(
       "SELECT * FROM (VALUES (1, 'one'), (2, 'two'), (3, 'three')) AS t(id, name) ORDER BY id"))
 
+  private val q38 = Q("q38_string_funcs2", Some("""
+    SELECT p_partkey,
+      CAST(levenshtein(p_brand, p_type) AS BIGINT) AS lev,
+      translate(p_type, 'aeiou', 'AEIOU') AS caps_vowels,
+      repeat(p_brand, 2) AS brand2,
+      reverse(p_name) AS rname,
+      CAST(ascii(p_name) AS BIGINT) AS first_code,
+      chr(65 + p_size % 26) AS size_chr,
+      left(p_name, 3) AS l3, right(p_name, 3) AS r3,
+      upper(left(p_name, 1)) || substring(p_name, 2) AS ucfirst_name
+    FROM part WHERE p_partkey <= 500 ORDER BY p_partkey"""),
+    (s, dir) => T(s, dir, "part")
+      .filter(col("p_partkey") <= 500)
+      .select(col("p_partkey"),
+        levenshtein(col("p_brand"), col("p_type")).cast("long").as("lev"),
+        translate(col("p_type"), "aeiou", "AEIOU").as("caps_vowels"),
+        repeat(col("p_brand"), 2).as("brand2"),
+        reverse(col("p_name")).as("rname"),
+        ascii(col("p_name")).cast("long").as("first_code"),
+        chr(lit(65) + col("p_size") % 26).as("size_chr"),
+        substring(col("p_name"), 1, 3).as("l3"),
+        col("p_name").substr(length(col("p_name")) - 2, lit(3)).as("r3"),
+        concat(upper(substring(col("p_name"), 1, 1)),
+          expr("substring(p_name, 2)")).as("ucfirst_name"))
+      .orderBy(col("p_partkey")))
+
+  private val q39 = Q("q39_datetime_funcs2", Some("""
+    SELECT o_orderkey,
+      CAST(date_part('quarter', o_orderdate) AS BIGINT) AS qtr,
+      CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+      o_orderdate + INTERVAL 1 MONTH AS next_month,
+      make_date(2000, CAST(o_orderkey % 12 + 1 AS INT), 15) AS synth_date,
+      CAST(to_timestamp(o_orderkey * 1000) AS TIMESTAMP) AS from_epoch
+    FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey"""),
+    (s, dir) => T(s, dir, "orders")
+      .filter(col("o_orderkey") <= 300)
+      .select(col("o_orderkey"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        last_day(col("o_orderdate")).cast("timestamp_ntz").as("month_end"),
+        (col("o_orderdate") + expr("INTERVAL 1 MONTH")).as("next_month"),
+        make_date(lit(2000), (col("o_orderkey") % 12 + 1).cast("int"), lit(15)).as("synth_date"),
+        timestamp_seconds(col("o_orderkey") * 1000).cast("timestamp_ntz").as("from_epoch"))
+      .orderBy(col("o_orderkey")))
+
+  private val q40 = Q("q40_struct_funcs", Some("""
+    SELECT p_partkey,
+      struct_pack(sz := p_size, brand := p_brand).sz AS s_size,
+      struct_pack(sz := p_size, brand := p_brand).brand AS s_brand,
+      CAST(struct_pack(a := p_size).a + 1 AS BIGINT) AS nested_calc
+    FROM part WHERE p_partkey <= 400 ORDER BY p_partkey"""),
+    (s, dir) => T(s, dir, "part")
+      .filter(col("p_partkey") <= 400)
+      .select(col("p_partkey"),
+        struct(col("p_size").as("sz"), col("p_brand").as("brand")).getField("sz").as("s_size"),
+        struct(col("p_size").as("sz"), col("p_brand").as("brand")).getField("brand").as("s_brand"),
+        (struct(col("p_size").as("a")).getField("a") + 1).cast("long").as("nested_calc"))
+      .orderBy(col("p_partkey")))
+
   // ================================================================
   // LLM-pipeline operators (north star): dedup / similarity / text /
   // multimodal
@@ -801,7 +859,7 @@ object SparkEntry {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37,
+    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     d01, d02, d03, d04, d05, s01, s02, s03,
     t01, t02, t03, t04, m01, m02)
 
