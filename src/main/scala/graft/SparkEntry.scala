@@ -646,6 +646,24 @@ object SparkEntry {
         timestamp_seconds(col("o_orderkey") * 1000).cast("timestamp_ntz").as("from_epoch"))
       .orderBy(col("o_orderkey")))
 
+  private val q41 = Q("q41_bit_bool_aggs", Some("""
+    SELECT l_returnflag,
+      CAST(bit_and(l_partkey) AS BIGINT) AS band,
+      CAST(bit_or(l_partkey) AS BIGINT) AS bor,
+      CAST(bit_xor(l_partkey) AS BIGINT) AS bxor,
+      bool_and(l_quantity > 0) AS all_pos,
+      bool_or(l_quantity > 49) AS any_big
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    (s, dir) => T(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        bit_and(col("l_partkey")).cast("long").as("band"),
+        bit_or(col("l_partkey")).cast("long").as("bor"),
+        bit_xor(col("l_partkey")).cast("long").as("bxor"),
+        bool_and(col("l_quantity") > 0).as("all_pos"),
+        bool_or(col("l_quantity") > 49).as("any_big"))
+      .orderBy(col("l_returnflag")))
+
   private val q40 = Q("q40_struct_funcs", Some("""
     SELECT p_partkey,
       struct_pack(sz := p_size, brand := p_brand).sz AS s_size,
@@ -859,7 +877,7 @@ object SparkEntry {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
+    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     d01, d02, d03, d04, d05, s01, s02, s03,
     t01, t02, t03, t04, m01, m02)
 

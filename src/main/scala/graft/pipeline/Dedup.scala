@@ -169,17 +169,18 @@ object Dedup {
       explode(split(col(textCol), " ")).as("tok"))
       .where(length(col("tok")) > 0)
       .select(col("id"), xxhash64(col("tok")).as("h"))
-    val bits = toks.select(
-      col("id"), col("h"),
-      explode(sequence(lit(0), lit(63))).as("bit"))
-      .withColumn("contrib",
-        when(expr("shiftright(h, CAST(bit AS INT))").bitwiseAND(lit(1L)) === lit(1L), lit(1))
-          .otherwise(lit(-1)))
-    bits.groupBy(col("id"), col("bit"))
-      .agg(sum(col("contrib")).as("s"))
-      .groupBy(col("id"))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, CAST(bit AS INT))")).otherwise(lit(0L)))
-        .as("simhash"))
+    // bit j of the signature: sign of Σ_tokens (±1) = (2·cnt_j > n)
+    // where cnt_j counts tokens with bit j set. One groupBy with 64
+    // bit-count aggregates — no 64× row explosion, map-side partials
+    // carry (n, cnt_0..cnt_63) per id.
+    val bitCounts = (0 until 64).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"c$j"))
+    val counted = toks.groupBy(col("id"))
+      .agg(count(lit(1)).as("n"), bitCounts: _*)
+    val sig = (0 until 64).map(j =>
+      when(col(s"c$j") * 2 > col("n"), shiftleft(lit(1L), j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    counted.select(col("id"), sig.as("simhash"))
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming
