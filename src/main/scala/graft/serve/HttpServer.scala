@@ -208,7 +208,29 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
       spoolDir = Some(h.spoolDir))
     if (!ds.options.overwrite && h.spark.catalog.tableExists(ds.name))
       throw new IllegalArgumentException(s"table exists: ${ds.name} (overwrite=false)")
-    val df: DataFrame = (ds.format.toLowerCase, ds.location, ds.data) match {
+    // HTTP(S) locations: fetch to the session spool, then the bytes
+    // path (reference A1/A3: data_source/transport/http.rs:24-40)
+    val fetched: Option[Array[Byte]] = ds.location
+      .filter(l => l.startsWith("http://") || l.startsWith("https://"))
+      .map { url =>
+        val client = java.net.http.HttpClient.newHttpClient()
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+        if (resp.statusCode() >= 400)
+          throw new IllegalArgumentException(s"fetch of $url failed: HTTP ${resp.statusCode()}")
+        resp.body()
+      }
+    val df: DataFrame = (ds.format.toLowerCase, fetched, ds.location, ds.data) match {
+      case ("csv", Some(bytes), _, _) => Readers.csvBytes(h.spark, bytes, opts)
+      case ("ndjson", Some(bytes), _, _) => Readers.ndJsonBytes(h.spark, bytes, opts)
+      case ("json", Some(bytes), _, _) =>
+        Readers.jsonDocument(h.spark, new String(bytes, StandardCharsets.UTF_8), opts)
+      case ("parquet", Some(bytes), _, _) =>
+        Readers.parquetBytes(h.spark, bytes, Some(h.spoolDir))
+      case (fmtName, Some(_), _, _) =>
+        throw new IllegalArgumentException(s"http fetch unsupported for format: $fmtName")
+      case (fmtName, None, loc, data) => (fmtName, loc, data) match {
       case ("csv", Some(loc), _) => Readers.csv(h.spark, loc, opts)
       case ("ndjson", Some(loc), _) => Readers.ndJson(h.spark, loc, opts)
       case ("json", Some(loc), _) => Readers.jsonDocumentFile(h.spark, loc, opts)
@@ -217,9 +239,10 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
       case ("avro", Some(loc), _) => Readers.avro(h.spark, loc)
       case ("delta" | "deltalake", Some(loc), _) =>
         graft.ingest.DeltaReader.read(h.spark, loc, ds.options.version)
-      case (f, None, None) =>
-        throw new IllegalArgumentException(s"dataSource ${ds.name}: location or data required for $f")
-      case (f, _, _) => throw new IllegalArgumentException(s"unsupported format: $f")
+        case (f, None, None) =>
+          throw new IllegalArgumentException(s"dataSource ${ds.name}: location or data required for $f")
+        case (f, _, _) => throw new IllegalArgumentException(s"unsupported format: $f")
+      }
     }
     sessions.registerTable(h, df, DataSourceDef(ds.name, ds.format, ds.location, ds.schemaJson))
   }

@@ -163,6 +163,35 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     delete("/session/rf")
   }
 
+  test("http(s) data-source location is fetched then ingested") {
+    // loopback origin server serving a CSV document
+    val origin = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    origin.createContext("/data.csv", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val bytes = "city,pop\nparis,2100000\nlyon,520000\n".getBytes
+      ex.getResponseHeaders.set("Content-Type", "text/csv")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    origin.start()
+    try {
+      val body =
+        s"""{"dataSources":[{"format":"csv","name":"cities",
+            "location":"http://127.0.0.1:${origin.getAddress.getPort}/data.csv"}],
+            "query":{"sql":"SELECT city FROM cities WHERE pop > 1000000"}}"""
+      val r = post("/dataframe/query", body)
+      assert(r.statusCode() == 200, r.body())
+      assert(r.body() == """[{"city":"paris"}]""")
+      // 404 origin → clean error
+      val bad =
+        s"""{"dataSources":[{"format":"csv","name":"x",
+            "location":"http://127.0.0.1:${origin.getAddress.getPort}/nope.csv"}],
+            "query":{"sql":"SELECT 1"}}"""
+      assert(post("/dataframe/query", bad).statusCode() == 400)
+    } finally origin.stop(0)
+  }
+
   test("bad request returns 400 with error body") {
     val r = post("/dataframe/query", """{"dataSources":[{"format":"csv","name":"x"}]}""")
     assert(r.statusCode() == 400)
