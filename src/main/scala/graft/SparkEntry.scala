@@ -678,6 +678,99 @@ object SparkEntry {
         (struct(col("p_size").as("a")).getField("a") + 1).cast("long").as("nested_calc"))
       .orderBy(col("p_partkey")))
 
+  private val q42 = Q("q42_map_funcs", Some("""
+    SELECT p_partkey,
+      map(['brand'], [p_brand])['brand'][1] AS m_brand,
+      CAST(cardinality(map(['a','b'], [p_size, p_size*2])) AS BIGINT) AS n_keys,
+      map(['a','b'], [p_size, p_size*2])['b'][1] AS twice
+    FROM part WHERE p_partkey <= 300 ORDER BY p_partkey"""),
+    (s, dir) => T(s, dir, "part")
+      .filter(col("p_partkey") <= 300)
+      .select(col("p_partkey"),
+        element_at(map(lit("brand"), col("p_brand")), "brand").as("m_brand"),
+        size(map(lit("a"), col("p_size"), lit("b"), col("p_size") * 2))
+          .cast("long").as("n_keys"),
+        element_at(map(lit("a"), col("p_size"), lit("b"), col("p_size") * 2), "b").as("twice"))
+      .orderBy(col("p_partkey")))
+
+  private val q43 = Q("q43_window_frames_ranks", Some("""
+    SELECT l_orderkey, l_linenumber,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(4,1))) OVER (
+        PARTITION BY l_returnflag ORDER BY l_extendedprice
+        RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING) AS DOUBLE) AS range_qty,
+      ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+      ROUND(CUME_DIST() OVER w, 6) AS cd,
+      CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+      CAST(DENSE_RANK() OVER w AS BIGINT) AS drank
+    FROM lineitem WHERE l_suppkey < 3
+    WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+    ORDER BY l_orderkey, l_linenumber"""),
+    (s, dir) => {
+      val base = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      val range = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice")).rangeBetween(-100, 100)
+      T(s, dir, "lineitem").filter(col("l_suppkey") < 3)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          sum(dQty(col("l_quantity"))).over(range).cast("double").as("range_qty"),
+          round(percent_rank().over(base), 6).as("pr"),
+          round(cume_dist().over(base), 6).as("cd"),
+          ntile(4).over(base).cast("long").as("quartile"),
+          dense_rank().over(base).cast("long").as("drank"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    })
+
+  private val q44 = Q("q44_correlated_subquery", Some("""
+    SELECT c_custkey,
+      (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+      (SELECT CAST(MAX(o_totalprice) AS DOUBLE) FROM orders WHERE o_custkey = c_custkey) AS max_price
+    FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey"""),
+    (s, dir) => {
+      registerViews(s, dir, "customer", "orders")
+      s.sql("""
+        SELECT c_custkey,
+          (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+          (SELECT CAST(MAX(o_totalprice) AS DOUBLE) FROM orders WHERE o_custkey = c_custkey) AS max_price
+        FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""")
+    })
+
+  private val q45 = Q("q45_set_ops_all", Some("""
+    SELECT v, 'intersect_all' AS op FROM (
+      SELECT l_suppkey AS v FROM lineitem WHERE l_quantity > 45
+      INTERSECT ALL
+      SELECT l_suppkey AS v FROM lineitem WHERE l_discount = 0)
+    UNION ALL
+    SELECT v, 'except_all' AS op FROM (
+      SELECT l_suppkey AS v FROM lineitem WHERE l_quantity > 48
+      EXCEPT ALL
+      SELECT l_suppkey AS v FROM lineitem WHERE l_discount = 0 AND l_quantity > 48)
+    ORDER BY op, v"""),
+    (s, dir) => {
+      val l = T(s, dir, "lineitem")
+      val a = l.filter(col("l_quantity") > 45).select(col("l_suppkey").as("v"))
+      val b = l.filter(col("l_discount") === 0).select(col("l_suppkey").as("v"))
+      val c = l.filter(col("l_quantity") > 48).select(col("l_suppkey").as("v"))
+      val d = l.filter(col("l_discount") === 0 && col("l_quantity") > 48)
+        .select(col("l_suppkey").as("v"))
+      a.intersectAll(b).withColumn("op", lit("intersect_all"))
+        .union(c.exceptAll(d).withColumn("op", lit("except_all")))
+        .orderBy(col("op"), col("v"))
+    })
+
+  private val q46 = Q("q46_lateral_join", Some("""
+    SELECT n_name, top_bal FROM nation,
+      LATERAL (SELECT MAX(c_acctbal) AS top_bal FROM customer
+               WHERE c_nationkey = n_nationkey) t
+    ORDER BY n_name"""),
+    (s, dir) => {
+      registerViews(s, dir, "nation", "customer")
+      s.sql("""
+        SELECT n_name, top_bal FROM nation,
+          LATERAL (SELECT MAX(c_acctbal) AS top_bal FROM customer
+                   WHERE c_nationkey = n_nationkey) t
+        ORDER BY n_name""")
+    })
+
   // ================================================================
   // LLM-pipeline operators (north star): dedup / similarity / text /
   // multimodal
@@ -878,6 +971,7 @@ object SparkEntry {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
+    q42, q43, q44, q45, q46,
     d01, d02, d03, d04, d05, s01, s02, s03,
     t01, t02, t03, t04, m01, m02)
 
