@@ -771,6 +771,41 @@ object SparkEntry {
         ORDER BY n_name""")
     })
 
+  private val cubeSql = """
+    SELECT COALESCE(l_returnflag, '*') AS rf, COALESCE(l_linestatus, '*') AS ls,
+      CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+      CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+      COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    ORDER BY rf, ls"""
+
+  private val q47 = Q("q47_cube_grouping", Some(cubeSql),
+    (s, dir) => { registerViews(s, dir, "lineitem"); s.sql(cubeSql) })
+
+  private val q48 = Q("q48_window_value_fns", Some("""
+    SELECT l_orderkey, l_linenumber,
+      FIRST_VALUE(l_quantity) OVER w AS first_qty,
+      LAST_VALUE(l_quantity) OVER (PARTITION BY l_suppkey
+        ORDER BY l_shipdate, l_orderkey, l_linenumber
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_qty,
+      NTH_VALUE(l_quantity, 2) OVER w AS second_qty,
+      LEAD(l_quantity, 1) OVER w AS next_qty
+    FROM lineitem WHERE l_suppkey < 3
+    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    ORDER BY l_orderkey, l_linenumber"""),
+    (s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      T(s, dir, "lineitem").filter(col("l_suppkey") < 3)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          first(col("l_quantity")).over(w).as("first_qty"),
+          last(col("l_quantity")).over(full).as("last_qty"),
+          nth_value(col("l_quantity"), 2).over(w).as("second_qty"),
+          lead(col("l_quantity"), 1).over(w).as("next_qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    })
+
   // ================================================================
   // LLM-pipeline operators (north star): dedup / similarity / text /
   // multimodal
@@ -971,7 +1006,7 @@ object SparkEntry {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
-    q42, q43, q44, q45, q46,
+    q42, q43, q44, q45, q46, q47, q48,
     d01, d02, d03, d04, d05, s01, s02, s03,
     t01, t02, t03, t04, m01, m02)
 
