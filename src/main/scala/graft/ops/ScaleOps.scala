@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities: the shuffle-shaping tools a 100 TB deployment
+  * reaches for when AQE alone isn't enough.
+  */
+object ScaleOps {
+
+  /** Two-phase salted aggregation for skewed keys.
+    *
+    * A single hot key (one giant customer, an empty-string URL, …)
+    * sends its entire group through one reducer. Salting splits each
+    * key into `saltBuckets` sub-groups aggregated in parallel
+    * (phase 1), then combines the partials per original key
+    * (phase 2) — the classic two-level combine. Works for any
+    * algebraic aggregate expressed as (partial, merge) pairs; this
+    * helper covers the common count/sum/min/max family.
+    *
+    * The salt is derived from a hash of the whole row's partition id
+    * surrogate (`spark_partition_id` + monotonically_increasing_id
+    * would break determinism; `pmod(hash(cols...))` over non-key
+    * columns keeps the result exact and deterministic).
+    */
+  def saltedAgg(
+      df: DataFrame,
+      keys: Seq[String],
+      aggs: Seq[(String, String, String)], // (fn: count|sum|min|max, col, alias)
+      saltBuckets: Int = 16,
+      saltSource: Option[Column] = None): DataFrame = {
+    require(saltBuckets > 0)
+    val salt = pmod(
+      saltSource.map(hash(_)).getOrElse(hash(df.columns.map(col).toIndexedSeq: _*)),
+      lit(saltBuckets)).as("__salt")
+    val keyCols = keys.map(col)
+    // phase 1: aggregate per (keys, salt) — hot keys fan out over
+    // saltBuckets reducers
+    val partialAggs = aggs.map {
+      case ("count", c, a) => count(if (c == "*") lit(1) else col(c)).as(s"__p_$a")
+      case ("sum", c, a)   => sum(col(c)).as(s"__p_$a")
+      case ("min", c, a)   => min(col(c)).as(s"__p_$a")
+      case ("max", c, a)   => max(col(c)).as(s"__p_$a")
+      case (f, _, _) => throw new IllegalArgumentException(s"unsupported agg: $f")
+    }
+    val partial = df.withColumn("__salt", salt)
+      .groupBy((keyCols :+ col("__salt")): _*)
+      .agg(partialAggs.head, partialAggs.tail: _*)
+    // phase 2: merge partials per key — input is at most
+    // #keys × saltBuckets rows, skew is gone
+    val mergeAggs = aggs.map {
+      case ("count", _, a) => sum(col(s"__p_$a")).as(a)
+      case ("sum", _, a)   => sum(col(s"__p_$a")).as(a)
+      case ("min", _, a)   => min(col(s"__p_$a")).as(a)
+      case ("max", _, a)   => max(col(s"__p_$a")).as(a)
+      case (f, _, _) => throw new IllegalArgumentException(s"unsupported agg: $f")
+    }
+    partial.groupBy(keyCols: _*).agg(mergeAggs.head, mergeAggs.tail: _*)
+  }
+
+  /** Persist both sides bucketed by the join key so subsequent joins
+    * are exchange-free (co-located bucket join). This is the
+    * pre-partitioning story for repeatedly-joined 100 TB tables: pay
+    * one shuffle at write time, join with zero shuffles forever after.
+    *
+    * Returns the bucketed tables as DataFrames.
+    */
+  def bucketedPair(
+      spark: SparkSession,
+      left: DataFrame, leftName: String, leftKey: String,
+      right: DataFrame, rightName: String, rightKey: String,
+      buckets: Int = 8): (DataFrame, DataFrame) = {
+    def write(df: DataFrame, name: String, key: String): Unit =
+      df.write.mode("overwrite")
+        .bucketBy(buckets, key).sortBy(key)
+        .option("path", s"${spark.conf.get("spark.sql.warehouse.dir")}/$name")
+        .saveAsTable(name)
+    write(left, leftName, leftKey)
+    write(right, rightName, rightKey)
+    (spark.table(leftName), spark.table(rightName))
+  }
+}
