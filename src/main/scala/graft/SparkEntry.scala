@@ -885,6 +885,28 @@ object SparkEntry {
     (s, dir) => Similarity.lshTopK(T(s, dir, "embeddings"),
       "embedding", "vec_id", queryId = 0L, k = 10, nPlanes = 4))
 
+  private val s04 = Q("s04_knn_batch", Some("""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+        list_sum(list_transform(generate_series(1, len(e.embedding)),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos_sim
+      FROM embeddings e, q),
+    ranked AS (
+      SELECT query_id, vec_id, cos_sim,
+        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank"""),
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.bruteForceTopKBatch(emb,
+        emb.filter(col("vec_id") < 3), "embedding", "vec_id", "vec_id", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    })
+
   private val s03 = Q("s03_knn_ivf", None, // kmeans cells engine-specific
     (s, dir) => graft.pipeline.Ivf.searchTopK(T(s, dir, "embeddings"),
       "embedding", "vec_id", queryId = 0L, k = 10, numCells = 8, nprobe = 3))
@@ -1007,7 +1029,7 @@ object SparkEntry {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48,
-    d01, d02, d03, d04, d05, s01, s02, s03,
+    d01, d02, d03, d04, d05, s01, s02, s03, s04,
     t01, t02, t03, t04, m01, m02)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =

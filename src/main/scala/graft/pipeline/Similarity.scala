@@ -62,6 +62,29 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch top-k: k nearest corpus vectors for EVERY query vector in
+    * one job — the realistic retrieval shape (a query set, not a
+    * single probe). The query side broadcasts (queries are typically
+    * ≪ corpus); ranking is a per-query window, so the corpus is
+    * scanned once regardless of query count.
+    */
+  def bruteForceTopKBatch(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, queryIdCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("q_vec"))
+    val scored = corpus
+      .select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(q))
+      .withColumn("cos_sim", cosine(col(vecCol), col("q_vec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("cos_sim"), col("rank").cast("long").as("rank"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for
     * (plane, dim): xxhash64 → uniform in [-0.5, 0.5). Stable across
     * executors; good enough for sign-LSH.
