@@ -771,6 +771,30 @@ object SparkEntry {
         ORDER BY n_name""")
     })
 
+  private val inSubquerySql = """
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem WHERE l_quantity >= 49)
+      AND s_suppkey NOT IN (SELECT l_suppkey FROM lineitem WHERE l_quantity <= 1.5)
+    ORDER BY s_suppkey"""
+
+  private val q49 = Q("q49_in_subqueries", Some(inSubquerySql),
+    (s, dir) => {
+      registerViews(s, dir, "supplier", "lineitem")
+      s.sql(inSubquerySql)
+    })
+
+  private val usingJoinSql = """
+    SELECT n_name, r_name FROM
+      (SELECT n_name, n_regionkey AS r_regionkey FROM nation) n
+      JOIN region USING (r_regionkey)
+    ORDER BY n_name"""
+
+  private val q50 = Q("q50_using_join", Some(usingJoinSql),
+    (s, dir) => {
+      registerViews(s, dir, "nation", "region")
+      s.sql(usingJoinSql)
+    })
+
   private val cubeSql = """
     SELECT COALESCE(l_returnflag, '*') AS rf, COALESCE(l_linestatus, '*') AS ls,
       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
@@ -1028,7 +1052,7 @@ object SparkEntry {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
-    q42, q43, q44, q45, q46, q47, q48,
+    q42, q43, q44, q45, q46, q47, q48, q49, q50,
     d01, d02, d03, d04, d05, s01, s02, s03, s04,
     t01, t02, t03, t04, m01, m02)
 
