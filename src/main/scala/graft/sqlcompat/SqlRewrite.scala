@@ -192,17 +192,62 @@ object SqlRewrite {
   //        (PARTITION BY k1, k2 ORDER BY o1, o2) __rn FROM …) WHERE __rn=1
   // Handles the common single-SELECT form (the only form the
   // reference's docs exercise); nested queries pass through untouched.
-  private val DistinctOn =
-    ("""(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\(([^)]*)\)\s*(.*?)\s+FROM\s+(.*?)""" +
-      """(?:\s+ORDER\s+BY\s+(.*?))?(?:\s+(LIMIT\s+\d+(?:\s+OFFSET\s+\d+)?))?\s*;?\s*$""").r
+  private val DistinctOnHead =
+    """(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\(([^)]*)\)\s*(.*?)\s+FROM\s+(.*)$""".r
 
   private[sqlcompat] def rewriteDistinctOn(sql: String): String = sql match {
-    case DistinctOn(keys, cols, rest, order, limit) =>
-      val ord = Option(order).map(_.trim).filter(_.nonEmpty).getOrElse(keys.trim)
-      val lim = Option(limit).map(" " + _.trim).getOrElse("")
+    case DistinctOnHead(keys, cols, fromTail) =>
+      // split fromTail into (rest, ORDER BY..., LIMIT...) at paren
+      // depth zero only — a subquery's own ORDER BY must not be split
+      val (rest, order, limit) = splitTopLevelOrderLimit(fromTail.stripSuffix(";"))
+      val ord = order.map(_.trim).filter(_.nonEmpty).getOrElse(keys.trim)
+      val lim = limit.map(" " + _.trim).getOrElse("")
       // outer ORDER BY preserves DISTINCT ON's documented result order
       // (ORDER BY must start with the keys, as in Postgres/DataFusion)
       s"""SELECT ${cols.trim} FROM (SELECT ${cols.trim}, ROW_NUMBER() OVER (PARTITION BY ${keys.trim} ORDER BY $ord) AS __graft_rn FROM ${rest.trim}) WHERE __graft_rn = 1 ORDER BY $ord$lim"""
     case _ => sql
+  }
+
+  /** (rest, orderBy?, limit?) where ORDER BY / LIMIT are recognized
+    * only at paren depth 0 in code runs (quote/comment aware).
+    */
+  private def splitTopLevelOrderLimit(tail: String)
+      : (String, Option[String], Option[String]) = {
+    val OrderBy = """(?is)^ORDER\s+BY\b""".r
+    val Limit = """(?is)^LIMIT\b""".r
+    var depth = 0
+    var orderAt = -1
+    var orderBodyAt = -1
+    var limitAt = -1
+    var offset = 0
+    runs(tail).foreach { case (text, isCode) =>
+      if (isCode) {
+        var i = 0
+        while (i < text.length) {
+          text.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case c if depth == 0 && (c == 'o' || c == 'O') && orderAt < 0 =>
+              OrderBy.findFirstMatchIn(text.substring(i)).foreach { m =>
+                orderAt = offset + i
+                orderBodyAt = offset + i + m.end
+              }
+            case c if depth == 0 && (c == 'l' || c == 'L') && limitAt < 0 &&
+                Limit.findFirstIn(text.substring(i)).isDefined =>
+              limitAt = offset + i
+            case _ =>
+          }
+          i += 1
+        }
+      }
+      offset += text.length
+    }
+    (orderAt, limitAt) match {
+      case (-1, -1) => (tail, None, None)
+      case (-1, l)  => (tail.substring(0, l), None, Some(tail.substring(l)))
+      case (o, -1)  => (tail.substring(0, o), Some(tail.substring(orderBodyAt)), None)
+      case (o, l)   => (tail.substring(0, o),
+        Some(tail.substring(orderBodyAt, l)), Some(tail.substring(l)))
+    }
   }
 }

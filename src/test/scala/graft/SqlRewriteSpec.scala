@@ -66,6 +66,19 @@ class SqlRewriteSpec extends AnyFunSuite {
     assert(out.contains("PARTITION BY k ORDER BY k"))
   }
 
+  test("DISTINCT ON leaves a subquery's inner ORDER BY intact") {
+    val out = SqlRewrite.rewrite(
+      "SELECT DISTINCT ON (k) k, v FROM (SELECT k, v FROM t ORDER BY v) x ORDER BY k, v")
+    assert(out.contains("FROM (SELECT k, v FROM t ORDER BY v) x)"), out)
+    assert(out.endsWith("ORDER BY k, v"), out)
+  }
+
+  test("DISTINCT ON with only LIMIT (no outer ORDER BY)") {
+    val out = SqlRewrite.rewrite("SELECT DISTINCT ON (k) k, v FROM t LIMIT 3")
+    assert(out.contains("PARTITION BY k ORDER BY k"), out)
+    assert(out.endsWith("ORDER BY k LIMIT 3"), out)
+  }
+
   test("table@namespace gets mangled to a registrable identifier") {
     assert(SqlRewrite.rewrite("SELECT * FROM users@pg WHERE x = 1") ==
       "SELECT * FROM users__at__pg WHERE x = 1")
