@@ -50,10 +50,14 @@ object VectorExpressions {
       else checkVec(right.dataType, "dot_product")
     }
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def nullSafeEval(a: Any, b: Any): Any = {
       val xs = a.asInstanceOf[ArrayData]
       val ys = b.asInstanceOf[ArrayData]
-      val n = math.min(xs.numElements(), ys.numElements())
+      // mismatched lengths → null, matching the zip_with fold (which
+      // pads with null and nulls the whole sum)
+      if (xs.numElements() != ys.numElements()) return null
+      val n = xs.numElements()
       var acc = 0.0
       var i = 0
       while (i < n) {
@@ -71,12 +75,16 @@ object VectorExpressions {
         val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
         val i = ctx.freshName("i")
         s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $acc = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $acc += ((double) $a.$lg($i)) * ((double) $b.$rg($i));
+        if ($a.numElements() != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          int $n = $a.numElements();
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $acc += ((double) $a.$lg($i)) * ((double) $b.$rg($i));
+          }
+          ${ev.value} = $acc;
         }
-        ${ev.value} = $acc;
         """
       })
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -134,10 +142,12 @@ object VectorExpressions {
       else checkVec(right.dataType, "cosine_similarity")
     }
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def nullSafeEval(a: Any, b: Any): Any = {
       val xs = a.asInstanceOf[ArrayData]
       val ys = b.asInstanceOf[ArrayData]
-      val n = math.min(xs.numElements(), ys.numElements())
+      if (xs.numElements() != ys.numElements()) return null
+      val n = xs.numElements()
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < n) {
@@ -157,14 +167,18 @@ object VectorExpressions {
         val nb = ctx.freshName("nb")
         val x = ctx.freshName("x"); val y = ctx.freshName("y")
         s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $dot = 0.0, $na = 0.0, $nb = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double $x = (double) $a.$lg($i);
-          double $y = (double) $b.$rg($i);
-          $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+        if ($a.numElements() != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          int $n = $a.numElements();
+          double $dot = 0.0, $na = 0.0, $nb = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $x = (double) $a.$lg($i);
+            double $y = (double) $b.$rg($i);
+            $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+          }
+          ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
         }
-        ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
         """
       })
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

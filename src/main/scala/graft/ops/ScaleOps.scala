@@ -18,10 +18,14 @@ object ScaleOps {
     * algebraic aggregate expressed as (partial, merge) pairs; this
     * helper covers the common count/sum/min/max family.
     *
-    * The salt is derived from a hash of the whole row's partition id
-    * surrogate (`spark_partition_id` + monotonically_increasing_id
-    * would break determinism; `pmod(hash(cols...))` over non-key
-    * columns keeps the result exact and deterministic).
+    * The default salt is `monotonically_increasing_id() % buckets`:
+    * the salt only decides which partial a row lands in, and the
+    * merged result is the same for ANY partition of the rows (the
+    * aggregates are commutative monoids), so task-retry
+    * nondeterminism of the id cannot change the answer — while
+    * guaranteeing identical hot rows still fan out (a hash of the
+    * row's columns would put identical rows in one bucket, giving
+    * zero relief for the classic identical-duplicates hot key).
     */
   def saltedAgg(
       df: DataFrame,
@@ -31,7 +35,7 @@ object ScaleOps {
       saltSource: Option[Column] = None): DataFrame = {
     require(saltBuckets > 0)
     val salt = pmod(
-      saltSource.map(hash(_)).getOrElse(hash(df.columns.map(col).toIndexedSeq: _*)),
+      saltSource.map(hash(_)).getOrElse(monotonically_increasing_id()),
       lit(saltBuckets)).as("__salt")
     val keyCols = keys.map(col)
     // phase 1: aggregate per (keys, salt) — hot keys fan out over

@@ -58,16 +58,18 @@ object Ivf {
     centroids
   }
 
-  /** Nearest-cell assignment: adds a `cell` column. */
+  /** Nearest-cell assignment: the input frame with a `cell` column
+    * appended (all other columns preserved — the index is "the corpus
+    * plus a cell column", ready for a write-back partitioned by cell).
+    */
   def assign(emb: DataFrame, centroids: DataFrame,
       vecCol: String, idCol: String): DataFrame = {
-    val joined = emb.crossJoin(broadcast(centroids))
+    val cells = emb.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroids))
       .withColumn("__sim", Similarity.cosine(col(vecCol), col("centroid")))
-    joined
       .groupBy(col(idCol))
-      .agg(
-        max_by(col("cell"), col("__sim")).as("cell"),
-        first(col(vecCol)).as(vecCol))
+      .agg(max_by(col("cell"), col("__sim")).as("cell"))
+    emb.join(cells, Seq(idCol))
   }
 
   /** Top-k by cosine against the query vector (the corpus row with
@@ -77,7 +79,10 @@ object Ivf {
       emb: DataFrame, vecCol: String, idCol: String,
       queryId: Long, k: Int, numCells: Int, nprobe: Int,
       iters: Int = 3): DataFrame = {
-    val centroids = buildCentroids(emb, vecCol, idCol, numCells, iters)
+    // centroids are k x dim — materialize once (the Lloyd lineage is
+    // a deep crossJoin/groupBy chain referenced twice below)
+    val centroids = buildCentroids(emb, vecCol, idCol, numCells, iters).cache()
+    centroids.count()
     val indexed = assign(emb, centroids, vecCol, idCol)
     val q = indexed.where(col(idCol) === lit(queryId))
       .select(col(vecCol).as("q_vec"))

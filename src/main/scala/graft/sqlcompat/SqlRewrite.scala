@@ -82,7 +82,7 @@ object SqlRewrite {
   // Type name: one word, optionally 'DOUBLE PRECISION', optional (p[,s]).
   // (A space-permissive class here would swallow a following `AS alias`.)
   private val PostfixCast =
-    ("""((?:[A-Za-z_][A-Za-z0-9_\.]*|\d+(?:\.\d+)?|\))\s*)::\s*""" +
+    ("""((?:[A-Za-z_][A-Za-z0-9_\.]*|(?<![\[\w.])\d+(?:\.\d+)?|\)|\])\s*)::\s*""" +
       """([A-Za-z_][A-Za-z0-9_]*(?:\s+[Pp][Rr][Ee][Cc][Ii][Ss][Ii][Oo][Nn])?(?:\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)""").r
 
   private[sqlcompat] def rewritePostfixCast(sql: String): String = {
@@ -102,9 +102,9 @@ object SqlRewrite {
       else {
         var t = PostfixCast.replaceAllIn(text, m =>
           scala.util.matching.Regex.quoteReplacement(
-            if (m.group(1).trim.endsWith(")"))
-              // (expr)::t / fn(args)::t — needs the whole balanced
-              // group; handled in the paren pass below
+            if (m.group(1).trim.endsWith(")") || m.group(1).trim.endsWith("]"))
+              // (expr)::t / fn(args)::t / arr[i]::t — needs the whole
+              // balanced group; handled in the paren pass below
               m.group(1) + "::" + m.group(2)
             else s"CAST(${m.group(1).trim} AS ${m.group(2).trim})"))
         t = rewriteParenCast(t)
@@ -135,28 +135,36 @@ object SqlRewrite {
     """^\s*([A-Za-z_][A-Za-z0-9_]*(?:\s+[Pp][Rr][Ee][Cc][Ii][Ss][Ii][Oo][Nn])?(?:\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)""".r
 
   private[sqlcompat] def rewriteParenCast(text: String): String = {
+    var t = rewriteClosedGroupCast(text, ')', '(')
+    t = rewriteClosedGroupCast(t, ']', '[')
+    t
+  }
+
+  /** `<group-close>::type` → CAST(<owner><group> AS type), scanning
+    * back to the balanced opener and an owning identifier (covers
+    * `(a+b)::t`, `fn(x)::t`, and `arr[i]::t`).
+    */
+  private def rewriteClosedGroupCast(text: String, close: Char, open0: Char): String = {
     var t = text
-    var idx = t.indexOf(")::")
+    val needle = s"$close::"
+    var idx = t.indexOf(needle)
     var guard = 0
     while (idx >= 0 && guard < 100) {
       guard += 1
       ParenCastTail.findFirstMatchIn(t.substring(idx + 3)) match {
         case Some(tm) =>
-          // scan back for the balanced '('
           var depth = 0
           var j = idx
           var open = -1
           while (j >= 0 && open < 0) {
-            t.charAt(j) match {
-              case ')' => depth += 1
-              case '(' => depth -= 1; if (depth == 0) open = j
-              case _ =>
-            }
+            val c = t.charAt(j)
+            if (c == close) depth += 1
+            else if (c == open0) { depth -= 1; if (depth == 0) open = j }
             j -= 1
           }
           if (open < 0) idx = -1 // unbalanced: leave untouched
           else {
-            // include a function name directly before '(' if present
+            // include an owning identifier directly before the opener
             var s = open
             var k = open - 1
             while (k >= 0 && (t.charAt(k).isLetterOrDigit || t.charAt(k) == '_' || t.charAt(k) == '.')) k -= 1
@@ -165,9 +173,9 @@ object SqlRewrite {
             val tpe = tm.group(1).trim
             t = t.substring(0, s) + s"CAST($inner AS $tpe)" +
               t.substring(idx + 3 + tm.end)
-            idx = t.indexOf(")::")
+            idx = t.indexOf(needle)
           }
-        case None => idx = t.indexOf(")::", idx + 3)
+        case None => idx = t.indexOf(needle, idx + 3)
       }
     }
     t
@@ -187,29 +195,130 @@ object SqlRewrite {
   private[sqlcompat] def rewriteUnnest(sql: String): String =
     mapCode(sql)(t => Unnest.replaceAllIn(t, "explode("))
 
-  // SELECT DISTINCT ON (k1, k2) cols FROM … [WHERE …] ORDER BY o1, o2
-  //   → SELECT cols FROM (SELECT cols, ROW_NUMBER() OVER
-  //        (PARTITION BY k1, k2 ORDER BY o1, o2) __rn FROM …) WHERE __rn=1
-  // Handles the common single-SELECT form (the only form the
-  // reference's docs exercise); nested queries pass through untouched.
-  private val DistinctOnHead =
-    """(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\(([^)]*)\)\s*(.*?)\s+FROM\s+(.*)$""".r
+  // SELECT DISTINCT ON (k1, k2) cols FROM ... [ORDER BY o1, o2] [LIMIT n]
+  //   → SELECT cols FROM (SELECT cols, <order exprs AS __graft_oN>,
+  //        ROW_NUMBER() OVER (PARTITION BY keys ORDER BY o1, o2) __rn
+  //      FROM ...) WHERE __rn=1 ORDER BY __graft_oN ... [LIMIT n]
+  // Order expressions are projected under hidden aliases so the outer
+  // sort resolves even when the select list doesn't include them
+  // (SELECT DISTINCT ON (user_id) url ... ORDER BY user_id, ts DESC).
+  private val DistinctOnStart =
+    """(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\(""".r
 
-  private[sqlcompat] def rewriteDistinctOn(sql: String): String = sql match {
-    case DistinctOnHead(keys, cols, fromTail) =>
-      // split fromTail into (rest, ORDER BY..., LIMIT...) at paren
-      // depth zero only — a subquery's own ORDER BY must not be split
-      val (rest, order, limit) = splitTopLevelOrderLimit(fromTail.stripSuffix(";"))
-      val ord = order.map(_.trim).filter(_.nonEmpty).getOrElse(keys.trim)
-      val lim = limit.map(" " + _.trim).getOrElse("")
-      // outer ORDER BY preserves DISTINCT ON's documented result order
-      // (ORDER BY must start with the keys, as in Postgres/DataFusion)
-      s"""SELECT ${cols.trim} FROM (SELECT ${cols.trim}, ROW_NUMBER() OVER (PARTITION BY ${keys.trim} ORDER BY $ord) AS __graft_rn FROM ${rest.trim}) WHERE __graft_rn = 1 ORDER BY $ord$lim"""
-    case _ => sql
+  private[sqlcompat] def rewriteDistinctOn(sql: String): String = {
+    DistinctOnStart.findFirstMatchIn(sql) match {
+      case None => sql
+      case Some(m) =>
+        val openAt = m.end - 1
+        val closeAt = findBalancedClose(sql, openAt)
+        if (closeAt < 0) return sql
+        val keys = sql.substring(openAt + 1, closeAt).trim
+        val tail = sql.substring(closeAt + 1)
+        val fromAt = findTopLevelKeyword(tail, "FROM")
+        if (fromAt < 0) return sql
+        val cols = tail.substring(0, fromAt).trim
+        val (rest, order, limit) =
+          splitTopLevelOrderLimit(tail.substring(fromAt + 4).stripSuffix(";").trim)
+        val ordText = order.map(_.trim).filter(_.nonEmpty).getOrElse(keys)
+        val lim = limit.map(" " + _.trim).getOrElse("")
+        // each order item: expression [ASC|DESC] [NULLS FIRST|LAST]
+        val Item = """(?is)^(.*?)\s*(ASC|DESC)?\s*(NULLS\s+(?:FIRST|LAST))?\s*$""".r
+        val items = splitTopLevelCommas(ordText).map(_.trim).filter(_.nonEmpty)
+          .zipWithIndex.map { case (it, i) =>
+            it match {
+              case Item(e, dir, nulls) =>
+                (e.trim, Option(dir).map(" " + _).getOrElse("") +
+                  Option(nulls).map(" " + _).getOrElse(""), s"__graft_o$i")
+              case _ => (it, "", s"__graft_o$i")
+            }
+          }
+        val hidden = items.map { case (e, _, a) => s"$e AS $a" }.mkString(", ")
+        val windowOrd = ordText
+        val outerOrd = items.map { case (_, d, a) => s"$a$d" }.mkString(", ")
+        s"""SELECT $cols FROM (SELECT $cols, $hidden, ROW_NUMBER() OVER (PARTITION BY $keys ORDER BY $windowOrd) AS __graft_rn FROM ${rest.trim}) WHERE __graft_rn = 1 ORDER BY $outerOrd$lim"""
+    }
+  }
+
+  /** Index of the ')' matching the '(' at `openAt` (quote-aware via
+    * the tokenizer); -1 when unbalanced.
+    */
+  private def findBalancedClose(sql: String, openAt: Int): Int = {
+    var depth = 0
+    var offset = 0
+    var found = -1
+    runs(sql).foreach { case (text, isCode) =>
+      if (found < 0 && isCode) {
+        var i = 0
+        while (i < text.length && found < 0) {
+          val at = offset + i
+          if (at >= openAt) text.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) found = at
+            case _ =>
+          }
+          i += 1
+        }
+      }
+      offset += text.length
+    }
+    found
+  }
+
+  /** First occurrence of `word` at paren depth 0 in code runs, with
+    * word boundaries on both sides; -1 when absent.
+    */
+  private def findTopLevelKeyword(text0: String, word: String): Int = {
+    var depth = 0
+    var offset = 0
+    var found = -1
+    val w = word.toUpperCase
+    runs(text0).foreach { case (text, isCode) =>
+      if (found < 0 && isCode) {
+        var i = 0
+        while (i < text.length && found < 0) {
+          text.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case c if depth == 0 && c.toUpper == w.charAt(0) &&
+                i + w.length <= text.length &&
+                text.substring(i, i + w.length).toUpperCase == w &&
+                (i == 0 && offset == 0 || i > 0 && !isWordChar(text.charAt(i - 1))) &&
+                (i + w.length == text.length || !isWordChar(text.charAt(i + w.length))) =>
+              found = offset + i
+            case _ =>
+          }
+          i += 1
+        }
+      }
+      offset += text.length
+    }
+    found
+  }
+
+  private def isWordChar(c: Char): Boolean =
+    c.isLetterOrDigit || c == '_'
+
+  /** Split on commas at paren depth 0 (quote-aware). */
+  private def splitTopLevelCommas(text0: String): Seq[String] = {
+    val parts = scala.collection.mutable.ListBuffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 0
+    runs(text0).foreach { case (text, isCode) =>
+      if (!isCode) sb.append(text)
+      else text.foreach {
+        case '(' => depth += 1; sb.append('(')
+        case ')' => depth -= 1; sb.append(')')
+        case ',' if depth == 0 => parts += sb.toString; sb.clear()
+        case c => sb.append(c)
+      }
+    }
+    parts += sb.toString
+    parts.toSeq
   }
 
   /** (rest, orderBy?, limit?) where ORDER BY / LIMIT are recognized
-    * only at paren depth 0 in code runs (quote/comment aware).
+    * only at paren depth 0 in code runs (quote/comment aware), with
+    * word boundaries (an identifier like rate_limit never matches).
     */
   private def splitTopLevelOrderLimit(tail: String)
       : (String, Option[String], Option[String]) = {
@@ -224,15 +333,19 @@ object SqlRewrite {
       if (isCode) {
         var i = 0
         while (i < text.length) {
+          def boundedBefore: Boolean = {
+            val at = offset + i
+            at == 0 || { val prev = tail.charAt(at - 1); !isWordChar(prev) }
+          }
           text.charAt(i) match {
             case '(' => depth += 1
             case ')' => depth -= 1
-            case c if depth == 0 && (c == 'o' || c == 'O') && orderAt < 0 =>
-              OrderBy.findFirstMatchIn(text.substring(i)).foreach { m =>
+            case c if depth == 0 && (c == 'o' || c == 'O') && orderAt < 0 && boundedBefore =>
+              OrderBy.findFirstMatchIn(text.substring(i)).foreach { mm =>
                 orderAt = offset + i
-                orderBodyAt = offset + i + m.end
+                orderBodyAt = offset + i + mm.end
               }
-            case c if depth == 0 && (c == 'l' || c == 'L') && limitAt < 0 &&
+            case c if depth == 0 && (c == 'l' || c == 'L') && limitAt < 0 && boundedBefore &&
                 Limit.findFirstIn(text.substring(i)).isDefined =>
               limitAt = offset + i
             case _ =>

@@ -95,7 +95,9 @@ object EventStreams {
             sorted.foreach { e =>
               cur match {
                 case Some(s) if e.ts.getTime - s.last.getTime <= gapMs =>
-                  s.last = e.ts; s.nEvents += 1; s.sumValue += e.value
+                  // a late (out-of-order) event must not move the end back
+                  if (e.ts.getTime > s.last.getTime) s.last = e.ts
+                  s.nEvents += 1; s.sumValue += e.value
                 case Some(s) =>
                   out ::= SessionOut(userId, s.start, s.last, s.nEvents, s.sumValue)
                   cur = Some(SessionState(e.ts, e.ts, 1L, e.value))
@@ -121,5 +123,8 @@ object EventStreams {
     docs
       .withColumn("fp", graft.pipeline.TextAnalysis.fingerprint(col(textCol)))
       .withWatermark(tsCol, lateness)
-      .dropDuplicates("fp")
+      // WithinWatermark: state for a fingerprint is EVICTED once the
+      // watermark passes it — plain dropDuplicates("fp") would keep
+      // every fingerprint ever seen (unbounded state)
+      .dropDuplicatesWithinWatermark("fp")
 }

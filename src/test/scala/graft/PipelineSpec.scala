@@ -82,6 +82,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 3L)))
   }
 
+  test("kernel nulls on mismatched vector lengths, like the fold") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 0f, 5f), Array(1f, 0f))).toDF("a", "b")
+    val r = df.select(
+      Similarity.cosine(col("a"), col("b")).as("fast"),
+      Similarity.cosineFold(col("a"), col("b")).as("fold")).collect().head
+    assert(r.isNullAt(0), "kernel must null on length mismatch")
+    assert(r.isNullAt(1), "fold nulls on length mismatch")
+  }
+
   test("codegen cosine kernel is bit-identical to the HOF fold") {
     val emb = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet").limit(50)
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))

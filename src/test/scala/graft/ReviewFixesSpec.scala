@@ -17,7 +17,7 @@ class ReviewFixesSpec extends AnyFunSuite {
     val out = SqlRewrite.rewrite(
       "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v DESC LIMIT 5")
     assert(out.contains("OVER (PARTITION BY k ORDER BY k, v DESC)"), out)
-    assert(out.endsWith("ORDER BY k, v DESC LIMIT 5"), out)
+    assert(out.endsWith("ORDER BY __graft_o0, __graft_o1 DESC LIMIT 5"), out)
     // executable end-to-end
     import spark.implicits._
     Seq((1, 10), (1, 20), (2, 5)).toDF("k", "v").createOrReplaceTempView("t")

@@ -59,6 +59,33 @@ class SqlRewriteSpec extends AnyFunSuite {
       "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v DESC")
     assert(out.contains("ROW_NUMBER() OVER (PARTITION BY k ORDER BY k, v DESC)"))
     assert(out.contains("__graft_rn = 1"))
+    assert(out.endsWith("ORDER BY __graft_o0, __graft_o1 DESC"), out)
+  }
+
+  test("DISTINCT ON order columns outside the select list still resolve") {
+    val out = SqlRewrite.rewrite(
+      "SELECT DISTINCT ON (user_id) url FROM hits ORDER BY user_id, ts DESC")
+    // ts is projected under a hidden alias inside the subquery
+    assert(out.contains("ts AS __graft_o1"), out)
+    assert(out.endsWith("ORDER BY __graft_o0, __graft_o1 DESC"), out)
+  }
+
+  test("DISTINCT ON with function-call keys (nested parens)") {
+    val out = SqlRewrite.rewrite(
+      "SELECT DISTINCT ON (date_trunc('day', ts)) v FROM t")
+    assert(out.contains("PARTITION BY date_trunc('day', ts)"), out)
+  }
+
+  test("identifier containing 'limit' is not split") {
+    val out = SqlRewrite.rewrite(
+      "SELECT DISTINCT ON (k) k, v FROM t WHERE tier = rate_limit")
+    assert(out.contains("WHERE tier = rate_limit)"), out)
+    assert(!out.contains("rate_ "), out)
+  }
+
+  test("array subscript cast wraps the element, not the index") {
+    assert(SqlRewrite.rewrite("SELECT a[1]::DOUBLE FROM t") ==
+      "SELECT CAST(a[1] AS DOUBLE) FROM t")
   }
 
   test("DISTINCT ON without ORDER BY orders by keys") {
@@ -70,13 +97,13 @@ class SqlRewriteSpec extends AnyFunSuite {
     val out = SqlRewrite.rewrite(
       "SELECT DISTINCT ON (k) k, v FROM (SELECT k, v FROM t ORDER BY v) x ORDER BY k, v")
     assert(out.contains("FROM (SELECT k, v FROM t ORDER BY v) x)"), out)
-    assert(out.endsWith("ORDER BY k, v"), out)
+    assert(out.endsWith("ORDER BY __graft_o0, __graft_o1"), out)
   }
 
   test("DISTINCT ON with only LIMIT (no outer ORDER BY)") {
     val out = SqlRewrite.rewrite("SELECT DISTINCT ON (k) k, v FROM t LIMIT 3")
     assert(out.contains("PARTITION BY k ORDER BY k"), out)
-    assert(out.endsWith("ORDER BY k LIMIT 3"), out)
+    assert(out.endsWith("ORDER BY __graft_o0 LIMIT 3"), out)
   }
 
   test("table@namespace gets mangled to a registrable identifier") {
