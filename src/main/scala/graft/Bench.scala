@@ -33,14 +33,20 @@ object Bench {
     else spark.read.parquet(s"$sfDir/lineitem.parquet").count(): Unit
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val error: Option[String] =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case t: Throwable => Some(s"${t.getClass.getSimpleName}: ${t.getMessage}") }
+      (name, (System.nanoTime() - t0) / 1e9, error)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // a failed query must not report a normal-looking wall clock: its
+    // value is -1 and the failure is listed in an errors map
+    val qs = results.map { case (k, v, e) => "\"" + k + "\":" + (if (e.isDefined) -1 else v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      "\"" + k + "\":" + com.fasterxml.jackson.databind.node.TextNode.valueOf(e.take(200)).toString
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -148,7 +148,10 @@ final class SessionManager(root: SparkSession, reaperPeriodMs: Long = 1000L) {
   }
 
   private def reap(): Unit =
-    sessions.values().asScala.filter(_.expired).foreach(h => sessions.remove(h.id))
+    // go through remove() so TTL-expired sessions release their cached
+    // frames (shared CacheManager) and spooled ingest files, exactly like
+    // an explicit DELETE — bypassing it leaked cache memory JVM-wide
+    sessions.values().asScala.filter(_.expired).foreach(h => remove(h.id))
 
   def shutdown(): Unit = reaper.shutdownNow()
 }

@@ -89,14 +89,20 @@ object AvroReader {
   private def toRow(rec: GenericRecord, s: Schema): Row =
     Row.fromSeq(s.getFields.asScala.map(f => convert(rec.get(f.pos()), f.schema())).toSeq)
 
-  private def convert(v: Any, s: Schema): Any = {
+  private[graft] def convert(v: Any, s: Schema): Any = {
     if (v == null) return null
     s.getType match {
       case Schema.Type.UNION =>
         val nonNull = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
         if (nonNull.size == 1) convert(v, nonNull.head) else String.valueOf(v)
       case Schema.Type.STRING | Schema.Type.ENUM => v.toString
-      case Schema.Type.BYTES => v.asInstanceOf[java.nio.ByteBuffer].array().clone()
+      case Schema.Type.BYTES =>
+        // copy only [position, limit) — Avro reuses/over-allocates the
+        // backing array, so array().clone() could include stale tail bytes
+        val b = v.asInstanceOf[java.nio.ByteBuffer]
+        val out = new Array[Byte](b.remaining())
+        b.duplicate().get(out)
+        out
       case Schema.Type.FIXED => v.asInstanceOf[org.apache.avro.generic.GenericFixed].bytes().clone()
       case Schema.Type.ARRAY =>
         v.asInstanceOf[java.util.Collection[Any]].asScala.toSeq

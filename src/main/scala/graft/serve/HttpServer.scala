@@ -214,12 +214,21 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
       .filter(l => l.startsWith("http://") || l.startsWith("https://"))
       .map { url =>
         val client = java.net.http.HttpClient.newHttpClient()
+        // stream through the same bounded reader as multipart uploads so a
+        // large remote body can't exhaust the driver heap (and fail fast on
+        // a Content-Length that already exceeds the cap)
         val resp = client.send(
           java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build(),
-          java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+          java.net.http.HttpResponse.BodyHandlers.ofInputStream())
         if (resp.statusCode() >= 400)
           throw new IllegalArgumentException(s"fetch of $url failed: HTTP ${resp.statusCode()}")
-        resp.body()
+        resp.headers().firstValueAsLong("Content-Length").ifPresent { n =>
+          if (n > uploadLimitBytes)
+            throw new IllegalArgumentException(
+              s"fetch of $url is $n bytes, exceeds limit ($uploadLimitBytes)")
+        }
+        val in = resp.body()
+        try readBounded(in, uploadLimitBytes) finally in.close()
       }
     val df: DataFrame = (ds.format.toLowerCase, fetched, ds.location, ds.data) match {
       case ("csv", Some(bytes), _, _) => Readers.csvBytes(h.spark, bytes, opts)

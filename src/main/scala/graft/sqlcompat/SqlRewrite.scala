@@ -235,7 +235,36 @@ object SqlRewrite {
         val hidden = items.map { case (e, _, a) => s"$e AS $a" }.mkString(", ")
         val windowOrd = ordText
         val outerOrd = items.map { case (_, d, a) => s"$a$d" }.mkString(", ")
-        s"""SELECT $cols FROM (SELECT $cols, $hidden, ROW_NUMBER() OVER (PARTITION BY $keys ORDER BY $windowOrd) AS __graft_rn FROM ${rest.trim}) WHERE __graft_rn = 1 ORDER BY $outerOrd$lim"""
+        val helperNames = items.map(_._3) :+ "__graft_rn"
+        // The subquery exposes only OUTPUT names, so the outer SELECT must
+        // reference aliases / auto-names, never re-evaluate source
+        // expressions (an aliased `expr AS name` would fail analysis), and
+        // a `*` must not leak the hidden helper columns.
+        val Aliased = """(?is)^(.*\S)\s+AS\s+(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\s*$""".r
+        val IdentPath = """(?is)^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*$""".r
+        val BareAlias = """(?is)^([A-Za-z_][A-Za-z0-9_.]*)\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+        val Star = """(?is)^(?:[A-Za-z_][A-Za-z0-9_]*\.)*\*$""".r
+        val (innerItems, outerItems) =
+          splitTopLevelCommas(cols).map(_.trim).filter(_.nonEmpty).map { it =>
+            it match {
+              case Star() =>
+                // qualifiers are gone after the subquery: any star becomes a
+                // bare star minus the helper columns
+                (it, s"* EXCEPT (${helperNames.mkString(", ")})")
+              case Aliased(_, alias) => (it, alias)
+              case IdentPath(_) => (it, it.substring(it.lastIndexOf('.') + 1))
+              case BareAlias(_, alias) => (it, alias)
+              case _ =>
+                // complex expression without alias: pin its output name so
+                // the outer reference resolves (mirrors Spark's auto-name
+                // for simple calls like upper(x))
+                val name = it.replace("`", "")
+                (s"$it AS `$name`", s"`$name`")
+            }
+          }.unzip
+        val innerCols = innerItems.mkString(", ")
+        val outerCols = outerItems.mkString(", ")
+        s"""SELECT $outerCols FROM (SELECT $innerCols, $hidden, ROW_NUMBER() OVER (PARTITION BY $keys ORDER BY $windowOrd) AS __graft_rn FROM ${rest.trim}) WHERE __graft_rn = 1 ORDER BY $outerOrd$lim"""
     }
   }
 

@@ -1,0 +1,110 @@
+package graft
+
+import graft.sqlcompat.SqlRewrite
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+/** Regression coverage for the round-1 advisory findings. */
+class AdviceFixesSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  test("DISTINCT ON with aliased select items analyzes and runs") {
+    import spark.implicits._
+    Seq((1, 10), (1, 20), (2, 5)).toDF("k", "v").createOrReplaceTempView("adv_t")
+    val out = SqlRewrite.rewrite(
+      "SELECT DISTINCT ON (k) k, v * 2 AS doubled FROM adv_t ORDER BY k, v DESC")
+    val rows = spark.sql(out).collect()
+    assert(rows.map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((1, 40), (2, 10)))
+    assert(spark.sql(out).columns.toSeq == Seq("k", "doubled"))
+  }
+
+  test("DISTINCT ON with star does not leak helper columns") {
+    import spark.implicits._
+    Seq((1, 10, "a"), (1, 20, "b"), (2, 5, "c")).toDF("k", "v", "s")
+      .createOrReplaceTempView("adv_star")
+    val out = SqlRewrite.rewrite(
+      "SELECT DISTINCT ON (k) * FROM adv_star ORDER BY k, v DESC")
+    val df = spark.sql(out)
+    assert(df.columns.toSeq == Seq("k", "v", "s"), df.columns.mkString(","))
+    assert(df.collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq ==
+      Seq((1, 20, "b"), (2, 5, "c")))
+  }
+
+  test("DISTINCT ON with unaliased expression pins a resolvable name") {
+    import spark.implicits._
+    Seq((1, "x"), (1, "y"), (2, "z")).toDF("k", "s").createOrReplaceTempView("adv_e")
+    val out = SqlRewrite.rewrite(
+      "SELECT DISTINCT ON (k) upper(s) FROM adv_e ORDER BY k, s")
+    assert(spark.sql(out).collect().map(_.getString(0)).toSeq == Seq("X", "Z"))
+  }
+
+  test("TTL-expired sessions are reaped through full cleanup (spool deleted)") {
+    val mgr = new graft.engine.SessionManager(spark, reaperPeriodMs = 50L)
+    try {
+      val h = mgr.create(Some("reapme"), keepAliveSecs = 1L)
+      val df = graft.ingest.Readers.csvBytes(h.spark, "a\n1\n".getBytes,
+        graft.ingest.IngestOptions(spoolDir = Some(h.spoolDir)))
+      mgr.registerTable(h, df, graft.engine.DataSourceDef("t", "csv", None, None))
+      val spool = h.spoolDir
+      assert(Files.exists(spool))
+      val deadline = System.currentTimeMillis() + 10000
+      while (Files.exists(spool) && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(!Files.exists(spool),
+        "reaper must route through remove() and delete the spool dir")
+      assert(mgr.get("reapme").isEmpty)
+    } finally mgr.shutdown()
+  }
+
+  test("http fetch over the upload limit is rejected") {
+    val origin = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    origin.createContext("/big.csv", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val bytes = ("x," * 4000 + "\n").getBytes
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    origin.start()
+    val server = new graft.serve.GraftServer(spark)
+    server.uploadLimitBytes = 1024
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.boundPort}"
+      val client = HttpClient.newHttpClient()
+      val body =
+        s"""{"dataSources":[{"format":"csv","name":"big",
+            "location":"http://127.0.0.1:${origin.getAddress.getPort}/big.csv"}],
+            "query":{"sql":"SELECT 1"}}"""
+      val r = client.send(HttpRequest.newBuilder(URI.create(s"$base/dataframe/query"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 400, r.body())
+      assert(r.body().contains("exceeds limit"), r.body())
+    } finally { server.stop(); origin.stop(0) }
+  }
+
+  test("avro BYTES decode respects buffer position/limit") {
+    import org.apache.avro.{Schema, SchemaBuilder}
+    val s: Schema = SchemaBuilder.builder().bytesType()
+    // over-allocated backing array with stale tail bytes, value = [2,3]
+    val backing = Array[Byte](1, 2, 3, 9, 9, 9)
+    val buf = java.nio.ByteBuffer.wrap(backing, 1, 2)
+    val out = graft.ingest.AvroReader.convert(buf, s).asInstanceOf[Array[Byte]]
+    assert(out.toSeq == Seq[Byte](2, 3), out.toSeq.toString)
+    // the buffer itself must not be consumed (position unchanged)
+    assert(buf.remaining() == 2)
+  }
+
+  test("bench JSON marks failed queries with -1 and an errors map") {
+    // shape-level check of the formatting logic used by Bench
+    val results = Seq(("ok", 1.5, None), ("boom", 0.2, Some("X: y")))
+    val qs = results.map { case (k, v, e) => "\"" + k + "\":" + (if (e.isDefined) -1 else v) }
+      .mkString("{", ",", "}")
+    assert(qs == """{"ok":1.5,"boom":-1}""")
+  }
+}
