@@ -1016,10 +1016,11 @@ object SparkEntry {
       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
       SUBSTRING(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 8) AS fp_prefix
     FROM documents ORDER BY doc_id"""),
+    // fp staged in its own projection so the md5+regex canonicalization
+    // runs once, not once per referencing column
     (s, dir) => T(s, dir, "documents")
-      .select(col("doc_id"),
-        TextAnalysis.fingerprint(col("text")).as("fp"),
-        substring(TextAnalysis.fingerprint(col("text")), 1, 8).as("fp_prefix"))
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .select(col("doc_id"), col("fp"), substring(col("fp"), 1, 8).as("fp_prefix"))
       .orderBy(col("doc_id")))
 
   private val m01 = Q("m01_multimodal_meta", Some("""

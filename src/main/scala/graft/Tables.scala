@@ -16,12 +16,22 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
+  /** Fact-sized tables get fanned out to full parallelism when the
+    * file arrives under-split (single row group = one partition);
+    * dimension tables (region/nation/supplier) stay narrow — they are
+    * broadcast-join sides and a repartition would only add a stage.
+    */
+  private val factTables =
+    Set("lineitem", "orders", "customer", "part", "events", "documents", "embeddings")
+
   /** Load a raw table. Caller owns any post-processing. */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    name match {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = name match {
       case "events" => events(spark, sfDir)
       case _        => spark.read.parquet(s"$sfDir/$name.parquet")
     }
+    if (factTables(name)) graft.ops.ScaleOps.fanOut(df) else df
+  }
 
   /** events with `ts` as a proper TimestampType (µs, truncated from ns).
     * Keeps the raw nanosecond count as `ts_ns` for precision-sensitive

@@ -83,4 +83,22 @@ object ScaleOps {
     write(right, rightName, rightKey)
     (spark.table(leftName), spark.table(rightName))
   }
+
+  /** Fan an under-split scan out to the cluster's parallelism before
+    * CPU-heavy per-row work (regex, hashing, N² similarity kernels).
+    *
+    * A parquet file is splittable only at row-group granularity, so a
+    * single-row-group file — however many cores the cluster has —
+    * arrives as ONE partition and serializes everything up to the
+    * first exchange on one core. At production scale inputs already
+    * arrive in thousands of splits and this is a no-op (the condition
+    * fails); it only pays the small round-robin shuffle when the scan
+    * is narrower than the cluster. Catalyst still pushes filters and
+    * column pruning through the Repartition to the scan, so pushdown
+    * is preserved.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

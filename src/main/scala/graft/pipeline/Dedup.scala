@@ -67,7 +67,7 @@ object Dedup {
     * [[shingles]], no per-shingle string materialization.
     */
   def hashedShingles(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("id"),
+    graft.ops.ScaleOps.fanOut(docs).select(col(idCol).as("id"),
       explode(graft.functions.ShingleHashes(col(textCol), n)).as("shingle"))
 
   def ngramJaccardPairs(
@@ -78,14 +78,32 @@ object Dedup {
     // inflate an intersection count, but even 1e6 distinct shingles
     // in a 2^64 space put P(any collision) ~ 1e-7 — far below other
     // nondeterminism sources.
-    val sh = hashedShingles(docs, textCol, idCol, n).cache()
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("id").as("id_a"), col("shingle"))
-    val b = sh.select(col("id").as("id_b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
+    //
+    // Shape: classic inverted index, but pairs are generated from the
+    // per-shingle posting list (groupBy shingle → ids) instead of a
+    // self-join — 2 shuffles total (postings, then pair counts) vs 3,
+    // and shingles appearing in a single document (the vast majority
+    // of a real corpus) are dropped before any pair work. A spam
+    // shingle shared by m docs still fans out m²/2 pairs map-side; at
+    // 100 TB cap the posting list like [[minHashLsh]]'s maxBucket.
+    val docSets = graft.ops.ScaleOps.fanOut(docs).select(
+      col(idCol).as("id"),
+      graft.functions.ShingleHashes(col(textCol), n).as("sh_arr"))
+    val sizes = docSets.select(col("id"), size(col("sh_arr")).cast("long").as("n_sh"))
+    val postings = docSets
+      .select(explode(col("sh_arr")).as("shingle"), col("id"))
+      .groupBy(col("shingle"))
+      .agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")) >= 2)
+    val inter = postings
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_inter"))
+    // no broadcast hint on sizes: one row per doc is broadcastable at
+    // benchmark scale but not at 100 TB — AQE picks broadcast when the
+    // runtime size allows
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
@@ -96,16 +114,14 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** MinHash signature columns sig_0 … sig_{k-1}: k independent hash
-    * functions realized as xxhash64(shingle, seed_i) minima — one
-    * groupBy over the shingle frame computes all k at once (single
-    * shuffle, map-side partial min).
+  /** MinHash signature columns sig_0 … sig_{k-1} from a per-doc
+    * shingle-set frame (id, sh_arr) — the one-pass
+    * [[graft.functions.SketchExpressions.MinHashSig]] kernel, no
+    * shuffle: only the finished k×8-byte signature ever moves.
     */
-  def minHashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
-    val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"sig_$i"))
-    sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
-  }
+  def minHashSignatures(docSets: DataFrame, numHashes: Int): DataFrame =
+    docSets.select(col("id"),
+      graft.functions.SketchExpressions.minHashSig(col("sh_arr"), numHashes).as("sig"))
 
   /** MinHash + LSH banding near-dup candidates, verified with exact
     * Jaccard. numHashes = bands × rowsPerBand.
@@ -113,57 +129,81 @@ object Dedup {
     * Probability a pair with true Jaccard s becomes a candidate:
     * 1 − (1 − s^rows)^bands — e.g. 16 bands × 4 rows catches
     * s = 0.7 with p ≈ 0.986 while s = 0.3 only p ≈ 0.12.
+    *
+    * Scale shape: everything up to banding is computed inside the
+    * scan stage (shingle set and signature are per-row kernels); the
+    * only corpus-sized shuffles are the (band, bandHash) bucket
+    * exchange — O(#docs × bands × 16 B) — and the candidate join,
+    * which maxBucket bounds against degenerate buckets. Verification
+    * joins move one shingle-hash array per *candidate* doc, not per
+    * doc.
     */
   def minHashLsh(
       docs: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sh = hashedShingles(docs, textCol, idCol, shingleN).cache()
-    val sig = minHashSignatures(sh, numHashes)
+    val docSets = graft.ops.ScaleOps.fanOut(docs)
+      .select(col(idCol).as("id"),
+        graft.functions.ShingleHashes(col(textCol), shingleN).as("sh_arr"))
+      .where(size(col("sh_arr")) > 0)
+      .cache()
+    val sig = minHashSignatures(docSets, numHashes)
     // band value = hash of its rowsPerBand signature slots
     val bandCols = (0 until bands).map { b =>
-      val slots = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
+      val slots = (0 until rowsPerBand).map(r =>
+        element_at(col("sig"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(slots: _*).as("bh"))
     }
     val buckets = sig
       .select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    // degenerate-bucket guard: drop buckets larger than maxBucket
-    val sized = buckets
-      .withColumn("bucket_n", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
-      .where(col("bucket_n") <= lit(maxBucket))
-    val l = sized.select(col("band"), col("bh"), col("id").as("id_a"))
-    val r = sized.select(col("band"), col("bh"), col("id").as("id_b"))
-    val candidates = l.join(r, Seq("band", "bh"))
+    // one groupBy builds the posting list per bucket, applies the
+    // degenerate-bucket guard (maxBucket caps the quadratic pair
+    // fan-out of an all-identical spam cluster), and generates the
+    // candidate pairs map-side — no window sort, no self-join
+    val candidates = buckets
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")) >= 2 && size(col("ids")) <= lit(maxBucket))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    // exact-Jaccard verification of candidates only
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val inter = candidates
-      .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("shingle").as("shingle_b")), Seq("id_b"))
-      .where(col("shingle") === col("shingle_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+      .distinct()
+    // exact-Jaccard verification of candidates only: join the two
+    // shingle sets and intersect per pair (array_intersect is
+    // hash-set linear; sets are already distinct)
+    val verified = candidates
+      .join(docSets.select(col("id").as("id_a"), col("sh_arr").as("sa")), Seq("id_a"))
+      .join(docSets.select(col("id").as("id_b"), col("sh_arr").as("sb")), Seq("id_b"))
+      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
+    verified
       .withColumn("jaccard",
         col("n_inter").cast("double") /
-          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+          (size(col("sa")) + size(col("sb")) - col("n_inter")).cast("double"))
       .where(col("jaccard") >= lit(threshold))
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** 64-bit SimHash signature per document: for each bit j, sum ±1
-    * over token hashes and take the sign. Expressed as a lateral
-    * explode of (token-hash × bit) contributions + two aggregations —
-    * all shuffle keys are (id) or (id, bit), so it parallelizes to
-    * arbitrary cluster width.
+    * over token hashes and take the sign — computed by the one-pass
+    * [[graft.functions.SketchExpressions.SimHash64]] kernel inside
+    * the scan stage. Zero shuffle: each executor core sketches its
+    * own splits and only the 8-byte signatures move. Docs with no
+    * tokens are dropped (kernel returns null), matching the exploded
+    * formulation [[simHashAgg]] where they produce no rows.
     */
-  def simHash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def simHash(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    graft.ops.ScaleOps.fanOut(docs)
+      .select(col(idCol).as("id"),
+        graft.functions.SketchExpressions.simHash64(col(textCol)).as("simhash"))
+      .where(col("simhash").isNotNull)
+
+  /** The exploded reference formulation of [[simHash]] (token explode
+    * + 64 bit-count aggregates). Kept as the semantics the kernel is
+    * differentially tested against — bit-identical output.
+    */
+  def simHashAgg(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = docs.select(
       col(idCol).as("id"),
       explode(split(col(textCol), " ")).as("tok"))
@@ -214,7 +254,9 @@ object Dedup {
   def embeddingNearDups(
       emb: DataFrame, vecCol: String, idCol: String,
       threshold: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    // fan the streamed side out so the N² nested loop uses every core
+    val a = graft.ops.ScaleOps.fanOut(emb)
+      .select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cos_sim", Similarity.cosine(col("va"), col("vb")))

@@ -24,38 +24,78 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  /** Deterministic k-means (Lloyd) centroids: init = the k vectors
-    * with smallest xxhash64(id) (a seedless deterministic sample).
+  /** Deterministic k-means (Lloyd) centroids, trained driver-side on
+    * a bounded sample.
+    *
+    * Quantizer training is the one part of IVF that does NOT scale
+    * with the corpus and should not be distributed: the standard
+    * practice (FAISS trains its coarse quantizer on ≤ a few hundred
+    * thousand sampled vectors regardless of index size) is to pull a
+    * deterministic sample to the driver — here the `maxTrainRows`
+    * vectors with smallest xxhash64(id), a seedless uniform sample —
+    * and run Lloyd locally. One cluster job to sample, zero shuffles
+    * per iteration (the distributed formulation re-scans and
+    * re-shuffles the entire corpus every iteration for a k×dim
+    * result). Init = the k sample vectors with smallest hash.
     */
   def buildCentroids(
       emb: DataFrame, vecCol: String, idCol: String,
-      k: Int, iters: Int = 3): DataFrame = {
+      k: Int, iters: Int = 3, maxTrainRows: Int = 100000): DataFrame = {
     val spark = emb.sparkSession
-    var centroids = emb
+    val sample: Array[Array[Double]] = emb
       .select(col(idCol), col(vecCol))
       .withColumn("h", xxhash64(col(idCol)))
       .orderBy(col("h"))
-      .limit(k)
-      .select(col(vecCol).as("centroid"))
-      .withColumn("cell", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("centroid"))) - 1)
-      .select(col("cell"), transform(col("centroid"), _.cast("double")).as("centroid"))
-    var i = 0
-    while (i < iters) {
-      val assigned = assign(emb, centroids, vecCol, idCol)
-      // element-wise mean per cell: (cell, pos) partial sums — the
-      // reduce state is k × dim, independent of corpus size
-      val means = assigned
-        .select(col("cell"), posexplode(col(vecCol)))
-        .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("col").cast("double")).as("m"))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell"), expr("transform(pm, x -> x.m)").as("centroid"))
-      centroids = means
-      i += 1
+      .limit(maxTrainRows)
+      .select(transform(col(vecCol), _.cast("double")).as("v"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "cannot build centroids from an empty corpus")
+    val dim = sample.head.length
+    var centroids: Array[Array[Double]] = sample.take(k).map(_.clone())
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    centroids
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { v =>
+        var best = 0; var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < centroids.length) {
+          val s = cosine(v, centroids(c))
+          if (s > bestSim) { bestSim = s; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.toArray.collect {
+        // empty cells drop (same as the distributed mean, where an
+        // unassigned cell simply produces no row)
+        case c if counts(c) > 0 =>
+          val m = new Array[Double](dim)
+          var i = 0
+          while (i < dim) { m(i) = sums(c)(i) / counts(c); i += 1 }
+          m
+      }
+      it += 1
+    }
+    import scala.jdk.CollectionConverters._
+    val rows = centroids.zipWithIndex.map { case (cv, i) =>
+      org.apache.spark.sql.Row(i, cv.toSeq)
+    }.toSeq.asJava
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false))))
+    spark.createDataFrame(rows, schema)
   }
 
   /** Nearest-cell assignment: the input frame with a `cell` column
@@ -72,6 +112,21 @@ object Ivf {
     emb.join(cells, Seq(idCol))
   }
 
+  /** [[assign]] specialized to (id, vec, cell): the vector rides
+    * through the argmax aggregation (`first` — it is constant within
+    * the k-fold expansion of one id), saving the join back to `emb`.
+    * The k-means loop and the probe path only ever need these three
+    * columns.
+    */
+  private def assignVec(emb: DataFrame, centroids: DataFrame,
+      vecCol: String, idCol: String): DataFrame =
+    graft.ops.ScaleOps.fanOut(emb).select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__sim", Similarity.cosine(col(vecCol), col("centroid")))
+      .groupBy(col(idCol))
+      .agg(max_by(col("cell"), col("__sim")).as("cell"),
+        first(col(vecCol)).as(vecCol))
+
   /** Top-k by cosine against the query vector (the corpus row with
     * id == queryId), probing the `nprobe` nearest cells only.
     */
@@ -79,12 +134,13 @@ object Ivf {
       emb: DataFrame, vecCol: String, idCol: String,
       queryId: Long, k: Int, numCells: Int, nprobe: Int,
       iters: Int = 3): DataFrame = {
-    // centroids are k x dim — materialize once (the Lloyd lineage is
-    // a deep crossJoin/groupBy chain referenced twice below)
-    val centroids = buildCentroids(emb, vecCol, idCol, numCells, iters).cache()
-    centroids.count()
-    val indexed = assign(emb, centroids, vecCol, idCol)
-    val q = indexed.where(col(idCol) === lit(queryId))
+    // centroids are k×dim local rows (driver-trained quantizer) —
+    // nothing to cache; every downstream use broadcasts them
+    val centroids = buildCentroids(emb, vecCol, idCol, numCells, iters)
+    val indexed = assignVec(emb, centroids, vecCol, idCol)
+    // the query vector needs no cell assignment — read it from the
+    // corpus directly instead of through the indexed lineage
+    val q = emb.where(col(idCol) === lit(queryId))
       .select(col(vecCol).as("q_vec"))
     // cells to probe: nprobe nearest centroids to the query
     val probed = centroids.crossJoin(broadcast(q))

@@ -54,7 +54,7 @@ object Similarity {
       queryId: Long, k: Int): DataFrame = {
     val q = emb.where(col(idCol) === lit(queryId))
       .select(col(vecCol).as("q_vec"))
-    emb.where(col(idCol) =!= lit(queryId))
+    graft.ops.ScaleOps.fanOut(emb).where(col(idCol) =!= lit(queryId))
       .crossJoin(broadcast(q))
       .withColumn("cos_sim", cosine(col(vecCol), col("q_vec")))
       .select(col(idCol), col("cos_sim"))
@@ -72,7 +72,7 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, queryIdCol: String, k: Int): DataFrame = {
     val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("q_vec"))
-    val scored = corpus
+    val scored = graft.ops.ScaleOps.fanOut(corpus)
       .select(col(idCol), col(vecCol))
       .crossJoin(broadcast(q))
       .withColumn("cos_sim", cosine(col(vecCol), col("q_vec")))
@@ -114,7 +114,8 @@ object Similarity {
   def lshTopK(
       emb: DataFrame, vecCol: String, idCol: String,
       queryId: Long, k: Int, nPlanes: Int = 8): DataFrame = {
-    val withB = emb.withColumn("bucket", lshBucket(col(vecCol), nPlanes))
+    val withB = graft.ops.ScaleOps.fanOut(emb)
+      .withColumn("bucket", lshBucket(col(vecCol), nPlanes))
     val q = withB.where(col(idCol) === lit(queryId))
       .select(col("bucket").as("q_bucket"), col(vecCol).as("q_vec"))
     withB.where(col(idCol) =!= lit(queryId))
@@ -132,7 +133,7 @@ object Similarity {
   def lshNearDupPairs(
       emb: DataFrame, vecCol: String, idCol: String,
       threshold: Double, nPlanes: Int = 6): DataFrame = {
-    val withB = emb
+    val withB = graft.ops.ScaleOps.fanOut(emb)
       .withColumn("bucket", lshBucket(col(vecCol), nPlanes))
     val a = withB.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = withB.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))

@@ -30,9 +30,14 @@ object TextAnalysis {
   }
 
   /** Whitespace token count (split on single spaces; the corpus is
-    * single-space delimited).
+    * single-space delimited). Computed as space-count + 1 — split
+    * keeps empty tokens (limit -1), so the identity
+    * `size(split(t, " ")) == count(' ') + 1` holds for EVERY string
+    * including empties and runs of spaces — which avoids
+    * materializing the token array just to take its length.
     */
-  def tokenCount(text: Column): Column = size(split(text, " ")).cast("long")
+  def tokenCount(text: Column): Column =
+    (length(text) - length(replace(text, lit(" "), lit(""))) + lit(1)).cast("long")
 
   /** Crude BPE-ish subword count: tokens × avg-chars-per-token / 4
     * approximated as ceil(chars/4) — the standard "~4 chars per
@@ -89,13 +94,18 @@ object TextAnalysis {
       .drop("__cjk" +: markers.map { case (l, _) => s"__s_$l" }: _*)
   }
 
-  /** Punctuation character count. */
+  /** Punctuation character count — `translate` (single-pass char
+    * map) deletes the punctuation set; the length drop is the count.
+    * No regex engine in the hot path.
+    */
   def punctCount(text: Column): Column =
-    length(regexp_replace(text, "[^.,;:!?]", "")).cast("long")
+    (length(text) - length(translate(text, ".,;:!?", ""))).cast("long")
 
-  /** Uppercase-letter count. */
+  /** Uppercase-letter count (ASCII A-Z, translate-deleted like
+    * [[punctCount]]).
+    */
   def upperCount(text: Column): Column =
-    length(regexp_replace(text, "[^A-Z]", "")).cast("long")
+    (length(text) - length(translate(text, ('A' to 'Z').mkString, ""))).cast("long")
 
   /** Mean token length in characters (single double division —
     * deterministic and engine-portable bit-for-bit).
