@@ -16,13 +16,15 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  /** Fact-sized tables get fanned out to full parallelism when the
-    * file arrives under-split (single row group = one partition);
-    * dimension tables (region/nation/supplier) stay narrow — they are
-    * broadcast-join sides and a repartition would only add a stage.
+  /** Only the pipeline corpora (documents/embeddings) fan out when
+    * the file arrives under-split (single row group = one partition):
+    * their per-row work (regex, shingle/sketch kernels, N² vector
+    * loops) dwarfs a small repartition. Relational tables do NOT —
+    * partial aggregation collapses them before the first exchange, so
+    * a pre-shuffle of raw rows costs more than the single-core scan
+    * it parallelizes, and dimension tables are broadcast sides.
     */
-  private val factTables =
-    Set("lineitem", "orders", "customer", "part", "events", "documents", "embeddings")
+  private val factTables = Set("documents", "embeddings")
 
   /** Load a raw table. Caller owns any post-processing. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
