@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.sqlcompat.{CompatFunctions, SqlRewrite}
+import graft.sqlcompat.{CompatFunctions, RecursiveCte, SqlRewrite}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -795,6 +795,88 @@ object SparkEntry {
       s.sql(usingJoinSql)
     })
 
+  // WITH RECURSIVE (DataFusion supports it, Spark ≤4.1 does not):
+  // executed by the driver-side fixpoint loop in RecursiveCte; the
+  // oracle runs DuckDB's native recursive CTE. The band boundaries
+  // accumulate 0.02 steps in double — the identical IEEE sequence in
+  // both engines, so the non-equi band join is bit-deterministic.
+  private val recursiveSql = """
+    WITH RECURSIVE bands(band, lo) AS (
+      SELECT 0, CAST(0.0 AS DOUBLE)
+      UNION ALL
+      SELECT band + 1, lo + 0.02 FROM bands WHERE band < 4
+    )
+    SELECT band, lo, COUNT(l_orderkey) AS n_items
+    FROM bands LEFT JOIN lineitem
+      ON l_discount >= lo AND l_discount < lo + 0.02
+    GROUP BY band, lo ORDER BY band"""
+
+  private val q51 = Q("q51_recursive_cte", Some(recursiveSql),
+    (s, dir) => {
+      registerViews(s, dir, "lineitem")
+      RecursiveCte.execute(s, recursiveSql)
+    })
+
+  private val q52 = Q("q52_hash_encode", Some("""
+    SELECT c_custkey,
+      md5(c_name) AS name_md5,
+      sha256(c_name) AS name_sha256,
+      lower(to_hex(c_custkey)) AS key_hex,
+      to_base64(CAST(c_name AS BLOB)) AS name_b64,
+      CAST(bit_length(c_name) AS BIGINT) AS bits,
+      CAST(octet_length(CAST(c_name AS BLOB)) AS BIGINT) AS octets
+    FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey"""),
+    (s, dir) => T(s, dir, "customer")
+      .filter(col("c_custkey") <= 200)
+      .select(col("c_custkey"),
+        md5(col("c_name")).as("name_md5"),
+        sha2(col("c_name"), 256).as("name_sha256"),
+        lower(hex(col("c_custkey"))).as("key_hex"),
+        base64(col("c_name").cast("binary")).as("name_b64"),
+        bit_length(col("c_name")).cast("long").as("bits"),
+        octet_length(col("c_name")).cast("long").as("octets"))
+      .orderBy(col("c_custkey")))
+
+  private val q53 = Q("q53_math_funcs2", Some("""
+    SELECT p_partkey,
+      ROUND(SIN(p_retailprice), 6) AS sin_p,
+      ROUND(COS(p_retailprice), 6) AS cos_p,
+      ROUND(ATAN2(p_size, 7), 6) AS at2,
+      ROUND(DEGREES(p_retailprice / 1000), 6) AS deg,
+      ROUND(RADIANS(p_size), 6) AS rad,
+      CAST(FACTORIAL(p_size % 10) AS BIGINT) AS fact,
+      ROUND(CBRT(p_retailprice), 6) AS cbrt_p,
+      ROUND(LOG10(p_retailprice), 6) AS lg10,
+      ROUND(LOG2(p_retailprice), 6) AS lg2,
+      GREATEST(p_size, 25) AS gmax,
+      LEAST(p_size, 25) AS lmin
+    FROM part WHERE p_partkey <= 500 ORDER BY p_partkey"""),
+    (s, dir) => T(s, dir, "part")
+      .filter(col("p_partkey") <= 500)
+      .select(col("p_partkey"),
+        round(sin(col("p_retailprice")), 6).as("sin_p"),
+        round(cos(col("p_retailprice")), 6).as("cos_p"),
+        round(atan2(col("p_size"), lit(7)), 6).as("at2"),
+        round(degrees(col("p_retailprice") / 1000), 6).as("deg"),
+        round(radians(col("p_size")), 6).as("rad"),
+        factorial(col("p_size") % 10).cast("long").as("fact"),
+        round(cbrt(col("p_retailprice")), 6).as("cbrt_p"),
+        round(log10(col("p_retailprice")), 6).as("lg10"),
+        round(log2(col("p_retailprice")), 6).as("lg2"),
+        greatest(col("p_size"), lit(25)).as("gmax"),
+        least(col("p_size"), lit(25)).as("lmin"))
+      .orderBy(col("p_partkey")))
+
+  private val q54 = Q("q54_generate_series", Some("""
+    SELECT p_partkey, CAST(unnest(generate_series(1, p_size % 5 + 1)) AS BIGINT) AS i
+    FROM part WHERE p_partkey <= 100 ORDER BY p_partkey, i"""),
+    (s, dir) => T(s, dir, "part")
+      .filter(col("p_partkey") <= 100)
+      .select(col("p_partkey"),
+        explode(sequence(lit(1), col("p_size") % 5 + 1)).as("i"))
+      .select(col("p_partkey"), col("i").cast("long").as("i"))
+      .orderBy(col("p_partkey"), col("i")))
+
   private val cubeSql = """
     SELECT COALESCE(l_returnflag, '*') AS rf, COALESCE(l_linestatus, '*') AS ls,
       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
@@ -1046,6 +1128,37 @@ object SparkEntry {
         col("sha256_hex"), col("mean_intensity"))
       .orderBy(col("sample_id")))
 
+  // Mean-pool embeddings per label (the "class centroid" shape):
+  // posexplode → (label, pos) average. Floating aggregation order
+  // differs per engine, so the means are rounded like q27's stats.
+  private val s05 = Q("s05_embedding_pool", Some("""
+    SELECT label, CAST(i - 1 AS INT) AS pos,
+      ROUND(AVG(CAST(e AS DOUBLE)), 6) AS mean_val
+    FROM (SELECT label, unnest(embedding) AS e,
+            unnest(generate_series(1, len(embedding))) AS i
+          FROM embeddings)
+    GROUP BY label, i ORDER BY label, pos"""),
+    (s, dir) => T(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("col").cast("double")), 6).as("mean_val"))
+      .orderBy(col("label"), col("pos")))
+
+  // Token-window chunking with overlap (window 50, stride 40) — the
+  // LLM context-window preparation operator (TextChunker).
+  private val t05 = Q("t05_chunking", Some("""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    idx AS (SELECT doc_id, tk,
+      unnest(generate_series(0, CAST(FLOOR((len(tk) - 1) / 40.0) AS BIGINT))) AS i
+      FROM toks)
+    SELECT doc_id, CAST(i AS INT) AS chunk_id,
+      array_to_string(list_slice(tk, i * 40 + 1, i * 40 + 50), ' ') AS chunk_text,
+      CAST(len(list_slice(tk, i * 40 + 1, i * 40 + 50)) AS BIGINT) AS n_tokens
+    FROM idx ORDER BY doc_id, chunk_id"""),
+    (s, dir) => graft.pipeline.TextChunker.chunk(
+        T(s, dir, "documents"), "text", "doc_id", windowTokens = 50, strideTokens = 40)
+      .orderBy(col("doc_id"), col("chunk_id")))
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -1053,9 +1166,10 @@ object SparkEntry {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
-    q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    d01, d02, d03, d04, d05, s01, s02, s03, s04,
-    t01, t02, t03, t04, m01, m02)
+    q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
+    q52, q53, q54,
+    d01, d02, d03, d04, d05, s01, s02, s03, s04, s05,
+    t01, t02, t03, t04, t05, m01, m02)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))

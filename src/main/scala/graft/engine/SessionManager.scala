@@ -144,7 +144,11 @@ final class SessionManager(root: SparkSession, reaperPeriodMs: Long = 1000L) {
       case Some(r) => Federation.prepare(h, sqlText, r)
       case None    => graft.sqlcompat.SqlRewrite.rewrite(sqlText)
     }
-    h.spark.sql(rewritten)
+    // WITH RECURSIVE has no Spark counterpart — driver-side fixpoint
+    // loop over distributed iterations (SURVEY §2.B known gap, closed)
+    if (graft.sqlcompat.RecursiveCte.isRecursive(rewritten))
+      graft.sqlcompat.RecursiveCte.execute(h.spark, rewritten)
+    else h.spark.sql(rewritten)
   }
 
   private def reap(): Unit =

@@ -1,0 +1,132 @@
+package graft.sqlcompat
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** `WITH RECURSIVE` support — the one DataFusion-45 SQL construct with
+  * no Spark (≤ 4.1) counterpart (SURVEY §2.B "Subqueries & CTE").
+  *
+  * Executed as a driver-side fixpoint loop over fully distributed
+  * iterations, the standard strategy engines without a native
+  * RecursionExec use:
+  *
+  *  - `base UNION ALL step`: seed with base; each iteration binds the
+  *    CTE name to the PREVIOUS iteration's rows only (SQL-standard
+  *    working-table semantics), appends the step's output, and stops
+  *    when an iteration produces no rows.
+  *  - `base UNION step`: same, but each iteration's rows are
+  *    de-duplicated against everything already produced (`EXCEPT`),
+  *    so cyclic graphs terminate (semi-naive evaluation).
+  *
+  * Each iteration is one Spark job over cached working/accumulator
+  * frames; the recursion depth is bounded by `maxIterations` (the
+  * reference engine's guard is its own recursion limit). The working
+  * table is re-registered per iteration as a session temp view under
+  * the CTE's name, shadowing like a real CTE would.
+  *
+  * Grammar handled (same shape DataFusion/DuckDB accept):
+  * {{{
+  *   WITH RECURSIVE name [(col, …)] AS ( base UNION [ALL] step )
+  *   [, more_ctes…] SELECT …
+  * }}}
+  * Additional non-recursive CTEs after the recursive one are passed
+  * through to Spark as a plain WITH over the materialized result.
+  */
+object RecursiveCte {
+
+  private val Start = """(?is)^\s*WITH\s+RECURSIVE\s+""".r
+
+  def isRecursive(sql: String): Boolean = Start.findFirstIn(sql).isDefined
+
+  /** Number of iterations after which execution aborts (runaway
+    * recursion guard).
+    */
+  val defaultMaxIterations = 1000
+
+  def execute(spark: SparkSession, sql: String,
+      maxIterations: Int = defaultMaxIterations): DataFrame = {
+    val m = Start.findFirstMatchIn(sql).getOrElse(
+      throw new IllegalArgumentException("not a WITH RECURSIVE statement"))
+    var rest = sql.substring(m.end)
+    // name [(cols)]
+    val NameCols = """(?s)^([A-Za-z_][A-Za-z0-9_]*)\s*(\(([^)]*)\))?\s*""".r
+    val nm = NameCols.findFirstMatchIn(rest).getOrElse(
+      throw new IllegalArgumentException("WITH RECURSIVE: expected cte name"))
+    val name = nm.group(1)
+    val cols: Option[Seq[String]] =
+      Option(nm.group(3)).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    rest = rest.substring(nm.end)
+    val AsOpen = """(?is)^AS\s*\(""".r
+    val as = AsOpen.findFirstMatchIn(rest).getOrElse(
+      throw new IllegalArgumentException("WITH RECURSIVE: expected AS ("))
+    val bodyStart = as.end - 1
+    val bodyEnd = SqlRewrite.findBalancedClose(rest, bodyStart)
+    if (bodyEnd < 0)
+      throw new IllegalArgumentException("WITH RECURSIVE: unbalanced body")
+    val body = rest.substring(bodyStart + 1, bodyEnd)
+    val tail0 = rest.substring(bodyEnd + 1).trim
+    // remaining CTEs (", other AS (…)") become a plain WITH
+    val tail =
+      if (tail0.startsWith(",")) "WITH " + tail0.substring(1).trim
+      else tail0
+    // split the body on the FIRST top-level UNION [ALL]
+    val (base, step, unionAll) = splitUnion(body).getOrElse(
+      throw new IllegalArgumentException(
+        "WITH RECURSIVE: body must be 'base UNION [ALL] step'"))
+
+    def named(df: DataFrame): DataFrame =
+      cols.map(cs => df.toDF(cs: _*)).getOrElse(df)
+
+    val run: String => DataFrame = s => spark.sql(SqlRewrite.rewrite(s))
+
+    var working = named(run(base))
+    if (!unionAll) working = working.distinct()
+    working = working.cache()
+    var workingRows = working.count()
+    var result = working
+    var iters = 0
+    while (workingRows > 0 && iters < maxIterations) {
+      working.createOrReplaceTempView(name)
+      var next = named(run(step))
+      if (!unionAll) next = next.distinct().exceptAll(result)
+      val cachedNext = next.cache()
+      workingRows = cachedNext.count()
+      working.unpersist()
+      working = cachedNext
+      if (workingRows > 0) {
+        // keep the accumulator materialized: unioning uncached lineages
+        // would re-run every prior iteration on each reference
+        val acc = result.unionAll(cachedNext).cache()
+        acc.count()
+        result.unpersist()
+        result = acc
+      }
+      iters += 1
+    }
+    working.unpersist()
+    if (iters >= maxIterations && workingRows > 0)
+      throw new IllegalStateException(
+        s"WITH RECURSIVE $name exceeded $maxIterations iterations")
+    result.createOrReplaceTempView(name)
+    // spark.sql analyzes eagerly, so the view can be dropped right
+    // after the tail resolves — a CTE must not outlive its statement
+    val out = if (tail.isEmpty) result else run(tail)
+    spark.catalog.dropTempView(name)
+    out
+  }
+
+  /** Split on the first top-level UNION [ALL] (quote/paren aware).
+    * Returns (base, step, isUnionAll).
+    */
+  private def splitUnion(body: String): Option[(String, String, Boolean)] = {
+    val at = SqlRewrite.findTopLevelKeyword(body, "UNION")
+    if (at < 0) return None
+    val base = body.substring(0, at)
+    var after = body.substring(at + "UNION".length)
+    val All = """(?is)^\s*ALL\b""".r
+    val isAll = All.findFirstMatchIn(after) match {
+      case Some(a) => after = after.substring(a.end); true
+      case None => false
+    }
+    Some((base, after, isAll))
+  }
+}

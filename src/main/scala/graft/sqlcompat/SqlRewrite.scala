@@ -271,7 +271,7 @@ object SqlRewrite {
   /** Index of the ')' matching the '(' at `openAt` (quote-aware via
     * the tokenizer); -1 when unbalanced.
     */
-  private def findBalancedClose(sql: String, openAt: Int): Int = {
+  private[sqlcompat] def findBalancedClose(sql: String, openAt: Int): Int = {
     var depth = 0
     var offset = 0
     var found = -1
@@ -296,7 +296,7 @@ object SqlRewrite {
   /** First occurrence of `word` at paren depth 0 in code runs, with
     * word boundaries on both sides; -1 when absent.
     */
-  private def findTopLevelKeyword(text0: String, word: String): Int = {
+  private[sqlcompat] def findTopLevelKeyword(text0: String, word: String): Int = {
     var depth = 0
     var offset = 0
     var found = -1
