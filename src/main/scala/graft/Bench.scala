@@ -34,6 +34,7 @@ object Bench {
       selected.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
+        spark.catalog.clearCache()
       }
     else spark.read.parquet(s"$sfDir/lineitem.parquet").count(): Unit
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -41,7 +42,13 @@ object Bench {
       val error: Option[String] =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
         catch { case t: Throwable => Some(s"${t.getClass.getSimpleName}: ${t.getMessage}") }
-      (name, (System.nanoTime() - t0) / 1e9, error)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // caches some operators legitimately hold during execution
+      // (LSH doc sets, recursive-CTE accumulators) must not outlive
+      // their query: carried-over cache blocks shrink the heap for
+      // every later query and skew its measurement with GC pressure
+      spark.catalog.clearCache()
+      (name, elapsed, error)
     }
     // a failed query must not report a normal-looking wall clock: its
     // value is -1 and the failure is listed in an errors map

@@ -867,6 +867,59 @@ object SparkEntry {
         least(col("p_size"), lit(25)).as("lmin"))
       .orderBy(col("p_partkey")))
 
+  // GROUPS window frame (SQL:2011; in DataFusion, not in Spark ≤4.1
+  // or DuckDB): emulated on BOTH sides via the dense_rank/RANGE
+  // equivalence — peer groups of l_quantity within each return flag,
+  // frame = current group ±1 group (ops/WindowOps.groupsBetween).
+  private val q55 = Q("q55_groups_frames", Some("""
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        DENSE_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS dr
+      FROM lineitem WHERE l_orderkey <= 400),
+    g AS (
+      SELECT l_returnflag, dr, COUNT(*) AS cnt,
+        SUM(CAST(l_quantity AS DECIMAL(4,1))) AS qsum
+      FROM base GROUP BY l_returnflag, dr),
+    f AS (
+      SELECT l_returnflag, dr,
+        CAST(SUM(cnt) OVER w AS BIGINT) AS frame_n,
+        CAST(SUM(qsum) OVER w AS DOUBLE) AS frame_qty
+      FROM g
+      WINDOW w AS (PARTITION BY l_returnflag ORDER BY dr
+        RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING))
+    SELECT b.l_orderkey, b.l_linenumber, b.l_returnflag, b.l_quantity,
+      f.frame_n, f.frame_qty
+    FROM base b JOIN f USING (l_returnflag, dr)
+    ORDER BY l_orderkey, l_linenumber"""),
+    (s, dir) => {
+      val base = T(s, dir, "lineitem").filter(col("l_orderkey") <= 400)
+      graft.ops.WindowOps.groupsBetween(base,
+          Seq(col("l_returnflag")), Seq(col("l_quantity")),
+          count(lit(1)), 1, 1, "frame_n")
+        .transform(d => graft.ops.WindowOps.groupsBetween(d,
+          Seq(col("l_returnflag")), Seq(col("l_quantity")),
+          sum(dQty(col("l_quantity"))), 1, 1, "frame_qty"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"), col("frame_n"),
+        col("frame_qty").cast("double").as("frame_qty"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+    })
+
+  // AT TIME ZONE (DataFusion datetime surface): UTC instants rendered
+  // as Tokyo / New York wall clock. Spark: from_utc_timestamp; DuckDB
+  // oracle: naive AT TIME ZONE 'UTC' (attach) AT TIME ZONE tz (shift).
+  private val q56 = Q("q56_at_time_zone", Some("""
+    SELECT event_id,
+      CAST(CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC' AT TIME ZONE 'Asia/Tokyo' AS TIMESTAMP) AS tokyo_ts,
+      CAST(CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York' AS TIMESTAMP) AS ny_ts
+    FROM events WHERE event_id <= 300 ORDER BY event_id"""),
+    (s, dir) => Tables.events(s, dir)
+      .filter(col("event_id") <= 300)
+      .select(col("event_id"),
+        from_utc_timestamp(col("ts"), "Asia/Tokyo").cast("timestamp_ntz").as("tokyo_ts"),
+        from_utc_timestamp(col("ts"), "America/New_York").cast("timestamp_ntz").as("ny_ts"))
+      .orderBy(col("event_id")))
+
   private val q54 = Q("q54_generate_series", Some("""
     SELECT p_partkey, CAST(unnest(generate_series(1, p_size % 5 + 1)) AS BIGINT) AS i
     FROM part WHERE p_partkey <= 100 ORDER BY p_partkey, i"""),
@@ -1167,7 +1220,7 @@ object SparkEntry {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54,
+    q52, q53, q54, q55, q56,
     d01, d02, d03, d04, d05, s01, s02, s03, s04, s05,
     t01, t02, t03, t04, t05, m01, m02)
 
