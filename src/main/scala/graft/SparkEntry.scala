@@ -1212,6 +1212,85 @@ object SparkEntry {
         T(s, dir, "documents"), "text", "doc_id", windowTokens = 50, strideTokens = 40)
       .orderBy(col("doc_id"), col("chunk_id")))
 
+  // Deterministic stratified sampling: 5 docs per source, ranked by
+  // md5(doc_id) — reproducible across runs AND engines (rand() is
+  // neither), which is what makes a curation pipeline re-runnable.
+  private val t06 = Q("t06_stratified_sample", Some("""
+    SELECT source, doc_id, sample_rank FROM (
+      SELECT source, doc_id,
+        ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+      FROM documents)
+    WHERE sample_rank <= 5 ORDER BY source, sample_rank"""),
+    (s, dir) => graft.pipeline.Sampling.stratifiedSample(
+        T(s, dir, "documents"), "source", "doc_id", k = 5)
+      .select(col("source"), col("doc_id"), col("sample_rank"))
+      .orderBy(col("source"), col("sample_rank")))
+
+  // End-to-end curation composite — the flagship LLM-data shape:
+  // language-ID -> quality score -> exact dedup (keep min doc_id per
+  // fingerprint) -> filter -> per-source corpus stats. Every stage is
+  // the same operator the standalone queries (t01/t02/t04/d01) pin,
+  // so the DuckDB oracle replays the identical formulas.
+  private val t07 = Q("t07_curation_pipeline", Some("""
+    WITH sc AS (
+      SELECT doc_id, source, text,
+        CAST(LENGTH(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT) AS cjk,
+        ((LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' the ', ' '))) / 4.0
+         + (LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' and ', ' '))) / 4.0
+         + (LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' of ', ' '))) / 3.0) AS s_en,
+        ((LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' der ', ' '))) / 4.0
+         + (LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' und ', ' '))) / 4.0
+         + (LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' nicht ', ' '))) / 6.0) AS s_de,
+        ((LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' le ', ' '))) / 3.0
+         + (LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' et ', ' '))) / 3.0
+         + (LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' les ', ' '))) / 4.0) AS s_fr,
+        ((LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' el ', ' '))) / 3.0
+         + (LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' y ', ' '))) / 2.0
+         + (LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' los ', ' '))) / 4.0) AS s_es
+      FROM documents),
+    langed AS (
+      SELECT doc_id, source, text, s_en,
+        CASE WHEN cjk > 0 THEN 'zh'
+             WHEN GREATEST(s_en, s_de, s_fr, s_es) <= 0.0 THEN 'unknown'
+             WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+             WHEN s_de = GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
+             WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+             WHEN s_es = GREATEST(s_en, s_de, s_fr, s_es) THEN 'es'
+             ELSE 'unknown' END AS lang_pred
+      FROM sc),
+    scored AS (
+      SELECT doc_id, source, text, lang_pred,
+        0.5 * LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+          + 0.3 * LEAST(s_en / GREATEST(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 10.0, 1.0)
+          + 0.2 * (1.0 - LEAST(CAST(LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+              / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0) * 10.0, 1.0)) AS quality,
+        md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM langed),
+    deduped AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM scored)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
+      ROUND(AVG(quality), 6) AS avg_quality
+    FROM deduped
+    WHERE rn = 1 AND lang_pred = 'en' AND quality >= 0.4
+    GROUP BY source ORDER BY source"""),
+    (s, dir) => {
+      val scored = TextAnalysis.withLanguageId(T(s, dir, "documents"), "text")
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      val deduped = scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+        .where(col("rn") === 1 && col("lang_pred") === "en" && col("quality") >= 0.4)
+      deduped.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"),
+          round(avg(col("quality")), 6).as("avg_quality"))
+        .orderBy(col("source"))
+    })
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -1222,7 +1301,7 @@ object SparkEntry {
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56,
     d01, d02, d03, d04, d05, s01, s02, s03, s04, s05,
-    t01, t02, t03, t04, t05, m01, m02)
+    t01, t02, t03, t04, t05, t06, t07, m01, m02)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))
