@@ -33,6 +33,8 @@ import scala.util.control.NonFatal
 final class GraftServer(root: SparkSession, port: Int = 0) {
 
   val sessions = new SessionManager(root)
+  /** Prometheus-format operational metrics (§2.A27). */
+  val metrics = new Metrics
   /** Upload size cap, 20 MB default (reference `settings.rs:213`). */
   @volatile var uploadLimitBytes: Int = 20 * 1024 * 1024
   private val server = JdkHttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -54,6 +56,15 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
       s"""{"name":"graft","version":"0.1.0","sparkVersion":"${root.version}"}""")
   })
 
+  server.createContext("/metrics", (ex: HttpExchange) => safely(ex) {
+    val body = metrics.render(sessions.list.size)
+      .getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "text/plain; version=0.0.4")
+    ex.sendResponseHeaders(200, body.length)
+    ex.getResponseBody.write(body)
+    ex.getResponseBody.close()
+  })
+
   server.createContext("/dataframe/query", (ex: HttpExchange) => safely(ex) {
     if (ex.getRequestMethod != "POST") respondJson(ex, 405, err("POST only"))
     else handleDataFrameQuery(ex)
@@ -64,6 +75,7 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
     val req = Api.parseDataFrameQuery(readBody(ex))
     // ephemeral session (reference: response/handler/dataframe.rs:33-36)
     val h = sessions.create(None, keepAlive)
+    metrics.sessionsCreated.increment()
     try {
       req.dataSources.foreach(ingest(h, _))
       req.processors.foreach(applyMerge(h, _))
@@ -83,6 +95,7 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
       case ("POST", Array()) =>
         val q = query(ex)
         val h = sessions.create(q.get("id"), q.getOrElse("keepAlive", "3600").toLong)
+        metrics.sessionsCreated.increment()
         respondJson(ex, 200, sessionJson(h))
       case ("GET", Array()) =>
         respondJson(ex, 200,
@@ -254,6 +267,7 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
       }
     }
     sessions.registerTable(h, df, DataSourceDef(ds.name, ds.format, ds.location, ds.schemaJson))
+    metrics.dataSourcesRegistered.increment()
   }
 
   /** Merge-processor step (`session.rs:550-656`). */
@@ -349,13 +363,18 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
         case _ => None
       }}.toMap).getOrElse(Map.empty)
 
-  private def safely(ex: HttpExchange)(f: => Unit): Unit =
+  private def safely(ex: HttpExchange)(f: => Unit): Unit = {
+    val t0 = System.nanoTime()
     try f
     catch {
       case e: IllegalArgumentException => respondJson(ex, 400, err(e.getMessage))
       case NonFatal(e) =>
         respondJson(ex, 500, err(Option(e.getMessage).getOrElse(e.getClass.getName)))
-    } finally ex.close()
+    } finally {
+      ex.close()
+      metrics.record(ex.getHttpContext.getPath, System.nanoTime() - t0)
+    }
+  }
 
   private def respondJson(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)

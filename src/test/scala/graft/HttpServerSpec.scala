@@ -201,4 +201,24 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("unknown session is 404") {
     assert(post("/session/nope/query", """{"sql":"SELECT 1"}""").statusCode() == 404)
   }
+
+  test("/metrics exposes Prometheus counters that move with traffic") {
+    post("/session?id=mx", "")
+    post("/session/mx/query", "SELECT 1 AS one", "application/sql")
+    val r = get("/metrics")
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").orElse("").startsWith("text/plain"))
+    val body = r.body()
+    assert(body.contains("# TYPE graft_http_requests_total counter"), body.take(200))
+    assert(body.contains("""graft_http_requests_total{route="/session"}"""))
+    assert(body.contains("graft_http_request_seconds_sum"))
+    assert(body.contains("graft_sessions_created_total"))
+    assert(body.contains("graft_jvm_heap_used_bytes"))
+    // the session counter reflects the create above
+    val created = body.linesIterator
+      .find(_.startsWith("graft_sessions_created_total "))
+      .map(_.split(' ')(1).toDouble).getOrElse(-1.0)
+    assert(created >= 1.0, s"created=$created")
+    delete("/session/mx")
+  }
 }

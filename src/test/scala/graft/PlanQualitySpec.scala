@@ -80,4 +80,54 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
       s"partial agg expected:\n$plan")
   }
+
+  test("simhash kernel plan has no hash exchange (scan-stage sketch)") {
+    val df = graft.pipeline.Dedup.simHash(
+      spark.read.parquet(s"$sf/documents.parquet"), "text", "doc_id")
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"sketching must not shuffle:\n$plan")
+    assert(plan.contains("simhash64") || plan.contains("SimHash64"),
+      s"kernel missing:\n$plan")
+  }
+
+  test("chunking stays map-side: no hash exchange, generator in-stage") {
+    val df = graft.pipeline.TextChunker.chunk(
+      spark.read.parquet(s"$sf/documents.parquet"), "text", "doc_id", 50, 40)
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"chunking must not shuffle by key:\n$plan")
+    assert(plan.contains("Generate posexplode"), s"expected generator:\n$plan")
+  }
+
+  test("GROUPS-frame emulation reuses one partition exchange") {
+    val df = graft.ops.WindowOps.groupsBetween(
+      spark.read.parquet(s"$sf/lineitem.parquet"),
+      Seq(org.apache.spark.sql.functions.col("l_returnflag")),
+      Seq(org.apache.spark.sql.functions.col("l_quantity")),
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)), 1, 1, "n")
+    val plan = planOf(df)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"dense_rank + frame windows must share one exchange, got $exchanges:\n$plan")
+  }
+
+  test("stratified sample ranks inside one exchange per stratum key") {
+    val df = graft.pipeline.Sampling.stratifiedSample(
+      spark.read.parquet(s"$sf/documents.parquet"), "source", "doc_id", 5)
+    val plan = planOf(df)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected a single stratum exchange, got $exchanges:\n$plan")
+  }
+
+  test("IVF probe path broadcasts centroids and the query vector") {
+    val df = graft.pipeline.Ivf.searchTopK(
+      spark.read.parquet(s"$sf/embeddings.parquet"),
+      "embedding", "vec_id", queryId = 0L, k = 5, numCells = 4, nprobe = 2, iters = 1)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"centroids/query must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$plan")
+  }
 }
