@@ -114,11 +114,20 @@ object RecursiveCte {
     out
   }
 
-  /** Split on the first top-level UNION [ALL] (quote/paren aware).
-    * Returns (base, step, isUnionAll).
+  /** Split on the LAST top-level UNION [ALL] (quote/paren aware):
+    * the SQL grammar is `<non-recursive term> UNION [ALL]
+    * <recursive term>` where the non-recursive term may itself be a
+    * union of several seed branches. Returns (base, step, isUnionAll).
     */
   private def splitUnion(body: String): Option[(String, String, Boolean)] = {
-    val at = SqlRewrite.findTopLevelKeyword(body, "UNION")
+    var at = -1
+    var from = 0
+    var found = SqlRewrite.findTopLevelKeyword(body, "UNION")
+    while (found >= 0) {
+      at = from + found
+      from = at + "UNION".length
+      found = SqlRewrite.findTopLevelKeyword(body.substring(from), "UNION")
+    }
     if (at < 0) return None
     val base = body.substring(0, at)
     var after = body.substring(at + "UNION".length)

@@ -31,6 +31,24 @@ class RecursiveCteSpec extends AnyFunSuite {
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(2, 4, 6, 8, 10))
   }
 
+  test("multi-branch seed splits at the LAST top-level UNION") {
+    val df = RecursiveCte.execute(spark,
+      """WITH RECURSIVE t(n) AS (
+           SELECT 1 UNION SELECT 5 UNION ALL SELECT n + 1 FROM t WHERE n < 3
+         ) SELECT n FROM t ORDER BY n""")
+    // seeds {1, 5}; recursion extends 1 → 2 → 3 (5 fails n < 3)
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3, 5))
+  }
+
+  test("UNION inside a subquery does not confuse the splitter") {
+    val df = RecursiveCte.execute(spark,
+      """WITH RECURSIVE t(n) AS (
+           SELECT maxv FROM (SELECT 1 AS maxv UNION ALL SELECT 2) z WHERE maxv = 2
+           UNION ALL SELECT n + 1 FROM t WHERE n < 4
+         ) SELECT n FROM t ORDER BY n""")
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(2, 3, 4))
+  }
+
   test("runaway recursion hits the iteration guard") {
     val e = intercept[IllegalStateException] {
       RecursiveCte.execute(spark,
