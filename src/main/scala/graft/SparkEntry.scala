@@ -270,11 +270,14 @@ object SparkEntry {
         .groupBy(col("l_suppkey"))
         .agg(sum(dPrice(col("l_extendedprice")) * (one - dRate(col("l_discount"))))
           .cast("double").as("total_rev"))
-      val mx = rev.agg(max(col("total_rev")).as("mx"))
+      // Spark inlines CTEs, so `rev` referenced twice (join + MAX
+      // subquery) would aggregate lineitem twice; a global-window max
+      // over the tiny per-supplier frame keeps it one pass
+      val withMax = rev.withColumn("mx",
+        max(col("total_rev")).over(Window.partitionBy()))
       T(s, dir, "supplier")
-        .join(rev, col("s_suppkey") === col("l_suppkey"))
-        .crossJoin(broadcast(mx))
-        .filter(col("total_rev") === col("mx"))
+        .join(withMax.filter(col("total_rev") === col("mx")),
+          col("s_suppkey") === col("l_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("total_rev"))
         .orderBy(col("s_suppkey"))
     })
@@ -1291,6 +1294,26 @@ object SparkEntry {
         .orderBy(col("source"))
     })
 
+  // Frame sampling (video keyframe shape): every 2nd 256-byte frame
+  // of each payload, digested. The oracle slices the hex rendering
+  // (2 chars/byte) since DuckDB cannot substring blobs — both engines
+  // hash the identical uppercase-hex frame text.
+  private val m03 = Q("m03_frame_sample", Some("""
+    WITH m AS (SELECT doc_id AS sample_id, hex(CAST(text AS BLOB)) AS hx,
+                 octet_length(CAST(text AS BLOB)) AS nb FROM documents),
+    f AS (SELECT sample_id, hx, nb,
+            unnest(generate_series(0, CAST(FLOOR((nb - 1) / 256.0) AS BIGINT))) AS fi
+          FROM m)
+    SELECT sample_id, CAST(fi AS INT) AS frame_idx,
+      md5(substring(hx, CAST(fi * 512 + 1 AS BIGINT), 512)) AS frame_md5,
+      CAST(LEAST(nb - fi * 256, 256) AS BIGINT) AS frame_bytes
+    FROM f WHERE fi % 2 = 0 ORDER BY sample_id, frame_idx"""),
+    (s, dir) => Multimodal.sampleFrames(
+        Multimodal.textAsMedia(T(s, dir, "documents"), "doc_id", "text"),
+        frameBytes = 256, every = 2)
+      .select(col("sample_id"), col("frame_idx"), col("frame_md5"), col("frame_bytes"))
+      .orderBy(col("sample_id"), col("frame_idx")))
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -1301,7 +1324,7 @@ object SparkEntry {
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56,
     d01, d02, d03, d04, d05, s01, s02, s03, s04, s05,
-    t01, t02, t03, t04, t05, t06, t07, m01, m02)
+    t01, t02, t03, t04, t05, t06, t07, m01, m02, m03)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))

@@ -128,4 +128,65 @@ object Multimodal {
       col("media_type"),
       octet_length(col("payload")).cast("long").as("n_bytes"),
       md5(col("payload")).as("payload_md5"))
+
+  /** Frame sampling over a media payload: the payload is cut into
+    * fixed-size byte frames and every `every`-th frame is emitted
+    * with its digest — the video keyframe-sampling shape, as pure
+    * codegen'd expressions (binary substring), no decode needed. The
+    * digest is md5 over the frame's hex rendering so a byte-exact
+    * oracle exists in engines that cannot slice blobs directly.
+    *
+    * Scale: map-side only — frames of a payload never leave the
+    * executor holding the sample row; output rows carry (sample,
+    * frame) provenance for downstream dedup/indexing.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int, every: Int): DataFrame = {
+    require(frameBytes > 0 && every > 0, "frameBytes and every must be positive")
+    val nLast = ((octet_length(col("payload")) - lit(1)) / lit(frameBytes)).cast("int")
+    graft.ops.ScaleOps.fanOut(media)
+      .select(col("sample_id"), col("media_type"), col("payload"),
+        explode(sequence(lit(0), nLast)).as("frame_idx"))
+      .where(col("frame_idx") % every === 0)
+      .select(col("sample_id"), col("media_type"), col("frame_idx"),
+        md5(hex(expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)")))
+          .as("frame_md5"),
+        least(octet_length(col("payload")) - col("frame_idx") * frameBytes,
+          lit(frameBytes)).cast("long").as("frame_bytes"))
+  }
+
+  /** Resized media record from the stubbed resize kernel. */
+  case class ResizedMedia(
+      sample_id: Long,
+      media_type: String,
+      payload: Array[Byte],
+      width: Int,
+      height: Int)
+
+  /** Deterministic STUB resize (real codecs absent in this
+    * container): nearest-neighbor byte downsample to targetW×targetH
+    * "pixels". The Spark-side contract — mapPartitions, payload stays
+    * executor-side, metadata updated, typed output — is the real
+    * plumbing a JNI codec would slot into.
+    */
+  def resizeStub(media: DataFrame, targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    require(targetW > 0 && targetH > 0)
+    val spark = media.sparkSession
+    import spark.implicits._
+    val n = targetW * targetH
+    media.select("sample_id", "media_type", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, mt, payload0) =>
+          val payload = if (payload0 == null) Array.emptyByteArray else payload0
+          val out =
+            if (payload.isEmpty) Array.emptyByteArray
+            else {
+              val take = math.min(n, payload.length)
+              val stride = payload.length.toDouble / take
+              Array.tabulate(take)(i => payload(math.min((i * stride).toInt, payload.length - 1)))
+            }
+          ResizedMedia(id, mt, out, targetW, targetH)
+        }
+      }
+  }
 }

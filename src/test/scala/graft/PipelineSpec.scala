@@ -135,6 +135,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(partial.forall(r => r.getDouble(1) <= 1.0 + 1e-9))
   }
 
+  test("frame sampling cuts byte-exact frames with provenance") {
+    import spark.implicits._
+    val media = Multimodal.textAsMedia(
+      Seq((1L, "a" * 600), (2L, "b" * 100)).toDF("doc_id", "text"), "doc_id", "text")
+    val rows = Multimodal.sampleFrames(media, frameBytes = 256, every = 2)
+      .orderBy("sample_id", "frame_idx").collect()
+    // doc 1: frames 0,1,2 → sampled 0,2 (sizes 256, 88); doc 2: frame 0 (100)
+    assert(rows.map(r => (r.getLong(0), r.getInt(2), r.getLong(4))).toSeq ==
+      Seq((1L, 0, 256L), (1L, 2, 88L), (2L, 0, 100L)))
+    // identical frame content → identical digest (dedup-able)
+    assert(rows(0).getString(3) != rows(1).getString(3))
+  }
+
+  test("resize stub downsamples payloads to the target pixel budget") {
+    import spark.implicits._
+    val media = Multimodal.textAsMedia(
+      Seq((1L, "x" * 1000), (2L, "y")).toDF("doc_id", "text"), "doc_id", "text")
+    val out = Multimodal.resizeStub(media, targetW = 4, targetH = 4)
+      .collect().map(r => r.sample_id -> r).toMap
+    assert(out(1L).payload.length == 16)
+    assert(out(1L).width == 4 && out(1L).height == 4)
+    assert(out(2L).payload.length == 1, "short payloads keep their bytes")
+    // deterministic: same input, same bytes
+    val again = Multimodal.resizeStub(media, 4, 4).collect()
+      .map(r => r.sample_id -> r.payload.toSeq).toMap
+    assert(again(1L) == out(1L).payload.toSeq)
+  }
+
   test("language id picks en and de by stopword score") {
     val langs = docs.select(col("doc_id"), TextAnalysis.languageId(col("text")).as("l"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
