@@ -14,7 +14,16 @@ object Bench {
     // operator locally); the driver invokes with no args = run all
     val selected: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
       if (args.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+      else {
+        val unknown = args.filterNot(SparkEntry.queries.contains)
+        if (unknown.nonEmpty) {
+          // fail loudly: a typo'd name silently running zero queries
+          // prints a normal-looking total of 0
+          System.err.println(s"[bench] unknown queries: ${unknown.mkString(", ")}")
+          sys.exit(2)
+        }
+        SparkEntry.queries.view.filterKeys(args.toSet).toMap
+      }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -146,14 +146,14 @@ final class SessionManager(root: SparkSession, reaperPeriodMs: Long = 1000L) {
     }
     // WITH RECURSIVE has no Spark counterpart — driver-side fixpoint
     // loop over distributed iterations (SURVEY §2.B known gap, closed)
-    if (graft.sqlcompat.RecursiveCte.isRecursive(rewritten)) {
-      val df = graft.sqlcompat.RecursiveCte.execute(h.spark, rewritten)
-      // the fixpoint result stays cached (its lineage would replay
-      // every iteration otherwise); track it so session removal
+    if (graft.sqlcompat.RecursiveCte.isRecursive(rewritten))
+      // the fixpoint accumulator stays cached (its lineage would
+      // replay every iteration otherwise); RecursiveCte reports the
+      // ACTUAL cached frame (not the tail result) so session removal
       // releases it from the shared CacheManager
-      h.cachedFrames.put(s"__rcte_${System.nanoTime()}", df)
-      df
-    } else h.spark.sql(rewritten)
+      graft.sqlcompat.RecursiveCte.execute(h.spark, rewritten,
+        onCached = df => h.cachedFrames.put(s"__rcte_${System.nanoTime()}", df): Unit)
+    else h.spark.sql(rewritten)
   }
 
   private def reap(): Unit =

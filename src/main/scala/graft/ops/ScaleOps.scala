@@ -98,7 +98,23 @@ object ScaleOps {
     * is preserved.
     */
   def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Idempotence first, WITHOUT touching df.rdd: under AQE, .rdd on a
+    // plan that already contains an exchange materializes its query
+    // stages (the repartition shuffle would run eagerly at plan-
+    // construction time and again at execution). A plan that already
+    // carries a Repartition was fanned out upstream — skip. Only then
+    // probe the raw (exchange-free) plan, where .rdd is free.
+    import org.apache.spark.sql.catalyst.plans.logical.{Repartition, RepartitionByExpression}
+    import org.apache.spark.sql.classic.{Dataset => CDS}
+    val logical = df.asInstanceOf[CDS[org.apache.spark.sql.Row]].queryExecution.analyzed
+    val alreadyFanned = logical.exists {
+      case _: Repartition | _: RepartitionByExpression => true
+      case _ => false
+    }
+    if (alreadyFanned) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    }
   }
 }

@@ -72,7 +72,8 @@ object Dedup {
 
   def ngramJaccardPairs(
       docs: DataFrame, textCol: String, idCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double,
+      maxPostings: Option[Int] = None): DataFrame = {
     // join/shuffle 64-bit shingle hashes, not strings: ~25% the
     // shuffle bytes, primitive-key join. A hash collision would
     // inflate an intersection count, but even 1e6 distinct shingles
@@ -84,8 +85,10 @@ object Dedup {
     // self-join — 2 shuffles total (postings, then pair counts) vs 3,
     // and shingles appearing in a single document (the vast majority
     // of a real corpus) are dropped before any pair work. A spam
-    // shingle shared by m docs still fans out m²/2 pairs map-side; at
-    // 100 TB cap the posting list like [[minHashLsh]]'s maxBucket.
+    // shingle shared by m docs fans out m²/2 pairs map-side — pass
+    // maxPostings to drop such posting lists at 100 TB (trades
+    // exactness: a dropped shingle stops contributing to
+    // intersections; None = exact, the default).
     val docSets = graft.ops.ScaleOps.fanOut(docs).select(
       col(idCol).as("id"),
       graft.functions.ShingleHashes(col(textCol), n).as("sh_arr"))
@@ -94,7 +97,8 @@ object Dedup {
       .select(explode(col("sh_arr")).as("shingle"), col("id"))
       .groupBy(col("shingle"))
       .agg(collect_list(col("id")).as("ids"))
-      .where(size(col("ids")) >= 2)
+      .where(size(col("ids")) >= 2 &&
+        maxPostings.map(m => size(col("ids")) <= lit(m)).getOrElse(lit(true)))
     val inter = postings
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))

@@ -142,10 +142,15 @@ object Multimodal {
     */
   def sampleFrames(media: DataFrame, frameBytes: Int, every: Int): DataFrame = {
     require(frameBytes > 0 && every > 0, "frameBytes and every must be positive")
+    // floor division via double-cast truncates TOWARD ZERO, so an
+    // empty payload would yield nLast = 0 (a phantom zero-byte frame,
+    // and sequence(0,-1) would even DESCEND) — emit no frames instead
     val nLast = ((octet_length(col("payload")) - lit(1)) / lit(frameBytes)).cast("int")
+    val frameIdxs = when(octet_length(col("payload")) > 0, sequence(lit(0), nLast))
+      .otherwise(array().cast("array<int>"))
     graft.ops.ScaleOps.fanOut(media)
       .select(col("sample_id"), col("media_type"), col("payload"),
-        explode(sequence(lit(0), nLast)).as("frame_idx"))
+        explode(frameIdxs).as("frame_idx"))
       .where(col("frame_idx") % every === 0)
       .select(col("sample_id"), col("media_type"), col("frame_idx"),
         md5(hex(expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)")))

@@ -371,8 +371,11 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
       case NonFatal(e) =>
         respondJson(ex, 500, err(Option(e.getMessage).getOrElse(e.getClass.getName)))
     } finally {
-      ex.close()
+      // record BEFORE close: once the exchange closes, the client's
+      // next request (e.g. a /metrics scrape checking this counter)
+      // can race ahead of the increment on another pool thread
       metrics.record(ex.getHttpContext.getPath, System.nanoTime() - t0)
+      ex.close()
     }
   }
 

@@ -42,8 +42,14 @@ object RecursiveCte {
     */
   val defaultMaxIterations = 1000
 
+  /** Execute, reporting the internally cached accumulator frame to
+    * `onCached` so the caller can release it from the shared
+    * CacheManager when its session ends (the returned tail frame is
+    * NOT the cached one whenever the statement has a final SELECT).
+    */
   def execute(spark: SparkSession, sql: String,
-      maxIterations: Int = defaultMaxIterations): DataFrame = {
+      maxIterations: Int = defaultMaxIterations,
+      onCached: DataFrame => Unit = _ => ()): DataFrame = {
     val m = Start.findFirstMatchIn(sql).getOrElse(
       throw new IllegalArgumentException("not a WITH RECURSIVE statement"))
     var rest = sql.substring(m.end)
@@ -90,22 +96,27 @@ object RecursiveCte {
       if (!unionAll) next = next.distinct().exceptAll(result)
       val cachedNext = next.cache()
       workingRows = cachedNext.count()
-      working.unpersist()
+      val prevWorking = working
       working = cachedNext
       if (workingRows > 0) {
         // keep the accumulator materialized: unioning uncached lineages
-        // would re-run every prior iteration on each reference
+        // would re-run every prior iteration on each reference. Order
+        // matters — the new accumulator materializes FROM the previous
+        // caches, so nothing is unpersisted until acc.count() is done
+        // (unpersisting first would force a full lineage recompute).
         val acc = result.unionAll(cachedNext).cache()
         acc.count()
-        result.unpersist()
+        if (!(result eq prevWorking)) result.unpersist()
         result = acc
       }
+      if (!(prevWorking eq result)) prevWorking.unpersist()
       iters += 1
     }
-    working.unpersist()
+    if (!(working eq result)) working.unpersist()
     if (iters >= maxIterations && workingRows > 0)
       throw new IllegalStateException(
         s"WITH RECURSIVE $name exceeded $maxIterations iterations")
+    onCached(result)
     result.createOrReplaceTempView(name)
     // spark.sql analyzes eagerly, so the view can be dropped right
     // after the tail resolves — a CTE must not outlive its statement
