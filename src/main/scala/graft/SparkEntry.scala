@@ -1294,6 +1294,33 @@ object SparkEntry {
         .orderBy(col("source"))
     })
 
+  // Second dialect-shim battery through the SQL door: DataFusion
+  // names (to_hex, arrow_cast, array_has/_all, array_length,
+  // array_element) resolved by CompatFunctions' registry; the oracle
+  // speaks native DuckDB (to_hex, CAST, list_contains, len, [i]).
+  private val q57 = Q("q57_dialect_shims2", Some("""
+    SELECT p_partkey,
+      to_hex(p_partkey) AS hx,
+      CAST(p_size AS DOUBLE) AS fsize,
+      list_contains([1, 2, 3], p_size % 3 + 1) AS has1,
+      CAST(len(generate_series(1, p_size % 4 + 1)) AS INT) AS alen,
+      CAST((generate_series(1, 5))[p_size % 5 + 1] AS BIGINT) AS elem,
+      list_has_all([10, 20, 30, 40], [10, p_size % 3 * 10 + 10]) AS hasall
+    FROM part WHERE p_partkey <= 100 ORDER BY p_partkey"""),
+    (s, dir) => {
+      registerViews(s, dir, "part")
+      CompatFunctions.registerAll(s)
+      s.sql(SqlRewrite.rewrite("""
+        SELECT p_partkey,
+          to_hex(p_partkey) AS hx,
+          arrow_cast(p_size, 'Float64') AS fsize,
+          array_has(array(1, 2, 3), p_size % 3 + 1) AS has1,
+          array_length(generate_series(1, p_size % 4 + 1)) AS alen,
+          arrow_cast(array_element(generate_series(1, 5), p_size % 5 + 1), 'Int64') AS elem,
+          array_has_all(array(10, 20, 30, 40), array(10, p_size % 3 * 10 + 10)) AS hasall
+        FROM part WHERE p_partkey <= 100 ORDER BY p_partkey"""))
+    })
+
   // Frame sampling (video keyframe shape): every 2nd 256-byte frame
   // of each payload, digested. The oracle slices the hex rendering
   // (2 chars/byte) since DuckDB cannot substring blobs — both engines
@@ -1322,7 +1349,7 @@ object SparkEntry {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56,
+    q52, q53, q54, q55, q56, q57,
     d01, d02, d03, d04, d05, s01, s02, s03, s04, s05,
     t01, t02, t03, t04, t05, t06, t07, m01, m02, m03)
 

@@ -119,6 +119,57 @@ object CompatFunctions {
       val binned = Subtract(diff, Pmod(diff, strideUs))
       MicrosToTimestamp(Add(originUs, binned))
     }
+    // to_hex(n) = hex(n) (both unpadded uppercase)
+    ifMissing("to_hex") { es => Hex(es.head) }
+    // random() = rand() (both uniform [0,1))
+    ifMissing("random") { es => if (es.isEmpty) new Rand() else new Rand(es.head) }
+    // DataFusion array_* names Spark spells differently
+    ifMissing("array_has") { es => ArrayContains(es(0), es(1)) }
+    ifMissing("array_has_any") { es => ArraysOverlap(es(0), es(1)) }
+    // has_all(a, b): every element of b is in a ⇔ b \ a = ∅
+    ifMissing("array_has_all") { es =>
+      EqualTo(Size(ArrayExcept(es(1), es(0))), Literal(0))
+    }
+    ifMissing("array_length") { es => Size(es.head) }
+    ifMissing("array_element") { es => ElementAt(es(0), es(1)) }
+    // arrow_cast(x, 'Int64') — DataFusion's Arrow-typed cast; the type
+    // name is a string literal mapped onto the Spark SQL type
+    ifMissing("arrow_cast") { es =>
+      val typeName = es(1) match {
+        case Literal(v, _) if v != null => v.toString
+        case other => throw new IllegalArgumentException(
+          s"arrow_cast expects a literal type name, got $other")
+      }
+      Cast(es(0), arrowTypeToSpark(typeName))
+    }
     val _ = parser // reserved for future parse-based shims
+  }
+
+  /** Arrow type-name → Spark type (the subset DataFusion docs use). */
+  private def arrowTypeToSpark(name: String): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    val n = name.trim
+    n match {
+      case "Int8" => ByteType
+      case "Int16" => ShortType
+      case "Int32" => IntegerType
+      case "Int64" => LongType
+      case "UInt8" => ShortType      // widened: Spark has no unsigned
+      case "UInt16" => IntegerType
+      case "UInt32" => LongType
+      case "UInt64" => DecimalType(20, 0)
+      case "Float32" => FloatType
+      case "Float64" => DoubleType
+      case "Utf8" | "LargeUtf8" | "Utf8View" => StringType
+      case "Binary" | "LargeBinary" => BinaryType
+      case "Boolean" => BooleanType
+      case "Date32" | "Date64" => DateType
+      case t if t.startsWith("Timestamp") => TimestampNTZType
+      case t if t.startsWith("Decimal128") =>
+        // Decimal128(p, s)
+        val ps = t.stripPrefix("Decimal128(").stripSuffix(")").split(",").map(_.trim.toInt)
+        DecimalType(ps(0), ps(1))
+      case other => throw new IllegalArgumentException(s"arrow_cast: unsupported type $other")
+    }
   }
 }

@@ -70,4 +70,27 @@ class CompatFunctionsSpec extends AnyFunSuite {
     assert(one("SELECT sequence(1, 3)") ==
       scala.collection.immutable.ArraySeq(1, 2, 3))
   }
+
+  test("to_hex matches Spark's hex") {
+    assert(one("SELECT to_hex(255)") == "FF")
+    assert(one("SELECT to_hex(171)") == "AB")
+  }
+
+  test("arrow_cast maps Arrow type names onto Spark casts") {
+    assert(one("SELECT arrow_cast(7, 'Float64')") == 7.0)
+    assert(one("SELECT arrow_cast('42', 'Int64')") == 42L)
+    assert(one("SELECT arrow_cast(1, 'Boolean')") == true)
+    assert(one("SELECT typeof(arrow_cast(TIMESTAMP '2024-01-01 00:00:00', 'Timestamp(Microsecond, None)'))")
+      == "timestamp_ntz")
+  }
+
+  test("array_has family and element/length shims") {
+    assert(one("SELECT array_has(array(1,2,3), 2)") == true)
+    assert(one("SELECT array_has(array(1,2,3), 9)") == false)
+    assert(one("SELECT array_has_any(array(1,2), array(2,5))") == true)
+    assert(one("SELECT array_has_all(array(1,2,3), array(1,3))") == true)
+    assert(one("SELECT array_has_all(array(1,2,3), array(1,9))") == false)
+    assert(one("SELECT array_length(array(1,2,3))") == 3)
+    assert(one("SELECT array_element(array(10,20,30), 2)") == 20)
+  }
 }
