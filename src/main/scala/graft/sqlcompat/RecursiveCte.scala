@@ -88,34 +88,38 @@ object RecursiveCte {
     if (!unionAll) working = working.distinct()
     working = working.cache()
     var workingRows = working.count()
-    var result = working
+    // every iteration's frame is individually cached (the emptiness
+    // check materializes it anyway), so the running accumulator is
+    // just a union over cached pieces — recomputing it is cache reads,
+    // and it needs NO materialization of its own per iteration. One
+    // job per iteration, not two.
+    var pieces = Vector(working)
+    def accumulated: DataFrame = pieces.reduce(_ unionAll _)
     var iters = 0
     while (workingRows > 0 && iters < maxIterations) {
       working.createOrReplaceTempView(name)
       var next = named(run(step))
-      if (!unionAll) next = next.distinct().exceptAll(result)
+      if (!unionAll) next = next.distinct().exceptAll(accumulated)
       val cachedNext = next.cache()
       workingRows = cachedNext.count()
-      val prevWorking = working
       working = cachedNext
-      if (workingRows > 0) {
-        // keep the accumulator materialized: unioning uncached lineages
-        // would re-run every prior iteration on each reference. Order
-        // matters — the new accumulator materializes FROM the previous
-        // caches, so nothing is unpersisted until acc.count() is done
-        // (unpersisting first would force a full lineage recompute).
-        val acc = result.unionAll(cachedNext).cache()
-        acc.count()
-        if (!(result eq prevWorking)) result.unpersist()
-        result = acc
-      }
-      if (!(prevWorking eq result)) prevWorking.unpersist()
+      if (workingRows > 0) pieces :+= cachedNext
+      else cachedNext.unpersist(): Unit
       iters += 1
     }
-    if (!(working eq result)) working.unpersist()
     if (iters >= maxIterations && workingRows > 0)
       throw new IllegalStateException(
         s"WITH RECURSIVE $name exceeded $maxIterations iterations")
+    // fold the pieces into ONE cached result, then release them — a
+    // single materialization for the whole recursion
+    val result =
+      if (pieces.size == 1) pieces.head
+      else {
+        val acc = accumulated.cache()
+        acc.count()
+        pieces.foreach(_.unpersist())
+        acc
+      }
     onCached(result)
     result.createOrReplaceTempView(name)
     // spark.sql analyzes eagerly, so the view can be dropped right
