@@ -1184,6 +1184,29 @@ object SparkEntry {
         col("sha256_hex"), col("mean_intensity"))
       .orderBy(col("sample_id")))
 
+  // Int8 scalar quantization of the embedding store (FAISS-SQ8
+  // shape): codes + worst-dimension reconstruction error, both pure
+  // per-element arithmetic — bit-identical in DuckDB.
+  private val s06 = Q("s06_scalar_quantize", Some("""
+    SELECT vec_id,
+      list_transform(embedding, x ->
+        CAST(GREATEST(-128, LEAST(127,
+          ROUND((CAST(x AS DOUBLE) - (-2.0)) / 4.0 * 255.0) - 128)) AS TINYINT)) AS qvec,
+      list_max(list_transform(embedding, x ->
+        ABS(CAST(x AS DOUBLE) -
+          ((CAST(GREATEST(-128, LEAST(127,
+              ROUND((CAST(x AS DOUBLE) - (-2.0)) / 4.0 * 255.0) - 128)) AS DOUBLE)
+            + 128.0) / 255.0 * 4.0 + (-2.0))))) AS max_err
+    FROM embeddings ORDER BY vec_id"""),
+    (s, dir) => {
+      val q = graft.pipeline.Quantize.scalarQuantize(
+        T(s, dir, "embeddings"), "embedding", lo = -2.0, hi = 2.0)
+      q.select(col("vec_id"), col("qvec"),
+          graft.pipeline.Quantize.maxReconstructionError(
+            col("embedding"), col("qvec"), -2.0, 2.0).as("max_err"))
+        .orderBy(col("vec_id"))
+    })
+
   // Mean-pool embeddings per label (the "class centroid" shape):
   // posexplode → (label, pos) average. Floating aggregation order
   // differs per engine, so the means are rounded like q27's stats.
@@ -1350,7 +1373,7 @@ object SparkEntry {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57,
-    d01, d02, d03, d04, d05, s01, s02, s03, s04, s05,
+    d01, d02, d03, d04, d05, s01, s02, s03, s04, s05, s06,
     t01, t02, t03, t04, t05, t06, t07, m01, m02, m03)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =

@@ -163,6 +163,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(again(1L) == out(1L).payload.toSeq)
   }
 
+  test("int8 quantization bounds error and keeps search usable") {
+    val emb = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet").limit(300)
+    val q = graft.pipeline.Quantize.scalarQuantize(emb, "embedding", -2.0, 2.0)
+    val errs = q.select(graft.pipeline.Quantize.maxReconstructionError(
+        col("embedding"), col("qvec"), -2.0, 2.0).as("e"))
+      .collect().map(_.getDouble(0))
+    // in-range values err at most half a bucket: 4/255/2 ≈ 0.00784
+    assert(errs.max <= 4.0 / 255.0 / 2.0 + 1e-9, s"max err ${errs.max}")
+    // quantized search finds mostly the same neighbors as exact
+    val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = graft.pipeline.Quantize.quantizedTopK(
+        emb, "embedding", "vec_id", 0L, 10, -2.0, 2.0)
+      .collect().map(_.getLong(0)).toSet
+    assert((exact intersect approx).size >= 8,
+      s"recall too low: ${(exact intersect approx).size}/10")
+  }
+
   test("language id picks en and de by stopword score") {
     val langs = docs.select(col("doc_id"), TextAnalysis.languageId(col("text")).as("l"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
