@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // batch-throughput GC: G1's concurrent cycles add multi-second
+  // pauses/variance to the 32-thread local bench; Parallel GC trades
+  // latency (irrelevant here) for throughput and stable timings
+  "-XX:+UseParallelGC",
 )
