@@ -153,6 +153,15 @@ final class SessionManager(root: SparkSession, reaperPeriodMs: Long = 1000L) {
       // releases it from the shared CacheManager
       graft.sqlcompat.RecursiveCte.execute(h.spark, rewritten,
         onCached = df => h.cachedFrames.put(s"__rcte_${System.nanoTime()}", df): Unit)
+    else if (graft.sqlcompat.InsertInto.isInsert(rewritten))
+      // mem-table append: each insert materializes the new table
+      // state; the previous state's cache is released on replacement
+      // (and all of them on session removal)
+      graft.sqlcompat.InsertInto.execute(h.spark, rewritten,
+        onNewState = (table, df) => {
+          val prev = h.cachedFrames.put(s"__table_$table", df)
+          if (prev != null) { try prev.unpersist() catch { case _: Throwable => () } }
+        })
     else h.spark.sql(rewritten)
   }
 
