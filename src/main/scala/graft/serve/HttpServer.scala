@@ -168,6 +168,36 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
           defs.map(Api.parseDataSource).foreach(ingest(h, _))
           respondJson(ex, 200, """{"status":"ok"}""")
         }
+      // write registered tables back to files (reference
+      // `POST /:session_id/datasource/save`, routes.rs:35 →
+      // save_to_file/save_to_object_store): each entry names a
+      // session table and a destination location + format
+      case ("POST", Array(id, "datasource", "save")) =>
+        withSession(ex, id) { h =>
+          val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(readBody(ex))
+          val defs =
+            if (n.isArray) n.elements().asScala.toSeq
+            else Option(n.get("dataSources")).filter(_.isArray)
+              .map(_.elements().asScala.toSeq).getOrElse(Seq(n))
+          defs.map(Api.parseDataSource).foreach { ds =>
+            val loc = ds.location.getOrElse(
+              throw new IllegalArgumentException(s"save of ${ds.name}: location required"))
+            if (!h.spark.catalog.tableExists(ds.name))
+              throw new IllegalArgumentException(s"no such table: ${ds.name}")
+            val df = h.spark.table(ds.name)
+            ds.format.toLowerCase match {
+              case "csv" => graft.ops.Sinks.writeCsv(df, loc,
+                header = ds.options.hasHeader, delimiter = ds.options.delimiter)
+              case "ndjson" => graft.ops.Sinks.writeNdJson(df, loc)
+              case "parquet" => graft.ops.Sinks.writeParquet(df, loc)
+              case "json" => graft.ops.Sinks.writeJsonArrayFile(df, loc,
+                overwrite = ds.options.overwrite)
+              case other =>
+                throw new IllegalArgumentException(s"unsupported save format: $other")
+            }
+          }
+          ex.sendResponseHeaders(204, -1)
+        }
       case ("GET", Array(id, "datasource")) =>
         withSession(ex, id) { h =>
           respondJson(ex, 200, h.dataSources.values().asScala.toSeq.sortBy(_.name)

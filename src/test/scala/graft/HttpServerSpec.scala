@@ -202,6 +202,31 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post("/session/nope/query", """{"sql":"SELECT 1"}""").statusCode() == 404)
   }
 
+  test("datasource/save writes a registered table back to files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-save").toString
+    post("/session?id=sv", "")
+    post("/session/sv/datasource",
+      s"""{"format":"parquet","name":"region","location":"${SparkFixture.sfDir}/region.parquet"}""")
+    val r = post("/session/sv/datasource/save",
+      s"""{"dataSources":[
+           {"format":"csv","name":"region","location":"$dir/region_csv"},
+           {"format":"json","name":"region","location":"$dir/region.json"}]}""")
+    assert(r.statusCode() == 204, r.body())
+    val csvFiles = new java.io.File(s"$dir/region_csv").listFiles()
+      .filter(_.getName.endsWith(".csv"))
+    assert(csvFiles.length == 1, "single-file csv sink")
+    val lines = java.nio.file.Files.readAllLines(csvFiles.head.toPath)
+    assert(lines.size == 6, s"5 regions + header, got ${lines.size}")
+    val json = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/region.json"))
+    val arr = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    assert(arr.isArray && arr.size == 5, json.take(200))
+    // unknown table → 400
+    assert(post("/session/sv/datasource/save",
+      s"""{"dataSources":[{"format":"csv","name":"nope","location":"$dir/x"}]}""")
+      .statusCode() == 400)
+    delete("/session/sv")
+  }
+
   test("/metrics exposes Prometheus counters that move with traffic") {
     post("/session?id=mx", "")
     post("/session/mx/query", "SELECT 1 AS one", "application/sql")
