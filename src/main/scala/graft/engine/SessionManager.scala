@@ -157,12 +157,26 @@ final class SessionManager(root: SparkSession, reaperPeriodMs: Long = 1000L) {
       // mem-table append: each insert materializes the new table
       // state; the previous state's cache is released on replacement
       // (and all of them on session removal)
-      graft.sqlcompat.InsertInto.execute(h.spark, rewritten,
-        onNewState = (table, df) => {
-          val prev = h.cachedFrames.put(s"__table_$table", df)
-          if (prev != null) { try prev.unpersist() catch { case _: Throwable => () } }
-        })
+      graft.sqlcompat.InsertInto.execute(h.spark, rewritten, onNewState = trackTable(h))
+    else if (graft.sqlcompat.MemDdl.isCtas(rewritten))
+      graft.sqlcompat.MemDdl.createTableAs(h.spark, rewritten, onNewState = trackTable(h))
+    else if (graft.sqlcompat.MemDdl.isDrop(rewritten))
+      graft.sqlcompat.MemDdl.dropTable(h.spark, rewritten, onDropped = { table =>
+        h.dataSources.remove(table)
+        val prev = h.cachedFrames.remove(s"__table_$table")
+        if (prev != null) { try prev.unpersist() catch { case _: Throwable => () } }: Unit
+      })
     else h.spark.sql(rewritten)
+  }
+
+  /** Cache-lifecycle tracker for materialized mem-table states
+    * (INSERT INTO / CTAS): replacing a state releases the previous
+    * one; session removal releases them all.
+    */
+  private def trackTable(h: SessionHandle): (String, DataFrame) => Unit = {
+    (table, df) =>
+      val prev = h.cachedFrames.put(s"__table_$table", df)
+      if (prev != null) { try prev.unpersist() catch { case _: Throwable => () } }: Unit
   }
 
   private def reap(): Unit =
