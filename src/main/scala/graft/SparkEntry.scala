@@ -1323,7 +1323,7 @@ object SparkEntry {
   // speaks native DuckDB (to_hex, CAST, list_contains, len, [i]).
   private val q57 = Q("q57_dialect_shims2", Some("""
     SELECT p_partkey,
-      to_hex(p_partkey) AS hx,
+      lower(to_hex(p_partkey)) AS hx,
       CAST(p_size AS DOUBLE) AS fsize,
       list_contains([1, 2, 3], p_size % 3 + 1) AS has1,
       CAST(len(generate_series(1, p_size % 4 + 1)) AS INT) AS alen,

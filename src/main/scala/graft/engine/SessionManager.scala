@@ -132,6 +132,9 @@ final class SessionManager(root: SparkSession, reaperPeriodMs: Long = 1000L) {
 
   def removeTable(h: SessionHandle, name: String): Boolean = {
     h.dataSources.remove(name)
+    // release any materialized state (merge / INSERT / CTAS) with the view
+    val prev = h.cachedFrames.remove(name)
+    if (prev != null) { try prev.unpersist() catch { case _: Throwable => () } }
     h.spark.catalog.dropTempView(name)
   }
 
@@ -153,17 +156,19 @@ final class SessionManager(root: SparkSession, reaperPeriodMs: Long = 1000L) {
       // releases it from the shared CacheManager
       graft.sqlcompat.RecursiveCte.execute(h.spark, rewritten,
         onCached = df => h.cachedFrames.put(s"__rcte_${System.nanoTime()}", df): Unit)
-    else if (graft.sqlcompat.InsertInto.isInsert(rewritten))
+    else if (graft.sqlcompat.InsertInto.appliesTo(h.spark, rewritten))
       // mem-table append: each insert materializes the new table
       // state; the previous state's cache is released on replacement
-      // (and all of them on session removal)
+      // (and all of them on session removal). Catalog tables and
+      // INSERT forms the mem-table parser doesn't cover fall through
+      // to spark.sql (appliesTo is false).
       graft.sqlcompat.InsertInto.execute(h.spark, rewritten, onNewState = trackTable(h))
     else if (graft.sqlcompat.MemDdl.isCtas(rewritten))
       graft.sqlcompat.MemDdl.createTableAs(h.spark, rewritten, onNewState = trackTable(h))
-    else if (graft.sqlcompat.MemDdl.isDrop(rewritten))
+    else if (graft.sqlcompat.MemDdl.appliesToDrop(h.spark, rewritten))
       graft.sqlcompat.MemDdl.dropTable(h.spark, rewritten, onDropped = { table =>
         h.dataSources.remove(table)
-        val prev = h.cachedFrames.remove(s"__table_$table")
+        val prev = h.cachedFrames.remove(table)
         if (prev != null) { try prev.unpersist() catch { case _: Throwable => () } }: Unit
       })
     else h.spark.sql(rewritten)
@@ -175,7 +180,10 @@ final class SessionManager(root: SparkSession, reaperPeriodMs: Long = 1000L) {
     */
   private def trackTable(h: SessionHandle): (String, DataFrame) => Unit = {
     (table, df) =>
-      val prev = h.cachedFrames.put(s"__table_$table", df)
+      // plain table name: the SAME namespace the merge processor and
+      // removeTable use, so replacement releases whichever path
+      // materialized the previous state
+      val prev = h.cachedFrames.put(table, df)
       if (prev != null) { try prev.unpersist() catch { case _: Throwable => () } }: Unit
   }
 

@@ -160,12 +160,7 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
         }
       case ("POST", Array(id, "datasource")) =>
         withSession(ex, id) { h =>
-          val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(readBody(ex))
-          val defs =
-            if (n.isArray) n.elements().asScala.toSeq
-            else Option(n.get("dataSources")).filter(_.isArray)
-              .map(_.elements().asScala.toSeq).getOrElse(Seq(n))
-          defs.map(Api.parseDataSource).foreach(ingest(h, _))
+          parseDataSourceDefs(readBody(ex)).foreach(ingest(h, _))
           respondJson(ex, 200, """{"status":"ok"}""")
         }
       // write registered tables back to files (reference
@@ -174,12 +169,7 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
       // session table and a destination location + format
       case ("POST", Array(id, "datasource", "save")) =>
         withSession(ex, id) { h =>
-          val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(readBody(ex))
-          val defs =
-            if (n.isArray) n.elements().asScala.toSeq
-            else Option(n.get("dataSources")).filter(_.isArray)
-              .map(_.elements().asScala.toSeq).getOrElse(Seq(n))
-          defs.map(Api.parseDataSource).foreach { ds =>
+          parseDataSourceDefs(readBody(ex)).foreach { ds =>
             val loc = ds.location.getOrElse(
               throw new IllegalArgumentException(s"save of ${ds.name}: location required"))
             if (!h.spark.catalog.tableExists(ds.name))
@@ -237,6 +227,18 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
   })
 
   // --------------------------------------------------------------
+
+  /** Body → data-source requests: a bare array, a {dataSources: []}
+    * wrapper, or a single object (shared by the add and save routes).
+    */
+  private def parseDataSourceDefs(body: String): Seq[Api.DataSourceReq] = {
+    val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    val defs =
+      if (n.isArray) n.elements().asScala.toSeq
+      else Option(n.get("dataSources")).filter(_.isArray)
+        .map(_.elements().asScala.toSeq).getOrElse(Seq(n))
+    defs.map(Api.parseDataSource)
+  }
 
   /** Scheme×format ingest dispatch (`session_manager.rs:336-421`). */
   private def ingest(h: SessionHandle, ds: Api.DataSourceReq): Unit = {

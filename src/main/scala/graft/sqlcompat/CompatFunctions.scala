@@ -119,8 +119,9 @@ object CompatFunctions {
       val binned = Subtract(diff, Pmod(diff, strideUs))
       MicrosToTimestamp(Add(originUs, binned))
     }
-    // to_hex(n) = hex(n) (both unpadded uppercase)
-    ifMissing("to_hex") { es => Hex(es.head) }
+    // to_hex(n): DataFusion renders lowercase; Spark's Hex is
+    // uppercase, so wrap in Lower for dialect parity
+    ifMissing("to_hex") { es => Lower(Hex(es.head)) }
     // random() = rand() (both uniform [0,1))
     ifMissing("random") { es => if (es.isEmpty) new Rand() else new Rand(es.head) }
     // DataFusion array_* names Spark spells differently
@@ -164,6 +165,9 @@ object CompatFunctions {
       case "Binary" | "LargeBinary" => BinaryType
       case "Boolean" => BooleanType
       case "Date32" | "Date64" => DateType
+      // Timestamp(unit, None) is wall-clock; Timestamp(unit, Some(tz))
+      // is an instant — map to the matching Spark semantics
+      case t if t.startsWith("Timestamp") && t.contains("Some") => TimestampType
       case t if t.startsWith("Timestamp") => TimestampNTZType
       case t if t.startsWith("Decimal128") =>
         // Decimal128(p, s)

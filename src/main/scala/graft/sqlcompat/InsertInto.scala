@@ -27,6 +27,24 @@ object InsertInto {
   def isInsert(sql: String): Boolean =
     """(?is)^\s*INSERT\s+INTO\s""".r.findFirstIn(sql).isDefined
 
+  /** True only when this layer should handle the statement: the
+    * simple-identifier form AND the target is a session temp view (a
+    * "mem table"). Qualified/backticked names, `INSERT INTO TABLE`,
+    * and catalog tables fall through to `spark.sql`, which either
+    * performs a real catalog insert or raises its own error —
+    * intercepting those would shadow a warehouse table with a
+    * session-local view.
+    */
+  def appliesTo(spark: SparkSession, sql: String): Boolean =
+    Pattern.findFirstMatchIn(sql) match {
+      case Some(m) => isTempView(spark, m.group(1))
+      case None => false
+    }
+
+  private[sqlcompat] def isTempView(spark: SparkSession, name: String): Boolean =
+    spark.catalog.tableExists(name) &&
+      (try spark.catalog.getTable(name).isTemporary catch { case _: Throwable => false })
+
   /** Execute; `onNewState(table, cachedFrame)` reports the cached
     * post-insert table state so the caller can release the previous
     * state's cache and track this one.
@@ -39,8 +57,7 @@ object InsertInto {
     val colList = Option(m.group(3))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val sourceSql = m.group(4)
-    if (!spark.catalog.tableExists(table))
-      throw new IllegalArgumentException(s"INSERT INTO: no such table: $table")
+    require(spark.catalog.tableExists(table), s"INSERT INTO: no such table: $table")
     val target = spark.table(table)
     val src = spark.sql(SqlRewrite.rewrite(sourceSql)).cache()
     try {
@@ -60,6 +77,8 @@ object InsertInto {
             s"INSERT INTO $table: ${src.columns.length} values for ${cols.length} columns")
           val bad = cols.filterNot(c => target.columns.exists(_.equalsIgnoreCase(c)))
           require(bad.isEmpty, s"INSERT INTO $table: unknown columns ${bad.mkString(", ")}")
+          require(cols.map(_.toLowerCase).distinct.length == cols.length,
+            s"INSERT INTO $table: duplicate columns in insert list")
           val byName = cols.map(_.toLowerCase).zip(src.columns).toMap
           val full = target.schema.fields.map { f =>
             byName.get(f.name.toLowerCase) match {
@@ -73,12 +92,15 @@ object InsertInto {
       appended.count() // materialize BEFORE dropping the src cache
       appended.createOrReplaceTempView(table)
       onNewState(table, appended)
-      val out = spark.createDataFrame(
-        java.util.List.of(Row(n)),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("count",
-            org.apache.spark.sql.types.LongType, nullable = false))))
-      out
+      countFrame(spark, n)
     } finally src.unpersist(): Unit
   }
+
+  /** One-row {count: n} result, the reference engine's DML reply. */
+  private[sqlcompat] def countFrame(spark: SparkSession, n: Long): DataFrame =
+    spark.createDataFrame(
+      java.util.List.of(Row(n)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("count",
+          org.apache.spark.sql.types.LongType, nullable = false))))
 }

@@ -1,6 +1,6 @@
 package graft.sqlcompat
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Mem-table DDL: `CREATE [OR REPLACE] TABLE name AS SELECT …` and
   * `DROP TABLE [IF EXISTS] name` executed against the session's
@@ -23,6 +23,18 @@ object MemDdl {
   def isCtas(sql: String): Boolean = Ctas.findFirstMatchIn(sql).isDefined
   def isDrop(sql: String): Boolean = Drop.findFirstMatchIn(sql).isDefined
 
+  /** Handle a DROP only for temp views (or IF EXISTS on an absent
+    * name); a catalog table's DROP falls through to `spark.sql`.
+    */
+  def appliesToDrop(spark: SparkSession, sql: String): Boolean =
+    Drop.findFirstMatchIn(sql) match {
+      case Some(m) =>
+        val table = m.group(2)
+        InsertInto.isTempView(spark, table) ||
+          (m.group(1) != null && !spark.catalog.tableExists(table))
+      case None => false
+    }
+
   /** CTAS: evaluate, materialize, bind the view. Reports the cached
     * state via `onNewState` (cache-lifecycle tracking, like
     * InsertInto). Returns the created row count as a one-row frame.
@@ -39,11 +51,7 @@ object MemDdl {
     val n = df.count()
     df.createOrReplaceTempView(table)
     onNewState(table, df)
-    spark.createDataFrame(
-      java.util.List.of(Row(n)),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("count",
-          org.apache.spark.sql.types.LongType, nullable = false))))
+    InsertInto.countFrame(spark, n)
   }
 
   /** DROP TABLE against the temp-view catalog. Returns an empty

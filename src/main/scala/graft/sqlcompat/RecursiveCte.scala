@@ -107,9 +107,15 @@ object RecursiveCte {
       else cachedNext.unpersist(): Unit
       iters += 1
     }
-    if (iters >= maxIterations && workingRows > 0)
+    if (iters >= maxIterations && workingRows > 0) {
+      // release every piece before aborting — a cyclic recursion must
+      // not strand up to maxIterations cached frames in the shared
+      // CacheManager (onCached never runs on this path)
+      pieces.foreach(p => try p.unpersist() catch { case _: Throwable => () })
+      try working.unpersist() catch { case _: Throwable => () }
       throw new IllegalStateException(
         s"WITH RECURSIVE $name exceeded $maxIterations iterations")
+    }
     // fold the pieces into ONE cached result, then release them — a
     // single materialization for the whole recursion
     val result =

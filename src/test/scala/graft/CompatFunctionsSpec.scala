@@ -71,9 +71,9 @@ class CompatFunctionsSpec extends AnyFunSuite {
       scala.collection.immutable.ArraySeq(1, 2, 3))
   }
 
-  test("to_hex matches Spark's hex") {
-    assert(one("SELECT to_hex(255)") == "FF")
-    assert(one("SELECT to_hex(171)") == "AB")
+  test("to_hex renders lowercase like DataFusion") {
+    assert(one("SELECT to_hex(255)") == "ff")
+    assert(one("SELECT to_hex(171)") == "ab")
   }
 
   test("arrow_cast maps Arrow type names onto Spark casts") {
@@ -82,6 +82,8 @@ class CompatFunctionsSpec extends AnyFunSuite {
     assert(one("SELECT arrow_cast(1, 'Boolean')") == true)
     assert(one("SELECT typeof(arrow_cast(TIMESTAMP '2024-01-01 00:00:00', 'Timestamp(Microsecond, None)'))")
       == "timestamp_ntz")
+    assert(one("""SELECT typeof(arrow_cast(TIMESTAMP '2024-01-01 00:00:00', 'Timestamp(Microsecond, Some("UTC"))'))""")
+      == "timestamp")
   }
 
   test("array_has family and element/length shims") {

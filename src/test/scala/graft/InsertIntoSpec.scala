@@ -54,7 +54,9 @@ class InsertIntoSpec extends AnyFunSuite {
     val mgr = new graft.engine.SessionManager(spark)
     try {
       val h = mgr.create(Some("ins4"))
-      intercept[IllegalArgumentException] {
+      // unknown table is NOT intercepted: it falls through to
+      // spark.sql, which raises its own analysis error
+      intercept[org.apache.spark.sql.AnalysisException] {
         mgr.sql(h, "INSERT INTO nope VALUES (1)")
       }
       import h.spark.implicits._

@@ -31,9 +31,10 @@ class MemDdlSpec extends AnyFunSuite {
       assert(mgr.sql(h, "SELECT count(*) AS n FROM t").collect().head.getLong(0) == 3L)
       mgr.sql(h, "DROP TABLE t")
       assert(!h.spark.catalog.tableExists("t"))
-      // IF EXISTS tolerates absence; bare drop errors
+      // IF EXISTS tolerates absence; a bare drop of an absent name
+      // falls through to spark.sql, which raises its own error
       mgr.sql(h, "DROP TABLE IF EXISTS t")
-      intercept[IllegalArgumentException] { mgr.sql(h, "DROP TABLE t") }
+      intercept[org.apache.spark.sql.AnalysisException] { mgr.sql(h, "DROP TABLE t") }
     } finally mgr.shutdown()
   }
 }
