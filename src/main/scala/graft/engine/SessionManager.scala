@@ -143,10 +143,15 @@ final class SessionManager(root: SparkSession, reaperPeriodMs: Long = 1000L) {
     */
   def sql(h: SessionHandle, sqlText: String): DataFrame = {
     h.touch()
-    val rewritten = resolver match {
+    val rewritten0 = resolver match {
       case Some(r) => Federation.prepare(h, sqlText, r)
       case None    => graft.sqlcompat.SqlRewrite.rewrite(sqlText)
     }
+    // information_schema.{tables,columns} → synthetic catalog views
+    val rewritten =
+      if (graft.sqlcompat.InfoSchema.references(rewritten0))
+        graft.sqlcompat.InfoSchema.prepare(h.spark, rewritten0)
+      else rewritten0
     // WITH RECURSIVE has no Spark counterpart — driver-side fixpoint
     // loop over distributed iterations (SURVEY §2.B known gap, closed)
     if (graft.sqlcompat.RecursiveCte.isRecursive(rewritten))

@@ -22,6 +22,31 @@ class MemDdlSpec extends AnyFunSuite {
     } finally mgr.shutdown()
   }
 
+  test("information_schema.tables and .columns resolve via synthetic views") {
+    val mgr = new graft.engine.SessionManager(spark)
+    try {
+      val h = mgr.create(Some("info1"))
+      mgr.sql(h, "CREATE TABLE widgets AS SELECT 1 AS id, 'a' AS name")
+      val tables = mgr.sql(h,
+        "SELECT table_name, table_type FROM information_schema.tables ORDER BY table_name")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      assert(tables.exists(_._1 == "widgets"), tables.mkString(","))
+      assert(tables.filter(_._1 == "widgets").head._2 == "VIEW")
+      val cols = mgr.sql(h,
+        "SELECT column_name, data_type, ordinal_position FROM information_schema.columns " +
+          "WHERE table_name = 'widgets' ORDER BY ordinal_position")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      assert(cols.map(_._1).toSeq == Seq("id", "name"), cols.mkString(","))
+      assert(cols.head._2 == "int")
+      // DDL is reflected on the next query
+      mgr.sql(h, "DROP TABLE widgets")
+      val after = mgr.sql(h,
+        "SELECT table_name FROM information_schema.tables WHERE table_name = 'widgets'")
+        .collect()
+      assert(after.isEmpty)
+    } finally mgr.shutdown()
+  }
+
   test("CTAS + INSERT INTO + DROP TABLE compose") {
     val mgr = new graft.engine.SessionManager(spark)
     try {
