@@ -1344,6 +1344,21 @@ object SparkEntry {
         FROM part WHERE p_partkey <= 100 ORDER BY p_partkey"""))
     })
 
+  // Gopher-style repetition signal: fraction of a doc's 2-grams taken
+  // by its most frequent one (degenerate generated text → ~1).
+  private val t08 = Q("t08_repetition", Some("""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    grams AS (
+      SELECT doc_id, array_to_string(list_slice(tk, i, i + 1), ' ') AS gram
+      FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM toks)),
+    counts AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM grams GROUP BY doc_id, gram)
+    SELECT doc_id AS id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+      CAST(MAX(cnt) AS BIGINT) AS top_gram_count,
+      CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS repetition_ratio
+    FROM counts GROUP BY doc_id ORDER BY id"""),
+    (s, dir) => TextAnalysis.repetitionStats(T(s, dir, "documents"), "text", "doc_id", n = 2)
+      .orderBy(col("id")))
+
   // Frame sampling (video keyframe shape): every 2nd 256-byte frame
   // of each payload, digested. The oracle slices the hex rendering
   // (2 chars/byte) since DuckDB cannot substring blobs — both engines
@@ -1374,7 +1389,7 @@ object SparkEntry {
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57,
     d01, d02, d03, d04, d05, s01, s02, s03, s04, s05, s06,
-    t01, t02, t03, t04, t05, t06, t07, m01, m02, m03)
+    t01, t02, t03, t04, t05, t06, t07, t08, m01, m02, m03)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))

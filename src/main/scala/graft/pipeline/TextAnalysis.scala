@@ -143,6 +143,32 @@ object TextAnalysis {
   def fingerprint64(text: Column): Column =
     xxhash64(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Gopher-style repetition filter signal: the fraction of a
+    * document's word n-grams taken by its single most frequent one.
+    * Degenerate machine-generated text ("foo bar foo bar foo bar …")
+    * scores near 1; healthy prose stays low. One explode + two
+    * aggregations, all keyed by doc id — shuffle volume is n-gram
+    * hashes, never documents.
+    */
+  def repetitionStats(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 2): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val idxs = when(size(toks) >= lit(n), sequence(lit(0), size(toks) - lit(n)))
+      .otherwise(array().cast("array<int>"))
+    val grams = transform(idxs, i => array_join(slice(toks, i + 1, lit(n)), " "))
+    graft.ops.ScaleOps.fanOut(docs)
+      .select(col(idCol).as("id"), explode(grams).as("gram"))
+      .groupBy(col("id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_distinct_grams"),
+        sum(col("cnt")).as("n_grams"),
+        max(col("cnt")).as("top_gram_count"))
+      .select(col("id"), col("n_grams"), col("top_gram_count"),
+        (col("top_gram_count").cast("double") / col("n_grams").cast("double"))
+          .as("repetition_ratio"))
+  }
+
   /** Full per-document stats frame. */
   def stats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
