@@ -271,13 +271,16 @@ object SparkEntry {
         .agg(sum(dPrice(col("l_extendedprice")) * (one - dRate(col("l_discount"))))
           .cast("double").as("total_rev"))
       // Spark inlines CTEs, so `rev` referenced twice (join + MAX
-      // subquery) would aggregate lineitem twice; a global-window max
-      // over the tiny per-supplier frame keeps it one pass
-      val withMax = rev.withColumn("mx",
-        max(col("total_rev")).over(Window.partitionBy()))
+      // subquery) would aggregate lineitem twice — cache the
+      // per-supplier frame instead. The MAX reduces it to one row
+      // broadcast back (an empty-partition window would funnel every
+      // supplier through a single task at scale).
+      val revC = rev.cache()
+      val mx = revC.agg(max(col("total_rev")).as("mx"))
       T(s, dir, "supplier")
-        .join(withMax.filter(col("total_rev") === col("mx")),
-          col("s_suppkey") === col("l_suppkey"))
+        .join(revC, col("s_suppkey") === col("l_suppkey"))
+        .crossJoin(broadcast(mx))
+        .filter(col("total_rev") === col("mx"))
         .select(col("s_suppkey"), col("s_name"), col("total_rev"))
         .orderBy(col("s_suppkey"))
     })

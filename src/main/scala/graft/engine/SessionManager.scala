@@ -159,8 +159,11 @@ final class SessionManager(root: SparkSession, reaperPeriodMs: Long = 1000L) {
       // replay every iteration otherwise); RecursiveCte reports the
       // ACTUAL cached frame (not the tail result) so session removal
       // releases it from the shared CacheManager
+      // only the LAST recursion's result stays cached per session
+      // (unbounded per-statement retention grew without limit); an
+      // older result still streaming simply recomputes from lineage
       graft.sqlcompat.RecursiveCte.execute(h.spark, rewritten,
-        onCached = df => h.cachedFrames.put(s"__rcte_${System.nanoTime()}", df): Unit)
+        onCached = df => trackTable(h)("__rcte_last", df))
     else if (graft.sqlcompat.InsertInto.appliesTo(h.spark, rewritten))
       // mem-table append: each insert materializes the new table
       // state; the previous state's cache is released on replacement

@@ -89,9 +89,12 @@ object Dedup {
     // maxPostings to drop such posting lists at 100 TB (trades
     // exactness: a dropped shingle stops contributing to
     // intersections; None = exact, the default).
+    // cached: the O(len)-per-doc shingle hashing feeds the postings
+    // branch AND both sizes joins — uncached it would run three times
     val docSets = graft.ops.ScaleOps.fanOut(docs).select(
       col(idCol).as("id"),
       graft.functions.ShingleHashes(col(textCol), n).as("sh_arr"))
+      .cache()
     val sizes = docSets.select(col("id"), size(col("sh_arr")).cast("long").as("n_sh"))
     val postings = docSets
       .select(explode(col("sh_arr")).as("shingle"), col("id"))
@@ -118,8 +121,8 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** MinHash signature columns sig_0 … sig_{k-1} from a per-doc
-    * shingle-set frame (id, sh_arr) — the one-pass
+  /** MinHash signature column `sig` (array of the k minima) from a
+    * per-doc shingle-set frame (id, sh_arr) — the one-pass
     * [[graft.functions.SketchExpressions.MinHashSig]] kernel, no
     * shuffle: only the finished k×8-byte signature ever moves.
     */

@@ -38,9 +38,14 @@ object TextRedaction {
       outCol: String = "scrubbed"): DataFrame = {
     val out = scrubColumn(col(textCol), rules)
     val placeholders = rules.map(_._2).distinct
+    // count placeholders ADDED by this pass: occurrences in the
+    // scrubbed text minus occurrences already in the source (a doc
+    // that literally contains "<EMAIL>", or a re-scrub of an already
+    // scrubbed corpus, must not inflate the redaction rate)
+    def occurrences(c: Column, p: String): Column =
+      (length(c) - length(replace(c, lit(p), lit("")))) / p.length
     val nRedacted = placeholders.map { p =>
-      // occurrences of placeholder p = length drop when removed / |p|
-      (length(col(outCol)) - length(replace(col(outCol), lit(p), lit("")))) / p.length
+      occurrences(col(outCol), p) - occurrences(col(textCol), p)
     }.reduce(_ + _)
     docs.withColumn(outCol, out)
       .withColumn("n_redactions", nRedacted.cast("long"))

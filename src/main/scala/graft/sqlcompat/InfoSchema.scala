@@ -23,7 +23,10 @@ object InfoSchema {
   /** Register the synthetic views and return the rewritten SQL. */
   def prepare(spark: SparkSession, sql: String): String = {
     import scala.jdk.CollectionConverters._
+    // the helper views themselves must not appear in the catalog they
+    // present (a second query would otherwise list __info_* rows)
     val tables = spark.catalog.listTables().collect()
+      .filterNot(_.name.startsWith("__info_"))
     val tRows: java.util.List[Row] = tables.toSeq.map { t =>
       Row("spark_catalog", Option(t.database).getOrElse("session"), t.name,
         if (t.isTemporary) "VIEW" else t.tableType)

@@ -84,6 +84,16 @@ object RecursiveCte {
 
     val run: String => DataFrame = s => spark.sql(SqlRewrite.rewrite(s))
 
+    // a CTE shadows same-named tables only WITHIN its statement: if
+    // the session already has a temp view under this name, capture it
+    // for restoration afterwards (dropping it outright would delete
+    // the user's table)
+    val priorView: Option[DataFrame] =
+      if (spark.catalog.tableExists(name) &&
+          (try spark.catalog.getTable(name).isTemporary catch { case _: Throwable => false }))
+        Some(spark.table(name))
+      else None
+
     var working = named(run(base))
     if (!unionAll) working = working.distinct()
     working = working.cache()
@@ -128,10 +138,14 @@ object RecursiveCte {
       }
     onCached(result)
     result.createOrReplaceTempView(name)
-    // spark.sql analyzes eagerly, so the view can be dropped right
-    // after the tail resolves — a CTE must not outlive its statement
+    // spark.sql analyzes eagerly, so the binding can be undone right
+    // after the tail resolves — a CTE must not outlive its statement:
+    // restore the shadowed view, or drop ours if none existed
     val out = if (tail.isEmpty) result else run(tail)
-    spark.catalog.dropTempView(name)
+    priorView match {
+      case Some(df0) => df0.createOrReplaceTempView(name)
+      case None => spark.catalog.dropTempView(name): Unit
+    }
     out
   }
 

@@ -58,6 +58,32 @@ class RecursiveCteSpec extends AnyFunSuite {
     assert(e.getMessage.contains("exceeded"))
   }
 
+  test("a CTE shadowing an existing table restores it afterwards") {
+    import spark.implicits._
+    Seq((100L, "keep")).toDF("n", "tag").createOrReplaceTempView("shadowed")
+    val out = RecursiveCte.execute(spark,
+      "WITH RECURSIVE shadowed(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM shadowed WHERE n < 3) SELECT n FROM shadowed ORDER BY n")
+    assert(out.collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    // the user's table is back, not deleted
+    val restored = spark.sql("SELECT n, tag FROM shadowed").collect()
+    assert(restored.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((100L, "keep")))
+    spark.catalog.dropTempView("shadowed")
+  }
+
+  test("information_schema stays idempotent across queries") {
+    val mgr = new graft.engine.SessionManager(spark)
+    try {
+      val h = mgr.create(Some("infoidem"))
+      def names() = mgr.sql(h,
+        "SELECT table_name FROM information_schema.tables ORDER BY table_name")
+        .collect().map(_.getString(0)).toSeq
+      val first = names()
+      val second = names()
+      assert(first == second, s"$first vs $second")
+      assert(!second.exists(_.startsWith("__info_")), second.toString)
+    } finally mgr.shutdown()
+  }
+
   test("the CTE view does not outlive the statement") {
     RecursiveCte.execute(spark,
       "WITH RECURSIVE tmpcte(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM tmpcte WHERE n < 2) SELECT * FROM tmpcte").collect()
