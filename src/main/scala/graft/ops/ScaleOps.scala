@@ -98,20 +98,24 @@ object ScaleOps {
     * is preserved.
     */
   def fanOut(df: DataFrame): DataFrame = {
-    // Idempotence first, WITHOUT touching df.rdd: under AQE, .rdd on a
-    // plan that already contains an exchange materializes its query
-    // stages (the repartition shuffle would run eagerly at plan-
-    // construction time and again at execution). A plan that already
-    // carries a Repartition was fanned out upstream — skip. Only then
-    // probe the raw (exchange-free) plan, where .rdd is free.
-    import org.apache.spark.sql.catalyst.plans.logical.{Repartition, RepartitionByExpression}
+    // Probe discipline: under AQE, df.rdd on a plan containing ANY
+    // exchange materializes its query stages — the upstream shuffle
+    // would run eagerly at plan-construction time and again at
+    // execution. So the partition probe only runs on plans that are
+    // provably exchange-free: scan/local data under narrow operators
+    // (project/filter/alias/generators). Anything else either was
+    // already fanned out (Repartition present → skip) or comes out of
+    // a shuffle already at cluster width (groupBy/join output → a
+    // further repartition would add nothing).
+    import org.apache.spark.sql.catalyst.plans.logical._
     import org.apache.spark.sql.classic.{Dataset => CDS}
     val logical = df.asInstanceOf[CDS[org.apache.spark.sql.Row]].queryExecution.analyzed
-    val alreadyFanned = logical.exists {
-      case _: Repartition | _: RepartitionByExpression => true
+    val probeSafe = logical.collect { case n => n }.forall {
+      case _: Project | _: Filter | _: SubqueryAlias | _: Generate | _: View => true
+      case leaf if leaf.children.isEmpty => true
       case _ => false
     }
-    if (alreadyFanned) df
+    if (!probeSafe) df
     else {
       val target = df.sparkSession.sparkContext.defaultParallelism
       if (df.rdd.getNumPartitions < target) df.repartition(target) else df
