@@ -1,0 +1,49 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Writes PLANS.md: `explain("formatted")` output for headline
+  * queries — the plan-quality evidence (pushdown reaching scans,
+  * broadcasts, TakeOrderedAndProject, codegen kernels, exchange
+  * counts) in reviewable form.
+  */
+object ExplainDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val out = args.headOption.getOrElse("PLANS.md")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val picks = Seq(
+      "q01_pricing_summary" -> "full-table aggregation: map-side partial agg before one exchange",
+      "q02_filter_project" -> "pushdown: PushedFilters + pruned ReadSchema at the scan",
+      "q03_join_revenue_by_nation" -> "dimension joins broadcast, fact table never shuffled for the join",
+      "q08_topk" -> "ORDER BY + LIMIT compiles to TakeOrderedAndProject (no global sort)",
+      "d02_dedup_ngram_jaccard" -> "inverted-index dedup: 2 shuffles (postings, pair counts), shingle kernel in scan stage",
+      "d04_dedup_simhash" -> "one-pass SimHash kernel: zero hash exchanges",
+      "s01_knn_bruteforce" -> "ANN brute force: 1-row query broadcast, fused cosine kernel, TopK",
+      "t05_chunking" -> "chunking: generator in the scan stage, no shuffle",
+      "q55_groups_frames" -> "GROUPS-frame emulation: both windows share one partition exchange",
+    )
+    val sb = new StringBuilder
+    sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")
+    sb.append(s"Generated against `$sfDir` by `graft.tools.ExplainDump`.\n")
+    picks.foreach { case (name, why) =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+      sb.append(s"\n## $name\n\n_${why}_\n\n```\n$plan```\n")
+      spark.catalog.clearCache()
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)
+    println(s"[explain] wrote $out")
+    spark.stop()
+  }
+}
