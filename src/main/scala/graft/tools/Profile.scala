@@ -58,6 +58,23 @@ object Profile {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     time("candidates")(candidates.write.format("noop").mode("overwrite").save())
+    // d02 stage profile
+    import org.apache.spark.sql.functions.{collect_list => clist}
+    val ds2 = graft.ops.ScaleOps.fanOut(docs).select(col("doc_id").as("id"),
+      graft.functions.ShingleHashes(col("text"), 3).as("sh_arr")).cache()
+    time("d02 docSets cache")(ds2.count())
+    val post2 = ds2.select(explode(col("sh_arr")).as("shingle"), col("id"))
+      .groupBy(col("shingle")).agg(clist(col("id")).as("ids"))
+      .where(size(col("ids")) >= 2)
+    time("d02 postings")(post2.write.format("noop").mode("overwrite").save())
+    val inter2 = post2.select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+    time("d02 pair counts")(inter2.write.format("noop").mode("overwrite").save())
+    time("d02 full")(graft.pipeline.Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.3)
+      .write.format("noop").mode("overwrite").save())
+    ds2.unpersist()
     val full = graft.pipeline.Dedup.minHashLsh(docs, "text", "doc_id",
       3, 16, 4, 0.3)
     time("full minHashLsh")(full.write.format("noop").mode("overwrite").save())
