@@ -8,6 +8,10 @@ unmanagedBase := file("/opt/spark/jars")
 libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
+  // embedded DB for the real-JDBC federation spec (resolves from the
+  // offline cache; test-only — the library itself has no hard
+  // dependency on any JDBC driver)
+  "org.duckdb" % "duckdb_jdbc" % "1.0.0" % Test,
 )
 Test / fork := true
 run / fork := true

@@ -67,7 +67,10 @@ object Bench {
       "\"" + k + "\":" + com.fasterxml.jackson.databind.node.TextNode.valueOf(e.take(200)).toString
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // the harness keeps only the TAIL of the bench log: the summary
+    // fields (metric/value/errors) go LAST so truncation can only eat
+    // per-query detail, never the headline number
+    println(s"""{"queries":$qs,"sf":"$sfDir","errors":$errs,"metric":"total","unit":"sec","value":$total}""")
     spark.stop()
   }
 }

@@ -1006,7 +1006,7 @@ object SparkEntry {
         JOIN sizes nb ON nb.doc_id = id_b)
     WHERE jaccard >= 0.3 ORDER BY id_a, id_b"""),
     (s, dir) => Dedup.ngramJaccardPairs(T(s, dir, "documents"), "text", "doc_id",
-        n = 3, threshold = 0.3)
+        n = 3, threshold = 0.3, maxPostings = None) // exact: oracle-comparable
       .orderBy(col("id_a"), col("id_b")))
 
   private val d03 = Q("d03_dedup_minhash_lsh", None, // xxhash seeds differ per engine
@@ -1189,12 +1189,15 @@ object SparkEntry {
 
   // Int8 scalar quantization of the embedding store (FAISS-SQ8
   // shape): codes + worst-dimension reconstruction error, both pure
-  // per-element arithmetic — bit-identical in DuckDB.
+  // per-element arithmetic — bit-identical in DuckDB. The code vector
+  // is emitted as a CSV string (`qvec_csv`) so every output column is
+  // a sortable scalar for the harness's pandas comparison (raw array
+  // columns are unhashable there).
   private val s06 = Q("s06_scalar_quantize", Some("""
     SELECT vec_id,
-      list_transform(embedding, x ->
+      array_to_string(list_transform(embedding, x ->
         CAST(GREATEST(-128, LEAST(127,
-          ROUND((CAST(x AS DOUBLE) - (-2.0)) / 4.0 * 255.0) - 128)) AS TINYINT)) AS qvec,
+          ROUND((CAST(x AS DOUBLE) - (-2.0)) / 4.0 * 255.0) - 128)) AS TINYINT)), ',') AS qvec_csv,
       list_max(list_transform(embedding, x ->
         ABS(CAST(x AS DOUBLE) -
           ((CAST(GREATEST(-128, LEAST(127,
@@ -1204,7 +1207,8 @@ object SparkEntry {
     (s, dir) => {
       val q = graft.pipeline.Quantize.scalarQuantize(
         T(s, dir, "embeddings"), "embedding", lo = -2.0, hi = 2.0)
-      q.select(col("vec_id"), col("qvec"),
+      q.select(col("vec_id"),
+          array_join(col("qvec").cast("array<string>"), ",").as("qvec_csv"),
           graft.pipeline.Quantize.maxReconstructionError(
             col("embedding"), col("qvec"), -2.0, 2.0).as("max_err"))
         .orderBy(col("vec_id"))

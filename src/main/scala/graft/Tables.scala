@@ -16,24 +16,22 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  /** Only the pipeline corpora (documents/embeddings) fan out when
-    * the file arrives under-split (single row group = one partition):
-    * their per-row work (regex, shingle/sketch kernels, N² vector
-    * loops) dwarfs a small repartition. Relational tables do NOT —
-    * partial aggregation collapses them before the first exchange, so
-    * a pre-shuffle of raw rows costs more than the single-core scan
-    * it parallelizes, and dimension tables are broadcast sides.
+  /** Load a raw table. Caller owns any post-processing.
+    *
+    * No blanket `fanOut` here: the heavy pipeline kernels (shingles,
+    * sketches, N² vector loops) each call `ScaleOps.fanOut` at their
+    * own entry where the per-row work justifies a repartition of an
+    * under-split file. Plain relational queries over the same tables
+    * must NOT pay that exchange — partial aggregation collapses rows
+    * before the first shuffle, so a pre-shuffle of raw rows costs
+    * more than the single-core scan it parallelizes (measured 2-6×
+    * regressions on q18/q23/q24/t04 when fanOut lived here).
     */
-  private val factTables = Set("documents", "embeddings")
-
-  /** Load a raw table. Caller owns any post-processing. */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = name match {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    name match {
       case "events" => events(spark, sfDir)
       case _        => spark.read.parquet(s"$sfDir/$name.parquet")
     }
-    if (factTables(name)) graft.ops.ScaleOps.fanOut(df) else df
-  }
 
   /** events with `ts` as a proper TimestampType (µs, truncated from ns).
     * Keeps the raw nanosecond count as `ts_ns` for precision-sensitive

@@ -22,6 +22,35 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** `observe` metric name carrying the count of posting lists dropped
+    * by the [[ngramJaccardPairs]] `maxPostings` spam guard.
+    */
+  val postingMetricName = "graft.ngram.postings"
+
+  // one listener per session: logs the dropped-posting-list count of
+  // every capped ngramJaccardPairs run (weak-keyed so stopped test
+  // sessions don't accumulate)
+  private val dropLoggerSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+
+  private def ensurePostingDropLogger(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (dropLoggerSessions.put(spark, java.lang.Boolean.TRUE) == null) {
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          qe.observedMetrics.get(postingMetricName).foreach { row =>
+            val dropped = row.getAs[Long]("dropped_posting_lists")
+            if (dropped > 0)
+              org.slf4j.LoggerFactory.getLogger("graft.pipeline.Dedup").warn(
+                s"ngramJaccardPairs: dropped $dropped posting list(s) over the " +
+                  "maxPostings cap; their shingles no longer contribute to intersections")
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+      })
+    }
+
   /** Exact duplicate groups under whitespace/case normalization.
     * Returns one row per duplicate *group* (fingerprint, size,
     * representative = min id) — the usual "keep one per group" shape.
@@ -73,7 +102,7 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, textCol: String, idCol: String,
       n: Int, threshold: Double,
-      maxPostings: Option[Int] = None): DataFrame = {
+      maxPostings: Option[Int] = Some(10000)): DataFrame = {
     // join/shuffle 64-bit shingle hashes, not strings: ~25% the
     // shuffle bytes, primitive-key join. A hash collision would
     // inflate an intersection count, but even 1e6 distinct shingles
@@ -85,10 +114,15 @@ object Dedup {
     // self-join — 2 shuffles total (postings, then pair counts) vs 3,
     // and shingles appearing in a single document (the vast majority
     // of a real corpus) are dropped before any pair work. A spam
-    // shingle shared by m docs fans out m²/2 pairs map-side — pass
-    // maxPostings to drop such posting lists at 100 TB (trades
+    // shingle shared by m docs fans out m²/2 pairs map-side —
+    // maxPostings (default 10k) drops such posting lists, with the
+    // drop count surfaced via an `observe` metric and logged (trades
     // exactness: a dropped shingle stops contributing to
-    // intersections; None = exact, the default).
+    // intersections; pass None for the exact quadratic baseline).
+    // Caveat: when the FINAL result is empty, AQE's empty-relation
+    // propagation replaces the executed subtree (observe node
+    // included) with EmptyRelation, so the metric is not reported —
+    // harmless, since an empty result means no pair survived anyway.
     // cached: the O(len)-per-doc shingle hashing feeds the postings
     // branch AND both sizes joins — uncached it would run three times
     val docSets = graft.ops.ScaleOps.fanOut(docs).select(
@@ -96,12 +130,21 @@ object Dedup {
       graft.functions.ShingleHashes(col(textCol), n).as("sh_arr"))
       .cache()
     val sizes = docSets.select(col("id"), size(col("sh_arr")).cast("long").as("n_sh"))
-    val postings = docSets
+    val allPostings = docSets
       .select(explode(col("sh_arr")).as("shingle"), col("id"))
       .groupBy(col("shingle"))
       .agg(collect_list(col("id")).as("ids"))
-      .where(size(col("ids")) >= 2 &&
-        maxPostings.map(m => size(col("ids")) <= lit(m)).getOrElse(lit(true)))
+      .where(size(col("ids")) >= 2)
+    val postings = maxPostings match {
+      case Some(m) =>
+        ensurePostingDropLogger(docs.sparkSession)
+        allPostings
+          .observe(postingMetricName,
+            sum(when(size(col("ids")) > lit(m), 1L).otherwise(0L))
+              .as("dropped_posting_lists"))
+          .where(size(col("ids")) <= lit(m))
+      case None => allPostings
+    }
     val inter = postings
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))

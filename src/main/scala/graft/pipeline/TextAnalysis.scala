@@ -169,6 +169,29 @@ object TextAnalysis {
           .as("repetition_ratio"))
   }
 
+  /** Per-group token statistics with an APPROXIMATE distinct-token
+    * count — the 100 TB twin of the exact formulation (t03): exact
+    * `COUNT(DISTINCT tok)` shuffles every distinct (group, token)
+    * pair, which at corpus scale is a shuffle within 2× of the input
+    * itself; `approx_count_distinct` (HyperLogLog++) carries one
+    * fixed-size sketch per group per map task instead, so shuffle
+    * volume is O(#groups × sketch), independent of corpus size.
+    *
+    * Single aggregation: n_docs rides along as `sum(pos == 0)` over
+    * the posexploded tokens, so no second branch + join is needed.
+    * `rsd` is the target relative standard deviation (default 5%,
+    * matching Spark's).
+    */
+  def tokenStatsApprox(docs: DataFrame, textCol: String, groupCol: String,
+      rsd: Double = 0.05): DataFrame =
+    docs
+      .select(col(groupCol), posexplode(split(col(textCol), " ")))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(when(col("pos") === 0, 1L).otherwise(0L)).as("n_docs"),
+        count(lit(1)).as("total_tokens"),
+        approx_count_distinct(col("col"), rsd).as("approx_distinct_tokens"))
+
   /** Full per-document stats frame. */
   def stats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -35,6 +35,68 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("maxPostings cap drops hot posting lists, reports them, and completes") {
+    import spark.implicits._
+    // 30 identical spam docs: ONE shingle shared by all 30 → posting
+    // list of 30 ids; every spam pair has jaccard 1.0 through it.
+    // Plus one legitimate near-dup pair (31, 32) whose posting lists
+    // stay under the cap — so the capped result is non-empty (AQE
+    // replaces fully-empty results with EmptyRelation, discarding the
+    // executed observe node; see ngramJaccardPairs scaladoc).
+    val spam = ((1L to 30L).map(i => (i, "spam spam spam spam spam")) ++
+      Seq((31L, "alpha beta gamma delta epsilon"),
+          (32L, "alpha beta gamma delta epsilon"))).toDF("doc_id", "text")
+    val exact = Dedup.ngramJaccardPairs(spam, "text", "doc_id", n = 3,
+      threshold = 0.5, maxPostings = None).count()
+    assert(exact == 30L * 29 / 2 + 1, "uncapped: all pairs via the hot shingle")
+    // capture the observe metric emitted by the capped run
+    @volatile var dropped = -1L
+    val probe = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit =
+        qe.observedMetrics.get(Dedup.postingMetricName).foreach(r =>
+          dropped = r.getAs[Long]("dropped_posting_lists"))
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(probe)
+    try {
+      val capped = Dedup.ngramJaccardPairs(spam, "text", "doc_id", n = 3,
+        threshold = 0.5, maxPostings = Some(10)).collect()
+      assert(capped.length == 1, "only the under-cap pair survives")
+      assert((capped.head.getLong(0), capped.head.getLong(1)) == (31L, 32L))
+      // listener bus is async: poll briefly for the metric
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (dropped < 0 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(dropped == 1, s"expected 1 dropped posting list, saw $dropped")
+    } finally spark.listenerManager.unregister(probe)
+  }
+
+  test("tokenStatsApprox agrees with the exact formulation within HLL tolerance") {
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val approx = TextAnalysis.tokenStatsApprox(d, "text", "source")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val exactBase = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"))
+    val exactDt = d.select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source")).agg(countDistinct(col("tok")).as("dt"))
+    val exact = exactBase.join(exactDt, Seq("source"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (src, e) =>
+      val a = approx(src)
+      // doc and token totals are exact in both formulations
+      assert(a.getAs[Long]("n_docs") == e.getAs[Long]("n_docs"))
+      assert(a.getAs[Long]("total_tokens") == e.getAs[Long]("total_tokens"))
+      // HLL++ at rsd=0.05: allow 3 sigma
+      val dt = e.getAs[Long]("dt").toDouble
+      val adt = a.getAs[Long]("approx_distinct_tokens").toDouble
+      assert(math.abs(adt - dt) / dt <= 0.15,
+        s"$src: approx $adt vs exact $dt off by ${math.abs(adt - dt) / dt}")
+    }
+  }
+
   test("hashedShingles sets match the string-shingle sets") {
     val real = spark.read.parquet(s"${SparkFixture.sfDir}/documents.parquet")
     val str = Dedup.shingles(real, "text", "doc_id", 3)
