@@ -898,17 +898,19 @@ object SparkEntry {
     FROM base b JOIN f USING (l_returnflag, dr)
     ORDER BY l_orderkey, l_linenumber"""),
     (s, dir) => {
-      val base = T(s, dir, "lineitem").filter(col("l_orderkey") <= 400)
-      graft.ops.WindowOps.groupsBetween(base,
-          Seq(col("l_returnflag")), Seq(col("l_quantity")),
-          count(lit(1)), 1, 1, "frame_n")
-        .transform(d => graft.ops.WindowOps.groupsBetween(d,
-          Seq(col("l_returnflag")), Seq(col("l_quantity")),
-          sum(dQty(col("l_quantity"))), 1, 1, "frame_qty"))
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-        col("l_quantity"), col("frame_n"),
-        col("frame_qty").cast("double").as("frame_qty"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // submitted THROUGH the SQL-text door in DataFusion's GROUPS
+      // spelling: SqlRewrite.rewriteGroupsFrames restructures it into
+      // the dense_rank/RANGE equivalence (WindowOps.groupsBetween is
+      // the DataFrame-level twin, spec-tested equal in WindowOpsSpec)
+      registerViews(s, dir, "lineitem")
+      s.sql(SqlRewrite.rewrite("""
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+          CAST(COUNT(*) OVER w AS BIGINT) AS frame_n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(4,1))) OVER w AS DOUBLE) AS frame_qty
+        FROM lineitem WHERE l_orderkey <= 400
+        WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity
+          GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+        ORDER BY l_orderkey, l_linenumber"""))
     })
 
   // AT TIME ZONE (DataFusion datetime surface): UTC instants rendered

@@ -42,6 +42,12 @@ object RecursiveCte {
     */
   val defaultMaxIterations = 1000
 
+  /** Working sets at or under this row count iterate as driver-local
+    * LocalRelations instead of cached cluster frames (see the hybrid
+    * strategy note in [[execute]]).
+    */
+  val localRowThreshold = 10000
+
   /** Execute, reporting the internally cached accumulator frame to
     * `onCached` so the caller can release it from the shared
     * CacheManager when its session ends (the returned tail frame is
@@ -94,49 +100,90 @@ object RecursiveCte {
         Some(spark.table(name))
       else None
 
-    var working = named(run(base))
-    if (!unionAll) working = working.distinct()
-    working = working.cache()
-    var workingRows = working.count()
-    // every iteration's frame is individually cached (the emptiness
-    // check materializes it anyway), so the running accumulator is
-    // just a union over cached pieces — recomputing it is cache reads,
-    // and it needs NO materialization of its own per iteration. One
-    // job per iteration, not two.
-    var pieces = Vector(working)
+    // Hybrid working-set strategy. Most real recursions (hierarchies,
+    // series, path expansion) carry a SMALL working table — for those,
+    // a fully distributed iteration pays ~0.5-1 s of cache/count job
+    // overhead PER STEP for a handful of rows. When an iteration's
+    // result fits under `localRowThreshold`, it is collected and
+    // re-registered as a LocalRelation: Catalyst's
+    // ConvertToLocalRelation then folds pure project/filter steps at
+    // optimization time (zero jobs), and steps that join big tables
+    // still distribute — the big side streams against a local
+    // broadcast-sized working set, which is exactly the plan a native
+    // RecursionExec would pick. Iterations above the threshold fall
+    // back to the cached distributed path unchanged, so genuinely
+    // large recursions keep cluster semantics.
+    val schema = {
+      val b = named(run(base))
+      b.schema
+    }
+    def localDF(rows: Array[org.apache.spark.sql.Row]): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    // ≤ threshold → Left(all rows): the limit(n+1) probe returning
+    // ≤ n rows proves completeness. Otherwise Right(cached, count) —
+    // the probe's partial scan is the price of not knowing sizes in
+    // advance, paid only by large iterations.
+    def materialize(df: DataFrame)
+        : Either[Array[org.apache.spark.sql.Row], (DataFrame, Long)] = {
+      val probe = df.limit(localRowThreshold + 1).collect()
+      if (probe.length <= localRowThreshold) Left(probe)
+      else { val c = df.cache(); (Right((c, c.count()))) }
+    }
+    var pieces = Vector.empty[DataFrame]       // accumulator (local + cached)
+    var cachedPieces = Vector.empty[DataFrame] // the subset to unpersist
+    var sawDistributed = false
     def accumulated: DataFrame = pieces.reduce(_ unionAll _)
+    var workingRows = 0L
+    var workingDF: DataFrame = null
+    def bindIteration(df: DataFrame): Unit = materialize(df) match {
+      case Left(rows) =>
+        workingRows = rows.length
+        workingDF = localDF(rows)
+      case Right((c, n)) =>
+        workingRows = n
+        workingDF = c
+        cachedPieces :+= c
+        sawDistributed = true
+    }
+    bindIteration {
+      var b = named(run(base))
+      if (!unionAll) b = b.distinct()
+      b
+    }
+    pieces :+= workingDF // keep the base even when empty (schema carrier)
     var iters = 0
     while (workingRows > 0 && iters < maxIterations) {
-      working.createOrReplaceTempView(name)
+      workingDF.createOrReplaceTempView(name)
       var next = named(run(step))
       if (!unionAll) next = next.distinct().exceptAll(accumulated)
-      val cachedNext = next.cache()
-      workingRows = cachedNext.count()
-      working = cachedNext
-      if (workingRows > 0) pieces :+= cachedNext
-      else cachedNext.unpersist(): Unit
+      bindIteration(next)
+      if (workingRows > 0) pieces :+= workingDF
       iters += 1
     }
     if (iters >= maxIterations && workingRows > 0) {
       // release every piece before aborting — a cyclic recursion must
       // not strand up to maxIterations cached frames in the shared
       // CacheManager (onCached never runs on this path)
-      pieces.foreach(p => try p.unpersist() catch { case _: Throwable => () })
-      try working.unpersist() catch { case _: Throwable => () }
+      cachedPieces.foreach(p => try p.unpersist() catch { case _: Throwable => () })
       throw new IllegalStateException(
         s"WITH RECURSIVE $name exceeded $maxIterations iterations")
     }
-    // fold the pieces into ONE cached result, then release them — a
-    // single materialization for the whole recursion
+    // fold the pieces into ONE result frame. All-local recursions stay
+    // a driver-resident LocalRelation union — nothing cached, nothing
+    // to release. Any distributed piece → one cached materialization.
     val result =
       if (pieces.size == 1) pieces.head
+      else if (!sawDistributed) accumulated
       else {
         val acc = accumulated.cache()
         acc.count()
-        pieces.foreach(_.unpersist())
+        cachedPieces.foreach(_.unpersist())
+        cachedPieces = Vector.empty
         acc
       }
-    onCached(result)
+    // all-local results are driver-resident, nothing for the caller
+    // to release
+    if (sawDistributed) onCached(result)
     result.createOrReplaceTempView(name)
     // spark.sql analyzes eagerly, so the binding can be undone right
     // after the tail resolves — a CTE must not outlive its statement:

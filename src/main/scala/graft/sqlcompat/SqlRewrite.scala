@@ -24,7 +24,8 @@ object SqlRewrite {
 
   /** Full rewrite pipeline. */
   def rewrite(sql: String): String =
-    rewriteDistinctOn(rewritePostfixCast(rewriteUnnest(rewriteFederatedNames(sql))))
+    rewriteGroupsFrames(
+      rewriteDistinctOn(rewritePostfixCast(rewriteUnnest(rewriteFederatedNames(sql)))))
 
   // ----------------------------------------------------------------
   // Tokenizer: splits SQL into (text, isCode) runs where isCode=false
@@ -266,6 +267,225 @@ object SqlRewrite {
         val outerCols = outerItems.mkString(", ")
         s"""SELECT $outerCols FROM (SELECT $innerCols, $hidden, ROW_NUMBER() OVER (PARTITION BY $keys ORDER BY $windowOrd) AS __graft_rn FROM ${rest.trim}) WHERE __graft_rn = 1 ORDER BY $outerOrd$lim"""
     }
+  }
+
+  // ----------------------------------------------------------------
+  // GROUPS window frames (SQL:2011; DataFusion accepts them, Spark
+  // ≤ 4.1 does not). `GROUPS BETWEEN a PRECEDING AND b FOLLOWING`
+  // reduces exactly to a RANGE frame over dense_rank() — see
+  // graft.ops.WindowOps. SQL cannot nest a window inside an OVER's
+  // ORDER BY, so the enclosing SELECT is restructured:
+  //
+  //   SELECT cols FROM src [WHERE …] [WINDOW …] [ORDER BY …] [LIMIT n]
+  //   → SELECT cols' FROM (SELECT *, DENSE_RANK() OVER (P, O) AS
+  //        __graft_drK … FROM src [WHERE …]) __graft_gw
+  //     [WINDOW …'] [ORDER BY …] [LIMIT n]
+  //
+  // where every GROUPS spec `(P O GROUPS f)` becomes
+  // `(P ORDER BY __graft_drK RANGE f)` and one helper column is added
+  // per distinct (P, O). WHERE stays inside (windows evaluate after
+  // filtering, so semantics are unchanged). Scope: SELECT blocks
+  // without top-level DISTINCT/GROUP BY/HAVING — a GROUPS window over
+  // an aggregated SELECT would need the grouped projection inside the
+  // subquery; those (rare) forms keep failing with Spark's original
+  // parse error, exactly as before this rewrite.
+  // ----------------------------------------------------------------
+  private val GroupsBound =
+    """(?:UNBOUNDED\s+PRECEDING|UNBOUNDED\s+FOLLOWING|CURRENT\s+ROW|\d+\s+PRECEDING|\d+\s+FOLLOWING)"""
+  private val GroupsFrame =
+    s"""(?is)\\bGROUPS\\s+(BETWEEN\\s+($GroupsBound)\\s+AND\\s+($GroupsBound)|($GroupsBound))\\s*$$""".r
+  private val SpecParts =
+    """(?is)^\s*(PARTITION\s+BY\s+.*?)?\s*(ORDER\s+BY\s+.*?)\s*$""".r
+
+  private[sqlcompat] def rewriteGroupsFrames(sql: String): String = {
+    var cur = sql
+    var guard = 0
+    var changed = true
+    while (changed && guard < 8) {
+      guard += 1
+      rewriteOneGroupsBlock(cur) match {
+        case Some(next) => cur = next
+        case None => changed = false
+      }
+    }
+    cur
+  }
+
+  /** Positions (start, end-exclusive) of `GROUPS` keywords in code
+    * runs that begin a window frame clause.
+    */
+  private def findGroupsKeyword(sql: String): Option[Int] = {
+    val mask = codeMask(sql)
+    val G = """(?is)\bGROUPS\s+(BETWEEN\b|UNBOUNDED\b|CURRENT\b|\d)""".r
+    G.findAllMatchIn(sql).map(_.start).find(mask(_))
+  }
+
+  /** isCode flag per character (string literals/quoted idents/comments
+    * are false).
+    */
+  private def codeMask(sql: String): Array[Boolean] = {
+    val mask = new Array[Boolean](sql.length)
+    var offset = 0
+    runs(sql).foreach { case (text, isCode) =>
+      if (isCode) java.util.Arrays.fill(mask, offset, offset + text.length, true)
+      offset += text.length
+    }
+    mask
+  }
+
+  /** Rewrite the SELECT block enclosing the first GROUPS frame; None
+    * when there is nothing (safe) to rewrite.
+    */
+  private def rewriteOneGroupsBlock(sql: String): Option[String] = {
+    val groupsAt = findGroupsKeyword(sql).getOrElse(return None)
+    val mask = codeMask(sql)
+    // the window spec is a paren group: scan back to its unmatched '('
+    var depth = 0
+    var i = groupsAt - 1
+    var specOpen = -1
+    while (i >= 0 && specOpen < 0) {
+      if (mask(i)) sql.charAt(i) match {
+        case ')' => depth += 1
+        case '(' => if (depth > 0) depth -= 1 else specOpen = i
+        case _ =>
+      }
+      i -= 1
+    }
+    if (specOpen < 0) return None
+    // enclosing SELECT: nearest preceding SELECT, skipping balanced
+    // groups. An unmatched '(' passed on the way is an expression
+    // nesting the OVER (CAST(... OVER(...)), arithmetic parens) —
+    // transparent for this search: a subquery's own SELECT would have
+    // been met before its opening paren.
+    depth = 0
+    i = specOpen - 1
+    var selAt = -1
+    while (i >= 0 && selAt < 0) {
+      if (mask(i)) sql.charAt(i) match {
+        case ')' => depth += 1
+        case '(' => if (depth > 0) depth -= 1
+        case c if depth == 0 && (c == 't' || c == 'T') && i >= 5 &&
+            sql.substring(i - 5, i + 1).toUpperCase == "SELECT" &&
+            mask(i - 5) &&
+            (i - 5 == 0 || !isWordChar(sql.charAt(i - 6))) =>
+          selAt = i - 5
+        case _ =>
+      }
+      i -= 1
+    }
+    if (selAt < 0) return None
+    // block end: forward from SELECT at depth 0 until unmatched ')'
+    depth = 0
+    i = selAt
+    var blockEnd = sql.length
+    while (i < sql.length && blockEnd == sql.length) {
+      if (mask(i)) sql.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => if (depth > 0) depth -= 1 else blockEnd = i
+        case _ =>
+      }
+      i += 1
+    }
+    val block = sql.substring(selAt, blockEnd)
+    rewriteGroupsSelect(block).map(nb =>
+      sql.substring(0, selAt) + nb + sql.substring(blockEnd))
+  }
+
+  /** Restructure one SELECT block whose window specs use GROUPS. */
+  private def rewriteGroupsSelect(block: String): Option[String] = {
+    val fromAt = findTopLevelKeyword(block, "FROM")
+    if (fromAt < 0) return None
+    val cols = block.substring("SELECT".length, fromAt)
+    if ("""(?is)^\s*DISTINCT\b""".r.findFirstIn(cols).isDefined) return None
+    val tail = block.substring(fromAt + 4)
+    if (findTopLevelKeyword(tail, "GROUP") >= 0 ||
+        findTopLevelKeyword(tail, "HAVING") >= 0) return None
+    val windowAt = findTopLevelKeyword(tail, "WINDOW")
+    val orderAt = findTopLevelKeyword(tail, "ORDER")
+    val limitAt = findTopLevelKeyword(tail, "LIMIT")
+    val innerEnd = Seq(windowAt, orderAt, limitAt).filter(_ >= 0)
+      .reduceOption(_ min _).getOrElse(tail.length)
+    val innerSource = tail.substring(0, innerEnd)
+    val outerTail = tail.substring(innerEnd)
+
+    // one dense_rank helper per distinct (partition, order) pair;
+    // definitions keep the ORIGINAL spec text (the key is only
+    // whitespace/case-normalized for dedup)
+    val helpers = scala.collection.mutable.LinkedHashMap.empty[(String, String), String]
+    val helperSrc = ListBuffer.empty[String]
+    def helperFor(partition: String, order: String): String = {
+      val key = (partition.trim.toLowerCase.replaceAll("\\s+", " "),
+        order.trim.toLowerCase.replaceAll("\\s+", " "))
+      helpers.getOrElse(key, {
+        val a = s"__graft_dr${helpers.size}"
+        helpers(key) = a
+        val sep = if (partition.trim.nonEmpty) partition.trim + " " else ""
+        helperSrc += s"DENSE_RANK() OVER ($sep${order.trim}) AS $a"
+        a
+      })
+    }
+    var sawGroups = false
+    // rewrite every `( … GROUPS frame )` window spec in a text chunk
+    def rewriteSpecsIn(text: String): Option[String] = {
+      val sb = new StringBuilder(text)
+      var changed = true
+      while (changed) {
+        changed = false
+        val t = sb.toString
+        val mask = codeMask(t)
+        val gAt = """(?is)\bGROUPS\s+(BETWEEN\b|UNBOUNDED\b|CURRENT\b|\d)""".r
+          .findAllMatchIn(t).map(_.start).find(mask(_))
+        gAt.foreach { g =>
+          // back to the spec's '('
+          var depth = 0
+          var i = g - 1
+          var open = -1
+          while (i >= 0 && open < 0) {
+            if (mask(i)) t.charAt(i) match {
+              case ')' => depth += 1
+              case '(' => if (depth > 0) depth -= 1 else open = i
+              case _ =>
+            }
+            i -= 1
+          }
+          if (open < 0) return None
+          val close = findBalancedClose(t, open)
+          if (close < 0) return None
+          val spec = t.substring(open + 1, close)
+          val gInSpec = g - open - 1
+          val frameText = spec.substring(gInSpec)
+          val fm = GroupsFrame.findFirstMatchIn(frameText).getOrElse(return None)
+          val frame = Option(fm.group(4)) match {
+            case Some(single) => s"BETWEEN $single AND CURRENT ROW"
+            case None => s"BETWEEN ${fm.group(2)} AND ${fm.group(3)}"
+          }
+          val pre = spec.substring(0, gInSpec)
+          val pm = SpecParts.findFirstMatchIn(pre).getOrElse(return None)
+          val partition = Option(pm.group(1)).getOrElse("")
+          val order = Option(pm.group(2)).getOrElse(return None)
+          val alias = helperFor(partition, order)
+          val sep = if (partition.trim.nonEmpty) partition.trim + " " else ""
+          sb.replace(open + 1, close,
+            s"${sep}ORDER BY $alias RANGE $frame")
+          sawGroups = true
+          changed = true
+        }
+      }
+      Some(sb.toString)
+    }
+
+    val newCols = rewriteSpecsIn(cols).getOrElse(return None)
+    val newOuterTail = rewriteSpecsIn(outerTail).getOrElse(return None)
+    if (!sawGroups || helpers.isEmpty) return None
+    val helperDefs = helperSrc.mkString(", ")
+    // a bare star in the outer list must not leak the helper columns
+    val exceptList = helpers.values.mkString(", ")
+    val outItems = splitTopLevelCommas(newCols).map(_.trim).map {
+      case s if s == "*" || s.endsWith(".*") => s"* EXCEPT ($exceptList)"
+      case s => s
+    }
+    Some(s"SELECT ${outItems.mkString(", ")} FROM (SELECT *, $helperDefs FROM " +
+      s"${innerSource.trim}) __graft_gw ${newOuterTail.trim}".trim)
   }
 
   /** Index of the ')' matching the '(' at `openAt` (quote-aware via

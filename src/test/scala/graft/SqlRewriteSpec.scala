@@ -120,4 +120,48 @@ class SqlRewriteSpec extends AnyFunSuite {
     val sql = "SELECT a, sum(b) FROM t GROUP BY a HAVING sum(b) > 10 ORDER BY a"
     assert(SqlRewrite.rewrite(sql) == sql)
   }
+
+  test("GROUPS frame in an inline OVER becomes dense_rank + RANGE") {
+    val out = SqlRewrite.rewrite(
+      """SELECT k, sum(v) OVER (PARTITION BY k ORDER BY o
+         GROUPS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS s FROM t WHERE v > 0""")
+    assert(out.contains("DENSE_RANK() OVER (PARTITION BY k ORDER BY o) AS __graft_dr0"), out)
+    assert(out.contains("ORDER BY __graft_dr0 RANGE BETWEEN 2 PRECEDING AND 1 FOLLOWING"), out)
+    assert(out.contains("FROM t WHERE v > 0) __graft_gw"), out)
+    assert(!out.toUpperCase.contains("GROUPS"), out)
+  }
+
+  test("GROUPS shorthand bound maps to BETWEEN n PRECEDING AND CURRENT ROW") {
+    val out = SqlRewrite.rewrite(
+      "SELECT sum(v) OVER (ORDER BY o GROUPS 2 PRECEDING) AS s FROM t")
+    assert(out.contains("RANGE BETWEEN 2 PRECEDING AND CURRENT ROW"), out)
+  }
+
+  test("GROUPS in a named WINDOW clause is rewritten; shared specs reuse one helper") {
+    val out = SqlRewrite.rewrite(
+      """SELECT count(*) OVER w AS a, sum(v) OVER w AS b FROM t
+         WINDOW w AS (PARTITION BY k ORDER BY o GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+         ORDER BY a""")
+    assert(out.contains("WINDOW w AS (PARTITION BY k ORDER BY __graft_dr0 RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)"), out)
+    assert(out.endsWith("ORDER BY a"), out)
+    assert("__graft_dr\\d".r.findAllIn(out).toSet.size >= 1)
+    assert(!out.contains("__graft_dr1"), "same (partition, order) must share one helper: " + out)
+  }
+
+  test("a bare star does not leak the dense_rank helper column") {
+    val out = SqlRewrite.rewrite(
+      "SELECT *, sum(v) OVER (ORDER BY o GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) s FROM t")
+    assert(out.contains("* EXCEPT (__graft_dr0)"), out)
+  }
+
+  test("GROUPS over an aggregated SELECT is left for Spark to reject") {
+    val sql = """SELECT k, sum(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+      FROM t GROUP BY k"""
+    assert(SqlRewrite.rewrite(sql) == sql)
+  }
+
+  test("the word GROUPS inside a string literal is untouched") {
+    val sql = "SELECT 'GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING' AS s FROM t"
+    assert(SqlRewrite.rewrite(sql) == sql)
+  }
 }

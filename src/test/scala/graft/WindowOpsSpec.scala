@@ -29,6 +29,28 @@ class WindowOpsSpec extends AnyFunSuite {
     assert(out == Seq(2L, 2L, 1L))
   }
 
+  test("GROUPS SQL text via the session query door equals the DataFrame emulation") {
+    val mgr = new graft.engine.SessionManager(spark)
+    try {
+      val h = mgr.create()
+      import h.spark.implicits._
+      val df = Seq((1, 1, 10), (2, 1, 20), (3, 2, 30), (4, 3, 40), (5, 3, 50),
+        (6, 4, 60), (7, 4, 70)).toDF("v", "g", "x")
+      mgr.registerTable(h, df,
+        graft.engine.DataSourceDef("gtab", "memory", None, None))
+      val viaSql = mgr.sql(h,
+        """SELECT v, CAST(SUM(x) OVER (ORDER BY g
+             GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS s
+           FROM gtab ORDER BY v""")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val viaOps = WindowOps.groupsBetween(df,
+          Seq(), Seq(col("g")), sum(col("x")), 1, 1, "s")
+        .select(col("v"), col("s")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(viaSql == viaOps)
+    } finally mgr.shutdown()
+  }
+
   test("helper column does not leak and partitioning is respected") {
     import spark.implicits._
     val df = Seq(("a", 1, 5), ("a", 2, 6), ("b", 1, 7)).toDF("p", "g", "x")
