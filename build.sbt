@@ -15,6 +15,21 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Arrow Flight endpoint (SURVEY §2.A9/A22): flight-core + its gRPC
+// closure is NOT resolvable in this zero-egress build (see
+// FLIGHT_BLOCKER.md for the reproducible failure), so the
+// implementation compiles only when explicitly enabled on a machine
+// that has the jars: sbt -Dgraft.flight=true [-Dgraft.flight.jars=dir]
+Compile / unmanagedSourceDirectories ++= {
+  if (sys.props.get("graft.flight").contains("true"))
+    Seq(baseDirectory.value / "src" / "flight" / "scala")
+  else Seq.empty
+}
+Compile / unmanagedJars ++= {
+  sys.props.get("graft.flight.jars")
+    .map(dir => (file(dir) ** "*.jar").classpath)
+    .getOrElse(Seq.empty)
+}
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -146,6 +146,17 @@ object Readers {
   def avro(spark: SparkSession, path: String): DataFrame =
     AvroReader.read(spark, path)
 
+  /** Arrow IPC ingest (`DataSourceFormat::Arrow`,
+    * `request/body.rs:98-99`) — both the stream framing and the
+    * random-access file framing (magic `ARROW1`) are accepted; the
+    * bytes are decoded by Spark's own Arrow column→row machinery.
+    */
+  def arrowBytes(spark: SparkSession, bytes: Array[Byte]): DataFrame =
+    org.apache.spark.sql.graftbridge.ArrowBridge.readIpcBytes(spark, bytes)
+
+  def arrow(spark: SparkSession, path: String): DataFrame =
+    arrowBytes(spark, Files.readAllBytes(Paths.get(stripFileScheme(path))))
+
   /** Format sniffing for uploads: content-type first, then file
     * extension (`request/format.rs:8-52`).
     */
@@ -156,6 +167,8 @@ object Readers {
       case "application/x-ndjson" | "application/jsonlines" => "ndJson"
       case "application/vnd.apache.parquet" | "application/parquet" => "parquet"
       case "application/avro" | "application/avro-binary" => "avro"
+      case "application/vnd.apache.arrow.stream" |
+           "application/vnd.apache.arrow.file" => "arrow"
     }
     byCt.orElse(filename.flatMap { f =>
       f.toLowerCase.split('.').lastOption.collect {
@@ -164,6 +177,7 @@ object Readers {
         case "ndjson" | "jsonl" => "ndJson"
         case "parquet" => "parquet"
         case "avro" => "avro"
+        case "arrow" | "arrows" | "feather" => "arrow"
       }
     })
   }

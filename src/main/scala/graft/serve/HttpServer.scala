@@ -151,6 +151,7 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
                 new String(part.body, StandardCharsets.UTF_8), sOpts)
               case "ndJson" => Readers.ndJsonBytes(h.spark, part.body, sOpts)
               case "parquet" => Readers.parquetBytes(h.spark, part.body, Some(h.spoolDir))
+              case "arrow" => Readers.arrowBytes(h.spark, part.body)
               case other => throw new IllegalArgumentException(s"unsupported upload format: $other")
             }
             sessions.registerTable(h, df,
@@ -282,6 +283,7 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
         Readers.jsonDocument(h.spark, new String(bytes, StandardCharsets.UTF_8), opts)
       case ("parquet", Some(bytes), _, _) =>
         Readers.parquetBytes(h.spark, bytes, Some(h.spoolDir))
+      case ("arrow", Some(bytes), _, _) => Readers.arrowBytes(h.spark, bytes)
       case (fmtName, Some(_), _, _) =>
         throw new IllegalArgumentException(s"http fetch unsupported for format: $fmtName")
       case (fmtName, None, loc, data) => (fmtName, loc, data) match {
@@ -291,6 +293,7 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
       case ("json", None, Some(text)) => Readers.jsonDocument(h.spark, text, opts)
       case ("parquet", Some(loc), _) => Readers.parquet(h.spark, loc)
       case ("avro", Some(loc), _) => Readers.avro(h.spark, loc)
+      case ("arrow", Some(loc), _) => Readers.arrow(h.spark, loc)
       case ("delta" | "deltalake", Some(loc), _) =>
         graft.ingest.DeltaReader.read(h.spark, loc, ds.options.version)
         case (f, None, None) =>

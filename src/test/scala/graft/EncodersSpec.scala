@@ -53,6 +53,51 @@ class EncodersSpec extends AnyFunSuite {
     } finally { reader.close(); alloc.close() }
   }
 
+  test("arrow ipc ingest round-trips a frame losslessly (write -> readIpcBytes)") {
+    import spark.implicits._
+    val src = Seq((1L, "a", 1.5, Seq(1, 2)), (2L, "b", Double.NaN, Seq.empty[Int]))
+      .toDF("id", "s", "x", "xs")
+    val bytes = {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.spark.sql.graftbridge.ArrowBridge.writeIpcStream(src, out, batchRows = 1)
+      out.toByteArray
+    }
+    val back = graft.ingest.Readers.arrowBytes(spark, bytes)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "s", "x", "xs"))
+    val rows = back.orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "a" &&
+      rows(0).getSeq[Int](3) == Seq(1, 2))
+    assert(rows(1).getDouble(2).isNaN)
+  }
+
+  test("arrow ipc FILE framing (ARROW1 magic) ingests too") {
+    import spark.implicits._
+    val src = Seq((10, "x"), (20, "y")).toDF("v", "s")
+    // produce file-format bytes with Arrow Java directly
+    val alloc = new RootAllocator()
+    val streamBytes = {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.spark.sql.graftbridge.ArrowBridge.writeIpcStream(src, out)
+      out.toByteArray
+    }
+    val reader = new ArrowStreamReader(new ByteArrayInputStream(streamBytes), alloc)
+    val fileBytes = try {
+      val root = reader.getVectorSchemaRoot
+      val out = new java.io.ByteArrayOutputStream()
+      val ch = java.nio.channels.Channels.newChannel(out)
+      val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null, ch)
+      w.start()
+      while (reader.loadNextBatch()) w.writeBatch()
+      w.end(); w.close()
+      out.toByteArray
+    } finally { reader.close(); alloc.close() }
+    assert(fileBytes.startsWith("ARROW1".getBytes("US-ASCII")))
+    val back = graft.ingest.Readers.arrowBytes(spark, fileBytes)
+    assert(back.orderBy("v").collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((10, "x"), (20, "y")))
+  }
+
   test("arrow ipc of empty result still carries schema") {
     val bytes = ResponseEncoders.encodeToBytes(df.filter("id < 0"), ResponseEncoders.ArrowFormat)
     val alloc = new RootAllocator()
