@@ -85,12 +85,17 @@ final class GraftFlightProducer(sessions: SessionManager)
     try {
       val (sid, value) = split(new String(ticket.getBytes, UTF_8))
       val df = frame(sid, value)
-      // driver-incremental: one Arrow batch in flight at a time, so
-      // server memory is bounded by batchRows regardless of result
-      // size (the execute_sql_stream analogue, flight.rs:237-247)
+      // driver-incremental with flow control: one Arrow batch is
+      // produced at a time (the execute_sql_stream analogue,
+      // flight.rs:237-247), and the producer waits for the transport
+      // to drain before the next putNext so a slow client cannot grow
+      // the outbound queue unboundedly
       ArrowBridge.foreachArrowBatch(df, batchRows = 1024) { root =>
         listener.start(root)
-      } { () => listener.putNext() }
+      } { () =>
+        while (!listener.isReady && !listener.isCancelled) Thread.`yield`()
+        if (!listener.isCancelled) listener.putNext()
+      }
       listener.completed()
     } catch {
       case e: FlightRuntimeException => listener.error(e); throw e
@@ -133,7 +138,11 @@ final class GraftFlightProducer(sessions: SessionManager)
         throw CallStatus.NOT_FOUND
           .withDescription(s"no such session: $sid").toRuntimeException)
       // drain the gRPC stream into IPC bytes, then decode with the
-      // same (spec-tested) path the HTTP arrow ingest uses
+      // same (spec-tested) path the HTTP arrow ingest uses. Buffering
+      // the full upload driver-side mirrors the reference, whose
+      // to_record_batches also collects every batch before
+      // registration (flight_stream.rs:58-78); a spill-to-disk
+      // variant would reuse Readers' session spool.
       val out = new ByteArrayOutputStream()
       val writer = new ArrowStreamWriter(stream.getRoot,
         stream.getDictionaryProvider, out)

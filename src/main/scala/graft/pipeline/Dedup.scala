@@ -22,10 +22,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** `observe` metric name carrying the count of posting lists dropped
-    * by the [[ngramJaccardPairs]] `maxPostings` spam guard.
+  /** Prefix of the `observe` metric carrying the count of posting
+    * lists dropped by the [[ngramJaccardPairs]] `maxPostings` spam
+    * guard. Each call mints a unique suffix — Spark rejects a plan
+    * holding two CollectMetrics nodes with the same name, so a query
+    * composing two capped dedup frames must not reuse one.
     */
   val postingMetricName = "graft.ngram.postings"
+
+  private val postingMetricSeq = new java.util.concurrent.atomic.AtomicLong()
 
   // one listener per session: logs the dropped-posting-list count of
   // every capped ngramJaccardPairs run (weak-keyed so stopped test
@@ -39,12 +44,14 @@ object Dedup {
       spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
         override def onSuccess(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
-          qe.observedMetrics.get(postingMetricName).foreach { row =>
-            val dropped = row.getAs[Long]("dropped_posting_lists")
-            if (dropped > 0)
-              org.slf4j.LoggerFactory.getLogger("graft.pipeline.Dedup").warn(
-                s"ngramJaccardPairs: dropped $dropped posting list(s) over the " +
-                  "maxPostings cap; their shingles no longer contribute to intersections")
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith(postingMetricName)) {
+              val dropped = row.getAs[Long]("dropped_posting_lists")
+              if (dropped > 0)
+                org.slf4j.LoggerFactory.getLogger("graft.pipeline.Dedup").warn(
+                  s"ngramJaccardPairs: dropped $dropped posting list(s) over the " +
+                    "maxPostings cap; their shingles no longer contribute to intersections")
+            }
           }
         override def onFailure(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
@@ -139,7 +146,7 @@ object Dedup {
       case Some(m) =>
         ensurePostingDropLogger(docs.sparkSession)
         allPostings
-          .observe(postingMetricName,
+          .observe(s"$postingMetricName.${postingMetricSeq.incrementAndGet()}",
             sum(when(size(col("ids")) > lit(m), 1L).otherwise(0L))
               .as("dropped_posting_lists"))
           .where(size(col("ids")) <= lit(m))

@@ -113,22 +113,29 @@ object RecursiveCte {
     // RecursionExec would pick. Iterations above the threshold fall
     // back to the cached distributed path unchanged, so genuinely
     // large recursions keep cluster semantics.
-    val schema = {
-      val b = named(run(base))
-      b.schema
-    }
-    def localDF(rows: Array[org.apache.spark.sql.Row]): DataFrame =
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    // Each piece keeps ITS OWN schema (the step may legitimately
+    // widen types vs the base — int + bigint, growing decimals — and
+    // the union's analyzer coercion reconciles them exactly as the
+    // all-distributed path did).
     // ≤ threshold → Left(all rows): the limit(n+1) probe returning
     // ≤ n rows proves completeness. Otherwise Right(cached, count) —
     // the probe's partial scan is the price of not knowing sizes in
-    // advance, paid only by large iterations.
+    // advance, paid only by large iterations. `localBudget` bounds
+    // TOTAL driver-resident rows across the recursion: once spent,
+    // later iterations go distributed even when individually small,
+    // so a long recursion cannot accumulate unbounded collected rows
+    // on the driver.
+    var localBudget = localRowThreshold.toLong * 10
     def materialize(df: DataFrame)
-        : Either[Array[org.apache.spark.sql.Row], (DataFrame, Long)] = {
-      val probe = df.limit(localRowThreshold + 1).collect()
-      if (probe.length <= localRowThreshold) Left(probe)
-      else { val c = df.cache(); (Right((c, c.count()))) }
-    }
+        : Either[Array[org.apache.spark.sql.Row], (DataFrame, Long)] =
+      if (localBudget <= 0) { val c = df.cache(); Right((c, c.count())) }
+      else {
+        val probe = df.limit(localRowThreshold + 1).collect()
+        if (probe.length <= localRowThreshold) {
+          localBudget -= probe.length
+          Left(probe)
+        } else { val c = df.cache(); Right((c, c.count())) }
+      }
     var pieces = Vector.empty[DataFrame]       // accumulator (local + cached)
     var cachedPieces = Vector.empty[DataFrame] // the subset to unpersist
     var sawDistributed = false
@@ -138,7 +145,8 @@ object RecursiveCte {
     def bindIteration(df: DataFrame): Unit = materialize(df) match {
       case Left(rows) =>
         workingRows = rows.length
-        workingDF = localDF(rows)
+        workingDF = spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), df.schema)
       case Right((c, n)) =>
         workingRows = n
         workingDF = c

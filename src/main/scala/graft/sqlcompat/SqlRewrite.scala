@@ -367,21 +367,39 @@ object SqlRewrite {
         case c if depth == 0 && (c == 't' || c == 'T') && i >= 5 &&
             sql.substring(i - 5, i + 1).toUpperCase == "SELECT" &&
             mask(i - 5) &&
-            (i - 5 == 0 || !isWordChar(sql.charAt(i - 6))) =>
+            (i - 5 == 0 || !isWordChar(sql.charAt(i - 6))) &&
+            (i + 1 == sql.length || !isWordChar(sql.charAt(i + 1))) =>
           selAt = i - 5
         case _ =>
       }
       i -= 1
     }
     if (selAt < 0) return None
-    // block end: forward from SELECT at depth 0 until unmatched ')'
+    // block end: forward from SELECT at depth 0 until an unmatched
+    // ')', a statement terminator, or a set-operation keyword — a
+    // UNION/INTERSECT/EXCEPT branch or a ';' ends THIS select and
+    // must stay outside the generated subquery
     depth = 0
     i = selAt
     var blockEnd = sql.length
+    var seenFrom = false // set-op keywords only end the block after the
+                         // FROM clause ("* EXCEPT (…)" in a select list
+                         // must not be mistaken for the set operation)
+    def wordAt(at: Int, w: String): Boolean =
+      at + w.length <= sql.length &&
+        sql.substring(at, at + w.length).toUpperCase == w &&
+        (at == 0 || !isWordChar(sql.charAt(at - 1))) &&
+        (at + w.length == sql.length || !isWordChar(sql.charAt(at + w.length)))
     while (i < sql.length && blockEnd == sql.length) {
       if (mask(i)) sql.charAt(i) match {
         case '(' => depth += 1
         case ')' => if (depth > 0) depth -= 1 else blockEnd = i
+        case ';' if depth == 0 => blockEnd = i
+        case c if depth == 0 && c.isLetter =>
+          if (!seenFrom && wordAt(i, "FROM")) seenFrom = true
+          else if (seenFrom &&
+              Seq("UNION", "INTERSECT", "EXCEPT", "MINUS").exists(wordAt(i, _)))
+            blockEnd = i
         case _ =>
       }
       i += 1
@@ -478,10 +496,15 @@ object SqlRewrite {
     val newOuterTail = rewriteSpecsIn(outerTail).getOrElse(return None)
     if (!sawGroups || helpers.isEmpty) return None
     val helperDefs = helperSrc.mkString(", ")
-    // a bare star in the outer list must not leak the helper columns
+    // a bare star in the outer list must not leak the helper columns;
+    // a QUALIFIED star (a.*) cannot survive the subquery (its
+    // qualifier is gone and widening it to * would silently change
+    // the projection) — leave those queries to Spark's original error
     val exceptList = helpers.values.mkString(", ")
-    val outItems = splitTopLevelCommas(newCols).map(_.trim).map {
-      case s if s == "*" || s.endsWith(".*") => s"* EXCEPT ($exceptList)"
+    val rawItems = splitTopLevelCommas(newCols).map(_.trim)
+    if (rawItems.exists(s => s != "*" && s.endsWith(".*"))) return None
+    val outItems = rawItems.map {
+      case "*" => s"* EXCEPT ($exceptList)"
       case s => s
     }
     Some(s"SELECT ${outItems.mkString(", ")} FROM (SELECT *, $helperDefs FROM " +

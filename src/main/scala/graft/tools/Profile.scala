@@ -72,7 +72,8 @@ object Profile {
       .where(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
     time("d02 pair counts")(inter2.write.format("noop").mode("overwrite").save())
-    time("d02 full")(graft.pipeline.Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.3)
+    time("d02 full")(graft.pipeline.Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.3,
+        maxPostings = None) // profile the same exact plan the d02 bench runs
       .write.format("noop").mode("overwrite").save())
     ds2.unpersist()
     val full = graft.pipeline.Dedup.minHashLsh(docs, "text", "doc_id",

@@ -142,7 +142,10 @@ object ArrowBridge {
       try {
         val root = reader.getVectorSchemaRoot
         val out = new java.io.ByteArrayOutputStream()
-        val writer = new ArrowStreamWriter(root, null, out)
+        // the reader IS the dictionary provider: dictionary-encoded
+        // (categorical) columns need their dictionaries re-emitted in
+        // the stream framing
+        val writer = new ArrowStreamWriter(root, reader, out)
         writer.start()
         while (reader.loadNextBatch()) writer.writeBatch()
         writer.end()

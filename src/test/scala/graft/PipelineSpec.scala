@@ -54,8 +54,10 @@ class PipelineSpec extends AnyFunSuite {
     val probe = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
           d: Long): Unit =
-        qe.observedMetrics.get(Dedup.postingMetricName).foreach(r =>
-          dropped = r.getAs[Long]("dropped_posting_lists"))
+        qe.observedMetrics.foreach { case (name, r) =>
+          if (name.startsWith(Dedup.postingMetricName))
+            dropped = r.getAs[Long]("dropped_posting_lists")
+        }
       override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
           e: Exception): Unit = ()
     }
@@ -70,6 +72,15 @@ class PipelineSpec extends AnyFunSuite {
       while (dropped < 0 && System.nanoTime() < deadline) Thread.sleep(50)
       assert(dropped == 1, s"expected 1 dropped posting list, saw $dropped")
     } finally spark.listenerManager.unregister(probe)
+  }
+
+  test("two capped dedup frames compose in one query (unique observe names)") {
+    import spark.implicits._
+    val a = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val b = Seq((3L, "mu nu xi omicron pi"), (4L, "mu nu xi omicron pi")).toDF("doc_id", "text")
+    val both = Dedup.ngramJaccardPairs(a, "text", "doc_id", 3, 0.5, Some(10))
+      .unionByName(Dedup.ngramJaccardPairs(b, "text", "doc_id", 3, 0.5, Some(10)))
+    assert(both.count() == 2, "one pair per corpus")
   }
 
   test("tokenStatsApprox agrees with the exact formulation within HLL tolerance") {

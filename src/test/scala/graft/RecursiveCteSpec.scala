@@ -12,6 +12,15 @@ class RecursiveCteSpec extends AnyFunSuite {
     assert(df.collect().map(_.getInt(0)).toSeq == (1 to 10))
   }
 
+  test("step may widen the base's column types (int base, bigint step)") {
+    val df = RecursiveCte.execute(spark,
+      """WITH RECURSIVE t(n) AS (
+           SELECT CAST(1 AS INT)
+           UNION ALL SELECT n + CAST(1 AS BIGINT) FROM t WHERE n < 5
+         ) SELECT n FROM t ORDER BY n""")
+    assert(df.collect().map(_.getLong(0)).toSeq == (1L to 5L))
+  }
+
   test("UNION (distinct) terminates on a cyclic step") {
     // step keeps producing 1..3 forever; distinct semantics reach the
     // fixpoint after one round instead of looping

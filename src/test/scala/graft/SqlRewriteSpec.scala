@@ -164,4 +164,32 @@ class SqlRewriteSpec extends AnyFunSuite {
     val sql = "SELECT 'GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING' AS s FROM t"
     assert(SqlRewrite.rewrite(sql) == sql)
   }
+
+  test("GROUPS rewrite keeps a following UNION branch outside the subquery") {
+    val out = SqlRewrite.rewrite(
+      """SELECT k, sum(v) OVER (ORDER BY o GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s FROM t
+         UNION ALL SELECT k, v FROM u""")
+    assert(out.contains("FROM t) __graft_gw"), out)
+    assert(out.contains("UNION ALL SELECT k, v FROM u"), out)
+    assert(!out.contains("FROM u) __graft_gw"), "union branch leaked into subquery: " + out)
+  }
+
+  test("GROUPS rewrite keeps a trailing semicolon outside the subquery") {
+    val out = SqlRewrite.rewrite(
+      "SELECT sum(v) OVER (ORDER BY o GROUPS 2 PRECEDING) AS s FROM t;")
+    assert(out.endsWith(";"), out)
+    assert(out.contains("FROM t) __graft_gw"), out)
+  }
+
+  test("an identifier starting with 'select' is not mistaken for the keyword") {
+    val out = SqlRewrite.rewrite(
+      "SELECT selection, sum(v) OVER (ORDER BY o GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s FROM t")
+    assert(out.contains("SELECT selection,"), out)
+    assert(out.contains("RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING"), out)
+  }
+
+  test("a qualified star with GROUPS bails to Spark's original error") {
+    val sql = "SELECT a.*, sum(v) OVER (ORDER BY o GROUPS 1 PRECEDING) s FROM a JOIN b USING (k)"
+    assert(SqlRewrite.rewrite(sql) == sql)
+  }
 }
