@@ -296,6 +296,21 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
       case ("arrow", Some(loc), _) => Readers.arrow(h.spark, loc)
       case ("delta" | "deltalake", Some(loc), _) =>
         graft.ingest.DeltaReader.read(h.spark, loc, ds.options.version)
+      // Flight scan is feature-gated exactly like the reference's
+      // `flight` cargo feature: resolved reflectively so the default
+      // (jar-less) build keeps this route, with a clear error
+      case ("flight", Some(loc), _) =>
+        try {
+          val cls = Class.forName("graft.flight.FlightScan$")
+          cls.getMethod("read",
+              classOf[org.apache.spark.sql.SparkSession], classOf[String])
+            .invoke(cls.getField("MODULE$").get(null), h.spark, loc)
+            .asInstanceOf[org.apache.spark.sql.DataFrame]
+        } catch {
+          case _: ClassNotFoundException => throw new IllegalArgumentException(
+            "flight datasource support is not built in this binary " +
+              "(compile with -Dgraft.flight=true; see FLIGHT_BLOCKER.md)")
+        }
         case (f, None, None) =>
           throw new IllegalArgumentException(s"dataSource ${ds.name}: location or data required for $f")
         case (f, _, _) => throw new IllegalArgumentException(s"unsupported format: $f")

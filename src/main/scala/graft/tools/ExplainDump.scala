@@ -29,7 +29,8 @@ object ExplainDump {
       "d04_dedup_simhash" -> "one-pass SimHash kernel: zero hash exchanges",
       "s01_knn_bruteforce" -> "ANN brute force: 1-row query broadcast, fused cosine kernel, TopK",
       "t05_chunking" -> "chunking: generator in the scan stage, no shuffle",
-      "q55_groups_frames" -> "GROUPS-frame emulation: both windows share one partition exchange",
+      "q55_groups_frames" -> "GROUPS frames via the SQL-text rewrite: dense_rank subquery + RANGE window share one partition exchange",
+      "q24_explode_tokens" -> "post-fanOut-removal: explode + partial agg directly over the scan, no pre-shuffle",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")

@@ -202,6 +202,15 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post("/session/nope/query", """{"sql":"SELECT 1"}""").statusCode() == 404)
   }
 
+  test("flight datasource without the gated build is a clear 400") {
+    post("/session?id=fl", "")
+    val r = post("/session/fl/datasource",
+      """{"format":"flight","name":"remote","location":"flight://peer:50051/s1/nation"}""")
+    assert(r.statusCode() == 400, r.body())
+    assert(r.body().contains("FLIGHT_BLOCKER"), r.body())
+    delete("/session/fl")
+  }
+
   test("datasource/save writes a registered table back to files") {
     val dir = java.nio.file.Files.createTempDirectory("graft-save").toString
     post("/session?id=sv", "")
