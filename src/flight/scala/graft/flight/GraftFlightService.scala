@@ -90,13 +90,20 @@ final class GraftFlightProducer(sessions: SessionManager)
       // flight.rs:237-247), and the producer waits for the transport
       // to drain before the next putNext so a slow client cannot grow
       // the outbound queue unboundedly
-      ArrowBridge.foreachArrowBatch(df, batchRows = 1024) { root =>
-        listener.start(root)
-      } { () =>
-        while (!listener.isReady && !listener.isCancelled) Thread.`yield`()
-        if (!listener.isCancelled) listener.putNext()
-      }
-      listener.completed()
+      // a cancelled stream aborts the row iteration (the exception
+      // unwinds foreachArrowBatch, so no further rows are computed);
+      // readiness waits sleep rather than busy-spin
+      object Cancelled extends RuntimeException
+      try {
+        ArrowBridge.foreachArrowBatch(df, batchRows = 1024) { root =>
+          listener.start(root)
+        } { () =>
+          while (!listener.isReady && !listener.isCancelled) Thread.sleep(1)
+          if (listener.isCancelled) throw Cancelled
+          listener.putNext()
+        }
+        listener.completed()
+      } catch { case Cancelled => () } // client went away: nothing to send
     } catch {
       case e: FlightRuntimeException => listener.error(e); throw e
       case e: Throwable =>

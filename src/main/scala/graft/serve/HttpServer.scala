@@ -310,6 +310,10 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
           case _: ClassNotFoundException => throw new IllegalArgumentException(
             "flight datasource support is not built in this binary " +
               "(compile with -Dgraft.flight=true; see FLIGHT_BLOCKER.md)")
+          // Method.invoke wraps the scan's own failures — rethrow the
+          // cause so a bad URI stays a 400 with its real message
+          case e: java.lang.reflect.InvocationTargetException =>
+            throw Option(e.getCause).getOrElse(e)
         }
         case (f, None, None) =>
           throw new IllegalArgumentException(s"dataSource ${ds.name}: location or data required for $f")

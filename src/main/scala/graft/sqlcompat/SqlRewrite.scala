@@ -405,8 +405,13 @@ object SqlRewrite {
       i += 1
     }
     val block = sql.substring(selAt, blockEnd)
+    // the rewritten block is trimmed: re-separate it from a following
+    // set-op keyword (")__graft_gw" + "UNION" must not fuse into one
+    // identifier)
+    val sep = if (blockEnd < sql.length &&
+      isWordChar(sql.charAt(blockEnd))) " " else ""
     rewriteGroupsSelect(block).map(nb =>
-      sql.substring(0, selAt) + nb + sql.substring(blockEnd))
+      sql.substring(0, selAt) + nb + sep + sql.substring(blockEnd))
   }
 
   /** Restructure one SELECT block whose window specs use GROUPS. */

@@ -51,6 +51,21 @@ class WindowOpsSpec extends AnyFunSuite {
     } finally mgr.shutdown()
   }
 
+  test("GROUPS in the first branch of a UNION ALL parses and runs") {
+    val mgr = new graft.engine.SessionManager(spark)
+    try {
+      val h = mgr.create()
+      import h.spark.implicits._
+      mgr.registerTable(h, Seq((1, 10), (1, 20), (2, 30)).toDF("g", "x"),
+        graft.engine.DataSourceDef("gu", "memory", None, None))
+      val rows = mgr.sql(h,
+        """SELECT g, CAST(SUM(x) OVER (ORDER BY g GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS s FROM gu
+           UNION ALL SELECT g, CAST(x AS BIGINT) AS s FROM gu""")
+        .collect()
+      assert(rows.length == 6, rows.mkString(";"))
+    } finally mgr.shutdown()
+  }
+
   test("helper column does not leak and partitioning is respected") {
     import spark.implicits._
     val df = Seq(("a", 1, 5), ("a", 2, 6), ("b", 1, 7)).toDF("p", "g", "x")
