@@ -137,20 +137,34 @@ object Dedup {
       graft.functions.ShingleHashes(col(textCol), n).as("sh_arr"))
       .cache()
     val sizes = docSets.select(col("id"), size(col("sh_arr")).cast("long").as("n_sh"))
-    val allPostings = docSets
-      .select(explode(col("sh_arr")).as("shingle"), col("id"))
-      .groupBy(col("shingle"))
-      .agg(collect_list(col("id")).as("ids"))
-      .where(size(col("ids")) >= 2)
+    val exploded = docSets.select(explode(col("sh_arr")).as("shingle"), col("id"))
     val postings = maxPostings match {
       case Some(m) =>
+        // capped path: count per shingle FIRST (map-side partial
+        // counts, tiny rows), drop hot shingles, then collect posting
+        // lists only for survivors — no reducer row ever materializes
+        // more than m ids, so a spam shingle cannot OOM an executor
+        // before the guard applies. One extra count shuffle vs the
+        // exact path; the collect_list after the join reuses the
+        // join's shingle partitioning (no further exchange).
         ensurePostingDropLogger(docs.sparkSession)
-        allPostings
+        val counts = exploded
+          .groupBy(col("shingle"))
+          .agg(count(lit(1)).as("n_docs_sh"))
           .observe(s"$postingMetricName.${postingMetricSeq.incrementAndGet()}",
-            sum(when(size(col("ids")) > lit(m), 1L).otherwise(0L))
+            sum(when(col("n_docs_sh") > lit(m), 1L).otherwise(0L))
               .as("dropped_posting_lists"))
-          .where(size(col("ids")) <= lit(m))
-      case None => allPostings
+          .where(col("n_docs_sh") >= 2 && col("n_docs_sh") <= lit(m))
+        exploded
+          .join(counts.select(col("shingle")), Seq("shingle"))
+          .groupBy(col("shingle"))
+          .agg(collect_list(col("id")).as("ids"))
+      case None =>
+        // exact path (the oracle's): 2 shuffles total
+        exploded
+          .groupBy(col("shingle"))
+          .agg(collect_list(col("id")).as("ids"))
+          .where(size(col("ids")) >= 2)
     }
     val inter = postings
       .select(explode(col("ids")).as("id_a"), col("ids"))
