@@ -103,7 +103,13 @@ final class GraftFlightProducer(sessions: SessionManager)
           listener.putNext()
         }
         listener.completed()
-      } catch { case Cancelled => () } // client went away: nothing to send
+      } catch {
+        case Cancelled => () // client went away: nothing to send
+        case _: InterruptedException =>
+          // server shutdown while waiting on a slow client: restore
+          // the interrupt flag for the gRPC worker and end quietly
+          Thread.currentThread().interrupt()
+      }
     } catch {
       case e: FlightRuntimeException => listener.error(e); throw e
       case e: Throwable =>

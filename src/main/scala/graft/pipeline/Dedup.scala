@@ -152,8 +152,10 @@ object Dedup {
           .groupBy(col("shingle"))
           .agg(count(lit(1)).as("n_docs_sh"))
           .observe(s"$postingMetricName.${postingMetricSeq.incrementAndGet()}",
-            sum(when(col("n_docs_sh") > lit(m), 1L).otherwise(0L))
-              .as("dropped_posting_lists"))
+            // only lists the cap removed count as dropped — singleton
+            // shingles (n < 2) were never posting lists to begin with
+            sum(when(col("n_docs_sh") > lit(m) && col("n_docs_sh") >= 2, 1L)
+              .otherwise(0L)).as("dropped_posting_lists"))
           .where(col("n_docs_sh") >= 2 && col("n_docs_sh") <= lit(m))
         exploded
           .join(counts.select(col("shingle")), Seq("shingle"))
