@@ -156,8 +156,14 @@ object TextAnalysis {
     val idxs = when(size(toks) >= lit(n), sequence(lit(0), size(toks) - lit(n)))
       .otherwise(array().cast("array<int>"))
     val grams = transform(idxs, i => array_join(slice(toks, i + 1, lit(n)), " "))
+    // the per-(id, gram) count only needs gram IDENTITY, so the
+    // shuffle key is the gram's 64-bit hash, not the string — at
+    // corpus scale that cuts the exchange to (id, long) pairs. A
+    // collision would merge two grams within one doc: P ≈ g²/2⁶⁵
+    // per doc, far below any other noise source.
     graft.ops.ScaleOps.fanOut(docs)
       .select(col(idCol).as("id"), explode(grams).as("gram"))
+      .select(col("id"), xxhash64(col("gram")).as("gram"))
       .groupBy(col("id"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("id"))
