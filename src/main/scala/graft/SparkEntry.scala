@@ -1146,9 +1146,12 @@ object SparkEntry {
       val base = d.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"))
+      // distinct over the 64-bit token hash: the distinct-shuffle
+      // carries (source, long) pairs, not strings; the count is
+      // hash-invariant absent collisions (~v²/2⁶⁵ per source)
       val dt = d.select(col("source"), explode(split(col("text"), " ")).as("tok"))
         .groupBy(col("source"))
-        .agg(countDistinct(col("tok")).as("distinct_tokens"))
+        .agg(countDistinct(xxhash64(col("tok"))).as("distinct_tokens"))
       base.join(dt, Seq("source"))
         .select(col("source"), col("n_docs"), col("total_tokens"), col("distinct_tokens"))
         .orderBy(col("source"))
