@@ -60,8 +60,11 @@ object Bench {
       (name, elapsed, error)
     }
     // a failed query must not report a normal-looking wall clock: its
-    // value is -1 and the failure is listed in an errors map
-    val qs = results.map { case (k, v, e) => "\"" + k + "\":" + (if (e.isDefined) -1 else v) }
+    // value is -1 and the failure is listed in an errors map.
+    // Values are ms-precision: the harness stores only the final ~4 KB
+    // of the log, and r3's full-precision line (~4.3 KB for 79 queries)
+    // overflowed it — the line's head was cut off and nothing parsed.
+    val qs = results.map { case (k, v, e) => "\"" + k + "\":" + (if (e.isDefined) "-1" else f"$v%.3f") }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) =>
       "\"" + k + "\":" + com.fasterxml.jackson.databind.node.TextNode.valueOf(e.take(200)).toString
@@ -70,7 +73,7 @@ object Bench {
     // the harness keeps only the TAIL of the bench log: the summary
     // fields (metric/value/errors) go LAST so truncation can only eat
     // per-query detail, never the headline number
-    println(s"""{"queries":$qs,"sf":"$sfDir","errors":$errs,"metric":"total","unit":"sec","value":$total}""")
+    println(f"""{"queries":$qs,"sf":"$sfDir","errors":$errs,"metric":"total","unit":"sec","value":$total%.3f}""")
     spark.stop()
   }
 }
