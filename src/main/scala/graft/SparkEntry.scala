@@ -1036,6 +1036,49 @@ object SparkEntry {
         threshold = 0.5)
       .orderBy(col("id_a"), col("id_b")))
 
+  // Cluster-level dedup: transitive closure over the exact-Jaccard
+  // pair graph (d02's edges), so A~B~C collapses to ONE cluster with
+  // one representative. Spark side: hash-min label propagation (one
+  // join + one groupBy per round); oracle: DuckDB recursive CTE
+  // transitive closure — the distributed iteration must agree with
+  // the declarative fixpoint exactly.
+  private val d06 = Q("d06_dedup_clusters", Some("""
+    WITH RECURSIVE toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+          CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) AS jaccard
+        FROM inter
+          JOIN sizes na ON na.doc_id = id_a
+          JOIN sizes nb ON nb.doc_id = id_b)
+      WHERE jaccard >= 0.3),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach(u, v) AS (SELECT u, v FROM sym
+                    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_rep FROM reach GROUP BY u)
+    SELECT doc_id, cluster_rep,
+      CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
+    FROM comp ORDER BY doc_id"""),
+    (s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(T(s, dir, "documents"), "text", "doc_id",
+        n = 3, threshold = 0.3, maxPostings = None) // exact: oracle-comparable
+      Dedup.connectedComponents(pairs)
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("component"))).cast("long"))
+        .select(col("id").as("doc_id"), col("component").as("cluster_rep"),
+          col("cluster_size"))
+        .orderBy(col("doc_id"))
+    })
+
   private val s01 = Q("s01_knn_bruteforce", Some("""
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
     SELECT vec_id,
@@ -1371,6 +1414,61 @@ object SparkEntry {
     (s, dir) => TextAnalysis.repetitionStats(T(s, dir, "documents"), "text", "doc_id", n = 2)
       .orderBy(col("id")))
 
+  // Benchmark decontamination: training docs (doc_id % 50 <> 0)
+  // sharing any 3-gram shingle with the "benchmark" slice
+  // (doc_id % 50 = 0) are flagged with their distinct-shared-shingle
+  // count. Spark joins 64-bit shingle HASHES; the oracle joins the
+  // shingle STRINGS — equal counts (collision odds ~1e-7, the d02
+  // argument), pinned by the hash-match.
+  private val t09 = Q("t09_decontamination", Some("""
+    WITH toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0)
+    SELECT s.doc_id, COUNT(*) AS n_hits
+    FROM sh s JOIN bench USING (shingle)
+    WHERE s.doc_id % 50 <> 0
+    GROUP BY s.doc_id ORDER BY doc_id"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.pipeline.Decontaminate.contaminationCounts(
+          docs.where(col("doc_id") % 50 =!= 0),
+          docs.where(col("doc_id") % 50 === 0),
+          "text", "doc_id", n = 3)
+        .select(col("id").as("doc_id"), col("n_hits"))
+        .orderBy(col("doc_id"))
+    })
+
+  // Data-mixing resampler: per-source quotas (top-k by the stable md5
+  // rank) plus epoch upsampling — 8×1 epoch for src0-4, 4×2 for
+  // src5-9, 2×3 for src10-19.
+  private val sourceMixCfg: Map[String, (Int, Int)] = (0 until 20).map { i =>
+    s"src$i" -> (if (i < 5) (8, 1) else if (i < 10) (4, 2) else (2, 3))
+  }.toMap
+
+  private val t10 = Q("t10_source_mix", Some("""
+    SELECT source, doc_id, sample_rank, CAST(epoch AS BIGINT) AS epoch FROM (
+      SELECT source, doc_id,
+        ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+      FROM documents) r,
+      UNNEST(generate_series(1, CASE
+        WHEN source IN ('src0','src1','src2','src3','src4') THEN 1
+        WHEN source IN ('src5','src6','src7','src8','src9') THEN 2
+        ELSE 3 END)) AS e(epoch)
+    WHERE sample_rank <= CASE
+        WHEN source IN ('src0','src1','src2','src3','src4') THEN 8
+        WHEN source IN ('src5','src6','src7','src8','src9') THEN 4
+        ELSE 2 END
+    ORDER BY source, sample_rank, epoch"""),
+    (s, dir) => graft.pipeline.Sampling.sourceMix(
+        T(s, dir, "documents"), "source", "doc_id", sourceMixCfg)
+      .select(col("source"), col("doc_id"), col("sample_rank"), col("epoch"))
+      .orderBy(col("source"), col("sample_rank"), col("epoch")))
+
   // Frame sampling (video keyframe shape): every 2nd 256-byte frame
   // of each payload, digested. The oracle slices the hex rendering
   // (2 chars/byte) since DuckDB cannot substring blobs — both engines
@@ -1400,8 +1498,8 @@ object SparkEntry {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57,
-    d01, d02, d03, d04, d05, s01, s02, s03, s04, s05, s06,
-    t01, t02, t03, t04, t05, t06, t07, t08, m01, m02, m03)
+    d01, d02, d03, d04, d05, d06, s01, s02, s03, s04, s05, s06,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, m01, m02, m03)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))

@@ -320,6 +320,81 @@ object Dedup {
       .where(col("hamming") <= lit(maxHamming))
   }
 
+  /** Connected components over an undirected near-dup edge list
+    * (`id_a`, `id_b`) — the "keep one per duplicate CLUSTER" step
+    * that follows pair generation: transitive closure groups A~B~C
+    * into one cluster even when A and C were never directly paired,
+    * so downstream keeps exactly one representative per cluster
+    * instead of dropping both endpoints of every pair.
+    *
+    * Algorithm: hash-min label propagation (the standard MapReduce
+    * connected-components formulation). Every vertex starts labelled
+    * with its own id; each round replaces a vertex's label with the
+    * min over itself and its neighbours; at fixpoint every vertex
+    * carries its component's minimum id. Each round is one
+    * equi-join + one groupBy — both hash-partitioned on vertex id,
+    * nothing driver-side but the convergence counter — and the round
+    * count is the cluster diameter (near-dup clusters are shallow:
+    * single digits in practice). At 100 TB the edge list holds only
+    * near-dup *pairs*, orders of magnitude smaller than the corpus,
+    * and the shuffle rows are bare (long, long) tuples.
+    *
+    * The converged labelling (one row per clustered doc) is collected
+    * to a LocalRelation when small — releasing the per-round caches —
+    * and left as the cached distributed frame otherwise.
+    *
+    * Output: (id, component) where component = min id reachable.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
+      localRowLimit: Int = 100000): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .cache()
+    var current = edges.select(col("u").as("id"))
+      .distinct()
+      .select(col("id"), col("id").as("component"))
+      .cache()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      // min label among the neighbourhood: every vertex appears as v
+      // in the symmetric edge list, so the join is total (no left
+      // join / coalesce needed)
+      val nbrMin = edges
+        .join(current.select(col("id").as("u"), col("component")), Seq("u"))
+        .groupBy(col("v").as("id"))
+        .agg(min(col("component")).as("nbr_min"))
+      val next = current.join(nbrMin, Seq("id"))
+        .select(col("id"),
+          least(col("component"), col("nbr_min")).as("component"),
+          (col("nbr_min") < col("component")).as("chg"))
+        .cache()
+      changed = next.where(col("chg")).count()
+      current.unpersist()
+      current = next
+      iter += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "pathological graph diameter; raise maxIter")
+    val labels = current.select(col("id"), col("component"))
+    // localize small results so the per-round caches don't outlive the
+    // call (mirrors RecursiveCte's hybrid): the clustered-doc count is
+    // tiny relative to the corpus whenever dedup thresholds are sane
+    val probe = labels.limit(localRowLimit + 1).collect()
+    if (probe.length <= localRowLimit) {
+      current.unpersist()
+      edges.unpersist()
+      spark.createDataFrame(
+        java.util.Arrays.asList(probe: _*), labels.schema)
+    } else {
+      edges.unpersist()
+      labels
+    }
+  }
+
   /** Embedding-cosine near-duplicate pairs (brute force within an
     * id-blocked join; see Similarity.cosine for the expression).
     * At scale, swap the cross join for Similarity.lshBuckets.

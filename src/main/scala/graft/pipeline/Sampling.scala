@@ -31,4 +31,35 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w).cast("long"))
       .where(col("sample_rank") <= k)
   }
+
+  /** Deterministic data-mixing resampler: per-stratum quota plus
+    * epoch upsampling — the "data mixture" step of training-set
+    * assembly (e.g. 3 epochs of wiki, 1 epoch of web crawl). For each
+    * stratum in `mix`, keeps its quota of rows by the same stable
+    * md5-of-id rank as [[stratifiedSample]], then replicates each
+    * kept row once per epoch with an `epoch` index column. Strata not
+    * in `mix` are dropped (quota 0).
+    *
+    * Scale shape: one hash-partition shuffle by stratum for the rank
+    * window; the epoch replication is a generator in the same stage —
+    * output rows are produced where the input partition lives, so
+    * upsampling never shuffles. The `mix` CASE expressions are pure
+    * literals folded into codegen.
+    */
+  def sourceMix(df: DataFrame, strataCol: String, idCol: String,
+      mix: Map[String, (Int, Int)]): DataFrame = {
+    val quota = mix.foldLeft(lit(0)) { case (acc, (s, (q, _))) =>
+      when(col(strataCol) === s, lit(q)).otherwise(acc)
+    }
+    val epochs = mix.foldLeft(lit(0)) { case (acc, (s, (_, e))) =>
+      when(col(strataCol) === s, lit(e)).otherwise(acc)
+    }
+    val key: Column = md5(col(idCol).cast("string"))
+    val w = Window.partitionBy(col(strataCol)).orderBy(key, col(idCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      // epochs guard: sequence(1, 0) would DESCEND and emit [1, 0]
+      .where(col("sample_rank") <= quota && epochs > 0)
+      .withColumn("epoch", explode(sequence(lit(1), epochs)))
+      .withColumn("epoch", col("epoch").cast("long"))
+  }
 }

@@ -125,6 +125,62 @@ class PipelineSpec extends AnyFunSuite {
     assert(he == se, s"edge sets differ: $he vs $se")
   }
 
+  test("connectedComponents: chain, cycle, and isolated pair each collapse to one cluster") {
+    import spark.implicits._
+    // chain 1-2-3-4-5-6-7-8 (diameter 7 → several propagation rounds),
+    // cycle 20-21-22-20, isolated pair 30-31
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L),
+      (20L, 21L), (21L, 22L), (22L, 20L),
+      (30L, 31L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 8L).forall(got(_) == 1L), s"chain: $got")
+    assert(Seq(20L, 21L, 22L).forall(got(_) == 20L), s"cycle: $got")
+    assert(got(30L) == 30L && got(31L) == 30L, s"pair: $got")
+    assert(got.size == 13)
+  }
+
+  test("connectedComponents agrees with brute-force closure on the real pair graph") {
+    val real = spark.read.parquet(s"${SparkFixture.sfDir}/documents.parquet")
+    val pairs = Dedup.ngramJaccardPairs(real, "text", "doc_id", n = 3,
+      threshold = 0.3, maxPostings = None).cache()
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // driver-side union-find as the independent oracle
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(v => v -> find(v)).toMap
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.unpersist()
+    assert(got == want)
+  }
+
+  test("contaminationCounts finds only true shingle overlaps with the benchmark set") {
+    import spark.implicits._
+    val bench = Seq((100L, "the secret eval answer is forty two")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "we think the secret eval answer is hidden"), // shares "the secret eval", "secret eval answer"
+      (2L, "completely unrelated training content here"),
+      (3L, "the secret eval answer is forty two exactly") // near-copy: many shared shingles
+    ).toDF("doc_id", "text")
+    val got = graft.pipeline.Decontaminate
+      .contaminationCounts(train, bench, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!got.contains(2L), "no shared shingle, must be absent")
+    // doc 1 shares: "the secret eval", "secret eval answer", "eval answer is"
+    assert(got(1L) == 3L, s"doc 1: ${got.get(1L)}")
+    // doc 3 shares all 5 benchmark shingles
+    assert(got(3L) == 5L, s"doc 3: ${got.get(3L)}")
+  }
+
   test("minhash lsh candidates match exact jaccard on this corpus") {
     val got = Dedup.minHashLsh(docs, "text", "doc_id",
       shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.3)
