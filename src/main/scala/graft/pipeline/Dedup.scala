@@ -339,15 +339,47 @@ object Dedup {
     * near-dup *pairs*, orders of magnitude smaller than the corpus,
     * and the shuffle rows are bare (long, long) tuples.
     *
-    * The converged labelling (one row per clustered doc) is collected
-    * to a LocalRelation when small — releasing the per-round caches —
-    * and left as the cached distributed frame otherwise.
+    * Hybrid (the RecursiveCte pattern): a dedup pair graph is tiny
+    * relative to the corpus by construction — sane thresholds emit
+    * near-dup pairs, not the cross product — so under `localEdgeLimit`
+    * edges the graph is collected and solved with driver union-find
+    * (O(E·α), zero cluster rounds, returns a LocalRelation). Past the
+    * limit it falls back to the distributed propagation, whose
+    * converged labelling is likewise localized when small so the
+    * per-round caches are released.
     *
     * Output: (id, component) where component = min id reachable.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
-      localRowLimit: Int = 100000): DataFrame = {
+      localEdgeLimit: Int = 100000): DataFrame = {
     val spark = pairs.sparkSession
+    val probeEdges = pairs
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .limit(localEdgeLimit + 1).collect()
+    if (probeEdges.length <= localEdgeLimit) {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        // iterative two-pass path compression: no recursion depth risk
+        var r = x
+        while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      probeEdges.foreach { e =>
+        val (ra, rb) = (find(e.getLong(0)), find(e.getLong(1)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("component",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val rows = parent.keys.toSeq.map(v =>
+        org.apache.spark.sql.Row(v, find(v)))
+      return spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), schema)
+    }
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .cache()
@@ -381,10 +413,10 @@ object Dedup {
           "pathological graph diameter; raise maxIter")
     val labels = current.select(col("id"), col("component"))
     // localize small results so the per-round caches don't outlive the
-    // call (mirrors RecursiveCte's hybrid): the clustered-doc count is
-    // tiny relative to the corpus whenever dedup thresholds are sane
-    val probe = labels.limit(localRowLimit + 1).collect()
-    if (probe.length <= localRowLimit) {
+    // call: possible even past the edge limit when the graph is dense
+    // (many edges over few vertices)
+    val probe = labels.limit(localEdgeLimit + 1).collect()
+    if (probe.length <= localEdgeLimit) {
       current.unpersist()
       edges.unpersist()
       spark.createDataFrame(

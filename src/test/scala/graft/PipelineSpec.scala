@@ -133,12 +133,16 @@ class PipelineSpec extends AnyFunSuite {
       (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L),
       (20L, 21L), (21L, 22L), (22L, 20L),
       (30L, 31L)).toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(edges).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert((1L to 8L).forall(got(_) == 1L), s"chain: $got")
-    assert(Seq(20L, 21L, 22L).forall(got(_) == 20L), s"cycle: $got")
-    assert(got(30L) == 30L && got(31L) == 30L, s"pair: $got")
-    assert(got.size == 13)
+    // both execution paths must agree: driver union-find (default)
+    // and the distributed hash-min propagation (edge limit 0)
+    for (limit <- Seq(100000, 0)) {
+      val got = Dedup.connectedComponents(edges, localEdgeLimit = limit).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((1L to 8L).forall(got(_) == 1L), s"chain(limit=$limit): $got")
+      assert(Seq(20L, 21L, 22L).forall(got(_) == 20L), s"cycle(limit=$limit): $got")
+      assert(got(30L) == 30L && got(31L) == 30L, s"pair(limit=$limit): $got")
+      assert(got.size == 13)
+    }
   }
 
   test("connectedComponents agrees with brute-force closure on the real pair graph") {
@@ -157,7 +161,9 @@ class PipelineSpec extends AnyFunSuite {
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
     val want = parent.keys.map(v => v -> find(v)).toMap
-    val got = Dedup.connectedComponents(pairs).collect()
+    // force the DISTRIBUTED path so the real-graph check exercises the
+    // propagation loop, not the same union-find as the oracle above
+    val got = Dedup.connectedComponents(pairs, localEdgeLimit = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     pairs.unpersist()
     assert(got == want)
