@@ -31,6 +31,8 @@ object ExplainDump {
       "t05_chunking" -> "chunking: generator in the scan stage, no shuffle",
       "q55_groups_frames" -> "GROUPS frames via the SQL-text rewrite: dense_rank subquery + RANGE window share one partition exchange",
       "q24_explode_tokens" -> "post-fanOut-removal: explode + partial agg directly over the scan, no pre-shuffle",
+      "t09_decontamination" -> "decontamination: shingle-hash kernels both sides, join moves 16-byte tuples, bench side broadcast under AQE",
+      "t10_source_mix" -> "source mix: one rank-window exchange; epoch replication is a generator in the same stage",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")

@@ -121,6 +121,31 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected a single stratum exchange, got $exchanges:\n$plan")
   }
 
+  test("source mix ranks and replicates inside one exchange") {
+    val df = graft.pipeline.Sampling.sourceMix(
+      spark.read.parquet(s"$sf/documents.parquet"), "source", "doc_id",
+      Map("src0" -> (3, 2), "src1" -> (2, 3)))
+    val plan = planOf(df)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected a single stratum exchange, got $exchanges:\n$plan")
+    assert(plan.contains("Generate explode"),
+      s"epoch replication must be a generator, not a join:\n$plan")
+  }
+
+  test("decontamination joins shingle hashes with the benchmark side broadcast") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.pipeline.Decontaminate.contaminationCounts(
+      docs.where(org.apache.spark.sql.functions.col("doc_id") % 50 =!= 0),
+      docs.where(org.apache.spark.sql.functions.col("doc_id") % 50 === 0),
+      "text", "doc_id", n = 3)
+    df.collect() // AQE decides broadcast at runtime: inspect the final plan
+    val plan = planOf(df)
+    assert(plan.contains("shinglehashes") || plan.contains("ShingleHashes"),
+      s"shingle kernel missing from plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small benchmark shingle set should broadcast under AQE:\n$plan")
+  }
+
   test("IVF probe path broadcasts centroids and the query vector") {
     val df = graft.pipeline.Ivf.searchTopK(
       spark.read.parquet(s"$sf/embeddings.parquet"),
