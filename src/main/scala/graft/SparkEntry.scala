@@ -1469,6 +1469,30 @@ object SparkEntry {
       .select(col("source"), col("doc_id"), col("sample_rank"), col("epoch"))
       .orderBy(col("source"), col("sample_rank"), col("epoch")))
 
+  // Characteristic keywords by tf-idf with a RAW N/df inverse
+  // frequency (ln is not bit-identical across libms; one IEEE
+  // division and multiply are — the score stays oracle-exact).
+  private val t11 = Q("t11_tfidf_keywords", Some("""
+    WITH toks AS (SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+           FROM documents),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks WHERE tok <> '' GROUP BY 1, 2),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, tok, tf, df,
+        ROUND(tf * (n_docs / df), 6) AS score
+      FROM tf JOIN dfreq USING (tok), n),
+    ranked AS (
+      SELECT doc_id, tok, tf, df, score,
+        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rnk
+      FROM scored)
+    SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+      score, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk"""),
+    (s, dir) => TextAnalysis.tfidfKeywords(T(s, dir, "documents"), "text", "doc_id", k = 3)
+      .orderBy(col("doc_id"), col("rnk")))
+
   // Frame sampling (video keyframe shape): every 2nd 256-byte frame
   // of each payload, digested. The oracle slices the hex rendering
   // (2 chars/byte) since DuckDB cannot substring blobs — both engines
@@ -1499,7 +1523,7 @@ object SparkEntry {
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57,
     d01, d02, d03, d04, d05, d06, s01, s02, s03, s04, s05, s06,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, m01, m02, m03)
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, m01, m02, m03)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))

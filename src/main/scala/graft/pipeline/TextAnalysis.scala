@@ -198,6 +198,38 @@ object TextAnalysis {
         count(lit(1)).as("total_tokens"),
         approx_count_distinct(col("col"), rsd).as("approx_distinct_tokens"))
 
+  /** Top-k characteristic keywords per document by tf-idf, with the
+    * idf taken as the RAW inverse document-frequency ratio N/df
+    * (no logarithm): `ln` is not bit-identical across engines/libms,
+    * while integer-valued counts, one IEEE division, and one multiply
+    * are — which keeps the score oracle-exact. Rank ties break on the
+    * token string, so the pick is total and reproducible.
+    *
+    * Scale shape: three hash shuffles — (doc, token) term counts,
+    * per-token document frequencies, and the per-doc top-k window —
+    * each keyed by token or doc id, never carrying text beyond the
+    * token itself. The corpus-size frame is one row, broadcast.
+    */
+  def tfidfKeywords(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 3): DataFrame = {
+    val toks = graft.ops.ScaleOps.fanOut(docs)
+      .select(col(idCol).as("doc_id"),
+        explode(split(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")), " "))
+          .as("tok"))
+      .where(col("tok") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
+    tf.join(dfreq, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") * (col("n_docs") / col("df")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("score"), col("rnk"))
+  }
+
   /** Full per-document stats frame. */
   def stats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -187,6 +187,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(3L) == 5L, s"doc 3: ${got.get(3L)}")
   }
 
+  test("tfidfKeywords ranks rare terms above ubiquitous ones") {
+    import spark.implicits._
+    // "common" appears in all 3 docs (df=3, idf=1); each doc's unique
+    // term has df=1 (idf=3) and must outrank it
+    val d = Seq(
+      (1L, "common alpha common"),
+      (2L, "common beta"),
+      (3L, "common gamma gamma")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfKeywords(d, "text", "doc_id", k = 1)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(4))).toMap
+    assert(got(1L) == ("alpha", 3.0), got.toString) // 1 * 3/1
+    assert(got(2L) == ("beta", 3.0))
+    assert(got(3L) == ("gamma", 6.0)) // tf 2 * 3/1
+    // ties break on the token string: doc with two df=1 tf=1 terms
+    val tie = Seq((1L, "zeta eta"), (2L, "filler")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfKeywords(tie, "text", "doc_id", k = 1)
+      .where(col("doc_id") === 1L).collect()
+    assert(top.head.getString(1) == "eta", "alphabetical tiebreak")
+  }
+
   test("minhash lsh candidates match exact jaccard on this corpus") {
     val got = Dedup.minHashLsh(docs, "text", "doc_id",
       shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.3)
