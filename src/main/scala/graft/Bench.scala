@@ -64,7 +64,10 @@ object Bench {
     // Values are ms-precision: the harness stores only the final ~4 KB
     // of the log, and r3's full-precision line (~4.3 KB for 79 queries)
     // overflowed it — the line's head was cut off and nothing parsed.
-    val qs = results.map { case (k, v, e) => "\"" + k + "\":" + (if (e.isDefined) "-1" else f"$v%.3f") }
+    // Locale.ROOT: a comma-decimal default locale would render 0,123
+    // and break the JSON
+    def sec(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v, e) => "\"" + k + "\":" + (if (e.isDefined) "-1" else sec(v)) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) =>
       "\"" + k + "\":" + com.fasterxml.jackson.databind.node.TextNode.valueOf(e.take(200)).toString
@@ -73,7 +76,7 @@ object Bench {
     // the harness keeps only the TAIL of the bench log: the summary
     // fields (metric/value/errors) go LAST so truncation can only eat
     // per-query detail, never the headline number
-    println(f"""{"queries":$qs,"sf":"$sfDir","errors":$errs,"metric":"total","unit":"sec","value":$total%.3f}""")
+    println(s"""{"queries":$qs,"sf":"$sfDir","errors":$errs,"metric":"total","unit":"sec","value":${sec(total)}}""")
     spark.stop()
   }
 }

@@ -353,77 +353,104 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
       localEdgeLimit: Int = 100000): DataFrame = {
     val spark = pairs.sparkSession
-    val probeEdges = pairs
-      .select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .limit(localEdgeLimit + 1).collect()
-    if (probeEdges.length <= localEdgeLimit) {
-      val parent = scala.collection.mutable.Map[Long, Long]()
-      def find(x: Long): Long = {
-        // iterative two-pass path compression: no recursion depth risk
-        var r = x
-        while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
-        var c = x
-        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
-        r
+    // cache the (possibly expensive) pair plan once: the probe, and on
+    // the distributed path both branches of the symmetric union, would
+    // otherwise each recompute it from scratch
+    val base = pairs
+      .select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"))
+      .cache()
+    try {
+      val probeEdges = base.limit(localEdgeLimit + 1).collect()
+      if (probeEdges.length <= localEdgeLimit) {
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          // iterative two-pass path compression: no recursion depth risk
+          var r = x
+          while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        probeEdges.foreach { e =>
+          val (ra, rb) = (find(e.getLong(0)), find(e.getLong(1)))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("component",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        val rows = parent.keys.toSeq.map(v =>
+          org.apache.spark.sql.Row(v, find(v)))
+        return spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), schema)
       }
-      probeEdges.foreach { e =>
-        val (ra, rb) = (find(e.getLong(0)), find(e.getLong(1)))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("id",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("component",
-          org.apache.spark.sql.types.LongType, nullable = false)))
-      val rows = parent.keys.toSeq.map(v =>
-        org.apache.spark.sql.Row(v, find(v)))
-      return spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*), schema)
-    }
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      distributedComponents(base, maxIter, localEdgeLimit)
+    } finally base.unpersist()
+  }
+
+  /** The distributed hash-min propagation behind
+    * [[connectedComponents]]; `base` is the cached (id_a, id_b) long
+    * edge frame. Per-round caches are released via try/finally even
+    * when the convergence guard throws; the returned frame is either
+    * a LocalRelation (small labelling — the caches are all released)
+    * or, for a genuinely huge labelling, the final cached frame,
+    * which the caller owns (unpersist or clearCache when done).
+    */
+  private def distributedComponents(base: DataFrame, maxIter: Int,
+      localRowLimit: Int): DataFrame = {
+    val spark = base.sparkSession
+    val edges = base.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(base.select(col("id_b").as("u"), col("id_a").as("v")))
       .cache()
     var current = edges.select(col("u").as("id"))
       .distinct()
       .select(col("id"), col("id").as("component"))
       .cache()
-    var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
-      // min label among the neighbourhood: every vertex appears as v
-      // in the symmetric edge list, so the join is total (no left
-      // join / coalesce needed)
-      val nbrMin = edges
-        .join(current.select(col("id").as("u"), col("component")), Seq("u"))
-        .groupBy(col("v").as("id"))
-        .agg(min(col("component")).as("nbr_min"))
-      val next = current.join(nbrMin, Seq("id"))
-        .select(col("id"),
-          least(col("component"), col("nbr_min")).as("component"),
-          (col("nbr_min") < col("component")).as("chg"))
-        .cache()
-      changed = next.where(col("chg")).count()
-      current.unpersist()
-      current = next
-      iter += 1
-    }
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds — " +
-          "pathological graph diameter; raise maxIter")
-    val labels = current.select(col("id"), col("component"))
-    // localize small results so the per-round caches don't outlive the
-    // call: possible even past the edge limit when the graph is dense
-    // (many edges over few vertices)
-    val probe = labels.limit(localEdgeLimit + 1).collect()
-    if (probe.length <= localEdgeLimit) {
-      current.unpersist()
+    var returnedDistributed = false
+    try {
+      var iter = 0
+      var changed = 1L
+      while (changed > 0 && iter < maxIter) {
+        // min label among the neighbourhood: every vertex appears as v
+        // in the symmetric edge list, so the join is total (no left
+        // join / coalesce needed)
+        val nbrMin = edges
+          .join(current.select(col("id").as("u"), col("component")), Seq("u"))
+          .groupBy(col("v").as("id"))
+          .agg(min(col("component")).as("nbr_min"))
+        val next = current.join(nbrMin, Seq("id"))
+          .select(col("id"),
+            least(col("component"), col("nbr_min")).as("component"),
+            (col("nbr_min") < col("component")).as("chg"))
+          .cache()
+        changed = next.where(col("chg")).count()
+        current.unpersist()
+        current = next
+        iter += 1
+      }
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds — " +
+            "pathological graph diameter; raise maxIter")
+      val labels = current.select(col("id"), col("component"))
+      // localize small results so the per-round caches don't outlive
+      // the call: possible even past the edge limit when the graph is
+      // dense (many edges over few vertices)
+      val probe = labels.limit(localRowLimit + 1).collect()
+      if (probe.length <= localRowLimit) {
+        spark.createDataFrame(
+          java.util.Arrays.asList(probe: _*), labels.schema)
+      } else {
+        returnedDistributed = true
+        labels
+      }
+    } finally {
       edges.unpersist()
-      spark.createDataFrame(
-        java.util.Arrays.asList(probe: _*), labels.schema)
-    } else {
-      edges.unpersist()
-      labels
+      // keep the final cache alive only when it backs the returned
+      // distributed labelling (the caller owns it then); release it on
+      // localization and on any exception path
+      if (!returnedDistributed) current.unpersist()
     }
   }
 

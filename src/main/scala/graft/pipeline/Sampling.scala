@@ -21,16 +21,24 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** The shared deterministic-rank contract: rows ranked within each
+    * stratum by md5 of the id, ties broken by the id itself — total,
+    * stable, and mirrored verbatim by the DuckDB oracle text of t06
+    * and t10. Both samplers MUST rank through here.
+    */
+  private def withSampleRank(df: DataFrame, strataCol: String,
+      idCol: String): DataFrame = {
+    val key: Column = md5(col(idCol).cast("string"))
+    val w = Window.partitionBy(col(strataCol)).orderBy(key, col(idCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+  }
+
   /** k deterministic rows per stratum, ranked by md5 of the id (ties
     * broken by the id itself, so the pick is total and stable).
     */
   def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
-      k: Int): DataFrame = {
-    val key: Column = md5(col(idCol).cast("string"))
-    val w = Window.partitionBy(col(strataCol)).orderBy(key, col(idCol))
-    df.withColumn("sample_rank", row_number().over(w).cast("long"))
-      .where(col("sample_rank") <= k)
-  }
+      k: Int): DataFrame =
+    withSampleRank(df, strataCol, idCol).where(col("sample_rank") <= k)
 
   /** Deterministic data-mixing resampler: per-stratum quota plus
     * epoch upsampling — the "data mixture" step of training-set
@@ -54,9 +62,7 @@ object Sampling {
     val epochs = mix.foldLeft(lit(0)) { case (acc, (s, (_, e))) =>
       when(col(strataCol) === s, lit(e)).otherwise(acc)
     }
-    val key: Column = md5(col(idCol).cast("string"))
-    val w = Window.partitionBy(col(strataCol)).orderBy(key, col(idCol))
-    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+    withSampleRank(df, strataCol, idCol)
       // epochs guard: sequence(1, 0) would DESCEND and emit [1, 0]
       .where(col("sample_rank") <= quota && epochs > 0)
       .withColumn("epoch", explode(sequence(lit(1), epochs)))
