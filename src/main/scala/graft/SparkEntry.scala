@@ -1079,6 +1079,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     })
 
+  // Directed containment (near-subset) pairs: catches a small doc
+  // embedded in a larger one, which Jaccard's union denominator
+  // drowns. Both directions of every intersecting pair are scored.
+  private val d07 = Q("d07_dedup_containment", Some("""
+    WITH toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    dir AS (
+      SELECT id_a AS id_sub, id_b AS id_super,
+        CAST(n_inter AS DOUBLE) / CAST(na.n_sh AS DOUBLE) AS containment
+      FROM inter JOIN sizes na ON na.doc_id = id_a
+      UNION ALL
+      SELECT id_b, id_a,
+        CAST(n_inter AS DOUBLE) / CAST(nb.n_sh AS DOUBLE)
+      FROM inter JOIN sizes nb ON nb.doc_id = id_b)
+    SELECT id_sub, id_super, containment FROM dir
+    WHERE containment >= 0.9 ORDER BY id_sub, id_super"""),
+    (s, dir) => Dedup.containmentPairs(T(s, dir, "documents"), "text", "doc_id",
+        n = 3, threshold = 0.9, maxPostings = None) // exact: oracle-comparable
+      .orderBy(col("id_sub"), col("id_super")))
+
   private val s01 = Q("s01_knn_bruteforce", Some("""
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
     SELECT vec_id,
@@ -1522,7 +1550,7 @@ object SparkEntry {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57,
-    d01, d02, d03, d04, d05, d06, s01, s02, s03, s04, s05, s06,
+    d01, d02, d03, d04, d05, d06, d07, s01, s02, s03, s04, s05, s06,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, m01, m02, m03)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =

@@ -106,10 +106,14 @@ object Dedup {
     graft.ops.ScaleOps.fanOut(docs).select(col(idCol).as("id"),
       explode(graft.functions.ShingleHashes(col(textCol), n)).as("shingle"))
 
-  def ngramJaccardPairs(
+  /** Shared inverted-index core of [[ngramJaccardPairs]] and
+    * [[containmentPairs]]: per-pair shingle intersection counts and
+    * per-doc shingle-set sizes. Returns (inter, sizes) where inter =
+    * (id_a, id_b, n_inter) with id_a < id_b and sizes = (id, n_sh).
+    */
+  private def shingleIntersections(
       docs: DataFrame, textCol: String, idCol: String,
-      n: Int, threshold: Double,
-      maxPostings: Option[Int] = Some(10000)): DataFrame = {
+      n: Int, maxPostings: Option[Int]): (DataFrame, DataFrame) = {
     // join/shuffle 64-bit shingle hashes, not strings: ~25% the
     // shuffle bytes, primitive-key join. A hash collision would
     // inflate an intersection count, but even 1e6 distinct shingles
@@ -174,6 +178,14 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_inter"))
+    (inter, sizes)
+  }
+
+  def ngramJaccardPairs(
+      docs: DataFrame, textCol: String, idCol: String,
+      n: Int, threshold: Double,
+      maxPostings: Option[Int] = Some(10000)): DataFrame = {
+    val (inter, sizes) = shingleIntersections(docs, textCol, idCol, n, maxPostings)
     // no broadcast hint on sizes: one row per doc is broadcastable at
     // benchmark scale but not at 100 TB — AQE picks broadcast when the
     // runtime size allows
@@ -185,6 +197,38 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
       .where(col("jaccard") >= lit(threshold))
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** DIRECTED containment pairs: C(sub→super) = |Sh(sub) ∩ Sh(super)|
+    * / |Sh(sub)| ≥ threshold — the near-subset relation Jaccard
+    * misses when a small document (a quote, a boilerplate block, a
+    * chunk) is embedded in a much larger one: the union in Jaccard's
+    * denominator drowns the overlap, while containment normalizes by
+    * the contained side only. Both directions of every intersecting
+    * pair are scored; output (id_sub, id_super, containment).
+    *
+    * Same scale shape as [[ngramJaccardPairs]] — the inverted-index
+    * core is shared, and both directions come from ONE pass over the
+    * intersection frame (a 2-row generator per pair), not a union
+    * that would run the posting/intersection shuffles twice.
+    */
+  def containmentPairs(
+      docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.9,
+      maxPostings: Option[Int] = Some(10000)): DataFrame = {
+    val (inter, sizes) = shingleIntersections(docs, textCol, idCol, n, maxPostings)
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+      .select(explode(array(
+        struct(col("id_a").as("id_sub"), col("id_b").as("id_super"),
+          (col("n_inter").cast("double") / col("n_a").cast("double")).as("containment")),
+        struct(col("id_b").as("id_sub"), col("id_a").as("id_super"),
+          (col("n_inter").cast("double") / col("n_b").cast("double")).as("containment"))))
+        .as("p"))
+      .select(col("p.id_sub").as("id_sub"), col("p.id_super").as("id_super"),
+        col("p.containment").as("containment"))
+      .where(col("containment") >= lit(threshold))
   }
 
   /** MinHash signature column `sig` (array of the k minima) from a

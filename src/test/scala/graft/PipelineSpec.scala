@@ -187,6 +187,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(3L) == 5L, s"doc 3: ${got.get(3L)}")
   }
 
+  test("containmentPairs is directional: embedded quote scores high one way only") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta"), // 2 shingles, both inside doc 2
+      (2L, "intro words alpha beta gamma delta and then much more trailing content here"),
+      (3L, "unrelated text about something else entirely")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, "text", "doc_id", n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set((1L, 2L)), s"only 1⊂2: $got")
+    assert(got((1L, 2L)) == 1.0, "every shingle of doc 1 appears in doc 2")
+  }
+
   test("tfidfKeywords ranks rare terms above ubiquitous ones") {
     import spark.implicits._
     // "common" appears in all 3 docs (df=3, idf=1); each doc's unique
