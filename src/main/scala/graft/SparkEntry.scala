@@ -1107,6 +1107,50 @@ object SparkEntry {
         n = 3, threshold = 0.9, maxPostings = None) // exact: oracle-comparable
       .orderBy(col("id_sub"), col("id_super")))
 
+  // Hybrid dedup: lexical (3-gram Jaccard) OR semantic (embedding
+  // cosine) evidence, full-outer joined on the pair key so both
+  // scores sit side by side; doc_id and vec_id align by construction.
+  private val d08 = Q("d08_hybrid_neardup", Some("""
+    WITH toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    jac AS (
+      SELECT id_a, id_b, jaccard FROM (
+        SELECT id_a, id_b,
+          CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) AS jaccard
+        FROM inter
+          JOIN sizes na ON na.doc_id = id_a
+          JOIN sizes nb ON nb.doc_id = id_b)
+      WHERE jaccard >= 0.3),
+    cosp AS (
+      SELECT id_a, id_b, cos_sim FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          list_sum(list_transform(generate_series(1, len(a.embedding)),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      WHERE cos_sim >= 0.5)
+    SELECT COALESCE(j.id_a, c.id_a) AS id_a, COALESCE(j.id_b, c.id_b) AS id_b,
+      j.jaccard, c.cos_sim,
+      CASE WHEN j.id_a IS NOT NULL AND c.id_a IS NOT NULL THEN 'both'
+           WHEN j.id_a IS NOT NULL THEN 'lexical' ELSE 'semantic' END AS method
+    FROM jac j FULL JOIN cosp c ON j.id_a = c.id_a AND j.id_b = c.id_b
+    ORDER BY id_a, id_b"""),
+    (s, dir) => Dedup.hybridNearDups(
+        T(s, dir, "documents"), T(s, dir, "embeddings"),
+        "text", "doc_id", "embedding", "vec_id",
+        n = 3, jaccardThreshold = 0.3, cosineThreshold = 0.5,
+        maxPostings = None) // exact: oracle-comparable
+      .orderBy(col("id_a"), col("id_b")))
+
   private val s01 = Q("s01_knn_bruteforce", Some("""
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
     SELECT vec_id,
@@ -1550,7 +1594,7 @@ object SparkEntry {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57,
-    d01, d02, d03, d04, d05, d06, d07, s01, s02, s03, s04, s05, s06,
+    d01, d02, d03, d04, d05, d06, d07, d08, s01, s02, s03, s04, s05, s06,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, m01, m02, m03)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =

@@ -498,6 +498,34 @@ object Dedup {
     }
   }
 
+  /** Hybrid near-dup pairs: the union of lexical (word n-gram
+    * Jaccard) and semantic (embedding cosine) evidence, labelled by
+    * which detector(s) fired. Lexical catches verbatim/templated
+    * duplication that embeddings smooth over; semantic catches
+    * paraphrases that share no shingles — a curation pipeline wants
+    * both, and the full-outer join keeps each pair's scores side by
+    * side for threshold tuning.
+    *
+    * Scale shape: the two detectors keep their own shapes (inverted
+    * index / blocked cosine join); the final full-outer join is on
+    * (id_a, id_b) pair keys — rows proportional to flagged pairs,
+    * not the corpus.
+    */
+  def hybridNearDups(
+      docs: DataFrame, emb: DataFrame,
+      textCol: String, idCol: String, vecCol: String, vecIdCol: String,
+      n: Int = 3, jaccardThreshold: Double = 0.3,
+      cosineThreshold: Double = 0.5,
+      maxPostings: Option[Int] = Some(10000)): DataFrame = {
+    val lex = ngramJaccardPairs(docs, textCol, idCol, n, jaccardThreshold, maxPostings)
+    val sem = embeddingNearDups(emb, vecCol, vecIdCol, cosineThreshold)
+    lex.join(sem, Seq("id_a", "id_b"), "full_outer")
+      .withColumn("method",
+        when(col("jaccard").isNotNull && col("cos_sim").isNotNull, lit("both"))
+          .when(col("jaccard").isNotNull, lit("lexical"))
+          .otherwise(lit("semantic")))
+  }
+
   /** Embedding-cosine near-duplicate pairs (brute force within an
     * id-blocked join; see Similarity.cosine for the expression).
     * At scale, swap the cross join for Similarity.lshBuckets.

@@ -199,6 +199,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(got((1L, 2L)) == 1.0, "every shingle of doc 1 appears in doc 2")
   }
 
+  test("hybridNearDups labels lexical, semantic, and both-evidence pairs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // lexical pair with 1
+      (3L, "totally different words live in this one here"),
+      (4L, "unrelated content again nothing shared at all")).toDF("doc_id", "text")
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),   // orthogonal: no semantic pair
+      (3L, Array(0.6f, 0.8f)), (4L, Array(0.6f, 0.8f))).toDF("vec_id", "embedding") // identical
+    val got = Dedup.hybridNearDups(d, e, "text", "doc_id", "embedding", "vec_id",
+        n = 3, jaccardThreshold = 0.3, cosineThreshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(4)).toMap
+    assert(got((1L, 2L)) == "lexical", got.toString)
+    assert(got((3L, 4L)) == "semantic", got.toString)
+    assert(got.size == 2)
+  }
+
   test("tfidfKeywords ranks rare terms above ubiquitous ones") {
     import spark.implicits._
     // "common" appears in all 3 docs (df=3, idf=1); each doc's unique
