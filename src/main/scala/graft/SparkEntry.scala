@@ -1151,6 +1151,28 @@ object SparkEntry {
         maxPostings = None) // exact: oracle-comparable
       .orderBy(col("id_a"), col("id_b")))
 
+  // Sub-document (paragraph-level) dedup: non-overlapping 20-token
+  // chunks appearing more than once corpus-wide — boilerplate that
+  // whole-document hashing (d01) misses.
+  private val d09 = Q("d09_chunk_dedup", Some("""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    idx AS (SELECT doc_id, tk,
+      unnest(generate_series(0, CAST(FLOOR((len(tk) - 1) / 20.0) AS BIGINT))) AS i
+      FROM toks),
+    ch AS (SELECT doc_id,
+      md5(array_to_string(list_slice(tk, i * 20 + 1, i * 20 + 20), ' ')) AS chunk_md5
+      FROM idx),
+    per_doc AS (SELECT chunk_md5, doc_id, COUNT(*) AS c FROM ch GROUP BY 1, 2)
+    SELECT chunk_md5,
+      CAST(SUM(c) AS BIGINT) AS n_occurrences,
+      COUNT(*) AS n_docs,
+      MIN(doc_id) AS first_doc
+    FROM per_doc GROUP BY chunk_md5 HAVING CAST(SUM(c) AS BIGINT) > 1
+    ORDER BY chunk_md5"""),
+    (s, dir) => Dedup.duplicatedChunks(T(s, dir, "documents"),
+        "text", "doc_id", windowTokens = 20, strideTokens = 20)
+      .orderBy(col("chunk_md5")))
+
   private val s01 = Q("s01_knn_bruteforce", Some("""
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
     SELECT vec_id,
@@ -1349,6 +1371,55 @@ object SparkEntry {
       .groupBy(col("label"), col("pos"))
       .agg(round(avg(col("col").cast("double")), 6).as("mean_val"))
       .orderBy(col("label"), col("pos")))
+
+  // Semantic clustering around deterministic seed centroids
+  // (vec_id < 8): per-cluster summary. Assignment is a map-only
+  // projection (seeds inlined as literals — no join, no shuffle);
+  // see Clustering.assignToSeeds.
+  private val s07 = Q("s07_cluster_report", Some("""
+    WITH cents AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+    sims AS (SELECT e.vec_id, c.cell,
+        list_sum(list_transform(generate_series(1, len(e.embedding)),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      FROM embeddings e, cents c),
+    assigned AS (SELECT vec_id, cell, sim FROM (
+        SELECT vec_id, cell, sim,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        FROM sims) WHERE rn = 1)
+    SELECT cell, n_members, min_sim, top_id, top_sim FROM (
+      SELECT cell, vec_id AS top_id, sim AS top_sim,
+        COUNT(*) OVER (PARTITION BY cell) AS n_members,
+        MIN(sim) OVER (PARTITION BY cell) AS min_sim,
+        ROW_NUMBER() OVER (PARTITION BY cell ORDER BY sim DESC, vec_id) AS rn
+      FROM assigned) WHERE rn = 1 ORDER BY cell"""),
+    (s, dir) => graft.pipeline.Clustering.clusterReport(
+        T(s, dir, "embeddings"), "embedding", "vec_id", k = 8)
+      .orderBy(col("cell")))
+
+  // Cluster-balanced sampling (SemDeDup shape): the 3 most-central
+  // members of every cluster — semantic coverage preserved under
+  // downsampling.
+  private val s08 = Q("s08_cluster_sample", Some("""
+    WITH cents AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+    sims AS (SELECT e.vec_id, c.cell,
+        list_sum(list_transform(generate_series(1, len(e.embedding)),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      FROM embeddings e, cents c),
+    assigned AS (SELECT vec_id, cell, sim FROM (
+        SELECT vec_id, cell, sim,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        FROM sims) WHERE rn = 1)
+    SELECT cell, vec_id, sim, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT cell, vec_id, sim,
+        ROW_NUMBER() OVER (PARTITION BY cell ORDER BY sim DESC, vec_id) AS rn
+      FROM assigned) WHERE rn <= 3 ORDER BY cell, rank"""),
+    (s, dir) => graft.pipeline.Clustering.balancedSample(
+        T(s, dir, "embeddings"), "embedding", "vec_id", k = 8, perCluster = 3)
+      .orderBy(col("cell"), col("rank")))
 
   // Token-window chunking with overlap (window 50, stride 40) — the
   // LLM context-window preparation operator (TextChunker).
@@ -1594,7 +1665,8 @@ object SparkEntry {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57,
-    d01, d02, d03, d04, d05, d06, d07, d08, s01, s02, s03, s04, s05, s06,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09,
+    s01, s02, s03, s04, s05, s06, s07, s08,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, m01, m02, m03)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =

@@ -1,0 +1,101 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Semantic clustering of an embedding corpus around deterministic
+  * seed centroids — the curation shapes built on top of it are
+  * cluster summaries (topic discovery) and cluster-balanced sampling
+  * (the SemDeDup/SSL-prototype recipe: keep the most-central members
+  * of every cluster so a downsampled corpus preserves semantic
+  * coverage instead of oversampling the dominant mode).
+  *
+  * Scale design: the seeds are k tiny vectors collected once
+  * (k × dim doubles, like IVF's driver-trained quantizer in
+  * [[Ivf.buildCentroids]]); assignment inlines them as literal
+  * arrays, so the nearest-seed argmax is a map-only projection in
+  * the scan stage — zero shuffles, no join, no k-fold row expansion.
+  * Only the per-cluster aggregation/window that follows shuffles,
+  * and it carries (id, cell, sim) triples, never the vectors.
+  *
+  * Seeds are the k vectors with the smallest ids — deterministic
+  * across runs and engines, which keeps the operator
+  * oracle-comparable end to end (unlike trained k-means cells, whose
+  * iteration order is engine-specific; see s03's rows-only check).
+  */
+object Clustering {
+
+  /** The k seed centroids: (cell = id, vector as doubles), collected
+    * driver-side. One tiny job — k rows pruned by an id filter the
+    * scan pushes down.
+    */
+  private def seedVectors(
+      emb: DataFrame, vecCol: String, idCol: String,
+      k: Int): Array[(Long, Array[Double])] = {
+    require(k > 0, "k must be positive")
+    emb.where(col(idCol) < k)
+      .select(col(idCol), transform(col(vecCol), _.cast("double")).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+  }
+
+  /** Nearest-seed assignment as a pure projection: for each row, the
+    * cosine against each of the k inlined seed vectors, then an
+    * argmax via `greatest` over (sim, -cell) structs — ties break to
+    * the smallest cell, mirroring `ORDER BY sim DESC, cell` in SQL.
+    * Output: (idCol, cell, sim).
+    */
+  def assignToSeeds(
+      emb: DataFrame, vecCol: String, idCol: String, k: Int): DataFrame = {
+    val seeds = seedVectors(emb, vecCol, idCol, k)
+    require(seeds.nonEmpty, s"no rows with $idCol < $k to seed clusters")
+    val candidates: Seq[Column] = seeds.toSeq.map { case (cell, vec) =>
+      val cvec = array(vec.toSeq.map(lit): _*)
+      struct(
+        Similarity.cosine(col(vecCol), cvec).as("sim"),
+        lit(-cell).as("neg_cell"))
+    }
+    val best = greatest(candidates: _*)
+    graft.ops.ScaleOps.fanOut(emb)
+      .select(col(idCol), best.as("__best"))
+      .select(col(idCol),
+        (-col("__best.neg_cell")).as("cell"),
+        col("__best.sim").as("sim"))
+  }
+
+  /** Per-cluster summary: member count, the least-central similarity
+    * (cluster tightness), and the most-central member (ties to the
+    * smallest id). One partial-aggregated shuffle of (cell, sim, id).
+    */
+  def clusterReport(
+      emb: DataFrame, vecCol: String, idCol: String, k: Int): DataFrame =
+    assignToSeeds(emb, vecCol, idCol, k)
+      .groupBy(col("cell"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        min(col("sim")).as("min_sim"),
+        max(struct(col("sim").as("s"), (-col(idCol)).as("nid"))).as("__m"))
+      .select(col("cell"), col("n_members"), col("min_sim"),
+        (-col("__m.nid")).as("top_id"), col("__m.s").as("top_sim"))
+
+  /** Cluster-balanced sample: the `perCluster` most-central members
+    * of every cluster (rank by sim desc, id asc). The window
+    * partitions by cell — k partitions; at 100 TB with huge clusters
+    * swap for a per-cluster TopK (groupBy + slice of a sorted
+    * accumulator) — but the carried rows are (id, cell, sim), never
+    * text or vectors, so the shuffle is bytes-per-doc tiny.
+    */
+  def balancedSample(
+      emb: DataFrame, vecCol: String, idCol: String,
+      k: Int, perCluster: Int): DataFrame = {
+    require(perCluster > 0, "perCluster must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell"))
+      .orderBy(col("sim").desc, col(idCol))
+    assignToSeeds(emb, vecCol, idCol, k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= perCluster)
+      .select(col("cell"), col(idCol), col("sim"), col("rank"))
+  }
+}

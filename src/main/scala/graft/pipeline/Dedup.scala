@@ -526,6 +526,33 @@ object Dedup {
           .otherwise(lit("semantic")))
   }
 
+  /** Sub-document dedup: token-window chunks (via
+    * [[TextChunker.chunk]]) that appear more than once across the
+    * corpus — the paragraph-level analogue of exact dedup, catching
+    * boilerplate (headers, licenses, templated sections) that
+    * whole-document hashing misses because the surrounding text
+    * differs.
+    *
+    * Scale shape: chunking is scan-stage expression work; the dedup
+    * aggregates 16-byte chunk digests, never chunk text. The doc
+    * count is a two-level aggregation — (digest, doc) partial
+    * counts, then per-digest rollup — instead of a COUNT DISTINCT,
+    * so no expand duplication and both shuffles carry digest+id
+    * pairs only.
+    */
+  def duplicatedChunks(
+      docs: DataFrame, textCol: String, idCol: String,
+      windowTokens: Int, strideTokens: Int): DataFrame =
+    TextChunker.chunk(docs, textCol, idCol, windowTokens, strideTokens)
+      .select(col(idCol), md5(col("chunk_text")).as("chunk_md5"))
+      .groupBy(col("chunk_md5"), col(idCol))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("chunk_md5"))
+      .agg(sum(col("__c")).as("n_occurrences"),
+        count(lit(1)).as("n_docs"),
+        min(col(idCol)).as("first_doc"))
+      .where(col("n_occurrences") > 1)
+
   /** Embedding-cosine near-duplicate pairs (brute force within an
     * id-blocked join; see Similarity.cosine for the expression).
     * At scale, swap the cross join for Similarity.lshBuckets.

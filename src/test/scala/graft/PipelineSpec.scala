@@ -217,6 +217,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.size == 2)
   }
 
+  test("duplicatedChunks finds cross-doc boilerplate, not unique chunks") {
+    import spark.implicits._
+    val boiler = (1 to 4).map(i => s"license term $i common").mkString(" ") // 16 tokens
+    val pad4 = "p1 p2 p3 p4"
+    val d = Seq(
+      (1L, s"$boiler $pad4 unique tail one"),    // chunk0 = boiler+pad (20 toks)
+      (2L, s"$boiler $pad4 other ending here"),  // same chunk0
+      (3L, "totally different twenty tokens " + (1 to 16).map("w" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicatedChunks(d, "text", "doc_id",
+      windowTokens = 20, strideTokens = 20).collect()
+    assert(got.length == 1, got.mkString(";"))
+    assert(got(0).getAs[Long]("n_occurrences") == 2)
+    assert(got(0).getAs[Long]("n_docs") == 2)
+    assert(got(0).getAs[Long]("first_doc") == 1L)
+  }
+
+  test("clustering assigns to nearest seed with smallest-cell tie-break") {
+    import spark.implicits._
+    // seeds: 0 → x-axis, 1 → y-axis; 2/3 cluster with x; 4 is the
+    // exact diagonal — equal cosine to both seeds → tie → cell 0
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.9f, 0.1f)), (3L, Array(0.8f, 0.0f)),
+      (4L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val a = graft.pipeline.Clustering.assignToSeeds(e, "embedding", "vec_id", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == Map(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 0L), a.toString)
+    val rep = graft.pipeline.Clustering.clusterReport(e, "embedding", "vec_id", k = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(rep(0L)._1 == 4L, "cell 0 has members 0,2,3,4")
+    assert(rep(0L)._2 == 0L, "seed itself is most central (sim 1.0, smallest id)")
+    assert(rep(1L) == ((1L, 1L)))
+    val samp = graft.pipeline.Clustering.balancedSample(
+      e, "embedding", "vec_id", k = 2, perCluster = 2).collect()
+    assert(samp.length == 3, "2 from cell 0, 1 from cell 1")
+    assert(samp.forall(_.getAs[Long]("rank") <= 2))
+  }
+
   test("tfidfKeywords ranks rare terms above ubiquitous ones") {
     import spark.implicits._
     // "common" appears in all 3 docs (df=3, idf=1); each doc's unique

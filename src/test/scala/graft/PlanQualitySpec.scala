@@ -146,6 +146,29 @@ class PlanQualitySpec extends AnyFunSuite {
       s"small benchmark shingle set should broadcast under AQE:\n$plan")
   }
 
+  test("cluster seed assignment is map-only: no exchange, kernel inline") {
+    val df = graft.pipeline.Clustering.assignToSeeds(
+      spark.read.parquet(s"$sf/embeddings.parquet"), "embedding", "vec_id", k = 8)
+    val plan = planOf(df)
+    // the single allowed exchange is fanOut's round-robin spread of a
+    // one-file scan; assignment itself must not shuffle by key or join
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("BroadcastExchange"),
+      s"seed assignment must not shuffle or broadcast-join:\n$plan")
+    assert(plan.contains("cosinesimilarity") || plan.contains("CosineSimilarity"),
+      s"cosine kernel missing:\n$plan")
+  }
+
+  test("chunk dedup shuffles chunk digests, not chunk text") {
+    val df = graft.pipeline.Dedup.duplicatedChunks(
+      spark.read.parquet(s"$sf/documents.parquet"), "text", "doc_id", 20, 20)
+    val plan = planOf(df)
+    val ex = plan.indexOf("Exchange hashpartitioning(chunk_md5")
+    assert(ex >= 0, s"expected hash exchange on chunk_md5:\n$plan")
+    assert(!plan.substring(ex).contains("chunk_text"),
+      s"chunk text must be dropped before the exchange:\n$plan")
+  }
+
   test("IVF probe path broadcasts centroids and the query vector") {
     val df = graft.pipeline.Ivf.searchTopK(
       spark.read.parquet(s"$sf/embeddings.parquet"),
