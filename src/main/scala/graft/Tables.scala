@@ -16,6 +16,31 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
+  // Memoize loaded frames per (session, path): `spark.read.parquet`
+  // eagerly lists the directory and reads footers for schema — pure
+  // driver-side overhead when the same static table is loaded by
+  // every query of a Verify/Bench run (and, at scale, a repeated
+  // object-store LIST). DataFrames are immutable plan descriptions,
+  // so sharing one per table is safe; the WeakHashMap lets frames die
+  // with their (possibly per-API-session) SparkSession instead of
+  // pinning closed sessions. Callers that need to see on-disk changes
+  // (the HTTP datasource refresh route) use their own readers, not
+  // this helper.
+  private val frameCache = new java.util.WeakHashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  private def cached(spark: SparkSession, key: String)(mk: => DataFrame): DataFrame = {
+    val perSession = frameCache.synchronized {
+      var m = frameCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        frameCache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(key, _ => mk)
+  }
+
   /** Load a raw table. Caller owns any post-processing.
     *
     * No blanket `fanOut` here: the heavy pipeline kernels (shingles,
@@ -30,18 +55,21 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     name match {
       case "events" => events(spark, sfDir)
-      case _        => spark.read.parquet(s"$sfDir/$name.parquet")
+      case _ => cached(spark, s"$sfDir/$name") {
+        spark.read.parquet(s"$sfDir/$name.parquet")
+      }
     }
 
   /** events with `ts` as a proper TimestampType (µs, truncated from ns).
     * Keeps the raw nanosecond count as `ts_ns` for precision-sensitive
     * consumers.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$sfDir/events.parquet")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-  }
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, s"$sfDir/events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read
+        .parquet(s"$sfDir/events.parquet")
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    }
 }

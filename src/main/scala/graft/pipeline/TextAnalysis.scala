@@ -205,10 +205,13 @@ object TextAnalysis {
     * are — which keeps the score oracle-exact. Rank ties break on the
     * token string, so the pick is total and reproducible.
     *
-    * Scale shape: three hash shuffles — (doc, token) term counts,
-    * per-token document frequencies, and the per-doc top-k window —
-    * each keyed by token or doc id, never carrying text beyond the
-    * token itself. The corpus-size frame is one row, broadcast.
+    * Scale shape: three hash shuffles — (doc, token) term counts, a
+    * per-token window for document frequency (an unbounded-frame
+    * count over `tf`, NOT a groupBy + self-join: same shuffle key,
+    * but no second aggregate and no sort-merge join of two
+    * vocabulary-sized sides), and the per-doc top-k window — each
+    * keyed by token or doc id, never carrying text beyond the token
+    * itself. The corpus-size frame is one row, broadcast.
     */
   def tfidfKeywords(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 3): DataFrame = {
@@ -218,11 +221,11 @@ object TextAnalysis {
           .as("tok"))
       .where(col("tok") =!= "")
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val wTok = org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
-    tf.join(dfreq, Seq("tok"))
+    tf.withColumn("df", count(lit(1)).over(wTok))
       .crossJoin(broadcast(n))
       .withColumn("score", round(col("tf") * (col("n_docs") / col("df")), 6))
       .withColumn("rnk", row_number().over(w).cast("long"))
