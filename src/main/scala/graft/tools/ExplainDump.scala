@@ -33,6 +33,9 @@ object ExplainDump {
       "q24_explode_tokens" -> "post-fanOut-removal: explode + partial agg directly over the scan, no pre-shuffle",
       "t09_decontamination" -> "decontamination: shingle-hash kernels both sides, join moves 16-byte tuples, bench side broadcast under AQE",
       "t10_source_mix" -> "source mix: one rank-window exchange; epoch replication is a generator in the same stage",
+      "s07_cluster_report" -> "seed clustering: centroids inlined as literals — assignment is map-only (no join/shuffle), then one partial-agg exchange on cell",
+      "d09_chunk_dedup" -> "chunk dedup: chunking + digest in scan stage; two digest-keyed exchanges, chunk text never shuffled",
+      "t11_tfidf_keywords" -> "tf-idf: df as a count window over the term counts (no vocabulary self-join); three keyed exchanges total",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")

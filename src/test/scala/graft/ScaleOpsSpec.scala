@@ -33,6 +33,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(p.contains("__salt") || p.contains("hashpartitioning(l_returnflag"), p)
   }
 
+  test("IVF index written partitionBy(cell) prunes a probe to its cells") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+    val cents = graft.pipeline.Ivf.buildCentroids(emb, "embedding", "vec_id",
+      k = 4, iters = 1)
+    val indexed = graft.pipeline.Ivf.assign(emb, cents, "embedding", "vec_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    try {
+      // the "index" is the corpus + cell column, laid out BY cell —
+      // a probe of nprobe cells then touches only those directories
+      indexed.write.partitionBy("cell").mode("overwrite").parquet(dir)
+      val idx = spark.read.parquet(dir)
+      val probe = idx.where(col("cell").isin(0, 1))
+      val p = plan(probe)
+      assert(p.contains("PartitionFilters: [cell") ||
+        p.contains("PartitionFilters: [cell#") ||
+        p.contains("PartitionFilters: [(cell"),
+        s"probe must prune on the cell partition column:\n$p")
+      // pruning is real: only the probed cells' rows are read, and
+      // totals agree with the pre-layout assignment
+      val perCell = indexed.groupBy("cell").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(probe.count() == perCell.getOrElse(0, 0L) + perCell.getOrElse(1, 0L))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("bucketed pair joins without an exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
