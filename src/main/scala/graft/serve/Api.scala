@@ -41,7 +41,10 @@ object Api {
       distinct: Boolean,
       removeAfterMerged: Boolean)
 
-  final case class QueryReq(sql: String)
+  final case class PostProcessorReq(module: String, options: Map[String, JsonNode])
+
+  final case class QueryReq(sql: String,
+      postProcessors: Seq[PostProcessorReq] = Nil)
 
   final case class ResponseReq(format: Option[String])
 
@@ -61,7 +64,8 @@ object Api {
         arr(n, "processors").map(parseMerge),
       query = Option(n.get("query")).map(q =>
         QueryReq(text(q, "sql").getOrElse(
-          throw new IllegalArgumentException("query.sql required")))),
+          throw new IllegalArgumentException("query.sql required")),
+          parsePostProcessors(q))),
       response = ResponseReq(Option(n.get("response")).flatMap(r => text(r, "format"))))
   }
 
@@ -83,6 +87,20 @@ object Api {
         overwrite = o.flatMap(bool(_, "overwrite")).getOrElse(true),
         version = o.flatMap(long(_, "version"))))
   }
+
+  /** `postProcessors: [{module, pluginOptions: {...}}]` nested in the
+    * query object (reference `request/body.rs:322-339`). Option
+    * values stay raw JsonNodes — each processor interprets its own.
+    */
+  def parsePostProcessors(queryNode: JsonNode): Seq[PostProcessorReq] =
+    arr(queryNode, "postProcessors").map { p =>
+      PostProcessorReq(
+        module = text(p, "module").getOrElse(
+          throw new IllegalArgumentException("postProcessor.module required")),
+        options = Option(p.get("pluginOptions"))
+          .map(_.properties().asScala.map(e => e.getKey -> e.getValue).toMap)
+          .getOrElse(Map.empty))
+    }
 
   def parseMerge(n: JsonNode): MergeProcessorReq = {
     val opts = Option(n.get("options"))

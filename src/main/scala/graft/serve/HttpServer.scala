@@ -81,7 +81,7 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
       req.processors.foreach(applyMerge(h, _))
       req.query match {
         case Some(q) =>
-          val df = sessions.sql(h, q.sql)
+          val df = Processors.applyAll(sessions.sql(h, q.sql), q.postProcessors)
           respondData(ex, df, req.response.format)
         case None => respondJson(ex, 200, """{"status":"ok"}""")
       }
@@ -109,19 +109,25 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
         withSession(ex, id) { h =>
           val body = readBody(ex)
           val contentType = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
-          // raw application/sql or JSON {sql}/{query,response}
-          // (reference: response/handler/session.rs:90-124)
-          val (sql, fmt) =
-            if (contentType.startsWith("application/sql")) (body, None)
+          // raw application/sql or JSON {sql}/{query,response}; the
+          // query object (or the top level, next to `sql`) may carry
+          // a postProcessors chain
+          // (reference: response/handler/session.rs:90-124,151-171)
+          val (sql, fmt, post) =
+            if (contentType.startsWith("application/sql"))
+              (body, None, Seq.empty[Api.PostProcessorReq])
             else {
               val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+              val qNode = Option(n.get("query"))
               val s = Option(n.get("sql")).map(_.asText())
-                .orElse(Option(n.get("query")).map(q =>
+                .orElse(qNode.map(q =>
                   if (q.isTextual) q.asText() else q.get("sql").asText()))
                 .getOrElse(throw new IllegalArgumentException("sql required"))
-              (s, Option(n.get("response")).flatMap(r => Option(r.get("format")).map(_.asText())))
+              val pp = Api.parsePostProcessors(n) ++
+                qNode.filterNot(_.isTextual).map(Api.parsePostProcessors).getOrElse(Nil)
+              (s, Option(n.get("response")).flatMap(r => Option(r.get("format")).map(_.asText())), pp)
             }
-          respondData(ex, sessions.sql(h, sql), fmt)
+          respondData(ex, Processors.applyAll(sessions.sql(h, sql), post), fmt)
         }
       case ("POST", Array(id, "datasource", "upload")) =>
         withSession(ex, id) { h =>

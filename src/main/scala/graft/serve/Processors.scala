@@ -1,0 +1,96 @@
+package graft.serve
+
+import com.fasterxml.jackson.databind.JsonNode
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Post-processor registry — the Spark-native answer to the
+  * reference's Python processor plugins (`lib/src/plugin/
+  * exec_processor.rs:10-33`, shipped example
+  * `bin/plugins/processor-plugin-pivot-table/plugin_main.py`).
+  *
+  * The reference hands each query result through a chain of named
+  * Python modules (RecordBatch → pandas → RecordBatch on the server
+  * thread). Running CPython in-process is neither possible nor
+  * desirable in a JVM/Spark server; the idiomatic equivalent is a
+  * registry of named DataFrame → DataFrame transforms: embedders
+  * register Scala processors at startup, requests reference them by
+  * module name, and the transform stays a lazy distributed plan —
+  * applied BEFORE collect, so a pivot/aggregation processor reduces
+  * the rows that reach the driver instead of post-processing a
+  * buffered result (the reference materializes the full result
+  * first; `response/handler/dataframe.rs:56` forces buffering
+  * whenever processors are present).
+  *
+  * Built-ins mirror the reference's shipped plugin surface:
+  * `pivot-table` (values/index/columns, mean aggregation — the
+  * pandas `pivot_table` defaults the example relies on).
+  */
+object Processors {
+
+  /** A named post-processor: (query result, pluginOptions) → result. */
+  type Processor = (DataFrame, Map[String, JsonNode]) => DataFrame
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, Processor]()
+
+  /** Register/replace a processor under a module name (the embedding
+    * application's extension point, like dropping a plugin dir next
+    * to the reference binary).
+    */
+  def register(module: String, p: Processor): Unit = registry.put(module, p)
+
+  def isRegistered(module: String): Boolean = registry.containsKey(module)
+
+  /** Apply a processor chain in request order. Unknown modules fail
+    * the request (reference: request validation error).
+    */
+  def applyAll(df: DataFrame, chain: Seq[Api.PostProcessorReq]): DataFrame =
+    chain.foldLeft(df) { (cur, p) =>
+      val f = registry.get(p.module)
+      if (f == null)
+        throw new IllegalArgumentException(s"unknown processor module: ${p.module}")
+      f(cur, p.options)
+    }
+
+  // ----- built-ins ------------------------------------------------
+
+  private def strOpt(o: Map[String, JsonNode], k: String): Option[String] =
+    o.get(k).filterNot(_.isNull).map(_.asText())
+
+  private def strList(o: Map[String, JsonNode], k: String): Seq[String] =
+    o.get(k).toSeq.flatMap { n =>
+      if (n.isArray) {
+        val it = n.elements()
+        Iterator.continually(it).takeWhile(_.hasNext).map(_.next().asText()).toSeq
+      } else Seq(n.asText())
+    }
+
+  /** `pivot-table`: index rows, one column per distinct `columns`
+    * value, mean of `values` in each cell — the reference example's
+    * pandas `pivot_table(values, index, columns)` semantics,
+    * expressed as the native groupBy().pivot() plan (distributed,
+    * partial-aggregated; not a driver-side pandas pass).
+    */
+  register("pivot-table", (df, opts) => {
+    val values = strOpt(opts, "values").getOrElse(
+      throw new IllegalArgumentException("pivot-table: pluginOptions.values required"))
+    val index = strList(opts, "index")
+    val columns = strOpt(opts, "columns").getOrElse(
+      throw new IllegalArgumentException("pivot-table: pluginOptions.columns required"))
+    require(index.nonEmpty, "pivot-table: pluginOptions.index required")
+    df.groupBy(index.map(col): _*)
+      .pivot(columns)
+      .agg(avg(col(values)))
+      .orderBy(index.map(col): _*)
+  })
+
+  /** `select-columns`: project/reorder (`columns` list) — the tiny
+    * "shape the response" processor users otherwise write in Python.
+    */
+  register("select-columns", (df, opts) => {
+    val cols = strList(opts, "columns")
+    require(cols.nonEmpty, "select-columns: pluginOptions.columns required")
+    df.select(cols.map(col): _*)
+  })
+}

@@ -54,6 +54,53 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.body().startsWith("""[{"l_returnflag":"""))
   }
 
+  test("postProcessors: pivot-table reshapes the one-shot query result") {
+    val body =
+      s"""{"dataSources":[{"format":"parquet","name":"lineitem",
+          "location":"${SparkFixture.sfDir}/lineitem.parquet"}],
+          "query":{"sql":"SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem",
+            "postProcessors":[{"module":"pivot-table",
+              "pluginOptions":{"values":"l_quantity","index":"l_returnflag","columns":"l_linestatus"}}]}}"""
+    val r = post("/dataframe/query", body)
+    assert(r.statusCode() == 200, r.body())
+    // pivoted shape: one row per returnflag, one column per linestatus
+    val rows = new com.fasterxml.jackson.databind.ObjectMapper().readTree(r.body())
+    assert(rows.size() == 3, r.body())
+    val first = rows.get(0)
+    assert(first.has("l_returnflag") && (first.has("F") || first.has("O")), r.body())
+  }
+
+  test("postProcessors: chain applies in order on the session query route") {
+    val sid = "pp-chain"
+    assert(post(s"/session?id=$sid", "").statusCode() == 200)
+    try {
+      post(s"/session/$sid/datasource", s"""{"format":"parquet","name":"nation",
+        "location":"${SparkFixture.sfDir}/nation.parquet"}""")
+      val r = post(s"/session/$sid/query",
+        """{"sql":"SELECT n_regionkey, n_nationkey, n_name FROM nation",
+           "postProcessors":[
+             {"module":"pivot-table","pluginOptions":{
+               "values":"n_nationkey","index":"n_regionkey","columns":"n_regionkey"}},
+             {"module":"select-columns","pluginOptions":{"columns":["n_regionkey"]}}]}""")
+      assert(r.statusCode() == 200, r.body())
+      val rows = new com.fasterxml.jackson.databind.ObjectMapper().readTree(r.body())
+      assert(rows.size() == 5, r.body())
+      // select-columns ran AFTER pivot: only the index column remains
+      assert(rows.get(0).size() == 1, r.body())
+    } finally { delete(s"/session/$sid"): Unit }
+  }
+
+  test("postProcessors: unknown module is a clean 4xx, not a 500") {
+    val body =
+      s"""{"dataSources":[{"format":"parquet","name":"region",
+          "location":"${SparkFixture.sfDir}/region.parquet"}],
+          "query":{"sql":"SELECT * FROM region",
+            "postProcessors":[{"module":"no-such-plugin"}]}}"""
+    val r = post("/dataframe/query", body)
+    assert(r.statusCode() == 400, s"${r.statusCode()} ${r.body()}")
+    assert(r.body().contains("no-such-plugin"), r.body())
+  }
+
   test("one-shot with inline json data source and csv response") {
     val body =
       """{"dataSources":[{"format":"json","name":"people",
