@@ -20,7 +20,8 @@ object Api {
       location: Option[String],
       data: Option[String],    // inline payload (json document text)
       schemaJson: Option[String],
-      options: Options)
+      options: Options,
+      pluginOptions: Map[String, JsonNode] = Map.empty)
 
   final case class Options(
       hasHeader: Boolean = true,
@@ -85,7 +86,8 @@ object Api {
         jsonPath = o.flatMap(text(_, "jsonPath")),
         requireNormalize = o.flatMap(bool(_, "requireNormalize")).getOrElse(false),
         overwrite = o.flatMap(bool(_, "overwrite")).getOrElse(true),
-        version = o.flatMap(long(_, "version"))))
+        version = o.flatMap(long(_, "version"))),
+      pluginOptions = objMap(n, "pluginOptions"))
   }
 
   /** `postProcessors: [{module, pluginOptions: {...}}]` nested in the
@@ -97,9 +99,7 @@ object Api {
       PostProcessorReq(
         module = text(p, "module").getOrElse(
           throw new IllegalArgumentException("postProcessor.module required")),
-        options = Option(p.get("pluginOptions"))
-          .map(_.properties().asScala.map(e => e.getKey -> e.getValue).toMap)
-          .getOrElse(Map.empty))
+        options = objMap(p, "pluginOptions"))
     }
 
   def parseMerge(n: JsonNode): MergeProcessorReq = {
@@ -122,6 +122,10 @@ object Api {
 
   // JSON helpers -------------------------------------------------
 
+  private def objMap(n: JsonNode, f: String): Map[String, JsonNode] =
+    Option(n.get(f))
+      .map(_.properties().asScala.map(e => e.getKey -> e.getValue).toMap)
+      .getOrElse(Map.empty)
   private def arr(n: JsonNode, f: String): Seq[JsonNode] =
     Option(n.get(f)).filter(_.isArray).map(_.elements().asScala.toSeq).getOrElse(Nil)
   private def text(n: JsonNode, f: String): Option[String] =

@@ -260,6 +260,13 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
       spoolDir = Some(h.spoolDir))
     if (!ds.options.overwrite && h.spark.catalog.tableExists(ds.name))
       throw new IllegalArgumentException(s"table exists: ${ds.name} (overwrite=false)")
+    // connector dispatch: a location with a registered custom scheme
+    // (reference A23: data_source/connector_plugin.rs:19-106) goes to
+    // the embedder's connector instead of a built-in reader
+    val connectorDf: Option[DataFrame] = ds.location.flatMap(l =>
+      Connectors.forLocation(l).map { case (_, c) =>
+        c(h.spark, java.net.URI.create(l), ds.pluginOptions, ds.schemaJson)
+      })
     // HTTP(S) locations: fetch to the session spool, then the bytes
     // path (reference A1/A3: data_source/transport/http.rs:24-40)
     val fetched: Option[Array[Byte]] = ds.location
@@ -282,7 +289,8 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
         val in = resp.body()
         try readBounded(in, uploadLimitBytes) finally in.close()
       }
-    val df: DataFrame = (ds.format.toLowerCase, fetched, ds.location, ds.data) match {
+    val df: DataFrame = connectorDf.getOrElse(
+      (ds.format.toLowerCase, fetched, ds.location, ds.data) match {
       case ("csv", Some(bytes), _, _) => Readers.csvBytes(h.spark, bytes, opts)
       case ("ndjson", Some(bytes), _, _) => Readers.ndJsonBytes(h.spark, bytes, opts)
       case ("json", Some(bytes), _, _) =>
@@ -325,7 +333,7 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
           throw new IllegalArgumentException(s"dataSource ${ds.name}: location or data required for $f")
         case (f, _, _) => throw new IllegalArgumentException(s"unsupported format: $f")
       }
-    }
+    })
     sessions.registerTable(h, df, DataSourceDef(ds.name, ds.format, ds.location, ds.schemaJson))
     metrics.dataSourcesRegistered.increment()
   }

@@ -90,6 +90,35 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { delete(s"/session/$sid"): Unit }
   }
 
+  test("connector registry: custom scheme datasource ingests via the plugin") {
+    // a "gen://" connector mirroring the reference's scheme-dispatched
+    // datasource plugins: authority = generator kind, row count from
+    // pluginOptions — returns a lazy plan, not buffered bytes
+    graft.serve.Connectors.register("gen", (spark, uri, opts, _) => {
+      assert(uri.getAuthority == "ints")
+      val n = opts.get("rows").map(_.asLong()).getOrElse(3L)
+      spark.range(n).toDF("v")
+    })
+    val sid = "conn-test"
+    assert(post(s"/session?id=$sid", "").statusCode() == 200)
+    try {
+      val r = post(s"/session/$sid/datasource",
+        """{"format":"arrow","name":"gen_t","location":"gen://ints/any",
+           "pluginOptions":{"rows":4}}""")
+      assert(r.statusCode() == 200, r.body())
+      val q = post(s"/session/$sid/query",
+        """{"sql":"SELECT count(*) AS n, sum(v) AS s FROM gen_t"}""")
+      assert(q.statusCode() == 200, q.body())
+      assert(q.body().contains("\"n\":4") && q.body().contains("\"s\":6"), q.body())
+    } finally { delete(s"/session/$sid"): Unit }
+  }
+
+  test("connector registry: built-in schemes cannot be shadowed") {
+    intercept[IllegalArgumentException] {
+      graft.serve.Connectors.register("file", (s, _, _, _) => s.range(1).toDF())
+    }
+  }
+
   test("postProcessors: unknown module is a clean 4xx, not a 500") {
     val body =
       s"""{"dataSources":[{"format":"parquet","name":"region",

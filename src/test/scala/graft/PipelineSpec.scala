@@ -256,6 +256,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(samp.forall(_.getAs[Long]("rank") <= 2))
   }
 
+  test("clustering assignment equals local brute-force argmax on random vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val dim = 16
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+    val k = 5
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      // same sequential fold as the codegen kernel: per-element double
+      // cast, left-to-right accumulation
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val seeds = vecs.take(k)
+    val expected = vecs.map { case (id, v) =>
+      id -> seeds.maxBy { case (cell, sv) => (cos(v, sv), -cell) }._1
+    }.toMap
+    val got = graft.pipeline.Clustering.assignToSeeds(
+        vecs.toDF("vec_id", "embedding"), "embedding", "vec_id", k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("tfidfKeywords ranks rare terms above ubiquitous ones") {
     import spark.implicits._
     // "common" appears in all 3 docs (df=3, idf=1); each doc's unique
