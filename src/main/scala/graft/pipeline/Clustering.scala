@@ -40,28 +40,39 @@ object Clustering {
       .sortBy(_._1)
   }
 
-  /** Nearest-seed assignment as a pure projection: for each row, the
-    * cosine against each of the k inlined seed vectors, then an
-    * argmax via `greatest` over (sim, -cell) structs — ties break to
-    * the smallest cell, mirroring `ORDER BY sim DESC, cell` in SQL.
-    * Output: (idCol, cell, sim).
+  /** Nearest-centroid assignment as a pure projection over
+    * driver-local centroids: for each row, the cosine against each
+    * inlined centroid vector, then an argmax via `greatest` over
+    * (sim, -cell) structs — ties break to the smallest cell,
+    * mirroring `ORDER BY sim DESC, cell` in SQL. Map-only: no join,
+    * no shuffle, no k-fold row expansion. Output: (idCol, cell, sim).
     */
-  def assignToSeeds(
-      emb: DataFrame, vecCol: String, idCol: String, k: Int): DataFrame = {
-    val seeds = seedVectors(emb, vecCol, idCol, k)
-    require(seeds.nonEmpty, s"no rows with $idCol < $k to seed clusters")
-    val candidates: Seq[Column] = seeds.toSeq.map { case (cell, vec) =>
+  def assignToCentroidArrays(
+      emb: DataFrame, vecCol: String, idCol: String,
+      cents: Seq[(Long, Array[Double])]): DataFrame = {
+    require(cents.nonEmpty, "no centroids to assign to")
+    val candidates: Seq[Column] = cents.map { case (cell, vec) =>
       val cvec = array(vec.toSeq.map(lit): _*)
       struct(
         Similarity.cosine(col(vecCol), cvec).as("sim"),
         lit(-cell).as("neg_cell"))
     }
     val best = greatest(candidates: _*)
+    // input columns ride along (the IVF probe path needs the vector
+    // for exact re-rank); `cell`/`sim` must not already exist
     graft.ops.ScaleOps.fanOut(emb)
-      .select(col(idCol), best.as("__best"))
-      .select(col(idCol),
-        (-col("__best.neg_cell")).as("cell"),
-        col("__best.sim").as("sim"))
+      .select(col("*"), best.as("__best"))
+      .withColumn("cell", -col("__best.neg_cell"))
+      .withColumn("sim", col("__best.sim"))
+      .drop("__best")
+  }
+
+  /** [[assignToCentroidArrays]] seeded by the k smallest-id vectors. */
+  def assignToSeeds(
+      emb: DataFrame, vecCol: String, idCol: String, k: Int): DataFrame = {
+    val seeds = seedVectors(emb, vecCol, idCol, k)
+    require(seeds.nonEmpty, s"no rows with $idCol < $k to seed clusters")
+    assignToCentroidArrays(emb, vecCol, idCol, seeds.toSeq)
   }
 
   /** Per-cluster summary: member count, the least-central similarity
@@ -71,6 +82,9 @@ object Clustering {
   def clusterReport(
       emb: DataFrame, vecCol: String, idCol: String, k: Int): DataFrame =
     assignToSeeds(emb, vecCol, idCol, k)
+      // drop the vector before the shuffle: the aggregation carries
+      // (cell, sim, id) triples only
+      .select(col(idCol), col("cell"), col("sim"))
       .groupBy(col("cell"))
       .agg(
         count(lit(1)).as("n_members"),
@@ -94,6 +108,7 @@ object Clustering {
       .partitionBy(col("cell"))
       .orderBy(col("sim").desc, col(idCol))
     assignToSeeds(emb, vecCol, idCol, k)
+      .select(col(idCol), col("cell"), col("sim")) // window shuffles no vectors
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= perCluster)
       .select(col("cell"), col(idCol), col("sim"), col("rank"))

@@ -38,10 +38,19 @@ object Ivf {
     * re-shuffles the entire corpus every iteration for a k×dim
     * result). Init = the k sample vectors with smallest hash.
     */
-  def buildCentroids(
+  private[pipeline] def cosineLocal(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val dim = a.length
+    while (i < dim) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Lloyd training returning the raw centroid arrays (the form the
+    * literal-inlined assignment and probe planning consume).
+    */
+  private[pipeline] def trainCentroidArrays(
       emb: DataFrame, vecCol: String, idCol: String,
-      k: Int, iters: Int = 3, maxTrainRows: Int = 100000): DataFrame = {
-    val spark = emb.sparkSession
+      k: Int, iters: Int, maxTrainRows: Int): Array[Array[Double]] = {
     val sample: Array[Array[Double]] = emb
       .select(col(idCol), col(vecCol))
       .withColumn("h", xxhash64(col(idCol)))
@@ -53,11 +62,7 @@ object Ivf {
     require(sample.nonEmpty, "cannot build centroids from an empty corpus")
     val dim = sample.head.length
     var centroids: Array[Array[Double]] = sample.take(k).map(_.clone())
-    def cosine(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < dim) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
+    def cosine(a: Array[Double], b: Array[Double]): Double = cosineLocal(a, b)
     var it = 0
     while (it < iters) {
       val sums = Array.fill(centroids.length)(new Array[Double](dim))
@@ -85,6 +90,14 @@ object Ivf {
       }
       it += 1
     }
+    centroids
+  }
+
+  def buildCentroids(
+      emb: DataFrame, vecCol: String, idCol: String,
+      k: Int, iters: Int = 3, maxTrainRows: Int = 100000): DataFrame = {
+    val spark = emb.sparkSession
+    val centroids = trainCentroidArrays(emb, vecCol, idCol, k, iters, maxTrainRows)
     import scala.jdk.CollectionConverters._
     val rows = centroids.zipWithIndex.map { case (cv, i) =>
       org.apache.spark.sql.Row(i, cv.toSeq)
@@ -112,47 +125,48 @@ object Ivf {
     emb.join(cells, Seq(idCol))
   }
 
-  /** [[assign]] specialized to (id, vec, cell): the vector rides
-    * through the argmax aggregation (`first` — it is constant within
-    * the k-fold expansion of one id), saving the join back to `emb`.
-    * The k-means loop and the probe path only ever need these three
-    * columns.
-    */
-  private def assignVec(emb: DataFrame, centroids: DataFrame,
-      vecCol: String, idCol: String): DataFrame =
-    graft.ops.ScaleOps.fanOut(emb).select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(centroids))
-      .withColumn("__sim", Similarity.cosine(col(vecCol), col("centroid")))
-      .groupBy(col(idCol))
-      .agg(max_by(col("cell"), col("__sim")).as("cell"),
-        first(col(vecCol)).as(vecCol))
-
   /** Top-k by cosine against the query vector (the corpus row with
     * id == queryId), probing the `nprobe` nearest cells only.
+    *
+    * The quantizer is driver-trained ([[trainCentroidArrays]]), so
+    * the whole probe plan is join-free: cell assignment inlines the
+    * centroids as literals (map-only projection, see
+    * [[Clustering.assignToCentroidArrays]]), the probe cells are
+    * chosen driver-side against the same centroids and become an
+    * `isin` filter, and the query vector (one bounded collect, like
+    * the training sample) inlines into the final cosine — scan →
+    * filter → TopK, no exchange but the TakeOrderedAndProject merge.
+    * With a cell-partitioned write-back (see ScaleOpsSpec) the isin
+    * filter is directory pruning.
     */
   def searchTopK(
       emb: DataFrame, vecCol: String, idCol: String,
       queryId: Long, k: Int, numCells: Int, nprobe: Int,
       iters: Int = 3): DataFrame = {
-    // centroids are k×dim local rows (driver-trained quantizer) —
-    // nothing to cache; every downstream use broadcasts them
-    val centroids = buildCentroids(emb, vecCol, idCol, numCells, iters)
-    val indexed = assignVec(emb, centroids, vecCol, idCol)
-    // the query vector needs no cell assignment — read it from the
-    // corpus directly instead of through the indexed lineage
-    val q = emb.where(col(idCol) === lit(queryId))
-      .select(col(vecCol).as("q_vec"))
-    // cells to probe: nprobe nearest centroids to the query
-    val probed = centroids.crossJoin(broadcast(q))
-      .withColumn("__sim", Similarity.cosine(col("centroid"), col("q_vec")))
-      .orderBy(col("__sim").desc)
-      .limit(nprobe)
-      .select(col("cell"))
+    val cents = trainCentroidArrays(emb, vecCol, idCol, numCells, iters,
+      maxTrainRows = 100000)
+    val centPairs = cents.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
+    val indexed = Clustering.assignToCentroidArrays(
+      emb.select(col(idCol), col(vecCol)), vecCol, idCol, centPairs)
+    val q: Array[Double] = emb.where(col(idCol) === lit(queryId))
+      .select(transform(col(vecCol), _.cast("double")).as("v"))
+      .collect() match {
+        case Array(row) => row.getSeq[Double](0).toArray
+        case other => throw new IllegalArgumentException(
+          s"queryId $queryId matched ${other.length} rows")
+      }
+    // cells to probe: nprobe nearest centroids to the query, ranked
+    // driver-side (ties to the lower cell id, matching assignment)
+    val probeCells: Seq[Long] = centPairs
+      .map { case (cell, cv) => (cell, cosineLocal(q, cv)) }
+      .sortBy { case (cell, s) => (-s, cell) }
+      .take(nprobe)
+      .map(_._1)
+    val qlit = array(q.toSeq.map(lit): _*)
     indexed
-      .join(broadcast(probed), Seq("cell")) // cell pruning
+      .where(col("cell").isin(probeCells: _*)) // cell pruning
       .where(col(idCol) =!= lit(queryId))
-      .crossJoin(broadcast(q))
-      .withColumn("cos_sim", Similarity.cosine(col(vecCol), col("q_vec")))
+      .withColumn("cos_sim", Similarity.cosine(col(vecCol), qlit))
       .select(col(idCol), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)

@@ -243,7 +243,7 @@ class PipelineSpec extends AnyFunSuite {
       (2L, Array(0.9f, 0.1f)), (3L, Array(0.8f, 0.0f)),
       (4L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
     val a = graft.pipeline.Clustering.assignToSeeds(e, "embedding", "vec_id", k = 2)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
     assert(a == Map(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 0L), a.toString)
     val rep = graft.pipeline.Clustering.clusterReport(e, "embedding", "vec_id", k = 2)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
@@ -281,7 +281,7 @@ class PipelineSpec extends AnyFunSuite {
     }.toMap
     val got = graft.pipeline.Clustering.assignToSeeds(
         vecs.toDF("vec_id", "embedding"), "embedding", "vec_id", k)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
     assert(got == expected)
   }
 

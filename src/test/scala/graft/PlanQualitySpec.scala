@@ -169,13 +169,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"chunk text must be dropped before the exchange:\n$plan")
   }
 
-  test("IVF probe path broadcasts centroids and the query vector") {
+  test("IVF probe path is join-free: inlined centroids, isin pruning, TopK") {
     val df = graft.pipeline.Ivf.searchTopK(
       spark.read.parquet(s"$sf/embeddings.parquet"),
       "embedding", "vec_id", queryId = 0L, k = 5, numCells = 4, nprobe = 2, iters = 1)
     val plan = planOf(df)
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
-      s"centroids/query must broadcast:\n$plan")
+    // driver-trained quantizer ⇒ no join and no key shuffle anywhere:
+    // assignment is a literal-centroid projection, probing is an isin
+    // filter, the query vector is a literal
+    assert(!plan.contains("Join") && !plan.contains("Exchange hashpartitioning"),
+      s"probe path must be join-free:\n$plan")
+    assert(plan.contains("cell IN") || plan.contains("cell#"),
+      s"cell isin pruning missing:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$plan")
   }
 }
