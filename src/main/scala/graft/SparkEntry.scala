@@ -1356,6 +1356,29 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     })
 
+  // Search over the quantized store (FAISS-SQ8 shape): corpus holds
+  // int8 codes, reconstruction happens on the fly in the scan stage,
+  // exact cosine over dequantized vectors. Deterministic affine
+  // round-trip -> fully oracle-comparable, unlike trained indexes.
+  private val s09 = Q("s09_knn_sq8", Some("""
+    WITH coded AS (
+      SELECT vec_id, list_transform(embedding, x ->
+        (CAST(GREATEST(-128, LEAST(127,
+           ROUND((CAST(x AS DOUBLE) - (-2.0)) / 4.0 * 255.0) - 128)) AS DOUBLE)
+         + 128.0) / 255.0 * 4.0 + (-2.0)) AS rvec
+      FROM embeddings),
+    q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+      list_sum(list_transform(generate_series(1, len(rvec)), i -> rvec[i] * qv[i]))
+      / (sqrt(list_sum(list_transform(rvec, x -> x * x)))
+         * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS cos_sim
+    FROM coded, q WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id LIMIT 10"""),
+    (s, dir) => graft.pipeline.Quantize.quantizedTopK(
+      T(s, dir, "embeddings"), "embedding", "vec_id",
+      queryId = 0L, k = 10, lo = -2.0, hi = 2.0))
+
   // Mean-pool embeddings per label (the "class centroid" shape):
   // posexplode → (label, pos) average. Floating aggregation order
   // differs per engine, so the means are rounded like q27's stats.
@@ -1666,7 +1689,7 @@ object SparkEntry {
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
-    s01, s02, s03, s04, s05, s06, s07, s08,
+    s01, s02, s03, s04, s05, s06, s07, s08, s09,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, m01, m02, m03)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =

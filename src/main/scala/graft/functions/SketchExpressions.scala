@@ -125,10 +125,69 @@ object SketchExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Sign-LSH bucket id in one pass: bit p of the result is the sign
+    * of the projection of the vector onto pseudo-random hyperplane p,
+    * where component h(p,d) replicates
+    * `pmod(xxhash64(lit(p), d), 1000003) / 1000003.0 - 0.5` exactly
+    * (XXH64 of two ints, seed 42, like the `xxhash64` SQL function) —
+    * bit-identical to the composable fold in
+    * [[graft.pipeline.Similarity.lshBucketFold]], which is nPlanes
+    * interpreted higher-order folds per row; this is one JVM loop.
+    */
+  case class SignLshBucket(child: Expression, nPlanes: Int)
+      extends UnaryExpression with CodegenFallback {
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"sign_lsh_bucket expects array<float|double>, got ${other.catalogString}")
+    }
+
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = child.nullable
+
+    // lazy: child.dataType is only safe to ask after resolution
+    private lazy val elemIsFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def nullSafeEval(input: Any): Any = {
+      val xs = input.asInstanceOf[ArrayData]
+      val n = xs.numElements()
+      val projs = new Array[Double](nPlanes)
+      val planeSeeds = new Array[Long](nPlanes)
+      var p = 0
+      while (p < nPlanes) { planeSeeds(p) = XXH64.hashInt(p, 42L); p += 1 }
+      var d = 0
+      while (d < n) {
+        val x = if (elemIsFloat) xs.getFloat(d).toDouble else xs.getDouble(d)
+        p = 0
+        while (p < nPlanes) {
+          val h = XXH64.hashInt(d, planeSeeds(p))
+          val m = 1000003L
+          val pm = ((h % m) + m) % m
+          projs(p) += x * (pm.toDouble / 1000003.0 - 0.5)
+          p += 1
+        }
+        d += 1
+      }
+      var bucket = 0L
+      p = 0
+      while (p < nPlanes) {
+        if (projs(p) >= 0) bucket += (1L << p)
+        p += 1
+      }
+      bucket
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // Column-API wrappers ------------------------------------------
 
   def minHashSig(shingles: Column, numHashes: Int): Column =
     ExprBridge.column(MinHashSig(ExprBridge.expression(shingles), numHashes))
   def simHash64(text: Column): Column =
     ExprBridge.column(SimHash64(ExprBridge.expression(text)))
+  def signLshBucket(vec: Column, nPlanes: Int): Column =
+    ExprBridge.column(SignLshBucket(ExprBridge.expression(vec), nPlanes))
 }

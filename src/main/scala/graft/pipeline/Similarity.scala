@@ -95,8 +95,17 @@ object Similarity {
 
   /** Sign-LSH bucket id from `nPlanes` random hyperplanes: bit j =
     * sign(v · h_j). Vectors in the same bucket are ANN candidates.
+    * One-pass kernel ([[graft.functions.SketchExpressions
+    * .SignLshBucket]]); the whole bucketing stays in the scan stage.
     */
-  def lshBucket(v: Column, nPlanes: Int): Column = {
+  def lshBucket(v: Column, nPlanes: Int): Column =
+    graft.functions.SketchExpressions.signLshBucket(v, nPlanes)
+
+  /** The composable higher-order-function formulation of
+    * [[lshBucket]] — nPlanes interpreted folds per row; kept as the
+    * reference semantics the kernel is spec-pinned against.
+    */
+  def lshBucketFold(v: Column, nPlanes: Int): Column = {
     val bits = (0 until nPlanes).map { p =>
       val proj = aggregate(
         zip_with(v, transform(sequence(lit(0), size(v) - 1),

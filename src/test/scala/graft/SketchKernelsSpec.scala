@@ -101,6 +101,20 @@ class SketchKernelsSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("SignLshBucket kernel is bit-identical to the fold formulation") {
+    val emb = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+    for (nPlanes <- Seq(1, 4, 8)) {
+      val both = emb.select(
+        col("vec_id"),
+        graft.pipeline.Similarity.lshBucket(col("embedding"), nPlanes).as("k"),
+        graft.pipeline.Similarity.lshBucketFold(col("embedding"), nPlanes).as("f"))
+        .collect()
+      both.foreach(r => assert(r.getLong(1) == r.getLong(2),
+        s"vec ${r.getLong(0)} nPlanes=$nPlanes: kernel=${r.getLong(1)} fold=${r.getLong(2)}"))
+      assert(both.nonEmpty)
+    }
+  }
+
   test("tokenCount arithmetic identity vs size(split)") {
     import spark.implicits._
     val texts = Seq("", " ", "a", "a b", "a  b", " a b ", "one two three").toDF("t")
