@@ -21,24 +21,32 @@ object Tables {
   // driver-side overhead when the same static table is loaded by
   // every query of a Verify/Bench run (and, at scale, a repeated
   // object-store LIST). DataFrames are immutable plan descriptions,
-  // so sharing one per table is safe; the WeakHashMap lets frames die
-  // with their (possibly per-API-session) SparkSession instead of
-  // pinning closed sessions. Callers that need to see on-disk changes
-  // (the HTTP datasource refresh route) use their own readers, not
-  // this helper.
+  // so sharing one per table is safe. The inner map values are
+  // SoftReferences: a DataFrame strongly references its
+  // SparkSession, so weak KEYS alone would never collect (the
+  // WeakHashMap value→key trap); soft values keep the whole entry
+  // collectible under memory pressure and after a session dies — a
+  // cleared entry just re-reads the footer. Callers that need to see
+  // on-disk changes (the HTTP datasource refresh route) use their
+  // own readers, not this helper.
   private val frameCache = new java.util.WeakHashMap[SparkSession,
-    java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+    java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.SoftReference[DataFrame]]]()
 
   private def cached(spark: SparkSession, key: String)(mk: => DataFrame): DataFrame = {
     val perSession = frameCache.synchronized {
       var m = frameCache.get(spark)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        m = new java.util.concurrent.ConcurrentHashMap[String,
+          java.lang.ref.SoftReference[DataFrame]]()
         frameCache.put(spark, m)
       }
       m
     }
-    perSession.computeIfAbsent(key, _ => mk)
+    Option(perSession.get(key)).flatMap(r => Option(r.get())).getOrElse {
+      val df = mk
+      perSession.put(key, new java.lang.ref.SoftReference(df))
+      df
+    }
   }
 
   /** Load a raw table. Caller owns any post-processing.

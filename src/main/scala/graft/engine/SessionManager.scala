@@ -31,6 +31,14 @@ final class SessionHandle(
   /** Registered data sources: name → definition (for detail/refresh). */
   val dataSources = new ConcurrentHashMap[String, DataSourceDef]()
 
+  /** The raw ingest request behind each data source, kept so refresh
+    * re-ingests with the ORIGINAL options (delimiter, jsonPath,
+    * connector pluginOptions, …), not reconstructed defaults. Opaque
+    * to the engine (the serving layer owns the request type); evicted
+    * with the table and with the session.
+    */
+  val rawDataSourceReqs = new ConcurrentHashMap[String, AnyRef]()
+
   /** Frames this session has .cache()'d (merge materializations):
     * unpersisted on replacement and on session removal — Spark's
     * CacheManager is shared across newSession()s, so an unreleased
@@ -132,6 +140,7 @@ final class SessionManager(root: SparkSession, reaperPeriodMs: Long = 1000L) {
 
   def removeTable(h: SessionHandle, name: String): Boolean = {
     h.dataSources.remove(name)
+    h.rawDataSourceReqs.remove(name)
     // release any materialized state (merge / INSERT / CTAS) with the view
     val prev = h.cachedFrames.remove(name)
     if (prev != null) { try prev.unpersist() catch { case _: Throwable => () } }

@@ -150,17 +150,23 @@ object SketchExpressions {
     private lazy val elemIsFloat =
       child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+    // row-invariant: seed for plane p = XXH64(p, 42), hoisted off the
+    // per-row hot path
+    private lazy val planeSeeds: Array[Long] =
+      Array.tabulate(nPlanes)(p => XXH64.hashInt(p, 42L))
+
     override def nullSafeEval(input: Any): Any = {
       val xs = input.asInstanceOf[ArrayData]
       val n = xs.numElements()
       val projs = new Array[Double](nPlanes)
-      val planeSeeds = new Array[Long](nPlanes)
-      var p = 0
-      while (p < nPlanes) { planeSeeds(p) = XXH64.hashInt(p, 42L); p += 1 }
       var d = 0
       while (d < n) {
+        // a null element nulls every fold projection, and the fold's
+        // when(proj >= 0, bit).otherwise(0) then drops every bit —
+        // mirror that: bucket 0
+        if (xs.isNullAt(d)) return 0L
         val x = if (elemIsFloat) xs.getFloat(d).toDouble else xs.getDouble(d)
-        p = 0
+        var p = 0
         while (p < nPlanes) {
           val h = XXH64.hashInt(d, planeSeeds(p))
           val m = 1000003L
@@ -171,7 +177,7 @@ object SketchExpressions {
         d += 1
       }
       var bucket = 0L
-      p = 0
+      var p = 0
       while (p < nPlanes) {
         if (projs(p) >= 0) bucket += (1L << p)
         p += 1

@@ -57,7 +57,9 @@ object Clustering {
         Similarity.cosine(col(vecCol), cvec).as("sim"),
         lit(-cell).as("neg_cell"))
     }
-    val best = greatest(candidates: _*)
+    // greatest() needs >= 2 args; a single centroid is its own argmax
+    val best =
+      if (candidates.size == 1) candidates.head else greatest(candidates: _*)
     // input columns ride along (the IVF probe path needs the vector
     // for exact re-rank); `cell`/`sim` must not already exist
     graft.ops.ScaleOps.fanOut(emb)

@@ -63,10 +63,12 @@ object Api {
       dataSources = arr(n, "dataSources").map(parseDataSource),
       processors = Option(n.get("processor")).map(parseMerge).toSeq ++
         arr(n, "processors").map(parseMerge),
+      // top-level postProcessors accepted alongside query-nested ones
+      // (the session route honors both; keep the doors consistent)
       query = Option(n.get("query")).map(q =>
         QueryReq(text(q, "sql").getOrElse(
           throw new IllegalArgumentException("query.sql required")),
-          parsePostProcessors(q))),
+          parsePostProcessors(q) ++ parsePostProcessors(n))),
       response = ResponseReq(Option(n.get("response")).flatMap(r => text(r, "format"))))
   }
 

@@ -33,8 +33,10 @@ object Connectors {
     * them (same rule as the reference's SupportedScheme list,
     * `data_source/location/uri.rs`).
     */
-  private val builtinSchemes =
-    Set("file", "http", "https", "s3", "s3a", "gs", "abfs", "hdfs")
+  private val builtinSchemes = Set(
+    "file", "http", "https", "hdfs", "viewfs", "dbfs",
+    "s3", "s3a", "s3n", "gs", "oss",
+    "abfs", "abfss", "wasb", "wasbs")
 
   def register(scheme: String, c: Connector): Unit = {
     val s = scheme.toLowerCase

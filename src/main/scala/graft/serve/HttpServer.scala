@@ -207,8 +207,14 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
         withSession(ex, id) { h =>
           Option(h.dataSources.get(name)) match {
             case Some(d) =>
-              val req = Api.DataSourceReq(d.format, d.name, d.location, None,
-                d.schemaJson, Api.Options())
+              // the original request (options, pluginOptions) when the
+              // source came through this door; reconstructed defaults
+              // only for tables registered without one (e.g. upload)
+              val req = Option(h.rawDataSourceReqs.get(name)) match {
+                case Some(r: Api.DataSourceReq) => r
+                case _ => Api.DataSourceReq(d.format, d.name, d.location, None,
+                  d.schemaJson, Api.Options())
+              }
               ingest(h, req)
               respondJson(ex, 200, """{"status":"refreshed"}""")
             case None => respondJson(ex, 404, err(s"no such dataSource: $name"))
@@ -335,6 +341,7 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
       }
     })
     sessions.registerTable(h, df, DataSourceDef(ds.name, ds.format, ds.location, ds.schemaJson))
+    h.rawDataSourceReqs.put(ds.name, ds)
     metrics.dataSourcesRegistered.increment()
   }
 

@@ -58,13 +58,13 @@ object Processors {
   private def strOpt(o: Map[String, JsonNode], k: String): Option[String] =
     o.get(k).filterNot(_.isNull).map(_.asText())
 
-  private def strList(o: Map[String, JsonNode], k: String): Seq[String] =
+  private def strList(o: Map[String, JsonNode], k: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
     o.get(k).toSeq.flatMap { n =>
-      if (n.isArray) {
-        val it = n.elements()
-        Iterator.continually(it).takeWhile(_.hasNext).map(_.next().asText()).toSeq
-      } else Seq(n.asText())
+      if (n.isArray) n.elements().asScala.map(_.asText()).toSeq
+      else Seq(n.asText())
     }
+  }
 
   /** `pivot-table`: index rows, one column per distinct `columns`
     * value, mean of `values` in each cell — the reference example's

@@ -110,6 +110,12 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
         """{"sql":"SELECT count(*) AS n, sum(v) AS s FROM gen_t"}""")
       assert(q.statusCode() == 200, q.body())
       assert(q.body().contains("\"n\":4") && q.body().contains("\"s\":6"), q.body())
+      // refresh must re-ingest with the ORIGINAL pluginOptions
+      // (rows=4), not reconstructed defaults (rows=3)
+      assert(post(s"/session/$sid/datasource/gen_t/refresh", "").statusCode() == 200)
+      val q2 = post(s"/session/$sid/query",
+        """{"sql":"SELECT count(*) AS n FROM gen_t"}""")
+      assert(q2.body().contains("\"n\":4"), q2.body())
     } finally { delete(s"/session/$sid"): Unit }
   }
 

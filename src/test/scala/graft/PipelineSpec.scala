@@ -136,8 +136,11 @@ class PipelineSpec extends AnyFunSuite {
     // both execution paths must agree: driver union-find (default)
     // and the distributed hash-min propagation (edge limit 0)
     for (limit <- Seq(100000, 0)) {
-      val got = Dedup.connectedComponents(edges, localEdgeLimit = limit).collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // limit 0 also forces the distributed OUTPUT: the returned
+      // labelling is cached and owned by the caller — release it
+      val df = Dedup.connectedComponents(edges, localEdgeLimit = limit)
+      val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      df.unpersist()
       assert((1L to 8L).forall(got(_) == 1L), s"chain(limit=$limit): $got")
       assert(Seq(20L, 21L, 22L).forall(got(_) == 20L), s"cycle(limit=$limit): $got")
       assert(got(30L) == 30L && got(31L) == 30L, s"pair(limit=$limit): $got")
@@ -163,8 +166,9 @@ class PipelineSpec extends AnyFunSuite {
     val want = parent.keys.map(v => v -> find(v)).toMap
     // force the DISTRIBUTED path so the real-graph check exercises the
     // propagation loop, not the same union-find as the oracle above
-    val got = Dedup.connectedComponents(pairs, localEdgeLimit = 0).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ccDf = Dedup.connectedComponents(pairs, localEdgeLimit = 0)
+    val got = ccDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ccDf.unpersist() // distributed output is caller-owned cache
     pairs.unpersist()
     assert(got == want)
   }
