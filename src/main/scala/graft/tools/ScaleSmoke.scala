@@ -1,0 +1,87 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-smoke: synthesize an N× corpus from sf0.1 (id-offset unions
+  * with light text perturbation so duplicates don't explode
+  * quadratically) and time the heavy pipeline operators at 1× vs N×.
+  *
+  * The point is the GROWTH RATE, not the absolute numbers: the
+  * inverted-index dedup, clustering, and chunk dedup are designed to
+  * scale near-linearly in corpus size (digest-keyed shuffles, capped
+  * posting lists, map-only assignment). A quadratic regression shows
+  * up here as a >>N× wall-clock ratio long before it takes down a
+  * real cluster. Run manually:
+  *
+  *   sbt "runMain graft.tools.ScaleSmoke 10"
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val sf = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs1 = spark.read.parquet(s"$sf/documents.parquet")
+    val emb1 = spark.read.parquet(s"$sf/embeddings.parquet")
+    val nDocs = docs1.count()
+    val nEmb = emb1.count()
+
+    // N copies with disjoint ids; copies >0 get a per-copy token
+    // prefix so cross-copy texts aren't verbatim duplicates (a pure
+    // union of identical texts would measure the pair-explosion of a
+    // pathological 100%-duplicate corpus, not scaling)
+    def timesN(df: DataFrame, idCol: String, textCol: Option[String]): DataFrame =
+      (0 until factor).map { c =>
+        val base = df.withColumn(idCol, col(idCol) + lit(c.toLong * 10_000_000L))
+        textCol match {
+          case Some(t) if c > 0 =>
+            base.withColumn(t, concat(lit(s"copy$c "), col(t)))
+          case _ => base
+        }
+      }.reduce(_ unionAll _)
+
+    val docsN = timesN(docs1, "doc_id", Some("text"))
+      .repartition(32).cache()
+    val embN = timesN(emb1, "vec_id", None)
+      .repartition(32).cache()
+    println(s"[scale-smoke] docs ${nDocs} -> ${docsN.count()}, " +
+      s"emb ${nEmb} -> ${embN.count()} (${factor}x)")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"[scale-smoke] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($rows rows)")
+    }
+
+    def run(label: String, docs: DataFrame, emb: DataFrame): Unit = {
+      println(s"--- $label ---")
+      time("d01 exactGroups") {
+        graft.pipeline.Dedup.exactGroups(docs, "text", "doc_id").count() }
+      time("d02 ngramJaccard (capped)") {
+        graft.pipeline.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+          n = 3, threshold = 0.9).count() }
+      time("d03 minHashLsh") {
+        graft.pipeline.Dedup.minHashLsh(docs, "text", "doc_id",
+          shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.8).count() }
+      time("d09 duplicatedChunks") {
+        graft.pipeline.Dedup.duplicatedChunks(docs, "text", "doc_id", 20, 20).count() }
+      time("s07 clusterReport k=8") {
+        graft.pipeline.Clustering.clusterReport(emb, "embedding", "vec_id", 8).count() }
+      time("t02-style quality scan") {
+        docs.select(graft.pipeline.TextAnalysis.qualityScore(col("text"))).count() }
+      spark.catalog.clearCache()
+      docs.cache().count(); emb.cache().count() // re-pin inputs
+    }
+
+    run("1x", docs1.repartition(32).cache(), emb1.repartition(32).cache())
+    run(s"${factor}x", docsN, embN)
+    spark.stop()
+  }
+}
