@@ -42,7 +42,14 @@ object Tables {
       }
       m
     }
-    Option(perSession.get(key)).flatMap(r => Option(r.get())).getOrElse {
+    // compute(): single-flight — concurrent first loads must not each
+    // pay the listing/footer read the cache exists to avoid
+    val got = perSession.compute(key, (_, old) =>
+      if (old != null && old.get() != null) old
+      else new java.lang.ref.SoftReference(mk)
+    ).get()
+    if (got != null) got
+    else { // cleared between compute and get (GC pressure): rebuild
       val df = mk
       perSession.put(key, new java.lang.ref.SoftReference(df))
       df

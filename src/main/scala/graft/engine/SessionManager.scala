@@ -185,6 +185,7 @@ final class SessionManager(root: SparkSession, reaperPeriodMs: Long = 1000L) {
     else if (graft.sqlcompat.MemDdl.appliesToDrop(h.spark, rewritten))
       graft.sqlcompat.MemDdl.dropTable(h.spark, rewritten, onDropped = { table =>
         h.dataSources.remove(table)
+        h.rawDataSourceReqs.remove(table)
         val prev = h.cachedFrames.remove(table)
         if (prev != null) { try prev.unpersist() catch { case _: Throwable => () } }: Unit
       })

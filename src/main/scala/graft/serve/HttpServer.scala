@@ -123,8 +123,11 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
                 .orElse(qNode.map(q =>
                   if (q.isTextual) q.asText() else q.get("sql").asText()))
                 .getOrElse(throw new IllegalArgumentException("sql required"))
-              val pp = Api.parsePostProcessors(n) ++
-                qNode.filterNot(_.isTextual).map(Api.parsePostProcessors).getOrElse(Nil)
+              // query-nested first, then top-level — the same chain
+              // order as the one-shot door (Api.parseDataFrameQuery)
+              val pp = qNode.filterNot(_.isTextual)
+                .map(Api.parsePostProcessors).getOrElse(Nil) ++
+                Api.parsePostProcessors(n)
               (s, Option(n.get("response")).flatMap(r => Option(r.get("format")).map(_.asText())), pp)
             }
           respondData(ex, Processors.applyAll(sessions.sql(h, sql), post), fmt)
@@ -162,6 +165,9 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
             }
             sessions.registerTable(h, df,
               graft.engine.DataSourceDef(name, fmt, None, None))
+            // an upload replacing a location-backed table must not let
+            // a later refresh resurrect the OLD source's data
+            h.rawDataSourceReqs.remove(name)
           }
           respondJson(ex, 200, s"""{"status":"ok","tables":${parts.size}}""")
         }
@@ -215,7 +221,9 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
                 case _ => Api.DataSourceReq(d.format, d.name, d.location, None,
                   d.schemaJson, Api.Options())
               }
-              ingest(h, req)
+              // refresh REPLACES the table by definition — the original
+              // overwrite=false guard must not veto its own refresh
+              ingest(h, req.copy(options = req.options.copy(overwrite = true)))
               respondJson(ex, 200, """{"status":"refreshed"}""")
             case None => respondJson(ex, 404, err(s"no such dataSource: $name"))
           }

@@ -19,6 +19,7 @@ import org.apache.spark.sql.functions._
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
+    require(factor >= 1, s"factor must be >= 1, got $factor")
     val sf = "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -62,6 +63,9 @@ object ScaleSmoke {
 
     def run(label: String, docs: DataFrame, emb: DataFrame): Unit = {
       println(s"--- $label ---")
+      // pin THIS run's inputs so every operator times against cached
+      // frames; released at run end (the next run pins its own)
+      docs.cache().count(); emb.cache().count(): Unit
       time("d01 exactGroups") {
         graft.pipeline.Dedup.exactGroups(docs, "text", "doc_id").count() }
       time("d02 ngramJaccard (capped)") {
@@ -77,10 +81,9 @@ object ScaleSmoke {
       time("t02-style quality scan") {
         docs.select(graft.pipeline.TextAnalysis.qualityScore(col("text"))).count() }
       spark.catalog.clearCache()
-      docs.cache().count(); emb.cache().count() // re-pin inputs
     }
 
-    run("1x", docs1.repartition(32).cache(), emb1.repartition(32).cache())
+    run("1x", docs1.repartition(32), emb1.repartition(32))
     run(s"${factor}x", docsN, embN)
     spark.stop()
   }

@@ -119,6 +119,24 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { delete(s"/session/$sid"): Unit }
   }
 
+  test("refresh succeeds for a source registered with overwrite=false") {
+    val sid = "refresh-nooverwrite"
+    assert(post(s"/session?id=$sid", "").statusCode() == 200)
+    try {
+      val r = post(s"/session/$sid/datasource",
+        s"""{"format":"parquet","name":"region2",
+            "location":"${SparkFixture.sfDir}/region.parquet",
+            "options":{"overwrite":false}}""")
+      assert(r.statusCode() == 200, r.body())
+      // refresh replaces the table by definition — the original
+      // overwrite=false must not veto it
+      val rf = post(s"/session/$sid/datasource/region2/refresh", "")
+      assert(rf.statusCode() == 200, rf.body())
+      val q = post(s"/session/$sid/query", """{"sql":"SELECT count(*) AS n FROM region2"}""")
+      assert(q.body().contains("\"n\":5"), q.body())
+    } finally { delete(s"/session/$sid"): Unit }
+  }
+
   test("connector registry: built-in schemes cannot be shadowed") {
     intercept[IllegalArgumentException] {
       graft.serve.Connectors.register("file", (s, _, _, _) => s.range(1).toDF())
