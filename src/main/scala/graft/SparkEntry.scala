@@ -1659,6 +1659,25 @@ object SparkEntry {
     (s, dir) => TextAnalysis.tfidfKeywords(T(s, dir, "documents"), "text", "doc_id", k = 3)
       .orderBy(col("doc_id"), col("rnk")))
 
+  // Corpus report (the curation dashboard shape): per (source, lang)
+  // doc/char/token rollups. All sums are exact integers, so the one
+  // avg division is bit-identical cross-engine — no rounding needed.
+  private val t12 = Q("t12_corpus_report", Some("""
+    SELECT source, lang, COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
+      AVG(CAST(len(string_split(text, ' ')) AS BIGINT)) AS avg_tokens,
+      CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY source, lang ORDER BY source, lang"""),
+    (s, dir) => T(s, dir, "documents")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"),
+        avg(TextAnalysis.tokenCount(col("text"))).as("avg_tokens"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("source"), col("lang")))
+
   // Frame sampling (video keyframe shape): every 2nd 256-byte frame
   // of each payload, digested. The oracle slices the hex rendering
   // (2 chars/byte) since DuckDB cannot substring blobs — both engines
@@ -1690,7 +1709,8 @@ object SparkEntry {
     q52, q53, q54, q55, q56, q57,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
     s01, s02, s03, s04, s05, s06, s07, s08, s09,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, m01, m02, m03)
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12,
+    m01, m02, m03)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))
