@@ -42,8 +42,14 @@ object Tables {
       }
       m
     }
-    // compute(): single-flight — concurrent first loads must not each
-    // pay the listing/footer read the cache exists to avoid
+    // lock-free fast path for hits; compute() below is single-flight
+    // for first loads (concurrent misses must not each pay the
+    // listing/footer read the cache exists to avoid)
+    val hit = perSession.get(key)
+    if (hit != null) {
+      val df = hit.get()
+      if (df != null) return df
+    }
     val got = perSession.compute(key, (_, old) =>
       if (old != null && old.get() != null) old
       else new java.lang.ref.SoftReference(mk)

@@ -202,7 +202,12 @@ final class SessionManager(root: SparkSession, reaperPeriodMs: Long = 1000L) {
       // removeTable use, so replacement releases whichever path
       // materialized the previous state
       val prev = h.cachedFrames.put(table, df)
-      if (prev != null) { try prev.unpersist() catch { case _: Throwable => () } }: Unit
+      if (prev != null) { try prev.unpersist() catch { case _: Throwable => () } }
+      // a table replaced by SQL (CTAS / INSERT state) is no longer the
+      // registered source's data: drop the datasource record so a
+      // refresh 404s honestly instead of silently reverting the table
+      h.dataSources.remove(table)
+      h.rawDataSourceReqs.remove(table): Unit
   }
 
   private def reap(): Unit =

@@ -120,8 +120,9 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
               val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
               val qNode = Option(n.get("query"))
               val s = Option(n.get("sql")).map(_.asText())
-                .orElse(qNode.map(q =>
-                  if (q.isTextual) q.asText() else q.get("sql").asText()))
+                .orElse(qNode.flatMap(q =>
+                  if (q.isTextual) Some(q.asText())
+                  else Option(q.get("sql")).map(_.asText())))
                 .getOrElse(throw new IllegalArgumentException("sql required"))
               // query-nested first, then top-level — the same chain
               // order as the one-shot door (Api.parseDataFrameQuery)

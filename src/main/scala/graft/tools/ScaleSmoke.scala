@@ -20,10 +20,13 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     require(factor >= 1, s"factor must be >= 1, got $factor")
-    val sf = "/root/testdata/sf0.1"
+    // same env conventions as graft.Bench
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -48,17 +51,20 @@ object ScaleSmoke {
         }
       }.reduce(_ unionAll _)
 
-    val docsN = timesN(docs1, "doc_id", Some("text"))
-      .repartition(32).cache()
-    val embN = timesN(emb1, "vec_id", None)
-      .repartition(32).cache()
-    println(s"[scale-smoke] docs ${nDocs} -> ${docsN.count()}, " +
-      s"emb ${nEmb} -> ${embN.count()} (${factor}x)")
+    val parts = cpus.toInt
+    val docsN = timesN(docs1, "doc_id", Some("text")).repartition(parts)
+    val embN = timesN(emb1, "vec_id", None).repartition(parts)
+    // arithmetic, not a count(): materializing the Nx corpus here
+    // would be evicted by the 1x run's clearCache and rebuilt anyway
+    println(s"[scale-smoke] docs ${nDocs} -> ${nDocs * factor}, " +
+      s"emb ${nEmb} -> ${nEmb * factor} (${factor}x)")
 
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val rows = f
-      println(f"[scale-smoke] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($rows rows)")
+      val secs = "%8.2f".formatLocal(java.util.Locale.ROOT,
+        (System.nanoTime() - t0) / 1e9)
+      println(f"[scale-smoke] $name%-28s $secs s  ($rows rows)")
     }
 
     def run(label: String, docs: DataFrame, emb: DataFrame): Unit = {
