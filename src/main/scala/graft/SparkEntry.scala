@@ -1608,6 +1608,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     })
 
+  // The actionable decontamination form: the training split with
+  // every document sharing >= 2 distinct shingles with the benchmark
+  // split removed (anti-join on flagged ids).
+  private val t13 = Q("t13_decontaminate_filter", Some("""
+    WITH toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+    hits AS (SELECT s.doc_id, COUNT(*) AS n_hits
+             FROM sh s JOIN bench USING (shingle)
+             WHERE s.doc_id % 50 <> 0 GROUP BY 1)
+    SELECT d.doc_id, d.source, d.lang FROM documents d
+    WHERE d.doc_id % 50 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM hits WHERE n_hits >= 2)
+    ORDER BY d.doc_id"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.pipeline.Decontaminate.removeContaminated(
+          docs.where(col("doc_id") % 50 =!= 0),
+          docs.where(col("doc_id") % 50 === 0),
+          "text", "doc_id", n = 3, minHits = 2)
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("doc_id"))
+    })
+
   // Data-mixing resampler: per-source quotas (top-k by the stable md5
   // rank) plus epoch upsampling — 8×1 epoch for src0-4, 4×2 for
   // src5-9, 2×3 for src10-19.
@@ -1709,7 +1737,7 @@ object SparkEntry {
     q52, q53, q54, q55, q56, q57,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
     s01, s02, s03, s04, s05, s06, s07, s08, s09,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
     m01, m02, m03)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =

@@ -39,4 +39,18 @@ object Decontaminate {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_hits"))
   }
+
+  /** The actionable form: the candidate corpus with every document
+    * sharing >= `minHits` distinct shingles with the benchmark
+    * REMOVED (left-anti join on the flagged id set — ids only, so
+    * the anti-join side is tiny and typically broadcast; document
+    * text never reshuffles).
+    */
+  def removeContaminated(candidates: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 3, minHits: Long = 1): DataFrame = {
+    val flagged = contaminationCounts(candidates, benchmark, textCol, idCol, n)
+      .where(col("n_hits") >= minHits)
+      .select(col("id"))
+    candidates.join(flagged, candidates(idCol) === flagged("id"), "left_anti")
+  }
 }

@@ -289,6 +289,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("removeContaminated drops only docs over the hit threshold") {
+    import spark.implicits._
+    val bench = Seq((100L, "the secret eval answer is forty two")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "we think the secret eval answer is hidden"), // many shared shingles
+      (2L, "the secret word differs here entirely now"),  // 1 shared ("the secret …"? below threshold)
+      (3L, "completely unrelated text about spark plans")).toDF("doc_id", "text")
+    val kept = graft.pipeline.Decontaminate.removeContaminated(
+        train, bench, "text", "doc_id", n = 3, minHits = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(1L), "heavily contaminated doc must be removed")
+    assert(kept.contains(3L), "clean doc must survive")
+    // columns preserved: the output is the corpus, not a report
+    assert(graft.pipeline.Decontaminate.removeContaminated(
+      train, bench, "text", "doc_id").columns.toSeq == Seq("doc_id", "text"))
+  }
+
   test("tfidfKeywords ranks rare terms above ubiquitous ones") {
     import spark.implicits._
     // "common" appears in all 3 docs (df=3, idf=1); each doc's unique
