@@ -169,6 +169,20 @@ class PlanQualitySpec extends AnyFunSuite {
       s"chunk text must be dropped before the exchange:\n$plan")
   }
 
+  test("decontamination filter anti-joins on ids with the flagged side broadcast") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.pipeline.Decontaminate.removeContaminated(
+      docs.where(org.apache.spark.sql.functions.col("doc_id") % 50 =!= 0),
+      docs.where(org.apache.spark.sql.functions.col("doc_id") % 50 === 0),
+      "text", "doc_id", n = 3, minHits = 2)
+    df.collect() // AQE picks the broadcast at runtime
+    val plan = planOf(df)
+    assert(plan.contains("LeftAnti"), s"expected anti join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin LeftAnti") ||
+      plan.contains("BroadcastExchange"),
+      s"flagged-id side (ids only) should broadcast:\n$plan")
+  }
+
   test("IVF probe path is join-free: inlined centroids, isin pruning, TopK") {
     val df = graft.pipeline.Ivf.searchTopK(
       spark.read.parquet(s"$sf/embeddings.parquet"),
