@@ -135,11 +135,15 @@ object Dedup {
     // included) with EmptyRelation, so the metric is not reported —
     // harmless, since an empty result means no pair survived anyway.
     // cached: the O(len)-per-doc shingle hashing feeds the postings
-    // branch AND both sizes joins — uncached it would run three times
-    val docSets = graft.ops.ScaleOps.fanOut(docs).select(
-      col(idCol).as("id"),
-      graft.functions.ShingleHashes(col(textCol), n).as("sh_arr"))
-      .cache()
+    // branch AND both sizes joins — uncached it would run three times.
+    // Scoped (not bare cache()): the cache self-releases after the
+    // first completed execution of the returned plan, so a long-lived
+    // session issuing repeated dedup queries doesn't accumulate
+    // pinned blocks (DedupCacheLifecycleSpec pins this).
+    val docSets = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
+      graft.ops.ScaleOps.fanOut(docs).select(
+        col(idCol).as("id"),
+        graft.functions.ShingleHashes(col(textCol), n).as("sh_arr")))
     val sizes = docSets.select(col("id"), size(col("sh_arr")).cast("long").as("n_sh"))
     val exploded = docSets.select(explode(col("sh_arr")).as("shingle"), col("id"))
     val postings = maxPostings match {
@@ -260,11 +264,13 @@ object Dedup {
       shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val docSets = graft.ops.ScaleOps.fanOut(docs)
-      .select(col(idCol).as("id"),
-        graft.functions.ShingleHashes(col(textCol), shingleN).as("sh_arr"))
-      .where(size(col("sh_arr")) > 0)
-      .cache()
+    // scoped cache: feeds the signature branch and both verification
+    // joins; self-releases after the result's first execution
+    val docSets = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
+      graft.ops.ScaleOps.fanOut(docs)
+        .select(col(idCol).as("id"),
+          graft.functions.ShingleHashes(col(textCol), shingleN).as("sh_arr"))
+        .where(size(col("sh_arr")) > 0))
     val sig = minHashSignatures(docSets, numHashes)
     // band value = hash of its rowsPerBand signature slots
     val bandCols = (0 until bands).map { b =>
@@ -347,7 +353,10 @@ object Dedup {
   def simHashPairs(
       docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sig = simHash(docs, textCol, idCol).cache()
+    // scoped cache: both sides of the band join read the signatures;
+    // self-releases after the result's first execution
+    val sig = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
+      simHash(docs, textCol, idCol))
     val banded = sig.select(
       col("id"), col("simhash"),
       explode(array((0 until 4).map(b =>
@@ -439,7 +448,8 @@ object Dedup {
     * when the convergence guard throws; the returned frame is either
     * a LocalRelation (small labelling — the caches are all released)
     * or, for a genuinely huge labelling, the final cached frame,
-    * which the caller owns (unpersist or clearCache when done).
+    * scoped via [[org.apache.spark.sql.graftbridge.CacheScope]] to
+    * self-release after the caller's first execution.
     */
   private def distributedComponents(base: DataFrame, maxIter: Int,
       localRowLimit: Int): DataFrame = {
@@ -487,13 +497,18 @@ object Dedup {
           java.util.Arrays.asList(probe: _*), labels.schema)
       } else {
         returnedDistributed = true
+        // a genuinely huge labelling stays distributed and cached, but
+        // the "caller owns the unpersist" contract was honored by no
+        // caller — scope it instead: the cache self-releases after the
+        // caller's first (and per the server contract, only) execution
+        org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUseExisting(current)
         labels
       }
     } finally {
       edges.unpersist()
       // keep the final cache alive only when it backs the returned
-      // distributed labelling (the caller owns it then); release it on
-      // localization and on any exception path
+      // distributed labelling (CacheScope releases it after first
+      // use); release it on localization and on any exception path
       if (!returnedDistributed) current.unpersist()
     }
   }

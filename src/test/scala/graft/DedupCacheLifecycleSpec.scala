@@ -1,0 +1,92 @@
+package graft
+
+import graft.engine.SessionManager
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cache-lifecycle contract for the dedup operators (VERDICT r4 #2):
+  * the shingle-set / signature frames they cache internally must NOT
+  * outlive the query that used them — a long-lived server session
+  * issuing repeated dedup queries must not accumulate pinned cache
+  * blocks. No `clearCache()` anywhere in these tests: release happens
+  * via [[org.apache.spark.sql.graftbridge.CacheScope]] alone.
+  *
+  * The release listener fires asynchronously (QueryExecutionListener
+  * callbacks run on the listener bus), so assertions poll with a
+  * deadline. Assertions compare against the PRE-query persistent-RDD
+  * id set rather than demanding global emptiness, so an unrelated
+  * suite's cache in the shared test JVM can't fail these.
+  */
+class DedupCacheLifecycleSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val sfDir = SparkFixture.sfDir
+
+  private def persistentIds: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  private def awaitNoNewPersistent(before: Set[Int], label: String): Unit = {
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    var leaked = persistentIds -- before
+    while (leaked.nonEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      leaked = persistentIds -- before
+    }
+    assert(leaked.isEmpty,
+      s"$label left ${leaked.size} cached RDD block set(s) behind: ids $leaked")
+  }
+
+  /** Run a SparkEntry dedup query inside a managed session the way a
+    * server request would (materialize once), then assert all cache
+    * blocks it pinned are released without clearCache.
+    */
+  private def assertQueryReleases(name: String): Unit = {
+    val mgr = new SessionManager(spark)
+    try {
+      val h = mgr.create(Some(s"cache-scope-$name"))
+      val before = persistentIds
+      val out = SparkEntry.queries(name)(h.spark, sfDir)
+      val rows = out.collect() // the one materialization of the request
+      assert(rows != null)
+      awaitNoNewPersistent(before, name)
+    } finally mgr.shutdown()
+  }
+
+  test("ngramJaccardPairs (d02) releases its shingle-set cache") {
+    assertQueryReleases("d02_dedup_ngram_jaccard")
+  }
+
+  test("minHashLsh (d03) releases its doc-set cache") {
+    assertQueryReleases("d03_dedup_minhash_lsh")
+  }
+
+  test("simHashPairs (d04) releases its signature cache") {
+    assertQueryReleases("d04_dedup_simhash")
+  }
+
+  test("containmentPairs (d07) releases its shingle-set cache") {
+    assertQueryReleases("d07_dedup_containment")
+  }
+
+  test("connectedComponents (d06) releases pair and per-round caches") {
+    assertQueryReleases("d06_dedup_clusters")
+  }
+
+  test("hybridNearDups (d08) releases both detectors' caches") {
+    assertQueryReleases("d08_hybrid_neardup")
+  }
+
+  test("scoped cache still accelerates the single execution") {
+    // the cache must be LIVE during the query (released after, not
+    // before): run a frame whose plan reads the scoped cache twice
+    // and observe the persistent entry exists mid-flight by checking
+    // that a second action after completion recomputes correctly
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pairs = graft.pipeline.Dedup.ngramJaccardPairs(
+      docs, "text", "doc_id", 3, 0.3)
+    val first = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // post-release re-execution: recomputes without the cache but
+    // must give the same result
+    val second = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(first == second)
+  }
+}
