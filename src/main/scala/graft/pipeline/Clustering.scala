@@ -26,15 +26,20 @@ import org.apache.spark.sql.functions._
 object Clustering {
 
   /** The k seed centroids: (cell = id, vector as doubles), collected
-    * driver-side. One tiny job — k rows pruned by an id filter the
-    * scan pushes down.
+    * driver-side. One tiny job — a sort-limit (TakeOrdered) on the id
+    * keeps at most k rows per scan partition in flight, so the driver
+    * transfer is bounded by k × dim regardless of corpus size. Ids
+    * need NOT be contiguous: the seeds are the k smallest ids present,
+    * whatever their values.
     */
   private def seedVectors(
       emb: DataFrame, vecCol: String, idCol: String,
       k: Int): Array[(Long, Array[Double])] = {
     require(k > 0, "k must be positive")
-    emb.where(col(idCol) < k)
+    emb
       .select(col(idCol), transform(col(vecCol), _.cast("double")).as("v"))
+      .orderBy(col(idCol))
+      .limit(k)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
@@ -73,7 +78,7 @@ object Clustering {
   def assignToSeeds(
       emb: DataFrame, vecCol: String, idCol: String, k: Int): DataFrame = {
     val seeds = seedVectors(emb, vecCol, idCol, k)
-    require(seeds.nonEmpty, s"no rows with $idCol < $k to seed clusters")
+    require(seeds.nonEmpty, "cannot seed clusters from an empty corpus")
     assignToCentroidArrays(emb, vecCol, idCol, seeds.toSeq)
   }
 
@@ -96,11 +101,17 @@ object Clustering {
         (-col("__m.nid")).as("top_id"), col("__m.s").as("top_sim"))
 
   /** Cluster-balanced sample: the `perCluster` most-central members
-    * of every cluster (rank by sim desc, id asc). The window
-    * partitions by cell — k partitions; at 100 TB with huge clusters
-    * swap for a per-cluster TopK (groupBy + slice of a sorted
-    * accumulator) — but the carried rows are (id, cell, sim), never
-    * text or vectors, so the shuffle is bytes-per-doc tiny.
+    * of every cluster (rank by sim desc, id asc).
+    *
+    * Scale shape: the filter sits directly on the raw `row_number`
+    * (the long cast happens only after it) so Catalyst's
+    * InferWindowGroupLimit fires — the plan gets a Partial
+    * WindowGroupLimit before the exchange and a Final one after,
+    * meaning every scan partition forwards at most `perCluster` rows
+    * per cell instead of funnelling whole clusters through one
+    * reducer. With k cells the post-shuffle state is ≤ k × perCluster
+    * rows of (id, cell, sim) — never text or vectors.
+    * PlanQualitySpec pins the WindowGroupLimit.
     */
   def balancedSample(
       emb: DataFrame, vecCol: String, idCol: String,
@@ -111,8 +122,9 @@ object Clustering {
       .orderBy(col("sim").desc, col(idCol))
     assignToSeeds(emb, vecCol, idCol, k)
       .select(col(idCol), col("cell"), col("sim")) // window shuffles no vectors
-      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("rank", row_number().over(w))
       .where(col("rank") <= perCluster)
-      .select(col("cell"), col(idCol), col("sim"), col("rank"))
+      .select(col("cell"), col(idCol), col("sim"),
+        col("rank").cast("long").as("rank"))
   }
 }

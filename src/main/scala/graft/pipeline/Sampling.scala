@@ -14,10 +14,14 @@ import org.apache.spark.sql.functions._
   * and cheap.
   *
   * Scale shape: one hash-partition shuffle by stratum; each stratum
-  * reduces to its top-k inside the window — output is k rows per
-  * stratum regardless of stratum skew. (A pathologically hot stratum
-  * still funnels through one reducer for ranking; if that bites,
-  * pre-filter with an approximate per-stratum threshold first.)
+  * reduces to its top-k inside the window. Both samplers keep their
+  * rank filter directly on the raw `row_number` against a LITERAL
+  * bound, so Catalyst's InferWindowGroupLimit fires: a Partial
+  * WindowGroupLimit ahead of the exchange caps what every map
+  * partition forwards at the bound, and the Final one caps reducer
+  * state — a pathologically hot stratum ships ≤ bound rows per map
+  * partition instead of its entire population through one reducer.
+  * PlanQualitySpec pins the WindowGroupLimit in both plans.
   */
 object Sampling {
 
@@ -25,12 +29,16 @@ object Sampling {
     * stratum by md5 of the id, ties broken by the id itself — total,
     * stable, and mirrored verbatim by the DuckDB oracle text of t06
     * and t10. Both samplers MUST rank through here.
+    *
+    * The rank is the RAW integer `row_number` — callers filter on it
+    * first (the shape InferWindowGroupLimit matches; a cast in
+    * between defeats the rule) and widen to long after.
     */
   private def withSampleRank(df: DataFrame, strataCol: String,
       idCol: String): DataFrame = {
     val key: Column = md5(col(idCol).cast("string"))
     val w = Window.partitionBy(col(strataCol)).orderBy(key, col(idCol))
-    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+    df.withColumn("sample_rank", row_number().over(w))
   }
 
   /** k deterministic rows per stratum, ranked by md5 of the id (ties
@@ -38,7 +46,9 @@ object Sampling {
     */
   def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
       k: Int): DataFrame =
-    withSampleRank(df, strataCol, idCol).where(col("sample_rank") <= k)
+    withSampleRank(df, strataCol, idCol)
+      .where(col("sample_rank") <= k)
+      .withColumn("sample_rank", col("sample_rank").cast("long"))
 
   /** Deterministic data-mixing resampler: per-stratum quota plus
     * epoch upsampling — the "data mixture" step of training-set
@@ -52,19 +62,28 @@ object Sampling {
     * window; the epoch replication is a generator in the same stage —
     * output rows are produced where the input partition lives, so
     * upsampling never shuffles. The `mix` CASE expressions are pure
-    * literals folded into codegen.
+    * literals folded into codegen. The per-stratum quota is a CASE
+    * expression Catalyst can't turn into a group limit on its own, so
+    * the filter carries an extra `rank <= max(quotas)` LITERAL
+    * conjunct — semantically redundant, but it's what
+    * InferWindowGroupLimit extracts, capping per-map-partition
+    * forwarding at the largest quota even for a hot stratum.
     */
   def sourceMix(df: DataFrame, strataCol: String, idCol: String,
       mix: Map[String, (Int, Int)]): DataFrame = {
+    require(mix.nonEmpty, "mix must name at least one stratum")
     val quota = mix.foldLeft(lit(0)) { case (acc, (s, (q, _))) =>
       when(col(strataCol) === s, lit(q)).otherwise(acc)
     }
     val epochs = mix.foldLeft(lit(0)) { case (acc, (s, (_, e))) =>
       when(col(strataCol) === s, lit(e)).otherwise(acc)
     }
+    val maxQuota = mix.values.map(_._1).max
     withSampleRank(df, strataCol, idCol)
       // epochs guard: sequence(1, 0) would DESCEND and emit [1, 0]
-      .where(col("sample_rank") <= quota && epochs > 0)
+      .where(col("sample_rank") <= maxQuota &&
+        col("sample_rank") <= quota && epochs > 0)
+      .withColumn("sample_rank", col("sample_rank").cast("long"))
       .withColumn("epoch", explode(sequence(lit(1), epochs)))
       .withColumn("epoch", col("epoch").cast("long"))
   }

@@ -222,10 +222,18 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
                 case _ => Api.DataSourceReq(d.format, d.name, d.location, None,
                   d.schemaJson, Api.Options())
               }
-              // refresh REPLACES the table by definition — the original
-              // overwrite=false guard must not veto its own refresh
-              ingest(h, req.copy(options = req.options.copy(overwrite = true)))
-              respondJson(ex, 200, """{"status":"refreshed"}""")
+              if (req.location.isEmpty && req.data.isEmpty) {
+                // no recorded source to re-read (e.g. multipart upload):
+                // a clear conflict beats ingest's "location or data
+                // required" surfacing as a confusing 400
+                respondJson(ex, 409, err(
+                  s"dataSource $name has no refreshable source (registered from uploaded data)"))
+              } else {
+                // refresh REPLACES the table by definition — the original
+                // overwrite=false guard must not veto its own refresh
+                ingest(h, req.copy(options = req.options.copy(overwrite = true)))
+                respondJson(ex, 200, """{"status":"refreshed"}""")
+              }
             case None => respondJson(ex, 404, err(s"no such dataSource: $name"))
           }
         }

@@ -37,19 +37,22 @@ object ScaleSmoke {
     val nDocs = docs1.count()
     val nEmb = emb1.count()
 
-    // N copies with disjoint ids; copies >0 get a per-copy token
+    // N copies with disjoint ids (offset = max(id)+1 so copies never
+    // collide whatever the id range); copies >0 get a per-copy token
     // prefix so cross-copy texts aren't verbatim duplicates (a pure
     // union of identical texts would measure the pair-explosion of a
     // pathological 100%-duplicate corpus, not scaling)
-    def timesN(df: DataFrame, idCol: String, textCol: Option[String]): DataFrame =
+    def timesN(df: DataFrame, idCol: String, textCol: Option[String]): DataFrame = {
+      val offset = df.agg(max(col(idCol))).head().getLong(0) + 1L
       (0 until factor).map { c =>
-        val base = df.withColumn(idCol, col(idCol) + lit(c.toLong * 10_000_000L))
+        val base = df.withColumn(idCol, col(idCol) + lit(c.toLong * offset))
         textCol match {
           case Some(t) if c > 0 =>
             base.withColumn(t, concat(lit(s"copy$c "), col(t)))
           case _ => base
         }
       }.reduce(_ unionAll _)
+    }
 
     val parts = cpus.toInt
     val docsN = timesN(docs1, "doc_id", Some("text")).repartition(parts)
@@ -89,7 +92,8 @@ object ScaleSmoke {
       spark.catalog.clearCache()
     }
 
-    run("1x", docs1.repartition(32), emb1.repartition(32))
+    // both runs at the SAME parallelism, or the growth ratio is skewed
+    run("1x", docs1.repartition(parts), emb1.repartition(parts))
     run(s"${factor}x", docsN, embN)
     spark.stop()
   }

@@ -59,6 +59,12 @@ class MultipartSpec extends AnyFunSuite {
         """{"sql":"SELECT region, sum(amt) AS s FROM sales GROUP BY region ORDER BY region"}""",
         "application/json")
       assert(q.body() == """[{"region":"east","s":15},{"region":"west","s":20}]""")
+      // an uploaded table has no recorded location/data to re-read:
+      // refresh must be a clear 409, not ingest's "location or data
+      // required" 400
+      val rf = post("/session/up/datasource/sales/refresh", "", "application/json")
+      assert(rf.statusCode() == 409, s"${rf.statusCode()} ${rf.body()}")
+      assert(rf.body().contains("no refreshable source"), rf.body())
     } finally server.stop()
   }
 }

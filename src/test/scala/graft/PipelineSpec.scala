@@ -260,6 +260,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(samp.forall(_.getAs[Long]("rank") <= 2))
   }
 
+  test("clustering seeds are the k smallest ids even when ids are not contiguous") {
+    import spark.implicits._
+    // ids start at 1000 and are sparse: a `id < k` seed filter would
+    // match nothing; the seeds must be the k smallest ids PRESENT
+    val e = Seq(
+      (1000L, Array(1.0f, 0.0f)), (2500L, Array(0.0f, 1.0f)),
+      (9000L, Array(0.9f, 0.1f)), (9001L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val a = graft.pipeline.Clustering.assignToSeeds(e, "embedding", "vec_id", k = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    // cells are named by seed id: 1000 (x-axis) and 2500 (y-axis)
+    assert(a == Map(1000L -> 1000L, 2500L -> 2500L,
+      9000L -> 1000L, 9001L -> 2500L), a.toString)
+    val rep = graft.pipeline.Clustering.clusterReport(e, "embedding", "vec_id", k = 2)
+      .collect()
+    assert(rep.length == 2, "both seeds must form clusters")
+  }
+
   test("clustering assignment equals local brute-force argmax on random vectors") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

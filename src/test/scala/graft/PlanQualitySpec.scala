@@ -119,6 +119,8 @@ class PlanQualitySpec extends AnyFunSuite {
     val plan = planOf(df)
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected a single stratum exchange, got $exchanges:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"hot strata must be capped map-side (WindowGroupLimit):\n$plan")
   }
 
   test("source mix ranks and replicates inside one exchange") {
@@ -130,6 +132,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected a single stratum exchange, got $exchanges:\n$plan")
     assert(plan.contains("Generate explode"),
       s"epoch replication must be a generator, not a join:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"the max-quota literal conjunct must become a WindowGroupLimit:\n$plan")
+  }
+
+  test("balanced sample caps per-cluster rows map-side (WindowGroupLimit)") {
+    val df = graft.pipeline.Clustering.balancedSample(
+      spark.read.parquet(s"$sf/embeddings.parquet"), "embedding", "vec_id",
+      k = 8, perCluster = 3)
+    val plan = planOf(df)
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-cluster top-k must be a WindowGroupLimit, not a full window:\n$plan")
   }
 
   test("decontamination joins shingle hashes with the benchmark side broadcast") {
