@@ -1636,6 +1636,41 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     })
 
+  // Overlap-FRACTION decontamination: the share of each training
+  // doc's own distinct shingles that appear in the benchmark split —
+  // the threshold real pipelines use (absolute counts condemn tweets
+  // and excuse books). Docs with frac >= 0.05 reported. The division
+  // is exact-integer IEEE double division on both engines, so the
+  // hash-match holds bit-for-bit.
+  private val t14 = Q("t14_decontaminate_fraction", Some("""
+    WITH toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+    stats AS (SELECT s.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(COUNT(b.shingle) AS BIGINT) AS n_hits
+             FROM sh s LEFT JOIN bench b ON s.shingle = b.shingle
+             WHERE s.doc_id % 50 <> 0 GROUP BY s.doc_id),
+    frs AS (SELECT doc_id, n_hits, n_shingles,
+             CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS frac
+            FROM stats WHERE n_hits > 0)
+    SELECT doc_id, n_hits, n_shingles, frac FROM frs
+    WHERE frac >= 0.05 ORDER BY doc_id"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.pipeline.Decontaminate.contaminationFractions(
+          docs.where(col("doc_id") % 50 =!= 0),
+          docs.where(col("doc_id") % 50 === 0),
+          "text", "doc_id", n = 3)
+        .where(col("frac") >= 0.05)
+        .select(col("id").as("doc_id"), col("n_hits"), col("n_shingles"), col("frac"))
+        .orderBy(col("doc_id"))
+    })
+
   // Data-mixing resampler: per-source quotas (top-k by the stable md5
   // rank) plus epoch upsampling — 8×1 epoch for src0-4, 4×2 for
   // src5-9, 2×3 for src10-19.
@@ -1737,7 +1772,7 @@ object SparkEntry {
     q52, q53, q54, q55, q56, q57,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
     s01, s02, s03, s04, s05, s06, s07, s08, s09,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     m01, m02, m03)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =

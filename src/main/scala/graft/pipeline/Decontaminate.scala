@@ -53,4 +53,47 @@ object Decontaminate {
       .select(col("id"))
     candidates.join(flagged, candidates(idCol) === flagged("id"), "left_anti")
   }
+
+  /** Overlap-FRACTION contamination: (id, n_hits, n_shingles, frac)
+    * where frac = n_hits / n_shingles — the share of a document's own
+    * distinct shingles that appear in the benchmark. Real pipelines
+    * threshold on this rather than the absolute count ([[
+    * contaminationCounts]]): 5 shared shingles condemn a tweet but
+    * mean nothing for a book.
+    *
+    * One pass, not a counts⋈sizes self-join: every candidate shingle
+    * left-joins the (broadcast) benchmark shingle set with a hit
+    * marker, and a single aggregation counts rows (= n_shingles, the
+    * kernel emits distinct shingles per doc) and markers (= n_hits)
+    * together. The left join keeps the aggregation input at
+    * corpus-shingle size, but count() partial-aggregates map-side, so
+    * the exchange still carries one row per (partition, doc).
+    * Zero-overlap docs are dropped, as in [[contaminationCounts]].
+    */
+  def contaminationFractions(candidates: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 3): DataFrame = {
+    val benchShingles = Dedup.hashedShingles(benchmark, textCol, idCol, n)
+      .select(col("shingle")).distinct()
+      .withColumn("__hit", lit(1))
+    Dedup.hashedShingles(candidates, textCol, idCol, n)
+      .join(benchShingles, Seq("shingle"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_hits"))
+      .where(col("n_hits") > 0)
+      .select(col("id"), col("n_hits"), col("n_shingles"),
+        (col("n_hits").cast("double") / col("n_shingles").cast("double"))
+          .as("frac"))
+  }
+
+  /** [[removeContaminated]]'s fraction twin: drop candidates whose
+    * contaminated-shingle share reaches `minFrac`.
+    */
+  def removeContaminatedFraction(candidates: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 3,
+      minFrac: Double = 0.5): DataFrame = {
+    val flagged = contaminationFractions(candidates, benchmark, textCol, idCol, n)
+      .where(col("frac") >= minFrac)
+      .select(col("id"))
+    candidates.join(flagged, candidates(idCol) === flagged("id"), "left_anti")
+  }
 }

@@ -8,12 +8,16 @@ import org.apache.spark.sql.functions._
   * At 100 TB the embedding store is the memory bill: float32 → int8
   * cuts it 4× at a small recall cost, which is why scalar
   * quantization is the first lever in every large ANN deployment
-  * (FAISS SQ8, ScaNN). This variant uses a FIXED clip range [lo, hi]
-  * so quantization is a pure per-element expression — deterministic,
-  * engine-portable (differentially tested against DuckDB), no
-  * corpus-stats pass, no shuffle. A data-dependent range would add
-  * one min/max aggregation (exact, order-independent) feeding the
-  * same kernel.
+  * (FAISS SQ8, ScaNN). The base variant uses a FIXED clip range
+  * [lo, hi] so quantization is a pure per-element expression —
+  * deterministic, engine-portable (differentially tested against
+  * DuckDB), no corpus-stats pass, no shuffle. [[trainRange]] adds the
+  * data-dependent range: one exact min/max aggregation over the
+  * corpus (order-independent, so still deterministic) feeding the
+  * SAME kernel — the FAISS `SQ8 train()` analogue. Real embedding
+  * distributions rarely fill a guessed clip range; training removes
+  * the clipping error entirely and shrinks bucket width to the
+  * observed spread.
   *
   * Codes are signed bytes: q = round((x − lo) / (hi − lo) · 255) −
   * 128, clamped to [−128, 127]; dequantize is the affine inverse at
@@ -33,6 +37,35 @@ object Quantize {
   def scalarQuantize(df: DataFrame, vecCol: String, lo: Double, hi: Double,
       outCol: String = "qvec"): DataFrame =
     df.withColumn(outCol, transform(col(vecCol), x => quantizeElem(x, lo, hi)))
+
+  /** The data-dependent clip range: exact global (min, max) over every
+    * element of every vector. One partial-aggregated pass — each map
+    * partition folds its vectors to a single (min, max) pair before
+    * the (all-to-one, 16-byte) exchange, so the cost is one corpus
+    * scan regardless of size, and min/max are order-independent so
+    * the trained range is deterministic. Degenerate corpora (all
+    * elements equal) get a ±0.5 pad so hi > lo always holds.
+    */
+  def trainRange(df: DataFrame, vecCol: String): (Double, Double) = {
+    val row = df.agg(
+      min(array_min(col(vecCol).cast("array<double>"))).as("lo"),
+      max(array_max(col(vecCol).cast("array<double>"))).as("hi"))
+      .head()
+    require(!row.isNullAt(0), "cannot train a range on an empty corpus")
+    val (lo, hi) = (row.getDouble(0), row.getDouble(1))
+    if (hi > lo) (lo, hi) else (lo - 0.5, hi + 0.5)
+  }
+
+  /** [[scalarQuantize]] with the clip range trained from the corpus
+    * itself; returns the trained range alongside the coded frame
+    * (dequantization needs it — it is the index's metadata, exactly
+    * like FAISS's `ScalarQuantizer.trained` array).
+    */
+  def scalarQuantizeTrained(df: DataFrame, vecCol: String,
+      outCol: String = "qvec"): (DataFrame, Double, Double) = {
+    val (lo, hi) = trainRange(df, vecCol)
+    (scalarQuantize(df, vecCol, lo, hi, outCol), lo, hi)
+  }
 
   /** Reconstructed float vector from codes. */
   def dequantize(qvec: Column, lo: Double, hi: Double): Column =

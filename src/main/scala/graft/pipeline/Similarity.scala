@@ -116,17 +116,35 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** ANN top-k via sign-LSH bucketing with multi-probe fallback to
-    * neighboring buckets omitted for clarity: candidates = same
-    * bucket; exact cosine re-rank inside the bucket.
+  /** ANN top-k via sign-LSH bucketing: candidates = same bucket (plus,
+    * with `multiProbe`, every Hamming-1 neighbor bucket); exact cosine
+    * re-rank inside the candidate set.
+    *
+    * Multi-probe is the standard fix for sign-LSH's recall cliff: a
+    * near neighbor that lands on the far side of ONE hyperplane
+    * differs from the query bucket in exactly that sign bit, so
+    * probing the nPlanes bit-flip buckets recovers it without
+    * lowering nPlanes (which would coarsen every bucket and inflate
+    * the candidate set globally). Cost shape is unchanged — the probe
+    * side is still a tiny broadcast (now 1 + nPlanes rows instead of
+    * 1) and the join stays bucket-local; expected candidates grow from
+    * ~N/2^nPlanes to ~N(1+nPlanes)/2^nPlanes, still exponentially far
+    * from the N² cross join. AnnRecallSpec measures the recall lift.
     */
   def lshTopK(
       emb: DataFrame, vecCol: String, idCol: String,
-      queryId: Long, k: Int, nPlanes: Int = 8): DataFrame = {
+      queryId: Long, k: Int, nPlanes: Int = 8,
+      multiProbe: Boolean = false): DataFrame = {
     val withB = graft.ops.ScaleOps.fanOut(emb)
       .withColumn("bucket", lshBucket(col(vecCol), nPlanes))
+    // the probe set: the query's own bucket, plus — under multi-probe —
+    // each single-bit flip of its signature (Hamming distance 1)
+    val probes: Seq[Column] =
+      col("bucket") +: (if (multiProbe)
+        (0 until nPlanes).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
+      else Seq.empty)
     val q = withB.where(col(idCol) === lit(queryId))
-      .select(col("bucket").as("q_bucket"), col(vecCol).as("q_vec"))
+      .select(explode(array(probes: _*)).as("q_bucket"), col(vecCol).as("q_vec"))
     withB.where(col(idCol) =!= lit(queryId))
       .join(broadcast(q), col("bucket") === col("q_bucket"))
       .withColumn("cos_sim", cosine(col(vecCol), col("q_vec")))

@@ -31,6 +31,23 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"LSH recall collapsed: $recall")
   }
 
+  test("multi-probe LSH lifts recall over single-probe at the same nPlanes") {
+    def lsh(mp: Boolean) = ids(graft.pipeline.Similarity.lshTopK(
+      emb, "embedding", "vec_id", queryId = 0L, k = 10, nPlanes = 4,
+      multiProbe = mp))
+    val single = (lsh(false) & exact).size / 10.0
+    val multi = (lsh(true) & exact).size / 10.0
+    info(s"LSH recall@10: single-probe = $single, multi-probe = $multi")
+    // all probe buckets are distinct single-bit flips, so the
+    // candidate set strictly contains the single-probe one: recall
+    // can only grow. The strict `>` pins the measured lift on this
+    // corpus (0.2 -> higher); if it ever degenerates to equality the
+    // probe expansion is broken.
+    assert(multi > single,
+      s"multi-probe must lift recall: single=$single multi=$multi")
+    assert(multi >= 0.5, s"multi-probe recall floor: $multi")
+  }
+
   test("IVF top-k recall floor vs brute force, and recall grows with nprobe") {
     def ivf(nprobe: Int) = ids(graft.pipeline.Ivf.searchTopK(
       emb, "embedding", "vec_id", queryId = 0L, k = 10,

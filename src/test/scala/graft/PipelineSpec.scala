@@ -324,6 +324,33 @@ class PipelineSpec extends AnyFunSuite {
       train, bench, "text", "doc_id").columns.toSeq == Seq("doc_id", "text"))
   }
 
+  test("contamination fractions normalize hits by the doc's own shingle count") {
+    import spark.implicits._
+    val bench = Seq((100L, "the secret eval answer is forty two")).toDF("doc_id", "text")
+    val train = Seq(
+      // 6 tokens -> 4 shingles, 4 shared with bench: frac = 1.0
+      (1L, "secret eval answer is forty two"),
+      // long doc with the same 4 shared shingles diluted: frac < 0.5
+      (2L, "secret eval answer is forty two " +
+        (1 to 14).map("filler" + _).mkString(" ")),
+      (3L, "completely unrelated text about spark plans")).toDF("doc_id", "text")
+    val fr = graft.pipeline.Decontaminate.contaminationFractions(
+        train, bench, "text", "doc_id", n = 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Long]("n_shingles"),
+          r.getAs[Double]("frac"))).toMap
+    assert(!fr.contains(3L), "zero-overlap docs are absent")
+    assert(fr(1L)._3 == 1.0, s"fully contained doc: ${fr(1L)}")
+    assert(fr(1L)._1 == fr(2L)._1, "same absolute hits")
+    assert(fr(2L)._3 < 0.5, s"diluted doc fraction: ${fr(2L)}")
+    // the fraction filter keeps the diluted doc an absolute-count
+    // threshold would have dropped
+    val kept = graft.pipeline.Decontaminate.removeContaminatedFraction(
+        train, bench, "text", "doc_id", n = 3, minFrac = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L), kept.toString)
+  }
+
   test("tfidfKeywords ranks rare terms above ubiquitous ones") {
     import spark.implicits._
     // "common" appears in all 3 docs (df=3, idf=1); each doc's unique
@@ -471,6 +498,33 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert((exact intersect approx).size >= 8,
       s"recall too low: ${(exact intersect approx).size}/10")
+  }
+
+  test("trained quantization range beats a fixed clip on a skewed corpus") {
+    import spark.implicits._
+    // a corpus living in [0.00, 0.10]: a generic [-2, 2] clip wastes
+    // ~97.5% of the code space on values that never occur
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 50L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 0.1f))).toDF("vec_id", "embedding")
+    val (lo, hi) = graft.pipeline.Quantize.trainRange(emb, "embedding")
+    assert(lo >= 0.0 && hi <= 0.1 + 1e-6 && hi > lo, s"range ($lo, $hi)")
+    def maxErr(l: Double, h: Double): Double =
+      graft.pipeline.Quantize.scalarQuantize(emb, "embedding", l, h)
+        .select(graft.pipeline.Quantize.maxReconstructionError(
+          col("embedding"), col("qvec"), l, h).as("e"))
+        .agg(org.apache.spark.sql.functions.max("e")).head().getDouble(0)
+    val fixedErr = maxErr(-2.0, 2.0)
+    val trainedErr = maxErr(lo, hi)
+    info(s"max reconstruction err: fixed=[-2,2] $fixedErr, trained=[$lo,$hi] $trainedErr")
+    assert(trainedErr <= fixedErr,
+      s"trained range must not reconstruct worse: $trainedErr > $fixedErr")
+    // bucket width shrinks ~40x, so the bound does too
+    assert(trainedErr <= (hi - lo) / 255.0 / 2.0 + 1e-9, s"err $trainedErr")
+    // degenerate corpus: all-equal elements still get a usable range
+    val flat = Seq((0L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val (flo, fhi) = graft.pipeline.Quantize.trainRange(flat, "embedding")
+    assert(fhi > flo, s"degenerate range must be padded: ($flo, $fhi)")
   }
 
   test("language id picks en and de by stopword score") {
