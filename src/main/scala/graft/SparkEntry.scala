@@ -1565,6 +1565,66 @@ object SparkEntry {
         FROM part WHERE p_partkey <= 100 ORDER BY p_partkey"""))
     })
 
+  // As-of join (clicks ← most recent error per user): an operator
+  // neither Spark nor the reference's engine ships; implemented as
+  // tagged-union + running last-non-null window (one exchange + sort,
+  // sort-merge-join cost, no range explosion) and oracle-checked
+  // against DuckDB's NATIVE ASOF LEFT JOIN — a true cross-engine
+  // differential of non-trivial semantics. err_event_id breaks ties
+  // deterministically (no (user, ts) collisions exist in the data —
+  // verified — so both engines agree).
+  private val q58 = Q("q58_asof_join", Some("""
+    WITH clicks AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'click'),
+    errors AS (SELECT event_id AS err_event_id, user_id, ts,
+           value AS err_value FROM events WHERE event_type = 'error')
+    SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts, c.value,
+           e.err_value, e.err_event_id
+    FROM clicks c ASOF LEFT JOIN errors e
+      ON c.user_id = e.user_id AND c.ts >= e.ts
+    ORDER BY c.event_id"""),
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"), col("value"))
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("err_event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"),
+          col("value").as("err_value"))
+      graft.ops.TemporalJoins.asofJoin(clicks, errors,
+          keyCol = "user_id", leftTsCol = "ts", rightTsCol = "ts",
+          rightPayload = Seq("err_value", "err_event_id"), suffix = "",
+          rightOrd = Some("err_event_id"))
+        .orderBy(col("event_id"))
+    })
+
+  // Pure range join (clicks within 10 minutes after ANY error — no
+  // equi key, the shape Catalyst can only nested-loop): executed as
+  // bucket-quantized equi-join + exact containment filter. DuckDB
+  // executes the same inequality join natively (IEJoin) for the
+  // oracle.
+  private val q59 = Q("q59_range_join", Some("""
+    WITH clicks AS (SELECT event_id, ts FROM events WHERE event_type = 'click'),
+    errors AS (SELECT ts FROM events WHERE event_type = 'error')
+    SELECT c.event_id, CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM clicks c JOIN errors e
+      ON c.ts >= e.ts AND c.ts < e.ts + INTERVAL 10 MINUTE
+    GROUP BY c.event_id ORDER BY c.event_id"""),
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val tenMinMicros = 600000000L
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), unix_micros(col("ts")).as("pt"))
+      val errors = ev.where(col("event_type") === "error")
+        .select(unix_micros(col("ts")).as("lo"),
+          (unix_micros(col("ts")) + lit(tenMinMicros)).as("hi"))
+      graft.ops.TemporalJoins.rangeJoin(clicks, errors,
+          "pt", "lo", "hi", bucketWidth = tenMinMicros)
+        .groupBy(col("event_id")).agg(count(lit(1)).as("n_windows"))
+        .orderBy(col("event_id"))
+    })
+
   // Gopher-style repetition signal: fraction of a doc's 2-grams taken
   // by its most frequent one (degenerate generated text → ~1).
   private val t08 = Q("t08_repetition", Some("""
@@ -1769,7 +1829,7 @@ object SparkEntry {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56, q57,
+    q52, q53, q54, q55, q56, q57, q58, q59,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
     s01, s02, s03, s04, s05, s06, s07, s08, s09,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,

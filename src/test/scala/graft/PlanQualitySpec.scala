@@ -196,6 +196,25 @@ class PlanQualitySpec extends AnyFunSuite {
       s"flagged-id side (ids only) should broadcast:\n$plan")
   }
 
+  test("asof join is one exchange + window, not a nested-loop join") {
+    val df = SparkEntry.queries("q58_asof_join")(spark, sf)
+    val plan = planOf(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"asof must not nested-loop:\n$plan")
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
+      s"expected the running-last window:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"asof is one keyed exchange, got $exchanges:\n$plan")
+  }
+
+  test("range join is a bucket equi-join, not a nested loop") {
+    val df = SparkEntry.queries("q59_range_join")(spark, sf)
+    val plan = planOf(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must not nested-loop:\n$plan")
+    assert(plan.contains("__bucket"), s"bucket key missing from the join:\n$plan")
+  }
+
   test("IVF probe path is join-free: inlined centroids, isin pruning, TopK") {
     val df = graft.pipeline.Ivf.searchTopK(
       spark.read.parquet(s"$sf/embeddings.parquet"),

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TemporalJoinsSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  test("asofJoin picks the most recent right row at or before each left ts") {
+    import spark.implicits._
+    val quotes = Seq( // (qid, sym-key, ts, px)
+      (1L, 10L, 100L, 1.0), (2L, 10L, 200L, 2.0), (3L, 10L, 300L, 3.0),
+      (4L, 20L, 150L, 9.0)).toDF("qid", "k", "ts", "px")
+    val trades = Seq( // (tid, key, ts)
+      (1L, 10L, 250L),  // between quotes 2 and 3 -> px 2.0
+      (2L, 10L, 300L),  // EXACTLY at quote 3 -> inclusive -> 3.0
+      (3L, 10L, 50L),   // before any quote -> null
+      (4L, 20L, 500L),  // key 20 -> 9.0
+      (5L, 30L, 100L)). // key with no quotes -> null
+      toDF("tid", "k", "ts")
+    val got = graft.ops.TemporalJoins.asofJoin(
+        trades, quotes, "k", "ts", "ts",
+        rightPayload = Seq("px", "qid"), rightOrd = Some("qid"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Long]))).toMap
+    assert(got(1L) == ((Some(2.0), Some(2L))))
+    assert(got(2L) == ((Some(3.0), Some(3L))), "equal ts must match (inclusive)")
+    assert(got(3L) == ((None, None)), "no earlier right row -> nulls")
+    assert(got(4L) == ((Some(9.0), Some(4L))))
+    assert(got(5L) == ((None, None)), "unseen key -> nulls")
+    // inner mode drops the unmatched rows
+    val inner = graft.ops.TemporalJoins.asofJoin(
+      trades, quotes, "k", "ts", "ts", Seq("px"), inner = true)
+    assert(inner.count() == 3)
+    // output column naming: left columns verbatim, payload suffixed
+    assert(inner.columns.toSeq == Seq("tid", "k", "ts", "px_asof"))
+  }
+
+  test("asofJoin ties on (key, ts) break to the largest rightOrd") {
+    import spark.implicits._
+    val right = Seq((1L, 10L, 100L, "a"), (2L, 10L, 100L, "b"))
+      .toDF("rid", "k", "ts", "v")
+    val left = Seq((1L, 10L, 100L)).toDF("lid", "k", "ts")
+    val got = graft.ops.TemporalJoins.asofJoin(
+        left, right, "k", "ts", "ts", Seq("v"), rightOrd = Some("rid"))
+      .head().getString(3)
+    assert(got == "b", "largest rid must win the tie")
+  }
+
+  test("rangeJoin matches points to half-open intervals exactly once") {
+    import spark.implicits._
+    val points = Seq((1L, 5L), (2L, 10L), (3L, 19L), (4L, 20L), (5L, 100L))
+      .toDF("pid", "pt")
+    val intervals = Seq((1L, 10L, 20L), (2L, 15L, 30L), (3L, 40L, 40L))
+      .toDF("iid", "lo", "hi")
+    // bucketWidth much smaller than the intervals: pairs span many
+    // buckets but must still appear exactly once
+    val got = graft.ops.TemporalJoins.rangeJoin(
+        points, intervals, "pt", "lo", "hi", bucketWidth = 3L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((2L, 1L), (3L, 1L), (3L, 2L), (4L, 2L)), got.toString)
+    // pt=20 vs [10,20): hi exclusive; pt=10 vs [10,20): lo inclusive;
+    // empty interval [40,40) matches nothing; each pair exactly once
+    val counts = graft.ops.TemporalJoins.rangeJoin(
+        points, intervals, "pt", "lo", "hi", bucketWidth = 3L)
+      .groupBy("pid", "iid").count().where(col("count") > 1).count()
+    assert(counts == 0, "no duplicate pairs")
+  }
+
+  test("rangeJoin agrees with the naive cross-join filter on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val points = (1L to 200L).map(i => (i, rnd.nextInt(1000).toLong)).toDF("pid", "pt")
+    val ivs = (1L to 50L).map { i =>
+      val lo = rnd.nextInt(950).toLong; (i, lo, lo + 1 + rnd.nextInt(80).toLong)
+    }.toDF("iid", "lo", "hi")
+    val naive = points.crossJoin(ivs)
+      .where(col("pt") >= col("lo") && col("pt") < col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = graft.ops.TemporalJoins.rangeJoin(
+        points, ivs, "pt", "lo", "hi", bucketWidth = 64L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed == naive,
+      s"missing=${naive -- bucketed} extra=${bucketed -- naive}")
+  }
+}
