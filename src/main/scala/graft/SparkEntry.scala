@@ -1379,6 +1379,30 @@ object SparkEntry {
       T(s, dir, "embeddings"), "embedding", "vec_id",
       queryId = 0L, k = 10, lo = -2.0, hi = 2.0))
 
+  // Data-dependent (trained) quantization range: the clip range is
+  // the corpus's exact global element min/max — deterministic and
+  // order-independent, so unlike learned quantizers it's fully
+  // oracle-comparable: DuckDB re-trains the same range in a CTE and
+  // both engines quantize with literal-identical doubles.
+  private val s10 = Q("s10_quantize_trained", Some("""
+    WITH rng AS (SELECT
+        MIN(list_min(list_transform(embedding, e -> CAST(e AS DOUBLE)))) AS lo,
+        MAX(list_max(list_transform(embedding, e -> CAST(e AS DOUBLE)))) AS hi
+      FROM embeddings)
+    SELECT vec_id, rng.lo AS lo, rng.hi AS hi,
+      array_to_string(list_transform(embedding, x ->
+        CAST(GREATEST(-128, LEAST(127,
+          ROUND((CAST(x AS DOUBLE) - rng.lo) / (rng.hi - rng.lo) * 255.0) - 128))
+          AS TINYINT)), ',') AS qvec_csv
+    FROM embeddings, rng ORDER BY vec_id"""),
+    (s, dir) => {
+      val (coded, lo, hi) = graft.pipeline.Quantize.scalarQuantizeTrained(
+        T(s, dir, "embeddings"), "embedding")
+      coded.select(col("vec_id"), lit(lo).as("lo"), lit(hi).as("hi"),
+          array_join(col("qvec").cast("array<string>"), ",").as("qvec_csv"))
+        .orderBy(col("vec_id"))
+    })
+
   // Mean-pool embeddings per label (the "class centroid" shape):
   // posexplode → (label, pos) average. Floating aggregation order
   // differs per engine, so the means are rounded like q27's stats.
@@ -1831,7 +1855,7 @@ object SparkEntry {
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
-    s01, s02, s03, s04, s05, s06, s07, s08, s09,
+    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     m01, m02, m03)
 
