@@ -1755,6 +1755,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     })
 
+  // Token-distribution Shannon entropy per document (the
+  // lexical-diversity quality signal): H = ln N − (Σ c·ln c)/N.
+  // Spark counts over 64-bit token hashes (the shuffle never carries
+  // strings), the oracle over the strings themselves — identical
+  // counts absent collisions; entropy rounded to 6 dp because the
+  // Σ c·ln c accumulation order is engine-specific.
+  private val t15 = Q("t15_token_entropy", Some("""
+    WITH counts AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM
+        (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY doc_id, tok),
+    agg AS (SELECT doc_id,
+        CAST(SUM(c) AS BIGINT) AS n_tokens,
+        CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clogc
+      FROM counts GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_distinct,
+      ROUND(ln(CAST(n_tokens AS DOUBLE)) - clogc / CAST(n_tokens AS DOUBLE), 6)
+        AS entropy
+    FROM agg ORDER BY doc_id"""),
+    (s, dir) => graft.pipeline.TextAnalysis.tokenEntropy(
+        T(s, dir, "documents"), "text", "doc_id")
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("entropy"))
+      .orderBy(col("doc_id")))
+
   // Data-mixing resampler: per-source quotas (top-k by the stable md5
   // rank) plus epoch upsampling — 8×1 epoch for src0-4, 4×2 for
   // src5-9, 2×3 for src10-19.
@@ -1856,7 +1882,7 @@ object SparkEntry {
     q52, q53, q54, q55, q56, q57, q58, q59,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15,
     m01, m02, m03)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =

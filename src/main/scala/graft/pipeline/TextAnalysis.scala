@@ -233,6 +233,41 @@ object TextAnalysis {
       .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("score"), col("rnk"))
   }
 
+  /** Per-document Shannon entropy (nats) of the token distribution —
+    * the lexical-diversity signal quality filters threshold on:
+    * boilerplate and keyword-stuffed spam score low, natural prose
+    * high (≈ ln of the effective vocabulary size). Uses
+    * H = ln N − (Σ c·ln c)/N over per-token counts c, N = Σ c.
+    *
+    * Scale shape: two keyed exchanges — (doc, token-HASH) counts,
+    * then per-doc rollup — both partial-aggregated; the shuffle
+    * carries (long, long, count) rows, never token strings (same
+    * 64-bit-hash stance as t03/d02: a collision would merge two
+    * counts within one doc, odds ~v²/2⁶⁵). The entropy is rounded to
+    * 6 dp because Σ c·ln c accumulates in engine-specific order —
+    * same treatment as the s05/t02 float aggregations.
+    *
+    * @return (id, n_tokens, n_distinct, entropy)
+    */
+  def tokenEntropy(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val counts = graft.ops.ScaleOps.fanOut(docs)
+      .select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      // hash BEFORE the shuffle: grouping on xxhash64(tok) lets the
+      // partial aggregate emit (id, long) keys, dropping the strings
+      // at the map side
+      .groupBy(col("id"), xxhash64(col("tok")).as("th"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col("id"))
+      .agg(
+        sum(col("c")).as("n"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clogc"))
+      .select(col("id"), col("n").as("n_tokens"), col("n_distinct"),
+        round(log(col("n").cast("double")) - col("clogc") / col("n").cast("double"), 6)
+          .as("entropy"))
+  }
+
   /** Full per-document stats frame. */
   def stats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -351,6 +351,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept == Set(2L, 3L), kept.toString)
   }
 
+  test("token entropy: uniform > repetitive, exact values on tiny docs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c"),        // uniform 3 tokens -> ln 3
+      (2L, "a a b"),        // H = ln 3 - (2 ln 2)/3
+      (3L, "a a a a")).toDF("doc_id", "text") // single token -> 0
+    val got = graft.pipeline.TextAnalysis.tokenEntropy(d, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_distinct"),
+          r.getAs[Double]("entropy"))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got(1L) == ((3L, 3L, r6(math.log(3)))), got(1L).toString)
+    assert(got(2L) == ((3L, 2L, r6(math.log(3) - 2 * math.log(2) / 3))),
+      got(2L).toString)
+    assert(got(3L) == ((4L, 1L, 0.0)), got(3L).toString)
+    assert(got(1L)._3 > got(2L)._3 && got(2L)._3 > got(3L)._3,
+      "diversity ordering must hold")
+  }
+
   test("tfidfKeywords ranks rare terms above ubiquitous ones") {
     import spark.implicits._
     // "common" appears in all 3 docs (df=3, idf=1); each doc's unique
