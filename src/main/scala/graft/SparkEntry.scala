@@ -1189,6 +1189,17 @@ object SparkEntry {
     (s, dir) => Similarity.lshTopK(T(s, dir, "embeddings"),
       "embedding", "vec_id", queryId = 0L, k = 10, nPlanes = 4))
 
+  // Batch ANN (rows-only like s02: the sign-LSH planes are engine-side
+  // pseudo-random). Multi-probe on; AnnRecallSpec pins the semantics
+  // (batch == single-query per query id) and the recall lift.
+  private val s11 = Q("s11_knn_lsh_batch", None,
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.lshTopKBatch(emb, emb.filter(col("vec_id") < 3),
+        "embedding", "vec_id", "vec_id", k = 5, nPlanes = 4, multiProbe = true)
+        .orderBy(col("query_id"), col("rank"))
+    })
+
   private val s04 = Q("s04_knn_batch", Some("""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
     scored AS (
@@ -1881,7 +1892,7 @@ object SparkEntry {
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
-    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
+    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15,
     m01, m02, m03)
 

@@ -153,6 +153,46 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch ANN: LSH-bucketed top-k for EVERY query vector in one job —
+    * the scale path of [[bruteForceTopKBatch]]. The corpus is scanned
+    * once and scored only against queries sharing a bucket (expected
+    * candidates per query ~N/2^nPlanes, vs N for brute force); the
+    * query side broadcasts with its probe buckets pre-exploded
+    * ((1+nPlanes)·|Q| rows under multi-probe, still tiny). A corpus
+    * vector owns exactly ONE bucket and a query's probe buckets are
+    * distinct, so each (query, corpus) candidate pair joins at most
+    * once — no dedup pass. Ranking mirrors [[bruteForceTopKBatch]]
+    * (per-query window, raw-rank filter → WindowGroupLimit caps
+    * per-query state map-side). Self-matches are kept, like the
+    * brute-force batch.
+    */
+  def lshTopKBatch(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, queryIdCol: String, k: Int,
+      nPlanes: Int = 8, multiProbe: Boolean = false): DataFrame = {
+    val withB = graft.ops.ScaleOps.fanOut(corpus)
+      .select(col(idCol), col(vecCol))
+      .withColumn("bucket", lshBucket(col(vecCol), nPlanes))
+    val probes: Seq[Column] =
+      col("__b0") +: (if (multiProbe)
+        (0 until nPlanes).map(j => col("__b0").bitwiseXOR(lit(1L << j)))
+      else Seq.empty)
+    val q = queries
+      .select(col(queryIdCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("__b0", lshBucket(col("q_vec"), nPlanes))
+      .select(col("query_id"), col("q_vec"),
+        explode(array(probes: _*)).as("q_bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+    withB.join(broadcast(q), col("bucket") === col("q_bucket"))
+      .withColumn("cos_sim", cosine(col(vecCol), col("q_vec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("cos_sim"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** All-pairs similarity above a threshold, LSH-blocked (the scale
     * variant of Dedup.embeddingNearDups). Recall < 1 by construction;
     * raise nPlanes for precision, lower for recall.

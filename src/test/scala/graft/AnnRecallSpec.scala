@@ -48,6 +48,24 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(multi >= 0.5, s"multi-probe recall floor: $multi")
   }
 
+  test("batch LSH equals single-query LSH per query id") {
+    // same corpus (query row excluded, mirroring lshTopK's semantics)
+    for (mp <- Seq(false, true)) {
+      val single = graft.pipeline.Similarity.lshTopK(
+          emb, "embedding", "vec_id", queryId = 0L, k = 10, nPlanes = 4,
+          multiProbe = mp)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val batch = graft.pipeline.Similarity.lshTopKBatch(
+          emb.where(org.apache.spark.sql.functions.col("vec_id") =!= 0L),
+          emb.where(org.apache.spark.sql.functions.col("vec_id") === 0L),
+          "embedding", "vec_id", "vec_id", k = 10, nPlanes = 4,
+          multiProbe = mp)
+        .orderBy(org.apache.spark.sql.functions.col("rank"))
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(batch == single, s"multiProbe=$mp: batch and single diverge")
+    }
+  }
+
   test("IVF top-k recall floor vs brute force, and recall grows with nprobe") {
     def ivf(nprobe: Int) = ids(graft.pipeline.Ivf.searchTopK(
       emb, "embedding", "vec_id", queryId = 0L, k = 10,
