@@ -36,6 +36,11 @@ object ExplainDump {
       "s07_cluster_report" -> "seed clustering: centroids inlined as literals — assignment is map-only (no join/shuffle), then one partial-agg exchange on cell",
       "d09_chunk_dedup" -> "chunk dedup: chunking + digest in scan stage; two digest-keyed exchanges, chunk text never shuffled",
       "t11_tfidf_keywords" -> "tf-idf: df as a count window over the term counts (no vocabulary self-join); three keyed exchanges total",
+      "q58_asof_join" -> "as-of join: tagged union + running last-non-null window — ONE keyed exchange, no nested loop, constant per-row state",
+      "q59_range_join" -> "range join without an equi key: bucket-quantized equi-join (interval side exploded over covered buckets) + exact containment filter — no BroadcastNestedLoopJoin",
+      "t14_decontaminate_fraction" -> "fraction decontamination: one left-join against the broadcast benchmark shingle set; n_shingles and n_hits from a single partial-aggregated groupBy",
+      "t15_token_entropy" -> "token entropy: strings hashed map-side before the (id, hash) count shuffle; two partial-aggregated exchanges",
+      "s08_cluster_sample" -> "balanced sample: Partial WindowGroupLimit before the exchange caps per-cluster forwarding at perCluster rows per map partition",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")

@@ -28,12 +28,14 @@ object ScaleSmoke {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val docs1 = spark.read.parquet(s"$sf/documents.parquet")
     val emb1 = spark.read.parquet(s"$sf/embeddings.parquet")
+    val events1 = graft.Tables.events(spark, sf)
     val nDocs = docs1.count()
     val nEmb = emb1.count()
 
@@ -57,6 +59,19 @@ object ScaleSmoke {
     val parts = cpus.toInt
     val docsN = timesN(docs1, "doc_id", Some("text")).repartition(parts)
     val embN = timesN(emb1, "vec_id", None).repartition(parts)
+    // events keep their user_id keys across copies (N× rows per key —
+    // the realistic densification stress for the keyed temporal ops)
+    // but each copy is shifted 400 days so copies don't cross-match in
+    // the range join: pair structure stays per-copy, growth measures
+    // scaling rather than a constructed pair explosion
+    val eventsN = {
+      val offset = events1.agg(max(col("event_id"))).head().getLong(0) + 1L
+      (0 until factor).map { c =>
+        events1
+          .withColumn("event_id", col("event_id") + lit(c.toLong * offset))
+          .withColumn("ts", col("ts") + expr(s"INTERVAL ${c * 400} DAYS"))
+      }.reduce(_ unionAll _).repartition(parts)
+    }
     // arithmetic, not a count(): materializing the Nx corpus here
     // would be evicted by the 1x run's clearCache and rebuilt anyway
     println(s"[scale-smoke] docs ${nDocs} -> ${nDocs * factor}, " +
@@ -70,11 +85,12 @@ object ScaleSmoke {
       println(f"[scale-smoke] $name%-28s $secs s  ($rows rows)")
     }
 
-    def run(label: String, docs: DataFrame, emb: DataFrame): Unit = {
+    def run(label: String, docs: DataFrame, emb: DataFrame,
+        events: DataFrame): Unit = {
       println(s"--- $label ---")
       // pin THIS run's inputs so every operator times against cached
       // frames; released at run end (the next run pins its own)
-      docs.cache().count(); emb.cache().count(): Unit
+      docs.cache().count(); emb.cache().count(); events.cache().count(): Unit
       time("d01 exactGroups") {
         graft.pipeline.Dedup.exactGroups(docs, "text", "doc_id").count() }
       time("d02 ngramJaccard (capped)") {
@@ -89,12 +105,34 @@ object ScaleSmoke {
         graft.pipeline.Clustering.clusterReport(emb, "embedding", "vec_id", 8).count() }
       time("t02-style quality scan") {
         docs.select(graft.pipeline.TextAnalysis.qualityScore(col("text"))).count() }
+      time("t15 tokenEntropy") {
+        graft.pipeline.TextAnalysis.tokenEntropy(docs, "text", "doc_id").count() }
+      time("t10 sourceMix") {
+        graft.pipeline.Sampling.sourceMix(docs, "source", "doc_id",
+          (0 until 20).map(i => s"src$i" -> (8, 2)).toMap).count() }
+      time("q58 asofJoin clicks<-errors") {
+        val clicks = events.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val errors = events.where(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("user_id"), col("ts"),
+            col("value").as("err_value"))
+        graft.ops.TemporalJoins.asofJoin(clicks, errors, "user_id", "ts", "ts",
+          Seq("err_value", "err_id"), rightOrd = Some("err_id")).count() }
+      time("q59 rangeJoin 10min windows") {
+        val clicks = events.where(col("event_type") === "click")
+          .select(col("event_id"), unix_micros(col("ts")).as("pt"))
+        val errors = events.where(col("event_type") === "error")
+          .select(unix_micros(col("ts")).as("lo"),
+            (unix_micros(col("ts")) + lit(600000000L)).as("hi"))
+        graft.ops.TemporalJoins.rangeJoin(clicks, errors,
+          "pt", "lo", "hi", 600000000L).count() }
       spark.catalog.clearCache()
     }
 
     // both runs at the SAME parallelism, or the growth ratio is skewed
-    run("1x", docs1.repartition(parts), emb1.repartition(parts))
-    run(s"${factor}x", docsN, embN)
+    run("1x", docs1.repartition(parts), emb1.repartition(parts),
+      events1.repartition(parts))
+    run(s"${factor}x", docsN, embN, eventsN)
     spark.stop()
   }
 }
