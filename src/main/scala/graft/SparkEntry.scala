@@ -1634,6 +1634,35 @@ object SparkEntry {
         .orderBy(col("event_id"))
     })
 
+  // Forward as-of: each click's NEXT purchase by the same user (the
+  // attribution shape). Same merge as q58 traversed in descending ts
+  // order; oracle = DuckDB ASOF LEFT JOIN with the flipped bound.
+  private val q60 = Q("q60_asof_forward", Some("""
+    WITH clicks AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+    purchases AS (SELECT event_id AS p_event_id, user_id, ts,
+           value AS p_value FROM events WHERE event_type = 'purchase')
+    SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
+           p.p_value, p.p_event_id
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    ORDER BY c.event_id"""),
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"),
+          col("value").as("p_value"))
+      graft.ops.TemporalJoins.asofJoin(clicks, purchases,
+          keyCol = "user_id", leftTsCol = "ts", rightTsCol = "ts",
+          rightPayload = Seq("p_value", "p_event_id"), suffix = "",
+          rightOrd = Some("p_event_id"), forward = true)
+        .orderBy(col("event_id"))
+    })
+
   // Pure range join (clicks within 10 minutes after ANY error — no
   // equi key, the shape Catalyst can only nested-loop): executed as
   // bucket-quantized equi-join + exact containment filter. DuckDB
@@ -1890,7 +1919,7 @@ object SparkEntry {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56, q57, q58, q59,
+    q52, q53, q54, q55, q56, q57, q58, q59, q60,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15,

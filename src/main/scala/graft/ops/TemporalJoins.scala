@@ -47,6 +47,11 @@ object TemporalJoins {
     * @param inner     drop left rows with no match (DuckDB `ASOF JOIN`)
     *                  instead of keeping them with nulls (`ASOF LEFT
     *                  JOIN`).
+    * @param forward   flip the direction: the EARLIEST right row with
+    *                  `right.ts >= left.ts` (next-event semantics,
+    *                  e.g. click → following purchase attribution;
+    *                  DuckDB `ASOF ... ON l.ts <= r.ts`). Same merge,
+    *                  traversed in descending ts order.
     * @return all left columns, then `rightPayload` columns renamed
     *         with `suffix`.
     */
@@ -55,7 +60,8 @@ object TemporalJoins {
       leftTsCol: String, rightTsCol: String,
       rightPayload: Seq[String], suffix: String = "_asof",
       rightOrd: Option[String] = None,
-      inner: Boolean = false): DataFrame = {
+      inner: Boolean = false,
+      forward: Boolean = false): DataFrame = {
     require(rightPayload.nonEmpty, "rightPayload must name at least one column")
     val lStruct = struct(left.columns.map(col).toSeq: _*)
     val rStruct = struct(rightPayload.map(col): _*)
@@ -70,8 +76,12 @@ object TemporalJoins {
       col(keyCol).as("__k"), col(rightTsCol).as("__ts"),
       lit(0).as("__side"), ord.as("__ord"),
       lit(null).cast(lType).as("__l"), rStruct.as("__r"))
+    // right rows sort before left rows at equal ts in BOTH directions
+    // (side 0 < 1) — that's the inclusive bound; among equal-(k, ts)
+    // right rows the largest ord is traversed last, so `last` picks it
+    val tsOrder = if (forward) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__ts"), col("__side"), col("__ord"))
+      .orderBy(tsOrder, col("__side"), col("__ord"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = l.unionByName(r)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))

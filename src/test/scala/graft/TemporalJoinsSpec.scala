@@ -48,6 +48,24 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(got == "b", "largest rid must win the tie")
   }
 
+  test("forward asofJoin picks the earliest right row at or after each left ts") {
+    import spark.implicits._
+    val quotes = Seq(
+      (1L, 10L, 100L, 1.0), (2L, 10L, 200L, 2.0), (3L, 10L, 300L, 3.0))
+      .toDF("qid", "k", "ts", "px")
+    val trades = Seq(
+      (1L, 10L, 150L),  // next quote is 200 -> 2.0
+      (2L, 10L, 200L),  // exactly at 200 -> inclusive -> 2.0
+      (3L, 10L, 350L)). // nothing after -> null
+      toDF("tid", "k", "ts")
+    val got = graft.ops.TemporalJoins.asofJoin(
+        trades, quotes, "k", "ts", "ts", Seq("px"),
+        rightOrd = Some("qid"), forward = true)
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(got == Map(1L -> Some(2.0), 2L -> Some(2.0), 3L -> None), got.toString)
+  }
+
   test("rangeJoin matches points to half-open intervals exactly once") {
     import spark.implicits._
     val points = Seq((1L, 5L), (2L, 10L), (3L, 19L), (4L, 20L), (5L, 100L))
