@@ -72,14 +72,22 @@ object TemporalJoins {
       col(keyCol).as("__k"), col(leftTsCol).as("__ts"),
       lit(1).as("__side"), lit(0L).as("__ord"),
       lStruct.as("__l"), lit(null).cast(rType).as("__r"))
-    val r = right.select(
-      col(keyCol).as("__k"), col(rightTsCol).as("__ts"),
-      lit(0).as("__side"), ord.as("__ord"),
-      lit(null).cast(lType).as("__l"), rStruct.as("__r"))
+    // SQL comparison semantics: a NULL right key or ts satisfies no
+    // bound, so such rows can never match — drop them up front (left
+    // rows are NOT dropped: a left join keeps them unmatched)
+    val r = right
+      .where(col(keyCol).isNotNull && col(rightTsCol).isNotNull)
+      .select(
+        col(keyCol).as("__k"), col(rightTsCol).as("__ts"),
+        lit(0).as("__side"), ord.as("__ord"),
+        lit(null).cast(lType).as("__l"), rStruct.as("__r"))
     // right rows sort before left rows at equal ts in BOTH directions
     // (side 0 < 1) — that's the inclusive bound; among equal-(k, ts)
-    // right rows the largest ord is traversed last, so `last` picks it
-    val tsOrder = if (forward) col("__ts").desc else col("__ts").asc
+    // right rows the largest ord is traversed last, so `last` picks
+    // it. NULL-ts left rows sort FIRST either way, before any right
+    // row, so their running last is null — the no-match SQL answer.
+    val tsOrder =
+      if (forward) col("__ts").desc_nulls_first else col("__ts").asc_nulls_first
     val w = Window.partitionBy(col("__k"))
       .orderBy(tsOrder, col("__side"), col("__ord"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

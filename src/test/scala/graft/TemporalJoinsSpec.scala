@@ -66,6 +66,31 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(got == Map(1L -> Some(2.0), 2L -> Some(2.0), 3L -> None), got.toString)
   }
 
+  test("asofJoin null keys and timestamps never match, left rows survive") {
+    import spark.implicits._
+    val right = Seq(
+      (Some(10L), Some(100L), 1.0),
+      (None: Option[Long], Some(50L), 8.0),   // null key: unmatchable
+      (Some(10L), None: Option[Long], 9.0))   // null ts: unmatchable
+      .toDF("k", "ts", "px")
+    val left = Seq(
+      (1L, Some(10L), Some(200L)),            // matches the real quote
+      (2L, Some(10L), None: Option[Long]),    // null ts -> no match
+      (3L, None: Option[Long], Some(200L)))   // null key -> no match
+      .toDF("lid", "k", "ts")
+    for (fwd <- Seq(false, true)) {
+      val got = graft.ops.TemporalJoins.asofJoin(
+          left, right, "k", "ts", "ts", Seq("px"), forward = fwd)
+        .collect().map(r => r.getLong(0) ->
+          Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+      assert(got.keySet == Set(1L, 2L, 3L), s"fwd=$fwd: all left rows kept")
+      assert(got(2L).isEmpty && got(3L).isEmpty,
+        s"fwd=$fwd: null key/ts must not match: $got")
+      if (!fwd) assert(got(1L) == Some(1.0), got.toString)
+      else assert(got(1L).isEmpty, "forward: no quote at/after ts 200")
+    }
+  }
+
   test("rangeJoin matches points to half-open intervals exactly once") {
     import spark.implicits._
     val points = Seq((1L, 5L), (2L, 10L), (3L, 19L), (4L, 20L), (5L, 100L))
