@@ -1689,6 +1689,35 @@ object SparkEntry {
         .orderBy(col("event_id"))
     })
 
+  // Interval-overlap join with no equi key (error 10-min windows ×
+  // purchase 10-min windows): bucket-exploded equi-join where only
+  // the bucket holding the intersection start may emit a pair —
+  // exactly-once without a dedup pass. Oracle = DuckDB's native
+  // inequality (IEJoin) overlap join.
+  private val q61 = Q("q61_interval_join", Some("""
+    WITH err AS (SELECT event_id AS err_id, ts AS elo,
+           ts + INTERVAL 10 MINUTE AS ehi FROM events WHERE event_type = 'error'),
+    pur AS (SELECT event_id AS pur_id, ts AS plo,
+           ts + INTERVAL 10 MINUTE AS phi FROM events WHERE event_type = 'purchase')
+    SELECT e.err_id, CAST(COUNT(*) AS BIGINT) AS n_overlaps
+    FROM err e JOIN pur p ON e.elo < p.phi AND p.plo < e.ehi
+    GROUP BY e.err_id ORDER BY e.err_id"""),
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val tenMin = 600000000L
+      val err = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("err_id"),
+          unix_micros(col("ts")).as("elo"),
+          (unix_micros(col("ts")) + lit(tenMin)).as("ehi"))
+      val pur = ev.where(col("event_type") === "purchase")
+        .select(unix_micros(col("ts")).as("plo"),
+          (unix_micros(col("ts")) + lit(tenMin)).as("phi"))
+      graft.ops.TemporalJoins.intervalJoin(err, pur,
+          "elo", "ehi", "plo", "phi", bucketWidth = tenMin)
+        .groupBy(col("err_id")).agg(count(lit(1)).as("n_overlaps"))
+        .orderBy(col("err_id"))
+    })
+
   // Gopher-style repetition signal: fraction of a doc's 2-grams taken
   // by its most frequent one (degenerate generated text → ~1).
   private val t08 = Q("t08_repetition", Some("""
@@ -1919,7 +1948,7 @@ object SparkEntry {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56, q57, q58, q59, q60,
+    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15,

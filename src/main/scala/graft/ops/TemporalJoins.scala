@@ -100,6 +100,40 @@ object TemporalJoins {
         rightPayload.map(p => col(s"__m.`$p`").as(s"$p$suffix")): _*)
   }
 
+  /** Interval-overlap join: every (a, b) pair of half-open intervals
+    * with `a.lo < b.hi AND b.lo < a.hi` — again with NO equi key, the
+    * other nested-loop shape.
+    *
+    * Exactly-once trick, generalized from [[rangeJoin]]: both sides
+    * explode over their covered buckets and equi-join, but a pair may
+    * now share many buckets — so only the bucket containing the start
+    * of their INTERSECTION, `floor(max(a.lo, b.lo) / w)` (= the max of
+    * the two start buckets, floor being monotone), is allowed to emit
+    * the pair. Overlapping intervals both cover that bucket by
+    * construction, so every overlapping pair is emitted exactly once
+    * and no dedup pass is needed.
+    *
+    * @return left.* then right.* for overlapping pairs (resolve name
+    *         collisions upstream).
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      leftLo: String, leftHi: String, rightLo: String, rightHi: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def exploded(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.where(col(hi) > col(lo))
+        .withColumn("__bucket", explode(sequence(
+          floor(col(lo) / bucketWidth),
+          floor((col(hi) - 1) / bucketWidth))))
+    exploded(left, leftLo, leftHi)
+      .join(exploded(right, rightLo, rightHi), Seq("__bucket"))
+      .where(col(leftLo) < col(rightHi) && col(rightLo) < col(leftHi) &&
+        col("__bucket") ===
+          floor(greatest(col(leftLo), col(rightLo)) / bucketWidth))
+      .drop("__bucket")
+  }
+
   /** Point-in-interval range join: every (point, interval) pair with
     * `lo <= pt < hi` — half-open, like window containment everywhere.
     * NO equi key required (with one, Spark's hash join + residual

@@ -111,6 +111,39 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(counts == 0, "no duplicate pairs")
   }
 
+  test("intervalJoin emits each overlapping pair exactly once") {
+    import spark.implicits._
+    val a = Seq((1L, 0L, 100L), (2L, 50L, 60L), (3L, 200L, 210L))
+      .toDF("aid", "alo", "ahi")
+    val b = Seq((1L, 90L, 150L), (2L, 100L, 120L), (3L, 55L, 58L))
+      .toDF("bid", "blo", "bhi")
+    // a1=[0,100) overlaps b1=[90,150) and b3=[55,58) but NOT b2=[100,120)
+    // (half-open: they only touch); a2=[50,60) overlaps b3; a3 nothing
+    val got = graft.ops.TemporalJoins.intervalJoin(
+        a, b, "alo", "ahi", "blo", "bhi", bucketWidth = 7L)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sorted.toSeq == Seq((1L, 1L), (1L, 3L), (2L, 3L)), got.mkString(","))
+    assert(got.length == got.toSet.size, "no duplicate pairs")
+  }
+
+  test("intervalJoin agrees with the naive cross-join filter on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def ivs(n: Int, tag: String) = (1L to n.toLong).map { i =>
+      val lo = rnd.nextInt(900).toLong; (i, lo, lo + 1 + rnd.nextInt(120).toLong)
+    }.toDF(s"${tag}id", s"${tag}lo", s"${tag}hi")
+    val a = ivs(120, "a"); val b = ivs(80, "b")
+    val naive = a.crossJoin(b)
+      .where(col("alo") < col("bhi") && col("blo") < col("ahi"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = graft.ops.TemporalJoins.intervalJoin(
+        a, b, "alo", "ahi", "blo", "bhi", bucketWidth = 50L)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.toSet.size, "exactly-once violated")
+    assert(got.toSet == naive,
+      s"missing=${naive -- got.toSet} extra=${got.toSet -- naive}")
+  }
+
   test("rangeJoin agrees with the naive cross-join filter on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
