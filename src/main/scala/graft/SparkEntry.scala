@@ -1850,6 +1850,26 @@ object SparkEntry {
         col("entropy"))
       .orderBy(col("doc_id")))
 
+  // Sequence packing: docs → fixed-token-budget training packs
+  // (streaming first-fit by id order within each source; a straddling
+  // doc overflows its pack). Deterministic running-sum window on both
+  // engines.
+  private val t16 = Q("t16_sequence_pack", Some("""
+    SELECT source, doc_id, n_tokens, cum_tokens,
+      CAST(FLOOR(CAST(cum_tokens - n_tokens AS DOUBLE) / 512.0) AS BIGINT)
+        AS pack_id
+    FROM (SELECT source, doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+            CAST(SUM(len(string_split(text, ' '))) OVER
+              (PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+          FROM documents)
+    ORDER BY source, doc_id"""),
+    (s, dir) => graft.pipeline.Sampling.packSequences(
+        T(s, dir, "documents"), "text", "doc_id", "source",
+        budgetTokens = 512L)
+      .orderBy(col("source"), col("doc_id")))
+
   // Data-mixing resampler: per-source quotas (top-k by the stable md5
   // rank) plus epoch upsampling — 8×1 epoch for src0-4, 4×2 for
   // src5-9, 2×3 for src10-19.
@@ -1951,7 +1971,8 @@ object SparkEntry {
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
+    t15, t16,
     m01, m02, m03)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =

@@ -69,6 +69,37 @@ object Sampling {
     * InferWindowGroupLimit extracts, capping per-map-partition
     * forwarding at the largest quota even for a hot stratum.
     */
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * sequences ("packs") — the sample-packing step that turns a
+    * curated corpus into dense fixed-length training rows. Streaming
+    * first-fit semantics: docs are taken in deterministic id order
+    * within each group, and a doc joins the pack its preceding
+    * cumulative token count falls in (`pack_id = floor((cum − n) /
+    * budget)`), so a doc straddling a boundary OVERFLOWS its pack
+    * rather than splitting — the standard greedy packer, fully
+    * order-deterministic and engine-portable (no greedy bin-search
+    * state that would differ across engines).
+    *
+    * Scale shape: one hash exchange on the group + an incremental
+    * running-sum window (UNBOUNDED PRECEDING — constant per-row
+    * state). Strict sequential packing is inherently serial within a
+    * group: pick a `groupCol` with enough cardinality (source, shard,
+    * ...) to spread reducers; the shuffle carries (group, id, count)
+    * only.
+    */
+  def packSequences(df: DataFrame, textCol: String, idCol: String,
+      groupCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(groupCol), col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", floor(
+        (col("cum_tokens") - col("n_tokens")).cast("double") / budgetTokens)
+        .cast("long"))
+  }
+
   def sourceMix(df: DataFrame, strataCol: String, idCol: String,
       mix: Map[String, (Int, Int)]): DataFrame = {
     require(mix.nonEmpty, "mix must name at least one stratum")

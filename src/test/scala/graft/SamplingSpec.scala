@@ -5,6 +5,29 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class SamplingSpec extends AnyFunSuite {
+
+  test("packSequences assigns streaming first-fit packs per group") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    // token counts 300, 300, 500, 100 with budget 512:
+    // cum 300/600/1100/1200; pack = floor((cum-n)/512) -> 0, 0, 1, 2
+    // (doc 2 straddles 512 and overflows pack 0; doc 3 starts past 1024)
+    def words(n: Int) = (1 to n).map("w" + _).mkString(" ")
+    val d = Seq(
+      (1L, "g", words(300)), (2L, "g", words(300)),
+      (3L, "g", words(500)), (4L, "g", words(100)),
+      (5L, "h", words(10))).toDF("doc_id", "source", "text")
+    val got = graft.pipeline.Sampling.packSequences(d, "text", "doc_id",
+        "source", budgetTokens = 512L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens"),
+          r.getAs[Long]("pack_id"))).toMap
+    assert(got(1L) == ((300L, 300L, 0L)), got(1L).toString)
+    assert(got(2L) == ((300L, 600L, 0L)), "straddling doc overflows pack 0")
+    assert(got(3L) == ((500L, 1100L, 1L)), got(3L).toString)
+    assert(got(4L) == ((100L, 1200L, 2L)), got(4L).toString)
+    assert(got(5L) == ((10L, 10L, 0L)), "groups pack independently")
+  }
   private lazy val spark = SparkFixture.spark
 
   test("stratified sample returns exactly k per stratum, deterministically") {
