@@ -1689,6 +1689,53 @@ object SparkEntry {
         .orderBy(col("event_id"))
     })
 
+  // Batch sessionization (the oracle-checked twin of the streaming
+  // sessionizer): a session breaks when a user is idle > 30 min;
+  // session index = running count of breaks. Both windows share one
+  // (user_id, ts) exchange+sort; per-session rollup is one more
+  // partial-aggregated exchange.
+  private val q62 = Q("q62_sessionize_batch", Some("""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+        CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS brk
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id, ts, value,
+        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged)
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+      CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(8,2))) AS DOUBLE) AS sum_value
+    FROM sessions GROUP BY user_id, session_idx
+    ORDER BY user_id, session_idx"""),
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.events(s, dir)
+        // gap compared in MICROSECONDS: the oracle's `ts - lag(ts) >
+        // INTERVAL 30 MINUTE` is µs-exact; a seconds cast would
+        // truncate and flip boundary gaps
+        .withColumn("brk",
+          when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+            > 30L * 60L * 1000000L, 1L).otherwise(0L))
+        .withColumn("session_idx", sum(col("brk")).over(wRun))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(
+          min(col("ts")).cast("timestamp_ntz").as("session_start"),
+          max(col("ts")).cast("timestamp_ntz").as("session_end"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(8, 2))).cast("double").as("sum_value"))
+        .orderBy(col("user_id"), col("session_idx"))
+    })
+
   // Interval-overlap join with no equi key (error 10-min windows ×
   // purchase 10-min windows): bucket-exploded equi-join where only
   // the bucket holding the intersection start may emit a pair —
@@ -1968,7 +2015,7 @@ object SparkEntry {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61,
+    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
