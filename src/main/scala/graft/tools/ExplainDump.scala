@@ -41,6 +41,8 @@ object ExplainDump {
       "t14_decontaminate_fraction" -> "fraction decontamination: one left-join against the broadcast benchmark shingle set; n_shingles and n_hits from a single partial-aggregated groupBy",
       "t15_token_entropy" -> "token entropy: strings hashed map-side before the (id, hash) count shuffle; two partial-aggregated exchanges",
       "s08_cluster_sample" -> "balanced sample: Partial WindowGroupLimit before the exchange caps per-cluster forwarding at perCluster rows per map partition",
+      "t16_sequence_pack" -> "sequence packing: one group-keyed exchange + incremental running-sum window; shuffle carries (group, id, token-count) only",
+      "q62_sessionize_batch" -> "batch sessionization: lag flag + running break count share one user-keyed exchange, then a partial-aggregated session rollup",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")
