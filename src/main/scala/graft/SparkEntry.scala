@@ -1736,6 +1736,50 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_idx"))
     })
 
+  // Funnel analysis as CHAINED forward as-of joins: first signup →
+  // next click → next purchase per user. The second hop's left ts
+  // (c_ts) is null for non-converting users; the operator's SQL null
+  // semantics keep the row with no match, exactly like the oracle's
+  // ASOF LEFT JOIN on a null bound.
+  private val q63 = Q("q63_funnel", Some("""
+    WITH s AS (SELECT user_id, MIN(ts) AS s_ts FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+    c AS (SELECT user_id, ts AS c_ts, event_id AS c_id FROM events
+           WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts AS p_ts, event_id AS p_id FROM events
+           WHERE event_type = 'purchase'),
+    sc AS (SELECT s.user_id, s.s_ts, c.c_ts, c.c_id
+           FROM s ASOF LEFT JOIN c
+             ON s.user_id = c.user_id AND s.s_ts <= c.c_ts),
+    scp AS (SELECT sc.user_id, sc.s_ts, sc.c_ts, sc.c_id, p.p_ts, p.p_id
+           FROM sc ASOF LEFT JOIN p
+             ON sc.user_id = p.user_id AND sc.c_ts <= p.p_ts)
+    SELECT user_id, CAST(s_ts AS TIMESTAMP) AS s_ts,
+           CAST(c_ts AS TIMESTAMP) AS c_ts, c_id,
+           CAST(p_ts AS TIMESTAMP) AS p_ts, p_id
+    FROM scp ORDER BY user_id"""),
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val signups = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).cast("timestamp_ntz").as("s_ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").cast("timestamp_ntz").as("c_ts"),
+          col("event_id").as("c_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").cast("timestamp_ntz").as("p_ts"),
+          col("event_id").as("p_id"))
+      val sc = graft.ops.TemporalJoins.asofJoin(signups, clicks,
+        keyCol = "user_id", leftTsCol = "s_ts", rightTsCol = "c_ts",
+        rightPayload = Seq("c_ts", "c_id"), suffix = "",
+        rightOrd = Some("c_id"), forward = true)
+      graft.ops.TemporalJoins.asofJoin(sc, purchases,
+          keyCol = "user_id", leftTsCol = "c_ts", rightTsCol = "p_ts",
+          rightPayload = Seq("p_ts", "p_id"), suffix = "",
+          rightOrd = Some("p_id"), forward = true)
+        .orderBy(col("user_id"))
+    })
+
   // Interval-overlap join with no equi key (error 10-min windows ×
   // purchase 10-min windows): bucket-exploded equi-join where only
   // the bucket holding the intersection start may emit a pair —
@@ -2015,7 +2059,7 @@ object SparkEntry {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62,
+    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
