@@ -1226,6 +1226,15 @@ object SparkEntry {
     (s, dir) => graft.pipeline.Ivf.searchTopK(T(s, dir, "embeddings"),
       "embedding", "vec_id", queryId = 0L, k = 10, numCells = 8, nprobe = 3))
 
+  // Product-quantization ANN with exact re-rank (rows-only like
+  // s03: the Lloyd codebooks are engine-side). PqSpec pins the
+  // mechanics (code ranges, ADC-vs-exact error bound) and the recall
+  // floor vs brute force.
+  private val s12 = Q("s12_knn_pq", None,
+    (s, dir) => graft.pipeline.Pq.searchTopK(T(s, dir, "embeddings"),
+      "embedding", "vec_id", queryId = 0L, k = 10, m = 16, ksub = 16,
+      rerank = 30))
+
   private val t01 = Q("t01_lang_id", Some("""
     WITH sc AS (
       SELECT doc_id,
@@ -1809,6 +1818,61 @@ object SparkEntry {
         .orderBy(col("err_id"))
     })
 
+  // Cohort retention triangle: users bucketed by first-event week;
+  // each (cohort, offset) cell counts distinct users active that many
+  // weeks later. Both engines truncate to Monday week starts, so the
+  // day difference is an exact multiple of 7 and the division is
+  // exact.
+  private val q64 = Q("q64_cohort_retention", Some("""
+    WITH cohorts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_start
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_start
+      FROM events),
+    j AS (
+      SELECT c.cohort_start,
+        CAST(datediff('day', c.cohort_start, a.active_start) / 7 AS BIGINT)
+          AS week_offset,
+        a.user_id
+      FROM activity a JOIN cohorts c USING (user_id))
+    SELECT CAST(cohort_start AS TIMESTAMP) AS cohort_start, week_offset,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM j GROUP BY cohort_start, week_offset
+    ORDER BY cohort_start, week_offset"""),
+    (s, dir) => graft.ops.EventAnalytics.cohortRetention(
+        Tables.events(s, dir), "user_id", "ts", "week")
+      .select(col("cohort_start").cast("timestamp_ntz").as("cohort_start"),
+        col("offset").as("week_offset"), col("n_users"))
+      .orderBy(col("cohort_start"), col("week_offset")))
+
+  // Trailing-7-day rolling stats per user — the RANGE BETWEEN
+  // INTERVAL window frame. The rolling sum accumulates DECIMAL (a
+  // sliding double sum is accumulation-order-specific per engine);
+  // the avg is one double division, bit-identical everywhere.
+  private val q65 = Q("q65_time_range_window", Some("""
+    WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                  value FROM events)
+    SELECT event_id, user_id, ts,
+      CAST(win_n AS BIGINT) AS win_n,
+      CAST(win_sum AS DOUBLE) AS win_sum,
+      CAST(win_sum AS DOUBLE) / win_n AS win_avg
+    FROM (
+      SELECT event_id, user_id, ts,
+        COUNT(*) OVER w AS win_n,
+        SUM(CAST(value AS DECIMAL(8,2))) OVER w AS win_sum
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW))
+    ORDER BY event_id"""),
+    (s, dir) => graft.ops.EventAnalytics.trailingWindowStats(
+        Tables.events(s, dir), "user_id", "ts", "value",
+        windowMicros = 7L * 24 * 3600 * 1000000L)
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("ts"),
+        col("win_n"), col("win_sum"), col("win_avg"))
+      .orderBy(col("event_id")))
+
   // Gopher-style repetition signal: fraction of a doc's 2-grams taken
   // by its most frequent one (degenerate generated text → ~1).
   private val t08 = Q("t08_repetition", Some("""
@@ -1961,6 +2025,25 @@ object SparkEntry {
         budgetTokens = 512L)
       .orderBy(col("source"), col("doc_id")))
 
+  // Deterministic 80/10/10 train/val/test split by md5-of-id: the
+  // boundaries 0xcccc/0xe666 are exactly floor(0.8·65536) and
+  // floor(0.9·65536); the md5-prefix CASE is mirrored verbatim by
+  // the oracle, so assignment is pinned cross-engine and adding docs
+  // never reassigns existing ones.
+  private val t17 = Q("t17_hash_split", Some("""
+    SELECT doc_id, source,
+      CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+             THEN 'train'
+           WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+             THEN 'val'
+           ELSE 'test' END AS split
+    FROM documents ORDER BY doc_id"""),
+    (s, dir) => graft.pipeline.Sampling.hashSplit(
+        T(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("source"), col("split"))
+      .orderBy(col("doc_id")))
+
   // Data-mixing resampler: per-source quotas (top-k by the stable md5
   // rank) plus epoch upsampling — 8×1 epoch for src0-4, 4×2 for
   // src5-9, 2×3 for src10-19.
@@ -2059,11 +2142,11 @@ object SparkEntry {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63,
+    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
-    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
+    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16,
+    t15, t16, t17,
     m01, m02, m03)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =

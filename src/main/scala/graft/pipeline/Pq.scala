@@ -1,0 +1,158 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for approximate nearest neighbor: the
+  * vector is split into `m` subvectors, each quantized independently
+  * against its own `ksub`-centroid codebook, so a dim-float vector
+  * compresses to `m` small codes (m bytes for ksub ≤ 256). Search
+  * scores candidates from the codes alone via per-subspace lookup
+  * tables built from the query (asymmetric distance computation) —
+  * the memory/IO trade that makes billion-vector indexes practical.
+  *
+  * Scale design mirrors [[Ivf]]:
+  *  - codebooks are trained driver-side on a bounded hash-sample
+  *    (quantizer training must not scale with the corpus — the FAISS
+  *    discipline) and inline into expressions as literals;
+  *  - encoding is a map-only projection (argmin per subspace over
+  *    literal centroids, all codegen — no join, no shuffle); at scale
+  *    you'd write (id, codes) back once and amortize it;
+  *  - search scans CODES, not vectors: 2m `element_at` lookups per
+  *    row against m×ksub literal tables — the scan is ~dim·4/m times
+  *    less IO than brute force — then TopK
+  *    (TakeOrderedAndProject, no global sort);
+  *  - optional exact re-rank: the ADC top-`rerank` candidate ids
+  *    (a bounded driver list, like IVF's probe cells) become an
+  *    `isin` pushdown filter over the original vectors — join-free.
+  *
+  * All determinism is structural: hash-ordered sample, fixed Lloyd
+  * iterations, ties to the lower code/id.
+  */
+object Pq {
+
+  /** [m][ksub][subDim] codebooks: per-subspace L2 Lloyd on a
+    * driver-side bounded sample (smallest-xxhash64 rows — the same
+    * seedless uniform sample as [[Ivf.trainCentroidArrays]]). Init =
+    * first ksub sample subvectors in hash order. Empty cells drop.
+    */
+  def trainCodebooks(
+      emb: DataFrame, vecCol: String, idCol: String,
+      m: Int, ksub: Int, iters: Int,
+      maxTrainRows: Int): Array[Array[Array[Double]]] = {
+    val sample: Array[Array[Double]] = emb
+      .select(col(idCol), col(vecCol))
+      .withColumn("h", xxhash64(col(idCol)))
+      .orderBy(col("h"))
+      .limit(maxTrainRows)
+      .select(transform(col(vecCol), _.cast("double")).as("v"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "cannot train codebooks on an empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    def l2sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    Array.tabulate(m) { j =>
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      var cents: Array[Array[Double]] = subs.take(ksub).map(_.clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](sub))
+        val counts = new Array[Long](cents.length)
+        subs.foreach { v =>
+          var best = 0; var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < cents.length) {
+            val d = l2sq(v, cents(c))
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < sub) { sums(best)(i) += v(i); i += 1 }
+        }
+        cents = cents.indices.toArray.collect {
+          case c if counts(c) > 0 =>
+            val mean = new Array[Double](sub)
+            var i = 0
+            while (i < sub) { mean(i) = sums(c)(i) / counts(c); i += 1 }
+            mean
+        }
+        it += 1
+      }
+      cents
+    }
+  }
+
+  /** Adds a `codes` column (array<int>, length m): per subspace, the
+    * L2-nearest codebook entry, ties to the lower code. Map-only via
+    * the [[graft.functions.PqExpressions.PqEncode]] codegen kernel —
+    * an unrolled literal-centroid formulation was tried first and
+    * crosses Janino's 64 KB method limit at m=16, ksub=32 (silent
+    * interpreted fallback); the kernel's loop bytecode is constant in
+    * m/ksub.
+    */
+  def encode(emb: DataFrame, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
+    emb.withColumn("codes",
+      graft.functions.PqExpressions.pqEncode(col(vecCol), codebooks))
+
+  /** Top-k by ADC-approximated cosine against the corpus row with
+    * id == queryId, with optional exact re-rank of the top `rerank`
+    * ADC candidates. rerank = 0 returns pure ADC scores (`adc_sim`);
+    * rerank ≥ k re-scores candidates with exact cosine (`cos_sim`).
+    */
+  def searchTopK(
+      emb: DataFrame, vecCol: String, idCol: String,
+      queryId: Long, k: Int, m: Int, ksub: Int,
+      iters: Int = 3, rerank: Int = 0,
+      maxTrainRows: Int = 100000): DataFrame = {
+    val books = trainCodebooks(emb, vecCol, idCol, m, ksub, iters, maxTrainRows)
+    val sub = books.head.head.length
+    val q: Array[Double] = emb.where(col(idCol) === lit(queryId))
+      .select(transform(col(vecCol), _.cast("double")).as("v"))
+      .collect() match {
+        case Array(row) => row.getSeq[Double](0).toArray
+        case other => throw new IllegalArgumentException(
+          s"queryId $queryId matched ${other.length} rows")
+      }
+    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    // per-subspace query tables: dot(q_j, c) and |c|² per codebook entry
+    val dotTab: Array[Array[Double]] = books.zipWithIndex.map { case (cb, j) =>
+      cb.map { cent =>
+        var s = 0.0; var i = 0
+        while (i < sub) { s += q(j * sub + i) * cent(i); i += 1 }
+        s
+      }
+    }
+    val nrm2Tab: Array[Array[Double]] = books.map(_.map(_.map(x => x * x).sum))
+    val encoded = encode(emb.select(col(idCol), col(vecCol)), vecCol, books)
+      .where(col(idCol) =!= lit(queryId))
+    // cos(q, x̂) = Σ dot(q_j, c_code) / (|q| · sqrt(Σ |c_code|²)) — the
+    // table-lookup codegen kernel (two array derefs per subspace)
+    val adc = encoded.withColumn("adc_sim",
+      graft.functions.PqExpressions.pqAdcScore(col("codes"), dotTab,
+        nrm2Tab, qNorm))
+    val topAdc = adc
+      .select(col(idCol), col("adc_sim"))
+      .orderBy(col("adc_sim").desc, col(idCol))
+      .limit(math.max(k, rerank))
+    if (rerank <= 0) topAdc.limit(k)
+    else {
+      // bounded collect (≤ rerank ids) → isin pushdown, like IVF's
+      // probe cells; exact cosine re-rank against inlined query
+      val candIds = topAdc.select(col(idCol)).collect().map(_.getLong(0)).toSeq
+      val qlit = array(q.toSeq.map(lit): _*)
+      emb.where(col(idCol).isin(candIds: _*))
+        .withColumn("cos_sim", Similarity.cosine(col(vecCol), qlit))
+        .select(col(idCol), col("cos_sim"))
+        .orderBy(col("cos_sim").desc, col(idCol))
+        .limit(k)
+    }
+  }
+}

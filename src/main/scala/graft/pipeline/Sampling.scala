@@ -100,6 +100,42 @@ object Sampling {
         .cast("long"))
   }
 
+  /** Deterministic train/val/test split by hashed id — the dataset
+    * split step every training pipeline needs. A row's split is a
+    * pure function of its id (md5), so the assignment is reproducible
+    * across runs, engines, partitionings, and corpus growth: adding
+    * documents never moves an existing document between splits (the
+    * property a `row_number % 10` split lacks).
+    *
+    * Split boundaries are quantized to 1/65536 by comparing the first
+    * FOUR hex chars of the md5 lexicographically against literal
+    * thresholds — fixed-length lowercase hex compares identically to
+    * the numeric value, and both engines render md5 the same way, so
+    * the oracle mirrors the expression verbatim. `splits` lists
+    * (name, fraction) in order; fractions are floored to the 1/65536
+    * grid and the LAST split takes the remainder, so fractions
+    * need not sum to exactly 1.0.
+    *
+    * Scale shape: a scan-stage codegen CASE over a 4-char substring —
+    * no shuffle, no state; the split of 100 TB costs one pass.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.size >= 2, "need at least two splits")
+    require(splits.forall { case (_, f) => f > 0.0 && f < 1.0 },
+      "fractions must be in (0, 1)")
+    require(splits.init.map(_._2).sum < 1.0,
+      "non-final fractions must sum below 1")
+    val key = substring(md5(col(idCol).cast("string")), 1, 4)
+    val bounds = splits.init.scanLeft(0.0)(_ + _._2).tail
+      .map(f => f"${math.floor(f * 65536).toLong}%04x")
+    val assigned = splits.init.zip(bounds).foldRight(
+        lit(splits.last._1): Column) { case (((name, _), b), acc) =>
+      when(key < lit(b), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", assigned)
+  }
+
   def sourceMix(df: DataFrame, strataCol: String, idCol: String,
       mix: Map[String, (Int, Int)]): DataFrame = {
     require(mix.nonEmpty, "mix must name at least one stratum")

@@ -19,7 +19,8 @@ class EntryContractSpec extends AnyFunSuite {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set(
       "d03_dedup_minhash_lsh", "d04_dedup_simhash",
-      "q33_approx_aggs", "s02_knn_lsh", "s03_knn_ivf", "s11_knn_lsh_batch"),
+      "q33_approx_aggs", "s02_knn_lsh", "s03_knn_ivf", "s11_knn_lsh_batch",
+      "s12_knn_pq"),
       s"unexpected rows-only queries (add an oracle or update this pin): $rowsOnly")
   }
 

@@ -229,4 +229,46 @@ class PlanQualitySpec extends AnyFunSuite {
       s"cell isin pruning missing:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$plan")
   }
+
+  test("PQ ADC search is map-only scan + TopK (kernels inline, no join)") {
+    val df = graft.pipeline.Pq.searchTopK(
+      spark.read.parquet(s"$sf/embeddings.parquet"),
+      "embedding", "vec_id", queryId = 0L, k = 5, m = 16, ksub = 16,
+      iters = 1, rerank = 0)
+    val plan = planOf(df)
+    assert(!plan.contains("Join") && !plan.contains("Exchange hashpartitioning"),
+      s"ADC scoring must be join-free:\n$plan")
+    assert(plan.contains("pqencode") || plan.contains("PqEncode"),
+      s"encode kernel missing:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$plan")
+  }
+
+  test("hash split is a scan-stage projection: no exchange at all") {
+    val df = graft.pipeline.Sampling.hashSplit(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange"), s"split must not shuffle:\n$plan")
+  }
+
+  test("cohort retention reuses the user-keyed exchange for both aggs") {
+    val df = SparkEntry.queries("q64_cohort_retention")(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("partial_min") || plan.contains("HashAggregate"),
+      s"expected partial aggregation:\n$plan")
+    // user-keyed shuffles: cohort min + activity distinct; AQE may plan
+    // them independently but both must partial-aggregate map-side, and
+    // nothing may nested-loop
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"retention join must stay keyed:\n$plan")
+  }
+
+  test("time-range rolling window is one keyed exchange + window") {
+    val df = SparkEntry.queries("q65_time_range_window")(spark, sf)
+    val plan = planOf(df)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected one user-keyed exchange, got $exchanges:\n$plan")
+    assert(plan.contains("RANGE BETWEEN") || plan.contains("specifiedwindowframe(RangeFrame"),
+      s"expected a range frame:\n$plan")
+  }
 }

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product-quantization mechanics + retrieval quality. Codebook
+  * training is deterministic (hash-ordered sample, fixed Lloyd
+  * iterations), so every assertion is stable.
+  */
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val sf = SparkFixture.sfDir
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("encode emits m codes per row, each within [0, ksub)") {
+    val books = graft.pipeline.Pq.trainCodebooks(
+      emb, "embedding", "vec_id", m = 8, ksub = 16, iters = 2,
+      maxTrainRows = 1000)
+    assert(books.length == 8)
+    assert(books.forall(cb => cb.nonEmpty && cb.length <= 16))
+    assert(books.forall(_.forall(_.length == 8))) // 64 / m
+    val coded = graft.pipeline.Pq.encode(emb, "embedding", books)
+    val bad = coded.where(size(col("codes")) =!= 8 ||
+        exists(col("codes"), c => c < 0 || c >= 16))
+      .count()
+    assert(bad == 0, "codes out of range")
+  }
+
+  test("encode picks the L2-nearest codebook entry (spot check vs local)") {
+    val books = graft.pipeline.Pq.trainCodebooks(
+      emb, "embedding", "vec_id", m = 8, ksub = 16, iters = 2,
+      maxTrainRows = 1000)
+    val rows = graft.pipeline.Pq.encode(emb, "embedding", books)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")),
+        col("codes"))
+      .orderBy(col("vec_id")).limit(20).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1).toArray
+      val codes = r.getSeq[Int](2)
+      (0 until 8).foreach { j =>
+        val slice = v.slice(j * 8, (j + 1) * 8)
+        val best = books(j).zipWithIndex.minBy { case (c, code) =>
+          val d = slice.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+          (d, code)
+        }._2
+        assert(codes(j) == best,
+          s"vec ${r.getLong(0)} subspace $j: got ${codes(j)}, want $best")
+      }
+    }
+  }
+
+  test("ADC approximates exact cosine within quantization error") {
+    // ADC score vs exact cosine on the same (query, candidate) pairs:
+    // the approximation error is bounded by the codebooks' resolution;
+    // on this corpus the mean absolute gap stays well under 0.2
+    val adc = graft.pipeline.Pq.searchTopK(emb, "embedding", "vec_id",
+      queryId = 0L, k = 50, m = 8, ksub = 16, iters = 3, rerank = 0)
+    val exact = graft.pipeline.Similarity.bruteForceTopK(
+      emb, "embedding", "vec_id", queryId = 0L, k = 500)
+    val joined = adc.join(exact.withColumnRenamed("cos_sim", "exact_sim"),
+        "vec_id")
+      .select(avg(abs(col("adc_sim") - col("exact_sim"))).as("mae"))
+      .collect().head.getDouble(0)
+    info(f"ADC mean |err| vs exact cosine = $joined%.4f")
+    assert(joined < 0.2, s"ADC diverged from exact cosine: mae=$joined")
+  }
+
+  test("PQ+rerank recall floor vs brute force; rerank lifts recall") {
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = ids(graft.pipeline.Similarity.bruteForceTopK(
+      emb, "embedding", "vec_id", queryId = 0L, k = 10))
+    val pure = ids(graft.pipeline.Pq.searchTopK(emb, "embedding", "vec_id",
+      queryId = 0L, k = 10, m = 16, ksub = 16, iters = 3, rerank = 0))
+    val rr = ids(graft.pipeline.Pq.searchTopK(emb, "embedding", "vec_id",
+      queryId = 0L, k = 10, m = 16, ksub = 16, iters = 3, rerank = 30))
+    val pureR = (pure & exact).size / 10.0
+    val rrR = (rr & exact).size / 10.0
+    info(s"PQ recall@10 (m=16, ksub=16): ADC-only = $pureR, rerank(30) = $rrR")
+    assert(pureR >= 0.4, s"ADC recall collapsed: $pureR")
+    assert(rrR >= pureR, "exact re-rank must not lower recall")
+    assert(rrR >= 0.7, s"reranked recall floor: $rrR")
+  }
+
+  test("rerank >= corpus is exhaustive-equivalent on the candidate set") {
+    // with rerank covering the whole corpus the ADC stage can't drop
+    // a true neighbor: result must equal brute force exactly
+    val n = emb.count().toInt
+    val rr = graft.pipeline.Pq.searchTopK(emb, "embedding", "vec_id",
+        queryId = 0L, k = 10, m = 8, ksub = 16, iters = 3, rerank = n)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = graft.pipeline.Similarity.bruteForceTopK(
+        emb, "embedding", "vec_id", queryId = 0L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rr == exact, "full-rerank PQ must equal brute force")
+  }
+}
