@@ -43,6 +43,10 @@ object ExplainDump {
       "s08_cluster_sample" -> "balanced sample: Partial WindowGroupLimit before the exchange caps per-cluster forwarding at perCluster rows per map partition",
       "t16_sequence_pack" -> "sequence packing: one group-keyed exchange + incremental running-sum window; shuffle carries (group, id, token-count) only",
       "q62_sessionize_batch" -> "batch sessionization: lag flag + running break count share one user-keyed exchange, then a partial-aggregated session rollup",
+      "s12_knn_pq" -> "PQ ANN — the exact re-rank stage (the preceding ADC pass is map-only scan + TopK with the encode/ADC kernels in the scan stage, pinned by PlanQualitySpec): the bounded candidate-id set is PUSHED into the parquet scan (PushedFilters: In(vec_id, ...)), cosine re-rank + TopK, no join or exchange anywhere",
+      "t17_hash_split" -> "hash split: scan-stage md5-prefix CASE — the only exchange below is the query's presentation ORDER BY; the operator itself is exchange-free (PlanQualitySpec pins it), so the 100 TB split is one pass",
+      "q64_cohort_retention" -> "cohort retention: first-event agg and distinct-activity agg both partial-aggregate before their user-keyed exchanges; keyed join, then a tiny (cohort, offset) rollup",
+      "q65_time_range_window" -> "time-range rolling window: ONE user-keyed exchange + sort; RANGE frame over the µs epoch with incremental frame state; decimal accumulation",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")

@@ -118,6 +118,18 @@ object ScaleSmoke {
             col("value").as("err_value"))
         graft.ops.TemporalJoins.asofJoin(clicks, errors, "user_id", "ts", "ts",
           Seq("err_value", "err_id"), rightOrd = Some("err_id")).count() }
+      time("s12 pqEncode m=16") {
+        val books = graft.pipeline.Pq.trainCodebooks(emb, "embedding",
+          "vec_id", m = 16, ksub = 16, iters = 2, maxTrainRows = 10000)
+        graft.pipeline.Pq.encode(emb, "embedding", books).count() }
+      time("t17 hashSplit") {
+        graft.pipeline.Sampling.hashSplit(docs, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).count() }
+      time("q64 cohortRetention") {
+        graft.ops.EventAnalytics.cohortRetention(events, "user_id", "ts").count() }
+      time("q65 trailingWindowStats 7d") {
+        graft.ops.EventAnalytics.trailingWindowStats(events, "user_id", "ts",
+          "value", 7L * 24 * 3600 * 1000000L).count() }
       time("q59 rangeJoin 10min windows") {
         val clicks = events.where(col("event_type") === "click")
           .select(col("event_id"), unix_micros(col("ts")).as("pt"))
