@@ -1011,6 +1011,39 @@ object SparkEntry {
         n = 3, threshold = 0.3, maxPostings = None) // exact: oracle-comparable
       .orderBy(col("id_a"), col("id_b")))
 
+  // Incremental dedup: the "new batch" (doc_id % 10 = 0) against the
+  // existing corpus (the rest) — cross pairs only. Same shingle
+  // semantics as d02; the corpus side never shuffles text and is
+  // scanned once (broadcast new-batch shingles, plan-pinned).
+  private val d10 = Q("d10_incremental_neardup", Some("""
+    WITH toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT n.doc_id AS new_id, c.doc_id AS corpus_id, COUNT(*) AS n_inter
+              FROM sh n JOIN sh c USING (shingle)
+              WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+              GROUP BY 1, 2)
+    SELECT new_id, corpus_id, jaccard FROM (
+      SELECT new_id, corpus_id,
+        CAST(n_inter AS DOUBLE) / CAST(sn.n_sh + sc.n_sh - n_inter AS DOUBLE) AS jaccard
+      FROM inter
+        JOIN sizes sn ON sn.doc_id = new_id
+        JOIN sizes sc ON sc.doc_id = corpus_id)
+    WHERE jaccard >= 0.3 ORDER BY new_id, corpus_id"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.incrementalNearDupPairs(
+          docs.where(col("doc_id") % 10 === 0),
+          docs.where(col("doc_id") % 10 =!= 0),
+          "text", "doc_id", n = 3, threshold = 0.3,
+          maxCorpusPostings = None) // exact: oracle-comparable
+        .orderBy(col("new_id"), col("corpus_id"))
+    })
+
   private val d03 = Q("d03_dedup_minhash_lsh", None, // xxhash seeds differ per engine
     (s, dir) => Dedup.minHashLsh(T(s, dir, "documents"), "text", "doc_id",
         shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.3)
@@ -2044,6 +2077,59 @@ object SparkEntry {
       .select(col("doc_id"), col("source"), col("split"))
       .orderBy(col("doc_id")))
 
+  // Gopher-style multi-signal quality gate: the composed filter a
+  // curation pipeline actually ships — minimum length, mean-token-
+  // length band, top-2-gram repetition cap, token-entropy floor. Each
+  // signal is an operator with its own hash-matched query (t02, t08,
+  // t15); the gate pins their COMPOSITION (three id-keyed partial-agg
+  // shuffles, then co-partitioned joins). Thresholds chosen so every
+  // signal bites on this corpus. The entropy comparison is on the
+  // 6-dp-rounded value (identical on both engines, per t15).
+  private val t18 = Q("t18_quality_gate", Some("""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    grams AS (
+      SELECT doc_id, array_to_string(list_slice(tk, i, i + 1), ' ') AS gram
+      FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM toks)),
+    gcounts AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM grams GROUP BY doc_id, gram),
+    rep AS (SELECT doc_id,
+        CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS repetition_ratio
+        FROM gcounts GROUP BY doc_id),
+    tcounts AS (SELECT doc_id, tok, COUNT(*) AS c FROM
+        (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY doc_id, tok),
+    ent AS (SELECT doc_id,
+        ROUND(ln(CAST(SUM(c) AS DOUBLE))
+          - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE),
+          6) AS entropy
+        FROM tcounts GROUP BY doc_id),
+    base AS (SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        CAST(LENGTH(replace(text, ' ', '')) AS DOUBLE)
+          / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_token_len
+        FROM documents)
+    SELECT doc_id, n_tokens, mean_token_len, repetition_ratio, entropy
+    FROM base JOIN rep USING (doc_id) JOIN ent USING (doc_id)
+    WHERE n_tokens >= 20 AND mean_token_len BETWEEN 3 AND 10
+      AND repetition_ratio < 0.08 AND entropy >= 3.0
+    ORDER BY doc_id"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val base = docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.meanTokenLen(col("text")).as("mean_token_len"))
+      val rep = TextAnalysis.repetitionStats(docs, "text", "doc_id", n = 2)
+        .select(col("id").as("doc_id"), col("repetition_ratio"))
+      val ent = graft.pipeline.TextAnalysis.tokenEntropy(docs, "text", "doc_id")
+        .select(col("id").as("doc_id"), col("entropy"))
+      base.join(rep, Seq("doc_id")).join(ent, Seq("doc_id"))
+        .where(col("n_tokens") >= 20 &&
+          col("mean_token_len").between(3.0, 10.0) &&
+          col("repetition_ratio") < 0.08 && col("entropy") >= 3.0)
+        .select(col("doc_id"), col("n_tokens"), col("mean_token_len"),
+          col("repetition_ratio"), col("entropy"))
+        .orderBy(col("doc_id"))
+    })
+
   // Data-mixing resampler: per-source quotas (top-k by the stable md5
   // rank) plus epoch upsampling — 8×1 epoch for src0-4, 4×2 for
   // src5-9, 2×3 for src10-19.
@@ -2143,10 +2229,10 @@ object SparkEntry {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16, t17,
+    t15, t16, t17, t18,
     m01, m02, m03)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =

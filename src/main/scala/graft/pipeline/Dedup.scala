@@ -203,6 +203,81 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** INCREMENTAL near-dup pairs: the new batch × the existing corpus
+    * only (no within-batch or within-corpus pairs) — the shape a
+    * continuously-ingesting pipeline runs on every micro-batch, where
+    * re-running [[ngramJaccardPairs]] over the unioned 100 TB corpus
+    * would redo all historic pair work.
+    *
+    * Scale design — the corpus side never shuffles its text and is
+    * scanned ONCE:
+    *  - the new batch's distinct shingle hashes are BROADCAST; the
+    *    corpus's exploded shingles map-side semi-join against them, so
+    *    only corpus rows sharing ≥1 shingle with the batch ("matched")
+    *    survive the scan stage — at real batch/corpus ratios that's a
+    *    sliver of the corpus;
+    *  - matched is scope-cached (it feeds the spam guard and the pair
+    *    generation; uncached the corpus would scan twice) and released
+    *    after the first execution, the [[shingleIntersections]]
+    *    discipline;
+    *  - the spam guard mirrors the capped path: count matched corpus
+    *    docs per shingle FIRST (tiny rows), drop shingles over
+    *    `maxCorpusPostings`, THEN generate (new_id, corpus_id) pairs —
+    *    a boilerplate shingle shared by 10⁶ corpus docs never reaches
+    *    the pair shuffle;
+    *  - sizes are map-side `size(sh_arr)` projections; the final joins
+    *    are AQE-broadcast at realistic pair counts.
+    *
+    * Contract: the new batch (its distinct shingles) must fit in a
+    * broadcast — true for any sane ingest micro-batch. For a
+    * batch-sized-like-the-corpus backfill, union the frames and run
+    * [[ngramJaccardPairs]] instead.
+    */
+  def incrementalNearDupPairs(
+      newDocs: DataFrame, corpus: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.3,
+      maxCorpusPostings: Option[Int] = Some(10000)): DataFrame = {
+    val newSets = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
+      graft.ops.ScaleOps.fanOut(newDocs).select(
+        col(idCol).as("new_id"),
+        graft.functions.ShingleHashes(col(textCol), n).as("sh_arr")))
+    val newSizes = newSets.select(col("new_id"),
+      size(col("sh_arr")).cast("long").as("n_new"))
+    val newExploded = newSets.select(col("new_id"),
+      explode(col("sh_arr")).as("shingle"))
+    val corpSets = graft.ops.ScaleOps.fanOut(corpus).select(
+      col(idCol).as("corpus_id"),
+      graft.functions.ShingleHashes(col(textCol), n).as("sh_arr"))
+    val corpSizes = corpSets.select(col("corpus_id"),
+      size(col("sh_arr")).cast("long").as("n_corpus"))
+    val matched = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
+      corpSets.select(col("corpus_id"), explode(col("sh_arr")).as("shingle"))
+        .join(broadcast(newExploded.select(col("shingle")).distinct()),
+          Seq("shingle")))
+    val guarded = maxCorpusPostings match {
+      case Some(m) =>
+        val kept = matched
+          .groupBy(col("shingle"))
+          .agg(count(lit(1)).as("n_docs_sh"))
+          .where(col("n_docs_sh") <= lit(m))
+          .select(col("shingle"))
+        matched.join(broadcast(kept), Seq("shingle"))
+      case None => matched
+    }
+    val inter = guarded
+      .join(broadcast(newExploded), Seq("shingle"))
+      .groupBy(col("new_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(newSizes, Seq("new_id"))
+      .join(corpSizes, Seq("corpus_id"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("n_new") + col("n_corpus") - col("n_inter")).cast("double"))
+      .where(col("jaccard") >= lit(threshold))
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+  }
+
   /** DIRECTED containment pairs: C(sub→super) = |Sh(sub) ∩ Sh(super)|
     * / |Sh(sub)| ≥ threshold — the near-subset relation Jaccard
     * misses when a small document (a quote, a boilerplate block, a

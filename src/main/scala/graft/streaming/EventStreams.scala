@@ -127,4 +127,38 @@ object EventStreams {
       // watermark passes it — plain dropDuplicates("fp") would keep
       // every fingerprint ever seen (unbounded state)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** Stream-static enrichment: the streaming fact side left-joins a
+    * static dimension, explicitly broadcast — per micro-batch the dim
+    * is re-planned (Spark re-resolves static sides each batch, so a
+    * refreshed dim table is picked up), and no state store is
+    * involved. The standard "decorate events with account/source
+    * metadata at ingest" shape.
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
+  /** Stateless curation of a DOCUMENT stream: per-row quality signals
+    * (token count, mean token length, composite quality score,
+    * language id) plus the deterministic md5 train/val/test split —
+    * every one a scan-stage expression, so the stream needs no state
+    * store, no watermark, and no shuffle: ingest-time curation at
+    * wire speed. (The aggregation-shaped signals — repetition,
+    * entropy — stay batch-side where their per-doc groupBys belong;
+    * see t18's gate.)
+    */
+  def curateDocStream(docs: DataFrame, textCol: String, idCol: String,
+      splits: Seq[(String, Double)] = Seq(
+        "train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      minTokens: Long = 20L): DataFrame = {
+    val t = graft.pipeline.TextAnalysis
+    graft.pipeline.Sampling.hashSplit(
+        docs.withColumn("n_tokens", t.tokenCount(col(textCol)))
+          .withColumn("mean_token_len", t.meanTokenLen(col(textCol)))
+          .withColumn("quality", t.qualityScore(col(textCol)))
+          .withColumn("lang_guess", t.languageId(col(textCol))),
+        idCol, splits)
+      .where(col("n_tokens") >= minTokens)
+  }
 }

@@ -596,4 +596,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(MergeProcessor.mergeRows(a, Seq(b), distinct = false).count() == 4)
     assert(MergeProcessor.mergeRows(a, Seq(b), distinct = true).count() == 3)
   }
+
+  test("incremental near-dup equals the full run restricted to cross pairs") {
+    // the batch-vs-corpus operator must agree exactly with the global
+    // pair run filtered to (new, corpus) pairs — same shingles, same
+    // jaccard, only the execution shape differs
+    val docs = spark.read.parquet(s"${SparkFixture.sfDir}/documents.parquet")
+    val newB = docs.where(col("doc_id") % 10 === 0)
+    val corp = docs.where(col("doc_id") % 10 =!= 0)
+    val inc = graft.pipeline.Dedup.incrementalNearDupPairs(
+        newB, corp, "text", "doc_id", n = 3, threshold = 0.2,
+        maxCorpusPostings = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = graft.pipeline.Dedup.ngramJaccardPairs(
+        docs, "text", "doc_id", n = 3, threshold = 0.2, maxPostings = None)
+      .collect().flatMap { r =>
+        val (a, b, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        // full run emits id_a < id_b; reorient to (new, corpus)
+        if (a % 10 == 0 && b % 10 != 0) Some((a, b, j))
+        else if (b % 10 == 0 && a % 10 != 0) Some((b, a, j))
+        else None
+      }.toSet
+    assert(inc == full, s"incremental=${inc.size} full-cross=${full.size}")
+    assert(inc.nonEmpty, "fixture should contain cross-split near-dups")
+  }
+
+  test("incremental near-dup broadcasts the batch side (no sort-merge join)") {
+    val docs = spark.read.parquet(s"${SparkFixture.sfDir}/documents.parquet")
+    val df = graft.pipeline.Dedup.incrementalNearDupPairs(
+      docs.where(col("doc_id") % 10 === 0),
+      docs.where(col("doc_id") % 10 =!= 0),
+      "text", "doc_id")
+    val plan = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"new-batch shingles must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus side must never sort-merge on shingles:\n$plan")
+  }
 }

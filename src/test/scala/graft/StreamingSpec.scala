@@ -74,4 +74,47 @@ class StreamingSpec extends AnyFunSuite {
       assert(out.map(_.getAs[Long]("doc_id")).toSet.intersect(Set(1L, 2L)).size == 1)
     } finally q.stop()
   }
+
+  test("stream-static enrichment broadcasts the dim and keeps unmatched rows") {
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long, Double)](implicitly[org.apache.spark.sql.Encoder[(Timestamp, Long, Double)]], spark.sqlContext)
+    val stream = in.toDF().toDF("ts", "user_id", "value")
+    val dim = Seq((1L, "pro"), (2L, "free")).toDF("user_id", "tier")
+    val q = EventStreams.enrichWithDim(stream, dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((ts(0), 1L, 1.0), (ts(1), 9L, 2.0))
+      q.processAllAvailable()
+      val out = spark.table("enriched").collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[String]("tier")).toMap
+      assert(out == Map(1L -> "pro", 9L -> null), out.toString)
+    } finally q.stop()
+  }
+
+  test("stateless doc-stream curation: signals + split, no state store") {
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long, String)](implicitly[org.apache.spark.sql.Encoder[(Timestamp, Long, String)]], spark.sqlContext)
+    val docs = in.toDF().toDF("ts", "doc_id", "text")
+    val longText = ("the quick brown fox and some of it " * 4).trim
+    val q = EventStreams.curateDocStream(docs, "text", "doc_id", minTokens = 5L)
+      .writeStream.format("memory").queryName("curated")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((ts(0), 1L, longText), (ts(0, 30), 2L, "too short"))
+      q.processAllAvailable()
+      val out = spark.table("curated").collect()
+      assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(1L), out.mkString(";"))
+      val r = out.head
+      assert(r.getAs[Long]("n_tokens") == 32L)
+      assert(Set("train", "val", "test").contains(r.getAs[String]("split")))
+      // split assignment must equal the BATCH operator's for the same id
+      val batch = graft.pipeline.Sampling.hashSplit(
+          Seq((1L, "x")).toDF("doc_id", "text"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .collect().head.getAs[String]("split")
+      assert(r.getAs[String]("split") == batch,
+        "stream and batch split must agree on the same id")
+    } finally q.stop()
+  }
 }
