@@ -1112,6 +1112,41 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     })
 
+  // Dedup APPLIED: the corpus with each near-dup cluster collapsed to
+  // its min-id representative (pairs → transitive closure → anti-join)
+  // — the frame a training run actually consumes. Oracle = d06's
+  // recursive-CTE closure with the non-representatives removed.
+  private val d11 = Q("d11_deduped_corpus", Some("""
+    WITH RECURSIVE toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+          CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) AS jaccard
+        FROM inter
+          JOIN sizes na ON na.doc_id = id_a
+          JOIN sizes nb ON nb.doc_id = id_b)
+      WHERE jaccard >= 0.3),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach(u, v) AS (SELECT u, v FROM sym
+                    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_rep FROM reach GROUP BY u)
+    SELECT d.doc_id, d.source, d.lang FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_rep)
+    ORDER BY d.doc_id"""),
+    (s, dir) => Dedup.dedupedCorpus(T(s, dir, "documents"), "text", "doc_id",
+        n = 3, threshold = 0.3, maxPostings = None) // exact: oracle-comparable
+      .select(col("doc_id"), col("source"), col("lang"))
+      .orderBy(col("doc_id")))
+
   // Directed containment (near-subset) pairs: catches a small doc
   // embedded in a larger one, which Jaccard's union denominator
   // drowns. Both directions of every intersecting pair are scored.
@@ -2229,7 +2264,7 @@ object SparkEntry {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18,

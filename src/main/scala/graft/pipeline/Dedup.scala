@@ -203,6 +203,30 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** The actionable end of the dedup suite: the corpus with every
+    * near-dup CLUSTER collapsed to its minimum-id representative —
+    * pair detection ([[ngramJaccardPairs]]) → transitive closure
+    * ([[connectedComponents]]) → anti-join of the non-representative
+    * members. Removing only direct pair partners would leave A~C
+    * when A~B and B~C but A≁B directly; the closure removes the
+    * whole chain behind one representative.
+    *
+    * Scale shape: the anti-join's right side is (cluster members −
+    * representatives) — ids only, a sliver of the corpus, broadcast
+    * under AQE; document text never reshuffles. The closure's caches
+    * are scoped (see [[connectedComponents]]), so the composite is
+    * session-safe.
+    */
+  def dedupedCorpus(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.3,
+      maxPostings: Option[Int] = Some(10000)): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, textCol, idCol, n, threshold, maxPostings)
+    val losers = connectedComponents(pairs.select(col("id_a"), col("id_b")))
+      .where(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** INCREMENTAL near-dup pairs: the new batch × the existing corpus
     * only (no within-batch or within-corpus pairs) — the shape a
     * continuously-ingesting pipeline runs on every micro-batch, where

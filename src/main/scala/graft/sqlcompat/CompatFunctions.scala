@@ -143,6 +143,27 @@ object CompatFunctions {
       }
       Cast(es(0), arrowTypeToSpark(typeName))
     }
+    // The engine's codegen vector/text kernels, SQL-callable: an API
+    // user querying the embeddings/documents tables over the server's
+    // SQL route gets the same expressions the pipeline operators
+    // compile to (not UDFs — whole-stage codegen applies).
+    ifMissing("cosine_similarity") { es =>
+      graft.functions.VectorExpressions.CosineSimilarity(es(0), es(1))
+    }
+    ifMissing("dot_product") { es =>
+      graft.functions.VectorExpressions.DotProduct(es(0), es(1))
+    }
+    ifMissing("l2_norm") { es =>
+      graft.functions.VectorExpressions.L2Norm(es.head)
+    }
+    ifMissing("shingle_hashes") { es =>
+      val n = es(1) match {
+        case Literal(v, _) if v != null => v.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"shingle_hashes expects a literal n, got $other")
+      }
+      graft.functions.ShingleHashes(es(0), n)
+    }
     val _ = parser // reserved for future parse-based shims
   }
 

@@ -95,4 +95,38 @@ class CompatFunctionsSpec extends AnyFunSuite {
     assert(one("SELECT array_length(array(1,2,3))") == 3)
     assert(one("SELECT array_element(array(10,20,30), 2)") == 20)
   }
+
+  test("vector kernels are SQL-callable and match the Column API") {
+    val sim = one(
+      "SELECT cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D))")
+    assert(sim == 1.0)
+    assert(one("SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D))") == 11.0)
+    assert(one("SELECT l2_norm(array(3.0D, 4.0D))") == 5.0)
+    // same expression class the pipeline compiles to — spot-check SQL
+    // vs Column on a real embedding row
+    val emb = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+    emb.createOrReplaceTempView("emb_fn_check")
+    val viaSql = spark.sql(
+      """SELECT cosine_similarity(a.embedding, b.embedding) FROM
+         emb_fn_check a JOIN emb_fn_check b ON a.vec_id = 0 AND b.vec_id = 1""")
+      .collect().head.getDouble(0)
+    val viaCol = {
+      import org.apache.spark.sql.functions._
+      val a = emb.where(col("vec_id") === 0).select(col("embedding").as("ea"))
+      val b = emb.where(col("vec_id") === 1).select(col("embedding").as("eb"))
+      a.crossJoin(b)
+        .select(graft.functions.VectorExpressions.cosine(col("ea"), col("eb")))
+        .collect().head.getDouble(0)
+    }
+    assert(viaSql == viaCol, "SQL and Column routes must agree bit-for-bit")
+  }
+
+  test("shingle_hashes is SQL-callable with a literal n") {
+    val arr = spark.sql("SELECT shingle_hashes('a b c d', 2)")
+      .collect().head.getSeq[Long](0)
+    assert(arr.length == 3, s"3 distinct bigrams expected: $arr")
+    val err = intercept[Exception](
+      spark.sql("SELECT shingle_hashes('a b', len('xy'))").collect())
+    assert(err.getMessage.toLowerCase.contains("literal"))
+  }
 }
