@@ -1303,6 +1303,13 @@ object SparkEntry {
       "embedding", "vec_id", queryId = 0L, k = 10, m = 16, ksub = 16,
       rerank = 30))
 
+  // IVF-PQ (rows-only like s03/s12): coarse cells prune the scan, PQ
+  // codes replace vectors in the probed cells, bounded exact re-rank.
+  private val s13 = Q("s13_knn_ivfpq", None,
+    (s, dir) => graft.pipeline.Pq.searchTopKIvf(T(s, dir, "embeddings"),
+      "embedding", "vec_id", queryId = 0L, k = 10, numCells = 8,
+      nprobe = 4, m = 16, ksub = 16, rerank = 30))
+
   private val t01 = Q("t01_lang_id", Some("""
     WITH sc AS (
       SELECT doc_id,
@@ -2265,7 +2272,7 @@ object SparkEntry {
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11,
-    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12,
+    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18,
     m01, m02, m03)

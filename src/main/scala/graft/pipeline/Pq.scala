@@ -102,6 +102,55 @@ object Pq {
     emb.withColumn("codes",
       graft.functions.PqExpressions.pqEncode(col(vecCol), codebooks))
 
+  /** The collected query vector (one bounded driver row, like the
+    * training sample).
+    */
+  private[pipeline] def collectQuery(
+      emb: DataFrame, vecCol: String, idCol: String,
+      queryId: Long): Array[Double] =
+    emb.where(col(idCol) === lit(queryId))
+      .select(transform(col(vecCol), _.cast("double")).as("v"))
+      .collect() match {
+        case Array(row) => row.getSeq[Double](0).toArray
+        case other => throw new IllegalArgumentException(
+          s"queryId $queryId matched ${other.length} rows")
+      }
+
+  /** Per-subspace ADC tables for a query: (dot(q_j, c), |c|², |q|). */
+  private[pipeline] def adcTables(q: Array[Double],
+      books: Array[Array[Array[Double]]])
+      : (Array[Array[Double]], Array[Array[Double]], Double) = {
+    val sub = books.head.head.length
+    val dotTab: Array[Array[Double]] = books.zipWithIndex.map { case (cb, j) =>
+      cb.map { cent =>
+        var s = 0.0; var i = 0
+        while (i < sub) { s += q(j * sub + i) * cent(i); i += 1 }
+        s
+      }
+    }
+    val nrm2Tab: Array[Array[Double]] = books.map(_.map(_.map(x => x * x).sum))
+    (dotTab, nrm2Tab, math.sqrt(q.map(x => x * x).sum))
+  }
+
+  /** ADC top-candidates → exact-cosine re-rank: the candidate ids are
+    * a bounded driver list (≤ max(k, rerank)) that becomes an `isin`
+    * PUSHDOWN filter over the original vectors — join-free, the IVF
+    * probe-cell discipline.
+    */
+  private[pipeline] def rerankStage(emb: DataFrame, vecCol: String,
+      idCol: String, topAdc: DataFrame, q: Array[Double], k: Int,
+      rerank: Int): DataFrame =
+    if (rerank <= 0) topAdc.limit(k)
+    else {
+      val candIds = topAdc.select(col(idCol)).collect().map(_.getLong(0)).toSeq
+      val qlit = array(q.toSeq.map(lit): _*)
+      emb.where(col(idCol).isin(candIds: _*))
+        .withColumn("cos_sim", Similarity.cosine(col(vecCol), qlit))
+        .select(col(idCol), col("cos_sim"))
+        .orderBy(col("cos_sim").desc, col(idCol))
+        .limit(k)
+    }
+
   /** Top-k by ADC-approximated cosine against the corpus row with
     * id == queryId, with optional exact re-rank of the top `rerank`
     * ADC candidates. rerank = 0 returns pure ADC scores (`adc_sim`);
@@ -113,46 +162,59 @@ object Pq {
       iters: Int = 3, rerank: Int = 0,
       maxTrainRows: Int = 100000): DataFrame = {
     val books = trainCodebooks(emb, vecCol, idCol, m, ksub, iters, maxTrainRows)
-    val sub = books.head.head.length
-    val q: Array[Double] = emb.where(col(idCol) === lit(queryId))
-      .select(transform(col(vecCol), _.cast("double")).as("v"))
-      .collect() match {
-        case Array(row) => row.getSeq[Double](0).toArray
-        case other => throw new IllegalArgumentException(
-          s"queryId $queryId matched ${other.length} rows")
-      }
-    val qNorm = math.sqrt(q.map(x => x * x).sum)
-    // per-subspace query tables: dot(q_j, c) and |c|² per codebook entry
-    val dotTab: Array[Array[Double]] = books.zipWithIndex.map { case (cb, j) =>
-      cb.map { cent =>
-        var s = 0.0; var i = 0
-        while (i < sub) { s += q(j * sub + i) * cent(i); i += 1 }
-        s
-      }
-    }
-    val nrm2Tab: Array[Array[Double]] = books.map(_.map(_.map(x => x * x).sum))
+    val q = collectQuery(emb, vecCol, idCol, queryId)
+    val (dotTab, nrm2Tab, qNorm) = adcTables(q, books)
     val encoded = encode(emb.select(col(idCol), col(vecCol)), vecCol, books)
       .where(col(idCol) =!= lit(queryId))
     // cos(q, x̂) = Σ dot(q_j, c_code) / (|q| · sqrt(Σ |c_code|²)) — the
     // table-lookup codegen kernel (two array derefs per subspace)
-    val adc = encoded.withColumn("adc_sim",
-      graft.functions.PqExpressions.pqAdcScore(col("codes"), dotTab,
-        nrm2Tab, qNorm))
-    val topAdc = adc
+    val topAdc = encoded
+      .withColumn("adc_sim", graft.functions.PqExpressions.pqAdcScore(
+        col("codes"), dotTab, nrm2Tab, qNorm))
       .select(col(idCol), col("adc_sim"))
       .orderBy(col("adc_sim").desc, col(idCol))
       .limit(math.max(k, rerank))
-    if (rerank <= 0) topAdc.limit(k)
-    else {
-      // bounded collect (≤ rerank ids) → isin pushdown, like IVF's
-      // probe cells; exact cosine re-rank against inlined query
-      val candIds = topAdc.select(col(idCol)).collect().map(_.getLong(0)).toSeq
-      val qlit = array(q.toSeq.map(lit): _*)
-      emb.where(col(idCol).isin(candIds: _*))
-        .withColumn("cos_sim", Similarity.cosine(col(vecCol), qlit))
-        .select(col(idCol), col("cos_sim"))
-        .orderBy(col("cos_sim").desc, col(idCol))
-        .limit(k)
-    }
+    rerankStage(emb, vecCol, idCol, topAdc, q, k, rerank)
+  }
+
+  /** IVF-PQ: the canonical billion-scale composition — the coarse
+    * quantizer's cells prune the scan to `nprobe/numCells` of the
+    * corpus (an `isin` filter; directory pruning on a cell-partitioned
+    * write-back), PQ codes stand in for vectors inside the probed
+    * cells (ADC scoring, no vector IO), and the exact re-rank
+    * shortlist touches original vectors only through a bounded
+    * pushdown filter. Everything driver-trained and literal-inlined:
+    * the whole probe is join-free and exchange-free below the TopK.
+    *
+    * With nprobe = numCells and rerank ≥ corpus the result provably
+    * equals brute force (spec-pinned).
+    */
+  def searchTopKIvf(
+      emb: DataFrame, vecCol: String, idCol: String,
+      queryId: Long, k: Int, numCells: Int, nprobe: Int,
+      m: Int, ksub: Int, iters: Int = 3, rerank: Int = 0,
+      maxTrainRows: Int = 100000): DataFrame = {
+    val coarse = Ivf.trainCentroidArrays(emb, vecCol, idCol, numCells,
+      iters, maxTrainRows)
+    val centPairs = coarse.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
+    val books = trainCodebooks(emb, vecCol, idCol, m, ksub, iters, maxTrainRows)
+    val q = collectQuery(emb, vecCol, idCol, queryId)
+    val (dotTab, nrm2Tab, qNorm) = adcTables(q, books)
+    val probeCells: Seq[Long] = centPairs
+      .map { case (cell, cv) => (cell, Ivf.cosineLocal(q, cv)) }
+      .sortBy { case (cell, s) => (-s, cell) }
+      .take(nprobe)
+      .map(_._1)
+    val indexed = Clustering.assignToCentroidArrays(
+      emb.select(col(idCol), col(vecCol)), vecCol, idCol, centPairs)
+    val topAdc = encode(indexed, vecCol, books)
+      .where(col("cell").isin(probeCells: _*))
+      .where(col(idCol) =!= lit(queryId))
+      .withColumn("adc_sim", graft.functions.PqExpressions.pqAdcScore(
+        col("codes"), dotTab, nrm2Tab, qNorm))
+      .select(col(idCol), col("adc_sim"))
+      .orderBy(col("adc_sim").desc, col(idCol))
+      .limit(math.max(k, rerank))
+    rerankStage(emb, vecCol, idCol, topAdc, q, k, rerank)
   }
 }

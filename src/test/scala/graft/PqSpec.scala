@@ -83,6 +83,33 @@ class PqSpec extends AnyFunSuite {
     assert(rrR >= 0.7, s"reranked recall floor: $rrR")
   }
 
+  test("IVF-PQ with nprobe = numCells and full rerank equals brute force") {
+    val n = emb.count().toInt
+    val full = graft.pipeline.Pq.searchTopKIvf(emb, "embedding", "vec_id",
+        queryId = 0L, k = 10, numCells = 8, nprobe = 8, m = 16, ksub = 16,
+        iters = 2, rerank = n)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = graft.pipeline.Similarity.bruteForceTopK(
+        emb, "embedding", "vec_id", queryId = 0L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == exact, "exhaustive IVF-PQ must equal brute force")
+  }
+
+  test("IVF-PQ recall floor at partial probe; more probes never hurt") {
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = ids(graft.pipeline.Similarity.bruteForceTopK(
+      emb, "embedding", "vec_id", queryId = 0L, k = 10))
+    def ivfpq(np: Int) = ids(graft.pipeline.Pq.searchTopKIvf(
+      emb, "embedding", "vec_id", queryId = 0L, k = 10, numCells = 8,
+      nprobe = np, m = 16, ksub = 16, iters = 2, rerank = 30))
+    val r4 = (ivfpq(4) & exact).size / 10.0
+    val r8 = (ivfpq(8) & exact).size / 10.0
+    info(s"IVF-PQ recall@10: nprobe=4 -> $r4, nprobe=8 -> $r8")
+    assert(r4 >= 0.4, s"IVF-PQ recall collapsed: $r4")
+    assert(r8 >= r4, "recall must not shrink as nprobe grows")
+  }
+
   test("rerank >= corpus is exhaustive-equivalent on the candidate set") {
     // with rerank covering the whole corpus the ADC stage can't drop
     // a true neighbor: result must equal brute force exactly
