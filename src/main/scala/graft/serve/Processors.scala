@@ -93,4 +93,33 @@ object Processors {
     require(cols.nonEmpty, "select-columns: pluginOptions.columns required")
     df.select(cols.map(col): _*)
   })
+
+  /** `hash-split`: append the deterministic md5 train/val/test
+    * `split` column ([[graft.pipeline.Sampling.hashSplit]]) to any
+    * query result — the pipeline operator surfaced on the REST route,
+    * so an API user tags a result set reproducibly without shipping
+    * code. Options: `idColumn` (required); `splits` as an ARRAY of
+    * `{name, fraction}` in order (default 80/10/10 train/val/test) —
+    * an array, not an object, because split boundaries depend on
+    * declaration order and JSON object key order is not something a
+    * wire contract may lean on (Jackson happily reorders). Stays a
+    * scan-stage projection — lazy, no shuffle, applied before collect
+    * like every processor.
+    */
+  register("hash-split", (df, opts) => {
+    import scala.jdk.CollectionConverters._
+    val idCol = strOpt(opts, "idColumn").getOrElse(
+      throw new IllegalArgumentException("hash-split: pluginOptions.idColumn required"))
+    val splits: Seq[(String, Double)] = opts.get("splits") match {
+      case Some(n) if n.isArray =>
+        n.elements().asScala.map { e =>
+          e.get("name").asText() -> e.get("fraction").asDouble()
+        }.toSeq
+      case Some(_) =>
+        throw new IllegalArgumentException(
+          "hash-split: splits must be an array of {name, fraction}")
+      case None => Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    }
+    graft.pipeline.Sampling.hashSplit(df, idCol, splits)
+  })
 }

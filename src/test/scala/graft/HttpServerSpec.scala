@@ -90,6 +90,32 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { delete(s"/session/$sid"): Unit }
   }
 
+  test("postProcessors: hash-split tags the result with the batch operator's split") {
+    val body =
+      s"""{"dataSources":[{"format":"parquet","name":"documents",
+          "location":"${SparkFixture.sfDir}/documents.parquet"}],
+          "query":{"sql":"SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20",
+            "postProcessors":[{"module":"hash-split",
+              "pluginOptions":{"idColumn":"doc_id",
+                "splits":[{"name":"train","fraction":0.5},
+                          {"name":"holdout","fraction":0.25},
+                          {"name":"test","fraction":0.25}]}}]}}"""
+    val r = post("/dataframe/query", body)
+    assert(r.statusCode() == 200, r.body())
+    val rows = new com.fasterxml.jackson.databind.ObjectMapper().readTree(r.body())
+    assert(rows.size() == 20, r.body())
+    // assignments must equal the library operator's for the same ids
+    val expected = graft.pipeline.Sampling.hashSplit(
+        SparkFixture.spark.range(20).withColumnRenamed("id", "doc_id"),
+        "doc_id", Seq("train" -> 0.5, "holdout" -> 0.25, "test" -> 0.25))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    (0 until rows.size()).foreach { i =>
+      val n = rows.get(i)
+      assert(n.get("split").asText() == expected(n.get("doc_id").asLong()),
+        s"row $i: ${n.toString}")
+    }
+  }
+
   test("connector registry: custom scheme datasource ingests via the plugin") {
     // a "gen://" connector mirroring the reference's scheme-dispatched
     // datasource plugins: authority = generator kind, row count from
