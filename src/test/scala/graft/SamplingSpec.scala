@@ -76,4 +76,37 @@ class SamplingSpec extends AnyFunSuite {
     val out = Sampling.sourceMix(df, "s", "id", Map("a" -> (10, 1))).collect()
     assert(out.length == 2)
   }
+
+  test("hashSplit fractions land near target and assignment is growth-stable") {
+    val big = spark.range(2000).withColumnRenamed("id", "doc_id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val counts = Sampling.hashSplit(big, "doc_id", splits)
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000)
+    // md5 is uniform: 2000 draws put train within a loose band
+    assert(counts("train") > 1520 && counts("train") < 1680, counts.toString)
+    assert(counts("val") > 120 && counts("val") < 280, counts.toString)
+    // THE promise: a row's split is a pure function of its id — adding
+    // documents must not move any existing document between splits
+    val small = Sampling.hashSplit(
+        spark.range(500).withColumnRenamed("id", "doc_id"), "doc_id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val grown = Sampling.hashSplit(big, "doc_id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    small.foreach { case (id, s) =>
+      assert(grown(id) == s, s"id $id moved from $s to ${grown(id)} on growth")
+    }
+  }
+
+  test("hashSplit boundary quantization: fraction grid is 1/65536, last takes rest") {
+    // fractions below the grid floor to zero-width: a 1/65536-wide
+    // first split keeps exactly the ids whose md5 prefix is '0000'
+    val df = spark.range(100000).withColumnRenamed("id", "doc_id")
+    val tiny = Sampling.hashSplit(df, "doc_id",
+        Seq("a" -> (1.0 / 65536), "b" -> 0.5))
+      .where(org.apache.spark.sql.functions.col("split") === "a").count()
+    // P(prefix = 0000) = 1/65536 per id: expect ~1.5 of 100k; bound loosely
+    assert(tiny <= 10, s"grid-width split too wide: $tiny rows")
+  }
 }
