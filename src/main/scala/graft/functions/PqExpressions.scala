@@ -147,6 +147,10 @@ object PqExpressions {
       var j = 0
       while (j < m) {
         val c = codes.getInt(j)
+        // invalid input degrades to null like the length guard — an
+        // out-of-range code (encoded against a different codebook)
+        // must not AIOOBE the executor
+        if (c < 0 || c >= dotTab(j).length) return null
         dot += dotTab(j)(c)
         nrm2 += nrm2Tab(j)(c)
         j += 1
@@ -165,12 +169,18 @@ object PqExpressions {
           ${ev.isNull} = true;
         } else {
           double $dot = 0.0, $nrm2 = 0.0;
-          for (int $j = 0; $j < $m; $j++) {
+          for (int $j = 0; $j < $m && !${ev.isNull}; $j++) {
             int $c = $a.getInt($j);
-            $dot += $dt[$j][$c];
-            $nrm2 += $nt[$j][$c];
+            if ($c < 0 || $c >= $dt[$j].length) {
+              ${ev.isNull} = true;
+            } else {
+              $dot += $dt[$j][$c];
+              $nrm2 += $nt[$j][$c];
+            }
           }
-          ${ev.value} = $dot / (${qNorm}D * java.lang.Math.sqrt($nrm2));
+          if (!${ev.isNull}) {
+            ${ev.value} = $dot / (${qNorm}D * java.lang.Math.sqrt($nrm2));
+          }
         }
         """
       })

@@ -29,6 +29,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class ShingleHashes(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"shingle_hashes: n must be >= 1, got $n")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess

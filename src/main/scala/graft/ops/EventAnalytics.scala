@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Event-log analytics compositions (cohort retention, time-range
   * rolling aggregates) — the product-analytics shapes the reference's
@@ -59,22 +60,41 @@ object EventAnalytics {
     * bounds, so the frame is ordered by the µs epoch — exactly the
     * interval arithmetic the SQL spelling implies.
     *
-    * The sum accumulates DECIMAL(8,2), not double: a sliding double
-    * sum is accumulation-order-specific per engine, a decimal sum is
-    * exact — the avg is then ONE double division, bit-identical
-    * everywhere. One exchange + sort on (key, ts); incremental frame
-    * state is O(window rows), never the partition.
+    * The sum accumulates DECIMAL(`precision`,`scale`), not double: a
+    * sliding double sum is accumulation-order-specific per engine, a
+    * decimal sum is exact — the avg is then ONE double division,
+    * bit-identical everywhere. The default (20,2) holds |value| up to
+    * 10^18 at cent resolution; a value overflowing the precision (or
+    * carrying more fractional digits than `scale`) would be silently
+    * nulled/rounded by the non-ANSI cast, so pick them to FIT the
+    * data, not the fixture.
+    *
+    * The µs order key is materialized ONCE (`__ord`) and both window
+    * aggregates order by that attribute, so Catalyst plans a single
+    * exchange + a single sort; deriving `unix_micros(ts)` per
+    * aggregate would plan two Window operators each with its own
+    * partition-wide sort (caught reading the q65 plan dump).
+    * Incremental frame state is O(window rows), never the partition.
     */
   def trailingWindowStats(events: DataFrame, keyCol: String, tsCol: String,
-      valCol: String, windowMicros: Long): DataFrame = {
+      valCol: String, windowMicros: Long,
+      precision: Int = 20, scale: Int = 2): DataFrame = {
     require(windowMicros > 0, "windowMicros must be positive")
+    require(precision > scale && scale >= 0, "invalid decimal shape")
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(unix_micros(col(tsCol)))
+      .orderBy(col("__ord"))
       .rangeBetween(-windowMicros, 0)
     events
-      .withColumn("win_n", count(lit(1)).over(w))
-      .withColumn("win_sum",
-        sum(col(valCol).cast("decimal(8,2)")).over(w).cast("double"))
+      .withColumn("__ord", unix_micros(col(tsCol)))
+      // both aggregates in ONE projection: sequential withColumns
+      // leave a Project between the Window ops, which blocks
+      // Catalyst's CollapseWindow — two Window operators over the
+      // same spec instead of one
+      .select(col("*"),
+        count(lit(1)).over(w).as("win_n"),
+        sum(col(valCol).cast(DecimalType(precision, scale))).over(w)
+          .cast("double").as("win_sum"))
       .withColumn("win_avg", col("win_sum") / col("win_n"))
+      .drop("__ord")
   }
 }

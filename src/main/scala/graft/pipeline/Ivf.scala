@@ -45,20 +45,32 @@ object Ivf {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** The shared bounded training sample: the `maxRows` vectors with
+    * smallest xxhash64(id) — a seedless uniform sample, ONE cluster
+    * job + driver collect. Trainers that need the same sample
+    * (IVF-PQ's coarse quantizer + codebooks) pull it once and share.
+    */
+  private[pipeline] def hashSample(
+      emb: DataFrame, vecCol: String, idCol: String,
+      maxRows: Int): Array[Array[Double]] =
+    emb.select(col(idCol), col(vecCol))
+      .withColumn("h", xxhash64(col(idCol)))
+      .orderBy(col("h"))
+      .limit(maxRows)
+      .select(transform(col(vecCol), _.cast("double")).as("v"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+
   /** Lloyd training returning the raw centroid arrays (the form the
     * literal-inlined assignment and probe planning consume).
     */
   private[pipeline] def trainCentroidArrays(
       emb: DataFrame, vecCol: String, idCol: String,
-      k: Int, iters: Int, maxTrainRows: Int): Array[Array[Double]] = {
-    val sample: Array[Array[Double]] = emb
-      .select(col(idCol), col(vecCol))
-      .withColumn("h", xxhash64(col(idCol)))
-      .orderBy(col("h"))
-      .limit(maxTrainRows)
-      .select(transform(col(vecCol), _.cast("double")).as("v"))
-      .collect()
-      .map(_.getSeq[Double](0).toArray)
+      k: Int, iters: Int, maxTrainRows: Int): Array[Array[Double]] =
+    trainOnSample(hashSample(emb, vecCol, idCol, maxTrainRows), k, iters)
+
+  private[pipeline] def trainOnSample(
+      sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
     require(sample.nonEmpty, "cannot build centroids from an empty corpus")
     val dim = sample.head.length
     var centroids: Array[Array[Double]] = sample.take(k).map(_.clone())

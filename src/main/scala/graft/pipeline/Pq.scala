@@ -39,15 +39,17 @@ object Pq {
   def trainCodebooks(
       emb: DataFrame, vecCol: String, idCol: String,
       m: Int, ksub: Int, iters: Int,
-      maxTrainRows: Int): Array[Array[Array[Double]]] = {
-    val sample: Array[Array[Double]] = emb
-      .select(col(idCol), col(vecCol))
-      .withColumn("h", xxhash64(col(idCol)))
-      .orderBy(col("h"))
-      .limit(maxTrainRows)
-      .select(transform(col(vecCol), _.cast("double")).as("v"))
-      .collect()
-      .map(_.getSeq[Double](0).toArray)
+      maxTrainRows: Int): Array[Array[Array[Double]]] =
+    trainCodebooksOnSample(
+      Ivf.hashSample(emb, vecCol, idCol, maxTrainRows), m, ksub, iters)
+
+  /** Codebooks from an already-pulled sample — [[Ivf.hashSample]] is
+    * shared with the coarse quantizer so IVF-PQ scans the corpus for
+    * its training sample ONCE, not once per trainer.
+    */
+  private[pipeline] def trainCodebooksOnSample(
+      sample: Array[Array[Double]],
+      m: Int, ksub: Int, iters: Int): Array[Array[Array[Double]]] = {
     require(sample.nonEmpty, "cannot train codebooks on an empty corpus")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
@@ -194,10 +196,10 @@ object Pq {
       queryId: Long, k: Int, numCells: Int, nprobe: Int,
       m: Int, ksub: Int, iters: Int = 3, rerank: Int = 0,
       maxTrainRows: Int = 100000): DataFrame = {
-    val coarse = Ivf.trainCentroidArrays(emb, vecCol, idCol, numCells,
-      iters, maxTrainRows)
+    val sample = Ivf.hashSample(emb, vecCol, idCol, maxTrainRows)
+    val coarse = Ivf.trainOnSample(sample, numCells, iters)
     val centPairs = coarse.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
-    val books = trainCodebooks(emb, vecCol, idCol, m, ksub, iters, maxTrainRows)
+    val books = trainCodebooksOnSample(sample, m, ksub, iters)
     val q = collectQuery(emb, vecCol, idCol, queryId)
     val (dotTab, nrm2Tab, qNorm) = adcTables(q, books)
     val probeCells: Seq[Long] = centPairs

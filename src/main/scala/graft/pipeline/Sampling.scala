@@ -116,6 +116,13 @@ object Sampling {
     * grid and the LAST split takes the remainder, so fractions
     * need not sum to exactly 1.0.
     *
+    * NULL ids land in the LAST split — md5(NULL) is NULL, every
+    * `WHEN key < bound` is null-false, and the ELSE fires. This is
+    * standard SQL CASE semantics and both engines agree (the oracle
+    * hash-match holds either way), but it means a nullable id column
+    * silently skews the final split: enforce id non-nullness upstream
+    * if that matters.
+    *
     * Scale shape: a scan-stage codegen CASE over a 4-char substring —
     * no shuffle, no state; the split of 100 TB costs one pass.
     */

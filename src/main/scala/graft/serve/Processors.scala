@@ -113,7 +113,15 @@ object Processors {
     val splits: Seq[(String, Double)] = opts.get("splits") match {
       case Some(n) if n.isArray =>
         n.elements().asScala.map { e =>
-          e.get("name").asText() -> e.get("fraction").asDouble()
+          // validate, don't dereference: a typo'd key would NPE into a
+          // 500 where the route contract promises a 400 for bad input
+          val name = Option(e.get("name")).filter(_.isTextual).getOrElse(
+            throw new IllegalArgumentException(
+              "hash-split: each splits element needs a string 'name'"))
+          val frac = Option(e.get("fraction")).filter(_.isNumber).getOrElse(
+            throw new IllegalArgumentException(
+              "hash-split: each splits element needs a numeric 'fraction'"))
+          name.asText() -> frac.asDouble()
         }.toSeq
       case Some(_) =>
         throw new IllegalArgumentException(

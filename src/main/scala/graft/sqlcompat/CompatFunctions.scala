@@ -158,10 +158,16 @@ object CompatFunctions {
     }
     ifMissing("shingle_hashes") { es =>
       val n = es(1) match {
-        case Literal(v, _) if v != null => v.toString.toInt
+        // integral literals only: a double like 2.0 must be a clean
+        // request error, not a NumberFormatException → HTTP 500
+        case Literal(v: Int, _) => v
+        case Literal(v: Long, _) => v.toInt
+        case Literal(v: Short, _) => v.toInt
+        case Literal(v: Byte, _) => v.toInt
         case other => throw new IllegalArgumentException(
-          s"shingle_hashes expects a literal n, got $other")
+          s"shingle_hashes expects an integer literal n, got $other")
       }
+      require(n >= 1, s"shingle_hashes: n must be >= 1, got $n")
       graft.functions.ShingleHashes(es(0), n)
     }
     val _ = parser // reserved for future parse-based shims

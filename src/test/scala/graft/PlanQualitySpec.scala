@@ -263,11 +263,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"retention join must stay keyed:\n$plan")
   }
 
-  test("time-range rolling window is one keyed exchange + window") {
-    val df = SparkEntry.queries("q65_time_range_window")(spark, sf)
+  test("time-range rolling window is one keyed exchange + ONE window") {
+    // operator-level plan (no presentation ORDER BY): both aggregates
+    // must share a single Window operator — a shared order-key column
+    // and a single projection keep CollapseWindow applicable
+    val df = graft.ops.EventAnalytics.trailingWindowStats(
+      Tables.events(spark, sf), "user_id", "ts", "value",
+      7L * 24 * 3600 * 1000000L)
     val plan = planOf(df)
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected one user-keyed exchange, got $exchanges:\n$plan")
+    val windows = "\\bWindow\\b".r.findAllIn(plan).size
+    assert(windows == 1, s"expected ONE collapsed Window operator, got $windows:\n$plan")
     assert(plan.contains("RANGE BETWEEN") || plan.contains("specifiedwindowframe(RangeFrame"),
       s"expected a range frame:\n$plan")
   }
