@@ -1310,6 +1310,17 @@ object SparkEntry {
       "embedding", "vec_id", queryId = 0L, k = 10, numCells = 8,
       nprobe = 4, m = 16, ksub = 16, rerank = 30))
 
+  // Batch PQ ADC (rows-only): every query scored in ONE pass over the
+  // codes; corpus vectors never read. PqSpec pins batch == single.
+  private val s14 = Q("s14_knn_pq_batch", None,
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      graft.pipeline.Pq.searchTopKBatch(emb,
+          emb.filter(col("vec_id") < 3), "embedding", "vec_id", "vec_id",
+          k = 5, m = 16, ksub = 16)
+        .orderBy(col("query_id"), col("rank"))
+    })
+
   private val t01 = Q("t01_lang_id", Some("""
     WITH sc AS (
       SELECT doc_id,
@@ -1948,6 +1959,31 @@ object SparkEntry {
         col("win_n"), col("win_sum"), col("win_avg"))
       .orderBy(col("event_id")))
 
+  // EXACT percentiles per group (Spark `percentile` vs DuckDB
+  // `quantile_cont` — same linear interpolation, verified
+  // bit-identical). Exact percentile buffers each group's values at
+  // the reducer: right for bounded group cardinality like this;
+  // q33's approx_percentile sketch is the unbounded-cardinality
+  // 100 TB path.
+  private val q66 = Q("q66_exact_percentiles", Some("""
+    SELECT event_type,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      MIN(value) AS min_v,
+      quantile_cont(value, 0.5) AS p50,
+      quantile_cont(value, 0.95) AS p95,
+      quantile_cont(value, 0.99) AS p99,
+      MAX(value) AS max_v
+    FROM events GROUP BY event_type ORDER BY event_type"""),
+    (s, dir) => Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("min_v"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"),
+        expr("percentile(value, 0.99)").as("p99"),
+        max(col("value")).as("max_v"))
+      .orderBy(col("event_type")))
+
   // Gopher-style repetition signal: fraction of a doc's 2-grams taken
   // by its most frequent one (degenerate generated text → ~1).
   private val t08 = Q("t08_repetition", Some("""
@@ -2271,8 +2307,9 @@ object SparkEntry {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
+    q66,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11,
-    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
+    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18,
     m01, m02, m03)

@@ -179,6 +179,59 @@ object Pq {
     rerankStage(emb, vecCol, idCol, topAdc, q, k, rerank)
   }
 
+  /** Batch ADC search: top-k for EVERY query row in one corpus scan.
+    * The query set is collected to the driver (bounded by
+    * `maxQueryRows`, like the training sample — a batch of query
+    * vectors is index metadata, not data) and each query contributes
+    * one ADC kernel column over the shared codes; the per-query
+    * (query_id, adc) pairs explode in the scan stage and a rank
+    * filter on the literal k keeps InferWindowGroupLimit applicable —
+    * per-map-partition forwarding is capped at k per query, the
+    * [[Similarity.lshTopKBatch]] discipline.
+    *
+    * Scale shape: ONE pass over codes (m·|queries| array lookups per
+    * row), one rank exchange keyed by query — corpus vectors are
+    * never read at all, and nothing joins.
+    */
+  def searchTopKBatch(
+      emb: DataFrame, queries: DataFrame, vecCol: String, idCol: String,
+      queryIdCol: String, k: Int, m: Int, ksub: Int,
+      iters: Int = 3, maxTrainRows: Int = 100000,
+      maxQueryRows: Int = 1000): DataFrame = {
+    val books = trainCodebooks(emb, vecCol, idCol, m, ksub, iters, maxTrainRows)
+    val qRows = queries.select(col(queryIdCol),
+        transform(col(vecCol), _.cast("double")).as("v"))
+      .limit(maxQueryRows + 1)
+      .collect()
+    require(qRows.length <= maxQueryRows,
+      s"query batch exceeds maxQueryRows=$maxQueryRows — broadcast-join " +
+        "shapes (lshTopKBatch) fit unbounded query sets")
+    require(qRows.nonEmpty, "empty query batch")
+    val encoded = encode(emb.select(col(idCol), col(vecCol)), vecCol, books)
+    val scoreCols: Seq[Column] = qRows.toSeq.map { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Double](1).toArray
+      val (dotTab, nrm2Tab, qNorm) = adcTables(q, books)
+      struct(lit(qid).as("query_id"),
+        graft.functions.PqExpressions.pqAdcScore(col("codes"), dotTab,
+          nrm2Tab, qNorm).as("adc_sim"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_sim").desc, col(idCol))
+    // no self-match filter — the lshTopKBatch contract: the caller
+    // controls the corpus (exclude the query rows to mirror
+    // single-query semantics)
+    encoded
+      .select(col(idCol), explode(array(scoreCols: _*)).as("qs"))
+      .select(col("qs.query_id").as("query_id"), col(idCol),
+        col("qs.adc_sim").as("adc_sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("adc_sim"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** IVF-PQ: the canonical billion-scale composition — the coarse
     * quantizer's cells prune the scan to `nprobe/numCells` of the
     * corpus (an `isin` filter; directory pruning on a cell-partitioned

@@ -46,7 +46,9 @@ object ExplainDump {
       "s12_knn_pq" -> "PQ ANN — the exact re-rank stage (the preceding ADC pass is map-only scan + TopK with the encode/ADC kernels in the scan stage, pinned by PlanQualitySpec): the bounded candidate-id set is PUSHED into the parquet scan (PushedFilters: In(vec_id, ...)), cosine re-rank + TopK, no join or exchange anywhere",
       "t17_hash_split" -> "hash split: scan-stage md5-prefix CASE — the only exchange below is the query's presentation ORDER BY; the operator itself is exchange-free (PlanQualitySpec pins it), so the 100 TB split is one pass",
       "q64_cohort_retention" -> "cohort retention: first-event agg and distinct-activity agg both partial-aggregate before their user-keyed exchanges; keyed join, then a tiny (cohort, offset) rollup",
-      "q65_time_range_window" -> "time-range rolling window: ONE user-keyed exchange + sort; RANGE frame over the µs epoch with incremental frame state; decimal accumulation",
+      "q65_time_range_window" -> "time-range rolling window: ONE user-keyed exchange + sort; RANGE frame over the µs epoch with incremental frame state; decimal accumulation; both aggregates share one collapsed Window operator",
+      "d10_incremental_neardup" -> "incremental dedup: the corpus side scans once with the new batch's shingles BROADCAST (no corpus text shuffle); count-first spam guard; pair/size joins AQE-broadcast",
+      "t18_quality_gate" -> "quality gate: three id-keyed partial-agg signal branches (base/repetition/entropy) joined co-partitioned on doc_id",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")

@@ -243,6 +243,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$plan")
   }
 
+  test("batch PQ: one codes scan, no join, WindowGroupLimit caps per-query rows") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val df = graft.pipeline.Pq.searchTopKBatch(emb,
+      emb.where(org.apache.spark.sql.functions.col("vec_id") < 2),
+      "embedding", "vec_id", "vec_id", k = 5, m = 8, ksub = 8, iters = 1)
+    val plan = planOf(df)
+    assert(!plan.contains("Join"), s"batch ADC must not join:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-query top-k must cap map-side:\n$plan")
+    assert(plan.contains("pqencode") || plan.contains("pqadcscore") ||
+      plan.contains("PqEncode") || plan.contains("PqAdcScore"),
+      s"PQ kernels missing from the scan stage:\n$plan")
+  }
+
   test("hash split is a scan-stage projection: no exchange at all") {
     val df = graft.pipeline.Sampling.hashSplit(
       spark.read.parquet(s"$sf/documents.parquet"), "doc_id",

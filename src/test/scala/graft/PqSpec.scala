@@ -110,6 +110,32 @@ class PqSpec extends AnyFunSuite {
     assert(r8 >= r4, "recall must not shrink as nprobe grows")
   }
 
+  test("batch PQ equals single-query ADC per query id") {
+    // both paths must train their codebooks on the SAME frame (the
+    // full corpus), or Lloyd means differ and scores diverge — so the
+    // batch runs over the full corpus and the query's self-row is
+    // dropped post hoc; the remaining ranked (id, score) sequence
+    // must equal single-query searchTopK's exactly
+    val single = graft.pipeline.Pq.searchTopK(emb, "embedding", "vec_id",
+        queryId = 0L, k = 10, m = 16, ksub = 16, iters = 2, rerank = 0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val batch = graft.pipeline.Pq.searchTopKBatch(emb,
+        emb.where(col("vec_id") === 0L),
+        "embedding", "vec_id", "vec_id", k = 11, m = 16, ksub = 16,
+        iters = 2)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+      .filterNot(_._1 == 0L).take(10).toSeq
+    assert(batch == single, s"batch and single ADC diverge")
+  }
+
+  test("batch PQ rejects an unbounded query set") {
+    val err = intercept[IllegalArgumentException](
+      graft.pipeline.Pq.searchTopKBatch(emb, emb, "embedding", "vec_id",
+        "vec_id", k = 5, m = 16, ksub = 16, maxQueryRows = 10))
+    assert(err.getMessage.contains("maxQueryRows"))
+  }
+
   test("rerank >= corpus is exhaustive-equivalent on the candidate set") {
     // with rerank covering the whole corpus the ADC stage can't drop
     // a true neighbor: result must equal brute force exactly
