@@ -2208,6 +2208,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     })
 
+  // Unigram-LM log-prob (the perplexity-proxy quality filter): mean
+  // ln(count(tok)/N) per doc with the model fit on the corpus itself.
+  // Spark joins hashed tokens (strings never shuffle); the oracle
+  // joins strings — identical counts absent 64-bit collisions, and
+  // the 6-dp round absorbs ln accumulation order (t15 treatment).
+  private val t19 = Q("t19_unigram_logprob", Some("""
+    WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                  FROM documents),
+    dc AS (SELECT doc_id, tok, COUNT(*) AS c_doc FROM toks GROUP BY doc_id, tok),
+    freq AS (SELECT tok, SUM(c_doc) AS c FROM dc GROUP BY tok),
+    n AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM freq)
+    SELECT doc_id, CAST(SUM(c_doc) AS BIGINT) AS n_tokens,
+      ROUND(SUM(CAST(c_doc AS DOUBLE) * ln(CAST(c AS DOUBLE) / n_total))
+        / CAST(SUM(c_doc) AS DOUBLE), 6) AS mean_logp
+    FROM dc JOIN freq USING (tok), n
+    GROUP BY doc_id ORDER BY doc_id"""),
+    (s, dir) => TextAnalysis.unigramLogProb(T(s, dir, "documents"), "text", "doc_id")
+      .select(col("id").as("doc_id"), col("n_tokens"), col("mean_logp"))
+      .orderBy(col("doc_id")))
+
   // Data-mixing resampler: per-source quotas (top-k by the stable md5
   // rank) plus epoch upsampling — 8×1 epoch for src0-4, 4×2 for
   // src5-9, 2×3 for src10-19.
@@ -2311,7 +2331,7 @@ object SparkEntry {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18,
+    t15, t16, t17, t18, t19,
     m01, m02, m03)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =

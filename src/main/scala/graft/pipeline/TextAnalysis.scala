@@ -268,6 +268,44 @@ object TextAnalysis {
           .as("entropy"))
   }
 
+  /** Unigram language-model log-probability per document — the
+    * perplexity-proxy quality signal: score(doc) = mean over its
+    * tokens of ln(count(tok)/N), with the unigram model fit on the
+    * corpus itself. Garbage/rare-token documents score low; this is
+    * the cheap stand-in for the LM-perplexity filter real curation
+    * pipelines run.
+    *
+    * Scale shape: tokens hash to 64 bits map-side (the frequency
+    * shuffle carries (hash, count), never strings); the per-doc score
+    * joins doc tokens to the frequency table on the hash — both sides
+    * partial-aggregated, both keyed on the hash, so the join reuses
+    * one partitioning. The corpus total N is a 1-row broadcast.
+    * Rounded to 6 dp (ln accumulation order is engine-specific, the
+    * t15 treatment).
+    *
+    * @return (id, n_tokens, mean_logp)
+    */
+  def unigramLogProb(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = graft.ops.ScaleOps.fanOut(docs)
+      .select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("th"))
+    val docCounts = toks.groupBy(col("id"), col("th"))
+      .agg(count(lit(1)).as("c_doc"))
+    val freq = docCounts.groupBy(col("th"))
+      .agg(sum(col("c_doc")).as("c"))
+    val total = freq.agg(sum(col("c")).cast("double").as("n_total"))
+    docCounts.join(freq, Seq("th"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("id"))
+      .agg(
+        sum(col("c_doc")).as("n_tokens"),
+        round(
+          (sum(col("c_doc").cast("double") *
+            log(col("c").cast("double") / col("n_total"))) /
+            sum(col("c_doc")).cast("double")), 6).as("mean_logp"))
+  }
+
   /** Full per-document stats frame. */
   def stats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -61,6 +61,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ index write-back: an ADC scan reads codes only, never vectors") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+    val books = graft.pipeline.Pq.trainCodebooks(emb, "embedding", "vec_id",
+      m = 8, ksub = 8, iters = 1, maxTrainRows = 1000)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+    try {
+      // the PQ "index" is (id, codes) — written back once, the ADC
+      // scan then reads m ints per row instead of dim floats
+      graft.pipeline.Pq.encode(emb, "embedding", books)
+        .select(col("vec_id"), col("codes"))
+        .write.mode("overwrite").parquet(dir)
+      val q = graft.pipeline.Pq.collectQuery(emb, "embedding", "vec_id", 0L)
+      val (dt, nt, qn) = graft.pipeline.Pq.adcTables(q, books)
+      val scored = spark.read.parquet(dir)
+        .withColumn("adc_sim",
+          graft.functions.PqExpressions.pqAdcScore(col("codes"), dt, nt, qn))
+        .orderBy(col("adc_sim").desc, col("vec_id")).limit(5)
+      val p = plan(scored)
+      assert(p.contains("ReadSchema: struct<vec_id:bigint,codes:array<int>>"),
+        s"ADC scan must read codes only:\n$p")
+      assert(!p.contains("embedding"), s"vectors must not be read:\n$p")
+      assert(scored.count() == 5)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("bucketed pair joins without an exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
