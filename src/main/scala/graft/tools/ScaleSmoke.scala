@@ -118,6 +118,23 @@ object ScaleSmoke {
             col("value").as("err_value"))
         graft.ops.TemporalJoins.asofJoin(clicks, errors, "user_id", "ts", "ts",
           Seq("err_value", "err_id"), rightOrd = Some("err_id")).count() }
+      time("d10 incremental dedup (1% batch)") {
+        graft.pipeline.Dedup.incrementalNearDupPairs(
+          docs.where(col("doc_id") % 100 === 0),
+          docs.where(col("doc_id") % 100 =!= 0),
+          "text", "doc_id").count() }
+      time("t18-style quality gate") {
+        val base = docs.select(col("doc_id"),
+          graft.pipeline.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        val rep = graft.pipeline.TextAnalysis.repetitionStats(
+          docs, "text", "doc_id", n = 2).select(col("id").as("doc_id"),
+          col("repetition_ratio"))
+        base.join(rep, Seq("doc_id"))
+          .where(col("n_tokens") >= 20 && col("repetition_ratio") < 0.2)
+          .count() }
+      time("t19 unigramLogProb") {
+        graft.pipeline.TextAnalysis.unigramLogProb(
+          docs, "text", "doc_id").count() }
       time("s12 pqEncode m=16") {
         val books = graft.pipeline.Pq.trainCodebooks(emb, "embedding",
           "vec_id", m = 16, ksub = 16, iters = 2, maxTrainRows = 10000)

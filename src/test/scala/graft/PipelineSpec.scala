@@ -621,6 +621,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(inc.nonEmpty, "fixture should contain cross-split near-dups")
   }
 
+  test("incremental near-dup spam guard drops hot corpus shingles") {
+    import spark.implicits._
+    // 30 corpus docs all sharing one spam shingle with the batch doc;
+    // plus one legitimate pair under the cap
+    val corpus = ((1L to 30L).map(i => (i, "spam spam spam spam spam")) ++
+      Seq((31L, "alpha beta gamma delta epsilon"))).toDF("doc_id", "text")
+    val batch = Seq((100L, "spam spam spam spam spam"),
+      (101L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val exact = graft.pipeline.Dedup.incrementalNearDupPairs(
+      batch, corpus, "text", "doc_id", n = 3, threshold = 0.5,
+      maxCorpusPostings = None).count()
+    assert(exact == 31L, "uncapped: 30 spam pairs + 1 legit pair")
+    val capped = graft.pipeline.Dedup.incrementalNearDupPairs(
+        batch, corpus, "text", "doc_id", n = 3, threshold = 0.5,
+        maxCorpusPostings = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((101L, 31L)),
+      s"only the under-cap pair must survive: $capped")
+  }
+
   test("incremental near-dup broadcasts the batch side (no sort-merge join)") {
     val docs = spark.read.parquet(s"${SparkFixture.sfDir}/documents.parquet")
     val df = graft.pipeline.Dedup.incrementalNearDupPairs(
