@@ -96,6 +96,12 @@ final class SessionManager(root: SparkSession, reaperPeriodMs: Long = 1000L) {
   def create(id: Option[String] = None, keepAliveSecs: Long = 3600L): SessionHandle = {
     val sid = id.getOrElse(UUID.randomUUID().toString)
     val h = new SessionHandle(sid, root.newSession(), keepAliveSecs, System.currentTimeMillis())
+    // newSession() builds a FRESH function registry (temp functions do
+    // not inherit from the root session), so every API session must
+    // re-register the dialect shims + SQL kernels or session-route SQL
+    // like date_bin/sha256/cosine_similarity fails UNRESOLVED_ROUTINE
+    // (caught by a live probe; SessionManagerSpec pins it now)
+    graft.sqlcompat.CompatFunctions.registerAll(h.spark)
     val prev = sessions.putIfAbsent(sid, h)
     if (prev != null) throw new IllegalArgumentException(s"session exists: $sid")
     h

@@ -65,4 +65,22 @@ class SessionManagerSpec extends AnyFunSuite {
       assert(r.head.getString(0) == "1")
     } finally mgr.shutdown()
   }
+
+  test("API sessions resolve the compat shims and SQL kernels") {
+    // newSession() builds a fresh function registry: without the
+    // per-session registerAll, every shim fails UNRESOLVED_ROUTINE on
+    // the session route even though the root session has it
+    val mgr = new graft.engine.SessionManager(SparkFixture.spark)
+    try {
+      val h = mgr.create(Some("fnreg"))
+      assert(mgr.sql(h, "SELECT sha256('x') AS h").collect()
+        .head.getString(0).nonEmpty)
+      assert(mgr.sql(h,
+        "SELECT cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+        .collect().head.getDouble(0) == 1.0)
+      assert(mgr.sql(h,
+        "SELECT date_bin(60, TIMESTAMP '1970-01-01 00:02:30') AS b")
+        .collect().head.getTimestamp(0).toString.contains("00:02:00"))
+    } finally mgr.shutdown()
+  }
 }
