@@ -107,7 +107,7 @@ object Pq {
   /** The collected query vector (one bounded driver row, like the
     * training sample).
     */
-  def collectQuery(
+  private[graft] def collectQuery(
       emb: DataFrame, vecCol: String, idCol: String,
       queryId: Long): Array[Double] =
     emb.where(col(idCol) === lit(queryId))
@@ -119,7 +119,7 @@ object Pq {
       }
 
   /** Per-subspace ADC tables for a query: (dot(q_j, c), |c|², |q|). */
-  def adcTables(q: Array[Double],
+  private[graft] def adcTables(q: Array[Double],
       books: Array[Array[Array[Double]]])
       : (Array[Array[Double]], Array[Array[Double]], Double) = {
     val sub = books.head.head.length

@@ -49,6 +49,9 @@ object ExplainDump {
       "q65_time_range_window" -> "time-range rolling window: ONE user-keyed exchange + sort; RANGE frame over the µs epoch with incremental frame state; decimal accumulation; both aggregates share one collapsed Window operator",
       "d10_incremental_neardup" -> "incremental dedup: the corpus side scans once with the new batch's shingles BROADCAST (no corpus text shuffle); count-first spam guard; pair/size joins AQE-broadcast",
       "t18_quality_gate" -> "quality gate: three id-keyed partial-agg signal branches (base/repetition/entropy) joined co-partitioned on doc_id",
+      "t19_unigram_logprob" -> "unigram-LM log-prob: tokens hash map-side, the doc-counts/frequency join shares one hash partitioning, corpus total is a 1-row broadcast",
+      "d11_deduped_corpus" -> "dedup applied: pair graph -> closure labels -> ids-only anti-join (flagged side broadcast under AQE); document text never reshuffles",
+      "s14_knn_pq_batch" -> "batch PQ: per-query ADC kernel columns exploded in the scan stage over ONE codes pass; Partial WindowGroupLimit caps per-query forwarding at k; no join, vectors never read",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")
