@@ -75,6 +75,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionizer agrees with the batch (q62) sessionization on closed sessions") {
+    // the fMGWS handler in batch mode emits every CLOSED session and
+    // keeps each user's trailing session in (discarded) state; the
+    // window-based batch formulation emits ALL sessions — so batch
+    // minus each user's LAST session must equal the handler's output
+    // exactly (same gap, same aggregates) on the real events table
+    import spark.implicits._
+    val gapMs = 30 * 60 * 1000L
+    val ev = graft.Tables.events(spark, SparkFixture.sfDir)
+    val typed = ev.select(
+        org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("value"))
+      .as[EventStreams.Event]
+    val streamed = EventStreams.sessionize(typed, gapMs = gapMs,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+      .collect()
+      .map(s => (s.user_id, s.session_start.getTime, s.session_end.getTime,
+        s.n_events, math.round(s.sum_value * 100)))
+      .toSet
+    val batchAll = graft.SparkEntry.queries("q62_sessionize_batch")(
+        spark, SparkFixture.sfDir)
+      .collect()
+      .map { r =>
+        def ms(c: String) = r.getAs[java.time.LocalDateTime](c)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        (r.getAs[Long]("user_id"), ms("session_start"), ms("session_end"),
+          r.getAs[Long]("n_events"),
+          math.round(r.getAs[Double]("sum_value") * 100))
+      }
+    // drop each user's last (still-open) session
+    val lastPerUser = batchAll.groupBy(_._1).view
+      .mapValues(_.maxBy(_._2)).values.toSet
+    val batchClosed = batchAll.toSet -- lastPerUser
+    assert(streamed == batchClosed,
+      s"streamed=${streamed.size} batchClosed=${batchClosed.size}; " +
+        s"onlyStreamed=${(streamed -- batchClosed).take(3)}; " +
+        s"onlyBatch=${(batchClosed -- streamed).take(3)}")
+    assert(streamed.nonEmpty, "fixture should close at least one session")
+  }
+
   test("stream-static enrichment broadcasts the dim and keeps unmatched rows") {
     import spark.implicits._
     val in = MemoryStream[(Timestamp, Long, Double)](implicitly[org.apache.spark.sql.Encoder[(Timestamp, Long, Double)]], spark.sqlContext)
