@@ -92,7 +92,7 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     }
   }
 
-  private def gen(rnd: scala.util.Random): String = rnd.nextInt(6) match {
+  private def gen(rnd: scala.util.Random): String = rnd.nextInt(9) match {
     case 0 => // filtered projection
       val t = tables(rnd.nextInt(tables.size))
       val (ics, scs) = cols(t)
@@ -137,13 +137,39 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       val dir = if (rnd.nextBoolean()) "DESC" else "ASC"
       s"""SELECT $ic, $sc FROM $t WHERE ${pred(rnd, t)}
           ORDER BY $ic $dir, $sc LIMIT ${1 + rnd.nextInt(20)}"""
+    case 6 => // window functions over a deterministic total order
+      val t = tables(rnd.nextInt(tables.size))
+      val (ics, scs) = cols(t)
+      val ic = ics(rnd.nextInt(ics.size))
+      val key = ics.head // unique-ish tiebreak keeps ranks total
+      val sc = scs(rnd.nextInt(scs.size))
+      val fn = Seq("ROW_NUMBER()", "RANK()", "DENSE_RANK()")(rnd.nextInt(3))
+      s"""SELECT $key, CAST($fn OVER (PARTITION BY $sc ORDER BY $ic, $key)
+            AS BIGINT) AS rnk,
+          CAST(SUM($ic) OVER (PARTITION BY $sc ORDER BY $ic, $key
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS runsum
+          FROM $t WHERE ${pred(rnd, t)}"""
+    case 7 => // LEFT JOIN + aggregation (null-group semantics)
+      val (a, b, on) = joins(rnd.nextInt(joins.size))
+      val g = cols(a)._2.head
+      val ic = cols(b)._1.head
+      s"""SELECT $g, CAST(COUNT($ic) AS BIGINT) AS n_matched,
+          CAST(COUNT(*) AS BIGINT) AS n_rows
+          FROM $a LEFT JOIN $b ON $on AND ${pred(rnd, b)} GROUP BY $g"""
+    case 8 => // scalar-subquery bound
+      val t = tables(rnd.nextInt(tables.size))
+      val ic = cols(t)._1(rnd.nextInt(cols(t)._1.size))
+      val agg = Seq("MIN", "MAX")(rnd.nextInt(2))
+      s"""SELECT $ic FROM $t WHERE $ic > 
+          (SELECT $agg($ic) FROM $t WHERE ${intPred(rnd, ic)}) / 2
+          AND ${pred(rnd, t)}"""
   }
 
-  test("120 seeded random queries agree between Spark and DuckDB") {
+  test("200 seeded random queries agree between Spark and DuckDB") {
     sparkViews()
     val rnd = new scala.util.Random(42)
     var checked = 0
-    (1 to 120).foreach { i =>
+    (1 to 200).foreach { i =>
       val sql = gen(rnd)
       val s = runSpark(sql).sortBy(_.mkString(""))
       val d = runDuck(sql).sortBy(_.mkString(""))
@@ -153,6 +179,6 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       checked += 1
     }
     info(s"$checked generated queries matched exactly")
-    assert(checked == 120)
+    assert(checked == 200)
   }
 }
