@@ -181,4 +181,32 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     info(s"$checked generated queries matched exactly")
     assert(checked == 200)
   }
+
+  test("the compat rewrite path is transparent on 50 generated ANSI queries") {
+    // SessionManager.sql runs every query through the tokenizer-based
+    // SqlRewrite (:: casts, DISTINCT ON, GROUPS frames, table@ns ...);
+    // on plain ANSI text the rewrite must be a no-op — generated
+    // queries through the SESSION route must match DuckDB exactly,
+    // guarding the rewriter against mangling clean SQL
+    val mgr = new graft.engine.SessionManager(spark)
+    try {
+      val h = mgr.create(Some("fuzz-rewrite"))
+      tables.foreach { t =>
+        h.spark.read.parquet(s"$sf/$t.parquet").createOrReplaceTempView(t)
+      }
+      val rnd = new scala.util.Random(7)
+      (1 to 50).foreach { i =>
+        val sql = gen(rnd)
+        val ordered = sql.contains("LIMIT")
+        def canon(rows: Seq[Seq[String]]) =
+          if (ordered) rows else rows.sortBy(_.mkString(" "))
+        val viaSession = canon(mgr.sql(h, sql).collect().toSeq.map(r =>
+          (0 until r.length).map(j => String.valueOf(r.get(j)))))
+        val d = canon(runDuck(sql))
+        assert(viaSession == d,
+          s"rewrite path diverged on #$i:\n$sql\n" +
+            s"session: ${viaSession.take(3)}\nduck: ${d.take(3)}")
+      }
+    } finally mgr.shutdown()
+  }
 }
