@@ -466,6 +466,30 @@ object SparkEntry {
       .na.fill(0, Seq("F", "O", "P"))
       .orderBy(col("o_orderpriority")))
 
+  // UNPIVOT/melt (the inverse of q26's pivot): wide int metrics to
+  // (id, metric, value) long form via Spark's native unpivot
+  // operator. The oracle spells the identical relation as UNION ALL
+  // (portable ANSI; DuckDB's UNPIVOT keyword reorders rows, and the
+  // semantics are exactly this union).
+  private val q67 = Q("q67_unpivot", Some("""
+    SELECT l_orderkey, l_linenumber, metric, value FROM (
+      SELECT l_orderkey, l_linenumber, 'l_partkey' AS metric,
+             CAST(l_partkey AS BIGINT) AS value FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_suppkey', CAST(l_suppkey AS BIGINT)
+      FROM lineitem)
+    WHERE l_orderkey <= 100
+    ORDER BY l_orderkey, l_linenumber, metric"""),
+    (s, dir) => T(s, dir, "lineitem")
+      .where(col("l_orderkey") <= 100)
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_partkey").cast("long").as("l_partkey"),
+          col("l_suppkey").cast("long").as("l_suppkey")),
+        variableColumnName = "metric",
+        valueColumnName = "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric")))
+
   private val q27 = Q("q27_stats_aggs", Some("""
     SELECT l_returnflag,
       ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
@@ -2327,7 +2351,7 @@ object SparkEntry {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
-    q66,
+    q66, q67,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
