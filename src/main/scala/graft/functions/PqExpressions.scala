@@ -40,6 +40,13 @@ object PqExpressions {
       "empty codebooks")
     private val m = codebooks.length
     private val sub = codebooks.head.head.length
+    // Parquet list columns read as containsNull=true even when no null
+    // elements exist; a null slot nulls the whole row (both paths) so
+    // interpreted and generated code stay bit-identical.
+    private def elemNullable: Boolean = child.dataType match {
+      case ArrayType(_, n) => n
+      case _ => true
+    }
 
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
       case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
@@ -53,6 +60,13 @@ object PqExpressions {
     override def nullSafeEval(a: Any): Any = {
       val xs = a.asInstanceOf[ArrayData]
       if (xs.numElements() != m * sub) return null
+      if (elemNullable) {
+        var i = 0
+        while (i < m * sub) {
+          if (xs.isNullAt(i)) return null
+          i += 1
+        }
+      }
       val fl = isFloat(child.dataType)
       val codes = new Array[Int](m)
       var j = 0
@@ -91,10 +105,22 @@ object PqExpressions {
         val x = ctx.freshName("x"); val best = ctx.freshName("best")
         val bi = ctx.freshName("bi"); val cb = ctx.freshName("cb")
         val cent = ctx.freshName("cent")
+        // Null-element scan emitted only when the schema admits null
+        // slots — a containsNull=false input keeps the tight loop.
+        val nullScan = if (elemNullable) {
+          val ni = ctx.freshName("ni")
+          s"""
+          for (int $ni = 0; $ni < ${m * sub} && !${ev.isNull}; $ni++) {
+            if ($a.isNullAt($ni)) { ${ev.isNull} = true; }
+          }
+          """
+        } else ""
         s"""
         if ($a.numElements() != ${m * sub}) {
           ${ev.isNull} = true;
-        } else {
+        }
+        $nullScan
+        if (!${ev.isNull}) {
           int[] $codes = new int[$m];
           for (int $j = 0; $j < $m; $j++) {
             double[][] $cb = $books[$j];
@@ -131,6 +157,10 @@ object PqExpressions {
     require(dotTab.length == nrm2Tab.length && dotTab.nonEmpty,
       "table shapes disagree")
     private val m = dotTab.length
+    private def elemNullable: Boolean = child.dataType match {
+      case ArrayType(_, n) => n
+      case _ => true
+    }
 
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
       case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
@@ -146,6 +176,7 @@ object PqExpressions {
       var dot = 0.0; var nrm2 = 0.0
       var j = 0
       while (j < m) {
+        if (elemNullable && codes.isNullAt(j)) return null
         val c = codes.getInt(j)
         // invalid input degrades to null like the length guard — an
         // out-of-range code (encoded against a different codebook)
@@ -170,6 +201,9 @@ object PqExpressions {
         } else {
           double $dot = 0.0, $nrm2 = 0.0;
           for (int $j = 0; $j < $m && !${ev.isNull}; $j++) {
+            ${if (elemNullable)
+              s"if ($a.isNullAt($j)) { ${ev.isNull} = true; continue; }"
+            else ""}
             int $c = $a.getInt($j);
             if ($c < 0 || $c >= $dt[$j].length) {
               ${ev.isNull} = true;

@@ -81,6 +81,12 @@ object EventAnalytics {
       precision: Int = 20, scale: Int = 2): DataFrame = {
     require(windowMicros > 0, "windowMicros must be positive")
     require(precision > scale && scale >= 0, "invalid decimal shape")
+    // the helper/output names would silently clobber caller columns
+    // (same contract assignToCentroidArrays documents for cell/sim)
+    Seq("__ord", "win_n", "win_sum", "win_avg").foreach { c =>
+      require(!events.columns.contains(c),
+        s"trailingWindowStats: input must not already have a '$c' column")
+    }
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("__ord"))
       .rangeBetween(-windowMicros, 0)

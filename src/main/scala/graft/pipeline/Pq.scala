@@ -100,9 +100,12 @@ object Pq {
     * m/ksub.
     */
   def encode(emb: DataFrame, vecCol: String,
-      codebooks: Array[Array[Array[Double]]]): DataFrame =
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    require(!emb.columns.contains("codes"),
+      "Pq.encode: input must not already have a 'codes' column")
     emb.withColumn("codes",
       graft.functions.PqExpressions.pqEncode(col(vecCol), codebooks))
+  }
 
   /** The collected query vector (one bounded driver row, like the
     * training sample).
@@ -173,6 +176,10 @@ object Pq {
     val topAdc = encoded
       .withColumn("adc_sim", graft.functions.PqExpressions.pqAdcScore(
         col("codes"), dotTab, nrm2Tab, qNorm))
+      // vectors whose length doesn't divide into the codebooks encode
+      // to null codes → null adc_sim; nulls sort last under desc but
+      // would still fill the limit when fewer than k rows score
+      .where(col("adc_sim").isNotNull)
       .select(col(idCol), col("adc_sim"))
       .orderBy(col("adc_sim").desc, col(idCol))
       .limit(math.max(k, rerank))
@@ -226,6 +233,10 @@ object Pq {
       .select(col(idCol), explode(array(scoreCols: _*)).as("qs"))
       .select(col("qs.query_id").as("query_id"), col(idCol),
         col("qs.adc_sim").as("adc_sim"))
+      // malformed vectors score null — drop before ranking so they
+      // can never surface as neighbors (row_number still assigns
+      // ranks to nulls sorted last)
+      .where(col("adc_sim").isNotNull)
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col(idCol), col("adc_sim"),
@@ -267,6 +278,7 @@ object Pq {
       .where(col(idCol) =!= lit(queryId))
       .withColumn("adc_sim", graft.functions.PqExpressions.pqAdcScore(
         col("codes"), dotTab, nrm2Tab, qNorm))
+      .where(col("adc_sim").isNotNull)
       .select(col(idCol), col("adc_sim"))
       .orderBy(col("adc_sim").desc, col(idCol))
       .limit(math.max(k, rerank))

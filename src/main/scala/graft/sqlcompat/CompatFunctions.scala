@@ -161,7 +161,12 @@ object CompatFunctions {
         // integral literals only: a double like 2.0 must be a clean
         // request error, not a NumberFormatException → HTTP 500
         case Literal(v: Int, _) => v
-        case Literal(v: Long, _) => v.toInt
+        case Literal(v: Long, _) =>
+          // toInt on an out-of-range Long truncates silently (5e9 →
+          // 705032704) and would sail past the n >= 1 guard below
+          require(v >= 1L && v <= Int.MaxValue.toLong,
+            s"shingle_hashes: n must be in [1, ${Int.MaxValue}], got $v")
+          v.toInt
         case Literal(v: Short, _) => v.toInt
         case Literal(v: Byte, _) => v.toInt
         case other => throw new IllegalArgumentException(

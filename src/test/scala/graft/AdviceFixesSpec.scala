@@ -1,6 +1,7 @@
 package graft
 
 import graft.sqlcompat.SqlRewrite
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import java.net.URI
@@ -106,5 +107,93 @@ class AdviceFixesSpec extends AnyFunSuite {
     val qs = results.map { case (k, v, e) => "\"" + k + "\":" + (if (e.isDefined) -1 else v) }
       .mkString("{", ",", "}")
     assert(qs == """{"ok":1.5,"boom":-1}""")
+  }
+
+  // ---- round 6 -------------------------------------------------
+
+  test("pq_encode nulls the row on a null array element (both eval paths)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    import spark.implicits._
+    val books = Array(Array(Array(0.0, 0.0), Array(1.0, 1.0))) // m=1 sub=2
+    // codegen path through a DataFrame (parquet-style containsNull=true)
+    val df = Seq(
+      (1L, Seq[java.lang.Float](1.0f, 2.0f)),
+      (2L, Seq[java.lang.Float](null, 2.0f))
+    ).toDF("id", "embedding")
+    val rows = graft.pipeline.Pq.encode(df, "embedding", books)
+      .orderBy("id").collect()
+    assert(!rows(0).isNullAt(2), "clean vector must encode")
+    assert(rows(1).isNullAt(2), "null slot must null the codes row")
+    // interpreted path, directly on GenericArrayData (pre-fix: NPE)
+    val lit = Literal.create(
+      new GenericArrayData(Array[Any](null, 2.0f)),
+      ArrayType(FloatType, containsNull = true))
+    val out = graft.functions.PqExpressions.PqEncode(lit, books).eval(null)
+    assert(out == null, "interpreted eval must null, not NPE")
+  }
+
+  test("pq_adc_score nulls on a null code element (both eval paths)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, IntegerType}
+    import spark.implicits._
+    val dot = Array(Array(1.0, 2.0)); val nrm = Array(Array(1.0, 1.0))
+    val df = Seq((1L, Seq[Integer](0)), (2L, Seq[Integer](null.asInstanceOf[Integer])))
+      .toDF("id", "codes")
+    val scored = df.select(col("id"),
+      graft.functions.PqExpressions.pqAdcScore(col("codes"), dot, nrm, 1.0)
+        .as("s")).orderBy("id").collect()
+    assert(!scored(0).isNullAt(1))
+    assert(scored(1).isNullAt(1), "null code must null the score")
+    val lit = Literal.create(
+      new GenericArrayData(Array[Any](null)),
+      ArrayType(IntegerType, containsNull = true))
+    assert(graft.functions.PqExpressions.PqAdcScore(lit, dot, nrm, 1.0)
+      .eval(null) == null)
+  }
+
+  test("PQ search never surfaces malformed (null-scored) vectors") {
+    import spark.implicits._
+    // 4 valid 4-dim vectors + one 3-dim (doesn't divide into m=2
+    // codebooks → null codes). k exceeds the valid candidate count,
+    // so pre-fix the null-scored row filled the limit.
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+      (99L, Seq(1.0f, 1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val hits = graft.pipeline.Pq.searchTopK(df, "embedding", "vec_id",
+      queryId = 1L, k = 5, m = 2, ksub = 2, iters = 1, maxTrainRows = 10)
+      .collect()
+    assert(!hits.exists(_.getLong(0) == 99L), "malformed vector surfaced")
+    assert(hits.forall(!_.isNullAt(1)), "null adc_sim in results")
+  }
+
+  test("shingle_hashes rejects an Int-overflowing literal n cleanly") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT shingle_hashes('a b c', 5000000000)").collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("shingle_hashes"), msg)
+  }
+
+  test("trailingWindowStats refuses inputs with clashing helper columns") {
+    import spark.implicits._
+    val df = Seq(("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0, 7))
+      .toDF("k", "ts", "v", "win_n")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.EventAnalytics.trailingWindowStats(df, "k", "ts", "v", 1000000L)
+    }
+    assert(e.getMessage.contains("win_n"))
+    val df2 = Seq((1L, Seq(1.0f, 2.0f), "x")).toDF("vec_id", "embedding", "codes")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.pipeline.Pq.encode(df2, "embedding",
+        Array(Array(Array(0.0, 0.0))))
+    }
+    assert(e2.getMessage.contains("codes"))
   }
 }
