@@ -1345,6 +1345,27 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     })
 
+  // Indexed IVF-PQ: the build-once/persist/query-many lifecycle.
+  // The first invocation per (corpus, params) builds the index (cell-
+  // partitioned codes + codebook/cell/meta side tables under the JVM
+  // tmpdir) and registers the handle; every later invocation — and
+  // every query in a serving session — is a registry lookup + a
+  // partition-pruned probe with NO training job (AnnIndexSpec pins
+  // both the pruning and the indexed==retrained equivalence, which is
+  // why the same rows-only justification as s13 applies).
+  private val s15 = Q("s15_knn_pq_indexed", None,
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val key = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-ann-$key"
+      val h = graft.pipeline.AnnIndex.openOrBuildCached(
+        s"emb-$key", emb, "embedding", "vec_id", idxDir,
+        numCells = 8, m = 16, ksub = 16)
+      graft.pipeline.AnnIndex.searchTopK(emb, h, queryId = 0L, k = 10,
+        nprobe = 4, rerank = 30)
+    })
+
   private val t01 = Q("t01_lang_id", Some("""
     WITH sc AS (
       SELECT doc_id,
@@ -2353,7 +2374,7 @@ object SparkEntry {
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11,
-    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
+    s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19,
     m01, m02, m03)

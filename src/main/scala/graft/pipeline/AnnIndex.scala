@@ -1,0 +1,315 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.collection.concurrent.TrieMap
+
+/** Build-once / persist / query-many IVF-PQ index lifecycle.
+  *
+  * [[Pq.searchTopKIvf]] re-trains the coarse quantizer and codebooks
+  * and re-encodes the whole corpus on EVERY call — fine for a
+  * one-shot oracle query, wrong for a serving engine at 100 TB where
+  * the index is built once and queried thousands of times. This
+  * module splits the two phases:
+  *
+  *  - [[build]] (once): one shared training sample → coarse centroids
+  *    + PQ codebooks (driver-side Lloyd, bounded — the FAISS
+  *    discipline), then ONE distributed pass assigns cells and
+  *    encodes codes, written as a parquet table PARTITIONED BY cell.
+  *    Codebooks/centroids/meta persist as tiny side tables.
+  *  - [[open]] (per session): reads the three tiny side tables into a
+  *    driver [[Handle]] (m·ksub + numCells rows — index metadata,
+  *    not data). No corpus IO.
+  *  - [[searchTopKVec]]/[[searchTopK]] (many): probe cells are chosen
+  *    driver-side against the in-handle centroids and become a
+  *    PARTITION filter over the codes table — directory pruning
+  *    skips (numCells − nprobe)/numCells of the index files. ADC
+  *    scoring runs the same codegen kernel as the retrain path; NO
+  *    training job and NO full-corpus scan happens at query time
+  *    (plan-pinned in AnnIndexSpec).
+  *
+  * The vector corpus itself is only touched to resolve a query id to
+  * its vector (one pushdown-filtered row) and for the optional exact
+  * re-rank of a bounded shortlist — both `isin`-pushdown point reads.
+  *
+  * Determinism: training is the same hash-ordered-sample Lloyd as the
+  * retrain path, so an indexed search returns bit-identical rows to
+  * [[Pq.searchTopKIvf]] at equal parameters (spec-pinned) — the index
+  * is a materialization, not a different algorithm.
+  */
+object AnnIndex {
+
+  private val FormatVersion = 1
+
+  case class Handle(
+      dir: String,
+      m: Int, ksub: Int, dim: Int, numCells: Int,
+      idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]],
+      centroids: Seq[(Long, Array[Double])]) {
+    def codesPath: String = s"$dir/codes"
+  }
+
+  /** Train on one shared bounded sample, then assign + encode the
+    * corpus in a single distributed pass and write it back
+    * cell-partitioned. Returns an opened [[Handle]].
+    *
+    * The codes table is repartitioned BY cell before the partitioned
+    * write so each cell directory is written by one task — without
+    * it every task appends a file to every cell and a 1000-executor
+    * build produces numCells × tasks small files.
+    */
+  def build(
+      emb: DataFrame, vecCol: String, idCol: String, dir: String,
+      numCells: Int, m: Int, ksub: Int, iters: Int = 3,
+      maxTrainRows: Int = 100000): Handle = {
+    val spark = emb.sparkSession
+    val sample = Ivf.hashSample(emb, vecCol, idCol, maxTrainRows)
+    val coarse = Ivf.trainOnSample(sample, numCells, iters)
+    val books = Pq.trainCodebooksOnSample(sample, m, ksub, iters)
+    val dim = sample.head.length
+    val centPairs = coarse.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
+
+    // one pass: assign cell (literal centroids, map-only) + encode
+    // codes (codegen kernel) — vectors are read once and never again
+    val indexed = Pq.encode(
+      Clustering.assignToCentroidArrays(
+        emb.select(col(idCol), col(vecCol)), vecCol, idCol, centPairs),
+      vecCol, books)
+      .select(col(idCol), col("cell"), col("codes"))
+    indexed
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/codes")
+
+    writeSideTables(spark, dir, m, ksub, dim, idCol, vecCol, books, centPairs)
+    Handle(dir, m, ksub, dim, centPairs.size, idCol, vecCol, books, centPairs)
+  }
+
+  private def writeSideTables(
+      spark: SparkSession, dir: String, m: Int, ksub: Int, dim: Int,
+      idCol: String, vecCol: String,
+      books: Array[Array[Array[Double]]],
+      centPairs: Seq[(Long, Array[Double])]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val centSchema = StructType(Seq(
+      StructField("cell", LongType, nullable = false),
+      StructField("centroid", ArrayType(DoubleType, containsNull = false))))
+    spark.createDataFrame(
+      centPairs.map { case (c, v) => Row(c, v.toSeq) }.asJava, centSchema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/cells")
+
+    val bookSchema = StructType(Seq(
+      StructField("subspace", IntegerType, nullable = false),
+      StructField("code", IntegerType, nullable = false),
+      StructField("centroid", ArrayType(DoubleType, containsNull = false))))
+    val bookRows = for {
+      (cb, j) <- books.zipWithIndex.toSeq
+      (cent, c) <- cb.zipWithIndex
+    } yield Row(j, c, cent.toSeq)
+    spark.createDataFrame(bookRows.asJava, bookSchema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+
+    // meta written LAST — its presence marks a complete index, so a
+    // killed build can never be opened half-written
+    val metaSchema = StructType(Seq(
+      StructField("version", IntegerType, nullable = false),
+      StructField("m", IntegerType, nullable = false),
+      StructField("ksub", IntegerType, nullable = false),
+      StructField("dim", IntegerType, nullable = false),
+      StructField("num_cells", IntegerType, nullable = false),
+      StructField("id_col", StringType, nullable = false),
+      StructField("vec_col", StringType, nullable = false)))
+    spark.createDataFrame(
+      Seq(Row(FormatVersion, m, ksub, dim, centPairs.size, idCol, vecCol)).asJava,
+      metaSchema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Open a persisted index: three tiny reads (meta 1 row, cells
+    * numCells rows, codebooks m·ksub rows) into driver arrays. The
+    * codes table stays on disk until a search probes it.
+    */
+  def open(spark: SparkSession, dir: String): Handle = {
+    val meta = spark.read.parquet(s"$dir/meta").collect() match {
+      case Array(r) => r
+      case other => throw new IllegalStateException(
+        s"index meta at $dir/meta has ${other.length} rows")
+    }
+    val version = meta.getInt(0)
+    require(version == FormatVersion,
+      s"index format $version unsupported (expected $FormatVersion)")
+    val (m, ksub, dim) = (meta.getInt(1), meta.getInt(2), meta.getInt(3))
+    val sub = dim / m
+    val books: Array[Array[Array[Double]]] = {
+      val rows = spark.read.parquet(s"$dir/codebooks")
+        .orderBy("subspace", "code").collect()
+      val byJ = rows.groupBy(_.getInt(0))
+      Array.tabulate(m) { j =>
+        byJ(j).sortBy(_.getInt(1)).map { r =>
+          val c = r.getSeq[Double](2).toArray
+          require(c.length == sub, s"codebook centroid dim ${c.length} != $sub")
+          c
+        }
+      }
+    }
+    val cents = spark.read.parquet(s"$dir/cells").orderBy("cell").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    Handle(dir, m, ksub, dim, cents.size, meta.getString(5), meta.getString(6),
+      books, cents)
+  }
+
+  /** Open if a complete index exists at `dir` with matching
+    * parameters, else build. The reuse check is against the persisted
+    * meta, so a parameter change rebuilds instead of silently serving
+    * a stale index.
+    */
+  def buildIfAbsent(
+      emb: DataFrame, vecCol: String, idCol: String, dir: String,
+      numCells: Int, m: Int, ksub: Int, iters: Int = 3,
+      maxTrainRows: Int = 100000): Handle = {
+    val existing =
+      try {
+        val h = open(emb.sparkSession, dir)
+        if (h.m == m && h.ksub == ksub && h.idCol == idCol &&
+          h.vecCol == vecCol && h.numCells <= numCells) Some(h)
+        else None
+      } catch { case _: Exception => None }
+    existing.getOrElse(
+      build(emb, vecCol, idCol, dir, numCells, m, ksub, iters, maxTrainRows))
+  }
+
+  /** Top-k by ADC cosine for an explicit query vector — touches ONLY
+    * index files: probe cells chosen against in-handle centroids →
+    * partition filter on the codes table → ADC codegen kernel → TopK.
+    * No training, no corpus read (rerank = 0). With `rerank > 0` the
+    * bounded shortlist re-scores against `corpus` via an `isin`
+    * pushdown point read, exactly the [[Pq.searchTopKIvf]] shape.
+    */
+  def searchTopKVec(
+      spark: SparkSession, handle: Handle, q: Array[Double], k: Int,
+      nprobe: Int, corpus: Option[DataFrame] = None, rerank: Int = 0,
+      excludeId: Option[Long] = None): DataFrame = {
+    require(q.length == handle.dim,
+      s"query dim ${q.length} != index dim ${handle.dim}")
+    require(rerank <= 0 || corpus.nonEmpty,
+      "rerank > 0 needs the vector corpus")
+    val (dotTab, nrm2Tab, qNorm) = Pq.adcTables(q, handle.codebooks)
+    val probeCells: Seq[Long] = handle.centroids
+      .map { case (cell, cv) => (cell, Ivf.cosineLocal(q, cv)) }
+      .sortBy { case (cell, s) => (-s, cell) }
+      .take(nprobe)
+      .map(_._1)
+    val idCol = handle.idCol
+    val codes = spark.read.parquet(handle.codesPath)
+      .where(col("cell").isin(probeCells: _*))
+    val excluded = excludeId match {
+      case Some(id) => codes.where(col(idCol) =!= lit(id))
+      case None => codes
+    }
+    val topAdc = excluded
+      .withColumn("adc_sim", graft.functions.PqExpressions.pqAdcScore(
+        col("codes"), dotTab, nrm2Tab, qNorm))
+      .where(col("adc_sim").isNotNull)
+      .select(col(idCol), col("adc_sim"))
+      .orderBy(col("adc_sim").desc, col(idCol))
+      .limit(math.max(k, rerank))
+    corpus match {
+      case Some(c) if rerank > 0 =>
+        Pq.rerankStage(c, handle.vecCol, idCol, topAdc, q, k, rerank)
+      case _ => topAdc.limit(k)
+    }
+  }
+
+  /** [[searchTopKVec]] with the query addressed by corpus id: ONE
+    * pushdown-filtered row resolves the vector, the id is excluded
+    * from the neighbors (single-query search semantics).
+    */
+  def searchTopK(
+      corpus: DataFrame, handle: Handle, queryId: Long, k: Int,
+      nprobe: Int, rerank: Int = 0): DataFrame = {
+    val q = Pq.collectQuery(corpus, handle.vecCol, handle.idCol, queryId)
+    searchTopKVec(corpus.sparkSession, handle, q, k, nprobe,
+      corpus = Some(corpus), rerank = rerank, excludeId = Some(queryId))
+  }
+
+  /** Batch indexed search: top-k for every query row in ONE pass over
+    * the UNION of all probed cells. Each query's ADC column is masked
+    * to its own probe set (`cell IN (...)` per query), so per-query
+    * semantics match [[searchTopKVec]]; the rank filter on a literal
+    * k keeps InferWindowGroupLimit applicable — map-side forwarding
+    * is capped at k per query.
+    */
+  def searchTopKBatch(
+      spark: SparkSession, handle: Handle, queries: DataFrame,
+      queryIdCol: String, vecCol: String, k: Int, nprobe: Int,
+      maxQueryRows: Int = 1000): DataFrame = {
+    val qRows = queries.select(col(queryIdCol),
+        transform(col(vecCol), _.cast("double")).as("v"))
+      .limit(maxQueryRows + 1)
+      .collect()
+    require(qRows.length <= maxQueryRows,
+      s"query batch exceeds maxQueryRows=$maxQueryRows")
+    require(qRows.nonEmpty, "empty query batch")
+    val idCol = handle.idCol
+    val planned = qRows.toSeq.map { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Double](1).toArray
+      require(q.length == handle.dim,
+        s"query $qid dim ${q.length} != index dim ${handle.dim}")
+      val (dotTab, nrm2Tab, qNorm) = Pq.adcTables(q, handle.codebooks)
+      val probes = handle.centroids
+        .map { case (cell, cv) => (cell, Ivf.cosineLocal(q, cv)) }
+        .sortBy { case (cell, s) => (-s, cell) }
+        .take(nprobe).map(_._1)
+      (qid, dotTab, nrm2Tab, qNorm, probes)
+    }
+    val allCells = planned.flatMap(_._5).distinct
+    val scoreCols: Seq[Column] = planned.map {
+      case (qid, dotTab, nrm2Tab, qNorm, probes) =>
+        struct(lit(qid).as("query_id"),
+          when(col("cell").isin(probes: _*),
+            graft.functions.PqExpressions.pqAdcScore(col("codes"), dotTab,
+              nrm2Tab, qNorm)).as("adc_sim"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_sim").desc, col(idCol))
+    spark.read.parquet(handle.codesPath)
+      .where(col("cell").isin(allCells: _*))
+      .select(col(idCol), col("cell"), explode(array(scoreCols: _*)).as("qs"))
+      .select(col("qs.query_id").as("query_id"), col(idCol),
+        col("qs.adc_sim").as("adc_sim"))
+      .where(col("adc_sim").isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("adc_sim"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  // ---- session-level registry ----------------------------------
+
+  /** Named handles, so a serving session opens an index once and
+    * queries it by name thereafter (and the HTTP layer can expose
+    * index CRUD without re-reading side tables per request).
+    */
+  private val registry = TrieMap.empty[String, Handle]
+
+  def register(name: String, handle: Handle): Unit = registry.put(name, handle)
+  def get(name: String): Option[Handle] = registry.get(name)
+  def drop(name: String): Boolean = registry.remove(name).nonEmpty
+  def list(): Seq[String] = registry.keys.toSeq.sorted
+
+  /** Registry-cached open-or-build: the first call builds (or opens a
+    * persisted) index and registers it; later calls are a map lookup.
+    */
+  def openOrBuildCached(
+      name: String, emb: DataFrame, vecCol: String, idCol: String,
+      dir: String, numCells: Int, m: Int, ksub: Int, iters: Int = 3,
+      maxTrainRows: Int = 100000): Handle =
+    registry.getOrElseUpdate(name,
+      buildIfAbsent(emb, vecCol, idCol, dir, numCells, m, ksub, iters,
+        maxTrainRows))
+}

@@ -277,6 +277,22 @@ class PlanQualitySpec extends AnyFunSuite {
       s"retention join must stay keyed:\n$plan")
   }
 
+  test("s15 indexed knn: repeat invocations hit the registry, never rebuild") {
+    val q = SparkEntry.queries("s15_knn_pq_indexed")
+    assert(q(spark, sf).collect().nonEmpty) // first call may build
+    val key = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(sf).toLong & 0xffffffffL)
+    assert(graft.pipeline.AnnIndex.get(s"emb-$key").nonEmpty,
+      "first s15 call must register the index handle")
+    val metaDir = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft-ann-$key/meta")
+    val mtime = metaDir.listFiles().map(_.lastModified()).max
+    val rows = q(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(metaDir.listFiles().map(_.lastModified()).max == mtime,
+      "second s15 call must serve from the registry, not rebuild the index")
+  }
+
   test("time-range rolling window is one keyed exchange + ONE window") {
     // operator-level plan (no presentation ORDER BY): both aggregates
     // must share a single Window operator — a shared order-key column
