@@ -2204,10 +2204,11 @@ object SparkEntry {
   // curation pipeline actually ships — minimum length, mean-token-
   // length band, top-2-gram repetition cap, token-entropy floor. Each
   // signal is an operator with its own hash-matched query (t02, t08,
-  // t15); the gate pins their COMPOSITION (three id-keyed partial-agg
-  // shuffles, then co-partitioned joins). Thresholds chosen so every
-  // signal bites on this corpus. The entropy comparison is on the
-  // 6-dp-rounded value (identical on both engines, per t15).
+  // t15); the gate derives ALL of them from one tagged token+gram
+  // stream (TextAnalysis.qualityGateSignals): one Generate, two keyed
+  // exchanges — not one tokenization pass per signal. Thresholds
+  // chosen so every signal bites on this corpus. The entropy
+  // comparison is on the 6-dp-rounded value (both engines, per t15).
   private val t18 = Q("t18_quality_gate", Some("""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
     grams AS (
@@ -2235,23 +2236,18 @@ object SparkEntry {
     WHERE n_tokens >= 20 AND mean_token_len BETWEEN 3 AND 10
       AND repetition_ratio < 0.08 AND entropy >= 3.0
     ORDER BY doc_id"""),
-    (s, dir) => {
-      val docs = T(s, dir, "documents")
-      val base = docs.select(col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-        TextAnalysis.meanTokenLen(col("text")).as("mean_token_len"))
-      val rep = TextAnalysis.repetitionStats(docs, "text", "doc_id", n = 2)
-        .select(col("id").as("doc_id"), col("repetition_ratio"))
-      val ent = graft.pipeline.TextAnalysis.tokenEntropy(docs, "text", "doc_id")
-        .select(col("id").as("doc_id"), col("entropy"))
-      base.join(rep, Seq("doc_id")).join(ent, Seq("doc_id"))
+    (s, dir) =>
+      // fused: all four signals from ONE tokenization (one Generate,
+      // two keyed exchanges) — the 3-branch join re-scanned the corpus
+      // per signal (round-5 verdict finding)
+      TextAnalysis.qualityGateSignals(T(s, dir, "documents"), "text",
+          "doc_id", n = 2)
         .where(col("n_tokens") >= 20 &&
           col("mean_token_len").between(3.0, 10.0) &&
           col("repetition_ratio") < 0.08 && col("entropy") >= 3.0)
-        .select(col("doc_id"), col("n_tokens"), col("mean_token_len"),
-          col("repetition_ratio"), col("entropy"))
-        .orderBy(col("doc_id"))
-    })
+        .select(col("id").as("doc_id"), col("n_tokens").cast("long"),
+          col("mean_token_len"), col("repetition_ratio"), col("entropy"))
+        .orderBy(col("doc_id")))
 
   // Unigram-LM log-prob (the perplexity-proxy quality filter): mean
   // ln(count(tok)/N) per doc with the model fit on the corpus itself.

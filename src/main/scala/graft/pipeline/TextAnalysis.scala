@@ -268,6 +268,60 @@ object TextAnalysis {
           .as("entropy"))
   }
 
+  /** All four quality-gate signals (token count, mean token length,
+    * top-n-gram repetition ratio, token entropy) from ONE
+    * tokenization pass. The separable formulation (t02 + t08 + t15
+    * branches joined on doc id) scans and re-explodes the corpus once
+    * per signal — ~3 full tokenization passes at 100 TB where the
+    * signals share a single split. Here each document emits one
+    * tagged stream — (kind=token, xxhash64(tok), len(tok)) plus
+    * (kind=gram, xxhash64(gram), 0) — through a single Generate, and
+    * the per-doc rollup derives:
+    *   n_tokens       = Σ token counts,
+    *   mean_token_len = Σ c·len / n_tokens (≡ chars-sans-spaces / n),
+    *   repetition     = max gram count / Σ gram counts,
+    *   entropy        = ln n − (Σ c·ln c)/n, 6-dp (t15 treatment).
+    * Two keyed exchanges total, both partial-aggregated, both
+    * carrying (id, kind, hash) — never strings. Docs with fewer than
+    * `n` tokens have no grams → null repetition_ratio (the caller's
+    * threshold drops them, matching the inner-join composition).
+    */
+  def qualityGateSignals(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 2): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val tokenEntries = transform(toks, t =>
+      struct(lit(0).as("kind"), xxhash64(t).as("h"), length(t).as("len")))
+    val idxs = when(size(toks) >= lit(n), sequence(lit(0), size(toks) - lit(n)))
+      .otherwise(array().cast("array<int>"))
+    val gramEntries = transform(idxs, i =>
+      struct(lit(1).as("kind"),
+        xxhash64(array_join(slice(toks, i + 1, lit(n)), " ")).as("h"),
+        lit(0).as("len")))
+    graft.ops.ScaleOps.fanOut(docs)
+      .select(col(idCol).as("id"),
+        explode(concat(tokenEntries, gramEntries)).as("e"))
+      .groupBy(col("id"), col("e.kind").as("kind"), col("e.h").as("h"))
+      // len is constant per (kind, hash) — max() only to keep the
+      // aggregate deterministic
+      .agg(count(lit(1)).as("c"), max(col("e.len")).as("len"))
+      .groupBy(col("id"))
+      .agg(
+        sum(when(col("kind") === 0, col("c"))).as("n_tokens"),
+        sum(when(col("kind") === 0, col("c") * col("len"))).as("n_chars"),
+        sum(when(col("kind") === 0,
+          col("c").cast("double") * log(col("c").cast("double")))).as("clogc"),
+        max(when(col("kind") === 1, col("c"))).as("top_gram"),
+        sum(when(col("kind") === 1, col("c"))).as("n_grams"))
+      .select(col("id"),
+        col("n_tokens"),
+        (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+          .as("mean_token_len"),
+        (col("top_gram").cast("double") / col("n_grams").cast("double"))
+          .as("repetition_ratio"),
+        round(log(col("n_tokens").cast("double"))
+          - col("clogc") / col("n_tokens").cast("double"), 6).as("entropy"))
+  }
+
   /** Unigram language-model log-probability per document — the
     * perplexity-proxy quality signal: score(doc) = mean over its
     * tokens of ln(count(tok)/N), with the unigram model fit on the

@@ -277,6 +277,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"retention join must stay keyed:\n$plan")
   }
 
+  test("t18 quality gate derives all signals from ONE tokenization pass") {
+    val df = SparkEntry.queries("t18_quality_gate")(spark, sf)
+    val plan = planOf(df)
+    val generates = "\\bGenerate\\b".r.findAllIn(plan).size
+    assert(generates == 1,
+      s"expected ONE Generate (fused token+gram stream), got $generates:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected ONE documents scan, got $scans:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"fused gate must not join signal branches:\n$plan")
+  }
+
   test("s15 indexed knn: repeat invocations hit the registry, never rebuild") {
     val q = SparkEntry.queries("s15_knn_pq_indexed")
     assert(q(spark, sf).collect().nonEmpty) // first call may build
