@@ -71,14 +71,27 @@ object EventStreams {
     * Keys are hash-partitioned by user_id, so state is distributed
     * and each executor owns a shard — the standard scale-out story
     * for per-entity state.
+    *
+    * Timeout semantics:
+    *  - `ProcessingTimeTimeout` (default): sessions close `gapMs` of
+    *    WALL CLOCK after the last event — right for live ingest.
+    *  - `EventTimeTimeout`: sessions close when the WATERMARK passes
+    *    `last event + gapMs` — right for replayed/backfilled streams,
+    *    where wall clock races through hours of event time and would
+    *    close every session immediately. The caller must set a
+    *    watermark on `ts` upstream (or use [[sessionizeEventTime]]);
+    *    if the watermark has already passed a session's deadline when
+    *    its batch is processed (a replay burst), the session is
+    *    emitted immediately — a timeout cannot be scheduled in the
+    *    past.
+    *  - `NoTimeout`: batch mode — emits every closed session, keeps
+    *    each key's trailing session in (discarded) state.
     */
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
       timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout()): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    require(timeout != GroupStateTimeout.EventTimeTimeout(),
-      "sessionize supports ProcessingTimeTimeout or NoTimeout; event-time " +
-        "eviction needs setTimeoutTimestamp wiring (not implemented)")
-    val useTimeout = timeout != GroupStateTimeout.NoTimeout()
+    val procTimeout = timeout == GroupStateTimeout.ProcessingTimeTimeout()
+    val eventTimeout = timeout == GroupStateTimeout.EventTimeTimeout()
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
@@ -106,13 +119,38 @@ object EventStreams {
               }
             }
             cur.foreach { s =>
-              state.update(s)
-              if (useTimeout) state.setTimeoutDuration(gapMs)
+              val deadline = s.last.getTime + gapMs
+              if (eventTimeout && state.getCurrentWatermarkMs() >= deadline) {
+                // replay burst: the watermark already passed this
+                // session's gap, so it is closed BY EVENT TIME now —
+                // setTimeoutTimestamp would throw on a past deadline
+                out ::= SessionOut(userId, s.start, s.last, s.nEvents, s.sumValue)
+                if (state.exists) state.remove()
+              } else {
+                state.update(s)
+                if (procTimeout) state.setTimeoutDuration(gapMs)
+                else if (eventTimeout) state.setTimeoutTimestamp(deadline)
+              }
             }
             out.reverseIterator
           }
       }
   }
+
+  /** [[sessionize]] with event-time eviction wired up: watermark on
+    * `ts`, `EventTimeTimeout`. This is the mode a 100 TB/day pipeline
+    * needs for REPROCESSING — a backfilled stream replays days of
+    * event time in minutes of wall clock, so processing-time eviction
+    * would close every session long before its events arrive; here
+    * sessions close exactly when the watermark (event time) passes
+    * their idle gap, matching the batch sessionizer on closed
+    * sessions (StreamingSpec differential pin).
+    */
+  def sessionizeEventTime(events: Dataset[Event],
+      gapMs: Long = 30 * 60 * 1000L,
+      lateness: String = "10 minutes"): Dataset[SessionOut] =
+    sessionize(events.withWatermark("ts", lateness), gapMs,
+      GroupStateTimeout.EventTimeTimeout())
 
   /** Streaming exact dedup on a fingerprint column with watermarked
     * state — `dropDuplicates` keyed by digest, the streaming twin of

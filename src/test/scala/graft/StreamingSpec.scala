@@ -117,6 +117,83 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "fixture should close at least one session")
   }
 
+  test("event-time sessionization closes replayed sessions by watermark, matching batch") {
+    // a REPLAYED stream: days of event time in one processAllAvailable
+    // of wall clock. Processing-time eviction would close sessions on
+    // wall clock (wrong under backfill); event-time eviction must
+    // close exactly the sessions whose idle gap the watermark passed,
+    // with the same aggregates the batch sessionizer computes.
+    import spark.implicits._
+    val in = MemoryStream[EventStreams.Event](
+      implicitly[org.apache.spark.sql.Encoder[EventStreams.Event]],
+      spark.sqlContext)
+    val gapMs = 60_000L // 1 min gap
+    val sessions = EventStreams.sessionizeEventTime(in.toDS(), gapMs = gapMs,
+      lateness = "10 seconds")
+    val q = sessions.writeStream.format("memory").queryName("et_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two users, in-order
+      in.addData(
+        EventStreams.Event(ts(0, 0), 1L, "click", 1.0),
+        EventStreams.Event(ts(0, 10), 1L, "click", 2.0),
+        EventStreams.Event(ts(0, 5), 2L, "view", 7.0))
+      q.processAllAvailable()
+      // batch 2: an OUT-OF-ORDER event for user 1 (0:05, within the
+      // open session and above the watermark) must merge, plus a far-
+      // future event that advances the watermark past every deadline
+      in.addData(
+        EventStreams.Event(ts(0, 5), 1L, "click", 4.0),
+        EventStreams.Event(ts(50, 0), 3L, "click", 9.0))
+      q.processAllAvailable()
+      val streamed = spark.table("et_sessions").as[EventStreams.SessionOut]
+        .collect()
+        .map(s => (s.user_id, s.session_start, s.session_end, s.n_events,
+          math.round(s.sum_value * 100)))
+        .toSet
+      // batch twin on the same events: q62's window formulation,
+      // restricted to sessions CLOSED at the final watermark (user 3's
+      // trailing session is still open — deadline 50:00+1m > wm)
+      val all = Seq(
+        (ts(0, 0), 1L, 1.0), (ts(0, 10), 1L, 2.0), (ts(0, 5), 1L, 4.0),
+        (ts(0, 5), 2L, 7.0), (ts(50, 0), 3L, 9.0))
+        .toDF("ts", "user_id", "value")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts")
+      val batch = all
+        .withColumn("brk", org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.unix_micros($"ts") -
+            org.apache.spark.sql.functions.lag(
+              org.apache.spark.sql.functions.unix_micros($"ts"), 1).over(w)
+            > gapMs * 1000L, 1L).otherwise(0L))
+        .withColumn("session_idx",
+          org.apache.spark.sql.functions.sum($"brk").over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+        .groupBy($"user_id", $"session_idx")
+        .agg(
+          org.apache.spark.sql.functions.min($"ts").as("session_start"),
+          org.apache.spark.sql.functions.max($"ts").as("session_end"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_events"),
+          org.apache.spark.sql.functions.sum($"value").as("sum_value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3),
+          r.getLong(4), math.round(r.getDouble(5) * 100)))
+        .toSet
+      val finalWatermarkMs = ts(50, 0).getTime - 10_000L
+      val batchClosed = batch.filter { case (_, _, end, _, _) =>
+        end.getTime + gapMs < finalWatermarkMs
+      }
+      assert(streamed == batchClosed,
+        s"streamed=$streamed\nbatchClosed=$batchClosed")
+      // the merged out-of-order event is IN the closed session
+      assert(streamed.exists { case (u, _, _, n, cents) =>
+        u == 1L && n == 3 && cents == 700
+      }, s"user 1's session must contain the replayed 0:05 event: $streamed")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment broadcasts the dim and keeps unmatched rows") {
     import spark.implicits._
     val in = MemoryStream[(Timestamp, Long, Double)](implicitly[org.apache.spark.sql.Encoder[(Timestamp, Long, Double)]], spark.sqlContext)
