@@ -100,6 +100,130 @@ object TemporalJoins {
         rightPayload.map(p => col(s"__m.`$p`").as(s"$p$suffix")): _*)
   }
 
+  /** Skew-resistant as-of join: [[asofJoin]] semantics, but each key's
+    * rows PRE-SPLIT across coarse time buckets so one hot key spreads
+    * over many reducers instead of serializing one.
+    *
+    * The merge-trick window partitions by key alone, so a corpus where
+    * 90% of rows share one key puts 90% of the sort on one task —
+    * exactly the skew AQE cannot fix (a window, unlike a join, cannot
+    * be split mid-partition). Here:
+    *
+    *  1. both sides bucket by `floor(ts / bucketWidth)`;
+    *  2. a per-(key, bucket) summary of the right side picks the row
+    *     the running window would carry across the boundary (latest
+    *     for backward, earliest for forward — ties on `ord` exactly
+    *     like the base operator);
+    *  3. a bucket DIRECTORY (one row per active (key, bucket) — tiny)
+    *     computes each bucket's carry-in with a running
+    *     `last(ignoreNulls)` over the summaries of STRICTLY EARLIER
+    *     buckets (later, for forward);
+    *  4. carry-ins are injected as synthetic right rows at the bucket
+    *     boundary (`ord = Long.MinValue`, so any real in-bucket right
+    *     row at the same ts overrides them), and the base merge runs
+    *     partitioned by (key, bucket).
+    *
+    * Cost: one extra keyed aggregation over the right side plus a
+    * window over the (key, bucket) directory — both tiny next to the
+    * main exchange, which now has |active buckets| × more parallelism
+    * on the hot key. Results are row-identical to [[asofJoin]]
+    * (TemporalJoinsSpec differential).
+    *
+    * Timestamps must be NUMERIC (epoch micros via `unix_micros`, or
+    * any monotone long) — bucketing needs arithmetic, and micros is
+    * the convention the range joins already use.
+    */
+  def asofJoinSkewed(
+      left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String,
+      rightPayload: Seq[String], bucketWidth: Long,
+      suffix: String = "_asof",
+      rightOrd: Option[String] = None,
+      inner: Boolean = false,
+      forward: Boolean = false): DataFrame = {
+    require(rightPayload.nonEmpty, "rightPayload must name at least one column")
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    // a timestamp would silently truncate to seconds under the long
+    // cast and reorder sub-second ties vs the base operator
+    Seq(left.schema(leftTsCol), right.schema(rightTsCol)).foreach { f =>
+      val integral = f.dataType match {
+        case org.apache.spark.sql.types.LongType |
+          org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.ByteType => true
+        case _ => false
+      }
+      require(integral,
+        s"asofJoinSkewed needs integral ts columns (epoch micros); " +
+          s"${f.name} is ${f.dataType.catalogString} — cast with unix_micros")
+    }
+    val lStruct = struct(left.columns.map(col).toSeq: _*)
+    val rStruct = struct(rightPayload.map(col): _*)
+    val rType = right.select(rStruct.as("r")).schema("r").dataType
+    val lType = left.select(lStruct.as("l")).schema("l").dataType
+    val ord = rightOrd.map(col(_).cast("long")).getOrElse(lit(0L))
+    def bucketOf(ts: Column): Column = floor(ts / bucketWidth).cast("long")
+
+    val l = left.select(
+      col(keyCol).as("__k"), col(leftTsCol).cast("long").as("__ts"),
+      lit(1).as("__side"), lit(0L).as("__ord"),
+      lStruct.as("__l"), lit(null).cast(rType).as("__r"))
+      .withColumn("__b", bucketOf(col("__ts")))
+    val r = right
+      .where(col(keyCol).isNotNull && col(rightTsCol).isNotNull)
+      .select(
+        col(keyCol).as("__k"), col(rightTsCol).cast("long").as("__ts"),
+        lit(0).as("__side"), ord.as("__ord"),
+        lit(null).cast(lType).as("__l"), rStruct.as("__r"))
+      .withColumn("__b", bucketOf(col("__ts")))
+
+    // the row the running window would carry out of each bucket:
+    // backward = largest (ts, ord); forward = smallest ts then largest
+    // ord (the base operator's tie rule in both directions)
+    val pickKey =
+      if (forward) struct((-col("__ts")).as("a"), col("__ord").as("b"))
+      else struct(col("__ts").as("a"), col("__ord").as("b"))
+    val summ = r.groupBy(col("__k"), col("__b"))
+      .agg(max_by(col("__r"), pickKey).as("__pick"))
+
+    // directory of every active (key, bucket) on either side; carry-in
+    // = running last summary over strictly earlier (later, forward)
+    // buckets. One row per key×bucket — this frame is index-sized.
+    val dirKeys = l.select(col("__k"), col("__b"))
+      .union(summ.select(col("__k"), col("__b"))).distinct()
+    val bOrder =
+      if (forward) col("__b").desc_nulls_first else col("__b").asc_nulls_first
+    val wCarry = Window.partitionBy(col("__k")).orderBy(bOrder)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // synthetic boundary ts: the bucket's first position in traversal
+    // order — start for backward, end for forward. Real in-bucket rows
+    // at the same ts win via __ord (MinValue sorts first, so the
+    // running last overrides it).
+    val boundaryTs =
+      if (forward) (col("__b") + 1) * bucketWidth - 1 else col("__b") * bucketWidth
+    val carries = dirKeys
+      .join(summ, Seq("__k", "__b"), "left")
+      .withColumn("__carry", last(col("__pick"), ignoreNulls = true).over(wCarry))
+      .where(col("__carry").isNotNull)
+      .select(col("__k"), boundaryTs.cast("long").as("__ts"),
+        lit(0).as("__side"), lit(Long.MinValue).as("__ord"),
+        lit(null).cast(lType).as("__l"), col("__carry").as("__r"),
+        col("__b"))
+
+    val tsOrder =
+      if (forward) col("__ts").desc_nulls_first else col("__ts").asc_nulls_first
+    val w = Window.partitionBy(col("__k"), col("__b"))
+      .orderBy(tsOrder, col("__side"), col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l.unionByName(r).unionByName(carries)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+    val filtered = if (inner) matched.where(col("__m").isNotNull) else matched
+    filtered.select(
+      left.columns.toSeq.map(c => col(s"__l.`$c`").as(c)) ++
+        rightPayload.map(p => col(s"__m.`$p`").as(s"$p$suffix")): _*)
+  }
+
   /** Interval-overlap join: every (a, b) pair of half-open intervals
     * with `a.lo < b.hi AND b.lo < a.hi` — again with NO equi key, the
     * other nested-loop shape.

@@ -118,6 +118,29 @@ object ScaleSmoke {
             col("value").as("err_value"))
         graft.ops.TemporalJoins.asofJoin(clicks, errors, "user_id", "ts", "ts",
           Seq("err_value", "err_id"), rightOrd = Some("err_id")).count() }
+      // skew stress: 90% of events forced onto ONE user. The plain
+      // merge-trick as-of serializes that key on a single reducer; the
+      // bucketed variant splits it across (key, day-bucket) partitions
+      // — the wall-clock gap here is the bounded-reducer proof
+      locally {
+        val hot = events.withColumn("user_id",
+          when(col("event_id") % 10 < 9, lit(777777L)).otherwise(col("user_id")))
+        val clicksH = hot.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("tsm"), col("value"))
+        val errorsH = hot.where(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("user_id"),
+            unix_micros(col("ts")).as("tsm"), col("value").as("err_value"))
+        val dayMicros = 24L * 3600L * 1000000L
+        time("asofJoin 90%-one-key (flat)") {
+          graft.ops.TemporalJoins.asofJoin(clicksH, errorsH, "user_id",
+            "tsm", "tsm", Seq("err_value", "err_id"),
+            rightOrd = Some("err_id")).count() }
+        time("asofJoinSkewed 90%-one-key") {
+          graft.ops.TemporalJoins.asofJoinSkewed(clicksH, errorsH, "user_id",
+            "tsm", "tsm", Seq("err_value", "err_id"), bucketWidth = dayMicros,
+            rightOrd = Some("err_id")).count() }
+      }
       time("d10 incremental dedup (1% batch)") {
         graft.pipeline.Dedup.incrementalNearDupPairs(
           docs.where(col("doc_id") % 100 === 0),

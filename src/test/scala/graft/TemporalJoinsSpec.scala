@@ -144,6 +144,60 @@ class TemporalJoinsSpec extends AnyFunSuite {
       s"missing=${naive -- got.toSet} extra=${got.toSet -- naive}")
   }
 
+  test("asofJoinSkewed == asofJoin on skewed random data, all modes") {
+    import spark.implicits._
+    // 90% of rows on one hot key — the corpus that serializes the
+    // single-key window and motivates the bucketed variant. Ties,
+    // sparse keys, and unmatched rows all present.
+    val rnd = new scala.util.Random(17)
+    def key() = if (rnd.nextInt(10) < 9) 7L else rnd.nextInt(5).toLong
+    val leftRows = (1L to 400L).map(i => (i, key(), rnd.nextInt(5000).toLong))
+    val rightRows = (1L to 300L).map(i =>
+      (i, key(), rnd.nextInt(5000).toLong, rnd.nextDouble()))
+    val left = leftRows.toDF("lid", "k", "ts")
+    val right = rightRows.toDF("rid", "k", "ts", "v")
+    for (forward <- Seq(false, true); inner <- Seq(false, true)) {
+      val base = graft.ops.TemporalJoins.asofJoin(
+          left, right, "k", "ts", "ts", Seq("v", "rid"),
+          rightOrd = Some("rid"), inner = inner, forward = forward)
+        .collect()
+        .map(r => (r.getLong(0), Option(r.get(3)), Option(r.get(4)))).toSet
+      for (width <- Seq(1L, 64L, 1000L, 100000L)) {
+        val skewed = graft.ops.TemporalJoins.asofJoinSkewed(
+            left, right, "k", "ts", "ts", Seq("v", "rid"),
+            bucketWidth = width, rightOrd = Some("rid"),
+            inner = inner, forward = forward)
+          .collect()
+          .map(r => (r.getLong(0), Option(r.get(3)), Option(r.get(4)))).toSet
+        assert(skewed == base,
+          s"forward=$forward inner=$inner width=$width: " +
+            s"missing=${(base -- skewed).take(3)} extra=${(skewed -- base).take(3)}")
+      }
+    }
+  }
+
+  test("asofJoinSkewed splits the hot key across (key, bucket) partitions") {
+    import spark.implicits._
+    val left = (1L to 100L).map(i => (i, 1L, i * 10L)).toDF("lid", "k", "ts")
+    val right = (1L to 50L).map(i => (i, 1L, i * 17L, i.toDouble))
+      .toDF("rid", "k", "ts", "v")
+    val df = graft.ops.TemporalJoins.asofJoinSkewed(
+      left, right, "k", "ts", "ts", Seq("v"), bucketWidth = 100L)
+    val plan = df.queryExecution.executedPlan.toString
+    // the main merge window must be keyed by (key, bucket), not key
+    assert(plan.contains("windowspecdefinition(__k") &&
+      plan.contains("__b"),
+      s"merge window must partition by (key, bucket):\n$plan")
+    // rejects non-integral ts up front
+    val tsDf = left.withColumn("ts", org.apache.spark.sql.functions
+      .timestamp_micros(col("ts")))
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.TemporalJoins.asofJoinSkewed(
+        tsDf, right, "k", "ts", "ts", Seq("v"), bucketWidth = 100L)
+    }
+    assert(e.getMessage.contains("unix_micros"))
+  }
+
   test("rangeJoin agrees with the naive cross-join filter on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
