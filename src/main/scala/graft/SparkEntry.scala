@@ -1366,6 +1366,57 @@ object SparkEntry {
         nprobe = 4, rerank = 30)
     })
 
+  // PQ with a SEEDED codebook (the first 16 vectors by id, sliced, no
+  // Lloyd) — deliberately oracle-reconstructable, so the entire PQ
+  // pipeline (codebook → encode argmin → ADC tables → top-k) gets a
+  // full hash-matched check, upgrading the s12/s13/s14 family from
+  // rows-only trusted to oracle-proven kernels. Every arithmetic step
+  // accumulates in the same order on both engines; the final score is
+  // 6-dp-rounded (t15 discipline) against group-sum order only.
+  private val s16 = Q("s16_knn_pq_oracle", Some("""
+    WITH js AS (SELECT unnest(range(8)) AS j),
+    seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+    cb AS (
+      SELECT js.j, seeds.code,
+             list_transform(generate_series(1, 8), i -> v[js.j*8 + i]) AS cent
+      FROM seeds, js),
+    dists AS (
+      SELECT e.vec_id, c.j, c.code,
+        list_sum(list_transform(generate_series(1, 8),
+          i -> (CAST(e.embedding[c.j*8+i] AS DOUBLE) - c.cent[i])
+             * (CAST(e.embedding[c.j*8+i] AS DOUBLE) - c.cent[i]))) AS d
+      FROM embeddings e CROSS JOIN cb c),
+    codes AS (
+      SELECT vec_id, j, code FROM (
+        SELECT vec_id, j, code,
+          ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+        FROM dists) WHERE rn = 1),
+    q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0),
+    qn AS (SELECT sqrt(list_sum(list_transform(qv, x -> x*x))) AS qnorm FROM q),
+    tabs AS (
+      SELECT c.j, c.code,
+        list_sum(list_transform(generate_series(1, 8),
+          i -> q.qv[c.j*8+i] * c.cent[i])) AS dot,
+        list_sum(list_transform(c.cent, x -> x*x)) AS nrm2
+      FROM cb c, q),
+    parts AS (
+      SELECT cd.vec_id, cd.j, t.dot, t.nrm2
+      FROM codes cd JOIN tabs t ON cd.j = t.j AND cd.code = t.code),
+    scored AS (
+      SELECT vec_id,
+        list_sum(list(dot ORDER BY j)) AS dsum,
+        list_sum(list(nrm2 ORDER BY j)) AS nsum
+      FROM parts GROUP BY vec_id)
+    SELECT vec_id, ROUND(dsum / (qn.qnorm * sqrt(nsum)), 6) AS adc_sim
+    FROM scored, qn WHERE vec_id <> 0
+    ORDER BY adc_sim DESC, vec_id LIMIT 10"""),
+    (s, dir) => graft.pipeline.Pq.searchTopKSeeded(T(s, dir, "embeddings"),
+      "embedding", "vec_id", queryId = 0L, k = 10, m = 8, ksub = 16))
+
   private val t01 = Q("t01_lang_id", Some("""
     WITH sc AS (
       SELECT doc_id,
@@ -2371,6 +2422,7 @@ object SparkEntry {
     q66, q67,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
+    s16,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19,
     m01, m02, m03)

@@ -91,6 +91,54 @@ object Pq {
     }
   }
 
+  /** Codebooks SEEDED from the `ksub` smallest-id vectors' subvectors,
+    * no Lloyd iterations. Retrieval quality is below the trained
+    * codebooks — the point is that this codebook is DETERMINISTIC
+    * DATA (the first ksub rows by id, sliced), so an external engine
+    * can reconstruct it exactly in SQL and the whole PQ pipeline
+    * (encode → ADC → top-k) becomes full-oracle checkable instead of
+    * rows-only trusted (s16's hash-matched twin of s12).
+    */
+  def seedCodebooks(emb: DataFrame, vecCol: String, idCol: String,
+      m: Int, ksub: Int): Array[Array[Array[Double]]] = {
+    val rows = emb.orderBy(col(idCol)).limit(ksub)
+      .select(transform(col(vecCol), _.cast("double")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(rows.nonEmpty, "cannot seed codebooks from an empty corpus")
+    val dim = rows.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    Array.tabulate(m) { j =>
+      rows.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+    }
+  }
+
+  /** ADC top-k with the SEEDED (oracle-reconstructable) codebook:
+    * identical kernels to [[searchTopK]] with rerank = 0, but every
+    * arithmetic step — seed slicing, L2 argmin (ties to the lower
+    * code), dot/nrm2 table sums, the j-ascending score accumulation —
+    * has a bit-identical SQL spelling, so the result hash-matches
+    * DuckDB. `adc_sim` is rounded to 6 dp only to absorb the final
+    * aggregation's engine-specific accumulation order (the t15
+    * discipline); ordering uses the rounded value for the same
+    * reason.
+    */
+  def searchTopKSeeded(
+      emb: DataFrame, vecCol: String, idCol: String,
+      queryId: Long, k: Int, m: Int, ksub: Int): DataFrame = {
+    val books = seedCodebooks(emb, vecCol, idCol, m, ksub)
+    val q = collectQuery(emb, vecCol, idCol, queryId)
+    val (dotTab, nrm2Tab, qNorm) = adcTables(q, books)
+    encode(emb.select(col(idCol), col(vecCol)), vecCol, books)
+      .where(col(idCol) =!= lit(queryId))
+      .withColumn("adc_sim", round(graft.functions.PqExpressions.pqAdcScore(
+        col("codes"), dotTab, nrm2Tab, qNorm), 6))
+      .where(col("adc_sim").isNotNull)
+      .select(col(idCol), col("adc_sim"))
+      .orderBy(col("adc_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Adds a `codes` column (array<int>, length m): per subspace, the
     * L2-nearest codebook entry, ties to the lower code. Map-only via
     * the [[graft.functions.PqExpressions.PqEncode]] codegen kernel —

@@ -13,6 +13,27 @@ class PqSpec extends AnyFunSuite {
 
   private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
 
+  test("seeded codebooks are the first-k-by-id subvectors; search is deterministic") {
+    val books = graft.pipeline.Pq.seedCodebooks(emb, "embedding", "vec_id",
+      m = 8, ksub = 16)
+    assert(books.length == 8 && books.forall(_.length == 16))
+    // codebook j, code c == subvector j of the vector with the c-th
+    // smallest vec_id — the property that makes s16 oracle-expressible
+    val first = emb.orderBy(col("vec_id")).limit(16)
+      .select(transform(col("embedding"), _.cast("double")))
+      .collect().map(_.getSeq[Double](0).toArray)
+    (0 until 8).foreach { j =>
+      (0 until 16).foreach { c =>
+        assert(books(j)(c).toSeq == first(c).slice(j * 8, (j + 1) * 8).toSeq)
+      }
+    }
+    val a = graft.pipeline.Pq.searchTopKSeeded(emb, "embedding", "vec_id",
+      queryId = 0L, k = 10, m = 8, ksub = 16).collect().toSeq
+    val b = graft.pipeline.Pq.searchTopKSeeded(emb, "embedding", "vec_id",
+      queryId = 0L, k = 10, m = 8, ksub = 16).collect().toSeq
+    assert(a == b && a.size == 10)
+  }
+
   test("encode emits m codes per row, each within [0, ksub)") {
     val books = graft.pipeline.Pq.trainCodebooks(
       emb, "embedding", "vec_id", m = 8, ksub = 16, iters = 2,
