@@ -160,16 +160,51 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       val t = tables(rnd.nextInt(tables.size))
       val ic = cols(t)._1(rnd.nextInt(cols(t)._1.size))
       val agg = Seq("MIN", "MAX")(rnd.nextInt(2))
-      s"""SELECT $ic FROM $t WHERE $ic > 
+      s"""SELECT $ic FROM $t WHERE $ic >
           (SELECT $agg($ic) FROM $t WHERE ${intPred(rnd, ic)}) / 2
           AND ${pred(rnd, t)}"""
   }
 
-  test("200 seeded random queries agree between Spark and DuckDB") {
+  /** Paired GROUPS-frame spellings: Spark gets the raw SQL:2011
+    * `GROUPS` text through the compat-rewrite door (the q55 path —
+    * Spark ≤4.1 has no native GROUPS), DuckDB gets the hand-written
+    * dense_rank + RANGE equivalence (it refuses GROUPS outright).
+    * Whole peer groups make the aggregates order-insensitive, so
+    * results must match exactly.
+    */
+  private def genGroups(rnd: scala.util.Random): (String, String) = {
+    val t = tables(rnd.nextInt(tables.size))
+    val (ics, scs) = cols(t)
+    val ic = ics(rnd.nextInt(ics.size))
+    val sc = scs(rnd.nextInt(scs.size))
+    val frame = rnd.nextInt(3) match {
+      case 0 => s"BETWEEN ${1 + rnd.nextInt(3)} PRECEDING AND CURRENT ROW"
+      case 1 => s"BETWEEN CURRENT ROW AND ${rnd.nextInt(3)} FOLLOWING"
+      case 2 => s"BETWEEN ${1 + rnd.nextInt(3)} PRECEDING AND ${rnd.nextInt(3)} FOLLOWING"
+    }
+    val p = pred(rnd, t)
+    val agg = Seq(s"SUM($ic)", "COUNT(*)")(rnd.nextInt(2))
+    val sparkSql =
+      s"""SELECT ${ics.head} AS k0, $ic AS k1,
+          CAST($agg OVER (PARTITION BY $sc ORDER BY $ic
+            GROUPS $frame) AS BIGINT) AS gval
+          FROM $t WHERE $p"""
+    val duckSql =
+      s"""WITH b AS (SELECT *,
+            DENSE_RANK() OVER (PARTITION BY $sc ORDER BY $ic) AS dr
+          FROM $t WHERE $p)
+          SELECT ${ics.head} AS k0, $ic AS k1,
+          CAST($agg OVER (PARTITION BY $sc ORDER BY dr
+            RANGE $frame) AS BIGINT) AS gval
+          FROM b"""
+    (sparkSql, duckSql)
+  }
+
+  test("250 seeded random queries agree between Spark and DuckDB") {
     sparkViews()
     val rnd = new scala.util.Random(42)
     var checked = 0
-    (1 to 200).foreach { i =>
+    (1 to 250).foreach { i =>
       val sql = gen(rnd)
       val s = runSpark(sql).sortBy(_.mkString(""))
       val d = runDuck(sql).sortBy(_.mkString(""))
@@ -179,7 +214,115 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       checked += 1
     }
     info(s"$checked generated queries matched exactly")
-    assert(checked == 200)
+    assert(checked == 250)
+  }
+
+  test("as-of join fuzz: flat AND bucketed operators match DuckDB ASOF JOIN") {
+    // operator-level differential (Spark has no ASOF syntax): random
+    // key/ts frames — right side unique per (k, ts) so the DuckDB pick
+    // is total — across both directions, inner/left, and the skewed
+    // variant at random bucket widths. No null left ts here: DuckDB's
+    // ASOF gives a null-ts probe the LARGEST right row (its sort puts
+    // nulls high) where SQL comparison semantics — ours, and the
+    // operator's documented contract — make null match nothing;
+    // TemporalJoinsSpec pins our null behavior explicitly.
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    (1 to 3).foreach { ds =>
+      def uniqTs(n: Int): Seq[Long] = {
+        val s = scala.collection.mutable.LinkedHashSet.empty[Long]
+        while (s.size < n) s += rnd.nextInt(100000).toLong
+        s.toSeq
+      }
+      val rights = (0L to 6L).flatMap { k =>
+        uniqTs(40).zipWithIndex.map { case (t, i) =>
+          (k * 1000 + i, k, t, rnd.nextInt(1000).toDouble)
+        }
+      }
+      val lefts = (1L to 300L).map { i =>
+        (i, rnd.nextInt(8).toLong, rnd.nextInt(100000).toLong)
+      }
+      val left = lefts.toDF("lid", "k", "ts")
+      val right = rights.toDF("rid", "k", "ts", "v")
+      val st = duck.createStatement()
+      st.execute("CREATE OR REPLACE TABLE fz_l(lid BIGINT, k BIGINT, ts BIGINT)")
+      st.execute("INSERT INTO fz_l VALUES " + lefts.map { case (a, b, c) =>
+        s"($a,$b,$c)" }.mkString(","))
+      st.execute("CREATE OR REPLACE TABLE fz_r(rid BIGINT, k BIGINT, ts BIGINT, v DOUBLE)")
+      st.execute("INSERT INTO fz_r VALUES " + rights.map { case (a, b, c, d) =>
+        s"($a,$b,$c,$d)" }.mkString(","))
+      for (forward <- Seq(false, true); inner <- Seq(false, true)) {
+        val cmp = if (forward) "l.ts <= r.ts" else "l.ts >= r.ts"
+        val jt = if (inner) "ASOF JOIN" else "ASOF LEFT JOIN"
+        val want = runDuck(
+          s"SELECT l.lid, r.rid FROM fz_l l $jt fz_r r ON l.k = r.k AND $cmp")
+          .map(r => (r(0), r(1))).toSet
+        val flat = graft.ops.TemporalJoins.asofJoin(
+            left, right, "k", "ts", "ts", Seq("rid"),
+            inner = inner, forward = forward)
+          .collect()
+          .map(r => (String.valueOf(r.get(0)), String.valueOf(r.get(3)))).toSet
+        assert(flat == want, s"ds=$ds forward=$forward inner=$inner flat: " +
+          s"missing=${(want -- flat).take(3)} extra=${(flat -- want).take(3)}")
+        val width = Seq(100L, 3000L, 250000L)(rnd.nextInt(3))
+        val skewed = graft.ops.TemporalJoins.asofJoinSkewed(
+            left, right, "k", "ts", "ts", Seq("rid"), bucketWidth = width,
+            inner = inner, forward = forward)
+          .collect()
+          .map(r => (String.valueOf(r.get(0)), String.valueOf(r.get(3)))).toSet
+        assert(skewed == want,
+          s"ds=$ds forward=$forward inner=$inner width=$width skewed diverged")
+      }
+    }
+  }
+
+  test("GROUPS-frame fuzz: the rewrite door matches DuckDB's dense_rank+RANGE twin") {
+    sparkViews()
+    val rnd = new scala.util.Random(31)
+    (1 to 40).foreach { i =>
+      val (sparkSql, duckSql) = genGroups(rnd)
+      val rewritten = graft.sqlcompat.SqlRewrite.rewrite(sparkSql)
+      assert(!rewritten.toUpperCase.contains("GROUPS BETWEEN"),
+        s"rewrite must eliminate the GROUPS frame:\n$sparkSql")
+      val s = runSpark(rewritten).sortBy(_.mkString(""))
+      val d = runDuck(duckSql).sortBy(_.mkString(""))
+      assert(s == d,
+        s"GROUPS query #$i diverged (${s.size} vs ${d.size} rows):\n" +
+          s"$sparkSql\nspark: ${s.take(5)}\nduck:  ${d.take(5)}")
+    }
+  }
+
+  test("range join fuzz: bucketed operator matches DuckDB's inequality join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    (1 to 3).foreach { ds =>
+      val pts = (1L to 250L).map(i => (i, rnd.nextInt(10000).toLong))
+      val ivs = (1L to 60L).map { i =>
+        val lo = rnd.nextInt(9500).toLong
+        (i, lo, lo + 1 + rnd.nextInt(800).toLong)
+      }
+      val st = duck.createStatement()
+      st.execute("CREATE OR REPLACE TABLE fz_p(pid BIGINT, pt BIGINT)")
+      st.execute("INSERT INTO fz_p VALUES " +
+        pts.map { case (a, b) => s"($a,$b)" }.mkString(","))
+      st.execute("CREATE OR REPLACE TABLE fz_i(iid BIGINT, lo BIGINT, hi BIGINT)")
+      st.execute("INSERT INTO fz_i VALUES " +
+        ivs.map { case (a, b, c) => s"($a,$b,$c)" }.mkString(","))
+      val want = runDuck(
+        "SELECT p.pid, i.iid FROM fz_p p JOIN fz_i i ON p.pt >= i.lo AND p.pt < i.hi")
+        .map(r => (r(0), r(1))).toSet
+      Seq(64L, 777L, 5000L).foreach { width =>
+        val got = graft.ops.TemporalJoins.rangeJoin(
+            pts.toDF("pid", "pt"), ivs.toDF("iid", "lo", "hi"),
+            "pt", "lo", "hi", bucketWidth = width)
+          .select("pid", "iid").collect()
+          .map(r => (r.getLong(0).toString, r.getLong(1).toString))
+        assert(got.length == got.toSet.size,
+          s"ds=$ds width=$width emitted a pair twice")
+        assert(got.toSet == want, s"ds=$ds width=$width: " +
+          s"missing=${(want -- got.toSet).take(3)} extra=${(got.toSet -- want).take(3)}")
+      }
+    }
   }
 
   test("the compat rewrite path is transparent on 50 generated ANSI queries") {
