@@ -20,7 +20,8 @@ class EntryContractSpec extends AnyFunSuite {
     assert(rowsOnly == Set(
       "d03_dedup_minhash_lsh", "d04_dedup_simhash",
       "q33_approx_aggs", "s02_knn_lsh", "s03_knn_ivf", "s11_knn_lsh_batch",
-      "s12_knn_pq", "s13_knn_ivfpq", "s14_knn_pq_batch"),
+      "s12_knn_pq", "s13_knn_ivfpq", "s14_knn_pq_batch",
+      "s15_knn_pq_indexed"),
       s"unexpected rows-only queries (add an oracle or update this pin): $rowsOnly")
   }
 
