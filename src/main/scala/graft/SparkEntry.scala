@@ -1417,6 +1417,152 @@ object SparkEntry {
     (s, dir) => graft.pipeline.Pq.searchTopKSeeded(T(s, dir, "embeddings"),
       "embedding", "vec_id", queryId = 0L, k = 10, m = 8, ksub = 16))
 
+  // Sign-LSH with DATA-DERIVED planes (the first 4 corpus vectors) —
+  // the s16 move for the LSH family: the bucket construction (sign
+  // bits of bit-identical ascending dot products), the bucket-local
+  // candidate set, and the exact-cosine top-k all reconstruct in SQL,
+  // so the LSH mechanics get a full hash-matched check (s02/s11 keep
+  // the RNG planes as the quality path).
+  private val s17 = Q("s17_knn_lsh_oracle", Some("""
+    WITH planes AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS i,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS p
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4)),
+    dots AS (
+      SELECT e.vec_id, pl.i,
+        list_sum(list_transform(generate_series(1, len(e.embedding)),
+          j -> CAST(e.embedding[j] AS DOUBLE) * pl.p[j])) AS d
+      FROM embeddings e CROSS JOIN planes pl),
+    buckets AS (
+      SELECT vec_id,
+        CAST(SUM(CASE WHEN d >= 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS bucket
+      FROM dots GROUP BY vec_id),
+    q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0),
+    qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+    cand AS (
+      SELECT e.vec_id, e.embedding FROM embeddings e
+      JOIN buckets b USING (vec_id), qb
+      WHERE b.bucket = qb.bucket AND e.vec_id <> 0),
+    scored AS (
+      SELECT c.vec_id,
+        list_sum(list_transform(generate_series(1, len(c.embedding)),
+          j -> CAST(c.embedding[j] AS DOUBLE) * q.qv[j]))
+        / (sqrt(list_sum(list_transform(c.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos_sim
+      FROM cand c, q)
+    SELECT vec_id, cos_sim FROM scored
+    ORDER BY cos_sim DESC, vec_id LIMIT 10"""),
+    (s, dir) => Similarity.lshTopKSeeded(T(s, dir, "embeddings"),
+      "embedding", "vec_id", queryId = 0L, k = 10, nPlanes = 4))
+
+  // IVF with SEEDED centroids (first 8 corpus vectors, no Lloyd) —
+  // the s16 move for the IVF family: argmax-cosine cell assignment
+  // (ties to the lower cell), driver-side probe ranking, and in-cell
+  // exact re-rank all reconstruct in SQL → full hash-match (s03
+  // keeps the trained path).
+  private val s18 = Q("s18_knn_ivf_oracle", Some("""
+    WITH cents AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+    sims AS (
+      SELECT e.vec_id, c.cell,
+        list_sum(list_transform(generate_series(1, len(e.embedding)),
+          j -> CAST(e.embedding[j] AS DOUBLE) * c.cv[j]))
+        / (sqrt(list_sum(list_transform(e.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS sim
+      FROM embeddings e CROSS JOIN cents c),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        FROM sims) WHERE rn = 1),
+    q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0),
+    probes AS (
+      SELECT c.cell FROM cents c, q
+      ORDER BY list_sum(list_transform(generate_series(1, len(q.qv)),
+          j -> q.qv[j] * c.cv[j]))
+        / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+           * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) DESC, c.cell
+      LIMIT 3),
+    cand AS (
+      SELECT e.vec_id, e.embedding FROM embeddings e
+      JOIN assigned a USING (vec_id)
+      WHERE a.cell IN (SELECT cell FROM probes) AND e.vec_id <> 0),
+    scored AS (
+      SELECT c.vec_id,
+        list_sum(list_transform(generate_series(1, len(c.embedding)),
+          j -> CAST(c.embedding[j] AS DOUBLE) * q.qv[j]))
+        / (sqrt(list_sum(list_transform(c.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos_sim
+      FROM cand c, q)
+    SELECT vec_id, cos_sim FROM scored
+    ORDER BY cos_sim DESC, vec_id LIMIT 10"""),
+    (s, dir) => graft.pipeline.Ivf.searchTopKSeeded(T(s, dir, "embeddings"),
+      "embedding", "vec_id", queryId = 0L, k = 10, numCells = 8, nprobe = 3))
+
+  // MinHash-LSH with md5 slot-string minima — the s16 move for the
+  // MinHash family: signatures are MIN(md5(i || ':' || shingle))
+  // strings, band keys concatenate two slots, pairs share a band
+  // bucket. Fully SQL-reconstructable → hash-matched (d03 keeps the
+  // xxhash64 kernel as the scale path).
+  private val d12 = Q("d12_minhash_md5_oracle", Some("""
+    WITH toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    sig AS (SELECT doc_id,
+        MIN(md5('0:' || shingle)) AS m0, MIN(md5('1:' || shingle)) AS m1,
+        MIN(md5('2:' || shingle)) AS m2, MIN(md5('3:' || shingle)) AS m3,
+        MIN(md5('4:' || shingle)) AS m4, MIN(md5('5:' || shingle)) AS m5,
+        MIN(md5('6:' || shingle)) AS m6, MIN(md5('7:' || shingle)) AS m7
+      FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 0 AS band, m0 || '|' || m1 AS key FROM sig
+      UNION ALL SELECT doc_id, 1, m2 || '|' || m3 FROM sig
+      UNION ALL SELECT doc_id, 2, m4 || '|' || m5 FROM sig
+      UNION ALL SELECT doc_id, 3, m6 || '|' || m7 FROM sig)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ORDER BY id_a, id_b"""),
+    (s, dir) => graft.pipeline.Dedup.minHashLshMd5(T(s, dir, "documents"),
+        "text", "doc_id", shingleN = 3, numHashes = 8, bands = 4)
+      .select(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"), col("id_b")))
+
+  // SimHash over md5-derived bits — the d12 move for the SimHash
+  // family: pure integer arithmetic end-to-end (hex-digit position,
+  // shift, mask, strict majority), so the 32-bit signature
+  // hash-matches with no rounding (d04's xxhash64 kernel stays the
+  // scale path).
+  private val d13 = Q("d13_simhash_md5_oracle", Some("""
+    WITH toks AS (SELECT DISTINCT doc_id, tok FROM
+           (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)),
+    h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+    bits AS (
+      SELECT doc_id, j,
+        ((strpos('0123456789abcdef', substr(h, (j // 4) + 1, 1)) - 1)
+          >> (j % 4)) & 1 AS bit
+      FROM h, UNNEST(generate_series(0, 31)) AS g(j)),
+    agg AS (SELECT doc_id, j, SUM(bit) AS s, COUNT(*) AS n
+            FROM bits GROUP BY doc_id, j)
+    SELECT doc_id,
+      CAST(SUM(CASE WHEN 2*s > n THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+        AS simhash32
+    FROM agg GROUP BY doc_id ORDER BY doc_id"""),
+    (s, dir) => graft.pipeline.Dedup.simHashMd5(T(s, dir, "documents"),
+        "text", "doc_id")
+      .select(col("id").as("doc_id"), col("simhash32"))
+      .orderBy(col("doc_id")))
+
   private val t01 = Q("t01_lang_id", Some("""
     WITH sc AS (
       SELECT doc_id,
@@ -2420,9 +2566,9 @@ object SparkEntry {
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
-    s16,
+    s16, s17, s18,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19,
     m01, m02, m03)

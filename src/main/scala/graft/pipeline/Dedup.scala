@@ -343,6 +343,44 @@ object Dedup {
     docSets.select(col("id"),
       graft.functions.SketchExpressions.minHashSig(col("sh_arr"), numHashes).as("sig"))
 
+  /** MinHash-LSH with md5 SLOT-STRING minima — slot i's signature
+    * value is `MIN(md5(i || ':' || shingle))`, a STRING min under
+    * binary collation, and band keys concatenate r slot strings.
+    * Lower throughput than the xxhash64 kernel ([[minHashLsh]] stays
+    * the scale path), but every step — shingle normalization, md5
+    * hex, string minima, banding, the bucket-local pair join — is
+    * reconstructable by an external engine in plain SQL: d12 is the
+    * full-oracle twin that upgrades the MinHash family from rows-only
+    * trusted to oracle-proven, the [[Pq.searchTopKSeeded]] move.
+    */
+  def minHashLshMd5(docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val toks = split(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")), " ")
+    val idxs = when(size(toks) >= shingleN,
+      sequence(lit(0), size(toks) - shingleN))
+      .otherwise(array().cast("array<int>"))
+    val shingles = transform(idxs, i =>
+      array_join(slice(toks, i + 1, lit(shingleN)), " "))
+    val sh = docs.select(col(idCol).as("id"), explode(shingles).as("shingle"))
+      .distinct()
+    val aggs = (0 until numHashes).map(i =>
+      min(md5(concat_ws(":", lit(i.toString), col("shingle")))).as(s"m$i"))
+    val sig = sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", (0 until r).map(j => col(s"m${b * r + j}")): _*).as("key"))
+    }
+    val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
   /** MinHash + LSH banding near-dup candidates, verified with exact
     * Jaccard. numHashes = bands × rowsPerBand.
     *
@@ -405,6 +443,34 @@ object Dedup {
           (size(col("sa")) + size(col("sb")) - col("n_inter")).cast("double"))
       .where(col("jaccard") >= lit(threshold))
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 32-bit SimHash over md5-derived bits — the oracle twin of
+    * [[simHash]] (the d12/s16 move for the SimHash family): bit j of
+    * a token is bit (j mod 4) of hex digit (j div 4) of md5(token),
+    * and the signature sets bit j when strictly more distinct tokens
+    * have it set than clear. Every step is INTEGER arithmetic on both
+    * engines (hex-digit position lookup, shift, mask, majority
+    * compare), so d13 hash-matches with no rounding anywhere. The
+    * xxhash64 kernel ([[simHash]]) stays the scale path — this
+    * formulation shuffles (id, bit) rows where the kernel shuffles
+    * nothing.
+    */
+  def simHashMd5(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("tok")).distinct()
+    toks.withColumn("h", md5(col("tok")))
+      .select(col("id"), explode(expr(
+        """transform(sequence(0, 31), j -> struct(j AS j,
+             shiftright(position(substring(h, (j div 4) + 1, 1)
+               IN '0123456789abcdef') - 1, j % 4) % 2 AS bit))"""))
+        .as("e"))
+      .select(col("id"), col("e.j").as("j"), col("e.bit").as("bit"))
+      .groupBy(col("id"), col("j"))
+      .agg(sum(col("bit")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("id"))
+      .agg(sum(when(col("s") * 2 > col("n"),
+        expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L)).as("simhash32"))
   }
 
   /** 64-bit SimHash signature per document: for each bit j, sum ±1

@@ -183,4 +183,46 @@ object Ivf {
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
+
+  /** IVF with SEEDED centroids — the first `numCells` corpus vectors
+    * by id, no Lloyd — so the whole probe path is reconstructable in
+    * SQL by an external engine: centroids are data, cell assignment
+    * is argmax cosine with ties to the lower cell (the
+    * `assignToCentroidArrays` rule), probe selection ranks the same
+    * cosines, and the in-cell re-rank is the exact kernel cosine.
+    * Retrieval quality is below trained centroids; the point is the
+    * full-oracle twin (s18) for the rows-only s03 — the
+    * [[Pq.searchTopKSeeded]] move for the IVF family.
+    */
+  def searchTopKSeeded(
+      emb: DataFrame, vecCol: String, idCol: String,
+      queryId: Long, k: Int, numCells: Int, nprobe: Int): DataFrame = {
+    val cents: Seq[Array[Double]] = emb.orderBy(col(idCol)).limit(numCells)
+      .select(transform(col(vecCol), _.cast("double")).as("v"))
+      .collect().toSeq.map(_.getSeq[Double](0).toArray)
+    require(cents.size == numCells, s"corpus has fewer than $numCells rows")
+    val centPairs = cents.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val q: Array[Double] = emb.where(col(idCol) === lit(queryId))
+      .select(transform(col(vecCol), _.cast("double")).as("v"))
+      .collect() match {
+        case Array(row) => row.getSeq[Double](0).toArray
+        case other => throw new IllegalArgumentException(
+          s"queryId $queryId matched ${other.length} rows")
+      }
+    val probeCells: Seq[Long] = centPairs
+      .map { case (cell, cv) => (cell, cosineLocal(q, cv)) }
+      .sortBy { case (cell, s) => (-s, cell) }
+      .take(nprobe)
+      .map(_._1)
+    val indexed = Clustering.assignToCentroidArrays(
+      emb.select(col(idCol), col(vecCol)), vecCol, idCol, centPairs)
+    val qlit = array(q.toSeq.map(lit): _*)
+    indexed
+      .where(col("cell").isin(probeCells: _*))
+      .where(col(idCol) =!= lit(queryId))
+      .withColumn("cos_sim", Similarity.cosine(col(vecCol), qlit))
+      .select(col(idCol), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
 }

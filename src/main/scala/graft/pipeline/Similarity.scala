@@ -153,6 +153,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** Sign-LSH with DATA-DERIVED hyperplanes — the first `nPlanes`
+    * corpus vectors by id stand in for the seeded-RNG planes of
+    * [[lshTopK]]. Same mechanics (sign bits → bucket int, bucket-local
+    * candidates, exact cosine top-k) but every quantity is
+    * reconstructable by an external engine in SQL: the planes are
+    * data, the dot products accumulate ascending on both engines (the
+    * s04 precedent), and the sign threshold is a plain `>= 0`. This
+    * is the [[Pq.searchTopKSeeded]] move for the LSH family — it
+    * upgrades the bucket construction from rows-only trusted to
+    * oracle-proven (s17).
+    */
+  def lshTopKSeeded(
+      emb: DataFrame, vecCol: String, idCol: String,
+      queryId: Long, k: Int, nPlanes: Int = 4): DataFrame = {
+    val planes: Seq[Array[Double]] = emb.orderBy(col(idCol)).limit(nPlanes)
+      .select(transform(col(vecCol), _.cast("double")).as("v"))
+      .collect().toSeq.map(_.getSeq[Double](0).toArray)
+    require(planes.size == nPlanes, s"corpus has fewer than $nPlanes rows")
+    val bucket: Column = planes.zipWithIndex.map { case (p, i) =>
+      val plit = array(p.toSeq.map(lit): _*)
+      when(graft.functions.VectorExpressions.dot(col(vecCol), plit) >= 0,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val withB = graft.ops.ScaleOps.fanOut(emb).withColumn("bucket", bucket)
+    val q = withB.where(col(idCol) === lit(queryId))
+      .select(col("bucket").as("q_bucket"), col(vecCol).as("q_vec"))
+    withB.where(col(idCol) =!= lit(queryId))
+      .join(broadcast(q), col("bucket") === col("q_bucket"))
+      .withColumn("cos_sim", cosine(col(vecCol), col("q_vec")))
+      .select(col(idCol), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Batch ANN: LSH-bucketed top-k for EVERY query vector in one job —
     * the scale path of [[bruteForceTopKBatch]]. The corpus is scanned
     * once and scored only against queries sharing a bucket (expected
