@@ -119,9 +119,15 @@ final class SessionManager(root: SparkSession, reaperPeriodMs: Long = 1000L) {
       h.cachedFrames.values().asScala.foreach(df =>
         try df.unpersist() catch { case _: Throwable => () })
       h.cachedFrames.clear()
+      // session-scoped ANN index handles die with the session (their
+      // files live under the spool and go with the recursive delete)
+      graft.pipeline.AnnIndex.list().filter(_.startsWith(id + "/"))
+        .foreach(graft.pipeline.AnnIndex.drop)
       try {
         val d = h.spoolDir.toFile
-        if (d.isDirectory) { d.listFiles().foreach(_.delete()); d.delete(): Unit }
+        // recursive: the spool holds TREES now (cell-partitioned index
+        // write-backs), not just flat ingest files
+        if (d.isDirectory) org.apache.commons.io.FileUtils.deleteDirectory(d)
       } catch { case _: Throwable => () }
       true
     case None => false

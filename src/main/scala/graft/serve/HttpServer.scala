@@ -27,6 +27,11 @@ import scala.util.control.NonFatal
   *   GET    /session/{id}/datasource  list registered sources
   *   GET    /session/{id}/datasource/{name}  schema detail
   *   DELETE /session/{id}/datasource/{name}  remove
+  *   POST   /session/{id}/index      build+register an ANN index {name, table, ...}
+  *   GET    /session/{id}/index      list session indexes
+  *   GET    /session/{id}/index/{name}         meta detail
+  *   DELETE /session/{id}/index/{name}         drop the handle
+  *   POST   /session/{id}/index/{name}/search  {queryId|vector, k, nprobe, rerank}
   *   GET    /healthz                  204
   *   GET    /sysinfo                  version info
   */
@@ -252,6 +257,80 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
           if (sessions.removeTable(h, name)) respondJson(ex, 200, """{"status":"deleted"}""")
           else respondJson(ex, 404, err(s"no such dataSource: $name"))
         }
+
+      // ---- ANN index CRUD (extension; serving twin of AnnIndex's
+      // build-once/persist/query-many lifecycle — the registry key is
+      // session-scoped, files live in the session spool and die with it)
+      case ("POST", Array(id, "index")) =>
+        withSession(ex, id) { h =>
+          val n = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(readBody(ex))
+          def txt(f: String) = Option(n.get(f)).map(_.asText())
+          def int(f: String, d: Int) = Option(n.get(f)).map(_.asInt()).getOrElse(d)
+          val name = txt("name").getOrElse(
+            throw new IllegalArgumentException("index.name required"))
+          val table = txt("table").getOrElse(
+            throw new IllegalArgumentException("index.table required"))
+          val dir = h.spoolDir.resolve("index").resolve(name).toString
+          val handle = graft.pipeline.AnnIndex.openOrBuildCached(
+            s"${h.id}/$name", h.spark.table(table),
+            txt("vecCol").getOrElse("embedding"), txt("idCol").getOrElse("id"),
+            dir, int("numCells", 16), int("m", 8), int("ksub", 16),
+            int("iters", 3))
+          respondJson(ex, 200, indexJson(name, handle))
+        }
+      case ("GET", Array(id, "index")) =>
+        withSession(ex, id) { h =>
+          respondJson(ex, 200, graft.pipeline.AnnIndex.list()
+            .filter(_.startsWith(h.id + "/"))
+            .map(k => jstr(k.stripPrefix(h.id + "/")))
+            .mkString("[", ",", "]"))
+        }
+      case ("GET", Array(id, "index", name)) =>
+        withSession(ex, id) { h =>
+          graft.pipeline.AnnIndex.get(s"${h.id}/$name") match {
+            case Some(hd) => respondJson(ex, 200, indexJson(name, hd))
+            case None => respondJson(ex, 404, err(s"no such index: $name"))
+          }
+        }
+      case ("DELETE", Array(id, "index", name)) =>
+        withSession(ex, id) { h =>
+          if (graft.pipeline.AnnIndex.drop(s"${h.id}/$name"))
+            respondJson(ex, 200, """{"status":"deleted"}""")
+          else respondJson(ex, 404, err(s"no such index: $name"))
+        }
+      case ("POST", Array(id, "index", name, "search")) =>
+        withSession(ex, id) { h =>
+          graft.pipeline.AnnIndex.get(s"${h.id}/$name") match {
+            case None => respondJson(ex, 404, err(s"no such index: $name"))
+            case Some(hd) =>
+              val n = new com.fasterxml.jackson.databind.ObjectMapper()
+                .readTree(readBody(ex))
+              val k = Option(n.get("k")).map(_.asInt()).getOrElse(10)
+              val nprobe = Option(n.get("nprobe")).map(_.asInt())
+                .getOrElse(hd.numCells)
+              val rerank = Option(n.get("rerank")).map(_.asInt()).getOrElse(0)
+              val table = Option(n.get("table")).map(_.asText())
+              val fmt = Option(n.get("response"))
+                .flatMap(r => Option(r.get("format")).map(_.asText()))
+              val df = Option(n.get("queryId")).map(_.asLong()) match {
+                case Some(qid) =>
+                  val corpus = h.spark.table(table.getOrElse(
+                    throw new IllegalArgumentException(
+                      "table required with queryId")))
+                  graft.pipeline.AnnIndex.searchTopK(corpus, hd, qid, k,
+                    nprobe, rerank)
+                case None =>
+                  val vn = Option(n.get("vector")).getOrElse(
+                    throw new IllegalArgumentException(
+                      "queryId or vector required"))
+                  val q = (0 until vn.size()).map(vn.get(_).asDouble()).toArray
+                  graft.pipeline.AnnIndex.searchTopKVec(h.spark, hd, q, k,
+                    nprobe, corpus = table.map(h.spark.table), rerank = rerank)
+              }
+              respondData(ex, df, fmt)
+          }
+        }
       case _ => respondJson(ex, 404, err("not found"))
     }
   })
@@ -422,6 +501,11 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
     val ttl = if (h.ttlSecs == Long.MaxValue) -1 else h.ttlSecs
     s"""{"id":${jstr(h.id)},"created":${h.createdAt / 1000},"ttl":$ttl}"""
   }
+
+  private def indexJson(name: String, h: graft.pipeline.AnnIndex.Handle): String =
+    s"""{"name":${jstr(name)},"m":${h.m},"ksub":${h.ksub},"dim":${h.dim},""" +
+      s""""numCells":${h.numCells},"idCol":${jstr(h.idCol)},""" +
+      s""""vecCol":${jstr(h.vecCol)}}"""
 
   /** JSON-escape a string (ids/names come from request bodies). */
   private def jstr(s: String): String =

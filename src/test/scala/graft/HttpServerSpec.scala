@@ -70,6 +70,47 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(first.has("l_returnflag") && (first.has("F") || first.has("O")), r.body())
   }
 
+  test("ANN index CRUD: build once, search many, files die with the session") {
+    val sid = "idx-crud"
+    assert(post(s"/session?id=$sid", "").statusCode() == 200)
+    try {
+      post(s"/session/$sid/datasource", s"""{"format":"parquet","name":"embeddings",
+        "location":"${SparkFixture.sfDir}/embeddings.parquet"}""")
+      // build + register
+      val b = post(s"/session/$sid/index",
+        """{"name":"emb_idx","table":"embeddings","vecCol":"embedding",
+           "idCol":"vec_id","numCells":4,"m":8,"ksub":8}""")
+      assert(b.statusCode() == 200, b.body())
+      assert(b.body().contains("\"numCells\":4") && b.body().contains("\"dim\":64"),
+        b.body())
+      // list + detail
+      assert(get(s"/session/$sid/index").body() == """["emb_idx"]""")
+      assert(get(s"/session/$sid/index/emb_idx").statusCode() == 200)
+      // search by corpus id (rerank path reads the corpus table)
+      val s1 = post(s"/session/$sid/index/emb_idx/search",
+        """{"queryId":0,"k":5,"nprobe":2,"rerank":10,"table":"embeddings"}""")
+      assert(s1.statusCode() == 200, s1.body())
+      val rows = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s1.body())
+      assert(rows.size() == 5, s1.body())
+      assert(rows.get(0).has("vec_id") && rows.get(0).has("cos_sim"), s1.body())
+      // search by explicit vector — no corpus table needed
+      val vec = (0 until 64).map(_ => "0.5").mkString("[", ",", "]")
+      val s2 = post(s"/session/$sid/index/emb_idx/search",
+        s"""{"vector":$vec,"k":3,"nprobe":4}""")
+      assert(s2.statusCode() == 200, s2.body())
+      assert(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(s2.body()).size() == 3, s2.body())
+      // wrong name 404s; delete drops the handle
+      assert(get(s"/session/$sid/index/nope").statusCode() == 404)
+      assert(delete(s"/session/$sid/index/emb_idx").statusCode() == 200)
+      assert(get(s"/session/$sid/index").body() == "[]")
+    } finally {
+      delete(s"/session/$sid"): Unit
+      // registry fully clean after session teardown
+      assert(!graft.pipeline.AnnIndex.list().exists(_.startsWith(sid + "/")))
+    }
+  }
+
   test("postProcessors: chain applies in order on the session query route") {
     val sid = "pp-chain"
     assert(post(s"/session?id=$sid", "").statusCode() == 200)
