@@ -357,14 +357,12 @@ object Dedup {
       shingleN: Int = 3, numHashes: Int = 8, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val toks = split(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")), " ")
-    val idxs = when(size(toks) >= shingleN,
-      sequence(lit(0), size(toks) - shingleN))
-      .otherwise(array().cast("array<int>"))
-    val shingles = transform(idxs, i =>
-      array_join(slice(toks, i + 1, lit(shingleN)), " "))
-    val sh = docs.select(col(idCol).as("id"), explode(shingles).as("shingle"))
-      .distinct()
+    // one-pass kernel (distinct shingle STRINGS) — the composable
+    // transform/slice/array_join chain allocates per-shingle slices
+    // outside codegen and profiled as the operator's dominant cost
+    val sh = docs.select(col(idCol).as("id"),
+      explode(graft.functions.ShingleStrings(col(textCol), shingleN))
+        .as("shingle"))
     val aggs = (0 until numHashes).map(i =>
       min(md5(concat_ws(":", lit(i.toString), col("shingle")))).as(s"m$i"))
     val sig = sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
@@ -457,20 +455,29 @@ object Dedup {
     * nothing.
     */
   def simHashMd5(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // distinct IS semantic here (strict majority over the token SET);
+    // the per-bit sums then ride as 32 aggregate columns over ONE
+    // doc-keyed exchange. The 32 bits come from ONE integer — the
+    // first 8 md5 hex digits parsed with conv — so each bit is a
+    // shift+mask on a long, not a substring+position lambda element:
+    // bit j = bit (j%4) of hex digit (j div 4), and digit p sits at
+    // bits [4*(7-p), 4*(7-p)+3] of the parsed value (digits are
+    // most-significant-first in the hex string). Same bit mapping as
+    // the per-character oracle spelling, proven by the hash compare.
     val toks = docs.select(col(idCol).as("id"),
       explode(split(col(textCol), " ")).as("tok")).distinct()
-    toks.withColumn("h", md5(col("tok")))
-      .select(col("id"), explode(expr(
-        """transform(sequence(0, 31), j -> struct(j AS j,
-             shiftright(position(substring(h, (j div 4) + 1, 1)
-               IN '0123456789abcdef') - 1, j % 4) % 2 AS bit))"""))
-        .as("e"))
-      .select(col("id"), col("e.j").as("j"), col("e.bit").as("bit"))
-      .groupBy(col("id"), col("j"))
-      .agg(sum(col("bit")).as("s"), count(lit(1)).as("n"))
-      .groupBy(col("id"))
-      .agg(sum(when(col("s") * 2 > col("n"),
-        expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L)).as("simhash32"))
+    val withV = toks.withColumn("v",
+      conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+    val aggs = count(lit(1)).as("n") +:
+      (0 until 32).map { j =>
+        val shift = 4 * (7 - j / 4) + (j % 4)
+        sum(expr(s"shiftright(v, $shift) % 2")).as(s"s$j")
+      }
+    val sums = withV.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val simhash = (0 until 32).map(j =>
+      when(col(s"s$j") * 2 > col("n"), lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    sums.select(col("id"), simhash.as("simhash32"))
   }
 
   /** 64-bit SimHash signature per document: for each bit j, sum ±1

@@ -26,6 +26,7 @@ object DriftProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (names == Seq("__d12_parts")) { d12Parts(spark, sfDir); spark.stop(); return }
     names.foreach { n =>
       val q = graft.SparkEntry.queries(n)
       // warm (scan caches, codegen)
@@ -41,5 +42,40 @@ object DriftProfile {
         times.map(t => f"$t%.3f").mkString("[", ", ", "]"))
     }
     spark.stop()
+  }
+
+  /** Stage breakdown of d12 (dev-only). */
+  private def d12Parts(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def t(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[d12] $label%-24s ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+    }
+    val toks = split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")
+    val idxs = when(size(toks) >= 3, sequence(lit(0), size(toks) - 3))
+      .otherwise(array().cast("array<int>"))
+    val shingles = transform(idxs, i => array_join(slice(toks, i + 1, lit(3)), " "))
+    val sh = docs.select(col("doc_id").as("id"), explode(shingles).as("shingle"))
+    t("explode shingles")(sh.count())
+    t("explode+8xmd5")(sh.select(col("id") +:
+      (0 until 8).map(i => md5(concat_ws(":", lit(i.toString), col("shingle"))).as(s"h$i")): _*).count())
+    val aggs = (0 until 8).map(i =>
+      min(md5(concat_ws(":", lit(i.toString), col("shingle")))).as(s"m$i"))
+    val sig = sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    t("signatures")(sig.count())
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", col(s"m${b * 2}"), col(s"m${b * 2 + 1}")).as("key"))
+    }
+    val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    t("banded")(banded.count())
+    t("pairs")(banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct().count())
   }
 }
