@@ -2466,6 +2466,23 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("n_tokens"), col("mean_logp"))
       .orderBy(col("doc_id")))
 
+  // Vocabulary coverage: the tokenizer-prep rollup — top-k token
+  // types with exact cumulative corpus coverage. Integer counts, one
+  // IEEE division per row: no rounding contract needed.
+  private val t20 = Q("t20_vocab_coverage", Some("""
+    WITH toks AS (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents),
+    counts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+    total AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM counts),
+    top AS (SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok LIMIT 100)
+    SELECT tok, cnt,
+      CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rank,
+      CAST(CAST(SUM(cnt) OVER (ORDER BY cnt DESC, tok
+        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE) / tot AS coverage
+    FROM top, total ORDER BY rank"""),
+    (s, dir) => graft.pipeline.TextAnalysis.vocabCoverage(
+        T(s, dir, "documents"), "text", k = 100)
+      .orderBy(col("rank")))
+
   // Data-mixing resampler: per-source quotas (top-k by the stable md5
   // rank) plus epoch upsampling — 8×1 epoch for src0-4, 4×2 for
   // src5-9, 2×3 for src10-19.
@@ -2570,7 +2587,7 @@ object SparkEntry {
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
     s16, s17, s18,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19,
+    t15, t16, t17, t18, t19, t20,
     m01, m02, m03)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =

@@ -198,6 +198,40 @@ object TextAnalysis {
         count(lit(1)).as("total_tokens"),
         approx_count_distinct(col("col"), rsd).as("approx_distinct_tokens"))
 
+  /** Top-k vocabulary with cumulative corpus coverage — the
+    * tokenizer-training prep question: how much of the token stream
+    * do the k most frequent types cover? Returns
+    * (tok, cnt, rank, coverage) for the k highest-count tokens, ties
+    * broken by the token string so the ranking is total.
+    *
+    * Scale shape: ONE partial-aggregated exchange keyed by token (the
+    * only corpus-sized step; output is vocabulary-sized), a TopK
+    * (TakeOrderedAndProject — no global sort), and the running
+    * coverage window runs over k rows only, so its single-partition
+    * sort is bounded by k, not the vocabulary. The corpus total rides
+    * as a 1-row broadcast. Coverage = exact integer cumulative count
+    * / exact integer total — ONE IEEE division per row, bit-identical
+    * across engines with no rounding contract needed.
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String, k: Int = 100): DataFrame = {
+    val counts = graft.ops.ScaleOps.fanOut(docs)
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).cast("double").as("tot"))
+    val top = counts.orderBy(col("cnt").desc, col("tok")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("tok"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("cnt").desc, col("tok")))
+        .cast("long"))
+      .withColumn("coverage", sum(col("cnt")).over(w).cast("double") / col("tot"))
+      .select(col("tok"), col("cnt"), col("rank"), col("coverage"))
+  }
+
   /** Top-k characteristic keywords per document by tf-idf, with the
     * idf taken as the RAW inverse document-frequency ratio N/df
     * (no logarithm): `ln` is not bit-identical across engines/libms,

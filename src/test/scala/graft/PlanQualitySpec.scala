@@ -289,6 +289,19 @@ class PlanQualitySpec extends AnyFunSuite {
       s"fused gate must not join signal branches:\n$plan")
   }
 
+  test("t20 vocab coverage: vocabulary TopK, window only over k rows") {
+    val df = graft.pipeline.TextAnalysis.vocabCoverage(
+      spark.read.parquet(s"$sf/documents.parquet"), "text", k = 100)
+    val plan = planOf(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k vocabulary must not globally sort:\n$plan")
+    // the coverage window's single-partition exchange is fed by the
+    // TopK (k rows), never by the vocabulary-sized aggregate
+    assert(plan.indexOf("TakeOrderedAndProject") >
+      plan.indexOf("Window"),
+      s"window must sit above the TopK, not the full vocabulary:\n$plan")
+  }
+
   test("s15 indexed knn: repeat invocations hit the registry, never rebuild") {
     val q = SparkEntry.queries("s15_knn_pq_indexed")
     assert(q(spark, sf).collect().nonEmpty) // first call may build
