@@ -34,6 +34,30 @@ class ConcurrencySpec extends AnyFunSuite {
     } finally { pool.shutdownNow(); mgr.shutdown() }
   }
 
+  test("parallel searches on one shared ANN index handle agree with serial") {
+    // the serving shape the registry exists for: build once, then many
+    // concurrent probes against the same immutable Handle
+    val emb = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_conc").toString
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val h = graft.pipeline.AnnIndex.build(emb, "embedding", "vec_id", dir,
+        numCells = 8, m = 8, ksub = 8)
+      def search(qid: Long) = graft.pipeline.AnnIndex
+        .searchTopK(emb, h, qid, k = 5, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val serial = (0L until 8L).map(q => q -> search(q)).toMap
+      val parallel = Await.result(
+        Future.sequence((0L until 8L).map(q => Future(q -> search(q)))),
+        120.seconds).toMap
+      assert(parallel == serial)
+    } finally {
+      pool.shutdownNow()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   private object Readers {
     def lineitem(s: org.apache.spark.sql.SparkSession) =
       s.read.parquet(s"${SparkFixture.sfDir}/lineitem.parquet")
