@@ -43,9 +43,14 @@ object AnnIndex {
 
   private val FormatVersion = 1
 
+  /** `numCells` is the ACTUAL cell count (Lloyd drops empty cells);
+    * `cellsRequested` is what the build asked for — kept so
+    * [[buildIfAbsent]] can tell "requested 8, trained down to 6"
+    * from "requested 6" when deciding reuse.
+    */
   case class Handle(
       dir: String,
-      m: Int, ksub: Int, dim: Int, numCells: Int,
+      m: Int, ksub: Int, dim: Int, numCells: Int, cellsRequested: Int,
       idCol: String, vecCol: String,
       codebooks: Array[Array[Array[Double]]],
       centroids: Seq[(Long, Array[Double])]) {
@@ -84,13 +89,15 @@ object AnnIndex {
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/codes")
 
-    writeSideTables(spark, dir, m, ksub, dim, idCol, vecCol, books, centPairs)
-    Handle(dir, m, ksub, dim, centPairs.size, idCol, vecCol, books, centPairs)
+    writeSideTables(spark, dir, m, ksub, dim, numCells, idCol, vecCol, books,
+      centPairs)
+    Handle(dir, m, ksub, dim, centPairs.size, numCells, idCol, vecCol, books,
+      centPairs)
   }
 
   private def writeSideTables(
       spark: SparkSession, dir: String, m: Int, ksub: Int, dim: Int,
-      idCol: String, vecCol: String,
+      cellsRequested: Int, idCol: String, vecCol: String,
       books: Array[Array[Array[Double]]],
       centPairs: Seq[(Long, Array[Double])]): Unit = {
     import scala.jdk.CollectionConverters._
@@ -120,10 +127,12 @@ object AnnIndex {
       StructField("ksub", IntegerType, nullable = false),
       StructField("dim", IntegerType, nullable = false),
       StructField("num_cells", IntegerType, nullable = false),
+      StructField("cells_requested", IntegerType, nullable = false),
       StructField("id_col", StringType, nullable = false),
       StructField("vec_col", StringType, nullable = false)))
     spark.createDataFrame(
-      Seq(Row(FormatVersion, m, ksub, dim, centPairs.size, idCol, vecCol)).asJava,
+      Seq(Row(FormatVersion, m, ksub, dim, centPairs.size, cellsRequested,
+        idCol, vecCol)).asJava,
       metaSchema)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
@@ -157,8 +166,8 @@ object AnnIndex {
     }
     val cents = spark.read.parquet(s"$dir/cells").orderBy("cell").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
-    Handle(dir, m, ksub, dim, cents.size, meta.getString(5), meta.getString(6),
-      books, cents)
+    Handle(dir, m, ksub, dim, cents.size, meta.getInt(5), meta.getString(6),
+      meta.getString(7), books, cents)
   }
 
   /** Open if a complete index exists at `dir` with matching
@@ -173,8 +182,11 @@ object AnnIndex {
     val existing =
       try {
         val h = open(emb.sparkSession, dir)
+        // cellsRequested, not numCells: Lloyd may have dropped empty
+        // cells, and "requested 8, trained to 6" must reuse while
+        // "requested 6" against a request for 8 must rebuild
         if (h.m == m && h.ksub == ksub && h.idCol == idCol &&
-          h.vecCol == vecCol && h.numCells <= numCells) Some(h)
+          h.vecCol == vecCol && h.cellsRequested == numCells) Some(h)
         else None
       } catch { case _: Exception => None }
     existing.getOrElse(
