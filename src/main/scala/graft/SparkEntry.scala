@@ -1356,8 +1356,14 @@ object SparkEntry {
   private val s15 = Q("s15_knn_pq_indexed", None,
     (s, dir) => {
       val emb = T(s, dir, "embeddings")
+      // cache key = corpus FINGERPRINT (path + mtime + size), not the
+      // path alone: the test corpus is regenerated in place between
+      // rounds, and a path-keyed cache would serve codes encoded from
+      // the previous data against queries resolved from the new one
+      val src = new java.io.File(s"$dir/embeddings.parquet")
       val key = java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+        scala.util.hashing.MurmurHash3.stringHash(
+          s"$dir|${src.lastModified()}|${src.length()}").toLong & 0xffffffffL)
       val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-ann-$key"
       val h = graft.pipeline.AnnIndex.openOrBuildCached(
         s"emb-$key", emb, "embedding", "vec_id", idxDir,

@@ -43,7 +43,7 @@ object PqExpressions {
     // Parquet list columns read as containsNull=true even when no null
     // elements exist; a null slot nulls the whole row (both paths) so
     // interpreted and generated code stay bit-identical.
-    private def elemNullable: Boolean = child.dataType match {
+    private lazy val elemNullable: Boolean = child.dataType match {
       case ArrayType(_, n) => n
       case _ => true
     }
@@ -157,7 +157,7 @@ object PqExpressions {
     require(dotTab.length == nrm2Tab.length && dotTab.nonEmpty,
       "table shapes disagree")
     private val m = dotTab.length
-    private def elemNullable: Boolean = child.dataType match {
+    private lazy val elemNullable: Boolean = child.dataType match {
       case ArrayType(_, n) => n
       case _ => true
     }

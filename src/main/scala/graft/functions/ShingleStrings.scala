@@ -22,6 +22,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * and a join buffer per shingle and stays outside whole-stage
   * codegen; this expression is one imperative scan per document with
   * exactly one output string per DISTINCT shingle.
+  *
+  * Whitespace is Java regex `\s` (incl. ``), matching
+  * [[ShingleHashes]] and every Spark-side `\s+` normalization in the
+  * repo. DuckDB's RE2 `\s` excludes `` — a latent oracle edge
+  * shared by the whole shingle family, moot on corpora without
+  * vertical tabs (the fixtures).
   */
 case class ShingleStrings(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {

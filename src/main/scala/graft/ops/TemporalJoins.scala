@@ -162,20 +162,26 @@ object TemporalJoins {
     val rType = right.select(rStruct.as("r")).schema("r").dataType
     val lType = left.select(lStruct.as("l")).schema("l").dataType
     val ord = rightOrd.map(col(_).cast("long")).getOrElse(lit(0L))
-    def bucketOf(ts: Column): Column = floor(ts / bucketWidth).cast("long")
+    // INTEGER floor division on the __ts column: floor(ts / w) would
+    // evaluate in IEEE double and mis-bucket |ts| > 2^53 (nanos
+    // epochs qualify). pmod-then-`div` stays in exact long arithmetic
+    // and keeps floor semantics for negative ts where `div` alone
+    // truncates toward zero.
+    val bucketOf: Column =
+      expr(s"(__ts - pmod(__ts, ${bucketWidth}L)) div ${bucketWidth}L")
 
     val l = left.select(
       col(keyCol).as("__k"), col(leftTsCol).cast("long").as("__ts"),
       lit(1).as("__side"), lit(0L).as("__ord"),
       lStruct.as("__l"), lit(null).cast(rType).as("__r"))
-      .withColumn("__b", bucketOf(col("__ts")))
+      .withColumn("__b", bucketOf)
     val r = right
       .where(col(keyCol).isNotNull && col(rightTsCol).isNotNull)
       .select(
         col(keyCol).as("__k"), col(rightTsCol).cast("long").as("__ts"),
         lit(0).as("__side"), ord.as("__ord"),
         lit(null).cast(lType).as("__l"), rStruct.as("__r"))
-      .withColumn("__b", bucketOf(col("__ts")))
+      .withColumn("__b", bucketOf)
 
     // the row the running window would carry out of each bucket:
     // backward = largest (ts, ord); forward = smallest ts then largest

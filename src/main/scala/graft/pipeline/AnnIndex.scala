@@ -4,8 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import scala.collection.concurrent.TrieMap
-
 /** Build-once / persist / query-many IVF-PQ index lifecycle.
   *
   * [[Pq.searchTopKIvf]] re-trains the coarse quantizer and codebooks
@@ -174,6 +172,12 @@ object AnnIndex {
     * parameters, else build. The reuse check is against the persisted
     * meta, so a parameter change rebuilds instead of silently serving
     * a stale index.
+    *
+    * CORPUS identity is the caller's contract: meta records build
+    * parameters, not which data was encoded, so `dir` must be derived
+    * from a corpus fingerprint (path + mtime/size, a snapshot id, …)
+    * — reusing one dir across corpus versions would serve codes from
+    * the old data (the s15 query keys its cache dir this way).
     */
   def buildIfAbsent(
       emb: DataFrame, vecCol: String, idCol: String, dir: String,
@@ -306,22 +310,35 @@ object AnnIndex {
   /** Named handles, so a serving session opens an index once and
     * queries it by name thereafter (and the HTTP layer can expose
     * index CRUD without re-reading side tables per request).
+    *
+    * ConcurrentHashMap, not TrieMap: `computeIfAbsent` runs the build
+    * thunk atomically per key, so two concurrent first requests for
+    * the same name can't race overlapping mode-overwrite builds into
+    * one directory (TrieMap.getOrElseUpdate evaluates in both racers).
     */
-  private val registry = TrieMap.empty[String, Handle]
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, Handle]()
 
-  def register(name: String, handle: Handle): Unit = registry.put(name, handle)
-  def get(name: String): Option[Handle] = registry.get(name)
-  def drop(name: String): Boolean = registry.remove(name).nonEmpty
-  def list(): Seq[String] = registry.keys.toSeq.sorted
+  def register(name: String, handle: Handle): Unit = {
+    registry.put(name, handle): Unit
+  }
+  def get(name: String): Option[Handle] = Option(registry.get(name))
+  def drop(name: String): Boolean = registry.remove(name) != null
+  def list(): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    registry.keys.asScala.toSeq.sorted
+  }
 
   /** Registry-cached open-or-build: the first call builds (or opens a
     * persisted) index and registers it; later calls are a map lookup.
+    * Concurrent first calls serialize on the key — one builds, the
+    * rest wait and share the handle.
     */
   def openOrBuildCached(
       name: String, emb: DataFrame, vecCol: String, idCol: String,
       dir: String, numCells: Int, m: Int, ksub: Int, iters: Int = 3,
       maxTrainRows: Int = 100000): Handle =
-    registry.getOrElseUpdate(name,
+    registry.computeIfAbsent(name, _ =>
       buildIfAbsent(emb, vecCol, idCol, dir, numCells, m, ksub, iters,
         maxTrainRows))
 }

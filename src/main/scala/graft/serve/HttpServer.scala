@@ -271,12 +271,25 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
             throw new IllegalArgumentException("index.name required"))
           val table = txt("table").getOrElse(
             throw new IllegalArgumentException("index.table required"))
-          val dir = h.spoolDir.resolve("index").resolve(name).toString
+          // dir encodes the TABLE, so re-posting the name against a
+          // different table can never open the old table's codes
+          val dir = h.spoolDir.resolve("index").resolve(s"$name-$table").toString
+          val (vecCol, idCol) = (txt("vecCol").getOrElse("embedding"),
+            txt("idCol").getOrElse("id"))
+          val (numCells, m, ksub) = (int("numCells", 16), int("m", 8),
+            int("ksub", 16))
+          val regKey = s"${h.id}/$name"
+          // a registry hit with CHANGED params/table must rebuild, not
+          // silently serve the old definition with a 200
+          graft.pipeline.AnnIndex.get(regKey).foreach { old =>
+            val same = old.dir == dir && old.m == m && old.ksub == ksub &&
+              old.cellsRequested == numCells && old.vecCol == vecCol &&
+              old.idCol == idCol
+            if (!same) graft.pipeline.AnnIndex.drop(regKey): Unit
+          }
           val handle = graft.pipeline.AnnIndex.openOrBuildCached(
-            s"${h.id}/$name", h.spark.table(table),
-            txt("vecCol").getOrElse("embedding"), txt("idCol").getOrElse("id"),
-            dir, int("numCells", 16), int("m", 8), int("ksub", 16),
-            int("iters", 3))
+            regKey, h.spark.table(table), vecCol, idCol,
+            dir, numCells, m, ksub, int("iters", 3))
           respondJson(ex, 200, indexJson(name, handle))
         }
       case ("GET", Array(id, "index")) =>

@@ -100,6 +100,14 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(s2.statusCode() == 200, s2.body())
       assert(new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(s2.body()).size() == 3, s2.body())
+      // re-POST with changed params must rebuild, not serve the old
+      // definition with a 200
+      val b2 = post(s"/session/$sid/index",
+        """{"name":"emb_idx","table":"embeddings","vecCol":"embedding",
+           "idCol":"vec_id","numCells":2,"m":4,"ksub":8}""")
+      assert(b2.statusCode() == 200, b2.body())
+      assert(b2.body().contains("\"m\":4") && b2.body().contains("\"numCells\":2"),
+        s"changed params must rebuild: ${b2.body()}")
       // wrong name 404s; delete drops the handle
       assert(get(s"/session/$sid/index/nope").statusCode() == 404)
       assert(delete(s"/session/$sid/index/emb_idx").statusCode() == 200)

@@ -305,8 +305,10 @@ class PlanQualitySpec extends AnyFunSuite {
   test("s15 indexed knn: repeat invocations hit the registry, never rebuild") {
     val q = SparkEntry.queries("s15_knn_pq_indexed")
     assert(q(spark, sf).collect().nonEmpty) // first call may build
+    val src = new java.io.File(s"$sf/embeddings.parquet")
     val key = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(sf).toLong & 0xffffffffL)
+      scala.util.hashing.MurmurHash3.stringHash(
+        s"$sf|${src.lastModified()}|${src.length()}").toLong & 0xffffffffL)
     assert(graft.pipeline.AnnIndex.get(s"emb-$key").nonEmpty,
       "first s15 call must register the index handle")
     val metaDir = new java.io.File(
