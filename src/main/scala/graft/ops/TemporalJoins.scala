@@ -254,15 +254,25 @@ object TemporalJoins {
     def exploded(df: DataFrame, lo: String, hi: String): DataFrame =
       df.where(col(hi) > col(lo))
         .withColumn("__bucket", explode(sequence(
-          floor(col(lo) / bucketWidth),
-          floor((col(hi) - 1) / bucketWidth))))
+          bucketStart(col(lo), bucketWidth),
+          bucketStart(col(hi) - 1, bucketWidth),
+          lit(bucketWidth))))
     exploded(left, leftLo, leftHi)
       .join(exploded(right, rightLo, rightHi), Seq("__bucket"))
       .where(col(leftLo) < col(rightHi) && col(rightLo) < col(leftHi) &&
         col("__bucket") ===
-          floor(greatest(col(leftLo), col(rightLo)) / bucketWidth))
+          bucketStart(greatest(col(leftLo), col(rightLo)), bucketWidth))
       .drop("__bucket")
   }
+
+  /** Bucket label = the bucket's START value, `x - pmod(x, w)` —
+    * exact long arithmetic with floor semantics for negative x.
+    * The `floor(x / w)` spelling evaluates in IEEE double and can
+    * mis-bucket |x| > 2^53 (nanos epochs qualify); a start-valued
+    * label avoids the division entirely (bucket sequences step by w).
+    */
+  private def bucketStart(x: Column, w: Long): Column =
+    (x - pmod(x, lit(w))).cast("long")
 
   /** Point-in-interval range join: every (point, interval) pair with
     * `lo <= pt < hi` — half-open, like window containment everywhere.
@@ -294,15 +304,16 @@ object TemporalJoins {
       ptCol: String, loCol: String, hiCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val p = points.withColumn("__bucket", floor(col(ptCol) / bucketWidth))
-    // half-open [lo, hi): the last covered bucket is floor((hi-1)/w);
-    // empty intervals (hi <= lo) cover no bucket and drop out of the
-    // inner join via the empty sequence
+    val p = points.withColumn("__bucket", bucketStart(col(ptCol), bucketWidth))
+    // half-open [lo, hi): the last covered bucket starts at
+    // bucketStart(hi-1); empty intervals (hi <= lo) cover no bucket
+    // and drop out of the inner join via the empty sequence
     val i = intervals
       .where(col(hiCol) > col(loCol))
       .withColumn("__bucket", explode(sequence(
-        floor(col(loCol) / bucketWidth),
-        floor((col(hiCol) - 1) / bucketWidth))))
+        bucketStart(col(loCol), bucketWidth),
+        bucketStart(col(hiCol) - 1, bucketWidth),
+        lit(bucketWidth))))
     p.join(i, Seq("__bucket"))
       .where(col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
       .drop("__bucket")
