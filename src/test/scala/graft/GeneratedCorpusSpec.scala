@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Oracle REPLAY on generated corpora: the fixed correctness suite
+  * runs Spark queries against DuckDB oracles on the driver's test
+  * data — this spec re-runs a slice of exactly those pairs on seeded
+  * RANDOM documents (planted duplicates, short/empty docs, skewed
+  * sources), so a hash-match can't be an artifact of one corpus.
+  * Everything is reused verbatim: `SparkEntry.queries(name)` reads
+  * the synthetic sf dir, `SparkEntry.oracleSql(name)` runs on a
+  * DuckDB view over the same parquet.
+  */
+class GeneratedCorpusSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  // text-operator queries whose outputs are integers, strings, or
+  // contract-rounded/exact-division doubles — the cross-engine-stable
+  // subset (float-accumulation queries keep their fixed-corpus checks)
+  private val replayQueries = Seq(
+    "d01_dedup_exact", "d12_minhash_md5_oracle", "d13_simhash_md5_oracle",
+    "t14_decontaminate_fraction", "t15_token_entropy", "t16_sequence_pack",
+    "t17_hash_split", "t18_quality_gate", "t20_vocab_coverage")
+
+  private def generate(seed: Int, nDocs: Int): Seq[(Long, String, String, String, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    val words = Vector("key", "agg", "row", "scan", "slow", "fast", "table",
+      "value", "part", "hash", "merge", "batch", "spark", "line", "sort",
+      "window", "filter", "group", "vector", "stream", "the", "a", "and",
+      "query", "join", "data", "column", "order", "small", "big")
+    val langs = Vector("en", "de", "fr")
+    val base = (0 until nDocs).map { i =>
+      val len = rnd.nextInt(60) // includes 0..2-token docs
+      val text = Seq.fill(len)(words(rnd.nextInt(words.size))).mkString(" ")
+      (i.toLong, text, langs(rnd.nextInt(langs.size)),
+        s"src${rnd.nextInt(5)}", text.length.toLong)
+    }
+    // plant exact duplicates (10%) so the dedup families have work
+    base.map { case row @ (id, _, lang, src, _) =>
+      if (id % 10 == 9) {
+        val orig = base((id / 2).toInt)
+        (id, orig._2, lang, src, orig._2.length.toLong)
+      } else row
+    }
+  }
+
+  test("fixed oracle pairs hash-match on two generated corpora") {
+    import spark.implicits._
+    Seq(101, 202).foreach { seed =>
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_gen_$seed").toString
+      val duck = java.sql.DriverManager.getConnection("jdbc:duckdb:")
+      try {
+        generate(seed, 300)
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        duck.createStatement().execute(
+          s"""CREATE VIEW documents AS
+              SELECT * FROM read_parquet('$dir/documents.parquet/*.parquet')""")
+        replayQueries.foreach { name =>
+          val sparkRows = SparkEntry.queries(name)(spark, dir)
+            .collect().toSeq
+            .map(r => (0 until r.length).map(i => String.valueOf(r.get(i))))
+            .sortBy(_.mkString(""))
+          val rs = duck.createStatement().executeQuery(SparkEntry.oracleSql(name))
+          val n = rs.getMetaData.getColumnCount
+          val duckRows = Iterator.continually(rs)
+            .takeWhile(_.next())
+            .map(r => (1 to n).map(i => String.valueOf(r.getObject(i))))
+            .toSeq
+            .sortBy(_.mkString(""))
+          assert(sparkRows == duckRows,
+            s"seed=$seed $name diverged (${sparkRows.size} vs ${duckRows.size} rows)\n" +
+              s"spark: ${sparkRows.take(3)}\nduck:  ${duckRows.take(3)}")
+          assert(sparkRows.nonEmpty || name.startsWith("d12") || name.startsWith("t18"),
+            s"seed=$seed $name returned no rows — generator too weak to exercise it")
+        }
+      } finally {
+        duck.close()
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      }
+    }
+  }
+}
