@@ -45,6 +45,58 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     }
   }
 
+  // vector-family pairs: raw-double cosine outputs hash-match on the
+  // fixtures, i.e. both engines compute bit-identical doubles — replay
+  // must hold on random vectors too or the bit-identity was luck
+  private val vectorReplay = Seq(
+    "s01_knn_bruteforce", "s04_knn_batch",
+    "s16_knn_pq_oracle", "s17_knn_lsh_oracle", "s18_knn_ivf_oracle")
+
+  private def generateVecs(seed: Int, n: Int, dim: Int): Seq[(Long, Seq[Float], Int)] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val v = Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+      (i.toLong, v, rnd.nextInt(8))
+    }
+  }
+
+  test("vector oracle pairs hash-match on a generated embedding corpus") {
+    import spark.implicits._
+    val seed = 77
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_genv_$seed").toString
+    val duck = java.sql.DriverManager.getConnection("jdbc:duckdb:")
+    try {
+      generateVecs(seed, 200, 64)
+        .toDF("vec_id", "embedding", "label")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      duck.createStatement().execute(
+        s"""CREATE VIEW embeddings AS
+            SELECT * FROM read_parquet('$dir/embeddings.parquet/*.parquet')""")
+      vectorReplay.foreach { name =>
+        val sparkRows = SparkEntry.queries(name)(spark, dir)
+          .collect().toSeq
+          .map(r => (0 until r.length).map(i => String.valueOf(r.get(i))))
+          .sortBy(_.mkString(""))
+        val rs = duck.createStatement().executeQuery(SparkEntry.oracleSql(name))
+        val n = rs.getMetaData.getColumnCount
+        val duckRows = Iterator.continually(rs)
+          .takeWhile(_.next())
+          .map(r => (1 to n).map(i => String.valueOf(r.getObject(i))))
+          .toSeq
+          .sortBy(_.mkString(""))
+        assert(sparkRows == duckRows,
+          s"$name diverged on generated vectors " +
+            s"(${sparkRows.size} vs ${duckRows.size} rows)\n" +
+            s"spark: ${sparkRows.take(3)}\nduck:  ${duckRows.take(3)}")
+        assert(sparkRows.nonEmpty, s"$name returned no rows")
+      }
+    } finally {
+      duck.close()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("fixed oracle pairs hash-match on two generated corpora") {
     import spark.implicits._
     Seq(101, 202).foreach { seed =>
