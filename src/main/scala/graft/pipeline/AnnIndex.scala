@@ -197,6 +197,31 @@ object AnnIndex {
       build(emb, vecCol, idCol, dir, numCells, m, ksub, iters, maxTrainRows))
   }
 
+  /** Append new vectors to a built index WITHOUT retraining — the
+    * nightly-ingest shape: the batch is assigned and encoded with the
+    * handle's EXISTING centroids and codebooks (map-only, no training
+    * job) and appended to the cell-partitioned codes table. Quantizer
+    * quality for the appended rows is whatever the original training
+    * distribution gives them — the standard IVF-PQ trade; rebuild
+    * when drift warrants it (the build is idempotent-overwrite).
+    *
+    * Id uniqueness is the caller's contract, like any append-only
+    * table: appending an id that already exists yields two code rows
+    * and duplicate candidates.
+    */
+  def append(handle: Handle, emb: DataFrame): Unit = {
+    val indexed = Pq.encode(
+      Clustering.assignToCentroidArrays(
+        emb.select(col(handle.idCol), col(handle.vecCol)),
+        handle.vecCol, handle.idCol, handle.centroids),
+      handle.vecCol, handle.codebooks)
+      .select(col(handle.idCol), col("cell"), col("codes"))
+    indexed
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(handle.codesPath)
+  }
+
   /** Top-k by ADC cosine for an explicit query vector — touches ONLY
     * index files: probe cells chosen against in-handle centroids →
     * partition filter on the codes table → ADC codegen kernel → TopK.

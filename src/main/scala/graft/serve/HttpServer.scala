@@ -31,6 +31,7 @@ import scala.util.control.NonFatal
   *   GET    /session/{id}/index      list session indexes
   *   GET    /session/{id}/index/{name}         meta detail
   *   DELETE /session/{id}/index/{name}         drop the handle
+  *   POST   /session/{id}/index/{name}/append  {table} — encode with existing quantizers
   *   POST   /session/{id}/index/{name}/search  {queryId|vector, k, nprobe, rerank}
   *   GET    /healthz                  204
   *   GET    /sysinfo                  version info
@@ -311,6 +312,19 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
           if (graft.pipeline.AnnIndex.drop(s"${h.id}/$name"))
             respondJson(ex, 200, """{"status":"deleted"}""")
           else respondJson(ex, 404, err(s"no such index: $name"))
+        }
+      case ("POST", Array(id, "index", name, "append")) =>
+        withSession(ex, id) { h =>
+          graft.pipeline.AnnIndex.get(s"${h.id}/$name") match {
+            case None => respondJson(ex, 404, err(s"no such index: $name"))
+            case Some(hd) =>
+              val n = new com.fasterxml.jackson.databind.ObjectMapper()
+                .readTree(readBody(ex))
+              val table = Option(n.get("table")).map(_.asText()).getOrElse(
+                throw new IllegalArgumentException("append.table required"))
+              graft.pipeline.AnnIndex.append(hd, h.spark.table(table))
+              respondJson(ex, 200, """{"status":"appended"}""")
+          }
         }
       case ("POST", Array(id, "index", name, "search")) =>
         withSession(ex, id) { h =>

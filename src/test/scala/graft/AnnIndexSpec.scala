@@ -152,6 +152,41 @@ class AnnIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("append encodes with the existing quantizers and neighbors become findable") {
+    withIndexDir { dir =>
+      val half = emb.where(col("vec_id") < 250)
+      val rest = emb.where(col("vec_id") >= 250)
+      val h = graft.pipeline.AnnIndex.build(half, "embedding", "vec_id", dir,
+        numCells = 8, m = 8, ksub = 8)
+      val q = emb.where(col("vec_id") === 0L)
+        .select(transform(col("embedding"), _.cast("double")))
+        .collect()(0).getSeq[Double](0).toArray
+      val before = graft.pipeline.AnnIndex
+        .searchTopKVec(spark, h, q, k = 500, nprobe = 8).collect()
+        .map(_.getLong(0)).toSet
+      assert(before.forall(_ < 250), "nothing above 250 exists yet")
+      graft.pipeline.AnnIndex.append(h, rest)
+      val after = graft.pipeline.AnnIndex
+        .searchTopKVec(spark, h, q, k = 1000, nprobe = 8).collect()
+        .map(_.getLong(0)).toSet
+      assert(after.size == emb.count(), "full-probe search must see every row")
+      assert(after.exists(_ >= 250), "appended rows must be findable")
+      // appended codes are exactly encode(original codebooks): the
+      // reference encoding of the appended rows matches what search
+      // reads back from the index
+      val refCodes = graft.pipeline.Pq.encode(
+          rest.select(col("vec_id"), col("embedding")), "embedding", h.codebooks)
+        .select(col("vec_id"), col("codes"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val diskCodes = spark.read.parquet(h.codesPath)
+        .where(col("vec_id") >= 250)
+        .select(col("vec_id"), col("codes"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(diskCodes == refCodes,
+        "append must persist exactly the existing-codebook encoding")
+    }
+  }
+
   test("registry: openOrBuildCached is a map hit after the first call") {
     withIndexDir { dir =>
       val name = s"spec-${System.nanoTime()}"
