@@ -92,7 +92,7 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     }
   }
 
-  private def gen(rnd: scala.util.Random): String = rnd.nextInt(9) match {
+  private def gen(rnd: scala.util.Random): String = rnd.nextInt(11) match {
     case 0 => // filtered projection
       val t = tables(rnd.nextInt(tables.size))
       val (ics, scs) = cols(t)
@@ -163,6 +163,23 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       s"""SELECT $ic FROM $t WHERE $ic >
           (SELECT $agg($ic) FROM $t WHERE ${intPred(rnd, ic)}) / 2
           AND ${pred(rnd, t)}"""
+    case 9 => // EXISTS / NOT EXISTS correlated subquery
+      val (a, b, on) = joins(rnd.nextInt(joins.size))
+      val Array(lc, rc) = on.split(" = ")
+      val not = if (rnd.nextBoolean()) "NOT " else ""
+      val sel = cols(a)._1.head
+      s"""SELECT $sel FROM $a WHERE ${not}EXISTS
+          (SELECT 1 FROM $b WHERE $rc = $lc AND ${pred(rnd, b)})
+          AND ${pred(rnd, a)}"""
+    case 10 => // join + HAVING over grouped aggregates
+      val (a, b, on) = joins(rnd.nextInt(joins.size))
+      val g = cols(b)._2.head
+      val ic = cols(a)._1(rnd.nextInt(cols(a)._1.size))
+      s"""SELECT $g, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(MAX($ic) AS BIGINT) AS mx
+          FROM $a JOIN $b ON $on GROUP BY $g
+          HAVING COUNT(*) >= ${1 + rnd.nextInt(4)}
+             AND MIN($ic) < ${Seq(100, 1000, 10000)(rnd.nextInt(3))}"""
   }
 
   /** Paired GROUPS-frame spellings: Spark gets the raw SQL:2011
@@ -184,10 +201,22 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     }
     val p = pred(rnd, t)
     val agg = Seq(s"SUM($ic)", "COUNT(*)")(rnd.nextInt(2))
+    // sometimes a SECOND GROUPS window over the same spec — the
+    // rewrite loops per frame, so multi-GROUPS queries must survive
+    val second =
+      if (rnd.nextBoolean())
+        s""", CAST(COUNT(*) OVER (PARTITION BY $sc ORDER BY $ic
+            GROUPS $frame) AS BIGINT) AS gval2"""
+      else ""
+    val secondDuck =
+      if (second.nonEmpty)
+        s""", CAST(COUNT(*) OVER (PARTITION BY $sc ORDER BY dr
+            RANGE $frame) AS BIGINT) AS gval2"""
+      else ""
     val sparkSql =
       s"""SELECT ${ics.head} AS k0, $ic AS k1,
           CAST($agg OVER (PARTITION BY $sc ORDER BY $ic
-            GROUPS $frame) AS BIGINT) AS gval
+            GROUPS $frame) AS BIGINT) AS gval$second
           FROM $t WHERE $p"""
     val duckSql =
       s"""WITH b AS (SELECT *,
@@ -195,16 +224,16 @@ class DifferentialFuzzSpec extends AnyFunSuite {
           FROM $t WHERE $p)
           SELECT ${ics.head} AS k0, $ic AS k1,
           CAST($agg OVER (PARTITION BY $sc ORDER BY dr
-            RANGE $frame) AS BIGINT) AS gval
+            RANGE $frame) AS BIGINT) AS gval$secondDuck
           FROM b"""
     (sparkSql, duckSql)
   }
 
-  test("250 seeded random queries agree between Spark and DuckDB") {
+  test("300 seeded random queries agree between Spark and DuckDB") {
     sparkViews()
     val rnd = new scala.util.Random(42)
     var checked = 0
-    (1 to 250).foreach { i =>
+    (1 to 300).foreach { i =>
       val sql = gen(rnd)
       val s = runSpark(sql).sortBy(_.mkString(""))
       val d = runDuck(sql).sortBy(_.mkString(""))
@@ -214,7 +243,7 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       checked += 1
     }
     info(s"$checked generated queries matched exactly")
-    assert(checked == 250)
+    assert(checked == 300)
   }
 
   test("as-of join fuzz: flat AND bucketed operators match DuckDB ASOF JOIN") {
