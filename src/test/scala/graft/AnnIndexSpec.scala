@@ -135,6 +135,13 @@ class AnnIndexSpec extends AnyFunSuite {
       val h = graft.pipeline.AnnIndex.build(emb, "embedding", "vec_id", dir,
         numCells = 8, m = 8, ksub = 8)
       val queries = emb.where(col("vec_id") < 3)
+      // the rank filter must stay WindowGroupLimit-able: per-map-
+      // partition forwarding capped at k per query (the s14 discipline)
+      val plan = graft.pipeline.AnnIndex.searchTopKBatch(spark, h, queries,
+        "vec_id", "embedding", k = 5, nprobe = 4)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"batch probe must cap per-query forwarding map-side:\n$plan")
       val batch = graft.pipeline.AnnIndex.searchTopKBatch(spark, h, queries,
         "vec_id", "embedding", k = 5, nprobe = 4)
         .collect()
