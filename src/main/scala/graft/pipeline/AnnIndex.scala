@@ -238,11 +238,7 @@ object AnnIndex {
     require(rerank <= 0 || corpus.nonEmpty,
       "rerank > 0 needs the vector corpus")
     val (dotTab, nrm2Tab, qNorm) = Pq.adcTables(q, handle.codebooks)
-    val probeCells: Seq[Long] = handle.centroids
-      .map { case (cell, cv) => (cell, Ivf.cosineLocal(q, cv)) }
-      .sortBy { case (cell, s) => (-s, cell) }
-      .take(nprobe)
-      .map(_._1)
+    val probeCells: Seq[Long] = Ivf.probeCells(q, handle.centroids, nprobe)
     val idCol = handle.idCol
     val codes = spark.read.parquet(handle.codesPath)
       .where(col("cell").isin(probeCells: _*))

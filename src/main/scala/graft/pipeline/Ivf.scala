@@ -24,20 +24,20 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  /** Deterministic k-means (Lloyd) centroids, trained driver-side on
-    * a bounded sample.
-    *
-    * Quantizer training is the one part of IVF that does NOT scale
-    * with the corpus and should not be distributed: the standard
-    * practice (FAISS trains its coarse quantizer on ≤ a few hundred
-    * thousand sampled vectors regardless of index size) is to pull a
-    * deterministic sample to the driver — here the `maxTrainRows`
-    * vectors with smallest xxhash64(id), a seedless uniform sample —
-    * and run Lloyd locally. One cluster job to sample, zero shuffles
-    * per iteration (the distributed formulation re-scans and
-    * re-shuffles the entire corpus every iteration for a k×dim
-    * result). Init = the k sample vectors with smallest hash.
+  /** The `nprobe` cells whose centroids are cosine-nearest to the
+    * query, ties to the lower cell id — the probe-selection rule
+    * every IVF-shaped search (trained, seeded, indexed, IVF-PQ)
+    * shares, kept in one place so they cannot drift.
     */
+  private[pipeline] def probeCells(
+      q: Array[Double], centroids: Seq[(Long, Array[Double])],
+      nprobe: Int): Seq[Long] =
+    centroids
+      .map { case (cell, cv) => (cell, cosineLocal(q, cv)) }
+      .sortBy { case (cell, s) => (-s, cell) }
+      .take(nprobe)
+      .map(_._1)
+
   private[pipeline] def cosineLocal(a: Array[Double], b: Array[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     val dim = a.length
@@ -61,8 +61,20 @@ object Ivf {
       .collect()
       .map(_.getSeq[Double](0).toArray)
 
-  /** Lloyd training returning the raw centroid arrays (the form the
-    * literal-inlined assignment and probe planning consume).
+  /** Deterministic k-means (Lloyd) centroids, trained driver-side on
+    * a bounded sample, returned as the raw arrays the literal-inlined
+    * assignment and probe planning consume.
+    *
+    * Quantizer training is the one part of IVF that does NOT scale
+    * with the corpus and should not be distributed: the standard
+    * practice (FAISS trains its coarse quantizer on ≤ a few hundred
+    * thousand sampled vectors regardless of index size) is to pull a
+    * deterministic sample to the driver — here the `maxTrainRows`
+    * vectors with smallest xxhash64(id), a seedless uniform sample —
+    * and run Lloyd locally. One cluster job to sample, zero shuffles
+    * per iteration (the distributed formulation re-scans and
+    * re-shuffles the entire corpus every iteration for a k×dim
+    * result). Init = the k sample vectors with smallest hash.
     */
   private[pipeline] def trainCentroidArrays(
       emb: DataFrame, vecCol: String, idCol: String,
@@ -169,14 +181,10 @@ object Ivf {
       }
     // cells to probe: nprobe nearest centroids to the query, ranked
     // driver-side (ties to the lower cell id, matching assignment)
-    val probeCells: Seq[Long] = centPairs
-      .map { case (cell, cv) => (cell, cosineLocal(q, cv)) }
-      .sortBy { case (cell, s) => (-s, cell) }
-      .take(nprobe)
-      .map(_._1)
+    val probes: Seq[Long] = probeCells(q, centPairs, nprobe)
     val qlit = array(q.toSeq.map(lit): _*)
     indexed
-      .where(col("cell").isin(probeCells: _*)) // cell pruning
+      .where(col("cell").isin(probes: _*)) // cell pruning
       .where(col(idCol) =!= lit(queryId))
       .withColumn("cos_sim", Similarity.cosine(col(vecCol), qlit))
       .select(col(idCol), col("cos_sim"))
@@ -209,16 +217,12 @@ object Ivf {
         case other => throw new IllegalArgumentException(
           s"queryId $queryId matched ${other.length} rows")
       }
-    val probeCells: Seq[Long] = centPairs
-      .map { case (cell, cv) => (cell, cosineLocal(q, cv)) }
-      .sortBy { case (cell, s) => (-s, cell) }
-      .take(nprobe)
-      .map(_._1)
+    val probes: Seq[Long] = probeCells(q, centPairs, nprobe)
     val indexed = Clustering.assignToCentroidArrays(
       emb.select(col(idCol), col(vecCol)), vecCol, idCol, centPairs)
     val qlit = array(q.toSeq.map(lit): _*)
     indexed
-      .where(col("cell").isin(probeCells: _*))
+      .where(col("cell").isin(probes: _*))
       .where(col(idCol) =!= lit(queryId))
       .withColumn("cos_sim", Similarity.cosine(col(vecCol), qlit))
       .select(col(idCol), col("cos_sim"))

@@ -314,11 +314,7 @@ object Pq {
     val books = trainCodebooksOnSample(sample, m, ksub, iters)
     val q = collectQuery(emb, vecCol, idCol, queryId)
     val (dotTab, nrm2Tab, qNorm) = adcTables(q, books)
-    val probeCells: Seq[Long] = centPairs
-      .map { case (cell, cv) => (cell, Ivf.cosineLocal(q, cv)) }
-      .sortBy { case (cell, s) => (-s, cell) }
-      .take(nprobe)
-      .map(_._1)
+    val probeCells: Seq[Long] = Ivf.probeCells(q, centPairs, nprobe)
     val indexed = Clustering.assignToCentroidArrays(
       emb.select(col(idCol), col(vecCol)), vecCol, idCol, centPairs)
     val topAdc = encode(indexed, vecCol, books)
