@@ -2472,6 +2472,43 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("n_tokens"), col("mean_logp"))
       .orderBy(col("doc_id")))
 
+  // Multi-benchmark decontamination: per-suite hit counts, the triage
+  // report a pipeline screens against many eval suites at once.
+  // Suites carved deterministically from doc_id (%50 -> suiteA,
+  // %49 -> suiteB — a doc divisible by both contributes to both).
+  private val t21 = Q("t21_decontaminate_by_suite", Some("""
+    WITH toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    bench AS (
+      SELECT DISTINCT suite, shingle FROM (
+        SELECT 'suiteA' AS suite, shingle FROM sh WHERE doc_id % 50 = 0
+        UNION ALL
+        SELECT 'suiteB' AS suite, shingle FROM sh WHERE doc_id % 49 = 0)),
+    hits AS (SELECT s.doc_id, b.suite, CAST(COUNT(*) AS BIGINT) AS n_hits
+             FROM sh s JOIN bench b USING (shingle)
+             WHERE s.doc_id % 50 <> 0 AND s.doc_id % 49 <> 0
+             GROUP BY s.doc_id, b.suite)
+    SELECT doc_id, suite, n_hits FROM hits ORDER BY doc_id, suite"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val bench = docs
+        .where(col("doc_id") % 50 === 0 || col("doc_id") % 49 === 0)
+        .withColumn("suite", explode(concat(
+          when(col("doc_id") % 50 === 0, array(lit("suiteA")))
+            .otherwise(array().cast("array<string>")),
+          when(col("doc_id") % 49 === 0, array(lit("suiteB")))
+            .otherwise(array().cast("array<string>")))))
+      graft.pipeline.Decontaminate.contaminationBySuite(
+          docs.where(col("doc_id") % 50 =!= 0 && col("doc_id") % 49 =!= 0),
+          bench, "text", "doc_id", "suite", n = 3)
+        .select(col("id").as("doc_id"), col("suite"), col("n_hits"))
+        .orderBy(col("doc_id"), col("suite"))
+    })
+
   // Vocabulary coverage: the tokenizer-prep rollup — top-k token
   // types with exact cumulative corpus coverage. Integer counts, one
   // IEEE division per row: no rounding contract needed.
@@ -2593,7 +2630,7 @@ object SparkEntry {
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
     s16, s17, s18,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19, t20,
+    t15, t16, t17, t18, t19, t20, t21,
     m01, m02, m03)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =

@@ -85,6 +85,31 @@ object Decontaminate {
           .as("frac"))
   }
 
+  /** Per-SUITE contamination report: real pipelines screen against
+    * MANY benchmarks at once and triage per suite (an MMLU hit and a
+    * GSM8K hit have different blast radii). One pass over the
+    * candidate shingles: the benchmark side reduces to DISTINCT
+    * (suite, shingle) pairs — still eval-suite-sized, still broadcast
+    * under AQE — and the join emits (candidate, suite) hit counts
+    * directly; a candidate overlapping three suites yields three
+    * rows. Shuffles carry (id, suite, hash), never text.
+    *
+    * @return (id, suite, n_hits) for every candidate×suite pair with
+    *         at least one shared distinct shingle.
+    */
+  def contaminationBySuite(candidates: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, suiteCol: String,
+      n: Int = 3): DataFrame = {
+    val benchShingles = Dedup.hashedShingles(benchmark, textCol, idCol, n)
+      .join(benchmark.select(col(idCol).as("id"), col(suiteCol).as("suite")),
+        Seq("id"))
+      .select(col("suite"), col("shingle")).distinct()
+    Dedup.hashedShingles(candidates, textCol, idCol, n)
+      .join(benchShingles, Seq("shingle"))
+      .groupBy(col("id"), col("suite"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** [[removeContaminated]]'s fraction twin: drop candidates whose
     * contaminated-shingle share reaches `minFrac`.
     */
