@@ -53,6 +53,8 @@ object ExplainDump {
       "s16_knn_pq_oracle" -> "seeded-codebook PQ (oracle twin): same encode/ADC kernels as s12 in the scan stage, deterministic data-defined codebook — the plan is the s12 shape, the point is the DuckDB hash-match",
       "d12_minhash_md5_oracle" -> "md5 MinHash twin: one-pass ShingleStrings kernel in the scan stage, 8 slot minima partial-aggregated in ONE doc-keyed exchange, band pairs via a bucket-local self-join",
       "d13_simhash_md5_oracle" -> "md5 SimHash twin: one conv() parse per distinct token, 32 shift/mask bit sums as aggregate columns over ONE doc-keyed exchange (no 32x bit-row explode)",
+      "t21_decontaminate_by_suite" -> "multi-benchmark decontamination: benchmark reduces to DISTINCT (suite, shingle) pairs — eval-suite-sized, AQE-broadcast — one pass over candidate shingles emits per-suite hit counts; shuffles carry (id, suite, hash), never text",
+      "t20_vocab_coverage" -> "vocabulary coverage: ONE token-keyed partial-agg exchange (the only corpus-sized step), TakeOrderedAndProject top-k, coverage window over k rows only",
       "t19_unigram_logprob" -> "unigram-LM log-prob: tokens hash map-side, the doc-counts/frequency join shares one hash partitioning, corpus total is a 1-row broadcast",
       "d11_deduped_corpus" -> "dedup applied: pair graph -> closure labels -> ids-only anti-join (flagged side broadcast under AQE); document text never reshuffles",
       "s14_knn_pq_batch" -> "batch PQ: per-query ADC kernel columns exploded in the scan stage over ONE codes pass; Partial WindowGroupLimit caps per-query forwarding at k; no join, vectors never read",
