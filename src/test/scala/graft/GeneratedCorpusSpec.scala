@@ -19,9 +19,11 @@ class GeneratedCorpusSpec extends AnyFunSuite {
   // contract-rounded/exact-division doubles — the cross-engine-stable
   // subset (float-accumulation queries keep their fixed-corpus checks)
   private val replayQueries = Seq(
-    "d01_dedup_exact", "d12_minhash_md5_oracle", "d13_simhash_md5_oracle",
+    "d01_dedup_exact", "d02_dedup_ngram_jaccard", "d09_chunk_dedup",
+    "d12_minhash_md5_oracle", "d13_simhash_md5_oracle", "t03_token_stats",
     "t14_decontaminate_fraction", "t15_token_entropy", "t16_sequence_pack",
-    "t17_hash_split", "t18_quality_gate", "t20_vocab_coverage")
+    "t17_hash_split", "t18_quality_gate", "t20_vocab_coverage",
+    "t21_decontaminate_by_suite")
 
   private def generate(seed: Int, nDocs: Int): Seq[(Long, String, String, String, Long)] = {
     val rnd = new scala.util.Random(seed)
