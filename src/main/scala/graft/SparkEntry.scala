@@ -1512,6 +1512,145 @@ object SparkEntry {
     (s, dir) => graft.pipeline.Ivf.searchTopKSeeded(T(s, dir, "embeddings"),
       "embedding", "vec_id", queryId = 0L, k = 10, numCells = 8, nprobe = 3))
 
+  // Batch seeded-LSH — the oracle twin for the BATCH ANN mechanics
+  // (broadcast query buckets, bucket-local join, per-query rank
+  // window): one corpus pass, all arithmetic bit-identical, so the
+  // s11/s14 batch shape gets a hash-matched representative too.
+  private val s19 = Q("s19_knn_lsh_batch_oracle", Some("""
+    WITH planes AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS i,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS p
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4)),
+    dots AS (
+      SELECT e.vec_id, pl.i,
+        list_sum(list_transform(generate_series(1, len(e.embedding)),
+          j -> CAST(e.embedding[j] AS DOUBLE) * pl.p[j])) AS d
+      FROM embeddings e CROSS JOIN planes pl),
+    buckets AS (
+      SELECT vec_id,
+        CAST(SUM(CASE WHEN d >= 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS bucket
+      FROM dots GROUP BY vec_id),
+    qs AS (
+      SELECT e.vec_id AS query_id, b.bucket AS q_bucket,
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings e JOIN buckets b USING (vec_id) WHERE e.vec_id < 3),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+        list_sum(list_transform(generate_series(1, len(e.embedding)),
+          j -> CAST(e.embedding[j] AS DOUBLE) * q.qv[j]))
+        / (sqrt(list_sum(list_transform(e.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos_sim
+      FROM embeddings e JOIN buckets b USING (vec_id)
+      JOIN qs q ON b.bucket = q.q_bucket AND e.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, vec_id, cos_sim,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""),
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.lshTopKSeededBatch(emb, emb.filter(col("vec_id") < 3),
+          "embedding", "vec_id", "vec_id", k = 5, nPlanes = 4)
+        .orderBy(col("query_id"), col("rank"))
+    })
+
+  // INDEXED IVF-PQ with seeded quantizers — the oracle twin for the
+  // build-once/persist/query-many lifecycle itself (s15 keeps the
+  // trained path): centroids = first-8 vectors, codebooks = first-16
+  // sliced subvectors, both persisted with the cell-partitioned codes
+  // table; the search OPENS the index (no training job) and scores
+  // only the probed cell partitions. DuckDB reconstructs build +
+  // probe + ADC end to end, so the persisted-index round trip —
+  // encode at build time, partition-pruned read at query time — is
+  // hash-matched, not just spec-trusted.
+  private val s20 = Q("s20_knn_ivfpq_indexed_oracle", Some("""
+    WITH js AS (SELECT unnest(range(8)) AS j),
+    seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+    cb AS (
+      SELECT js.j, seeds.code,
+             list_transform(generate_series(1, 8), i -> v[js.j*8 + i]) AS cent
+      FROM seeds, js),
+    dists AS (
+      SELECT e.vec_id, c.j, c.code,
+        list_sum(list_transform(generate_series(1, 8),
+          i -> (CAST(e.embedding[c.j*8+i] AS DOUBLE) - c.cent[i])
+             * (CAST(e.embedding[c.j*8+i] AS DOUBLE) - c.cent[i]))) AS d
+      FROM embeddings e CROSS JOIN cb c),
+    codes AS (
+      SELECT vec_id, j, code FROM (
+        SELECT vec_id, j, code,
+          ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+        FROM dists) WHERE rn = 1),
+    cents AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+    csims AS (
+      SELECT e.vec_id, c.cell,
+        list_sum(list_transform(generate_series(1, len(e.embedding)),
+          j -> CAST(e.embedding[j] AS DOUBLE) * c.cv[j]))
+        / (sqrt(list_sum(list_transform(e.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS sim
+      FROM embeddings e CROSS JOIN cents c),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        FROM csims) WHERE rn = 1),
+    q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0),
+    qn AS (SELECT sqrt(list_sum(list_transform(qv, x -> x*x))) AS qnorm FROM q),
+    probes AS (
+      SELECT c.cell FROM cents c, q
+      ORDER BY list_sum(list_transform(generate_series(1, len(q.qv)),
+          j -> q.qv[j] * c.cv[j]))
+        / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+           * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) DESC, c.cell
+      LIMIT 3),
+    tabs AS (
+      SELECT c.j, c.code,
+        list_sum(list_transform(generate_series(1, 8),
+          i -> q.qv[c.j*8+i] * c.cent[i])) AS dot,
+        list_sum(list_transform(c.cent, x -> x*x)) AS nrm2
+      FROM cb c, q),
+    parts AS (
+      SELECT cd.vec_id, cd.j, t.dot, t.nrm2
+      FROM codes cd
+      JOIN assigned a ON cd.vec_id = a.vec_id
+      JOIN tabs t ON cd.j = t.j AND cd.code = t.code
+      WHERE a.cell IN (SELECT cell FROM probes) AND cd.vec_id <> 0),
+    scored AS (
+      SELECT vec_id,
+        list_sum(list(dot ORDER BY j)) AS dsum,
+        list_sum(list(nrm2 ORDER BY j)) AS nsum
+      FROM parts GROUP BY vec_id)
+    SELECT vec_id, ROUND(dsum / (qn.qnorm * sqrt(nsum)), 6) AS adc_sim
+    FROM scored, qn
+    ORDER BY adc_sim DESC, vec_id LIMIT 10"""),
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      // corpus fingerprint in the cache key, as in s15 — plus the
+      // build flavor, so seeded and trained indexes never share a dir
+      val src = new java.io.File(s"$dir/embeddings.parquet")
+      val key = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(
+          s"$dir|${src.lastModified()}|${src.length()}").toLong & 0xffffffffL)
+      val idxDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft-ann-seeded-$key"
+      val h = graft.pipeline.AnnIndex.openOrBuildCachedSeeded(
+        s"emb-seeded-$key", emb, "embedding", "vec_id", idxDir,
+        numCells = 8, m = 8, ksub = 16)
+      graft.pipeline.AnnIndex.searchTopK(emb, h, queryId = 0L, k = 10,
+        nprobe = 3, rerank = 0, roundAdc = true)
+    })
+
   // MinHash-LSH with md5 slot-string minima — the s16 move for the
   // MinHash family: signatures are MIN(md5(i || ':' || shingle))
   // strings, band keys concatenate two slots, pairs share a band
@@ -2628,7 +2767,7 @@ object SparkEntry {
     q66, q67,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
-    s16, s17, s18,
+    s16, s17, s18, s19, s20,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21,
     m01, m02, m03)

@@ -68,15 +68,47 @@ object AnnIndex {
       emb: DataFrame, vecCol: String, idCol: String, dir: String,
       numCells: Int, m: Int, ksub: Int, iters: Int = 3,
       maxTrainRows: Int = 100000): Handle = {
-    val spark = emb.sparkSession
     val sample = Ivf.hashSample(emb, vecCol, idCol, maxTrainRows)
     val coarse = Ivf.trainOnSample(sample, numCells, iters)
     val books = Pq.trainCodebooksOnSample(sample, m, ksub, iters)
     val dim = sample.head.length
     val centPairs = coarse.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
+    materialize(emb, vecCol, idCol, dir, numCells, m, ksub, dim, centPairs,
+      books)
+  }
 
-    // one pass: assign cell (literal centroids, map-only) + encode
-    // codes (codegen kernel) — vectors are read once and never again
+  /** [[build]] with SEEDED quantizers — centroids are the first
+    * `numCells` corpus vectors by id and codebooks are
+    * [[Pq.seedCodebooks]] (first-ksub sliced subvectors), zero Lloyd —
+    * so the PERSISTED index is deterministic data end to end and an
+    * external engine can reconstruct build + probe + ADC in SQL
+    * (s20's hash-matched twin of the rows-only s15). Same format,
+    * same lifecycle (open/reuse/append/registry); retrieval quality
+    * is below the trained build, as with every oracle twin.
+    */
+  def buildSeeded(
+      emb: DataFrame, vecCol: String, idCol: String, dir: String,
+      numCells: Int, m: Int, ksub: Int): Handle = {
+    val cents: Seq[Array[Double]] = emb.orderBy(col(idCol)).limit(numCells)
+      .select(transform(col(vecCol), _.cast("double")).as("v"))
+      .collect().toSeq.map(_.getSeq[Double](0).toArray)
+    require(cents.size == numCells, s"corpus has fewer than $numCells rows")
+    val books = Pq.seedCodebooks(emb, vecCol, idCol, m, ksub)
+    val centPairs = cents.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    materialize(emb, vecCol, idCol, dir, numCells, m, ksub, cents.head.length,
+      centPairs, books)
+  }
+
+  /** The build tail shared by trained and seeded quantizers: one
+    * distributed pass assigns cells (literal centroids, map-only) and
+    * encodes codes (codegen kernel) — vectors are read once and never
+    * again — then the cell-partitioned write and side tables.
+    */
+  private def materialize(
+      emb: DataFrame, vecCol: String, idCol: String, dir: String,
+      cellsRequested: Int, m: Int, ksub: Int, dim: Int,
+      centPairs: Seq[(Long, Array[Double])],
+      books: Array[Array[Array[Double]]]): Handle = {
     val indexed = Pq.encode(
       Clustering.assignToCentroidArrays(
         emb.select(col(idCol), col(vecCol)), vecCol, idCol, centPairs),
@@ -87,10 +119,10 @@ object AnnIndex {
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/codes")
 
-    writeSideTables(spark, dir, m, ksub, dim, numCells, idCol, vecCol, books,
-      centPairs)
-    Handle(dir, m, ksub, dim, centPairs.size, numCells, idCol, vecCol, books,
-      centPairs)
+    writeSideTables(emb.sparkSession, dir, m, ksub, dim, cellsRequested,
+      idCol, vecCol, books, centPairs)
+    Handle(dir, m, ksub, dim, centPairs.size, cellsRequested, idCol, vecCol,
+      books, centPairs)
   }
 
   private def writeSideTables(
@@ -197,6 +229,24 @@ object AnnIndex {
       build(emb, vecCol, idCol, dir, numCells, m, ksub, iters, maxTrainRows))
   }
 
+  /** [[buildIfAbsent]] for the seeded build: the reuse check is the
+    * same persisted-meta comparison (seeded and trained indexes never
+    * share a `dir` — the caller keys the directory by build flavor,
+    * as it already keys it by corpus fingerprint).
+    */
+  def buildSeededIfAbsent(
+      emb: DataFrame, vecCol: String, idCol: String, dir: String,
+      numCells: Int, m: Int, ksub: Int): Handle = {
+    val existing =
+      try {
+        val h = open(emb.sparkSession, dir)
+        if (h.m == m && h.ksub == ksub && h.idCol == idCol &&
+          h.vecCol == vecCol && h.cellsRequested == numCells) Some(h)
+        else None
+      } catch { case _: Exception => None }
+    existing.getOrElse(buildSeeded(emb, vecCol, idCol, dir, numCells, m, ksub))
+  }
+
   /** Append new vectors to a built index WITHOUT retraining — the
     * nightly-ingest shape: the batch is assigned and encoded with the
     * handle's EXISTING centroids and codebooks (map-only, no training
@@ -232,7 +282,7 @@ object AnnIndex {
   def searchTopKVec(
       spark: SparkSession, handle: Handle, q: Array[Double], k: Int,
       nprobe: Int, corpus: Option[DataFrame] = None, rerank: Int = 0,
-      excludeId: Option[Long] = None): DataFrame = {
+      excludeId: Option[Long] = None, roundAdc: Boolean = false): DataFrame = {
     require(q.length == handle.dim,
       s"query dim ${q.length} != index dim ${handle.dim}")
     require(rerank <= 0 || corpus.nonEmpty,
@@ -246,9 +296,13 @@ object AnnIndex {
       case Some(id) => codes.where(col(idCol) =!= lit(id))
       case None => codes
     }
+    // roundAdc = the oracle-twin discipline (Pq.searchTopKSeeded):
+    // score and ORDER on the 6-dp-rounded ADC so the top-k cut is
+    // engine-independent of group-sum accumulation order
+    val rawAdc = graft.functions.PqExpressions.pqAdcScore(
+      col("codes"), dotTab, nrm2Tab, qNorm)
     val topAdc = excluded
-      .withColumn("adc_sim", graft.functions.PqExpressions.pqAdcScore(
-        col("codes"), dotTab, nrm2Tab, qNorm))
+      .withColumn("adc_sim", if (roundAdc) round(rawAdc, 6) else rawAdc)
       .where(col("adc_sim").isNotNull)
       .select(col(idCol), col("adc_sim"))
       .orderBy(col("adc_sim").desc, col(idCol))
@@ -266,10 +320,11 @@ object AnnIndex {
     */
   def searchTopK(
       corpus: DataFrame, handle: Handle, queryId: Long, k: Int,
-      nprobe: Int, rerank: Int = 0): DataFrame = {
+      nprobe: Int, rerank: Int = 0, roundAdc: Boolean = false): DataFrame = {
     val q = Pq.collectQuery(corpus, handle.vecCol, handle.idCol, queryId)
     searchTopKVec(corpus.sparkSession, handle, q, k, nprobe,
-      corpus = Some(corpus), rerank = rerank, excludeId = Some(queryId))
+      corpus = Some(corpus), rerank = rerank, excludeId = Some(queryId),
+      roundAdc = roundAdc)
   }
 
   /** Batch indexed search: top-k for every query row in ONE pass over
@@ -362,4 +417,13 @@ object AnnIndex {
     registry.computeIfAbsent(name, _ =>
       buildIfAbsent(emb, vecCol, idCol, dir, numCells, m, ksub, iters,
         maxTrainRows))
+
+  /** [[openOrBuildCached]] for the seeded build (the s20 oracle twin's
+    * lifecycle entry — name and dir are the caller's to key by flavor).
+    */
+  def openOrBuildCachedSeeded(
+      name: String, emb: DataFrame, vecCol: String, idCol: String,
+      dir: String, numCells: Int, m: Int, ksub: Int): Handle =
+    registry.computeIfAbsent(name, _ =>
+      buildSeededIfAbsent(emb, vecCol, idCol, dir, numCells, m, ksub))
 }

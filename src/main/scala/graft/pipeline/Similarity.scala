@@ -187,6 +187,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch twin of [[lshTopKSeeded]]: top-k for every query row in one
+    * corpus pass, data-derived planes, self-matches excluded — the
+    * batch MECHANICS (broadcast query buckets, bucket-local join,
+    * per-query rank window) under oracle-reconstructable parameters,
+    * so the batch path is hash-proven like the single-query path
+    * (s19; s11 keeps the RNG planes as the quality path).
+    */
+  def lshTopKSeededBatch(
+      emb: DataFrame, queries: DataFrame, vecCol: String, idCol: String,
+      queryIdCol: String, k: Int, nPlanes: Int = 4): DataFrame = {
+    val planes: Seq[Array[Double]] = emb.orderBy(col(idCol)).limit(nPlanes)
+      .select(transform(col(vecCol), _.cast("double")).as("v"))
+      .collect().toSeq.map(_.getSeq[Double](0).toArray)
+    require(planes.size == nPlanes, s"corpus has fewer than $nPlanes rows")
+    def bucket(vec: Column): Column = planes.zipWithIndex.map { case (p, i) =>
+      val plit = array(p.toSeq.map(lit): _*)
+      when(graft.functions.VectorExpressions.dot(vec, plit) >= 0,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).as("q_vec"), bucket(col(vecCol)).as("q_bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+    graft.ops.ScaleOps.fanOut(emb)
+      .withColumn("bucket", bucket(col(vecCol)))
+      .join(broadcast(q), col("bucket") === col("q_bucket") &&
+        col(idCol) =!= col("query_id"))
+      .withColumn("cos_sim", cosine(col(vecCol), col("q_vec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("cos_sim"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Batch ANN: LSH-bucketed top-k for EVERY query vector in one job —
     * the scale path of [[bruteForceTopKBatch]]. The corpus is scanned
     * once and scored only against queries sharing a bucket (expected

@@ -58,6 +58,8 @@ object ExplainDump {
       "t19_unigram_logprob" -> "unigram-LM log-prob: tokens hash map-side, the doc-counts/frequency join shares one hash partitioning, corpus total is a 1-row broadcast",
       "d11_deduped_corpus" -> "dedup applied: pair graph -> closure labels -> ids-only anti-join (flagged side broadcast under AQE); document text never reshuffles",
       "s14_knn_pq_batch" -> "batch PQ: per-query ADC kernel columns exploded in the scan stage over ONE codes pass; Partial WindowGroupLimit caps per-query forwarding at k; no join, vectors never read",
+      "s19_knn_lsh_batch_oracle" -> "batch seeded-LSH twin: data-derived planes inlined as literals (bucket = map-side sign bits, no plane join), query buckets broadcast, bucket-local join, Partial WindowGroupLimit under the per-query rank — the s11 batch mechanics, hash-proven",
+      "s20_knn_ivfpq_indexed_oracle" -> "indexed seeded IVF-PQ twin: the s15 lifecycle shape (no training job, codes read with a cell PARTITION filter, ADC kernel in the scan stage, TopK) with seeded quantizers — the persisted-index round trip itself is hash-proven against DuckDB",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")

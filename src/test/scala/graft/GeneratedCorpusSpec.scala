@@ -52,7 +52,8 @@ class GeneratedCorpusSpec extends AnyFunSuite {
   // must hold on random vectors too or the bit-identity was luck
   private val vectorReplay = Seq(
     "s01_knn_bruteforce", "s04_knn_batch",
-    "s16_knn_pq_oracle", "s17_knn_lsh_oracle", "s18_knn_ivf_oracle")
+    "s16_knn_pq_oracle", "s17_knn_lsh_oracle", "s18_knn_ivf_oracle",
+    "s19_knn_lsh_batch_oracle", "s20_knn_ivfpq_indexed_oracle")
 
   private def generateVecs(seed: Int, n: Int, dim: Int): Seq[(Long, Seq[Float], Int)] = {
     val rnd = new scala.util.Random(seed)

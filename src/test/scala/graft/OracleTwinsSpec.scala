@@ -41,6 +41,44 @@ class OracleTwinsSpec extends AnyFunSuite {
     hits.foreach { case (id, s) => assert(exact(id) == s) }
   }
 
+  test("seeded indexed IVF-PQ at full probe equals the flat seeded PQ twin") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_s20_spec").toString
+    try {
+      val h = graft.pipeline.AnnIndex.buildSeeded(emb, "embedding", "vec_id",
+        dir, numCells = 8, m = 8, ksub = 16)
+      // full probe = no cell pruning, so the persisted-index round trip
+      // (codes written at build, read back partition-filtered) must
+      // reproduce the flat seeded scan bit for bit
+      val indexed = graft.pipeline.AnnIndex.searchTopK(emb, h, queryId = 0L,
+        k = 10, nprobe = 8, rerank = 0, roundAdc = true)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val flat = graft.pipeline.Pq.searchTopKSeeded(emb, "embedding",
+        "vec_id", queryId = 0L, k = 10, m = 8, ksub = 16)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(indexed == flat,
+        "full probe over the persisted seeded index must equal the flat scan")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir))
+  }
+
+  test("batch seeded LSH equals the single-query twin per query") {
+    val batch = graft.pipeline.Similarity.lshTopKSeededBatch(emb,
+      emb.filter(col("vec_id") < 3), "embedding", "vec_id", "vec_id",
+      k = 5, nPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3)))
+    assert(batch.map(_._1).distinct.sorted.toSeq == Seq(0L, 1L, 2L))
+    (0L to 2L).foreach { qid =>
+      val single = graft.pipeline.Similarity.lshTopKSeeded(emb, "embedding",
+        "vec_id", qid, k = 5, nPlanes = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val mine = batch.filter(_._1 == qid).sortBy(_._4)
+        .map(t => (t._2, t._3)).toSeq
+      assert(mine == single,
+        s"query $qid: batch ranks must reproduce the single-query twin")
+    }
+  }
+
   test("md5 MinHash twin finds the exact duplicates the kernel path finds") {
     import spark.implicits._
     val d = Seq(

@@ -320,6 +320,24 @@ class PlanQualitySpec extends AnyFunSuite {
       "second s15 call must serve from the registry, not rebuild the index")
   }
 
+  test("s20 seeded indexed oracle twin: repeat invocations never rebuild") {
+    val q = SparkEntry.queries("s20_knn_ivfpq_indexed_oracle")
+    assert(q(spark, sf).collect().nonEmpty) // first call may build
+    val src = new java.io.File(s"$sf/embeddings.parquet")
+    val key = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        s"$sf|${src.lastModified()}|${src.length()}").toLong & 0xffffffffL)
+    assert(graft.pipeline.AnnIndex.get(s"emb-seeded-$key").nonEmpty,
+      "first s20 call must register the seeded index handle")
+    val metaDir = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft-ann-seeded-$key/meta")
+    val mtime = metaDir.listFiles().map(_.lastModified()).max
+    val rows = q(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(metaDir.listFiles().map(_.lastModified()).max == mtime,
+      "second s20 call must serve from the registry, not rebuild")
+  }
+
   test("time-range rolling window is one keyed exchange + ONE window") {
     // operator-level plan (no presentation ORDER BY): both aggregates
     // must share a single Window operator — a shared order-key column
