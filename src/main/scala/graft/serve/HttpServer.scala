@@ -27,7 +27,7 @@ import scala.util.control.NonFatal
   *   GET    /session/{id}/datasource  list registered sources
   *   GET    /session/{id}/datasource/{name}  schema detail
   *   DELETE /session/{id}/datasource/{name}  remove
-  *   POST   /session/{id}/index      build+register an ANN index {name, table, ...}
+  *   POST   /session/{id}/index      build+register an ANN index {name, table, seeded?, ...}
   *   GET    /session/{id}/index      list session indexes
   *   GET    /session/{id}/index/{name}         meta detail
   *   DELETE /session/{id}/index/{name}         drop the handle
@@ -272,25 +272,34 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
             throw new IllegalArgumentException("index.name required"))
           val table = txt("table").getOrElse(
             throw new IllegalArgumentException("index.table required"))
-          // dir encodes the TABLE, so re-posting the name against a
-          // different table can never open the old table's codes
-          val dir = h.spoolDir.resolve("index").resolve(s"$name-$table").toString
+          // seeded = deterministic data-derived quantizers (the s20
+          // oracle-twin build flavor), trained Lloyd otherwise
+          val seeded = Option(n.get("seeded")).exists(_.asBoolean(false))
+          // dir encodes the TABLE and the build flavor, so re-posting
+          // the name against a different table (or toggling seeded)
+          // can never open the previous definition's codes
+          val dir = h.spoolDir.resolve("index")
+            .resolve(s"$name-$table${if (seeded) "-seeded" else ""}").toString
           val (vecCol, idCol) = (txt("vecCol").getOrElse("embedding"),
             txt("idCol").getOrElse("id"))
           val (numCells, m, ksub) = (int("numCells", 16), int("m", 8),
             int("ksub", 16))
           val regKey = s"${h.id}/$name"
-          // a registry hit with CHANGED params/table must rebuild, not
-          // silently serve the old definition with a 200
+          // a registry hit with CHANGED params/table/flavor must
+          // rebuild, not silently serve the old definition with a 200
           graft.pipeline.AnnIndex.get(regKey).foreach { old =>
             val same = old.dir == dir && old.m == m && old.ksub == ksub &&
               old.cellsRequested == numCells && old.vecCol == vecCol &&
               old.idCol == idCol
             if (!same) graft.pipeline.AnnIndex.drop(regKey): Unit
           }
-          val handle = graft.pipeline.AnnIndex.openOrBuildCached(
-            regKey, h.spark.table(table), vecCol, idCol,
-            dir, numCells, m, ksub, int("iters", 3))
+          val handle =
+            if (seeded) graft.pipeline.AnnIndex.openOrBuildCachedSeeded(
+              regKey, h.spark.table(table), vecCol, idCol,
+              dir, numCells, m, ksub)
+            else graft.pipeline.AnnIndex.openOrBuildCached(
+              regKey, h.spark.table(table), vecCol, idCol,
+              dir, numCells, m, ksub, int("iters", 3))
           respondJson(ex, 200, indexJson(name, handle))
         }
       case ("GET", Array(id, "index")) =>

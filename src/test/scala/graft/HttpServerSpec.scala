@@ -119,6 +119,41 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ANN index route: seeded build flavor, and toggling it rebuilds") {
+    val sid = "idx-seeded"
+    assert(post(s"/session?id=$sid", "").statusCode() == 200)
+    try {
+      post(s"/session/$sid/datasource", s"""{"format":"parquet","name":"embeddings",
+        "location":"${SparkFixture.sfDir}/embeddings.parquet"}""")
+      val b = post(s"/session/$sid/index",
+        """{"name":"emb_sidx","table":"embeddings","vecCol":"embedding",
+           "idCol":"vec_id","numCells":8,"m":8,"ksub":16,"seeded":true}""")
+      assert(b.statusCode() == 200, b.body())
+      // seeded quantizers: centroids are the first numCells vectors by
+      // id, so the handle must report exactly the requested cell count
+      // (Lloyd can drop empty cells; the seeded build cannot)
+      assert(b.body().contains("\"numCells\":8"), b.body())
+      val s1 = post(s"/session/$sid/index/emb_sidx/search",
+        """{"queryId":0,"k":5,"nprobe":3,"table":"embeddings"}""")
+      assert(s1.statusCode() == 200, s1.body())
+      assert(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(s1.body()).size() == 5, s1.body())
+      // toggling the flavor off must rebuild (trained), not serve the
+      // seeded index: the dir encodes the flavor so the handle changes
+      val before = graft.pipeline.AnnIndex.get(s"$sid/emb_sidx").get.dir
+      val b2 = post(s"/session/$sid/index",
+        """{"name":"emb_sidx","table":"embeddings","vecCol":"embedding",
+           "idCol":"vec_id","numCells":8,"m":8,"ksub":16}""")
+      assert(b2.statusCode() == 200, b2.body())
+      val after = graft.pipeline.AnnIndex.get(s"$sid/emb_sidx").get.dir
+      assert(before.endsWith("-seeded") && !after.endsWith("-seeded"),
+        s"flavor toggle must rebuild into a new dir: $before -> $after")
+    } finally {
+      delete(s"/session/$sid"): Unit
+      assert(!graft.pipeline.AnnIndex.list().exists(_.startsWith(sid + "/")))
+    }
+  }
+
   test("postProcessors: chain applies in order on the session query route") {
     val sid = "pp-chain"
     assert(post(s"/session?id=$sid", "").statusCode() == 200)
