@@ -305,6 +305,113 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("seeded ANN twins fuzz: randomized parameters match the SQL reconstruction") {
+    // generalizes the fixed s17/s18 oracle pairs from ONE hand-picked
+    // parameterization to randomized (nPlanes | numCells, nprobe),
+    // queryId and k — the operator and the SQL template must agree on
+    // raw doubles at every setting, or the fixed hash-match was luck
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    duck.createStatement().execute(
+      s"""CREATE OR REPLACE VIEW embeddings AS
+          SELECT * FROM read_parquet('$sf/embeddings.parquet')""")
+    def lshSql(nPlanes: Int, qid: Int, k: Int) = s"""
+      WITH planes AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS i,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS p
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $nPlanes)),
+      dots AS (
+        SELECT e.vec_id, pl.i,
+          list_sum(list_transform(generate_series(1, len(e.embedding)),
+            j -> CAST(e.embedding[j] AS DOUBLE) * pl.p[j])) AS d
+        FROM embeddings e CROSS JOIN planes pl),
+      buckets AS (
+        SELECT vec_id,
+          CAST(SUM(CASE WHEN d >= 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS bucket
+        FROM dots GROUP BY vec_id),
+      q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+            FROM embeddings WHERE vec_id = $qid),
+      qb AS (SELECT bucket FROM buckets WHERE vec_id = $qid),
+      cand AS (
+        SELECT e.vec_id, e.embedding FROM embeddings e
+        JOIN buckets b USING (vec_id), qb
+        WHERE b.bucket = qb.bucket AND e.vec_id <> $qid),
+      scored AS (
+        SELECT c.vec_id,
+          list_sum(list_transform(generate_series(1, len(c.embedding)),
+            j -> CAST(c.embedding[j] AS DOUBLE) * q.qv[j]))
+          / (sqrt(list_sum(list_transform(c.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos_sim
+        FROM cand c, q)
+      SELECT vec_id, cos_sim FROM scored
+      ORDER BY cos_sim DESC, vec_id LIMIT $k"""
+    def ivfSql(numCells: Int, nprobe: Int, qid: Int, k: Int) = s"""
+      WITH cents AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $numCells)),
+      sims AS (
+        SELECT e.vec_id, c.cell,
+          list_sum(list_transform(generate_series(1, len(e.embedding)),
+            j -> CAST(e.embedding[j] AS DOUBLE) * c.cv[j]))
+          / (sqrt(list_sum(list_transform(e.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS sim
+        FROM embeddings e CROSS JOIN cents c),
+      assigned AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+          FROM sims) WHERE rn = 1),
+      q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+            FROM embeddings WHERE vec_id = $qid),
+      probes AS (
+        SELECT c.cell FROM cents c, q
+        ORDER BY list_sum(list_transform(generate_series(1, len(q.qv)),
+            j -> q.qv[j] * c.cv[j]))
+          / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+             * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) DESC, c.cell
+        LIMIT $nprobe),
+      cand AS (
+        SELECT e.vec_id, e.embedding FROM embeddings e
+        JOIN assigned a USING (vec_id)
+        WHERE a.cell IN (SELECT cell FROM probes) AND e.vec_id <> $qid),
+      scored AS (
+        SELECT c.vec_id,
+          list_sum(list_transform(generate_series(1, len(c.embedding)),
+            j -> CAST(c.embedding[j] AS DOUBLE) * q.qv[j]))
+          / (sqrt(list_sum(list_transform(c.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos_sim
+        FROM cand c, q)
+      SELECT vec_id, cos_sim FROM scored
+      ORDER BY cos_sim DESC, vec_id LIMIT $k"""
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+      df.collect().toSeq.map(r =>
+        (0 until r.length).map(i => String.valueOf(r.get(i))))
+    val rnd = new scala.util.Random(37)
+    (1 to 8).foreach { i =>
+      val (nPlanes, qid, k) = (2 + rnd.nextInt(4), rnd.nextInt(500),
+        3 + rnd.nextInt(8))
+      val s = rows(graft.pipeline.Similarity.lshTopKSeeded(
+        emb, "embedding", "vec_id", qid, k, nPlanes))
+      val d = runDuck(lshSql(nPlanes, qid, k))
+      assert(s == d, s"LSH trial #$i nPlanes=$nPlanes qid=$qid k=$k " +
+        s"diverged (${s.size} vs ${d.size}):\n${s.take(3)}\n${d.take(3)}")
+    }
+    (1 to 8).foreach { i =>
+      val numCells = 4 + rnd.nextInt(9)
+      val (nprobe, qid, k) = (1 + rnd.nextInt(numCells), rnd.nextInt(500),
+        3 + rnd.nextInt(8))
+      val s = rows(graft.pipeline.Ivf.searchTopKSeeded(
+        emb, "embedding", "vec_id", qid, k, numCells, nprobe))
+      val d = runDuck(ivfSql(numCells, nprobe, qid, k))
+      assert(s == d, s"IVF trial #$i cells=$numCells nprobe=$nprobe " +
+        s"qid=$qid k=$k diverged (${s.size} vs ${d.size}):\n" +
+        s"${s.take(3)}\n${d.take(3)}")
+    }
+  }
+
   test("GROUPS-frame fuzz: the rewrite door matches DuckDB's dense_rank+RANGE twin") {
     sparkViews()
     val rnd = new scala.util.Random(31)
