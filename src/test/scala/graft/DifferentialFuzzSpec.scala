@@ -410,6 +410,63 @@ class DifferentialFuzzSpec extends AnyFunSuite {
         s"qid=$qid k=$k diverged (${s.size} vs ${d.size}):\n" +
         s"${s.take(3)}\n${d.take(3)}")
     }
+    // PQ: random subspace count and codebook size (dim 64 → sub = 64/m);
+    // the 6-dp rounding contract must hold at every (m, ksub), not just
+    // the fixed s16 setting
+    def pqSql(m: Int, ksub: Int, qid: Int, k: Int) = {
+      val sub = 64 / m
+      s"""
+      WITH js AS (SELECT unnest(range($m)) AS j),
+      seeds AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $ksub)),
+      cb AS (
+        SELECT js.j, seeds.code,
+               list_transform(generate_series(1, $sub), i -> v[js.j*$sub + i]) AS cent
+        FROM seeds, js),
+      dists AS (
+        SELECT e.vec_id, c.j, c.code,
+          list_sum(list_transform(generate_series(1, $sub),
+            i -> (CAST(e.embedding[c.j*$sub+i] AS DOUBLE) - c.cent[i])
+               * (CAST(e.embedding[c.j*$sub+i] AS DOUBLE) - c.cent[i]))) AS d
+        FROM embeddings e CROSS JOIN cb c),
+      codes AS (
+        SELECT vec_id, j, code FROM (
+          SELECT vec_id, j, code,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+          FROM dists) WHERE rn = 1),
+      q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+            FROM embeddings WHERE vec_id = $qid),
+      qn AS (SELECT sqrt(list_sum(list_transform(qv, x -> x*x))) AS qnorm FROM q),
+      tabs AS (
+        SELECT c.j, c.code,
+          list_sum(list_transform(generate_series(1, $sub),
+            i -> q.qv[c.j*$sub+i] * c.cent[i])) AS dot,
+          list_sum(list_transform(c.cent, x -> x*x)) AS nrm2
+        FROM cb c, q),
+      parts AS (
+        SELECT cd.vec_id, cd.j, t.dot, t.nrm2
+        FROM codes cd JOIN tabs t ON cd.j = t.j AND cd.code = t.code),
+      scored AS (
+        SELECT vec_id,
+          list_sum(list(dot ORDER BY j)) AS dsum,
+          list_sum(list(nrm2 ORDER BY j)) AS nsum
+        FROM parts GROUP BY vec_id)
+      SELECT vec_id, ROUND(dsum / (qn.qnorm * sqrt(nsum)), 6) AS adc_sim
+      FROM scored, qn WHERE vec_id <> $qid
+      ORDER BY adc_sim DESC, vec_id LIMIT $k"""
+    }
+    (1 to 8).foreach { i =>
+      val m = Seq(4, 8, 16)(rnd.nextInt(3))
+      val (ksub, qid, k) = (Seq(8, 16)(rnd.nextInt(2)), rnd.nextInt(500),
+        3 + rnd.nextInt(8))
+      val s = rows(graft.pipeline.Pq.searchTopKSeeded(
+        emb, "embedding", "vec_id", qid, k, m, ksub))
+      val d = runDuck(pqSql(m, ksub, qid, k))
+      assert(s == d, s"PQ trial #$i m=$m ksub=$ksub qid=$qid k=$k " +
+        s"diverged (${s.size} vs ${d.size}):\n${s.take(3)}\n${d.take(3)}")
+    }
   }
 
   test("GROUPS-frame fuzz: the rewrite door matches DuckDB's dense_rank+RANGE twin") {
