@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
   * pruned away by a count() — honest end-to-end wall clock.
   *
   * Per-query values are the MINIMUM over SPARK_GRAFT_REPS passes
-  * (default 2). Rationale: r4's bench showed a six-query cluster
+  * (default 3). Rationale: r4's bench showed a six-query cluster
   * (q30/q32/q33/q34/q35/t08) 2-3.3× slower than r3 on unchanged
   * code; isolated reruns and a full-suite rerun on the same code put
   * every one of them at or BELOW its r3 time (see
@@ -16,12 +16,21 @@ import org.apache.spark.sql.SparkSession
   * Best-of-N is the standard guard: interference can only inflate a
   * wall clock, never deflate it, so the min is the faithful estimate
   * of the code's cost.
+  *
+  * Reps run in DIFFERENT query orders (rep 1 alphabetical, later reps
+  * seeded-shuffled). r6 showed why fixed-order reps aren't enough: a
+  * contention window long relative to one pass covers the SAME
+  * alphabetical neighborhood in every sequential pass, so min-of-N
+  * never sees a clean sample for those queries (t18 was billed 17.1 s
+  * by the driver vs 1.26 s isolated). With per-rep orders decorrelated,
+  * a window that inflates a query in one rep hits a different part of
+  * the suite in the next, and the min recovers the clean time.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
     // optional args: restrict to the named queries (iterating on one
     // operator locally); the driver invokes with no args = run all
     val selected: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
@@ -76,10 +85,16 @@ object Bench {
       (elapsed, error)
     }
     // measured passes: min per query over `reps` runs; a query scores
-    // an error only if NO rep succeeded (its value is then -1)
+    // an error only if NO rep succeeded (its value is then -1).
+    // Per-rep query order is decorrelated (seeded shuffle, rep 1 kept
+    // alphabetical for log readability) so one contention window
+    // cannot cover the same query in every rep.
     val byRep: Seq[Seq[(String, Double, Option[String])]] =
-      (1 to reps).map { _ =>
-        ordered.map { case (name, fn) =>
+      (1 to reps).map { rep =>
+        val order =
+          if (rep == 1) ordered
+          else new scala.util.Random(0x9E3779B9L * rep).shuffle(ordered)
+        order.map { case (name, fn) =>
           val (t, e) = runOnce(fn, clearAfter = true)
           (name, t, e)
         }

@@ -216,18 +216,30 @@ object AnnIndex {
       numCells: Int, m: Int, ksub: Int, iters: Int = 3,
       maxTrainRows: Int = 100000): Handle = {
     val existing =
-      try {
-        val h = open(emb.sparkSession, dir)
+      openIfPresent(emb.sparkSession, dir).filter { h =>
         // cellsRequested, not numCells: Lloyd may have dropped empty
         // cells, and "requested 8, trained to 6" must reuse while
         // "requested 6" against a request for 8 must rebuild
-        if (h.m == m && h.ksub == ksub && h.idCol == idCol &&
-          h.vecCol == vecCol && h.cellsRequested == numCells) Some(h)
-        else None
-      } catch { case _: Exception => None }
+        h.m == m && h.ksub == ksub && h.idCol == idCol &&
+          h.vecCol == vecCol && h.cellsRequested == numCells
+      }
     existing.getOrElse(
       build(emb, vecCol, idCol, dir, numCells, m, ksub, iters, maxTrainRows))
   }
+
+  /** [[open]] returning None ONLY for the absent-index case (no meta
+    * at `dir` — the designed crash-safety marker, surfaced by Spark as
+    * a path-not-found AnalysisException). Anything else — corrupt
+    * parquet, a bad format version, IO errors — propagates: silently
+    * rebuilding over those would hide the corruption diagnostic behind
+    * an expensive overwrite build.
+    */
+  private def openIfPresent(spark: SparkSession, dir: String): Option[Handle] =
+    try Some(open(spark, dir))
+    catch {
+      case _: org.apache.spark.sql.AnalysisException => None
+      case _: java.io.FileNotFoundException => None
+    }
 
   /** [[buildIfAbsent]] for the seeded build: the reuse check is the
     * same persisted-meta comparison (seeded and trained indexes never
@@ -238,12 +250,10 @@ object AnnIndex {
       emb: DataFrame, vecCol: String, idCol: String, dir: String,
       numCells: Int, m: Int, ksub: Int): Handle = {
     val existing =
-      try {
-        val h = open(emb.sparkSession, dir)
-        if (h.m == m && h.ksub == ksub && h.idCol == idCol &&
-          h.vecCol == vecCol && h.cellsRequested == numCells) Some(h)
-        else None
-      } catch { case _: Exception => None }
+      openIfPresent(emb.sparkSession, dir).filter { h =>
+        h.m == m && h.ksub == ksub && h.idCol == idCol &&
+          h.vecCol == vecCol && h.cellsRequested == numCells
+      }
     existing.getOrElse(buildSeeded(emb, vecCol, idCol, dir, numCells, m, ksub))
   }
 
@@ -338,7 +348,9 @@ object AnnIndex {
       spark: SparkSession, handle: Handle, queries: DataFrame,
       queryIdCol: String, vecCol: String, k: Int, nprobe: Int,
       maxQueryRows: Int = 1000): DataFrame = {
-    val qRows = queries.select(col(queryIdCol),
+    // id cast to long like the vector elements to double: an int-typed
+    // query id column must work, not ClassCastException on getLong
+    val qRows = queries.select(col(queryIdCol).cast("long"),
         transform(col(vecCol), _.cast("double")).as("v"))
       .limit(maxQueryRows + 1)
       .collect()
@@ -404,6 +416,72 @@ object AnnIndex {
     import scala.jdk.CollectionConverters._
     registry.keys.asScala.toSeq.sorted
   }
+
+  /** [[drop]] that also deletes the persisted index directory — the
+    * serving DELETE semantics. A long-lived session cycling many
+    * indexes must not accumulate dead codes tables in its spool until
+    * teardown; the dir is keyed by name+table+flavor+params+corpus
+    * fingerprint, so no other handle can share it.
+    */
+  def dropAndDelete(name: String): Boolean =
+    Option(registry.remove(name)) match {
+      case Some(h) => deleteDirTree(h.dir); true
+      case None => false
+    }
+
+  /** Recursive delete of a persisted index dir (local filesystem —
+    * index spools live under the session spool / JVM tmpdir).
+    */
+  def deleteDirTree(dir: String): Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    val root = Paths.get(dir)
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach((p: Path) => Files.deleteIfExists(p): Unit)
+      finally walk.close()
+    }
+  }
+
+  /** Corpus identity for index cache keys: input file paths + size +
+    * mtime (the s15 discipline — a path-keyed cache would serve codes
+    * encoded from old data after an in-place re-ingest). In-memory
+    * corpora (no input files) hash the schema only; re-registering one
+    * in place with new data needs an explicit DELETE to force rebuild.
+    */
+  def corpusFingerprint(df: DataFrame): String = {
+    val files = df.inputFiles.sorted
+    val parts: Array[String] =
+      if (files.isEmpty) Array("mem|" + df.schema.catalogString)
+      else files.map { f =>
+        try {
+          val p = java.nio.file.Paths.get(new java.net.URI(f))
+          val a = java.nio.file.Files.readAttributes(
+            p, classOf[java.nio.file.attribute.BasicFileAttributes])
+          s"$f|${a.size}|${a.lastModifiedTime.toMillis}"
+        } catch { case scala.util.control.NonFatal(_) => f }
+      }
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.arrayHash(parts).toLong & 0xffffffffL)
+  }
+
+  /** Atomic open-or-rebuild: reuse the registered handle iff it was
+    * built into the SAME dir (the dir encodes table, flavor, params,
+    * and corpus fingerprint, so dir equality IS the full definition
+    * check); otherwise rebuild inside the per-key `compute` — two
+    * concurrent POSTs with different params for one name serialize,
+    * and each response's handle matches its own request body (no
+    * check-then-act window). The superseded definition's files are
+    * deleted before the rebuild so param churn can't accumulate dead
+    * directories in the spool.
+    */
+  def openOrRebuildCached(name: String, dir: String)(build: => Handle): Handle =
+    registry.compute(name, (_, old) =>
+      if (old != null && old.dir == dir) old
+      else {
+        if (old != null) deleteDirTree(old.dir)
+        build
+      })
 
   /** Registry-cached open-or-build: the first call builds (or opens a
     * persisted) index and registers it; later calls are a map lookup.

@@ -104,6 +104,15 @@ object Api {
         options = objMap(p, "pluginOptions"))
     }
 
+  /** Standalone processor-route body (reference `body.rs:317-320`):
+    * `{"mergeProcessors":[...]}`. Empty/missing → the route answers
+    * the reference's validation error (`processor.rs:28-31`).
+    */
+  def parseProcessorBody(body: String): Seq[MergeProcessorReq] = {
+    val n = mapper.readTree(body)
+    arr(n, "mergeProcessors").map(parseMerge)
+  }
+
   def parseMerge(n: JsonNode): MergeProcessorReq = {
     val opts = Option(n.get("options"))
     MergeProcessorReq(

@@ -27,6 +27,8 @@ import scala.util.control.NonFatal
   *   GET    /session/{id}/datasource  list registered sources
   *   GET    /session/{id}/datasource/{name}  schema detail
   *   DELETE /session/{id}/datasource/{name}  remove
+  *   GET|POST /session/{id}/datasource/{name}/refresh  re-ingest (reference: GET)
+  *   POST   /session/{id}/processor   standalone merge processors → 204
   *   POST   /session/{id}/index      build+register an ANN index {name, table, seeded?, ...}
   *   GET    /session/{id}/index      list session indexes
   *   GET    /session/{id}/index/{name}         meta detail
@@ -214,9 +216,26 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
             .map(d => s"""{"name":${jstr(d.name)},"format":${jstr(d.format)}}""")
             .mkString("[", ",", "]"))
         }
-      case ("POST", Array(id, "datasource", name, "refresh")) =>
+      case ("POST", Array(id, "processor")) =>
+        // standalone merge-processor route (reference `routes.rs:42`,
+        // `processor.rs:15-35`): run merges against the session
+        // OUTSIDE any query request; 204 on success, validation error
+        // when no processors are specified — exactly the reference's
+        // status codes
+        withSession(ex, id) { h =>
+          val merges = Api.parseProcessorBody(readBody(ex))
+          if (merges.isEmpty)
+            respondJson(ex, 400, err("Processors not specified"))
+          else {
+            merges.foreach(applyMerge(h, _))
+            ex.sendResponseHeaders(204, -1)
+          }
+        }
+      case ("POST" | "GET", Array(id, "datasource", name, "refresh")) =>
         // re-ingest from the recorded definition (A26 refresh,
-        // reference session_manager.rs:477-491)
+        // reference session_manager.rs:477-491). GET accepted because
+        // the reference serves refresh as GET (`routes.rs:38-41`);
+        // POST kept for the existing clients of this repo's door.
         withSession(ex, id) { h =>
           Option(h.dataSources.get(name)) match {
             case Some(d) =>
@@ -268,39 +287,57 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
             .readTree(readBody(ex))
           def txt(f: String) = Option(n.get(f)).map(_.asText())
           def int(f: String, d: Int) = Option(n.get(f)).map(_.asInt()).getOrElse(d)
-          val name = txt("name").getOrElse(
-            throw new IllegalArgumentException("index.name required"))
-          val table = txt("table").getOrElse(
-            throw new IllegalArgumentException("index.table required"))
+          val name = safeIdent(txt("name").getOrElse(
+            throw new IllegalArgumentException("index.name required")), "index.name")
+          val table = safeIdent(txt("table").getOrElse(
+            throw new IllegalArgumentException("index.table required")), "index.table")
           // seeded = deterministic data-derived quantizers (the s20
           // oracle-twin build flavor), trained Lloyd otherwise
           val seeded = Option(n.get("seeded")).exists(_.asBoolean(false))
-          // dir encodes the TABLE and the build flavor, so re-posting
-          // the name against a different table (or toggling seeded)
-          // can never open the previous definition's codes
-          val dir = h.spoolDir.resolve("index")
-            .resolve(s"$name-$table${if (seeded) "-seeded" else ""}").toString
-          val (vecCol, idCol) = (txt("vecCol").getOrElse("embedding"),
-            txt("idCol").getOrElse("id"))
+          val vecCol = colIdent(txt("vecCol").getOrElse("embedding"), "vecCol")
+          val idCol = colIdent(txt("idCol").getOrElse("id"), "idCol")
           val (numCells, m, ksub) = (int("numCells", 16), int("m", 8),
             int("ksub", 16))
+          val iters = int("iters", 3)
+          val corpus = h.spark.table(table)
+          // the dir is the index DEFINITION: name and table as their
+          // own validated path segments (no ambiguous "$name-$table"
+          // concatenation), then flavor + every build parameter + the
+          // corpus fingerprint in the leaf — so a changed table,
+          // flavor, param, or re-ingested corpus can never open the
+          // previous definition's codes
+          val fp = graft.pipeline.AnnIndex.corpusFingerprint(corpus)
+          val flavor = if (seeded) "seeded" else s"trained-i$iters"
+          val leaf = s"$flavor-c$numCells-m$m-k$ksub-$vecCol-$idCol-$fp"
+          val dirPath = h.spoolDir.resolve("index").resolve(name)
+            .resolve(table).resolve(leaf)
+          // defense in depth behind the identifier validation: never
+          // write outside the session spool
+          require(dirPath.normalize().startsWith(h.spoolDir.normalize()),
+            s"index dir escapes the session spool: $dirPath")
+          val dir = dirPath.toString
           val regKey = s"${h.id}/$name"
-          // a registry hit with CHANGED params/table/flavor must
-          // rebuild, not silently serve the old definition with a 200
-          graft.pipeline.AnnIndex.get(regKey).foreach { old =>
-            val same = old.dir == dir && old.m == m && old.ksub == ksub &&
-              old.cellsRequested == numCells && old.vecCol == vecCol &&
-              old.idCol == idCol
-            if (!same) graft.pipeline.AnnIndex.drop(regKey): Unit
+          // bound the per-session registry: an unbounded index count is
+          // an unbounded spool (each entry holds a persisted codes
+          // table); new names beyond the cap are refused, re-POSTs of
+          // an existing name (rebuilds) still pass
+          val isNew = graft.pipeline.AnnIndex.get(regKey).isEmpty
+          if (isNew && graft.pipeline.AnnIndex.list()
+              .count(_.startsWith(h.id + "/")) >= GraftServer.MaxIndexesPerSession)
+            respondJson(ex, 429, err(
+              s"session $id has ${GraftServer.MaxIndexesPerSession} indexes (limit); DELETE one first"))
+          else {
+            // reuse-or-rebuild is atomic per registry key (compute):
+            // concurrent POSTs with different params serialize, and
+            // each 200's handle matches its own request body
+            val handle = graft.pipeline.AnnIndex.openOrRebuildCached(regKey, dir) {
+              if (seeded) graft.pipeline.AnnIndex.buildSeededIfAbsent(
+                corpus, vecCol, idCol, dir, numCells, m, ksub)
+              else graft.pipeline.AnnIndex.buildIfAbsent(
+                corpus, vecCol, idCol, dir, numCells, m, ksub, iters)
+            }
+            respondJson(ex, 200, indexJson(name, handle))
           }
-          val handle =
-            if (seeded) graft.pipeline.AnnIndex.openOrBuildCachedSeeded(
-              regKey, h.spark.table(table), vecCol, idCol,
-              dir, numCells, m, ksub)
-            else graft.pipeline.AnnIndex.openOrBuildCached(
-              regKey, h.spark.table(table), vecCol, idCol,
-              dir, numCells, m, ksub, int("iters", 3))
-          respondJson(ex, 200, indexJson(name, handle))
         }
       case ("GET", Array(id, "index")) =>
         withSession(ex, id) { h =>
@@ -318,7 +355,10 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
         }
       case ("DELETE", Array(id, "index", name)) =>
         withSession(ex, id) { h =>
-          if (graft.pipeline.AnnIndex.drop(s"${h.id}/$name"))
+          // dropAndDelete, not drop: the serving DELETE removes the
+          // persisted codes/side tables too, so a session cycling many
+          // indexes doesn't accumulate dead directories until teardown
+          if (graft.pipeline.AnnIndex.dropAndDelete(s"${h.id}/$name"))
             respondJson(ex, 200, """{"status":"deleted"}""")
           else respondJson(ex, 404, err(s"no such index: $name"))
         }
@@ -538,6 +578,27 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
     s"""{"id":${jstr(h.id)},"created":${h.createdAt / 1000},"ttl":$ttl}"""
   }
 
+  /** Request-body strings that become filesystem path segments (index
+    * name, table name): a conservative identifier shape — no dots, no
+    * separators — so "../" or an absolute path can never reach
+    * `Path.resolve` (which would let a request write, overwrite, or
+    * orphan directories outside its session spool).
+    */
+  private def safeIdent(s: String, what: String): String = {
+    if (!s.matches("[A-Za-z0-9_][A-Za-z0-9_-]{0,63}")) throw new IllegalArgumentException(
+      s"$what must match [A-Za-z0-9_][A-Za-z0-9_-]{0,63}: got ${jstr(s)}")
+    s
+  }
+
+  /** Column identifiers embedded in the index-dir leaf alongside '-'
+    * separated params: word chars only, so the leaf stays unambiguous.
+    */
+  private def colIdent(s: String, what: String): String = {
+    if (!s.matches("[A-Za-z0-9_]{1,64}")) throw new IllegalArgumentException(
+      s"$what must match [A-Za-z0-9_]{1,64}: got ${jstr(s)}")
+    s
+  }
+
   private def indexJson(name: String, h: graft.pipeline.AnnIndex.Handle): String =
     s"""{"name":${jstr(name)},"m":${h.m},"ksub":${h.ksub},"dim":${h.dim},""" +
       s""""numCells":${h.numCells},"idCol":${jstr(h.idCol)},""" +
@@ -601,6 +662,14 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
 }
 
 /** Standalone server entry point. */
+object GraftServer {
+  /** Per-session ANN index cap: each registry entry pins a persisted
+    * codes table in the spool, so an unbounded count is an unbounded
+    * disk footprint. 32 named indexes is far past any serving need.
+    */
+  val MaxIndexesPerSession = 32
+}
+
 object GraftServerMain {
   def main(args: Array[String]): Unit = {
     val port = args.headOption.map(_.toInt).getOrElse(4000)

@@ -108,10 +108,22 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(b2.statusCode() == 200, b2.body())
       assert(b2.body().contains("\"m\":4") && b2.body().contains("\"numCells\":2"),
         s"changed params must rebuild: ${b2.body()}")
-      // wrong name 404s; delete drops the handle
+      // wrong name 404s; delete drops the handle AND the persisted
+      // files — a session cycling indexes must not accumulate dead
+      // directories in its spool until teardown
       assert(get(s"/session/$sid/index/nope").statusCode() == 404)
+      val dirBeforeDelete = graft.pipeline.AnnIndex.get(s"$sid/emb_idx").get.dir
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dirBeforeDelete)))
       assert(delete(s"/session/$sid/index/emb_idx").statusCode() == 200)
       assert(get(s"/session/$sid/index").body() == "[]")
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dirBeforeDelete)),
+        s"DELETE must remove the index dir: $dirBeforeDelete")
+      // build-after-delete rebuilds from scratch
+      val b3 = post(s"/session/$sid/index",
+        """{"name":"emb_idx","table":"embeddings","vecCol":"embedding",
+           "idCol":"vec_id","numCells":4,"m":8,"ksub":8}""")
+      assert(b3.statusCode() == 200, b3.body())
+      assert(b3.body().contains("\"numCells\":4"), b3.body())
     } finally {
       delete(s"/session/$sid"): Unit
       // registry fully clean after session teardown
@@ -146,8 +158,12 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
            "idCol":"vec_id","numCells":8,"m":8,"ksub":16}""")
       assert(b2.statusCode() == 200, b2.body())
       val after = graft.pipeline.AnnIndex.get(s"$sid/emb_sidx").get.dir
-      assert(before.endsWith("-seeded") && !after.endsWith("-seeded"),
+      assert(before.contains("/seeded-") && after.contains("/trained-"),
         s"flavor toggle must rebuild into a new dir: $before -> $after")
+      // the superseded seeded definition's files were deleted by the
+      // rebuild (param churn must not accumulate dead dirs)
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(before)),
+        s"rebuild must delete the superseded dir: $before")
     } finally {
       delete(s"/session/$sid"): Unit
       assert(!graft.pipeline.AnnIndex.list().exists(_.startsWith(sid + "/")))
@@ -368,10 +384,74 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.statusCode() == 200, r.body())
     assert(post("/session/rf/query", "SELECT count(*) AS n FROM region", "application/sql")
       .body() == """[{"n":5}]""")
-    // refresh of an unknown source is 404
+    // the reference serves refresh as GET (routes.rs:38-41) — a
+    // doc-following client's GET must work, not 404
+    val g = get("/session/rf/datasource/region/refresh")
+    assert(g.statusCode() == 200, g.body())
+    // refresh of an unknown source is 404 on both methods
     assert(post("/session/rf/datasource/nope/refresh", "").statusCode() == 404)
+    assert(get("/session/rf/datasource/nope/refresh").statusCode() == 404)
     delete("/session/rf")
   }
+
+  test("standalone processor route: merges outside a query request, 204") {
+    // reference routes.rs:42 + processor.rs:15-35: POST
+    // /session/:id/processor with {"mergeProcessors":[...]} runs the
+    // merges against the session's registered tables and returns 204
+    val sid = "proc-standalone"
+    post(s"/session?id=$sid", "")
+    try {
+      post(s"/session/$sid/datasource", s"""[
+        {"format":"parquet","name":"orders","location":"${SparkFixture.sfDir}/orders.parquet"},
+        {"format":"parquet","name":"customer","location":"${SparkFixture.sfDir}/customer.parquet"}]""")
+      val r = post(s"/session/$sid/processor",
+        """{"mergeProcessors":[{"direction":"column","baseTable":"orders",
+             "targets":[{"table":"customer","baseKeys":["o_custkey"],
+                         "targetKeys":["c_custkey"]}]}]}""")
+      assert(r.statusCode() == 204, r.body())
+      // the merge persisted into the session: a later query sees the
+      // merged column
+      val q = post(s"/session/$sid/query",
+        "SELECT count(*) AS n FROM orders WHERE c_name IS NOT NULL",
+        "application/sql")
+      assert(q.statusCode() == 200, q.body())
+      assert(q.body().matches("""\[\{"n":\d+\}\]"""), q.body())
+      // no processors specified → the reference's validation error
+      assert(post(s"/session/$sid/processor", "{}").statusCode() == 400)
+      // unknown session → 404
+      assert(post("/session/no-such/processor",
+        """{"mergeProcessors":[]}""").statusCode() == 404)
+    } finally delete(s"/session/$sid"): Unit
+  }
+
+  test("index route rejects path-escaping names instead of resolving them") {
+    val sid = "idx-evil"
+    post(s"/session?id=$sid", "")
+    try {
+      post(s"/session/$sid/datasource", s"""{"format":"parquet","name":"embeddings",
+        "location":"${SparkFixture.sfDir}/embeddings.parquet"}""")
+      // "../" in name or table must 400 at validation — never reach
+      // Path.resolve where it would escape the session spool and
+      // overwrite an attacker-chosen directory
+      for (bad <- Seq("../escape", "..", "a/b", "/abs", "a.b")) {
+        val rn = post(s"/session/$sid/index",
+          s"""{"name":${ujson(bad)},"table":"embeddings","vecCol":"embedding","idCol":"vec_id"}""")
+        assert(rn.statusCode() == 400, s"name=$bad: ${rn.body()}")
+        val rt = post(s"/session/$sid/index",
+          s"""{"name":"ok","table":${ujson(bad)},"vecCol":"embedding","idCol":"vec_id"}""")
+        assert(rt.statusCode() == 400, s"table=$bad: ${rt.body()}")
+      }
+      // column identifiers feed the dir leaf: same discipline (plus
+      // no '-', which would make the param leaf ambiguous)
+      val rc = post(s"/session/$sid/index",
+        """{"name":"ok","table":"embeddings","vecCol":"../x","idCol":"vec_id"}""")
+      assert(rc.statusCode() == 400, rc.body())
+      assert(get(s"/session/$sid/index").body() == "[]")
+    } finally delete(s"/session/$sid"): Unit
+  }
+
+  private def ujson(s: String): String =
+    com.fasterxml.jackson.databind.node.TextNode.valueOf(s).toString
 
   test("http(s) data-source location is fetched then ingested") {
     // loopback origin server serving a CSV document
