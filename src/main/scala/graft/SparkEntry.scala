@@ -2346,6 +2346,75 @@ object SparkEntry {
         col("win_n"), col("win_sum"), col("win_avg"))
       .orderBy(col("event_id")))
 
+  // Skew-safe sessionization: same session semantics as q62, computed
+  // per (user, time-bucket) with directory stitching
+  // (EventAnalytics.sessionizeSkewed) — the variant for a corpus where
+  // one hot user would serialize the q62 window's reducer. The oracle
+  // is the plain per-user window SQL with a deterministic event_id
+  // tie-break, so the hash-match pins that bucketing + stitching
+  // reproduce the unbucketed semantics bit for bit.
+  private val q68 = Q("q68_sessionize_skewed", Some("""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+        CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS brk
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id, ts, value,
+        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged)
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+      CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(8,2))) AS DOUBLE) AS sum_value
+    FROM sessions GROUP BY user_id, session_idx
+    ORDER BY user_id, session_idx"""),
+    (s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("tus", unix_micros(col("ts")))
+      graft.ops.EventAnalytics.sessionizeSkewed(ev, "user_id", "tus",
+          gapMicros = 30L * 60 * 1000000L,
+          bucketWidth = 6L * 3600 * 1000000L, // 6 h buckets
+          ordCol = Some("event_id"))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(
+          min(col("ts")).cast("timestamp_ntz").as("session_start"),
+          max(col("ts")).cast("timestamp_ntz").as("session_end"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(8, 2))).cast("double").as("sum_value"))
+        .orderBy(col("user_id"), col("session_idx"))
+    })
+
+  // Skew-safe trailing time-range window: q65's exact output through
+  // the home+ghost bucketing (EventAnalytics.trailingWindowStatsSkewed)
+  // — 2× exchanged rows buying |buckets|× hot-key parallelism. Same
+  // oracle as q65: the decimal-exact sum makes the regrouped
+  // accumulation bit-identical.
+  private val q69 = Q("q69_trailing_window_skewed", Some("""
+    WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                  value FROM events)
+    SELECT event_id, user_id, ts,
+      CAST(win_n AS BIGINT) AS win_n,
+      CAST(win_sum AS DOUBLE) AS win_sum,
+      CAST(win_sum AS DOUBLE) / win_n AS win_avg
+    FROM (
+      SELECT event_id, user_id, ts,
+        COUNT(*) OVER w AS win_n,
+        SUM(CAST(value AS DECIMAL(8,2))) OVER w AS win_sum
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW))
+    ORDER BY event_id"""),
+    (s, dir) => graft.ops.EventAnalytics.trailingWindowStatsSkewed(
+        Tables.events(s, dir), "user_id", "ts", "value",
+        windowMicros = 7L * 24 * 3600 * 1000000L,
+        bucketWidth = 7L * 24 * 3600 * 1000000L)
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("ts"),
+        col("win_n"), col("win_sum"), col("win_avg"))
+      .orderBy(col("event_id")))
+
   // EXACT percentiles per group (Spark `percentile` vs DuckDB
   // `quantile_cont` — same linear interpolation, verified
   // bit-identical). Exact percentile buffers each group's values at
@@ -2764,7 +2833,7 @@ object SparkEntry {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
-    q66, q67,
+    q66, q67, q68, q69,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
     s16, s17, s18, s19, s20,
