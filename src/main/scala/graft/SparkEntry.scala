@@ -2824,6 +2824,42 @@ object SparkEntry {
       .select(col("sample_id"), col("frame_idx"), col("frame_md5"), col("frame_bytes"))
       .orderBy(col("sample_id"), col("frame_idx")))
 
+  // REAL codec roundtrip (not FakeDecoder): each doc's bytes become a
+  // 16-bit mono PCM signal inside an actual RIFF/WAVE container
+  // (Multimodal.textAsWav), and Multimodal.decodeWav parses the
+  // container back — magic, chunk walk, little-endian samples. The
+  // oracle never sees the container: it derives every decoded field
+  // (header values, sample count, duration, mean|s|, RMS) from the
+  // ground-truth text directly, so a parser that misreads any header
+  // byte or sample hash-mismatches. All sums are of exactly-
+  // representable integers (|s| <= 32640, squares < 2^31, docs <
+  // 2^21 bytes), so double accumulation is bit-stable across engines.
+  private val m04 = Q("m04_wav_decode", Some("""
+    SELECT doc_id AS sample_id,
+      CAST(44 + 2 * octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      CAST(16000 AS BIGINT) AS sample_rate,
+      CAST(1 AS BIGINT) AS n_channels,
+      CAST(16 AS BIGINT) AS bits_per_sample,
+      CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_samples,
+      CAST(octet_length(CAST(text AS BLOB)) * 1000 // 16000 AS BIGINT) AS duration_ms,
+      CAST(list_sum(list_transform(string_split(text, ''), c -> ord(c) * 128.0)) AS DOUBLE)
+        / octet_length(CAST(text AS BLOB)) AS mean_abs,
+      sqrt(CAST(list_sum(list_transform(string_split(text, ''), c -> pow(ord(c) * 128.0, 2))) AS DOUBLE)
+        / octet_length(CAST(text AS BLOB))) AS rms
+    FROM documents WHERE octet_length(CAST(text AS BLOB)) > 0
+    ORDER BY sample_id"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents").where(octet_length(col("text")) > 0)
+      Multimodal.decodeWav(Multimodal.textAsWav(docs, "doc_id", "text"))
+        .toDF()
+        .select(col("sample_id"), col("n_bytes"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_channels").cast("long").as("n_channels"),
+          col("bits_per_sample").cast("long").as("bits_per_sample"),
+          col("n_samples"), col("duration_ms"), col("mean_abs"), col("rms"))
+        .orderBy(col("sample_id"))
+    })
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -2839,7 +2875,7 @@ object SparkEntry {
     s16, s17, s18, s19, s20,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21,
-    m01, m02, m03)
+    m01, m02, m03, m04)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))

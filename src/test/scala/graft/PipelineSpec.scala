@@ -570,6 +570,70 @@ class PipelineSpec extends AnyFunSuite {
     assert(f1.forall(f => f.n_bytes > 0))
   }
 
+  test("WavCodec roundtrip: known PCM encodes and decodes exactly") {
+    import graft.pipeline.Multimodal.WavCodec
+    val samples = Array[Short](0, 100, -100, 32767, -32768, 1)
+    val bytes = WavCodec.encodePcm16(samples, sampleRate = 8000)
+    assert(bytes.length == 44 + samples.length * 2)
+    assert(new String(bytes, 0, 4, "US-ASCII") == "RIFF")
+    val info = WavCodec.decode(bytes)
+    assert(info.sampleRate == 8000 && info.channels == 1 &&
+      info.bitsPerSample == 16)
+    assert(info.nSamples == 6)
+    assert(info.durationMs == 6000L / 8000L) // floor(0.75ms) = 0
+    val expAbs = samples.map(s => math.abs(s.toDouble)).sum / 6
+    val expRms = math.sqrt(samples.map(s => s.toDouble * s).sum / 6)
+    assert(info.meanAbs == expAbs && info.rms == expRms)
+  }
+
+  test("WavCodec walks unknown chunks and honors odd-size padding") {
+    import graft.pipeline.Multimodal.WavCodec
+    import java.nio.{ByteBuffer, ByteOrder}
+    // hand-build: RIFF [LIST(3 bytes, padded)] [fmt stereo] [data 2 frames]
+    val pcm = Array[Short](10, -10, 20, -20) // L R L R
+    val dataLen = pcm.length * 2
+    val listLen = 3 // odd → 1 pad byte follows
+    val total = 12 + (8 + listLen + 1) + (8 + 16) + (8 + dataLen)
+    val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(total - 8)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("LIST".getBytes("US-ASCII")); bb.putInt(listLen)
+    bb.put(Array[Byte](1, 2, 3, 0)) // 3 payload + 1 pad
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(2); bb.putInt(44100)
+    bb.putInt(44100 * 4); bb.putShort(4); bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    pcm.foreach(bb.putShort)
+    val info = WavCodec.decode(bb.array())
+    assert(info.channels == 2 && info.sampleRate == 44100)
+    assert(info.nSamples == 2, "frames, not channel samples")
+    assert(info.meanAbs == 15.0)
+    // corrupt magic and non-PCM must be rejected, not misread
+    val bad = bb.array().clone(); bad(0) = 'X'.toByte
+    assert(intercept[IllegalArgumentException](WavCodec.decode(bad))
+      .getMessage.contains("magic"))
+    val nonPcm = bb.array().clone()
+    nonPcm(12 + 8 + listLen + 1 + 8) = 3 // audioFormat = 3 (float)
+    assert(intercept[IllegalArgumentException](WavCodec.decode(nonPcm))
+      .getMessage.contains("PCM"))
+  }
+
+  test("textAsWav payloads decode back to the text-derived signal") {
+    val wav = Multimodal.textAsWav(docs, "doc_id", "text")
+    val decoded = Multimodal.decodeWav(wav).collect()
+    val truth = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(decoded.nonEmpty && decoded.length == truth.size)
+    decoded.foreach { f =>
+      val bytes = truth(f.sample_id).getBytes("UTF-8")
+      assert(f.n_samples == bytes.length, s"sample ${f.sample_id}")
+      assert(f.n_bytes == 44 + 2L * bytes.length)
+      val exp = bytes.map(b => (b & 0xff) * 128.0)
+      assert(f.mean_abs == exp.sum / exp.length)
+      assert(f.rms == math.sqrt(exp.map(x => x * x).sum / exp.length))
+    }
+  }
+
   test("binaryFile media ingest maps files to the media schema") {
     val media = Multimodal.readMediaDir(spark, "/root/reference/bin/data/*.parquet")
     val rows = Multimodal.extractFeatures(media).collect()
