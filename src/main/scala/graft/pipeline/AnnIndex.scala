@@ -227,19 +227,19 @@ object AnnIndex {
       build(emb, vecCol, idCol, dir, numCells, m, ksub, iters, maxTrainRows))
   }
 
-  /** [[open]] returning None ONLY for the absent-index case (no meta
-    * at `dir` — the designed crash-safety marker, surfaced by Spark as
-    * a path-not-found AnalysisException). Anything else — corrupt
-    * parquet, a bad format version, IO errors — propagates: silently
-    * rebuilding over those would hide the corruption diagnostic behind
-    * an expensive overwrite build.
+  /** [[open]] returning None ONLY for the absent-index case — no meta
+    * at `dir`, the designed crash-safety marker, checked explicitly
+    * through the path's filesystem (works for any Hadoop scheme, no
+    * exception-driven control flow). Anything open() then throws —
+    * corrupt parquet, a bad format version, IO errors — propagates:
+    * silently rebuilding over those would hide the corruption
+    * diagnostic behind an expensive overwrite build.
     */
-  private def openIfPresent(spark: SparkSession, dir: String): Option[Handle] =
-    try Some(open(spark, dir))
-    catch {
-      case _: org.apache.spark.sql.AnalysisException => None
-      case _: java.io.FileNotFoundException => None
-    }
+  private def openIfPresent(spark: SparkSession, dir: String): Option[Handle] = {
+    val meta = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(meta)) Some(open(spark, dir)) else None
+  }
 
   /** [[buildIfAbsent]] for the seeded build: the reuse check is the
     * same persisted-meta comparison (seeded and trained indexes never
