@@ -2834,6 +2834,11 @@ object SparkEntry {
   // byte or sample hash-mismatches. All sums are of exactly-
   // representable integers (|s| <= 32640, squares < 2^31, docs <
   // 2^21 bytes), so double accumulation is bit-stable across engines.
+  // Both sides pin to ASCII-only docs (octet_length = char length):
+  // the engine samples UTF-8 BYTES while the oracle iterates CODE
+  // POINTS, and the two only agree when every char is one byte — the
+  // explicit filter keeps the hash-match corpus-proof instead of
+  // silently depending on the current corpus being pure ASCII.
   private val m04 = Q("m04_wav_decode", Some("""
     SELECT doc_id AS sample_id,
       CAST(44 + 2 * octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
@@ -2846,10 +2851,13 @@ object SparkEntry {
         / octet_length(CAST(text AS BLOB)) AS mean_abs,
       sqrt(CAST(list_sum(list_transform(string_split(text, ''), c -> pow(ord(c) * 128.0, 2))) AS DOUBLE)
         / octet_length(CAST(text AS BLOB))) AS rms
-    FROM documents WHERE octet_length(CAST(text AS BLOB)) > 0
+    FROM documents
+    WHERE octet_length(CAST(text AS BLOB)) > 0
+      AND octet_length(CAST(text AS BLOB)) = length(text)
     ORDER BY sample_id"""),
     (s, dir) => {
-      val docs = T(s, dir, "documents").where(octet_length(col("text")) > 0)
+      val docs = T(s, dir, "documents").where(octet_length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
       Multimodal.decodeWav(Multimodal.textAsWav(docs, "doc_id", "text"))
         .toDF()
         .select(col("sample_id"), col("n_bytes"),

@@ -109,6 +109,9 @@ object AnnIndex {
       cellsRequested: Int, m: Int, ksub: Int, dim: Int,
       centPairs: Seq[(Long, Array[Double])],
       books: Array[Array[Array[Double]]]): Handle = {
+    // never interleave the overwrite-write with a pending deferred
+    // delete of the same path (no-op when the dir is unguarded)
+    DirGuard.awaitClearForWrite(dir)
     val indexed = Pq.encode(
       Clustering.assignToCentroidArrays(
         emb.select(col(idCol), col(vecCol)), vecCol, idCol, centPairs),
@@ -215,6 +218,9 @@ object AnnIndex {
       emb: DataFrame, vecCol: String, idCol: String, dir: String,
       numCells: Int, m: Int, ksub: Int, iters: Int = 3,
       maxTrainRows: Int = 100000): Handle = {
+    // a condemned dir awaiting its last reader still has meta on disk;
+    // wait out the deferred delete so we can't adopt dying files
+    DirGuard.awaitClearForWrite(dir)
     val existing =
       openIfPresent(emb.sparkSession, dir).filter { h =>
         // cellsRequested, not numCells: Lloyd may have dropped empty
@@ -249,6 +255,7 @@ object AnnIndex {
   def buildSeededIfAbsent(
       emb: DataFrame, vecCol: String, idCol: String, dir: String,
       numCells: Int, m: Int, ksub: Int): Handle = {
+    DirGuard.awaitClearForWrite(dir)
     val existing =
       openIfPresent(emb.sparkSession, dir).filter { h =>
         h.m == m && h.ksub == ksub && h.idCol == idCol &&
@@ -422,19 +429,152 @@ object AnnIndex {
     * indexes must not accumulate dead codes tables in its spool until
     * teardown; the dir is keyed by name+table+flavor+params+corpus
     * fingerprint, so no other handle can share it.
+    *
+    * Deletion is DEFERRED while any reader (a search/append that
+    * entered via [[withReader]]) still holds the old handle: the files
+    * are removed by the last reader's release, never under a running
+    * job — a concurrent search completes against intact files instead
+    * of dying on FileNotFoundException mid-stage. New readers that
+    * arrive after the drop are refused at acquire time.
     */
   def dropAndDelete(name: String): Boolean =
     Option(registry.remove(name)) match {
-      case Some(h) => deleteDirTree(h.dir); true
+      case Some(h) => DirGuard.condemn(h.dir); true
       case None => false
     }
 
+  /** Run `body` (a search or append against `handle`'s files) under
+    * the dir's reader count: a concurrent drop/rebuild defers file
+    * deletion until this reader releases. Throws
+    * [[IndexDroppedException]] if the dir was already condemned —
+    * the serving layer maps that to its not-found response.
+    */
+  def withReader[T](handle: Handle)(body: => T): T =
+    DirGuard.withReader(handle.dir)(body)
+
+  /** Thrown by [[withReader]] when the index dir was dropped between
+    * the registry lookup and the read — the lost race is answered
+    * like any other missing index, not as a stream of parquet IO
+    * failures from a half-deleted directory.
+    */
+  final class IndexDroppedException(dir: String)
+    extends IllegalStateException(s"index at $dir was dropped")
+
+  /** Coordinates readers (searches/appends) with directory deletion
+    * (DROP, param-change rebuild). States guarded by one monitor —
+    * transitions are microseconds; the actual file IO runs outside
+    * the lock. Invariants: files are deleted only when the reader
+    * count is zero; once condemned, no new reader can acquire; a
+    * writer (rebuild into the same dir) blocks until the deletion
+    * completes rather than racing its parquet writes against it.
+    */
+  private object DirGuard {
+    private final class St {
+      var readers = 0
+      var condemned = false // no new readers; delete when readers drain
+      var deleting = false  // file IO in flight
+      var deleted = false   // tombstone: files gone, refuse stale readers
+    }
+    private val states = scala.collection.mutable.HashMap[String, St]()
+
+    def withReader[T](dir: String)(body: => T): T = {
+      states.synchronized {
+        val st = states.getOrElseUpdate(dir, new St)
+        if (st.condemned || st.deleting || st.deleted)
+          throw new IndexDroppedException(dir)
+        st.readers += 1
+      }
+      try body finally release(dir)
+    }
+
+    private def release(dir: String): Unit = {
+      val deleteNow = states.synchronized {
+        states.get(dir) match {
+          case Some(st) =>
+            st.readers -= 1
+            if (st.readers == 0 && st.condemned && !st.deleting) {
+              st.deleting = true; true
+            } else {
+              if (st.readers == 0 && !st.condemned) states.remove(dir): Unit
+              false
+            }
+          case None => false
+        }
+      }
+      if (deleteNow) doDelete(dir)
+    }
+
+    /** Mark `dir` dead: delete now if idle, else the last reader's
+      * release deletes. Idempotent.
+      */
+    def condemn(dir: String): Unit = {
+      val deleteNow = states.synchronized {
+        val st = states.getOrElseUpdate(dir, new St)
+        if (st.condemned || st.deleting || st.deleted) false
+        else {
+          st.condemned = true
+          if (st.readers == 0) { st.deleting = true; true } else false
+        }
+      }
+      if (deleteNow) doDelete(dir)
+    }
+
+    /** The entry stays behind as a TOMBSTONE (deleted=true) rather
+      * than vanishing: a stale handle's late [[withReader]] must be
+      * refused with the typed exception, not silently re-admitted to
+      * a directory that no longer exists. The next writer targeting
+      * the path reclaims the tombstone in [[awaitClearForWrite]].
+      */
+    private def doDelete(dir: String): Unit =
+      try deleteDirTree(dir)
+      finally states.synchronized {
+        states.get(dir).foreach { st =>
+          st.deleting = false
+          st.deleted = true
+        }
+        states.notifyAll()
+      }
+
+    /** Block a build that targets `dir` until any pending/condemned
+      * deletion of the same path has finished — a DROP immediately
+      * followed by an identical re-POST must rebuild into a fully
+      * cleared directory, not interleave writes with the delete. A
+      * completed deletion's tombstone is reclaimed here: the writer
+      * owns the path again.
+      */
+    def awaitClearForWrite(dir: String): Unit = states.synchronized {
+      val deadlineNs = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      var done = false
+      while (!done) {
+        states.get(dir) match {
+          case Some(st) if st.deleted =>
+            states.remove(dir): Unit
+            done = true
+          case Some(st) if st.condemned || st.deleting =>
+            val remMs = (deadlineNs - System.nanoTime()) / 1000000
+            if (remMs <= 0) throw new IllegalStateException(
+              s"timed out waiting for pending delete of index dir $dir")
+            states.wait(remMs)
+          case _ => done = true
+        }
+      }
+    }
+  }
+
   /** Recursive delete of a persisted index dir (local filesystem —
-    * index spools live under the session spool / JVM tmpdir).
+    * index spools live under the session spool / JVM tmpdir). The
+    * `meta` subtree goes FIRST: meta-presence is the completeness
+    * marker [[openIfPresent]] checks, so a concurrent open during the
+    * walk sees a clean "absent" instead of a corrupt half-index.
     */
   def deleteDirTree(dir: String): Unit = {
-    import java.nio.file.{Files, Path, Paths}
-    val root = Paths.get(dir)
+    import java.nio.file.Paths
+    deleteTree(Paths.get(dir, "meta"))
+    deleteTree(Paths.get(dir))
+  }
+
+  private def deleteTree(root: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
     if (Files.exists(root)) {
       val walk = Files.walk(root)
       try walk.sorted(java.util.Comparator.reverseOrder[Path]())
@@ -443,23 +583,38 @@ object AnnIndex {
     }
   }
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Corpus identity for index cache keys: input file paths + size +
     * mtime (the s15 discipline — a path-keyed cache would serve codes
     * encoded from old data after an in-place re-ingest). In-memory
     * corpora (no input files) hash the schema only; re-registering one
     * in place with new data needs an explicit DELETE to force rebuild.
+    *
+    * Files are stat'ed through the Hadoop FileSystem of each path's
+    * own scheme, so hdfs:/s3a:/file: corpora all get the size+mtime
+    * staleness guard — java.nio would throw for non-file schemes and
+    * silently degrade to path-only identity on exactly the
+    * deployments most likely to re-ingest in place. A stat failure
+    * still falls back to the bare path, but loudly.
     */
   def corpusFingerprint(df: DataFrame): String = {
     val files = df.inputFiles.sorted
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val parts: Array[String] =
       if (files.isEmpty) Array("mem|" + df.schema.catalogString)
       else files.map { f =>
         try {
-          val p = java.nio.file.Paths.get(new java.net.URI(f))
-          val a = java.nio.file.Files.readAttributes(
-            p, classOf[java.nio.file.attribute.BasicFileAttributes])
-          s"$f|${a.size}|${a.lastModifiedTime.toMillis}"
-        } catch { case scala.util.control.NonFatal(_) => f }
+          val p = new org.apache.hadoop.fs.Path(f)
+          val st = p.getFileSystem(conf).getFileStatus(p)
+          s"$f|${st.getLen}|${st.getModificationTime}"
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            log.warn("corpusFingerprint: stat of {} failed ({}); falling " +
+              "back to path-only identity — size/mtime staleness " +
+              "protection is OFF for this file", f, e.toString)
+            f
+        }
       }
     java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.arrayHash(parts).toLong & 0xffffffffL)
@@ -472,16 +627,57 @@ object AnnIndex {
     * concurrent POSTs with different params for one name serialize,
     * and each response's handle matches its own request body (no
     * check-then-act window). The superseded definition's files are
-    * deleted before the rebuild so param churn can't accumulate dead
-    * directories in the spool.
+    * CONDEMNED, not deleted inline: a search still holding the old
+    * handle finishes against intact files and the last reader's
+    * release reclaims them — param churn still can't accumulate dead
+    * directories, it just can't break in-flight queries either.
     */
   def openOrRebuildCached(name: String, dir: String)(build: => Handle): Handle =
     registry.compute(name, (_, old) =>
       if (old != null && old.dir == dir) old
       else {
-        if (old != null) deleteDirTree(old.dir)
+        if (old != null) DirGuard.condemn(old.dir)
+        // a DROP of this same dir may still be deleting (e.g. DELETE
+        // then an identical re-POST resolves to the same path): let
+        // it finish before overwrite-writing into the directory
+        DirGuard.awaitClearForWrite(dir)
         build
       })
+
+  /** [[openOrRebuildCached]] with an EXACT per-prefix cap on new
+    * names. The count-and-admit runs under one lock with a
+    * reservation set, so N concurrent first-POSTs of distinct new
+    * names admit exactly `cap − current` of them — no check-then-act
+    * window — while rebuild POSTs of existing names always pass and
+    * builds themselves still run unserialized outside the lock.
+    */
+  def openOrRebuildCachedBounded(
+      name: String, dir: String, prefix: String, cap: Int)(
+      build: => Handle): Handle = {
+    val reservedHere = capLock.synchronized {
+      if (registry.containsKey(name) || reserved.contains(name)) false
+      else {
+        import scala.jdk.CollectionConverters._
+        val live = registry.keys.asScala.count(_.startsWith(prefix))
+        val pending = reserved.count(_.startsWith(prefix))
+        if (live + pending >= cap) throw new IndexCapExceededException(cap)
+        reserved.add(name)
+        true
+      }
+    }
+    try openOrRebuildCached(name, dir)(build)
+    finally if (reservedHere) capLock.synchronized { reserved.remove(name): Unit }
+  }
+
+  /** Thrown by [[openOrRebuildCachedBounded]] when a session is at
+    * its index cap — the serving layer maps it to 429.
+    */
+  final class IndexCapExceededException(cap: Int)
+    extends IllegalStateException(
+      s"index cap reached ($cap); DELETE an index first")
+
+  private val capLock = new Object
+  private val reserved = scala.collection.mutable.HashSet[String]()
 
   /** Registry-cached open-or-build: the first call builds (or opens a
     * persisted) index and registers it; later calls are a map lookup.

@@ -108,9 +108,15 @@ object Api {
     * `{"mergeProcessors":[...]}`. Empty/missing → the route answers
     * the reference's validation error (`processor.rs:28-31`).
     */
-  def parseProcessorBody(body: String): Seq[MergeProcessorReq] = {
+  /** None = `mergeProcessors` absent (or not an array) — the
+    * reference's 400 "Processors not specified" (processor.rs:23-31);
+    * Some(Nil) = present but empty, which the reference executes as
+    * zero merges and answers 204. The two must stay distinguishable.
+    */
+  def parseProcessorBody(body: String): Option[Seq[MergeProcessorReq]] = {
     val n = mapper.readTree(body)
-    arr(n, "mergeProcessors").map(parseMerge)
+    Option(n.get("mergeProcessors")).filter(_.isArray)
+      .map(_.elements().asScala.toSeq.map(parseMerge))
   }
 
   def parseMerge(n: JsonNode): MergeProcessorReq = {

@@ -219,16 +219,16 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
       case ("POST", Array(id, "processor")) =>
         // standalone merge-processor route (reference `routes.rs:42`,
         // `processor.rs:15-35`): run merges against the session
-        // OUTSIDE any query request; 204 on success, validation error
-        // when no processors are specified — exactly the reference's
-        // status codes
+        // OUTSIDE any query request. Only an ABSENT mergeProcessors
+        // field is the reference's 400 "Processors not specified"; a
+        // present-but-empty array executes zero merges and is 204.
         withSession(ex, id) { h =>
-          val merges = Api.parseProcessorBody(readBody(ex))
-          if (merges.isEmpty)
-            respondJson(ex, 400, err("Processors not specified"))
-          else {
-            merges.foreach(applyMerge(h, _))
-            ex.sendResponseHeaders(204, -1)
+          Api.parseProcessorBody(readBody(ex)) match {
+            case None =>
+              respondJson(ex, 400, err("Processors not specified"))
+            case Some(merges) =>
+              merges.foreach(applyMerge(h, _))
+              ex.sendResponseHeaders(204, -1)
           }
         }
       case ("POST" | "GET", Array(id, "datasource", name, "refresh")) =>
@@ -319,24 +319,26 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
           val regKey = s"${h.id}/$name"
           // bound the per-session registry: an unbounded index count is
           // an unbounded spool (each entry holds a persisted codes
-          // table); new names beyond the cap are refused, re-POSTs of
-          // an existing name (rebuilds) still pass
-          val isNew = graft.pipeline.AnnIndex.get(regKey).isEmpty
-          if (isNew && graft.pipeline.AnnIndex.list()
-              .count(_.startsWith(h.id + "/")) >= GraftServer.MaxIndexesPerSession)
-            respondJson(ex, 429, err(
-              s"session $id has ${GraftServer.MaxIndexesPerSession} indexes (limit); DELETE one first"))
-          else {
-            // reuse-or-rebuild is atomic per registry key (compute):
-            // concurrent POSTs with different params serialize, and
-            // each 200's handle matches its own request body
-            val handle = graft.pipeline.AnnIndex.openOrRebuildCached(regKey, dir) {
+          // table). The cap is enforced EXACTLY inside the registry
+          // (lock + reservation set), so N concurrent first-POSTs of
+          // distinct new names can't all slip past a stale count;
+          // re-POSTs of an existing name (rebuilds) always pass.
+          // reuse-or-rebuild stays atomic per registry key (compute):
+          // concurrent POSTs with different params serialize, and
+          // each 200's handle matches its own request body
+          try {
+            val handle = graft.pipeline.AnnIndex.openOrRebuildCachedBounded(
+              regKey, dir, h.id + "/", GraftServer.MaxIndexesPerSession) {
               if (seeded) graft.pipeline.AnnIndex.buildSeededIfAbsent(
                 corpus, vecCol, idCol, dir, numCells, m, ksub)
               else graft.pipeline.AnnIndex.buildIfAbsent(
                 corpus, vecCol, idCol, dir, numCells, m, ksub, iters)
             }
             respondJson(ex, 200, indexJson(name, handle))
+          } catch {
+            case _: graft.pipeline.AnnIndex.IndexCapExceededException =>
+              respondJson(ex, 429, err(
+                s"session $id has ${GraftServer.MaxIndexesPerSession} indexes (limit); DELETE one first"))
           }
         }
       case ("GET", Array(id, "index")) =>
@@ -371,8 +373,16 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
                 .readTree(readBody(ex))
               val table = Option(n.get("table")).map(_.asText()).getOrElse(
                 throw new IllegalArgumentException("append.table required"))
-              graft.pipeline.AnnIndex.append(hd, h.spark.table(table))
-              respondJson(ex, 200, """{"status":"appended"}""")
+              // reader-guarded: a concurrent DROP defers file deletion
+              // until this append's write finishes; a lost race (dir
+              // already condemned) answers like a missing index
+              try graft.pipeline.AnnIndex.withReader(hd) {
+                graft.pipeline.AnnIndex.append(hd, h.spark.table(table))
+                respondJson(ex, 200, """{"status":"appended"}""")
+              } catch {
+                case _: graft.pipeline.AnnIndex.IndexDroppedException =>
+                  respondJson(ex, 404, err(s"no such index: $name"))
+              }
           }
         }
       case ("POST", Array(id, "index", name, "search")) =>
@@ -389,22 +399,32 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
               val table = Option(n.get("table")).map(_.asText())
               val fmt = Option(n.get("response"))
                 .flatMap(r => Option(r.get("format")).map(_.asText()))
-              val df = Option(n.get("queryId")).map(_.asLong()) match {
-                case Some(qid) =>
-                  val corpus = h.spark.table(table.getOrElse(
-                    throw new IllegalArgumentException(
-                      "table required with queryId")))
-                  graft.pipeline.AnnIndex.searchTopK(corpus, hd, qid, k,
-                    nprobe, rerank)
-                case None =>
-                  val vn = Option(n.get("vector")).getOrElse(
-                    throw new IllegalArgumentException(
-                      "queryId or vector required"))
-                  val q = (0 until vn.size()).map(vn.get(_).asDouble()).toArray
-                  graft.pipeline.AnnIndex.searchTopKVec(h.spark, hd, q, k,
-                    nprobe, corpus = table.map(h.spark.table), rerank = rerank)
+              // the whole plan-and-materialize runs under the dir's
+              // reader count: a concurrent DROP/rebuild defers file
+              // deletion until this response is written, so the search
+              // can't die on FileNotFoundException mid-job; a lost
+              // race answers like a missing index
+              try graft.pipeline.AnnIndex.withReader(hd) {
+                val df = Option(n.get("queryId")).map(_.asLong()) match {
+                  case Some(qid) =>
+                    val corpus = h.spark.table(table.getOrElse(
+                      throw new IllegalArgumentException(
+                        "table required with queryId")))
+                    graft.pipeline.AnnIndex.searchTopK(corpus, hd, qid, k,
+                      nprobe, rerank)
+                  case None =>
+                    val vn = Option(n.get("vector")).getOrElse(
+                      throw new IllegalArgumentException(
+                        "queryId or vector required"))
+                    val q = (0 until vn.size()).map(vn.get(_).asDouble()).toArray
+                    graft.pipeline.AnnIndex.searchTopKVec(h.spark, hd, q, k,
+                      nprobe, corpus = table.map(h.spark.table), rerank = rerank)
+                }
+                respondData(ex, df, fmt)
+              } catch {
+                case _: graft.pipeline.AnnIndex.IndexDroppedException =>
+                  respondJson(ex, 404, err(s"no such index: $name"))
               }
-              respondData(ex, df, fmt)
           }
         }
       case _ => respondJson(ex, 404, err("not found"))

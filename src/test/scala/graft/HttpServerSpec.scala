@@ -416,8 +416,14 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
         "application/sql")
       assert(q.statusCode() == 200, q.body())
       assert(q.body().matches("""\[\{"n":\d+\}\]"""), q.body())
-      // no processors specified → the reference's validation error
+      // ABSENT mergeProcessors field → the reference's validation
+      // error; a PRESENT-but-empty array is Some(vec![]) in the
+      // reference (processor.rs:23-31): zero merges execute and the
+      // response is 204 — the two must not be conflated
       assert(post(s"/session/$sid/processor", "{}").statusCode() == 400)
+      val empty = post(s"/session/$sid/processor",
+        """{"mergeProcessors":[]}""")
+      assert(empty.statusCode() == 204, empty.body())
       // unknown session → 404
       assert(post("/session/no-such/processor",
         """{"mergeProcessors":[]}""").statusCode() == 404)
