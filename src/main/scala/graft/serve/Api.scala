@@ -105,10 +105,8 @@ object Api {
     }
 
   /** Standalone processor-route body (reference `body.rs:317-320`):
-    * `{"mergeProcessors":[...]}`. Empty/missing → the route answers
-    * the reference's validation error (`processor.rs:28-31`).
-    */
-  /** None = `mergeProcessors` absent (or not an array) — the
+    * `{"mergeProcessors":[...]}`.
+    * None = `mergeProcessors` absent (or not an array) — the
     * reference's 400 "Processors not specified" (processor.rs:23-31);
     * Some(Nil) = present but empty, which the reference executes as
     * zero merges and answers 204. The two must stay distinguishable.
