@@ -1708,6 +1708,39 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("simhash32"))
       .orderBy(col("doc_id")))
 
+  // Semantic dedup, the SemDeDup recipe: near-dup search scoped to
+  // seed-centroid clusters (s07's deterministic assignment), greedy
+  // smallest-id keep. τ=0.4 drops 19/500 at sf0.01 — non-vacuous on
+  // the near-orthogonal synthetic embeddings (d05 note). The oracle
+  // replays assignment + within-cell pairs declaratively; the engine
+  // must agree bit-for-bit on every cosine on BOTH sides of τ.
+  private val d14 = Q("d14_semantic_dedup", Some("""
+    WITH cents AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+    sims AS (SELECT e.vec_id, c.cell,
+        list_sum(list_transform(generate_series(1, len(e.embedding)),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      FROM embeddings e, cents c),
+    assigned AS (SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, sim,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        FROM sims) WHERE rn = 1),
+    drops AS (SELECT DISTINCT b.vec_id FROM assigned a
+        JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE list_sum(list_transform(generate_series(1, len(ea.embedding)),
+          i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.4)
+    SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS keep
+    FROM assigned a LEFT JOIN drops d ON d.vec_id = a.vec_id
+    ORDER BY a.vec_id"""),
+    (s, dir) => graft.pipeline.Clustering.semDedup(
+        T(s, dir, "embeddings"), "embedding", "vec_id", k = 8, threshold = 0.4)
+      .orderBy(col("vec_id")))
+
   private val t01 = Q("t01_lang_id", Some("""
     WITH sc AS (
       SELECT doc_id,
@@ -2717,6 +2750,53 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("suite"))
     })
 
+  // Bigram LM log-probability: one model order up from t19 — MLE
+  // P(w2|w1) fit on the corpus, mean per doc. The context count is
+  // bigram-first-token occurrences (NOT unigram counts): that is what
+  // normalizes the conditional. Exact integer counts; one ROUND(6) on
+  // the ln-sum (t15/t19 treatment).
+  private val t22 = Q("t22_bigram_logprob", Some("""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    bg AS (SELECT doc_id, ts[i] AS w1, ts[i] || ' ' || ts[i+1] AS b
+           FROM toks, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)
+           WHERE len(ts) >= 2),
+    dc AS (SELECT doc_id, w1, b, COUNT(*) AS c_doc FROM bg GROUP BY doc_id, w1, b),
+    cb AS (SELECT b, SUM(c_doc) AS c12 FROM dc GROUP BY b),
+    cw AS (SELECT w1, SUM(c_doc) AS c1 FROM dc GROUP BY w1)
+    SELECT doc_id, CAST(SUM(c_doc) AS BIGINT) AS n_bigrams,
+      ROUND(SUM(CAST(c_doc AS DOUBLE) * ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)))
+        / CAST(SUM(c_doc) AS DOUBLE), 6) AS mean_logp
+    FROM dc JOIN cb USING (b) JOIN cw USING (w1)
+    GROUP BY doc_id ORDER BY doc_id"""),
+    (s, dir) => TextAnalysis.bigramLogProb(T(s, dir, "documents"), "text", "doc_id")
+      .select(col("id").as("doc_id"), col("n_bigrams"), col("mean_logp"))
+      .orderBy(col("doc_id")))
+
+  // N-gram novelty: fraction of each doc's distinct trigram shingles
+  // first seen in THIS doc under ascending doc_id — the corpus
+  // freshness curve (recycled content scores ~0 even when no single
+  // earlier doc is a pairwise near-dup). Shares d02/d06's shingle
+  // normalization (lower, \s+ collapse).
+  private val t23 = Q("t23_ngram_novelty", Some("""
+    WITH toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    fs AS (SELECT shingle, MIN(doc_id) AS first_id FROM sh GROUP BY shingle)
+    SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      CAST(SUM(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      ROUND(CAST(SUM(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+    FROM sh s JOIN fs f USING (shingle)
+    GROUP BY s.doc_id ORDER BY s.doc_id"""),
+    (s, dir) => TextAnalysis.ngramNovelty(T(s, dir, "documents"), "text", "doc_id",
+        n = 3)
+      .select(col("id").as("doc_id"), col("n_shingles"), col("n_novel"),
+        col("novelty"))
+      .orderBy(col("doc_id")))
+
   // Vocabulary coverage: the tokenizer-prep rollup — top-k token
   // types with exact cumulative corpus coverage. Integer counts, one
   // IEEE division per row: no rounding contract needed.
@@ -2868,6 +2948,53 @@ object SparkEntry {
         .orderBy(col("sample_id"))
     })
 
+  // Second REAL codec roundtrip: each doc's bytes become pixels of an
+  // actual 24bpp bottom-up BMP (width 10 → stored row stride 32, i.e.
+  // REAL 4-byte row padding), channels (B=byte, G=255−byte,
+  // R=2·byte mod 256) so a BGR-order mixup is visible. The oracle
+  // derives every decoded field from the ground-truth text: header
+  // fields from the container math, channel means over all pixels
+  // (zero pads included), and the top-left pixel — which bottom-up
+  // storage puts in the LAST stored row, so a decoder that walks
+  // top-down fails exactly there. ASCII pin as in m04 (code point =
+  // byte); integer sums → exact doubles, no rounding needed.
+  private val m05 = Q("m05_bmp_decode", Some("""
+    WITH d AS (SELECT doc_id,
+        octet_length(CAST(text AS BLOB)) AS nb,
+        (octet_length(CAST(text AS BLOB)) + 9) // 10 AS h,
+        string_split(text, '') AS cs,
+        substr(text, 1, 1) AS c1
+      FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) > 0
+        AND octet_length(CAST(text AS BLOB)) = length(text))
+    SELECT doc_id AS sample_id,
+      CAST(54 + 32 * h AS BIGINT) AS n_bytes,
+      CAST(10 AS BIGINT) AS width,
+      CAST(h AS BIGINT) AS height,
+      CAST(24 AS BIGINT) AS bits_per_pixel,
+      CAST(10 * h AS BIGINT) AS n_pixels,
+      CAST(list_sum(list_transform(cs, c -> ord(c))) AS DOUBLE)
+        / (10 * h) AS mean_b,
+      CAST(list_sum(list_transform(cs, c -> 255 - ord(c))) AS DOUBLE)
+        / (10 * h) AS mean_g,
+      CAST(list_sum(list_transform(cs, c -> (2 * ord(c)) % 256)) AS DOUBLE)
+        / (10 * h) AS mean_r,
+      CAST(ord(c1) AS BIGINT) AS top_left_b
+    FROM d ORDER BY sample_id"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents").where(octet_length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
+      Multimodal.decodeBmp(Multimodal.textAsBmp(docs, "doc_id", "text", width = 10))
+        .toDF()
+        .select(col("sample_id"), col("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("bits_per_pixel").cast("long").as("bits_per_pixel"),
+          col("n_pixels"), col("mean_b"), col("mean_g"), col("mean_r"),
+          col("top_left_b").cast("long").as("top_left_b"))
+        .orderBy(col("sample_id"))
+    })
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -2878,12 +3005,12 @@ object SparkEntry {
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
     s16, s17, s18, s19, s20,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19, t20, t21,
-    m01, m02, m03, m04)
+    t15, t16, t17, t18, t19, t20, t21, t22, t23,
+    m01, m02, m03, m04, m05)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))

@@ -6,13 +6,17 @@ import org.apache.spark.sql.functions._
 /** Helpers to load the driver-generated test tables
   * (`/root/testdata/sf*`; see TESTDATA.md / FIXTURES.md §B).
   *
-  * All tables are plain parquet. `events.ts` is written as parquet
-  * TIMESTAMP(NANOS) which Spark's vectorized reader rejects by default
-  * ([PARQUET_TYPE_ILLEGAL]); we read it via the
-  * `spark.sql.legacy.parquet.nanosAsLong` conf and convert to a µs
-  * timestamp with integer division (truncation — the same semantics as
-  * DuckDB's TIMESTAMP_NS → TIMESTAMP cast, so oracle comparisons line
-  * up exactly).
+  * All tables are plain parquet. `events.ts` has been written by the
+  * driver as parquet TIMESTAMP(NANOS) in some rounds and naive
+  * timestamp[us] in others, so [[events]] dispatches on the read
+  * schema: NANOS arrives as a long via the
+  * `spark.sql.legacy.parquet.nanosAsLong` conf (Spark's vectorized
+  * reader rejects it outright otherwise, [PARQUET_TYPE_ILLEGAL]) and
+  * is truncated to µs by integer division — the same semantics as
+  * DuckDB's TIMESTAMP_NS → TIMESTAMP cast; µs arrives as
+  * TIMESTAMP_NTZ and is cast to the session-zone (UTC) timestamp
+  * DuckDB also sees. Either way every query downstream gets the same
+  * µs-precision TimestampType `ts`.
   */
 object Tables {
 
@@ -81,16 +85,22 @@ object Tables {
       }
     }
 
-  /** events with `ts` as a proper TimestampType (µs, truncated from ns).
-    * Keeps the raw nanosecond count as `ts_ns` for precision-sensitive
-    * consumers.
+  /** events with `ts` as a proper TimestampType (µs precision)
+    * whichever physical type the driver wrote this round. The NANOS
+    * path keeps the raw nanosecond count as `ts_ns` for
+    * precision-sensitive consumers.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, s"$sfDir/events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read
-        .parquet(s"$sfDir/events.parquet")
-        .withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS)
+          raw.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+        case _: org.apache.spark.sql.types.TimestampNTZType => // naive µs
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw // already session-zone µs
+      }
     }
 }

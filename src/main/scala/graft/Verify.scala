@@ -12,7 +12,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // events.parquet carries TIMESTAMP(NANOS) — see graft.Tables
+      // events.parquet has carried TIMESTAMP(NANOS) — see graft.Tables
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // write µs (not INT96) so dumped results compare cleanly
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

@@ -100,6 +100,49 @@ object Clustering {
       .select(col("cell"), col("n_members"), col("min_sim"),
         (-col("__m.nid")).as("top_id"), col("__m.s").as("top_sim"))
 
+  /** Semantic deduplication, the SemDeDup recipe (Abbas et al. 2023,
+    * arXiv:2303.09540): embeddings are clustered, and near-duplicate
+    * pairs are searched ONLY within a cluster — the clustering turns
+    * the corpus-wide O(N²) cosine search into k independent
+    * O((N/k)²) searches. A member is dropped when some smaller-id
+    * member of its cluster sits within `threshold` cosine; the
+    * smallest id of every near-dup group survives (greedy-by-id, the
+    * same deterministic keep rule as [[Dedup.dedupedCorpus]]).
+    *
+    * Scale shape: assignment is the map-only inlined-centroid
+    * projection ([[assignToCentroidArrays]] — no join, no shuffle);
+    * the within-cluster pair join is ONE exchange keyed on `cell`,
+    * and both sides of it carry (id, cell, vector) only. Per-cell
+    * pair work is (|cell|²)/2 — at 100 TB you raise k (SemDeDup uses
+    * k ≈ √N) so cells stay bounded and the quadratic term never
+    * dominates; the final drop-flag join is keyed on id and carries
+    * two longs and a boolean. Cross-cluster near-dups are invisible
+    * by construction — that recall loss is the algorithm's documented
+    * trade, not an implementation shortcut.
+    *
+    * @return (idCol, cell, keep) — every input row, keep=false for
+    *         dropped near-duplicates.
+    */
+  def semDedup(
+      emb: DataFrame, vecCol: String, idCol: String,
+      k: Int, threshold: Double): DataFrame = {
+    val asg = assignToSeeds(emb, vecCol, idCol, k)
+      .select(col(idCol).as("id"), col("cell"), col(vecCol).as("v"))
+    val a = asg.select(col("id").as("id_a"), col("cell"), col("v").as("va"))
+    val b = asg.select(col("id").as("id_b"), col("cell"), col("v").as("vb"))
+    // one cell-keyed exchange; the cosine filter runs inside the
+    // join's output before anything else materializes
+    val drops = a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b") &&
+        Similarity.cosine(col("va"), col("vb")) >= lit(threshold))
+      .select(col("id_b").as("id"))
+      .distinct()
+    asg.select(col("id"), col("cell"))
+      .join(drops.withColumn("__dropped", lit(true)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cell"),
+        not(coalesce(col("__dropped"), lit(false))).as("keep"))
+  }
+
   /** Cluster-balanced sample: the `perCluster` most-central members
     * of every cluster (rank by sim desc, id asc).
     *

@@ -170,6 +170,178 @@ object Multimodal {
     }
   }
 
+  /** Real pure-JVM image codec: uncompressed 24-bit BMP
+    * (BITMAPFILEHEADER + BITMAPINFOHEADER, BI_RGB). The second
+    * native-lib-free interchange format after [[WavCodec]], and the
+    * one with the two classic parser traps: pixel rows are stored
+    * BOTTOM-UP (positive biHeight) and every stored row is padded to
+    * a 4-byte boundary — a decoder that walks the data section
+    * top-down or assumes stride = 3·width reads garbage that still
+    * "looks decoded". m05's oracle pins both: the reported top-left
+    * pixel lives in the LAST stored row, and the file size embeds the
+    * stride.
+    */
+  object BmpCodec {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    private def rowStride(width: Int): Int = ((width * 3 + 3) / 4) * 4
+
+    /** Canonical 54-byte-header 24bpp bottom-up BMP writer. `pixels`
+      * is (b, g, r) triples in IMAGE order (row 0 = top), length
+      * width*height.
+      */
+    def encodeBgr24(pixels: Array[(Byte, Byte, Byte)], width: Int,
+        height: Int): Array[Byte] = {
+      require(width > 0 && height > 0, "bad bmp dims")
+      require(pixels.length == width * height, "pixels != width*height")
+      val stride = rowStride(width)
+      val dataLen = stride * height
+      val bb = ByteBuffer.allocate(54 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte); bb.put('M'.toByte)
+      bb.putInt(54 + dataLen) // file size
+      bb.putInt(0) // reserved
+      bb.putInt(54) // pixel data offset
+      bb.putInt(40) // BITMAPINFOHEADER size
+      bb.putInt(width)
+      bb.putInt(height) // positive => bottom-up
+      bb.putShort(1) // planes
+      bb.putShort(24) // bpp
+      bb.putInt(0) // BI_RGB
+      bb.putInt(dataLen)
+      bb.putInt(2835); bb.putInt(2835) // 72 dpi
+      bb.putInt(0); bb.putInt(0) // palette
+      var sr = 0
+      while (sr < height) {
+        val imageRow = height - 1 - sr // bottom-up: stored row 0 = last image row
+        var c = 0
+        while (c < width) {
+          val (b, g, r) = pixels(imageRow * width + c)
+          bb.put(b); bb.put(g); bb.put(r)
+          c += 1
+        }
+        var pad = stride - width * 3
+        while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+        sr += 1
+      }
+      bb.array()
+    }
+
+    /** Decoded header + per-channel means over ALL pixels, plus the
+      * top-left pixel in IMAGE coordinates — which a bottom-up file
+      * stores in its final row, so a top-down misread flips it.
+      * Integer sums of byte values: bit-stable across engines.
+      */
+    case class BmpInfo(
+        width: Int, height: Int, bitsPerPixel: Int, nPixels: Long,
+        meanB: Double, meanG: Double, meanR: Double, topLeftB: Int)
+
+    /** Header-validating parser: magic, 24bpp BI_RGB only, honors the
+      * declared data offset (palettes/extended headers may push it
+      * past 54), the row stride, and both row orders (negative
+      * biHeight = top-down, per the spec).
+      */
+    def decode(bytes: Array[Byte]): BmpInfo = {
+      require(bytes != null && bytes.length >= 54, "not a bmp: too short")
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      require(bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
+        "not a bmp: bad magic")
+      val dataOff = bb.getInt(10)
+      val hdrSize = bb.getInt(14)
+      require(hdrSize >= 40, s"unsupported bmp header size $hdrSize")
+      val width = bb.getInt(18)
+      val rawHeight = bb.getInt(22)
+      val topDown = rawHeight < 0
+      val height = math.abs(rawHeight)
+      val bpp = bb.getShort(28) & 0xffff
+      val compression = bb.getInt(30)
+      require(width > 0 && height > 0, "bad bmp dims")
+      require(bpp == 24, s"unsupported bpp $bpp (24 only)")
+      require(compression == 0, s"unsupported compression $compression (BI_RGB only)")
+      val stride = rowStride(width)
+      require(dataOff >= 54 && dataOff.toLong + stride.toLong * height <= bytes.length,
+        "truncated bmp pixel data")
+      var sumB = 0L; var sumG = 0L; var sumR = 0L
+      var topLeftB = -1
+      var imageRow = 0
+      while (imageRow < height) {
+        val storedRow = if (topDown) imageRow else height - 1 - imageRow
+        val rowOff = dataOff + storedRow * stride
+        if (imageRow == 0) topLeftB = bytes(rowOff) & 0xff
+        var c = 0
+        while (c < width) {
+          sumB += bytes(rowOff + c * 3) & 0xff
+          sumG += bytes(rowOff + c * 3 + 1) & 0xff
+          sumR += bytes(rowOff + c * 3 + 2) & 0xff
+          c += 1
+        }
+        imageRow += 1
+      }
+      val n = width.toLong * height
+      BmpInfo(width, height, bpp, n,
+        sumB.toDouble / n, sumG.toDouble / n, sumR.toDouble / n, topLeftB)
+    }
+  }
+
+  /** Wrap a text corpus as REAL BMP payloads: byte i of the text
+    * becomes image pixel (row i/width, col i%width) with channels
+    * (B = byte, G = 255−byte, R = 2·byte mod 256) — three distinct
+    * per-channel functions so a decoder that confuses BGR order
+    * hash-mismatches. The tail of the last row is zero-pixel padded;
+    * `width` defaults to 10 so the stored row stride (30 → 32 bytes)
+    * exercises REAL 4-byte padding. Like [[textAsWav]], every decoded
+    * field is derivable from the text by the oracle (m05).
+    */
+  def textAsBmp(docs: DataFrame, idCol: String, textCol: String,
+      width: Int = 10): DataFrame = {
+    require(width > 0, "width must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), encode(col(textCol), "UTF-8"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = if (text == null) Array.emptyByteArray else text
+          require(bytes.nonEmpty, "textAsBmp: empty payload (filter first)")
+          val height = (bytes.length + width - 1) / width
+          val pixels = Array.tabulate(width * height) { i =>
+            if (i < bytes.length) {
+              val v = bytes(i) & 0xff
+              (v.toByte, (255 - v).toByte, ((v * 2) % 256).toByte)
+            } else (0.toByte, 0.toByte, 0.toByte)
+          }
+          (id, BmpCodec.encodeBgr24(pixels, width, height))
+        }
+      }
+      .toDF("sample_id", "payload")
+  }
+
+  /** Decoded BMP features, one row per sample. */
+  case class BmpFeatures(
+      sample_id: Long, n_bytes: Long, width: Int, height: Int,
+      bits_per_pixel: Int, n_pixels: Long,
+      mean_b: Double, mean_g: Double, mean_r: Double, top_left_b: Int)
+
+  /** Partition-parallel REAL decode, the image sibling of
+    * [[decodeWav]]: same mapPartitions distribution contract, kernel
+    * is [[BmpCodec]]'s actual header walk + bottom-up strided pixel
+    * scan.
+    */
+  def decodeBmp(media: DataFrame, idCol: String = "sample_id",
+      payloadCol: String = "payload"): Dataset[BmpFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val info = BmpCodec.decode(payload)
+          BmpFeatures(id, payload.length.toLong, info.width, info.height,
+            info.bitsPerPixel, info.nPixels, info.meanB, info.meanG,
+            info.meanR, info.topLeftB)
+        }
+      }
+  }
+
   /** Wrap a text corpus as REAL WAV payloads: each byte of the text
     * becomes one 16-bit mono sample (`byte * 128`), PCM-encoded into
     * a canonical RIFF container. The signal is derived from data the

@@ -394,6 +394,94 @@ object TextAnalysis {
             sum(col("c_doc")).cast("double")), 6).as("mean_logp"))
   }
 
+  /** Bigram language-model log-probability per document — one model
+    * order up from [[unigramLogProb]]: score(doc) = mean over its
+    * bigrams of ln(c(w₁w₂)/c(w₁·)), the MLE conditional
+    * P(w₂|w₁) with the model fit on the corpus itself. Catches
+    * word-salad documents whose unigram distribution looks normal
+    * but whose transitions are improbable — the standard step before
+    * a real KenLM-style perplexity filter.
+    *
+    * Scale shape mirrors [[unigramLogProb]]: each doc emits its
+    * bigram stream as (h₁ = hash(w₁), h₁₂ = hash(w₁⊔w₂)) pairs
+    * hashed map-side, so every exchange carries longs, never
+    * strings. The per-doc counts join the corpus bigram table on h₁₂
+    * and the corpus context table on h₁ — both sides
+    * partial-aggregated hash joins. Docs with < 2 tokens emit no
+    * bigrams and drop out (both engines agree by construction).
+    * Rounded to 6 dp (ln accumulation order, the t15/t19 treatment).
+    *
+    * @return (id, n_bigrams, mean_logp)
+    */
+  def bigramLogProb(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val idxs = when(size(toks) >= 2, sequence(lit(0), size(toks) - 2))
+      .otherwise(array().cast("array<int>"))
+    val grams = transform(idxs, i => struct(
+      xxhash64(element_at(toks, i + 1)).as("h1"),
+      xxhash64(concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
+        .as("h12")))
+    val docCounts = graft.ops.ScaleOps.fanOut(docs)
+      .select(col(idCol).as("id"), explode(grams).as("g"))
+      .groupBy(col("id"), col("g.h1").as("h1"), col("g.h12").as("h12"))
+      .agg(count(lit(1)).as("c_doc"))
+    val bigramFreq = docCounts.groupBy(col("h12")).agg(sum(col("c_doc")).as("c12"))
+    // context count c(w₁·) = occurrences of w₁ as a bigram's first
+    // token — NOT the unigram count (the last token of a doc starts
+    // no bigram), which is what makes Σ P(w₂|w₁) normalize per w₁
+    val ctxFreq = docCounts.groupBy(col("h1")).agg(sum(col("c_doc")).as("c1"))
+    docCounts
+      .join(bigramFreq, Seq("h12"))
+      .join(ctxFreq, Seq("h1"))
+      .groupBy(col("id"))
+      .agg(
+        sum(col("c_doc")).as("n_bigrams"),
+        round(
+          sum(col("c_doc").cast("double") *
+            log(col("c12").cast("double") / col("c1").cast("double"))) /
+            sum(col("c_doc")).cast("double"), 6).as("mean_logp"))
+  }
+
+  /** N-gram novelty per document: the fraction of a doc's distinct
+    * shingles first seen in THIS doc under ascending-id corpus order
+    * — the freshness signal a pipeline tracks while appending crawl
+    * snapshots (a doc whose shingles all appeared in earlier docs is
+    * recycled content even when no single earlier doc matches it,
+    * which is exactly the case pairwise dedup misses).
+    *
+    * Scale shape — two map-side kernel passes, NO posting-list
+    * shuffle: a shingle is novel to exactly ONE doc (its min id), so
+    * n_novel comes from a shingle-keyed `min(id)` whose partial
+    * aggregation collapses hot boilerplate shingles on the map side —
+    * the exchange carries one winner row per distinct shingle, never
+    * the (id, shingle) posting list a join-back formulation reshuffles
+    * (and hot shingles can't skew a reducer: they arrive already
+    * collapsed). Per-doc totals are `size(kernel)` — a scan-stage
+    * projection with no explode and no shuffle — and the final
+    * doc-level join moves three longs per doc. Docs with < n tokens
+    * have no shingles and drop out (both engines agree).
+    *
+    * @return (id, n_shingles, n_novel, novelty)
+    */
+  def ngramNovelty(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3): DataFrame = {
+    val kernel = graft.functions.ShingleStrings(col(textCol), n)
+    val totals = docs
+      .select(col(idCol).as("id"), size(kernel).cast("long").as("n_shingles"))
+      .where(col("n_shingles") > 0)
+    val novel = graft.ops.ScaleOps.fanOut(docs)
+      .select(col(idCol).as("id"), explode(kernel).as("shingle"))
+      .groupBy(xxhash64(col("shingle")).as("sh"))
+      .agg(min(col("id")).as("id"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_novel"))
+    totals.join(novel, Seq("id"), "left")
+      .select(col("id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles").cast("double"), 6))
+  }
+
   /** Full per-document stats frame. */
   def stats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

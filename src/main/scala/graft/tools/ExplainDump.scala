@@ -63,6 +63,10 @@ object ExplainDump {
       "q68_sessionize_skewed" -> "skew-safe sessionization: local break windows per (user, bucket), per-key directory window over active-bucket summaries for boundary breaks + prefix offsets, offsets joined back on (user, bucket) — the hot-key history spreads over |buckets| reducers; q62 is the one-exchange base shape for unskewed corpora",
       "q69_trailing_window_skewed" -> "skew-safe time-range window: home+ghost copies run q65's RANGE frame per (user, bucket) — 2x exchanged rows for |buckets|x hot-key parallelism; decimal accumulation keeps the regrouped sums bit-identical",
       "m04_wav_decode" -> "real WAV codec roundtrip: encode + parse both in ONE mapPartitions stage over the documents scan (no shuffle anywhere — payload bytes never leave the executor); presentation sort is the only exchange",
+      "d14_semantic_dedup" -> "SemDeDup: seed-centroid assignment is the s07 map-only projection (no join/shuffle); ONE cell-keyed exchange bounds the near-dup search to within-cluster pairs (raise k at scale to cap cell size); the drop-flag join moves (id, cell, bool) only",
+      "t22_bigram_logprob" -> "bigram-LM log-prob: bigram + context hashes computed map-side in one Generate; doc-counts join the corpus bigram and context tables on hashed keys — all exchanges partial-aggregated, strings never shuffle",
+      "t23_ngram_novelty" -> "n-gram novelty: NO posting-list shuffle — the shingle-keyed min(id) partial-aggregates map-side (one winner row per distinct shingle crosses the wire, hot shingles pre-collapsed), per-doc totals are a scan-stage size(kernel) projection, final join moves three longs per doc",
+      "m05_bmp_decode" -> "real BMP codec roundtrip: bottom-up strided 24bpp encode + parse in ONE mapPartitions stage (m04 contract — no shuffle, payloads stay executor-side); presentation sort is the only exchange",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")

@@ -1,0 +1,312 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Clustering, Dedup, Multimodal, TextAnalysis}
+
+/** Round-8 operators: semantic dedup (SemDeDup), bigram LM logprob,
+  * n-gram novelty, and the BMP codec roundtrip.
+  */
+class Round8Spec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  // ---------------------------------------------------------------- semDedup
+
+  /** Two tight clusters on orthogonal axes + one lone vector. Within
+    * cluster A (ids 0,2,3) all pairs are near-identical; within B
+    * (ids 1,4) likewise; id 5 sits between the axes, assigned to its
+    * nearest seed but far from everything.
+    */
+  private def embs: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.0f)),
+      (3L, Array(0.98f, 0.0f, 0.02f)),
+      (4L, Array(0.01f, 0.95f, 0.0f)),
+      (5L, Array(0.6f, 0.0f, 0.8f))
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("semDedup keeps the smallest id of every near-dup group") {
+    val out = Clustering.semDedup(embs, "embedding", "vec_id", k = 2, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    // seeds are ids 0 (x-axis) and 1 (y-axis); 2,3 cluster with 0 and
+    // are within 0.9 cosine of it -> dropped; 4 clusters with 1 ->
+    // dropped; 5 joins cell 0 but cos(5, anything) < 0.9 -> kept
+    assert(out == Map(0L -> true, 1L -> true, 2L -> false, 3L -> false,
+      4L -> false, 5L -> true))
+  }
+
+  test("semDedup emits one row per input with its cell") {
+    val out = Clustering.semDedup(embs, "embedding", "vec_id", k = 2, threshold = 0.9)
+    assert(out.count() == 6)
+    val cells = out.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cells(2L) == 0L && cells(3L) == 0L && cells(4L) == 1L)
+    assert(cells(5L) == 0L, "5 is nearer the x seed")
+  }
+
+  test("semDedup differential: drop set == cell-scoped brute-force pairs") {
+    val emb = Tables.load(spark, SparkFixture.sfDir, "embeddings")
+    val tau = 0.35
+    val out = Clustering.semDedup(emb, "embedding", "vec_id", k = 4, threshold = tau)
+    val asg = Clustering.assignToSeeds(emb, "embedding", "vec_id", k = 4)
+      .select(col("vec_id"), col("cell"))
+    // brute force: all pairs via embeddingNearDups, then scope to
+    // same-cell pairs; dropped == {id_b of some same-cell pair}
+    val allPairs = Dedup.embeddingNearDups(emb, "embedding", "vec_id", tau)
+    val expectDrops = allPairs
+      .join(asg.withColumnRenamed("vec_id", "id_a").withColumnRenamed("cell", "ca"), "id_a")
+      .join(asg.withColumnRenamed("vec_id", "id_b").withColumnRenamed("cell", "cb"), "id_b")
+      .where(col("ca") === col("cb"))
+      .select(col("id_b")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val gotDrops = out.where(!col("keep")).collect().map(_.getLong(0)).toSet
+    assert(gotDrops == expectDrops)
+  }
+
+  // ---------------------------------------------------------- bigramLogProb
+
+  test("bigram logprob matches hand computation") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams: (a b) x2, (b a) x1
+      (2L, "a c"),     // bigrams: (a c) x1
+      (3L, "z")        // no bigrams -> absent from output
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // corpus: c12(a b)=2, c12(b a)=1, c12(a c)=1; c1(a)=3, c1(b)=1
+    val d1 = (2 * math.log(2.0 / 3) + 1 * math.log(1.0 / 1)) / 3
+    val d2 = math.log(1.0 / 3)
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L)._1 == 3L && out(2L)._1 == 1L)
+    assert(math.abs(out(1L)._2 - BigDecimal(d1).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(math.abs(out(2L)._2 - BigDecimal(d2).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("bigram logprob of a uniform corpus is zero") {
+    import spark.implicits._
+    // every context is followed by exactly one continuation ->
+    // P(w2|w1) = 1 everywhere -> mean_logp = 0
+    val docs = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(docs, "text", "doc_id").collect()
+    assert(out.forall(_.getDouble(2) == 0.0))
+  }
+
+  // ----------------------------------------------------------- ngramNovelty
+
+  test("ngram novelty: first doc 1.0, repeat 0.0, partial overlap 0.5") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),  // {a b c, b c d} both first here
+      (2L, "a b c x"),  // {a b c (seen), b c x (new)}
+      (3L, "a b c d"),  // exact dup -> all seen
+      (4L, "q r")       // < 3 tokens -> absent
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs, "text", "doc_id", n = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((2L, 2L, 1.0)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((2L, 0L, 0.0)))
+  }
+
+  test("ngram novelty normalizes case and whitespace like d02/d06") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The  Quick   Brown fox"),
+      (2L, "the quick brown cat")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // doc2's "the quick brown" collides with doc1's normalized form
+    assert(out(1L) == 2L && out(2L) == 1L)
+  }
+
+  // --------------------------------------------------------------- BmpCodec
+
+  private def px(b: Int, g: Int, r: Int) = (b.toByte, g.toByte, r.toByte)
+
+  test("bmp roundtrip: dims, channel means, top-left pixel") {
+    // 3x2 image, distinct channels
+    val pixels = Array(
+      px(10, 20, 30), px(40, 50, 60), px(70, 80, 90),
+      px(100, 110, 120), px(130, 140, 150), px(160, 170, 180))
+    val bytes = Multimodal.BmpCodec.encodeBgr24(pixels, 3, 2)
+    // stride for width 3 = 12 (3*3=9 padded to 12)
+    assert(bytes.length == 54 + 12 * 2)
+    val info = Multimodal.BmpCodec.decode(bytes)
+    assert(info.width == 3 && info.height == 2 && info.bitsPerPixel == 24)
+    assert(info.nPixels == 6)
+    assert(info.topLeftB == 10, "top-left must come from the LAST stored row")
+    assert(math.abs(info.meanB - (10 + 40 + 70 + 100 + 130 + 160) / 6.0) < 1e-12)
+    assert(math.abs(info.meanG - (20 + 50 + 80 + 110 + 140 + 170) / 6.0) < 1e-12)
+    assert(math.abs(info.meanR - (30 + 60 + 90 + 120 + 150 + 180) / 6.0) < 1e-12)
+  }
+
+  test("bmp decode honors top-down (negative height) files") {
+    val pixels = Array(px(1, 0, 0), px(2, 0, 0)) // 1x2: top pixel b=1
+    val bytes = Multimodal.BmpCodec.encodeBgr24(pixels, 1, 2)
+    assert(Multimodal.BmpCodec.decode(bytes).topLeftB == 1)
+    // flip the sign of biHeight WITHOUT reordering rows: stored row 0
+    // (which the bottom-up encoder filled with the BOTTOM pixel, b=2)
+    // now IS image row 0
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22, -2)
+    val info = Multimodal.BmpCodec.decode(bytes)
+    assert(info.height == 2 && info.topLeftB == 2,
+      "negative height must flip the row walk")
+  }
+
+  test("bmp decode rejects bad magic, truncation, and unsupported bpp") {
+    val ok = Multimodal.BmpCodec.encodeBgr24(Array(px(5, 5, 5)), 1, 1)
+    val badMagic = ok.clone(); badMagic(0) = 'X'.toByte
+    assertThrows[IllegalArgumentException](Multimodal.BmpCodec.decode(badMagic))
+    assertThrows[IllegalArgumentException](
+      Multimodal.BmpCodec.decode(ok.take(53)))
+    val bad16 = ok.clone()
+    java.nio.ByteBuffer.wrap(bad16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(28, 16)
+    assertThrows[IllegalArgumentException](Multimodal.BmpCodec.decode(bad16))
+    val rle = ok.clone()
+    java.nio.ByteBuffer.wrap(rle).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(30, 1) // BI_RLE8
+    assertThrows[IllegalArgumentException](Multimodal.BmpCodec.decode(rle))
+  }
+
+  // ------------------------------------------------------------ seeded fuzz
+
+  test("semDedup fuzz: 15 random corpora match a brute-force reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x5eed8001L)
+    for (round <- 0 until 15) {
+      val n = 20 + rnd.nextInt(40)
+      val dim = 4 + rnd.nextInt(8)
+      val k = 2 + rnd.nextInt(4)
+      val tau = 0.3 + rnd.nextDouble() * 0.6
+      val vecs = Array.tabulate(n)(i =>
+        (i.toLong, Array.fill(dim)((rnd.nextGaussian()).toFloat)))
+      val emb = vecs.toSeq.toDF("vec_id", "embedding")
+
+      // in-JVM reference with the same double arithmetic
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          dot += a(i).toDouble * b(i).toDouble
+          na += a(i).toDouble * a(i).toDouble
+          nb += b(i).toDouble * b(i).toDouble
+          i += 1
+        }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val seeds = vecs.take(k) // ids are 0..n-1 in order
+      val cell = vecs.map { case (id, v) =>
+        // argmax by (sim desc, cell asc)
+        id -> seeds.map { case (cid, sv) => (cos(v, sv), cid) }
+          .maxBy { case (s, cid) => (s, -cid) }._2
+      }.toMap
+      val byId = vecs.toMap
+      val expectDrop = (for {
+        (ida, _) <- vecs; (idb, _) <- vecs
+        if ida < idb && cell(ida) == cell(idb) &&
+          cos(byId(ida), byId(idb)) >= tau
+      } yield idb).toSet
+
+      val got = Clustering.semDedup(emb, "embedding", "vec_id", k, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      assert(got.length == n, s"round $round: row count")
+      got.foreach { case (id, c, keep) =>
+        assert(c == cell(id), s"round $round: cell of $id")
+        assert(keep == !expectDrop(id), s"round $round: keep of $id (k=$k tau=$tau)")
+      }
+    }
+  }
+
+  test("bigram logprob fuzz: 15 random corpora match an exact reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x5eed8002L)
+    val vocab = Array("a", "b", "c", "dd", "ee", "f")
+    for (round <- 0 until 15) {
+      val docs = (0 until 10 + rnd.nextInt(20)).map { i =>
+        val len = rnd.nextInt(12) // 0/1-token docs excluded by design
+        (i.toLong, Array.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      // reference
+      val bigrams = docs.flatMap { case (id, t) =>
+        val ts = t.split(" ").filter(_.nonEmpty)
+        ts.sliding(2).filter(_.length == 2).map(p => (id, p(0), p.mkString(" ")))
+      }
+      val c12 = bigrams.groupBy(_._3).view.mapValues(_.size).toMap
+      val c1 = bigrams.groupBy(_._2).view.mapValues(_.size).toMap
+      val expect = bigrams.groupBy(_._1).view.mapValues { bs =>
+        val logs = bs.map(b => math.log(c12(b._3).toDouble / c1(b._2)))
+        (bs.size.toLong, BigDecimal(logs.sum / bs.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toMap
+      val got = TextAnalysis.bigramLogProb(df, "text", "doc_id")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got.keySet == expect.keySet, s"round $round: doc set")
+      expect.foreach { case (id, (nb, lp)) =>
+        assert(got(id)._1 == nb, s"round $round: n_bigrams of $id")
+        assert(math.abs(got(id)._2 - lp) < 1e-9, s"round $round: mean_logp of $id")
+      }
+    }
+  }
+
+  test("ngram novelty fuzz: 15 random corpora match an exact reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x5eed8003L)
+    val vocab = Array("x", "y", "z", "w")
+    for (round <- 0 until 15) {
+      val n = 3
+      val docs = (0 until 8 + rnd.nextInt(15)).map { i =>
+        val len = rnd.nextInt(10)
+        (i.toLong, Array.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val shingleSets = docs.map { case (id, t) =>
+        id -> t.split(" ").filter(_.nonEmpty).sliding(n)
+          .filter(_.length == n).map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty)
+      val firstSeen = shingleSets.flatMap { case (id, ss) => ss.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      val expect = shingleSets.map { case (id, ss) =>
+        val novel = ss.count(s => firstSeen(s) == id)
+        id -> ((ss.size.toLong, novel.toLong))
+      }.toMap
+      val got = TextAnalysis.ngramNovelty(df, "text", "doc_id", n)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == expect, s"round $round")
+    }
+  }
+
+  test("textAsBmp/decodeBmp distributed roundtrip matches byte math") {
+    import spark.implicits._
+    val docs = Seq((7L, "Hello BMP world"), (8L, "x")).toDF("doc_id", "text")
+    val out = Multimodal.decodeBmp(
+        Multimodal.textAsBmp(docs, "doc_id", "text", width = 10))
+      .collect().map(f => f.sample_id -> f).toMap
+    val t7 = "Hello BMP world".getBytes("UTF-8").map(_ & 0xff)
+    val h7 = (t7.length + 9) / 10
+    val n7 = 10L * h7
+    assert(out(7L).width == 10 && out(7L).height == h7)
+    assert(out(7L).n_bytes == 54 + 32 * h7, "stride 32 for width 10")
+    assert(out(7L).n_pixels == n7)
+    assert(math.abs(out(7L).mean_b - t7.map(_.toLong).sum.toDouble / n7) < 1e-12)
+    assert(math.abs(out(7L).mean_g - t7.map(255L - _).sum.toDouble / n7) < 1e-12)
+    assert(math.abs(out(7L).mean_r - t7.map(v => (v * 2L) % 256).sum.toDouble / n7) < 1e-12)
+    assert(out(7L).top_left_b == 'H'.toInt)
+    // single byte -> one row of 10 pixels, 9 of them zero pads
+    assert(out(8L).height == 1 && out(8L).n_pixels == 10)
+    assert(math.abs(out(8L).mean_b - 'x'.toInt / 10.0) < 1e-12)
+  }
+}
