@@ -1741,6 +1741,63 @@ object SparkEntry {
         T(s, dir, "embeddings"), "embedding", "vec_id", k = 8, threshold = 0.4)
       .orderBy(col("vec_id")))
 
+  // Incremental semantic dedup: a NEW batch (vec_id % 5 = 0) deduped
+  // against the existing corpus and itself — the nightly-crawl path.
+  // Seeds come from the corpus only (stable cells across batches);
+  // τ=0.4 drops 10/100 batch members at sf0.01. The batch side is
+  // broadcast against the corpus (the d10 move).
+  private val d15 = Q("d15_semantic_dedup_incr", Some("""
+    WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0),
+    batch AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+    cents AS (SELECT vec_id AS cell, embedding AS cvec FROM corpus ORDER BY vec_id LIMIT 8),
+    casg AS (SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+            list_sum(list_transform(generate_series(1, len(e.embedding)),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+            c.cell) AS rn
+        FROM corpus e, cents c) WHERE rn = 1),
+    basg AS (SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+            list_sum(list_transform(generate_series(1, len(e.embedding)),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+            c.cell) AS rn
+        FROM batch e, cents c) WHERE rn = 1),
+    drops AS (
+      SELECT DISTINCT b.vec_id FROM basg b
+        JOIN casg c ON b.cell = c.cell
+        JOIN batch eb ON eb.vec_id = b.vec_id
+        JOIN corpus ec ON ec.vec_id = c.vec_id
+      WHERE list_sum(list_transform(generate_series(1, len(eb.embedding)),
+          i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(ec.embedding[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(ec.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.4
+      UNION
+      SELECT DISTINCT b.vec_id FROM basg a
+        JOIN basg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN batch ea ON ea.vec_id = a.vec_id
+        JOIN batch eb ON eb.vec_id = b.vec_id
+      WHERE list_sum(list_transform(generate_series(1, len(ea.embedding)),
+          i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.4)
+    SELECT b.vec_id, b.cell, (d.vec_id IS NULL) AS keep
+    FROM basg b LEFT JOIN drops d ON d.vec_id = b.vec_id
+    ORDER BY b.vec_id"""),
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      graft.pipeline.Clustering.semDedupIncremental(
+          emb.where(col("vec_id") % 5 =!= 0),
+          emb.where(col("vec_id") % 5 === 0),
+          "embedding", "vec_id", k = 8, threshold = 0.4)
+        .orderBy(col("vec_id"))
+    })
+
   private val t01 = Q("t01_lang_id", Some("""
     WITH sc AS (
       SELECT doc_id,
@@ -2797,6 +2854,28 @@ object SparkEntry {
         col("novelty"))
       .orderBy(col("doc_id")))
 
+  // Count-min-sketch token frequencies: deterministic md5-derived row
+  // hashes make the whole 4×1024 sketch oracle-reproducible — the
+  // mergeable heavy-hitter structure, hash-proven like d12/d13, with
+  // the exact count alongside the (always >=) estimate.
+  private val t24 = Q("t24_heavy_hitters_cms", Some("""
+    WITH toks AS (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents),
+    counts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+    buckets AS (SELECT tok, cnt, j,
+        ((strpos('0123456789abcdef', substr(md5(j || ':' || tok), 1, 1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substr(md5(j || ':' || tok), 2, 1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(md5(j || ':' || tok), 3, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(j || ':' || tok), 4, 1)) - 1)) % 1024 AS b
+      FROM counts, UNNEST(generate_series(0, 3)) AS g(j)),
+    cells AS (SELECT j, b, SUM(cnt) AS cell FROM buckets GROUP BY j, b),
+    top AS (SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok LIMIT 20)
+    SELECT t.tok, t.cnt, CAST(MIN(c.cell) AS BIGINT) AS cms_est
+    FROM top t JOIN buckets bu USING (tok) JOIN cells c ON c.j = bu.j AND c.b = bu.b
+    GROUP BY t.tok, t.cnt ORDER BY t.cnt DESC, t.tok"""),
+    (s, dir) => TextAnalysis.heavyHittersCms(T(s, dir, "documents"), "text",
+        k = 20, depth = 4, width = 1024)
+      .orderBy(col("cnt").desc, col("tok")))
+
   // Vocabulary coverage: the tokenizer-prep rollup — top-k token
   // types with exact cumulative corpus coverage. Integer counts, one
   // IEEE division per row: no rounding contract needed.
@@ -3005,11 +3084,11 @@ object SparkEntry {
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
     s16, s17, s18, s19, s20,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19, t20, t21, t22, t23,
+    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     m01, m02, m03, m04, m05)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =

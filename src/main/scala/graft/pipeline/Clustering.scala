@@ -143,6 +143,46 @@ object Clustering {
         not(coalesce(col("__dropped"), lit(false))).as("keep"))
   }
 
+  /** Incremental [[semDedup]]: deduplicate a NEW batch against an
+    * existing corpus (plus itself) — the nightly-crawl path, the
+    * semantic sibling of [[Dedup.incrementalNearDupPairs]]. Seeds
+    * come from the CORPUS only, so cell assignment is stable as
+    * batches arrive; a batch member is dropped when some same-cell
+    * corpus member, or some smaller-id same-cell batch member, sits
+    * within `threshold` cosine.
+    *
+    * Scale shape: both assignments are map-only inlined-centroid
+    * projections; the batch side is BROADCAST against the corpus for
+    * the cross check, so the corpus scans once and never shuffles —
+    * the d10 move — and the batch-internal pair join is batch-sized.
+    *
+    * @return one row per batch member: (idCol, cell, keep)
+    */
+  def semDedupIncremental(
+      corpus: DataFrame, batch: DataFrame, vecCol: String, idCol: String,
+      k: Int, threshold: Double): DataFrame = {
+    val seeds = seedVectors(corpus, vecCol, idCol, k)
+    require(seeds.nonEmpty, "cannot seed clusters from an empty corpus")
+    val corpusAsg = assignToCentroidArrays(corpus, vecCol, idCol, seeds.toSeq)
+      .select(col("cell"), col(vecCol).as("cv"))
+    val batchAsg = assignToCentroidArrays(batch, vecCol, idCol, seeds.toSeq)
+      .select(col(idCol).as("id"), col("cell"), col(vecCol).as("bv"))
+    val vsCorpus = corpusAsg.join(broadcast(batchAsg), Seq("cell"))
+      .where(Similarity.cosine(col("cv"), col("bv")) >= lit(threshold))
+      .select(col("id"))
+    val a = batchAsg.select(col("id").as("id_a"), col("cell"), col("bv").as("va"))
+    val b = batchAsg.select(col("id").as("id_b"), col("cell"), col("bv").as("vb"))
+    val vsBatch = a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b") &&
+        Similarity.cosine(col("va"), col("vb")) >= lit(threshold))
+      .select(col("id_b").as("id"))
+    val drops = vsCorpus.union(vsBatch).distinct()
+    batchAsg.select(col("id"), col("cell"))
+      .join(drops.withColumn("__dropped", lit(true)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cell"),
+        not(coalesce(col("__dropped"), lit(false))).as("keep"))
+  }
+
   /** Cluster-balanced sample: the `perCluster` most-central members
     * of every cluster (rank by sim desc, id asc).
     *

@@ -482,6 +482,59 @@ object TextAnalysis {
         round(col("n_novel").cast("double") / col("n_shingles").cast("double"), 6))
   }
 
+  /** Count-min-sketch token-frequency report: build a depth×width CMS
+    * over the corpus token stream with DETERMINISTIC md5-derived row
+    * hashes, then report the true top-k tokens with exact count and
+    * sketch estimate side by side. The sketch is the mergeable
+    * heavy-hitter structure a streaming/multi-day pipeline keeps when
+    * exact per-token counts stop fitting; the deterministic hashes
+    * make the WHOLE structure oracle-reproducible (the estimate is
+    * integer arithmetic end to end), so the kernel is hash-proven the
+    * way the d12/d13 sketch twins are — and `cms_est >= cnt` by
+    * construction, which the spec asserts.
+    *
+    * Scale shape: exact counts are one token-keyed partial-agg
+    * exchange (the same exchange t20 pays); the sketch adds a
+    * depth-way explode over DISTINCT tokens (not the raw stream) into
+    * a ≤ depth×width-cell aggregation — constant-size output, fully
+    * map-side combinable, exactly how CMS merges across executors.
+    * Top-k is TakeOrderedAndProject; the estimate join touches
+    * k×depth rows against the broadcast cell table.
+    *
+    * @return (tok, cnt, cms_est) — true top-k by (cnt desc, tok)
+    */
+  def heavyHittersCms(docs: DataFrame, textCol: String,
+      k: Int = 20, depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(k > 0 && depth > 0 && width > 0, "bad cms params")
+    val counts = graft.ops.ScaleOps.fanOut(docs)
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    // row-j bucket: the first 4 md5 nibbles of "j:tok" as an int,
+    // mod width — the d13 move (conv on a fixed-width hex slice keeps
+    // the parse in codegen and exactly reproducible in SQL)
+    def bucket(j: Int): Column =
+      conv(substring(md5(concat_ws(":", lit(j), col("tok"))), 1, 4), 16, 10)
+        .cast("long") % width
+    val cells = counts
+      .select(col("cnt"), explode(array((0 until depth).map(j =>
+        struct(lit(j).as("j"), bucket(j).as("b"))): _*)).as("rc"))
+      .groupBy(col("rc.j").as("j"), col("rc.b").as("b"))
+      .agg(sum(col("cnt")).as("cell"))
+    val top = counts
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(k)
+    top
+      .select(col("tok"), col("cnt"),
+        explode(array((0 until depth).map(j =>
+          struct(lit(j).as("j"), bucket(j).as("b"))): _*)).as("rc"))
+      .join(broadcast(cells),
+        col("rc.j") === cells("j") && col("rc.b") === cells("b"))
+      .groupBy(col("tok"), col("cnt"))
+      .agg(min(col("cell")).as("cms_est"))
+      .select(col("tok"), col("cnt"), col("cms_est"))
+  }
+
   /** Full per-document stats frame. */
   def stats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

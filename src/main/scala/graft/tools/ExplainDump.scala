@@ -67,6 +67,8 @@ object ExplainDump {
       "t22_bigram_logprob" -> "bigram-LM log-prob: bigram + context hashes computed map-side in one Generate; doc-counts join the corpus bigram and context tables on hashed keys — all exchanges partial-aggregated, strings never shuffle",
       "t23_ngram_novelty" -> "n-gram novelty: NO posting-list shuffle — the shingle-keyed min(id) partial-aggregates map-side (one winner row per distinct shingle crosses the wire, hot shingles pre-collapsed), per-doc totals are a scan-stage size(kernel) projection, final join moves three longs per doc",
       "m05_bmp_decode" -> "real BMP codec roundtrip: bottom-up strided 24bpp encode + parse in ONE mapPartitions stage (m04 contract — no shuffle, payloads stay executor-side); presentation sort is the only exchange",
+      "d15_semantic_dedup_incr" -> "incremental SemDeDup: corpus-seeded map-only assignment on BOTH sides; the batch side broadcasts against the corpus scan (the d10 move — corpus never shuffles), batch-internal pairs are batch-sized",
+      "t24_heavy_hitters_cms" -> "count-min sketch: exact counts in one token-keyed partial-agg exchange; the 4x1024 cell table aggregates a depth-way explode over DISTINCT tokens (map-side combinable — how CMS merges across executors); TopK + a k*depth-row broadcast lookup",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")

@@ -23,7 +23,12 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     "d12_minhash_md5_oracle", "d13_simhash_md5_oracle", "t03_token_stats",
     "t14_decontaminate_fraction", "t15_token_entropy", "t16_sequence_pack",
     "t17_hash_split", "t18_quality_gate", "t20_vocab_coverage",
-    "t21_decontaminate_by_suite")
+    "t21_decontaminate_by_suite",
+    // round-8 additions: t22's ln-sum is contract-rounded like t15;
+    // t23 is integers + one exact division; the codec roundtrips are
+    // integer sums over ASCII bytes (the generator is pure ASCII)
+    "t22_bigram_logprob", "t23_ngram_novelty", "t24_heavy_hitters_cms",
+    "m04_wav_decode", "m05_bmp_decode")
 
   private def generate(seed: Int, nDocs: Int): Seq[(Long, String, String, String, Long)] = {
     val rnd = new scala.util.Random(seed)
@@ -53,7 +58,8 @@ class GeneratedCorpusSpec extends AnyFunSuite {
   private val vectorReplay = Seq(
     "s01_knn_bruteforce", "s04_knn_batch",
     "s16_knn_pq_oracle", "s17_knn_lsh_oracle", "s18_knn_ivf_oracle",
-    "s19_knn_lsh_batch_oracle", "s20_knn_ivfpq_indexed_oracle")
+    "s19_knn_lsh_batch_oracle", "s20_knn_ivfpq_indexed_oracle",
+    "d14_semantic_dedup", "d15_semantic_dedup_incr")
 
   private def generateVecs(seed: Int, n: Int, dim: Int): Seq[(Long, Seq[Float], Int)] = {
     val rnd = new scala.util.Random(seed)

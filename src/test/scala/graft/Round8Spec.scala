@@ -68,6 +68,98 @@ class Round8Spec extends AnyFunSuite {
     assert(gotDrops == expectDrops)
   }
 
+  test("semDedupIncremental drops batch members near corpus or earlier batch") {
+    import spark.implicits._
+    val corpus = embs.where(col("vec_id") < 4)
+    val batch = embs.where(col("vec_id") >= 4)
+    val out = Clustering.semDedupIncremental(corpus, batch, "embedding", "vec_id",
+        k = 2, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // seeds from the corpus: 0 (x-axis), 1 (y-axis). Batch member 4
+    // lands in cell 1 within 0.9 of corpus member 1 -> dropped; 5
+    // lands in cell 0 but nothing is within 0.9 -> kept
+    assert(out.toSet == Set((4L, 1L, false), (5L, 0L, true)))
+  }
+
+  test("semDedupIncremental fuzz: 10 random corpus/batch splits match brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x5eed8004L)
+    for (round <- 0 until 10) {
+      val n = 24 + rnd.nextInt(30)
+      val dim = 4 + rnd.nextInt(6)
+      val k = 2 + rnd.nextInt(3)
+      val tau = 0.3 + rnd.nextDouble() * 0.5
+      val vecs = Array.tabulate(n)(i =>
+        (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+      val (corpusV, batchV) = vecs.partition(_._1 % 3 != 0)
+      val corpus = corpusV.toSeq.toDF("vec_id", "embedding")
+      val batch = batchV.toSeq.toDF("vec_id", "embedding")
+
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          dot += a(i).toDouble * b(i).toDouble
+          na += a(i).toDouble * a(i).toDouble
+          nb += b(i).toDouble * b(i).toDouble
+          i += 1
+        }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val seeds = corpusV.sortBy(_._1).take(k)
+      def cellOf(v: Array[Float]): Long =
+        seeds.map { case (cid, sv) => (cos(v, sv), cid) }
+          .maxBy { case (s, cid) => (s, -cid) }._2
+      val cCell = corpusV.map { case (id, v) => id -> cellOf(v) }.toMap
+      val bCell = batchV.map { case (id, v) => id -> cellOf(v) }.toMap
+      val expectDrop = batchV.filter { case (idb, vb) =>
+        corpusV.exists { case (idc, vc) =>
+          cCell(idc) == bCell(idb) && cos(vb, vc) >= tau } ||
+        batchV.exists { case (ida, va) =>
+          ida < idb && bCell(ida) == bCell(idb) && cos(va, vb) >= tau }
+      }.map(_._1).toSet
+
+      val got = Clustering.semDedupIncremental(corpus, batch, "embedding",
+        "vec_id", k, tau).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      assert(got.length == batchV.length, s"round $round: row count")
+      got.foreach { case (id, c, keep) =>
+        assert(c == bCell(id), s"round $round: cell of $id")
+        assert(keep == !expectDrop(id), s"round $round: keep of $id (k=$k tau=$tau)")
+      }
+    }
+  }
+
+  // -------------------------------------------------------- heavyHittersCms
+
+  test("cms heavy hitters: exact counts, estimate always >= count") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b b c"),
+      (2L, "a b c d e"),
+      (3L, "a a d")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.heavyHittersCms(docs, "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byTok = out.map(t => t._1 -> t).toMap
+    // exact counts: a=6, b=3, c=2, d=2, e=1 -> top3 = a, b, then c (tie c/d by tok)
+    assert(out.map(_._1).toSet == Set("a", "b", "c"))
+    assert(byTok("a")._2 == 6L && byTok("b")._2 == 3L && byTok("c")._2 == 2L)
+    out.foreach { case (tok, cnt, est) =>
+      assert(est >= cnt, s"$tok: cms estimate $est below exact $cnt")
+    }
+  }
+
+  test("cms with width 1 collapses every estimate to the corpus total") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y z z")).toDF("doc_id", "text")
+    val out = TextAnalysis.heavyHittersCms(docs, "text", k = 5, depth = 2, width = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 3)
+    out.foreach { case (tok, _, est) =>
+      assert(est == 4L, s"$tok: single-cell sketch must estimate the total")
+    }
+  }
+
   // ---------------------------------------------------------- bigramLogProb
 
   test("bigram logprob matches hand computation") {
