@@ -120,15 +120,38 @@ object Clustering {
     * by construction — that recall loss is the algorithm's documented
     * trade, not an implementation shortcut.
     *
+    * `maxCell` is the spam-cluster guard, the [[Dedup.ngramJaccardPairs]]
+    * `maxPostings` move for cells: when a cell exceeds it, only its
+    * `maxCell` most-central members (sim desc, id asc — deterministic)
+    * act as drop ANCHORS, bounding per-cell pair work at
+    * maxCell×|cell| instead of |cell|² when a degenerate corpus dumps
+    * everything into one cell. Every member is still CHECKED against
+    * the anchors, so the common near-centroid duplicates are still
+    * caught; drops under a cap are a subset of the exact drops
+    * (spec-pinned). `None` (the default, and d14's oracle contract)
+    * is exact.
+    *
     * @return (idCol, cell, keep) — every input row, keep=false for
     *         dropped near-duplicates.
     */
   def semDedup(
       emb: DataFrame, vecCol: String, idCol: String,
-      k: Int, threshold: Double): DataFrame = {
+      k: Int, threshold: Double, maxCell: Option[Int] = None): DataFrame = {
+    maxCell.foreach(c => require(c > 0, "maxCell must be positive"))
     val asg = assignToSeeds(emb, vecCol, idCol, k)
-      .select(col(idCol).as("id"), col("cell"), col(vecCol).as("v"))
-    val a = asg.select(col("id").as("id_a"), col("cell"), col("v").as("va"))
+      .select(col(idCol).as("id"), col("cell"), col("sim"), col(vecCol).as("v"))
+    val anchors = maxCell match {
+      case Some(cap) =>
+        // filter sits on the raw row_number so InferWindowGroupLimit
+        // caps map-side forwarding (the balancedSample pin); anchor
+        // rows carry their vector into the pair join
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cell")).orderBy(col("sim").desc, col("id"))
+        asg.withColumn("__r", row_number().over(w))
+          .where(col("__r") <= cap).drop("__r")
+      case None => asg
+    }
+    val a = anchors.select(col("id").as("id_a"), col("cell"), col("v").as("va"))
     val b = asg.select(col("id").as("id_b"), col("cell"), col("v").as("vb"))
     // one cell-keyed exchange; the cosine filter runs inside the
     // join's output before anything else materializes

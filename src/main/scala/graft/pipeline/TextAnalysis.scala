@@ -503,6 +503,32 @@ object TextAnalysis {
     *
     * @return (tok, cnt, cms_est) — true top-k by (cnt desc, tok)
     */
+  /** Row-j CMS bucket of `tok`: the first 4 md5 nibbles of "j:tok" as
+    * an int, mod width — the d13 move (conv on a fixed-width hex
+    * slice keeps the parse in codegen and exactly reproducible in
+    * SQL).
+    */
+  def cmsBucket(tok: Column, j: Int, width: Int): Column =
+    conv(substring(md5(concat_ws(":", lit(j), tok)), 1, 4), 16, 10)
+      .cast("long") % width
+
+  /** The depth-way (row, bucket) explode of a weighted token frame —
+    * aggregating `sum(weight)` over its output yields the CMS cell
+    * table. Kept separate so BATCH ([[heavyHittersCms]]) and
+    * STREAMING ([[graft.streaming.EventStreams.cmsCellsStream]])
+    * build the IDENTICAL structure from the same expression (the
+    * differential spec pins stream == batch cell-for-cell).
+    */
+  def cmsEntries(weighted: DataFrame, tokCol: String, weightCol: String,
+      depth: Int, width: Int): DataFrame = {
+    require(depth > 0 && width > 0, "bad cms params")
+    weighted.select(col(weightCol).as("w"),
+      explode(array((0 until depth).map(j =>
+        struct(lit(j).as("j"), cmsBucket(col(tokCol), j, width).as("b"))): _*))
+        .as("rc"))
+      .select(col("rc.j").as("j"), col("rc.b").as("b"), col("w"))
+  }
+
   def heavyHittersCms(docs: DataFrame, textCol: String,
       k: Int = 20, depth: Int = 4, width: Int = 1024): DataFrame = {
     require(k > 0 && depth > 0 && width > 0, "bad cms params")
@@ -510,24 +536,17 @@ object TextAnalysis {
       .select(explode(split(col(textCol), " ")).as("tok"))
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("cnt"))
-    // row-j bucket: the first 4 md5 nibbles of "j:tok" as an int,
-    // mod width — the d13 move (conv on a fixed-width hex slice keeps
-    // the parse in codegen and exactly reproducible in SQL)
-    def bucket(j: Int): Column =
-      conv(substring(md5(concat_ws(":", lit(j), col("tok"))), 1, 4), 16, 10)
-        .cast("long") % width
-    val cells = counts
-      .select(col("cnt"), explode(array((0 until depth).map(j =>
-        struct(lit(j).as("j"), bucket(j).as("b"))): _*)).as("rc"))
-      .groupBy(col("rc.j").as("j"), col("rc.b").as("b"))
-      .agg(sum(col("cnt")).as("cell"))
+    val cells = cmsEntries(counts, "tok", "cnt", depth, width)
+      .groupBy(col("j"), col("b"))
+      .agg(sum(col("w")).as("cell"))
     val top = counts
       .orderBy(col("cnt").desc, col("tok"))
       .limit(k)
     top
       .select(col("tok"), col("cnt"),
         explode(array((0 until depth).map(j =>
-          struct(lit(j).as("j"), bucket(j).as("b"))): _*)).as("rc"))
+          struct(lit(j).as("j"), cmsBucket(col("tok"), j, width).as("b"))): _*))
+          .as("rc"))
       .join(broadcast(cells),
         col("rc.j") === cells("j") && col("rc.b") === cells("b"))
       .groupBy(col("tok"), col("cnt"))

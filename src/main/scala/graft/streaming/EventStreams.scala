@@ -166,6 +166,28 @@ object EventStreams {
       // every fingerprint ever seen (unbounded state)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming count-min sketch over a document stream: the
+    * depth×width cell table maintained as a running aggregation —
+    * each micro-batch's token weights fold into the same (row,
+    * bucket) cells batch [[graft.pipeline.TextAnalysis.heavyHittersCms]]
+    * builds, because both paths share
+    * [[graft.pipeline.TextAnalysis.cmsEntries]] verbatim. This is the
+    * sketch's reason to exist: state is EXACTLY depth×width counters
+    * however long the stream runs (no watermark needed — the state
+    * never grows), and the cells merge associatively so a day's
+    * stream equals the batch build over the day's corpus
+    * (differential-pinned in StreamingSpec).
+    */
+  def cmsCellsStream(docs: DataFrame, textCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val toks = docs
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("w", lit(1L))
+    graft.pipeline.TextAnalysis.cmsEntries(toks, "tok", "w", depth, width)
+      .groupBy(col("j"), col("b"))
+      .agg(sum(col("w")).as("cell"))
+  }
+
   /** Stream-static enrichment: the streaming fact side left-joins a
     * static dimension, explicitly broadcast — per micro-batch the dim
     * is re-planned (Spark re-resolves static sides each batch, so a

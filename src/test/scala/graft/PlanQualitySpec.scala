@@ -353,4 +353,48 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("RANGE BETWEEN") || plan.contains("specifiedwindowframe(RangeFrame"),
       s"expected a range frame:\n$plan")
   }
+
+  test("t23 novelty: first-seen min partial-aggregates before its exchange") {
+    // the posting list must NOT shuffle: the only shingle-keyed
+    // exchange is fed by a map-side partial_min, so a hot boilerplate
+    // shingle arrives at its reducer already collapsed
+    val df = graft.pipeline.TextAnalysis.ngramNovelty(
+      Tables.load(spark, sf, "documents"), "text", "doc_id", 3)
+    val plan = planOf(df)
+    val pmIdx = plan.indexOf("partial_min")
+    assert(pmIdx >= 0, s"expected a map-side partial min:\n$plan")
+    // the plan prints top-down, so the exchange FED BY the partial
+    // min is the nearest hash exchange printed above it
+    val exIdx = plan.lastIndexOf("Exchange hashpartitioning", pmIdx)
+    assert(exIdx >= 0, s"partial min must feed a hash exchange:\n$plan")
+    // one Generate only: per-doc totals are a scan-stage size(), not
+    // a second explode
+    val gens = "\\bGenerate\\b".r.findAllIn(plan).size
+    assert(gens == 1, s"expected ONE Generate (totals are size()), got $gens:\n$plan")
+  }
+
+  test("t24 cms: cell table partial-aggregates, top-k is TakeOrdered") {
+    val df = graft.pipeline.TextAnalysis.heavyHittersCms(
+      Tables.load(spark, sf, "documents"), "text", 20, 4, 1024)
+    val plan = planOf(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrderedAndProject, not a global sort:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"cms cells must partial-aggregate map-side:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the k*depth estimate lookup must broadcast, not sort-merge:\n$plan")
+  }
+
+  test("d14 semDedup: assignment is map-only, pair join is keyed on cell") {
+    val df = graft.pipeline.Clustering.semDedup(
+      Tables.load(spark, sf, "embeddings"), "embedding", "vec_id", 8, 0.4)
+    val plan = planOf(df)
+    // inlined centroids: no join below the pair join itself — the
+    // assignment contributes zero exchanges (the s07 pin, composed)
+    val joins = "Join".r.findAllIn(plan).size
+    assert(joins <= 2, s"expected only the pair join + drop-flag join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"within-cell pairs must be an equi-join on cell:\n$plan")
+  }
 }

@@ -68,6 +68,27 @@ class Round8Spec extends AnyFunSuite {
     assert(gotDrops == expectDrops)
   }
 
+  test("semDedup maxCell: huge cap is exact, small cap drops a subset") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x5eed8005L)
+    // one dominant direction so most vectors land in one cell
+    val vecs = Array.tabulate(40) { i =>
+      val base = Array(1.0, 0.1, 0.1)
+      (i.toLong, base.map(x => (x + rnd.nextGaussian() * 0.05).toFloat))
+    }
+    val emb = vecs.toSeq.toDF("vec_id", "embedding")
+    def drops(cap: Option[Int]): Set[Long] =
+      Clustering.semDedup(emb, "embedding", "vec_id", k = 2, threshold = 0.98, cap)
+        .where(!col("keep")).collect().map(_.getLong(0)).toSet
+    val exact = drops(None)
+    assert(drops(Some(1000)) == exact, "cap above cell size must be exact")
+    val capped = drops(Some(3))
+    assert(capped.subsetOf(exact), "capped drops must be a subset of exact")
+    assert(Clustering.semDedup(emb, "embedding", "vec_id", 2, 0.98, Some(3))
+      .count() == 40, "cap must not lose rows")
+    assert(exact.nonEmpty, "generator failed to create near-dups")
+  }
+
   test("semDedupIncremental drops batch members near corpus or earlier batch") {
     import spark.implicits._
     val corpus = embs.where(col("vec_id") < 4)

@@ -194,6 +194,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CMS cells equal the batch sketch over the same corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode, split, lit, sum}
+    val in = MemoryStream[(Long, String)](implicitly[org.apache.spark.sql.Encoder[(Long, String)]], spark.sqlContext)
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = EventStreams.cmsCellsStream(docs, "text", depth = 3, width = 64)
+      .writeStream.format("memory").queryName("cms_cells")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // two micro-batches: the cells must fold associatively
+      in.addData((1L, "a a b c spark"), (2L, "spark spark stream"))
+      q.processAllAvailable()
+      in.addData((3L, "a stream stream table"))
+      q.processAllAvailable()
+      val streamCells = spark.table("cms_cells").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batchDocs = Seq((1L, "a a b c spark"), (2L, "spark spark stream"),
+        (3L, "a stream stream table")).toDF("doc_id", "text")
+      val batchCells = graft.pipeline.TextAnalysis.cmsEntries(
+          batchDocs.select(explode(split(col("text"), " ")).as("tok"))
+            .withColumn("w", lit(1L)),
+          "tok", "w", depth = 3, width = 64)
+        .groupBy(col("j"), col("b")).agg(sum(col("w")).as("cell"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamCells == batchCells,
+        s"stream cells diverge: $streamCells vs $batchCells")
+      // depth rows' totals each equal the token count (5 + 3 + 4)
+      (0 until 3).foreach { j =>
+        val tot = streamCells.collect { case ((`j`, _), c) => c }.sum
+        assert(tot == 12L, s"row $j total $tot")
+      }
+    } finally q.stop()
+  }
+
   test("stream-static enrichment broadcasts the dim and keeps unmatched rows") {
     import spark.implicits._
     val in = MemoryStream[(Timestamp, Long, Double)](implicitly[org.apache.spark.sql.Encoder[(Timestamp, Long, Double)]], spark.sqlContext)
