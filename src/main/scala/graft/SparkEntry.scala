@@ -2854,6 +2854,49 @@ object SparkEntry {
         col("novelty"))
       .orderBy(col("doc_id")))
 
+  // PII redaction with the RE2-subset rule chain: the fixture corpus
+  // carries no PII, so BOTH engines first augment each doc with the
+  // same synthetic identifiers (email/IP/SSN derived from doc_id) —
+  // the regex parity check is then non-vacuous: every rule fires on
+  // every row, ordering matters (IP before PHONE, EMAIL before SSN),
+  // and n_redactions counts only placeholders ADDED by the pass.
+  private val t25 = Q("t25_pii_redaction", Some("""
+    WITH aug AS (SELECT doc_id,
+        text || ' contact doc' || doc_id || '@example.com or 10.0.' ||
+          (doc_id % 256) || '.1 ssn 123-45-6789' AS t
+      FROM documents),
+    s AS (SELECT doc_id, t,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+          '\b(?:\d[ -]?){13,16}\b', '<CARD>', 'g'),
+          '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+          '\+?\d{1,3}[ .-]?\(?\d{2,4}\)?[ .-]?\d{3,4}[ .-]?\d{3,4}', '<PHONE>', 'g')
+        AS scrubbed
+      FROM aug)
+    SELECT doc_id, scrubbed, CAST(
+        (length(scrubbed) - length(replace(scrubbed, '<EMAIL>', ''))) / 7.0
+      - (length(t) - length(replace(t, '<EMAIL>', ''))) / 7.0
+      + (length(scrubbed) - length(replace(scrubbed, '<SSN>', ''))) / 5.0
+      - (length(t) - length(replace(t, '<SSN>', ''))) / 5.0
+      + (length(scrubbed) - length(replace(scrubbed, '<CARD>', ''))) / 6.0
+      - (length(t) - length(replace(t, '<CARD>', ''))) / 6.0
+      + (length(scrubbed) - length(replace(scrubbed, '<IP>', ''))) / 4.0
+      - (length(t) - length(replace(t, '<IP>', ''))) / 4.0
+      + (length(scrubbed) - length(replace(scrubbed, '<PHONE>', ''))) / 7.0
+      - (length(t) - length(replace(t, '<PHONE>', ''))) / 7.0
+      AS BIGINT) AS n_redactions
+    FROM s ORDER BY doc_id"""),
+    (s, dir) => {
+      val aug = T(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact doc"), col("doc_id").cast("string"),
+          lit("@example.com or 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".1 ssn 123-45-6789")).as("t"))
+      graft.pipeline.TextRedaction.scrub(aug, "t")
+        .select(col("doc_id"), col("scrubbed"), col("n_redactions"))
+        .orderBy(col("doc_id"))
+    })
+
   // Count-min-sketch token frequencies: deterministic md5-derived row
   // hashes make the whole 4×1024 sketch oracle-reproducible — the
   // mergeable heavy-hitter structure, hash-proven like d12/d13, with
@@ -3088,7 +3131,7 @@ object SparkEntry {
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
     s16, s17, s18, s19, s20,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
+    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25,
     m01, m02, m03, m04, m05)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =

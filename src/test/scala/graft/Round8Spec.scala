@@ -244,6 +244,23 @@ class Round8Spec extends AnyFunSuite {
     assert(out(1L) == 2L && out(2L) == 1L)
   }
 
+  // ------------------------------------------------------------ t25 query
+
+  test("t25 redaction query: every row redacts the planted identifiers") {
+    val out = SparkEntry.queries("t25_pii_redaction")(spark, SparkFixture.sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val scrubbed = r.getString(1)
+      val n = r.getLong(2)
+      // the augmentation plants an email, an IP, and an SSN per doc
+      assert(n >= 3, s"doc ${r.getLong(0)}: expected >=3 redactions, got $n")
+      assert(scrubbed.contains("<EMAIL>") && scrubbed.contains("<IP>") &&
+        scrubbed.contains("<SSN>"), s"placeholders missing: $scrubbed")
+      assert(!scrubbed.contains("@example.com"), "email survived the scrub")
+    }
+  }
+
   // --------------------------------------------------------------- BmpCodec
 
   private def px(b: Int, g: Int, r: Int) = (b.toByte, g.toByte, r.toByte)
