@@ -2051,6 +2051,47 @@ object SparkEntry {
         T(s, dir, "embeddings"), "embedding", "vec_id", k = 8, perCluster = 3)
       .orderBy(col("cell"), col("rank")))
 
+  // Diversity-aware retrieval: MMR top-10 around the vec_id=0 query.
+  // The greedy trajectory is hash-proven end to end — the oracle's
+  // recursive CTE re-runs the same argmax per step, with the λ mix
+  // computed as (1::DOUBLE - 0.7::DOUBLE) because DuckDB parses bare
+  // 0.7 as DECIMAL and exact-decimal 0.3 is one ulp off Scala's
+  // 1.0 - 0.7 — and the result provably differs from s01's pure
+  // top-k ordering (diversity is non-vacuous on this corpus).
+  private val s21 = Q("s21_knn_mmr", Some("""
+    WITH RECURSIVE
+    rel AS (SELECT vec_id,
+        list_sum(list_transform(generate_series(1, len(embedding)),
+          i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS qsim
+      FROM embeddings, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+      WHERE vec_id <> 0),
+    sel(step, ids, picked, qsim, mmr) AS (
+      SELECT 1, [p.vec_id], p.vec_id, p.qsim, CAST(0.7 AS DOUBLE) * p.qsim - (CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * CAST(0.0 AS DOUBLE)
+      FROM (SELECT vec_id, qsim FROM rel
+            ORDER BY CAST(0.7 AS DOUBLE) * qsim - (CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * CAST(0.0 AS DOUBLE) DESC, vec_id LIMIT 1) p
+      UNION ALL
+      SELECT s.step + 1, list_append(s.ids, p.vec_id), p.vec_id, p.qsim, p.score
+      FROM sel s, LATERAL (
+        SELECT r.vec_id, r.qsim,
+          CAST(0.7 AS DOUBLE) * r.qsim - (CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * (
+            SELECT MAX(
+              list_sum(list_transform(generate_series(1, len(e1.embedding)),
+                i -> CAST(e1.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(e1.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(e2.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))
+            FROM embeddings e1, embeddings e2
+            WHERE e1.vec_id = r.vec_id AND list_contains(s.ids, e2.vec_id)) AS score
+        FROM rel r WHERE NOT list_contains(s.ids, r.vec_id)
+        ORDER BY score DESC, r.vec_id LIMIT 1) p
+      WHERE s.step < 10)
+    SELECT CAST(step AS BIGINT) AS rank, picked AS vec_id, qsim, mmr
+    FROM sel ORDER BY rank"""),
+    (s, dir) => Similarity.mmrTopK(T(s, dir, "embeddings"), "embedding", "vec_id",
+        queryId = 0L, k = 10, lambda = 0.7)
+      .orderBy(col("rank")))
+
   // Token-window chunking with overlap (window 50, stride 40) — the
   // LLM context-window preparation operator (TextChunker).
   private val t05 = Q("t05_chunking", Some("""
@@ -3129,7 +3170,7 @@ object SparkEntry {
     q66, q67, q68, q69,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
-    s16, s17, s18, s19, s20,
+    s16, s17, s18, s19, s20, s21,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25,
     m01, m02, m03, m04, m05)

@@ -62,6 +62,77 @@ object Similarity {
       .limit(k)
   }
 
+  /** Maximal-marginal-relevance top-k (Carbonell & Goldstein 1998):
+    * greedy diversity-aware selection — each step picks
+    * argmax λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s), ties to
+    * the smallest id. The curation use is sampling training data near
+    * a topic WITHOUT collapsing onto its densest mode (pure top-k
+    * returns k near-duplicates of the best hit; MMR spends the budget
+    * across the neighborhood).
+    *
+    * Distributed shape: the greedy loop is inherently sequential in
+    * k, so it runs as k DRIVER-scheduled map-only passes — each pass
+    * scores the corpus against the ≤k selected vectors INLINED as
+    * literal arrays (the s07 centroid move: no join, no shuffle) and
+    * takes one TopK row. Selected state is k vectors on the driver —
+    * bounded like IVF's trained centroids. The scored corpus is
+    * cached across the k passes and unpersisted before returning.
+    * All arithmetic is the oracle-bit-identical cosine kernel plus
+    * IEEE λ-mixing, so the WHOLE greedy trajectory hash-matches SQL
+    * (s21) — argmax ties and all.
+    *
+    * @return (rank, vec_id, qsim, mmr) in selection order
+    */
+  def mmrTopK(emb: DataFrame, vecCol: String, idCol: String,
+      queryId: Long, k: Int, lambda: Double): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0,1]")
+    val spark = emb.sparkSession
+    val qVec = emb.where(col(idCol) === lit(queryId))
+      .select(transform(col(vecCol), _.cast("double")).as("q"))
+      .head().getSeq[Double](0).toArray
+    val qCol = array(qVec.toSeq.map(lit): _*)
+    val cand = graft.ops.ScaleOps.fanOut(emb)
+      .where(col(idCol) =!= lit(queryId))
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+      .withColumn("qsim", cosine(col("v"), qCol))
+      .cache()
+    try {
+      val sel = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Array[Double], Double, Double)]
+      var exhausted = false
+      while (sel.size < k && !exhausted) {
+        val penalty: Column =
+          if (sel.isEmpty) lit(0.0)
+          else {
+            val sims = sel.map { case (_, sv, _, _) =>
+              cosine(col("v"), array(sv.toSeq.map(lit): _*)) }.toSeq
+            if (sims.size == 1) sims.head else greatest(sims: _*)
+          }
+        val score = lit(lambda) * col("qsim") -
+          (lit(1.0) - lit(lambda)) * penalty
+        val remaining =
+          if (sel.isEmpty) cand
+          else cand.where(!col("id").isin(sel.map(_._1).toSeq: _*))
+        remaining
+          .select(col("id"), col("v"), col("qsim"), score.as("mmr"))
+          .orderBy(col("mmr").desc, col("id"))
+          .limit(1)
+          .collect()
+          .headOption match {
+          case Some(r) => sel += ((r.getLong(0), r.getSeq[Double](1).toArray,
+            r.getDouble(2), r.getDouble(3)))
+          case None => exhausted = true
+        }
+      }
+      import spark.implicits._
+      sel.toSeq.zipWithIndex
+        .map { case ((id, _, qs, sc), i) => (i + 1L, id, qs, sc) }
+        .toDF("rank", idCol, "qsim", "mmr")
+    } finally { cand.unpersist(): Unit }
+  }
+
   /** Batch top-k: k nearest corpus vectors for EVERY query vector in
     * one job — the realistic retrieval shape (a query set, not a
     * single probe). The query side broadcasts (queries are typically

@@ -86,7 +86,7 @@ object ScaleSmoke {
     }
 
     def run(label: String, docs: DataFrame, emb: DataFrame,
-        events: DataFrame): Unit = {
+        events: DataFrame, semK: Int): Unit = {
       println(s"--- $label ---")
       // pin THIS run's inputs so every operator times against cached
       // frames; released at run end (the next run pins its own)
@@ -103,6 +103,34 @@ object ScaleSmoke {
         graft.pipeline.Dedup.duplicatedChunks(docs, "text", "doc_id", 20, 20).count() }
       time("s07 clusterReport k=8") {
         graft.pipeline.Clustering.clusterReport(emb, "embedding", "vec_id", 8).count() }
+      // SemDeDup total work is O(N·k) assignment + O(N²/k) pairs,
+      // minimized at k ≈ √N → O(N^1.5): the caller passes k ∝ √factor,
+      // so the expected wall ratio at 10× data is ~√10·10 ≈ 31× of the
+      // 1× PAIR term but ~10× of wall when assignment dominates —
+      // super-linear but far from quadratic, the algorithm's
+      // documented trade (k ∝ N would turn assignment itself
+      // quadratic; measured 21× at 10× data before this schedule)
+      time(s"d14 semDedup k=$semK") {
+        graft.pipeline.Clustering.semDedup(emb, "embedding", "vec_id",
+          semK, 0.4).where(!col("keep")).count() }
+      // degenerate corpus: every vector shares one dominant direction
+      // -> ONE cell swallows everything and pair work is quadratic.
+      // The maxCell anchor cap is the guard; fixed 4000-vector slice
+      // so the flat/capped gap is comparable across labels
+      locally {
+        val hot = emb.limit(4000).withColumn("embedding",
+          transform(col("embedding"),
+            (x, i) => when(i === 0, lit(10.0f)).otherwise(x * lit(0.1f))))
+          .cache()
+        hot.count(): Unit
+        time("semDedup one-hot-cell flat") {
+          graft.pipeline.Clustering.semDedup(hot, "embedding", "vec_id",
+            8, 0.9).where(!col("keep")).count() }
+        time("semDedup one-hot-cell cap=64") {
+          graft.pipeline.Clustering.semDedup(hot, "embedding", "vec_id",
+            8, 0.9, Some(64)).where(!col("keep")).count() }
+        hot.unpersist(): Unit
+      }
       time("t02-style quality scan") {
         docs.select(graft.pipeline.TextAnalysis.qualityScore(col("text"))).count() }
       time("t15 tokenEntropy") {
@@ -183,8 +211,9 @@ object ScaleSmoke {
 
     // both runs at the SAME parallelism, or the growth ratio is skewed
     run("1x", docs1.repartition(parts), emb1.repartition(parts),
-      events1.repartition(parts))
-    run(s"${factor}x", docsN, embN, eventsN)
+      events1.repartition(parts), semK = 8)
+    run(s"${factor}x", docsN, embN, eventsN,
+      semK = 8 * math.ceil(math.sqrt(factor)).toInt)
     spark.stop()
   }
 }

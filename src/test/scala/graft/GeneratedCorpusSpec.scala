@@ -59,7 +59,7 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     "s01_knn_bruteforce", "s04_knn_batch",
     "s16_knn_pq_oracle", "s17_knn_lsh_oracle", "s18_knn_ivf_oracle",
     "s19_knn_lsh_batch_oracle", "s20_knn_ivfpq_indexed_oracle",
-    "d14_semantic_dedup", "d15_semantic_dedup_incr")
+    "d14_semantic_dedup", "d15_semantic_dedup_incr", "s21_knn_mmr")
 
   private def generateVecs(seed: Int, n: Int, dim: Int): Seq[(Long, Seq[Float], Int)] = {
     val rnd = new scala.util.Random(seed)

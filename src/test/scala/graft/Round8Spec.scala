@@ -244,6 +244,76 @@ class Round8Spec extends AnyFunSuite {
     assert(out(1L) == 2L && out(2L) == 1L)
   }
 
+  // ------------------------------------------------------------ mmrTopK
+
+  test("mmr picks diversity over redundancy where pure top-k would not") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),   // query
+      (1L, Array(0.99f, 0.1f)),
+      (2L, Array(0.98f, 0.12f)), // near-dup of 1
+      (3L, Array(0.0f, 1.0f))    // orthogonal direction
+    ).toDF("vec_id", "embedding")
+    val pure = graft.pipeline.Similarity.bruteForceTopK(emb, "embedding", "vec_id", 0L, 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(pure == Seq(1L, 2L), "pure top-2 returns the redundant pair")
+    // λ = 0.2: score(2|{1}) = 0.2·0.993 − 0.8·~1 ≈ −0.60, while the
+    // orthogonal 3 pays almost no redundancy: 0 − 0.8·0.10 ≈ −0.08
+    val mmr = graft.pipeline.Similarity.mmrTopK(emb, "embedding", "vec_id", 0L,
+        k = 2, lambda = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(mmr.map(_._2) == Seq(1L, 3L), s"mmr must spend rank 2 on diversity: $mmr")
+    assert(mmr.map(_._1) == Seq(1L, 2L), "ranks must be 1..k in selection order")
+  }
+
+  test("mmr fuzz: 10 random corpora match an in-JVM greedy reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x5eed8006L)
+    for (round <- 0 until 10) {
+      val n = 12 + rnd.nextInt(20)
+      val dim = 3 + rnd.nextInt(5)
+      val k = 3 + rnd.nextInt(4)
+      val lam = 0.3 + rnd.nextDouble() * 0.6
+      val vecs = Array.tabulate(n)(i =>
+        (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+      val emb = vecs.toSeq.toDF("vec_id", "embedding")
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          dot += a(i).toDouble * b(i).toDouble
+          na += a(i).toDouble * a(i).toDouble
+          nb += b(i).toDouble * b(i).toDouble
+          i += 1
+        }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val q = vecs(0)._2
+      val cands = vecs.filter(_._1 != 0L)
+      var sel = Vector.empty[Long]
+      val byId = vecs.toMap
+      while (sel.size < k) {
+        val next = cands.filterNot(c => sel.contains(c._1)).map { case (id, v) =>
+          val pen = if (sel.isEmpty) 0.0
+            else sel.map(s => cos(v, byId(s))).max
+          (id, lam * cos(v, q) - (1.0 - lam) * pen)
+        }.maxBy { case (id, s) => (s, -id) }
+        sel :+= next._1
+      }
+      val got = graft.pipeline.Similarity.mmrTopK(emb, "embedding", "vec_id",
+        0L, k, lam).collect().map(_.getLong(1)).toSeq
+      assert(got == sel, s"round $round (k=$k lam=$lam): $got vs $sel")
+    }
+  }
+
+  test("mmr stops at corpus size when k exceeds it") {
+    import spark.implicits._
+    val emb = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.pipeline.Similarity.mmrTopK(emb, "embedding", "vec_id", 0L,
+      k = 5, lambda = 0.7)
+    assert(out.count() == 1)
+  }
+
   // ------------------------------------------------------------ t25 query
 
   test("t25 redaction query: every row redacts the planted identifiers") {
