@@ -2960,6 +2960,28 @@ object SparkEntry {
         k = 20, depth = 4, width = 1024)
       .orderBy(col("cnt").desc, col("tok")))
 
+  // Zipf rank-frequency fit: OLS on (ln rank, ln count) of the top-100
+  // token types — the one-glance corpus-health check (slope ≈ −1 is
+  // healthy). Both engines derive the same integer counts and rank
+  // order; the three ln-sum statistics carry the t15 ROUND(6)
+  // contract.
+  private val t26 = Q("t26_zipf_fit", Some("""
+    WITH counts AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok ORDER BY cnt DESC, tok LIMIT 100),
+    ranked AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS r FROM counts),
+    xy AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y FROM ranked),
+    s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+            SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy FROM xy)
+    SELECT CAST(n AS BIGINT) AS n_ranks,
+      ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+      ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
+      ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s"""),
+    (s, dir) => TextAnalysis.zipfFit(T(s, dir, "documents"), "text", topN = 100))
+
   // Vocabulary coverage: the tokenizer-prep rollup — top-k token
   // types with exact cumulative corpus coverage. Integer counts, one
   // IEEE division per row: no rounding contract needed.
@@ -3172,7 +3194,7 @@ object SparkEntry {
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
     s16, s17, s18, s19, s20, s21,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25,
+    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
     m01, m02, m03, m04, m05)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =

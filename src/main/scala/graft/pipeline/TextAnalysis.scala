@@ -554,6 +554,53 @@ object TextAnalysis {
       .select(col("tok"), col("cnt"), col("cms_est"))
   }
 
+  /** Zipf rank-frequency fit over the top-N token types: ordinary
+    * least squares on (ln rank, ln count) — slope ≈ −1 is the
+    * healthy-corpus signature; a flat slope means boilerplate/spam
+    * flattened the distribution, a cliff means a vocabulary hole. The
+    * standard one-glance corpus-health check before training.
+    *
+    * Scale shape: ONE token-keyed partial-agg exchange (the t20/t24
+    * exchange), a TakeOrderedAndProject top-N, and the regression over
+    * N rows — the window and sums touch N≈100 rows regardless of
+    * corpus size. Slope/intercept/r² are rounded to 6 dp (ln-sum
+    * accumulation order, the t15 treatment).
+    *
+    * @return one row: (n_ranks, slope, intercept, r2)
+    */
+  def zipfFit(docs: DataFrame, textCol: String, topN: Int = 100): DataFrame = {
+    require(topN > 1, "topN must exceed 1")
+    val counts = graft.ops.ScaleOps.fanOut(docs)
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("tok"))
+    val xy = counts
+      .withColumn("r", row_number().over(w))
+      .select(log(col("r").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    xy.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(
+        col("n").cast("long").as("n_ranks"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("n"), 6)
+          .as("intercept"),
+        round(((col("n") * col("sxy") - col("sx") * col("sy")) *
+          (col("n") * col("sxy") - col("sx") * col("sy"))) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+           (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+  }
+
   /** Full per-document stats frame. */
   def stats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -70,6 +70,7 @@ object ExplainDump {
       "d15_semantic_dedup_incr" -> "incremental SemDeDup: corpus-seeded map-only assignment on BOTH sides; the batch side broadcasts against the corpus scan (the d10 move — corpus never shuffles), batch-internal pairs are batch-sized",
       "t24_heavy_hitters_cms" -> "count-min sketch: exact counts in one token-keyed partial-agg exchange; the 4x1024 cell table aggregates a depth-way explode over DISTINCT tokens (map-side combinable — how CMS merges across executors); TopK + a k*depth-row broadcast lookup",
       "t25_pii_redaction" -> "PII redaction: the whole rule chain is scan-stage regexp_replace expressions — zero exchanges below the presentation sort; redaction-count accounting is length arithmetic in the same stage",
+      "t26_zipf_fit" -> "Zipf fit: one token-keyed partial-agg exchange + TakeOrderedAndProject; the rank window and OLS sums touch top-N rows only, so the regression is corpus-size-independent",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")

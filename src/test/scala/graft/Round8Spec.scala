@@ -244,6 +244,45 @@ class Round8Spec extends AnyFunSuite {
     assert(out(1L) == 2L && out(2L) == 1L)
   }
 
+  // -------------------------------------------------------------- zipfFit
+
+  test("zipf fit recovers slope -1 on an exact power-law corpus") {
+    import spark.implicits._
+    // counts ~ 1000/r for r = 1..10: ln y = ln 1000 - 1 * ln r
+    val words = (1 to 10).flatMap(r => Seq.fill(1000 / r)(s"w$r"))
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val row = TextAnalysis.zipfFit(docs, "text", topN = 10).head()
+    assert(row.getLong(0) == 10L)
+    val slope = row.getDouble(1)
+    assert(slope > -1.05 && slope < -0.95, s"slope $slope not ~ -1")
+    assert(row.getDouble(3) > 0.99, s"r2 ${row.getDouble(3)} not ~ 1 on a power law")
+  }
+
+  test("zipf fit matches an in-JVM OLS reference exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x5eed8007L)
+    val vocab = (0 until 40).map(i => s"t$i")
+    val docs = (0 until 20).map { i =>
+      (i.toLong, Seq.fill(30 + rnd.nextInt(50))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val row = TextAnalysis.zipfFit(docs, "text", topN = 25).head()
+    // reference: identical counts, rank order, and OLS algebra
+    val counts = docs.collect().flatMap(_.getString(1).split(" "))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(25)
+    val xy = counts.zipWithIndex.map { case ((_, c), i) =>
+      (math.log((i + 1).toDouble), math.log(c.toDouble)) }
+    val n = xy.size.toDouble
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(row.getLong(0) == 25L)
+    assert(math.abs(row.getDouble(1) - slope) < 1e-6,
+      s"slope ${row.getDouble(1)} vs reference $slope")
+  }
+
   // ------------------------------------------------------------ mmrTopK
 
   test("mmr picks diversity over redundancy where pure top-k would not") {
