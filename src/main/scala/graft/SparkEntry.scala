@@ -3180,6 +3180,54 @@ object SparkEntry {
         .orderBy(col("sample_id"))
     })
 
+  // REAL resize roundtrip: text → BMP (10-wide) → nearest-neighbor
+  // resample to 4×6 → re-encode → decode. The oracle recomputes every
+  // output pixel from the ground-truth text via the same integer
+  // coordinate map (src = (⌊r·h/6⌋, ⌊c·10/4⌋)), so a resampler that
+  // rounds instead of floors, swaps axes, or misreads the re-encoded
+  // container hash-mismatches. Constant output geometry (stride 12,
+  // 126 bytes); ASCII pin as in m04/m05.
+  private val m06 = Q("m06_bmp_resize", Some("""
+    WITH d AS (SELECT doc_id,
+        octet_length(CAST(text AS BLOB)) AS nb,
+        (octet_length(CAST(text AS BLOB)) + 9) // 10 AS h,
+        string_split(text, '') AS cs,
+        substr(text, 1, 1) AS c1
+      FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) > 0
+        AND octet_length(CAST(text AS BLOB)) = length(text)),
+    v AS (SELECT doc_id, c1, idx,
+        CASE WHEN idx < nb THEN ord(cs[CAST(idx + 1 AS BIGINT)]) ELSE NULL END AS b
+      FROM (SELECT doc_id, nb, cs, c1,
+              ((r * h) // 6) * 10 + (c * 10) // 4 AS idx
+            FROM d, UNNEST(generate_series(0, 5)) AS gr(r),
+                   UNNEST(generate_series(0, 3)) AS gc(c)))
+    SELECT doc_id AS sample_id,
+      CAST(126 AS BIGINT) AS n_bytes,
+      CAST(4 AS BIGINT) AS width,
+      CAST(6 AS BIGINT) AS height,
+      CAST(24 AS BIGINT) AS bits_per_pixel,
+      CAST(24 AS BIGINT) AS n_pixels,
+      CAST(SUM(COALESCE(b, 0)) AS DOUBLE) / 24 AS mean_b,
+      CAST(SUM(CASE WHEN b IS NULL THEN 0 ELSE 255 - b END) AS DOUBLE) / 24 AS mean_g,
+      CAST(SUM(COALESCE((2 * b) % 256, 0)) AS DOUBLE) / 24 AS mean_r,
+      CAST(ord(c1) AS BIGINT) AS top_left_b
+    FROM v GROUP BY doc_id, c1 ORDER BY sample_id"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents").where(octet_length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
+      Multimodal.decodeBmp(Multimodal.resizeBmp(
+          Multimodal.textAsBmp(docs, "doc_id", "text", width = 10), 4, 6))
+        .toDF()
+        .select(col("sample_id"), col("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("bits_per_pixel").cast("long").as("bits_per_pixel"),
+          col("n_pixels"), col("mean_b"), col("mean_g"), col("mean_r"),
+          col("top_left_b").cast("long").as("top_left_b"))
+        .orderBy(col("sample_id"))
+    })
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -3195,7 +3243,7 @@ object SparkEntry {
     s16, s17, s18, s19, s20, s21,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
-    m01, m02, m03, m04, m05)
+    m01, m02, m03, m04, m05, m06)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))

@@ -235,6 +235,30 @@ object Multimodal {
         width: Int, height: Int, bitsPerPixel: Int, nPixels: Long,
         meanB: Double, meanG: Double, meanR: Double, topLeftB: Int)
 
+    /** Full pixel decode: (width, height, BGR triplets in IMAGE
+      * row-major order) — the materializing sibling of [[decode]] for
+      * transforms that need the pixel grid (resize). Same validation
+      * and row-order/stride handling.
+      */
+    def decodePixels(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val info = decode(bytes) // validates header/stride/truncation
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val dataOff = bb.getInt(10)
+      val topDown = bb.getInt(22) < 0
+      val (w, h) = (info.width, info.height)
+      val stride = rowStride(w)
+      val out = new Array[Byte](w * h * 3)
+      var imageRow = 0
+      while (imageRow < h) {
+        val storedRow = if (topDown) imageRow else h - 1 - imageRow
+        System.arraycopy(bytes, dataOff + storedRow * stride,
+          out, imageRow * w * 3, w * 3)
+        imageRow += 1
+      }
+      (w, h, out)
+    }
+
     /** Header-validating parser: magic, 24bpp BI_RGB only, honors the
       * declared data offset (palettes/extended headers may push it
       * past 54), the row stride, and both row orders (negative
@@ -483,6 +507,39 @@ object Multimodal {
           .as("frame_md5"),
         least(octet_length(col("payload")) - col("frame_idx") * frameBytes,
           lit(frameBytes)).cast("long").as("frame_bytes"))
+  }
+
+  /** REAL image resize: decode the BMP pixel grid, nearest-neighbor
+    * resample in image coordinates (source pixel (⌊r·h/H⌋, ⌊c·w/W⌋)
+    * — integer arithmetic, so an oracle reproduces every output
+    * pixel), re-encode as a canonical BMP. Replaces [[resizeStub]]
+    * for the one format this container can decode; same mapPartitions
+    * contract (payloads never leave the executor, no shuffle). The
+    * m06 oracle pins the full decode→transform→encode→decode chain
+    * against byte-level math on the ground-truth text.
+    */
+  def resizeBmp(media: DataFrame, targetW: Int, targetH: Int,
+      idCol: String = "sample_id", payloadCol: String = "payload"): DataFrame = {
+    require(targetW > 0 && targetH > 0, "bad target dims")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val (w, h, px) = BmpCodec.decodePixels(payload)
+          val out = Array.tabulate(targetW * targetH) { i =>
+            val r = i / targetW
+            val c = i % targetW
+            val sr = (r.toLong * h / targetH).toInt
+            val sc = (c.toLong * w / targetW).toInt
+            val o = (sr * w + sc) * 3
+            (px(o), px(o + 1), px(o + 2))
+          }
+          (id, BmpCodec.encodeBgr24(out, targetW, targetH))
+        }
+      }
+      .toDF(idCol, payloadCol)
   }
 
   /** Resized media record from the stubbed resize kernel. */

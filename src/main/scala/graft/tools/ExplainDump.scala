@@ -71,6 +71,7 @@ object ExplainDump {
       "t24_heavy_hitters_cms" -> "count-min sketch: exact counts in one token-keyed partial-agg exchange; the 4x1024 cell table aggregates a depth-way explode over DISTINCT tokens (map-side combinable — how CMS merges across executors); TopK + a k*depth-row broadcast lookup",
       "t25_pii_redaction" -> "PII redaction: the whole rule chain is scan-stage regexp_replace expressions — zero exchanges below the presentation sort; redaction-count accounting is length arithmetic in the same stage",
       "t26_zipf_fit" -> "Zipf fit: one token-keyed partial-agg exchange + TakeOrderedAndProject; the rank window and OLS sums touch top-N rows only, so the regression is corpus-size-independent",
+      "m06_bmp_resize" -> "real resize roundtrip: encode + pixel decode + nearest-neighbor resample + re-encode + decode ALL in one mapPartitions chain over the scan — no shuffle; presentation sort is the only exchange",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")

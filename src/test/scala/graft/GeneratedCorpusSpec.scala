@@ -28,7 +28,8 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     // t23 is integers + one exact division; the codec roundtrips are
     // integer sums over ASCII bytes (the generator is pure ASCII)
     "t22_bigram_logprob", "t23_ngram_novelty", "t24_heavy_hitters_cms",
-    "t25_pii_redaction", "t26_zipf_fit", "m04_wav_decode", "m05_bmp_decode")
+    "t25_pii_redaction", "t26_zipf_fit", "m04_wav_decode", "m05_bmp_decode",
+    "m06_bmp_resize")
 
   private def generate(seed: Int, nDocs: Int): Seq[(Long, String, String, String, Long)] = {
     val rnd = new scala.util.Random(seed)

@@ -528,6 +528,24 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("resizeBmp: nearest-neighbor map, downsample and upsample") {
+    import spark.implicits._
+    // 2x2 source with distinct blues: (10 20 / 30 40)
+    val src = Multimodal.BmpCodec.encodeBgr24(
+      Array(px(10, 0, 0), px(20, 0, 0), px(30, 0, 0), px(40, 0, 0)), 2, 2)
+    val media = Seq((1L, src)).toDF("sample_id", "payload")
+    // downsample to 1x1: src pixel (0*2/1? -> floor(0*2/1)=0, 0) = 10
+    val down = Multimodal.decodeBmp(
+      Multimodal.resizeBmp(media, 1, 1)).head()
+    assert(down.width == 1 && down.height == 1 && down.mean_b == 10.0)
+    // upsample to 4x4: each source pixel replicated 2x2 -> mean unchanged
+    val up = Multimodal.decodeBmp(
+      Multimodal.resizeBmp(media, 4, 4)).head()
+    assert(up.width == 4 && up.height == 4)
+    assert(up.mean_b == 25.0, s"replicated mean should equal source: ${up.mean_b}")
+    assert(up.top_left_b == 10, "top-left must stay top-left through resize")
+  }
+
   test("textAsBmp/decodeBmp distributed roundtrip matches byte math") {
     import spark.implicits._
     val docs = Seq((7L, "Hello BMP world"), (8L, "x")).toDF("doc_id", "text")
