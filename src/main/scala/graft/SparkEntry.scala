@@ -3228,6 +3228,48 @@ object SparkEntry {
         .orderBy(col("sample_id"))
     })
 
+  // REAL audio resample roundtrip: 16 kHz text-signal → 4 kHz (keep
+  // every 4th sample under the integer map src=⌊i·16000/4000⌋=4i) →
+  // re-encode → decode. The oracle derives the surviving samples
+  // (bytes 1, 5, 9, … of the text) and their stats directly, so an
+  // off-by-one in the resample map or a header misread at the new
+  // rate hash-mismatches. Docs shorter than 4 bytes resample to zero
+  // samples — filtered on BOTH sides (0/0 means vs empty-signal 0.0
+  // would diverge); ASCII pin as in m04.
+  private val m07 = Q("m07_wav_resample", Some("""
+    WITH d AS (SELECT doc_id,
+        octet_length(CAST(text AS BLOB)) AS nb,
+        octet_length(CAST(text AS BLOB)) // 4 AS n_out,
+        string_split(text, '') AS cs
+      FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) >= 4
+        AND octet_length(CAST(text AS BLOB)) = length(text)),
+    v AS (SELECT doc_id, n_out, ord(cs[CAST(4 * i + 1 AS BIGINT)]) * 128.0 AS s
+          FROM d, UNNEST(generate_series(0, n_out - 1)) AS g(i))
+    SELECT doc_id AS sample_id,
+      CAST(44 + 2 * n_out AS BIGINT) AS n_bytes,
+      CAST(4000 AS BIGINT) AS sample_rate,
+      CAST(1 AS BIGINT) AS n_channels,
+      CAST(16 AS BIGINT) AS bits_per_sample,
+      CAST(n_out AS BIGINT) AS n_samples,
+      CAST(n_out * 1000 // 4000 AS BIGINT) AS duration_ms,
+      CAST(SUM(s) AS DOUBLE) / n_out AS mean_abs,
+      sqrt(CAST(SUM(s * s) AS DOUBLE) / n_out) AS rms
+    FROM v GROUP BY doc_id, n_out ORDER BY sample_id"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents").where(octet_length(col("text")) >= 4 &&
+        octet_length(col("text")) === length(col("text")))
+      Multimodal.decodeWav(Multimodal.resampleWav(
+          Multimodal.textAsWav(docs, "doc_id", "text", sampleRate = 16000), 4000))
+        .toDF()
+        .select(col("sample_id"), col("n_bytes"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_channels").cast("long").as("n_channels"),
+          col("bits_per_sample").cast("long").as("bits_per_sample"),
+          col("n_samples"), col("duration_ms"), col("mean_abs"), col("rms"))
+        .orderBy(col("sample_id"))
+    })
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -3243,7 +3285,7 @@ object SparkEntry {
     s16, s17, s18, s19, s20, s21,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
-    m01, m02, m03, m04, m05, m06)
+    m01, m02, m03, m04, m05, m06, m07)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))

@@ -111,13 +111,8 @@ object Multimodal {
         sampleRate: Int, channels: Int, bitsPerSample: Int,
         nSamples: Long, durationMs: Long, meanAbs: Double, rms: Double)
 
-    /** Chunk-walking RIFF parser: validates magic, honors RIFF's
-      * even-byte chunk padding, finds `fmt ` and `data` wherever they
-      * sit (real encoders emit LIST/INFO chunks between them), and
-      * rejects non-PCM or non-16-bit streams loudly instead of
-      * misreading them.
-      */
-    def decode(bytes: Array[Byte]): WavInfo = {
+    /** Shared chunk walk: (channels, rate, bits, dataOff, dataLen). */
+    private def parseHeader(bytes: Array[Byte]): (Int, Int, Int, Int, Int) = {
       require(bytes != null && bytes.length >= 44, "not a wav: too short")
       val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
       def fourCC(at: Int): String =
@@ -152,6 +147,33 @@ object Multimodal {
         throw new IllegalArgumentException("wav has no fmt chunk"))
       val (off, len) = data.getOrElse(
         throw new IllegalArgumentException("wav has no data chunk"))
+      (channels, rate, bits, off, len)
+    }
+
+    /** Full sample decode: (rate, channels, interleaved PCM16) — the
+      * materializing sibling of [[decode]] for transforms that need
+      * the signal itself (resampling). Same validation and chunk
+      * handling.
+      */
+    def decodeSamples(bytes: Array[Byte]): (Int, Int, Array[Short]) = {
+      val (channels, rate, _, off, len) = parseHeader(bytes)
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val n = (len / (channels * 2)) * channels
+      val out = new Array[Short](n)
+      var i = 0
+      while (i < n) { out(i) = bb.getShort(off + i * 2); i += 1 }
+      (rate, channels, out)
+    }
+
+    /** Chunk-walking RIFF parser: validates magic, honors RIFF's
+      * even-byte chunk padding, finds `fmt ` and `data` wherever they
+      * sit (real encoders emit LIST/INFO chunks between them), and
+      * rejects non-PCM or non-16-bit streams loudly instead of
+      * misreading them.
+      */
+    def decode(bytes: Array[Byte]): WavInfo = {
+      val (channels, rate, bits, off, len) = parseHeader(bytes)
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
       val frames = len / (channels * 2)
       val n = frames.toLong * channels
       var sumAbs = 0.0
@@ -416,6 +438,34 @@ object Multimodal {
             info.durationMs, info.meanAbs, info.rms)
         }
       }
+  }
+
+  /** REAL audio resample, the WAV sibling of [[resizeBmp]]:
+    * decode the PCM16 signal, nearest-neighbor resample via the
+    * integer map src = ⌊i·srcRate/dstRate⌋ (nOut = ⌊n·dst/src⌋),
+    * re-encode a canonical container at the target rate. Mono only
+    * (the multichannel map needs frame-aligned interpolation a real
+    * DSP resampler would do). Same mapPartitions contract; the m07
+    * oracle pins decode→resample→encode→decode against byte math.
+    */
+  def resampleWav(media: DataFrame, targetRate: Int,
+      idCol: String = "sample_id", payloadCol: String = "payload"): DataFrame = {
+    require(targetRate > 0, "bad target rate")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val (rate, channels, samples) = WavCodec.decodeSamples(payload)
+          require(channels == 1, s"resampleWav: mono only, got $channels")
+          val nOut = (samples.length.toLong * targetRate / rate).toInt
+          val out = Array.tabulate(nOut)(i =>
+            samples((i.toLong * rate / targetRate).toInt))
+          (id, WavCodec.encodePcm16(out, targetRate))
+        }
+      }
+      .toDF(idCol, payloadCol)
   }
 
   /** Real media ingest: one row per file via the `binaryFile` source

@@ -72,6 +72,7 @@ object ExplainDump {
       "t25_pii_redaction" -> "PII redaction: the whole rule chain is scan-stage regexp_replace expressions — zero exchanges below the presentation sort; redaction-count accounting is length arithmetic in the same stage",
       "t26_zipf_fit" -> "Zipf fit: one token-keyed partial-agg exchange + TakeOrderedAndProject; the rank window and OLS sums touch top-N rows only, so the regression is corpus-size-independent",
       "m06_bmp_resize" -> "real resize roundtrip: encode + pixel decode + nearest-neighbor resample + re-encode + decode ALL in one mapPartitions chain over the scan — no shuffle; presentation sort is the only exchange",
+      "m07_wav_resample" -> "real audio resample roundtrip: PCM decode + rate conversion + re-encode + decode in one mapPartitions chain — the m06 contract for the audio container",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")

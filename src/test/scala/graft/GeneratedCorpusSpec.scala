@@ -29,7 +29,7 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     // integer sums over ASCII bytes (the generator is pure ASCII)
     "t22_bigram_logprob", "t23_ngram_novelty", "t24_heavy_hitters_cms",
     "t25_pii_redaction", "t26_zipf_fit", "m04_wav_decode", "m05_bmp_decode",
-    "m06_bmp_resize")
+    "m06_bmp_resize", "m07_wav_resample")
 
   private def generate(seed: Int, nDocs: Int): Seq[(Long, String, String, String, Long)] = {
     val rnd = new scala.util.Random(seed)

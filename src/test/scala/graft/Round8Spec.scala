@@ -546,6 +546,27 @@ class Round8Spec extends AnyFunSuite {
     assert(up.top_left_b == 10, "top-left must stay top-left through resize")
   }
 
+  test("resampleWav: decimation keeps every k-th sample, upsample repeats") {
+    import spark.implicits._
+    val src = Multimodal.WavCodec.encodePcm16(
+      Array[Short](10, 20, 30, 40, 50, 60, 70, 80), 8000)
+    val media = Seq((1L, src)).toDF("sample_id", "payload")
+    val down = Multimodal.WavCodec.decodeSamples(
+      Multimodal.resampleWav(media, 2000).head().getAs[Array[Byte]]("payload"))
+    assert(down._1 == 2000 && down._3.toSeq == Seq[Short](10, 50))
+    val up = Multimodal.WavCodec.decodeSamples(
+      Multimodal.resampleWav(media, 16000).head().getAs[Array[Byte]]("payload"))
+    assert(up._1 == 16000 && up._3.length == 16)
+    assert(up._3.toSeq == Seq[Short](10, 10, 20, 20, 30, 30, 40, 40,
+      50, 50, 60, 60, 70, 70, 80, 80))
+    // stereo input must be rejected, not silently mis-mapped
+    val stereo = Multimodal.WavCodec.encodePcm16(
+      Array[Short](1, 2, 3, 4), 8000, channels = 2)
+    val sMedia = Seq((2L, stereo)).toDF("sample_id", "payload")
+    assertThrows[org.apache.spark.SparkException](
+      Multimodal.resampleWav(sMedia, 4000).collect())
+  }
+
   test("textAsBmp/decodeBmp distributed roundtrip matches byte math") {
     import spark.implicits._
     val docs = Seq((7L, "Hello BMP world"), (8L, "x")).toDF("doc_id", "text")
