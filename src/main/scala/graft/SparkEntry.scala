@@ -2960,6 +2960,34 @@ object SparkEntry {
         k = 20, depth = 4, width = 1024)
       .orderBy(col("cnt").desc, col("tok")))
 
+  // Jelinek-Mercer interpolated LM: λ·P(w2|w1) + (1−λ)·P(w2), λ=0.5
+  // (exactly representable, so 1−λ carries no ulp hazard — the s21
+  // lesson applied by construction). One hash join beyond t22; the
+  // oracle rebuilds all three count tables declaratively.
+  private val t27 = Q("t27_interpolated_logprob", Some("""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    u AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cu FROM
+            (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+          GROUP BY tok),
+    n AS (SELECT CAST(SUM(cu) AS DOUBLE) AS n_total FROM u),
+    bg AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2, ts[i] || ' ' || ts[i+1] AS b
+           FROM toks, UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
+           WHERE len(ts) >= 2),
+    dc AS (SELECT doc_id, w1, w2, b, COUNT(*) AS c_doc FROM bg GROUP BY doc_id, w1, w2, b),
+    cb AS (SELECT b, SUM(c_doc) AS c12 FROM dc GROUP BY b),
+    cw AS (SELECT w1, SUM(c_doc) AS c1 FROM dc GROUP BY w1)
+    SELECT doc_id, CAST(SUM(c_doc) AS BIGINT) AS n_bigrams,
+      ROUND(SUM(CAST(c_doc AS DOUBLE) * ln(
+          CAST(0.5 AS DOUBLE) * (CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))
+          + (CAST(1 AS DOUBLE) - CAST(0.5 AS DOUBLE)) * (CAST(cu AS DOUBLE) / n_total)))
+        / CAST(SUM(c_doc) AS DOUBLE), 6) AS mean_logp
+    FROM dc JOIN cb USING (b) JOIN cw USING (w1) JOIN u ON u.tok = dc.w2, n
+    GROUP BY doc_id ORDER BY doc_id"""),
+    (s, dir) => TextAnalysis.interpolatedLogProb(T(s, dir, "documents"), "text",
+        "doc_id", lambda = 0.5)
+      .select(col("id").as("doc_id"), col("n_bigrams"), col("mean_logp"))
+      .orderBy(col("doc_id")))
+
   // Zipf rank-frequency fit: OLS on (ln rank, ln count) of the top-100
   // token types — the one-glance corpus-health check (slope ≈ −1 is
   // healthy). Both engines derive the same integer counts and rank
@@ -3284,7 +3312,7 @@ object SparkEntry {
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
     s16, s17, s18, s19, s20, s21,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
+    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27,
     m01, m02, m03, m04, m05, m06, m07)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =

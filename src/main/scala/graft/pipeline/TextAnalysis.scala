@@ -554,6 +554,65 @@ object TextAnalysis {
       .select(col("tok"), col("cnt"), col("cms_est"))
   }
 
+  /** Jelinek-Mercer interpolated LM log-probability — the smoothing
+    * step between [[bigramLogProb]] (which assigns −∞ to nothing only
+    * because every test bigram was seen in training: the model is fit
+    * on the corpus itself) and a production KenLM filter:
+    * score(doc) = mean ln(λ·P_bi(w₂|w₁) + (1−λ)·P_uni(w₂)). The
+    * unigram back-off makes the score robust to rare transitions, the
+    * standard fix before filtering on LM likelihood.
+    *
+    * Scale shape: the t22 pipeline plus ONE more hash join — each
+    * bigram emits (h₁, h₂, h₁₂) map-side; corpus bigram, context, and
+    * unigram tables are all partial-aggregated; the token total is a
+    * 1-row broadcast. Strings never shuffle. The unigram table is a
+    * second scan-stage tokenization (it needs the final tokens
+    * bigrams miss): two map-side passes over text beat the
+    * alternative — materializing one tagged token+bigram stream
+    * through a corpus-wide exchange just to share the Generate.
+    * Rounded 6 dp (t15).
+    *
+    * @return (id, n_bigrams, mean_logp)
+    */
+  def interpolatedLogProb(docs: DataFrame, textCol: String, idCol: String,
+      lambda: Double = 0.5): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0,1]")
+    val toks = split(col(textCol), " ")
+    val unigram = graft.ops.ScaleOps.fanOut(docs)
+      .select(explode(toks).as("tok"))
+      .groupBy(xxhash64(col("tok")).as("h2"))
+      .agg(count(lit(1)).as("cu"))
+    val total = unigram.agg(sum(col("cu")).cast("double").as("n_total"))
+    val idxs = when(size(toks) >= 2, sequence(lit(0), size(toks) - 2))
+      .otherwise(array().cast("array<int>"))
+    val grams = transform(idxs, i => struct(
+      xxhash64(element_at(toks, i + 1)).as("h1"),
+      xxhash64(element_at(toks, i + 2)).as("h2"),
+      xxhash64(concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
+        .as("h12")))
+    val docCounts = graft.ops.ScaleOps.fanOut(docs)
+      .select(col(idCol).as("id"), explode(grams).as("g"))
+      .groupBy(col("g.h1").as("h1"), col("g.h2").as("h2"),
+        col("g.h12").as("h12"), col("id"))
+      .agg(count(lit(1)).as("c_doc"))
+    val bigramFreq = docCounts.groupBy(col("h12")).agg(sum(col("c_doc")).as("c12"))
+    val ctxFreq = docCounts.groupBy(col("h1")).agg(sum(col("c_doc")).as("c1"))
+    docCounts
+      .join(bigramFreq, Seq("h12"))
+      .join(ctxFreq, Seq("h1"))
+      .join(unigram, Seq("h2"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("id"))
+      .agg(
+        sum(col("c_doc")).as("n_bigrams"),
+        round(
+          sum(col("c_doc").cast("double") * log(
+            lit(lambda) * (col("c12").cast("double") / col("c1").cast("double")) +
+            (lit(1.0) - lit(lambda)) *
+              (col("cu").cast("double") / col("n_total")))) /
+            sum(col("c_doc")).cast("double"), 6).as("mean_logp"))
+  }
+
   /** Zipf rank-frequency fit over the top-N token types: ordinary
     * least squares on (ln rank, ln count) — slope ≈ −1 is the
     * healthy-corpus signature; a flat slope means boilerplate/spam

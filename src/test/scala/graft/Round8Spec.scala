@@ -212,6 +212,30 @@ class Round8Spec extends AnyFunSuite {
     assert(out.forall(_.getDouble(2) == 0.0))
   }
 
+  test("interpolated logprob at lambda=1 reduces to the pure bigram model") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b c"), (2L, "b c a"), (3L, "a a b"))
+      .toDF("doc_id", "text")
+    val bi = TextAnalysis.bigramLogProb(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val interp = TextAnalysis.interpolatedLogProb(docs, "text", "doc_id", lambda = 1.0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(interp == bi, s"lambda=1 must equal the bigram model: $interp vs $bi")
+  }
+
+  test("interpolated logprob matches hand computation at lambda=0.5") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    // unigrams: a=2, b=1, c=1, N=4; bigrams: (a b)=1, (a c)=1, c1(a)=2
+    // doc1: ln(0.5*(1/2) + 0.5*(1/4)) = ln(0.375)
+    val expect = BigDecimal(math.log(0.375))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = TextAnalysis.interpolatedLogProb(docs, "text", "doc_id", 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(out(1L) - expect) < 1e-9)
+    assert(math.abs(out(2L) - expect) < 1e-9, "symmetric doc must score the same")
+  }
+
   // ----------------------------------------------------------- ngramNovelty
 
   test("ngram novelty: first doc 1.0, repeat 0.0, partial overlap 0.5") {
