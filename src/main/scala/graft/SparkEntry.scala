@@ -2960,6 +2960,35 @@ object SparkEntry {
         k = 20, depth = 4, width = 1024)
       .orderBy(col("cnt").desc, col("tok")))
 
+  // Temperature-scaled source mixing (α-sampling, mT5/XLM-R recipe):
+  // w_s ∝ n_s^α with α=0.5 — sqrt is IEEE-exact cross-engine, so only
+  // the tiny Σ over strata rows needs the ROUND(6) contract. The
+  // fixture's 20 sources are uniform (vacuously flat weights), so the
+  // query derives a SKEWED tier from the source suffix (1:4:15-ish) —
+  // the up-weighting of the rare tier is then the visible, checkable
+  // effect.
+  private val t28 = Q("t28_temperature_mix", Some("""
+    WITH tiers AS (SELECT CASE
+          WHEN CAST(substr(source, 4) AS INT) < 1 THEN 'rare'
+          WHEN CAST(substr(source, 4) AS INT) < 5 THEN 'mid'
+          ELSE 'common' END AS source
+        FROM documents),
+    s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM tiers GROUP BY source),
+    t AS (SELECT source, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS p FROM s)
+    SELECT source, n_docs,
+      ROUND(CAST(n_docs AS DOUBLE) / SUM(CAST(n_docs AS DOUBLE)) OVER (), 6)
+        AS natural_frac,
+      ROUND(p / SUM(p) OVER (), 6) AS temp_weight
+    FROM t ORDER BY source"""),
+    (s, dir) => {
+      val sfx = substring(col("source"), 4, 10).cast("int")
+      val tiered = T(s, dir, "documents").withColumn("source",
+        when(sfx < 1, "rare").when(sfx < 5, "mid").otherwise("common"))
+      graft.pipeline.Sampling.temperatureWeights(tiered, "source", alpha = 0.5)
+        .orderBy(col("source"))
+    })
+
   // Jelinek-Mercer interpolated LM: λ·P(w2|w1) + (1−λ)·P(w2), λ=0.5
   // (exactly representable, so 1−λ carries no ulp hazard — the s21
   // lesson applied by construction). One hash join beyond t22; the
@@ -3312,7 +3341,7 @@ object SparkEntry {
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
     s16, s17, s18, s19, s20, s21,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27,
+    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
     m01, m02, m03, m04, m05, m06, m07)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =

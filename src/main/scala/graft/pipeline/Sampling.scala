@@ -143,6 +143,41 @@ object Sampling {
     df.withColumn("split", assigned)
   }
 
+  /** Temperature-scaled source mixing weights — the α-sampling recipe
+    * (mT5/XLM-R style): w_s ∝ n_s^α. α=1 keeps natural proportions,
+    * α→0 approaches uniform; the standard knob for up-weighting
+    * low-resource sources in a multi-source training mix. Output per
+    * source: doc count, natural fraction, and the temperature weight
+    * — the multinomial a sampler then draws from (feed the weights to
+    * [[sourceMix]] quotas to materialize the resample).
+    *
+    * Scale shape: ONE partial-aggregated groupBy on the source key
+    * (source cardinality ≪ corpus), then window sums over the handful
+    * of source rows. Fractions are rounded 6 dp: Σ n^α accumulates in
+    * engine order, and for α other than 0.5/1 `pow` itself is only
+    * 1-ulp reproducible across libms (α=0.5 is IEEE sqrt-exact).
+    *
+    * @return (source, n_docs, natural_frac, temp_weight)
+    */
+  def temperatureWeights(df: DataFrame, strataCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)) // a handful of source rows — global is fine
+    df.groupBy(col(strataCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      // pow(x, 0.5) is NOT contractually sqrt(x) — route the common
+      // α=0.5 through the IEEE-exact sqrt so the weight is
+      // bit-reproducible cross-engine
+      .withColumn("__pow",
+        if (alpha == 0.5) sqrt(col("n_docs").cast("double"))
+        else pow(col("n_docs").cast("double"), lit(alpha)))
+      .select(col("source"), col("n_docs"),
+        round(col("n_docs").cast("double") /
+          sum(col("n_docs")).over(w).cast("double"), 6).as("natural_frac"),
+        round(col("__pow") / sum(col("__pow")).over(w), 6).as("temp_weight"))
+  }
+
   def sourceMix(df: DataFrame, strataCol: String, idCol: String,
       mix: Map[String, (Int, Int)]): DataFrame = {
     require(mix.nonEmpty, "mix must name at least one stratum")

@@ -28,7 +28,7 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     // t23 is integers + one exact division; the codec roundtrips are
     // integer sums over ASCII bytes (the generator is pure ASCII)
     "t22_bigram_logprob", "t23_ngram_novelty", "t24_heavy_hitters_cms",
-    "t27_interpolated_logprob",
+    "t27_interpolated_logprob", "t28_temperature_mix",
     "t25_pii_redaction", "t26_zipf_fit", "m04_wav_decode", "m05_bmp_decode",
     "m06_bmp_resize", "m07_wav_resample")
 

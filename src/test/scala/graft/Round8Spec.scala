@@ -268,6 +268,24 @@ class Round8Spec extends AnyFunSuite {
     assert(out(1L) == 2L && out(2L) == 1L)
   }
 
+  // ---------------------------------------------------- temperatureWeights
+
+  test("temperature weights up-weight rare sources; alpha=1 is natural") {
+    import spark.implicits._
+    val docs = (Seq.fill(8)("big") ++ Seq.fill(2)("small")).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "source")
+    val w = graft.pipeline.Sampling.temperatureWeights(docs, "source", 0.5)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    // sqrt(8)=2.828, sqrt(2)=1.414 -> weights 2/3, 1/3
+    assert(w("big")._1 == 0.8 && w("small")._1 == 0.2)
+    assert(math.abs(w("big")._2 - 2.0 / 3) < 1e-6)
+    assert(math.abs(w("small")._2 - 1.0 / 3) < 1e-6)
+    assert(w("small")._2 > w("small")._1, "temperature must up-weight the rare source")
+    val nat = graft.pipeline.Sampling.temperatureWeights(docs, "source", 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(nat("big") == 0.8 && nat("small") == 0.2, "alpha=1 keeps natural proportions")
+  }
+
   // -------------------------------------------------------------- zipfFit
 
   test("zipf fit recovers slope -1 on an exact power-law corpus") {
