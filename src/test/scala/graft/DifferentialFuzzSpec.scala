@@ -545,4 +545,48 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       }
     } finally mgr.shutdown()
   }
+
+  test("cms fuzz: randomized (depth, width, k) match the SQL reconstruction") {
+    // generalizes t24's fixed 4x1024 sketch: the md5-bucket hashing,
+    // cell aggregation, and min-estimate must agree with the SQL
+    // template at every parameterization, or the fixed hash-match was
+    // luck. Integer arithmetic end to end — exact string equality.
+    duck.createStatement().execute(
+      s"""CREATE OR REPLACE VIEW documents AS
+          SELECT * FROM read_parquet('$sf/documents.parquet')""")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def cmsSql(depth: Int, width: Int, k: Int) = {
+      def bucket = s"""
+        ((strpos('0123456789abcdef', substr(md5(j || ':' || tok), 1, 1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substr(md5(j || ':' || tok), 2, 1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(md5(j || ':' || tok), 3, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(j || ':' || tok), 4, 1)) - 1)) % $width"""
+      s"""
+      WITH toks AS (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents),
+      counts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+      buckets AS (SELECT tok, cnt, j, $bucket AS b
+        FROM counts, UNNEST(generate_series(0, ${depth - 1})) AS g(j)),
+      cells AS (SELECT j, b, SUM(cnt) AS cell FROM buckets GROUP BY j, b),
+      top AS (SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok LIMIT $k)
+      SELECT t.tok, t.cnt, CAST(MIN(c.cell) AS BIGINT) AS cms_est
+      FROM top t JOIN buckets bu USING (tok) JOIN cells c ON c.j = bu.j AND c.b = bu.b
+      GROUP BY t.tok, t.cnt"""
+    }
+    val rnd = new scala.util.Random(0xc35f00dL)
+    for (_ <- 0 until 6) {
+      val depth = 1 + rnd.nextInt(6)
+      val width = 1 << (rnd.nextInt(10) + 1) // 2..1024
+      val k = 3 + rnd.nextInt(25)
+      val got = graft.pipeline.TextAnalysis
+        .heavyHittersCms(docs, "text", k, depth, width)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val rs = duck.createStatement().executeQuery(cmsSql(depth, width, k))
+      val want = Iterator.continually(rs).takeWhile(_.next())
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == want, s"cms diverged at depth=$depth width=$width k=$k")
+      assert(got.nonEmpty && got.forall { case (_, cnt, est) => est >= cnt },
+        s"cms invariant broken at depth=$depth width=$width k=$k")
+    }
+  }
 }
