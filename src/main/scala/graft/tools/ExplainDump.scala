@@ -73,6 +73,8 @@ object ExplainDump {
       "t26_zipf_fit" -> "Zipf fit: one token-keyed partial-agg exchange + TakeOrderedAndProject; the rank window and OLS sums touch top-N rows only, so the regression is corpus-size-independent",
       "m06_bmp_resize" -> "real resize roundtrip: encode + pixel decode + nearest-neighbor resample + re-encode + decode ALL in one mapPartitions chain over the scan — no shuffle; presentation sort is the only exchange",
       "m07_wav_resample" -> "real audio resample roundtrip: PCM decode + rate conversion + re-encode + decode in one mapPartitions chain — the m06 contract for the audio container",
+      "t27_interpolated_logprob" -> "interpolated LM: the t22 joins plus the unigram back-off join, all partial-aggregated on hashed keys; the unigram table is a second SCAN-STAGE tokenization — cheaper than materializing a shared tagged stream through a corpus-wide exchange",
+      "t28_temperature_mix" -> "temperature mixing weights: one source-keyed partial-agg groupBy; the weight windows run over source-cardinality rows (a handful), so the operator is one exchange however large the corpus",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")
