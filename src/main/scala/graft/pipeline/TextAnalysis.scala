@@ -414,17 +414,34 @@ object TextAnalysis {
     * @return (id, n_bigrams, mean_logp)
     */
   def bigramLogProb(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = split(col(textCol), " ")
+    // The token array is PROJECTED once per row before the bigram
+    // lambda runs: higher-order functions evaluate interpreted with
+    // no common-subexpression elimination, so an inline
+    // element_at(split(text), i) would re-split the whole text per
+    // element access — O(T²) character work per doc. Against the
+    // materialized array each access is O(1).
+    val toks = col("__tk")
     val idxs = when(size(toks) >= 2, sequence(lit(0), size(toks) - 2))
       .otherwise(array().cast("array<int>"))
     val grams = transform(idxs, i => struct(
       xxhash64(element_at(toks, i + 1)).as("h1"),
       xxhash64(concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
         .as("h12")))
+    // Materialized ONCE: the per-doc bigram counts feed three
+    // consumers (bigramFreq, ctxFreq, the per-doc join). AQE's
+    // exchange reuse already de-duplicates the heavy scan→Generate→
+    // partial-agg chain at runtime, but each consumer still re-ran
+    // the final aggregate over the reused shuffle; caching the
+    // hash-only frame (4 longs/row — bounded by corpus token count,
+    // the same volume the exchange already spills to shuffle files)
+    // runs it once and makes the single-chain shape explicit in the
+    // static plan.
     val docCounts = graft.ops.ScaleOps.fanOut(docs)
-      .select(col(idCol).as("id"), explode(grams).as("g"))
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("__tk"))
+      .select(col("id"), explode(grams).as("g"))
       .groupBy(col("id"), col("g.h1").as("h1"), col("g.h12").as("h12"))
       .agg(count(lit(1)).as("c_doc"))
+      .cache()
     val bigramFreq = docCounts.groupBy(col("h12")).agg(sum(col("c_doc")).as("c12"))
     // context count c(w₁·) = occurrences of w₁ as a bigram's first
     // token — NOT the unigram count (the last token of a doc starts
@@ -563,13 +580,15 @@ object TextAnalysis {
     * standard fix before filtering on LM likelihood.
     *
     * Scale shape: the t22 pipeline plus ONE more hash join — each
-    * bigram emits (h₁, h₂, h₁₂) map-side; corpus bigram, context, and
-    * unigram tables are all partial-aggregated; the token total is a
-    * 1-row broadcast. Strings never shuffle. The unigram table is a
-    * second scan-stage tokenization (it needs the final tokens
-    * bigrams miss): two map-side passes over text beat the
-    * alternative — materializing one tagged token+bigram stream
-    * through a corpus-wide exchange just to share the Generate.
+    * bigram emits (h₁, h₂, h₁₂) map-side; the per-doc bigram counts
+    * are materialized ONCE (cached hash-only frame) and the corpus
+    * bigram/context tables re-aggregate that frame, so the corpus is
+    * tokenized into bigrams exactly once; the token total is a 1-row
+    * broadcast. Strings never shuffle. The unigram table is a second
+    * scan-stage tokenization (it needs the final tokens bigrams
+    * miss): two map-side passes over text beat the alternative —
+    * materializing one tagged token+bigram stream through a
+    * corpus-wide exchange just to share the Generate.
     * Rounded 6 dp (t15).
     *
     * @return (id, n_bigrams, mean_logp)
@@ -577,12 +596,14 @@ object TextAnalysis {
   def interpolatedLogProb(docs: DataFrame, textCol: String, idCol: String,
       lambda: Double = 0.5): DataFrame = {
     require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0,1]")
-    val toks = split(col(textCol), " ")
     val unigram = graft.ops.ScaleOps.fanOut(docs)
-      .select(explode(toks).as("tok"))
+      .select(explode(split(col(textCol), " ")).as("tok"))
       .groupBy(xxhash64(col("tok")).as("h2"))
       .agg(count(lit(1)).as("cu"))
     val total = unigram.agg(sum(col("cu")).cast("double").as("n_total"))
+    // Token array projected once per row — see [[bigramLogProb]] for
+    // why the inline-split alternative is O(T²) per doc.
+    val toks = col("__tk")
     val idxs = when(size(toks) >= 2, sequence(lit(0), size(toks) - 2))
       .otherwise(array().cast("array<int>"))
     val grams = transform(idxs, i => struct(
@@ -590,11 +611,15 @@ object TextAnalysis {
       xxhash64(element_at(toks, i + 2)).as("h2"),
       xxhash64(concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
         .as("h12")))
+    // Same single-materialization treatment as [[bigramLogProb]]:
+    // three consumers, one cached hash-only frame (5 longs/row).
     val docCounts = graft.ops.ScaleOps.fanOut(docs)
-      .select(col(idCol).as("id"), explode(grams).as("g"))
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("__tk"))
+      .select(col("id"), explode(grams).as("g"))
       .groupBy(col("g.h1").as("h1"), col("g.h2").as("h2"),
         col("g.h12").as("h12"), col("id"))
       .agg(count(lit(1)).as("c_doc"))
+      .cache()
     val bigramFreq = docCounts.groupBy(col("h12")).agg(sum(col("c_doc")).as("c12"))
     val ctxFreq = docCounts.groupBy(col("h1")).agg(sum(col("c_doc")).as("c1"))
     docCounts
