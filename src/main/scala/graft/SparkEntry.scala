@@ -1077,20 +1077,38 @@ object SparkEntry {
     (s, dir) => Dedup.simHash(T(s, dir, "documents"), "text", "doc_id")
       .orderBy(col("id")))
 
+  // Cell-BLOCKED near-dup pairs (the 100 TB path): pair generation
+  // routed through k=8 seed-centroid cells, so the oracle
+  // reconstructs the identical blocking (d14's assignment CTE) and
+  // the all-pairs brute force survives only as the differential
+  // ground truth in Round9Spec. τ=0.4: the synthetic 64-dim
+  // embeddings are near-orthogonal (max pairwise cosine ≈0.51 at
+  // sf0.01) — 0.9 would be vacuously empty.
   private val d05 = Q("d05_embedding_neardup", Some("""
-    WITH c AS (
+    WITH cents AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 8),
+    sims AS (SELECT e.vec_id, c.cell,
+        list_sum(list_transform(generate_series(1, len(e.embedding)),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      FROM embeddings e, cents c),
+    assigned AS (SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, sim,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        FROM sims) WHERE rn = 1),
+    pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        list_sum(list_transform(generate_series(1, len(a.embedding)),
-          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-        / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-           * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos_sim
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-    SELECT id_a, id_b, cos_sim FROM c WHERE cos_sim >= 0.5
+        list_sum(list_transform(generate_series(1, len(ea.embedding)),
+          i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos_sim
+      FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id)
+    SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.4
     ORDER BY id_a, id_b"""),
-    // 0.5: the synthetic 64-dim embeddings are near-orthogonal (max
-    // pairwise cosine ≈0.51 at sf0.01) — 0.9 would be vacuously empty.
-    (s, dir) => Dedup.embeddingNearDups(T(s, dir, "embeddings"), "embedding", "vec_id",
-        threshold = 0.5)
+    (s, dir) => Dedup.embeddingNearDupsBlocked(T(s, dir, "embeddings"),
+        "embedding", "vec_id", threshold = 0.4, k = 8)
       .orderBy(col("id_a"), col("id_b")))
 
   // Cluster-level dedup: transitive closure over the exact-Jaccard
@@ -1202,6 +1220,8 @@ object SparkEntry {
   // Hybrid dedup: lexical (3-gram Jaccard) OR semantic (embedding
   // cosine) evidence, full-outer joined on the pair key so both
   // scores sit side by side; doc_id and vec_id align by construction.
+  // The semantic leg is cell-BLOCKED (d05's k=8 seed-cell blocking —
+  // the scale path); the oracle reconstructs the same blocking.
   private val d08 = Q("d08_hybrid_neardup", Some("""
     WITH toks AS (SELECT doc_id,
            string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
@@ -1221,14 +1241,27 @@ object SparkEntry {
           JOIN sizes na ON na.doc_id = id_a
           JOIN sizes nb ON nb.doc_id = id_b)
       WHERE jaccard >= 0.3),
+    cents AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 8),
+    csims AS (SELECT e.vec_id, c.cell,
+        list_sum(list_transform(generate_series(1, len(e.embedding)),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      FROM embeddings e, cents c),
+    assigned AS (SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, sim,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        FROM csims) WHERE rn = 1),
     cosp AS (
       SELECT id_a, id_b, cos_sim FROM (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-          list_sum(list_transform(generate_series(1, len(a.embedding)),
-            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-          / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-             * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos_sim
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        SELECT aa.vec_id AS id_a, bb.vec_id AS id_b,
+          list_sum(list_transform(generate_series(1, len(ea.embedding)),
+            i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos_sim
+        FROM assigned aa JOIN assigned bb ON aa.cell = bb.cell AND aa.vec_id < bb.vec_id
+          JOIN embeddings ea ON ea.vec_id = aa.vec_id
+          JOIN embeddings eb ON eb.vec_id = bb.vec_id)
       WHERE cos_sim >= 0.5)
     SELECT COALESCE(j.id_a, c.id_a) AS id_a, COALESCE(j.id_b, c.id_b) AS id_b,
       j.jaccard, c.cos_sim,
@@ -1240,7 +1273,8 @@ object SparkEntry {
         T(s, dir, "documents"), T(s, dir, "embeddings"),
         "text", "doc_id", "embedding", "vec_id",
         n = 3, jaccardThreshold = 0.3, cosineThreshold = 0.5,
-        maxPostings = None) // exact: oracle-comparable
+        maxPostings = None, // exact: oracle-comparable
+        semanticBlockCells = Some(8)) // cell-blocked semantic leg (d05 blocking)
       .orderBy(col("id_a"), col("id_b")))
 
   // Sub-document (paragraph-level) dedup: non-overlapping 20-token

@@ -694,18 +694,27 @@ object Dedup {
     * side for threshold tuning.
     *
     * Scale shape: the two detectors keep their own shapes (inverted
-    * index / blocked cosine join); the final full-outer join is on
-    * (id_a, id_b) pair keys — rows proportional to flagged pairs,
+    * index / cell-blocked cosine join); the final full-outer join is
+    * on (id_a, id_b) pair keys — rows proportional to flagged pairs,
     * not the corpus.
+    *
+    * `semanticBlockCells`: Some(k) routes the semantic leg through
+    * [[embeddingNearDupsBlocked]] (the scale path — one cell-keyed
+    * exchange instead of all-pairs); None keeps the brute-force
+    * ground-truth leg for differential testing.
     */
   def hybridNearDups(
       docs: DataFrame, emb: DataFrame,
       textCol: String, idCol: String, vecCol: String, vecIdCol: String,
       n: Int = 3, jaccardThreshold: Double = 0.3,
       cosineThreshold: Double = 0.5,
-      maxPostings: Option[Int] = Some(10000)): DataFrame = {
+      maxPostings: Option[Int] = Some(10000),
+      semanticBlockCells: Option[Int] = None): DataFrame = {
     val lex = ngramJaccardPairs(docs, textCol, idCol, n, jaccardThreshold, maxPostings)
-    val sem = embeddingNearDups(emb, vecCol, vecIdCol, cosineThreshold)
+    val sem = semanticBlockCells match {
+      case Some(k) => embeddingNearDupsBlocked(emb, vecCol, vecIdCol, cosineThreshold, k)
+      case None => embeddingNearDups(emb, vecCol, vecIdCol, cosineThreshold)
+    }
     lex.join(sem, Seq("id_a", "id_b"), "full_outer")
       .withColumn("method",
         when(col("jaccard").isNotNull && col("cos_sim").isNotNull, lit("both"))
@@ -740,9 +749,12 @@ object Dedup {
         min(col(idCol)).as("first_doc"))
       .where(col("n_occurrences") > 1)
 
-  /** Embedding-cosine near-duplicate pairs (brute force within an
-    * id-blocked join; see Similarity.cosine for the expression).
-    * At scale, swap the cross join for Similarity.lshBuckets.
+  /** Embedding-cosine near-duplicate pairs, brute force: an explicit
+    * all-pairs theta-join — O(N²) and NOT the scale path. Kept as the
+    * ground truth the blocked variant
+    * ([[embeddingNearDupsBlocked]], the declared d05/d08 path) is
+    * differentially tested against: within a block the blocked
+    * variant's recall vs this one is exactly 1.0 (spec-pinned).
     */
   def embeddingNearDups(
       emb: DataFrame, vecCol: String, idCol: String,
@@ -752,6 +764,37 @@ object Dedup {
       .select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos_sim", Similarity.cosine(col("va"), col("vb")))
+      .where(col("cos_sim") >= lit(threshold))
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs with SemDeDup-style cell
+    * blocking ([[Clustering.semDedup]]'s pair-generation shape,
+    * reporting the pairs instead of applying a keep rule): members
+    * are assigned to k seed-centroid cells by a map-only
+    * inlined-centroid projection, and pairs are searched ONLY within
+    * a cell — ONE cell-keyed exchange, (|cell|²)/2 pair work per
+    * cell instead of the corpus-wide O(N²) of
+    * [[embeddingNearDups]]. At 100 TB raise k (SemDeDup uses
+    * k ≈ √N) so cells stay bounded. Cross-cell near-dups are
+    * invisible by construction — the algorithm's documented recall
+    * trade; within a cell, recall vs the brute-force ground truth is
+    * exactly 1.0 (differentially spec-pinned, and the d05 oracle
+    * reconstructs the identical blocking in SQL).
+    *
+    * @return (id_a, id_b, cos_sim) — same-cell pairs with
+    *         cosine >= threshold, id_a < id_b
+    */
+  def embeddingNearDupsBlocked(
+      emb: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, k: Int): DataFrame = {
+    val asg = Clustering.assignToSeeds(emb, vecCol, idCol, k)
+      .select(col(idCol).as("id"), col("cell"), col(vecCol).as("v"))
+    val a = asg.select(col("id").as("id_a"), col("cell"), col("v").as("va"))
+    val b = asg.select(col("id").as("id_b"), col("cell"), col("v").as("vb"))
+    a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
       .withColumn("cos_sim", Similarity.cosine(col("va"), col("vb")))
       .where(col("cos_sim") >= lit(threshold))
       .select(col("id_a"), col("id_b"), col("cos_sim"))

@@ -113,6 +113,13 @@ object ScaleSmoke {
       time(s"d14 semDedup k=$semK") {
         graft.pipeline.Clustering.semDedup(emb, "embedding", "vec_id",
           semK, 0.4).where(!col("keep")).count() }
+      // blocked near-dup pairs (d05's declared path): same O(N·k +
+      // N²/k) schedule as semDedup — the brute-force all-pairs leg is
+      // deliberately NOT timed at N× (it IS the quadratic blow-up the
+      // blocking removes)
+      time(s"d05 nearDupsBlocked k=$semK") {
+        graft.pipeline.Dedup.embeddingNearDupsBlocked(emb, "embedding",
+          "vec_id", 0.4, semK).count() }
       // degenerate corpus: every vector shares one dominant direction
       // -> ONE cell swallows everything and pair work is quadratic.
       // The maxCell anchor cap is the guard; fixed 4000-vector slice

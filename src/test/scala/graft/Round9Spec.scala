@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Clustering, Dedup}
+
+/** Round-9 operators: the cell-blocked embedding near-dup path
+  * (d05/d08's declared query) pinned differentially against the
+  * all-pairs brute force it replaces.
+  */
+class Round9Spec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  /** Blocked pairs must be EXACTLY the same-cell subset of the
+    * brute-force pairs: recall within a block is 1.0, and nothing
+    * outside a block or below the threshold leaks in. cos_sim must
+    * be bit-identical (same expression on both paths).
+    */
+  private def assertBlockedIsCellScopedBrute(
+      emb: DataFrame, tau: Double, k: Int): Unit = {
+    val blocked = Dedup.embeddingNearDupsBlocked(emb, "embedding", "vec_id", tau, k)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val cells = Clustering.assignToSeeds(emb, "embedding", "vec_id", k)
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val brute = Dedup.embeddingNearDups(emb, "embedding", "vec_id", tau)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val expected = brute.filter { case ((a, b), _) => cells(a) == cells(b) }
+    assert(blocked.keySet == expected.keySet,
+      s"blocked=${blocked.keySet} expected same-cell brute=${expected.keySet}")
+    expected.foreach { case (pair, sim) =>
+      assert(blocked(pair) == sim, s"cos_sim drift on $pair")
+    }
+  }
+
+  test("blocked near-dup == same-cell brute force on the fixture corpus") {
+    val emb = Tables.load(spark, SparkFixture.sfDir, "embeddings")
+    assertBlockedIsCellScopedBrute(emb, tau = 0.35, k = 4)
+    assertBlockedIsCellScopedBrute(emb, tau = 0.4, k = 8)
+  }
+
+  test("blocked near-dup differential on seeded random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x5eed9001L)
+    for (trial <- 1 to 6) {
+      val n = 40 + rnd.nextInt(60)
+      val dim = 8
+      val k = 2 + rnd.nextInt(5)
+      val tau = 0.3 + rnd.nextDouble() * 0.4
+      // planted duplicates: some rows are noisy copies of earlier rows
+      val base = Array.fill(n)(Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+      for (i <- 0 until n if i > 0 && rnd.nextDouble() < 0.3) {
+        val src = rnd.nextInt(i)
+        base(i) = base(src).map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f)
+      }
+      val emb = base.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toSeq.toDF("vec_id", "embedding")
+      withClue(s"trial $trial (n=$n k=$k tau=$tau): ") {
+        assertBlockedIsCellScopedBrute(emb, tau, k)
+      }
+    }
+  }
+
+  test("hybrid near-dup: blocked semantic leg leaves the lexical leg intact") {
+    val docs = Tables.load(spark, SparkFixture.sfDir, "documents")
+    val emb = Tables.load(spark, SparkFixture.sfDir, "embeddings")
+    def run(block: Option[Int]) = Dedup.hybridNearDups(
+        docs, emb, "text", "doc_id", "embedding", "vec_id",
+        n = 3, jaccardThreshold = 0.3, cosineThreshold = 0.5,
+        maxPostings = None, semanticBlockCells = block)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)), Option(r.get(3)), r.getString(4)))
+    val brute = run(None)
+    val blocked = run(Some(8))
+    // lexical evidence is untouched by the semantic blocking
+    assert(brute.filter(_._3.isDefined).map(t => (t._1, t._2, t._3)).toSet ==
+      blocked.filter(_._3.isDefined).map(t => (t._1, t._2, t._3)).toSet)
+    // blocked semantic pairs are a subset of brute-force semantic pairs
+    val bruteSem = brute.filter(_._4.isDefined).map(t => (t._1, t._2, t._4)).toSet
+    val blockedSem = blocked.filter(_._4.isDefined).map(t => (t._1, t._2, t._4)).toSet
+    assert(blockedSem.subsetOf(bruteSem))
+  }
+}
