@@ -19,6 +19,7 @@ import scala.util.control.NonFatal
   * Routes (mirroring `lib/src/server/routes.rs:24-57`):
   *   POST   /dataframe/query          one-shot: ingest → merge → SQL → encode
   *   POST   /session                  create (optional ?id=&keepAlive=)
+  *   GET    /session/create           create, reference's route shape (?id=&keepAlive=)
   *   GET    /session                  list
   *   GET    /session/{id}             detail {id, created, ttl}
   *   DELETE /session/{id}             destroy
@@ -108,6 +109,15 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
       case ("GET", Array()) =>
         respondJson(ex, 200,
           sessions.list.sortBy(_.createdAt).map(sessionJson).mkString("[", ",", "]"))
+      // the reference's session-create route is a GET with query
+      // params (server/routes.rs:30, handler session.rs:50-66) — a
+      // doc-following client must not fall through to the by-id
+      // lookup below and 404
+      case ("GET", Array("create")) =>
+        val q = query(ex)
+        val h = sessions.create(q.get("id"), q.getOrElse("keepAlive", "3600").toLong)
+        metrics.sessionsCreated.increment()
+        respondJson(ex, 200, sessionJson(h))
       case ("GET", Array(id)) =>
         withSession(ex, id)(h => respondJson(ex, 200, sessionJson(h)))
       case ("DELETE", Array(id)) =>

@@ -313,6 +313,19 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(get("/session/it").statusCode() == 404)
   }
 
+  test("GET /session/create creates a session with the requested TTL") {
+    // the reference serves session create as GET with query params
+    // (routes.rs:30, session.rs:50-66) — must not 404 into the by-id
+    // lookup
+    val r = get("/session/create?id=viaget&keepAlive=1234")
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body().contains("\"viaget\""))
+    val listed = get("/session").body()
+    assert(listed.contains("\"viaget\""))
+    assert(get("/session/viaget").body().contains("1234"))
+    assert(delete("/session/viaget").statusCode() == 200)
+  }
+
   test("merge processor column direction over HTTP") {
     val body =
       s"""{"dataSources":[
