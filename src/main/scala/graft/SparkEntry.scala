@@ -3066,10 +3066,11 @@ object SparkEntry {
     s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
             SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy FROM xy)
     SELECT CAST(n AS BIGINT) AS n_ranks,
-      ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-      ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
+      ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0.0), 6) AS slope,
+      ROUND((sy - ((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0.0)) * sx)
+        / NULLIF(n, 0.0), 6) AS intercept,
       ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
-        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        / NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0.0), 6) AS r2
     FROM s"""),
     (s, dir) => TextAnalysis.zipfFit(T(s, dir, "documents"), "text", topN = 100))
 

@@ -86,9 +86,11 @@ object Tables {
     }
 
   /** events with `ts` as a proper TimestampType (µs precision)
-    * whichever physical type the driver wrote this round. The NANOS
-    * path keeps the raw nanosecond count as `ts_ns` for
-    * precision-sensitive consumers.
+    * whichever physical type the driver wrote this round, plus a
+    * `ts_ns` nanosecond count on EVERY path — the returned schema is
+    * identical across fixture rounds, so a ts_ns consumer can't work
+    * on NANOS rounds and break on µs rounds (on µs fixtures the low
+    * three digits are simply zero).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, s"$sfDir/events") {
@@ -100,7 +102,9 @@ object Tables {
             .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
         case _: org.apache.spark.sql.types.TimestampNTZType => // naive µs
           raw.withColumn("ts", col("ts").cast("timestamp"))
-        case _ => raw // already session-zone µs
+            .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+        case _ => // already session-zone µs
+          raw.withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
       }
     }
 }

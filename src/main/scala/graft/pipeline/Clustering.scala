@@ -105,9 +105,12 @@ object Clustering {
     * pairs are searched ONLY within a cluster — the clustering turns
     * the corpus-wide O(N²) cosine search into k independent
     * O((N/k)²) searches. A member is dropped when some smaller-id
-    * member of its cluster sits within `threshold` cosine; the
-    * smallest id of every near-dup group survives (greedy-by-id, the
-    * same deterministic keep rule as [[Dedup.dedupedCorpus]]).
+    * member of its cluster sits within `threshold` cosine — a GREEDY
+    * smaller-id-neighbor rule, deterministic but deliberately not
+    * [[Dedup.dedupedCorpus]]'s transitive-closure labeling: with
+    * edges 5–1 and 5–3 (no 1–3 edge) closure keeps only 1, while
+    * this rule keeps 1 AND 3 (a superset-keep — only members with a
+    * direct smaller-id near neighbor drop).
     *
     * Scale shape: assignment is the map-only inlined-centroid
     * projection ([[assignToCentroidArrays]] — no join, no shuffle);
@@ -178,6 +181,12 @@ object Clustering {
     * projections; the batch side is BROADCAST against the corpus for
     * the cross check, so the corpus scans once and never shuffles —
     * the d10 move — and the batch-internal pair join is batch-sized.
+    * The explicit broadcast() hint bypasses Spark's auto-broadcast
+    * threshold, so the BATCH (ids + embeddings) must fit comfortably
+    * in executor memory and under the 8 GB broadcast hard cap —
+    * ~1M rows of 768-dim float32 ≈ 3 GB is the practical ceiling;
+    * split larger ingests into multiple calls (cells are
+    * corpus-seeded, so per-chunk results compose exactly).
     *
     * @return one row per batch member: (idCol, cell, keep)
     */

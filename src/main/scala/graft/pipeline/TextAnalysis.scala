@@ -666,6 +666,13 @@ object TextAnalysis {
       .withColumn("r", row_number().over(w))
       .select(log(col("r").cast("double")).as("x"),
         log(col("cnt").cast("double")).as("y"))
+    // Degenerate-corpus guard: with a single rank (n=1) the slope
+    // denominator n·sxx−sx² is 0, and with all top-N counts equal
+    // r²'s n·syy−sy² term is 0. Spark's non-ANSI Divide returns NULL
+    // on 0/0 but DuckDB float division yields inf/nan — nullif pins
+    // BOTH engines to NULL (the oracle uses the same nullif).
+    def safeDiv(num: Column, den: Column): Column =
+      num / nullif(den, lit(0.0))
     xy.agg(
         count(lit(1)).cast("double").as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
@@ -674,14 +681,14 @@ object TextAnalysis {
         sum(col("y") * col("y")).as("syy"))
       .select(
         col("n").cast("long").as("n_ranks"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
-        round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("n"), 6)
+        round(safeDiv(col("n") * col("sxy") - col("sx") * col("sy"),
+          col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round(safeDiv((col("sy") - safeDiv(col("n") * col("sxy") - col("sx") * col("sy"),
+          col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")), col("n")), 6)
           .as("intercept"),
-        round(((col("n") * col("sxy") - col("sx") * col("sy")) *
-          (col("n") * col("sxy") - col("sx") * col("sy"))) /
-          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+        round(safeDiv((col("n") * col("sxy") - col("sx") * col("sy")) *
+          (col("n") * col("sxy") - col("sx") * col("sy")),
+          (col("n") * col("sxx") - col("sx") * col("sx")) *
            (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
   }
 

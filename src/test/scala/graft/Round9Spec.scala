@@ -63,6 +63,31 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("zipfFit degenerate corpora: NULL, never inf/nan") {
+    import spark.implicits._
+    // every token distinct -> all top-N counts equal -> r2's
+    // n*syy - sy*sy denominator is 0; both engines must say NULL
+    val flat = Seq((0L, "a b c d"), (1L, "e f g h")).toDF("doc_id", "text")
+    val r1 = graft.pipeline.TextAnalysis.zipfFit(flat, "text", topN = 100).head()
+    assert(r1.getLong(0) == 8L)
+    assert(r1.isNullAt(3), "r2 must be NULL when all counts are equal")
+    assert(!r1.isNullAt(1), "slope is defined (ranks differ)")
+    // a single token type -> one rank -> slope denominator is 0 too
+    val mono = Seq((0L, "x x x")).toDF("doc_id", "text")
+    val r2 = graft.pipeline.TextAnalysis.zipfFit(mono, "text", topN = 100).head()
+    assert(r2.getLong(0) == 1L)
+    assert(r2.isNullAt(1) && r2.isNullAt(3))
+  }
+
+  test("events schema is round-stable: ts_ns present on every physical type") {
+    val ev = Tables.events(spark, SparkFixture.sfDir)
+    assert(ev.columns.contains("ts_ns"))
+    assert(ev.schema("ts_ns").dataType == org.apache.spark.sql.types.LongType)
+    // ts_ns is consistent with ts at µs precision on every path
+    val bad = ev.where(unix_micros(col("ts")) =!= expr("ts_ns div 1000")).count()
+    assert(bad == 0L)
+  }
+
   test("hybrid near-dup: blocked semantic leg leaves the lexical leg intact") {
     val docs = Tables.load(spark, SparkFixture.sfDir, "documents")
     val emb = Tables.load(spark, SparkFixture.sfDir, "embeddings")
