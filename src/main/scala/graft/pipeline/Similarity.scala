@@ -71,15 +71,22 @@ object Similarity {
     * across the neighborhood).
     *
     * Distributed shape: the greedy loop is inherently sequential in
-    * k, so it runs as k DRIVER-scheduled map-only passes — each pass
-    * scores the corpus against the ≤k selected vectors INLINED as
-    * literal arrays (the s07 centroid move: no join, no shuffle) and
-    * takes one TopK row. Selected state is k vectors on the driver —
-    * bounded like IVF's trained centroids. The scored corpus is
-    * cached across the k passes and unpersisted before returning.
-    * All arithmetic is the oracle-bit-identical cosine kernel plus
-    * IEEE λ-mixing, so the WHOLE greedy trajectory hash-matches SQL
-    * (s21) — argmax ties and all.
+    * k, so it runs as k DRIVER-scheduled map-only passes, each
+    * carrying a RUNNING `max_sim` column — after every pick the
+    * candidate frame folds the new selected vector in with ONE
+    * `greatest(max_sim, cos(v, picked))` (the picked vector inlined
+    * as a literal array — the s07 centroid move: no join, no
+    * shuffle) and re-caches, so each pass evaluates one cosine per
+    * row and the plan size is CONSTANT in k (round i of the
+    * alternative — re-inlining all i selected vectors in a growing
+    * `greatest` — does O(k²) total expression work). Selected state
+    * is k vectors on the driver — bounded like IVF's trained
+    * centroids; interim caches are dropped as soon as the next
+    * round's frame materializes, and everything unpersists before
+    * returning. IEEE max is associative, so the one-at-a-time
+    * `greatest` fold is bit-identical to the all-at-once max: the
+    * WHOLE greedy trajectory still hash-matches SQL (s21) — argmax
+    * ties and all.
     *
     * @return (rank, vec_id, qsim, mmr) in selection order
     */
@@ -98,31 +105,40 @@ object Similarity {
         transform(col(vecCol), _.cast("double")).as("v"))
       .withColumn("qsim", cosine(col("v"), qCol))
       .cache()
+    var interim: Option[org.apache.spark.sql.DataFrame] = None
     try {
       val sel = scala.collection.mutable.ArrayBuffer
         .empty[(Long, Array[Double], Double, Double)]
+      var cur = cand
       var exhausted = false
       while (sel.size < k && !exhausted) {
-        val penalty: Column =
-          if (sel.isEmpty) lit(0.0)
-          else {
-            val sims = sel.map { case (_, sv, _, _) =>
-              cosine(col("v"), array(sv.toSeq.map(lit): _*)) }.toSeq
-            if (sims.size == 1) sims.head else greatest(sims: _*)
-          }
-        val score = lit(lambda) * col("qsim") -
-          (lit(1.0) - lit(lambda)) * penalty
-        val remaining =
-          if (sel.isEmpty) cand
-          else cand.where(!col("id").isin(sel.map(_._1).toSeq: _*))
-        remaining
+        // the first pick has no penalty term (matches the oracle's
+        // λ·qsim − (1−λ)·0 for an empty selection)
+        val score =
+          if (sel.isEmpty) lit(lambda) * col("qsim") - (lit(1.0) - lit(lambda)) * lit(0.0)
+          else lit(lambda) * col("qsim") - (lit(1.0) - lit(lambda)) * col("max_sim")
+        cur
           .select(col("id"), col("v"), col("qsim"), score.as("mmr"))
           .orderBy(col("mmr").desc, col("id"))
           .limit(1)
           .collect()
           .headOption match {
-          case Some(r) => sel += ((r.getLong(0), r.getSeq[Double](1).toArray,
-            r.getDouble(2), r.getDouble(3)))
+          case Some(r) =>
+            val picked = (r.getLong(0), r.getSeq[Double](1).toArray,
+              r.getDouble(2), r.getDouble(3))
+            sel += picked
+            if (sel.size < k) {
+              val simToPicked = cosine(col("v"), array(picked._2.toSeq.map(lit): _*))
+              val next = cur.where(col("id") =!= lit(picked._1))
+                .withColumn("max_sim",
+                  if (sel.size == 1) simToPicked
+                  else greatest(col("max_sim"), simToPicked))
+                .cache()
+              next.count(): Unit // materialize BEFORE dropping the old cache
+              interim.foreach(_.unpersist(): Unit)
+              interim = Some(next)
+              cur = next
+            }
           case None => exhausted = true
         }
       }
@@ -130,7 +146,10 @@ object Similarity {
       sel.toSeq.zipWithIndex
         .map { case ((id, _, qs, sc), i) => (i + 1L, id, qs, sc) }
         .toDF("rank", idCol, "qsim", "mmr")
-    } finally { cand.unpersist(): Unit }
+    } finally {
+      cand.unpersist(): Unit
+      interim.foreach(_.unpersist(): Unit)
+    }
   }
 
   /** Batch top-k: k nearest corpus vectors for EVERY query vector in
