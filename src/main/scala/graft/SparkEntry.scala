@@ -3362,6 +3362,55 @@ object SparkEntry {
         .orderBy(col("sample_id"))
     })
 
+  // THIRD real codec roundtrip, video: text → uncompressed RIFF-AVI
+  // (5×2 DIB frames, 10 text bytes each, stored row stride 16 = real
+  // padding) → container parse → per-FRAME pixel stats. The oracle
+  // rebuilds every frame from the ground-truth text via the same
+  // byte map (frame f pixel i ← byte f·10+i, zero-padded tail), so a
+  // decoder that miswalks the chunk tree, reads rows top-down, or
+  // mixes channels hash-mismatches. n_bytes pins the whole container
+  // layout (232 + 56·n_frames); ASCII pin as in m04/m05.
+  private val m08 = Q("m08_avi_frame_stats", Some("""
+    WITH d AS (SELECT doc_id,
+        octet_length(CAST(text AS BLOB)) AS nb,
+        (octet_length(CAST(text AS BLOB)) + 9) // 10 AS nf,
+        string_split(text, '') AS cs
+      FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) > 0
+        AND octet_length(CAST(text AS BLOB)) = length(text)),
+    v AS (SELECT doc_id, nb, nf, f, i,
+        CASE WHEN f * 10 + i < nb THEN ord(cs[CAST(f * 10 + i + 1 AS BIGINT)])
+             ELSE NULL END AS b
+      FROM d, UNNEST(generate_series(0, nf - 1)) AS gf(f),
+             UNNEST(generate_series(0, 9)) AS gi(i))
+    SELECT doc_id AS sample_id,
+      CAST(232 + 56 * nf AS BIGINT) AS n_bytes,
+      CAST(5 AS BIGINT) AS width,
+      CAST(2 AS BIGINT) AS height,
+      CAST(10 AS BIGINT) AS fps,
+      CAST(nf AS BIGINT) AS n_frames,
+      CAST(f AS BIGINT) AS frame_idx,
+      CAST(SUM(COALESCE(b, 0)) AS DOUBLE) / 10 AS mean_b,
+      CAST(SUM(CASE WHEN b IS NULL THEN 0 ELSE 255 - b END) AS DOUBLE) / 10 AS mean_g,
+      CAST(SUM(COALESCE((2 * b) % 256, 0)) AS DOUBLE) / 10 AS mean_r,
+      CAST(MAX(CASE WHEN i = 0 THEN b END) AS BIGINT) AS top_left_b
+    FROM v GROUP BY doc_id, nf, f ORDER BY sample_id, frame_idx"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents").where(octet_length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
+      Multimodal.decodeAviFrames(Multimodal.textAsAvi(docs, "doc_id", "text",
+          width = 5, height = 2, usPerFrame = 100000))
+        .toDF()
+        .select(col("sample_id"), col("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("fps").cast("long").as("fps"),
+          col("n_frames"), col("frame_idx"),
+          col("mean_b"), col("mean_g"), col("mean_r"),
+          col("top_left_b").cast("long").as("top_left_b"))
+        .orderBy(col("sample_id"), col("frame_idx"))
+    })
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -3377,7 +3426,7 @@ object SparkEntry {
     s16, s17, s18, s19, s20, s21,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
-    m01, m02, m03, m04, m05, m06, m07)
+    m01, m02, m03, m04, m05, m06, m07, m08)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))

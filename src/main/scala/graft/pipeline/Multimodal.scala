@@ -9,12 +9,14 @@ import org.apache.spark.sql.types._
   * convention of large-scale multimodal dataset formats (one row per
   * sample, media inline or by reference).
   *
-  * The actual media codecs are NOT available in this environment, so
-  * the decode kernel is a clearly-marked deterministic stub
-  * ([[FakeDecoder]]); everything Spark-side — schema, batch shape,
-  * partition-wise execution, feature extraction contract — is real
-  * and tested. Swap [[FakeDecoder]] for a JNI/javacpp codec in
-  * production.
+  * Three REAL pure-JVM containers cover the family's decode paths:
+  * [[WavCodec]] (audio), [[BmpCodec]] (image), [[AviCodec]] (video).
+  * Only formats that genuinely need native codec libs
+  * (JPEG/MP4/MP3/…, not present in this container) fall back to the
+  * clearly-marked deterministic stub [[FakeDecoder]]; everything
+  * Spark-side — schema, batch shape, partition-wise execution,
+  * feature extraction contract — is real and tested either way. Swap
+  * [[FakeDecoder]] for a JNI/javacpp codec in production.
   *
   * Scale notes: decode runs as `mapPartitions` over the sample rows,
   * i.e., embarrassingly parallel, no shuffle; payload bytes never
@@ -328,6 +330,181 @@ object Multimodal {
     }
   }
 
+  /** Real pure-JVM VIDEO codec: uncompressed RIFF-AVI with 24bpp DIB
+    * frames — the video sibling of [[WavCodec]]/[[BmpCodec]], and the
+    * third REAL container in the family: an actual AVI structure
+    * (hdrl LIST with avih/strh/strf headers, movi LIST of 00db frame
+    * chunks, idx1 index) that a stock media tool recognizes. Frames
+    * are stored exactly as BMP pixel data (bottom-up BGR24 rows,
+    * 4-byte stride), so every decoder trap the image path pins —
+    * row order, stride padding, channel order — recurs per frame,
+    * plus the container traps of its own (chunk walking, declared vs
+    * actual frame counts). With this, [[FakeDecoder]] stands in ONLY
+    * for formats that genuinely need native codecs (JPEG/MP4/MP3…).
+    */
+  object AviCodec {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    private def rowStride(width: Int): Int = ((width * 3 + 3) / 4) * 4
+
+    /** Canonical uncompressed AVI writer: `frames` are BGR triples in
+      * IMAGE order (row 0 = top), one array per frame, each of length
+      * width*height. `usPerFrame` is the frame interval in µs.
+      */
+    def encodeBgr24(frames: Array[Array[(Byte, Byte, Byte)]], width: Int,
+        height: Int, usPerFrame: Int): Array[Byte] = {
+      require(width > 0 && height > 0 && usPerFrame > 0, "bad avi params")
+      require(frames.nonEmpty, "avi needs at least one frame")
+      frames.foreach(f => require(f.length == width * height,
+        "frame pixels != width*height"))
+      val stride = rowStride(width)
+      val frameBytes = stride * height
+      require(frameBytes % 2 == 0, "odd frame chunk (would need RIFF pad)")
+      val n = frames.length
+      val hdrlData = 4 + (8 + 56) + (8 + (4 + (8 + 56) + (8 + 40)))
+      val moviData = 4 + n * (8 + frameBytes)
+      val idx1Data = 16 * n
+      val riffData = 4 + (8 + hdrlData) + (8 + moviData) + (8 + idx1Data)
+      val bb = ByteBuffer.allocate(8 + riffData).order(ByteOrder.LITTLE_ENDIAN)
+      def fourCC(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+      fourCC("RIFF"); bb.putInt(riffData); fourCC("AVI ")
+      fourCC("LIST"); bb.putInt(hdrlData); fourCC("hdrl")
+      fourCC("avih"); bb.putInt(56)
+      bb.putInt(usPerFrame)
+      bb.putInt(frameBytes * (1000000 / usPerFrame).max(1)) // maxBytesPerSec
+      bb.putInt(0) // padding granularity
+      bb.putInt(0x10) // AVIF_HASINDEX
+      bb.putInt(n) // totalFrames
+      bb.putInt(0) // initialFrames
+      bb.putInt(1) // streams
+      bb.putInt(frameBytes) // suggestedBufferSize
+      bb.putInt(width); bb.putInt(height)
+      bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0) // reserved
+      fourCC("LIST"); bb.putInt(4 + (8 + 56) + (8 + 40)); fourCC("strl")
+      fourCC("strh"); bb.putInt(56)
+      fourCC("vids"); fourCC("DIB ")
+      bb.putInt(0); bb.putShort(0); bb.putShort(0) // flags, prio, lang
+      bb.putInt(0) // initialFrames
+      bb.putInt(usPerFrame) // scale
+      bb.putInt(1000000) // rate (rate/scale = fps)
+      bb.putInt(0) // start
+      bb.putInt(n) // length in frames
+      bb.putInt(frameBytes) // suggestedBufferSize
+      bb.putInt(-1) // quality
+      bb.putInt(0) // sampleSize
+      bb.putShort(0); bb.putShort(0); bb.putShort(width.toShort)
+      bb.putShort(height.toShort) // rcFrame
+      fourCC("strf"); bb.putInt(40)
+      bb.putInt(40); bb.putInt(width); bb.putInt(height) // positive => bottom-up
+      bb.putShort(1); bb.putShort(24) // planes, bpp
+      bb.putInt(0) // BI_RGB
+      bb.putInt(frameBytes)
+      bb.putInt(2835); bb.putInt(2835); bb.putInt(0); bb.putInt(0)
+      fourCC("LIST"); bb.putInt(moviData); fourCC("movi")
+      val frameOffsets = new Array[Int](n)
+      var f = 0
+      while (f < n) {
+        frameOffsets(f) = bb.position() - (8 + 4 + (8 + hdrlData) + 8) // offset from 'movi'
+        fourCC("00db"); bb.putInt(frameBytes)
+        val px = frames(f)
+        var sr = 0
+        while (sr < height) {
+          val imageRow = height - 1 - sr // bottom-up
+          var c = 0
+          while (c < width) {
+            val (b, g, r) = px(imageRow * width + c)
+            bb.put(b); bb.put(g); bb.put(r)
+            c += 1
+          }
+          var pad = stride - width * 3
+          while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+          sr += 1
+        }
+        f += 1
+      }
+      fourCC("idx1"); bb.putInt(idx1Data)
+      f = 0
+      while (f < n) {
+        fourCC("00db"); bb.putInt(0x10) // AVIIF_KEYFRAME
+        bb.putInt(frameOffsets(f)); bb.putInt(frameBytes)
+        f += 1
+      }
+      bb.array()
+    }
+
+    /** Decoded container header. */
+    case class AviInfo(width: Int, height: Int, usPerFrame: Int, nFrames: Int)
+
+    /** Header-validating parse + full frame decode: walks the RIFF
+      * chunk tree (no fixed offsets — a writer may order or pad
+      * differently), validates 'vids'/DIB/24bpp/BI_RGB, and returns
+      * each frame's BGR pixels in IMAGE row-major order (honoring
+      * bottom-up row storage and the 4-byte stride). The declared
+      * avih/strh frame counts must match the actual movi chunks.
+      */
+    def decodeFrames(bytes: Array[Byte]): (AviInfo, Array[Array[Byte]]) = {
+      require(bytes != null && bytes.length >= 12, "not an avi: too short")
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      def fourCC(at: Int): String =
+        new String(bytes, at, 4, "US-ASCII")
+      require(fourCC(0) == "RIFF" && fourCC(8) == "AVI ", "not an avi: bad magic")
+      val riffEnd = math.min(8L + bb.getInt(4), bytes.length.toLong).toInt
+      var usPerFrame = 0; var totalFrames = -1; var width = 0; var height = 0
+      var strhFrames = -1; var sawVids = false; var bpp = -1; var compression = -1
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      def walk(from: Int, until: Int): Unit = {
+        var p = from
+        while (p + 8 <= until) {
+          val cc = fourCC(p)
+          val size = bb.getInt(p + 4)
+          require(size >= 0 && p + 8 + size <= until, s"truncated chunk $cc")
+          cc match {
+            case "LIST" =>
+              walk(p + 12, p + 8 + size) // skip the list type fourCC
+            case "avih" =>
+              usPerFrame = bb.getInt(p + 8)
+              totalFrames = bb.getInt(p + 8 + 16)
+              width = bb.getInt(p + 8 + 32)
+              height = bb.getInt(p + 8 + 36)
+            case "strh" =>
+              if (fourCC(p + 8) == "vids") {
+                sawVids = true
+                strhFrames = bb.getInt(p + 8 + 32)
+              }
+            case "strf" if sawVids && bpp < 0 =>
+              bpp = bb.getShort(p + 8 + 14) & 0xffff
+              compression = bb.getInt(p + 8 + 16)
+            case "00db" | "00dc" =>
+              frames += java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + size)
+            case _ => () // idx1, JUNK, ...
+          }
+          p += 8 + size + (size & 1) // RIFF chunks are word-aligned
+        }
+      }
+      walk(12, riffEnd)
+      require(width > 0 && height > 0, "bad avi dims")
+      require(sawVids, "no video stream (strh 'vids') found")
+      require(bpp == 24, s"unsupported bpp $bpp (24 only)")
+      require(compression == 0, s"unsupported compression $compression (DIB only)")
+      require(usPerFrame > 0, "bad frame interval")
+      require(frames.length == totalFrames && frames.length == strhFrames,
+        s"frame count mismatch: avih=$totalFrames strh=$strhFrames movi=${frames.length}")
+      val stride = rowStride(width)
+      val out = frames.map { raw =>
+        require(raw.length == stride * height, "bad frame chunk size")
+        val px = new Array[Byte](width * height * 3)
+        var imageRow = 0
+        while (imageRow < height) {
+          val storedRow = height - 1 - imageRow // bottom-up, as declared
+          System.arraycopy(raw, storedRow * stride, px, imageRow * width * 3, width * 3)
+          imageRow += 1
+        }
+        px
+      }.toArray
+      (AviInfo(width, height, usPerFrame, frames.length), out)
+    }
+  }
+
   /** Wrap a text corpus as REAL BMP payloads: byte i of the text
     * becomes image pixel (row i/width, col i%width) with channels
     * (B = byte, G = 255−byte, R = 2·byte mod 256) — three distinct
@@ -473,6 +650,83 @@ object Multimodal {
     * [[mediaSchema]]. `media_type` from the filename extension;
     * width/height/duration left null for the decoder to fill.
     */
+  /** Wrap a text corpus as REAL AVI payloads: the text is chopped
+    * into width×height-byte frames (frame f, image-order pixel i ←
+    * text byte f·w·h + i, zero-pixel padded past the end), with the
+    * m05 channel functions (B = byte, G = 255−byte, R = 2·byte mod
+    * 256) so a BGR mixup is visible per frame. Default 5×2 frames
+    * make the stored row stride 16 (15 pixel bytes + 1 REAL pad
+    * byte) and 10 text bytes per frame. Every decoded field is
+    * derivable from the text by the oracle (m08).
+    */
+  def textAsAvi(docs: DataFrame, idCol: String, textCol: String,
+      width: Int = 5, height: Int = 2, usPerFrame: Int = 100000): DataFrame = {
+    require(width > 0 && height > 0, "bad frame dims")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), encode(col(textCol), "UTF-8"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val perFrame = width * height
+        it.map { case (id, text) =>
+          val bytes = if (text == null) Array.emptyByteArray else text
+          require(bytes.nonEmpty, "textAsAvi: empty payload (filter first)")
+          val nFrames = (bytes.length + perFrame - 1) / perFrame
+          val frames = Array.tabulate(nFrames) { f =>
+            Array.tabulate(perFrame) { i =>
+              val at = f * perFrame + i
+              if (at < bytes.length) {
+                val v = bytes(at) & 0xff
+                (v.toByte, (255 - v).toByte, ((v * 2) % 256).toByte)
+              } else (0.toByte, 0.toByte, 0.toByte)
+            }
+          }
+          (id, AviCodec.encodeBgr24(frames, width, height, usPerFrame))
+        }
+      }
+      .toDF("sample_id", "payload")
+  }
+
+  /** Per-FRAME decoded AVI stats, one row per (sample, frame). */
+  case class AviFrameStats(
+      sample_id: Long, n_bytes: Long, width: Int, height: Int,
+      fps: Int, n_frames: Long, frame_idx: Long,
+      mean_b: Double, mean_g: Double, mean_r: Double, top_left_b: Int)
+
+  /** Partition-parallel REAL video decode, the frame-level sibling of
+    * [[decodeBmp]]: same mapPartitions contract (payload bytes never
+    * leave the executor; only the small per-frame stats rows flow
+    * on), kernel is [[AviCodec]]'s actual RIFF chunk walk + per-frame
+    * bottom-up strided pixel scan. Integer byte sums → exact doubles.
+    */
+  def decodeAviFrames(media: DataFrame, idCol: String = "sample_id",
+      payloadCol: String = "payload"): Dataset[AviFrameStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val (info, frames) = AviCodec.decodeFrames(payload)
+          val n = info.width * info.height
+          frames.iterator.zipWithIndex.map { case (px, f) =>
+            var sumB = 0L; var sumG = 0L; var sumR = 0L
+            var i = 0
+            while (i < n) {
+              sumB += px(i * 3) & 0xff
+              sumG += px(i * 3 + 1) & 0xff
+              sumR += px(i * 3 + 2) & 0xff
+              i += 1
+            }
+            AviFrameStats(id, payload.length.toLong, info.width, info.height,
+              1000000 / info.usPerFrame, info.nFrames.toLong, f.toLong,
+              sumB.toDouble / n, sumG.toDouble / n, sumR.toDouble / n,
+              px(0) & 0xff)
+          }
+        }
+      }
+  }
+
   def readMediaDir(spark: SparkSession, dir: String, mediaType: String = ""): DataFrame = {
     val files = spark.read.format("binaryFile").load(dir)
     files.select(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.pipeline.{Clustering, Dedup}
+import graft.pipeline.{Clustering, Dedup, Multimodal}
 
 /** Round-9 operators: the cell-blocked embedding near-dup path
   * (d05/d08's declared query) pinned differentially against the
@@ -86,6 +86,76 @@ class Round9Spec extends AnyFunSuite {
     // ts_ns is consistent with ts at µs precision on every path
     val bad = ev.where(unix_micros(col("ts")) =!= expr("ts_ns div 1000")).count()
     assert(bad == 0L)
+  }
+
+  // ---------------------------------------------------------------- AviCodec
+
+  test("AviCodec roundtrip: frames survive encode/decode pixel-exact") {
+    val rnd = new scala.util.Random(0x5eed9002L)
+    for (_ <- 1 to 10) {
+      val w = 1 + rnd.nextInt(7)
+      val h = 1 + rnd.nextInt(5)
+      val stride = ((w * 3 + 3) / 4) * 4
+      if (stride * h % 2 == 0) { // encoder precondition: even chunks
+        val n = 1 + rnd.nextInt(6)
+        val frames = Array.fill(n)(Array.fill(w * h)(
+          (rnd.nextInt(256).toByte, rnd.nextInt(256).toByte, rnd.nextInt(256).toByte)))
+        val bytes = Multimodal.AviCodec.encodeBgr24(frames, w, h, 40000)
+        val (info, out) = Multimodal.AviCodec.decodeFrames(bytes)
+        assert((info.width, info.height, info.usPerFrame, info.nFrames) == (w, h, 40000, n))
+        for (f <- 0 until n; i <- 0 until w * h) {
+          val (b, g, r) = frames(f)(i)
+          assert(out(f)(i * 3) == b && out(f)(i * 3 + 1) == g && out(f)(i * 3 + 2) == r,
+            s"pixel mismatch at frame $f index $i (w=$w h=$h)")
+        }
+      }
+    }
+  }
+
+  test("AviCodec rejects corrupted containers") {
+    val frames = Array(Array.fill(10)((1.toByte, 2.toByte, 3.toByte)))
+    val good = Multimodal.AviCodec.encodeBgr24(frames, 5, 2, 100000)
+    intercept[IllegalArgumentException] {
+      Multimodal.AviCodec.decodeFrames("nope".getBytes ++ good.drop(4)) }
+    // declared frame count != movi chunks
+    val lied = good.clone()
+    lied(32 + 16) = 9 // avih dwTotalFrames lives at offset 32+16 in this layout
+    intercept[IllegalArgumentException] { Multimodal.AviCodec.decodeFrames(lied) }
+    // cut into the single frame's 00db data (idx1 is only 24 bytes,
+    // so -30 lands mid-frame) -> the chunk walk must flag truncation
+    intercept[IllegalArgumentException] {
+      Multimodal.AviCodec.decodeFrames(good.take(good.length - 30)) }
+  }
+
+  test("textAsAvi/decodeAviFrames distributed roundtrip matches byte math") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello world, twenty-three bytes"), // 31 bytes -> 4 frames
+      (2L, "0123456789"),                       // exactly one frame
+      (3L, "abc")                               // one padded frame
+    ).toDF("doc_id", "text")
+    val out = Multimodal.decodeAviFrames(
+        Multimodal.textAsAvi(docs, "doc_id", "text"))
+      .collect().map(s => ((s.sample_id, s.frame_idx), s)).toMap
+    assert(out.size == 4 + 1 + 1)
+    val s1 = out((1L, 0L))
+    assert(s1.n_frames == 4 && s1.width == 5 && s1.height == 2 && s1.fps == 10)
+    assert(s1.n_bytes == 232 + 56 * 4)
+    // frame 0 of doc 1: bytes of "hello worl"
+    val b0 = "hello worl".getBytes("UTF-8").map(_ & 0xff)
+    assert(s1.mean_b == b0.sum.toDouble / 10)
+    assert(s1.mean_g == b0.map(255 - _).sum.toDouble / 10)
+    assert(s1.mean_r == b0.map(v => (2 * v) % 256).sum.toDouble / 10)
+    assert(s1.top_left_b == 'h'.toInt)
+    // doc 3 ("abc"): 3 bytes + 7 zero pixels
+    val s3 = out((3L, 0L))
+    val b3 = "abc".getBytes("UTF-8").map(_ & 0xff)
+    assert(s3.mean_b == b3.sum.toDouble / 10)
+    assert(s3.mean_g == b3.map(255 - _).sum.toDouble / 10)
+    assert(s3.top_left_b == 'a'.toInt)
+    // last frame of doc 1 starts at byte 30 -> "s" then 9 zero pixels
+    val sLast = out((1L, 3L))
+    assert(sLast.top_left_b == 's'.toInt)
   }
 
   test("hybrid near-dup: blocked semantic leg leaves the lexical leg intact") {
