@@ -75,6 +75,8 @@ object ExplainDump {
       "m07_wav_resample" -> "real audio resample roundtrip: PCM decode + rate conversion + re-encode + decode in one mapPartitions chain — the m06 contract for the audio container",
       "t27_interpolated_logprob" -> "interpolated LM: the t22 single-materialization shape (per-doc bigram counts cached once, consumers re-aggregate the hash-only InMemoryRelation) plus the unigram back-off join; the unigram table is a second SCAN-STAGE tokenization — cheaper than materializing a shared tagged stream through a corpus-wide exchange",
       "t28_temperature_mix" -> "temperature mixing weights: one source-keyed partial-agg groupBy; the weight windows run over source-cardinality rows (a handful), so the operator is one exchange however large the corpus",
+      "m08_avi_frame_stats" -> "real video codec roundtrip: text -> RIFF-AVI encode -> container parse -> per-frame stats ALL in one mapPartitions chain over the scan (the m04/m05 contract for the video container) — payload bytes never leave the executor; presentation sort is the only exchange",
+      "d05_embedding_neardup" -> "cell-BLOCKED near-dup pairs: map-only inlined-centroid assignment (no join), ONE cell-keyed exchange bounds pair work to (|cell|^2)/2 per cell — the SemDeDup blocking as a pair REPORTER; the all-pairs brute force survives only as Round9Spec's differential ground truth",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")

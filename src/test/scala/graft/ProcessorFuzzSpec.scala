@@ -223,6 +223,64 @@ class ProcessorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gone.statusCode() == 500, gone.body())
   }
 
+  // ------------------------------------------------------------ connector fuzz
+
+  test("fuzz: connector-scheme datasources under generated params + refresh") {
+    import scala.jdk.CollectionConverters._
+    val rnd = new scala.util.Random(0x5eed9005L)
+    // one registry entry, many generated shapes: authority picks the
+    // generator, path carries a multiplier, pluginOptions the row
+    // count — exactly the reference's scheme-dispatched plugin shape
+    graft.serve.Connectors.register("fuzzgen", (sp, uri, opts, _) => {
+      val n = opts.get("rows").map(_.asLong()).getOrElse(1L)
+      val mult = uri.getPath.stripPrefix("/").toLong
+      uri.getAuthority match {
+        case "ints" => sp.range(n).toDF("v").select((col("v") * mult).as("v"))
+        case "pairs" => sp.range(n).toDF("v")
+          .select(col("v"), (col("v") % mult).as("m"))
+        case other => throw new IllegalArgumentException(s"unknown generator $other")
+      }
+    })
+    for (trial <- 1 to 12) {
+      val sid = s"connfuzz$trial"
+      assert(post(s"/session?id=$sid", "").statusCode() == 200)
+      try {
+        val kind = if (rnd.nextBoolean()) "ints" else "pairs"
+        val rows = 1 + rnd.nextInt(20)
+        val mult = 1 + rnd.nextInt(5)
+        val r = post(s"/session/$sid/datasource",
+          s"""{"format":"arrow","name":"g","location":"fuzzgen://$kind/$mult",
+              "pluginOptions":{"rows":$rows}}""")
+        assert(r.statusCode() == 200, s"trial $trial: ${r.body()}")
+        val q = post(s"/session/$sid/query",
+          """{"sql":"SELECT count(*) AS n, sum(v) AS s FROM g"}""")
+        assert(q.statusCode() == 200, s"trial $trial: ${q.body()}")
+        val node = mapper.readTree(q.body()).elements().asScala.next()
+        val expSum = (0L until rows).map(_ * (if (kind == "ints") mult else 1)).sum
+        assert(node.get("n").asLong() == rows, s"trial $trial: ${q.body()}")
+        assert(node.get("s").asLong() == expSum, s"trial $trial: ${q.body()}")
+        // refresh must re-dispatch with the ORIGINAL location+options
+        assert(post(s"/session/$sid/datasource/g/refresh", "").statusCode() == 200)
+        val q2 = post(s"/session/$sid/query",
+          """{"sql":"SELECT count(*) AS n FROM g"}""")
+        assert(mapper.readTree(q2.body()).elements().asScala.next()
+          .get("n").asLong() == rows, s"trial $trial post-refresh: ${q2.body()}")
+        // unknown authority inside the connector -> clean request error,
+        // not a wedged session
+        val bad = post(s"/session/$sid/datasource",
+          s"""{"format":"arrow","name":"bad","location":"fuzzgen://nope/1",
+              "pluginOptions":{"rows":1}}""")
+        assert(bad.statusCode() >= 400, s"trial $trial: ${bad.body()}")
+        val still = post(s"/session/$sid/query",
+          """{"sql":"SELECT count(*) AS n FROM g"}""")
+        assert(still.statusCode() == 200, s"trial $trial session wedged: ${still.body()}")
+      } finally {
+        client.send(HttpRequest.newBuilder(URI.create(s"$base/session/$sid"))
+          .DELETE().build(), HttpResponse.BodyHandlers.ofString()): Unit
+      }
+    }
+  }
+
   // ------------------------------------------------------ post-processor fuzz
 
   test("fuzz: generated post-processor chains match direct composition") {
