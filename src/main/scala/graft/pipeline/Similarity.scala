@@ -71,25 +71,31 @@ object Similarity {
     * across the neighborhood).
     *
     * Distributed shape: the greedy loop is inherently sequential in
-    * k, so it runs as k DRIVER-scheduled map-only passes, each
-    * carrying a RUNNING `max_sim` column — after every pick the
-    * candidate frame folds the new selected vector in with ONE
-    * `greatest(max_sim, cos(v, picked))` (the picked vector inlined
-    * as a literal array — the s07 centroid move: no join, no
-    * shuffle) and re-caches, so each pass evaluates one cosine per
-    * row and the plan size is CONSTANT in k (round i of the
-    * alternative — re-inlining all i selected vectors in a growing
-    * `greatest` — does O(k²) total expression work). Selected state
-    * is k vectors on the driver — bounded like IVF's trained
-    * centroids; interim caches are dropped as soon as the next
-    * round's frame materializes, and everything unpersists before
-    * returning. IEEE max is associative, so the one-at-a-time
-    * `greatest` fold is bit-identical to the all-at-once max: the
-    * WHOLE greedy trajectory still hash-matches SQL (s21) — argmax
-    * ties and all.
+    * k, so it runs as k DRIVER-scheduled map-only passes — each pass
+    * scores the cached candidates against the selected vectors
+    * INLINED as literal arrays (the s07 centroid move: no join, no
+    * shuffle) and takes one TopK row. To bound expression growth
+    * without paying a cache write per pick, the penalty is CHUNKED:
+    * up to [[MmrFoldEvery]] recent picks stay inline, and when the
+    * pending chain fills it folds into a cached running `max_sim`
+    * column in one pass — so plan size is bounded by the fold width,
+    * total expression work is O(k·FOLD·N) not O(k²·N), and the
+    * vector column is re-materialized only ⌊k/FOLD⌋ times, not k
+    * times (a per-pick re-cache of the vectors measurably DOUBLED
+    * the query's wall time at bench scale — the fold amortizes it
+    * away; for k ≤ FOLD no fold ever happens and the loop is pure
+    * scoring passes over one cache). Selected state is k vectors on
+    * the driver — bounded like IVF's trained centroids; interim
+    * caches drop as soon as the next materializes, and everything
+    * unpersists before returning. IEEE max is associative, so
+    * greatest(max_sim, cos…) over the chunks is bit-identical to the
+    * all-at-once max: the WHOLE greedy trajectory still hash-matches
+    * SQL (s21) — argmax ties and all.
     *
     * @return (rank, vec_id, qsim, mmr) in selection order
     */
+  val MmrFoldEvery = 8
+
   def mmrTopK(emb: DataFrame, vecCol: String, idCol: String,
       queryId: Long, k: Int, lambda: Double): DataFrame = {
     require(k > 0, "k must be positive")
@@ -109,15 +115,30 @@ object Similarity {
     try {
       val sel = scala.collection.mutable.ArrayBuffer
         .empty[(Long, Array[Double], Double, Double)]
+      // picks since the last fold: excluded via isin, penalized inline
+      val pending = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+      var hasMaxSim = false
       var cur = cand
       var exhausted = false
+      def pendingSims: Seq[Column] =
+        pending.toSeq.map { case (_, sv) =>
+          cosine(col("v"), array(sv.toSeq.map(lit): _*)) }
+      def penaltyCols: Seq[Column] =
+        (if (hasMaxSim) Seq(col("max_sim")) else Nil) ++ pendingSims
       while (sel.size < k && !exhausted) {
-        // the first pick has no penalty term (matches the oracle's
-        // λ·qsim − (1−λ)·0 for an empty selection)
-        val score =
-          if (sel.isEmpty) lit(lambda) * col("qsim") - (lit(1.0) - lit(lambda)) * lit(0.0)
-          else lit(lambda) * col("qsim") - (lit(1.0) - lit(lambda)) * col("max_sim")
-        cur
+        val penalty: Column = penaltyCols match {
+          // the first pick has no penalty term (matches the oracle's
+          // λ·qsim − (1−λ)·0 for an empty selection)
+          case Nil => lit(0.0)
+          case Seq(one) => one
+          case many => greatest(many: _*)
+        }
+        val score = lit(lambda) * col("qsim") -
+          (lit(1.0) - lit(lambda)) * penalty
+        val remaining =
+          if (pending.isEmpty) cur
+          else cur.where(!col("id").isin(pending.map(_._1).toSeq: _*))
+        remaining
           .select(col("id"), col("v"), col("qsim"), score.as("mmr"))
           .orderBy(col("mmr").desc, col("id"))
           .limit(1)
@@ -127,17 +148,22 @@ object Similarity {
             val picked = (r.getLong(0), r.getSeq[Double](1).toArray,
               r.getDouble(2), r.getDouble(3))
             sel += picked
-            if (sel.size < k) {
-              val simToPicked = cosine(col("v"), array(picked._2.toSeq.map(lit): _*))
-              val next = cur.where(col("id") =!= lit(picked._1))
-                .withColumn("max_sim",
-                  if (sel.size == 1) simToPicked
-                  else greatest(col("max_sim"), simToPicked))
+            pending += ((picked._1, picked._2))
+            if (pending.size >= MmrFoldEvery && sel.size < k) {
+              val folded = penaltyCols match {
+                case Seq(one) => one
+                case many => greatest(many: _*)
+              }
+              val next = cur
+                .where(!col("id").isin(pending.map(_._1).toSeq: _*))
+                .withColumn("max_sim", folded)
                 .cache()
               next.count(): Unit // materialize BEFORE dropping the old cache
               interim.foreach(_.unpersist(): Unit)
               interim = Some(next)
               cur = next
+              hasMaxSim = true
+              pending.clear()
             }
           case None => exhausted = true
         }
