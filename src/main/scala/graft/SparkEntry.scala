@@ -3362,6 +3362,36 @@ object SparkEntry {
         .orderBy(col("sample_id"))
     })
 
+  // Naive-Bayes quality-classifier score: the fastText/CCNet-style
+  // quality filter's counts-only core — mean token log-likelihood
+  // ratio vs a deterministic trusted class (lang='en' here), add-one
+  // smoothed. Every quantity is integer counts + IEEE ln, so DuckDB
+  // reconstructs the classifier end to end; 6 dp round on the final
+  // mean (ln accumulation order).
+  private val t29 = Q("t29_nb_quality_score", Some("""
+    WITH toks AS (SELECT doc_id,
+        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lab,
+        UNNEST(string_split(text, ' ')) AS tok FROM documents),
+    dc AS (SELECT doc_id, lab, tok, CAST(COUNT(*) AS BIGINT) AS c
+           FROM toks GROUP BY 1, 2, 3),
+    cls AS (SELECT tok, CAST(SUM(lab * c) AS BIGINT) AS cpos,
+            CAST(SUM((1 - lab) * c) AS BIGINT) AS cneg
+            FROM dc GROUP BY tok),
+    tot AS (SELECT CAST(SUM(cpos) AS DOUBLE) AS npos,
+            CAST(SUM(cneg) AS DOUBLE) AS nneg,
+            CAST(COUNT(*) AS DOUBLE) AS v FROM cls)
+    SELECT dc.doc_id AS id, CAST(dc.lab AS BIGINT) AS label,
+      CAST(SUM(dc.c) AS BIGINT) AS n_tokens,
+      ROUND(SUM(CAST(dc.c AS DOUBLE) *
+        (ln((CAST(cls.cpos AS DOUBLE) + 1.0) / (tot.npos + tot.v)) -
+         ln((CAST(cls.cneg AS DOUBLE) + 1.0) / (tot.nneg + tot.v)))) /
+        CAST(SUM(dc.c) AS DOUBLE), 6) AS mean_llr
+    FROM dc JOIN cls USING (tok), tot
+    GROUP BY dc.doc_id, dc.lab ORDER BY id"""),
+    (s, dir) => TextAnalysis.nbQualityScore(T(s, dir, "documents"),
+        "text", "doc_id", positive = col("lang") === "en")
+      .orderBy(col("id")))
+
   // THIRD real codec roundtrip, video: text → uncompressed RIFF-AVI
   // (5×2 DIB frames, 10 text bytes each, stored row stride 16 = real
   // padding) → container parse → per-FRAME pixel stats. The oracle
@@ -3425,7 +3455,7 @@ object SparkEntry {
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
     s16, s17, s18, s19, s20, s21,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
+    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29,
     m01, m02, m03, m04, m05, m06, m07, m08)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =

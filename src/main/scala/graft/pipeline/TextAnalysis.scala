@@ -638,6 +638,54 @@ object TextAnalysis {
             sum(col("c_doc")).cast("double"), 6).as("mean_logp"))
   }
 
+  /** Naive-Bayes quality-classifier score — the counts-only core of
+    * the fastText/CCNet-style quality filter every large pretraining
+    * pipeline runs (train a cheap classifier on a trusted-vs-raw
+    * split, keep documents scoring trusted-like): per document, the
+    * mean multinomial log-likelihood ratio of its tokens,
+    * mean ln(P(tok|pos)/P(tok|neg)) with add-one (Laplace)
+    * smoothing, the model fit on the corpus itself from a
+    * DETERMINISTIC label column — so unlike a trained fastText
+    * binary, the whole pipeline is integer counts + IEEE ln and the
+    * oracle reconstructs it exactly.
+    *
+    * Scale shape: the t19 discipline — tokens hash map-side (strings
+    * never shuffle); the per-doc counts frame is materialized ONCE
+    * (cached hash-only rows, the t22 lesson) and both the class-count
+    * table and the per-doc join read it; class totals are a 1-row
+    * broadcast. Two partial-aggregated exchanges total, independent
+    * of corpus size. Rounded 6 dp (ln accumulation order, the t15
+    * treatment).
+    *
+    * @param positive boolean Column marking the trusted class
+    * @return (id, label, n_tokens, mean_llr)
+    */
+  def nbQualityScore(docs: DataFrame, textCol: String, idCol: String,
+      positive: Column): DataFrame = {
+    val lab = when(positive, lit(1L)).otherwise(lit(0L))
+    val docCounts = graft.ops.ScaleOps.fanOut(docs)
+      .select(col(idCol).as("id"), lab.as("lab"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col("id"), col("lab"), xxhash64(col("tok")).as("h"))
+      .agg(count(lit(1)).as("c_doc"))
+      .cache()
+    val cls = docCounts.groupBy(col("h"))
+      .agg(sum(col("lab") * col("c_doc")).as("cpos"),
+        sum((lit(1L) - col("lab")) * col("c_doc")).as("cneg"))
+    val tot = cls.agg(sum(col("cpos")).cast("double").as("npos"),
+      sum(col("cneg")).cast("double").as("nneg"),
+      count(lit(1)).cast("double").as("v"))
+    docCounts.join(cls, Seq("h"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("id"), col("lab"))
+      .agg(sum(col("c_doc")).as("n_tokens"),
+        round(sum(col("c_doc").cast("double") *
+          (log((col("cpos").cast("double") + lit(1.0)) / (col("npos") + col("v"))) -
+           log((col("cneg").cast("double") + lit(1.0)) / (col("nneg") + col("v"))))) /
+          sum(col("c_doc")).cast("double"), 6).as("mean_llr"))
+      .select(col("id"), col("lab").as("label"), col("n_tokens"), col("mean_llr"))
+  }
+
   /** Zipf rank-frequency fit over the top-N token types: ordinary
     * least squares on (ln rank, ln count) — slope ≈ −1 is the
     * healthy-corpus signature; a flat slope means boilerplate/spam

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.pipeline.{Clustering, Dedup, Multimodal}
+import graft.pipeline.{Clustering, Dedup, Multimodal, TextAnalysis}
 
 /** Round-9 operators: the cell-blocked embedding near-dup path
   * (d05/d08's declared query) pinned differentially against the
@@ -86,6 +86,71 @@ class Round9Spec extends AnyFunSuite {
     // ts_ns is consistent with ts at µs precision on every path
     val bad = ev.where(unix_micros(col("ts")) =!= expr("ts_ns div 1000")).count()
     assert(bad == 0L)
+  }
+
+  // ------------------------------------------------------------ nbQualityScore
+
+  test("nbQualityScore matches a hand-computed Naive Bayes") {
+    import spark.implicits._
+    // pos docs say "good", neg doc says "bad"; "the" is shared
+    val docs = Seq(
+      (0L, "good the", "en"),
+      (1L, "good good", "en"),
+      (2L, "bad the", "zh")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.nbQualityScore(docs, "text", "doc_id",
+      positive = col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // counts: pos tokens: good=3, the=1 (Npos=4); neg: bad=1, the=1 (Nneg=2); V=3
+    val (npos, nneg, v) = (4.0, 2.0, 3.0)
+    def llr(cp: Long, cn: Long): Double =
+      math.log((cp + 1.0) / (npos + v)) - math.log((cn + 1.0) / (nneg + v))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val good = llr(3, 0); val the = llr(1, 1); val bad = llr(0, 1)
+    assert(out(0L)._1 == 1L && out(0L)._2 == 2L)
+    assert(out(0L)._3 == r6((good + the) / 2))
+    assert(out(1L)._3 == r6(good))
+    assert(out(2L)._1 == 0L)
+    assert(out(2L)._3 == r6((bad + the) / 2))
+    // trusted-class docs must outscore the untrusted one
+    assert(out(0L)._3 > out(2L)._3 && out(1L)._3 > out(2L)._3)
+  }
+
+  test("nbQualityScore differential on seeded corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x5eed9006L)
+    for (trial <- 1 to 5) {
+      val vocab = Array("aa", "bb", "cc", "dd", "ee", "ff")
+      val docs = (0 until 20 + rnd.nextInt(20)).map { i =>
+        val n = 1 + rnd.nextInt(8)
+        val text = Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+        (i.toLong, text, if (rnd.nextBoolean()) "en" else "xx")
+      }
+      val df = docs.toDF("doc_id", "text", "lang")
+      val out = TextAnalysis.nbQualityScore(df, "text", "doc_id",
+        positive = col("lang") === "en")
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+      // local reference
+      val toks = docs.flatMap { case (id, text, lang) =>
+        text.split(" ").map(t => (id, if (lang == "en") 1L else 0L, t)) }
+      val cls = toks.groupBy(_._3).view.mapValues { ts =>
+        (ts.count(_._2 == 1L).toLong, ts.count(_._2 == 0L).toLong) }.toMap
+      val npos = cls.values.map(_._1).sum.toDouble
+      val nneg = cls.values.map(_._2).sum.toDouble
+      val v = cls.size.toDouble
+      docs.foreach { case (id, text, _) =>
+        val ts = text.split(" ")
+        val exp = ts.map { t =>
+          val (cp, cn) = cls(t)
+          math.log((cp + 1.0) / (npos + v)) - math.log((cn + 1.0) / (nneg + v))
+        }.sum / ts.length
+        val expR = BigDecimal(exp).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        withClue(s"trial $trial doc $id: ") {
+          assert(out(id)._1 == ts.length.toLong)
+          assert(math.abs(out(id)._2 - expR) <= 1e-6)
+        }
+      }
+    }
   }
 
   // ---------------------------------------------------------------- AviCodec
