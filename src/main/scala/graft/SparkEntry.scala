@@ -3392,6 +3392,36 @@ object SparkEntry {
         "text", "doc_id", positive = col("lang") === "en")
       .orderBy(col("id")))
 
+  // DSIR-style importance weight: log ratio of a doc's bigram
+  // features under the target-domain distribution (source='src0')
+  // vs the raw corpus, add-one smoothed — resample ∝ exp(log_weight)
+  // to shift the corpus toward the target domain. Counts + IEEE ln
+  // end to end; 6 dp round on the feature-sum.
+  private val t30 = Q("t30_importance_weights", Some("""
+    WITH toks AS (SELECT doc_id, source = 'src0' AS tgt,
+        string_split(text, ' ') AS ts FROM documents),
+    bg AS (SELECT doc_id, tgt, ts[i] || ' ' || ts[i+1] AS b
+           FROM toks, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)
+           WHERE len(ts) >= 2),
+    dc AS (SELECT doc_id, tgt, b, CAST(COUNT(*) AS BIGINT) AS c
+           FROM bg GROUP BY 1, 2, 3),
+    fr AS (SELECT b, CAST(SUM(c) AS BIGINT) AS craw,
+           CAST(SUM(CASE WHEN tgt THEN c ELSE 0 END) AS BIGINT) AS ctgt
+           FROM dc GROUP BY b),
+    tot AS (SELECT CAST(SUM(craw) AS DOUBLE) AS nraw,
+            CAST(SUM(ctgt) AS DOUBLE) AS ntgt,
+            CAST(COUNT(*) AS DOUBLE) AS v FROM fr)
+    SELECT dc.doc_id AS id, dc.tgt AS is_target,
+      CAST(SUM(dc.c) AS BIGINT) AS n_bigrams,
+      ROUND(SUM(CAST(dc.c AS DOUBLE) *
+        (ln((CAST(fr.ctgt AS DOUBLE) + 1.0) / (tot.ntgt + tot.v)) -
+         ln((CAST(fr.craw AS DOUBLE) + 1.0) / (tot.nraw + tot.v)))), 6) AS log_weight
+    FROM dc JOIN fr USING (b), tot
+    GROUP BY dc.doc_id, dc.tgt ORDER BY id"""),
+    (s, dir) => TextAnalysis.importanceWeights(T(s, dir, "documents"),
+        "text", "doc_id", target = col("source") === "src0")
+      .orderBy(col("id")))
+
   // THIRD real codec roundtrip, video: text → uncompressed RIFF-AVI
   // (5×2 DIB frames, 10 text bytes each, stored row stride 16 = real
   // padding) → container parse → per-FRAME pixel stats. The oracle
@@ -3455,7 +3485,7 @@ object SparkEntry {
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
     s16, s17, s18, s19, s20, s21,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29,
+    t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
     m01, m02, m03, m04, m05, m06, m07, m08)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =

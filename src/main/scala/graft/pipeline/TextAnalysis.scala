@@ -686,6 +686,59 @@ object TextAnalysis {
       .select(col("id"), col("lab").as("label"), col("n_tokens"), col("mean_llr"))
   }
 
+  /** DSIR-style importance weight (Xie et al. 2023,
+    * arXiv:2302.03169, "Data Selection for Language Models via
+    * Importance Resampling"): per document, the log importance
+    * ratio of its hashed BIGRAM features under the target-domain
+    * distribution vs the raw-corpus distribution,
+    * log w(doc) = Σ_f c_f · (ln p_tgt(f) − ln p_raw(f)), add-one
+    * smoothed — resampling the raw corpus ∝ exp(log w) shifts it
+    * toward the target domain. The target is a deterministic
+    * predicate (a trusted source/domain), so both distributions are
+    * integer counts and the oracle reconstructs the whole pipeline.
+    *
+    * Scale shape: the t22 bigram kernel (token array projected once,
+    * O(T) per doc; hashes computed map-side, strings never shuffle)
+    * with the per-doc feature counts materialized ONCE (cached
+    * hash-only frame) feeding both the feature-frequency table and
+    * the scoring join; totals are a 1-row broadcast. Docs with < 2
+    * tokens have no features and drop out (both engines agree).
+    * Rounded 6 dp.
+    *
+    * @param target boolean Column marking target-domain documents
+    * @return (id, is_target, n_bigrams, log_weight)
+    */
+  def importanceWeights(docs: DataFrame, textCol: String, idCol: String,
+      target: Column): DataFrame = {
+    val toks = col("__tk")
+    val idxs = when(size(toks) >= 2, sequence(lit(0), size(toks) - 2))
+      .otherwise(array().cast("array<int>"))
+    val grams = transform(idxs, i =>
+      xxhash64(concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+    val docCounts = graft.ops.ScaleOps.fanOut(docs)
+      .select(col(idCol).as("id"), target.as("is_target"),
+        split(col(textCol), " ").as("__tk"))
+      .select(col("id"), col("is_target"), explode(grams).as("h"))
+      .groupBy(col("id"), col("is_target"), col("h"))
+      .agg(count(lit(1)).as("c_doc"))
+      .cache()
+    val freq = docCounts.groupBy(col("h"))
+      .agg(sum(col("c_doc")).as("craw"),
+        sum(when(col("is_target"), col("c_doc")).otherwise(lit(0L))).as("ctgt"))
+    val tot = freq.agg(sum(col("craw")).cast("double").as("nraw"),
+      sum(col("ctgt")).cast("double").as("ntgt"),
+      count(lit(1)).cast("double").as("v"))
+    docCounts.join(freq, Seq("h"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("id"), col("is_target"))
+      .agg(sum(col("c_doc")).as("n_bigrams"),
+        round(sum(col("c_doc").cast("double") *
+          (log((col("ctgt").cast("double") + lit(1.0)) / (col("ntgt") + col("v"))) -
+           log((col("craw").cast("double") + lit(1.0)) / (col("nraw") + col("v"))))), 6)
+          .as("log_weight"))
+      .select(col("id"), col("is_target"), col("n_bigrams"), col("log_weight"))
+  }
+
   /** Zipf rank-frequency fit over the top-N token types: ordinary
     * least squares on (ln rank, ln count) — slope ≈ −1 is the
     * healthy-corpus signature; a flat slope means boilerplate/spam

@@ -153,6 +153,66 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  // --------------------------------------------------------- importanceWeights
+
+  test("importanceWeights: target-like docs up-weight, short docs drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta alpha beta", "src0"),  // target
+      (1L, "alpha beta gamma", "src1"),       // shares target bigram
+      (2L, "delta epsilon zeta", "src1"),     // disjoint from target
+      (3L, "single", "src1")                  // no bigrams -> drops out
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.importanceWeights(docs, "text", "doc_id",
+        target = col("source") === "src0")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(!out.contains(3L), "a bigram-less doc must drop out")
+    assert(out(0L)._1 && !out(1L)._1)
+    // per-bigram mean: doc 1 shares 'alpha beta' with the target, doc
+    // 2 shares nothing — doc 1's per-feature ratio must be higher
+    assert(out(1L)._3 / out(1L)._2 > out(2L)._3 / out(2L)._2)
+  }
+
+  test("importanceWeights differential on seeded corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x5eed9007L)
+    for (trial <- 1 to 5) {
+      val vocab = Array("aa", "bb", "cc", "dd", "ee")
+      val docs = (0 until 15 + rnd.nextInt(15)).map { i =>
+        val n = 2 + rnd.nextInt(6)
+        val text = Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+        (i.toLong, text, if (rnd.nextInt(4) == 0) "src0" else "srcX")
+      }
+      val df = docs.toDF("doc_id", "text", "source")
+      val out = TextAnalysis.importanceWeights(df, "text", "doc_id",
+          target = col("source") === "src0")
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+      // local reference over bigram strings
+      val bgs = docs.flatMap { case (id, text, src) =>
+        val ts = text.split(" ")
+        ts.sliding(2).filter(_.length == 2)
+          .map(p => (id, src == "src0", p.mkString(" "))).toSeq }
+      val fr = bgs.groupBy(_._3).view.mapValues { xs =>
+        (xs.size.toLong, xs.count(_._2).toLong) }.toMap
+      val nraw = fr.values.map(_._1).sum.toDouble
+      val ntgt = fr.values.map(_._2).sum.toDouble
+      val v = fr.size.toDouble
+      docs.filter(_._2.split(" ").length >= 2).foreach { case (id, text, _) =>
+        val ts = text.split(" ")
+        val feats = ts.sliding(2).map(_.mkString(" ")).toSeq
+        val exp = feats.map { b =>
+          val (craw, ctgt) = fr(b)
+          math.log((ctgt + 1.0) / (ntgt + v)) - math.log((craw + 1.0) / (nraw + v))
+        }.sum
+        val expR = BigDecimal(exp).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        withClue(s"trial $trial doc $id: ") {
+          assert(out(id)._1 == feats.length.toLong)
+          assert(math.abs(out(id)._2 - expR) <= 1e-6)
+        }
+      }
+    }
+  }
+
   // ---------------------------------------------------------------- AviCodec
 
   test("AviCodec roundtrip: frames survive encode/decode pixel-exact") {
