@@ -76,6 +76,8 @@ object ExplainDump {
       "t27_interpolated_logprob" -> "interpolated LM: the t22 single-materialization shape (per-doc bigram counts cached once, consumers re-aggregate the hash-only InMemoryRelation) plus the unigram back-off join; the unigram table is a second SCAN-STAGE tokenization — cheaper than materializing a shared tagged stream through a corpus-wide exchange",
       "t28_temperature_mix" -> "temperature mixing weights: one source-keyed partial-agg groupBy; the weight windows run over source-cardinality rows (a handful), so the operator is one exchange however large the corpus",
       "m08_avi_frame_stats" -> "real video codec roundtrip: text -> RIFF-AVI encode -> container parse -> per-frame stats ALL in one mapPartitions chain over the scan (the m04/m05 contract for the video container) — payload bytes never leave the executor; presentation sort is the only exchange",
+      "t29_nb_quality_score" -> "Naive-Bayes quality score: tokens hash map-side, per-doc counts materialize ONCE (cached hash-only frame) feeding the class table and the scoring join; class totals a 1-row broadcast — two partial-aggregated exchanges regardless of corpus size",
+      "t30_importance_weights" -> "DSIR importance weights: the t22 bigram kernel (projected token array, O(T)/doc) + one cached per-doc feature frame; the feature-frequency join moves hashes and counts only, totals broadcast — the raw corpus tokenizes exactly once",
       "d05_embedding_neardup" -> "cell-BLOCKED near-dup pairs: map-only inlined-centroid assignment (no join), ONE cell-keyed exchange bounds pair work to (|cell|^2)/2 per cell — the SemDeDup blocking as a pair REPORTER; the all-pairs brute force survives only as Round9Spec's differential ground truth",
     )
     val sb = new StringBuilder

@@ -193,6 +193,12 @@ object ScaleSmoke {
       time("t19 unigramLogProb") {
         graft.pipeline.TextAnalysis.unigramLogProb(
           docs, "text", "doc_id").count() }
+      time("t29 nbQualityScore") {
+        graft.pipeline.TextAnalysis.nbQualityScore(
+          docs, "text", "doc_id", col("lang") === "en").count() }
+      time("t30 importanceWeights") {
+        graft.pipeline.TextAnalysis.importanceWeights(
+          docs, "text", "doc_id", col("source") === "src0").count() }
       time("s12 pqEncode m=16") {
         val books = graft.pipeline.Pq.trainCodebooks(emb, "embedding",
           "vec_id", m = 16, ksub = 16, iters = 2, maxTrainRows = 10000)
