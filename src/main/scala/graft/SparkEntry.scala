@@ -1832,6 +1832,61 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     })
 
+  // Duplicated-span coverage (substring-dedup adapted to token
+  // windows): 6-token windows occurring >= 2 times corpus-wide,
+  // per-doc covered-token union. md5 window keys so the interval-union
+  // kernel is oracle-exact (xxhash64 stays the scale-path default).
+  private val d16 = Q("d16_span_coverage", Some("""
+    WITH toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    wins AS (SELECT doc_id, i, md5(array_to_string(ts[i:i+5], ' ')) AS w
+           FROM toks, UNNEST(generate_series(1, len(ts) - 5)) AS u(i)
+           WHERE len(ts) >= 6),
+    dup AS (SELECT doc_id, i FROM (
+           SELECT doc_id, i, COUNT(*) OVER (PARTITION BY w) AS cnt FROM wins)
+           WHERE cnt >= 2),
+    per AS (SELECT doc_id,
+           LEAST(6, COALESCE(i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 6)) AS cov
+           FROM dup),
+    agg AS (SELECT doc_id, SUM(cov) AS dup_tokens FROM per GROUP BY doc_id)
+    SELECT t.doc_id AS id, CAST(len(ts) AS BIGINT) AS n_tokens,
+      CAST(COALESCE(agg.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+      ROUND(CAST(COALESCE(agg.dup_tokens, 0) AS DOUBLE) / CAST(len(ts) AS DOUBLE), 6)
+        AS dup_fraction
+    FROM toks t LEFT JOIN agg USING (doc_id)
+    ORDER BY id"""),
+    (s, dir) => Dedup.spanCoverage(T(s, dir, "documents"), "text", "doc_id",
+        k = 6, minOccurs = 2, keyer = md5(_))
+      .orderBy(col("id")))
+
+  // Crawl snapshot diff: snapshot A (doc_id % 5 <> 4) vs snapshot B
+  // (doc_id % 5 <> 0, with doc_id % 10 = 3 docs edited) — the status
+  // classification incremental pipelines gate on. Digests only; one
+  // id-keyed full-outer join.
+  private val d17 = Q("d17_snapshot_diff", Some("""
+    WITH a AS (SELECT doc_id, md5(text) AS ha FROM documents WHERE doc_id % 5 <> 4),
+    b AS (SELECT doc_id,
+            md5(CASE WHEN doc_id % 10 = 3 THEN reverse(text) ELSE text END) AS hb
+          FROM documents WHERE doc_id % 5 <> 0)
+    SELECT COALESCE(a.doc_id, b.doc_id) AS id,
+      CASE WHEN a.doc_id IS NULL THEN 'added'
+           WHEN b.doc_id IS NULL THEN 'removed'
+           WHEN ha = hb THEN 'unchanged' ELSE 'changed' END AS status
+    FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    ORDER BY id"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.snapshotDiff(
+          docs.where(col("doc_id") % 5 =!= 4),
+          docs.where(col("doc_id") % 5 =!= 0)
+            .withColumn("text",
+              when(col("doc_id") % 10 === 3, reverse(col("text")))
+                .otherwise(col("text"))),
+          "text", "doc_id")
+        .orderBy(col("id"))
+    })
+
   private val t01 = Q("t01_lang_id", Some("""
     WITH sc AS (
       SELECT doc_id,
@@ -2579,6 +2634,36 @@ object SparkEntry {
         col("ts").cast("timestamp_ntz").as("ts"),
         col("win_n"), col("win_sum"), col("win_avg"))
       .orderBy(col("event_id")))
+
+  // PIVOT (the q67-UNPIVOT complement): Spark's relational
+  // .pivot(col, values) with EXPLICIT values — at scale the implicit
+  // form runs a distinct-scan job first; pinning the value list keeps
+  // pivot a pure single-agg plan (one exchange, map-side partials).
+  // Oracle = ANSI conditional aggregation, the portable spelling.
+  private val q70 = Q("q70_pivot", Some("""
+    SELECT lang,
+      CAST(COALESCE(COUNT(CASE WHEN CAST(substr(source, 4) AS INT) < 1 THEN 1 END), 0) AS BIGINT) AS rare,
+      CAST(COALESCE(COUNT(CASE WHEN CAST(substr(source, 4) AS INT) >= 1
+                               AND CAST(substr(source, 4) AS INT) < 5 THEN 1 END), 0) AS BIGINT) AS mid,
+      CAST(COALESCE(COUNT(CASE WHEN CAST(substr(source, 4) AS INT) >= 5 THEN 1 END), 0) AS BIGINT) AS common,
+      CAST(SUM(CASE WHEN CAST(substr(source, 4) AS INT) < 1 THEN n_chars ELSE 0 END) AS BIGINT) AS rare_chars
+    FROM documents GROUP BY lang ORDER BY lang"""),
+    (s, dir) => {
+      val tierNum = substring(col("source"), 4, 10).cast("int")
+      val tier = when(tierNum < 1, "rare").when(tierNum < 5, "mid").otherwise("common")
+      val pivoted = T(s, dir, "documents")
+        .withColumn("tier", tier)
+        .groupBy(col("lang"))
+        .pivot("tier", Seq("rare", "mid", "common"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      pivoted
+        .select(col("lang"),
+          coalesce(col("rare_n"), lit(0L)).as("rare"),
+          coalesce(col("mid_n"), lit(0L)).as("mid"),
+          coalesce(col("common_n"), lit(0L)).as("common"),
+          coalesce(col("rare_chars"), lit(0L)).as("rare_chars"))
+        .orderBy(col("lang"))
+    })
 
   // EXACT percentiles per group (Spark `percentile` vs DuckDB
   // `quantile_cont` — same linear interpolation, verified
@@ -3422,6 +3507,76 @@ object SparkEntry {
         "text", "doc_id", target = col("source") === "src0")
       .orderBy(col("id")))
 
+  // Interpolated Kneser-Ney bigram LM: continuation-probability
+  // smoothing (the KenLM default) — everything derives from the one
+  // distinct-bigram table, no separate unigram pass; exact integer
+  // counts + IEEE ln under the t15 ROUND(6) contract.
+  private val t31 = Q("t31_kneser_ney_logprob", Some("""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    bi AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+           FROM toks, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)
+           WHERE len(ts) >= 2),
+    per AS (SELECT doc_id, w1, w2, COUNT(*) AS cd FROM bi GROUP BY 1, 2, 3),
+    bt AS (SELECT w1, w2, CAST(SUM(cd) AS BIGINT) AS c12 FROM per GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, COUNT(*) AS nf
+            FROM bt GROUP BY 1),
+    bwd AS (SELECT w2, COUNT(*) AS nb FROM bt GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS bb FROM bt)
+    SELECT doc_id AS id, CAST(SUM(cd) AS BIGINT) AS n_bigrams,
+      ROUND(SUM(CAST(cd AS DOUBLE) * ln(
+        (GREATEST(CAST(c12 AS DOUBLE) - 0.75, 0.0) +
+          0.75 * CAST(nf AS DOUBLE) * (CAST(nb AS DOUBLE) / bb)) /
+        CAST(c1 AS DOUBLE))) / CAST(SUM(cd) AS DOUBLE), 6) AS mean_logp
+    FROM per JOIN bt USING (w1, w2) JOIN ctx USING (w1) JOIN bwd USING (w2), tot
+    GROUP BY doc_id ORDER BY id"""),
+    (s, dir) => TextAnalysis.kneserNeyLogProb(T(s, dir, "documents"), "text",
+        "doc_id", discount = 0.75)
+      .orderBy(col("id")))
+
+  // Bloom-filter decontamination probe: benchmark (doc_id % 50 = 0)
+  // compressed to a 4096-bit / 3-hash Bloom filter with md5-derived
+  // positions (the t24 cmsBucket move), candidates probe map-side;
+  // exact hits reported beside the bloom hits so the false-positive
+  // gap is itself oracle-checked (bloom >= exact pinned in spec).
+  private val t32 = Q("t32_bloom_decontaminate", Some("""
+    WITH toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+    bits AS (SELECT DISTINCT (
+          (strpos('0123456789abcdef', substr(md5(j || ':' || shingle), 1, 1)) - 1) * 4096
+        + (strpos('0123456789abcdef', substr(md5(j || ':' || shingle), 2, 1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(md5(j || ':' || shingle), 3, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(md5(j || ':' || shingle), 4, 1)) - 1)) % 4096 AS p
+      FROM bench, UNNEST(generate_series(0, 2)) AS g(j)),
+    cand AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0),
+    pr AS (SELECT doc_id, shingle, (
+          (strpos('0123456789abcdef', substr(md5(j || ':' || shingle), 1, 1)) - 1) * 4096
+        + (strpos('0123456789abcdef', substr(md5(j || ':' || shingle), 2, 1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(md5(j || ':' || shingle), 3, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(md5(j || ':' || shingle), 4, 1)) - 1)) % 4096 AS p
+      FROM cand, UNNEST(generate_series(0, 2)) AS g(j)),
+    hit AS (SELECT doc_id, shingle, MIN(CASE WHEN b.p IS NULL THEN 0 ELSE 1 END) AS bh
+            FROM pr LEFT JOIN bits b USING (p) GROUP BY doc_id, shingle),
+    ex AS (SELECT c.doc_id, c.shingle, CASE WHEN be.shingle IS NULL THEN 0 ELSE 1 END AS eh
+           FROM cand c LEFT JOIN bench be USING (shingle))
+    SELECT h.doc_id AS id, COUNT(*) AS n_shingles,
+      CAST(SUM(h.bh) AS BIGINT) AS bloom_hits,
+      CAST(SUM(e.eh) AS BIGINT) AS exact_hits
+    FROM hit h JOIN ex e ON e.doc_id = h.doc_id AND e.shingle = h.shingle
+    GROUP BY h.doc_id ORDER BY id"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.pipeline.Decontaminate.bloomContamination(
+          docs.where(col("doc_id") % 50 =!= 0),
+          docs.where(col("doc_id") % 50 === 0),
+          "text", "doc_id", n = 3, mBits = 4096, kHash = 3)
+        .orderBy(col("id"))
+    })
+
   // THIRD real codec roundtrip, video: text → uncompressed RIFF-AVI
   // (5×2 DIB frames, 10 text bytes each, stored row stride 16 = real
   // padding) → container parse → per-FRAME pixel stats. The oracle
@@ -3480,12 +3635,14 @@ object SparkEntry {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
-    q66, q67, q68, q69,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,
+    q66, q67, q68, q69, q70,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
+    d17,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
     s16, s17, s18, s19, s20, s21,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
+    t31, t32,
     m01, m02, m03, m04, m05, m06, m07, m08)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =

@@ -121,4 +121,71 @@ object Decontaminate {
       .select(col("id"))
     candidates.join(flagged, candidates(idCol) === flagged("id"), "left_anti")
   }
+
+  /** Bit position `j` of `shingle` in an `mBits`-bit Bloom filter:
+    * the first 4 md5 nibbles of "j:shingle" as an int, mod mBits —
+    * the [[TextAnalysis.cmsBucket]] move, deterministic and exactly
+    * reproducible in SQL (so the WHOLE filter, false positives
+    * included, is oracle-checkable).
+    */
+  def bloomPos(shingle: org.apache.spark.sql.Column, j: Int, mBits: Int)
+      : org.apache.spark.sql.Column =
+    conv(substring(md5(concat_ws(":", lit(j), shingle)), 1, 4), 16, 10)
+      .cast("int") % mBits
+
+  /** Bloom-filter contamination probe — what decontamination actually
+    * looks like once the benchmark suite union no longer ships to
+    * every executor as raw shingles: the benchmark compresses to an
+    * `mBits`-bit Bloom filter (built ONCE, `kHash` deterministic
+    * md5-derived positions per shingle), and each candidate shingle
+    * probes the broadcast bitset map-side. A shingle "hits" iff ALL
+    * its `kHash` positions are set — a superset of true membership
+    * (Bloom guarantee: no false negatives), so `bloom_hits >=
+    * exact_hits` per doc by construction (spec-pinned); the gap IS
+    * the filter's false-positive count, reported side by side with
+    * the exact join the way [[TextAnalysis.heavyHittersCms]] reports
+    * estimate-beside-truth.
+    *
+    * Scale shape: the filter is a driver-built `mBits`-length bitset
+    * (bounded collect: one boolean per bit from the DISTINCT
+    * benchmark positions — 4096 bits here vs the benchmark's shingle
+    * set; at 100 TB you'd size m in the millions and it still fits a
+    * broadcast variable), inlined as a literal array so every probe
+    * is `kHash` codegen'd element_at lookups — NO join, NO exchange
+    * for the bloom leg. The exact leg reuses the t09 broadcast
+    * discipline (bench shingles are eval-suite-sized). One doc-keyed
+    * aggregation total.
+    *
+    * @return (id, n_shingles, bloom_hits, exact_hits) for every
+    *         candidate doc with >= 1 shingle
+    */
+  def bloomContamination(candidates: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 3,
+      mBits: Int = 4096, kHash: Int = 3): DataFrame = {
+    require(mBits > 0 && kHash > 0, "bad bloom params")
+    val benchSh = Dedup.shingles(benchmark, textCol, idCol, n)
+      .select(col("shingle")).distinct()
+    val setBits = benchSh
+      .select(explode(array((0 until kHash).map(j =>
+        bloomPos(col("shingle"), j, mBits)): _*)).as("p"))
+      .distinct()
+      .collect().map(_.getInt(0)).toSet
+    val bits = typedLit((0 until mBits).map(setBits.contains))
+    val bloomHit = (0 until kHash)
+      .map(j => element_at(bits, bloomPos(col("shingle"), j, mBits) + 1))
+      .reduce(_ && _)
+    // fanOut before the shingle kernel: the corpus parquet arrives in
+    // few-file splits and the md5 probe chain runs in the scan stage —
+    // without the spread it runs single-partition (measured 3.3 s vs
+    // 0.35 s at sf0.1)
+    Dedup.shingles(graft.ops.ScaleOps.fanOut(candidates), textCol, idCol, n)
+      .join(broadcast(benchSh.withColumn("__ex", lit(1))), Seq("shingle"), "left")
+      .select(col("id"),
+        bloomHit.cast("long").as("bh"),
+        coalesce(col("__ex"), lit(0)).cast("long").as("eh"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("bh")).as("bloom_hits"),
+        sum(col("eh")).as("exact_hits"))
+  }
 }

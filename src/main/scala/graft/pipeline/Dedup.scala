@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, Spark-first.
@@ -798,5 +799,102 @@ object Dedup {
       .withColumn("cos_sim", Similarity.cosine(col("va"), col("vb")))
       .where(col("cos_sim") >= lit(threshold))
       .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
+  /** Corpus snapshot diff — the bookkeeping operator an incremental
+    * crawl pipeline runs before anything else: classify every doc id
+    * across two snapshots as added / removed / changed / unchanged by
+    * CONTENT digest, so downstream incremental dedup
+    * ([[incrementalNearDupPairs]], [[Clustering.semDedupIncremental]])
+    * runs only on the added+changed slice instead of re-processing
+    * the snapshot.
+    *
+    * Scale shape: each side reduces to (id, md5) inside the scan
+    * stage — 16-byte digests, never text — and the diff is ONE
+    * id-keyed full-outer hash join. Output is O(|A ∪ B|) rows of
+    * (id, status).
+    */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
+      textCol: String, idCol: String): DataFrame =
+    oldDocs.select(col(idCol).as("id"), md5(col(textCol)).as("__ha"))
+      .join(newDocs.select(col(idCol).as("id"), md5(col(textCol)).as("__hb")),
+        Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("__ha").isNull, "added")
+          .when(col("__hb").isNull, "removed")
+          .when(col("__ha") === col("__hb"), "unchanged")
+          .otherwise("changed").as("status"))
+
+  /** Duplicated-SPAN coverage per document — the operator behind
+    * "deduplicating training data makes language models better"-style
+    * substring dedup, adapted to token granularity: a k-token window
+    * occurring ≥ `minOccurs` times ANYWHERE in the corpus (across
+    * docs or repeated within one) is a duplicated span, and each doc
+    * reports how many of its tokens are covered by the union of its
+    * duplicated windows. Catches boilerplate/recycled passages that
+    * whole-doc and shingle-set dedup both miss (a doc 20% templated
+    * header has Jaccard ≪ threshold against every sibling yet carries
+    * the exact duplicated span).
+    *
+    * Scale shape — single tokenization pass, longs-or-digests-only
+    * exchanges:
+    *  1. each doc emits its (i, window-key) stream map-side via one
+    *     projected token array (the t22 O(T²)-split lesson);
+    *  2. duplicate detection is ONE window-key-keyed exchange with a
+    *     windowed count — the posting rows are (id, i, key) triples,
+    *     never text, and a hot boilerplate window costs its posting
+    *     list on one reducer exactly like the d02 inverted index
+    *     (same cap reasoning applies if spam degenerates);
+    *  3. coverage is the classic sorted-interval union specialised to
+    *     uniform length-k intervals: per doc ordered by start i, a
+    *     window contributes min(k, i − prev_i) tokens — ONE doc-keyed
+    *     exchange of int pairs, no per-position explode (the naive
+    *     "explode k covered positions per window, count distinct"
+    *     amplifies the stream k×).
+    * Per-doc totals are a scan-stage projection joined back on id
+    * (three longs per doc).
+    *
+    * The window key is pluggable: `xxhash64` by default (8-byte
+    * shuffle keys, the scale path), `md5` for the oracle-pinned d16
+    * query (DuckDB reproduces md5 exactly; the interval-union kernel
+    * is identical either way, the d12/d03 twin discipline).
+    *
+    * @return (id, n_tokens, dup_tokens, dup_fraction) — one row per
+    *         doc, dup_fraction rounded 6 dp
+    */
+  def spanCoverage(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, minOccurs: Int = 2,
+      keyer: Column => Column = xxhash64(_)): DataFrame = {
+    require(k >= 2, "window length k must be >= 2")
+    require(minOccurs >= 2, "minOccurs must be >= 2 (1 marks everything)")
+    val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    val toks = col("__tk")
+    // window starts are 1-based so the SQL oracle's generate_series
+    // formulation is position-identical
+    val idxs = when(size(toks) >= k, sequence(lit(1), size(toks) - lit(k) + 1))
+      .otherwise(array().cast("array<int>"))
+    val wins = transform(idxs, i => struct(
+      i.as("i"), keyer(array_join(slice(toks, i, lit(k)), " ")).as("w")))
+    val stream = graft.ops.ScaleOps.fanOut(docs)
+      .select(col(idCol).as("id"), split(norm, " ").as("__tk"))
+      .select(col("id"), explode(wins).as("g"))
+      .select(col("id"), col("g.i").as("i"), col("g.w").as("w"))
+    val dup = stream
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("w"))))
+      .where(col("cnt") >= minOccurs)
+    val perDoc = dup
+      .withColumn("gap",
+        col("i") - lag(col("i"), 1).over(Window.partitionBy(col("id")).orderBy(col("i"))))
+      .select(col("id"),
+        least(lit(k), coalesce(col("gap"), lit(k))).cast("long").as("cov"))
+      .groupBy(col("id"))
+      .agg(sum(col("cov")).as("dup_tokens"))
+    docs
+      .select(col(idCol).as("id"), size(split(norm, " ")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_fraction",
+        round(col("dup_tokens").cast("double") / col("n_tokens").cast("double"), 6))
   }
 }

@@ -593,16 +593,16 @@ object TextAnalysis {
     *
     * @return (id, n_bigrams, mean_logp)
     */
-  def interpolatedLogProb(docs: DataFrame, textCol: String, idCol: String,
-      lambda: Double = 0.5): DataFrame = {
-    require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0,1]")
-    val unigram = graft.ops.ScaleOps.fanOut(docs)
-      .select(explode(split(col(textCol), " ")).as("tok"))
-      .groupBy(xxhash64(col("tok")).as("h2"))
-      .agg(count(lit(1)).as("cu"))
-    val total = unigram.agg(sum(col("cu")).cast("double").as("n_total"))
-    // Token array projected once per row — see [[bigramLogProb]] for
-    // why the inline-split alternative is O(T²) per doc.
+  /** Per-doc bigram counts (h1, h2, h12, id, c_doc), hashed map-side
+    * — the ONE cached hash-only frame (5 longs/row) every bigram-LM
+    * consumer re-aggregates so the corpus is tokenized into bigrams
+    * exactly once ([[interpolatedLogProb]], [[kneserNeyLogProb]]).
+    * The token array is projected once per row — see
+    * [[bigramLogProb]] for why the inline-split alternative is O(T²)
+    * per doc.
+    */
+  private def bigramDocCounts(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
     val toks = col("__tk")
     val idxs = when(size(toks) >= 2, sequence(lit(0), size(toks) - 2))
       .otherwise(array().cast("array<int>"))
@@ -611,15 +611,26 @@ object TextAnalysis {
       xxhash64(element_at(toks, i + 2)).as("h2"),
       xxhash64(concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
         .as("h12")))
-    // Same single-materialization treatment as [[bigramLogProb]]:
-    // three consumers, one cached hash-only frame (5 longs/row).
-    val docCounts = graft.ops.ScaleOps.fanOut(docs)
+    graft.ops.ScaleOps.fanOut(docs)
       .select(col(idCol).as("id"), split(col(textCol), " ").as("__tk"))
       .select(col("id"), explode(grams).as("g"))
       .groupBy(col("g.h1").as("h1"), col("g.h2").as("h2"),
         col("g.h12").as("h12"), col("id"))
       .agg(count(lit(1)).as("c_doc"))
       .cache()
+  }
+
+  def interpolatedLogProb(docs: DataFrame, textCol: String, idCol: String,
+      lambda: Double = 0.5): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0,1]")
+    val unigram = graft.ops.ScaleOps.fanOut(docs)
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(xxhash64(col("tok")).as("h2"))
+      .agg(count(lit(1)).as("cu"))
+    val total = unigram.agg(sum(col("cu")).cast("double").as("n_total"))
+    // Single-materialization treatment (see [[bigramDocCounts]]):
+    // three consumers, one cached hash-only frame.
+    val docCounts = bigramDocCounts(docs, textCol, idCol)
     val bigramFreq = docCounts.groupBy(col("h12")).agg(sum(col("c_doc")).as("c12"))
     val ctxFreq = docCounts.groupBy(col("h1")).agg(sum(col("c_doc")).as("c1"))
     docCounts
@@ -635,6 +646,58 @@ object TextAnalysis {
             lit(lambda) * (col("c12").cast("double") / col("c1").cast("double")) +
             (lit(1.0) - lit(lambda)) *
               (col("cu").cast("double") / col("n_total")))) /
+            sum(col("c_doc")).cast("double"), 6).as("mean_logp"))
+  }
+
+  /** Interpolated Kneser-Ney bigram LM score — the smoothing that
+    * actually ships in n-gram LM filters (KenLM's default):
+    * P_KN(w₂|w₁) = (max(c(w₁w₂) − D, 0) + D·N₁₊(w₁·)·P_cont(w₂)) / c(w₁·)
+    * with P_cont(w₂) = N₁₊(·w₂) / |distinct bigrams| — the
+    * continuation probability ranks words by how many CONTEXTS they
+    * follow, not raw frequency, which is what stops boilerplate-heavy
+    * tokens ("francisco" after "san") from leaking probability mass
+    * into unseen contexts. D fixed at 0.75 (the Ney-Essen-Kneser
+    * estimate for singleton-rich corpora). Per doc: mean ln P_KN over
+    * its bigram stream.
+    *
+    * Everything derives from ONE distinct-bigram table re-aggregated
+    * from the cached [[bigramDocCounts]] frame — c₁₂ keyed h₁₂, the
+    * (c₁, N₁₊ fwd) pair keyed h₁ in a single groupBy, N₁₊ bwd keyed
+    * h₂, and the bigram-type total as a 1-row broadcast: the corpus
+    * is tokenized once, every exchange carries longs, and unlike
+    * [[interpolatedLogProb]] no separate unigram tokenization pass is
+    * needed (continuation counts come from the bigram table itself).
+    * All counts are exact integers; the score is IEEE products + ln
+    * rounded 6 dp (the t15/t22 treatment), so the oracle
+    * reconstructs it exactly.
+    *
+    * @return (id, n_bigrams, mean_logp)
+    */
+  def kneserNeyLogProb(docs: DataFrame, textCol: String, idCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, "discount must be in (0,1)")
+    val docCounts = bigramDocCounts(docs, textCol, idCol)
+    val bigrams = docCounts
+      .groupBy(col("h1"), col("h2"), col("h12"))
+      .agg(sum(col("c_doc")).as("c12"))
+    val ctx = bigrams.groupBy(col("h1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("nf"))
+    val bwd = bigrams.groupBy(col("h2")).agg(count(lit(1)).as("nb"))
+    val totalTypes = bigrams.agg(count(lit(1)).cast("double").as("bb"))
+    docCounts
+      .join(bigrams.select(col("h12"), col("c12")), Seq("h12"))
+      .join(ctx, Seq("h1"))
+      .join(bwd, Seq("h2"))
+      .crossJoin(broadcast(totalTypes))
+      .groupBy(col("id"))
+      .agg(
+        sum(col("c_doc")).as("n_bigrams"),
+        round(
+          sum(col("c_doc").cast("double") * log(
+            (greatest(col("c12").cast("double") - lit(discount), lit(0.0)) +
+              lit(discount) * col("nf").cast("double") *
+                (col("nb").cast("double") / col("bb"))) /
+              col("c1").cast("double"))) /
             sum(col("c_doc")).cast("double"), 6).as("mean_logp"))
   }
 

@@ -199,6 +199,20 @@ object ScaleSmoke {
       time("t30 importanceWeights") {
         graft.pipeline.TextAnalysis.importanceWeights(
           docs, "text", "doc_id", col("source") === "src0").count() }
+      time("t31 kneserNeyLogProb") {
+        graft.pipeline.TextAnalysis.kneserNeyLogProb(
+          docs, "text", "doc_id").count() }
+      // span coverage on the xxhash64 scale path: window-keyed posting
+      // exchange + doc-keyed interval union, both near-linear
+      time("d16 spanCoverage k=6") {
+        graft.pipeline.Dedup.spanCoverage(docs, "text", "doc_id", k = 6).count() }
+      // bloom probe is map-side (literal bitset); cost ~ one shingle
+      // scan + doc-keyed agg regardless of benchmark size
+      time("t32 bloomContamination (1% bench)") {
+        graft.pipeline.Decontaminate.bloomContamination(
+          docs.where(col("doc_id") % 100 =!= 0),
+          docs.where(col("doc_id") % 100 === 0),
+          "text", "doc_id", n = 3, mBits = 65536, kHash = 3).count() }
       time("s12 pqEncode m=16") {
         val books = graft.pipeline.Pq.trainCodebooks(emb, "embedding",
           "vec_id", m = 16, ksub = 16, iters = 2, maxTrainRows = 10000)

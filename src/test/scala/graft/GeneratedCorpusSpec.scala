@@ -30,7 +30,13 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     "t22_bigram_logprob", "t23_ngram_novelty", "t24_heavy_hitters_cms",
     "t27_interpolated_logprob", "t28_temperature_mix",
     "t25_pii_redaction", "t26_zipf_fit", "m04_wav_decode", "m05_bmp_decode",
-    "m06_bmp_resize", "m07_wav_resample")
+    "m06_bmp_resize", "m07_wav_resample",
+    // round-9 additions: d16 is integer interval-union counts + one
+    // exact division; t31's ln-sum is contract-rounded like t22/t27;
+    // t32 is pure integer counts (bloom positions are md5-derived
+    // integers on both engines)
+    "d16_span_coverage", "t31_kneser_ney_logprob", "t32_bloom_decontaminate",
+    "d17_snapshot_diff", "q70_pivot")
 
   private def generate(seed: Int, nDocs: Int): Seq[(Long, String, String, String, Long)] = {
     val rnd = new scala.util.Random(seed)

@@ -303,4 +303,179 @@ class Round9Spec extends AnyFunSuite {
     val blockedSem = blocked.filter(_._4.isDefined).map(t => (t._1, t._2, t._4)).toSet
     assert(blockedSem.subsetOf(bruteSem))
   }
+
+  // ---------- d16 spanCoverage ----------
+
+  /** In-memory reference of the duplicated-span coverage semantics:
+    * k-token windows, count >= minOccurs anywhere, per-doc
+    * interval-union token count via the sorted-starts min(k, gap)
+    * identity.
+    */
+  private def spanRef(docs: Seq[(Long, String)], k: Int, minOccurs: Int)
+      : Map[Long, (Long, Long)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.toLowerCase.replaceAll("\\s+", " ").trim.split(" ", -1).toSeq
+    }
+    val wins = for {
+      (id, ts) <- toks
+      i <- 1 to ts.length - k + 1
+    } yield (id, i, ts.slice(i - 1, i - 1 + k).mkString(" "))
+    val cnt = wins.groupBy(_._3).map { case (w, occ) => w -> occ.size }
+    val dupStarts = wins.filter(w => cnt(w._3) >= minOccurs)
+      .groupBy(_._1).map { case (id, ws) => id -> ws.map(_._2).sorted }
+    toks.map { case (id, ts) =>
+      val covered = dupStarts.get(id) match {
+        case None => 0L
+        case Some(starts) =>
+          starts.foldLeft((0L, Option.empty[Long])) { case ((acc, prev), i) =>
+            val c = prev.fold(k.toLong)(p => math.min(k.toLong, i - p))
+            (acc + c, Some(i.toLong))
+          }._1
+      }
+      id -> (ts.length.toLong, covered)
+    }.toMap
+  }
+
+  test("spanCoverage matches the in-memory reference on seeded corpora with planted spans") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x5eedd160L)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    for (trial <- 1 to 8) {
+      val k = 3 + rnd.nextInt(4) // 3..6
+      val n = 30 + rnd.nextInt(40)
+      val texts = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      for (i <- 0 until n) {
+        val len = k + rnd.nextInt(40)
+        var ts = Array.fill(len)(vocab(rnd.nextInt(vocab.length)))
+        // plant: splice a contiguous span of an earlier doc into this one
+        if (i > 0 && rnd.nextDouble() < 0.4) {
+          val src = texts(rnd.nextInt(i))._2.split(" ")
+          val spanLen = math.min(src.length, k + rnd.nextInt(6))
+          val from = rnd.nextInt(src.length - spanLen + 1)
+          val at = rnd.nextInt(ts.length + 1)
+          ts = (ts.take(at) ++ src.slice(from, from + spanLen) ++ ts.drop(at))
+        }
+        texts += ((i.toLong, ts.mkString(" ")))
+      }
+      val df = texts.toSeq.toDF("doc_id", "text")
+      val expected = spanRef(texts.toSeq, k, minOccurs = 2)
+      withClue(s"trial $trial (k=$k n=$n): ") {
+        val got = Dedup.spanCoverage(df, "text", "doc_id", k = k)
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        assert(got == expected)
+        // md5 keyer (the d16 oracle path) pins the identical kernel
+        val gotMd5 = Dedup.spanCoverage(df, "text", "doc_id", k = k, keyer = md5(_))
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        assert(gotMd5 == expected)
+      }
+    }
+  }
+
+  // ---------- t31 kneserNeyLogProb ----------
+
+  test("kneserNeyLogProb matches an in-memory reference and the KN mass invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x5eedc431L)
+    val vocab = Array("a", "b", "c", "d", "e", "f")
+    val D = 0.75
+    for (trial <- 1 to 5) {
+      val docs = (0 until (20 + rnd.nextInt(30))).map { i =>
+        (i.toLong, Seq.fill(2 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.length)))
+          .mkString(" "))
+      }
+      // reference model tables from first principles
+      val bis = docs.flatMap { case (id, t) =>
+        val ts = t.split(" ", -1)
+        if (ts.length < 2) Nil
+        else ts.sliding(2).map(p => (id, p(0), p(1))).toSeq
+      }
+      val bt = bis.groupBy(b => (b._2, b._3)).map { case (k, v) => k -> v.size.toLong }
+      val c1 = bt.toSeq.groupBy(_._1._1).map { case (w, m) => w -> m.map(_._2).sum }
+      val nf = bt.toSeq.groupBy(_._1._1).map { case (w, m) => w -> m.size.toLong }
+      val nb = bt.toSeq.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+      val bb = bt.size.toDouble
+      def p(w1: String, w2: String): Double =
+        (math.max(bt((w1, w2)) - D, 0.0) + D * nf(w1) * (nb(w2) / bb)) / c1(w1)
+      // interpolated-KN mass invariant: for every context w1, P over
+      // all bigram-table continuation types sums to exactly 1
+      val w2types = bt.keySet.map(_._2)
+      c1.keys.foreach { w1 =>
+        val mass = w2types.toSeq.map { w2 =>
+          (math.max(bt.getOrElse((w1, w2), 0L) - D, 0.0) +
+            D * nf(w1) * (nb(w2) / bb)) / c1(w1)
+        }.sum
+        assert(math.abs(mass - 1.0) < 1e-9, s"KN mass for '$w1' = $mass")
+      }
+      val ref = bis.groupBy(b => (b._1, b._2, b._3)).toSeq
+        .map { case ((id, w1, w2), occ) => (id, occ.size.toLong, p(w1, w2)) }
+        .groupBy(_._1)
+        .map { case (id, rows) =>
+          val n = rows.map(_._2).sum
+          id -> (n, rows.map(r => r._2 * math.log(r._3)).sum / n)
+        }
+      val got = graft.pipeline.TextAnalysis.kneserNeyLogProb(
+          docs.toDF("doc_id", "text"), "text", "doc_id", discount = D)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      withClue(s"trial $trial: ") {
+        assert(got.keySet == ref.keySet)
+        ref.foreach { case (id, (n, logp)) =>
+          assert(got(id)._1 == n, s"n_bigrams for doc $id")
+          assert(math.abs(got(id)._2 - logp) < 1e-6,
+            s"mean_logp for doc $id: got ${got(id)._2} ref $logp")
+        }
+      }
+    }
+  }
+
+  // ---------- t32 bloomContamination ----------
+
+  test("bloom contamination: no false negatives, exact leg matches contaminationFractions") {
+    val docs = Tables.load(spark, SparkFixture.sfDir, "documents")
+    val cand = docs.where(col("doc_id") % 50 =!= 0)
+    val bench = docs.where(col("doc_id") % 50 === 0)
+    val bloom = graft.pipeline.Decontaminate.bloomContamination(
+        cand, bench, "text", "doc_id", n = 3, mBits = 4096, kHash = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // Bloom guarantee: membership probes never miss -> per doc
+    // bloom_hits >= exact_hits
+    bloom.foreach { case (id, (_, bh, eh)) =>
+      assert(bh >= eh, s"doc $id: bloom_hits $bh < exact_hits $eh")
+    }
+    // the exact leg must agree with the established operator
+    val fracs = graft.pipeline.Decontaminate.contaminationFractions(
+        cand, bench, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    fracs.foreach { case (id, (nHits, nSh)) =>
+      assert(bloom(id)._3 == nHits, s"doc $id exact_hits")
+      assert(bloom(id)._1 == nSh, s"doc $id n_shingles")
+    }
+    // docs absent from fractions have zero exact hits
+    bloom.foreach { case (id, (_, _, eh)) =>
+      if (!fracs.contains(id)) assert(eh == 0L)
+    }
+    // the false-positive gap exists on this corpus (the filter is
+    // loaded enough to matter) — if this ever fails the parameters
+    // stopped exercising the interesting regime
+    assert(bloom.values.map(_._2).sum > bloom.values.map(_._3).sum)
+  }
+
+  test("spanCoverage edge cases: short docs, within-doc repeats, full coverage") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e a b c"), // within-doc repeated 3-gram "a b c"
+      (2L, "x y"), //             shorter than k: no windows, 0 coverage
+      (3L, "p q r s t"), //       unique content, 0 coverage
+      (4L, "p q r s t") //        exact dup of 3: full coverage both
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanCoverage(df, "text", "doc_id", k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // doc 1: "a b c" appears at starts 1 and 6 -> union = 3 + min(3, 5)
+    // = 6 of 8 tokens
+    assert(got(1L) == ((8L, 6L, 0.75)))
+    assert(got(2L) == ((2L, 0L, 0.0)))
+    assert(got(3L) == ((5L, 5L, 1.0)))
+    assert(got(4L) == ((5L, 5L, 1.0)))
+  }
 }
