@@ -3577,6 +3577,62 @@ object SparkEntry {
         .orderBy(col("id"))
     })
 
+  // Weighted reservoir sample (Efraimidis-Spirakis A-ES keys with
+  // md5-deterministic uniforms): top-5 per source proportional to
+  // n_chars. The deterministic u makes the exact draw
+  // oracle-reconstructible; priority ROUND(6) is the only float in
+  // the output.
+  private val t33 = Q("t33_weighted_sample", Some("""
+    WITH pr AS (SELECT source, doc_id, n_chars,
+        ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS DOUBLE) + 1.0)
+           / 281474976710656.0) / CAST(n_chars AS DOUBLE) AS p
+      FROM documents WHERE n_chars > 0),
+    rk AS (SELECT source, doc_id, n_chars, p,
+        ROW_NUMBER() OVER (PARTITION BY source ORDER BY p DESC, doc_id) AS sample_rank
+      FROM pr)
+    SELECT source, doc_id, n_chars, ROUND(p, 6) AS priority,
+      CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM rk WHERE sample_rank <= 5 ORDER BY source, sample_rank"""),
+    (s, dir) => graft.pipeline.Sampling.weightedSample(
+        T(s, dir, "documents"), "source", "doc_id", "n_chars", k = 5)
+      .orderBy(col("source"), col("sample_rank")))
+
+  // Exact grouped ROC-AUC (Mann-Whitney on score-aggregated counts,
+  // mid-rank ties): does token entropy (the t15 score, ROUND(6) so
+  // tie structure is cross-engine exact) rank lang='en' docs above
+  // the rest, per source? Integer pair counts until one final
+  // division.
+  private val t34 = Q("t34_classifier_auc", Some("""
+    WITH counts AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM
+        (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY doc_id, tok),
+    ent AS (SELECT doc_id,
+        ROUND(ln(CAST(SUM(c) AS DOUBLE)) - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE), 6) AS s
+      FROM counts GROUP BY doc_id),
+    sc AS (SELECT d.source AS grp, e.s, (d.lang = 'en') AS pos
+           FROM ent e JOIN documents d USING (doc_id)),
+    g AS (SELECT grp, s, CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+            CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+          FROM sc GROUP BY grp, s),
+    cum AS (SELECT grp, s, np, nn,
+        COALESCE(SUM(nn) OVER (PARTITION BY grp ORDER BY s
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_nn FROM g),
+    agg AS (SELECT grp, CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(nn) AS BIGINT) AS n_neg,
+        CAST(SUM(np * cum_nn * 2 + np * nn) AS BIGINT) AS wins2 FROM cum GROUP BY grp)
+    SELECT grp AS source, n_pos, n_neg,
+      ROUND(CAST(wins2 AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) AS auc
+    FROM agg WHERE n_pos > 0 AND n_neg > 0 ORDER BY source"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val scored = TextAnalysis.tokenEntropy(docs, "text", "doc_id")
+        .select(col("id").as("doc_id"), col("entropy"))
+        .join(docs.select(col("doc_id"), col("source"), col("lang")), Seq("doc_id"))
+      TextAnalysis.classifierAuc(scored, "source", "entropy",
+          col("lang") === "en")
+        .orderBy(col("source"))
+    })
+
   // THIRD real codec roundtrip, video: text → uncompressed RIFF-AVI
   // (5×2 DIB frames, 10 text bytes each, stored row stride 16 = real
   // padding) → container parse → per-FRAME pixel stats. The oracle
@@ -3642,7 +3698,7 @@ object SparkEntry {
     s16, s17, s18, s19, s20, s21,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
-    t31, t32,
+    t31, t32, t33, t34,
     m01, m02, m03, m04, m05, m06, m07, m08)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =

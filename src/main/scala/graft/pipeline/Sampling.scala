@@ -178,6 +178,53 @@ object Sampling {
         round(col("__pow") / sum(col("__pow")).over(w), 6).as("temp_weight"))
   }
 
+  /** WEIGHTED reservoir sample, Efraimidis-Spirakis A-ES keys with
+    * DETERMINISTIC uniforms: row priority = ln(u)/w where u ∈ (0, 1]
+    * derives from the first 12 md5 nibbles of the id and w is the
+    * caller's weight column — keep the top-k priorities per stratum.
+    * ln(u)/w orders identically to the textbook u^(1/w) key
+    * (monotone transform) without `pow`, and the deterministic u
+    * makes the whole draw reproducible across runs, engines, and
+    * partitionings — the property that lets the DuckDB oracle
+    * reconstruct the exact sample (a PRNG-based sampler could only
+    * be property-tested). This is how a curation pipeline samples
+    * "proportional to quality score" or "proportional to length"
+    * instead of uniformly ([[stratifiedSample]]).
+    *
+    * Rows with weight <= 0 are dropped (zero mass can't be drawn;
+    * negative has no A-ES meaning) — mirrored in the oracle so both
+    * engines agree.
+    *
+    * Scale shape: one hash exchange on the stratum for the rank
+    * window, with the filter-on-row_number shape
+    * InferWindowGroupLimit turns into a per-partition top-k (the
+    * [[stratifiedSample]] pin) — per-reducer state is k rows however
+    * hot the stratum. Priorities are scan-stage codegen (md5 + ln).
+    * Cross-engine tie risk: two priorities within 1 ulp of each
+    * other could rank differently per libm; with 48-bit uniforms the
+    * spacing is ~2⁻⁴⁸ of a unit — the same accepted-odds class as
+    * the xxhash64 collision notes.
+    *
+    * @return (stratum, id, weight, priority round-6, sample_rank)
+    */
+  def weightedSample(df: DataFrame, strataCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    // (first 12 md5 nibbles + 1) / 2^48 ∈ (0, 1]: +1 dodges ln(0);
+    // 12 nibbles keep the integer exact in a double (48 < 53 bits)
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+      .cast("long").cast("double") + lit(1.0)) / lit(281474976710656.0)
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("__pr").desc, col(idCol))
+    df.where(col(weightCol) > 0)
+      .withColumn("__pr", log(u) / col(weightCol).cast("double"))
+      .withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= k)
+      .select(col(strataCol), col(idCol), col(weightCol),
+        round(col("__pr"), 6).as("priority"),
+        col("sample_rank").cast("long").as("sample_rank"))
+  }
+
   def sourceMix(df: DataFrame, strataCol: String, idCol: String,
       mix: Map[String, (Int, Int)]): DataFrame = {
     require(mix.nonEmpty, "mix must name at least one stratum")

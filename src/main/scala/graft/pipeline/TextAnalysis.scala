@@ -701,6 +701,50 @@ object TextAnalysis {
             sum(col("c_doc")).cast("double"), 6).as("mean_logp"))
   }
 
+  /** Exact grouped ROC-AUC of a score column against a boolean label
+    * — the evaluation every score-based curation filter (the t29
+    * Naive-Bayes quality score, LM log-probs, Gopher heuristics)
+    * needs before anyone thresholds on it: does the score actually
+    * rank positives above negatives, per group? Computed via the
+    * Mann-Whitney pair statistic on SCORE-AGGREGATED counts:
+    * AUC = (Σ_s np(s)·cum_nn(<s) + ½·Σ_s np(s)·nn(s)) / (Np·Nn)
+    * (ties count half, the standard mid-rank convention). Everything
+    * is integer until the single final division — kept as
+    * (2·wins + ties) / (2·Np·Nn) so the only IEEE op is one divide,
+    * rounded 6 dp: the oracle reconstructs it exactly.
+    *
+    * Scale shape: one (group, score) partial-aggregated exchange
+    * collapses the corpus to distinct-score rows, then a group-keyed
+    * cumulative window over those rows and a group aggregate — the
+    * windows parallelize across groups, and nothing downstream of
+    * the first aggregation is corpus-sized. Pass an already-rounded
+    * score (the t15 ROUND(6) contract) so score equality — which
+    * determines tie handling — is cross-engine exact. Groups missing
+    * a class have no defined AUC and are dropped (0/0 differs by
+    * engine; mirrored in the oracle).
+    *
+    * @return (group, n_pos, n_neg, auc)
+    */
+  def classifierAuc(scored: DataFrame, groupCol: String, scoreCol: String,
+      label: Column): DataFrame = {
+    val g = scored
+      .groupBy(col(groupCol).as("grp"), col(scoreCol).as("s"))
+      .agg(sum(when(label, 1L).otherwise(0L)).as("np"),
+        sum(when(label, 0L).otherwise(1L)).as("nn"))
+    val wcum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    g.withColumn("cum_nn", coalesce(sum(col("nn")).over(wcum), lit(0L)))
+      .groupBy(col("grp"))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("np") * col("cum_nn") * 2 + col("np") * col("nn")).as("wins2"))
+      .where(col("n_pos") > 0 && col("n_neg") > 0)
+      .select(col("grp").as(groupCol), col("n_pos"), col("n_neg"),
+        round(col("wins2").cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")),
+          6).as("auc"))
+  }
+
   /** Naive-Bayes quality-classifier score — the counts-only core of
     * the fastText/CCNet-style quality filter every large pretraining
     * pipeline runs (train a cheap classifier on a trusted-vs-raw

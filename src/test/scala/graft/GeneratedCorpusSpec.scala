@@ -36,7 +36,10 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     // t32 is pure integer counts (bloom positions are md5-derived
     // integers on both engines)
     "d16_span_coverage", "t31_kneser_ney_logprob", "t32_bloom_decontaminate",
-    "d17_snapshot_diff", "q70_pivot")
+    "d17_snapshot_diff", "q70_pivot",
+    // t33 is a deterministic draw (md5 uniforms); t34 is integer pair
+    // counts over a contract-rounded score — both exactly replayable
+    "t33_weighted_sample", "t34_classifier_auc")
 
   private def generate(seed: Int, nDocs: Int): Seq[(Long, String, String, String, Long)] = {
     val rnd = new scala.util.Random(seed)

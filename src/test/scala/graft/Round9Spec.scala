@@ -460,6 +460,79 @@ class Round9Spec extends AnyFunSuite {
     assert(bloom.values.map(_._2).sum > bloom.values.map(_._3).sum)
   }
 
+  // ---------- t33 weightedSample ----------
+
+  test("weightedSample matches the A-ES reference draw on seeded corpora") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val rnd = new scala.util.Random(0x5eed7733L)
+    for (trial <- 1 to 4) {
+      val k = 1 + rnd.nextInt(4)
+      val rows = (0 until 80 + rnd.nextInt(60)).map { i =>
+        (i.toLong, s"s${rnd.nextInt(5)}", rnd.nextInt(200).toLong) // some weight-0 rows
+      }
+      val df = rows.toDF("doc_id", "stratum", "wt")
+      val expected = rows.filter(_._3 > 0).map { case (id, st, w) =>
+        val u = (java.lang.Long.parseLong(md5hex(id.toString).take(12), 16) + 1.0) /
+          281474976710656.0
+        (st, id, w, math.log(u) / w)
+      }.groupBy(_._1).flatMap { case (_, g) =>
+        g.sortBy(r => (-r._4, r._2)).take(k).zipWithIndex
+          .map { case ((st, id, w, pr), i) => (st, id) -> ((w, pr, i + 1L)) }
+      }
+      val got = graft.pipeline.Sampling.weightedSample(df, "stratum", "doc_id", "wt", k)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+      withClue(s"trial $trial (k=$k): ") {
+        assert(got.keySet == expected.keySet)
+        expected.foreach { case (key, (w, pr, rank)) =>
+          assert(got(key)._1 == w && got(key)._3 == rank)
+          assert(math.abs(got(key)._2 - pr) < 1e-6, s"priority for $key")
+        }
+      }
+    }
+  }
+
+  // ---------- t34 classifierAuc ----------
+
+  test("classifierAuc matches the pairwise Mann-Whitney reference, ties included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x5eeda0cL)
+    for (trial <- 1 to 4) {
+      // few distinct scores -> dense ties, the hard case
+      val rows = (0 until 60 + rnd.nextInt(80)).map { i =>
+        (i.toLong, s"g${rnd.nextInt(3)}",
+          (rnd.nextInt(6) * 0.25) - 0.5, rnd.nextBoolean())
+      }
+      val df = rows.toDF("id", "grp", "score", "pos")
+      val expected = rows.groupBy(_._2).flatMap { case (g, rs) =>
+        val posS = rs.filter(_._4).map(_._3)
+        val negS = rs.filterNot(_._4).map(_._3)
+        if (posS.isEmpty || negS.isEmpty) None
+        else {
+          val wins = (for (p <- posS; n <- negS)
+            yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+          Some(g -> ((posS.size.toLong, negS.size.toLong,
+            wins / (posS.size.toLong * negS.size))))
+        }
+      }
+      val got = graft.pipeline.TextAnalysis.classifierAuc(df, "grp", "score", col("pos"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+      withClue(s"trial $trial: ") {
+        assert(got.keySet == expected.keySet)
+        expected.foreach { case (g, (np, nn, auc)) =>
+          assert(got(g)._1 == np && got(g)._2 == nn)
+          assert(math.abs(got(g)._3 - auc) < 1e-6, s"auc for $g: got ${got(g)._3} ref $auc")
+        }
+      }
+    }
+  }
+
   test("spanCoverage edge cases: short docs, within-doc repeats, full coverage") {
     import spark.implicits._
     val df = Seq(
