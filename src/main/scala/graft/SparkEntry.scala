@@ -3682,6 +3682,105 @@ object SparkEntry {
         .orderBy(col("sample_id"), col("frame_idx"))
     })
 
+  // Corpus-level PMI collocations: top-30 adjacent pairs by pointwise
+  // mutual information with a min-count floor. Counts are exact
+  // integers off one bigram stream; PMI is one IEEE division + ln,
+  // ranked pre-round with (w1,w2) tie-breaks so the top-k cut is
+  // cross-engine identical.
+  private val t35 = Q("t35_pmi_collocations", Some("""
+    WITH bg AS (
+      SELECT ts[i] AS w1, ts[i+1] AS w2, COUNT(*) AS c12 FROM
+        (SELECT string_split(text, ' ') AS ts FROM documents),
+        UNNEST(generate_series(1, len(ts) - 1)) AS u(i)
+      GROUP BY 1, 2),
+    l AS (SELECT w1, SUM(c12) AS c1 FROM bg GROUP BY w1),
+    r AS (SELECT w2, SUM(c12) AS c2 FROM bg GROUP BY w2),
+    n AS (SELECT CAST(SUM(c12) AS DOUBLE) AS n_total FROM bg),
+    sc AS (SELECT bg.w1, bg.w2, bg.c12,
+        ln((CAST(bg.c12 AS DOUBLE) * n.n_total) /
+           (CAST(l.c1 AS DOUBLE) * CAST(r.c2 AS DOUBLE))) AS pmi_raw
+      FROM bg JOIN l USING (w1) JOIN r USING (w2), n
+      WHERE bg.c12 >= 5)
+    SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, ROUND(pmi_raw, 6) AS pmi
+    FROM sc ORDER BY pmi_raw DESC, w1, w2 LIMIT 30"""),
+    (s, dir) => TextAnalysis.pmiCollocations(T(s, dir, "documents"), "text",
+      k = 30, minCount = 5L))
+
+  // Pairwise source-vocabulary overlap (Jaccard + both containments)
+  // over all 190 source pairs — the corpus-level near-dup fingerprint
+  // document-pair dedup can't see. Engine intersects xxhash64 token
+  // hashes; the oracle intersects the token strings (t23 treatment).
+  private val t36 = Q("t36_vocab_overlap", Some("""
+    WITH v AS (SELECT DISTINCT source AS g, tok FROM
+        (SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents)),
+    s AS (SELECT g, COUNT(*) AS vs FROM v GROUP BY g),
+    i AS (SELECT a.g AS ga, b.g AS gb, COUNT(*) AS inter
+          FROM v a JOIN v b ON a.tok = b.tok AND a.g < b.g GROUP BY 1, 2),
+    grid AS (SELECT sa.g AS ga, sa.vs AS va, sb.g AS gb, sb.vs AS vb
+             FROM s sa, s sb WHERE sa.g < sb.g)
+    SELECT grid.ga AS group_a, grid.gb AS group_b,
+      CAST(grid.va AS BIGINT) AS vocab_a, CAST(grid.vb AS BIGINT) AS vocab_b,
+      CAST(COALESCE(i.inter, 0) AS BIGINT) AS inter,
+      ROUND(CAST(COALESCE(i.inter, 0) AS DOUBLE) /
+        CAST(grid.va + grid.vb - COALESCE(i.inter, 0) AS DOUBLE), 6) AS jaccard,
+      ROUND(CAST(COALESCE(i.inter, 0) AS DOUBLE) / CAST(grid.va AS DOUBLE), 6)
+        AS containment_a,
+      ROUND(CAST(COALESCE(i.inter, 0) AS DOUBLE) / CAST(grid.vb AS DOUBLE), 6)
+        AS containment_b
+    FROM grid LEFT JOIN i ON i.ga = grid.ga AND i.gb = grid.gb
+    ORDER BY group_a, group_b"""),
+    (s, dir) => TextAnalysis.vocabOverlap(T(s, dir, "documents"), "text", "source")
+      .orderBy(col("group_a"), col("group_b")))
+
+  // Boilerplate chunk REMOVAL (CCNet paragraph dedup over fixed-width
+  // chunks): rebuild each doc keeping only 8-token chunks present in
+  // <= 2 documents. The oracle reassembles from chunk STRINGS via
+  // ordered string_agg; the engine moves only hashes until the one
+  // id-keyed rebuild join — a mis-ordered or off-by-one rebuild
+  // hash-mismatches on text_kept.
+  private val d18 = Q("d18_chunk_removal", Some("""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    ch AS (SELECT doc_id, c, array_to_string(ts[c*8+1 : c*8+8], ' ') AS chunk
+           FROM toks, UNNEST(generate_series(0, (len(ts)-1)//8)) AS u(c)),
+    df AS (SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM ch GROUP BY chunk),
+    keep AS (SELECT doc_id, c, chunk FROM ch JOIN df USING (chunk) WHERE df <= 2)
+    SELECT t.doc_id AS id,
+      COALESCE(string_agg(k.chunk, ' ' ORDER BY k.c), '') AS text_kept,
+      CAST((len(t.ts)-1)//8 + 1 AS BIGINT) AS n_chunks,
+      CAST(COUNT(k.c) AS BIGINT) AS n_kept,
+      CAST((len(t.ts)-1)//8 + 1 - COUNT(k.c) AS BIGINT) AS n_dropped
+    FROM toks t LEFT JOIN keep k USING (doc_id)
+    GROUP BY t.doc_id, len(t.ts)
+    ORDER BY id"""),
+    (s, dir) => Dedup.dropCommonChunks(T(s, dir, "documents"), "text", "doc_id",
+      chunkTokens = 8, maxDf = 2L).orderBy(col("id")))
+
+  // Hard-negative mining: top-5 most-similar DIFFERENT-label corpus
+  // vectors per anchor (vec_id < 5). The s04 exact-cosine kernel plus
+  // a label-exclusion predicate evaluated before the kernel.
+  private val s22 = Q("s22_hard_negatives", Some("""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id, e.label,
+        list_sum(list_transform(generate_series(1, len(e.embedding)),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos_sim
+      FROM embeddings e, q WHERE e.label <> q.ql),
+    ranked AS (
+      SELECT query_id, vec_id, label, cos_sim,
+        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, label, cos_sim, rank FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank"""),
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 5),
+          "embedding", "vec_id", "label", "vec_id", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    })
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -3693,12 +3792,12 @@ object SparkEntry {
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
-    d17,
+    d17, d18,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
-    s16, s17, s18, s19, s20, s21,
+    s16, s17, s18, s19, s20, s21, s22,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
-    t31, t32, t33, t34,
+    t31, t32, t33, t34, t35, t36,
     m01, m02, m03, m04, m05, m06, m07, m08)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =

@@ -897,4 +897,74 @@ object Dedup {
       .withColumn("dup_fraction",
         round(col("dup_tokens").cast("double") / col("n_tokens").cast("double"), 6))
   }
+
+  /** Boilerplate REMOVAL — the rebuild counterpart of
+    * [[duplicatedChunks]]/[[spanCoverage]] (which only flag): each
+    * document is split into disjoint `chunkTokens`-token chunks, a
+    * chunk's document frequency is counted corpus-wide, and the
+    * document is reassembled KEEPING only chunks present in at most
+    * `maxDf` documents. This is CCNet/RefinedWeb paragraph-level
+    * dedup re-expressed over fixed-width token chunks (the fixture
+    * corpus has no paragraph separators; on real text, substitute the
+    * paragraph split for the chunker — the df/rebuild machinery is
+    * separator-agnostic): headers, navigation and license blocks
+    * repeat across thousands of pages and survive document-level
+    * dedup because every PAGE is unique.
+    *
+    * Scale shape: chunks hash in the scan stage (chunk text is built
+    * per row and reduced to xxhash64 before any exchange), so the df
+    * aggregation and the keep-decision join move (id, pos, hash)
+    * longs only — never text. The two-level (hash, id)→(hash)
+    * aggregation keeps map-side partials exact for the DISTINCT-doc
+    * count (the d09 treatment). Kept positions collapse to ONE
+    * compact row per doc (id + sorted int array), and the original
+    * text is re-read in a single id-keyed join for the rebuild — the
+    * only stage where text moves, once, as in any rebuild; AQE
+    * broadcasts the positions side when it fits. The reassembly
+    * itself (slice + flatten + join over the kept positions) is
+    * per-row expression work.
+    *
+    * Chunk c covers tokens [c·W, c·W+W) (0-based), last chunk may be
+    * short; a doc with every chunk dropped survives with empty text
+    * (the caller filters, keeping the audit trail). The hash stands
+    * in for the chunk string (t23 treatment: oracle runs on strings,
+    * identical short of an xxhash64 collision among distinct chunks).
+    *
+    * @return (id, text_kept, n_chunks, n_kept, n_dropped)
+    */
+  def dropCommonChunks(docs: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int, maxDf: Long): DataFrame = {
+    require(chunkTokens >= 1, "chunkTokens must be >= 1")
+    require(maxDf >= 1, "maxDf must be >= 1 (0 drops everything)")
+    val w = chunkTokens
+    val toks = col("__tk")
+    val lastChunk = ((size(toks) - 1) / w).cast("int")
+    val hashes = transform(sequence(lit(0), lastChunk), c => struct(
+      c.as("c"), xxhash64(array_join(slice(toks, c * w + 1, lit(w)), " ")).as("h")))
+    val stream = graft.ops.ScaleOps.fanOut(docs)
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("__tk"))
+      .select(col("id"), explode(hashes).as("g"))
+      .select(col("id"), col("g.c").as("c"), col("g.h").as("h"))
+    val df = stream.groupBy(col("h"), col("id")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val keeps = stream.join(df, Seq("h"))
+      .where(col("df") <= maxDf)
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("c"))).as("keeps"))
+    docs
+      .select(col(idCol).as("id"), col(textCol).as("__txt"))
+      .join(keeps, Seq("id"), "left")
+      // token array PROJECTED before the rebuild lambda — HOFs
+      // evaluate interpreted with no CSE, so an inline
+      // slice(split(__txt), …) would re-split the text per kept
+      // chunk (the bigramLogProb O(T²) trap)
+      .select(col("id"), split(col("__txt"), " ").as("__tk"),
+        coalesce(col("keeps"), array().cast("array<int>")).as("keeps"))
+      .select(col("id"),
+        array_join(flatten(transform(col("keeps"),
+          c => slice(col("__tk"), c * w + 1, lit(w)))), " ").as("text_kept"),
+        (((size(col("__tk")) - 1) / w) + 1).cast("long").as("n_chunks"),
+        size(col("keeps")).cast("long").as("n_kept"))
+      .withColumn("n_dropped", col("n_chunks") - col("n_kept"))
+  }
 }

@@ -201,6 +201,49 @@ object Similarity {
       .select(col("query_id"), col(idCol), col("cos_sim"), col("rank").cast("long").as("rank"))
   }
 
+  /** Hard-negative mining for contrastive training: for every anchor,
+    * the k most-similar corpus vectors carrying a DIFFERENT label —
+    * the highest-loss negatives a contrastive or reranker objective
+    * trains on (easy random negatives contribute ~zero gradient; the
+    * near-miss with the wrong label is the example that moves the
+    * boundary).
+    *
+    * Same cost shape as [[bruteForceTopKBatch]] — anchors broadcast
+    * with their labels, the corpus scans ONCE regardless of anchor
+    * count, the label exclusion is a scan-stage predicate evaluated
+    * BEFORE the cosine kernel (cheap filter first), and per-anchor
+    * ranking is a window with InferWindowGroupLimit capping map-side
+    * forwarding at k. Self-pairs are excluded by the label predicate
+    * when the anchor carries its own label; an anchor whose label
+    * covers the whole corpus yields no rows (nothing is a negative).
+    * At 100 TB the corpus side swaps for an ANN shortlist
+    * ([[lshTopK]]/[[Ivf.searchTopK]]) with the label predicate as the
+    * post-filter — the window/rank contract is unchanged.
+    *
+    * @return (query_id, id, label, cos_sim, rank) — rank 1..k per
+    *         anchor by cosine descending
+    */
+  def hardNegatives(
+      corpus: DataFrame, anchors: DataFrame,
+      vecCol: String, idCol: String, labelCol: String,
+      anchorIdCol: String, k: Int): DataFrame = {
+    val q = anchors.select(col(anchorIdCol).as("query_id"),
+      col(vecCol).as("q_vec"), col(labelCol).as("q_label"))
+    val scored = graft.ops.ScaleOps.fanOut(corpus)
+      .select(col(idCol), col(vecCol), col(labelCol))
+      .crossJoin(broadcast(q))
+      .where(col(labelCol) =!= col("q_label"))
+      .withColumn("cos_sim", cosine(col(vecCol), col("q_vec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col(labelCol), col("cos_sim"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for
     * (plane, dim): xxhash64 → uniform in [-0.5, 0.5). Stable across
     * executors; good enough for sign-LSH.

@@ -900,6 +900,119 @@ object TextAnalysis {
            (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
   }
 
+  /** Corpus-level PMI collocations: the top-k adjacent token pairs by
+    * pointwise mutual information, PMI(w₁,w₂) = ln(c₁₂·N / (c₁·c₂)),
+    * with c₁ = occurrences of w₁ as a bigram's FIRST token and c₂ =
+    * occurrences of w₂ as a bigram's SECOND token (both marginals of
+    * the same bigram stream, so Σc₁ = Σc₂ = N and the PMI is a true
+    * log-ratio of bigram-stream probabilities). The `minCount` floor
+    * is the standard guard against the hapax explosion — a pair seen
+    * once has PMI ≈ ln N regardless of whether it is a collocation.
+    *
+    * This is a REPORT query (the output is human-readable pairs), so
+    * unlike the LM scores the bigram strings themselves aggregate —
+    * the t24 heavy-hitters treatment: map-side partial aggregation
+    * collapses hot pairs before the exchange, and everything after
+    * the first groupBy operates on the distinct-bigram table (vocab-
+    * bounded, corpus-size-independent). The marginals re-aggregate
+    * that table, NOT the corpus; the 1-row total broadcasts; top-k is
+    * TakeOrderedAndProject (no global sort materialization).
+    *
+    * All counts are exact integers; c₁₂·N and c₁·c₂ stay below 2⁵³
+    * for any corpus this runs on (both ≤ N², N ≤ 2²⁶ per partition-
+    * exact long counts), so the quotient is one IEEE division and the
+    * oracle reconstructs ln of it bit-exactly. Rounded 6 dp; ranked
+    * BEFORE rounding on the full double with (w₁,w₂) tie-breaks —
+    * binary string order in both engines.
+    *
+    * @return top-k rows (w1, w2, c12, pmi) by PMI descending
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+      k: Int = 50, minCount: Long = 5L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(minCount >= 1, "minCount must be >= 1")
+    val toks = col("__tk")
+    val idxs = when(size(toks) >= 2, sequence(lit(0), size(toks) - 2))
+      .otherwise(array().cast("array<int>"))
+    val grams = transform(idxs, i => struct(
+      element_at(toks, i + 1).as("w1"), element_at(toks, i + 2).as("w2")))
+    val bg = graft.ops.ScaleOps.fanOut(docs)
+      .select(split(col(textCol), " ").as("__tk"))
+      .select(explode(grams).as("g"))
+      .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .cache()
+    val left = bg.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val right = bg.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    val total = bg.agg(sum(col("c12")).cast("double").as("n_total"))
+    bg.where(col("c12") >= minCount)
+      .join(left, Seq("w1"))
+      .join(right, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("pmi_raw",
+        log((col("c12").cast("double") * col("n_total")) /
+          (col("c1").cast("double") * col("c2").cast("double"))))
+      .orderBy(col("pmi_raw").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("c12"),
+        round(col("pmi_raw"), 6).as("pmi"))
+  }
+
+  /** Pairwise vocabulary overlap between corpus slices (sources,
+    * snapshots, languages): for every unordered pair of groups, the
+    * Jaccard similarity of their distinct-token sets plus both
+    * directional containments. The source-level fingerprint a
+    * pipeline reads before mixing corpora — two crawls with 0.9
+    * vocabulary containment are near-duplicates at the corpus level
+    * even when no individual document matches (d02's blind spot), and
+    * a slice whose vocabulary is contained in every other slice is
+    * boilerplate-dominated.
+    *
+    * Scale shape: tokens hash map-side (xxhash64) so the distinct
+    * shuffle and the intersection self-join move longs, never
+    * strings; per-group vocab sizes are a tiny aggregate of the
+    * distinct frame; the self-join is hash-keyed and bucket-local,
+    * emitting at most G(G−1)/2 rows per distinct hash (G = group
+    * count, the number of SLICES — single digits in practice). The
+    * full pair grid comes from a broadcast cross of the G-row size
+    * table, so pairs with empty intersections still appear (inter=0),
+    * which a join-only formulation would silently drop.
+    *
+    * Counts are exact; jaccard/containment are one IEEE division
+    * each, rounded 6 dp. The string→hash step is the t23 treatment:
+    * the oracle runs on distinct token STRINGS, identical unless
+    * xxhash64 collides inside one group's vocabulary (~|V|²/2⁶⁴).
+    *
+    * @return (group_a, group_b, vocab_a, vocab_b, inter, jaccard,
+    *         containment_a, containment_b) for group_a < group_b
+    */
+  def vocabOverlap(docs: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val vocab = graft.ops.ScaleOps.fanOut(docs)
+      .select(col(groupCol).as("g"), explode(split(col(textCol), " ")).as("tok"))
+      .select(col("g"), xxhash64(col("tok")).as("h"))
+      .distinct()
+      .cache()
+    val sizes = vocab.groupBy(col("g")).agg(count(lit(1)).as("v"))
+    val inter = vocab.as("a")
+      .join(vocab.as("b"), col("a.h") === col("b.h") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("ga"), col("b.g").as("gb"))
+      .agg(count(lit(1)).as("inter"))
+    val grid = broadcast(sizes.select(col("g").as("ga"), col("v").as("va")))
+      .crossJoin(broadcast(sizes.select(col("g").as("gb"), col("v").as("vb"))))
+      .where(col("ga") < col("gb"))
+    grid.join(inter, Seq("ga", "gb"), "left")
+      .select(col("ga").as("group_a"), col("gb").as("group_b"),
+        col("va").as("vocab_a"), col("vb").as("vocab_b"),
+        coalesce(col("inter"), lit(0L)).as("inter"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("vocab_a") + col("vocab_b") - col("inter")).cast("double"), 6))
+      .withColumn("containment_a",
+        round(col("inter").cast("double") / col("vocab_a").cast("double"), 6))
+      .withColumn("containment_b",
+        round(col("inter").cast("double") / col("vocab_b").cast("double"), 6))
+  }
+
   /** Full per-document stats frame. */
   def stats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -551,4 +551,176 @@ class Round9Spec extends AnyFunSuite {
     assert(got(3L) == ((5L, 5L, 1.0)))
     assert(got(4L) == ((5L, 5L, 1.0)))
   }
+
+  // ---------------- PMI collocations ----------------
+
+  private def refPmi(texts: Seq[String], k: Int, minCount: Long)
+      : Seq[(String, String, Long, Double)] = {
+    val bigrams = texts.flatMap(t =>
+      t.split(" ", -1).sliding(2).filter(_.length == 2).map(a => (a(0), a(1))))
+    val n = bigrams.size.toDouble
+    val c12 = bigrams.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val c1 = bigrams.groupBy(_._1).map { case (w, xs) => w -> xs.size.toLong }
+    val c2 = bigrams.groupBy(_._2).map { case (w, xs) => w -> xs.size.toLong }
+    c12.toSeq
+      .filter(_._2 >= minCount)
+      .map { case ((w1, w2), c) =>
+        (w1, w2, c, math.log((c.toDouble * n) / (c1(w1).toDouble * c2(w2).toDouble)))
+      }
+      .sortBy { case (w1, w2, _, pmi) => (-pmi, w1, w2) }
+      .take(k)
+  }
+
+  test("pmiCollocations matches the in-memory reference on a known corpus") {
+    import spark.implicits._
+    // "new york" is a collocation (always together); "the of" pairs are glue
+    val texts = Seq(
+      "new york is big the cat of the dog",
+      "i love new york the end of story",
+      "new york new york the best of all",
+      "the of the of the of the of the of")
+    val got = TextAnalysis.pmiCollocations(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text"),
+        "text", k = 5, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val ref = refPmi(texts, k = 5, minCount = 2L)
+    assert(got.length == ref.length)
+    got.zip(ref).foreach { case ((gw1, gw2, gc, gp), (rw1, rw2, rc, rp)) =>
+      assert(gw1 == rw1 && gw2 == rw2 && gc == rc, s"pair order: got ($gw1,$gw2) ref ($rw1,$rw2)")
+      assert(math.abs(gp - rp) < 1e-6, s"pmi($gw1,$gw2): got $gp ref $rp")
+    }
+    assert(got.head._1 == "new" && got.head._2 == "york")
+  }
+
+  test("pmiCollocations differential on seeded corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x5eed9035L)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    for (trial <- 1 to 5) {
+      val texts = (0 until 30).map { _ =>
+        (0 until 5 + rnd.nextInt(20)).map(_ => vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+      }
+      val k = 3 + rnd.nextInt(10)
+      val minCount = 1L + rnd.nextInt(3)
+      val got = TextAnalysis.pmiCollocations(
+          texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text"),
+          "text", k, minCount)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      val ref = refPmi(texts, k, minCount)
+      withClue(s"trial $trial (k=$k minCount=$minCount): ") {
+        assert(got.map(g => (g._1, g._2, g._3)).toSeq == ref.map(r => (r._1, r._2, r._3)))
+        got.zip(ref).foreach { case (g, r) => assert(math.abs(g._4 - r._4) < 1e-6) }
+      }
+    }
+  }
+
+  // ---------------- vocab overlap ----------------
+
+  test("vocabOverlap matches set arithmetic on the fixture corpus") {
+    val docs = Tables.load(spark, SparkFixture.sfDir, "documents")
+    val ref = docs.select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1)
+      .map { case (s, xs) => s -> xs.flatMap(_._2.split(" ", -1)).toSet }
+    val got = TextAnalysis.vocabOverlap(docs, "text", "source").collect()
+    val pairs = ref.keySet.toSeq.flatMap(a =>
+      ref.keySet.toSeq.filter(_ > a).map(b => (a, b)))
+    assert(got.length == pairs.size, "one row per unordered source pair")
+    got.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (va, vb) = (ref(a), ref(b))
+      val inter = (va & vb).size.toLong
+      assert(r.getLong(2) == va.size.toLong && r.getLong(3) == vb.size.toLong)
+      assert(r.getLong(4) == inter, s"intersection of ($a,$b)")
+      val jac = inter.toDouble / (va.size + vb.size - inter).toDouble
+      assert(math.abs(r.getDouble(5) - jac) < 1e-6)
+      assert(math.abs(r.getDouble(6) - inter.toDouble / va.size) < 1e-6)
+      assert(math.abs(r.getDouble(7) - inter.toDouble / vb.size) < 1e-6)
+    }
+  }
+
+  // ---------------- chunk removal ----------------
+
+  private def refDropChunks(texts: Seq[(Long, String)], w: Int, maxDf: Long)
+      : Map[Long, (String, Long, Long, Long)] = {
+    val chunks = texts.map { case (id, t) =>
+      (id, t.split(" ", -1).grouped(w).map(_.mkString(" ")).toVector)
+    }
+    val df = chunks.flatMap { case (id, cs) => cs.distinct.map(c => (c, id)) }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).distinct.size.toLong }
+    chunks.map { case (id, cs) =>
+      val kept = cs.filter(c => df(c) <= maxDf)
+      id -> ((kept.mkString(" "), cs.size.toLong, kept.size.toLong,
+        (cs.size - kept.size).toLong))
+    }.toMap
+  }
+
+  test("dropCommonChunks rebuilds exactly: boilerplate out, order kept") {
+    import spark.implicits._
+    val texts = Seq(
+      1L -> "c1 c1 c1 a b c d e",      // unique chunk then shared tail? no: w=4
+      2L -> "c1 c1 c1 a x y z w",      // shares chunk "c1 c1 c1 a" with 1 and 3
+      3L -> "c1 c1 c1 a p q r s",      // df("c1 c1 c1 a") = 3 > maxDf=2 -> dropped
+      4L -> "solo doc with its own words here",
+      5L -> "tiny")
+    val got = Dedup.dropCommonChunks(texts.toDF("doc_id", "text"),
+        "text", "doc_id", chunkTokens = 4, maxDf = 2L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val ref = refDropChunks(texts, w = 4, maxDf = 2L)
+    assert(got == ref)
+    // the shared head chunk is gone from all three carriers
+    assert(got(1L)._1 == "b c d e")
+    assert(got(5L)._1 == "tiny" && got(5L)._2 == 1L && got(5L)._4 == 0L)
+  }
+
+  test("dropCommonChunks differential on seeded corpora with planted boilerplate") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x5eed9018L)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    for (trial <- 1 to 5) {
+      val w = 2 + rnd.nextInt(4)
+      val maxDf = 1L + rnd.nextInt(3)
+      val boiler = (0 until w * 2).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val texts = (0L until 25L).map { id =>
+        val body = (0 until 3 + rnd.nextInt(12))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        // ~40% of docs get the boilerplate block PREPENDED (chunk-aligned)
+        id -> (if (rnd.nextDouble() < 0.4) s"$boiler $body" else body)
+      }
+      val got = Dedup.dropCommonChunks(texts.toDF("doc_id", "text"),
+          "text", "doc_id", chunkTokens = w, maxDf = maxDf)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      withClue(s"trial $trial (w=$w maxDf=$maxDf): ") {
+        assert(got == refDropChunks(texts, w, maxDf))
+      }
+    }
+  }
+
+  // ---------------- hard negatives ----------------
+
+  test("hardNegatives == label-filtered bruteForceTopKBatch per anchor") {
+    val emb = Tables.load(spark, SparkFixture.sfDir, "embeddings")
+    val anchors = emb.filter(col("vec_id") < 5)
+    val got = graft.pipeline.Similarity.hardNegatives(
+        emb, anchors, "embedding", "vec_id", "label", "vec_id", k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getLong(4)))
+      .groupBy(_._1)
+    val anchorRows = anchors.select(col("vec_id"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.keySet == anchorRows.map(_._1).toSet)
+    anchorRows.foreach { case (aid, albl) =>
+      val expect = graft.pipeline.Similarity.bruteForceTopKBatch(
+          emb.filter(col("label") =!= albl), emb.filter(col("vec_id") === aid),
+          "embedding", "vec_id", "vec_id", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      assert(got(aid).sortBy(_._4).toSeq == expect.sortBy(_._4).toSeq,
+        s"anchor $aid mismatch")
+    }
+  }
 }
