@@ -941,10 +941,16 @@ object Dedup {
     val lastChunk = ((size(toks) - 1) / w).cast("int")
     val hashes = transform(sequence(lit(0), lastChunk), c => struct(
       c.as("c"), xxhash64(array_join(slice(toks, c * w + 1, lit(w)), " ")).as("h")))
+    // materialized ONCE (the t22/t27 lesson): the chunk-hash stream
+    // feeds TWO consumers (the df aggregation and the keep-decision
+    // join) — without the cache each re-runs the scan+Generate chain,
+    // tokenizing the corpus into chunks twice. Hash-only frame
+    // (3 longs/row), same volume the exchange spills anyway.
     val stream = graft.ops.ScaleOps.fanOut(docs)
       .select(col(idCol).as("id"), split(col(textCol), " ").as("__tk"))
       .select(col("id"), explode(hashes).as("g"))
       .select(col("id"), col("g.c").as("c"), col("g.h").as("h"))
+      .cache()
     val df = stream.groupBy(col("h"), col("id")).agg(count(lit(1)).as("__c"))
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
     val keeps = stream.join(df, Seq("h"))

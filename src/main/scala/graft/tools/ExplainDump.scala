@@ -79,6 +79,10 @@ object ExplainDump {
       "t29_nb_quality_score" -> "Naive-Bayes quality score: tokens hash map-side, per-doc counts materialize ONCE (cached hash-only frame) feeding the class table and the scoring join; class totals a 1-row broadcast — two partial-aggregated exchanges regardless of corpus size",
       "t30_importance_weights" -> "DSIR importance weights: the t22 bigram kernel (projected token array, O(T)/doc) + one cached per-doc feature frame; the feature-frequency join moves hashes and counts only, totals broadcast — the raw corpus tokenizes exactly once",
       "d05_embedding_neardup" -> "cell-BLOCKED near-dup pairs: map-only inlined-centroid assignment (no join), ONE cell-keyed exchange bounds pair work to (|cell|^2)/2 per cell — the SemDeDup blocking as a pair REPORTER; the all-pairs brute force survives only as Round9Spec's differential ground truth",
+      "t35_pmi_collocations" -> "PMI collocations: ONE bigram-pair partial-agg exchange is the only corpus-sized step (hot pairs collapse map-side); marginals re-aggregate the cached distinct-bigram InMemoryRelation, total is a 1-row broadcast, top-k is TakeOrderedAndProject on the pre-round double",
+      "t36_vocab_overlap" -> "vocab overlap: tokens hash map-side so the DISTINCT shuffle and the intersection self-join move (group, long) only; the self-join is hash-keyed and bucket-local (<= G^2 rows per distinct hash); the G-row size grid is an explicit double broadcast so empty intersections survive",
+      "d18_chunk_removal" -> "chunk removal rebuild: chunks hash in the scan stage; df aggregation and the keep-decision join move (id, pos, hash) longs; kept positions collapse to one int-array row per doc, and the ONLY text movement is the single id-keyed rebuild join (AQE broadcasts the positions side here)",
+      "s22_hard_negatives" -> "hard negatives: anchors broadcast with labels, corpus scans ONCE, the label exclusion is a scan-stage predicate BEFORE the cosine kernel, Partial WindowGroupLimit caps per-anchor forwarding at k",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")
