@@ -3781,6 +3781,70 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     })
 
+  // Johnson-Lindenstrauss random projection 64-d float -> 16-d
+  // double via a driver-precomputed md5-parity Rademacher sign
+  // matrix riding inside the codegen'd MatVecProject kernel. The
+  // oracle recomputes every sign and fold sequentially in SQL — a
+  // kernel that hashes differently, folds out of order, or scales
+  // per-element instead of once hash-mismatches.
+  private val s23 = Q("s23_random_projection", Some("""
+    SELECT vec_id, list_transform(generate_series(0, 15), j ->
+      ROUND(list_sum(list_transform(generate_series(1, len(embedding)), i ->
+        CAST(embedding[i] AS DOUBLE) *
+        (CASE WHEN (strpos('0123456789abcdef',
+            substr(md5(j || ':' || (i - 1)), 1, 1)) - 1) % 2 = 0
+          THEN 1.0 ELSE -1.0 END)))
+       / sqrt(CAST(16 AS DOUBLE)), 6)) AS proj
+    FROM embeddings ORDER BY vec_id"""),
+    (s, dir) => Similarity.randomProject(T(s, dir, "embeddings"),
+      "embedding", "vec_id", dim = 64, outDim = 16).orderBy(col("vec_id")))
+
+  // LSH recall S-curve: ground-truth exact-Jaccard pairs (>= 0.05)
+  // binned by decile, each bin reporting the fraction the banded
+  // md5-MinHash candidate set recovered — the d02 exact leg and the
+  // d12 LSH leg joined into the evaluation every dedup deployment
+  // should run before trusting the approximation.
+  private val d19 = Q("d19_lsh_recall", Some("""
+    WITH toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    ex AS (SELECT id_a, id_b, jaccard FROM (
+        SELECT id_a, id_b,
+          CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) AS jaccard
+        FROM inter
+          JOIN sizes na ON na.doc_id = id_a
+          JOIN sizes nb ON nb.doc_id = id_b)
+      WHERE jaccard >= 0.05),
+    sig AS (SELECT doc_id,
+        MIN(md5('0:' || shingle)) AS m0, MIN(md5('1:' || shingle)) AS m1,
+        MIN(md5('2:' || shingle)) AS m2, MIN(md5('3:' || shingle)) AS m3,
+        MIN(md5('4:' || shingle)) AS m4, MIN(md5('5:' || shingle)) AS m5,
+        MIN(md5('6:' || shingle)) AS m6, MIN(md5('7:' || shingle)) AS m7
+      FROM sh GROUP BY doc_id),
+    bnd AS (
+      SELECT doc_id, 0 AS band, m0 || '|' || m1 AS key FROM sig
+      UNION ALL SELECT doc_id, 1, m2 || '|' || m3 FROM sig
+      UNION ALL SELECT doc_id, 2, m4 || '|' || m5 FROM sig
+      UNION ALL SELECT doc_id, 3, m6 || '|' || m7 FROM sig),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bnd a JOIN bnd b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    j AS (SELECT e.jaccard, CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS hit
+          FROM ex e LEFT JOIN cand c ON c.id_a = e.id_a AND c.id_b = e.id_b)
+    SELECT CAST(FLOOR(jaccard * 10) AS BIGINT) AS bin,
+      COUNT(*) AS n_true, CAST(SUM(hit) AS BIGINT) AS n_hit,
+      ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS recall
+    FROM j GROUP BY 1 ORDER BY bin"""),
+    (s, dir) => Dedup.lshRecallReport(T(s, dir, "documents"), "text", "doc_id",
+      shingleN = 3, numHashes = 8, bands = 4, floor = 0.05).orderBy(col("bin")))
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -3792,9 +3856,9 @@ object SparkEntry {
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
-    d17, d18,
+    d17, d18, d19,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
-    s16, s17, s18, s19, s20, s21, s22,
+    s16, s17, s18, s19, s20, s21, s22, s23,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
     t31, t32, t33, t34, t35, t36,

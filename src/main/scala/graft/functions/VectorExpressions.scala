@@ -185,6 +185,65 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
+  /** Dense matrix-vector product y = M·v / divisor in one pass — the
+    * Johnson-Lindenstrauss random-projection kernel. The matrix is a
+    * driver-built reference object (outDim × dim of ±1 Rademacher
+    * signs for JL; any dense matrix works), so the per-row work is a
+    * tight nested primitive loop with NO per-element hashing or
+    * lambda dispatch. Row accumulators run i-ascending — bit-identical
+    * to the sequential `aggregate` fold and to DuckDB's
+    * `list_sum(list_transform(...))` (the oracle contract). A vector
+    * shorter than the matrix row uses its own length (trailing signs
+    * idle); the divisor applies once per output component.
+    */
+  case class MatVecProject(child: Expression, matrix: Array[Array[Double]],
+      divisor: Double) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVec(child.dataType, "matvec_project")
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullSafeEval(a: Any): Any = {
+      val xs = a.asInstanceOf[ArrayData]
+      val out = new Array[Double](matrix.length)
+      var j = 0
+      while (j < matrix.length) {
+        val row = matrix(j)
+        val n = math.min(xs.numElements(), row.length)
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          val x = if (isFloat(child.dataType)) xs.getFloat(i).toDouble else xs.getDouble(i)
+          acc += x * row(i)
+          i += 1
+        }
+        out(j) = acc / divisor
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val g = if (elemPrim(child.dataType) == "float") "getFloat" else "getDouble"
+        val mat = ctx.addReferenceObj("matvecMatrix", matrix, "double[][]")
+        val out = ctx.freshName("out"); val row = ctx.freshName("row")
+        val acc = ctx.freshName("acc"); val n = ctx.freshName("n")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        s"""
+        double[] $out = new double[$mat.length];
+        for (int $j = 0; $j < $mat.length; $j++) {
+          double[] $row = $mat[$j];
+          int $n = java.lang.Math.min($a.numElements(), $row.length);
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $acc += ((double) $a.$g($i)) * $row[$i];
+          }
+          $out[$j] = $acc / ${divisor}D;
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+        """
+      })
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // Column-API wrappers ------------------------------------------
 
   def dot(a: Column, b: Column): Column =
@@ -193,4 +252,6 @@ object VectorExpressions {
     ExprBridge.column(L2Norm(ExprBridge.expression(v)))
   def cosine(a: Column, b: Column): Column =
     ExprBridge.column(CosineSimilarity(ExprBridge.expression(a), ExprBridge.expression(b)))
+  def matvec(v: Column, matrix: Array[Array[Double]], divisor: Double): Column =
+    ExprBridge.column(MatVecProject(ExprBridge.expression(v), matrix, divisor))
 }

@@ -973,4 +973,45 @@ object Dedup {
         size(col("keeps")).cast("long").as("n_kept"))
       .withColumn("n_dropped", col("n_chunks") - col("n_kept"))
   }
+
+  /** LSH recall curve — the measurement that justifies running
+    * [[minHashLshMd5]]/[[minHashLsh]] instead of the exact
+    * [[ngramJaccardPairs]] at scale: ground-truth pairs (exact
+    * Jaccard ≥ `floor`) are binned by Jaccard decile and each bin
+    * reports how many pairs the banded-LSH candidate set recovered.
+    * This is the empirical S-curve of the (bands, rows-per-band)
+    * banding — the number every dedup paper quotes and every
+    * pipeline should re-measure on ITS corpus before trusting LSH:
+    * recall ≈ 1−(1−j^r)^b rises steeply near the threshold the
+    * banding was tuned for and the low-Jaccard bins SHOULD be missed
+    * (that's the speedup).
+    *
+    * An EVALUATION operator: the exact side is the uncapped inverted
+    * index — at 100 TB run it on a sampled slice (the standard
+    * recall-audit protocol) while the LSH side runs on everything.
+    * Shuffles move digests/hashes only on both legs; the bin rollup
+    * touches pair-count rows.
+    *
+    * @return (bin, n_true, n_hit, recall) — bin b covers Jaccard
+    *         [b/10, (b+1)/10)
+    */
+  def lshRecallReport(docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int, numHashes: Int, bands: Int,
+      floor: Double = 0.05): DataFrame = {
+    val exact = ngramJaccardPairs(docs, textCol, idCol, shingleN, floor,
+      maxPostings = None)
+    val cand = minHashLshMd5(docs, textCol, idCol, shingleN, numHashes, bands)
+      .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+    exact.join(cand, Seq("id_a", "id_b"), "left")
+      .groupBy(floor10(col("jaccard")).as("bin"))
+      .agg(count(lit(1)).as("n_true"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_true").cast("double"), 6))
+  }
+
+  /** Jaccard decile index: both engines compute the identical double
+    * then the identical floor, so bin edges agree bit-for-bit. */
+  private def floor10(j: Column): Column =
+    floor(j * lit(10.0)).cast("long")
 }

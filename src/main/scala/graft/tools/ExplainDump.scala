@@ -83,6 +83,8 @@ object ExplainDump {
       "t36_vocab_overlap" -> "vocab overlap: tokens hash map-side so the DISTINCT shuffle and the intersection self-join move (group, long) only; the self-join is hash-keyed and bucket-local (<= G^2 rows per distinct hash); the G-row size grid is an explicit double broadcast so empty intersections survive",
       "d18_chunk_removal" -> "chunk removal rebuild: chunks hash in the scan stage; df aggregation and the keep-decision join move (id, pos, hash) longs; kept positions collapse to one int-array row per doc, and the ONLY text movement is the single id-keyed rebuild join (AQE broadcasts the positions side here)",
       "s22_hard_negatives" -> "hard negatives: anchors broadcast with labels, corpus scans ONCE, the label exclusion is a scan-stage predicate BEFORE the cosine kernel, Partial WindowGroupLimit caps per-anchor forwarding at k",
+      "s23_random_projection" -> "JL random projection: the whole operator is ONE map-only projection — the +-1 sign matrix is a reference object inside the codegen'd MatVecProject kernel (no join, no broadcast variable, no per-row hashing), so a 100 TB corpus projects at scan speed with zero exchanges below the presentation sort",
+      "d19_lsh_recall" -> "LSH recall curve: the exact leg's posting-list joins and the LSH leg's band-bucket self-join both move digests only; the evaluation join is pair-keyed and the decile rollup partial-aggregates — at 100 TB the exact leg runs on a sample (the recall-audit protocol), the LSH leg everywhere",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")

@@ -39,7 +39,14 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     "d17_snapshot_diff", "q70_pivot",
     // t33 is a deterministic draw (md5 uniforms); t34 is integer pair
     // counts over a contract-rounded score — both exactly replayable
-    "t33_weighted_sample", "t34_classifier_auc")
+    "t33_weighted_sample", "t34_classifier_auc",
+    // t35 ranks on ln of an exact-integer quotient (the t22 class);
+    // t36 is set-cardinality integers + exact divisions; d18 rebuilds
+    // text from integer positions — strings and counts only
+    "t35_pmi_collocations", "t36_vocab_overlap", "d18_chunk_removal",
+    // d19 is integer pair counts + exact divisions; the decile floor
+    // runs on the identical double in both engines
+    "d19_lsh_recall")
 
   private def generate(seed: Int, nDocs: Int): Seq[(Long, String, String, String, Long)] = {
     val rnd = new scala.util.Random(seed)
@@ -70,7 +77,24 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     "s01_knn_bruteforce", "s04_knn_batch",
     "s16_knn_pq_oracle", "s17_knn_lsh_oracle", "s18_knn_ivf_oracle",
     "s19_knn_lsh_batch_oracle", "s20_knn_ivfpq_indexed_oracle",
-    "d14_semantic_dedup", "d15_semantic_dedup_incr", "s21_knn_mmr")
+    "d14_semantic_dedup", "d15_semantic_dedup_incr", "s21_knn_mmr",
+    // round-9: s22 is the s04 class + a label predicate; s23's
+    // kernel fold must stay bit-identical to DuckDB's list_sum on
+    // arbitrary vectors, not just the fixture's
+    "s22_hard_negatives", "s23_random_projection")
+
+  /** Canonical cell stringification: array columns print as
+    * "[a, b, ...]" on BOTH sides (Spark rows yield Scala Seqs,
+    * DuckDB JDBC yields java.sql.Array) — scalar cells keep
+    * String.valueOf semantics.
+    */
+  private def cell(v: Any): String = v match {
+    case s: scala.collection.Seq[_] => s.map(cell).mkString("[", ", ", "]")
+    case a: java.sql.Array =>
+      a.getArray.asInstanceOf[Array[_]].map(cell).mkString("[", ", ", "]")
+    case arr: Array[_] => arr.map(cell).mkString("[", ", ", "]")
+    case other => String.valueOf(other)
+  }
 
   private def generateVecs(seed: Int, n: Int, dim: Int): Seq[(Long, Seq[Float], Int)] = {
     val rnd = new scala.util.Random(seed)
@@ -96,13 +120,13 @@ class GeneratedCorpusSpec extends AnyFunSuite {
       vectorReplay.foreach { name =>
         val sparkRows = SparkEntry.queries(name)(spark, dir)
           .collect().toSeq
-          .map(r => (0 until r.length).map(i => String.valueOf(r.get(i))))
+          .map(r => (0 until r.length).map(i => cell(r.get(i))))
           .sortBy(_.mkString(""))
         val rs = duck.createStatement().executeQuery(SparkEntry.oracleSql(name))
         val n = rs.getMetaData.getColumnCount
         val duckRows = Iterator.continually(rs)
           .takeWhile(_.next())
-          .map(r => (1 to n).map(i => String.valueOf(r.getObject(i))))
+          .map(r => (1 to n).map(i => cell(r.getObject(i))))
           .toSeq
           .sortBy(_.mkString(""))
         assert(sparkRows == duckRows,
@@ -133,13 +157,13 @@ class GeneratedCorpusSpec extends AnyFunSuite {
         replayQueries.foreach { name =>
           val sparkRows = SparkEntry.queries(name)(spark, dir)
             .collect().toSeq
-            .map(r => (0 until r.length).map(i => String.valueOf(r.get(i))))
+            .map(r => (0 until r.length).map(i => cell(r.get(i))))
             .sortBy(_.mkString(""))
           val rs = duck.createStatement().executeQuery(SparkEntry.oracleSql(name))
           val n = rs.getMetaData.getColumnCount
           val duckRows = Iterator.continually(rs)
             .takeWhile(_.next())
-            .map(r => (1 to n).map(i => String.valueOf(r.getObject(i))))
+            .map(r => (1 to n).map(i => cell(r.getObject(i))))
             .toSeq
             .sortBy(_.mkString(""))
           assert(sparkRows == duckRows,

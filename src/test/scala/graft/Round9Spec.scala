@@ -701,6 +701,107 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  // ---------------- random projection ----------------
+
+  test("randomProject kernel is bit-identical to the HOF fold") {
+    import spark.implicits._
+    val emb = Tables.load(spark, SparkFixture.sfDir, "embeddings")
+    val a = graft.pipeline.Similarity.randomProject(emb, "embedding", "vec_id", 64, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val b = graft.pipeline.Similarity.randomProjectFold(emb, "embedding", "vec_id", 64, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(a.keySet == b.keySet && a.keySet.nonEmpty)
+    a.foreach { case (id, v) => assert(v == b(id), s"vec $id kernel != fold") }
+    // random seeded vectors too (fold reference is defined for
+    // matching dims; the kernel's short-vector min-length behavior is
+    // pinned separately below)
+    val rnd = new scala.util.Random(0x5eed9023L)
+    val rv = (0L until 50L).map { id =>
+      (id, Seq.fill(24)(rnd.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val ka = graft.pipeline.Similarity.randomProject(rv, "embedding", "vec_id", 24, 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val kb = graft.pipeline.Similarity.randomProjectFold(rv, "embedding", "vec_id", 24, 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    ka.foreach { case (id, v) => assert(v == kb(id), s"random vec $id") }
+    // a vector SHORTER than the declared dim: trailing signs idle
+    // (min-length), never null-poisoning
+    val shortV = Seq((0L, Seq(1.0f, -2.0f))).toDF("vec_id", "embedding")
+    val ks = graft.pipeline.Similarity.randomProject(shortV, "embedding", "vec_id", 24, 8)
+      .collect().head.getSeq[Double](1)
+    val signs = graft.pipeline.Similarity.rademacherSigns(8, 24)
+    val exp = (0 until 8).map(j => BigDecimal(
+        (1.0 * signs(j)(0) - 2.0 * signs(j)(1)) / math.sqrt(8.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(ks.toSeq == exp)
+  }
+
+  test("randomProject of a basis vector reads out one sign column") {
+    import spark.implicits._
+    val dim = 12; val outDim = 8
+    val basis = (0 until dim).map(i =>
+      (i.toLong, Seq.tabulate(dim)(d => if (d == i) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.pipeline.Similarity.randomProject(basis, "embedding", "vec_id", dim, outDim)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val signs = graft.pipeline.Similarity.rademacherSigns(outDim, dim)
+    val scale = math.sqrt(outDim.toDouble)
+    for (i <- 0 until dim; j <- 0 until outDim)
+      assert(got(i.toLong)(j) == BigDecimal(signs(j)(i) / scale)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"e_$i component $j")
+    // sign matrix is balanced-ish (md5 parity, not degenerate)
+    val flat = signs.flatten
+    assert(flat.count(_ > 0) > flat.length / 4 && flat.count(_ < 0) > flat.length / 4)
+  }
+
+  test("randomProject preserves pairwise cosine structure (JL sanity)") {
+    val emb = Tables.load(spark, SparkFixture.sfDir, "embeddings")
+      .filter(col("vec_id") < 40)
+    val orig = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    // 32 output dims for the statistical check: per-pair cosine error
+    // is ~N(0, 1/√32 ≈ 0.18); bounds sit at ~4.5σ (max over 780
+    // pairs) and ~1.4× the expected mean — loose enough to hold for
+    // any regenerated fixture, tight enough to catch a broken kernel
+    val proj = graft.pipeline.Similarity.randomProject(emb, "embedding", "vec_id", 64, 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val ids = orig.keys.toSeq.sorted
+    val errs = for (a <- ids; b <- ids if a < b)
+      yield math.abs(cos(orig(a), orig(b)) - cos(proj(a), proj(b)))
+    assert(errs.max < 0.8, s"worst-pair cosine drift ${errs.max}")
+    assert(errs.sum / errs.size < 0.25, s"mean cosine drift ${errs.sum / errs.size}")
+  }
+
+  // ---------------- LSH recall report ----------------
+
+  test("lshRecallReport: exact dups always recalled, invariants hold") {
+    val docs = Tables.load(spark, SparkFixture.sfDir, "documents")
+    val rep = Dedup.lshRecallReport(docs, "text", "doc_id",
+        shingleN = 3, numHashes = 8, bands = 4, floor = 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rep.nonEmpty)
+    rep.foreach { case (bin, nTrue, nHit, recall) =>
+      assert(bin >= 0 && bin <= 10)
+      assert(nHit <= nTrue && nHit >= 0)
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(math.abs(recall - nHit.toDouble / nTrue) < 1e-6)
+    }
+    // jaccard-1.0 pairs have identical signatures -> every band
+    // collides -> recall is exactly 1
+    rep.filter(_._1 == 10L).foreach { case (_, _, _, recall) =>
+      assert(recall == 1.0, "exact duplicates must always be candidates")
+    }
+    // totals reconcile with the exact pair count
+    val nExact = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      n = 3, threshold = 0.05, maxPostings = None).count()
+    assert(rep.map(_._2).sum == nExact)
+  }
+
   // ---------------- hard negatives ----------------
 
   test("hardNegatives == label-filtered bruteForceTopKBatch per anchor") {
