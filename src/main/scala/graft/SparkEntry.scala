@@ -3845,6 +3845,41 @@ object SparkEntry {
     (s, dir) => Dedup.lshRecallReport(T(s, dir, "documents"), "text", "doc_id",
       shingleN = 3, numHashes = 8, bands = 4, floor = 0.05).orderBy(col("bin")))
 
+  // Duplicated-span REMOVAL (Lee et al. 2022 exact-substring dedup):
+  // every token covered by a corpus-duplicated 6-token window drops
+  // and the doc reassembles from survivors in order. The oracle
+  // rebuilds from the ground-truth token stream via ordered
+  // string_agg — an engine that miscounts window starts, drops the
+  // wrong positions, or reassembles out of order hash-mismatches on
+  // text_kept.
+  private val d20 = Q("d20_span_removal", Some("""
+    WITH toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    wins AS (SELECT doc_id, i, md5(array_to_string(ts[i:i+5], ' ')) AS w
+           FROM toks, UNNEST(generate_series(1, len(ts) - 5)) AS u(i)
+           WHERE len(ts) >= 6),
+    dup AS (SELECT doc_id, i FROM (
+           SELECT doc_id, i, COUNT(*) OVER (PARTITION BY w) AS cnt FROM wins)
+           WHERE cnt >= 2),
+    cov AS (SELECT DISTINCT doc_id, i + j AS p
+           FROM dup, UNNEST(generate_series(0, 5)) AS g(j)),
+    pos AS (SELECT doc_id, p, ts[p] AS tok
+           FROM toks, UNNEST(generate_series(1, len(ts))) AS u(p)),
+    kept AS (SELECT pos.doc_id, pos.p, pos.tok
+           FROM pos LEFT JOIN cov ON cov.doc_id = pos.doc_id AND cov.p = pos.p
+           WHERE cov.p IS NULL)
+    SELECT t.doc_id AS id,
+      COALESCE(string_agg(k.tok, ' ' ORDER BY k.p), '') AS text_kept,
+      CAST(len(t.ts) AS BIGINT) AS n_tokens,
+      CAST(COUNT(k.p) AS BIGINT) AS n_kept,
+      CAST(len(t.ts) - COUNT(k.p) AS BIGINT) AS n_dropped
+    FROM toks t LEFT JOIN kept k USING (doc_id)
+    GROUP BY t.doc_id, len(t.ts)
+    ORDER BY id"""),
+    (s, dir) => Dedup.dropDuplicatedSpans(T(s, dir, "documents"), "text", "doc_id",
+      k = 6, minOccurs = 2, keyer = md5(_)).orderBy(col("id")))
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -3856,7 +3891,7 @@ object SparkEntry {
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
-    d17, d18, d19,
+    d17, d18, d19, d20,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
     s16, s17, s18, s19, s20, s21, s22, s23,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,

@@ -1014,4 +1014,70 @@ object Dedup {
     * then the identical floor, so bin edges agree bit-for-bit. */
   private def floor10(j: Column): Column =
     floor(j * lit(10.0)).cast("long")
+
+  /** Duplicated-SPAN removal — the rebuild counterpart of
+    * [[spanCoverage]] and the operator from "Deduplicating Training
+    * Data Makes Language Models Better" (Lee et al. 2022): every
+    * token covered by a corpus-duplicated k-token window is removed
+    * and the document reassembled from the surviving tokens, in
+    * order. Unlike [[dropCommonChunks]] (disjoint chunks, df-capped)
+    * this catches duplicated text at ANY offset; the policy is
+    * drop-all-occurrences (the d16 coverage semantics — symmetric and
+    * order-free; keep-first-occurrence needs a global occurrence
+    * order and is a variant, not the default).
+    *
+    * Scale shape, all linear: windows hash in the scan stage
+    * ([[spanCoverage]] kernel); duplicated starts come off one
+    * window-keyed count; covered positions explode k rows per dup
+    * start and DISTINCT down; the position stream (id, p) — no
+    * strings — anti-joins covered, collapses to one sorted int-array
+    * row per doc, and the original text joins back ONCE by id with
+    * the positions side broadcast-eligible (the d18 rebuild
+    * contract: document text never crosses an exchange). Reassembly
+    * reads the projected token array by position. Output text is the
+    * NORMALIZED token stream (lower/whitespace-collapsed — the same
+    * normalization the window hashes saw).
+    *
+    * @return (id, text_kept, n_tokens, n_kept, n_dropped)
+    */
+  def dropDuplicatedSpans(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, minOccurs: Int = 2,
+      keyer: Column => Column = xxhash64(_)): DataFrame = {
+    require(k >= 2, "window length k must be >= 2")
+    require(minOccurs >= 2, "minOccurs must be >= 2 (1 drops everything)")
+    val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    val toks = col("__tk")
+    val idxs = when(size(toks) >= k, sequence(lit(1), size(toks) - lit(k) + 1))
+      .otherwise(array().cast("array<int>"))
+    val wins = transform(idxs, i => struct(
+      i.as("i"), keyer(array_join(slice(toks, i, lit(k)), " ")).as("w")))
+    val stream = graft.ops.ScaleOps.fanOut(docs)
+      .select(col(idCol).as("id"), split(norm, " ").as("__tk"))
+      .select(col("id"), explode(wins).as("g"))
+      .select(col("id"), col("g.i").as("i"), col("g.w").as("w"))
+    val dupStarts = stream
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("w"))))
+      .where(col("cnt") >= minOccurs)
+      .select(col("id"), col("i"))
+    val covered = dupStarts
+      .select(col("id"), explode(sequence(col("i"), col("i") + (k - 1))).as("p"))
+      .distinct()
+    val positions = docs
+      .select(col(idCol).as("id"), explode(sequence(lit(1), size(split(norm, " ")))).as("p"))
+    val keeps = positions.join(covered, Seq("id", "p"), "left_anti")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("p"))).as("keeps"))
+    docs
+      .select(col(idCol).as("id"), norm.as("__txt"))
+      .join(keeps, Seq("id"), "left")
+      // token array projected before the rebuild lambda (HOF no-CSE)
+      .select(col("id"), split(col("__txt"), " ").as("__tk"),
+        coalesce(col("keeps"), array().cast("array<int>")).as("keeps"))
+      .select(col("id"),
+        array_join(transform(col("keeps"), p => element_at(col("__tk"), p)), " ")
+          .as("text_kept"),
+        size(col("__tk")).cast("long").as("n_tokens"),
+        size(col("keeps")).cast("long").as("n_kept"))
+      .withColumn("n_dropped", col("n_tokens") - col("n_kept"))
+  }
 }

@@ -138,8 +138,11 @@ object ScaleSmoke {
             8, 0.9, Some(64)).where(!col("keep")).count() }
         hot.unpersist(): Unit
       }
+      // the filter forces the projection: a bare select().count()
+      // lets Catalyst PRUNE the scored expression and time the scan
       time("t02-style quality scan") {
-        docs.select(graft.pipeline.TextAnalysis.qualityScore(col("text"))).count() }
+        docs.select(graft.pipeline.TextAnalysis.qualityScore(col("text")).as("q"))
+          .where(col("q") >= 0.0).count() }
       time("t15 tokenEntropy") {
         graft.pipeline.TextAnalysis.tokenEntropy(docs, "text", "doc_id").count() }
       time("t10 sourceMix") {
@@ -233,6 +236,38 @@ object ScaleSmoke {
             (unix_micros(col("ts")) + lit(600000000L)).as("hi"))
         graft.ops.TemporalJoins.rangeJoin(clicks, errors,
           "pt", "lo", "hi", 600000000L).count() }
+      // chunk removal: two linear passes (hash df, rebuild) — wall
+      // should track corpus size; the rebuild join moves no text. The
+      // length filter forces the rebuilt text (count() alone prunes it)
+      time("d18 dropCommonChunks w=8") {
+        graft.pipeline.Dedup.dropCommonChunks(docs, "text", "doc_id",
+            chunkTokens = 8, maxDf = 2L)
+          .where(length(col("text_kept")) >= 0).count() }
+      // span removal: the Lee-et-al rebuild — window hashing + covered
+      // positions + position anti-join, all linear in token count
+      time("d20 dropDuplicatedSpans k=6") {
+        graft.pipeline.Dedup.dropDuplicatedSpans(docs, "text", "doc_id",
+            k = 6, minOccurs = 2)
+          .where(length(col("text_kept")) >= 0).count() }
+      // recall audit: exact leg (uncapped postings) + LSH leg + the
+      // pair-keyed evaluation join
+      time("d19 lshRecallReport") {
+        graft.pipeline.Dedup.lshRecallReport(docs, "text", "doc_id",
+          shingleN = 3, numHashes = 8, bands = 4, floor = 0.5).count() }
+      // PMI: one bigram-pair exchange; marginals re-read the cached
+      // distinct-bigram frame, which is vocab²-bounded not corpus-bound
+      time("t35 pmiCollocations") {
+        graft.pipeline.TextAnalysis.pmiCollocations(docs, "text",
+          k = 30, minCount = 5L).count() }
+      // vocab overlap: distinct (group, hash) pairs + bucket-local
+      // self-join — bounded by vocab × groups, so N× data with the
+      // same vocab should be near-FLAT after the distinct pass
+      time("t36 vocabOverlap") {
+        graft.pipeline.TextAnalysis.vocabOverlap(docs, "text", "source").count() }
+      // map-only kernel — the flattest line in the table by design
+      time("s23 randomProject 64->16") {
+        graft.pipeline.Similarity.randomProject(emb, "embedding", "vec_id",
+          dim = 64, outDim = 16).count() }
       spark.catalog.clearCache()
     }
 

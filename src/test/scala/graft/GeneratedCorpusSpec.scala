@@ -45,8 +45,9 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     // text from integer positions — strings and counts only
     "t35_pmi_collocations", "t36_vocab_overlap", "d18_chunk_removal",
     // d19 is integer pair counts + exact divisions; the decile floor
-    // runs on the identical double in both engines
-    "d19_lsh_recall")
+    // runs on the identical double in both engines; d20 rebuilds text
+    // from integer positions (strings and counts only)
+    "d19_lsh_recall", "d20_span_removal")
 
   private def generate(seed: Int, nDocs: Int): Seq[(Long, String, String, String, Long)] = {
     val rnd = new scala.util.Random(seed)

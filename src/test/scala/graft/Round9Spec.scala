@@ -802,6 +802,77 @@ class Round9Spec extends AnyFunSuite {
     assert(rep.map(_._2).sum == nExact)
   }
 
+  // ---------------- span removal ----------------
+
+  private def refDropSpans(texts: Seq[(Long, String)], k: Int, minOccurs: Int)
+      : Map[Long, (String, Long, Long, Long)] = {
+    val toks = texts.map { case (id, t) =>
+      id -> t.toLowerCase.replaceAll("\\s+", " ").trim.split(" ", -1).toVector
+    }
+    val wins = toks.flatMap { case (id, ts) =>
+      if (ts.length >= k) (0 to ts.length - k).map(i0 => (id, i0, ts.slice(i0, i0 + k).mkString(" ")))
+      else Seq.empty
+    }
+    val counts = wins.groupBy(_._3).map { case (w, xs) => w -> xs.size }
+    val covered = wins.filter(w => counts(w._3) >= minOccurs)
+      .flatMap { case (id, i0, _) => (i0 until i0 + k).map(p => (id, p)) }.toSet
+    toks.map { case (id, ts) =>
+      val kept = ts.zipWithIndex.collect { case (tok, p) if !covered((id, p)) => tok }
+      id -> ((kept.mkString(" "), ts.length.toLong, kept.length.toLong,
+        (ts.length - kept.length).toLong))
+    }.toMap
+  }
+
+  test("dropDuplicatedSpans removes covered tokens, keeps order") {
+    import spark.implicits._
+    val texts = Seq(
+      1L -> "alpha beta gamma delta one two three four tail1 xx",
+      2L -> "head2 alpha beta gamma delta one two three four yy", // shares an 8-token run with 1 at a DIFFERENT offset
+      3L -> "unique words only in this document right here now ok",
+      4L -> "short doc")
+    val got = Dedup.dropDuplicatedSpans(texts.toDF("doc_id", "text"),
+        "text", "doc_id", k = 6, minOccurs = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val ref = refDropSpans(texts, k = 6, minOccurs = 2)
+    assert(got == ref)
+    // the shared 8-token run is fully covered in both carriers; the
+    // non-shared head/tail tokens survive
+    assert(got(1L)._1 == "tail1 xx")
+    assert(got(2L)._1 == "head2 yy")
+    assert(got(3L)._4 == 0L)
+    assert(got(4L) == (("short doc", 2L, 2L, 0L)))
+  }
+
+  test("dropDuplicatedSpans differential on seeded corpora with planted spans") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x5eed9020L)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    for (trial <- 1 to 5) {
+      val k = 3 + rnd.nextInt(4)
+      val span = (0 until k + rnd.nextInt(4))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val texts = (0L until 30L).map { id =>
+        val words = (0 until 4 + rnd.nextInt(15)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        // ~40% of docs get the span spliced at a random offset
+        val t = if (rnd.nextDouble() < 0.4) {
+          val cut = rnd.nextInt(words.length + 1)
+          (words.take(cut) ++ span.split(" ") ++ words.drop(cut)).mkString(" ")
+        } else words.mkString(" ")
+        id -> t
+      }
+      val got = Dedup.dropDuplicatedSpans(texts.toDF("doc_id", "text"),
+          "text", "doc_id", k = k, minOccurs = 2)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      withClue(s"trial $trial (k=$k): ") {
+        assert(got == refDropSpans(texts, k, minOccurs = 2))
+      }
+    }
+  }
+
   // ---------------- hard negatives ----------------
 
   test("hardNegatives == label-filtered bruteForceTopKBatch per anchor") {
