@@ -130,4 +130,40 @@ object Processors {
     }
     graft.pipeline.Sampling.hashSplit(df, idCol, splits)
   })
+
+  private def intOpt(o: Map[String, JsonNode], k: String): Option[Int] =
+    o.get(k).filter(_.isNumber).map(_.asInt())
+
+  /** `drop-common-chunks`: the boilerplate-removal rebuild
+    * ([[graft.pipeline.Dedup.dropCommonChunks]]) surfaced on the REST
+    * chain — an API user dedups a text result set without shipping
+    * code. Options: `textColumn`/`idColumn` (required),
+    * `chunkTokens` (default 8), `maxDf` (default 2). Like every
+    * processor the transform stays a lazy distributed plan; the
+    * result carries (id, text_kept, n_chunks, n_kept, n_dropped).
+    */
+  register("drop-common-chunks", (df, opts) => {
+    val textCol = strOpt(opts, "textColumn").getOrElse(
+      throw new IllegalArgumentException("drop-common-chunks: pluginOptions.textColumn required"))
+    val idCol = strOpt(opts, "idColumn").getOrElse(
+      throw new IllegalArgumentException("drop-common-chunks: pluginOptions.idColumn required"))
+    graft.pipeline.Dedup.dropCommonChunks(df, textCol, idCol,
+      chunkTokens = intOpt(opts, "chunkTokens").getOrElse(8),
+      maxDf = intOpt(opts, "maxDf").getOrElse(2).toLong)
+  })
+
+  /** `drop-duplicated-spans`: the Lee-et-al exact-substring-dedup
+    * rebuild ([[graft.pipeline.Dedup.dropDuplicatedSpans]]) on the
+    * REST chain. Options: `textColumn`/`idColumn` (required),
+    * `windowTokens` (default 6), `minOccurs` (default 2).
+    */
+  register("drop-duplicated-spans", (df, opts) => {
+    val textCol = strOpt(opts, "textColumn").getOrElse(
+      throw new IllegalArgumentException("drop-duplicated-spans: pluginOptions.textColumn required"))
+    val idCol = strOpt(opts, "idColumn").getOrElse(
+      throw new IllegalArgumentException("drop-duplicated-spans: pluginOptions.idColumn required"))
+    graft.pipeline.Dedup.dropDuplicatedSpans(df, textCol, idCol,
+      k = intOpt(opts, "windowTokens").getOrElse(6),
+      minOccurs = intOpt(opts, "minOccurs").getOrElse(2))
+  })
 }

@@ -216,6 +216,33 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("postProcessors: drop-common-chunks dedups text through the REST chain") {
+    val body =
+      s"""{"dataSources":[{"format":"parquet","name":"documents",
+          "location":"${SparkFixture.sfDir}/documents.parquet"}],
+          "query":{"sql":"SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 30",
+            "postProcessors":[{"module":"drop-common-chunks",
+              "pluginOptions":{"textColumn":"text","idColumn":"doc_id",
+                "chunkTokens":8,"maxDf":2}}]}}"""
+    val r = post("/dataframe/query", body)
+    assert(r.statusCode() == 200, r.body())
+    val rows = new com.fasterxml.jackson.databind.ObjectMapper().readTree(r.body())
+    assert(rows.size() == 30, r.body())
+    // results must equal the library operator's on the same slice
+    val expected = graft.pipeline.Dedup.dropCommonChunks(
+        Tables.load(SparkFixture.spark, SparkFixture.sfDir, "documents")
+          .orderBy(org.apache.spark.sql.functions.col("doc_id")).limit(30),
+        "text", "doc_id", chunkTokens = 8, maxDf = 2L)
+      .collect().map(x => x.getLong(0) -> ((x.getString(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    (0 until rows.size()).foreach { i =>
+      val n = rows.get(i)
+      val (txt, nc, nk) = expected(n.get("id").asLong())
+      assert(n.get("text_kept").asText() == txt && n.get("n_chunks").asLong() == nc &&
+        n.get("n_kept").asLong() == nk, s"row $i: ${n.toString}")
+    }
+  }
+
   test("connector registry: custom scheme datasource ingests via the plugin") {
     // a "gen://" connector mirroring the reference's scheme-dispatched
     // datasource plugins: authority = generator kind, row count from
