@@ -208,6 +208,55 @@ object EventStreams {
     * entropy — stay batch-side where their per-doc groupBys belong;
     * see t18's gate.)
     */
+  /** Stateless streaming decontamination: every arriving document is
+    * probed against a static benchmark suite compressed to an
+    * mBits-bit Bloom filter — the
+    * [[graft.pipeline.Decontaminate.bloomContamination]] kernel
+    * reshaped for a stream. The batch operator explodes shingles and
+    * groupBys per doc (a stateful aggregation on a stream); here the
+    * shingle set stays an ARRAY per row and the hit count is a
+    * per-row fold, so the stream needs NO state store, no watermark,
+    * and no shuffle: filter-at-ingest at wire speed, with the filter
+    * a plan literal rebuilt per restart (pick up a refreshed
+    * benchmark by restarting the query). The exact-hit leg stays
+    * batch-side where its broadcast join belongs — bloom_hits ≥
+    * exact_hits with FP rate (1−e^(−kn/m))^k, the batch-pinned gap.
+    *
+    * Emits the batch operator's (id, n_shingles, bloom_hits) —
+    * micro-batch-differential-pinned equal in StreamingSpec.
+    */
+  def decontaminateDocStream(docs: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 3,
+      mBits: Int = 4096, kHash: Int = 3): DataFrame = {
+    import graft.pipeline.{Decontaminate, Dedup}
+    require(mBits > 0 && kHash > 0, "bad bloom params")
+    val setBits = Dedup.shingles(benchmark, textCol, idCol, n)
+      .select(col("shingle")).distinct()
+      .select(explode(array((0 until kHash).map(j =>
+        Decontaminate.bloomPos(col("shingle"), j, mBits)): _*)).as("p"))
+      .distinct()
+      .collect().map(_.getInt(0)).toSet
+    val bits = typedLit((0 until mBits).map(setBits.contains))
+    // per-row shingle ARRAY (the batch kernel's norm + distinct,
+    // un-exploded); token array projected before the lambda (no-CSE)
+    val toks = col("__tk")
+    val idxs = when(size(toks) >= lit(n), sequence(lit(0), size(toks) - lit(n)))
+      .otherwise(array().cast("array<int>"))
+    val grams = filter(
+      array_distinct(transform(idxs, i => array_join(slice(toks, i + 1, lit(n)), " "))),
+      s => length(s) > 0)
+    val hit = (s: org.apache.spark.sql.Column) => (0 until kHash)
+      .map(j => element_at(bits, Decontaminate.bloomPos(s, j, mBits) + 1))
+      .reduce(_ && _).cast("long")
+    docs
+      .withColumn("__tk",
+        split(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")), " "))
+      .withColumn("__sh", grams)
+      .select(col(idCol).as("id"),
+        size(col("__sh")).cast("long").as("n_shingles"),
+        aggregate(col("__sh"), lit(0L), (acc, s) => acc + hit(s)).as("bloom_hits"))
+  }
+
   def curateDocStream(docs: DataFrame, textCol: String, idCol: String,
       splits: Seq[(String, Double)] = Seq(
         "train" -> 0.8, "val" -> 0.1, "test" -> 0.1),

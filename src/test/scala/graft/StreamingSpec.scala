@@ -270,4 +270,44 @@ class StreamingSpec extends AnyFunSuite {
         "stream and batch split must agree on the same id")
     } finally q.stop()
   }
+
+  test("streaming bloom decontamination equals the batch probe, statelessly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, SparkFixture.sfDir, "documents")
+      .select(col("doc_id"), col("text")).limit(60).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (benchRows, candRows) = docs.partition(_._1 % 10 == 0)
+    val bench = benchRows.toSeq.toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)](implicitly[org.apache.spark.sql.Encoder[(Long, String)]], spark.sqlContext)
+    val stream = in.toDF().toDF("doc_id", "text")
+    val q = EventStreams.decontaminateDocStream(stream, bench,
+        "text", "doc_id", n = 3, mBits = 2048, kHash = 3)
+      .writeStream.format("memory").queryName("decontam")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // three micro-batches; per-row results must not depend on batching
+      val cand = candRows.toSeq
+      cand.grouped(math.max(1, cand.size / 3)).foreach { g =>
+        in.addData(g: _*); q.processAllAvailable()
+      }
+      val streamOut = spark.table("decontam")
+        .where(col("n_shingles") > 0).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // the batch operator emits only docs with >= 1 shingle and adds
+      // the exact-hit leg; (n_shingles, bloom_hits) must be identical
+      val batch = graft.pipeline.Decontaminate.bloomContamination(
+          cand.toDF("doc_id", "text"), bench, "text", "doc_id",
+          n = 3, mBits = 2048, kHash = 3)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(streamOut.keySet == batch.keySet)
+      streamOut.foreach { case (id, (ns, bh)) =>
+        val (bns, bbh, beh) = batch(id)
+        assert(ns == bns && bh == bbh, s"doc $id: stream ($ns,$bh) batch ($bns,$bbh)")
+        assert(bh >= beh, s"doc $id: bloom must never undercount exact")
+      }
+      assert(streamOut.nonEmpty)
+    } finally q.stop()
+  }
 }
