@@ -3880,6 +3880,40 @@ object SparkEntry {
     (s, dir) => Dedup.dropDuplicatedSpans(T(s, dir, "documents"), "text", "doc_id",
       k = 6, minOccurs = 2, keyer = md5(_)).orderBy(col("id")))
 
+  // Per-source robust normalization of the t15 entropy score: robust
+  // z vs the source median/IQR (exact interpolated quantiles - the
+  // q66 percentile==quantile_cont pin) and the exact percent rank
+  // with id tie-breaks. The step that stops a global quality
+  // threshold from just measuring source membership.
+  private val t37 = Q("t37_source_normalize", Some("""
+    WITH counts AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM
+        (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY doc_id, tok),
+    ent AS (SELECT doc_id,
+        ROUND(ln(CAST(SUM(c) AS DOUBLE)) - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE), 6) AS entropy
+      FROM counts GROUP BY doc_id),
+    sc AS (SELECT e.doc_id, d.source, e.entropy
+           FROM ent e JOIN documents d USING (doc_id)),
+    st AS (SELECT source,
+        quantile_cont(entropy, 0.25) AS q1,
+        quantile_cont(entropy, 0.5) AS med,
+        quantile_cont(entropy, 0.75) AS q3
+      FROM sc GROUP BY source)
+    SELECT sc.doc_id, sc.source, sc.entropy,
+      ROUND((sc.entropy - st.med) / nullif(st.q3 - st.q1, 0), 6) AS robust_score,
+      ROUND(PERCENT_RANK() OVER (PARTITION BY sc.source ORDER BY sc.entropy, sc.doc_id), 6) AS pct_rank
+    FROM sc JOIN st USING (source)
+    ORDER BY doc_id"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val scored = TextAnalysis.tokenEntropy(docs, "text", "doc_id")
+        .select(col("id").as("doc_id"), col("entropy"))
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      TextAnalysis.normalizeScores(scored, "source", "entropy", "doc_id")
+        .orderBy(col("doc_id"))
+    })
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -3896,7 +3930,7 @@ object SparkEntry {
     s16, s17, s18, s19, s20, s21, s22, s23,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
-    t31, t32, t33, t34, t35, t36,
+    t31, t32, t33, t34, t35, t36, t37,
     m01, m02, m03, m04, m05, m06, m07, m08)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =

@@ -1013,6 +1013,46 @@ object TextAnalysis {
         round(col("inter").cast("double") / col("vocab_b").cast("double"), 6))
   }
 
+  /** Per-group robust score normalization — the step between scoring
+    * and FILTERING when the corpus mixes sources: a raw quality
+    * threshold applied globally mostly measures which source a doc
+    * came from (sources have different score distributions), so each
+    * score is re-expressed within its source as (a) a robust z:
+    * (score − median) / IQR — outlier-insensitive, NULL when the IQR
+    * degenerates to 0 (constant-score group) — and (b) the exact
+    * percentile rank with id tie-breaks. Filter on these and every
+    * source contributes its own best docs instead of whichever source
+    * scores systematically high.
+    *
+    * Determinism: quantiles are EXACT linear interpolation
+    * (`percentile` == DuckDB `quantile_cont` bit-for-bit, the q66
+    * pin); percent_rank is (rank−1)/(n−1) over a fully tie-broken
+    * order — integers divided once. Both normalized columns round
+    * 6 dp.
+    *
+    * Scale: one group-keyed aggregation for the quantile triple
+    * (exact percentile holds a group's scores in memory — per SOURCE,
+    * a bounded cardinality; at extreme group sizes swap
+    * `approx_percentile` in, same plan shape), a group-keyed join,
+    * and ONE window exchange shared by the rank.
+    *
+    * @return (idCol, groupCol, scoreCol, robust_score, pct_rank)
+    */
+  def normalizeScores(scored: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String): DataFrame = {
+    val stats = scored.groupBy(col(groupCol))
+      .agg(expr(s"percentile($scoreCol, 0.25)").as("q1"),
+        expr(s"percentile($scoreCol, 0.5)").as("med"),
+        expr(s"percentile($scoreCol, 0.75)").as("q3"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(scoreCol), col(idCol))
+    scored.join(stats, Seq(groupCol))
+      .select(col(idCol), col(groupCol), col(scoreCol),
+        round((col(scoreCol) - col("med")) /
+          nullif(col("q3") - col("q1"), lit(0.0)), 6).as("robust_score"),
+        round(percent_rank().over(w), 6).as("pct_rank"))
+  }
+
   /** Full per-document stats frame. */
   def stats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

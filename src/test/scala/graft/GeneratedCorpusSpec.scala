@@ -47,7 +47,11 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     // d19 is integer pair counts + exact divisions; the decile floor
     // runs on the identical double in both engines; d20 rebuilds text
     // from integer positions (strings and counts only)
-    "d19_lsh_recall", "d20_span_removal")
+    "d19_lsh_recall", "d20_span_removal",
+    // t37's quantiles are exact type-7 interpolation (the q66
+    // percentile==quantile_cont pin) over the contract-rounded t15
+    // score; percent_rank is integers divided once
+    "t37_source_normalize")
 
   private def generate(seed: Int, nDocs: Int): Seq[(Long, String, String, String, Long)] = {
     val rnd = new scala.util.Random(seed)

@@ -873,6 +873,48 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  // ---------------- per-source score normalization ----------------
+
+  test("normalizeScores matches an in-memory robust/percent-rank reference") {
+    import spark.implicits._
+    // type-7 interpolated quantile (what both percentile and
+    // quantile_cont compute)
+    def quantile(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted
+      val h = (s.length - 1) * p
+      val lo = h.toInt
+      if (lo + 1 >= s.length) s(lo) else s(lo) + (h - lo) * (s(lo + 1) - s(lo))
+    }
+    val rows = Seq(
+      // group a: ties + spread
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 2.0), (4L, "a", 5.0),
+      // group b: constant scores -> IQR 0 -> robust NULL
+      (5L, "b", 3.0), (6L, "b", 3.0), (7L, "b", 3.0),
+      // group c: singleton -> percent_rank 0
+      (8L, "c", 9.0))
+    val got = TextAnalysis.normalizeScores(
+        rows.toDF("doc_id", "source", "score"), "source", "score", "doc_id")
+      .collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(3)).map(_.asInstanceOf[Double]), r.getDouble(4))))
+      .toMap
+    val byGrp = rows.groupBy(_._2)
+    rows.foreach { case (id, g, s) =>
+      val xs = byGrp(g).map(_._3)
+      val (q1, med, q3) = (quantile(xs, 0.25), quantile(xs, 0.5), quantile(xs, 0.75))
+      val expRobust = if (q3 - q1 == 0.0) None
+        else Some(BigDecimal((s - med) / (q3 - q1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val sortedIds = byGrp(g).sortBy(x => (x._3, x._1)).map(_._1)
+      val expPct = if (xs.size == 1) 0.0
+        else BigDecimal(sortedIds.indexOf(id).toDouble / (xs.size - 1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      withClue(s"doc $id: ") {
+        assert(got(id)._1 == expRobust, s"robust got ${got(id)._1} exp $expRobust")
+        assert(got(id)._2 == expPct, s"pct got ${got(id)._2} exp $expPct")
+      }
+    }
+  }
+
   // ---------------- hard negatives ----------------
 
   test("hardNegatives == label-filtered bruteForceTopKBatch per anchor") {
