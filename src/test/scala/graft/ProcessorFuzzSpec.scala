@@ -350,4 +350,44 @@ class ProcessorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       assertSameRows(r.body(), local, s"post-processor trial $trial")
     }
   }
+
+  test("fuzz: text-rebuild processors match the library operators") {
+    val rnd = new scala.util.Random(0x5eed9042L)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    for (trial <- 1 to 20) {
+      val w = 2 + rnd.nextInt(4)
+      val boiler = (0 until w * 2).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val rows: Seq[Map[String, Any]] = (0 until 20).map { i =>
+        val body = (0 until 3 + rnd.nextInt(10))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        Map("doc_id" -> i.toLong,
+          "text" -> (if (rnd.nextDouble() < 0.4) s"$boiler $body" else body))
+      }
+      val local = localDf(rows, Seq("doc_id", "text"))
+      val useChunks = rnd.nextBoolean()
+      val maxDf = 1 + rnd.nextInt(3)
+      val p = mapper.createObjectNode()
+      val opts = p.putObject("pluginOptions")
+      opts.put("textColumn", "text"); opts.put("idColumn", "doc_id")
+      val expected = if (useChunks) {
+        p.put("module", "drop-common-chunks")
+        opts.put("chunkTokens", w); opts.put("maxDf", maxDf)
+        graft.pipeline.Dedup.dropCommonChunks(local, "text", "doc_id", w, maxDf.toLong)
+      } else {
+        p.put("module", "drop-duplicated-spans")
+        opts.put("windowTokens", w)
+        graft.pipeline.Dedup.dropDuplicatedSpans(local, "text", "doc_id", w, minOccurs = 2)
+      }
+      val chain = mapper.createArrayNode(); chain.add(p): Unit
+      val req = mapper.createObjectNode()
+      req.putArray("dataSources").add(dsNode("t", rows))
+      val q = req.putObject("query")
+      q.put("sql", "SELECT * FROM t")
+      q.set[ArrayNode]("postProcessors", chain)
+      val r = post("/dataframe/query", mapper.writeValueAsString(req))
+      assert(r.statusCode() == 200, s"trial $trial: ${r.body()}")
+      assertSameRows(r.body(), expected,
+        s"rebuild trial $trial (${p.get("module").asText()} w=$w)")
+    }
+  }
 }
