@@ -623,10 +623,16 @@ object TextAnalysis {
   def interpolatedLogProb(docs: DataFrame, textCol: String, idCol: String,
       lambda: Double = 0.5): DataFrame = {
     require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0,1]")
+    // cached for the same reason as bigramDocCounts: TWO consumers
+    // (the per-doc join and the 1-row total) — uncached, the total's
+    // subtree re-tokenizes the whole corpus a second time (the plan
+    // showed a fifth scan→Generate chain; vocab-sized frame, 2
+    // longs/row)
     val unigram = graft.ops.ScaleOps.fanOut(docs)
       .select(explode(split(col(textCol), " ")).as("tok"))
       .groupBy(xxhash64(col("tok")).as("h2"))
       .agg(count(lit(1)).as("cu"))
+      .cache()
     val total = unigram.agg(sum(col("cu")).cast("double").as("n_total"))
     // Single-materialization treatment (see [[bigramDocCounts]]):
     // three consumers, one cached hash-only frame.
@@ -677,9 +683,13 @@ object TextAnalysis {
       discount: Double = 0.75): DataFrame = {
     require(discount > 0.0 && discount < 1.0, "discount must be in (0,1)")
     val docCounts = bigramDocCounts(docs, textCol, idCol)
+    // cached: FOUR consumers (the h12 join, ctx, bwd, totalTypes)
+    // would each re-run the docCounts→distinct-bigram aggregation;
+    // one vocab²-bounded frame of 4 longs/row serves them all
     val bigrams = docCounts
       .groupBy(col("h1"), col("h2"), col("h12"))
       .agg(sum(col("c_doc")).as("c12"))
+      .cache()
     val ctx = bigrams.groupBy(col("h1"))
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("nf"))
     val bwd = bigrams.groupBy(col("h2")).agg(count(lit(1)).as("nb"))
