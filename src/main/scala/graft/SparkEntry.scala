@@ -3914,6 +3914,72 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     })
 
+  // Exact dedup with provenance: collapsed duplicate groups keep the
+  // sorted distinct sources of their members - the attribution trail
+  // dropping rows would otherwise destroy.
+  private val d21 = Q("d21_dedup_provenance", Some("""
+    WITH g AS (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+           COUNT(*) AS group_size, MIN(doc_id) AS keep_id
+         FROM documents GROUP BY 1),
+    s AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+           source FROM documents),
+    sl AS (SELECT fp, string_agg(source, ',' ORDER BY source) AS provenance
+           FROM s GROUP BY fp)
+    SELECT g.fp, g.group_size, g.keep_id, sl.provenance
+    FROM g JOIN sl USING (fp) WHERE g.group_size >= 2
+    ORDER BY keep_id"""),
+    (s, dir) => Dedup.exactGroupsWithProvenance(T(s, dir, "documents"),
+      "text", "doc_id", "source").orderBy(col("keep_id")))
+
+  // Projection-recall audit: overlap@10 of top-k in the 16-d
+  // projected space vs the exact 64-d top-k, per anchor - the
+  // before-you-commit measurement for using the JL sketch as the
+  // blocking/shortlist space. Fully deterministic on both engines
+  // (same signs, same folds, same tie-breaks).
+  private val s24 = Q("s24_projection_recall", Some("""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    scoredE AS (
+      SELECT q.qid, e.vec_id,
+        list_sum(list_transform(generate_series(1, len(e.embedding)),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cs
+      FROM embeddings e, q),
+    exact AS (SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id) AS rk
+        FROM scoredE) WHERE rk <= 10),
+    proj AS (SELECT vec_id, list_transform(generate_series(0, 15), j ->
+        ROUND(list_sum(list_transform(generate_series(1, len(embedding)), i ->
+          CAST(embedding[i] AS DOUBLE) *
+          (CASE WHEN (strpos('0123456789abcdef',
+              substr(md5(j || ':' || (i - 1)), 1, 1)) - 1) % 2 = 0
+            THEN 1.0 ELSE -1.0 END)))
+         / sqrt(CAST(16 AS DOUBLE)), 6)) AS pv
+      FROM embeddings),
+    pq AS (SELECT vec_id AS qid, pv AS qpv FROM proj WHERE vec_id < 8),
+    scoredP AS (
+      SELECT pq.qid, p.vec_id,
+        list_sum(list_transform(generate_series(1, len(p.pv)), i -> p.pv[i] * pq.qpv[i]))
+        / (sqrt(list_sum(list_transform(p.pv, x -> x * x)))
+           * sqrt(list_sum(list_transform(pq.qpv, x -> x * x)))) AS cs
+      FROM proj p, pq),
+    approx AS (SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id) AS rk
+        FROM scoredP) WHERE rk <= 10),
+    ov AS (SELECT e.qid, COUNT(*) AS n FROM exact e
+           JOIN approx a ON a.qid = e.qid AND a.vec_id = e.vec_id GROUP BY e.qid)
+    SELECT q.qid AS query_id,
+      CAST(COALESCE(ov.n, 0) AS BIGINT) AS n_overlap,
+      ROUND(CAST(COALESCE(ov.n, 0) AS DOUBLE) / 10, 6) AS recall_at_k
+    FROM q LEFT JOIN ov ON ov.qid = q.qid
+    ORDER BY query_id"""),
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.projectionRecall(emb, emb.filter(col("vec_id") < 8),
+          "embedding", "vec_id", dim = 64, outDim = 16, k = 10)
+        .orderBy(col("query_id"))
+    })
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -3925,9 +3991,9 @@ object SparkEntry {
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
-    d17, d18, d19, d20,
+    d17, d18, d19, d20, d21,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
-    s16, s17, s18, s19, s20, s21, s22, s23,
+    s16, s17, s18, s19, s20, s21, s22, s23, s24,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
     t31, t32, t33, t34, t35, t36, t37,

@@ -71,6 +71,35 @@ object Dedup {
         count(lit(1)).as("group_size"),
         min(col(idCol)).as("keep_id"))
 
+  /** Exact dedup with PROVENANCE: duplicate groups reported with the
+    * sorted distinct values of a metadata column (source, crawl,
+    * license) across the collapsed members — what an auditable
+    * pipeline keeps when it drops rows: "this survivor also appeared
+    * in srcA and srcB". Without it, collapsing duplicates silently
+    * destroys source attribution (and with it per-source counts,
+    * licensing trails, and mixture weights computed downstream).
+    *
+    * Same single partial-aggregated digest exchange as
+    * [[exactGroups]]; the provenance set rides the same aggregation
+    * (collect_set is bounded by the metadata cardinality, then
+    * sorted so the output is deterministic under any partitioning).
+    * Only groups that actually collapsed (size ≥ 2) report.
+    *
+    * @return (fp, group_size, keep_id, provenance) — provenance a
+    *         comma-joined sorted distinct list
+    */
+  def exactGroupsWithProvenance(docs: DataFrame, textCol: String,
+      idCol: String, metaCol: String): DataFrame =
+    docs
+      .select(col(idCol), col(metaCol).as("__meta"),
+        TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(
+        count(lit(1)).as("group_size"),
+        min(col(idCol)).as("keep_id"),
+        array_join(array_sort(collect_set(col("__meta"))), ",").as("provenance"))
+      .where(col("group_size") >= 2)
+
   /** Word n-gram shingle set, one row per distinct (id, shingle).
     * Tokens come from the canonical form (lowercased,
     * whitespace-collapsed) so exact duplicates under normalization

@@ -483,6 +483,38 @@ object Similarity {
     emb.select(col(idCol), transform(kernel, y => round(y, 6)).as("proj"))
   }
 
+  /** Projection-recall audit — the d19 discipline for the vector
+    * side: exact top-k in the FULL space vs top-k in the
+    * [[randomProject]]ed space, reporting per-anchor overlap@k. The
+    * number that tells you whether outDim is high enough for YOUR
+    * corpus before you commit the cheap space to blocking/shortlists
+    * (JL guarantees distances in expectation; recall@k on real data
+    * is what you act on). Both legs are the one-corpus-scan
+    * broadcast-anchor shape; the evaluation join is pair-keyed; the
+    * anchor grid left-joins so zero-overlap anchors report 0.
+    *
+    * @return (query_id, n_overlap, recall_at_k)
+    */
+  def projectionRecall(corpus: DataFrame, anchors: DataFrame,
+      vecCol: String, idCol: String, dim: Int, outDim: Int,
+      k: Int): DataFrame = {
+    val exact = bruteForceTopKBatch(corpus, anchors, vecCol, idCol, idCol, k)
+      .select(col("query_id"), col(idCol))
+    val projC = randomProject(corpus, vecCol, idCol, dim, outDim)
+    val projA = randomProject(anchors, vecCol, idCol, dim, outDim)
+    val approx = bruteForceTopKBatch(projC, projA, "proj", idCol, idCol, k)
+      .select(col("query_id"), col(idCol))
+    val overlap = exact.join(approx, Seq("query_id", idCol))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+    anchors.select(col(idCol).as("query_id"))
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("recall_at_k",
+        round(col("n_overlap").cast("double") / k, 6))
+  }
+
   /** Composable higher-order-function reference for [[randomProject]]
     * — outDim interpreted folds per row; kept as the semantics the
     * codegen kernel is spec-pinned bit-identical against (the

@@ -87,6 +87,8 @@ object ExplainDump {
       "d19_lsh_recall" -> "LSH recall curve: the exact leg's posting-list joins and the LSH leg's band-bucket self-join both move digests only; the evaluation join is pair-keyed and the decile rollup partial-aggregates — at 100 TB the exact leg runs on a sample (the recall-audit protocol), the LSH leg everywhere",
       "d20_span_removal" -> "duplicated-span removal (Lee et al. rebuild): window hashes off the scan-stage kernel, one window-keyed count finds dup starts, covered positions explode k-per-start and DISTINCT down, the (id, p) position stream anti-joins covered — longs end to end; the rebuild is the d18 contract (positions collapse to one array row per doc, text joins once by id and never crosses an exchange)",
       "t37_source_normalize" -> "per-source robust normalization: one group-keyed quantile aggregation (source-cardinality rows; swap approx_percentile at extreme group sizes), a group-keyed join, and ONE shared window exchange for the percent rank — the score frame itself shuffles once",
+      "d21_dedup_provenance" -> "provenance dedup: the d01 single digest-keyed partial-agg exchange with the sorted distinct source list riding the same aggregation — attribution survives the collapse for free",
+      "s24_projection_recall" -> "projection-recall audit: both top-k legs are the one-corpus-scan broadcast-anchor shape (full space and the map-only projected space); the overlap join is pair-keyed over 2·|anchors|·k rows and the anchor grid left-joins so zero-overlap anchors report",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")

@@ -51,7 +51,9 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     // t37's quantiles are exact type-7 interpolation (the q66
     // percentile==quantile_cont pin) over the contract-rounded t15
     // score; percent_rank is integers divided once
-    "t37_source_normalize")
+    "t37_source_normalize",
+    // d21 is digests + counts + sorted string lists
+    "d21_dedup_provenance")
 
   private def generate(seed: Int, nDocs: Int): Seq[(Long, String, String, String, Long)] = {
     val rnd = new scala.util.Random(seed)
@@ -86,7 +88,10 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     // round-9: s22 is the s04 class + a label predicate; s23's
     // kernel fold must stay bit-identical to DuckDB's list_sum on
     // arbitrary vectors, not just the fixture's
-    "s22_hard_negatives", "s23_random_projection")
+    "s22_hard_negatives", "s23_random_projection",
+    // s24 composes two pinned kernels; the overlap counts must agree
+    // on arbitrary vectors
+    "s24_projection_recall")
 
   /** Canonical cell stringification: array columns print as
     * "[a, b, ...]" on BOTH sides (Spark rows yield Scala Seqs,

@@ -873,6 +873,47 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  // ---------------- provenance dedup ----------------
+
+  test("exactGroupsWithProvenance keeps sorted distinct sources per group") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "same text here", "srcB"),
+      (2L, "same text here", "srcA"),
+      (3L, "Same   TEXT here", "srcC"), // normalizes to the same fp
+      (4L, "same text here", "srcA"),   // dup source must not repeat
+      (5L, "unique document", "srcZ")   // group of 1 -> not reported
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.exactGroupsWithProvenance(df, "text", "doc_id", "source")
+      .collect().map(r => (r.getLong(2), r.getLong(1), r.getString(3)))
+    assert(got.toSeq == Seq((1L, 4L, "srcA,srcB,srcC")))
+  }
+
+  // ---------------- projection recall ----------------
+
+  test("projectionRecall: identity anchors always recall themselves; bounds hold") {
+    val emb = Tables.load(spark, SparkFixture.sfDir, "embeddings")
+    val anchors = emb.filter(col("vec_id") < 8)
+    val rep = graft.pipeline.Similarity.projectionRecall(
+        emb, anchors, "embedding", "vec_id", dim = 64, outDim = 16, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rep.length == 8)
+    rep.foreach { case (qid, n, rec) =>
+      // the anchor itself is cos=1 in BOTH spaces -> overlap >= 1
+      assert(n >= 1 && n <= 10, s"anchor $qid overlap $n")
+      assert(math.abs(rec - n / 10.0) < 1e-9)
+    }
+    // projecting to the FULL dimension count preserves more structure
+    // than 8 dims on average (sanity that outDim matters)
+    val rep32 = graft.pipeline.Similarity.projectionRecall(
+        emb, anchors, "embedding", "vec_id", dim = 64, outDim = 32, k = 10)
+      .collect().map(_.getLong(1)).sum
+    val rep8 = graft.pipeline.Similarity.projectionRecall(
+        emb, anchors, "embedding", "vec_id", dim = 64, outDim = 8, k = 10)
+      .collect().map(_.getLong(1)).sum
+    assert(rep32 >= rep8, s"recall@32d ($rep32) should not trail recall@8d ($rep8)")
+  }
+
   // ---------------- per-source score normalization ----------------
 
   test("normalizeScores matches an in-memory robust/percent-rank reference") {
