@@ -589,4 +589,72 @@ class DifferentialFuzzSpec extends AnyFunSuite {
         s"cms invariant broken at depth=$depth width=$width k=$k")
     }
   }
+
+  test("rebuild fuzz: randomized chunk/span removal params match the SQL template") {
+    // generalizes d18's fixed (w=8, maxDf=2) and d20's fixed
+    // (k=6, minOccurs=2): the chunking arithmetic, df/occurrence
+    // thresholds, and ordered reassembly must agree with the SQL
+    // template at every parameterization — rebuilt TEXT compared
+    // exactly, not just counts.
+    duck.createStatement().execute(
+      s"""CREATE OR REPLACE VIEW documents AS
+          SELECT * FROM read_parquet('$sf/documents.parquet')""")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def chunkSql(w: Int, maxDf: Int) = s"""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      ch AS (SELECT doc_id, c, array_to_string(ts[c*$w+1 : c*$w+$w], ' ') AS chunk
+             FROM toks, UNNEST(generate_series(0, (len(ts)-1)//$w)) AS u(c)),
+      df AS (SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM ch GROUP BY chunk),
+      keep AS (SELECT doc_id, c, chunk FROM ch JOIN df USING (chunk) WHERE df <= $maxDf)
+      SELECT t.doc_id AS id,
+        COALESCE(string_agg(k.chunk, ' ' ORDER BY k.c), '') AS text_kept,
+        CAST(COUNT(k.c) AS BIGINT) AS n_kept
+      FROM toks t LEFT JOIN keep k USING (doc_id)
+      GROUP BY t.doc_id"""
+    def spanSql(k: Int, minOccurs: Int) = s"""
+      WITH toks AS (SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ts
+             FROM documents),
+      wins AS (SELECT doc_id, i, md5(array_to_string(ts[i:i+${k - 1}], ' ')) AS w
+             FROM toks, UNNEST(generate_series(1, len(ts) - ${k - 1})) AS u(i)
+             WHERE len(ts) >= $k),
+      dup AS (SELECT doc_id, i FROM (
+             SELECT doc_id, i, COUNT(*) OVER (PARTITION BY w) AS cnt FROM wins)
+             WHERE cnt >= $minOccurs),
+      cov AS (SELECT DISTINCT doc_id, i + j AS p
+             FROM dup, UNNEST(generate_series(0, ${k - 1})) AS g(j)),
+      pos AS (SELECT doc_id, p, ts[p] AS tok
+             FROM toks, UNNEST(generate_series(1, len(ts))) AS u(p)),
+      kept AS (SELECT pos.doc_id, pos.p, pos.tok
+             FROM pos LEFT JOIN cov ON cov.doc_id = pos.doc_id AND cov.p = pos.p
+             WHERE cov.p IS NULL)
+      SELECT t.doc_id AS id,
+        COALESCE(string_agg(k.tok, ' ' ORDER BY k.p), '') AS text_kept,
+        CAST(COUNT(k.p) AS BIGINT) AS n_kept
+      FROM toks t LEFT JOIN kept k USING (doc_id)
+      GROUP BY t.doc_id"""
+    def run(sql: String): Map[Long, (String, Long)] = {
+      val rs = duck.createStatement().executeQuery(sql)
+      Iterator.continually(rs).takeWhile(_.next())
+        .map(r => r.getLong(1) -> ((r.getString(2), r.getLong(3)))).toMap
+    }
+    val rnd = new scala.util.Random(0xd18d20L)
+    for (trial <- 0 until 4) {
+      val w = 2 + rnd.nextInt(12)
+      val maxDf = 1 + rnd.nextInt(4)
+      val gotC = graft.pipeline.Dedup
+        .dropCommonChunks(docs, "text", "doc_id", w, maxDf.toLong)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+      assert(gotC == run(chunkSql(w, maxDf)),
+        s"trial $trial: chunk removal diverged at w=$w maxDf=$maxDf")
+      val k = 2 + rnd.nextInt(8)
+      val minOccurs = 2 + rnd.nextInt(3)
+      val gotS = graft.pipeline.Dedup
+        .dropDuplicatedSpans(docs, "text", "doc_id", k, minOccurs,
+          keyer = org.apache.spark.sql.functions.md5(_))
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+      assert(gotS == run(spanSql(k, minOccurs)),
+        s"trial $trial: span removal diverged at k=$k minOccurs=$minOccurs")
+    }
+  }
 }
