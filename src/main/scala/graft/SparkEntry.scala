@@ -3980,6 +3980,47 @@ object SparkEntry {
         .orderBy(col("query_id"))
     })
 
+  // The GENERIC feature path over a real container: extractFeatures
+  // now dispatches on magic bytes, so a WAV payload's mean/segment
+  // features come from the actual decoded PCM samples - the oracle
+  // reconstructs them from the ground-truth text byte map (sample i
+  // = byte i * 128, segment s = mean over [s*n/8, (s+1)*n/8)), with
+  // the engine's one-per-segment float narrowing mirrored by a
+  // FLOAT->DOUBLE cast. A dispatch that falls into the fake decoder
+  // (or a segment-boundary off-by-one) hash-mismatches.
+  private val m09 = Q("m09_media_features_real", Some("""
+    WITH d AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n,
+        string_split(text, '') AS cs
+      FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) > 0
+        AND octet_length(CAST(text AS BLOB)) = length(text)),
+    seg AS (SELECT doc_id, n, cs, s, (s * n) // 8 AS lo, ((s + 1) * n) // 8 AS hi
+      FROM d, UNNEST(generate_series(0, 7)) AS g(s))
+    SELECT doc_id AS sample_id,
+      CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+      ROUND(CAST(list_sum(list_transform(cs, c -> ord(c) * 128.0)) AS DOUBLE) / n, 6)
+        AS mean_signal,
+      CAST(s AS BIGINT) AS seg,
+      CASE WHEN hi > lo THEN CAST(CAST(
+          CAST(list_sum(list_transform(cs[lo+1:hi], c -> ord(c) * 128.0)) AS DOUBLE)
+          / (hi - lo) AS FLOAT) AS DOUBLE)
+        ELSE 0.0 END AS seg_mean
+    FROM seg ORDER BY sample_id, seg"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents").where(octet_length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
+      val media = Multimodal.textAsWav(docs, "doc_id", "text")
+        .withColumn("media_type", lit("audio"))
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("sample_id"), col("n_bytes"),
+          round(col("mean_intensity"), 6).as("mean_signal"),
+          posexplode(col("feature_vec")).as(Seq("seg", "f")))
+        .select(col("sample_id"), col("n_bytes"), col("mean_signal"),
+          col("seg").cast("long").as("seg"),
+          col("f").cast("double").as("seg_mean"))
+        .orderBy(col("sample_id"), col("seg"))
+    })
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -3997,7 +4038,7 @@ object SparkEntry {
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
     t31, t32, t33, t34, t35, t36, t37,
-    m01, m02, m03, m04, m05, m06, m07, m08)
+    m01, m02, m03, m04, m05, m06, m07, m08, m09)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))

@@ -70,6 +70,62 @@ object Multimodal {
     }
   }
 
+  /** Magic-byte-dispatching decoder for the GENERIC feature path:
+    * containers this repo can fully parse (RIFF/WAVE, BMP, RIFF-AVI)
+    * decode for REAL — features come from the actual PCM samples /
+    * pixel bytes — and only unparseable formats (JPEG/MP4/... — no
+    * pure-JVM codec here) fall back to [[FakeDecoder]]. A container
+    * that declares a known magic but fails to parse also falls back
+    * (the generic path must never throw on one bad sample).
+    *
+    * Real-branch feature contract, deterministic and oracle-able:
+    * the decoded signal is PCM sample values (WAV), unsigned pixel
+    * bytes (BMP), or concatenated frame pixel bytes (AVI); mean =
+    * left-to-right double mean over the signal; feature s of `dims`
+    * is the mean over the contiguous segment
+    * [s·n/dims, (s+1)·n/dims) (integer bounds, empty segment → 0),
+    * narrowed to float once per segment.
+    */
+  object MediaDecoder {
+    private def magic(p: Array[Byte], at: Int, s: String): Boolean =
+      p.length >= at + s.length &&
+        s.indices.forall(i => (p(at + i) & 0xff) == s.charAt(i).toInt)
+
+    def decode(payload: Array[Byte], dims: Int = 8): (Double, Array[Float]) = {
+      val p = if (payload == null) Array.emptyByteArray else payload
+      try {
+        if (magic(p, 0, "RIFF") && magic(p, 8, "WAVE"))
+          fromSignal(WavCodec.decodeSamples(p)._3.map(_.toDouble), dims)
+        else if (magic(p, 0, "BM"))
+          fromSignal(BmpCodec.decodePixels(p)._3.map(b => (b & 0xff).toDouble), dims)
+        else if (magic(p, 0, "RIFF") && magic(p, 8, "AVI "))
+          fromSignal(AviCodec.decodeFrames(p)._2.flatten.map(b => (b & 0xff).toDouble), dims)
+        else FakeDecoder.decode(p, dims)
+      } catch {
+        case scala.util.control.NonFatal(_) => FakeDecoder.decode(p, dims)
+      }
+    }
+
+    private[graft] def fromSignal(xs: Array[Double], dims: Int): (Double, Array[Float]) = {
+      if (xs.isEmpty) return (0.0, Array.fill(dims)(0f))
+      var sum = 0.0
+      var i = 0
+      while (i < xs.length) { sum += xs(i); i += 1 }
+      val vec = Array.tabulate(dims) { s =>
+        val lo = s * xs.length / dims
+        val hi = (s + 1) * xs.length / dims
+        if (hi <= lo) 0f
+        else {
+          var acc = 0.0
+          var j = lo
+          while (j < hi) { acc += xs(j); j += 1 }
+          (acc / (hi - lo)).toFloat
+        }
+      }
+      (sum / xs.length, vec)
+    }
+  }
+
   /** Real pure-JVM audio codec: canonical RIFF/WAVE PCM. Unlike
     * [[FakeDecoder]], this parses an actual interchange format — the
     * one media container fully decodable with zero native libs — so
@@ -753,8 +809,10 @@ object Multimodal {
       lit(null).cast("long").as("duration_ms"))
 
   /** Partition-parallel decode + feature extraction. The per-row
-    * kernel is the stub; the distribution contract (mapPartitions,
-    * no shuffle, small output schema) is the real design.
+    * kernel is [[MediaDecoder]] — REAL decode for WAV/BMP/AVI
+    * payloads, [[FakeDecoder]] only for formats with no pure-JVM
+    * codec — under the unchanged distribution contract
+    * (mapPartitions, no shuffle, small output schema).
     */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
@@ -767,7 +825,7 @@ object Multimodal {
           val bytes = if (payload == null) Array.emptyByteArray else payload
           digest.reset()
           val sha = digest.digest(bytes).map("%02x".format(_)).mkString
-          val (mean, vec) = FakeDecoder.decode(bytes)
+          val (mean, vec) = MediaDecoder.decode(bytes)
           MediaFeatures(id, mt, bytes.length.toLong, sha, mean, vec)
         }
       }

@@ -52,8 +52,9 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     // percentile==quantile_cont pin) over the contract-rounded t15
     // score; percent_rank is integers divided once
     "t37_source_normalize",
-    // d21 is digests + counts + sorted string lists
-    "d21_dedup_provenance")
+    // d21 is digests + counts + sorted string lists; m09 is the m04
+    // byte math through the dispatching generic path (ASCII corpus)
+    "d21_dedup_provenance", "m09_media_features_real")
 
   private def generate(seed: Int, nDocs: Int): Seq[(Long, String, String, String, Long)] = {
     val rnd = new scala.util.Random(seed)

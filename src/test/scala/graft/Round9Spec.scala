@@ -873,6 +873,41 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  // ---------------- media decoder dispatch ----------------
+
+  test("MediaDecoder dispatches real containers and falls back cleanly") {
+    import graft.pipeline.Multimodal
+    // WAV: features must come from the PCM samples
+    val samples = Array.tabulate(20)(i => (i * 100).toShort)
+    val wav = Multimodal.WavCodec.encodePcm16(samples, 16000)
+    val (wm, wv) = Multimodal.MediaDecoder.decode(wav)
+    val (em, ev) = Multimodal.MediaDecoder.fromSignal(samples.map(_.toDouble), 8)
+    assert(wm == em && wv.toSeq == ev.toSeq)
+    // BMP: features over the decoded pixel bytes
+    val px = Array.tabulate(6)(i => ((i * 3).toByte, (i * 3 + 1).toByte, (i * 3 + 2).toByte))
+    val bmp = Multimodal.BmpCodec.encodeBgr24(px, 3, 2)
+    val (bm, bv) = Multimodal.MediaDecoder.decode(bmp)
+    val pixelBytes = Multimodal.BmpCodec.decodePixels(bmp)._3
+    val (ebm, ebv) = Multimodal.MediaDecoder.fromSignal(
+      pixelBytes.map(b => (b & 0xff).toDouble), 8)
+    assert(bm == ebm && bv.toSeq == ebv.toSeq)
+    // non-container text payload -> FakeDecoder unchanged
+    val txt = "plain old text".getBytes("UTF-8")
+    assert(Multimodal.MediaDecoder.decode(txt) ==
+      ((Multimodal.FakeDecoder.decode(txt)._1,
+        Multimodal.FakeDecoder.decode(txt)._2)) ||
+      Multimodal.MediaDecoder.decode(txt)._1 == Multimodal.FakeDecoder.decode(txt)._1)
+    assert(Multimodal.MediaDecoder.decode(txt)._2.toSeq ==
+      Multimodal.FakeDecoder.decode(txt)._2.toSeq)
+    // corrupt RIFF (declares WAVE, truncated body) -> fallback, no throw
+    val corrupt = "RIFFxxxxWAVE".getBytes("UTF-8")
+    assert(Multimodal.MediaDecoder.decode(corrupt)._2.toSeq ==
+      Multimodal.FakeDecoder.decode(corrupt)._2.toSeq)
+    // segment bounds: 3 values over 8 dims -> 5 empty segments are 0
+    val (_, sv) = Multimodal.MediaDecoder.fromSignal(Array(8.0, 16.0, 24.0), 8)
+    assert(sv.count(_ == 0f) == 5 && sv.toSeq.contains(8f))
+  }
+
   // ---------------- provenance dedup ----------------
 
   test("exactGroupsWithProvenance keeps sorted distinct sources per group") {
