@@ -4021,6 +4021,33 @@ object SparkEntry {
         .orderBy(col("sample_id"), col("seg"))
     })
 
+  // Deterministic epoch-3 shuffle: position = rank of md5("3:id") -
+  // the reproducible data-loading permutation (different per epoch,
+  // identical across engines/partitionings/restarts).
+  private val t38 = Q("t38_epoch_shuffle", Some("""
+    SELECT doc_id,
+      CAST(ROW_NUMBER() OVER (ORDER BY md5('3:' || doc_id), doc_id) AS BIGINT)
+        AS position
+    FROM documents ORDER BY doc_id"""),
+    (s, dir) => graft.pipeline.Sampling.epochShuffle(
+      T(s, dir, "documents"), "doc_id", epoch = 3).orderBy(col("doc_id")))
+
+  // Length-bucket padding audit over edges 1/16/64/128: per bucket,
+  // the fraction of pad tokens batching-to-the-bucket-max burns.
+  private val t39 = Q("t39_length_buckets", Some("""
+    WITH t AS (SELECT len(string_split(text, ' ')) AS n FROM documents),
+    b AS (SELECT n, CASE WHEN n >= 128 THEN 128 WHEN n >= 64 THEN 64
+                         WHEN n >= 16 THEN 16 WHEN n >= 1 THEN 1 END AS bucket_lo
+          FROM t)
+    SELECT CAST(bucket_lo AS BIGINT) AS bucket_lo, COUNT(*) AS n_docs,
+      CAST(MAX(n) AS BIGINT) AS max_len, CAST(SUM(n) AS BIGINT) AS sum_tokens,
+      ROUND(1.0 - CAST(SUM(n) AS DOUBLE) / (COUNT(*) * MAX(n)), 6) AS padding_frac
+    FROM b WHERE bucket_lo IS NOT NULL
+    GROUP BY bucket_lo ORDER BY bucket_lo"""),
+    (s, dir) => graft.pipeline.Sampling.lengthBuckets(
+        T(s, dir, "documents"), "text", "doc_id", Seq(1, 16, 64, 128))
+      .orderBy(col("bucket_lo")))
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -4037,7 +4064,7 @@ object SparkEntry {
     s16, s17, s18, s19, s20, s21, s22, s23, s24,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
-    t31, t32, t33, t34, t35, t36, t37,
+    t31, t32, t33, t34, t35, t36, t37, t38, t39,
     m01, m02, m03, m04, m05, m06, m07, m08, m09)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =

@@ -225,6 +225,67 @@ object Sampling {
         col("sample_rank").cast("long").as("sample_rank"))
   }
 
+  /** Deterministic epoch shuffle — the data-loading permutation a
+    * trainer replays: position = rank of md5("epoch:id"), so the
+    * order is (a) uniform-ish per epoch, (b) DIFFERENT across epochs
+    * (the hash reseeds), and (c) bit-reproducible across engines,
+    * partitionings, and restarts — a crashed epoch resumes mid-stream
+    * by position without materializing the permutation anywhere. The
+    * md5-rank trick is [[hashSplit]]'s determinism applied to
+    * ordering instead of assignment.
+    *
+    * Scale: the rank is one global sort by a scan-stage digest. A
+    * trainer that only needs PER-SHARD order drops the window for
+    * `sortWithinPartitions` after repartitioning on the digest — same
+    * key, no total order, no single-reducer tail. The global-rank
+    * form is the oracle-able contract.
+    *
+    * @return (idCol, position) — position 1..N within the epoch
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int): DataFrame = {
+    val key = md5(concat_ws(":", lit(epoch), col(idCol)))
+    df.select(col(idCol), key.as("__k"))
+      .withColumn("position",
+        row_number().over(Window.orderBy(col("__k"), col(idCol))).cast("long"))
+      .select(col(idCol), col("position"))
+  }
+
+  /** Length-bucket padding-efficiency report — the batching audit
+    * run before fixing a bucketing scheme: documents bucket by token
+    * count into [edge_i, edge_{i+1}) ranges, and each bucket reports
+    * how many pad tokens batching-to-the-bucket-max would burn
+    * (padding_frac = 1 − Σlen / (n · max_len)). The whole point of
+    * length bucketing is driving this number down vs one global
+    * bucket; this measures it on YOUR corpus.
+    *
+    * One partial-aggregated exchange on the bucket index (token
+    * counts are a scan-stage projection); output is edge-count rows.
+    *
+    * @param edges ascending bucket lower bounds; the first bucket
+    *              starts at edges.head (shorter docs drop — they
+    *              belong to a filter, not a batch)
+    * @return (bucket_lo, n_docs, max_len, sum_tokens, padding_frac)
+    */
+  def lengthBuckets(df: DataFrame, textCol: String, idCol: String,
+      edges: Seq[Int]): DataFrame = {
+    require(edges.nonEmpty && edges == edges.sorted && edges.distinct == edges,
+      "edges must be ascending and distinct")
+    val n = TextAnalysis.tokenCount(col(textCol))
+    val lo = edges.tail.foldLeft(
+      when(n >= edges.head, lit(edges.head)).otherwise(lit(null).cast("int"))) {
+      (acc, e) => when(n >= e, lit(e)).otherwise(acc)
+    }
+    df.select(n.as("__n"), lo.as("bucket_lo"))
+      .where(col("bucket_lo").isNotNull)
+      .groupBy(col("bucket_lo").cast("long").as("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("__n")).as("max_len"),
+        sum(col("__n")).as("sum_tokens"))
+      .withColumn("padding_frac",
+        round(lit(1.0) - col("sum_tokens").cast("double") /
+          (col("n_docs") * col("max_len")).cast("double"), 6))
+  }
+
   def sourceMix(df: DataFrame, strataCol: String, idCol: String,
       mix: Map[String, (Int, Int)]): DataFrame = {
     require(mix.nonEmpty, "mix must name at least one stratum")

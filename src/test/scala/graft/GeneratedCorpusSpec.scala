@@ -54,7 +54,10 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     "t37_source_normalize",
     // d21 is digests + counts + sorted string lists; m09 is the m04
     // byte math through the dispatching generic path (ASCII corpus)
-    "d21_dedup_provenance", "m09_media_features_real")
+    "d21_dedup_provenance", "m09_media_features_real",
+    // t38 is an md5-rank permutation (pure strings/ints); t39 is
+    // integer bucket arithmetic + one exact division
+    "t38_epoch_shuffle", "t39_length_buckets")
 
   private def generate(seed: Int, nDocs: Int): Seq[(Long, String, String, String, Long)] = {
     val rnd = new scala.util.Random(seed)

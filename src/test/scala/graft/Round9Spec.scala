@@ -873,6 +873,46 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  // ---------------- epoch shuffle + length buckets ----------------
+
+  test("epochShuffle: a permutation, epoch-dependent, partitioning-stable") {
+    import spark.implicits._
+    val ids = (0L until 200L)
+    val df1 = ids.toDF("doc_id")
+    val p3 = graft.pipeline.Sampling.epochShuffle(df1, "doc_id", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bijection onto 1..N
+    assert(p3.values.toSeq.sorted == (1L to 200L))
+    // a different epoch gives a different order
+    val p4 = graft.pipeline.Sampling.epochShuffle(df1, "doc_id", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p3 != p4)
+    // identical under a different physical partitioning
+    val p3b = graft.pipeline.Sampling.epochShuffle(df1.repartition(13), "doc_id", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p3 == p3b)
+  }
+
+  test("lengthBuckets: exact bucket arithmetic on a known corpus") {
+    import spark.implicits._
+    val texts = Seq(
+      1L -> "a",                           // n=1  -> bucket 1
+      2L -> ("w " * 9).trim,               // n=9  -> bucket 1
+      3L -> ("w " * 16).trim,              // n=16 -> bucket 16
+      4L -> ("w " * 40).trim,              // n=40 -> bucket 16
+      5L -> ("w " * 64).trim)              // n=64 -> bucket 64
+    val got = graft.pipeline.Sampling.lengthBuckets(
+        texts.toDF("doc_id", "text"), "text", "doc_id", Seq(1, 16, 64))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got(1L) == ((2L, 9L, 10L, BigDecimal(1.0 - 10.0 / 18)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got(16L) == ((2L, 40L, 56L, BigDecimal(1.0 - 56.0 / 80)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got(64L) == ((1L, 64L, 64L, 0.0)))
+  }
+
   // ---------------- media decoder dispatch ----------------
 
   test("MediaDecoder dispatches real containers and falls back cleanly") {
