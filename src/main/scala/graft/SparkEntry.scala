@@ -4048,6 +4048,45 @@ object SparkEntry {
         T(s, dir, "documents"), "text", "doc_id", Seq(1, 16, 64, 128))
       .orderBy(col("bucket_lo")))
 
+  // Soft dedup: every doc keeps weight 1/|near-dup cluster| (1.0 for
+  // singletons) so distinct content contributes one unit of loss
+  // mass however many times it was crawled - the downweight-not-drop
+  // alternative to d11's collapse. Oracle = the d06 closure with a
+  // weight column.
+  private val d22 = Q("d22_soft_dedup_weights", Some("""
+    WITH RECURSIVE toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+          CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) AS jaccard
+        FROM inter
+          JOIN sizes na ON na.doc_id = id_a
+          JOIN sizes nb ON nb.doc_id = id_b)
+      WHERE jaccard >= 0.3),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach(u, v) AS (SELECT u, v FROM sym
+                    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_rep FROM reach GROUP BY u),
+    cs AS (SELECT doc_id,
+        CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
+      FROM comp)
+    SELECT d.doc_id AS id,
+      CAST(COALESCE(cs.cluster_size, 1) AS BIGINT) AS cluster_size,
+      ROUND(1.0 / COALESCE(cs.cluster_size, 1), 6) AS weight
+    FROM documents d LEFT JOIN cs ON cs.doc_id = d.doc_id
+    ORDER BY id"""),
+    (s, dir) => Dedup.softDedupWeights(T(s, dir, "documents"), "text", "doc_id",
+      n = 3, threshold = 0.3, maxPostings = None).orderBy(col("id")))
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -4059,7 +4098,7 @@ object SparkEntry {
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
-    d17, d18, d19, d20, d21,
+    d17, d18, d19, d20, d21, d22,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
     s16, s17, s18, s19, s20, s21, s22, s23, s24,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,

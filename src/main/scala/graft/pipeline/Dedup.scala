@@ -100,6 +100,39 @@ object Dedup {
         array_join(array_sort(collect_set(col("__meta"))), ",").as("provenance"))
       .where(col("group_size") >= 2)
 
+  /** SOFT dedup — downweight instead of drop ("Scaling Data-
+    * Constrained Language Models" showed repeated data still helps at
+    * the right weight, and hard-dropping near-dups throws away
+    * diversity the cluster's members carry): every document keeps a
+    * training-loss weight 1/|near-dup cluster|, 1.0 for singletons,
+    * so each DISTINCT piece of content contributes one unit of loss
+    * mass however many times it was crawled. The same pair graph +
+    * transitive closure as [[connectedComponents]]/d06, ending in a
+    * weight column instead of an anti-join.
+    *
+    * Scale: pair generation is the capped inverted index (pass
+    * `maxPostings` in production; None keeps the exact oracle-
+    * comparable contract), cluster sizes ride the closure's label
+    * frame, and the corpus joins ONCE by id (ids-only frame on the
+    * build side — document text never reshuffles, the d11 move).
+    *
+    * @return (id, cluster_size, weight) for EVERY corpus doc
+    */
+  def softDedupWeights(docs: DataFrame, textCol: String, idCol: String,
+      n: Int, threshold: Double,
+      maxPostings: Option[Int] = Some(10000)): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, textCol, idCol, n, threshold, maxPostings)
+    val cs = connectedComponents(pairs)
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("component"))))
+      .select(col("id"), col("cluster_size"))
+    docs.select(col(idCol).as("id"))
+      .join(cs, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_size"), lit(1L)).cast("long").as("cluster_size"))
+      .withColumn("weight", round(lit(1.0) / col("cluster_size"), 6))
+  }
+
   /** Word n-gram shingle set, one row per distinct (id, shingle).
     * Tokens come from the canonical form (lowercased,
     * whitespace-collapsed) so exact duplicates under normalization

@@ -57,7 +57,9 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     "d21_dedup_provenance", "m09_media_features_real",
     // t38 is an md5-rank permutation (pure strings/ints); t39 is
     // integer bucket arithmetic + one exact division
-    "t38_epoch_shuffle", "t39_length_buckets")
+    "t38_epoch_shuffle", "t39_length_buckets",
+    // d22 is the d06 closure + integer sizes + one exact division
+    "d22_soft_dedup_weights")
 
   private def generate(seed: Int, nDocs: Int): Seq[(Long, String, String, String, Long)] = {
     val rnd = new scala.util.Random(seed)

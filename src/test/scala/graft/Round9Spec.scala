@@ -873,6 +873,25 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  // ---------------- soft dedup weights ----------------
+
+  test("softDedupWeights: loss mass sums to one per cluster, 1.0 singletons") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),   // dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1/2
+      (4L, "something entirely different lives in this row here now")
+    ).toDF("doc_id", "text")
+    val got = Dedup.softDedupWeights(df, "text", "doc_id", n = 3, threshold = 0.3,
+        maxPostings = None)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((3L, 0.333333)) && got(2L) == got(1L) && got(3L) == got(1L))
+    assert(got(4L) == ((1L, 1.0)))
+    // every doc appears exactly once
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+  }
+
   // ---------------- epoch shuffle + length buckets ----------------
 
   test("epochShuffle: a permutation, epoch-dependent, partitioning-stable") {
