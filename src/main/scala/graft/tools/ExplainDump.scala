@@ -89,6 +89,9 @@ object ExplainDump {
       "t37_source_normalize" -> "per-source robust normalization: one group-keyed quantile aggregation (source-cardinality rows; swap approx_percentile at extreme group sizes), a group-keyed join, and ONE shared window exchange for the percent rank — the score frame itself shuffles once",
       "d21_dedup_provenance" -> "provenance dedup: the d01 single digest-keyed partial-agg exchange with the sorted distinct source list riding the same aggregation — attribution survives the collapse for free",
       "s24_projection_recall" -> "projection-recall audit: both top-k legs are the one-corpus-scan broadcast-anchor shape (full space and the map-only projected space); the overlap join is pair-keyed over 2·|anchors|·k rows and the anchor grid left-joins so zero-overlap anchors report",
+      "t38_epoch_shuffle" -> "epoch shuffle: the md5 permutation key is a scan-stage digest; the global rank is ONE sort (the oracle-able contract) — per-shard order at 100 TB drops the window for repartition+sortWithinPartitions on the same key",
+      "d22_soft_dedup_weights" -> "soft dedup: d06's pair graph + closure end in a weight column — the corpus-side join is ids-only (text never reshuffles) and every doc keeps 1/cluster_size loss mass",
+      "m09_media_features_real" -> "dispatching generic decode: encode + magic dispatch + REAL WAV parse + segment features all in one mapPartitions stage over the scan — payload bytes never leave the executor (the m04 contract), presentation sort is the only exchange",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")

@@ -249,10 +249,14 @@ object ScaleSmoke {
         graft.pipeline.Dedup.dropDuplicatedSpans(docs, "text", "doc_id",
             k = 6, minOccurs = 2)
           .where(length(col("text_kept")) >= 0).count() }
-      // recall audit: exact leg (uncapped postings) + LSH leg + the
-      // pair-keyed evaluation join
-      time("d19 lshRecallReport") {
-        graft.pipeline.Dedup.lshRecallReport(docs, "text", "doc_id",
+      // recall audit ON A 10% SLICE — the operator's own protocol: the
+      // exact leg's uncapped posting lists go quadratic on hot
+      // shingles (the N× replica construction makes every cross-copy
+      // shingle hot, and a full-corpus run here measured minutes);
+      // the audit samples, the LSH leg is what runs on everything
+      time("d19 lshRecallReport (10% slice)") {
+        graft.pipeline.Dedup.lshRecallReport(
+          docs.where(col("doc_id") % 10 === 0), "text", "doc_id",
           shingleN = 3, numHashes = 8, bands = 4, floor = 0.5).count() }
       // PMI: one bigram-pair exchange; marginals re-read the cached
       // distinct-bigram frame, which is vocab²-bounded not corpus-bound
@@ -268,6 +272,16 @@ object ScaleSmoke {
       time("s23 randomProject 64->16") {
         graft.pipeline.Similarity.randomProject(emb, "embedding", "vec_id",
           dim = 64, outDim = 16).count() }
+      // capped pair graph + closure + ids-only corpus join
+      time("d22 softDedupWeights") {
+        graft.pipeline.Dedup.softDedupWeights(docs, "text", "doc_id",
+          n = 3, threshold = 0.5).count() }
+      // quantile agg (group-cardinality) + one shared window exchange
+      time("t37 normalizeScores") {
+        val scored = docs.select(col("doc_id"),
+          col("source"), length(col("text")).cast("double").as("sc"))
+        graft.pipeline.TextAnalysis.normalizeScores(scored, "source", "sc",
+          "doc_id").count() }
       spark.catalog.clearCache()
     }
 
