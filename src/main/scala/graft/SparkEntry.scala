@@ -4087,6 +4087,46 @@ object SparkEntry {
     (s, dir) => Dedup.softDedupWeights(T(s, dir, "documents"), "text", "doc_id",
       n = 3, threshold = 0.3, maxPostings = None).orderBy(col("id")))
 
+  // Leakage-safe split: the t17 md5 assignment keyed by the near-dup
+  // CLUSTER representative, so a near-duplicate pair can never
+  // straddle train and test. Oracle = the d06 closure feeding the
+  // t17 CASE on the representative.
+  private val t40 = Q("t40_leakage_safe_split", Some("""
+    WITH RECURSIVE toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+          CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) AS jaccard
+        FROM inter
+          JOIN sizes na ON na.doc_id = id_a
+          JOIN sizes nb ON nb.doc_id = id_b)
+      WHERE jaccard >= 0.3),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach(u, v) AS (SELECT u, v FROM sym
+                    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u),
+    keyed AS (SELECT d.doc_id AS id, COALESCE(c.rep, d.doc_id) AS rep
+              FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+    SELECT id, rep,
+      CASE WHEN substring(md5(CAST(rep AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+           WHEN substring(md5(CAST(rep AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+           ELSE 'test' END AS split
+    FROM keyed ORDER BY id"""),
+    (s, dir) => graft.pipeline.Sampling.leakageSafeSplit(
+        T(s, dir, "documents"), "text", "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        n = 3, threshold = 0.3, maxPostings = None)
+      .orderBy(col("id")))
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -4103,7 +4143,7 @@ object SparkEntry {
     s16, s17, s18, s19, s20, s21, s22, s23, s24,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
-    t31, t32, t33, t34, t35, t36, t37, t38, t39,
+    t31, t32, t33, t34, t35, t36, t37, t38, t39, t40,
     m01, m02, m03, m04, m05, m06, m07, m08, m09)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =

@@ -143,6 +143,33 @@ object Sampling {
     df.withColumn("split", assigned)
   }
 
+  /** Leakage-safe train/val/test split: the [[hashSplit]] assignment
+    * keyed by each document's NEAR-DUP CLUSTER representative instead
+    * of its own id, so a near-duplicate pair can never straddle
+    * train and test — the eval-hygiene failure a plain per-doc split
+    * commits silently (a test doc whose near-copy sits in train is a
+    * leaked answer, and at web-corpus dup rates that is a large slice
+    * of "test"). Singletons key by their own id, so on a dup-free
+    * corpus this IS hashSplit.
+    *
+    * Scale: the pair graph + closure are d06's (cap `maxPostings` in
+    * production); the corpus-side join is ids-only and the split
+    * itself stays a scan-stage md5 CASE.
+    *
+    * @return (id, rep, split) — rep the cluster key the split hashed
+    */
+  def leakageSafeSplit(docs: DataFrame, textCol: String, idCol: String,
+      splits: Seq[(String, Double)], n: Int = 3, threshold: Double = 0.3,
+      maxPostings: Option[Int] = Some(10000)): DataFrame = {
+    val comp = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs, textCol, idCol, n, threshold, maxPostings))
+      .select(col("id"), col("component"))
+    val keyed = docs.select(col(idCol).as("id"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("rep"))
+    hashSplit(keyed, "rep", splits).select(col("id"), col("rep"), col("split"))
+  }
+
   /** Temperature-scaled source mixing weights — the α-sampling recipe
     * (mT5/XLM-R style): w_s ∝ n_s^α. α=1 keeps natural proportions,
     * α→0 approaches uniform; the standard knob for up-weighting

@@ -58,8 +58,9 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     // t38 is an md5-rank permutation (pure strings/ints); t39 is
     // integer bucket arithmetic + one exact division
     "t38_epoch_shuffle", "t39_length_buckets",
-    // d22 is the d06 closure + integer sizes + one exact division
-    "d22_soft_dedup_weights")
+    // d22 is the d06 closure + integer sizes + one exact division;
+    // t40 is the same closure feeding the t17 md5 CASE
+    "d22_soft_dedup_weights", "t40_leakage_safe_split")
 
   private def generate(seed: Int, nDocs: Int): Seq[(Long, String, String, String, Long)] = {
     val rnd = new scala.util.Random(seed)

@@ -873,6 +873,30 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  // ---------------- leakage-safe split ----------------
+
+  test("leakageSafeSplit: near-dup clusters never straddle splits") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy cat"),
+      (4L, "an unrelated document with its own words right here")
+    ).toDF("doc_id", "text")
+    val got = graft.pipeline.Sampling.leakageSafeSplit(df, "text", "doc_id",
+        Seq("train" -> 0.5, "test" -> 0.5), n = 3, threshold = 0.3,
+        maxPostings = None)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // the 1-2-3 cluster shares one rep and thus one split
+    assert(got(1L)._1 == 1L && got(2L) == got(1L) && got(3L) == got(1L))
+    // singleton keys by its own id and gets the plain hashSplit answer
+    assert(got(4L)._1 == 4L)
+    val plain = graft.pipeline.Sampling.hashSplit(
+        Seq(4L).toDF("rep"), "rep", Seq("train" -> 0.5, "test" -> 0.5))
+      .collect().head.getString(1)
+    assert(got(4L)._2 == plain)
+  }
+
   // ---------------- soft dedup weights ----------------
 
   test("softDedupWeights: loss mass sums to one per cluster, 1.0 singletons") {
