@@ -71,4 +71,55 @@ class EdgeCasesSpec extends AnyFunSuite {
       "vec_id", queryId = 0L, k = 10, numCells = 3, nprobe = 3)
     assert(ivf.count() == 2)
   }
+
+  test("round-9 rebuilds: empty/degenerate corpora are defined, never NPE") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.pipeline.Dedup.dropCommonChunks(
+      empty, "text", "doc_id", 4, 2L).count() == 0)
+    assert(graft.pipeline.Dedup.dropDuplicatedSpans(
+      empty, "text", "doc_id", 3).count() == 0)
+    assert(graft.pipeline.TextAnalysis.pmiCollocations(
+      empty, "text", 10, 1L).count() == 0)
+    assert(graft.pipeline.TextAnalysis.vocabOverlap(
+      empty, "text", "doc_id").count() == 0)
+    // a one-doc corpus: nothing is ever common/duplicated across docs
+    val one = Seq((7L, "just one tiny doc here")).toDF("doc_id", "text")
+    val c = graft.pipeline.Dedup.dropCommonChunks(one, "text", "doc_id", 3, 1L)
+      .collect().head
+    assert(c.getString(1) == "just one tiny doc here" && c.getLong(4) == 0L)
+    // empty-STRING doc: one empty token, rebuild keeps it verbatim
+    val blank = Seq((1L, ""), (2L, "")).toDF("doc_id", "text")
+    val b = graft.pipeline.Dedup.dropCommonChunks(blank, "text", "doc_id", 3, 2L)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(b == Set(("", 1L, 1L)))
+    // all-duplicate corpus under spans: everything is covered
+    val dup = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val s = graft.pipeline.Dedup.dropDuplicatedSpans(dup, "text", "doc_id", 5)
+      .collect()
+    assert(s.forall(r => r.getString(1) == "" && r.getLong(3) == 0L))
+  }
+
+  test("round-9 params: bad arguments fail fast with clear messages") {
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Dedup.dropCommonChunks(df, "text", "doc_id", 0, 2L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Dedup.dropCommonChunks(df, "text", "doc_id", 4, 0L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Dedup.dropDuplicatedSpans(df, "text", "doc_id", 1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.TextAnalysis.pmiCollocations(df, "text", 0, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Similarity.randomProject(
+        Seq((1L, Seq(1.0f))).toDF("vec_id", "embedding"), "embedding", "vec_id", 1, 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Sampling.lengthBuckets(df, "text", "doc_id", Seq(16, 1))
+    }
+  }
 }
