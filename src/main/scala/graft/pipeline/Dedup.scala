@@ -1012,7 +1012,7 @@ object Dedup {
       .select(col(idCol).as("id"), split(col(textCol), " ").as("__tk"))
       .select(col("id"), explode(hashes).as("g"))
       .select(col("id"), col("g.c").as("c"), col("g.h").as("h"))
-      .cache()
+      .transform(org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse)
     val df = stream.groupBy(col("h"), col("id")).agg(count(lit(1)).as("__c"))
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
     val keeps = stream.join(df, Seq("h"))

@@ -441,7 +441,7 @@ object TextAnalysis {
       .select(col("id"), explode(grams).as("g"))
       .groupBy(col("id"), col("g.h1").as("h1"), col("g.h12").as("h12"))
       .agg(count(lit(1)).as("c_doc"))
-      .cache()
+      .transform(org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse)
     val bigramFreq = docCounts.groupBy(col("h12")).agg(sum(col("c_doc")).as("c12"))
     // context count c(w₁·) = occurrences of w₁ as a bigram's first
     // token — NOT the unigram count (the last token of a doc starts
@@ -617,7 +617,7 @@ object TextAnalysis {
       .groupBy(col("g.h1").as("h1"), col("g.h2").as("h2"),
         col("g.h12").as("h12"), col("id"))
       .agg(count(lit(1)).as("c_doc"))
-      .cache()
+      .transform(org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse)
   }
 
   def interpolatedLogProb(docs: DataFrame, textCol: String, idCol: String,
@@ -632,7 +632,7 @@ object TextAnalysis {
       .select(explode(split(col(textCol), " ")).as("tok"))
       .groupBy(xxhash64(col("tok")).as("h2"))
       .agg(count(lit(1)).as("cu"))
-      .cache()
+      .transform(org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse)
     val total = unigram.agg(sum(col("cu")).cast("double").as("n_total"))
     // Single-materialization treatment (see [[bigramDocCounts]]):
     // three consumers, one cached hash-only frame.
@@ -689,7 +689,7 @@ object TextAnalysis {
     val bigrams = docCounts
       .groupBy(col("h1"), col("h2"), col("h12"))
       .agg(sum(col("c_doc")).as("c12"))
-      .cache()
+      .transform(org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse)
     val ctx = bigrams.groupBy(col("h1"))
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("nf"))
     val bwd = bigrams.groupBy(col("h2")).agg(count(lit(1)).as("nb"))
@@ -785,7 +785,7 @@ object TextAnalysis {
         explode(split(col(textCol), " ")).as("tok"))
       .groupBy(col("id"), col("lab"), xxhash64(col("tok")).as("h"))
       .agg(count(lit(1)).as("c_doc"))
-      .cache()
+      .transform(org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse)
     val cls = docCounts.groupBy(col("h"))
       .agg(sum(col("lab") * col("c_doc")).as("cpos"),
         sum((lit(1L) - col("lab")) * col("c_doc")).as("cneg"))
@@ -838,7 +838,7 @@ object TextAnalysis {
       .select(col("id"), col("is_target"), explode(grams).as("h"))
       .groupBy(col("id"), col("is_target"), col("h"))
       .agg(count(lit(1)).as("c_doc"))
-      .cache()
+      .transform(org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse)
     val freq = docCounts.groupBy(col("h"))
       .agg(sum(col("c_doc")).as("craw"),
         sum(when(col("is_target"), col("c_doc")).otherwise(lit(0L))).as("ctgt"))
@@ -951,7 +951,7 @@ object TextAnalysis {
       .select(explode(grams).as("g"))
       .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"))
       .agg(count(lit(1)).as("c12"))
-      .cache()
+      .transform(org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse)
     val left = bg.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val right = bg.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
     val total = bg.agg(sum(col("c12")).cast("double").as("n_total"))
@@ -1002,7 +1002,7 @@ object TextAnalysis {
       .select(col(groupCol).as("g"), explode(split(col(textCol), " ")).as("tok"))
       .select(col("g"), xxhash64(col("tok")).as("h"))
       .distinct()
-      .cache()
+      .transform(org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse)
     val sizes = vocab.groupBy(col("g")).agg(count(lit(1)).as("v"))
     val inter = vocab.as("a")
       .join(vocab.as("b"), col("a.h") === col("b.h") && col("a.g") < col("b.g"))

@@ -74,6 +74,18 @@ class DedupCacheLifecycleSpec extends AnyFunSuite {
     assertQueryReleases("d08_hybrid_neardup")
   }
 
+  test("bigram-LM family releases its docCounts/unigram/bigram caches") {
+    assertQueryReleases("t22_bigram_logprob")
+    assertQueryReleases("t27_interpolated_logprob")
+    assertQueryReleases("t31_kneser_ney_logprob")
+  }
+
+  test("round-9 cached operators release: PMI, vocab overlap, chunk removal") {
+    assertQueryReleases("t35_pmi_collocations")
+    assertQueryReleases("t36_vocab_overlap")
+    assertQueryReleases("d18_chunk_removal")
+  }
+
   test("scoped cache still accelerates the single execution") {
     // the cache must be LIVE during the query (released after, not
     // before): run a frame whose plan reads the scoped cache twice
