@@ -274,8 +274,9 @@ object SparkEntry {
       // subquery) would aggregate lineitem twice — cache the
       // per-supplier frame instead. The MAX reduces it to one row
       // broadcast back (an empty-partition window would funnel every
-      // supplier through a single task at scale).
-      val revC = rev.cache()
+      // supplier through a single task at scale). Query-scoped cache
+      // (the server contract — released after the one execution).
+      val revC = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(rev)
       val mx = revC.agg(max(col("total_rev")).as("mx"))
       T(s, dir, "supplier")
         .join(revC, col("s_suppkey") === col("l_suppkey"))

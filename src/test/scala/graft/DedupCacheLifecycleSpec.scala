@@ -86,6 +86,10 @@ class DedupCacheLifecycleSpec extends AnyFunSuite {
     assertQueryReleases("d18_chunk_removal")
   }
 
+  test("q15's twice-read CTE cache releases") {
+    assertQueryReleases("q15_cte_top_supplier")
+  }
+
   test("scoped cache still accelerates the single execution") {
     // the cache must be LIVE during the query (released after, not
     // before): run a frame whose plan reads the scoped cache twice
