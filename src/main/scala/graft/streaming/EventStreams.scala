@@ -208,6 +208,49 @@ object EventStreams {
     * entropy — stay batch-side where their per-doc groupBys belong;
     * see t18's gate.)
     */
+  /** Event-time windowed token counts over a document stream, APPEND
+    * mode: counts for a window emit exactly once, when the watermark
+    * closes it — the upstream half of windowed heavy-hitters
+    * trending/drift monitoring over a crawl stream. Late documents
+    * inside `lateness` still count; later ones drop (the watermark
+    * contract). State is bounded by (open windows × distinct tokens
+    * in them) and evicted at close.
+    *
+    * Ranking to top-k is NOT chained here: a rank-within-window is
+    * not a time-window aggregation, so Spark cannot run it as a
+    * second stateful operator in the same query — the standard shape
+    * is this append stream into a sink plus [[topKPerWindow]] as the
+    * batch finisher over closed windows (run it in foreachBatch or
+    * on the sink table; StreamingSpec pins stream+finisher equal to
+    * the all-batch computation).
+    */
+  def windowedTokenCounts(docs: DataFrame, tsCol: String, textCol: String,
+      windowDur: String, lateness: String = "10 minutes"): DataFrame =
+    docs
+      .withWatermark(tsCol, lateness)
+      .select(col(tsCol), explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(window(col(tsCol), windowDur), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col("tok"), col("cnt"))
+
+  /** Batch finisher for [[windowedTokenCounts]]: top-k tokens per
+    * closed window (rank by count desc, token asc — fully
+    * deterministic). One window exchange keyed by win_start; with
+    * InferWindowGroupLimit the per-window forwarding caps at k.
+    */
+  def topKPerWindow(counts: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("win_start"))
+      .orderBy(col("cnt").desc, col("tok"))
+    counts
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("win_start"), col("win_end"), col("tok"), col("cnt"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Stateless streaming decontamination: every arriving document is
     * probed against a static benchmark suite compressed to an
     * mBits-bit Bloom filter — the

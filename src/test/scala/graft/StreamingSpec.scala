@@ -271,6 +271,65 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed heavy hitters: closed windows + finisher equal the batch rank") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode, split, lit, count, window}
+    val in = MemoryStream[(Timestamp, Long, String)](implicitly[org.apache.spark.sql.Encoder[(Timestamp, Long, String)]], spark.sqlContext)
+    val docs = in.toDF().toDF("ts", "doc_id", "text")
+    val q = EventStreams.windowedTokenCounts(docs, "ts", "text",
+        windowDur = "10 minutes", lateness = "5 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((ts(1), 1L, "spark spark stream batch"),
+        (ts(4), 2L, "spark table scan"))
+      q.processAllAvailable()
+      // a LATE-but-admissible doc for window 0 (watermark still at ~0)
+      in.addData((ts(2), 3L, "stream stream merge"))
+      q.processAllAvailable()
+      // advance event time far past window 0 + lateness -> closes it
+      in.addData((ts(40), 4L, "later window content"))
+      q.processAllAvailable()
+      in.addData((ts(90), 5L, "push watermark again"))
+      q.processAllAvailable()
+      val closed = spark.table("win_counts")
+      assert(closed.count() > 0, "no windows closed")
+      // every CLOSED window's counts must equal the batch aggregation
+      // over exactly the docs that fell in it (the on-time ones plus
+      // the late-but-admissible one)
+      val batchAll = Seq((ts(1), 1L, "spark spark stream batch"),
+          (ts(4), 2L, "spark table scan"), (ts(2), 3L, "stream stream merge"),
+          (ts(40), 4L, "later window content"), (ts(90), 5L, "push watermark again"))
+        .toDF("ts", "doc_id", "text")
+        .select(col("ts"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(window(col("ts"), "10 minutes"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("win_start"), col("tok"), col("cnt"))
+        .collect()
+        .map(r => (r.getAs[Any]("win_start").toString, r.getAs[String]("tok"),
+          r.getAs[Long]("cnt"))).toSet
+      val streamRows = closed.collect()
+        .map(r => (r.getAs[Any]("win_start").toString, r.getAs[String]("tok"),
+          r.getAs[Long]("cnt")))
+      assert(streamRows.nonEmpty)
+      streamRows.foreach { row =>
+        assert(batchAll.contains(row), s"stream row $row not in batch computation")
+      }
+      // the first window (the late doc's target) emitted with the late
+      // tokens included: "stream" counts 1 (on-time) + 2 (late) = 3
+      assert(streamRows.contains((ts(0).toString, "stream", 3L)),
+        streamRows.mkString("; "))
+      // finisher: top-2 per window over the closed counts equals the
+      // batch rank over the same rows
+      val fin = EventStreams.topKPerWindow(
+          spark.table("win_counts"), k = 2)
+        .collect().map(r => (r.getAs[String]("tok"), r.getAs[Long]("cnt"), r.getAs[Long]("rank")))
+      assert(fin.nonEmpty && fin.forall(_._3 <= 2))
+      val top1 = fin.filter(_._3 == 1L).map(_._1).toSet
+      assert(top1.contains("spark") || top1.contains("stream"), top1.toString)
+    } finally q.stop()
+  }
+
   test("streaming bloom decontamination equals the batch probe, statelessly") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
