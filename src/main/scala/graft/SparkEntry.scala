@@ -37,6 +37,15 @@ object SparkEntry {
   private case class Q(name: String, oracle: Option[String],
       fn: (SparkSession, String) => DataFrame)
 
+  // Combining marks for the t41 NFC fixture, kept as escapes in ONE
+  // place so the engine input and the oracle SQL are built from the
+  // same codepoints (raw combining chars in source invite editor
+  // normalization corrupting exactly the thing under test).
+  private val CombAcute = "\u0301"
+  private val CombRing = "\u030A"
+  private val CombCedilla = "\u0327"
+  private val CombCirc = "\u0302"
+
   // ================================================================
   // Core SQL surface (SURVEY §2.B)
   // ================================================================
@@ -4128,6 +4137,275 @@ object SparkEntry {
         n = 3, threshold = 0.3, maxPostings = None)
       .orderBy(col("id")))
 
+  // Unicode NFC canonicalization through the native codegen'd
+  // expression (functions/TextNormalizeExpressions). Every doc gets a
+  // deterministic DECOMPOSED suffix cycled by doc_id — e+U+0301,
+  // A+U+030A, c+U+0327, o+U+0302+U+0301 (double mark: composes
+  // iteratively to U+1ED1) — so normalization provably fires on every
+  // row; the oracle runs DuckDB's utf8proc `nfc_normalize` on the
+  // identically-built input and the Unicode stability policy makes
+  // the two implementations byte-identical (md5-pinned).
+  private val t41 = Q("t41_nfc_normalize", Some(s"""
+    WITH d AS (SELECT doc_id, text || CASE doc_id % 4
+        WHEN 0 THEN 'e$CombAcute' WHEN 1 THEN 'A$CombRing'
+        WHEN 2 THEN 'c$CombCedilla' ELSE 'o$CombCirc$CombAcute' END AS input
+      FROM documents),
+    n AS (SELECT doc_id, input, nfc_normalize(input) AS norm FROM d)
+    SELECT doc_id, CAST(length(input) AS BIGINT) AS n_in,
+      CAST(length(norm) AS BIGINT) AS n_out,
+      input <> norm AS changed, md5(norm) AS norm_md5
+    FROM n ORDER BY doc_id"""),
+    (s, dir) => {
+      val suffix = when(pmod(col("doc_id"), lit(4)) === 0, lit("e" + CombAcute))
+        .when(pmod(col("doc_id"), lit(4)) === 1, lit("A" + CombRing))
+        .when(pmod(col("doc_id"), lit(4)) === 2, lit("c" + CombCedilla))
+        .otherwise(lit("o" + CombCirc + CombAcute))
+      val docs = T(s, dir, "documents")
+        .withColumn("input", concat(col("text"), suffix))
+      TextAnalysis.nfcReport(docs, "input", "doc_id").orderBy(col("doc_id"))
+    })
+
+  // Flesch–Kincaid readability over a deterministically sentence-ified
+  // corpus (the synthetic docs carry no terminal punctuation, so both
+  // sides inject '. ' after 'e '-words with plain substring replace —
+  // no regex dialect in the input construction). Word counting spells
+  // the whitespace class out (Java \s includes U+000B, RE2's does
+  // not); the grade arithmetic is one fixed IEEE order on both sides.
+  private val t42 = Q("t42_readability", Some("""
+    WITH c AS (SELECT doc_id,
+        length(regexp_extract_all(replace(text, 'e ', 'e. '), '[^ \t\n\x0B\f\r]+')) AS n_words,
+        length(regexp_extract_all(replace(text, 'e ', 'e. '), '[.!?]+')) AS n_sents,
+        length(regexp_extract_all(lower(replace(text, 'e ', 'e. ')), '[aeiouy]+')) AS n_syll
+      FROM documents)
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+      CAST(n_sents AS BIGINT) AS n_sents, CAST(n_syll AS BIGINT) AS n_syll,
+      0.39 * (CAST(n_words AS DOUBLE) / CAST(GREATEST(n_sents, 1) AS DOUBLE)) +
+      11.8 * (CAST(n_syll AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE)) -
+      15.59 AS fk_grade
+    FROM c ORDER BY doc_id"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents").withColumn("sentenced",
+        call_function("replace", col("text"), lit("e "), lit("e. ")))
+      TextAnalysis.readability(docs, "sentenced", "doc_id").orderBy(col("doc_id"))
+    })
+
+  // Threshold (radius) similarity search: everything within cosine
+  // ≥ 0.25 of each of 8 query vectors — queries broadcast, one corpus
+  // scan, zero shuffles (no rank window; the threshold is a scan-side
+  // predicate on the codegen'd cosine kernel).
+  private val s25 = Q("s25_range_search", Some("""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+        list_sum(list_transform(generate_series(1, len(e.embedding)),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos_sim
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+    SELECT query_id, vec_id, cos_sim FROM scored WHERE cos_sim >= 0.25
+    ORDER BY query_id, vec_id"""),
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.rangeSearch(emb, emb.filter(col("vec_id") < 8),
+          "embedding", "vec_id", "vec_id", minCos = 0.25)
+        .orderBy(col("query_id"), col("vec_id"))
+    })
+
+  // Cell-pruned radius search — the 100 TB path for s25: seeded
+  // centroids (first 8 rows by id, the s18 construction), probe the 3
+  // nearest cells, exact threshold inside them. The oracle rebuilds
+  // the identical assignment/probe/filter pipeline, so the pruning
+  // trade (qualifying vectors in unprobed cells are skipped) is
+  // pinned, not approximated away.
+  private val s26 = Q("s26_range_search_ivf", Some("""
+    WITH cents AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+    sims AS (
+      SELECT e.vec_id, c.cell,
+        list_sum(list_transform(generate_series(1, len(e.embedding)),
+          j -> CAST(e.embedding[j] AS DOUBLE) * c.cv[j]))
+        / (sqrt(list_sum(list_transform(e.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS sim
+      FROM embeddings e CROSS JOIN cents c),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        FROM sims) WHERE rn = 1),
+    q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0),
+    probes AS (
+      SELECT c.cell FROM cents c, q
+      ORDER BY list_sum(list_transform(generate_series(1, len(q.qv)),
+          j -> q.qv[j] * c.cv[j]))
+        / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+           * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) DESC, c.cell
+      LIMIT 3),
+    cand AS (
+      SELECT e.vec_id, e.embedding FROM embeddings e
+      JOIN assigned a USING (vec_id)
+      WHERE a.cell IN (SELECT cell FROM probes) AND e.vec_id <> 0),
+    scored AS (
+      SELECT c.vec_id,
+        list_sum(list_transform(generate_series(1, len(c.embedding)),
+          j -> CAST(c.embedding[j] AS DOUBLE) * q.qv[j]))
+        / (sqrt(list_sum(list_transform(c.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos_sim
+      FROM cand c, q)
+    SELECT vec_id, cos_sim FROM scored WHERE cos_sim >= 0.15
+    ORDER BY vec_id"""),
+    (s, dir) => graft.pipeline.Ivf.rangeSearchSeeded(T(s, dir, "embeddings"),
+        "embedding", "vec_id", queryId = 0L, minCos = 0.15,
+        numCells = 8, nprobe = 3)
+      .orderBy(col("vec_id")))
+
+  // Perceptual average-hash over REAL decoded BMP pixels: blue
+  // channel sampled onto an 8×8 lattice with the m06 integer
+  // coordinate map, thresholded against the lattice mean, packed
+  // row-major into two sign-safe 32-bit halves. The oracle rebuilds
+  // every bit from the ground-truth text bytes — a decoder that walks
+  // rows top-down, misses the 4-byte stride, or rounds the lattice
+  // map flips bits and hash-mismatches. ASCII pin as in m05.
+  private val m10 = Q("m10_perceptual_hash", Some("""
+    WITH d AS (SELECT doc_id,
+        octet_length(CAST(text AS BLOB)) AS nb,
+        (octet_length(CAST(text AS BLOB)) + 9) // 10 AS h,
+        string_split(text, '') AS cs
+      FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) > 0
+        AND octet_length(CAST(text AS BLOB)) = length(text)),
+    g AS (SELECT doc_id, h, nb, cs, r * 8 + c AS i,
+        ((r * h) // 8) * 10 + (c * 10) // 8 AS idx
+      FROM d, UNNEST(generate_series(0, 7)) AS gr(r),
+             UNNEST(generate_series(0, 7)) AS gc(c)),
+    v AS (SELECT doc_id, h, i,
+        CASE WHEN idx < nb THEN ord(cs[CAST(idx + 1 AS BIGINT)]) ELSE 0 END AS val
+      FROM g),
+    m AS (SELECT doc_id, CAST(SUM(val) AS DOUBLE) / 64.0 AS mean FROM v GROUP BY doc_id)
+    SELECT v.doc_id AS sample_id,
+      CAST(10 AS BIGINT) AS width,
+      CAST(MAX(v.h) AS BIGINT) AS height,
+      CAST(SUM(CASE WHEN v.val > m.mean AND v.i < 32 THEN (CAST(1 AS BIGINT) << v.i) ELSE 0 END) AS BIGINT) AS ahash_hi,
+      CAST(SUM(CASE WHEN v.val > m.mean AND v.i >= 32 THEN (CAST(1 AS BIGINT) << (v.i - 32)) ELSE 0 END) AS BIGINT) AS ahash_lo,
+      CAST(SUM(CASE WHEN v.val > m.mean THEN 1 ELSE 0 END) AS BIGINT) AS n_set,
+      MAX(m.mean) AS sample_mean
+    FROM v JOIN m USING (doc_id)
+    GROUP BY v.doc_id ORDER BY sample_id"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents").where(octet_length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
+      Multimodal.perceptualHash(Multimodal.textAsBmp(docs, "doc_id", "text", width = 10))
+        .toDF()
+        .select(col("sample_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("ahash_hi"), col("ahash_lo"), col("n_set"), col("sample_mean"))
+        .orderBy(col("sample_id"))
+    })
+
+  // Image near-dup pairs by perceptual-hash Hamming distance: the
+  // corpus plus a one-char-perturbed copy of itself (both sides build
+  // the SAME union), pairs found through lossless band blocking
+  // (maxHamming+1 bands; pigeonhole: Hamming ≤ 3 ⇒ one clean 16-bit
+  // band) — so the engine's banded join must EQUAL the oracle's full
+  // quadratic join, including the genuine cross-document collisions
+  // and the perturbed copies that crossed an image-height boundary
+  // and dropped out.
+  private val m11 = Q("m11_phash_dup_pairs", Some("""
+    WITH base AS (SELECT doc_id, text FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) > 0
+        AND octet_length(CAST(text AS BLOB)) = length(text)),
+    un AS (SELECT doc_id, text FROM base
+           UNION ALL SELECT doc_id + 100000, text || 'x' FROM base),
+    d AS (SELECT doc_id,
+        octet_length(CAST(text AS BLOB)) AS nb,
+        (octet_length(CAST(text AS BLOB)) + 9) // 10 AS h,
+        string_split(text, '') AS cs
+      FROM un),
+    g AS (SELECT doc_id, h, nb, cs, r * 8 + c AS i,
+        ((r * h) // 8) * 10 + (c * 10) // 8 AS idx
+      FROM d, UNNEST(generate_series(0, 7)) AS gr(r),
+             UNNEST(generate_series(0, 7)) AS gc(c)),
+    v AS (SELECT doc_id, i,
+        CASE WHEN idx < nb THEN ord(cs[CAST(idx + 1 AS BIGINT)]) ELSE 0 END AS val
+      FROM g),
+    m AS (SELECT doc_id, CAST(SUM(val) AS DOUBLE) / 64.0 AS mean FROM v GROUP BY doc_id),
+    ah AS (SELECT v.doc_id,
+        CAST(SUM(CASE WHEN v.val > m.mean AND v.i < 32 THEN (CAST(1 AS BIGINT) << v.i) ELSE 0 END) AS BIGINT) AS hi,
+        CAST(SUM(CASE WHEN v.val > m.mean AND v.i >= 32 THEN (CAST(1 AS BIGINT) << (v.i - 32)) ELSE 0 END) AS BIGINT) AS lo
+      FROM v JOIN m USING (doc_id) GROUP BY v.doc_id)
+    SELECT id_a, id_b, hamming FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+      FROM ah a JOIN ah b ON a.doc_id < b.doc_id)
+    WHERE hamming <= 3 ORDER BY id_a, id_b"""),
+    (s, dir) => {
+      val base = T(s, dir, "documents").where(octet_length(col("text")) > 0 &&
+          octet_length(col("text")) === length(col("text")))
+        .select(col("doc_id"), col("text"))
+      val perturbed = base.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit("x")).as("text"))
+      val hashes = Multimodal.perceptualHash(
+        Multimodal.textAsBmp(base.unionByName(perturbed), "doc_id", "text", width = 10))
+      Multimodal.phashDupPairs(hashes.toDF(), maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    })
+
+  // Frame-level perceptual hash + static-scene flags over REAL
+  // decoded AVI frames: the temporal dedup signal for video — frames
+  // whose hash sits within 3 bits of the previous frame are skippable
+  // near-statics. The oracle rebuilds every frame's hash from the
+  // text byte map (frame f owns bytes [10f, 10f+10) as a 5×2 grid)
+  // and re-derives the lag flag, so a codec that misorders frames,
+  // misreads the movi chunk walk, or flips the lattice map breaks the
+  // dup_prev runs, not just one row. ASCII pin as in m05/m08.
+  private val m12 = Q("m12_frame_phash_dedup", Some("""
+    WITH d AS (SELECT doc_id,
+        octet_length(CAST(text AS BLOB)) AS nb,
+        (octet_length(CAST(text AS BLOB)) + 9) // 10 AS nf,
+        string_split(text, '') AS cs
+      FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) > 0
+        AND octet_length(CAST(text AS BLOB)) = length(text)),
+    fr AS (SELECT doc_id, nb, cs, f
+      FROM d, UNNEST(generate_series(0, nf - 1)) AS gf(f)),
+    g AS (SELECT doc_id, f, nb, cs, r * 8 + c AS i,
+        f * 10 + ((r * 2) // 8) * 5 + (c * 5) // 8 AS idx
+      FROM fr, UNNEST(generate_series(0, 7)) AS gr(r),
+              UNNEST(generate_series(0, 7)) AS gc(c)),
+    v AS (SELECT doc_id, f, i,
+        CASE WHEN idx < nb THEN ord(cs[CAST(idx + 1 AS BIGINT)]) ELSE 0 END AS val
+      FROM g),
+    m AS (SELECT doc_id, f, CAST(SUM(val) AS DOUBLE) / 64.0 AS mean
+          FROM v GROUP BY doc_id, f),
+    ah AS (SELECT v.doc_id, v.f,
+        CAST(SUM(CASE WHEN v.val > m.mean AND v.i < 32 THEN (CAST(1 AS BIGINT) << v.i) ELSE 0 END) AS BIGINT) AS ahash_hi,
+        CAST(SUM(CASE WHEN v.val > m.mean AND v.i >= 32 THEN (CAST(1 AS BIGINT) << (v.i - 32)) ELSE 0 END) AS BIGINT) AS ahash_lo,
+        CAST(SUM(CASE WHEN v.val > m.mean THEN 1 ELSE 0 END) AS BIGINT) AS n_set
+      FROM v JOIN m ON v.doc_id = m.doc_id AND v.f = m.f
+      GROUP BY v.doc_id, v.f)
+    SELECT doc_id AS sample_id, f AS frame_idx, ahash_hi, ahash_lo, n_set,
+      COALESCE(bit_count(xor(ahash_hi, LAG(ahash_hi) OVER w)) +
+               bit_count(xor(ahash_lo, LAG(ahash_lo) OVER w)) <= 3, FALSE) AS dup_prev
+    FROM ah WINDOW w AS (PARTITION BY doc_id ORDER BY f)
+    ORDER BY sample_id, frame_idx"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents").where(octet_length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
+      val hashes = Multimodal.framePerceptualHash(
+        Multimodal.textAsAvi(docs, "doc_id", "text"))
+      Multimodal.staticFrameFlags(hashes.toDF(), maxHamming = 3)
+        .select(col("sample_id"), col("frame_idx"),
+          col("ahash_hi"), col("ahash_lo"), col("n_set"), col("dup_prev"))
+        .orderBy(col("sample_id"), col("frame_idx"))
+    })
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -4141,11 +4419,11 @@ object SparkEntry {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
     d17, d18, d19, d20, d21, d22,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
-    s16, s17, s18, s19, s20, s21, s22, s23, s24,
+    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
-    t31, t32, t33, t34, t35, t36, t37, t38, t39, t40,
-    m01, m02, m03, m04, m05, m06, m07, m08, m09)
+    t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42,
+    m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))

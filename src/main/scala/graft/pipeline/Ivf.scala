@@ -229,4 +229,44 @@ object Ivf {
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
+
+  /** Cell-pruned threshold (radius) search — the scale path for
+    * [[Similarity.rangeSearch]]: only the `nprobe` cells nearest the
+    * query are scanned, then the exact cosine threshold filters
+    * within them. Same deterministic seeded-centroid construction as
+    * [[searchTopKSeeded]] (first `numCells` rows by id, no Lloyd), so
+    * the whole path — assignment, probe choice, in-cell filter — is
+    * reconstructable in SQL and the s26 oracle hash-matches it. The
+    * approximation contract is explicit: a qualifying vector in an
+    * unprobed cell is missed (that is the pruning trade); within
+    * probed cells the result is exact. On a cell-partitioned persisted
+    * index this prunes at the directory level — the 100 TB shape
+    * where (numCells − nprobe)/numCells of the corpus is never read.
+    */
+  def rangeSearchSeeded(
+      emb: DataFrame, vecCol: String, idCol: String,
+      queryId: Long, minCos: Double, numCells: Int, nprobe: Int): DataFrame = {
+    val cents: Seq[Array[Double]] = emb.orderBy(col(idCol)).limit(numCells)
+      .select(transform(col(vecCol), _.cast("double")).as("v"))
+      .collect().toSeq.map(_.getSeq[Double](0).toArray)
+    require(cents.size == numCells, s"corpus has fewer than $numCells rows")
+    val centPairs = cents.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val q: Array[Double] = emb.where(col(idCol) === lit(queryId))
+      .select(transform(col(vecCol), _.cast("double")).as("v"))
+      .collect() match {
+        case Array(row) => row.getSeq[Double](0).toArray
+        case other => throw new IllegalArgumentException(
+          s"queryId $queryId matched ${other.length} rows")
+      }
+    val probes: Seq[Long] = probeCells(q, centPairs, nprobe)
+    val indexed = Clustering.assignToCentroidArrays(
+      emb.select(col(idCol), col(vecCol)), vecCol, idCol, centPairs)
+    val qlit = array(q.toSeq.map(lit): _*)
+    indexed
+      .where(col("cell").isin(probes: _*))
+      .where(col(idCol) =!= lit(queryId))
+      .withColumn("cos_sim", Similarity.cosine(col(vecCol), qlit))
+      .where(col("cos_sim") >= lit(minCos))
+      .select(col(idCol), col("cos_sim"))
+  }
 }

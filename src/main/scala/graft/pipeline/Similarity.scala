@@ -201,6 +201,38 @@ object Similarity {
       .select(col("query_id"), col(idCol), col("cos_sim"), col("rank").cast("long").as("rank"))
   }
 
+  /** Threshold (radius) similarity search: every corpus vector whose
+    * cosine to a query meets `minCos` — the "find everything this
+    * close" sibling of top-k, which retrieval-augmented data curation
+    * uses when the NUMBER of neighbors is unknown but the quality bar
+    * is (topic expansion, near-dup sweeps around known-bad documents,
+    * recall-complete contamination checks).
+    *
+    * Cost shape is the batch-scan contract: queries broadcast, the
+    * corpus scans ONCE regardless of query count, the codegen'd
+    * cosine kernel and the threshold predicate both run scan-side —
+    * no shuffle at all (top-k needs the per-query rank window; a
+    * threshold doesn't even need that). At 100 TB the corpus side
+    * swaps for cell-pruned candidates ([[graft.pipeline.Ivf.rangeSearchSeeded]])
+    * with the same threshold as the post-filter.
+    *
+    * @return (query_id, id, cos_sim), one row per qualifying pair,
+    *         self-pairs excluded
+    */
+  def rangeSearch(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, queryIdCol: String,
+      minCos: Double): DataFrame = {
+    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("q_vec"))
+    graft.ops.ScaleOps.fanOut(corpus)
+      .select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(q))
+      .where(col(idCol) =!= col("query_id"))
+      .withColumn("cos_sim", cosine(col(vecCol), col("q_vec")))
+      .where(col("cos_sim") >= lit(minCos))
+      .select(col("query_id"), col(idCol), col("cos_sim"))
+  }
+
   /** Hard-negative mining for contrastive training: for every anchor,
     * the k most-similar corpus vectors carrying a DIFFERENT label —
     * the highest-loss negatives a contrastive or reranker objective

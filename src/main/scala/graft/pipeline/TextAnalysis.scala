@@ -1073,4 +1073,53 @@ object TextAnalysis {
       .withColumn("quality", qualityScore(t))
       .withColumn("fp", fingerprint(t))
   }
+
+  /** Unicode NFC canonicalization report: for each document, the
+    * normalized text's fingerprint plus whether normalization changed
+    * the bytes and how the codepoint count moved. Run AHEAD of exact
+    * dedup / shingle hashing so byte-level keys are canonical —
+    * composed `é` and `e`+U+0301 are different bytes but the same
+    * text, and without this pass they defeat every hash-keyed
+    * operator in the pipeline. Map-only (one codegen'd projection, no
+    * shuffle); the `isNormalized` fast path makes the dominant
+    * already-NFC case a scan with zero allocation.
+    */
+  def nfcReport(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val norm = graft.functions.TextNormalizeExpressions.nfc(t)
+    docs.select(
+      col(idCol),
+      length(t).cast("long").as("n_in"),
+      length(norm).cast("long").as("n_out"),
+      (norm =!= t).as("changed"),
+      md5(norm.cast("binary")).as("norm_md5"))
+  }
+
+  /** Flesch–Kincaid grade-level readability, the standard pick for
+    * quality bucketing at corpus scale because every input is a cheap
+    * regex count: words = `\S+` runs, sentences = `[.!?]+` runs,
+    * syllables ≈ `[aeiouy]+` vowel-group runs in the lowercased text
+    * (the classic approximation; exact syllabification needs a
+    * dictionary). The word regex spells the whitespace class out as
+    * `[^ \t\n\x0B\f\r]+` rather than `\S+` because Java's `\s`
+    * includes U+000B and RE2's does not — the explicit class means
+    * the same pattern text has identical semantics in both engines
+    * on ANY corpus. Everything is a per-row scalar — pure codegen
+    * projection, no shuffle — and the IEEE double arithmetic is
+    * written in one fixed order so DuckDB reproduces it bit-for-bit.
+    * Zero-sentence / zero-word docs clamp the denominators to 1
+    * instead of dividing by zero.
+    */
+  def readability(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val nWords = size(regexp_extract_all(t, lit("[^ \\t\\n\\x0B\\f\\r]+"), lit(0))).cast("long")
+    val nSents = size(regexp_extract_all(t, lit("[.!?]+"), lit(0))).cast("long")
+    val nSyll = size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0))).cast("long")
+    docs.select(col(idCol), nWords.as("n_words"), nSents.as("n_sents"),
+        nSyll.as("n_syll"))
+      .withColumn("fk_grade",
+        lit(0.39) * (col("n_words").cast("double") / greatest(col("n_sents"), lit(1L)).cast("double")) +
+        lit(11.8) * (col("n_syll").cast("double") / greatest(col("n_words"), lit(1L)).cast("double")) -
+        lit(15.59))
+  }
 }

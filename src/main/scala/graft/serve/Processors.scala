@@ -166,4 +166,21 @@ object Processors {
       k = intOpt(opts, "windowTokens").getOrElse(6),
       minOccurs = intOpt(opts, "minOccurs").getOrElse(2))
   })
+
+  /** `nfc-normalize`: Unicode NFC canonicalization of a text column
+    * in place ([[graft.functions.TextNormalizeExpressions.nfc]]) —
+    * the normalize-before-hashing step on the REST chain, so API
+    * users canonicalize a result set's text before piping it into
+    * `hash-split` / the dedup rebuilds without shipping code.
+    * Options: `textColumn` (required). Stays a scan-stage codegen
+    * projection; the already-NFC fast path makes it a free pass on
+    * clean data.
+    */
+  register("nfc-normalize", (df, opts) => {
+    val textCol = strOpt(opts, "textColumn").getOrElse(
+      throw new IllegalArgumentException("nfc-normalize: pluginOptions.textColumn required"))
+    require(df.columns.contains(textCol), s"nfc-normalize: no column '$textCol'")
+    df.withColumn(textCol,
+      graft.functions.TextNormalizeExpressions.nfc(col(textCol)))
+  })
 }

@@ -92,6 +92,12 @@ object ExplainDump {
       "t38_epoch_shuffle" -> "epoch shuffle: the md5 permutation key is a scan-stage digest; the global rank is ONE sort (the oracle-able contract) — per-shard order at 100 TB drops the window for repartition+sortWithinPartitions on the same key",
       "d22_soft_dedup_weights" -> "soft dedup: d06's pair graph + closure end in a weight column — the corpus-side join is ids-only (text never reshuffles) and every doc keeps 1/cluster_size loss mass",
       "m09_media_features_real" -> "dispatching generic decode: encode + magic dispatch + REAL WAV parse + segment features all in one mapPartitions stage over the scan — payload bytes never leave the executor (the m04 contract), presentation sort is the only exchange",
+      "t41_nfc_normalize" -> "NFC canonicalization: the codegen'd NfcNormalize expression runs in the scan-stage projection (changed flag, codepoint delta, md5 all off the same normalized value) — zero exchanges below the presentation sort; the isNormalized fast path makes the dominant already-NFC corpus a zero-allocation scan",
+      "t42_readability" -> "readability: three regexp_extract_all counts + fixed-order IEEE grade arithmetic, all one codegen'd scan-stage projection — no shuffle below the presentation sort",
+      "s25_range_search" -> "threshold search: 8-row query side broadcast, ONE corpus scan, codegen cosine + threshold both scan-side predicates — no rank window, no exchange at all below the presentation sort",
+      "m10_perceptual_hash" -> "perceptual hash: BMP encode + decode + 8x8 lattice + threshold pack in ONE mapPartitions chain over the scan (payload bytes never leave the executor); only (id, 2 x 32-bit halves, stats) rows move to the presentation sort",
+      "m11_phash_dup_pairs" -> "phash near-dup pairs: hashes cache-scoped tiny (id + 2 longs), threshold-derived band count (maxHamming+1 -> 16-bit keys at hamming<=3) keeps the band-equality buckets selective on structured hashes; the join moves 3-column rows and the only text/image movement is the codec scan itself",
+      "m12_frame_phash_dedup" -> "frame phash scene dedup: AVI chunk walk + per-frame lattice hash in ONE mapPartitions chain, then a single sample-keyed lag window over 4-long rows for the dup_prev flags — video bytes never cross an exchange",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")

@@ -282,6 +282,29 @@ object ScaleSmoke {
           col("source"), length(col("text")).cast("double").as("sc"))
         graft.pipeline.TextAnalysis.normalizeScores(scored, "source", "sc",
           "doc_id").count() }
+      // map-only codegen scans: must grow linearly with zero shuffle
+      time("t41 nfcReport") {
+        graft.pipeline.TextAnalysis.nfcReport(docs, "text", "doc_id").count() }
+      time("t42 readability") {
+        graft.pipeline.TextAnalysis.readability(docs, "text", "doc_id").count() }
+      // broadcast queries, one corpus scan regardless of query count
+      time("s25 rangeSearch 8q") {
+        val qs = emb.orderBy(col("vec_id")).limit(8)
+        graft.pipeline.Similarity.rangeSearch(emb, qs,
+          "embedding", "vec_id", "vec_id", minCos = 0.25).count() }
+      // codec mapPartitions + 64-bit hash shuffle (not image bytes)
+      time("m10 perceptualHash + banded pairs") {
+        val hashes = graft.pipeline.Multimodal.perceptualHash(
+          graft.pipeline.Multimodal.textAsBmp(
+            docs.where(octet_length(col("text")) > 0), "doc_id", "text", 10)).toDF()
+        graft.pipeline.Multimodal.phashDupPairs(hashes, maxHamming = 3).count() }
+      // per-frame codec scan + one sample-keyed lag window
+      time("m12 frame phash + static flags") {
+        graft.pipeline.Multimodal.staticFrameFlags(
+          graft.pipeline.Multimodal.framePerceptualHash(
+            graft.pipeline.Multimodal.textAsAvi(
+              docs.where(octet_length(col("text")) > 0), "doc_id", "text")).toDF(),
+          maxHamming = 3).count() }
       spark.catalog.clearCache()
     }
 

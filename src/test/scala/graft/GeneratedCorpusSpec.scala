@@ -60,7 +60,13 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     "t38_epoch_shuffle", "t39_length_buckets",
     // d22 is the d06 closure + integer sizes + one exact division;
     // t40 is the same closure feeding the t17 md5 CASE
-    "d22_soft_dedup_weights", "t40_leakage_safe_split")
+    "d22_soft_dedup_weights", "t40_leakage_safe_split",
+    // round-10: t41 appends decomposed suffixes to every doc, so NFC
+    // fires on the (ASCII) generated corpus too — md5-pinned both
+    // engines; t42 is integer regex counts + fixed-order IEEE doubles;
+    // m10/m11 are integer bit math + one exact division (ASCII pin)
+    "t41_nfc_normalize", "t42_readability",
+    "m10_perceptual_hash", "m11_phash_dup_pairs", "m12_frame_phash_dedup")
 
   private def generate(seed: Int, nDocs: Int): Seq[(Long, String, String, String, Long)] = {
     val rnd = new scala.util.Random(seed)
@@ -98,7 +104,11 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     "s22_hard_negatives", "s23_random_projection",
     // s24 composes two pinned kernels; the overlap counts must agree
     // on arbitrary vectors
-    "s24_projection_recall")
+    "s24_projection_recall",
+    // round-10: threshold search is the s01/s04 cosine class with a
+    // predicate instead of a rank window; the seeded-cell variant
+    // additionally replays the assignment/probe reconstruction
+    "s25_range_search", "s26_range_search_ivf")
 
   /** Canonical cell stringification: array columns print as
     * "[a, b, ...]" on BOTH sides (Spark rows yield Scala Seqs,

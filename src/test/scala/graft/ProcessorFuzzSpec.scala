@@ -390,4 +390,45 @@ class ProcessorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"rebuild trial $trial (${p.get("module").asText()} w=$w)")
     }
   }
+
+  test("fuzz: nfc-normalize processor matches the library expression") {
+    val rnd = new scala.util.Random(0x5eed9043L)
+    val marks = Seq('\u0301', '\u0302', '\u0308', '\u0327', '\u030A')
+    for (trial <- 1 to 10) {
+      val rows: Seq[Map[String, Any]] = (0 until 15).map { i =>
+        val sb = new StringBuilder
+        (0 until 2 + rnd.nextInt(8)).foreach { _ =>
+          sb += ('a' + rnd.nextInt(26)).toChar
+          if (rnd.nextDouble() < 0.5) sb += marks(rnd.nextInt(marks.size))
+        }
+        Map("doc_id" -> i.toLong, "text" -> sb.toString)
+      }
+      val local = localDf(rows, Seq("doc_id", "text"))
+      val expected = local.withColumn("text",
+        graft.functions.TextNormalizeExpressions.nfc(col("text")))
+      val p = mapper.createObjectNode()
+      p.put("module", "nfc-normalize")
+      p.putObject("pluginOptions").put("textColumn", "text")
+      val chain = mapper.createArrayNode(); chain.add(p): Unit
+      val req = mapper.createObjectNode()
+      req.putArray("dataSources").add(dsNode("t", rows))
+      val q = req.putObject("query")
+      q.put("sql", "SELECT * FROM t")
+      q.set[ArrayNode]("postProcessors", chain)
+      val r = post("/dataframe/query", mapper.writeValueAsString(req))
+      assert(r.statusCode() == 200, s"trial $trial: ${r.body()}")
+      assertSameRows(r.body(), expected, s"nfc trial $trial")
+    }
+    // contract errors stay 400-class: missing option, unknown column
+    val bad = mapper.createObjectNode()
+    bad.put("module", "nfc-normalize"); bad.putObject("pluginOptions")
+    val chain = mapper.createArrayNode(); chain.add(bad): Unit
+    val req = mapper.createObjectNode()
+    req.putArray("dataSources").add(dsNode("t", Seq(Map("doc_id" -> 1L, "text" -> "x"))))
+    val q = req.putObject("query")
+    q.put("sql", "SELECT * FROM t")
+    q.set[ArrayNode]("postProcessors", chain)
+    val r = post("/dataframe/query", mapper.writeValueAsString(req))
+    assert(r.statusCode() >= 400 && r.statusCode() < 500, r.body())
+  }
 }
