@@ -4357,6 +4357,37 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     })
 
+  // Reliability-diagram calibration bins over the t15/t34 entropy
+  // score: equal-count score deciles (deterministic NTILE order:
+  // score then id) each reporting observed positive rate vs mean
+  // score — whether the score's LEVEL is meaningful, not just its
+  // ranking (t34's AUC). Scores sum as DECIMAL so mean_score is
+  // order-independent and bit-stable.
+  private val t43 = Q("t43_calibration_bins", Some("""
+    WITH counts AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM
+        (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY doc_id, tok),
+    ent AS (SELECT doc_id,
+        ROUND(ln(CAST(SUM(c) AS DOUBLE)) - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE), 6) AS s
+      FROM counts GROUP BY doc_id),
+    b AS (SELECT e.doc_id, e.s, (d.lang = 'en') AS pos,
+        NTILE(10) OVER (ORDER BY e.s, e.doc_id) AS bin
+      FROM ent e JOIN documents d USING (doc_id))
+    SELECT CAST(bin AS BIGINT) AS bin, COUNT(*) AS n,
+      CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS pos_rate,
+      CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_score
+    FROM b GROUP BY bin ORDER BY bin"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val scored = TextAnalysis.tokenEntropy(docs, "text", "doc_id")
+        .select(col("id").as("doc_id"), col("entropy"))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      TextAnalysis.calibrationBins(scored, "entropy", "doc_id",
+        col("lang") === "en", bins = 10)
+    })
+
   // Frame-level perceptual hash + static-scene flags over REAL
   // decoded AVI frames: the temporal dedup signal for video — frames
   // whose hash sits within 3 bits of the previous frame are skippable
@@ -4422,7 +4453,7 @@ object SparkEntry {
     s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
-    t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42,
+    t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43,
     m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =

@@ -285,12 +285,13 @@ object TextAnalysis {
     */
   def tokenEntropy(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val counts = graft.ops.ScaleOps.fanOut(docs)
+      // one-pass kernel (see [[graft.functions.TokenHashes]]): hash
+      // BEFORE the shuffle so the partial aggregate emits (id, long)
+      // keys, and the per-token interpreted split/hash work collapses
+      // into one byte scan per document
       .select(col(idCol).as("id"),
-        explode(split(col(textCol), " ")).as("tok"))
-      // hash BEFORE the shuffle: grouping on xxhash64(tok) lets the
-      // partial aggregate emit (id, long) keys, dropping the strings
-      // at the map side
-      .groupBy(col("id"), xxhash64(col("tok")).as("th"))
+        explode(graft.functions.TokenHashes(col(textCol))).as("th"))
+      .groupBy(col("id"), col("th"))
       .agg(count(lit(1)).as("c"))
     counts.groupBy(col("id"))
       .agg(
@@ -376,8 +377,7 @@ object TextAnalysis {
   def unigramLogProb(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = graft.ops.ScaleOps.fanOut(docs)
       .select(col(idCol).as("id"),
-        explode(split(col(textCol), " ")).as("tok"))
-      .select(col("id"), xxhash64(col("tok")).as("th"))
+        explode(graft.functions.TokenHashes(col(textCol))).as("th"))
     val docCounts = toks.groupBy(col("id"), col("th"))
       .agg(count(lit(1)).as("c_doc"))
     val freq = docCounts.groupBy(col("th"))
@@ -414,34 +414,15 @@ object TextAnalysis {
     * @return (id, n_bigrams, mean_logp)
     */
   def bigramLogProb(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    // The token array is PROJECTED once per row before the bigram
-    // lambda runs: higher-order functions evaluate interpreted with
-    // no common-subexpression elimination, so an inline
-    // element_at(split(text), i) would re-split the whole text per
-    // element access — O(T²) character work per doc. Against the
-    // materialized array each access is O(1).
-    val toks = col("__tk")
-    val idxs = when(size(toks) >= 2, sequence(lit(0), size(toks) - 2))
-      .otherwise(array().cast("array<int>"))
-    val grams = transform(idxs, i => struct(
-      xxhash64(element_at(toks, i + 1)).as("h1"),
-      xxhash64(concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
-        .as("h12")))
-    // Materialized ONCE: the per-doc bigram counts feed three
-    // consumers (bigramFreq, ctxFreq, the per-doc join). AQE's
-    // exchange reuse already de-duplicates the heavy scan→Generate→
-    // partial-agg chain at runtime, but each consumer still re-ran
-    // the final aggregate over the reused shuffle; caching the
-    // hash-only frame (4 longs/row — bounded by corpus token count,
-    // the same volume the exchange already spills to shuffle files)
-    // runs it once and makes the single-chain shape explicit in the
-    // static plan.
-    val docCounts = graft.ops.ScaleOps.fanOut(docs)
-      .select(col(idCol).as("id"), split(col(textCol), " ").as("__tk"))
-      .select(col("id"), explode(grams).as("g"))
-      .groupBy(col("id"), col("g.h1").as("h1"), col("g.h12").as("h12"))
-      .agg(count(lit(1)).as("c_doc"))
-      .transform(org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse)
+    // Shared kernelized construction (see [[bigramDocCounts]]).
+    // Three consumers (bigramFreq, ctxFreq, the per-doc join) share
+    // the scan→kernel→partial-agg chain through AQE exchange reuse;
+    // each re-runs only the cheap final aggregate over the reused
+    // shuffle. Round 10 dropped the scoped cache that used to sit
+    // here: the write+read of the corpus-sized frame cost MORE than
+    // those re-aggregations (measured 1.8s cached → 1.0s cache-free
+    // at bench scale with the one-pass kernel).
+    val docCounts = bigramDocCounts(docs, textCol, idCol)
     val bigramFreq = docCounts.groupBy(col("h12")).agg(sum(col("c_doc")).as("c12"))
     // context count c(w₁·) = occurrences of w₁ as a bigram's first
     // token — NOT the unigram count (the last token of a doc starts
@@ -580,13 +561,12 @@ object TextAnalysis {
     * standard fix before filtering on LM likelihood.
     *
     * Scale shape: the t22 pipeline plus ONE more hash join — each
-    * bigram emits (h₁, h₂, h₁₂) map-side; the per-doc bigram counts
-    * are materialized ONCE (cached hash-only frame) and the corpus
-    * bigram/context tables re-aggregate that frame, so the corpus is
-    * tokenized into bigrams exactly once; the token total is a 1-row
-    * broadcast. Strings never shuffle. The unigram table is a second
-    * scan-stage tokenization (it needs the final tokens bigrams
-    * miss): two map-side passes over text beat the alternative —
+    * bigram emits (h₁, h₂, h₁₂) from the one-pass kernel map-side;
+    * the corpus bigram/context tables re-aggregate the shared
+    * exchange (AQE reuse; cache-free — the t22 lesson), and the
+    * token total is a 1-row broadcast. Strings never shuffle. The
+    * unigram table is a second kernel pass (it needs the final
+    * tokens bigrams miss): two cheap map-side passes over text beat
     * materializing one tagged token+bigram stream through a
     * corpus-wide exchange just to share the Generate.
     * Rounded 6 dp (t15).
@@ -594,48 +574,39 @@ object TextAnalysis {
     * @return (id, n_bigrams, mean_logp)
     */
   /** Per-doc bigram counts (h1, h2, h12, id, c_doc), hashed map-side
-    * — the ONE cached hash-only frame (5 longs/row) every bigram-LM
-    * consumer re-aggregates so the corpus is tokenized into bigrams
-    * exactly once ([[interpolatedLogProb]], [[kneserNeyLogProb]]).
-    * The token array is projected once per row — see
-    * [[bigramLogProb]] for why the inline-split alternative is O(T²)
-    * per doc.
+    * — the shared stream every bigram-LM consumer re-aggregates
+    * ([[bigramLogProb]], [[interpolatedLogProb]],
+    * [[kneserNeyLogProb]]). Deliberately NOT cached: consumers share
+    * the heavy scan→kernel→partial-agg chain through AQE exchange
+    * reuse, and a scoped cache of this corpus-sized frame measured
+    * SLOWER than the re-aggregations it saved (round-10 profile).
     */
   private def bigramDocCounts(docs: DataFrame, textCol: String,
-      idCol: String): DataFrame = {
-    val toks = col("__tk")
-    val idxs = when(size(toks) >= 2, sequence(lit(0), size(toks) - 2))
-      .otherwise(array().cast("array<int>"))
-    val grams = transform(idxs, i => struct(
-      xxhash64(element_at(toks, i + 1)).as("h1"),
-      xxhash64(element_at(toks, i + 2)).as("h2"),
-      xxhash64(concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
-        .as("h12")))
+      idCol: String): DataFrame =
+    // one-pass codegen-side kernel (see [[graft.functions.BigramHashes]]):
+    // hash-identical to the split/transform/xxhash64 spelling it
+    // replaced, but the per-element interpreted HOF work — which
+    // dominated the whole LM-score family's bench profile — is one
+    // imperative byte scan per document
     graft.ops.ScaleOps.fanOut(docs)
-      .select(col(idCol).as("id"), split(col(textCol), " ").as("__tk"))
-      .select(col("id"), explode(grams).as("g"))
+      .select(col(idCol).as("id"),
+        explode(graft.functions.BigramHashes(col(textCol))).as("g"))
       .groupBy(col("g.h1").as("h1"), col("g.h2").as("h2"),
         col("g.h12").as("h12"), col("id"))
       .agg(count(lit(1)).as("c_doc"))
-      .transform(org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse)
-  }
 
   def interpolatedLogProb(docs: DataFrame, textCol: String, idCol: String,
       lambda: Double = 0.5): DataFrame = {
     require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0,1]")
-    // cached for the same reason as bigramDocCounts: TWO consumers
-    // (the per-doc join and the 1-row total) — uncached, the total's
-    // subtree re-tokenizes the whole corpus a second time (the plan
-    // showed a fifth scan→Generate chain; vocab-sized frame, 2
-    // longs/row)
+    // two consumers (the per-doc join and the 1-row total) share
+    // the tokenize+aggregate chain through AQE exchange reuse; with
+    // the one-pass kernel a re-tokenization is cheap enough that the
+    // old scoped cache cost more than it saved
     val unigram = graft.ops.ScaleOps.fanOut(docs)
-      .select(explode(split(col(textCol), " ")).as("tok"))
-      .groupBy(xxhash64(col("tok")).as("h2"))
+      .select(explode(graft.functions.TokenHashes(col(textCol))).as("h2"))
+      .groupBy(col("h2"))
       .agg(count(lit(1)).as("cu"))
-      .transform(org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse)
     val total = unigram.agg(sum(col("cu")).cast("double").as("n_total"))
-    // Single-materialization treatment (see [[bigramDocCounts]]):
-    // three consumers, one cached hash-only frame.
     val docCounts = bigramDocCounts(docs, textCol, idCol)
     val bigramFreq = docCounts.groupBy(col("h12")).agg(sum(col("c_doc")).as("c12"))
     val ctxFreq = docCounts.groupBy(col("h1")).agg(sum(col("c_doc")).as("c1"))
@@ -667,7 +638,7 @@ object TextAnalysis {
     * its bigram stream.
     *
     * Everything derives from ONE distinct-bigram table re-aggregated
-    * from the cached [[bigramDocCounts]] frame — c₁₂ keyed h₁₂, the
+    * from the shared [[bigramDocCounts]] stream — c₁₂ keyed h₁₂, the
     * (c₁, N₁₊ fwd) pair keyed h₁ in a single groupBy, N₁₊ bwd keyed
     * h₂, and the bigram-type total as a 1-row broadcast: the corpus
     * is tokenized once, every exchange carries longs, and unlike
@@ -683,13 +654,12 @@ object TextAnalysis {
       discount: Double = 0.75): DataFrame = {
     require(discount > 0.0 && discount < 1.0, "discount must be in (0,1)")
     val docCounts = bigramDocCounts(docs, textCol, idCol)
-    // cached: FOUR consumers (the h12 join, ctx, bwd, totalTypes)
-    // would each re-run the docCounts→distinct-bigram aggregation;
-    // one vocab²-bounded frame of 4 longs/row serves them all
+    // four consumers (the h12 join, ctx, bwd, totalTypes) share the
+    // docCounts→distinct-bigram aggregation through AQE exchange
+    // reuse — cache-free like the rest of the family (round 10)
     val bigrams = docCounts
       .groupBy(col("h1"), col("h2"), col("h12"))
       .agg(sum(col("c_doc")).as("c12"))
-      .transform(org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse)
     val ctx = bigrams.groupBy(col("h1"))
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("nf"))
     val bwd = bigrams.groupBy(col("h2")).agg(count(lit(1)).as("nb"))
@@ -766,11 +736,11 @@ object TextAnalysis {
     * binary, the whole pipeline is integer counts + IEEE ln and the
     * oracle reconstructs it exactly.
     *
-    * Scale shape: the t19 discipline — tokens hash map-side (strings
-    * never shuffle); the per-doc counts frame is materialized ONCE
-    * (cached hash-only rows, the t22 lesson) and both the class-count
-    * table and the per-doc join read it; class totals are a 1-row
-    * broadcast. Two partial-aggregated exchanges total, independent
+    * Scale shape: the t19 discipline — tokens hash in the one-pass
+    * kernel map-side (strings never shuffle); the class-count table
+    * and the per-doc join share the counts chain through AQE
+    * exchange reuse (cache-free, the t22 lesson); class totals are a
+    * 1-row broadcast. Two partial-aggregated exchanges total, independent
     * of corpus size. Rounded 6 dp (ln accumulation order, the t15
     * treatment).
     *
@@ -782,10 +752,9 @@ object TextAnalysis {
     val lab = when(positive, lit(1L)).otherwise(lit(0L))
     val docCounts = graft.ops.ScaleOps.fanOut(docs)
       .select(col(idCol).as("id"), lab.as("lab"),
-        explode(split(col(textCol), " ")).as("tok"))
-      .groupBy(col("id"), col("lab"), xxhash64(col("tok")).as("h"))
+        explode(graft.functions.TokenHashes(col(textCol))).as("h"))
+      .groupBy(col("id"), col("lab"), col("h"))
       .agg(count(lit(1)).as("c_doc"))
-      .transform(org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse)
     val cls = docCounts.groupBy(col("h"))
       .agg(sum(col("lab") * col("c_doc")).as("cpos"),
         sum((lit(1L) - col("lab")) * col("c_doc")).as("cneg"))
@@ -814,11 +783,11 @@ object TextAnalysis {
     * predicate (a trusted source/domain), so both distributions are
     * integer counts and the oracle reconstructs the whole pipeline.
     *
-    * Scale shape: the t22 bigram kernel (token array projected once,
-    * O(T) per doc; hashes computed map-side, strings never shuffle)
-    * with the per-doc feature counts materialized ONCE (cached
-    * hash-only frame) feeding both the feature-frequency table and
-    * the scoring join; totals are a 1-row broadcast. Docs with < 2
+    * Scale shape: the t22 bigram kernel (one byte scan per doc,
+    * hashes computed map-side, strings never shuffle) with the
+    * feature-frequency table and the scoring join sharing the
+    * counts chain through AQE exchange reuse (cache-free, the t22
+    * lesson); totals are a 1-row broadcast. Docs with < 2
     * tokens have no features and drop out (both engines agree).
     * Rounded 6 dp.
     *
@@ -827,18 +796,14 @@ object TextAnalysis {
     */
   def importanceWeights(docs: DataFrame, textCol: String, idCol: String,
       target: Column): DataFrame = {
-    val toks = col("__tk")
-    val idxs = when(size(toks) >= 2, sequence(lit(0), size(toks) - 2))
-      .otherwise(array().cast("array<int>"))
-    val grams = transform(idxs, i =>
-      xxhash64(concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+    // one-pass kernel, h12 = the joined "w1 w2" hash (see
+    // [[graft.functions.BigramHashes]]); cache-free — AQE exchange
+    // reuse covers the two consumers (the t22 lesson, round 10)
     val docCounts = graft.ops.ScaleOps.fanOut(docs)
       .select(col(idCol).as("id"), target.as("is_target"),
-        split(col(textCol), " ").as("__tk"))
-      .select(col("id"), col("is_target"), explode(grams).as("h"))
-      .groupBy(col("id"), col("is_target"), col("h"))
+        explode(graft.functions.BigramHashes(col(textCol))).as("g"))
+      .groupBy(col("id"), col("is_target"), col("g.h12").as("h"))
       .agg(count(lit(1)).as("c_doc"))
-      .transform(org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse)
     val freq = docCounts.groupBy(col("h"))
       .agg(sum(col("c_doc")).as("craw"),
         sum(when(col("is_target"), col("c_doc")).otherwise(lit(0L))).as("ctgt"))
@@ -1072,6 +1037,41 @@ object TextAnalysis {
       .withColumn("lang_pred", languageId(t))
       .withColumn("quality", qualityScore(t))
       .withColumn("fp", fingerprint(t))
+  }
+
+  /** Reliability-diagram calibration bins, the companion diagnostic
+    * to [[classifierAuc]]: AUC says the score RANKS positives above
+    * negatives; calibration says whether the score's LEVEL means
+    * anything — docs are cut into `bins` equal-count score bins
+    * (deterministic total order: score then id, so the cut is
+    * cross-engine exact) and each bin reports its observed positive
+    * rate beside its mean score. A quality filter threshold is only
+    * as trustworthy as these bins are monotone.
+    *
+    * The exact equal-count cut is a global NTILE — one total-order
+    * sort, the oracle contract. At 100 TB swap the cut for
+    * `approx_percentile` boundaries (map-side binning, no global
+    * sort); the per-bin aggregation below is unchanged. Scores are
+    * summed as DECIMAL(18,6) — exact and order-independent, so
+    * `mean_score` is bit-stable — which requires the contract-rounded
+    * ROUND(6) score the t15/t34 family already emits.
+    */
+  def calibrationBins(scored: DataFrame, scoreCol: String, idCol: String,
+      isPositive: Column, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol), col(idCol))
+    scored
+      .withColumn("bin", ntile(bins).over(w).cast("long"))
+      .withColumn("pos", when(isPositive, 1L).otherwise(0L))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("pos")).as("n_pos"),
+        (sum(col("pos")).cast("double") / count(lit(1)).cast("double")).as("pos_rate"),
+        (sum(col(scoreCol).cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1)).cast("double")).as("mean_score"))
+      .orderBy(col("bin"))
   }
 
   /** Unicode NFC canonicalization report: for each document, the

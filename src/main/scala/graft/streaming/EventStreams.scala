@@ -199,6 +199,41 @@ object EventStreams {
       key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-STREAM interval join: pair each left-stream event with
+    * every right-stream event for the same key landing inside
+    * `[left.ts, left.ts + horizon]` — the live sibling of the batch
+    * interval/as-of family (q58–q61): "which errors followed this
+    * deploy click", attribution windows, cause→effect pairing at
+    * ingest. Built on Spark's native watermarked stream-stream join,
+    * not custom state: BOTH sides carry watermarks and the time-range
+    * predicate bounds how long either side's rows wait for a match,
+    * so the join state store holds only `lateness + horizon` of each
+    * stream per key — constant memory on unbounded streams, which is
+    * the entire 100 TB/day story. Append mode: a pair emits once,
+    * when the watermark proves no earlier match can still arrive.
+    *
+    * Inner join by contract: an unmatched-left outer variant needs
+    * the watermark to CLOSE the horizon before emitting the null row,
+    * which Spark supports (left-outer with the same condition) but
+    * emits far later; callers wanting "clicks with no error within
+    * the horizon" should run leftOuter = true and filter null rights.
+    */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame,
+      key: String = "user_id", horizon: String = "10 minutes",
+      lateness: String = "2 minutes", leftOuter: Boolean = false): DataFrame = {
+    val l = left.withWatermark("ts", lateness).alias("l")
+    val r = right.withWatermark("ts", lateness).alias("r")
+    l.join(r,
+        col(s"l.$key") === col(s"r.$key") &&
+          col("r.ts") >= col("l.ts") &&
+          col("r.ts") <= col("l.ts") + expr(s"INTERVAL $horizon"),
+        if (leftOuter) "leftOuter" else "inner")
+      .select(col(s"l.$key").as(key),
+        col("l.ts").as("ts_left"), col("l.event_type").as("type_left"),
+        col("r.ts").as("ts_right"), col("r.event_type").as("type_right"),
+        col("r.value").as("value_right"))
+  }
+
   /** Stateless curation of a DOCUMENT stream: per-row quality signals
     * (token count, mean token length, composite quality score,
     * language id) plus the deterministic md5 train/val/test split —

@@ -98,6 +98,7 @@ object ExplainDump {
       "m10_perceptual_hash" -> "perceptual hash: BMP encode + decode + 8x8 lattice + threshold pack in ONE mapPartitions chain over the scan (payload bytes never leave the executor); only (id, 2 x 32-bit halves, stats) rows move to the presentation sort",
       "m11_phash_dup_pairs" -> "phash near-dup pairs: hashes cache-scoped tiny (id + 2 longs), threshold-derived band count (maxHamming+1 -> 16-bit keys at hamming<=3) keeps the band-equality buckets selective on structured hashes; the join moves 3-column rows and the only text/image movement is the codec scan itself",
       "m12_frame_phash_dedup" -> "frame phash scene dedup: AVI chunk walk + per-frame lattice hash in ONE mapPartitions chain, then a single sample-keyed lag window over 4-long rows for the dup_prev flags — video bytes never cross an exchange",
+      "t43_calibration_bins" -> "calibration bins: the t15 entropy aggregation, one global NTILE sort (the exact-cut oracle contract; swap for approx_percentile boundaries at 100 TB), then a bin-keyed partial aggregation with DECIMAL-exact score sums",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")
@@ -120,6 +121,43 @@ object ExplainDump {
     * regeneration preserves the record.
     */
   private val driftTriage: String = """
+## Round-10 LM-family profile (t19 / t22 / t27 / t29 / t30 / t31)
+
+The bigram/token LM scores topped the bench (t27 2.26 s, t31 2.52 s,
+t29 2.08 s, t30 2.05 s driver-measured). Two changes, each validated
+with `graft.tools.DriftProfile` (fresh JVM, 5 reps, sf0.1):
+
+1. **One-pass hash kernels** (`functions/TokenHashExpressions`):
+   the split/transform/xxhash64 HOF chain evaluates interpreted per
+   ELEMENT; `TokenHashes`/`BigramHashes` hash byte slices of the raw
+   UTF8String in one imperative scan per document — hash-identical by
+   construction (the bigram "w1 w2" string IS the contiguous input
+   slice when tokens split on single spaces, so it is hashed in place
+   and never materialized).
+2. **Dropped the family's scoped caches**: with tokenization cheap,
+   AQE exchange reuse covers the shared sub-aggregations and the
+   corpus-sized cache write+read measured strictly SLOWER than the
+   final-aggregate re-runs it saved (t22 1.80 s cached-kernel vs
+   0.89-1.04 s cache-free-kernel; the kernel alone changed nothing
+   while the cache stayed).
+
+| query | r8/r9 bench | round-10 isolated min/median |
+|---|---|---|
+| t22_bigram_logprob | 1.20 → 2.05 | 1.04 / 1.23 |
+| t27_interpolated_logprob | 2.26 → 2.63 | 1.15 / 1.37 |
+| t31_kneser_ney_logprob | 2.52 | 1.30 / 1.38 |
+| t29_nb_quality_score | 2.08 | 0.82 / 0.99 |
+| t30_importance_weights | 2.05 | 0.99 / 1.13 |
+| t19_unigram_logprob | 0.99 | 1.05 / 1.17 |
+| t15_token_entropy | 0.81 | 0.81 / 0.84 |
+
+The r9 t22 regression (1.20 → 2.05) was the cache itself — added in
+round 9 on the "materialize once" intuition, reverted here with the
+measurements that disprove it at this scale. At 100 TB the trade may
+flip back (shuffle-file re-reads vs memory cache); the operators are
+cache-free because that is what MEASURES faster, and the lifecycle
+spec now pins no-pinned-blocks either way.
+
 ## Round-9 drift triage (the r8 1.3x cluster: q55 / q59 / q68 / s15 / t10 / t16 / t17)
 
 Round-8 verdict confirmed a seven-query ~1.3x cluster vs r7 that

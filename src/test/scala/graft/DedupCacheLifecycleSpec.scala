@@ -74,7 +74,12 @@ class DedupCacheLifecycleSpec extends AnyFunSuite {
     assertQueryReleases("d08_hybrid_neardup")
   }
 
-  test("bigram-LM family releases its docCounts/unigram/bigram caches") {
+  test("bigram-LM family pins no cache blocks (kernelized cache-free plans)") {
+    // round 10 dropped these operators' scoped caches entirely: with
+    // the one-pass hash kernels, AQE exchange reuse covers the shared
+    // sub-aggregations cheaper than a cache write+read (measured
+    // t27 2.1s cached -> 1.2s cache-free). The no-leak contract
+    // still holds trivially and this pins it against regression.
     assertQueryReleases("t22_bigram_logprob")
     assertQueryReleases("t27_interpolated_logprob")
     assertQueryReleases("t31_kneser_ney_logprob")

@@ -66,7 +66,10 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     // engines; t42 is integer regex counts + fixed-order IEEE doubles;
     // m10/m11 are integer bit math + one exact division (ASCII pin)
     "t41_nfc_normalize", "t42_readability",
-    "m10_perceptual_hash", "m11_phash_dup_pairs", "m12_frame_phash_dedup")
+    "m10_perceptual_hash", "m11_phash_dup_pairs", "m12_frame_phash_dedup",
+    // t43 is integer bin counts + DECIMAL-exact score sums over the
+    // contract-rounded t15 entropy, deterministic NTILE tie order
+    "t43_calibration_bins")
 
   private def generate(seed: Int, nDocs: Int): Seq[(Long, String, String, String, Long)] = {
     val rnd = new scala.util.Random(seed)

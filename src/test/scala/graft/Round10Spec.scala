@@ -87,6 +87,46 @@ class Round10Spec extends AnyFunSuite {
     assert(rep(1).getString(4) == rep(2).getString(4))
   }
 
+  // ---------------- token/bigram hash kernels ----------------
+
+  test("TokenHashes/BigramHashes are hash-identical to the composable chain") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x70cc5eedL)
+    val fixed = Seq("", " ", "  ", "a", "a b", "a  b", " a b ",
+      "trailing ", "héllo wörld mixé", "a b c d e", "söme  ünïcode tokens")
+    val fuzzed = (1 to 150).map { _ =>
+      val parts = (0 until rnd.nextInt(8)).map(_ =>
+        (0 until rnd.nextInt(5)).map(_ => ('a' + rnd.nextInt(28)).toChar).mkString)
+      parts.mkString(" " * (1 + rnd.nextInt(2))) // single AND double gaps
+    }
+    val df = (fixed ++ fuzzed).toDF("s").repartition(3)
+    val toks = col("__tk")
+    val idxs = when(size(toks) >= 2, sequence(lit(0), size(toks) - 2))
+      .otherwise(array().cast("array<int>"))
+    val refBigrams = transform(idxs, i => struct(
+      xxhash64(element_at(toks, i + 1)).as("h1"),
+      xxhash64(element_at(toks, i + 2)).as("h2"),
+      xxhash64(concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
+        .as("h12")))
+    val out = df
+      .withColumn("__tk", split(col("s"), " "))
+      .select(col("s"),
+        transform(col("__tk"), t => xxhash64(t)).as("ref_tok"),
+        graft.functions.TokenHashes(col("s")).as("got_tok"),
+        refBigrams.as("ref_big"),
+        graft.functions.BigramHashes(col("s")).as("got_big"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"token hashes differ on '${r.getString(0)}'")
+      val rb = r.getSeq[org.apache.spark.sql.Row](3).map(x =>
+        (x.getLong(0), x.getLong(1), x.getLong(2)))
+      val gb = r.getSeq[org.apache.spark.sql.Row](4).map(x =>
+        (x.getLong(0), x.getLong(1), x.getLong(2)))
+      assert(rb == gb, s"bigram hashes differ on '${r.getString(0)}'")
+    }
+  }
+
   // ---------------- readability ----------------
 
   test("readability counts and grade on a hand-computed corpus") {
@@ -115,6 +155,23 @@ class Round10Spec extends AnyFunSuite {
     val docs = Seq((1L, "ab c")).toDF("doc_id", "text")
     val out = TextAnalysis.readability(docs, "text", "doc_id").collect()(0)
     assert(out.getLong(1) == 3, "vertical tab must be a word boundary")
+  }
+
+  test("calibrationBins: hand-computed cut, counts, and decimal-exact means") {
+    import spark.implicits._
+    // 8 docs, 4 bins of 2; score ties broken by id
+    val scored = Seq(
+      (1L, 0.5, "en"), (2L, 0.5, "de"), (3L, 1.0, "en"), (4L, 1.5, "en"),
+      (5L, 2.0, "de"), (6L, 2.5, "de"), (7L, 3.0, "en"), (8L, 3.5, "en")
+    ).toDF("doc_id", "s", "lang")
+    val bins = TextAnalysis.calibrationBins(scored, "s", "doc_id",
+        col("lang") === "en", bins = 4)
+      .collect()
+    assert(bins.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(bins.forall(_.getLong(1) == 2))
+    assert(bins.map(_.getLong(2)).toSeq == Seq(1L, 2L, 0L, 2L))
+    assert(bins.map(_.getDouble(3)).toSeq == Seq(0.5, 1.0, 0.0, 1.0))
+    assert(bins.map(_.getDouble(4)).toSeq == Seq(0.5, 1.25, 2.25, 3.25))
   }
 
   // ---------------- threshold similarity search ----------------

@@ -369,4 +369,60 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamOut.nonEmpty)
     } finally q.stop()
   }
+
+  test("stream-stream interval join equals the batch join on closed pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val enc = implicitly[org.apache.spark.sql.Encoder[(Timestamp, Long, String, Double)]]
+    val lIn = MemoryStream[(Timestamp, Long, String, Double)](enc, spark.sqlContext)
+    val rIn = MemoryStream[(Timestamp, Long, String, Double)](enc, spark.sqlContext)
+    val cols = Seq("ts", "user_id", "event_type", "value")
+    val joined = EventStreams.streamIntervalJoin(
+      lIn.toDF().toDF(cols: _*), rIn.toDF().toDF(cols: _*),
+      key = "user_id", horizon = "2 minutes", lateness = "1 minute")
+    val q = joined.writeStream.format("memory").queryName("sij")
+      .outputMode(OutputMode.Append()).start()
+    // left: "deploy" markers; right: "error" events, OUT OF ORDER
+    // within lateness, split across micro-batches
+    val lefts: Seq[(Timestamp, Long, String, Double)] = Seq(
+      (ts(0, 0), 1L, "deploy", 0.0), (ts(1, 0), 2L, "deploy", 0.0),
+      (ts(3, 0), 1L, "deploy", 0.0))
+    val rights: Seq[(Timestamp, Long, String, Double)] = Seq(
+      (ts(0, 30), 1L, "error", 1.0),  // within u1's first horizon
+      (ts(2, 30), 1L, "error", 2.0),  // in a gap: after 0:00+2m, before the 3:00 deploy -> no match
+      (ts(3, 30), 1L, "error", 3.0),  // within u1's second horizon
+      (ts(1, 30), 2L, "error", 4.0),  // within u2's horizon
+      (ts(0, 45), 2L, "error", 5.0))  // BEFORE u2's deploy: no match
+    try {
+      lIn.addData(lefts.take(2): _*)
+      rIn.addData(rights(0), rights(4))
+      q.processAllAvailable()
+      lIn.addData(lefts(2))
+      rIn.addData(rights(3), rights(1)) // out of order arrival
+      q.processAllAvailable()
+      rIn.addData(rights(2))
+      q.processAllAvailable()
+      // watermark-advancing flush on both sides closes all pairs
+      lIn.addData((ts(30, 0), 9L, "deploy", 0.0))
+      rIn.addData((ts(30, 0), 9L, "error", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sij")
+        .where(col("user_id") =!= 9L)
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("ts_left"),
+          r.getAs[Timestamp]("ts_right"), r.getAs[Double]("value_right"))).toSet
+      // batch reference: identical predicate on static frames
+      val lb = lefts.toDF(cols: _*).alias("l")
+      val rb = rights.toDF(cols: _*).alias("r")
+      val ref = lb.join(rb,
+          col("l.user_id") === col("r.user_id") &&
+            col("r.ts") >= col("l.ts") &&
+            col("r.ts") <= col("l.ts") + org.apache.spark.sql.functions.expr("INTERVAL 2 minutes"))
+        .select(col("l.user_id"), col("l.ts"), col("r.ts"), col("r.value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getDouble(3))).toSet
+      assert(got == ref, s"stream pairs $got != batch pairs $ref")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
 }
