@@ -142,3 +142,93 @@ object BigramHashes {
   def apply(text: Column): Column =
     ExprBridge.column(BigramHashes(ExprBridge.expression(text)))
 }
+
+/** `array<long>` of per-n-gram xxhash64 values — hash-equal to
+  * `transform(idxs, i -> xxhash64(array_join(slice(toks, i+1, n), " ")))`
+  * over `split(text, " ")`: the joined n-gram string is the
+  * contiguous input slice from token i's first byte to token
+  * (i+n−1)'s last, hashed in place. Documents with fewer than n
+  * tokens yield an empty array (the `size >= n` guard).
+  */
+case class NgramSliceHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"ngram_slice_hashes: n must be >= 1, got $n")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ngram_slice_hashes expects string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val (starts, ends) = TokenHashKernels.boundaries(s)
+    val nTok = starts.length
+    if (nTok < n) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](nTok - n + 1)
+    var i = 0
+    while (i < out.length) {
+      out(i) = TokenHashKernels.slice(s, starts(i), ends(i + n - 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object NgramSliceHashes {
+  def apply(text: Column, n: Int): Column =
+    ExprBridge.column(NgramSliceHashes(ExprBridge.expression(text), n))
+}
+
+/** The quality-gate's tagged stream in one pass:
+  * `array<struct<kind,h,len>>` with one `(0, xxhash64(tok), length(tok))`
+  * entry per token followed by one `(1, xxhash64(n-gram), 0)` entry
+  * per n-gram — hash- and length-equal to the two `transform`s it
+  * replaces (`len` counts CODEPOINTS like Spark's `length`, i.e.
+  * bytes that are not UTF-8 continuations).
+  */
+case class TokenGramEntries(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"token_gram_entries: n must be >= 1, got $n")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_gram_entries expects string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("kind", IntegerType, nullable = false),
+    StructField("h", LongType, nullable = false),
+    StructField("len", IntegerType, nullable = false))), containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val (starts, ends) = TokenHashKernels.boundaries(s)
+    val nTok = starts.length
+    val nGrams = math.max(0, nTok - n + 1)
+    val rows = new Array[Any](nTok + nGrams)
+    var t = 0
+    while (t < nTok) {
+      var chars = 0
+      var b = starts(t)
+      while (b < ends(t)) {
+        if ((s.getByte(b) & 0xc0) != 0x80) chars += 1
+        b += 1
+      }
+      rows(t) = org.apache.spark.sql.catalyst.InternalRow(
+        0, TokenHashKernels.slice(s, starts(t), ends(t)), chars)
+      t += 1
+    }
+    var i = 0
+    while (i < nGrams) {
+      rows(nTok + i) = org.apache.spark.sql.catalyst.InternalRow(
+        1, TokenHashKernels.slice(s, starts(i), ends(i + n - 1)), 0)
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TokenGramEntries {
+  def apply(text: Column, n: Int): Column =
+    ExprBridge.column(TokenGramEntries(ExprBridge.expression(text), n))
+}

@@ -152,18 +152,16 @@ object TextAnalysis {
     */
   def repetitionStats(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 2): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val idxs = when(size(toks) >= lit(n), sequence(lit(0), size(toks) - lit(n)))
-      .otherwise(array().cast("array<int>"))
-    val grams = transform(idxs, i => array_join(slice(toks, i + 1, lit(n)), " "))
     // the per-(id, gram) count only needs gram IDENTITY, so the
     // shuffle key is the gram's 64-bit hash, not the string — at
     // corpus scale that cuts the exchange to (id, long) pairs. A
     // collision would merge two grams within one doc: P ≈ g²/2⁶⁵
-    // per doc, far below any other noise source.
+    // per doc, far below any other noise source. One-pass kernel
+    // (see [[graft.functions.NgramSliceHashes]]): the n-gram string
+    // is the contiguous input slice, hashed in place.
     graft.ops.ScaleOps.fanOut(docs)
-      .select(col(idCol).as("id"), explode(grams).as("gram"))
-      .select(col("id"), xxhash64(col("gram")).as("gram"))
+      .select(col(idCol).as("id"),
+        explode(graft.functions.NgramSliceHashes(col(textCol), n)).as("gram"))
       .groupBy(col("id"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("id"))
@@ -323,18 +321,12 @@ object TextAnalysis {
     */
   def qualityGateSignals(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 2): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val tokenEntries = transform(toks, t =>
-      struct(lit(0).as("kind"), xxhash64(t).as("h"), length(t).as("len")))
-    val idxs = when(size(toks) >= lit(n), sequence(lit(0), size(toks) - lit(n)))
-      .otherwise(array().cast("array<int>"))
-    val gramEntries = transform(idxs, i =>
-      struct(lit(1).as("kind"),
-        xxhash64(array_join(slice(toks, i + 1, lit(n)), " ")).as("h"),
-        lit(0).as("len")))
+    // the tagged token+gram stream in ONE kernel pass (see
+    // [[graft.functions.TokenGramEntries]]) — hash/length-identical
+    // to the two interpreted transforms it replaces
     graft.ops.ScaleOps.fanOut(docs)
       .select(col(idCol).as("id"),
-        explode(concat(tokenEntries, gramEntries)).as("e"))
+        explode(graft.functions.TokenGramEntries(col(textCol), n)).as("e"))
       .groupBy(col("id"), col("e.kind").as("kind"), col("e.h").as("h"))
       // len is constant per (kind, hash) — max() only to keep the
       // aggregate deterministic

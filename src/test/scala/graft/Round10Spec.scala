@@ -125,6 +125,36 @@ class Round10Spec extends AnyFunSuite {
         (x.getLong(0), x.getLong(1), x.getLong(2)))
       assert(rb == gb, s"bigram hashes differ on '${r.getString(0)}'")
     }
+    // n-gram slice hashes and the tagged token+gram entries against
+    // their composable spellings (n = 3 exercises the multi-token
+    // slice; the tagged kernel additionally pins codepoint lengths)
+    val idxs3 = when(size(toks) >= 3, sequence(lit(0), size(toks) - 3))
+      .otherwise(array().cast("array<int>"))
+    val refGram3 = transform(idxs3, i =>
+      xxhash64(array_join(slice(toks, i + 1, lit(3)), " ")))
+    val refEntries = concat(
+      transform(toks, t => struct(lit(0).as("kind"), xxhash64(t).as("h"),
+        length(t).as("len"))),
+      transform(idxs3, i => struct(lit(1).as("kind"),
+        xxhash64(array_join(slice(toks, i + 1, lit(3)), " ")).as("h"),
+        lit(0).as("len"))))
+    val out2 = df
+      .withColumn("__tk", split(col("s"), " "))
+      .select(col("s"),
+        refGram3.as("ref_g3"),
+        graft.functions.NgramSliceHashes(col("s"), 3).as("got_g3"),
+        refEntries.as("ref_e"),
+        graft.functions.TokenGramEntries(col("s"), 3).as("got_e"))
+      .collect()
+    out2.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"3-gram hashes differ on '${r.getString(0)}'")
+      val re = r.getSeq[org.apache.spark.sql.Row](3).map(x =>
+        (x.getInt(0), x.getLong(1), x.getInt(2)))
+      val ge = r.getSeq[org.apache.spark.sql.Row](4).map(x =>
+        (x.getInt(0), x.getLong(1), x.getInt(2)))
+      assert(re == ge, s"tagged entries differ on '${r.getString(0)}'")
+    }
   }
 
   // ---------------- readability ----------------

@@ -425,4 +425,36 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.nonEmpty)
     } finally q.stop()
   }
+
+  test("stream-stream interval join leftOuter emits unmatched lefts with null rights") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val enc = implicitly[org.apache.spark.sql.Encoder[(Timestamp, Long, String, Double)]]
+    val lIn = MemoryStream[(Timestamp, Long, String, Double)](enc, spark.sqlContext)
+    val rIn = MemoryStream[(Timestamp, Long, String, Double)](enc, spark.sqlContext)
+    val cols = Seq("ts", "user_id", "event_type", "value")
+    val q = EventStreams.streamIntervalJoin(
+        lIn.toDF().toDF(cols: _*), rIn.toDF().toDF(cols: _*),
+        key = "user_id", horizon = "2 minutes", lateness = "1 minute",
+        leftOuter = true)
+      .writeStream.format("memory").queryName("sij_outer")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      lIn.addData((ts(0, 0), 1L, "deploy", 0.0), (ts(0, 0), 2L, "deploy", 0.0))
+      rIn.addData((ts(0, 30), 1L, "error", 1.0)) // user 1 matches; user 2 never does
+      q.processAllAvailable()
+      // watermark far past user 2's horizon on BOTH sides: the null
+      // row may only emit once the watermark CLOSES the horizon
+      lIn.addData((ts(30, 0), 9L, "deploy", 0.0))
+      rIn.addData((ts(30, 0), 9L, "noise", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sij_outer").where(col("user_id") =!= 9L).collect()
+      val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+      assert(byUser(1L).exists(r => r.getAs[Timestamp]("ts_right") == ts(0, 30)))
+      assert(byUser(2L).forall(r => r.getAs[Timestamp]("ts_right") == null &&
+        r.getAs[String]("type_right") == null),
+        s"user 2 must emit only the null-right row: ${byUser(2L).mkString(";")}")
+      assert(byUser.contains(2L), "unmatched left must still emit")
+    } finally q.stop()
+  }
 }
