@@ -4388,6 +4388,51 @@ object SparkEntry {
         col("lang") === "en", bins = 10)
     })
 
+  /** t44's oracle: the SAME k BPE rounds unrolled as chained
+    * MATERIALIZED CTEs (materialization is semantically a no-op but
+    * stops DuckDB re-inlining the round chain per reference, which
+    * goes exponential in k). Generated by loop so engine k and oracle
+    * k can never drift.
+    */
+  private def bpeOracleSql(k: Int): String = {
+    val sb = new StringBuilder(
+      """
+    WITH w AS (
+      SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),
+    c0 AS MATERIALIZED (
+      SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS s, COUNT(*) AS f
+      FROM w GROUP BY 1)""")
+    val selects = (0 until k).map { i =>
+      sb.append(s""",
+    p$i AS MATERIALIZED (
+      SELECT ts[j] AS l, ts[j+1] AS r, CAST(SUM(f) AS BIGINT) AS c
+      FROM (SELECT string_split(s, ' ') AS ts, f FROM c$i),
+           UNNEST(generate_series(1, len(ts) - 1)) AS u(j)
+      GROUP BY 1, 2),
+    b$i AS MATERIALIZED (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+    c${i + 1} AS MATERIALIZED (
+      SELECT trim(regexp_replace(replace(
+          ' ' || replace(s, ' ', '  ') || ' ',
+          ' ' || (SELECT l FROM b$i) || '  ' || (SELECT r FROM b$i) || ' ',
+          ' ' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ' '),
+        ' +', ' ', 'g')) AS s, f
+      FROM c$i)""")
+      s"SELECT ${i + 1} AS round, l AS left_sym, r AS right_sym, l || r AS merged, c FROM b$i"
+    }
+    sb.append("\n" + selects.mkString("\n    UNION ALL\n") + "\n    ORDER BY round")
+    sb.toString
+  }
+
+  // Distributed BPE merge induction (Sennrich et al. 2016): k rounds
+  // of argmax-pair-merge over the word vocabulary; only the initial
+  // word-frequency aggregation touches the corpus — the tokenizer-
+  // training operator beside t20/t38/t39. The oracle replays the
+  // identical k-round trajectory in SQL, so a wrong tie-break, a
+  // delimiter-sharing replace, or a round that reads stale symbols
+  // breaks EVERY subsequent row, not just one.
+  private val t44 = Q("t44_bpe_merges", Some(bpeOracleSql(8)),
+    (s, dir) => TextAnalysis.bpeMerges(T(s, dir, "documents"), "text", k = 8))
+
   // Frame-level perceptual hash + static-scene flags over REAL
   // decoded AVI frames: the temporal dedup signal for video — frames
   // whose hash sits within 3 bits of the previous frame are skippable
@@ -4453,7 +4498,7 @@ object SparkEntry {
     s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
-    t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43,
+    t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44,
     m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =

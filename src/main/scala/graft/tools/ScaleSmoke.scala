@@ -298,6 +298,9 @@ object ScaleSmoke {
           graft.pipeline.Multimodal.textAsBmp(
             docs.where(octet_length(col("text")) > 0), "doc_id", "text", 10)).toDF()
         graft.pipeline.Multimodal.phashDupPairs(hashes, maxHamming = 3).count() }
+      // one corpus word-frequency exchange; rounds run on the vocab
+      time("t44 bpeMerges k=8") {
+        graft.pipeline.TextAnalysis.bpeMerges(docs, "text", 8).count() }
       // per-frame codec scan + one sample-keyed lag window
       time("m12 frame phash + static flags") {
         graft.pipeline.Multimodal.staticFrameFlags(

@@ -69,7 +69,10 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     "m10_perceptual_hash", "m11_phash_dup_pairs", "m12_frame_phash_dedup",
     // t43 is integer bin counts + DECIMAL-exact score sums over the
     // contract-rounded t15 entropy, deterministic NTILE tie order
-    "t43_calibration_bins")
+    "t43_calibration_bins",
+    // t44 is pure strings + integer counts with a lexicographic
+    // tie-break — the whole k-round trajectory replays exactly
+    "t44_bpe_merges")
 
   private def generate(seed: Int, nDocs: Int): Seq[(Long, String, String, String, Long)] = {
     val rnd = new scala.util.Random(seed)

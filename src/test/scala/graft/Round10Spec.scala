@@ -204,6 +204,43 @@ class Round10Spec extends AnyFunSuite {
     assert(bins.map(_.getDouble(4)).toSeq == Seq(0.5, 1.25, 2.25, 3.25))
   }
 
+  test("bpeMerges: hand-checked trajectory, overlap handling, exhaustion") {
+    import spark.implicits._
+    // freq: "low" x5, "lower" x2, "newest" x6, "widest" x3
+    // round 1: "es" wins? pairs: lo(7) ow(7) we(2) er(2) ne(6) ew(6)
+    //   we+es+st from newest(6)+widest(3): es=9, st=9, wi(3), de(3), id(3)
+    //   -> es=9 ties st=9; tie-break lex: "e s" < "s t" -> merge (e,s)
+    val docs = (
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    ).zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(docs, "text", k = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(merges(0) == ((1, "e", "s", "es", 9L)), merges.mkString(";"))
+    // round 2: st -> "est" pairs now: es+t from newest/widest = 9
+    assert(merges(1) == ((2, "es", "t", "est", 9L)), merges.mkString(";"))
+    // overlap: "aaaa" => "a a a a": pair (a,a) counts 3 per word; the
+    // double-space replace merges LEFTMOST non-overlapping -> "aa aa"
+    val rep = (0 until 4).map(i => (i.toLong, "aaaa")).toDF("doc_id", "text")
+    val m2 = TextAnalysis.bpeMerges(rep, "text", k = 2)
+      .collect().map(r => (r.getString(3), r.getLong(4)))
+    assert(m2(0) == (("aa", 12L)), m2.mkString(";")) // 3 adjacencies x 4 words
+    assert(m2(1) == (("aaaa", 4L)), m2.mkString(";")) // "aa aa" -> one pair each
+    // exhaustion: single-char vocab has no pairs -> zero merges
+    val single = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeMerges(single, "text", k = 4).count() == 0)
+  }
+
+  test("bpeMerges: driver-local and distributed rounds are trajectory-identical") {
+    val docs = Tables.load(spark, SparkFixture.sfDir, "documents")
+    val local = TextAnalysis.bpeMerges(docs, "text", k = 5).collect().toSeq
+    val dist = TextAnalysis.bpeMerges(docs, "text", k = 5, localVocabLimit = 0L)
+      .collect().toSeq
+    assert(local == dist, s"local=$local\ndist=$dist")
+    assert(local.size == 5)
+  }
+
   // ---------------- threshold similarity search ----------------
 
   test("rangeSearch == threshold-filtered brute force (cosineFold reference)") {
