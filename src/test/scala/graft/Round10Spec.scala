@@ -241,6 +241,25 @@ class Round10Spec extends AnyFunSuite {
     assert(local.size == 5)
   }
 
+  test("bpeMerges: randomized corpora keep the two paths identical") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xb9e5eedL)
+    for (trial <- 1 to 4) {
+      val vocabChars = "abcde"
+      val docs = (0 until 30).map { i =>
+        val words = (0 until 1 + rnd.nextInt(10)).map(_ =>
+          (0 until 1 + rnd.nextInt(6)).map(_ =>
+            vocabChars(rnd.nextInt(vocabChars.length))).mkString)
+        (i.toLong, words.mkString(" "))
+      }.toDF("doc_id", "text")
+      val k = 2 + rnd.nextInt(5)
+      val local = TextAnalysis.bpeMerges(docs, "text", k).collect().toSeq
+      val dist = TextAnalysis.bpeMerges(docs, "text", k, localVocabLimit = 0L)
+        .collect().toSeq
+      assert(local == dist, s"trial $trial k=$k: local=$local dist=$dist")
+    }
+  }
+
   // ---------------- threshold similarity search ----------------
 
   test("rangeSearch == threshold-filtered brute force (cosineFold reference)") {
