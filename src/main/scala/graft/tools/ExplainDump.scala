@@ -64,7 +64,7 @@ object ExplainDump {
       "q69_trailing_window_skewed" -> "skew-safe time-range window: home+ghost copies run q65's RANGE frame per (user, bucket) — 2x exchanged rows for |buckets|x hot-key parallelism; decimal accumulation keeps the regrouped sums bit-identical",
       "m04_wav_decode" -> "real WAV codec roundtrip: encode + parse both in ONE mapPartitions stage over the documents scan (no shuffle anywhere — payload bytes never leave the executor); presentation sort is the only exchange",
       "d14_semantic_dedup" -> "SemDeDup: seed-centroid assignment is the s07 map-only projection (no join/shuffle); ONE cell-keyed exchange bounds the near-dup search to within-cluster pairs (raise k at scale to cap cell size); the drop-flag join moves (id, cell, bool) only",
-      "t22_bigram_logprob" -> "bigram-LM log-prob: the per-doc bigram counts materialize ONCE (cached hash-only frame — the InMemoryRelation in this plan); corpus bigram/context tables re-aggregate that frame, so the corpus tokenizes exactly once; token array projected before the bigram lambda (an inline split would re-split per element access — O(T^2)/doc interpreted HOF work)",
+      "t22_bigram_logprob" -> "bigram-LM log-prob: the one-pass BigramHashes kernel feeds a cache-FREE plan — the three consumers (bigram freq, context freq, per-doc join) share the scan->kernel->partial-agg chain through AQE exchange reuse (round-10 profile: the cached variant measured strictly slower); every exchange carries longs, never strings",
       "t23_ngram_novelty" -> "n-gram novelty: NO posting-list shuffle — the shingle-keyed min(id) partial-aggregates map-side (one winner row per distinct shingle crosses the wire, hot shingles pre-collapsed), per-doc totals are a scan-stage size(kernel) projection, final join moves three longs per doc",
       "m05_bmp_decode" -> "real BMP codec roundtrip: bottom-up strided 24bpp encode + parse in ONE mapPartitions stage (m04 contract — no shuffle, payloads stay executor-side); presentation sort is the only exchange",
       "d15_semantic_dedup_incr" -> "incremental SemDeDup: corpus-seeded map-only assignment on BOTH sides; the batch side broadcasts against the corpus scan (the d10 move — corpus never shuffles), batch-internal pairs are batch-sized",
@@ -73,11 +73,11 @@ object ExplainDump {
       "t26_zipf_fit" -> "Zipf fit: one token-keyed partial-agg exchange + TakeOrderedAndProject; the rank window and OLS sums touch top-N rows only, so the regression is corpus-size-independent",
       "m06_bmp_resize" -> "real resize roundtrip: encode + pixel decode + nearest-neighbor resample + re-encode + decode ALL in one mapPartitions chain over the scan — no shuffle; presentation sort is the only exchange",
       "m07_wav_resample" -> "real audio resample roundtrip: PCM decode + rate conversion + re-encode + decode in one mapPartitions chain — the m06 contract for the audio container",
-      "t27_interpolated_logprob" -> "interpolated LM: the t22 single-materialization shape (per-doc bigram counts cached once, consumers re-aggregate the hash-only InMemoryRelation) plus the unigram back-off join; the unigram table is a second SCAN-STAGE tokenization — cheaper than materializing a shared tagged stream through a corpus-wide exchange",
+      "t27_interpolated_logprob" -> "interpolated LM: the t22 cache-free kernel shape plus the unigram back-off join; the unigram table is a second one-pass kernel tokenization (it needs the final tokens bigrams miss) — two cheap scan passes beat materializing a shared tagged stream through a corpus-wide exchange",
       "t28_temperature_mix" -> "temperature mixing weights: one source-keyed partial-agg groupBy; the weight windows run over source-cardinality rows (a handful), so the operator is one exchange however large the corpus",
       "m08_avi_frame_stats" -> "real video codec roundtrip: text -> RIFF-AVI encode -> container parse -> per-frame stats ALL in one mapPartitions chain over the scan (the m04/m05 contract for the video container) — payload bytes never leave the executor; presentation sort is the only exchange",
       "t29_nb_quality_score" -> "Naive-Bayes quality score: tokens hash map-side, per-doc counts materialize ONCE (cached hash-only frame) feeding the class table and the scoring join; class totals a 1-row broadcast — two partial-aggregated exchanges regardless of corpus size",
-      "t30_importance_weights" -> "DSIR importance weights: the t22 bigram kernel (projected token array, O(T)/doc) + one cached per-doc feature frame; the feature-frequency join moves hashes and counts only, totals broadcast — the raw corpus tokenizes exactly once",
+      "t30_importance_weights" -> "DSIR importance weights: the BigramHashes kernel (h12 = the joined-bigram slice hash) in a cache-free plan — feature-frequency table and scoring join share the counts chain via AQE exchange reuse; hashes and counts only, totals broadcast",
       "d05_embedding_neardup" -> "cell-BLOCKED near-dup pairs: map-only inlined-centroid assignment (no join), ONE cell-keyed exchange bounds pair work to (|cell|^2)/2 per cell — the SemDeDup blocking as a pair REPORTER; the all-pairs brute force survives only as Round9Spec's differential ground truth",
       "t35_pmi_collocations" -> "PMI collocations: ONE bigram-pair partial-agg exchange is the only corpus-sized step (hot pairs collapse map-side); marginals re-aggregate the cached distinct-bigram InMemoryRelation, total is a 1-row broadcast, top-k is TakeOrderedAndProject on the pre-round double",
       "t36_vocab_overlap" -> "vocab overlap: tokens hash map-side so the DISTINCT shuffle and the intersection self-join move (group, long) only; the self-join is hash-keyed and bucket-local (<= G^2 rows per distinct hash); the G-row size grid is an explicit double broadcast so empty intersections survive",
