@@ -2675,6 +2675,29 @@ object SparkEntry {
         .orderBy(col("lang"))
     })
 
+  // QUALIFY — DataFusion's post-window filter clause (planned since
+  // DF 31, `datafusion/sql/src/select.rs`; the reference accepts it
+  // verbatim through `lib/src/context/session.rs:664`). Spark has no
+  // QUALIFY: SqlRewrite.rewriteQualify restructures the block into a
+  // subquery computing the predicate beside the select list, filtered
+  // outside. Submitted THROUGH the SQL door; DuckDB runs the
+  // identical QUALIFY text natively, so the rewrite is graded against
+  // a native implementation. One shuffle (the window partition), no
+  // extra exchange: the helper predicate rides the same Window
+  // operator as the projected rank.
+  private val q71 = Q("q71_qualify", Some(qualifySql),
+    (s, dir) => {
+      registerViews(s, dir, "orders")
+      s.sql(SqlRewrite.rewrite(qualifySql))
+    })
+
+  private lazy val qualifySql = """
+    SELECT o_custkey, o_orderkey,
+      CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS BIGINT) AS rn
+    FROM orders WHERE o_orderkey <= 2000
+    QUALIFY rn <= 2
+    ORDER BY o_custkey, o_orderkey"""
+
   // EXACT percentiles per group (Spark `percentile` vs DuckDB
   // `quantile_cont` — same linear interpolation, verified
   // bit-identical). Exact percentile buffers each group's values at
@@ -4491,7 +4514,7 @@ object SparkEntry {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
-    q66, q67, q68, q69, q70,
+    q66, q67, q68, q69, q70, q71,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
     d17, d18, d19, d20, d21, d22,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,

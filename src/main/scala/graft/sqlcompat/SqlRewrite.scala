@@ -24,8 +24,21 @@ object SqlRewrite {
 
   /** Full rewrite pipeline. */
   def rewrite(sql: String): String =
-    rewriteGroupsFrames(
-      rewriteDistinctOn(rewritePostfixCast(rewriteUnnest(rewriteFederatedNames(sql)))))
+    rewriteGroupsFrames(rewriteQualify(rewriteDistinctOn(
+      rewritePostfixCast(rewriteExcludeWildcard(rewriteUnnest(rewriteFederatedNames(sql)))))))
+
+  // `* EXCLUDE (a, b)` / `* EXCLUDE a` wildcard option (DataFusion
+  // plans ExcludeSelectItem alongside the EXCEPT spelling —
+  // `datafusion/sql/src/expr/mod.rs`; Spark only parses `* EXCEPT
+  // (…)`). Only the wildcard POSITION rewrites: the `*` must follow
+  // SELECT/DISTINCT/','/'('/'.'. so a multiplication by a column
+  // named `exclude` (`a * exclude`) is untouched.
+  private val ExcludeWildcard =
+    """(?is)([,(.]|\bSELECT\b|\bDISTINCT\b)(\s*\*\s*)EXCLUDE\s*(?:\(\s*([^()]*?)\s*\)|([A-Za-z_][A-Za-z0-9_]*))""".r
+  private[sqlcompat] def rewriteExcludeWildcard(sql: String): String =
+    mapCode(sql)(code => ExcludeWildcard.replaceAllIn(code, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        s"${m.group(1)}${m.group(2)}EXCEPT (${Option(m.group(3)).getOrElse(m.group(4))})")))
 
   // ----------------------------------------------------------------
   // Tokenizer: splits SQL into (text, isCode) runs where isCode=false
@@ -267,6 +280,223 @@ object SqlRewrite {
         val outerCols = outerItems.mkString(", ")
         s"""SELECT $outerCols FROM (SELECT $innerCols, $hidden, ROW_NUMBER() OVER (PARTITION BY $keys ORDER BY $windowOrd) AS __graft_rn FROM ${rest.trim}) WHERE __graft_rn = 1 ORDER BY $outerOrd$lim"""
     }
+  }
+
+  // ----------------------------------------------------------------
+  // QUALIFY (DataFusion ≥ 31 plans it as a post-window filter —
+  // `datafusion/sql/src/select.rs`, reference dialect via
+  // `lib/src/context/session.rs:664`; Spark ≤ 4.1 has no QUALIFY).
+  //
+  //   SELECT [DISTINCT] sl FROM src … QUALIFY pred [ORDER BY o] [LIMIT n]
+  //   → SELECT [DISTINCT] names(sl)
+  //     FROM (SELECT sl, o AS __graft_qoK …, (pred') AS __graft_q
+  //           FROM src …) __graft_qf
+  //     WHERE __graft_q [ORDER BY __graft_qoK …] [LIMIT n]
+  //
+  // where pred'/o' substitute select-list aliases with their source
+  // expressions (QUALIFY may reference window-expression aliases; a
+  // subquery level cannot). `src …` keeps WHERE/GROUP BY/HAVING/WINDOW
+  // verbatim, so windows-over-aggregates and named windows still
+  // resolve. Caveat (documented, pathological): an alias that shadows
+  // a DIFFERENT base column resolves to the alias here, to the base
+  // column in DataFusion. Qualified stars (a.*) and DISTINCT+ORDER BY
+  // hybrids fall back to original text (Spark's parse error), same
+  // policy as the GROUPS rewrite.
+  // ----------------------------------------------------------------
+  private[sqlcompat] def rewriteQualify(sql: String): String = {
+    var cur = sql
+    var guard = 0
+    var changed = true
+    while (changed && guard < 8) {
+      guard += 1
+      rewriteOneQualifyBlock(cur) match {
+        case Some(next) => cur = next
+        case None => changed = false
+      }
+    }
+    cur
+  }
+
+  /** Position of the first top-of-its-SELECT `QUALIFY` clause keyword
+    * in a code run; -1 when none. Occurrences where the preceding
+    * significant token expects an operand (WHERE/AND/','/'('/operator)
+    * are identifier uses, not the clause.
+    */
+  private def findQualifyKeyword(sql: String): Int = {
+    val mask = codeMask(sql)
+    val QualifyWord = """(?is)\bQUALIFY\b""".r
+    val operandCtx = Set("WHERE", "AND", "OR", "NOT", "BY", "SELECT",
+      "ON", "WHEN", "THEN", "ELSE", "CASE", "AS", "IN", "LIKE",
+      "BETWEEN", "DISTINCT", "ALL", "FROM", "JOIN", "OVER", "HAVING")
+    QualifyWord.findAllMatchIn(sql).map(_.start).find { at =>
+      mask(at) && {
+        var i = at - 1
+        while (i >= 0 && sql.charAt(i).isWhitespace) i -= 1
+        if (i < 0) false
+        else {
+          val c = sql.charAt(i)
+          if (",(=<>+-*/%|&!.".indexOf(c) >= 0) false
+          else if (isWordChar(c)) {
+            var j = i
+            while (j >= 0 && isWordChar(sql.charAt(j))) j -= 1
+            !operandCtx.contains(sql.substring(j + 1, i + 1).toUpperCase)
+          } else true // ')', quote-run boundary, … — a clause can end here
+        }
+      }
+    }.getOrElse(-1)
+  }
+
+  /** Rewrite the SELECT block enclosing the first QUALIFY clause; None
+    * when there is nothing (safe) to rewrite.
+    */
+  private def rewriteOneQualifyBlock(sql: String): Option[String] = {
+    val qAt = findQualifyKeyword(sql)
+    if (qAt < 0) return None
+    val mask = codeMask(sql)
+    // enclosing SELECT: nearest preceding SELECT at depth 0 (a
+    // subquery's SELECT is met before its opening paren — see the
+    // identical GROUPS-block search above)
+    var depth = 0
+    var i = qAt - 1
+    var selAt = -1
+    while (i >= 0 && selAt < 0) {
+      if (mask(i)) sql.charAt(i) match {
+        case ')' => depth += 1
+        case '(' => if (depth > 0) depth -= 1
+        case c if depth == 0 && (c == 't' || c == 'T') && i >= 5 &&
+            sql.substring(i - 5, i + 1).toUpperCase == "SELECT" &&
+            mask(i - 5) &&
+            (i - 5 == 0 || !isWordChar(sql.charAt(i - 6))) &&
+            (i + 1 == sql.length || !isWordChar(sql.charAt(i + 1))) =>
+          selAt = i - 5
+        case _ =>
+      }
+      i -= 1
+    }
+    if (selAt < 0) return None
+    // block end: unmatched ')', ';', or a set-op keyword after FROM
+    depth = 0
+    i = selAt
+    var blockEnd = sql.length
+    var seenFrom = false
+    def wordAt(at: Int, w: String): Boolean =
+      at + w.length <= sql.length &&
+        sql.substring(at, at + w.length).toUpperCase == w &&
+        (at == 0 || !isWordChar(sql.charAt(at - 1))) &&
+        (at + w.length == sql.length || !isWordChar(sql.charAt(at + w.length)))
+    while (i < sql.length && blockEnd == sql.length) {
+      if (mask(i)) sql.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => if (depth > 0) depth -= 1 else blockEnd = i
+        case ';' if depth == 0 => blockEnd = i
+        case c if depth == 0 && c.isLetter =>
+          if (!seenFrom && wordAt(i, "FROM")) seenFrom = true
+          else if (seenFrom &&
+              Seq("UNION", "INTERSECT", "EXCEPT", "MINUS").exists(wordAt(i, _)))
+            blockEnd = i
+        case _ =>
+      }
+      i += 1
+    }
+    val block = sql.substring(selAt, blockEnd)
+    val sep = if (blockEnd < sql.length &&
+      isWordChar(sql.charAt(blockEnd))) " " else ""
+    rewriteQualifySelect(block).map(nb =>
+      sql.substring(0, selAt) + nb + sep + sql.substring(blockEnd))
+  }
+
+  /** Restructure one SELECT block carrying a top-level QUALIFY. */
+  private def rewriteQualifySelect(block: String): Option[String] = {
+    val fromAt = findTopLevelKeyword(block, "FROM")
+    if (fromAt < 0) return None
+    var cols = block.substring("SELECT".length, fromAt).trim
+    val distinct = """(?is)^DISTINCT\b""".r.findFirstIn(cols).isDefined
+    if (distinct) cols = cols.substring("DISTINCT".length).trim
+    val tail = block.substring(fromAt + 4)
+    val qInTail = findQualifyKeyword(tail)
+    if (qInTail < 0) return None
+    // the found QUALIFY must be top-level within THIS block's tail
+    if (findTopLevelKeyword(tail, "QUALIFY") != qInTail) return None
+    val source = tail.substring(0, qInTail)
+    val afterQ = tail.substring(qInTail + "QUALIFY".length)
+    val (predText, order, limit) =
+      splitTopLevelOrderLimit(afterQ.stripSuffix(";").trim)
+    val pred = predText.trim
+    if (pred.isEmpty) return None
+
+    // select-list items → (inner item, outer reference, alias→expr)
+    val Aliased = """(?is)^(.*\S)\s+AS\s+(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\s*$""".r
+    val IdentPath = """(?is)^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*$""".r
+    val BareAlias = """(?is)^([A-Za-z_][A-Za-z0-9_.]*)\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+    val Star = """(?is)^(?:[A-Za-z_][A-Za-z0-9_]*\.)*\*$""".r
+    val items = splitTopLevelCommas(cols).map(_.trim).filter(_.nonEmpty)
+    if (items.exists(s => s != "*" && Star.findFirstIn(s).isDefined))
+      return None // qualified star cannot survive the subquery
+    val StarExcept = """(?is)^\*\s*EXCEPT\s*\(.*\)$""".r
+    val aliasExpr = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val (innerItems, outerItems) = items.map {
+      case "*" => ("*", "*") // EXCEPT list appended below
+      case it @ StarExcept() => (it, "*") // inner already narrows; outer
+                                          // only hides the helpers
+      case it @ Aliased(expr, alias) if !alias.startsWith("`") =>
+        if (expr.trim.toLowerCase != alias.toLowerCase)
+          aliasExpr(alias) = expr.trim
+        (it, alias)
+      case it @ Aliased(_, alias) => (it, alias)
+      case it @ IdentPath(_) => (it, it.substring(it.lastIndexOf('.') + 1))
+      case it @ BareAlias(expr, alias) =>
+        if (expr.trim.toLowerCase != alias.toLowerCase)
+          aliasExpr(alias) = expr.trim
+        (it, alias)
+      case it =>
+        val name = it.replace("`", "")
+        (s"$it AS `$name`", s"`$name`")
+    }.unzip
+
+    // substitute select-list aliases (QUALIFY / its ORDER BY may
+    // reference them; a subquery level cannot) — code runs only,
+    // whole-word, never a function call or dotted path member
+    def substAliases(text: String): String =
+      aliasExpr.foldLeft(text) { case (t, (alias, expr)) =>
+        val re = ("""(?i)(?<![\w.`])""" + java.util.regex.Pattern.quote(alias) +
+          """(?![\w.`]|\s*\()""").r
+        mapCode(t)(code => re.replaceAllIn(code,
+          scala.util.matching.Regex.quoteReplacement(s"($expr)")))
+      }
+
+    val predInner = substAliases(pred)
+    val lim = limit.map(" " + _.trim).getOrElse("")
+
+    // ORDER BY through hidden helper columns (its expressions may not
+    // be projected); DISTINCT restricts ORDER BY to output columns, so
+    // there the original text is kept verbatim on the outer select
+    val Item = """(?is)^(.*?)\s*(ASC|DESC)?\s*(NULLS\s+(?:FIRST|LAST))?\s*$""".r
+    val (helperDefs, outerOrder) = order.map(_.trim).filter(_.nonEmpty) match {
+      case Some(ordText) if !distinct =>
+        val its = splitTopLevelCommas(ordText).map(_.trim).filter(_.nonEmpty)
+          .zipWithIndex.map { case (it, k) =>
+            it match {
+              case Item(e, dir, nulls) =>
+                (s"${substAliases(e.trim)} AS __graft_qo$k",
+                  s"__graft_qo$k" + Option(dir).map(" " + _).getOrElse("") +
+                    Option(nulls).map(" " + _).getOrElse(""))
+              case _ => (s"${substAliases(it)} AS __graft_qo$k", s"__graft_qo$k")
+            }
+          }
+        (its.map(_._1), s" ORDER BY ${its.map(_._2).mkString(", ")}")
+      case Some(ordText) => (Nil, s" ORDER BY $ordText")
+      case None => (Nil, "")
+    }
+    val helperNames = helperDefs.indices.map(k => s"__graft_qo$k") :+ "__graft_q"
+    val outerCols = outerItems.map {
+      case "*" => s"* EXCEPT (${helperNames.mkString(", ")})"
+      case s => s
+    }.mkString(", ")
+    val innerCols = (innerItems ++ helperDefs :+
+      s"($predInner) AS __graft_q").mkString(", ")
+    val distinctKw = if (distinct) "DISTINCT " else ""
+    Some(s"SELECT $distinctKw$outerCols FROM (SELECT $innerCols FROM " +
+      s"${source.trim}) __graft_qf WHERE __graft_q$outerOrder$lim")
   }
 
   // ----------------------------------------------------------------

@@ -518,6 +518,35 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("QUALIFY rewrite matches DuckDB's native QUALIFY on directed forms") {
+    // DuckDB implements QUALIFY natively (post-window filter, same
+    // semantics as DataFusion's `select.rs` planning); the Spark side
+    // runs the SAME text through SqlRewrite — grading the rewrite
+    // against a native engine implementation across the clause forms:
+    // window alias, inline window over unprojected columns, window
+    // over an aggregated select, DISTINCT, and LIMIT.
+    sparkViews()
+    val qs = Seq(
+      "SELECT o_custkey, o_orderkey, CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS BIGINT) AS rn " +
+        "FROM orders WHERE o_orderkey <= 2000 QUALIFY rn <= 2 ORDER BY o_custkey, o_orderkey",
+      "SELECT n_name FROM nation QUALIFY ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_name) = 1 ORDER BY n_name",
+      "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY o_orderstatus " +
+        "QUALIFY ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, o_orderstatus) <= 2 ORDER BY n DESC, o_orderstatus",
+      "SELECT DISTINCT o_orderstatus FROM orders QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) = 1 ORDER BY o_orderstatus",
+      "SELECT o_custkey, o_orderkey FROM orders WHERE o_orderkey <= 500 " +
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) = 1 ORDER BY o_custkey LIMIT 10",
+      "SELECT * FROM nation QUALIFY ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) = 1 ORDER BY n_nationkey",
+      // * EXCLUDE wildcard option (rewritten to Spark's * EXCEPT;
+      // DuckDB runs EXCLUDE natively)
+      "SELECT * EXCLUDE (n_name) FROM nation ORDER BY n_nationkey",
+      "SELECT * EXCLUDE n_regionkey FROM nation QUALIFY ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) <= 2 ORDER BY n_nationkey")
+    qs.foreach { q =>
+      val sp = runSpark(graft.sqlcompat.SqlRewrite.rewrite(q))
+      val du = runDuck(q)
+      assert(sp == du, s"QUALIFY diverged on:\n$q\nspark: ${sp.take(3)}\nduck: ${du.take(3)}")
+    }
+  }
+
   test("the compat rewrite path is transparent on 50 generated ANSI queries") {
     // SessionManager.sql runs every query through the tokenizer-based
     // SqlRewrite (:: casts, DISTINCT ON, GROUPS frames, table@ns ...);

@@ -193,4 +193,87 @@ class SqlRewriteSpec extends AnyFunSuite {
     val sql = "SELECT a.*, sum(v) OVER (ORDER BY o GROUPS 1 PRECEDING) s FROM a JOIN b USING (k)"
     assert(SqlRewrite.rewrite(sql) == sql)
   }
+
+  test("QUALIFY with a window alias becomes a post-window filter") {
+    val out = SqlRewrite.rewrite(
+      "SELECT k, ROW_NUMBER() OVER (PARTITION BY k ORDER BY v) AS rn FROM t QUALIFY rn <= 2 ORDER BY k")
+    assert(!out.toUpperCase.contains("QUALIFY"), out)
+    assert(out.contains("WHERE __graft_q"), out)
+    // the alias is substituted by its window expression inside the predicate
+    assert(out.contains("((ROW_NUMBER() OVER (PARTITION BY k ORDER BY v)) <= 2) AS __graft_q"), out)
+    // ORDER BY rides a hidden helper column
+    assert(out.contains("k AS __graft_qo0"), out)
+    assert(out.contains("ORDER BY __graft_qo0"), out)
+  }
+
+  test("QUALIFY with an inline window expression and no projection of it") {
+    val out = SqlRewrite.rewrite(
+      "SELECT name FROM t QUALIFY ROW_NUMBER() OVER (PARTITION BY grp ORDER BY name) = 1")
+    assert(out.contains("(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY name) = 1) AS __graft_q"), out)
+    assert(out.startsWith("SELECT name FROM (SELECT name,"), out)
+  }
+
+  test("QUALIFY keeps WHERE / GROUP BY inside the subquery") {
+    val out = SqlRewrite.rewrite(
+      "SELECT g, COUNT(*) AS n FROM t WHERE v > 0 GROUP BY g QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC) <= 3")
+    assert(out.contains("FROM t WHERE v > 0 GROUP BY g) __graft_qf"), out)
+    // the aggregate alias in the OVER clause is substituted too
+    assert(out.contains("ORDER BY (COUNT(*)) DESC"), out)
+  }
+
+  test("QUALIFY with a bare star hides the helper columns") {
+    val out = SqlRewrite.rewrite(
+      "SELECT * FROM t QUALIFY ROW_NUMBER() OVER (ORDER BY v) = 1")
+    assert(out.startsWith("SELECT * EXCEPT (__graft_q) FROM"), out)
+  }
+
+  test("QUALIFY with LIMIT keeps the limit on the outer select") {
+    val out = SqlRewrite.rewrite(
+      "SELECT k FROM t QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY v) = 1 ORDER BY k LIMIT 10")
+    assert(out.endsWith("LIMIT 10"), out)
+    assert(out.contains("WHERE __graft_q ORDER BY __graft_qo0 LIMIT 10"), out)
+  }
+
+  test("an identifier named qualify is not mistaken for the clause") {
+    val sql = "SELECT k FROM t WHERE qualify = 1"
+    assert(SqlRewrite.rewrite(sql) == sql)
+    val sql2 = "SELECT qualify FROM t"
+    assert(SqlRewrite.rewrite(sql2) == sql2)
+  }
+
+  test("QUALIFY inside a string literal is untouched") {
+    val sql = "SELECT 'QUALIFY rn = 1' AS s FROM t"
+    assert(SqlRewrite.rewrite(sql) == sql)
+  }
+
+  test("QUALIFY in a subquery rewrites only that block") {
+    val out = SqlRewrite.rewrite(
+      "SELECT * FROM (SELECT k, v FROM t QUALIFY ROW_NUMBER() OVER (ORDER BY v) <= 5) x WHERE k > 0")
+    assert(!out.toUpperCase.contains("QUALIFY"), out)
+    assert(out.startsWith("SELECT * FROM (SELECT k, v FROM (SELECT k, v,"), out)
+    assert(out.endsWith("x WHERE k > 0"), out)
+  }
+
+  test("QUALIFY with DISTINCT lifts DISTINCT to the outer select") {
+    val out = SqlRewrite.rewrite(
+      "SELECT DISTINCT k FROM t QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY v) = 1")
+    assert(out.startsWith("SELECT DISTINCT k FROM (SELECT k,"), out)
+  }
+
+  test("* EXCLUDE (cols) becomes * EXCEPT (cols)") {
+    assert(SqlRewrite.rewrite("SELECT * EXCLUDE (a, b) FROM t") ==
+      "SELECT * EXCEPT (a, b) FROM t")
+    assert(SqlRewrite.rewrite("SELECT t.* EXCLUDE (a) FROM t") ==
+      "SELECT t.* EXCEPT (a) FROM t")
+  }
+
+  test("* EXCLUDE without parens wraps the single column") {
+    assert(SqlRewrite.rewrite("SELECT * EXCLUDE secret FROM t") ==
+      "SELECT * EXCEPT (secret) FROM t")
+  }
+
+  test("an identifier named exclude is untouched outside the wildcard position") {
+    val sql = "SELECT exclude FROM t WHERE exclude = 1"
+    assert(SqlRewrite.rewrite(sql) == sql)
+  }
 }
