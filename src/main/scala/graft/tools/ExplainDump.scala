@@ -100,6 +100,7 @@ object ExplainDump {
       "m12_frame_phash_dedup" -> "frame phash scene dedup: AVI chunk walk + per-frame lattice hash in ONE mapPartitions chain, then a single sample-keyed lag window over 4-long rows for the dup_prev flags — video bytes never cross an exchange",
       "t43_calibration_bins" -> "calibration bins: the t15 entropy aggregation, one global NTILE sort (the exact-cut oracle contract; swap for approx_percentile boundaries at 100 TB), then a bin-keyed partial aggregation with DECIMAL-exact score sums",
       "t44_bpe_merges" -> "BPE merges: an EAGER driver-loop operator (the MMR/RecursiveCte class) — the result frame below is the assembled merge table; the corpus-scale work already ran as one word-frequency partial-agg exchange, and the k rounds iterated on the vocab (driver-local under the size threshold, cache-swapped vocab-frame passes above it)",
+      "q71_qualify" -> "QUALIFY via the SQL-door rewrite: the predicate rides the SAME Window operator as the projected rank (Spark dedups the identical window expression) — one keyed exchange for the window partition, then a plain Filter; no second window, no extra shuffle",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")
