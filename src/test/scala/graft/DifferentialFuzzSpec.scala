@@ -547,6 +547,47 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("QUALIFY fuzz: 60 generated clause forms match DuckDB's native QUALIFY") {
+    // random table / partition column / rank function / predicate
+    // shape (projected alias, inline window, * EXCLUDE), window
+    // ordered by the table's unique key so ROW_NUMBER stays
+    // deterministic under ties
+    sparkViews()
+    val rnd = new scala.util.Random(77)
+    val uniq = Seq("nation" -> "n_nationkey", "region" -> "r_regionkey",
+      "customer" -> "c_custkey", "orders" -> "o_orderkey",
+      "supplier" -> "s_suppkey", "part" -> "p_partkey")
+    (1 to 60).foreach { i =>
+      val (t, key) = uniq(rnd.nextInt(uniq.size))
+      val (ics, scs) = cols(t)
+      val rest = (ics ++ scs).filter(_ != key)
+      val pcol = rest(rnd.nextInt(rest.size))
+      val fn = Seq("ROW_NUMBER()", "RANK()", "DENSE_RANK()")(rnd.nextInt(3))
+      val dir = if (rnd.nextBoolean()) "" else " DESC"
+      val k = 1 + rnd.nextInt(3)
+      val over = s"$fn OVER (PARTITION BY $pcol ORDER BY $key$dir)"
+      val where = if (rnd.nextBoolean()) s" WHERE ${intPred(rnd, ics.head)}" else ""
+      val sql = rnd.nextInt(3) match {
+        case 0 => s"SELECT $pcol, $key, $over AS rn FROM $t$where QUALIFY rn <= $k ORDER BY $key"
+        case 1 => s"SELECT $pcol, $key FROM $t$where QUALIFY $over <= $k ORDER BY $key"
+        case 2 => s"SELECT * EXCLUDE ($pcol) FROM $t$where QUALIFY $over = 1 ORDER BY $key"
+      }
+      // a bare star drags timestamp columns along, rendered
+      // LocalDateTime-style by Spark and Timestamp-style by JDBC —
+      // canonicalize both to "yyyy-MM-dd HH:mm:ss"
+      val Ts = """^(\d{4}-\d{2}-\d{2})[T ](\d{2}:\d{2})(?::(\d{2}))?(?:\.\d+)?$""".r
+      def norm(rows: Seq[Seq[String]]) = rows.map(_.map {
+        case Ts(day, hm, sec) => s"$day $hm:${Option(sec).getOrElse("00")}"
+        case v => v
+      })
+      val s = norm(runSpark(graft.sqlcompat.SqlRewrite.rewrite(sql)))
+      val d = norm(runDuck(sql))
+      assert(s == d,
+        s"QUALIFY fuzz #$i diverged (${s.size} vs ${d.size} rows):\n$sql\n" +
+          s"spark: ${s.take(3)}\nduck: ${d.take(3)}")
+    }
+  }
+
   test("the compat rewrite path is transparent on 50 generated ANSI queries") {
     // SessionManager.sql runs every query through the tokenizer-based
     // SqlRewrite (:: casts, DISTINCT ON, GROUPS frames, table@ns ...);
