@@ -63,6 +63,21 @@ class SessionManagerSpec extends AnyFunSuite {
       // DataFusion-style postfix cast
       val r = mgr.sql(h, "SELECT k::STRING AS ks FROM t2").collect()
       assert(r.head.getString(0) == "1")
+      // QUALIFY + * EXCLUDE reach the session route through the same
+      // rewrite pipeline
+      mgr.registerTable(h, Seq((1, "a", 10), (2, "a", 20), (3, "b", 30)).toDF("id", "g", "v"),
+        DataSourceDef("t3", "json", None, None))
+      val q = mgr.sql(h,
+        "SELECT * EXCLUDE (v) FROM t3 QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC) = 1 ORDER BY id")
+        .collect()
+      assert(q.map(r2 => (r2.getInt(0), r2.getString(1))).toSeq == Seq((2, "a"), (3, "b")))
+      assert(q.head.length == 2, "v and helper columns must not leak")
+      // QUALIFY composing with a GROUPS frame in the predicate, run
+      // end-to-end: windows 1-prec..1-foll over v = {30, 60, 50}
+      val g2 = mgr.sql(h,
+        "SELECT id FROM t3 QUALIFY sum(v) OVER (ORDER BY id GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) >= 50 ORDER BY id")
+        .collect()
+      assert(g2.map(_.getInt(0)).toSeq == Seq(2, 3))
     } finally mgr.shutdown()
   }
 

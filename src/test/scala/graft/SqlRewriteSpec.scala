@@ -276,4 +276,16 @@ class SqlRewriteSpec extends AnyFunSuite {
     val sql = "SELECT exclude FROM t WHERE exclude = 1"
     assert(SqlRewrite.rewrite(sql) == sql)
   }
+
+  test("QUALIFY composes with a GROUPS frame in the predicate") {
+    // pipeline order: QUALIFY first (the predicate lands in a select
+    // list), then the GROUPS pass rewrites the spec it now contains
+    val out = SqlRewrite.rewrite(
+      "SELECT k, v FROM t QUALIFY sum(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) > 10")
+    assert(!out.toUpperCase.contains("QUALIFY"), out)
+    assert(!out.toUpperCase.contains("GROUPS"), out)
+    assert(out.contains("DENSE_RANK() OVER (ORDER BY k) AS __graft_dr0"), out)
+    assert(out.contains("ORDER BY __graft_dr0 RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING"), out)
+    assert(out.contains("WHERE __graft_q"), out)
+  }
 }
