@@ -192,6 +192,8 @@ final class SessionManager(root: SparkSession, reaperPeriodMs: Long = 1000L) {
       // INSERT forms the mem-table parser doesn't cover fall through
       // to spark.sql (appliesTo is false).
       graft.sqlcompat.InsertInto.execute(h.spark, rewritten, onNewState = trackTable(h))
+    else if (graft.sqlcompat.ExternalTable.appliesTo(rewritten))
+      createExternalTable(h, rewritten)
     else if (graft.sqlcompat.MemDdl.isCtas(rewritten))
       graft.sqlcompat.MemDdl.createTableAs(h.spark, rewritten, onNewState = trackTable(h))
     else if (graft.sqlcompat.MemDdl.appliesToDrop(h.spark, rewritten))
@@ -202,6 +204,40 @@ final class SessionManager(root: SparkSession, reaperPeriodMs: Long = 1000L) {
         if (prev != null) { try prev.unpersist() catch { case _: Throwable => () } }: Unit
       })
     else h.spark.sql(rewritten)
+  }
+
+  /** `CREATE EXTERNAL TABLE` (DataFusion DDL through the SQL door —
+    * reference `lib/src/context/session.rs:664`): bind a lazy scan
+    * over the location as a session table. Registered as a
+    * data-source record too, so the REST datasource list/detail/
+    * remove routes see it like any route-registered source. Returns
+    * DataFusion's shape for DDL: an empty relation.
+    */
+  private def createExternalTable(h: SessionHandle, sqlText: String): DataFrame = {
+    val p = graft.sqlcompat.ExternalTable.parse(sqlText).get
+    if (h.spark.catalog.tableExists(p.table)) {
+      if (p.ifNotExists) return h.spark.emptyDataFrame
+      throw new IllegalArgumentException(
+        s"CREATE EXTERNAL TABLE: table exists: ${p.table}")
+    }
+    val hasHeader = p.options.get("format.has_header")
+      .forall(_.equalsIgnoreCase("true"))
+    val delimiter = p.options.get("format.delimiter")
+      .filter(_.length == 1).map(_.head).getOrElse(',')
+    val df = p.format match {
+      case "PARQUET" => graft.ingest.Readers.parquet(h.spark, p.location)
+      case "CSV" => graft.ingest.Readers.csv(h.spark, p.location,
+        graft.ingest.IngestOptions(hasHeader = hasHeader, delimiter = delimiter))
+      case "JSON" | "NDJSON" => graft.ingest.Readers.ndJson(h.spark, p.location)
+      case "AVRO" => graft.ingest.AvroReader.read(h.spark, p.location)
+      case "ARROW" => graft.ingest.Readers.arrow(h.spark, p.location)
+      case other => throw new IllegalArgumentException(
+        s"CREATE EXTERNAL TABLE: unsupported STORED AS $other " +
+          "(expected PARQUET, CSV, JSON, NDJSON, AVRO or ARROW)")
+    }
+    registerTable(h, df, DataSourceDef(p.table, p.format.toLowerCase,
+      Some(p.location), None))
+    h.spark.emptyDataFrame
   }
 
   /** Cache-lifecycle tracker for materialized mem-table states

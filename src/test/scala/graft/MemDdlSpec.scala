@@ -62,4 +62,61 @@ class MemDdlSpec extends AnyFunSuite {
       intercept[org.apache.spark.sql.AnalysisException] { mgr.sql(h, "DROP TABLE t") }
     } finally mgr.shutdown()
   }
+
+  test("CREATE EXTERNAL TABLE registers a lazy scan queryable by SQL") {
+    val mgr = new graft.engine.SessionManager(spark)
+    try {
+      val h = mgr.create(Some("ext1"))
+      val ddl = "CREATE EXTERNAL TABLE ext_orders STORED AS PARQUET " +
+        s"LOCATION '${SparkFixture.sfDir}/orders.parquet'"
+      assert(mgr.sql(h, ddl).collect().isEmpty) // DDL → empty relation
+      val n = mgr.sql(h, "SELECT COUNT(*) AS n FROM ext_orders")
+        .collect().head.getLong(0)
+      assert(n > 0)
+      // registered as a data-source record (REST list/detail parity)
+      val ds = h.dataSources.get("ext_orders")
+      assert(ds != null && ds.format == "parquet" &&
+        ds.location.exists(_.endsWith("orders.parquet")))
+      // existing name: plain create fails, IF NOT EXISTS is a no-op
+      intercept[IllegalArgumentException] { mgr.sql(h, ddl) }
+      assert(mgr.sql(h,
+        "CREATE EXTERNAL TABLE IF NOT EXISTS ext_orders STORED AS PARQUET " +
+          s"LOCATION '${SparkFixture.sfDir}/orders.parquet'").collect().isEmpty)
+      // unsupported format is a clean client error
+      val e = intercept[IllegalArgumentException] {
+        mgr.sql(h, "CREATE EXTERNAL TABLE x STORED AS ORC LOCATION '/tmp/x'")
+      }
+      assert(e.getMessage.contains("unsupported STORED AS"))
+      // DROP TABLE releases it like any session table
+      mgr.sql(h, "DROP TABLE ext_orders")
+      assert(h.dataSources.get("ext_orders") == null)
+    } finally mgr.shutdown()
+  }
+
+  test("CREATE EXTERNAL TABLE CSV honors format options") {
+    val mgr = new graft.engine.SessionManager(spark)
+    try {
+      val h = mgr.create(Some("ext2"))
+      mgr.sql(h, "CREATE EXTERNAL TABLE store STORED AS CSV " +
+        "OPTIONS ('format.has_header' 'true') " +
+        "LOCATION '/root/reference/bin/data/superstore.csv'")
+      val df = mgr.sql(h, "SELECT COUNT(*) AS n FROM store")
+      assert(df.collect().head.getLong(0) > 0)
+      assert(mgr.sql(h, "SELECT * FROM store LIMIT 1").columns.contains("Category"))
+    } finally mgr.shutdown()
+  }
+
+  test("CREATE EXTERNAL TABLE is lazy: pushdown reaches the files") {
+    val mgr = new graft.engine.SessionManager(spark)
+    try {
+      val h = mgr.create(Some("ext3"))
+      mgr.sql(h, "CREATE EXTERNAL TABLE ext_li STORED AS PARQUET " +
+        s"LOCATION '${SparkFixture.sfDir}/lineitem.parquet'")
+      val plan = mgr.sql(h,
+        "SELECT l_orderkey FROM ext_li WHERE l_orderkey = 42")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") &&
+        plan.contains("EqualTo(l_orderkey,42)"), plan)
+    } finally mgr.shutdown()
+  }
 }
