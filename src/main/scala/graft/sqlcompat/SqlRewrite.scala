@@ -473,26 +473,35 @@ object SqlRewrite {
     val Item = """(?is)^(.*?)\s*(ASC|DESC)?\s*(NULLS\s+(?:FIRST|LAST))?\s*$""".r
     val (helperDefs, outerOrder) = order.map(_.trim).filter(_.nonEmpty) match {
       case Some(ordText) if !distinct =>
+        // positional items (ORDER BY 1) must NOT become helper columns
+        // (a literal 1 orders nothing) — the outer select preserves
+        // the output column order, so positions pass through verbatim
         val its = splitTopLevelCommas(ordText).map(_.trim).filter(_.nonEmpty)
           .zipWithIndex.map { case (it, k) =>
             it match {
               case Item(e, dir, nulls) =>
-                (s"${substAliases(e.trim)} AS __graft_qo$k",
-                  s"__graft_qo$k" + Option(dir).map(" " + _).getOrElse("") +
-                    Option(nulls).map(" " + _).getOrElse(""))
-              case _ => (s"${substAliases(it)} AS __graft_qo$k", s"__graft_qo$k")
+                val suffix = Option(dir).map(" " + _).getOrElse("") +
+                  Option(nulls).map(" " + _).getOrElse("")
+                if (e.trim.forall(_.isDigit))
+                  (None, s"${e.trim}$suffix")
+                else
+                  (Some((s"__graft_qo$k", s"${substAliases(e.trim)} AS __graft_qo$k")),
+                    s"__graft_qo$k$suffix")
+              case _ =>
+                (Some((s"__graft_qo$k", s"${substAliases(it)} AS __graft_qo$k")),
+                  s"__graft_qo$k")
             }
           }
-        (its.map(_._1), s" ORDER BY ${its.map(_._2).mkString(", ")}")
+        (its.flatMap(_._1), s" ORDER BY ${its.map(_._2).mkString(", ")}")
       case Some(ordText) => (Nil, s" ORDER BY $ordText")
       case None => (Nil, "")
     }
-    val helperNames = helperDefs.indices.map(k => s"__graft_qo$k") :+ "__graft_q"
+    val helperNames = helperDefs.map(_._1) :+ "__graft_q"
     val outerCols = outerItems.map {
       case "*" => s"* EXCEPT (${helperNames.mkString(", ")})"
       case s => s
     }.mkString(", ")
-    val innerCols = (innerItems ++ helperDefs :+
+    val innerCols = (innerItems ++ helperDefs.map(_._2) :+
       s"($predInner) AS __graft_q").mkString(", ")
     val distinctKw = if (distinct) "DISTINCT " else ""
     Some(s"SELECT $distinctKw$outerCols FROM (SELECT $innerCols FROM " +

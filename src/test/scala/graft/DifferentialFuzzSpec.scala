@@ -539,6 +539,8 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       // * EXCLUDE wildcard option (rewritten to Spark's * EXCEPT;
       // DuckDB runs EXCLUDE natively)
       "SELECT * EXCLUDE (n_name) FROM nation ORDER BY n_nationkey",
+      // positional ORDER BY after QUALIFY
+      "SELECT n_regionkey, n_name FROM nation QUALIFY ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_name) = 1 ORDER BY 1 DESC, 2",
       "SELECT * EXCLUDE n_regionkey FROM nation QUALIFY ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) <= 2 ORDER BY n_nationkey")
     qs.foreach { q =>
       val sp = runSpark(graft.sqlcompat.SqlRewrite.rewrite(q))

@@ -277,6 +277,15 @@ class SqlRewriteSpec extends AnyFunSuite {
     assert(SqlRewrite.rewrite(sql) == sql)
   }
 
+  test("QUALIFY with positional ORDER BY keeps the position, not a constant") {
+    val out = SqlRewrite.rewrite(
+      "SELECT k, v FROM t QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY v) = 1 ORDER BY 2 DESC, k")
+    // `2` must survive as a position on the outer select (a helper
+    // `2 AS __graft_qo0` would order by a literal — no order at all)
+    assert(out.contains("ORDER BY 2 DESC, __graft_qo1"), out)
+    assert(!out.contains("2 AS __graft_qo"), out)
+  }
+
   test("QUALIFY composes with a GROUPS frame in the predicate") {
     // pipeline order: QUALIFY first (the predicate lands in a select
     // list), then the GROUPS pass rewrites the spec it now contains
