@@ -106,6 +106,38 @@ class MemDdlSpec extends AnyFunSuite {
     } finally mgr.shutdown()
   }
 
+  test("CREATE EXTERNAL TABLE parse edges") {
+    import graft.sqlcompat.ExternalTable
+    // case-insensitive keywords, trailing semicolon, AVRO format
+    val p = ExternalTable.parse(
+      "create external table Names stored as avro location '/root/reference/bin/data/popular-names.avro';").get
+    assert(p.table == "Names" && p.format == "AVRO" && !p.ifNotExists)
+    // multiple OPTIONS pairs, with comma separators
+    val p2 = ExternalTable.parse(
+      "CREATE EXTERNAL TABLE t STORED AS CSV OPTIONS ('format.has_header' 'false', 'format.delimiter' '|') LOCATION '/x.csv'").get
+    assert(p2.options == Map("format.has_header" -> "false", "format.delimiter" -> "|"))
+    // forms outside the subset do NOT match (fall through to Spark):
+    // column-def list, PARTITIONED BY, missing LOCATION
+    assert(ExternalTable.parse(
+      "CREATE EXTERNAL TABLE t (a INT) STORED AS CSV LOCATION '/x'").isEmpty)
+    assert(ExternalTable.parse(
+      "CREATE EXTERNAL TABLE t STORED AS PARQUET PARTITIONED BY (a) LOCATION '/x'").isEmpty)
+    assert(ExternalTable.parse("CREATE EXTERNAL TABLE t STORED AS PARQUET").isEmpty)
+    // plain CTAS is not an external table
+    assert(ExternalTable.parse("CREATE TABLE t AS SELECT 1").isEmpty)
+  }
+
+  test("CREATE EXTERNAL TABLE avro end-to-end over the reference fixture") {
+    val mgr = new graft.engine.SessionManager(spark)
+    try {
+      val h = mgr.create(Some("ext4"))
+      mgr.sql(h, "CREATE EXTERNAL TABLE names STORED AS AVRO " +
+        "LOCATION '/root/reference/bin/data/popular-names.avro'")
+      assert(mgr.sql(h, "SELECT COUNT(*) AS n FROM names")
+        .collect().head.getLong(0) > 0)
+    } finally mgr.shutdown()
+  }
+
   test("CREATE EXTERNAL TABLE is lazy: pushdown reaches the files") {
     val mgr = new graft.engine.SessionManager(spark)
     try {
