@@ -290,6 +290,22 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { delete(s"/session/$sid"): Unit }
   }
 
+  test("CREATE EXTERNAL TABLE over the REST query route lands in the datasource list") {
+    val sid = "ext-ddl"
+    assert(post(s"/session?id=$sid", "").statusCode() == 200)
+    try {
+      val ddl = post(s"/session/$sid/query",
+        s"""{"sql":"CREATE EXTERNAL TABLE ext_nation STORED AS PARQUET LOCATION '${SparkFixture.sfDir}/nation.parquet'"}""")
+      assert(ddl.statusCode() == 200, ddl.body())
+      val q = post(s"/session/$sid/query",
+        """{"sql":"SELECT count(*) AS n FROM ext_nation"}""")
+      assert(q.body().contains("\"n\":25"), q.body())
+      // the DDL-registered table is a first-class datasource record
+      val ls = get(s"/session/$sid/datasource")
+      assert(ls.body().contains("ext_nation"), ls.body())
+    } finally { delete(s"/session/$sid"): Unit }
+  }
+
   test("connector registry: built-in schemes cannot be shadowed") {
     intercept[IllegalArgumentException] {
       graft.serve.Connectors.register("file", (s, _, _, _) => s.range(1).toDF())
