@@ -131,7 +131,15 @@ object Bench {
     // the harness keeps only the TAIL of the bench log: the summary
     // fields (metric/value/errors) go LAST so truncation can only eat
     // per-query detail, never the headline number
-    println(s"""{"queries":$qs,"sf":"$sfDir","reps":$reps,"session_total":${sec(sessionTotal)},"errors":$errs,"metric":"total","unit":"sec","value":${sec(total)}}""")
+    val line = s"""{"queries":$qs,"sf":"$sfDir","reps":$reps,"session_total":${sec(sessionTotal)},"errors":$errs,"metric":"total","unit":"sec","value":${sec(total)}}"""
+    println(line)
+    // the stdout tail truncates mid-list at 175 queries (r9 lost every
+    // d/m/q number: BENCH_r09 "parsed": null) — the full map must also
+    // land somewhere durable. Best-effort: a bench must never fail on
+    // a read-only working directory.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -3819,18 +3819,26 @@ object SparkEntry {
   // matrix riding inside the codegen'd MatVecProject kernel. The
   // oracle recomputes every sign and fold sequentially in SQL — a
   // kernel that hashes differently, folds out of order, or scales
-  // per-element instead of once hash-mismatches.
+  // per-element instead of once hash-mismatches. Final schema is
+  // exploded to scalar (vec_id, j, value) rows: the driver's
+  // comparator sorts/hashes via pandas, which cannot hash an ARRAY
+  // cell (the one r9 comparator crash), and exploding loses nothing
+  // — every component is still graded.
   private val s23 = Q("s23_random_projection", Some("""
-    SELECT vec_id, list_transform(generate_series(0, 15), j ->
+    SELECT vec_id, j,
       ROUND(list_sum(list_transform(generate_series(1, len(embedding)), i ->
         CAST(embedding[i] AS DOUBLE) *
         (CASE WHEN (strpos('0123456789abcdef',
             substr(md5(j || ':' || (i - 1)), 1, 1)) - 1) % 2 = 0
           THEN 1.0 ELSE -1.0 END)))
-       / sqrt(CAST(16 AS DOUBLE)), 6)) AS proj
-    FROM embeddings ORDER BY vec_id"""),
+       / sqrt(CAST(16 AS DOUBLE)), 6) AS value
+    FROM embeddings, UNNEST(generate_series(0, 15)) AS g(j)
+    ORDER BY vec_id, j"""),
     (s, dir) => Similarity.randomProject(T(s, dir, "embeddings"),
-      "embedding", "vec_id", dim = 64, outDim = 16).orderBy(col("vec_id")))
+      "embedding", "vec_id", dim = 64, outDim = 16)
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "value")))
+      .select(col("vec_id"), col("j").cast("long").as("j"), col("value"))
+      .orderBy(col("vec_id"), col("j")))
 
   // LSH recall S-curve: ground-truth exact-Jaccard pairs (>= 0.05)
   // binned by decile, each bin reporting the fraction the banded

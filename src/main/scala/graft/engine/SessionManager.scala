@@ -220,10 +220,27 @@ final class SessionManager(root: SparkSession, reaperPeriodMs: Long = 1000L) {
       throw new IllegalArgumentException(
         s"CREATE EXTERNAL TABLE: table exists: ${p.table}")
     }
-    val hasHeader = p.options.get("format.has_header")
-      .forall(_.equalsIgnoreCase("true"))
-    val delimiter = p.options.get("format.delimiter")
-      .filter(_.length == 1).map(_.head).getOrElse(',')
+    // DataFusion rejects invalid option keys ("Config value ... not
+    // found") rather than ignoring them — a typo like
+    // 'format.has_headr' must error, not silently fall back to the
+    // default.
+    val supportedOptions = Set("format.has_header", "format.delimiter")
+    val unknown = p.options.keySet.diff(supportedOptions)
+    if (unknown.nonEmpty) throw new IllegalArgumentException(
+      s"CREATE EXTERNAL TABLE: unsupported OPTIONS key(s): " +
+        s"${unknown.toSeq.sorted.mkString(", ")} " +
+        s"(supported: ${supportedOptions.toSeq.sorted.mkString(", ")})")
+    val hasHeader = p.options.get("format.has_header").forall { v =>
+      if (v.equalsIgnoreCase("true")) true
+      else if (v.equalsIgnoreCase("false")) false
+      else throw new IllegalArgumentException(
+        s"CREATE EXTERNAL TABLE: format.has_header must be true or false, got '$v'")
+    }
+    val delimiter = p.options.get("format.delimiter").map { v =>
+      if (v.length == 1) v.head
+      else throw new IllegalArgumentException(
+        s"CREATE EXTERNAL TABLE: format.delimiter must be a single character, got '$v'")
+    }.getOrElse(',')
     val df = p.format match {
       case "PARQUET" => graft.ingest.Readers.parquet(h.spark, p.location)
       case "CSV" => graft.ingest.Readers.csv(h.spark, p.location,

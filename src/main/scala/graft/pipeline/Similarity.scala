@@ -216,18 +216,25 @@ object Similarity {
     * swaps for cell-pruned candidates ([[graft.pipeline.Ivf.rangeSearchSeeded]])
     * with the same threshold as the post-filter.
     *
-    * @return (query_id, id, cos_sim), one row per qualifying pair,
-    *         self-pairs excluded
+    * @param excludeSelf drop pairs where corpus id == query id.
+    *        Default true, which is ONLY meaningful when the query
+    *        frame is drawn from the corpus (shared id space) — pass
+    *        false when queries come from a different frame, where a
+    *        coincidental id collision would otherwise silently drop a
+    *        valid qualifying neighbor.
+    * @return (query_id, id, cos_sim), one row per qualifying pair
     */
   def rangeSearch(
       corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, queryIdCol: String,
-      minCos: Double): DataFrame = {
+      minCos: Double, excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("q_vec"))
-    graft.ops.ScaleOps.fanOut(corpus)
+    val paired = graft.ops.ScaleOps.fanOut(corpus)
       .select(col(idCol), col(vecCol))
       .crossJoin(broadcast(q))
-      .where(col(idCol) =!= col("query_id"))
+    val scoped =
+      if (excludeSelf) paired.where(col(idCol) =!= col("query_id")) else paired
+    scoped
       .withColumn("cos_sim", cosine(col(vecCol), col("q_vec")))
       .where(col("cos_sim") >= lit(minCos))
       .select(col("query_id"), col(idCol), col("cos_sim"))

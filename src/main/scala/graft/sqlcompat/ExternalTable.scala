@@ -10,12 +10,17 @@ package graft.sqlcompat
   * sources, and nothing is read at DDL time.
   *
   * Subset recognized (the reference's documented surface):
-  * `CREATE EXTERNAL TABLE [IF NOT EXISTS] name STORED AS fmt
-  * [OPTIONS ('k' 'v', …)] LOCATION 'path'` with fmt one of
-  * PARQUET | CSV | JSON | NDJSON | AVRO | ARROW. DataFusion's
-  * `STORED AS JSON` means newline-delimited JSON — both spellings map
-  * to the ndJSON reader. Column-definition lists, PARTITIONED BY and
-  * WITH ORDER fall through to Spark's original parse error.
+  * `CREATE EXTERNAL TABLE [IF NOT EXISTS] name` followed by
+  * `STORED AS fmt`, `LOCATION 'path'` and optional
+  * `OPTIONS ('k' 'v', …)` clauses IN ANY ORDER — DataFusion 45's
+  * parser accepts the clauses order-independently and its docs write
+  * the canonical form OPTIONS-last (`… LOCATION path OPTIONS (…)`),
+  * so pinning one order would reject the reference's own examples.
+  * fmt is one of PARQUET | CSV | JSON | NDJSON | AVRO | ARROW.
+  * DataFusion's `STORED AS JSON` means newline-delimited JSON — both
+  * spellings map to the ndJSON reader. Column-definition lists,
+  * PARTITIONED BY and WITH ORDER fall through to Spark's original
+  * parse error.
   *
   * Options honored: `format.has_header` (CSV; default true, matching
   * DataFusion's `datafusion.catalog.has_header` default) and
@@ -23,10 +28,15 @@ package graft.sqlcompat
   */
 object ExternalTable {
 
-  private val Create =
+  private val Header =
     ("""(?is)^\s*CREATE\s+EXTERNAL\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?""" +
-      """([A-Za-z_][A-Za-z0-9_]*)\s+STORED\s+AS\s+([A-Za-z]+)\s*""" +
-      """(?:OPTIONS\s*\((.*?)\)\s*)?LOCATION\s+'([^']+)'\s*;?\s*$""").r
+      """([A-Za-z_][A-Za-z0-9_]*)\s+(.*?)\s*;?\s*$""").r
+
+  // Tail clauses, each anchored at the current scan position; matched
+  // repeatedly so STORED AS / OPTIONS / LOCATION compose in any order.
+  private val StoredClause = """(?is)^STORED\s+AS\s+([A-Za-z]+)\s*(.*)$""".r
+  private val OptionsClause = """(?is)^OPTIONS\s*\((.*?)\)\s*(.*)$""".r
+  private val LocationClause = """(?is)^LOCATION\s+'([^']+)'\s*(.*)$""".r
 
   private val OptionPair = """'([^']*)'\s+'([^']*)'""".r
 
@@ -40,12 +50,29 @@ object ExternalTable {
   def appliesTo(sql: String): Boolean = parse(sql).isDefined
 
   def parse(sql: String): Option[Parsed] =
-    Create.findFirstMatchIn(sql).map { m =>
-      val opts = Option(m.group(4)).map { text =>
-        OptionPair.findAllMatchIn(text)
-          .map(p => p.group(1).toLowerCase -> p.group(2)).toMap
-      }.getOrElse(Map.empty)
-      Parsed(m.group(1) != null, m.group(2), m.group(3).toUpperCase,
-        opts, m.group(5))
+    Header.findFirstMatchIn(sql).flatMap { m =>
+      var tail = m.group(3)
+      var format: Option[String] = None
+      var location: Option[String] = None
+      var options: Option[Map[String, String]] = None
+      var stuck = false
+      while (tail.nonEmpty && !stuck) {
+        tail match {
+          case StoredClause(fmt, rest) if format.isEmpty =>
+            format = Some(fmt.toUpperCase); tail = rest
+          case LocationClause(path, rest) if location.isEmpty =>
+            location = Some(path); tail = rest
+          case OptionsClause(text, rest) if options.isEmpty =>
+            options = Some(OptionPair.findAllMatchIn(text)
+              .map(p => p.group(1).toLowerCase -> p.group(2)).toMap)
+            tail = rest
+          // unknown or duplicated clause: not our DDL — fall through
+          // to Spark's original parse error
+          case _ => stuck = true
+        }
+      }
+      for (fmt <- format; loc <- location; if !stuck)
+        yield Parsed(m.group(1) != null, m.group(2), fmt,
+          options.getOrElse(Map.empty), loc)
     }
 }

@@ -299,9 +299,11 @@ object SqlRewrite {
   // verbatim, so windows-over-aggregates and named windows still
   // resolve. Caveat (documented, pathological): an alias that shadows
   // a DIFFERENT base column resolves to the alias here, to the base
-  // column in DataFusion. Qualified stars (a.*) and DISTINCT+ORDER BY
-  // hybrids fall back to original text (Spark's parse error), same
-  // policy as the GROUPS rewrite.
+  // column in DataFusion. Qualified stars (a.*) fall back to original
+  // text (Spark's parse error), same policy as the GROUPS rewrite.
+  // DISTINCT+ORDER BY rewrites only when every ORDER BY item is an
+  // output column or position (the only forms valid under DISTINCT);
+  // anything else falls back to the original text too.
   // ----------------------------------------------------------------
   private[sqlcompat] def rewriteQualify(sql: String): String = {
     var cur = sql
@@ -468,8 +470,9 @@ object SqlRewrite {
     val lim = limit.map(" " + _.trim).getOrElse("")
 
     // ORDER BY through hidden helper columns (its expressions may not
-    // be projected); DISTINCT restricts ORDER BY to output columns, so
-    // there the original text is kept verbatim on the outer select
+    // be projected); under DISTINCT no helper can ride (it would widen
+    // the distinct key), so items must be output columns/positions —
+    // kept verbatim when they are, whole-block fallback when not
     val Item = """(?is)^(.*?)\s*(ASC|DESC)?\s*(NULLS\s+(?:FIRST|LAST))?\s*$""".r
     val (helperDefs, outerOrder) = order.map(_.trim).filter(_.nonEmpty) match {
       case Some(ordText) if !distinct =>
@@ -493,7 +496,24 @@ object SqlRewrite {
             }
           }
         (its.flatMap(_._1), s" ORDER BY ${its.map(_._2).mkString(", ")}")
-      case Some(ordText) => (Nil, s" ORDER BY $ordText")
+      case Some(ordText) =>
+        // DISTINCT restricts ORDER BY to output columns, so the
+        // original text rides verbatim on the outer select — but only
+        // when every item demonstrably IS an output column (a name
+        // from the select list, a position, or anything under a bare
+        // `*`). Otherwise honor the documented fallback policy: leave
+        // the whole block untouched so the user sees Spark's original
+        // QUALIFY parse error, not an analysis error on rewritten text.
+        val outNames = outerItems.map(_.replace("`", "").toLowerCase).toSet
+        val allOutput = outNames.contains("*") ||
+          splitTopLevelCommas(ordText).map(_.trim).filter(_.nonEmpty).forall {
+            case Item(e, _, _) =>
+              val b = e.trim.replace("`", "").toLowerCase
+              b.forall(_.isDigit) || outNames.contains(b)
+            case _ => false
+          }
+        if (!allOutput) return None
+        (Nil, s" ORDER BY $ordText")
       case None => (Nil, "")
     }
     val helperNames = helperDefs.map(_._1) :+ "__graft_q"

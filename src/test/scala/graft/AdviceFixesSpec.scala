@@ -45,6 +45,11 @@ class AdviceFixesSpec extends AnyFunSuite {
   test("TTL-expired sessions are reaped through full cleanup (spool deleted)") {
     val mgr = new graft.engine.SessionManager(spark, reaperPeriodMs = 50L)
     try {
+      // warm the CSV read path on a throwaway spool first: on a cold
+      // JVM the first inference job takes > the 1 s TTL, so the reaper
+      // deletes the real session's spool MID-JOB and the test fails on
+      // FAILED_READ_FILE instead of testing the reaper
+      graft.ingest.Readers.csvBytes(spark, "a\n1\n".getBytes).collect()
       val h = mgr.create(Some("reapme"), keepAliveSecs = 1L)
       val df = graft.ingest.Readers.csvBytes(h.spark, "a\n1\n".getBytes,
         graft.ingest.IngestOptions(spoolDir = Some(h.spoolDir)))
@@ -195,5 +200,96 @@ class AdviceFixesSpec extends AnyFunSuite {
         Array(Array(Array(0.0, 0.0))))
     }
     assert(e2.getMessage.contains("codes"))
+  }
+
+  // ---- round-10 advisory findings ----
+
+  test("CREATE EXTERNAL TABLE clauses parse in any order (DataFusion canonical OPTIONS-last)") {
+    import graft.sqlcompat.ExternalTable
+    // DataFusion 45's docs write OPTIONS after LOCATION
+    val p = ExternalTable.parse(
+      "CREATE EXTERNAL TABLE t STORED AS CSV LOCATION '/x.csv' " +
+        "OPTIONS ('format.has_header' 'false')").get
+    assert(p.format == "CSV" && p.location == "/x.csv" &&
+      p.options == Map("format.has_header" -> "false"))
+    // LOCATION-first also accepted (order-independent clauses)
+    val p2 = ExternalTable.parse(
+      "create external table t location '/y' stored as parquet;").get
+    assert(p2.format == "PARQUET" && p2.location == "/y")
+    // duplicated clause is not our DDL — falls through to Spark
+    assert(ExternalTable.parse(
+      "CREATE EXTERNAL TABLE t STORED AS CSV STORED AS PARQUET LOCATION '/x'").isEmpty)
+    // unknown trailing clause falls through too
+    assert(ExternalTable.parse(
+      "CREATE EXTERNAL TABLE t STORED AS PARQUET LOCATION '/x' WITH ORDER (a)").isEmpty)
+  }
+
+  test("CREATE EXTERNAL TABLE OPTIONS-last runs end-to-end through the session door") {
+    val mgr = new graft.engine.SessionManager(spark)
+    try {
+      val h = mgr.create(Some("advext1"))
+      mgr.sql(h, "CREATE EXTERNAL TABLE store10 STORED AS CSV " +
+        "LOCATION '/root/reference/bin/data/superstore.csv' " +
+        "OPTIONS ('format.has_header' 'true')")
+      assert(mgr.sql(h, "SELECT COUNT(*) AS n FROM store10")
+        .collect().head.getLong(0) > 0)
+    } finally mgr.shutdown()
+  }
+
+  test("CREATE EXTERNAL TABLE rejects unknown or malformed OPTIONS like DataFusion") {
+    val mgr = new graft.engine.SessionManager(spark)
+    try {
+      val h = mgr.create(Some("advext2"))
+      // typo'd key must error, not silently fall back to the default
+      val e = intercept[IllegalArgumentException] {
+        mgr.sql(h, "CREATE EXTERNAL TABLE t1 STORED AS CSV " +
+          "OPTIONS ('format.has_headr' 'false') LOCATION '/x.csv'")
+      }
+      assert(e.getMessage.contains("format.has_headr") &&
+        e.getMessage.contains("format.has_header"), e.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        mgr.sql(h, "CREATE EXTERNAL TABLE t2 STORED AS CSV " +
+          "OPTIONS ('format.has_header' 'yes') LOCATION '/x.csv'")
+      }
+      assert(e2.getMessage.contains("true or false"), e2.getMessage)
+      val e3 = intercept[IllegalArgumentException] {
+        mgr.sql(h, "CREATE EXTERNAL TABLE t3 STORED AS CSV " +
+          "OPTIONS ('format.delimiter' '||') LOCATION '/x.csv'")
+      }
+      assert(e3.getMessage.contains("single character"), e3.getMessage)
+    } finally mgr.shutdown()
+  }
+
+  test("rangeSearch excludeSelf=false keeps pairs under coincidental id collisions") {
+    import spark.implicits._
+    // query id 1 from a DIFFERENT frame collides with corpus id 1,
+    // whose vector is a valid qualifying neighbor
+    val corpus = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((1L, Seq(1.0f, 0.1f))).toDF("vec_id", "embedding")
+    val strict = graft.pipeline.Similarity.rangeSearch(
+      corpus, queries, "embedding", "vec_id", "vec_id", minCos = 0.5)
+    assert(strict.count() == 0L, "default still excludes the id collision")
+    val open = graft.pipeline.Similarity.rangeSearch(
+      corpus, queries, "embedding", "vec_id", "vec_id", minCos = 0.5,
+      excludeSelf = false)
+    assert(open.collect().map(_.getLong(1)).toSeq == Seq(1L))
+  }
+
+  test("QUALIFY under DISTINCT rewrites only for output-column ORDER BY") {
+    import spark.implicits._
+    Seq(("a", 1), ("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
+      .createOrReplaceTempView("adv_q10")
+    // output-column ORDER BY: rewritten and runs
+    val ok = SqlRewrite.rewrite(
+      "SELECT DISTINCT k, v FROM adv_q10 " +
+        "QUALIFY row_number() OVER (PARTITION BY k, v ORDER BY v) = 1 ORDER BY v DESC")
+    assert(!ok.toUpperCase.contains("QUALIFY"), ok)
+    assert(spark.sql(ok).collect().map(_.getInt(1)).toSeq == Seq(3, 2, 1))
+    // non-output expression under DISTINCT: whole block falls back to
+    // the ORIGINAL text (Spark's own parse error), not rewritten text
+    val fb = "SELECT DISTINCT k FROM adv_q10 " +
+      "QUALIFY row_number() OVER (ORDER BY k) = 1 ORDER BY v + 1"
+    assert(SqlRewrite.rewrite(fb) == fb)
   }
 }

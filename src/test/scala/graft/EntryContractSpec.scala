@@ -31,6 +31,28 @@ class EntryContractSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"non-conforming names: $bad")
   }
 
+  test("every oracle-carrying query ends in scalar columns only") {
+    // The driver's comparator sorts and hashes rows through pandas,
+    // which throws `unhashable type: 'numpy.ndarray'` on ARRAY cells —
+    // that crash was the ONE untested row of round 9 (s23, since
+    // exploded to scalar rows). Pin the invariant so no future query
+    // re-trips it: final schemas must be atomic types.
+    val spark = SparkFixture.spark
+    val offenders = SparkEntry.oracleSql.keySet.toSeq.sorted.flatMap { name =>
+      val schema = SparkEntry.queries(name)(spark, SparkFixture.sfDir).schema
+      val bad = schema.fields.filterNot(f => f.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType => false
+        case _: org.apache.spark.sql.types.MapType => false
+        case _: org.apache.spark.sql.types.StructType => false
+        case _ => true
+      })
+      if (bad.isEmpty) None
+      else Some(s"$name: ${bad.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")}")
+    }
+    assert(offenders.isEmpty,
+      s"non-scalar final columns crash the driver comparator:\n${offenders.mkString("\n")}")
+  }
+
   test("oracle SQL is non-empty and has no trailing statement separator") {
     // (no blanket ';' scan: semicolons legitimately appear inside
     // string/regex literals, e.g. t02's punctuation class)
