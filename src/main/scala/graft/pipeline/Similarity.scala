@@ -94,12 +94,21 @@ object Similarity {
     *
     * @return (rank, vec_id, qsim, mmr) in selection order
     */
-  val MmrFoldEvery = 8
+  // Fold cadence, set by measurement (round-10 A/B, sf0.1, idle JVM,
+  // s21 shape k=10: foldEvery=4 → 1.24 s median, 8 → 0.98 s,
+  // 16/no-fold → 0.92 s with min 0.76 s): each fold is a count() +
+  // cache swap whose fixed cost exceeds the inline-penalty expression
+  // growth it removes until the pending chain is ~16 deep. 16 keeps
+  // every k ≤ 16 query on the fold-free fast path while still
+  // bounding plan size to O(16·N) per pass for large k.
+  val MmrFoldEvery = 16
 
   def mmrTopK(emb: DataFrame, vecCol: String, idCol: String,
-      queryId: Long, k: Int, lambda: Double): DataFrame = {
+      queryId: Long, k: Int, lambda: Double,
+      foldEvery: Int = MmrFoldEvery): DataFrame = {
     require(k > 0, "k must be positive")
     require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0,1]")
+    require(foldEvery > 0, "foldEvery must be positive")
     val spark = emb.sparkSession
     val qVec = emb.where(col(idCol) === lit(queryId))
       .select(transform(col(vecCol), _.cast("double")).as("q"))
@@ -149,7 +158,7 @@ object Similarity {
               r.getDouble(2), r.getDouble(3))
             sel += picked
             pending += ((picked._1, picked._2))
-            if (pending.size >= MmrFoldEvery && sel.size < k) {
+            if (pending.size >= foldEvery && sel.size < k) {
               val folded = penaltyCols match {
                 case Seq(one) => one
                 case many => greatest(many: _*)

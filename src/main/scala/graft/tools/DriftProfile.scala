@@ -27,6 +27,7 @@ object DriftProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (names == Seq("__d12_parts")) { d12Parts(spark, sfDir); spark.stop(); return }
+    if (names == Seq("__mmr_ab")) { mmrAb(spark, sfDir); spark.stop(); return }
     names.foreach { n =>
       val q = graft.SparkEntry.queries(n)
       // warm (scan caches, codegen)
@@ -42,6 +43,40 @@ object DriftProfile {
         times.map(t => f"$t%.3f").mkString("[", ", ", "]"))
     }
     spark.stop()
+  }
+
+  /** A/B the s21 MMR fold cadence (dev-only): foldEvery ∈ {4, 8, k}
+    * on the exact s21 shape (queryId 0, k=10, λ=0.7). foldEvery ≥ k
+    * means NO fold ever fires — the pure inline-penalty loop; 8 is
+    * the shipped default (one fold at pick 8); 4 folds twice. Each
+    * variant is warmed once then timed 5×, interleaved round-robin so
+    * a contention window cannot bill one variant exclusively.
+    */
+  private def mmrAb(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+    val variants = Seq(4, 8, 16)
+    def run(fold: Int): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      graft.pipeline.Similarity.mmrTopK(emb, "embedding", "vec_id",
+          queryId = 0L, k = 10, lambda = 0.7, foldEvery = fold)
+        .orderBy(col("rank"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    variants.foreach(run) // warm all variants
+    val times = scala.collection.mutable.Map.empty[Int, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    (1 to 5).foreach { _ =>
+      variants.foreach(f => times(f) = times(f) :+ run(f))
+    }
+    variants.foreach { f =>
+      val ts = times(f)
+      println(f"[mmr_ab] foldEvery=$f%-3d min=${ts.min}%.3f " +
+        f"median=${ts.sorted.apply(2)}%.3f max=${ts.max}%.3f " +
+        ts.map(t => f"$t%.3f").mkString("[", ", ", "]"))
+    }
   }
 
   /** Stage breakdown of d12 (dev-only). */
