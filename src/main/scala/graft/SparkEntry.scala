@@ -4425,7 +4425,11 @@ object SparkEntry {
     * goes exponential in k). Generated by loop so engine k and oracle
     * k can never drift.
     */
-  private def bpeOracleSql(k: Int): String = {
+  /** Shared induction CTE prefix for the t44/t45 oracles: replays the
+    * k-round merge trajectory in SQL, binding the round-i winner as
+    * CTE `b$i`.
+    */
+  private def bpeInductionCtes(k: Int): String = {
     val sb = new StringBuilder(
       """
     WITH w AS (
@@ -4433,7 +4437,7 @@ object SparkEntry {
     c0 AS MATERIALIZED (
       SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS s, COUNT(*) AS f
       FROM w GROUP BY 1)""")
-    val selects = (0 until k).map { i =>
+    (0 until k).foreach { i =>
       sb.append(s""",
     p$i AS MATERIALIZED (
       SELECT ts[j] AS l, ts[j+1] AS r, CAST(SUM(f) AS BIGINT) AS c
@@ -4448,9 +4452,49 @@ object SparkEntry {
           ' ' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ' '),
         ' +', ' ', 'g')) AS s, f
       FROM c$i)""")
+    }
+    sb.toString
+  }
+
+  private def bpeOracleSql(k: Int): String = {
+    val selects = (0 until k).map { i =>
       s"SELECT ${i + 1} AS round, l AS left_sym, r AS right_sym, l || r AS merged, c FROM b$i"
     }
-    sb.append("\n" + selects.mkString("\n    UNION ALL\n") + "\n    ORDER BY round")
+    bpeInductionCtes(k) +
+      "\n" + selects.mkString("\n    UNION ALL\n") + "\n    ORDER BY round"
+  }
+
+  /** t45 oracle: induce the k merges (shared CTEs), then ENCODE every
+    * document by replaying the same leftmost non-overlapping rewrite
+    * per rule over the `|`-bounded character stream.
+    */
+  private def bpeEncodeOracleSql(k: Int): String = {
+    val sb = new StringBuilder(bpeInductionCtes(k))
+    sb.append(""",
+    e0 AS MATERIALIZED (
+      SELECT doc_id, trim(regexp_replace(
+        COALESCE(array_to_string(regexp_extract_all(lower(text), '[a-z]+'), '|'), ''),
+        '(.)', '\1 ', 'g')) AS s
+      FROM documents)""")
+    (0 until k).foreach { i =>
+      sb.append(s""",
+    e${i + 1} AS MATERIALIZED (
+      SELECT doc_id, trim(regexp_replace(replace(
+          ' ' || replace(s, ' ', '  ') || ' ',
+          ' ' || (SELECT l FROM b$i) || '  ' || (SELECT r FROM b$i) || ' ',
+          ' ' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ' '),
+        ' +', ' ', 'g')) AS s
+      FROM e$i)""")
+    }
+    sb.append(s"""
+    SELECT doc_id,
+      CAST(len(list_filter(string_split(s, ' '), t -> t <> '|' AND t <> '')) AS BIGINT) AS n_tokens,
+      CAST(length(replace(replace(s, ' ', ''), '|', '')) AS BIGINT) AS n_az_chars,
+      CASE WHEN len(list_filter(string_split(s, ' '), t -> t <> '|' AND t <> '')) = 0 THEN NULL
+        ELSE ROUND(CAST(length(replace(replace(s, ' ', ''), '|', '')) AS DOUBLE) /
+          CAST(len(list_filter(string_split(s, ' '), t -> t <> '|' AND t <> '')) AS DOUBLE), 6) END AS fertility,
+      md5(s) AS enc_md5
+    FROM e$k ORDER BY doc_id""")
     sb.toString
   }
 
@@ -4463,6 +4507,25 @@ object SparkEntry {
   // breaks EVERY subsequent row, not just one.
   private val t44 = Q("t44_bpe_merges", Some(bpeOracleSql(8)),
     (s, dir) => TextAnalysis.bpeMerges(T(s, dir, "documents"), "text", k = 8))
+
+  // BPE tokenizer APPLICATION — induce 8 merges (t44's trajectory),
+  // then encode EVERY document with them in one map-only codegen'd
+  // projection: token counts, fertility (chars/token), and an md5
+  // fingerprint of the full encoded symbol stream. The oracle replays
+  // induction AND the per-rule leftmost non-overlapping rewrite, so a
+  // merge applied out of order, across a word boundary, or with a
+  // delimiter-sharing replace flips enc_md5 on every affected doc.
+  // (Oracle cross-checked against an independent Python BPE encoder:
+  // 0/500 mismatches at sf0.001.)
+  private val t45 = Q("t45_bpe_encode", Some(bpeEncodeOracleSql(8)),
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val merges = TextAnalysis.bpeMerges(docs, "text", k = 8)
+        .orderBy(col("round")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncode(docs, "text", "doc_id", merges)
+        .orderBy(col("doc_id"))
+    })
 
   // Frame-level perceptual hash + static-scene flags over REAL
   // decoded AVI frames: the temporal dedup signal for video — frames
@@ -4513,6 +4576,154 @@ object SparkEntry {
         .orderBy(col("sample_id"), col("frame_idx"))
     })
 
+  // Cross-source duplication matrix over d09's 20-token chunks: per
+  // unordered source pair, the number of duplicated-chunk pairs
+  // spanning it — the crawl-overlap diagnostic (is crawl B a
+  // re-crawl of A?). Pair counts are pure digest-count arithmetic
+  // (c_a*c_b, C(c,2) within a source) — no occurrence pair ever
+  // materializes, so a wrong combinatorial identity or double count
+  // breaks n_pairs directly.
+  private val d23 = Q("d23_cross_source_dups", Some("""
+    WITH toks AS (SELECT source, string_split(text, ' ') AS tk FROM documents),
+    idx AS (SELECT source, tk,
+      unnest(generate_series(0, CAST(FLOOR((len(tk) - 1) / 20.0) AS BIGINT))) AS i
+      FROM toks),
+    ch AS (SELECT source,
+      md5(array_to_string(list_slice(tk, i * 20 + 1, i * 20 + 20), ' ')) AS fp
+      FROM idx),
+    fs AS (SELECT fp, source, COUNT(*) AS c FROM ch GROUP BY 1, 2),
+    px AS (SELECT a.fp, a.source AS src_a, b.source AS src_b,
+             CASE WHEN a.source = b.source THEN a.c * (a.c - 1) // 2 ELSE a.c * b.c END AS n
+           FROM fs a JOIN fs b ON a.fp = b.fp AND a.source <= b.source)
+    SELECT src_a, src_b, CAST(SUM(n) AS BIGINT) AS n_pairs,
+      CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_digests
+    FROM px WHERE n > 0 GROUP BY 1, 2 ORDER BY src_a, src_b"""),
+    (s, dir) => Dedup.crossSourceDups(T(s, dir, "documents"), "text", "source",
+      chunkTokens = Some(20)))
+
+  // Two-stage retrieval: SQ8 shortlist (50) -> exact re-rank (10) —
+  // the production ANN memory/quality trade (quantized scan is the
+  // only corpus-sized read; full-precision vectors touched only for
+  // the shortlist). The oracle replays BOTH stages, so a shortlist
+  // that misses a true neighbor, a wrong dequantization, or a rank
+  // flip in either stage hash-mismatches.
+  private val s27 = Q("s27_knn_sq8_rerank", Some("""
+    WITH coded AS (
+      SELECT vec_id, list_transform(embedding, x ->
+        (CAST(GREATEST(-128, LEAST(127,
+           ROUND((CAST(x AS DOUBLE) - (-2.0)) / 4.0 * 255.0) - 128)) AS DOUBLE)
+         + 128.0) / 255.0 * 4.0 + (-2.0)) AS rvec
+      FROM embeddings),
+    q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0),
+    short AS (
+      SELECT vec_id,
+        list_sum(list_transform(generate_series(1, len(rvec)), i -> rvec[i] * qv[i]))
+        / (sqrt(list_sum(list_transform(rvec, x -> x * x)))
+           * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS adc
+      FROM coded, q WHERE vec_id <> 0
+      ORDER BY adc DESC, vec_id LIMIT 50)
+    SELECT e.vec_id,
+      list_sum(list_transform(generate_series(1, len(e.embedding)), i ->
+        CAST(e.embedding[i] AS DOUBLE) * qv[i]))
+      / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS cos_sim
+    FROM embeddings e JOIN short ON e.vec_id = short.vec_id, q
+    ORDER BY cos_sim DESC, e.vec_id LIMIT 10"""),
+    (s, dir) => graft.pipeline.Quantize.rerankedTopK(
+      T(s, dir, "embeddings"), "embedding", "vec_id",
+      queryId = 0L, k = 10, shortlist = 50, lo = -2.0, hi = 2.0))
+
+  // Deterministic MLM masking: every mask decision is md5 hash math
+  // on (doc_id, position) — reproducible corruption for masked-LM
+  // sample prep (rate 3/16 via hex digits {0,1,2}). The oracle
+  // replays every decision and fingerprints BOTH the corrupted
+  // sequence and the ordered target stream, so an off-by-one
+  // position, a wrong hash input, or out-of-order targets flips the
+  // md5s corpus-wide.
+  private val t46 = Q("t46_mlm_mask", Some("""
+    WITH toks AS (SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+      FROM documents),
+    m AS (SELECT doc_id, ts,
+        list_transform(generate_series(1, len(ts)),
+          i -> substr(md5(doc_id || ':' || i), 1, 1) IN ('0','1','2')) AS mk
+      FROM toks)
+    SELECT doc_id,
+      CAST(len(ts) AS BIGINT) AS n_tokens,
+      CAST(len(list_filter(mk, x -> x)) AS BIGINT) AS n_masked,
+      ROUND(CAST(len(list_filter(mk, x -> x)) AS DOUBLE) / CAST(len(ts) AS DOUBLE), 6) AS mask_rate,
+      md5(array_to_string(list_transform(generate_series(1, len(ts)),
+        i -> CASE WHEN mk[i] THEN '[MASK]' ELSE ts[i] END), ' ')) AS masked_md5,
+      md5(COALESCE(array_to_string(list_transform(
+        list_filter(generate_series(1, len(ts)), i -> mk[i]), i -> ts[i]), '|'), '')) AS targets_md5
+    FROM m ORDER BY doc_id"""),
+    (s, dir) => TextAnalysis.mlmMask(T(s, dir, "documents"), "text", "doc_id")
+      .orderBy(col("doc_id")))
+
+  // Per-source unigram KL divergence from the corpus blend — the
+  // source-mix diagnostic DoReMi-style reweighting starts from. One
+  // corpus-scale (source, token) partial agg; everything after is
+  // vocabulary-sized. The ln-sum rounds 6 dp (t19 discipline).
+  private val t47 = Q("t47_source_kl", Some("""
+    WITH toks AS (SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+    sc AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM sc GROUP BY 1),
+    g AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS cg FROM sc GROUP BY 1),
+    n AS (SELECT CAST(SUM(cg) AS DOUBLE) AS nt FROM g)
+    SELECT sc.source,
+      CAST(st.ns AS BIGINT) AS n_tokens,
+      CAST(COUNT(*) AS BIGINT) AS n_vocab,
+      ROUND(SUM((CAST(sc.c AS DOUBLE) / CAST(st.ns AS DOUBLE)) *
+        ln((CAST(sc.c AS DOUBLE) / CAST(st.ns AS DOUBLE)) / (CAST(g.cg AS DOUBLE) / nt))), 6) AS kl_corpus
+    FROM sc JOIN st USING (source) JOIN g USING (tok), n
+    GROUP BY sc.source, st.ns ORDER BY sc.source"""),
+    (s, dir) => TextAnalysis.sourceKlReport(T(s, dir, "documents"), "text", "source")
+      .orderBy(col("source")))
+
+  // REAL compressed-image round-trip: text → RGB pixel map → genuine
+  // DEFLATE-compressed PNG (JDK imageio encoder) → real inflate +
+  // unfilter decode → per-channel stats. The only m-series payload
+  // whose BYTES are not oracle-derivable (DEFLATE output is encoder-
+  // dependent) — so the oracle pins LOSSLESSNESS instead: decoded
+  // stats must equal what SQL derives from the source text, and any
+  // loss, channel swap (the RGB map differs from BMP's BGR map on
+  // purpose), or row-order error in the compression path breaks it.
+  // ASCII pin as in m05.
+  private val m13 = Q("m13_png_roundtrip", Some("""
+    WITH d AS (SELECT doc_id,
+        octet_length(CAST(text AS BLOB)) AS nb,
+        (octet_length(CAST(text AS BLOB)) + 9) // 10 AS h,
+        string_split(text, '') AS cs,
+        substr(text, 1, 1) AS c1
+      FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) > 0
+        AND octet_length(CAST(text AS BLOB)) = length(text))
+    SELECT doc_id AS sample_id,
+      CAST(10 AS BIGINT) AS width,
+      CAST(h AS BIGINT) AS height,
+      CAST(10 * h AS BIGINT) AS n_pixels,
+      CAST(list_sum(list_transform(cs, c -> ord(c))) AS DOUBLE)
+        / (10 * h) AS mean_r,
+      CAST(list_sum(list_transform(cs, c -> 255 - ord(c))) AS DOUBLE)
+        / (10 * h) AS mean_g,
+      CAST(list_sum(list_transform(cs, c -> (3 * ord(c)) % 256)) AS DOUBLE)
+        / (10 * h) AS mean_b,
+      CAST(ord(c1) AS BIGINT) AS top_left_r
+    FROM d ORDER BY sample_id"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents").where(octet_length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
+      Multimodal.decodePng(Multimodal.textAsPng(docs, "doc_id", "text", width = 10))
+        .toDF()
+        .select(col("sample_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_pixels"), col("mean_r"), col("mean_g"), col("mean_b"),
+          col("top_left_r").cast("long").as("top_left_r"))
+        .orderBy(col("sample_id"))
+    })
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -4524,13 +4735,14 @@ object SparkEntry {
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
-    d17, d18, d19, d20, d21, d22,
+    d17, d18, d19, d20, d21, d22, d23,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
-    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26,
+    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
-    t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44,
-    m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12)
+    t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45,
+    t46, t47,
+    m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))

@@ -100,6 +100,57 @@ object Dedup {
         array_join(array_sort(collect_set(col("__meta"))), ",").as("provenance"))
       .where(col("group_size") >= 2)
 
+  /** Cross-source duplication matrix — for every unordered source
+    * pair, how many duplicated-content pairs span it and how many
+    * distinct contents are involved. The crawl-overlap diagnostic
+    * that answers "is crawl B mostly a re-crawl of crawl A?" before
+    * you pay to process it, and the per-pair evidence provenance
+    * audits and mixture-weight corrections start from (d21 reports
+    * per-group provenance; this is its corpus-level rollup).
+    * Granularity: whole-document fingerprints by default; pass
+    * `chunkTokens` to count duplicated fixed-width CHUNKS instead
+    * (the d09 unit — boilerplate shared across sources shows up here
+    * long before whole documents collide).
+    *
+    * Scale shape: the corpus reduces to ONE (content-key, source)
+    * partial-aggregated digest exchange — same cost as d01/d09; the
+    * pair matrix then self-joins the digest-count frame (duplicated
+    * keys only, a vanishing fraction of the corpus) with the
+    * combinatorics done in COUNT ARITHMETIC (c_a·c_b per digest,
+    * C(c,2) within a source) — no occurrence-pair materialization,
+    * text never shuffles.
+    *
+    * @return (src_a, src_b, n_pairs, n_digests), src_a <= src_b,
+    *         only pairs with at least one spanning dup pair
+    */
+  def crossSourceDups(docs: DataFrame, textCol: String,
+      sourceCol: String, chunkTokens: Option[Int] = None): DataFrame = {
+    val keyed = chunkTokens match {
+      case Some(w) =>
+        TextChunker.chunk(docs, textCol, sourceCol, w, w)
+          .select(md5(col("chunk_text")).as("fp"),
+            col(sourceCol).as("source"))
+      case None =>
+        docs.select(TextAnalysis.fingerprint(col(textCol)).as("fp"),
+          col(sourceCol).as("source"))
+    }
+    val fps = keyed
+      .groupBy(col("fp"), col("source"))
+      .agg(count(lit(1)).as("c"))
+    val a = fps.select(col("fp"), col("source").as("src_a"), col("c").as("ca"))
+    val b = fps.select(col("fp"), col("source").as("src_b"), col("c").as("cb"))
+    a.join(b, "fp").where(col("src_a") <= col("src_b"))
+      .withColumn("n",
+        when(col("src_a") === col("src_b"),
+          (col("ca") * (col("ca") - 1) / 2).cast("long"))
+          .otherwise(col("ca") * col("cb")))
+      .where(col("n") > 0)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(col("n")).as("n_pairs"),
+        countDistinct(col("fp")).as("n_digests"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** SOFT dedup — downweight instead of drop ("Scaling Data-
     * Constrained Language Models" showed repeated data still helps at
     * the right weight, and hard-dropping near-dups throws away

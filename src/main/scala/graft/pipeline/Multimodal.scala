@@ -71,10 +71,11 @@ object Multimodal {
   }
 
   /** Magic-byte-dispatching decoder for the GENERIC feature path:
-    * containers this repo can fully parse (RIFF/WAVE, BMP, RIFF-AVI)
-    * decode for REAL — features come from the actual PCM samples /
-    * pixel bytes — and only unparseable formats (JPEG/MP4/... — no
-    * pure-JVM codec here) fall back to [[FakeDecoder]]. A container
+    * containers this repo can fully parse (RIFF/WAVE, BMP, RIFF-AVI,
+    * PNG via the JDK's imageio) decode for REAL — features come from
+    * the actual PCM samples / pixel bytes — and only unparseable
+    * formats (JPEG/MP4/... — no pure-JVM codec here) fall back to
+    * [[FakeDecoder]]. A container
     * that declares a known magic but fails to parse also falls back
     * (the generic path must never throw on one bad sample).
     *
@@ -100,6 +101,8 @@ object Multimodal {
           fromSignal(BmpCodec.decodePixels(p)._3.map(b => (b & 0xff).toDouble), dims)
         else if (magic(p, 0, "RIFF") && magic(p, 8, "AVI "))
           fromSignal(AviCodec.decodeFrames(p)._2.flatten.map(b => (b & 0xff).toDouble), dims)
+        else if (p.length >= 4 && (p(0) & 0xff) == 0x89 && magic(p, 1, "PNG"))
+          fromSignal(PngCodec.decodePixels(p)._3.map(b => (b & 0xff).toDouble), dims)
         else FakeDecoder.decode(p, dims)
       } catch {
         case scala.util.control.NonFatal(_) => FakeDecoder.decode(p, dims)
@@ -386,6 +389,90 @@ object Multimodal {
     }
   }
 
+  /** Real COMPRESSED image codec: PNG through the JDK's own
+    * `javax.imageio` (a genuine zlib/DEFLATE + filter-prediction
+    * codec shipped in every JVM — no native lib, no fake). Unlike
+    * the canonical-container [[BmpCodec]]/[[WavCodec]]/[[AviCodec]],
+    * the encoded BYTES here are not oracle-derivable (DEFLATE output
+    * is encoder-dependent), so m13 pins the lossless ROUND-TRIP
+    * instead: decoded pixel statistics must equal what SQL derives
+    * from the source text directly — any loss, channel swap, or
+    * row-order error in the real compression path breaks the match.
+    */
+  object PngCodec {
+    import java.awt.image.BufferedImage
+
+    /** Encode RGB triples (IMAGE row-major, row 0 = top) as PNG. */
+    def encodeRgb(pixels: Array[(Byte, Byte, Byte)], width: Int,
+        height: Int): Array[Byte] = {
+      require(width > 0 && height > 0, "bad png dims")
+      require(pixels.length == width * height, "pixels != width*height")
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+      var i = 0
+      while (i < pixels.length) {
+        val (r, g, b) = pixels(i)
+        img.setRGB(i % width, i / width,
+          ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff))
+        i += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "png", baos),
+        "no PNG writer available")
+      baos.toByteArray
+    }
+
+    /** Decoded header + per-channel means + top-left pixel — the
+      * [[BmpCodec.BmpInfo]] shape for the RGB channel order.
+      */
+    case class PngInfo(
+        width: Int, height: Int, nPixels: Long,
+        meanR: Double, meanG: Double, meanB: Double, topLeftR: Int)
+
+    /** Full pixel decode: (width, height, RGB triplets in IMAGE
+      * row-major order).
+      */
+    def decodePixels(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+      require(bytes != null && bytes.length >= 8 &&
+        (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'.toByte &&
+        bytes(2) == 'N'.toByte && bytes(3) == 'G'.toByte,
+        "not a png: bad magic")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "png decode failed")
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new Array[Byte](w * h * 3)
+      var y = 0
+      var k = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          out(k) = ((rgb >> 16) & 0xff).toByte
+          out(k + 1) = ((rgb >> 8) & 0xff).toByte
+          out(k + 2) = (rgb & 0xff).toByte
+          k += 3
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, out)
+    }
+
+    def decode(bytes: Array[Byte]): PngInfo = {
+      val (w, h, px) = decodePixels(bytes)
+      var sumR = 0L; var sumG = 0L; var sumB = 0L
+      var i = 0
+      while (i < px.length) {
+        sumR += px(i) & 0xff; sumG += px(i + 1) & 0xff; sumB += px(i + 2) & 0xff
+        i += 3
+      }
+      val n = w.toLong * h
+      PngInfo(w, h, n, sumR.toDouble / n, sumG.toDouble / n,
+        sumB.toDouble / n, px(0) & 0xff)
+    }
+  }
+
   /** Real pure-JVM VIDEO codec: uncompressed RIFF-AVI with 24bpp DIB
     * frames — the video sibling of [[WavCodec]]/[[BmpCodec]], and the
     * third REAL container in the family: an actual AVI structure
@@ -617,6 +704,67 @@ object Multimodal {
           BmpFeatures(id, payload.length.toLong, info.width, info.height,
             info.bitsPerPixel, info.nPixels, info.meanB, info.meanG,
             info.meanR, info.topLeftB)
+        }
+      }
+  }
+
+  /** Wrap a text corpus as REAL PNG payloads (the COMPRESSED sibling
+    * of [[textAsBmp]]): byte i becomes image pixel (row i/width, col
+    * i%width) with channels (R = byte, G = 255−byte, B = 3·byte mod
+    * 256) — a channel map deliberately DIFFERENT from the BMP one so
+    * a decoder that confuses the two formats' channel orders
+    * hash-mismatches. Tail of the last row is zero-pixel padded. The
+    * payload is genuine DEFLATE-compressed PNG from the JDK encoder;
+    * m13 pins the lossless decode round-trip against the text.
+    */
+  def textAsPng(docs: DataFrame, idCol: String, textCol: String,
+      width: Int = 10): DataFrame = {
+    require(width > 0, "width must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), encode(col(textCol), "UTF-8"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = if (text == null) Array.emptyByteArray else text
+          require(bytes.nonEmpty, "textAsPng: empty payload (filter first)")
+          val height = (bytes.length + width - 1) / width
+          val pixels = Array.tabulate(width * height) { i =>
+            if (i < bytes.length) {
+              val v = bytes(i) & 0xff
+              (v.toByte, (255 - v).toByte, ((v * 3) % 256).toByte)
+            } else (0.toByte, 0.toByte, 0.toByte)
+          }
+          (id, PngCodec.encodeRgb(pixels, width, height))
+        }
+      }
+      .toDF("sample_id", "payload")
+  }
+
+  /** Decoded PNG features, one row per sample. `n_bytes` is the
+    * compressed payload size — informative but NOT oracle-derivable
+    * (DEFLATE), so oracle queries project it away.
+    */
+  case class PngFeatures(
+      sample_id: Long, n_bytes: Long, width: Int, height: Int,
+      n_pixels: Long, mean_r: Double, mean_g: Double, mean_b: Double,
+      top_left_r: Int)
+
+  /** Partition-parallel REAL PNG decode (inflate + unfilter via the
+    * JDK codec): same mapPartitions distribution contract as
+    * [[decodeBmp]] — payloads never leave the executor.
+    */
+  def decodePng(media: DataFrame, idCol: String = "sample_id",
+      payloadCol: String = "payload"): Dataset[PngFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val info = PngCodec.decode(payload)
+          PngFeatures(id, payload.length.toLong, info.width, info.height,
+            info.nPixels, info.meanR, info.meanG, info.meanB, info.topLeftR)
         }
       }
   }

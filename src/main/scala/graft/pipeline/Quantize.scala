@@ -95,4 +95,41 @@ object Quantize {
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
+
+  /** Two-stage retrieval: SQ8 shortlist → exact re-rank — THE
+    * production ANN memory/quality trade (FAISS's
+    * quantizer-then-refine): stage 1 scans the 4×-smaller
+    * reconstructed-int8 corpus for a top-`shortlist` candidate set
+    * (all quantization error can do is rank candidates slightly
+    * wrong — recall is protected by shortlist ≫ k), stage 2 computes
+    * EXACT cosine only for those `shortlist` full-precision vectors
+    * and takes the final top-k. Deterministic end to end (id
+    * tie-breaks in both stages), so the full two-stage trajectory is
+    * SQL-replayable.
+    *
+    * Scale shape: stage 1 is the quantized scan (at 100 TB the int8
+    * codes are the only corpus-sized read — a quarter of the float
+    * I/O, and the reconstruction rides the codegen'd projection);
+    * stage 2's shortlist is k-bounded driver-free work: the id set
+    * broadcasts back as a semi-join build side, so the full-precision
+    * leg touches `shortlist` rows, not the corpus.
+    *
+    * @return (idCol, cos_sim) — exact cosines, final top-k order
+    */
+  def rerankedTopK(emb: DataFrame, vecCol: String, idCol: String,
+      queryId: Long, k: Int, shortlist: Int,
+      lo: Double, hi: Double): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val short = quantizedTopK(emb, vecCol, idCol, queryId, shortlist, lo, hi)
+      .select(col(idCol))
+    val q = emb.where(col(idCol) === lit(queryId))
+      .select(col(vecCol).cast("array<double>").as("q_vec"))
+    emb.join(broadcast(short), Seq(idCol), "left_semi")
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .crossJoin(broadcast(q))
+      .withColumn("cos_sim", Similarity.cosine(col("v"), col("q_vec")))
+      .select(col(idCol), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -1250,4 +1250,157 @@ object TextAnalysis {
         lit(11.8) * (col("n_syll").cast("double") / greatest(col("n_words"), lit(1L)).cast("double")) -
         lit(15.59))
   }
+
+  /** BPE tokenizer APPLICATION — the other half of [[bpeMerges]]:
+    * encode every document with an induced merge list, the operation
+    * a training pipeline runs over the WHOLE corpus after inducing
+    * merges once (token counts for data budgeting, fertility =
+    * chars/token for tokenizer quality, the encoded stream itself
+    * for packing). Applying the merges in induction order IS
+    * canonical BPE encoding: each later merge's operands can only be
+    * products of earlier merges, so one in-order pass per rule equals
+    * the rescan-after-every-merge formulation.
+    *
+    * Scale shape: the merge list is tokenizer-sized (k ≤ 64 rows of
+    * driver state — the IVF-centroid pattern), and the whole encode
+    * compiles to ONE map-only codegen'd projection: per merge rule, a
+    * double-space + substring-replace + collapse (the same leftmost
+    * non-overlapping rewrite [[bpeMerges]] uses, so induction and
+    * application can't drift). No shuffle, no join — the corpus is
+    * touched exactly once at scan speed, which is what makes this
+    * viable at 100 TB where the corpus-sized frame must never
+    * re-materialize.
+    *
+    * Words are lowercased `[a-z]+` runs joined by a `|` boundary
+    * symbol (never part of any merge operand, so merges cannot cross
+    * word boundaries — the per-word independence canonical BPE
+    * requires, without exploding to one row per word).
+    *
+    * @param merges (left, right) pairs in induction order
+    * @return (idCol, n_tokens, n_az_chars, fertility, enc_md5) —
+    *         n_tokens excludes boundary symbols; fertility is
+    *         chars/token rounded 6 dp (null for wordless docs);
+    *         enc_md5 fingerprints the full encoded symbol stream
+    */
+  def bpeEncode(docs: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "merge list must be non-empty")
+    require(merges.forall { case (l, r) =>
+      l.nonEmpty && r.nonEmpty && (l + r).forall(c => c >= 'a' && c <= 'z') },
+      "merge operands must be non-empty [a-z]+ symbols")
+    val joined = array_join(
+      regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0)), "|")
+    var s: Column = trim(regexp_replace(joined, "(.)", "$1 "))
+    merges.foreach { case (l, r) =>
+      val doubled = concat(lit(" "),
+        call_function("replace", s, lit(" "), lit("  ")), lit(" "))
+      s = trim(regexp_replace(
+        call_function("replace", doubled, lit(s" $l  $r "), lit(s" $l$r ")),
+        " +", " "))
+    }
+    docs
+      .select(col(idCol), s.as("enc"))
+      .select(col(idCol),
+        nTokensOf(col("enc")).as("n_tokens"),
+        nAzOf(col("enc")).as("n_az_chars"),
+        md5(col("enc")).as("enc_md5"))
+      .withColumn("fertility",
+        when(col("n_tokens") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("n_az_chars").cast("double") /
+            col("n_tokens").cast("double"), 6)))
+      .select(col(idCol), col("n_tokens"), col("n_az_chars"),
+        col("fertility"), col("enc_md5"))
+  }
+
+  /** Deterministic MLM masking (BERT-style corruption, T5's iid
+    * special case) — the sample-prep operator that turns a curated
+    * corpus into masked-LM training rows. The mask decision for
+    * position i of doc d is pure hash math — first hex digit of
+    * md5("d:i") landing in `maskHex` (default {0,1,2} = 3/16 ≈ 18.75%
+    * expected rate) — so the corruption is reproducible across runs,
+    * engines, and partitionings: re-running the pipeline regenerates
+    * byte-identical training data (the property that makes data
+    * ablations comparable), and the oracle can replay every decision.
+    *
+    * Map-only: one codegen'd projection over the token array — no
+    * shuffle, no RNG state, nothing driver-side. Tokens are the
+    * whitespace-normalized lowercase stream the dedup family uses.
+    *
+    * @return (idCol, n_tokens, n_masked, mask_rate, masked_md5,
+    *         targets_md5) — masked_md5 fingerprints the corrupted
+    *         sequence ('[MASK]' substituted in place), targets_md5
+    *         the '|'-joined masked-out tokens in order
+    */
+  def mlmMask(docs: DataFrame, textCol: String, idCol: String,
+      maskHex: Seq[String] = Seq("0", "1", "2")): DataFrame = {
+    require(maskHex.nonEmpty && maskHex.forall(h =>
+      h.length == 1 && "0123456789abcdef".contains(h)),
+      "maskHex must be single lowercase hex digits")
+    val ts = split(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")), " ")
+    def cond(i: Column): Column =
+      substring(md5(concat(col(idCol).cast("string"), lit(":"),
+        i.cast("string"))), 1, 1).isin(maskHex: _*)
+    val pairs = zip_with(ts, sequence(lit(1), size(ts)),
+      (t, i) => struct(t.as("t"), cond(i).as("m")))
+    val nMasked = size(filter(pairs, p => p.getField("m"))).cast("long")
+    docs.select(col(idCol),
+        size(ts).cast("long").as("n_tokens"),
+        nMasked.as("n_masked"),
+        md5(array_join(transform(pairs, p =>
+          when(p.getField("m"), lit("[MASK]")).otherwise(p.getField("t"))),
+          " ")).as("masked_md5"),
+        md5(array_join(transform(filter(pairs, p => p.getField("m")),
+          p => p.getField("t")), "|")).as("targets_md5"))
+      .withColumn("mask_rate",
+        round(col("n_masked").cast("double") / col("n_tokens").cast("double"), 6))
+      .select(col(idCol), col("n_tokens"), col("n_masked"), col("mask_rate"),
+        col("masked_md5"), col("targets_md5"))
+  }
+
+  /** Per-source unigram-distribution divergence from the corpus —
+    * KL(P_source ‖ P_corpus) over the whitespace token vocabulary,
+    * plus token/vocab volumes. The source-mix diagnostic that tells
+    * you WHICH slices are distributionally far from the blend before
+    * you set mixture weights (DoReMi-style reweighting starts from
+    * exactly this table): a high-KL source dominates or starves
+    * specific token modes; near-zero KL means the source is
+    * distributionally redundant.
+    *
+    * Scale shape: ONE corpus-scale partial-aggregated exchange (the
+    * (source, token) count); the global token distribution re-
+    * aggregates that same frame (AQE reuses the exchange), and every
+    * downstream join is vocabulary-sized. Strings shuffle once.
+    * Per-term IEEE math is identical on both engines; the vocab-sized
+    * ln-sum rounds 6 dp at the edge (the t19 discipline).
+    *
+    * @return (source, n_tokens, n_vocab, kl_corpus) ordered by source
+    */
+  def sourceKlReport(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val toks = graft.ops.ScaleOps.fanOut(docs)
+      .select(col(sourceCol).as("source"),
+        explode(split(col(textCol), " ")).as("tok"))
+    val sc = toks.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val st = sc.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    val g = sc.groupBy(col("tok")).agg(sum(col("c")).as("cg"))
+    val n = g.agg(sum(col("cg")).cast("double").as("nt"))
+    val ps = col("c").cast("double") / col("ns").cast("double")
+    val pg = col("cg").cast("double") / col("nt")
+    sc.join(st, "source").join(g, "tok").crossJoin(broadcast(n))
+      .groupBy(col("source"))
+      .agg(
+        max(col("ns")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_vocab"),
+        round(sum(ps * log(ps / pg)), 6).as("kl_corpus"))
+      .orderBy(col("source"))
+  }
+
+  private def nTokensOf(enc: Column): Column =
+    size(filter(split(enc, " "),
+      t => t =!= lit("|") && t =!= lit(""))).cast("long")
+
+  private def nAzOf(enc: Column): Column =
+    length(call_function("replace",
+      call_function("replace", enc, lit(" "), lit("")), lit("|"), lit(""))).cast("long")
 }

@@ -308,6 +308,36 @@ object ScaleSmoke {
             graft.pipeline.Multimodal.textAsAvi(
               docs.where(octet_length(col("text")) > 0), "doc_id", "text")).toDF(),
           maxHamming = 3).count() }
+      // induce once (vocab rounds), then ONE map-only encode pass —
+      // the pass that IS the corpus-sized job at 100 TB
+      time("t45 bpeEncode (induce+apply)") {
+        val merges = graft.pipeline.TextAnalysis.bpeMerges(docs, "text", 8)
+          .orderBy(col("round")).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.pipeline.TextAnalysis.bpeEncode(docs, "text", "doc_id", merges)
+          .count() }
+      // pure hash-math projection, no shuffle
+      time("t46 mlmMask") {
+        graft.pipeline.TextAnalysis.mlmMask(docs, "text", "doc_id")
+          .where(col("n_masked") >= 0L).count() }
+      // one (source, token) partial agg; everything after vocab-sized
+      time("t47 sourceKlReport") {
+        graft.pipeline.TextAnalysis.sourceKlReport(docs, "text", "source")
+          .count() }
+      // digest-count matrix: corpus work is one chunk-hash agg
+      time("d23 crossSourceDups chunks") {
+        graft.pipeline.Dedup.crossSourceDups(docs, "text", "source",
+          chunkTokens = Some(20)).count() }
+      // real DEFLATE encode+decode per doc, mapPartitions-local
+      time("m13 png roundtrip") {
+        graft.pipeline.Multimodal.decodePng(
+          graft.pipeline.Multimodal.textAsPng(
+            docs.where(octet_length(col("text")) > 0), "doc_id", "text", 10))
+          .count() }
+      // quantized scan + shortlist-bounded exact leg
+      time("s27 sq8 rerank 50->10") {
+        graft.pipeline.Quantize.rerankedTopK(emb, "embedding", "vec_id",
+          queryId = 0L, k = 10, shortlist = 50, lo = -2.0, hi = 2.0).count() }
       spark.catalog.clearCache()
     }
 
