@@ -94,13 +94,19 @@ object ExplainDump {
       "m09_media_features_real" -> "dispatching generic decode: encode + magic dispatch + REAL WAV parse + segment features all in one mapPartitions stage over the scan — payload bytes never leave the executor (the m04 contract), presentation sort is the only exchange",
       "t41_nfc_normalize" -> "NFC canonicalization: the codegen'd NfcNormalize expression runs in the scan-stage projection (changed flag, codepoint delta, md5 all off the same normalized value) — zero exchanges below the presentation sort; the isNormalized fast path makes the dominant already-NFC corpus a zero-allocation scan",
       "t42_readability" -> "readability: three regexp_extract_all counts + fixed-order IEEE grade arithmetic, all one codegen'd scan-stage projection — no shuffle below the presentation sort",
-      "s25_range_search" -> "threshold search: 8-row query side broadcast, ONE corpus scan, codegen cosine + threshold both scan-side predicates — no rank window, no exchange at all below the presentation sort",
+      "s25_range_search" -> "threshold search: 8-row query side broadcast, ONE corpus scan, codegen cosine + threshold both scan-side predicates — no rank window; the only exchanges below the presentation sort are the fanOut repartition on the corpus side and the query-side BroadcastExchange, no key shuffle anywhere",
       "m10_perceptual_hash" -> "perceptual hash: BMP encode + decode + 8x8 lattice + threshold pack in ONE mapPartitions chain over the scan (payload bytes never leave the executor); only (id, 2 x 32-bit halves, stats) rows move to the presentation sort",
       "m11_phash_dup_pairs" -> "phash near-dup pairs: hashes cache-scoped tiny (id + 2 longs), threshold-derived band count (maxHamming+1 -> 16-bit keys at hamming<=3) keeps the band-equality buckets selective on structured hashes; the join moves 3-column rows and the only text/image movement is the codec scan itself",
       "m12_frame_phash_dedup" -> "frame phash scene dedup: AVI chunk walk + per-frame lattice hash in ONE mapPartitions chain, then a single sample-keyed lag window over 4-long rows for the dup_prev flags — video bytes never cross an exchange",
       "t43_calibration_bins" -> "calibration bins: the t15 entropy aggregation, one global NTILE sort (the exact-cut oracle contract; swap for approx_percentile boundaries at 100 TB), then a bin-keyed partial aggregation with DECIMAL-exact score sums",
       "t44_bpe_merges" -> "BPE merges: an EAGER driver-loop operator (the MMR/RecursiveCte class) — the result frame below is the assembled merge table; the corpus-scale work already ran as one word-frequency partial-agg exchange, and the k rounds iterated on the vocab (driver-local under the size threshold, cache-swapped vocab-frame passes above it)",
       "q71_qualify" -> "QUALIFY via the SQL-door rewrite: the predicate rides the SAME Window operator as the projected rank (Spark dedups the identical window expression) — one keyed exchange for the window partition, then a plain Filter; no second window, no extra shuffle",
+      "t45_bpe_encode" -> "BPE encode: an EAGER induce-then-apply operator (t44's driver loop runs first); the plan below is the APPLY pass — the whole 8-rule rewrite chain is ONE map-only codegen'd projection over the documents scan, no join, no shuffle below the presentation sort: the corpus-sized encode job is a pure scan",
+      "t46_mlm_mask" -> "MLM masking: every mask decision, the corrupted-sequence md5 and the target-stream md5 are ONE scan-stage projection (md5 hash math per position inside array HOFs) — zero exchanges below the presentation sort, no RNG state anywhere",
+      "t47_source_kl" -> "source KL: ONE corpus-scale (source, token) partial-agg exchange; the global token distribution re-aggregates that frame and the totals broadcast — every join after the first exchange is vocabulary-sized",
+      "d23_cross_source_dups" -> "cross-source dup matrix: chunk hashes in the scan stage, ONE (chunk-hash, source) partial-agg exchange is the only corpus-sized step; the pair matrix self-joins the duplicated-keys count frame (bucket-local, vanishing fraction) with pure count arithmetic — no occurrence pair, no text, ever shuffles",
+      "s27_knn_sq8_rerank" -> "two-stage retrieval: stage 1 is the quantized map-only scan + TopK (the only corpus-sized read); stage 2's 50-id shortlist broadcasts back as a left-semi build side so the full-precision cosine touches 50 rows — no corpus re-scan, no keyed exchange",
+      "m13_png_roundtrip" -> "real PNG roundtrip: DEFLATE encode + inflate/unfilter decode both inside ONE mapPartitions stage over the documents scan (the m04 contract — compressed payloads never leave the executor); presentation sort is the only exchange",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")
@@ -159,6 +165,51 @@ measurements that disprove it at this scale. At 100 TB the trade may
 flip back (shuffle-file re-reads vs memory cache); the operators are
 cache-free because that is what MEASURES faster, and the lifecycle
 spec now pins no-pinned-blocks either way.
+
+## Round-10 drift triage (r9 verdict items #2/#3: s21 fold cadence + the r8→r9 ≥1.25x cluster)
+
+**s21 MMR fold-cadence A/B** (the r9 verdict's missing experiment —
+`DriftProfile __mmr_ab`, exact s21 shape k=10/λ=0.7, variants
+interleaved round-robin, 5 timed reps each after per-variant warmup,
+sf0.1, idle JVM):
+
+| foldEvery | min | median | note |
+|---|---|---|---|
+| 4 | 1.157 | 1.240 | two folds (picks 4, 8) |
+| 8 | 0.909 | 0.980 | shipped r9 default — one fold at pick 8 |
+| 16 (= no fold for k=10) | 0.763 | 0.923 | pure inline-penalty loop |
+
+Verdict confirmed: each fold is a `count()` + cache swap whose fixed
+cost EXCEEDS the inline expression growth it removes until the pending
+chain is ~16 deep. `MmrFoldEvery` is now 16 (k ≤ 16 never folds; the
+fold still bounds plan size for large k, and IEEE-max associativity
+keeps the trajectory bit-identical — s21 still hash-matches). Full
+declared s21 after the change: isolated min 0.898 / median 0.944 —
+below BOTH the r8 (1.26) and r9 (1.67) driver numbers.
+
+**The r8→r9 drift cluster** (s08 1.52x / t06 1.46x / s11 1.39x /
+t09 1.32x / t17 1.27x-cumulative / s13 1.26x), DriftProfile'd twice in
+different JVM orders, with r9-stable queries as same-window controls:
+
+| query | r8 bench | r9 bench | r10 isolated min/median | adjudication |
+|---|---|---|---|---|
+| t17_hash_split | 0.119 | 0.150 | 0.138 / 0.150 | matches its OWN r9 isolated floor (0.122/0.135) within 13% — the r9 bench 0.15 did not reproduce as plan cost; the "third drift" is bench-billing noise on a 0.1 s scan-stage CASE |
+| t06_stratified_sample | 0.20 | 0.30 | 0.233 / 0.235 | recovered to r8 + machine band |
+| t09_decontamination | 0.93 | 1.22 | 0.992 / 1.101 | recovered |
+| s13_knn_ivfpq | 0.49 | 0.62 | 0.428 / 0.460 | recovered BELOW r8 |
+| s08_cluster_sample | 0.37 | 0.56 | 0.478 / 0.580 | within machine band (see controls) |
+| s11_knn_lsh_batch | 0.28 | 0.38 | 0.322 / 0.340 | within machine band |
+| q55_groups_frames (control, r9-stable) | — | — | 0.355 / 0.449 vs r9 isolated 0.278/0.314 | today's window runs ~1.2-1.3x hot |
+| t16_sequence_pack (control, r9-stable) | — | — | 0.267 / 0.280 vs r9 isolated 0.217/0.226 | 1.23x same shift |
+| q68_sessionize_skewed (control) | — | — | 1.082 / 1.175 vs r9 isolated 1.237/1.313 | 0.87x — variance cuts both ways |
+
+The controls bound today's machine window at roughly ±25% of the r9
+triage window, which covers every residual in the cluster. One
+position effect worth recording: the FIRST query profiled in a fresh
+DriftProfile JVM reads 1.5-2x hot (t17 read 0.252 when first, 0.138
+when third) — the single warmup pass does not fully absorb first-use
+JIT/allocator costs, so cluster profiles here always lead with a
+throwaway query.
 
 ## Round-9 drift triage (the r8 1.3x cluster: q55 / q59 / q68 / s15 / t10 / t16 / t17)
 
