@@ -72,7 +72,15 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     "t43_calibration_bins",
     // t44 is pure strings + integer counts with a lexicographic
     // tie-break — the whole k-round trajectory replays exactly
-    "t44_bpe_merges")
+    "t44_bpe_merges",
+    // round-11: t45 extends the t44 trajectory with the encode chain
+    // (strings + counts + one exact division); t46 is md5 decisions
+    // + string md5s + one exact division; t47's ln-sum is the
+    // contract-rounded t19/t22 class; d23 is digests + pure count
+    // arithmetic; m13 is integer sums over ASCII bytes (the m05
+    // class through the real DEFLATE roundtrip)
+    "t45_bpe_encode", "t46_mlm_mask", "t47_source_kl",
+    "d23_cross_source_dups", "m13_png_roundtrip")
 
   private def generate(seed: Int, nDocs: Int): Seq[(Long, String, String, String, Long)] = {
     val rnd = new scala.util.Random(seed)
@@ -114,7 +122,10 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     // round-10: threshold search is the s01/s04 cosine class with a
     // predicate instead of a rank window; the seeded-cell variant
     // additionally replays the assignment/probe reconstruction
-    "s25_range_search", "s26_range_search_ivf")
+    "s25_range_search", "s26_range_search_ivf",
+    // round-11: both s27 stages replay — the SQ8 shortlist is the s09
+    // quantization class, the exact re-rank the s01 cosine class
+    "s27_knn_sq8_rerank")
 
   /** Canonical cell stringification: array columns print as
     * "[a, b, ...]" on BOTH sides (Spark rows yield Scala Seqs,

@@ -397,4 +397,54 @@ class PlanQualitySpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"within-cell pairs must be an equi-join on cell:\n$plan")
   }
+
+  test("t45 bpeEncode apply pass is a pure projection: no exchange, no join") {
+    // fixed merges — the pin is about the APPLY pass, not induction
+    val df = graft.pipeline.TextAnalysis.bpeEncode(
+      spark.read.parquet(s"$sf/documents.parquet"), "text", "doc_id",
+      Seq(("e", "r"), ("i", "n"), ("s", "t")))
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"the corpus-sized encode must stay a scan-stage projection:\n$plan")
+  }
+
+  test("t46 mlmMask is a scan-stage projection: no exchange at all") {
+    val df = graft.pipeline.TextAnalysis.mlmMask(
+      spark.read.parquet(s"$sf/documents.parquet"), "text", "doc_id")
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange"), s"masking must not shuffle:\n$plan")
+  }
+
+  test("s27 rerank: shortlist broadcasts as a left-semi build side, no keyed corpus shuffle") {
+    val df = graft.pipeline.Quantize.rerankedTopK(
+      Tables.load(spark, sf, "embeddings"), "embedding", "vec_id",
+      queryId = 0L, k = 10, shortlist = 50, lo = -2.0, hi = 2.0)
+    val plan = planOf(df)
+    assert(plan.contains("LeftSemi"),
+      s"exact leg must semi-join the shortlist:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"shortlist must broadcast, not shuffle the corpus:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"both stages end in TopK, never a global sort:\n$plan")
+    // no corpus-keyed repartition anywhere: the only Exchanges allowed
+    // are broadcasts and the fanOut round-robin on the quantized scan
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      s"no vec_id-keyed shuffle expected:\n$plan")
+  }
+
+  test("d23 crossSourceDups: digest-count matrix joins stay keyed, no text columns shuffle") {
+    val df = graft.pipeline.Dedup.crossSourceDups(
+      spark.read.parquet(s"$sf/documents.parquet"), "text", "source",
+      chunkTokens = Some(20))
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair matrix must be an equi-join on fp:\n$plan")
+    // the only corpus-sized exchange carries (fp, source) counts: the
+    // raw text column must not appear in any Exchange input
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, s"expected the digest partial-agg exchange:\n$plan")
+    assert(!exchanges.exists(_.contains("text#")),
+      s"document text must never shuffle:\n${exchanges.mkString("\n")}")
+  }
 }
