@@ -4576,6 +4576,82 @@ object SparkEntry {
         .orderBy(col("sample_id"), col("frame_idx"))
     })
 
+  // The full production LSH dedup pipeline hash-matched END TO END:
+  // md5-banded MinHash candidates (d12's mechanism) verified by exact
+  // Jaccard computed ONLY on the candidate sliver, threshold 0.3.
+  // d12 proves the candidate set and d02 exact Jaccard; this is their
+  // deployed composition — a band that over-merges, a verification
+  // joined to the wrong doc, or a threshold flip shows up as a
+  // whole-row diff.
+  private val d24 = Q("d24_lsh_verified_pairs", Some("""
+    WITH toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    sig AS (SELECT doc_id,
+        MIN(md5('0:' || shingle)) AS m0, MIN(md5('1:' || shingle)) AS m1,
+        MIN(md5('2:' || shingle)) AS m2, MIN(md5('3:' || shingle)) AS m3,
+        MIN(md5('4:' || shingle)) AS m4, MIN(md5('5:' || shingle)) AS m5,
+        MIN(md5('6:' || shingle)) AS m6, MIN(md5('7:' || shingle)) AS m7
+      FROM sh GROUP BY doc_id),
+    bnd AS (
+      SELECT doc_id, 0 AS band, m0 || '|' || m1 AS key FROM sig
+      UNION ALL SELECT doc_id, 1, m2 || '|' || m3 FROM sig
+      UNION ALL SELECT doc_id, 2, m4 || '|' || m5 FROM sig
+      UNION ALL SELECT doc_id, 3, m6 || '|' || m7 FROM sig),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bnd a JOIN bnd b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+      FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+      CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) AS jaccard
+    FROM inter
+      JOIN sizes na ON na.doc_id = id_a
+      JOIN sizes nb ON nb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) >= 0.3
+    ORDER BY id_a, id_b"""),
+    (s, dir) => Dedup.lshVerifiedPairsMd5(T(s, dir, "documents"), "text", "doc_id",
+        shingleN = 3, numHashes = 8, bands = 4, threshold = 0.3)
+      .orderBy(col("id_a"), col("id_b")))
+
+  // Single-bin DFT energy over REAL decoded WAV PCM (bins 1 and 5):
+  // the frequency-content primitive (Goertzel) the audio family was
+  // missing. C/S are the weighted cos/sin sums folded i-ascending on
+  // both engines (the s23 fold contract; ROUND(6) absorbs last-ulp
+  // transcendental disagreement); power is exact integer math. ASCII
+  // pin as in m04.
+  private val m14 = Q("m14_wav_dft_energy", Some("""
+    WITH d AS (SELECT doc_id,
+        octet_length(CAST(text AS BLOB)) AS n,
+        string_split(text, '') AS cs
+      FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) > 0
+        AND octet_length(CAST(text AS BLOB)) = length(text)),
+    b AS (SELECT doc_id, n, cs, k FROM d, UNNEST([1, 5]) AS g(k))
+    SELECT doc_id AS sample_id, CAST(k AS BIGINT) AS bin,
+      CAST(n AS BIGINT) AS n_samples,
+      CAST(list_sum(list_transform(generate_series(0, n - 1), i ->
+        CAST(ord(cs[CAST(i + 1 AS BIGINT)]) * 128 AS BIGINT) * CAST(ord(cs[CAST(i + 1 AS BIGINT)]) * 128 AS BIGINT))) AS BIGINT) AS power,
+      ROUND(list_sum(list_transform(generate_series(0, n - 1), i ->
+        CAST(ord(cs[CAST(i + 1 AS BIGINT)]) * 128 AS DOUBLE) * cos(2 * pi() * k * i / n))), 6) + 0.0 AS c,
+      ROUND(list_sum(list_transform(generate_series(0, n - 1), i ->
+        CAST(ord(cs[CAST(i + 1 AS BIGINT)]) * 128 AS DOUBLE) * sin(2 * pi() * k * i / n))), 6) + 0.0 AS s
+    FROM b ORDER BY sample_id, bin"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents").where(octet_length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
+      Multimodal.wavDftEnergy(
+          Multimodal.textAsWav(docs, "doc_id", "text"), dftBins = Seq(1, 5))
+        .orderBy(col("sample_id"), col("bin"))
+    })
+
   // Cross-source duplication matrix over d09's 20-token chunks: per
   // unordered source pair, the number of duplicated-chunk pairs
   // spanning it — the crawl-overlap diagnostic (is crawl B a
@@ -4735,14 +4811,14 @@ object SparkEntry {
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
-    d17, d18, d19, d20, d21, d22, d23,
+    d17, d18, d19, d20, d21, d22, d23, d24,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
     s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
     t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45,
     t46, t47,
-    m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13)
+    m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))

@@ -557,6 +557,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** The full production LSH dedup pipeline, hash-matched end to end:
+    * md5-banded MinHash CANDIDATES ([[minHashLshMd5]]'s mechanism)
+    * verified by exact Jaccard computed ONLY for candidate pairs,
+    * keeping pairs ≥ `threshold`. This is the two-stage shape every
+    * web-scale dedup runs (banding finds, exact math confirms —
+    * candidates alone over-merge on band collisions; exact-everywhere
+    * is quadratic): d12 proves the candidate set, d02 proves exact
+    * Jaccard, d19 measures the recall trade — this operator is the
+    * composition a pipeline actually deploys, with the expensive
+    * exact computation confined to the candidate sliver.
+    *
+    * Scale shape: signatures and shingle sets are scan-stage kernels;
+    * corpus-sized shuffles are the band-bucket exchange and the two
+    * candidate-keyed set joins, which move one shingle-hash array per
+    * CANDIDATE doc, not per doc.
+    *
+    * @return (id_a, id_b, jaccard) — candidates that passed exact
+    *         verification, id_a < id_b
+    */
+  def lshVerifiedPairsMd5(docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      threshold: Double = 0.3): DataFrame = {
+    val cand = minHashLshMd5(docs, textCol, idCol, shingleN, numHashes, bands)
+    val docSets = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
+      graft.ops.ScaleOps.fanOut(docs)
+        .select(col(idCol).as("id"),
+          graft.functions.ShingleHashes(col(textCol), shingleN).as("sh_arr"))
+        .where(size(col("sh_arr")) > 0))
+    cand
+      .join(docSets.select(col("id").as("id_a"), col("sh_arr").as("sa")), Seq("id_a"))
+      .join(docSets.select(col("id").as("id_b"), col("sh_arr").as("sb")), Seq("id_b"))
+      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("n_inter")).cast("double"))
+      .where(col("jaccard") >= lit(threshold))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** 32-bit SimHash over md5-derived bits — the oracle twin of
     * [[simHash]] (the d12/s16 move for the SimHash family): bit j of
     * a token is bit (j mod 4) of hex digit (j div 4) of md5(token),

@@ -821,6 +821,67 @@ object Multimodal {
       }
   }
 
+  /** Single-bin DFT energy over REAL decoded PCM — the first genuine
+    * SIGNAL-PROCESSING feature in the audio family (means/RMS are
+    * amplitude statistics; this is frequency content): for each
+    * requested bin k, C_k = Σ xₙ·cos(2πkn/N) and S_k = Σ xₙ·sin(2πkn/N)
+    * over the decoded samples — the k-th DFT coefficient, the
+    * Goertzel/spectral-energy primitive audio dedup and
+    * quality-gating build on (a near-silent or single-tone clip shows
+    * its energy concentrated in specific bins).
+    *
+    * The sum formulation keeps it ORACLE-EXACT: both engines fold the
+    * weighted terms i-ascending (the s23 list_sum contract) with the
+    * same libm cos/sin per index, and the 6-dp edge round absorbs any
+    * last-ulp transcendental disagreement (per-term ulp error sums to
+    * ~1e-9 at clip length, far under the round grain). `power`
+    * (Σ xₙ²) is pure INTEGER arithmetic — exact.
+    *
+    * Same mapPartitions contract as [[decodeWav]]: decode + fold per
+    * partition, payloads never cross an exchange.
+    *
+    * @return one row per (sample, bin): (sample_id, bin, n_samples,
+    *         power, c, s) with c/s rounded 6 dp
+    */
+  def wavDftEnergy(media: DataFrame, dftBins: Seq[Int],
+      idCol: String = "sample_id", payloadCol: String = "payload"): DataFrame = {
+    require(dftBins.nonEmpty && dftBins.forall(_ >= 0), "bins must be >= 0")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val bins = dftBins.toArray
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val samples = WavCodec.decodeSamples(payload)._3
+          val n = samples.length
+          var power = 0L
+          var i = 0
+          while (i < n) { power += samples(i).toLong * samples(i); i += 1 }
+          bins.iterator.map { k =>
+            var c = 0.0
+            var s = 0.0
+            var j = 0
+            while (j < n) {
+              val theta = 2.0 * math.Pi * k * j / n
+              c += samples(j) * math.cos(theta)
+              s += samples(j) * math.sin(theta)
+              j += 1
+            }
+            // + 0.0 folds IEEE −0.0 into +0.0: when k divides n the
+            // sin sum is a ±1e-13 residual whose SIGN depends on the
+            // engine's last-ulp sin, and ROUND(6) would otherwise
+            // emit oppositely-signed zeros cross-engine
+            def r6(v: Double): Double =
+              BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble + 0.0
+            (id, k.toLong, n.toLong, power, r6(c), r6(s))
+          }
+        }
+      }
+      .toDF("sample_id", "bin", "n_samples", "power", "c", "s")
+  }
+
   /** REAL audio resample, the WAV sibling of [[resizeBmp]]:
     * decode the PCM16 signal, nearest-neighbor resample via the
     * integer map src = ⌊i·srcRate/dstRate⌋ (nOut = ⌊n·dst/src⌋),

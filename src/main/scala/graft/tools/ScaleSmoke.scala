@@ -338,6 +338,16 @@ object ScaleSmoke {
       time("s27 sq8 rerank 50->10") {
         graft.pipeline.Quantize.rerankedTopK(emb, "embedding", "vec_id",
           queryId = 0L, k = 10, shortlist = 50, lo = -2.0, hi = 2.0).count() }
+      // exact Jaccard confined to the banded-candidate sliver
+      time("d24 lshVerifiedPairs") {
+        graft.pipeline.Dedup.lshVerifiedPairsMd5(docs, "text", "doc_id",
+          threshold = 0.3).count() }
+      // codec scan + per-doc weighted-sum folds, no shuffle
+      time("m14 wav dft energy") {
+        graft.pipeline.Multimodal.wavDftEnergy(
+          graft.pipeline.Multimodal.textAsWav(
+            docs.where(octet_length(col("text")) > 0), "doc_id", "text"),
+          dftBins = Seq(1, 5)).count() }
       spark.catalog.clearCache()
     }
 

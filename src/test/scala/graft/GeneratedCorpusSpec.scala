@@ -80,7 +80,11 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     // arithmetic; m13 is integer sums over ASCII bytes (the m05
     // class through the real DEFLATE roundtrip)
     "t45_bpe_encode", "t46_mlm_mask", "t47_source_kl",
-    "d23_cross_source_dups", "m13_png_roundtrip")
+    "d23_cross_source_dups", "m13_png_roundtrip",
+    // d24 is digests + integer intersections + exact divisions (the
+    // d02/d12 classes composed); m14's power is pure integer math and
+    // its C/S sums are contract-rounded i-ascending folds
+    "d24_lsh_verified_pairs", "m14_wav_dft_energy")
 
   private def generate(seed: Int, nDocs: Int): Seq[(Long, String, String, String, Long)] = {
     val rnd = new scala.util.Random(seed)

@@ -314,4 +314,84 @@ class Round11Spec extends AnyFunSuite {
         queryId = 0L, k = 10, shortlist = 5, lo = -2.0, hi = 2.0)
     }
   }
+
+  // ---------------- verified LSH pairs ----------------
+
+  test("lshVerifiedPairsMd5 == exact Jaccard restricted to the candidate set") {
+    val docs = Tables.load(spark, SparkFixture.sfDir, "documents").limit(200)
+    val verified = graft.pipeline.Dedup.lshVerifiedPairsMd5(
+      docs, "text", "doc_id", threshold = 0.2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exact = graft.pipeline.Dedup.ngramJaccardPairs(
+      docs, "text", "doc_id", n = 3, threshold = 0.2, maxPostings = None)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val cand = graft.pipeline.Dedup.minHashLshMd5(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verified = exact ∩ candidates, with IDENTICAL jaccard values
+    val expected = exact.view.filterKeys(cand).toMap
+    assert(verified == expected,
+      s"verified=${verified.keySet} expected=${expected.keySet}")
+    verified.values.foreach(j => assert(j >= 0.2))
+  }
+
+  test("lshVerifiedPairsMd5 finds planted exact duplicates with jaccard 1.0") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq((1L, base), (2L, base), (3L, "totally different words here now"))
+      .toDF("doc_id", "text").repartition(2)
+    val out = graft.pipeline.Dedup.lshVerifiedPairsMd5(docs, "text", "doc_id")
+      .collect()
+    // identical docs share every band -> always candidates -> jaccard 1
+    assert(out.length == 1 && out.head.getLong(0) == 1L &&
+      out.head.getLong(1) == 2L && out.head.getDouble(2) == 1.0)
+  }
+
+  // ---------------- WAV DFT energy ----------------
+
+  test("wavDftEnergy matches an in-memory Goertzel reference; bin 0 is the plain sum") {
+    import spark.implicits._
+    val texts = Seq((3L, "hello dft world"), (4L, "a"))
+    val media = graft.pipeline.Multimodal.textAsWav(
+      texts.toDF("doc_id", "text").repartition(2), "doc_id", "text")
+    val out = graft.pipeline.Multimodal.wavDftEnergy(media, dftBins = Seq(0, 1))
+      .orderBy(col("sample_id"), col("bin")).collect()
+    texts.foreach { case (id, text) =>
+      val xs = text.getBytes("UTF-8").map(b => (b & 0xff) * 128)
+      val n = xs.length
+      def ref(k: Int): (Double, Double) = {
+        var c = 0.0; var s = 0.0
+        for (j <- 0 until n) {
+          val theta = 2.0 * math.Pi * k * j / n
+          c += xs(j) * math.cos(theta); s += xs(j) * math.sin(theta)
+        }
+        def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (r6(c), r6(s))
+      }
+      val rows = out.filter(_.getLong(0) == id)
+      assert(rows.length == 2)
+      rows.foreach { r =>
+        val k = r.getLong(1).toInt
+        val (ec, es) = ref(k)
+        assert(r.getLong(2) == n.toLong)
+        assert(r.getLong(3) == xs.map(x => x.toLong * x).sum, "power")
+        assert(r.getDouble(4) == ec, s"doc $id bin $k c")
+        assert(r.getDouble(5) == es, s"doc $id bin $k s")
+      }
+      // bin 0: cos=1, sin=0 everywhere -> c is the plain sample sum, s=0
+      val b0 = rows.find(_.getLong(1) == 0L).get
+      assert(b0.getDouble(4) == xs.sum.toDouble && b0.getDouble(5) == 0.0)
+    }
+  }
+
+  test("wavDftEnergy rejects empty bins and negative bins") {
+    import spark.implicits._
+    val media = graft.pipeline.Multimodal.textAsWav(
+      Seq((1L, "x")).toDF("doc_id", "text"), "doc_id", "text")
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Multimodal.wavDftEnergy(media, dftBins = Nil)
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Multimodal.wavDftEnergy(media, dftBins = Seq(-1))
+    }
+  }
 }
