@@ -1263,10 +1263,12 @@ object TextAnalysis {
     *
     * Scale shape: the merge list is tokenizer-sized (k ≤ 64 rows of
     * driver state — the IVF-centroid pattern), and the whole encode
-    * compiles to ONE map-only codegen'd projection: per merge rule, a
-    * double-space + substring-replace + collapse (the same leftmost
-    * non-overlapping rewrite [[bpeMerges]] uses, so induction and
-    * application can't drift). No shuffle, no join — the corpus is
+    * is ONE map-only pass: the [[graft.functions.BpeEncode]] kernel
+    * applies all k rules as array passes over a single char scan
+    * (the same leftmost non-overlapping rewrite [[bpeMerges]] uses,
+    * so induction and application can't drift; the regex-chain
+    * spelling survives as [[bpeEncodeComposable]], spec-pinned
+    * identical and ~4x slower). No shuffle, no join — the corpus is
     * touched exactly once at scan speed, which is what makes this
     * viable at 100 TB where the corpus-sized frame must never
     * re-materialize.
@@ -1283,11 +1285,22 @@ object TextAnalysis {
     *         enc_md5 fingerprints the full encoded symbol stream
     */
   def bpeEncode(docs: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    bpeEncodeFrom(docs, idCol,
+      graft.functions.BpeEncode(col(textCol), validated(merges)))
+
+  /** The composable regexp/replace-chain spelling of [[bpeEncode]]'s
+    * encode pass — k double-space/substring-replace/collapse rounds,
+    * the direct Spark transliteration of the oracle SQL. Kept as the
+    * reference semantics the [[graft.functions.BpeEncode]] kernel is
+    * spec-pinned identical to (the lshBucketFold treatment): the
+    * kernel is one char scan + k array passes, this chain is k full
+    * regex passes over a doubled copy of every document (~4x the
+    * kernel's wall at bench scale).
+    */
+  def bpeEncodeComposable(docs: DataFrame, textCol: String, idCol: String,
       merges: Seq[(String, String)]): DataFrame = {
-    require(merges.nonEmpty, "merge list must be non-empty")
-    require(merges.forall { case (l, r) =>
-      l.nonEmpty && r.nonEmpty && (l + r).forall(c => c >= 'a' && c <= 'z') },
-      "merge operands must be non-empty [a-z]+ symbols")
+    validated(merges)
     val joined = array_join(
       regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0)), "|")
     var s: Column = trim(regexp_replace(joined, "(.)", "$1 "))
@@ -1298,8 +1311,21 @@ object TextAnalysis {
         call_function("replace", doubled, lit(s" $l  $r "), lit(s" $l$r ")),
         " +", " "))
     }
+    bpeEncodeFrom(docs, idCol, s)
+  }
+
+  private def validated(merges: Seq[(String, String)]): Seq[(String, String)] = {
+    require(merges.nonEmpty, "merge list must be non-empty")
+    require(merges.forall { case (l, r) =>
+      l.nonEmpty && r.nonEmpty && (l + r).forall(c => c >= 'a' && c <= 'z') },
+      "merge operands must be non-empty [a-z]+ symbols")
+    merges
+  }
+
+  private def bpeEncodeFrom(docs: DataFrame, idCol: String,
+      enc: Column): DataFrame =
     docs
-      .select(col(idCol), s.as("enc"))
+      .select(col(idCol), enc.as("enc"))
       .select(col(idCol),
         nTokensOf(col("enc")).as("n_tokens"),
         nAzOf(col("enc")).as("n_az_chars"),
@@ -1310,7 +1336,6 @@ object TextAnalysis {
             col("n_tokens").cast("double"), 6)))
       .select(col(idCol), col("n_tokens"), col("n_az_chars"),
         col("fertility"), col("enc_md5"))
-  }
 
   /** Deterministic MLM masking (BERT-style corruption, T5's iid
     * special case) — the sample-prep operator that turns a curated

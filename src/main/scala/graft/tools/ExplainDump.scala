@@ -101,7 +101,7 @@ object ExplainDump {
       "t43_calibration_bins" -> "calibration bins: the t15 entropy aggregation, one global NTILE sort (the exact-cut oracle contract; swap for approx_percentile boundaries at 100 TB), then a bin-keyed partial aggregation with DECIMAL-exact score sums",
       "t44_bpe_merges" -> "BPE merges: an EAGER driver-loop operator (the MMR/RecursiveCte class) — the result frame below is the assembled merge table; the corpus-scale work already ran as one word-frequency partial-agg exchange, and the k rounds iterated on the vocab (driver-local under the size threshold, cache-swapped vocab-frame passes above it)",
       "q71_qualify" -> "QUALIFY via the SQL-door rewrite: the predicate rides the SAME Window operator as the projected rank (Spark dedups the identical window expression) — one keyed exchange for the window partition, then a plain Filter; no second window, no extra shuffle",
-      "t45_bpe_encode" -> "BPE encode: an EAGER induce-then-apply operator (t44's driver loop runs first); the plan below is the APPLY pass — the whole 8-rule rewrite chain is ONE map-only codegen'd projection over the documents scan, no join, no shuffle below the presentation sort: the corpus-sized encode job is a pure scan",
+      "t45_bpe_encode" -> "BPE encode: an EAGER induce-then-apply operator (t44's driver loop runs first); the plan below is the APPLY pass — the BpeEncode kernel applies all 8 rules in ONE map-only scan projection (one char scan + k array passes; the regex-chain spelling measured ~4x slower and survives spec-pinned as the reference semantics), no join, no shuffle below the presentation sort",
       "t46_mlm_mask" -> "MLM masking: every mask decision, the corrupted-sequence md5 and the target-stream md5 are ONE scan-stage projection (md5 hash math per position inside array HOFs) — zero exchanges below the presentation sort, no RNG state anywhere",
       "t47_source_kl" -> "source KL: ONE corpus-scale (source, token) partial-agg exchange; the global token distribution re-aggregates that frame and the totals broadcast — every join after the first exchange is vocabulary-sized",
       "d23_cross_source_dups" -> "cross-source dup matrix: chunk hashes in the scan stage, ONE (chunk-hash, source) partial-agg exchange is the only corpus-sized step; the pair matrix self-joins the duplicated-keys count frame (bucket-local, vanishing fraction) with pure count arithmetic — no occurrence pair, no text, ever shuffles",

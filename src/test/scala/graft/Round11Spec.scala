@@ -80,6 +80,35 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("BpeEncode kernel == composable regex chain (fixture + random corpora)") {
+    import spark.implicits._
+    val docs = Tables.load(spark, SparkFixture.sfDir, "documents").limit(100)
+    val merges = TextAnalysis.bpeMerges(docs, "text", k = 6)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val a = TextAnalysis.bpeEncode(docs, "text", "doc_id", merges)
+      .orderBy(col("doc_id")).collect()
+    val b = TextAnalysis.bpeEncodeComposable(docs, "text", "doc_id", merges)
+      .orderBy(col("doc_id")).collect()
+    assert(a.sameElements(b), "kernel diverged from the chain on the fixture")
+    // adversarial/random corpora THROUGH A REPARTITION (off-driver
+    // eval — the serialization trap the kernel memory notes)
+    val rnd = new scala.util.Random(11)
+    val adv = Seq("", "   ", "123 !!!", "a", "ab|cd", "ABC abc aBc",
+      "aaa aaaa aaaaa", "x" * 500) ++
+      (1 to 40).map(_ => Seq.fill(rnd.nextInt(30))(
+        Seq("ab", "ba", "abc", "a", "b", "zz", "9", "!")(rnd.nextInt(8)))
+        .mkString(" "))
+    val df = adv.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").repartition(5)
+    val rules = Seq(("a", "b"), ("ab", "c"), ("b", "a"), ("z", "z"))
+    val ka = TextAnalysis.bpeEncode(df, "text", "doc_id", rules)
+      .orderBy(col("doc_id")).collect()
+    val kb = TextAnalysis.bpeEncodeComposable(df, "text", "doc_id", rules)
+      .orderBy(col("doc_id")).collect()
+    assert(ka.sameElements(kb), "kernel diverged on adversarial corpus")
+  }
+
   test("bpeEncode composes with bpeMerges: induced rules re-tokenize the corpus") {
     val docs = Tables.load(spark, SparkFixture.sfDir, "documents").limit(50)
     val merges = TextAnalysis.bpeMerges(docs, "text", k = 4)
