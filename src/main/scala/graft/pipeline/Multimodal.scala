@@ -402,23 +402,65 @@ object Multimodal {
   object PngCodec {
     import java.awt.image.BufferedImage
 
-    /** Encode RGB triples (IMAGE row-major, row 0 = top) as PNG. */
+    /** Encode RGB triples (IMAGE row-major, row 0 = top) as PNG —
+      * written directly (signature + IHDR + one zlib IDAT of
+      * filter-0 scanlines + IEND, CRC32 per chunk) with
+      * `Deflater.BEST_SPEED`. A hand-rolled writer instead of
+      * `ImageIO.write` for two reasons: the ImageIO writer path
+      * (registry lookup + ImageOutputStream + default-level deflate)
+      * measured ~2× the whole roundtrip's budget at bench scale, and
+      * encoding ourselves makes the m13 roundtrip a genuinely
+      * INDEPENDENT pair — our encoder vs the JDK's decoder.
+      */
     def encodeRgb(pixels: Array[(Byte, Byte, Byte)], width: Int,
         height: Int): Array[Byte] = {
       require(width > 0 && height > 0, "bad png dims")
       require(pixels.length == width * height, "pixels != width*height")
-      val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
-      var i = 0
-      while (i < pixels.length) {
-        val (r, g, b) = pixels(i)
-        img.setRGB(i % width, i / width,
-          ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff))
-        i += 1
+      // filter-0 scanlines: 1 filter byte + 3 bytes per pixel
+      val stride = 1 + width * 3
+      val raw = new Array[Byte](height * stride)
+      var y = 0
+      while (y < height) {
+        val off = y * stride // raw(off) = 0: filter None
+        var x = 0
+        while (x < width) {
+          val (r, g, b) = pixels(y * width + x)
+          raw(off + 1 + x * 3) = r
+          raw(off + 2 + x * 3) = g
+          raw(off + 3 + x * 3) = b
+          x += 1
+        }
+        y += 1
       }
-      val baos = new java.io.ByteArrayOutputStream()
-      require(javax.imageio.ImageIO.write(img, "png", baos),
-        "no PNG writer available")
-      baos.toByteArray
+      val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+      deflater.setInput(raw)
+      deflater.finish()
+      val zBuf = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+      val chunk = new Array[Byte](8192)
+      while (!deflater.finished())
+        zBuf.write(chunk, 0, deflater.deflate(chunk))
+      deflater.end()
+      val idat = zBuf.toByteArray
+
+      val out = java.nio.ByteBuffer.allocate(8 + 25 + 12 + idat.length + 12)
+      out.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+      def writeChunk(typ: String, data: Array[Byte]): Unit = {
+        out.putInt(data.length)
+        val tb = typ.getBytes("US-ASCII")
+        out.put(tb); out.put(data)
+        val crc = new java.util.zip.CRC32()
+        crc.update(tb); crc.update(data)
+        out.putInt(crc.getValue.toInt): Unit
+      }
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+      ihdr.putInt(width).putInt(height)
+      ihdr.put(8.toByte)  // bit depth
+      ihdr.put(2.toByte)  // color type: truecolor RGB
+      ihdr.put(0.toByte); ihdr.put(0.toByte); ihdr.put(0.toByte)
+      writeChunk("IHDR", ihdr.array())
+      writeChunk("IDAT", idat)
+      writeChunk("IEND", Array.emptyByteArray)
+      java.util.Arrays.copyOf(out.array(), out.position())
     }
 
     /** Decoded header + per-channel means + top-left pixel — the
