@@ -28,6 +28,7 @@ object DriftProfile {
     spark.sparkContext.setLogLevel("WARN")
     if (names == Seq("__d12_parts")) { d12Parts(spark, sfDir); spark.stop(); return }
     if (names == Seq("__mmr_ab")) { mmrAb(spark, sfDir); spark.stop(); return }
+    if (names == Seq("__range_ab")) { rangeAb(spark, sfDir); spark.stop(); return }
     names.foreach { n =>
       val q = graft.SparkEntry.queries(n)
       // warm (scan caches, codegen)
@@ -76,6 +77,59 @@ object DriftProfile {
       println(f"[mmr_ab] foldEvery=$f%-3d min=${ts.min}%.3f " +
         f"median=${ts.sorted.apply(2)}%.3f max=${ts.max}%.3f " +
         ts.map(t => f"$t%.3f").mkString("[", ", ", "]"))
+    }
+  }
+
+  /** A/B fanOut on the declared s25/s26 radius searches (dev-only):
+    * the r9 verdict asked whether the corpus-side fanOut repartition
+    * is even wanted on a broadcast-probe scan query. Runs the EXACT
+    * declared queries with `graft.fanout.disable` toggled, variants
+    * interleaved round-robin after per-variant warmup.
+    */
+  private def rangeAb(spark: SparkSession, sfDir: String): Unit = {
+    val names = Seq("s25_range_search", "s26_range_search_ivf")
+    val variants = Seq(false, true) // fanout disabled?
+    def run(name: String, disable: Boolean): Double = {
+      sys.props("graft.fanout.disable") = disable.toString
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      sys.props.remove("graft.fanout.disable")
+      (System.nanoTime() - t0) / 1e9
+    }
+    // third case: the heavy-work regime fanOut exists for — same
+    // corpus scan, 512 broadcast queries (64x the kernel work/row)
+    def heavy(disable: Boolean): Double = {
+      import org.apache.spark.sql.functions.col
+      sys.props("graft.fanout.disable") = disable.toString
+      spark.catalog.clearCache()
+      val emb = graft.Tables.load(spark, sfDir, "embeddings")
+      val t0 = System.nanoTime()
+      graft.pipeline.Similarity.rangeSearch(emb,
+          emb.filter(col("vec_id") < 512), "embedding", "vec_id",
+          "vec_id", minCos = 0.25)
+        .write.format("noop").mode("overwrite").save()
+      sys.props.remove("graft.fanout.disable")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val cases: Seq[(String, Boolean => Double)] =
+      names.map(n => (n, (v: Boolean) => run(n, v))) :+
+        (("s25_shape_512queries", heavy _))
+    cases.foreach { case (label, f) =>
+      variants.foreach(f) // warm both variants
+      val times = scala.collection.mutable.Map.empty[Boolean, Vector[Double]]
+        .withDefaultValue(Vector.empty)
+      (1 to 5).foreach { _ =>
+        variants.foreach(v => times(v) = times(v) :+ f(v))
+      }
+      variants.foreach { v =>
+        val ts = times(v)
+        val vl = if (v) "noFanOut" else "fanOut  "
+        println(f"[range_ab] $label%-22s $vl min=${ts.min}%.3f " +
+          f"median=${ts.sorted.apply(2)}%.3f max=${ts.max}%.3f " +
+          ts.map(t => f"$t%.3f").mkString("[", ", ", "]"))
+      }
     }
   }
 
