@@ -16,6 +16,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * known non-goal here — the fixed oracles cover them with rounding
   * contracts.
   */
+@org.scalatest.tags.Slow
 class DifferentialFuzzSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
   private val sf = SparkFixture.sfDir

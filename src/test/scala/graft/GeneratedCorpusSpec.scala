@@ -12,6 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * the synthetic sf dir, `SparkEntry.oracleSql(name)` runs on a
   * DuckDB view over the same parquet.
   */
+@org.scalatest.tags.Slow
 class GeneratedCorpusSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
 

@@ -17,6 +17,7 @@ import java.net.http.{HttpClient, HttpRequest, HttpResponse}
   * AnnIndexSpec/oracle queries already prove. A second leg interleaves
   * two sessions from two threads to shake out cross-session races.
   */
+@org.scalatest.tags.Slow
 class IndexLifecycleFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val server = { val s = new GraftServer(SparkFixture.spark); s.start(); s }

@@ -21,6 +21,7 @@ import graft.serve.GraftServer
   * scenario (no JSON parsing, no session registry, no chain state) —
   * so the fuzz pins the HTTP plumbing, not just the kernels.
   */
+@org.scalatest.tags.Slow
 class ProcessorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val spark = SparkFixture.spark
