@@ -472,12 +472,111 @@ object Multimodal {
 
     /** Full pixel decode: (width, height, RGB triplets in IMAGE
       * row-major order).
+      *
+      * Native chunk-walking decoder for the common web shape —
+      * 8-bit-per-channel truecolor (color type 2) and truecolor+alpha
+      * (type 6, alpha dropped), non-interlaced, all five scanline
+      * filters (None/Sub/Up/Average/Paeth per the PNG spec §9).
+      * `ImageIO.read` allocates an ImageInputStream + reader from the
+      * registry per CALL, which dominated m13 at 5000 tiny images per
+      * bench rep; the native path is one Inflater + one unfilter scan.
+      * Anything outside that shape (palette, 16-bit, gray, interlaced)
+      * falls back to ImageIO — decode coverage is unchanged.
       */
     def decodePixels(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
       require(bytes != null && bytes.length >= 8 &&
         (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'.toByte &&
         bytes(2) == 'N'.toByte && bytes(3) == 'G'.toByte,
         "not a png: bad magic")
+      val bb = java.nio.ByteBuffer.wrap(bytes) // PNG is big-endian
+      bb.position(8)
+      var w = 0; var h = 0; var bitDepth = 0; var colorType = -1
+      var interlace = 0
+      val idat = new java.io.ByteArrayOutputStream()
+      var done = false
+      while (!done && bb.remaining >= 8) {
+        val len = bb.getInt
+        val typ = new String(Array(bb.get, bb.get, bb.get, bb.get)
+          .map(_.toChar))
+        require(len >= 0 && bb.remaining >= len + 4,
+          s"truncated png chunk $typ")
+        typ match {
+          case "IHDR" =>
+            w = bb.getInt; h = bb.getInt
+            bitDepth = bb.get & 0xff; colorType = bb.get & 0xff
+            bb.get // compression (always 0)
+            bb.get // filter method (always 0)
+            interlace = bb.get & 0xff
+          case "IDAT" =>
+            idat.write(bytes, bb.position(), len)
+            bb.position(bb.position() + len)
+          case "IEND" => done = true
+          case _ => bb.position(bb.position() + len)
+        }
+        if (!done) bb.position(bb.position() + 4) // chunk CRC
+      }
+      if (bitDepth != 8 || (colorType != 2 && colorType != 6) ||
+          interlace != 0) return decodePixelsImageIO(bytes)
+      require(w > 0 && h > 0, "png decode failed")
+      val bpp = if (colorType == 6) 4 else 3
+      val stride = w * bpp
+      val raw = new Array[Byte](h * (1 + stride))
+      val inflater = new java.util.zip.Inflater()
+      inflater.setInput(idat.toByteArray)
+      var filled = 0
+      while (filled < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, filled, raw.length - filled)
+        require(n > 0 || inflater.finished(), "png idat underflow")
+        filled += n
+      }
+      inflater.end()
+      require(filled == raw.length, s"png idat short: $filled/${raw.length}")
+      // unfilter in place over the pixel bytes of each scanline
+      val px = new Array[Byte](h * stride)
+      var y = 0
+      while (y < h) {
+        val filter = raw(y * (1 + stride)) & 0xff
+        val src = y * (1 + stride) + 1
+        val dst = y * stride
+        val prev = dst - stride // valid only for y > 0
+        var i = 0
+        while (i < stride) {
+          val x = raw(src + i) & 0xff
+          val a = if (i >= bpp) px(dst + i - bpp) & 0xff else 0
+          val b = if (y > 0) px(prev + i) & 0xff else 0
+          val c = if (y > 0 && i >= bpp) px(prev + i - bpp) & 0xff else 0
+          val recon = filter match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + b
+            case 3 => x + (a + b) / 2
+            case 4 =>
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b)
+              val pc = math.abs(p - c)
+              x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+            case f => throw new IllegalArgumentException(s"png filter $f")
+          }
+          px(dst + i) = recon.toByte
+          i += 1
+        }
+        y += 1
+      }
+      if (bpp == 3) (w, h, px)
+      else { // drop alpha
+        val rgb = new Array[Byte](w * h * 3)
+        var k = 0; var j = 0
+        while (j < px.length) {
+          rgb(k) = px(j); rgb(k + 1) = px(j + 1); rgb(k + 2) = px(j + 2)
+          k += 3; j += 4
+        }
+        (w, h, rgb)
+      }
+    }
+
+    /** ImageIO fallback for PNG shapes the native path doesn't cover. */
+    private def decodePixelsImageIO(
+        bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))
       require(img != null, "png decode failed")

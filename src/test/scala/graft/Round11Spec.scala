@@ -182,6 +182,61 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("native PNG decode == ImageIO on JDK-encoded files (all filters)") {
+    // The JDK PNG encoder picks scanline filters adaptively (Sub/Up/
+    // Average/Paeth on gradient-ish content), so decoding ITS output
+    // exercises every unfilter branch the native path implements —
+    // against ImageIO.read as the pixel-exact reference.
+    val rnd = new scala.util.Random(42)
+    for ((w, h, kind) <- Seq((1, 1, "noise"), (7, 5, "noise"),
+        (64, 48, "gradient"), (33, 17, "stripes"), (16, 16, "noise"))) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = kind match {
+          case "noise" => (rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256))
+          case "gradient" => ((x * 4) % 256, (y * 4) % 256, (x + y) % 256)
+          case _ => (if (x % 2 == 0) 255 else 0, y % 256, 128)
+        }
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", baos))
+      val bytes = baos.toByteArray
+      val (dw, dh, px) = Multimodal.PngCodec.decodePixels(bytes)
+      assert(dw == w && dh == h, s"$kind $w x $h dims")
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        val k = (y * w + x) * 3
+        assert((px(k) & 0xff) == ((rgb >> 16) & 0xff) &&
+          (px(k + 1) & 0xff) == ((rgb >> 8) & 0xff) &&
+          (px(k + 2) & 0xff) == (rgb & 0xff),
+          s"$kind $w x $h pixel ($x,$y)")
+      }
+    }
+  }
+
+  test("native PNG decode handles truecolor+alpha (type 6), alpha dropped") {
+    val w = 9; val h = 6
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    val rnd = new scala.util.Random(7)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (rnd.nextInt(256) << 24) | (rnd.nextInt(256) << 16) |
+        (rnd.nextInt(256) << 8) | rnd.nextInt(256))
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val (dw, dh, px) = Multimodal.PngCodec.decodePixels(baos.toByteArray)
+    assert(dw == w && dh == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y) // ARGB; alpha in bits 24-31 ignored
+      val k = (y * w + x) * 3
+      assert((px(k) & 0xff) == ((rgb >> 16) & 0xff) &&
+        (px(k + 1) & 0xff) == ((rgb >> 8) & 0xff) &&
+        (px(k + 2) & 0xff) == (rgb & 0xff), s"pixel ($x,$y)")
+    }
+  }
+
   // ---------------- MLM masking ----------------
 
   test("mlmMask replays the md5 decisions exactly (in-memory reference)") {
