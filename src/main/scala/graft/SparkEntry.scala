@@ -4800,6 +4800,165 @@ object SparkEntry {
         .orderBy(col("sample_id"))
     })
 
+  // LSH candidates verified by EDIT DISTANCE (the character-level
+  // sibling of d24): md5-banded MinHash finds the sliver, Levenshtein
+  // similarity over the normalized text confirms at 0.95 — the
+  // verification that counts reorderings and character corruption as
+  // differences where Jaccard cannot. The O(len²) DP runs only on
+  // candidate pairs. Both engines agree on unit-cost Levenshtein and
+  // the spelled-out whitespace class; the similarity is a fixed-tree
+  // division of exact integers — no rounding needed.
+  private val d25 = Q("d25_lsh_edit_verified", Some("""
+    WITH toks AS (SELECT doc_id,
+           trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS norm,
+           string_split(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    sig AS (SELECT doc_id,
+        MIN(md5('0:' || shingle)) AS m0, MIN(md5('1:' || shingle)) AS m1,
+        MIN(md5('2:' || shingle)) AS m2, MIN(md5('3:' || shingle)) AS m3,
+        MIN(md5('4:' || shingle)) AS m4, MIN(md5('5:' || shingle)) AS m5,
+        MIN(md5('6:' || shingle)) AS m6, MIN(md5('7:' || shingle)) AS m7
+      FROM sh GROUP BY doc_id),
+    bnd AS (
+      SELECT doc_id, 0 AS band, m0 || '|' || m1 AS key FROM sig
+      UNION ALL SELECT doc_id, 1, m2 || '|' || m3 FROM sig
+      UNION ALL SELECT doc_id, 2, m4 || '|' || m5 FROM sig
+      UNION ALL SELECT doc_id, 3, m6 || '|' || m7 FROM sig),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bnd a JOIN bnd b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    ver AS (SELECT c.id_a, c.id_b,
+        CAST(levenshtein(ta.norm, tb.norm) AS BIGINT) AS edit_dist,
+        CAST(length(ta.norm) AS BIGINT) AS len_a,
+        CAST(length(tb.norm) AS BIGINT) AS len_b
+      FROM cand c
+        JOIN toks ta ON ta.doc_id = c.id_a
+        JOIN toks tb ON tb.doc_id = c.id_b)
+    SELECT id_a, id_b, edit_dist, len_a, len_b,
+      1.0 - CAST(edit_dist AS DOUBLE) / CAST(GREATEST(len_a, len_b) AS DOUBLE) AS edit_sim
+    FROM ver
+    WHERE 1.0 - CAST(edit_dist AS DOUBLE) / CAST(GREATEST(len_a, len_b) AS DOUBLE) >= 0.95
+    ORDER BY id_a, id_b"""),
+    (s, dir) => Dedup.lshEditVerifiedPairs(T(s, dir, "documents"), "text", "doc_id",
+        shingleN = 3, numHashes = 8, bands = 4, threshold = 0.95)
+      .orderBy(col("id_a"), col("id_b")))
+
+  // Closed-form DISTRIBUTED model training: ridge regression over two
+  // integer text features and a 0/1 weak-supervision label (lang='en'),
+  // solved exactly via Cramer's rule — training is ONE map-side
+  // partial agg (9 sums), the 3×3 solve is a constant-size expression,
+  // scoring is a broadcast map-only projection. The oracle repeats the
+  // identical determinant expression trees, so the doubles are
+  // bit-identical; sums are exact integers end to end.
+  private val t48 = Q("t48_ridge_quality", Some("""
+    WITH feat AS (SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS f1,
+        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS f2,
+        CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+      FROM documents),
+    sums AS (SELECT
+        CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(f1) AS DOUBLE) AS s1, CAST(SUM(f2) AS DOUBLE) AS s2,
+        CAST(SUM(f1 * f1) AS DOUBLE) AS s11, CAST(SUM(f1 * f2) AS DOUBLE) AS s12,
+        CAST(SUM(f2 * f2) AS DOUBLE) AS s22,
+        CAST(SUM(y) AS DOUBLE) AS sy,
+        CAST(SUM(f1 * y) AS DOUBLE) AS s1y, CAST(SUM(f2 * y) AS DOUBLE) AS s2y
+      FROM feat),
+    solve AS (SELECT
+        n * ((s11 + 10.0) * (s22 + 10.0) - s12 * s12)
+          - s1 * (s1 * (s22 + 10.0) - s12 * s2)
+          + s2 * (s1 * s12 - (s11 + 10.0) * s2) AS det,
+        sy * ((s11 + 10.0) * (s22 + 10.0) - s12 * s12)
+          - s1 * (s1y * (s22 + 10.0) - s12 * s2y)
+          + s2 * (s1y * s12 - (s11 + 10.0) * s2y) AS det0,
+        n * (s1y * (s22 + 10.0) - s12 * s2y)
+          - sy * (s1 * (s22 + 10.0) - s12 * s2)
+          + s2 * (s1 * s2y - s1y * s2) AS det1,
+        n * ((s11 + 10.0) * s2y - s1y * s12)
+          - s1 * (s1 * s2y - s1y * s2)
+          + sy * (s1 * s12 - (s11 + 10.0) * s2) AS det2
+      FROM sums)
+    SELECT doc_id AS id, f1 AS n_tokens, f2 AS n_types, y AS label,
+      ROUND(det0 / det, 8) + 0.0 AS beta0,
+      ROUND(det1 / det, 8) + 0.0 AS beta1,
+      ROUND(det2 / det, 8) + 0.0 AS beta2,
+      ROUND(det0 / det + (det1 / det) * CAST(f1 AS DOUBLE)
+            + (det2 / det) * CAST(f2 AS DOUBLE), 6) + 0.0 AS score
+    FROM feat, solve ORDER BY id"""),
+    (s, dir) => TextAnalysis.ridgeQualityScore(T(s, dir, "documents"),
+        "text", "doc_id", positive = col("lang") === "en", lambda = 10.0)
+      .orderBy(col("id")))
+
+  // Voice-activity segments over REAL decoded PCM: 64-sample frames,
+  // a frame is active when its mean-square exceeds the clip's mean
+  // square (integer cross-multiply — exact on any engine), runs of
+  // ≥2 active frames become segments (gaps-and-islands). Frame
+  // energies are computed inside the decode mapPartitions; threshold
+  // + islands share one sample_id exchange. ASCII pin as in m04.
+  private val m15 = Q("m15_vad_segments", Some("""
+    WITH d AS (SELECT doc_id,
+        octet_length(CAST(text AS BLOB)) AS n,
+        string_split(text, '') AS cs
+      FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) > 0
+        AND octet_length(CAST(text AS BLOB)) = length(text)),
+    fr AS (SELECT doc_id, n, CAST(f AS BIGINT) AS f,
+        CAST(LEAST((f + 1) * 64, n) - f * 64 AS BIGINT) AS flen,
+        CAST(list_sum(list_transform(list_slice(cs, f * 64 + 1, LEAST((f + 1) * 64, n)),
+          c -> CAST(ord(c) * 128 AS BIGINT) * CAST(ord(c) * 128 AS BIGINT))) AS BIGINT) AS energy
+      FROM d, UNNEST(generate_series(0, (n + 63) // 64 - 1)) AS g(f)),
+    tot AS (SELECT doc_id, CAST(SUM(flen) AS BIGINT) AS ns,
+        CAST(SUM(energy) AS BIGINT) AS te FROM fr GROUP BY doc_id),
+    act AS (SELECT fr.doc_id, fr.f, fr.energy,
+        fr.f - ROW_NUMBER() OVER (PARTITION BY fr.doc_id ORDER BY fr.f) AS grp
+      FROM fr JOIN tot ON fr.doc_id = tot.doc_id
+      WHERE CAST(fr.energy AS HUGEINT) * tot.ns > CAST(tot.te AS HUGEINT) * fr.flen)
+    SELECT doc_id AS sample_id, CAST(MIN(f) AS BIGINT) AS start_frame,
+      CAST(MAX(f) AS BIGINT) AS end_frame,
+      CAST(COUNT(*) AS BIGINT) AS n_frames,
+      CAST(SUM(energy) AS BIGINT) AS seg_energy
+    FROM act GROUP BY doc_id, grp
+    HAVING COUNT(*) >= 2
+    ORDER BY sample_id, start_frame"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents").where(octet_length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
+      Multimodal.vadSegments(
+          Multimodal.textAsWav(docs, "doc_id", "text"),
+          frameLen = 64, minFrames = 2)
+        .orderBy(col("sample_id"), col("start_frame"))
+    })
+
+  // Batch maximum-inner-product top-k: raw DOT ranking for
+  // un-normalized embeddings (recommendation / reward-model
+  // retrieval) — cosine's magnitude-aware sibling. Queries broadcast,
+  // one corpus scan, per-query WindowGroupLimit; the dot is the same
+  // i-ascending fold on both engines, so the scores hash-match
+  // unrounded (the s04 contract minus the normalization).
+  private val s28 = Q("s28_mips_topk", Some("""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+        list_sum(list_transform(generate_series(1, len(e.embedding)),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) AS dot
+      FROM embeddings e, q),
+    ranked AS (
+      SELECT query_id, vec_id, dot,
+        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, dot, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank"""),
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.mipsTopKBatch(emb,
+        emb.filter(col("vec_id") < 3), "embedding", "vec_id", "vec_id", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    })
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -4811,14 +4970,14 @@ object SparkEntry {
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
-    d17, d18, d19, d20, d21, d22, d23, d24,
+    d17, d18, d19, d20, d21, d22, d23, d24, d25,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
-    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27,
+    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
     t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45,
-    t46, t47,
-    m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14)
+    t46, t47, t48,
+    m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14, m15)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))

@@ -596,6 +596,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** LSH candidates verified by EDIT DISTANCE — the character-level
+    * sibling of [[lshVerifiedPairsMd5]]: md5-banded MinHash finds the
+    * candidate sliver, then Levenshtein similarity
+    * `1 − dist/max(len_a, len_b)` over the whitespace-normalized
+    * lowercased text confirms. Set-based Jaccard is blind to token
+    * ORDER ("a b c d" vs "d c b a" is Jaccard 1.0); edit distance is
+    * the verification a pipeline reaches for when reorderings,
+    * small insertions, and character-level corruption must count as
+    * differences (plagiarism-style near-dup, OCR noise).
+    *
+    * Scale shape: the O(len²) DP runs ONLY on candidate pairs — the
+    * banding bounds the quadratic kernel exactly the way
+    * [[lshVerifiedPairsMd5]] bounds set intersection; the verify join
+    * moves one normalized string per CANDIDATE doc. The whitespace
+    * class is spelled out (RE2/Java common subset), so the
+    * normalization is engine-portable byte-for-byte.
+    *
+    * @return (id_a, id_b, edit_dist, len_a, len_b, edit_sim),
+    *         id_a < id_b, edit_sim ≥ threshold
+    */
+  def lshEditVerifiedPairs(docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      threshold: Double = 0.95): DataFrame = {
+    val cand = minHashLshMd5(docs, textCol, idCol, shingleN, numHashes, bands)
+    val norms = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
+      graft.ops.ScaleOps.fanOut(docs)
+        .select(col(idCol).as("id"),
+          trim(regexp_replace(lower(col(textCol)),
+            "[ \\t\\n\\u000B\\f\\r]+", " ")).as("norm")))
+    cand
+      .join(norms.select(col("id").as("id_a"), col("norm").as("na")), Seq("id_a"))
+      .join(norms.select(col("id").as("id_b"), col("norm").as("nb")), Seq("id_b"))
+      .withColumn("edit_dist", levenshtein(col("na"), col("nb")).cast("long"))
+      .withColumn("len_a", length(col("na")).cast("long"))
+      .withColumn("len_b", length(col("nb")).cast("long"))
+      .withColumn("edit_sim",
+        lit(1.0) - col("edit_dist").cast("double") /
+          greatest(col("len_a"), col("len_b")).cast("double"))
+      .where(col("edit_sim") >= lit(threshold))
+      .select(col("id_a"), col("id_b"), col("edit_dist"), col("len_a"),
+        col("len_b"), col("edit_sim"))
+  }
+
   /** 32-bit SimHash over md5-derived bits — the oracle twin of
     * [[simHash]] (the d12/s16 move for the SimHash family): bit j of
     * a token is bit (j mod 4) of hex digit (j div 4) of md5(token),

@@ -1023,6 +1023,67 @@ object Multimodal {
       .toDF("sample_id", "bin", "n_samples", "power", "c", "s")
   }
 
+  /** Voice-activity segments over REAL decoded PCM — the segmentation
+    * primitive audio curation runs before transcription (cut silence,
+    * keep speech): fixed-length frames (`frameLen` samples, the last
+    * frame partial), a frame is ACTIVE when its mean-square energy
+    * exceeds the clip's mean square — cross-multiplied as integers
+    * (`energy·n_clip > total·len_frame`), so the threshold is exact
+    * on any engine — and runs of ≥ `minFrames` consecutive active
+    * frames become segments (gaps-and-islands over the frame index).
+    *
+    * Scale shape: frame energies are computed inside the decode
+    * mapPartitions (payloads never cross an exchange; only the
+    * (id, frame, len, energy) quads move — ~24 B per frame); the
+    * mean-energy threshold and the island grouping are windows over
+    * the SAME sample_id partitioning, so the whole operator costs one
+    * keyed exchange. The integer cross-multiply rides HUGEINT-width
+    * decimals so hour-long clips (energy ~1e15 × n ~1e8) can't
+    * overflow.
+    *
+    * @return one row per segment: (sample_id, start_frame, end_frame,
+    *         n_frames, seg_energy)
+    */
+  def vadSegments(media: DataFrame, frameLen: Int = 64, minFrames: Int = 2,
+      idCol: String = "sample_id", payloadCol: String = "payload"): DataFrame = {
+    require(frameLen > 0 && minFrames >= 1, "bad vad params")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val frames = media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val samples = WavCodec.decodeSamples(payload)._3
+          val n = samples.length
+          val nf = (n + frameLen - 1) / frameLen
+          (0 until nf).iterator.map { f =>
+            val from = f * frameLen
+            val until = math.min(from + frameLen, n)
+            var e = 0L
+            var i = from
+            while (i < until) { e += samples(i).toLong * samples(i); i += 1 }
+            (id, f.toLong, (until - from).toLong, e)
+          }
+        }
+      }
+      .toDF("sample_id", "f", "flen", "energy")
+    val byId = org.apache.spark.sql.expressions.Window.partitionBy(col("sample_id"))
+    val dec = "decimal(38,0)"
+    val active = frames
+      .withColumn("ns", sum(col("flen")).over(byId))
+      .withColumn("te", sum(col("energy")).over(byId))
+      .where(col("energy").cast(dec) * col("ns").cast(dec) >
+        col("te").cast(dec) * col("flen").cast(dec))
+      .withColumn("grp", col("f") -
+        row_number().over(byId.orderBy(col("f"))))
+    active.groupBy(col("sample_id"), col("grp"))
+      .agg(min(col("f")).as("start_frame"), max(col("f")).as("end_frame"),
+        count(lit(1)).as("n_frames"), sum(col("energy")).as("seg_energy"))
+      .where(col("n_frames") >= minFrames)
+      .select(col("sample_id"), col("start_frame"), col("end_frame"),
+        col("n_frames"), col("seg_energy"))
+  }
+
   /** REAL audio resample, the WAV sibling of [[resizeBmp]]:
     * decode the PCM16 signal, nearest-neighbor resample via the
     * integer map src = ⌊i·srcRate/dstRate⌋ (nOut = ⌊n·dst/src⌋),

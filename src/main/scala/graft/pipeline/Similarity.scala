@@ -210,6 +210,34 @@ object Similarity {
       .select(col("query_id"), col(idCol), col("cos_sim"), col("rank").cast("long").as("rank"))
   }
 
+  /** Batch maximum-inner-product top-k (MIPS): k corpus vectors with
+    * the largest RAW DOT PRODUCT per query — the retrieval mode for
+    * un-normalized embeddings where magnitude carries signal
+    * (recommendation scores, reward models, learned sparse retrieval),
+    * as opposed to cosine's angle-only ranking. Same cost shape as
+    * [[bruteForceTopKBatch]]: queries broadcast, the corpus scans
+    * once, the codegen dot kernel runs scan-side, per-query ranking is
+    * a WindowGroupLimit (partial top-k before the exchange).
+    *
+    * @return (query_id, id, dot, rank), rank 1..k per query
+    */
+  def mipsTopKBatch(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, queryIdCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("q_vec"))
+    val scored = graft.ops.ScaleOps.fanOut(corpus)
+      .select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(q))
+      .withColumn("dot", dot(col(vecCol), col("q_vec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("dot"), col("rank").cast("long").as("rank"))
+  }
+
   /** Threshold (radius) similarity search: every corpus vector whose
     * cosine to a query meets `minCos` — the "find everything this
     * close" sibling of top-k, which retrieval-augmented data curation

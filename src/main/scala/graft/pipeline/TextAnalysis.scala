@@ -1421,6 +1421,82 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Closed-form DISTRIBUTED model training: ridge regression
+    * (X'X + λI)β = X'y solved exactly via Cramer's rule over two
+    * integer text features (token count, distinct-token count) and a
+    * 0/1 weak-supervision label — the linear-probe quality model a
+    * pipeline trains when a full classifier is overkill. The entire
+    * training pass is ONE map-side partial aggregation over the
+    * corpus (9 sums); the 3×3 solve is a constant-size expression on
+    * the 1-row stats frame; scoring broadcasts the coefficients back
+    * as a map-only projection. No iteration, no driver loop, no
+    * collect — the normal-equation sums are the only corpus-sized
+    * exchange, so the shape is identical at 100 TB.
+    *
+    * Oracle-exactness: features and label are INTEGERS, so every
+    * normal-equation sum is exact (BIGINT; bounded by n·maxTok² —
+    * ~1e17 at trillion-token scale, within long range); determinants
+    * and β run in DOUBLE with a fixed expression tree replicated
+    * verbatim in the SQL oracle, so IEEE evaluation is bit-identical;
+    * the 6-dp edge round is belt-and-braces.
+    *
+    * @param positive the 0/1 label column (e.g. lang = 'en')
+    * @param lambda   ridge penalty added to the non-intercept diagonal
+    * @return one row per doc: (id, n_tokens, n_types, label,
+    *         beta0/1/2 rounded 8 dp, score rounded 6 dp)
+    */
+  def ridgeQualityScore(docs: DataFrame, textCol: String, idCol: String,
+      positive: Column, lambda: Double = 10.0): DataFrame = {
+    val feat = graft.ops.ScaleOps.fanOut(docs).select(
+      col(idCol).as("id"),
+      size(split(col(textCol), " ")).cast("long").as("f1"),
+      size(array_distinct(split(col(textCol), " "))).cast("long").as("f2"),
+      when(positive, 1L).otherwise(0L).as("y"))
+    val sums = feat.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("f1")).cast("double").as("s1"),
+      sum(col("f2")).cast("double").as("s2"),
+      sum(col("f1") * col("f1")).cast("double").as("s11"),
+      sum(col("f1") * col("f2")).cast("double").as("s12"),
+      sum(col("f2") * col("f2")).cast("double").as("s22"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("f1") * col("y")).cast("double").as("s1y"),
+      sum(col("f2") * col("y")).cast("double").as("s2y"))
+    // Cramer's rule on A = [[n,s1,s2],[s1,s11+λ,s12],[s2,s12,s22+λ]],
+    // b = [sy,s1y,s2y]. The expression TREES below are mirrored
+    // character-for-character in the oracle SQL — same operand order,
+    // same parenthesization — so the doubles are bit-identical.
+    val l = lit(lambda)
+    def dets(c: DataFrame): DataFrame = c.select(
+      (col("n") * ((col("s11") + l) * (col("s22") + l) - col("s12") * col("s12"))
+        - col("s1") * (col("s1") * (col("s22") + l) - col("s12") * col("s2"))
+        + col("s2") * (col("s1") * col("s12") - (col("s11") + l) * col("s2")))
+        .as("det"),
+      (col("sy") * ((col("s11") + l) * (col("s22") + l) - col("s12") * col("s12"))
+        - col("s1") * (col("s1y") * (col("s22") + l) - col("s12") * col("s2y"))
+        + col("s2") * (col("s1y") * col("s12") - (col("s11") + l) * col("s2y")))
+        .as("det0"),
+      (col("n") * (col("s1y") * (col("s22") + l) - col("s12") * col("s2y"))
+        - col("sy") * (col("s1") * (col("s22") + l) - col("s12") * col("s2"))
+        + col("s2") * (col("s1") * col("s2y") - col("s1y") * col("s2")))
+        .as("det1"),
+      (col("n") * ((col("s11") + l) * col("s2y") - col("s1y") * col("s12"))
+        - col("s1") * (col("s1") * col("s2y") - col("s1y") * col("s2"))
+        + col("sy") * (col("s1") * col("s12") - (col("s11") + l) * col("s2")))
+        .as("det2"))
+    val solve = dets(sums)
+    feat.crossJoin(broadcast(solve))
+      .select(col("id"),
+        col("f1").as("n_tokens"), col("f2").as("n_types"), col("y").as("label"),
+        (round(col("det0") / col("det"), 8) + lit(0.0)).as("beta0"),
+        (round(col("det1") / col("det"), 8) + lit(0.0)).as("beta1"),
+        (round(col("det2") / col("det"), 8) + lit(0.0)).as("beta2"),
+        (round(col("det0") / col("det") +
+          (col("det1") / col("det")) * col("f1").cast("double") +
+          (col("det2") / col("det")) * col("f2").cast("double"), 6) + lit(0.0))
+          .as("score"))
+  }
+
   private def nTokensOf(enc: Column): Column =
     size(filter(split(enc, " "),
       t => t =!= lit("|") && t =!= lit(""))).cast("long")

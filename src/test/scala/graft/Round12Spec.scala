@@ -1,0 +1,274 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Round-12 operators: edit-distance-verified LSH dedup, closed-form
+  * ridge quality training, WAV voice-activity segmentation, and batch
+  * maximum-inner-product retrieval.
+  */
+class Round12Spec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  // ---------------- d25: LSH + Levenshtein verification ----------------
+
+  /** Plain DP Levenshtein — the in-memory reference. */
+  private def lev(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = dp(0)
+      dp(0) = j
+      for (i <- 1 to a.length) {
+        val cur = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(a.length)
+  }
+
+  test("lshEditVerifiedPairs == in-memory Levenshtein over the candidate set") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base), // exact dup of 1
+      (3L, base.replace("tok7", "tok7x").replace("tok31", "yy")), // near dup
+      (4L, (1 to 40).map(i => s"other$i").mkString(" ")), // unrelated
+      (5L, base + " tail1 tail2 tail3") // near-superset
+    ).toDF("doc_id", "text").repartition(4)
+    val cand = Dedup.minHashLshMd5(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val norm = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.trim.replaceAll("[ \\t\\n\\u000B\\f\\r]+", " "))
+      .toMap
+    val expected = cand.toSeq.flatMap { case (a, b) =>
+      val d = lev(norm(a), norm(b))
+      val mx = math.max(norm(a).length, norm(b).length)
+      val sim = 1.0 - d.toDouble / mx
+      if (sim >= 0.9) Some((a, b, d.toLong, sim)) else None
+    }.sortBy(p => (p._1, p._2))
+    val got = Dedup.lshEditVerifiedPairs(docs, "text", "doc_id", threshold = 0.9)
+      .orderBy(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    assert(got.length == expected.length, s"pair count ${got.toSeq} vs $expected")
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3, s"$g vs $e")
+      assert(math.abs(g._4 - e._4) < 1e-12, s"sim $g vs $e")
+    }
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L && p._4 == 1.0),
+      "exact duplicate must verify with dist 0 / sim 1.0")
+  }
+
+  test("edit verification rejects the block-swap pair Jaccard accepts") {
+    import spark.implicits._
+    // half-swapped doc: shingle SET barely changes (Jaccard-verified
+    // near-dup) but half the characters move (edit similarity ~0.5)
+    val left = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val right = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val docs = Seq((1L, s"$left $right"), (2L, s"$right $left"))
+      .toDF("doc_id", "text")
+    val jac = Dedup.lshVerifiedPairsMd5(docs, "text", "doc_id", threshold = 0.3)
+      .collect()
+    assert(jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "block swap must stay a Jaccard near-dup (same shingle set up to the seam)")
+    val ed = Dedup.lshEditVerifiedPairs(docs, "text", "doc_id", threshold = 0.95)
+      .collect()
+    assert(!ed.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "edit verification must reject the reordering")
+  }
+
+  // ---------------- t48: closed-form ridge training ----------------
+
+  private def ridgeRef(rows: Seq[(Long, Long, Long)], lambda: Double)
+      : (Double, Double, Double) = {
+    val n = rows.size.toDouble
+    val s1 = rows.map(_._1).sum.toDouble; val s2 = rows.map(_._2).sum.toDouble
+    val s11 = rows.map(r => r._1 * r._1).sum.toDouble
+    val s12 = rows.map(r => r._1 * r._2).sum.toDouble
+    val s22 = rows.map(r => r._2 * r._2).sum.toDouble
+    val sy = rows.map(_._3).sum.toDouble
+    val s1y = rows.map(r => r._1 * r._3).sum.toDouble
+    val s2y = rows.map(r => r._2 * r._3).sum.toDouble
+    val l = lambda
+    val det = n * ((s11 + l) * (s22 + l) - s12 * s12) -
+      s1 * (s1 * (s22 + l) - s12 * s2) +
+      s2 * (s1 * s12 - (s11 + l) * s2)
+    val det0 = sy * ((s11 + l) * (s22 + l) - s12 * s12) -
+      s1 * (s1y * (s22 + l) - s12 * s2y) +
+      s2 * (s1y * s12 - (s11 + l) * s2y)
+    val det1 = n * (s1y * (s22 + l) - s12 * s2y) -
+      sy * (s1 * (s22 + l) - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)
+    val det2 = n * ((s11 + l) * s2y - s1y * s12) -
+      s1 * (s1 * s2y - s1y * s2) +
+      sy * (s1 * s12 - (s11 + l) * s2)
+    (det0 / det, det1 / det, det2 / det)
+  }
+
+  test("ridgeQualityScore matches the in-memory normal-equation solve") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (1 to 60).map { i =>
+      val nTok = 5 + rnd.nextInt(40)
+      val toks = (0 until nTok).map(_ => s"w${rnd.nextInt(12)}")
+      (i.toLong, toks.mkString(" "), if (i % 3 == 0) "en" else "de")
+    }.toDF("doc_id", "text", "lang").repartition(5)
+    val feats = docs.collect().map { r =>
+      val toks = r.getString(1).split(" ")
+      (r.getLong(0), toks.length.toLong, toks.distinct.length.toLong,
+        if (r.getString(2) == "en") 1L else 0L)
+    }
+    val (b0, b1, b2) = ridgeRef(feats.map(f => (f._2, f._3, f._4)), 10.0)
+    val out = TextAnalysis.ridgeQualityScore(docs, "text", "doc_id",
+        positive = col("lang") === "en", lambda = 10.0)
+      .orderBy(col("id")).collect()
+    assert(out.length == feats.length)
+    val byId = feats.map(f => f._1 -> f).toMap
+    out.foreach { r =>
+      val f = byId(r.getLong(0))
+      assert(r.getLong(1) == f._2 && r.getLong(2) == f._3 && r.getLong(3) == f._4)
+      assert(math.abs(r.getDouble(4) - b0) < 5e-9, s"beta0 ${r.getDouble(4)} vs $b0")
+      assert(math.abs(r.getDouble(5) - b1) < 5e-9)
+      assert(math.abs(r.getDouble(6) - b2) < 5e-9)
+      val score = b0 + b1 * f._2 + b2 * f._3
+      assert(math.abs(r.getDouble(7) - score) < 5e-7, s"score ${r.getDouble(7)} vs $score")
+    }
+  }
+
+  test("ridge shrinks toward zero as lambda grows; lambda=0 solves OLS exactly") {
+    import spark.implicits._
+    // y IS a deterministic function separable by f1: long docs are 'en'
+    val docs = (1 to 30).map { i =>
+      val nTok = if (i % 2 == 0) 40 + i else 5 + i % 4
+      (i.toLong, (0 until nTok).map(j => s"t${j % 7}").mkString(" "),
+        if (i % 2 == 0) "en" else "fr")
+    }.toDF("doc_id", "text", "lang")
+    def betas(lambda: Double): (Double, Double, Double) = {
+      val r = TextAnalysis.ridgeQualityScore(docs, "text", "doc_id",
+        col("lang") === "en", lambda).limit(1).collect().head
+      (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    }
+    val (_, b1small, b2small) = betas(0.0)
+    val (_, b1big, b2big) = betas(1e6)
+    assert(math.abs(b1big) < math.abs(b1small) || math.abs(b2big) < math.abs(b2small),
+      "large lambda must shrink the coefficients")
+    // lambda=0 == OLS: residuals orthogonal to features (normal eqs)
+    val feats = docs.collect().map { r =>
+      val toks = r.getString(1).split(" ")
+      (toks.length.toLong, toks.distinct.length.toLong,
+        if (r.getString(2) == "en") 1L else 0L)
+    }
+    val (o0, o1, o2) = ridgeRef(feats, 0.0)
+    val r1 = feats.map(f => (f._3 - (o0 + o1 * f._1 + o2 * f._2)) * f._1).sum
+    val r2 = feats.map(f => (f._3 - (o0 + o1 * f._1 + o2 * f._2)) * f._2).sum
+    assert(math.abs(r1) < 1e-6 && math.abs(r2) < 1e-6,
+      s"OLS normal equations violated: $r1 / $r2")
+  }
+
+  // ---------------- m15: voice-activity segments ----------------
+
+  test("vadSegments finds exactly the planted loud burst") {
+    import spark.implicits._
+    // 4 frames of 4 samples: silence, loud, loud, silence
+    val samples: Array[Short] =
+      (Array.fill(4)(0) ++ Array.fill(8)(1000) ++ Array.fill(4)(0)).map(_.toShort)
+    val wav = Multimodal.WavCodec.encodePcm16(samples, 16000)
+    val media = Seq((7L, wav)).toDF("sample_id", "payload")
+    val segs = Multimodal.vadSegments(media, frameLen = 4, minFrames = 2).collect()
+    assert(segs.length == 1)
+    val s = segs.head
+    assert(s.getLong(0) == 7L && s.getLong(1) == 1L && s.getLong(2) == 2L)
+    assert(s.getLong(3) == 2L)
+    assert(s.getLong(4) == 8L * 1000L * 1000L, "segment energy is the exact integer sum")
+  }
+
+  test("vadSegments: constant signal has no strictly-above-mean frame") {
+    import spark.implicits._
+    val samples = Array.fill(16)(500.toShort)
+    val media = Seq((1L, Multimodal.WavCodec.encodePcm16(samples, 16000)))
+      .toDF("sample_id", "payload")
+    assert(Multimodal.vadSegments(media, frameLen = 4, minFrames = 1).isEmpty)
+  }
+
+  test("vadSegments: isolated single loud frame dropped by minFrames=2") {
+    import spark.implicits._
+    val samples: Array[Short] =
+      (Array.fill(4)(0) ++ Array.fill(4)(1000) ++ Array.fill(8)(0)).map(_.toShort)
+    val media = Seq((1L, Multimodal.WavCodec.encodePcm16(samples, 16000)))
+      .toDF("sample_id", "payload")
+    assert(Multimodal.vadSegments(media, frameLen = 4, minFrames = 2).isEmpty)
+    val one = Multimodal.vadSegments(media, frameLen = 4, minFrames = 1).collect()
+    assert(one.length == 1 && one.head.getLong(1) == 1L && one.head.getLong(3) == 1L)
+  }
+
+  test("vadSegments splits separated bursts and is partitioning-invariant") {
+    import spark.implicits._
+    // loud(2 frames), silence(2), loud(3), partial silent tail
+    val samples: Array[Short] = (Array.fill(8)(900) ++ Array.fill(8)(0) ++
+      Array.fill(12)(900) ++ Array.fill(3)(0)).map(_.toShort)
+    val media = (0 until 6).map(i => (i.toLong,
+      Multimodal.WavCodec.encodePcm16(samples, 16000)))
+      .toDF("sample_id", "payload")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.vadSegments(df, frameLen = 4, minFrames = 2)
+        .orderBy(col("sample_id"), col("start_frame")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val got = run(media)
+    assert(got.count(_._1 == 0L) == 2, s"two bursts expected: $got")
+    assert(got.filter(_._1 == 0L).map(g => (g._2, g._3, g._4)) ==
+      Seq((0L, 1L, 2L), (4L, 6L, 3L)))
+    assert(got == run(media.repartition(7)), "partitioning must not change segments")
+  }
+
+  // ---------------- s28: batch MIPS ----------------
+
+  test("mipsTopKBatch == in-memory inner-product ranking") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val emb = vecs.toDF("vec_id", "embedding").repartition(4)
+    val got = Similarity.mipsTopKBatch(emb, emb.filter(col("vec_id") < 2),
+        "embedding", "vec_id", "vec_id", k = 4)
+      .orderBy(col("query_id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val expected = (0L until 2L).flatMap { q =>
+      val qv = vecs(q.toInt)._2
+      vecs.map { case (id, v) =>
+        var d = 0.0
+        for (i <- v.indices) d += v(i).toDouble * qv(i).toDouble
+        (id, d)
+      }.sortBy { case (id, d) => (-d, id) }.take(4).zipWithIndex
+        .map { case ((id, _), r) => (q, id, r + 1L) }
+    }
+    assert(got.toSeq == expected)
+  }
+
+  test("MIPS ranking is magnitude-aware where cosine is not") {
+    import spark.implicits._
+    // v2 = 3 * v1: same direction, larger magnitude. Query along the
+    // shared direction: cosine ties (v1 wins by id); MIPS must put
+    // the long vector first.
+    // exactly-representable components so v2 == 3 * v1 bit-exactly
+    // and the cosines tie to the last ulp
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f)), // query
+      (1L, Array(0.5f, 0.25f, 0f)),
+      (2L, Array(1.5f, 0.75f, 0f))
+    ).toDF("vec_id", "embedding")
+    val corpus = emb.filter(col("vec_id") > 0)
+    val mips = Similarity.mipsTopKBatch(corpus, emb.filter(col("vec_id") === 0),
+        "embedding", "vec_id", "vec_id", k = 2)
+      .orderBy(col("rank")).collect().map(_.getLong(1)).toSeq
+    assert(mips == Seq(2L, 1L), s"MIPS must rank the scaled vector first: $mips")
+    val cos = Similarity.bruteForceTopKBatch(corpus, emb.filter(col("vec_id") === 0),
+        "embedding", "vec_id", "vec_id", k = 2)
+      .orderBy(col("rank")).collect().map(_.getLong(1)).toSeq
+    assert(cos == Seq(1L, 2L),
+      s"cosine must tie on direction and break by id: $cos")
+  }
+}
