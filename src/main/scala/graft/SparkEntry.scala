@@ -4959,6 +4959,312 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     })
 
+  // Content-defined chunking dedup: boundaries from a rolling window
+  // hash (Σ ord·31^j mod 2^31, boundary ≡ 0 mod 16) — the
+  // insertion-robust chunking that re-syncs within one window where
+  // d09's fixed chunks misalign forever. Exact integer math, so both
+  // engines reproduce every boundary; digests + lengths are the only
+  // thing that shuffles.
+  private val d26 = Q("d26_cdc_chunk_dedup", Some("""
+    WITH d AS (SELECT doc_id, text,
+        length(text) AS n,
+        string_split(text, '') AS cs
+      FROM documents WHERE length(text) >= 16),
+    bp AS (SELECT doc_id, n, i
+      FROM d, UNNEST(generate_series(16, n)) AS g(i)
+      WHERE list_sum(list_transform(generate_series(0, 15),
+              j -> CAST(ord(cs[CAST(i - j AS BIGINT)]) AS BIGINT) *
+                ([1, 31, 961, 29791, 923521, 28629151, 887503681, 1742810335,
+                  340029185, 1950970143, 350532289, 129082719, 1854080641,
+                  1641925023, 1507551809, 1636949471])[CAST(j + 1 AS BIGINT)]))
+            % 2147483648 % 16 = 0),
+    ends AS (SELECT DISTINCT doc_id, i FROM
+      (SELECT doc_id, i FROM bp UNION ALL SELECT doc_id, n FROM d)),
+    ch AS (SELECT doc_id, i AS e,
+        COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS s
+      FROM ends),
+    chunks AS (SELECT d.doc_id,
+        md5(substr(d.text, CAST(ch.s + 1 AS BIGINT), CAST(ch.e - ch.s AS BIGINT))) AS fp,
+        ch.e - ch.s AS clen
+      FROM ch JOIN d ON d.doc_id = ch.doc_id),
+    df AS (SELECT fp, COUNT(*) AS c FROM chunks GROUP BY fp)
+    SELECT chunks.doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      CAST(SUM(CASE WHEN df.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+      CAST(SUM(CASE WHEN df.c >= 2 THEN clen ELSE 0 END) AS DOUBLE)
+        / CAST(SUM(clen) AS DOUBLE) AS dup_char_ratio
+    FROM chunks JOIN df USING (fp)
+    GROUP BY chunks.doc_id ORDER BY doc_id"""),
+    (s, dir) => Dedup.cdcChunkDedup(T(s, dir, "documents"), "text", "doc_id",
+        window = 16, modulus = 16)
+      .orderBy(col("doc_id")))
+
+  // Token-budget selection: greedy highest-priority-first corpus
+  // assembly under a token budget — deterministic order
+  // (priority DESC, id), keep while the PRECEDING cumulative count is
+  // under budget. Integers end to end.
+  private val t49 = Q("t49_token_budget_select", Some("""
+    WITH feat AS (SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS priority
+      FROM documents),
+    ranked AS (SELECT doc_id, priority, n_tokens,
+        COALESCE(SUM(n_tokens) OVER (ORDER BY priority DESC, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM feat)
+    SELECT doc_id, priority, n_tokens, CAST(cum_before AS BIGINT) AS cum_before
+    FROM ranked WHERE cum_before < 5000
+    ORDER BY priority DESC, doc_id"""),
+    (s, dir) => graft.pipeline.Sampling.tokenBudgetSelect(
+        T(s, dir, "documents"), "text", "doc_id", budget = 5000L)
+      .orderBy(col("priority").desc, col("doc_id")))
+
+  // Audio quality gate over REAL decoded PCM: clipping / DC offset /
+  // silence / dynamic range / peak — every field exact integer math
+  // or one integer division, decode + stats in one mapPartitions.
+  // ASCII pin as in m04 (sample = ord·128, so clip ⟺ ord ≥ 250,
+  // silence ⟺ ord ≤ 32 — spaces are the quiet samples).
+  private val m16 = Q("m16_audio_quality", Some("""
+    WITH d AS (SELECT doc_id,
+        octet_length(CAST(text AS BLOB)) AS n,
+        string_split(text, '') AS cs
+      FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) > 0
+        AND octet_length(CAST(text AS BLOB)) = length(text))
+    SELECT doc_id AS sample_id, CAST(n AS BIGINT) AS n_samples,
+      CAST(len(list_filter(cs, c -> ord(c) >= 250)) AS DOUBLE) / n AS clip_ratio,
+      CAST(list_sum(list_transform(cs, c -> CAST(ord(c) * 128 AS BIGINT))) AS DOUBLE) / n AS dc_offset,
+      CAST(len(list_filter(cs, c -> ord(c) <= 32)) AS DOUBLE) / n AS silence_ratio,
+      CAST((list_max(list_transform(cs, c -> ord(c))) -
+            list_min(list_transform(cs, c -> ord(c)))) * 128 AS BIGINT) AS dyn_range,
+      CAST(list_max(list_transform(cs, c -> ord(c))) * 128 AS BIGINT) AS peak
+    FROM d ORDER BY sample_id"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents").where(octet_length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
+      Multimodal.audioQualityReport(
+          Multimodal.textAsWav(docs, "doc_id", "text"),
+          clipAt = 32000, silentAt = 4096)
+        .orderBy(col("sample_id"))
+    })
+
+  // ViT-style 5×5 patch grid over REAL decoded BMP pixels: per-tile
+  // channel means (the patch-embedding prep + blank-tile signal).
+  // The oracle recomputes every tile from the ground-truth text via
+  // the m05 channel maps and the integer coordinate map; zero-byte
+  // padding past the text end contributes 0 to every channel.
+  private val m17 = Q("m17_image_patches", Some("""
+    WITH d AS (SELECT doc_id,
+        octet_length(CAST(text AS BLOB)) AS nb,
+        (octet_length(CAST(text AS BLOB)) + 9) // 10 AS h,
+        string_split(text, '') AS cs
+      FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) > 0
+        AND octet_length(CAST(text AS BLOB)) = length(text)),
+    g AS (SELECT doc_id, nb, h, cs, pr, pc,
+        LEAST((pr + 1) * 5, h) - pr * 5 AS prows
+      FROM d,
+        UNNEST(generate_series(0, (h + 4) // 5 - 1)) AS a(pr),
+        UNNEST([0, 1]) AS b(pc))
+    SELECT doc_id AS sample_id, CAST(pr AS BIGINT) AS patch_row,
+      CAST(pc AS BIGINT) AS patch_col,
+      CAST(prows * 5 AS BIGINT) AS n_px,
+      CAST(list_sum(list_transform(generate_series(0, prows * 5 - 1), k ->
+        CASE WHEN (pr * 5 + k // 5) * 10 + pc * 5 + k % 5 < nb
+          THEN (2 * ord(cs[CAST((pr * 5 + k // 5) * 10 + pc * 5 + k % 5 + 1 AS BIGINT)])) % 256
+          ELSE 0 END)) AS DOUBLE) / (prows * 5) AS mean_r,
+      CAST(list_sum(list_transform(generate_series(0, prows * 5 - 1), k ->
+        CASE WHEN (pr * 5 + k // 5) * 10 + pc * 5 + k % 5 < nb
+          THEN 255 - ord(cs[CAST((pr * 5 + k // 5) * 10 + pc * 5 + k % 5 + 1 AS BIGINT)])
+          ELSE 0 END)) AS DOUBLE) / (prows * 5) AS mean_g,
+      CAST(list_sum(list_transform(generate_series(0, prows * 5 - 1), k ->
+        CASE WHEN (pr * 5 + k // 5) * 10 + pc * 5 + k % 5 < nb
+          THEN ord(cs[CAST((pr * 5 + k // 5) * 10 + pc * 5 + k % 5 + 1 AS BIGINT)])
+          ELSE 0 END)) AS DOUBLE) / (prows * 5) AS mean_b
+    FROM g ORDER BY sample_id, patch_row, patch_col"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents").where(octet_length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
+      Multimodal.imagePatches(
+          Multimodal.textAsBmp(docs, "doc_id", "text", width = 10),
+          patchW = 5, patchH = 5)
+        .orderBy(col("sample_id"), col("patch_row"), col("patch_col"))
+    })
+
+  // Dedup IMPACT report: the cluster-size histogram + removable-doc
+  // accounting read before committing a dedup (n_docs sums to the
+  // corpus; n_removable is exactly d11's deletion). One rollup over
+  // the d06 closure; the singleton row is corpus−clustered.
+  private val d27 = Q("d27_dedup_impact", Some("""
+    WITH RECURSIVE toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+          CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) AS jaccard
+        FROM inter
+          JOIN sizes na ON na.doc_id = id_a
+          JOIN sizes nb ON nb.doc_id = id_b)
+      WHERE jaccard >= 0.3),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach(u, v) AS (SELECT u, v FROM sym
+                    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_rep FROM reach GROUP BY u),
+    cl AS (SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM comp GROUP BY 1),
+    hist AS (SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters FROM cl GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntot FROM documents),
+    ncl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM comp)
+    SELECT cluster_size, n_clusters,
+      CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+      CAST((cluster_size - 1) * n_clusters AS BIGINT) AS n_removable
+    FROM hist
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), tot.ntot - ncl.n, tot.ntot - ncl.n, CAST(0 AS BIGINT)
+    FROM tot, ncl WHERE tot.ntot - ncl.n > 0
+    ORDER BY cluster_size"""),
+    (s, dir) => Dedup.dedupImpactReport(T(s, dir, "documents"), "text", "doc_id",
+        n = 3, threshold = 0.3)
+      .orderBy(col("cluster_size")))
+
+  // Trained NB language-ID confusion matrix: add-one multinomial NB
+  // (trained on the corpus's own labels) predicts every doc, confusion
+  // vs labels comes back — the audit deciding whether the cheap
+  // classifier can replace labels. t29's ln-count discipline; argmax
+  // orders by the ROUNDED score with the class as tie-break.
+  private val t50 = Q("t50_langid_confusion", Some("""
+    WITH toks AS (SELECT doc_id, lang AS lab, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+    dc AS (SELECT doc_id, lab, tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2, 3),
+    cls AS (SELECT tok, lab AS cand, CAST(SUM(c) AS BIGINT) AS ctl FROM dc GROUP BY 1, 2),
+    nl AS (SELECT cand, CAST(SUM(ctl) AS BIGINT) AS nlang FROM cls GROUP BY 1),
+    v AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v FROM cls),
+    langs AS (SELECT DISTINCT lang AS cand FROM documents),
+    priors AS (SELECT lang AS cand, CAST(COUNT(*) AS BIGINT) AS ndl FROM documents GROUP BY 1),
+    ntot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nt FROM documents),
+    sc AS (SELECT dc.doc_id, dc.lab, l.cand,
+        SUM(CAST(dc.c AS DOUBLE) * ln((CAST(COALESCE(cls.ctl, 0) AS DOUBLE) + 1.0)
+          / (CAST(nl.nlang AS DOUBLE) + v.v))) AS s
+      FROM dc CROSS JOIN langs l
+        LEFT JOIN cls ON cls.tok = dc.tok AND cls.cand = l.cand
+        JOIN nl ON nl.cand = l.cand, v
+      GROUP BY 1, 2, 3),
+    scored AS (SELECT sc.doc_id, sc.lab, sc.cand,
+        ROUND(sc.s + ln(CAST(p.ndl AS DOUBLE) / ntot.nt), 6) + 0.0 AS score
+      FROM sc JOIN priors p ON p.cand = sc.cand, ntot),
+    pred AS (SELECT doc_id, lab, cand FROM (
+        SELECT doc_id, lab, cand,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+        FROM scored) WHERE rn = 1)
+    SELECT lab AS true_lang, cand AS pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY 1, 2 ORDER BY true_lang, pred_lang"""),
+    (s, dir) => TextAnalysis.nbLangConfusion(T(s, dir, "documents"),
+        "text", "doc_id", "lang")
+      .orderBy(col("true_lang"), col("pred_lang")))
+
+  // Retrieval-quality audit: nDCG@10 of the SQ8 ranking vs the exact
+  // ranking per query — recall counts hits, nDCG also charges
+  // order errors. Both legs replay in SQL (s27's quantizer + the s04
+  // rank window); IDCG folds i-ascending on both engines.
+  private val s29 = Q("s29_retrieval_ndcg", Some("""
+    WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id < 5),
+    coded AS (SELECT vec_id, list_transform(embedding, x ->
+        (CAST(GREATEST(-128, LEAST(127,
+           ROUND((CAST(x AS DOUBLE) - (-2.0)) / 4.0 * 255.0) - 128)) AS DOUBLE)
+         + 128.0) / 255.0 * 4.0 + (-2.0)) AS rvec
+      FROM embeddings),
+    aleg AS (SELECT query_id, vec_id, rank FROM (
+        SELECT q.query_id, c.vec_id,
+          ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+            list_sum(list_transform(generate_series(1, len(c.rvec)), i -> c.rvec[i] * q.qv[i]))
+            / (sqrt(list_sum(list_transform(c.rvec, x -> x * x)))
+               * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) DESC, c.vec_id) AS rank
+        FROM coded c, q WHERE c.vec_id <> q.query_id) WHERE rank <= 10),
+    eleg AS (SELECT query_id, vec_id, 1 AS hit FROM (
+        SELECT q.query_id, e.vec_id,
+          ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+            list_sum(list_transform(generate_series(1, len(e.embedding)), i ->
+              CAST(e.embedding[i] AS DOUBLE) * q.qv[i]))
+            / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) DESC, e.vec_id) AS rank
+        FROM embeddings e, q WHERE e.vec_id <> q.query_id) WHERE rank <= 10),
+    idcg AS (SELECT list_sum(list_transform(generate_series(1, 10),
+        i -> 1.0 / log2(CAST(i + 1 AS DOUBLE)))) AS idcg)
+    SELECT a.query_id,
+      CAST(SUM(COALESCE(e.hit, 0)) AS BIGINT) AS n_hits,
+      ROUND(SUM(CASE WHEN e.hit = 1 THEN 1.0 / log2(CAST(a.rank + 1 AS DOUBLE)) ELSE 0.0 END)
+        / idcg.idcg, 6) + 0.0 AS ndcg
+    FROM aleg a LEFT JOIN eleg e USING (query_id, vec_id), idcg
+    GROUP BY a.query_id, idcg.idcg ORDER BY query_id"""),
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      graft.pipeline.Quantize.retrievalNdcg(emb, "embedding", "vec_id",
+          emb.filter(col("vec_id") < 5), "vec_id", k = 10, lo = -2.0, hi = 2.0)
+        .orderBy(col("query_id"))
+    })
+
+  // Scene segmentation over REAL decoded AVI frames: cuts where the
+  // frame hash moves > 3 bits from its predecessor (m12's flag
+  // inverted), runs become scenes via a running cut count — the shot
+  // detector video sampling starts from. One sample-keyed exchange
+  // (m15's shape); the oracle rebuilds hashes, cuts, and scene spans
+  // from the text byte map.
+  private val m18 = Q("m18_scene_segments", Some("""
+    WITH d AS (SELECT doc_id,
+        octet_length(CAST(text AS BLOB)) AS nb,
+        (octet_length(CAST(text AS BLOB)) + 9) // 10 AS nf,
+        string_split(text, '') AS cs
+      FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) > 0
+        AND octet_length(CAST(text AS BLOB)) = length(text)),
+    fr AS (SELECT doc_id, nb, cs, f
+      FROM d, UNNEST(generate_series(0, nf - 1)) AS gf(f)),
+    g AS (SELECT doc_id, f, nb, cs, r * 8 + c AS i,
+        f * 10 + ((r * 2) // 8) * 5 + (c * 5) // 8 AS idx
+      FROM fr, UNNEST(generate_series(0, 7)) AS gr(r),
+              UNNEST(generate_series(0, 7)) AS gc(c)),
+    v AS (SELECT doc_id, f, i,
+        CASE WHEN idx < nb THEN ord(cs[CAST(idx + 1 AS BIGINT)]) ELSE 0 END AS val
+      FROM g),
+    m AS (SELECT doc_id, f, CAST(SUM(val) AS DOUBLE) / 64.0 AS mean
+          FROM v GROUP BY doc_id, f),
+    ah AS (SELECT v.doc_id, v.f,
+        CAST(SUM(CASE WHEN v.val > m.mean AND v.i < 32 THEN (CAST(1 AS BIGINT) << v.i) ELSE 0 END) AS BIGINT) AS ahash_hi,
+        CAST(SUM(CASE WHEN v.val > m.mean AND v.i >= 32 THEN (CAST(1 AS BIGINT) << (v.i - 32)) ELSE 0 END) AS BIGINT) AS ahash_lo
+      FROM v JOIN m ON v.doc_id = m.doc_id AND v.f = m.f
+      GROUP BY v.doc_id, v.f),
+    cuts AS (SELECT doc_id, f,
+        CASE WHEN LAG(ahash_hi) OVER w IS NULL THEN 1
+             WHEN bit_count(xor(ahash_hi, LAG(ahash_hi) OVER w)) +
+                  bit_count(xor(ahash_lo, LAG(ahash_lo) OVER w)) > 3 THEN 1
+             ELSE 0 END AS cut
+      FROM ah WINDOW w AS (PARTITION BY doc_id ORDER BY f)),
+    scenes AS (SELECT doc_id, f,
+        SUM(cut) OVER (PARTITION BY doc_id ORDER BY f
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scene_idx
+      FROM cuts)
+    SELECT doc_id AS sample_id, CAST(scene_idx AS BIGINT) AS scene_idx,
+      CAST(MIN(f) AS BIGINT) AS start_frame, CAST(MAX(f) AS BIGINT) AS end_frame,
+      CAST(COUNT(*) AS BIGINT) AS n_frames
+    FROM scenes GROUP BY doc_id, scene_idx
+    ORDER BY sample_id, scene_idx"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents").where(octet_length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
+      Multimodal.sceneSegments(
+          Multimodal.framePerceptualHash(
+            Multimodal.textAsAvi(docs, "doc_id", "text")).toDF(),
+          maxHamming = 3)
+        .orderBy(col("sample_id"), col("scene_idx"))
+    })
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -4970,14 +5276,15 @@ object SparkEntry {
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
-    d17, d18, d19, d20, d21, d22, d23, d24, d25,
+    d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
-    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28,
+    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
     t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45,
-    t46, t47, t48,
-    m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14, m15)
+    t46, t47, t48, t49, t50,
+    m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14,
+    m15, m16, m17, m18)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))

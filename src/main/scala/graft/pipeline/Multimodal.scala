@@ -1084,6 +1084,111 @@ object Multimodal {
         col("n_frames"), col("seg_energy"))
   }
 
+  /** Audio quality gate over REAL decoded PCM — the per-clip report a
+    * speech-curation pipeline thresholds before transcription:
+    * clipping ratio (|s| ≥ clipAt — saturated recordings), DC offset
+    * (mean sample — miswired capture), silence ratio (|s| ≤ silentAt),
+    * dynamic range and peak. Every field is exact integer arithmetic
+    * or one integer division, computed inside the decode
+    * mapPartitions — audio bytes never cross an exchange, one ~50-byte
+    * row per clip moves.
+    *
+    * @return (sample_id, n_samples, clip_ratio, dc_offset,
+    *         silence_ratio, dyn_range, peak)
+    */
+  def audioQualityReport(media: DataFrame,
+      clipAt: Int = 32000, silentAt: Int = 4096,
+      idCol: String = "sample_id", payloadCol: String = "payload"): DataFrame = {
+    require(clipAt > 0 && silentAt >= 0, "bad audio quality params")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val samples = WavCodec.decodeSamples(payload)._3
+          val n = samples.length
+          if (n == 0) Iterator.empty
+          else {
+            var clipped = 0L; var silent = 0L; var sum = 0L
+            var mx = Int.MinValue; var mn = Int.MaxValue
+            var i = 0
+            while (i < n) {
+              val s = samples(i).toInt
+              val a = math.abs(s)
+              if (a >= clipAt) clipped += 1
+              if (a <= silentAt) silent += 1
+              sum += s
+              if (s > mx) mx = s
+              if (s < mn) mn = s
+              i += 1
+            }
+            Iterator.single((id, n.toLong,
+              clipped.toDouble / n, sum.toDouble / n, silent.toDouble / n,
+              (mx - mn).toLong, math.max(math.abs(mx), math.abs(mn)).toLong))
+          }
+        }
+      }
+      .toDF("sample_id", "n_samples", "clip_ratio", "dc_offset",
+        "silence_ratio", "dyn_range", "peak")
+  }
+
+  /** ViT-style patch grid over REAL decoded pixels — the
+    * patch-embedding prep step of an image-training pipeline: the
+    * image splits into patchW×patchH tiles (partial tiles at the
+    * bottom keep their real row count) and each tile reports its
+    * per-channel means — the downstream signals for blank-tile
+    * dropping and patch-level dedup. Decode + tiling run in ONE
+    * mapPartitions over the scan (image bytes never shuffle); each
+    * emitted row is ~60 bytes per patch.
+    *
+    * Means are integer sums over the decoded bytes divided once —
+    * exact on any engine.
+    *
+    * @return (sample_id, patch_row, patch_col, n_px, mean_r, mean_g,
+    *         mean_b) — channel order matches [[decodeBmp]]'s BGR
+    *         storage read back as (r, g, b)
+    */
+  def imagePatches(media: DataFrame, patchW: Int = 5, patchH: Int = 5,
+      idCol: String = "sample_id", payloadCol: String = "payload"): DataFrame = {
+    require(patchW > 0 && patchH > 0, "bad patch dims")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val (w, h, px) = BmpCodec.decodePixels(payload) // BGR triplets
+          val pCols = (w + patchW - 1) / patchW
+          val pRows = (h + patchH - 1) / patchH
+          (0 until pRows).iterator.flatMap { pr =>
+            (0 until pCols).iterator.map { pc =>
+              val rows = math.min((pr + 1) * patchH, h) - pr * patchH
+              val cols = math.min((pc + 1) * patchW, w) - pc * patchW
+              var sb = 0L; var sg = 0L; var sr = 0L
+              var r = 0
+              while (r < rows) {
+                var c = 0
+                while (c < cols) {
+                  val o = ((pr * patchH + r) * w + pc * patchW + c) * 3
+                  sb += px(o) & 0xff
+                  sg += px(o + 1) & 0xff
+                  sr += px(o + 2) & 0xff
+                  c += 1
+                }
+                r += 1
+              }
+              val nPx = (rows * cols).toLong
+              (id, pr.toLong, pc.toLong, nPx,
+                sr.toDouble / nPx, sg.toDouble / nPx, sb.toDouble / nPx)
+            }
+          }
+        }
+      }
+      .toDF("sample_id", "patch_row", "patch_col", "n_px",
+        "mean_r", "mean_g", "mean_b")
+  }
+
   /** REAL audio resample, the WAV sibling of [[resizeBmp]]:
     * decode the PCM16 signal, nearest-neighbor resample via the
     * integer map src = ⌊i·srcRate/dstRate⌋ (nOut = ⌊n·dst/src⌋),
@@ -1268,6 +1373,42 @@ object Multimodal {
           popcnt(col("ahash_lo").bitwiseXOR(col("prev_lo"))) <= maxHamming,
         lit(false)))
       .drop("prev_hi", "prev_lo")
+  }
+
+  /** Scene segmentation from the frame-hash stream — the shot
+    * detector a video-training pipeline samples from (one frame per
+    * scene instead of every near-static frame): a CUT happens where a
+    * frame's hash differs from its predecessor by more than
+    * `maxHamming` bits; consecutive cut-free frames form a scene.
+    * scene_idx is the running cut count, so segmentation is one lag
+    * window plus one running sum over the SAME sample_id partitioning
+    * as the rollup — the whole operator costs the m15 single keyed
+    * exchange, and video bytes stayed in the codec scan.
+    *
+    * @return one row per scene: (sample_id, scene_idx, start_frame,
+    *         end_frame, n_frames)
+    */
+  def sceneSegments(frameHashes: DataFrame, maxHamming: Int = 3,
+      idCol: String = "sample_id"): DataFrame = {
+    val byId = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("frame_idx"))
+    val popcnt = (c: org.apache.spark.sql.Column) =>
+      call_function("bit_count", c).cast("long")
+    frameHashes
+      .withColumn("prev_hi", lag(col("ahash_hi"), 1).over(byId))
+      .withColumn("prev_lo", lag(col("ahash_lo"), 1).over(byId))
+      .withColumn("cut", when(col("prev_hi").isNull, 1L).otherwise(
+        when(popcnt(col("ahash_hi").bitwiseXOR(col("prev_hi"))) +
+          popcnt(col("ahash_lo").bitwiseXOR(col("prev_lo"))) > maxHamming, 1L)
+          .otherwise(0L)))
+      .withColumn("scene_idx", sum(col("cut")).over(
+        byId.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("scene_idx"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).as("n_frames"))
+      .select(col(idCol), col("scene_idx"), col("start_frame"),
+        col("end_frame"), col("n_frames"))
   }
 
   def readMediaDir(spark: SparkSession, dir: String, mediaType: String = ""): DataFrame = {

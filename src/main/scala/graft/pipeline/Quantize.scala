@@ -116,6 +116,57 @@ object Quantize {
     *
     * @return (idCol, cos_sim) — exact cosines, final top-k order
     */
+  /** Retrieval-quality audit: nDCG@k of the quantized (SQ8
+    * reconstructed) ranking against the exact-cosine ranking, per
+    * query — the evaluation every ANN deployment runs before trusting
+    * the approximation with ranking-sensitive work (recall@k counts
+    * hits; nDCG also charges the approximation for returning them in
+    * the wrong ORDER). Relevance is binary membership in the exact
+    * top-k; DCG discounts by 1/log₂(rank+1); IDCG is the constant
+    * all-hits-in-order sum, folded i-ascending on both engines.
+    *
+    * Scale shape: both legs are the batch-scan contract — queries
+    * broadcast, ONE pass over the quantized codes and ONE over the
+    * full-precision vectors, per-query WindowGroupLimit; the audit
+    * join is (k × queries)-sized. Self-pairs excluded from both legs.
+    *
+    * @return (query_id, n_hits, ndcg) — ndcg ROUND(6)
+    */
+  def retrievalNdcg(emb: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, queryIdCol: String, k: Int,
+      lo: Double, hi: Double): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("q_vec"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col(idCol))
+    def leg(corpus: DataFrame, vec: Column): DataFrame =
+      graft.ops.ScaleOps.fanOut(corpus)
+        .crossJoin(broadcast(q))
+        .where(col(idCol) =!= col("query_id"))
+        .withColumn("sim", Similarity.cosine(vec, col("q_vec")))
+        .withColumn("rank", row_number().over(wq))
+        .where(col("rank") <= k)
+        .select(col("query_id"), col(idCol), col("rank"))
+    val approx = leg(
+      scalarQuantize(emb, vecCol, lo, hi)
+        .select(col(idCol), dequantize(col("qvec"), lo, hi).as("rvec")),
+      col("rvec"))
+    val exact = leg(emb.select(col(idCol), col(vecCol)), col(vecCol).cast("array<double>"))
+      .select(col("query_id"), col(idCol), lit(1L).as("hit"))
+    // IDCG: left fold i-ascending — the same sequential order as the
+    // oracle's list_sum, so the constant agrees to the last ulp class
+    // ROUND(6) absorbs
+    val idcg = (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0))).sum
+    approx.join(exact, Seq("query_id", idCol), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+        (round(sum(when(col("hit") === 1L,
+            lit(1.0) / log2(col("rank").cast("double") + lit(1.0)))
+          .otherwise(lit(0.0))) / lit(idcg), 6) + lit(0.0)).as("ndcg"))
+  }
+
   def rerankedTopK(emb: DataFrame, vecCol: String, idCol: String,
       queryId: Long, k: Int, shortlist: Int,
       lo: Double, hi: Double): DataFrame = {

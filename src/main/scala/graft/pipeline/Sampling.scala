@@ -313,6 +313,44 @@ object Sampling {
           (col("n_docs") * col("max_len")).cast("double"), 6))
   }
 
+  /** Token-budget selection: fill a training-token budget with the
+    * highest-priority documents — the final assembly step of every
+    * curation pipeline ("we can afford B tokens; take the best docs
+    * until they're spent"). Deterministic greedy: order by
+    * (priority DESC, id), keep every doc whose PRECEDING cumulative
+    * token count is still under the budget — so exactly one doc
+    * straddles the boundary and selection is reproducible.
+    *
+    * Priority here is the distinct-token count (lexical diversity,
+    * integer-exact); callers with a trained scorer pass any column.
+    *
+    * Scale note: the running sum is ONE global sort — the
+    * oracle-able contract (the t38 move). At 100 TB, replace the
+    * exact cut with a priority-histogram threshold (select everything
+    * above p*, binary-search p* on the aggregated histogram) and keep
+    * this exact spelling for the boundary bucket only.
+    *
+    * @return selected docs: (doc_id, priority, n_tokens, cum_before)
+    */
+  def tokenBudgetSelect(docs: DataFrame, textCol: String, idCol: String,
+      budget: Long,
+      priorityCol: Option[Column] = None): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val prio = priorityCol.getOrElse(
+      size(array_distinct(split(col(textCol), " "))).cast("long"))
+    val feat = graft.ops.ScaleOps.fanOut(docs).select(
+      col(idCol).as("doc_id"),
+      prio.as("priority"),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("priority").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    feat
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .where(col("cum_before") < budget)
+      .select(col("doc_id"), col("priority"), col("n_tokens"), col("cum_before"))
+  }
+
   def sourceMix(df: DataFrame, strataCol: String, idCol: String,
       mix: Map[String, (Int, Int)]): DataFrame = {
     require(mix.nonEmpty, "mix must name at least one stratum")

@@ -1421,6 +1421,63 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Trained language-ID evaluation: a multinomial Naive-Bayes
+    * classifier (add-one smoothed token likelihoods + label priors,
+    * trained on the corpus's own labels) predicts every document's
+    * language, and the CONFUSION MATRIX against the labels comes
+    * back — the evaluation step that decides whether the cheap
+    * classifier can replace labels downstream (t01's fixed-stopword
+    * heuristic has no trained likelihoods and no confusion audit).
+    *
+    * Per-class scores follow the t29 ln-count discipline: exact
+    * integer counts, IEEE ln, ROUND(6) on the per-(doc, class) sum —
+    * and the argmax orders by the ROUNDED score with the class label
+    * as tie-break, so prediction is deterministic on any engine.
+    *
+    * Scale shape: corpus-sized work is the (doc, label, token) count
+    * aggregation and the |classes|-way scoring join (classes are a
+    * handful — the grid join is a broadcast of the class LIST, the
+    * per-(token, class) likelihood table stays token-keyed); the
+    * confusion rollup is |classes|² rows.
+    *
+    * @return (true_lang, pred_lang, n_docs)
+    */
+  def nbLangConfusion(docs: DataFrame, textCol: String, idCol: String,
+      labelCol: String): DataFrame = {
+    val toks = graft.ops.ScaleOps.fanOut(docs).select(
+      col(idCol).as("id"), col(labelCol).as("lab"),
+      explode(split(col(textCol), " ")).as("tok"))
+    val dc = toks.groupBy(col("id"), col("lab"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val cls = dc.groupBy(col("tok"), col("lab").as("cand"))
+      .agg(sum(col("c")).as("ctl"))
+    val nl = cls.groupBy(col("cand")).agg(sum(col("ctl")).as("nlang"))
+    val v = cls.select(col("tok")).distinct()
+      .agg(count(lit(1)).cast("double").as("v"))
+    val langs = docs.select(col(labelCol).as("cand")).distinct()
+    val priors = docs.groupBy(col(labelCol).as("cand"))
+      .agg(count(lit(1)).as("ndl"))
+    val ntot = docs.agg(count(lit(1)).cast("double").as("ntot"))
+    val contrib = col("c").cast("double") * log(
+      (coalesce(col("ctl"), lit(0L)).cast("double") + lit(1.0)) /
+        (col("nlang").cast("double") + col("v")))
+    val scores = dc.crossJoin(broadcast(langs))
+      .join(cls, Seq("tok", "cand"), "left")
+      .join(broadcast(nl), Seq("cand"))
+      .crossJoin(broadcast(v))
+      .groupBy(col("id"), col("lab"), col("cand"))
+      .agg(sum(contrib).as("s"))
+      .join(broadcast(priors), Seq("cand"))
+      .crossJoin(broadcast(ntot))
+      .withColumn("score",
+        round(col("s") + log(col("ndl").cast("double") / col("ntot")), 6) + lit(0.0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("score").desc, col("cand"))
+    scores.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .groupBy(col("lab").as("true_lang"), col("cand").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Closed-form DISTRIBUTED model training: ridge regression
     * (X'X + λI)β = X'y solved exactly via Cramer's rule over two
     * integer text features (token count, distinct-token count) and a

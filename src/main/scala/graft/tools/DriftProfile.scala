@@ -29,6 +29,7 @@ object DriftProfile {
     if (names == Seq("__d12_parts")) { d12Parts(spark, sfDir); spark.stop(); return }
     if (names == Seq("__mmr_ab")) { mmrAb(spark, sfDir); spark.stop(); return }
     if (names == Seq("__range_ab")) { rangeAb(spark, sfDir); spark.stop(); return }
+    if (names == Seq("__lev_ab")) { levAb(spark); spark.stop(); return }
     names.foreach { n =>
       val q = graft.SparkEntry.queries(n)
       // warm (scan caches, codegen)
@@ -44,6 +45,45 @@ object DriftProfile {
         times.map(t => f"$t%.3f").mkString("[", ", ", "]"))
     }
     spark.stop()
+  }
+
+  /** A/B the d25 verifier kernel (dev-only): full-DP levenshtein vs
+    * the thresholded 3-arg form — with the threshold as a per-row
+    * COLUMN (the shipped spelling) and as a LITERAL — on 200k
+    * synthetic ~500-char near-dup pairs (the 10× ScaleSmoke verify
+    * load). Answers whether Spark's banded path actually engages for
+    * a non-foldable threshold.
+    */
+  private def levAb(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = (0 until 200000).map { i =>
+      val s = new StringBuilder
+      val rnd = new scala.util.Random(i)
+      while (s.length < 500) s.append("tok").append(rnd.nextInt(1000)).append(' ')
+      val a = s.toString
+      (a, "copy" + (i % 7) + " " + a.substring(math.min(8, a.length)))
+    }
+    val df = base.toDF("na", "nb").repartition(32)
+    org.apache.spark.sql.graftbridge.CacheScope // touch to mirror prod classpath
+    df.cache().count(): Unit
+    val bound = (floor(lit(0.05) *
+      greatest(length(col("na")), length(col("nb"))).cast("double")) + lit(1.0))
+      .cast("int")
+    def time(label: String)(c: org.apache.spark.sql.Column): Unit = {
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        df.select(sum(when(c >= 0, 1L).otherwise(0L))).head()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[lev_ab] $label%-22s " +
+        runs.map(t => f"$t%.3f").mkString("[", ", ", "]"))
+    }
+    time("full DP")(levenshtein(col("na"), col("nb")))
+    time("threshold column")(
+      call_function("levenshtein", col("na"), col("nb"), bound))
+    time("threshold literal 32")(levenshtein(col("na"), col("nb"), 32))
+    df.unpersist(): Unit
   }
 
   /** A/B the s21 MMR fold cadence (dev-only): foldEvery ∈ {4, 8, k}

@@ -107,6 +107,18 @@ object ExplainDump {
       "d23_cross_source_dups" -> "cross-source dup matrix: chunk hashes in the scan stage, ONE (chunk-hash, source) partial-agg exchange is the only corpus-sized step; the pair matrix self-joins the duplicated-keys count frame (bucket-local, vanishing fraction) with pure count arithmetic — no occurrence pair, no text, ever shuffles",
       "s27_knn_sq8_rerank" -> "two-stage retrieval: stage 1 is the quantized map-only scan + TopK (the only corpus-sized read); stage 2's 50-id shortlist broadcasts back as a left-semi build side so the full-precision cosine touches 50 rows — no corpus re-scan, no keyed exchange",
       "m13_png_roundtrip" -> "real PNG roundtrip: DEFLATE encode + inflate/unfilter decode both inside ONE mapPartitions stage over the documents scan (the m04 contract — compressed payloads never leave the executor); presentation sort is the only exchange",
+      "d25_lsh_edit_verified" -> "edit-distance-verified dedup: the d24 banding shape end to end — the O(len²) Levenshtein DP is a scan-side expression on the candidate-join output, so the quadratic verifier touches only the banded sliver; the verify joins move one normalized string per CANDIDATE doc",
+      "t48_ridge_quality" -> "closed-form ridge training: the ONLY corpus-sized step is one map-side partial aggregation (9 integer sums); the 3×3 Cramer solve is a constant expression on the 1-row stats frame, and scoring is a broadcast crossJoin projection — train + apply in two scans, no iteration, no driver loop",
+      "m15_vad_segments" -> "voice-activity segments: frame energies inside the decode mapPartitions (payloads never cross an exchange, 24-byte quads move); the mean-square threshold windows and the island row_number share ONE sample_id exchange, and the segment rollup reuses that partitioning (no second shuffle)",
+      "s28_mips_topk" -> "batch MIPS: queries broadcast, ONE corpus scan with the codegen dot kernel scan-side, Partial WindowGroupLimit caps per-query forwarding at k before the rank exchange — the s04 contract with magnitude-aware ranking",
+      "d26_cdc_chunk_dedup" -> "content-defined chunking: window hashes, boundaries, chunk slices and md5 digests ALL inside the scan projection (array HOFs over the char-code array — document text never leaves its scan task); the df aggregation and per-doc rollup exchange (fp, len) pairs only",
+      "t49_token_budget_select" -> "token-budget selection: ONE global running-sum window (the oracle-able contract, the t38 move) + a filter — no join, no keyed shuffle; at 100 TB the exact cut swaps for a priority-histogram threshold with this spelling kept for the boundary bucket",
+      "m16_audio_quality" -> "audio quality gate: decode + clipping/DC/silence/range stats in ONE mapPartitions stage over the scan (the m04 contract — audio bytes never cross an exchange); presentation sort is the only exchange",
+      "m17_image_patches" -> "ViT patch grid: real BMP decode + per-tile channel sums in ONE mapPartitions stage; ~60-byte patch rows are all that moves — the presentation sort is the only exchange",
+      "d27_dedup_impact" -> "dedup impact report: one component-keyed rollup over the d06 closure + a 1-row singleton arithmetic branch — the histogram is cluster-count-sized however large the corpus",
+      "t50_langid_confusion" -> "NB language-ID confusion: corpus work is the (doc, label, token) count agg and the |classes|-way scoring join (class list, priors, vocab size all broadcast); the argmax window is doc-keyed and the confusion rollup is |classes|² rows",
+      "s29_retrieval_ndcg" -> "retrieval nDCG audit: two batch-scan legs (quantized + exact), each queries-broadcast with Partial WindowGroupLimit; the audit join and the per-query rollup are (k x queries)-sized",
+      "m18_scene_segments" -> "scene segmentation: frame hashes from the codec scan; the lag window, the running cut count and the scene rollup all share ONE sample_id exchange (plan-pinned) — video bytes never cross the wire",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")
@@ -129,6 +141,34 @@ object ExplainDump {
     * regeneration preserves the record.
     */
   private val driftTriage: String = """
+## Round-12 d25 verifier kernel A/B (full DP vs banded Levenshtein)
+
+The 10× ScaleSmoke replica run exposed d25's verify cost: 241k
+candidate pairs (the replica construction's 10-copy cliques) × a full
+O(len²) Levenshtein DP on ~500-char docs = 36.7 s, where d24's
+Jaccard verify on the same candidates runs 3.8 s. A/B of the kernel in
+isolation (`DriftProfile __lev_ab`, 200k synthetic 500-char near-dup
+pairs, 3 reps each):
+
+| verifier spelling | reps (s) |
+|---|---|
+| full DP `levenshtein(na, nb)` | 15.6, 16.1, 14.2 |
+| banded, per-row threshold column | 8.7, 8.1, 8.2 |
+| banded, literal threshold 32 | 7.7, 7.6, 8.6 |
+
+Spark's banded path DOES engage for a non-foldable per-row threshold
+(the shipped spelling: bound = ⌊(1−τ)·maxlen⌋+1) — 1.9×, not the
+20× the band-width ratio suggests, because per-call code-point array
+conversion and stripe bookkeeping dominate at these lengths. Shipped:
+banded verification + a free |len_a−len_b| ≤ bound pre-filter (dist ≥
+length difference always, so those pairs skip the DP entirely).
+Banded output == full-DP output by construction (−1 rows are exactly
+the rows the similarity filter would drop); d25 still hash-matches and
+the Round12Spec in-memory differential pins it. The residual per-pair
+DP is the verifier's inherent cost — why Jaccard verification stays
+the default when order-insensitivity is acceptable, and why d25's
+growth row tracks EMITTED CANDIDATE PAIRS × len, not corpus size.
+
 ## Round-10 LM-family profile (t19 / t22 / t27 / t29 / t30 / t31)
 
 The bigram/token LM scores topped the bench (t27 2.26 s, t31 2.52 s,

@@ -348,6 +348,66 @@ object ScaleSmoke {
           graft.pipeline.Multimodal.textAsWav(
             docs.where(octet_length(col("text")) > 0), "doc_id", "text"),
           dftBins = Seq(1, 5)).count() }
+      // Levenshtein DP confined to the banded-candidate sliver — the
+      // d24 shape with a quadratic-in-LENGTH verifier; growth tracks
+      // the candidate count, not the corpus square
+      time("d25 lshEditVerifiedPairs") {
+        graft.pipeline.Dedup.lshEditVerifiedPairs(docs, "text", "doc_id",
+          threshold = 0.95).count() }
+      // ONE normal-equation partial agg + broadcast map-only scoring;
+      // must grow linearly with corpus size
+      time("t48 ridgeQualityScore") {
+        graft.pipeline.TextAnalysis.ridgeQualityScore(docs, "text",
+          "doc_id", col("lang") === "en").count() }
+      // frame energies inside the codec mapPartitions; threshold +
+      // islands share one sample-keyed exchange of 24-byte quads
+      time("m15 vadSegments") {
+        graft.pipeline.Multimodal.vadSegments(
+          graft.pipeline.Multimodal.textAsWav(
+            docs.where(octet_length(col("text")) > 0), "doc_id", "text"),
+          frameLen = 64, minFrames = 2).count() }
+      // boundaries/slices/digests all scan-side; (fp, len) shuffles
+      time("d26 cdcChunkDedup") {
+        graft.pipeline.Dedup.cdcChunkDedup(docs, "text", "doc_id").count() }
+      // one global running-sum window — the documented exact contract
+      time("t49 tokenBudgetSelect") {
+        graft.pipeline.Sampling.tokenBudgetSelect(docs, "text", "doc_id",
+          budget = 5000L * factor).count() }
+      // decode + stats in one mapPartitions, zero exchanges
+      time("m16 audioQualityReport") {
+        graft.pipeline.Multimodal.audioQualityReport(
+          graft.pipeline.Multimodal.textAsWav(
+            docs.where(octet_length(col("text")) > 0), "doc_id", "text"))
+          .count() }
+      time("m17 imagePatches 5x5") {
+        graft.pipeline.Multimodal.imagePatches(
+          graft.pipeline.Multimodal.textAsBmp(
+            docs.where(octet_length(col("text")) > 0), "doc_id", "text", 10))
+          .count() }
+      // d06 closure + cluster-count-sized rollup
+      time("d27 dedupImpactReport") {
+        graft.pipeline.Dedup.dedupImpactReport(docs, "text", "doc_id").count() }
+      // (doc,label,token) agg + |classes|-way scoring join
+      time("t50 nbLangConfusion") {
+        graft.pipeline.TextAnalysis.nbLangConfusion(docs, "text",
+          "doc_id", "lang").count() }
+      // two batch-scan legs + k-sized audit join
+      time("s29 retrievalNdcg 5q") {
+        graft.pipeline.Quantize.retrievalNdcg(emb, "embedding", "vec_id",
+          emb.filter(col("vec_id") < 5), "vec_id", k = 10,
+          lo = -2.0, hi = 2.0).count() }
+      // codec scan + one sample-keyed lag/cut/rollup exchange
+      time("m18 sceneSegments") {
+        graft.pipeline.Multimodal.sceneSegments(
+          graft.pipeline.Multimodal.framePerceptualHash(
+            graft.pipeline.Multimodal.textAsAvi(
+              docs.where(octet_length(col("text")) > 0), "doc_id", "text")).toDF(),
+          maxHamming = 3).count() }
+      // broadcast queries, one corpus scan, WindowGroupLimit cap
+      time("s28 mipsTopKBatch 3q") {
+        graft.pipeline.Similarity.mipsTopKBatch(emb,
+          emb.filter(col("vec_id") < 3), "embedding", "vec_id", "vec_id",
+          k = 5).count() }
       spark.catalog.clearCache()
     }
 

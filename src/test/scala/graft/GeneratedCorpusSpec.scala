@@ -85,7 +85,23 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     // d24 is digests + integer intersections + exact divisions (the
     // d02/d12 classes composed); m14's power is pure integer math and
     // its C/S sums are contract-rounded i-ascending folds
-    "d24_lsh_verified_pairs", "m14_wav_dft_energy")
+    "d24_lsh_verified_pairs", "m14_wav_dft_energy",
+    // round-12: d25 is the d24 banding + integer Levenshtein + exact
+    // divisions; t48's normal-equation sums are integers and the
+    // Cramer solve is a fixed expression tree (bit-identical IEEE on
+    // both engines, whatever the corpus); m15 is pure integer frame
+    // math + gaps-and-islands over ASCII bytes
+    "d25_lsh_edit_verified", "t48_ridge_quality", "m15_vad_segments",
+    // round-12 batch 2: d26 is exact integer window hashes + md5
+    // digests + one exact division; t49 is integers end to end;
+    // m16/m17 are integer byte sums + exact divisions (ASCII pin)
+    "d26_cdc_chunk_dedup", "t49_token_budget_select",
+    "m16_audio_quality", "m17_image_patches",
+    // round-12 batch 3: d27 is the d06 closure + integer rollups;
+    // t50's per-class ln-sums are contract-rounded BEFORE the argmax
+    // (deterministic tie-break); m18 is integer hash/bit math +
+    // islands over ASCII bytes
+    "d27_dedup_impact", "t50_langid_confusion", "m18_scene_segments")
 
   private def generate(seed: Int, nDocs: Int): Seq[(Long, String, String, String, Long)] = {
     val rnd = new scala.util.Random(seed)
@@ -130,7 +146,12 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     "s25_range_search", "s26_range_search_ivf",
     // round-11: both s27 stages replay — the SQ8 shortlist is the s09
     // quantization class, the exact re-rank the s01 cosine class
-    "s27_knn_sq8_rerank")
+    "s27_knn_sq8_rerank",
+    // round-12: s28 is the s04 fold class with raw dot scores — the
+    // UNNORMALIZED doubles must stay bit-identical on random vectors;
+    // s29 composes the s27 quantizer with two rank windows and a
+    // contract-rounded DCG — the audit must agree on arbitrary vectors
+    "s28_mips_topk", "s29_retrieval_ndcg")
 
   /** Canonical cell stringification: array columns print as
     * "[a, b, ...]" on BOTH sides (Spark rows yield Scala Seqs,

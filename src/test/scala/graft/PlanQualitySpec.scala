@@ -447,4 +447,136 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!exchanges.exists(_.contains("text#")),
       s"document text must never shuffle:\n${exchanges.mkString("\n")}")
   }
+
+  test("d25 edit-verified dedup: Levenshtein runs post-join on the candidate sliver, no cartesian") {
+    val df = graft.pipeline.Dedup.lshEditVerifiedPairs(
+      spark.read.parquet(s"$sf/documents.parquet"), "text", "doc_id",
+      threshold = 0.95)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation and verification must stay equi-joins:\n$plan")
+    assert(plan.contains("levenshtein"),
+      s"the verifier must be a plan expression, not a collect:\n$plan")
+    // raw doc text must never shuffle — only the trimmed norm strings
+    // of candidate docs move through the verify joins
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(!exchanges.exists(_.contains("text#")),
+      s"raw document text must never shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("t48 ridge training: one single-partition stats agg + broadcast scoring, no keyed shuffle") {
+    val df = graft.pipeline.TextAnalysis.ridgeQualityScore(
+      spark.read.parquet(s"$sf/documents.parquet"), "text", "doc_id",
+      org.apache.spark.sql.functions.col("lang") === "en")
+    val plan = planOf(df)
+    assert(plan.contains("Exchange SinglePartition"),
+      s"normal-equation sums must partial-aggregate into one row:\n$plan")
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row solve must broadcast back for scoring:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"no keyed shuffle anywhere in train+score:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"scoring must not sort-merge:\n$plan")
+  }
+
+  test("m15 vadSegments: threshold windows, island window and rollup share ONE keyed exchange") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .where(org.apache.spark.sql.functions.octet_length(
+        org.apache.spark.sql.functions.col("text")) > 0)
+    val df = graft.pipeline.Multimodal.vadSegments(
+      graft.pipeline.Multimodal.textAsWav(docs, "doc_id", "text"),
+      frameLen = 64, minFrames = 2)
+    val plan = planOf(df)
+    val keyed = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(keyed.size == 1,
+      s"expected exactly one sample_id exchange, got ${keyed.size}:\n$plan")
+    assert(!plan.contains("Join"),
+      s"totals come from windows over the same partitioning, not a join:\n$plan")
+  }
+
+  test("d26 CDC chunking: digests computed scan-side, text never shuffles") {
+    val df = graft.pipeline.Dedup.cdcChunkDedup(
+      spark.read.parquet(s"$sf/documents.parquet"), "text", "doc_id")
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"df join must stay keyed:\n$plan")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(!exchanges.exists(e => e.contains("text#") || e.contains(" t#")),
+      s"chunk text must never shuffle — digests only:\n${exchanges.mkString("\n")}")
+  }
+
+  test("t49 budget select: one global running-sum window, nothing else shuffles") {
+    val df = graft.pipeline.Sampling.tokenBudgetSelect(
+      spark.read.parquet(s"$sf/documents.parquet"), "text", "doc_id", 5000L)
+    val plan = planOf(df)
+    assert(plan.contains("Window"), s"running sum must be a window:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"no keyed shuffle — the global sort is the documented contract:\n$plan")
+    assert(!plan.contains("Join"), s"no join anywhere:\n$plan")
+  }
+
+  test("m16/m17 codec reports: mapPartitions only, zero exchanges") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .where(org.apache.spark.sql.functions.octet_length(
+        org.apache.spark.sql.functions.col("text")) > 0)
+    val m16 = planOf(graft.pipeline.Multimodal.audioQualityReport(
+      graft.pipeline.Multimodal.textAsWav(docs, "doc_id", "text")))
+    assert(!m16.contains("Exchange"), s"audio quality must not shuffle:\n$m16")
+    val m17 = planOf(graft.pipeline.Multimodal.imagePatches(
+      graft.pipeline.Multimodal.textAsBmp(docs, "doc_id", "text", width = 10)))
+    assert(!m17.contains("Exchange"), s"patch stats must not shuffle:\n$m17")
+  }
+
+  test("m18 sceneSegments: lag, running cut count and rollup share ONE keyed exchange") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = (0 until 3).flatMap(s => (0 until 10).map(f =>
+      (s.toLong, f.toLong, f.toLong * 7, f.toLong * 13)))
+      .toDF("sample_id", "frame_idx", "ahash_hi", "ahash_lo")
+    val plan = planOf(graft.pipeline.Multimodal.sceneSegments(rows.repartition(4)))
+    val keyed = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(keyed.size == 1,
+      s"expected exactly one sample_id exchange, got ${keyed.size}:\n$plan")
+  }
+
+  test("t50 NB confusion: class list/likelihood totals broadcast, no text in exchanges") {
+    val df = graft.pipeline.TextAnalysis.nbLangConfusion(
+      spark.read.parquet(s"$sf/documents.parquet"), "text", "doc_id", "lang")
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastExchange"),
+      s"langs/priors/vocab-size must broadcast:\n$plan")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(!exchanges.exists(_.contains("text#")),
+      s"document text must never shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("s29 retrieval nDCG: both legs broadcast queries + WindowGroupLimit, audit join is k-sized") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val df = graft.pipeline.Quantize.retrievalNdcg(emb, "embedding", "vec_id",
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5), "vec_id",
+      k = 10, lo = -2.0, hi = 2.0)
+    val plan = planOf(df)
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-query top-k must cap forwarding map-side:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"queries must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian anywhere:\n$plan")
+  }
+
+  test("s28 MIPS: Partial WindowGroupLimit before the rank exchange, queries broadcast") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val df = graft.pipeline.Similarity.mipsTopKBatch(emb,
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3),
+      "embedding", "vec_id", "vec_id", k = 5)
+    val plan = planOf(df)
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-query top-k must cap forwarding map-side:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"query side must broadcast:\n$plan")
+    assert(plan.contains("dotproduct") || plan.contains("DotProduct"),
+      s"the codegen dot kernel must be in the plan:\n$plan")
+  }
 }
