@@ -5265,6 +5265,124 @@ object SparkEntry {
         .orderBy(col("sample_id"), col("scene_idx"))
     })
 
+  // MinHash signature-accuracy audit: slot-match estimate vs exact
+  // Jaccard on every banded candidate (d19 audits the banding's
+  // recall; this audits the ESTIMATOR — the two halves of "can I
+  // trust k hashes"). Pure integers + exact divisions.
+  private val d28 = Q("d28_minhash_accuracy", Some("""
+    WITH toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    sig AS (SELECT doc_id,
+        MIN(md5('0:' || shingle)) AS m0, MIN(md5('1:' || shingle)) AS m1,
+        MIN(md5('2:' || shingle)) AS m2, MIN(md5('3:' || shingle)) AS m3,
+        MIN(md5('4:' || shingle)) AS m4, MIN(md5('5:' || shingle)) AS m5,
+        MIN(md5('6:' || shingle)) AS m6, MIN(md5('7:' || shingle)) AS m7
+      FROM sh GROUP BY doc_id),
+    bnd AS (
+      SELECT doc_id, 0 AS band, m0 || '|' || m1 AS key FROM sig
+      UNION ALL SELECT doc_id, 1, m2 || '|' || m3 FROM sig
+      UNION ALL SELECT doc_id, 2, m4 || '|' || m5 FROM sig
+      UNION ALL SELECT doc_id, 3, m6 || '|' || m7 FROM sig),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bnd a JOIN bnd b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    est AS (SELECT c.id_a, c.id_b,
+        CAST((CASE WHEN a.m0 = b.m0 THEN 1 ELSE 0 END) +
+             (CASE WHEN a.m1 = b.m1 THEN 1 ELSE 0 END) +
+             (CASE WHEN a.m2 = b.m2 THEN 1 ELSE 0 END) +
+             (CASE WHEN a.m3 = b.m3 THEN 1 ELSE 0 END) +
+             (CASE WHEN a.m4 = b.m4 THEN 1 ELSE 0 END) +
+             (CASE WHEN a.m5 = b.m5 THEN 1 ELSE 0 END) +
+             (CASE WHEN a.m6 = b.m6 THEN 1 ELSE 0 END) +
+             (CASE WHEN a.m7 = b.m7 THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+      FROM cand c JOIN sig a ON a.doc_id = c.id_a JOIN sig b ON b.doc_id = c.id_b),
+    inter AS (SELECT c.id_a AS ia, c.id_b AS ib, COUNT(*) AS n_inter
+      FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2)
+    SELECT e.id_a, e.id_b, e.n_match,
+      CAST(e.n_match AS DOUBLE) / 8.0 AS est_jaccard,
+      CAST(i.n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE) AS exact_jaccard,
+      ABS(CAST(e.n_match AS DOUBLE) / 8.0 -
+          CAST(i.n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE)) AS abs_err
+    FROM est e
+      JOIN inter i ON i.ia = e.id_a AND i.ib = e.id_b
+      JOIN sizes na ON na.doc_id = e.id_a
+      JOIN sizes nb ON nb.doc_id = e.id_b
+    ORDER BY e.id_a, e.id_b"""),
+    (s, dir) => Dedup.minHashAccuracyAudit(T(s, dir, "documents"), "text", "doc_id",
+        shingleN = 3, numHashes = 8, bands = 4)
+      .orderBy(col("id_a"), col("id_b")))
+
+  // Contamination sensitivity curve: flagged fraction across shingle
+  // sizes {2,4,8} — the calibration run before committing to a
+  // decontamination n (n=2 flags everything, n=8 only verbatim
+  // spans). One t09 leg per n; |ns| output rows.
+  private val t51 = Q("t51_contamination_curve", Some("""
+    WITH toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    ns AS (SELECT UNNEST([2, 4, 8]) AS n),
+    sh AS (SELECT ns.n, doc_id,
+        array_to_string(list_slice(ts, i, i + ns.n - 1), ' ') AS shingle
+      FROM toks, ns, UNNEST(generate_series(1, len(ts) - ns.n + 1)) AS u(i)
+      WHERE len(ts) >= ns.n),
+    dsh AS (SELECT DISTINCT n, doc_id, shingle FROM sh),
+    bench AS (SELECT DISTINCT n, shingle FROM dsh WHERE doc_id % 50 = 0),
+    flagged AS (SELECT d.n, d.doc_id
+      FROM dsh d JOIN bench b ON b.n = d.n AND b.shingle = d.shingle
+      WHERE d.doc_id % 50 <> 0
+      GROUP BY d.n, d.doc_id),
+    fcounts AS (SELECT n, COUNT(*) AS nf FROM flagged GROUP BY n),
+    train AS (SELECT COUNT(*) AS nt FROM documents WHERE doc_id % 50 <> 0)
+    -- drive from the ns list so a size that flags NOTHING still
+    -- reports its zero row (the curve's whole point)
+    SELECT CAST(ns.n AS BIGINT) AS shingle_n,
+      CAST(COALESCE(fcounts.nf, 0) AS BIGINT) AS n_flagged,
+      CAST(COALESCE(fcounts.nf, 0) AS DOUBLE) / train.nt AS frac_flagged
+    FROM ns LEFT JOIN fcounts ON fcounts.n = ns.n, train
+    ORDER BY shingle_n"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.pipeline.Decontaminate.contaminationCurve(
+          docs.where(col("doc_id") % 50 =!= 0),
+          docs.where(col("doc_id") % 50 === 0),
+          "text", "doc_id", ns = Seq(2, 4, 8))
+        .orderBy(col("shingle_n"))
+    })
+
+  // IVF cell-balance audit over the seeded cells: member histogram +
+  // imbalance factor — the index-health check behind every nprobe
+  // cost estimate. Integers + exact divisions.
+  private val s30 = Q("s30_ivf_cell_balance", Some("""
+    WITH cents AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+    sims AS (SELECT e.vec_id, c.cell,
+        list_sum(list_transform(generate_series(1, len(e.embedding)),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      FROM embeddings e, cents c),
+    assigned AS (SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        FROM sims) WHERE rn = 1),
+    hist AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members FROM assigned GROUP BY cell),
+    tot AS (SELECT CAST(SUM(n_members) AS BIGINT) AS nt,
+            CAST(MAX(n_members) AS BIGINT) AS mx FROM hist)
+    SELECT h.cell, h.n_members,
+      CAST(h.n_members AS DOUBLE) / tot.nt AS frac,
+      CAST(tot.mx AS DOUBLE) * 8.0 / tot.nt AS imbalance
+    FROM hist h, tot ORDER BY cell"""),
+    (s, dir) => graft.pipeline.Clustering.cellBalanceReport(
+        T(s, dir, "embeddings"), "embedding", "vec_id", k = 8)
+      .orderBy(col("cell")))
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -5276,13 +5394,13 @@ object SparkEntry {
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
-    d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27,
+    d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
-    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29,
+    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
     t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45,
-    t46, t47, t48, t49, t50,
+    t46, t47, t48, t49, t50, t51,
     m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14,
     m15, m16, m17, m18)
 

@@ -100,6 +100,31 @@ object Clustering {
       .select(col("cell"), col("n_members"), col("min_sim"),
         (-col("__m.nid")).as("top_id"), col("__m.s").as("top_sim"))
 
+  /** IVF cell-BALANCE audit — the index-health check run before
+    * trusting nprobe cost estimates: per-cell member counts, corpus
+    * fraction, and the imbalance factor max·k/N (1.0 = perfectly
+    * uniform; a monster cell means probes that hit it scan far more
+    * than N·nprobe/k — the assumption every IVF cost model makes).
+    * Assignment is the s07 map-only projection; the histogram is one
+    * cell-keyed partial agg and the totals broadcast back over k rows.
+    *
+    * @return (cell, n_members, frac, imbalance) ordered by cell
+    */
+  def cellBalanceReport(
+      emb: DataFrame, vecCol: String, idCol: String, k: Int): DataFrame = {
+    val hist = assignToSeeds(emb, vecCol, idCol, k)
+      .select(col("cell"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"))
+    val tot = hist.agg(sum(col("n_members")).as("nt"),
+      max(col("n_members")).as("mx"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_members"),
+        (col("n_members").cast("double") / col("nt").cast("double")).as("frac"),
+        (col("mx").cast("double") * lit(k.toDouble) /
+          col("nt").cast("double")).as("imbalance"))
+  }
+
   /** Semantic deduplication, the SemDeDup recipe (Abbas et al. 2023,
     * arXiv:2303.09540): embeddings are clustered, and near-duplicate
     * pairs are searched ONLY within a cluster — the clustering turns

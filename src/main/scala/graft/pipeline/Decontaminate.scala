@@ -40,6 +40,31 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Contamination SENSITIVITY curve — flagged-document counts across
+    * shingle sizes n: the calibration run before committing to a
+    * decontamination n (small n flags everything that shares common
+    * phrases, large n only verbatim spans — e.g. on the fixture
+    * corpus n=2 flags 100%, n=8 flags 0.2%). One t09-shaped leg per
+    * n (hash-only joins, benchmark side broadcast); the output is
+    * |ns| rows.
+    *
+    * @return (shingle_n, n_flagged, frac_flagged) ordered by n
+    */
+  def contaminationCurve(candidates: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, ns: Seq[Int]): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "ns must be positive")
+    val nt = candidates.agg(count(lit(1)).cast("double").as("nt"))
+    val legs = ns.map { n =>
+      contaminationCounts(candidates, benchmark, textCol, idCol, n)
+        .agg(count(lit(1)).as("n_flagged"))
+        .select(lit(n.toLong).as("shingle_n"), col("n_flagged"))
+    }
+    legs.reduce(_ unionAll _)
+      .crossJoin(broadcast(nt))
+      .select(col("shingle_n"), col("n_flagged"),
+        (col("n_flagged").cast("double") / col("nt")).as("frac_flagged"))
+  }
+
   /** The actionable form: the candidate corpus with every document
     * sharing >= `minHits` distinct shingles with the benchmark
     * REMOVED (left-anti join on the flagged id set — ids only, so

@@ -467,10 +467,11 @@ object Dedup {
     * full-oracle twin that upgrades the MinHash family from rows-only
     * trusted to oracle-proven, the [[Pq.searchTopKSeeded]] move.
     */
-  def minHashLshMd5(docs: DataFrame, textCol: String, idCol: String,
-      shingleN: Int = 3, numHashes: Int = 8, bands: Int = 4): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
+  /** The md5 slot-string MinHash signature frame (id, m0..m{k-1}) —
+    * shared by [[minHashLshMd5]] and the d28 accuracy audit.
+    */
+  def minHashSigMd5(docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int, numHashes: Int): DataFrame = {
     // one-pass kernel (distinct shingle STRINGS) — the composable
     // transform/slice/array_join chain allocates per-shingle slices
     // outside codegen and profiled as the operator's dominant cost
@@ -479,7 +480,14 @@ object Dedup {
         .as("shingle"))
     val aggs = (0 until numHashes).map(i =>
       min(md5(concat_ws(":", lit(i.toString), col("shingle")))).as(s"m$i"))
-    val sig = sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  def minHashLshMd5(docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = minHashSigMd5(docs, textCol, idCol, shingleN, numHashes)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws("|", (0 until r).map(j => col(s"m${b * r + j}")): _*).as("key"))
@@ -720,6 +728,56 @@ object Dedup {
           sum(col("clen")).cast("double")).as("dup_char_ratio"))
       .select(col("id").as("doc_id"), col("n_chunks"), col("n_dup_chunks"),
         col("dup_char_ratio"))
+  }
+
+  /** MinHash ACCURACY audit — slot-match estimate vs exact Jaccard on
+    * every banded candidate pair: est = matching-signature-slots / k
+    * is the unbiased Jaccard estimator MinHash is built on (Broder
+    * 1997), and this reports its realized per-pair error, the number
+    * that justifies a signature size before scaling it 1000×
+    * (d19 audits the BANDING's recall; this audits the SIGNATURE's
+    * estimate — together they are the two halves of "can I trust
+    * k hashes"). Unfiltered: sub-threshold candidates stay, because
+    * estimator error on borderline pairs is exactly what matters.
+    *
+    * Scale shape: d24's — signatures/shingle sets are scan kernels,
+    * the slot comparison joins the k-string signature per CANDIDATE
+    * doc, the exact leg the shingle-hash array per candidate doc.
+    *
+    * @return (id_a, id_b, n_match, est_jaccard, exact_jaccard,
+    *         abs_err), id_a < id_b
+    */
+  def minHashAccuracyAudit(docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    val cand = minHashLshMd5(docs, textCol, idCol, shingleN, numHashes, bands)
+    val sig = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
+      minHashSigMd5(docs, textCol, idCol, shingleN, numHashes))
+    val docSets = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
+      graft.ops.ScaleOps.fanOut(docs)
+        .select(col(idCol).as("id"),
+          graft.functions.ShingleHashes(col(textCol), shingleN).as("sh_arr"))
+        .where(size(col("sh_arr")) > 0))
+    val slotCols = (0 until numHashes)
+    def pref(p: String) = sig.select(col("id").as(s"${p}id") +:
+      slotCols.map(i => col(s"m$i").as(s"$p$i")): _*)
+    val nMatch = slotCols.map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
+    cand
+      .join(pref("a"), col("id_a") === col("aid"))
+      .join(pref("b"), col("id_b") === col("bid"))
+      .withColumn("n_match", nMatch)
+      .select(col("id_a"), col("id_b"), col("n_match"))
+      .join(docSets.select(col("id").as("id_a"), col("sh_arr").as("sa")), Seq("id_a"))
+      .join(docSets.select(col("id").as("id_b"), col("sh_arr").as("sb")), Seq("id_b"))
+      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("est_jaccard",
+        col("n_match").cast("double") / lit(numHashes.toDouble))
+      .withColumn("exact_jaccard",
+        col("n_inter").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("n_inter")).cast("double"))
+      .select(col("id_a"), col("id_b"), col("n_match"), col("est_jaccard"),
+        col("exact_jaccard"),
+        abs(col("est_jaccard") - col("exact_jaccard")).as("abs_err"))
   }
 
   /** 32-bit SimHash over md5-derived bits — the oracle twin of

@@ -1361,6 +1361,35 @@ object TextAnalysis {
     require(maskHex.nonEmpty && maskHex.forall(h =>
       h.length == 1 && "0123456789abcdef".contains(h)),
       "maskHex must be single lowercase hex digits")
+    // one-pass kernel over the normalized stream: the composable
+    // HOF chain below ([[mlmMaskComposable]]) evaluated the per-token
+    // md5 decision and both fingerprint rebuilds INTERPRETED per
+    // element and profiled ~2.3 s at sf0.1; the kernel streams all
+    // three digests in one token scan (DriftProfile A/B in PLANS.md).
+    // Round12Spec pins the two spellings bit-identical.
+    val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    val s = graft.functions.MlmExpressions.mlmMaskSummary(
+      col(idCol).cast("long"), norm, maskHex)
+    docs.select(col(idCol), s.as("s"))
+      .select(col(idCol),
+        col("s.n_tokens").as("n_tokens"),
+        col("s.n_masked").as("n_masked"),
+        round(col("s.n_masked").cast("double") /
+          col("s.n_tokens").cast("double"), 6).as("mask_rate"),
+        col("s.masked_md5").as("masked_md5"),
+        col("s.targets_md5").as("targets_md5"))
+  }
+
+  /** The composable HOF spelling of [[mlmMask]] — kept as the
+    * reference semantics the kernel is differentially pinned against
+    * (the bpeEncodeComposable pattern): per-element md5 decisions via
+    * zip_with + two array_join/md5 rebuilds.
+    */
+  def mlmMaskComposable(docs: DataFrame, textCol: String, idCol: String,
+      maskHex: Seq[String] = Seq("0", "1", "2")): DataFrame = {
+    require(maskHex.nonEmpty && maskHex.forall(h =>
+      h.length == 1 && "0123456789abcdef".contains(h)),
+      "maskHex must be single lowercase hex digits")
     val ts = split(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")), " ")
     def cond(i: Column): Column =
       substring(md5(concat(col(idCol).cast("string"), lit(":"),

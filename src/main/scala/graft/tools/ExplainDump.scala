@@ -102,7 +102,6 @@ object ExplainDump {
       "t44_bpe_merges" -> "BPE merges: an EAGER driver-loop operator (the MMR/RecursiveCte class) — the result frame below is the assembled merge table; the corpus-scale work already ran as one word-frequency partial-agg exchange, and the k rounds iterated on the vocab (driver-local under the size threshold, cache-swapped vocab-frame passes above it)",
       "q71_qualify" -> "QUALIFY via the SQL-door rewrite: the predicate rides the SAME Window operator as the projected rank (Spark dedups the identical window expression) — one keyed exchange for the window partition, then a plain Filter; no second window, no extra shuffle",
       "t45_bpe_encode" -> "BPE encode: an EAGER induce-then-apply operator (t44's driver loop runs first); the plan below is the APPLY pass — the BpeEncode kernel applies all 8 rules in ONE map-only scan projection (one char scan + k array passes; the regex-chain spelling measured ~4x slower and survives spec-pinned as the reference semantics), no join, no shuffle below the presentation sort",
-      "t46_mlm_mask" -> "MLM masking: every mask decision, the corrupted-sequence md5 and the target-stream md5 are ONE scan-stage projection (md5 hash math per position inside array HOFs) — zero exchanges below the presentation sort, no RNG state anywhere",
       "t47_source_kl" -> "source KL: ONE corpus-scale (source, token) partial-agg exchange; the global token distribution re-aggregates that frame and the totals broadcast — every join after the first exchange is vocabulary-sized",
       "d23_cross_source_dups" -> "cross-source dup matrix: chunk hashes in the scan stage, ONE (chunk-hash, source) partial-agg exchange is the only corpus-sized step; the pair matrix self-joins the duplicated-keys count frame (bucket-local, vanishing fraction) with pure count arithmetic — no occurrence pair, no text, ever shuffles",
       "s27_knn_sq8_rerank" -> "two-stage retrieval: stage 1 is the quantized map-only scan + TopK (the only corpus-sized read); stage 2's 50-id shortlist broadcasts back as a left-semi build side so the full-precision cosine touches 50 rows — no corpus re-scan, no keyed exchange",
@@ -119,6 +118,10 @@ object ExplainDump {
       "t50_langid_confusion" -> "NB language-ID confusion: corpus work is the (doc, label, token) count agg and the |classes|-way scoring join (class list, priors, vocab size all broadcast); the argmax window is doc-keyed and the confusion rollup is |classes|² rows",
       "s29_retrieval_ndcg" -> "retrieval nDCG audit: two batch-scan legs (quantized + exact), each queries-broadcast with Partial WindowGroupLimit; the audit join and the per-query rollup are (k x queries)-sized",
       "m18_scene_segments" -> "scene segmentation: frame hashes from the codec scan; the lag window, the running cut count and the scene rollup all share ONE sample_id exchange (plan-pinned) — video bytes never cross the wire",
+      "d28_minhash_accuracy" -> "MinHash estimator audit: the d24 candidate shape with a k-string signature join per CANDIDATE doc (slot equality is k CASE comparisons in the join projection) beside the exact shingle-intersection leg — the audit's cost is confined to the banded sliver like every verify stage",
+      "t51_contamination_curve" -> "contamination sensitivity curve: one t09-shaped hash-join leg per shingle size, each aggregating to ONE row before the union — the curve costs |ns| corpus scans and exchanges hashes only",
+      "s30_ivf_cell_balance" -> "IVF cell balance: the s07 map-only inlined-centroid assignment + one cell-keyed partial agg; totals broadcast back over k rows — no join, no corpus-keyed shuffle",
+      "t46_mlm_mask" -> "MLM masking (round-12 kernel): the per-token md5 decisions and BOTH fingerprint digests stream through ONE MlmMaskSummary pass per row (the HOF chain evaluated interpreted per element and profiled 5x slower — A/B in the triage above); still zero exchanges below the presentation sort",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")
@@ -168,6 +171,28 @@ the Round12Spec in-memory differential pins it. The residual per-pair
 DP is the verifier's inherent cost — why Jaccard verification stays
 the default when order-insensitivity is acceptable, and why d25's
 growth row tracks EMITTED CANDIDATE PAIRS × len, not corpus size.
+
+## Round-12 t46 kernel A/B (MlmMaskSummary vs the HOF chain)
+
+t46 sat near the top of the r10 driver bench (2.29 s) despite being a
+pure scan projection: the zip_with/md5-per-element/two-array_join
+chain evaluates INTERPRETED per token. The one-pass kernel
+(`functions/MlmExpressions.MlmMaskSummary`) reuses one MessageDigest
+for the per-position decisions and streams the masked sequence and
+target stream through two more digests — no per-token expression
+dispatch, no joined-string materialization. A/B (`DriftProfile
+__mlm_ab`, sf0.1, interleaved, 5 reps):
+
+| spelling | min | median |
+|---|---|---|
+| MlmMaskSummary kernel | 0.182 | 0.188 |
+| composable HOF chain | 0.840 | 0.965 |
+
+5.1× isolated; t46 still hash-matches (the oracle replays every
+decision in SQL) and Round12Spec pins the two spellings bit-identical
+on fixture + adversarial corpora through a repartition. The HOF chain
+survives as `mlmMaskComposable` — the reference semantics, the
+bpeEncodeComposable pattern.
 
 ## Round-10 LM-family profile (t19 / t22 / t27 / t29 / t30 / t31)
 

@@ -403,6 +403,19 @@ object ScaleSmoke {
             graft.pipeline.Multimodal.textAsAvi(
               docs.where(octet_length(col("text")) > 0), "doc_id", "text")).toDF(),
           maxHamming = 3).count() }
+      // slot-equality + exact legs both confined to the banded sliver
+      time("d28 minHashAccuracyAudit") {
+        graft.pipeline.Dedup.minHashAccuracyAudit(docs, "text", "doc_id").count() }
+      // |ns| hash-join legs, each one output row
+      time("t51 contaminationCurve") {
+        graft.pipeline.Decontaminate.contaminationCurve(
+          docs.where(col("doc_id") % 50 =!= 0),
+          docs.where(col("doc_id") % 50 === 0),
+          "text", "doc_id", ns = Seq(2, 4, 8)).count() }
+      // map-only assignment + one cell-keyed partial agg
+      time("s30 cellBalanceReport k=8") {
+        graft.pipeline.Clustering.cellBalanceReport(emb, "embedding",
+          "vec_id", k = 8).count() }
       // broadcast queries, one corpus scan, WindowGroupLimit cap
       time("s28 mipsTopKBatch 3q") {
         graft.pipeline.Similarity.mipsTopKBatch(emb,

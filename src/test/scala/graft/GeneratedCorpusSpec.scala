@@ -101,7 +101,12 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     // t50's per-class ln-sums are contract-rounded BEFORE the argmax
     // (deterministic tie-break); m18 is integer hash/bit math +
     // islands over ASCII bytes
-    "d27_dedup_impact", "t50_langid_confusion", "m18_scene_segments")
+    "d27_dedup_impact", "t50_langid_confusion", "m18_scene_segments",
+    // round-12 batch 4: d28 is digests + slot-equality integers +
+    // exact divisions; t51 is integer flag counts + one division —
+    // both replay on arbitrary corpora (t46 now runs the MlmMask
+    // kernel, so its replay also re-proves the kernel per corpus)
+    "d28_minhash_accuracy", "t51_contamination_curve")
 
   private def generate(seed: Int, nDocs: Int): Seq[(Long, String, String, String, Long)] = {
     val rnd = new scala.util.Random(seed)
@@ -151,7 +156,9 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     // UNNORMALIZED doubles must stay bit-identical on random vectors;
     // s29 composes the s27 quantizer with two rank windows and a
     // contract-rounded DCG — the audit must agree on arbitrary vectors
-    "s28_mips_topk", "s29_retrieval_ndcg")
+    "s28_mips_topk", "s29_retrieval_ndcg",
+    // s30 is the s07 assignment + integer histogram + exact divisions
+    "s30_ivf_cell_balance")
 
   /** Canonical cell stringification: array columns print as
     * "[a, b, ...]" on BOTH sides (Spark rows yield Scala Seqs,

@@ -566,6 +566,33 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"no cartesian anywhere:\n$plan")
   }
 
+  test("t46 mlmMask runs the one-pass kernel, still zero exchanges") {
+    val df = graft.pipeline.TextAnalysis.mlmMask(
+      spark.read.parquet(s"$sf/documents.parquet"), "text", "doc_id")
+    val plan = planOf(df)
+    assert(plan.toLowerCase.contains("mlmmasksummary"),
+      s"the kernel must be in the plan, not the HOF chain:\n$plan")
+    assert(!plan.contains("Exchange"), s"masking must not shuffle:\n$plan")
+  }
+
+  test("d28 accuracy audit: both verify legs equi-join, no text shuffles") {
+    val plan = planOf(graft.pipeline.Dedup.minHashAccuracyAudit(
+      spark.read.parquet(s"$sf/documents.parquet"), "text", "doc_id"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"keyed joins only:\n$plan")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(!exchanges.exists(_.contains("text#")),
+      s"document text must never shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("s30 cell balance: map-only assignment (no join), one cell-keyed agg + broadcast totals") {
+    val plan = planOf(graft.pipeline.Clustering.cellBalanceReport(
+      Tables.load(spark, sf, "embeddings"), "embedding", "vec_id", k = 8))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"assignment must be inlined, totals broadcast:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"totals must broadcast:\n$plan")
+  }
+
   test("s28 MIPS: Partial WindowGroupLimit before the rank exchange, queries broadcast") {
     val emb = Tables.load(spark, sf, "embeddings")
     val df = graft.pipeline.Similarity.mipsTopKBatch(emb,

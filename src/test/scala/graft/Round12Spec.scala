@@ -363,6 +363,35 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  // ---------------- t46 kernel: MLM mask ----------------
+
+  test("MlmMaskSummary kernel == composable HOF chain (fixture + adversarial, off-driver)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val adversarial = Seq(
+      (1L, ""), (2L, "   "), (3L, "one"), (4L, "a b c d e f g h i j"),
+      (5L, "  leading and   trailing  "), (6L, "UPPER Case MiXeD"),
+      (7L, "tab\tand\nnewlineseparators"),
+      (8L, ("x " * 300).trim)) ++
+      (9 to 40).map(i => (i.toLong,
+        (0 until rnd.nextInt(60)).map(_ => s"w${rnd.nextInt(20)}").mkString(" ")))
+    val docs = adversarial.toDF("doc_id", "text").repartition(5)
+    val kernel = TextAnalysis.mlmMask(docs, "text", "doc_id")
+      .orderBy(col("doc_id")).collect()
+    val chain = TextAnalysis.mlmMaskComposable(docs, "text", "doc_id")
+      .orderBy(col("doc_id")).collect()
+    assert(kernel.length == chain.length)
+    kernel.zip(chain).foreach { case (k, c) =>
+      assert(k.toSeq == c.toSeq, s"kernel/chain diverged:\n$k\n$c")
+    }
+    // and with a different nibble set
+    val k2 = TextAnalysis.mlmMask(docs, "text", "doc_id", Seq("a", "f"))
+      .orderBy(col("doc_id")).collect()
+    val c2 = TextAnalysis.mlmMaskComposable(docs, "text", "doc_id", Seq("a", "f"))
+      .orderBy(col("doc_id")).collect()
+    k2.zip(c2).foreach { case (k, c) => assert(k.toSeq == c.toSeq) }
+  }
+
   // ---------------- m18: scene segmentation ----------------
 
   test("sceneSegments cuts exactly where the hash jumps > maxHamming") {
@@ -476,6 +505,77 @@ class Round12Spec extends AnyFunSuite {
     assert(rep.toSeq == Seq((1L, 7L, 7L, 0L), (2L, 1L, 2L, 1L), (3L, 1L, 3L, 2L)),
       rep.toSeq.toString)
     assert(rep.map(_._3).sum == 12L, "n_docs must sum to the corpus")
+  }
+
+  // ---------------- d28: MinHash accuracy audit ----------------
+
+  test("minHashAccuracyAudit: exact dups estimate 1.0 with zero error; est bounds hold") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base), // exact dup: all 8 slots match
+      (3L, base.replace("tok5", "zzz").replace("tok30", "qqq")),
+      (4L, (1 to 40).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text").repartition(3)
+    val out = Dedup.minHashAccuracyAudit(docs, "text", "doc_id")
+      .orderBy(col("id_a"), col("id_b")).collect()
+    val dup = out.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(dup.isDefined, "exact duplicate must be a candidate")
+    assert(dup.get.getLong(2) == 8L && dup.get.getDouble(3) == 1.0 &&
+      dup.get.getDouble(4) == 1.0 && dup.get.getDouble(5) == 0.0)
+    out.foreach { r =>
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= 8L,
+        "a candidate shares at least one full band => >= 1 matching slot")
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
+
+  // ---------------- t51: contamination sensitivity curve ----------------
+
+  test("contaminationCurve: flagged counts are non-increasing in n; planted span") {
+    import spark.implicits._
+    val benchDoc = "copy this exact four token span plus more filler words here"
+    // train doc 1 copies a 4-token window; doc 2 shares only single
+    // tokens (every 2-gram broken); doc 3 disjoint
+    val train = Seq(
+      (1L, "unrelated prefix this exact four token ending differently now"),
+      (2L, "copy words exact filler this span more token plus here four"),
+      (3L, "totally disjoint content nothing shared at all right here")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, benchDoc)).toDF("doc_id", "text")
+    val out = graft.pipeline.Decontaminate.contaminationCurve(
+        train, bench, "text", "doc_id", ns = Seq(2, 4, 8))
+      .orderBy(col("shingle_n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.map(_._1).toSeq == Seq(2L, 4L, 8L))
+    val counts = out.map(_._2)
+    assert(counts.sliding(2).forall { case Array(a, b) => a >= b; case _ => true },
+      s"flagged counts must be non-increasing in n: ${counts.toSeq}")
+    assert(counts(1) >= 1L, "the planted 4-token span must flag at n=4")
+    assert(counts(2) == 0L, "no 8-token span is shared")
+  }
+
+  // ---------------- s30: IVF cell balance ----------------
+
+  test("cellBalanceReport: fractions sum to 1, counts match clusterReport, imbalance exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val emb = (0 until 80).map(i =>
+      (i.toLong, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)))
+      .toDF("vec_id", "embedding").repartition(4)
+    val rep = graft.pipeline.Clustering.cellBalanceReport(
+        emb, "embedding", "vec_id", k = 4)
+      .orderBy(col("cell")).collect()
+    val total = rep.map(_.getLong(1)).sum
+    assert(total == 80L)
+    assert(math.abs(rep.map(_.getDouble(2)).sum - 1.0) < 1e-12)
+    val mx = rep.map(_.getLong(1)).max
+    rep.foreach(r =>
+      assert(r.getDouble(3) == mx.toDouble * 4.0 / 80.0, "imbalance factor"))
+    val cr = graft.pipeline.Clustering.clusterReport(emb, "embedding", "vec_id", 4)
+      .orderBy(col("cell")).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    rep.foreach(r => assert(cr(r.getLong(0)) == r.getLong(1),
+      "histogram must agree with clusterReport"))
   }
 
   // ---------------- s28: batch MIPS ----------------
