@@ -5383,6 +5383,68 @@ object SparkEntry {
         T(s, dir, "embeddings"), "embedding", "vec_id", k = 8)
       .orderBy(col("cell")))
 
+  // IVF recall-vs-nprobe tuning curve: recall@10 at nprobe {1,2,4,8}
+  // from ONE corpus scan (every vector carries its cell's probe rank;
+  // "visible at n" = rank <= n). The tuning run before fixing the
+  // probe budget — pairs with s30's balance audit.
+  private val s31 = Q("s31_recall_vs_nprobe", Some("""
+    WITH cents AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+    q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0),
+    sims AS (
+      SELECT e.vec_id, c.cell,
+        list_sum(list_transform(generate_series(1, len(e.embedding)),
+          j -> CAST(e.embedding[j] AS DOUBLE) * c.cv[j]))
+        / (sqrt(list_sum(list_transform(e.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS sim
+      FROM embeddings e CROSS JOIN cents c),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        FROM sims) WHERE rn = 1),
+    cellrank AS (
+      SELECT c.cell,
+        ROW_NUMBER() OVER (ORDER BY
+          list_sum(list_transform(generate_series(1, len(q.qv)),
+            j -> q.qv[j] * c.cv[j]))
+          / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+             * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) DESC, c.cell) AS cr
+      FROM cents c, q),
+    scored AS (
+      SELECT e.vec_id, cr.cr AS cell_rank,
+        list_sum(list_transform(generate_series(1, len(e.embedding)),
+          j -> CAST(e.embedding[j] AS DOUBLE) * q.qv[j]))
+        / (sqrt(list_sum(list_transform(e.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos_sim
+      FROM embeddings e
+        JOIN assigned a USING (vec_id)
+        JOIN cellrank cr ON cr.cell = a.cell, q
+      WHERE e.vec_id <> 0),
+    ns AS (SELECT CAST(UNNEST([1, 2, 4, 8]) AS BIGINT) AS nprobe),
+    approx AS (SELECT nprobe, vec_id FROM (
+        SELECT ns.nprobe, s.vec_id,
+          ROW_NUMBER() OVER (PARTITION BY ns.nprobe
+            ORDER BY s.cos_sim DESC, s.vec_id) AS rank
+        FROM scored s JOIN ns ON s.cell_rank <= ns.nprobe) WHERE rank <= 10),
+    exact AS (SELECT vec_id, 1 AS hit FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+        FROM scored) WHERE rank <= 10),
+    counts AS (SELECT a.nprobe, SUM(COALESCE(e.hit, 0)) AS nh
+      FROM approx a LEFT JOIN exact e USING (vec_id) GROUP BY a.nprobe)
+    SELECT ns.nprobe, CAST(COALESCE(counts.nh, 0) AS BIGINT) AS n_hits,
+      CAST(COALESCE(counts.nh, 0) AS DOUBLE) / 10.0 AS recall
+    FROM ns LEFT JOIN counts USING (nprobe) ORDER BY nprobe"""),
+    (s, dir) => graft.pipeline.Ivf.recallVsNprobe(T(s, dir, "embeddings"),
+        "embedding", "vec_id", queryId = 0L, k = 10, numCells = 8,
+        nprobes = Seq(1, 2, 4, 8))
+      .orderBy(col("nprobe")))
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -5396,7 +5458,7 @@ object SparkEntry {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
     d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
-    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30,
+    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
     t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45,

@@ -230,6 +230,72 @@ object Ivf {
       .limit(k)
   }
 
+  /** Recall@k vs nprobe — the IVF TUNING curve run before fixing the
+    * probe budget: for each candidate nprobe, the fraction of the
+    * exact top-k the pruned search recovers. The whole curve costs
+    * ONE corpus scan: every vector carries its cell's PROBE RANK
+    * (cells ordered by query similarity — "visible at nprobe n" ⟺
+    * rank ≤ n), the per-nprobe top-k is a rank window over the
+    * 4×-exploded (nprobe, candidate) frame, and the exact leg is the
+    * same scan's unpruned window. Zero-recall rows still report
+    * (driven from the nprobe list).
+    *
+    * @return (nprobe, n_hits, recall) ordered by nprobe
+    */
+  def recallVsNprobe(
+      emb: DataFrame, vecCol: String, idCol: String,
+      queryId: Long, k: Int, numCells: Int, nprobes: Seq[Int]): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(n => n >= 1 && n <= numCells),
+      "nprobes must be in [1, numCells]")
+    val cents: Seq[Array[Double]] = emb.orderBy(col(idCol)).limit(numCells)
+      .select(transform(col(vecCol), _.cast("double")).as("v"))
+      .collect().toSeq.map(_.getSeq[Double](0).toArray)
+    require(cents.size == numCells, s"corpus has fewer than $numCells rows")
+    val centPairs = cents.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val q: Array[Double] = emb.where(col(idCol) === lit(queryId))
+      .select(transform(col(vecCol), _.cast("double")).as("v"))
+      .collect() match {
+        case Array(row) => row.getSeq[Double](0).toArray
+        case other => throw new IllegalArgumentException(
+          s"queryId $queryId matched ${other.length} rows")
+      }
+    // all cells in probe order: rank r (1-based) = r-th nearest cell
+    val probeOrder: Seq[Long] = probeCells(q, centPairs, numCells)
+    val rankExpr = probeOrder.zipWithIndex
+      .map { case (cell, r) => when(col("cell") === lit(cell), lit(r + 1L)) }
+      .reduceRight((w, acc) => w.otherwise(acc))
+    val qlit = array(q.toSeq.map(lit): _*)
+    val scored = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
+      Clustering.assignToCentroidArrays(
+          emb.select(col(idCol), col(vecCol)), vecCol, idCol, centPairs)
+        .where(col(idCol) =!= lit(queryId))
+        .select(col(idCol), rankExpr.as("cell_rank"),
+          Similarity.cosine(col(vecCol), qlit).as("cos_sim")))
+    val nsDf = broadcast(
+      emb.sparkSession.createDataFrame(
+        nprobes.map(n => Tuple1(n.toLong))).toDF("nprobe"))
+    val wN = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("nprobe")).orderBy(col("cos_sim").desc, col(idCol))
+    val approx = scored.crossJoin(nsDf)
+      .where(col("cell_rank") <= col("nprobe"))
+      .withColumn("rank", row_number().over(wN))
+      .where(col("rank") <= k)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cos_sim").desc, col(idCol))
+    val exact = scored
+      .withColumn("rank", row_number().over(wAll))
+      .where(col("rank") <= k)
+      .select(col(idCol), lit(1L).as("hit"))
+    val counts = approx.join(exact, Seq(idCol), "left")
+      .groupBy(col("nprobe"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("nh"))
+    nsDf.join(counts, Seq("nprobe"), "left")
+      .select(col("nprobe"),
+        coalesce(col("nh"), lit(0L)).as("n_hits"),
+        (coalesce(col("nh"), lit(0L)).cast("double") / lit(k.toDouble))
+          .as("recall"))
+  }
+
   /** Cell-pruned threshold (radius) search — the scale path for
     * [[Similarity.rangeSearch]]: only the `nprobe` cells nearest the
     * query are scanned, then the exact cosine threshold filters

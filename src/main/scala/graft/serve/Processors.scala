@@ -183,4 +183,35 @@ object Processors {
     df.withColumn(textCol,
       graft.functions.TextNormalizeExpressions.nfc(col(textCol)))
   })
+
+  /** `budget-select`: token-budget greedy selection
+    * ([[graft.pipeline.Sampling.tokenBudgetSelect]]) on the REST
+    * chain — "give me the best rows of this result until B tokens
+    * are spent" without shipping code. Options: `textColumn`/
+    * `idColumn`/`budget` (required); priority defaults to
+    * distinct-token count. Returns the selected
+    * (doc_id, priority, n_tokens, cum_before) rows.
+    */
+  register("budget-select", (df, opts) => {
+    val textCol = strOpt(opts, "textColumn").getOrElse(
+      throw new IllegalArgumentException("budget-select: pluginOptions.textColumn required"))
+    val idCol = strOpt(opts, "idColumn").getOrElse(
+      throw new IllegalArgumentException("budget-select: pluginOptions.idColumn required"))
+    val budget = intOpt(opts, "budget").getOrElse(
+      throw new IllegalArgumentException("budget-select: pluginOptions.budget required"))
+    graft.pipeline.Sampling.tokenBudgetSelect(df, textCol, idCol, budget.toLong)
+  })
+
+  /** `mlm-mask`: deterministic MLM corruption fingerprints
+    * ([[graft.pipeline.TextAnalysis.mlmMask]], the one-pass kernel)
+    * on the REST chain — masked-LM sample prep as a post-processor.
+    * Options: `textColumn`/`idColumn` (required).
+    */
+  register("mlm-mask", (df, opts) => {
+    val textCol = strOpt(opts, "textColumn").getOrElse(
+      throw new IllegalArgumentException("mlm-mask: pluginOptions.textColumn required"))
+    val idCol = strOpt(opts, "idColumn").getOrElse(
+      throw new IllegalArgumentException("mlm-mask: pluginOptions.idColumn required"))
+    graft.pipeline.TextAnalysis.mlmMask(df, textCol, idCol)
+  })
 }

@@ -122,6 +122,7 @@ object ExplainDump {
       "t51_contamination_curve" -> "contamination sensitivity curve: one t09-shaped hash-join leg per shingle size, each aggregating to ONE row before the union — the curve costs |ns| corpus scans and exchanges hashes only",
       "s30_ivf_cell_balance" -> "IVF cell balance: the s07 map-only inlined-centroid assignment + one cell-keyed partial agg; totals broadcast back over k rows — no join, no corpus-keyed shuffle",
       "t46_mlm_mask" -> "MLM masking (round-12 kernel): the per-token md5 decisions and BOTH fingerprint digests stream through ONE MlmMaskSummary pass per row (the HOF chain evaluated interpreted per element and profiled 5x slower — A/B in the triage above); still zero exchanges below the presentation sort",
+      "s31_recall_vs_nprobe" -> "IVF tuning curve: the whole recall@k-vs-nprobe sweep costs ONE corpus scan — every vector carries its cell's probe rank (inlined when-chain, no join), the per-nprobe top-k windows ride the 4x-exploded broadcast, and the exact leg reuses the same cached scored frame",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")
@@ -171,6 +172,18 @@ the Round12Spec in-memory differential pins it. The residual per-pair
 DP is the verifier's inherent cost — why Jaccard verification stays
 the default when order-insensitivity is acceptable, and why d25's
 growth row tracks EMITTED CANDIDATE PAIRS × len, not corpus size.
+
+## Round-12 drift triage (the r10 bench movers)
+
+The fresh r10 local bench (vs the committed r10 numbers) moved three
+queries ≥1.25×: m03 0.47→0.66, q26 0.27→0.35, s01 0.16→0.21.
+DriftProfile (fresh JVM, t05 leading as the throwaway, 5 reps each):
+
+| query | r10 bench | isolated min/median | adjudication |
+|---|---|---|---|
+| q26_pivot | 0.354 | 0.252 / 0.269 | recovered to its steady state — suite billing noise |
+| s01_knn_bruteforce | 0.209 | 0.201 / 0.216 | a 50 ms move on a 0.2 s query — sub-noise |
+| m03_frame_sample | 0.658 | 0.716 / 0.728 | isolated REPRODUCES the bench number: the ~0.7 s cost is real plan cost, not billing. Code and plan byte-unchanged since r9 (the session touched codecs m03 does not use), so the r9 0.47 was either the favorable end of the machine band or this window runs hot (t05 control also reads high). WATCH: if m03 drifts again next round it gets the full profile-vs-r9-plan treatment |
 
 ## Round-12 t46 kernel A/B (MlmMaskSummary vs the HOF chain)
 

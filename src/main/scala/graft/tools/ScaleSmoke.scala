@@ -412,6 +412,11 @@ object ScaleSmoke {
           docs.where(col("doc_id") % 50 =!= 0),
           docs.where(col("doc_id") % 50 === 0),
           "text", "doc_id", ns = Seq(2, 4, 8)).count() }
+      // the whole tuning sweep in one corpus scan (cell-rank trick)
+      time("s31 recallVsNprobe") {
+        graft.pipeline.Ivf.recallVsNprobe(emb, "embedding", "vec_id",
+          queryId = 0L, k = 10, numCells = 8, nprobes = Seq(1, 2, 4, 8))
+          .count() }
       // map-only assignment + one cell-keyed partial agg
       time("s30 cellBalanceReport k=8") {
         graft.pipeline.Clustering.cellBalanceReport(emb, "embedding",

@@ -157,8 +157,11 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     // s29 composes the s27 quantizer with two rank windows and a
     // contract-rounded DCG — the audit must agree on arbitrary vectors
     "s28_mips_topk", "s29_retrieval_ndcg",
-    // s30 is the s07 assignment + integer histogram + exact divisions
-    "s30_ivf_cell_balance")
+    // s30 is the s07 assignment + integer histogram + exact divisions;
+    // s31 composes the s18 seeded probe with rank windows — the
+    // tuning curve must agree on arbitrary vectors (incl. zero-recall
+    // rows, which both sides drive from the nprobe list)
+    "s30_ivf_cell_balance", "s31_recall_vs_nprobe")
 
   /** Canonical cell stringification: array columns print as
     * "[a, b, ...]" on BOTH sides (Spark rows yield Scala Seqs,

@@ -312,6 +312,56 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("postProcessors: budget-select fills the token budget through the REST chain") {
+    val body =
+      s"""{"dataSources":[{"format":"parquet","name":"documents",
+          "location":"${SparkFixture.sfDir}/documents.parquet"}],
+          "query":{"sql":"SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 40",
+            "postProcessors":[{"module":"budget-select",
+              "pluginOptions":{"textColumn":"text","idColumn":"doc_id",
+                "budget":500}}]}}"""
+    val r = post("/dataframe/query", body)
+    assert(r.statusCode() == 200, r.body())
+    val rows = new com.fasterxml.jackson.databind.ObjectMapper().readTree(r.body())
+    val expected = graft.pipeline.Sampling.tokenBudgetSelect(
+        Tables.load(SparkFixture.spark, SparkFixture.sfDir, "documents")
+          .orderBy(org.apache.spark.sql.functions.col("doc_id")).limit(40),
+        "text", "doc_id", budget = 500L)
+      .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(rows.size() == expected.size, r.body())
+    (0 until rows.size()).foreach { i =>
+      val n = rows.get(i)
+      assert(expected(n.get("doc_id").asLong()) == n.get("cum_before").asLong(),
+        s"row $i: ${n.toString}")
+    }
+  }
+
+  test("postProcessors: mlm-mask fingerprints through the REST chain") {
+    val body =
+      s"""{"dataSources":[{"format":"parquet","name":"documents",
+          "location":"${SparkFixture.sfDir}/documents.parquet"}],
+          "query":{"sql":"SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 10",
+            "postProcessors":[{"module":"mlm-mask",
+              "pluginOptions":{"textColumn":"text","idColumn":"doc_id"}}]}}"""
+    val r = post("/dataframe/query", body)
+    assert(r.statusCode() == 200, r.body())
+    val rows = new com.fasterxml.jackson.databind.ObjectMapper().readTree(r.body())
+    assert(rows.size() == 10, r.body())
+    val expected = graft.pipeline.TextAnalysis.mlmMask(
+        Tables.load(SparkFixture.spark, SparkFixture.sfDir, "documents")
+          .orderBy(org.apache.spark.sql.functions.col("doc_id")).limit(10),
+        "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(2), x.getString(4), x.getString(5))))
+      .toMap
+    (0 until rows.size()).foreach { i =>
+      val n = rows.get(i)
+      val (nm, mmd5, tmd5) = expected(n.get("doc_id").asLong())
+      assert(n.get("n_masked").asLong() == nm &&
+        n.get("masked_md5").asText() == mmd5 &&
+        n.get("targets_md5").asText() == tmd5, s"row $i: ${n.toString}")
+    }
+  }
+
   test("postProcessors: unknown module is a clean 4xx, not a 500") {
     val body =
       s"""{"dataSources":[{"format":"parquet","name":"region",

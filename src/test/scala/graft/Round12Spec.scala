@@ -578,6 +578,27 @@ class Round12Spec extends AnyFunSuite {
       "histogram must agree with clusterReport"))
   }
 
+  // ---------------- s31: recall vs nprobe ----------------
+
+  test("recallVsNprobe: monotone in nprobe; full probe budget == exact (recall 1.0)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val emb = (0 until 60).map(i =>
+      (i.toLong, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)))
+      .toDF("vec_id", "embedding").repartition(4)
+    val out = graft.pipeline.Ivf.recallVsNprobe(emb, "embedding", "vec_id",
+        queryId = 0L, k = 5, numCells = 6, nprobes = Seq(1, 2, 3, 6))
+      .orderBy(col("nprobe")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 6L))
+    assert(out.map(_._2).sliding(2).forall {
+      case Array(a, b) => a <= b; case _ => true },
+      s"recall must be monotone in nprobe: ${out.toSeq}")
+    assert(out.last._2 == 5L && out.last._3 == 1.0,
+      s"probing every cell IS the exact search: ${out.last}")
+    out.foreach(r => assert(r._3 == r._2.toDouble / 5.0))
+  }
+
   // ---------------- s28: batch MIPS ----------------
 
   test("mipsTopKBatch == in-memory inner-product ranking") {
