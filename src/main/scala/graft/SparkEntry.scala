@@ -5445,6 +5445,44 @@ object SparkEntry {
         nprobes = Seq(1, 2, 4, 8))
       .orderBy(col("nprobe")))
 
+  // SemDeDup threshold sweep: corpus fraction each cosine threshold
+  // would drop, from ONE within-cell pair pass (per-doc max cosine to
+  // a smaller-id neighbor = its survival threshold; the sweep is a
+  // histogram). The tuning curve behind d14's threshold choice —
+  // completes the round-12 calibration trio (t51, s31, d29).
+  private val d29 = Q("d29_semdedup_threshold_curve", Some("""
+    WITH cents AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+    sims AS (SELECT e.vec_id, c.cell,
+        list_sum(list_transform(generate_series(1, len(e.embedding)),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      FROM embeddings e, cents c),
+    assigned AS (SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        FROM sims) WHERE rn = 1),
+    pairs AS (SELECT b.vec_id AS id_b,
+        list_sum(list_transform(generate_series(1, len(eb.embedding)),
+          i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+      FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id),
+    mx AS (SELECT id_b, MAX(cos) AS m FROM pairs GROUP BY id_b),
+    ts AS (SELECT CAST(UNNEST([0.2, 0.25, 0.3, 0.35, 0.4]) AS DOUBLE) AS threshold),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM embeddings),
+    counts AS (SELECT ts.threshold, COUNT(*) AS nc
+      FROM mx JOIN ts ON mx.m >= ts.threshold GROUP BY ts.threshold)
+    SELECT ts.threshold, CAST(COALESCE(counts.nc, 0) AS BIGINT) AS n_dropped,
+      CAST(COALESCE(counts.nc, 0) AS DOUBLE) / tot.nd AS drop_frac
+    FROM ts LEFT JOIN counts USING (threshold), tot ORDER BY ts.threshold"""),
+    (s, dir) => graft.pipeline.Clustering.semDedupThresholdCurve(
+        T(s, dir, "embeddings"), "embedding", "vec_id", k = 8,
+        thresholds = Seq(0.2, 0.25, 0.3, 0.35, 0.4))
+      .orderBy(col("threshold")))
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -5456,7 +5494,7 @@ object SparkEntry {
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
-    d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
+    d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
     s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,

@@ -125,6 +125,50 @@ object Clustering {
           col("nt").cast("double")).as("imbalance"))
   }
 
+  /** SemDeDup threshold-sweep curve — how much of the corpus each
+    * candidate cosine threshold would drop, from ONE within-cell pair
+    * pass: each member's MAX cosine to a smaller-id same-cell
+    * neighbor is the highest threshold at which it survives, so the
+    * whole sweep is a histogram over that per-doc max (no per-τ
+    * re-run). The calibration run before committing a [[semDedup]]
+    * threshold — the third of the round-12 tuning curves beside the
+    * contamination-n and recall-vs-nprobe sweeps. Zero-drop
+    * thresholds still report (driven from the threshold list).
+    *
+    * Scale shape: d05/d14's — map-only seeded assignment, ONE
+    * cell-keyed exchange bounding pair work to (|cell|²)/2 per cell,
+    * then a doc-keyed max and a |thresholds|-row rollup.
+    *
+    * @return (threshold, n_dropped, drop_frac) ordered by threshold
+    */
+  def semDedupThresholdCurve(
+      emb: DataFrame, vecCol: String, idCol: String, k: Int,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val assigned = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
+      assignToSeeds(emb, vecCol, idCol, k)
+        .select(col(idCol).as("id"), col("cell"), col(vecCol).as("v")))
+    val mx = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
+      .join(assigned.select(col("cell"), col("id").as("id_b"), col("v").as("vb")),
+        Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_b"),
+        graft.functions.VectorExpressions.cosine(col("va"), col("vb")).as("cos"))
+      .groupBy(col("id_b")).agg(max(col("cos")).as("m"))
+    val tDf = emb.sparkSession.createDataFrame(
+      thresholds.map(Tuple1(_))).toDF("threshold")
+    val tot = emb.agg(count(lit(1)).cast("double").as("nd"))
+    val counts = mx.crossJoin(broadcast(tDf))
+      .where(col("m") >= col("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("nc"))
+    tDf.join(broadcast(counts), Seq("threshold"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("threshold"),
+        coalesce(col("nc"), lit(0L)).as("n_dropped"),
+        (coalesce(col("nc"), lit(0L)).cast("double") / col("nd")).as("drop_frac"))
+  }
+
   /** Semantic deduplication, the SemDeDup recipe (Abbas et al. 2023,
     * arXiv:2303.09540): embeddings are clustered, and near-duplicate
     * pairs are searched ONLY within a cluster — the clustering turns

@@ -1487,6 +1487,13 @@ object TextAnalysis {
     val priors = docs.groupBy(col(labelCol).as("cand"))
       .agg(count(lit(1)).as("ndl"))
     val ntot = docs.agg(count(lit(1)).cast("double").as("ntot"))
+    // Shape note (A/B'd, PLANS.md round-12 triage): a per-token
+    // class-count MAP variant (join once, explode after) measured
+    // strictly SLOWER isolated at sf0.1 — 3.01/3.38 s vs this
+    // spelling's 2.46/2.75 s — because the likelihood table is
+    // vocabulary-sized (AQE broadcasts it; the 5× explosion never
+    // crosses a shuffle) while the map build + per-row element_at
+    // only added work. The exploded join stays.
     val contrib = col("c").cast("double") * log(
       (coalesce(col("ctl"), lit(0L)).cast("double") + lit(1.0)) /
         (col("nlang").cast("double") + col("v")))

@@ -123,6 +123,7 @@ object ExplainDump {
       "s30_ivf_cell_balance" -> "IVF cell balance: the s07 map-only inlined-centroid assignment + one cell-keyed partial agg; totals broadcast back over k rows — no join, no corpus-keyed shuffle",
       "t46_mlm_mask" -> "MLM masking (round-12 kernel): the per-token md5 decisions and BOTH fingerprint digests stream through ONE MlmMaskSummary pass per row (the HOF chain evaluated interpreted per element and profiled 5x slower — A/B in the triage above); still zero exchanges below the presentation sort",
       "s31_recall_vs_nprobe" -> "IVF tuning curve: the whole recall@k-vs-nprobe sweep costs ONE corpus scan — every vector carries its cell's probe rank (inlined when-chain, no join), the per-nprobe top-k windows ride the 4x-exploded broadcast, and the exact leg reuses the same cached scored frame",
+      "d29_semdedup_threshold_curve" -> "SemDeDup tuning curve: ONE within-cell pair pass (the d05/d14 cell-blocked shape) computes each member's survival threshold (max cosine to a smaller-id neighbor); the whole sweep is a histogram over that column — no per-threshold re-run",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")
@@ -184,6 +185,27 @@ DriftProfile (fresh JVM, t05 leading as the throwaway, 5 reps each):
 | q26_pivot | 0.354 | 0.252 / 0.269 | recovered to its steady state — suite billing noise |
 | s01_knn_bruteforce | 0.209 | 0.201 / 0.216 | a 50 ms move on a 0.2 s query — sub-noise |
 | m03_frame_sample | 0.658 | 0.716 / 0.728 | isolated REPRODUCES the bench number: the ~0.7 s cost is real plan cost, not billing. Code and plan byte-unchanged since r9 (the session touched codecs m03 does not use), so the r9 0.47 was either the favorable end of the machine band or this window runs hot (t05 control also reads high). WATCH: if m03 drifts again next round it gets the full profile-vs-r9-plan treatment |
+
+## Round-12 t50 join-shape A/B (exploded likelihood join vs map-join)
+
+t50 is the slowest round-12 query (2.89 s driver bench). Hypothesis:
+the |classes|×5 row explosion BEFORE the (tok, cand) likelihood join
+pays 5× through both shuffle sides; restructure as join-once-by-token
+(per-token class-count map) + map-side explosion after. Measured
+(DriftProfile, t05 leading, 5 reps, same windows):
+
+| shape | min | median |
+|---|---|---|
+| exploded join (shipped) | 2.464 | 2.750 |
+| map-join variant | 3.005 | 3.382 |
+
+Hypothesis REFUTED: the likelihood table is VOCABULARY-sized, so AQE
+broadcasts it and the 5× explosion never crosses a shuffle — while
+the map build (collect_list + map_from_entries) and the per-row
+element_at added real work. The exploded spelling stays; t50's
+residual cost is the (doc, label, token) count aggregation plus the
+5-per-doc score rollup, both inherent. (Same evidence-based-revert
+discipline as the round-10 t22 cache finding.)
 
 ## Round-12 t46 kernel A/B (MlmMaskSummary vs the HOF chain)
 

@@ -417,6 +417,10 @@ object ScaleSmoke {
         graft.pipeline.Ivf.recallVsNprobe(emb, "embedding", "vec_id",
           queryId = 0L, k = 10, numCells = 8, nprobes = Seq(1, 2, 4, 8))
           .count() }
+      // one cell-blocked pair pass; sweep is a histogram
+      time(s"d29 semDedupThresholdCurve k=$semK") {
+        graft.pipeline.Clustering.semDedupThresholdCurve(emb, "embedding",
+          "vec_id", semK, thresholds = Seq(0.2, 0.3, 0.4)).count() }
       // map-only assignment + one cell-keyed partial agg
       time("s30 cellBalanceReport k=8") {
         graft.pipeline.Clustering.cellBalanceReport(emb, "embedding",

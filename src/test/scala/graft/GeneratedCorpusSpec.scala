@@ -161,7 +161,12 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     // s31 composes the s18 seeded probe with rank windows — the
     // tuning curve must agree on arbitrary vectors (incl. zero-recall
     // rows, which both sides drive from the nprobe list)
-    "s30_ivf_cell_balance", "s31_recall_vs_nprobe")
+    "s30_ivf_cell_balance", "s31_recall_vs_nprobe",
+    // d29 is the d14 assignment + a per-doc max over pair cosines +
+    // threshold-literal comparisons — the sweep must agree on
+    // arbitrary vectors (incl. zero-drop thresholds, driven from the
+    // threshold list on both sides)
+    "d29_semdedup_threshold_curve")
 
   /** Canonical cell stringification: array columns print as
     * "[a, b, ...]" on BOTH sides (Spark rows yield Scala Seqs,

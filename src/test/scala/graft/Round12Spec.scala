@@ -599,6 +599,36 @@ class Round12Spec extends AnyFunSuite {
     out.foreach(r => assert(r._3 == r._2.toDouble / 5.0))
   }
 
+  // ---------------- d29: SemDeDup threshold curve ----------------
+
+  test("semDedupThresholdCurve: monotone, reconciles with semDedup at each threshold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val emb = (0 until 60).map(i =>
+      (i.toLong, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)))
+      .toDF("vec_id", "embedding").repartition(4)
+    val ts = Seq(0.1, 0.3, 0.5, 0.99)
+    val curve = graft.pipeline.Clustering.semDedupThresholdCurve(
+        emb, "embedding", "vec_id", k = 4, thresholds = ts)
+      .orderBy(col("threshold")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2)))
+    assert(curve.map(_._1).toSeq == ts)
+    assert(curve.map(_._2).sliding(2).forall {
+      case Array(a, b) => a >= b; case _ => true },
+      s"drops must be non-increasing in threshold: ${curve.toSeq}")
+    assert(curve.last._2 == 0L, "threshold 0.99 must drop nothing on random vectors")
+    // each curve point must equal the ACTUAL semDedup drop count at
+    // that threshold (the curve predicts exactly what d14 would do)
+    ts.foreach { t =>
+      val dropped = graft.pipeline.Clustering.semDedup(
+          emb, "embedding", "vec_id", 4, t)
+        .where(!col("keep")).count()
+      val point = curve.find(_._1 == t).get
+      assert(point._2 == dropped,
+        s"curve at $t says ${point._2}, semDedup drops $dropped")
+    }
+  }
+
   // ---------------- s28: batch MIPS ----------------
 
   test("mipsTopKBatch == in-memory inner-product ranking") {
