@@ -5483,6 +5483,77 @@ object SparkEntry {
         thresholds = Seq(0.2, 0.25, 0.3, 0.35, 0.4))
       .orderBy(col("threshold")))
 
+  // LSH band-shape planner: expected FP/FN/recall of every candidate
+  // (bands, rows) signature split at the target Jaccard threshold,
+  // from the d28 audit's measured pair population — collision
+  // probability 1-(1-s^r)^b spelled as multiplication chains on both
+  // engines (no libm pow). One measurement pass; the sweep is
+  // arithmetic over a 4-row config broadcast.
+  private val d30 = Q("d30_lsh_band_planner", Some("""
+    WITH toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    sig AS (SELECT doc_id,
+        MIN(md5('0:' || shingle)) AS m0, MIN(md5('1:' || shingle)) AS m1,
+        MIN(md5('2:' || shingle)) AS m2, MIN(md5('3:' || shingle)) AS m3,
+        MIN(md5('4:' || shingle)) AS m4, MIN(md5('5:' || shingle)) AS m5,
+        MIN(md5('6:' || shingle)) AS m6, MIN(md5('7:' || shingle)) AS m7
+      FROM sh GROUP BY doc_id),
+    bnd AS (
+      SELECT doc_id, 0 AS band, m0 || '|' || m1 AS key FROM sig
+      UNION ALL SELECT doc_id, 1, m2 || '|' || m3 FROM sig
+      UNION ALL SELECT doc_id, 2, m4 || '|' || m5 FROM sig
+      UNION ALL SELECT doc_id, 3, m6 || '|' || m7 FROM sig),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bnd a JOIN bnd b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    inter AS (SELECT c.id_a AS ia, c.id_b AS ib, COUNT(*) AS n_inter
+      FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2),
+    pairs AS (SELECT
+        CAST(i.n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE) AS s
+      FROM inter i
+        JOIN sizes na ON na.doc_id = i.ia
+        JOIN sizes nb ON nb.doc_id = i.ib),
+    pw AS (SELECT s, s * s AS s2, (s * s) * (s * s) AS s4,
+        ((s * s) * (s * s)) * ((s * s) * (s * s)) AS s8 FROM pairs),
+    cfg AS (SELECT * FROM (VALUES (1, 8), (2, 4), (4, 2), (8, 1)) AS t(bands, rows_per_band)),
+    pp AS (SELECT c.bands, c.rows_per_band, p.s,
+        CASE c.bands
+          WHEN 1 THEN p.s8
+          WHEN 2 THEN 1 - (1 - p.s4) * (1 - p.s4)
+          WHEN 4 THEN 1 - ((1 - p.s2) * (1 - p.s2)) * ((1 - p.s2) * (1 - p.s2))
+          ELSE 1 - (((1 - p.s) * (1 - p.s)) * ((1 - p.s) * (1 - p.s)))
+                 * (((1 - p.s) * (1 - p.s)) * ((1 - p.s) * (1 - p.s)))
+        END AS p
+      FROM pw p CROSS JOIN cfg c),
+    agg AS (SELECT bands, rows_per_band,
+        CAST(COUNT(*) FILTER (WHERE s < 0.5) AS BIGINT) AS n_below,
+        CAST(COUNT(*) FILTER (WHERE s >= 0.5) AS BIGINT) AS n_above,
+        ROUND(COALESCE(SUM(p) FILTER (WHERE s < 0.5), 0.0), 6) AS exp_fp,
+        ROUND(COALESCE(SUM(1 - p) FILTER (WHERE s >= 0.5), 0.0), 6) AS exp_fn,
+        CASE WHEN COUNT(*) FILTER (WHERE s >= 0.5) > 0
+          THEN ROUND(SUM(p) FILTER (WHERE s >= 0.5)
+               / CAST(COUNT(*) FILTER (WHERE s >= 0.5) AS DOUBLE), 6) END AS recall_at_tau
+      FROM pp GROUP BY bands, rows_per_band)
+    SELECT CAST(c.bands AS BIGINT) AS bands,
+      CAST(c.rows_per_band AS BIGINT) AS rows_per_band,
+      COALESCE(a.n_below, 0) AS n_below, COALESCE(a.n_above, 0) AS n_above,
+      COALESCE(a.exp_fp, 0.0) AS exp_fp, COALESCE(a.exp_fn, 0.0) AS exp_fn,
+      a.recall_at_tau
+    FROM cfg c LEFT JOIN agg a USING (bands, rows_per_band)
+    ORDER BY bands"""),
+    (s, dir) => Dedup.lshBandPlanner(T(s, dir, "documents"), "text", "doc_id",
+        shingleN = 3, numHashes = 8, auditBands = 4,
+        configs = Seq((1, 8), (2, 4), (4, 2), (8, 1)), tau = 0.5)
+      .orderBy(col("bands")))
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -5494,7 +5565,7 @@ object SparkEntry {
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
-    d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
+    d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
     s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,

@@ -780,6 +780,84 @@ object Dedup {
         abs(col("est_jaccard") - col("exact_jaccard")).as("abs_err"))
   }
 
+  /** LSH band-shape planner — for each candidate (bands, rows) split
+    * of the signature, the expected false-positive / false-negative
+    * counts and recall at the target Jaccard threshold, evaluated
+    * against the corpus's MEASURED pair-similarity population (the
+    * [[minHashAccuracyAudit]] candidates): collision probability at
+    * similarity s is p(s) = 1 − (1 − s^r)^b (the classic S-curve,
+    * Leskovec/Rajaraman/Ullman MMDS ch.3), so exp_fp = Σ_{s<τ} p(s),
+    * exp_fn = Σ_{s≥τ} (1 − p(s)). The planner every LSH deployment
+    * runs before committing a band shape — d19 audits the SHIPPED
+    * banding's realized recall; this PREDICTS every candidate shape
+    * from one measurement pass. Config rows with no qualifying pairs
+    * still report (driven from the config list, the d29 pattern).
+    *
+    * Powers are spelled as binary-doubling multiplication chains
+    * (s², s⁴=s²·s², …) — bit-identical to the oracle's spelling with
+    * no libm pow — so bands/rows must be powers of two.
+    *
+    * Scale shape: the audit's one banded-candidate pass; the config
+    * sweep is arithmetic on a |configs|-row broadcast.
+    *
+    * @return (bands, rows_per_band, n_below, n_above, exp_fp, exp_fn,
+    *         recall_at_tau) ordered by bands; recall null when no
+    *         pair reaches τ
+    */
+  def lshBandPlanner(docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, numHashes: Int = 8, auditBands: Int = 4,
+      configs: Seq[(Int, Int)] = Seq((1, 8), (2, 4), (4, 2), (8, 1)),
+      tau: Double = 0.5): DataFrame = {
+    require(configs.nonEmpty, "configs must be non-empty")
+    configs.foreach { case (b, r) =>
+      require(b * r == numHashes, s"config ($b,$r) must multiply to $numHashes")
+      require((b & (b - 1)) == 0 && (r & (r - 1)) == 0,
+        s"bands/rows must be powers of two for the chain spelling, got ($b,$r)")
+    }
+    require(configs.map(_._1).distinct.size == configs.size,
+      "band counts must be distinct (they key the probability arm)")
+    // x^(2^k) by repeated squaring — the same association as the
+    // oracle's u2=u*u, u4=u2*u2, ... spelling
+    def chainPow(c: Column, n: Int): Column =
+      if (n == 1) c else chainPow(c * c, n / 2)
+    def pOf(b: Int, r: Int): Column = {
+      val sr = chainPow(col("s"), r)
+      if (b == 1) sr else lit(1.0) - chainPow(lit(1.0) - sr, b)
+    }
+    val pairs = minHashAccuracyAudit(docs, textCol, idCol, shingleN,
+        numHashes, auditBands)
+      .select(col("exact_jaccard").as("s"))
+    val session = docs.sparkSession
+    val cfg = session.createDataFrame(configs)
+      .toDF("bands", "rows_per_band")
+      .select(col("bands").cast("long").as("bands"),
+        col("rows_per_band").cast("long").as("rows_per_band"))
+    val pExpr = configs.tail.foldLeft(
+        when(col("bands") === configs.head._1.toLong,
+          pOf(configs.head._1, configs.head._2))) {
+      case (acc, (b, r)) => acc.when(col("bands") === b.toLong, pOf(b, r))
+    }
+    val agg = pairs.crossJoin(broadcast(cfg))
+      .withColumn("p", pExpr)
+      .groupBy(col("bands"), col("rows_per_band"))
+      .agg(
+        sum(when(col("s") < tau, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("s") >= tau, 1L).otherwise(0L)).as("na"),
+        round(coalesce(sum(when(col("s") < tau, col("p"))), lit(0.0)), 6)
+          .as("fp"),
+        round(coalesce(sum(when(col("s") >= tau, lit(1.0) - col("p"))),
+          lit(0.0)), 6).as("fn"),
+        sum(when(col("s") >= tau, col("p"))).as("pa"))
+    cfg.join(broadcast(agg), Seq("bands", "rows_per_band"), "left")
+      .select(col("bands"), col("rows_per_band"),
+        coalesce(col("nb"), lit(0L)).as("n_below"),
+        coalesce(col("na"), lit(0L)).as("n_above"),
+        coalesce(col("fp"), lit(0.0)).as("exp_fp"),
+        coalesce(col("fn"), lit(0.0)).as("exp_fn"),
+        when(coalesce(col("na"), lit(0L)) > 0L,
+          round(col("pa") / col("na").cast("double"), 6)).as("recall_at_tau"))
+  }
+
   /** 32-bit SimHash over md5-derived bits — the oracle twin of
     * [[simHash]] (the d12/s16 move for the SimHash family): bit j of
     * a token is bit (j mod 4) of hex digit (j div 4) of md5(token),

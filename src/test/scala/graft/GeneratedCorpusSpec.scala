@@ -106,7 +106,12 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     // exact divisions; t51 is integer flag counts + one division —
     // both replay on arbitrary corpora (t46 now runs the MlmMask
     // kernel, so its replay also re-proves the kernel per corpus)
-    "d28_minhash_accuracy", "t51_contamination_curve")
+    "d28_minhash_accuracy", "t51_contamination_curve",
+    // round-13: d30 is the d28 pair population + fixed multiplication
+    // chains (no libm pow) + contract-rounded sums — the planner must
+    // agree on arbitrary corpora (incl. empty-pair ones, driven from
+    // the config list on both sides)
+    "d30_lsh_band_planner")
 
   private def generate(seed: Int, nDocs: Int): Seq[(Long, String, String, String, Long)] = {
     val rnd = new scala.util.Random(seed)

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Dedup
+
+/** Round-13 operators: LSH band-shape planner, perplexity bucketing,
+  * PQ distortion audit, spectral features.
+  */
+class Round13Spec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  // ---------------- d30: LSH band planner ----------------
+
+  test("lshBandPlanner == in-memory S-curve math over the audit pairs") {
+    import spark.implicits._
+    val base = (1 to 50).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base), // exact dup: s = 1
+      (3L, base.replace("w9", "x9").replace("w33", "x33")), // near dup
+      (4L, (1 to 50).map(i => s"u$i").mkString(" ")),
+      (5L, ((1 to 25).map(i => s"w$i") ++ (1 to 25).map(i => s"z$i"))
+        .mkString(" ")) // partial overlap with 1/2
+    ).toDF("doc_id", "text").repartition(3)
+    val configs = Seq((1, 8), (2, 4), (4, 2), (8, 1))
+    val tau = 0.5
+
+    val sims = Dedup.minHashAccuracyAudit(docs, "text", "doc_id",
+        shingleN = 3, numHashes = 8, bands = 4)
+      .select("exact_jaccard").collect().map(_.getDouble(0)).toSeq
+    assert(sims.nonEmpty, "fixture must produce candidate pairs")
+
+    def pOf(s: Double, b: Int, r: Int): Double = {
+      val sr = math.pow(s, r)
+      1.0 - math.pow(1.0 - sr, b)
+    }
+    val expected = configs.map { case (b, r) =>
+      val below = sims.filter(_ < tau)
+      val above = sims.filter(_ >= tau)
+      (b.toLong, r.toLong, below.size.toLong, above.size.toLong,
+        below.map(pOf(_, b, r)).sum,
+        above.map(s => 1.0 - pOf(s, b, r)).sum,
+        if (above.nonEmpty) Some(above.map(pOf(_, b, r)).sum / above.size)
+        else None)
+    }
+
+    val got = Dedup.lshBandPlanner(docs, "text", "doc_id",
+        shingleN = 3, numHashes = 8, auditBands = 4,
+        configs = configs, tau = tau)
+      .orderBy(col("bands")).collect()
+    assert(got.length == configs.size)
+    got.zip(expected).foreach { case (row, (b, r, nb, na, fp, fn, rec)) =>
+      assert(row.getLong(0) == b && row.getLong(1) == r)
+      assert(row.getLong(2) == nb, s"n_below at bands=$b")
+      assert(row.getLong(3) == na, s"n_above at bands=$b")
+      assert(math.abs(row.getDouble(4) - fp) < 1e-5, s"exp_fp at bands=$b")
+      assert(math.abs(row.getDouble(5) - fn) < 1e-5, s"exp_fn at bands=$b")
+      rec match {
+        case Some(v) =>
+          assert(math.abs(row.getDouble(6) - v) < 1e-5, s"recall at bands=$b")
+        case None => assert(row.isNullAt(6), s"recall must be null at bands=$b")
+      }
+    }
+    // the S-curve trade: more bands => catches more (recall and FP both
+    // non-decreasing), misses less (FN non-increasing)
+    val byBands = got.sortBy(_.getLong(0))
+    byBands.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getDouble(4) <= b.getDouble(4) + 1e-12, "exp_fp monotone")
+        assert(a.getDouble(5) >= b.getDouble(5) - 1e-12, "exp_fn monotone")
+        assert(a.getDouble(6) <= b.getDouble(6) + 1e-12, "recall monotone")
+      case _ =>
+    }
+  }
+
+  test("lshBandPlanner on a pairless corpus still reports every config") {
+    import spark.implicits._
+    val docs = Seq((1L, (1 to 30).map(i => s"a$i").mkString(" ")),
+        (2L, (1 to 30).map(i => s"b$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.lshBandPlanner(docs, "text", "doc_id")
+      .orderBy(col("bands")).collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      assert(r.getLong(2) == 0L && r.getLong(3) == 0L)
+      assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 0.0)
+      assert(r.isNullAt(6))
+    }
+  }
+}
