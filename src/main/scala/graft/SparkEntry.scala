@@ -5554,6 +5554,43 @@ object SparkEntry {
         configs = Seq((1, 8), (2, 4), (4, 2), (8, 1)), tau = 0.5)
       .orderBy(col("bands")))
 
+  // CCNet-style perplexity bucketing: equal-count deciles by t27's
+  // interpolated-LM score (bucket 1 = lowest-perplexity head, bucket
+  // 10 = the tail a perplexity filter drops). DECIMAL-exact avg over
+  // the contract-rounded per-doc scores; only ppl_of_avg (exp of a
+  // bit-equal input) carries its own ROUND(6).
+  private val t52 = Q("t52_perplexity_buckets", Some("""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    u AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cu FROM
+            (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+          GROUP BY tok),
+    n AS (SELECT CAST(SUM(cu) AS DOUBLE) AS n_total FROM u),
+    bg AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2, ts[i] || ' ' || ts[i+1] AS b
+           FROM toks, UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
+           WHERE len(ts) >= 2),
+    dc AS (SELECT doc_id, w1, w2, b, COUNT(*) AS c_doc FROM bg GROUP BY doc_id, w1, w2, b),
+    cb AS (SELECT b, SUM(c_doc) AS c12 FROM dc GROUP BY b),
+    cw AS (SELECT w1, SUM(c_doc) AS c1 FROM dc GROUP BY w1),
+    base AS (
+      SELECT doc_id, CAST(SUM(c_doc) AS BIGINT) AS n_bigrams,
+        ROUND(SUM(CAST(c_doc AS DOUBLE) * ln(
+            CAST(0.5 AS DOUBLE) * (CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))
+            + (CAST(1 AS DOUBLE) - CAST(0.5 AS DOUBLE)) * (CAST(cu AS DOUBLE) / n_total)))
+          / CAST(SUM(c_doc) AS DOUBLE), 6) AS mean_logp
+      FROM dc JOIN cb USING (b) JOIN cw USING (w1) JOIN u ON u.tok = dc.w2, n
+      GROUP BY doc_id),
+    bk AS (SELECT doc_id, n_bigrams, mean_logp,
+        NTILE(10) OVER (ORDER BY mean_logp DESC, doc_id) AS bucket FROM base)
+    SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+      CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+      MIN(mean_logp) AS min_logp, MAX(mean_logp) AS max_logp,
+      CAST(SUM(CAST(mean_logp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_logp,
+      ROUND(exp(-(CAST(SUM(CAST(mean_logp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))), 6) AS ppl_of_avg
+    FROM bk GROUP BY bucket ORDER BY bucket"""),
+    (s, dir) => TextAnalysis.perplexityBuckets(T(s, dir, "documents"), "text",
+        "doc_id", lambda = 0.5, buckets = 10)
+      .orderBy(col("bucket")))
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -5571,7 +5608,7 @@ object SparkEntry {
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
     t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45,
-    t46, t47, t48, t49, t50, t51,
+    t46, t47, t48, t49, t50, t51, t52,
     m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14,
     m15, m16, m17, m18)
 

@@ -618,6 +618,50 @@ object TextAnalysis {
             sum(col("c_doc")).cast("double"), 6).as("mean_logp"))
   }
 
+  /** Perplexity bucketing — the CCNet-style head/middle/tail split
+    * (Wenzek et al. 2020, arXiv:1911.00359): documents are cut into
+    * `buckets` equal-count bins by LM score ([[interpolatedLogProb]],
+    * descending — bucket 1 is the lowest-perplexity "head", the last
+    * bucket the noisy tail that perplexity-filtered pipelines drop or
+    * downsample). Each bucket reports its size, token mass, logprob
+    * range, and the perplexity of its mean logprob — the table a
+    * curation run reads before choosing the keep fraction.
+    *
+    * Determinism: per-doc `mean_logp` carries t27's ROUND(6)
+    * contract, the bucket cut is a total order (score desc, id), and
+    * `avg_logp` sums those rounded scores as DECIMAL(18,6) — exact
+    * and order-independent (the t43 treatment) — so only `ppl_of_avg`
+    * (exp of a bit-equal input) needs its own ROUND(6).
+    *
+    * The exact equal-count cut is a global NTILE — one total-order
+    * sort, the oracle contract. At 100 TB swap the cut for
+    * `approx_percentile` boundaries on `mean_logp` (map-side binning,
+    * no global sort); the per-bucket aggregation is unchanged.
+    *
+    * @return (bucket, n_docs, n_bigrams, min_logp, max_logp,
+    *         avg_logp, ppl_of_avg) ordered by bucket
+    */
+  def perplexityBuckets(docs: DataFrame, textCol: String, idCol: String,
+      lambda: Double = 0.5, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val base = interpolatedLogProb(docs, textCol, idCol, lambda)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("mean_logp").desc, col("id"))
+    def avgLogp = sum(col("mean_logp").cast(DecimalType(18, 6)))
+      .cast("double") / count(lit(1)).cast("double")
+    base
+      .withColumn("bucket", ntile(buckets).over(w).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        min(col("mean_logp")).as("min_logp"),
+        max(col("mean_logp")).as("max_logp"),
+        avgLogp.as("avg_logp"),
+        round(exp(-avgLogp), 6).as("ppl_of_avg"))
+      .orderBy(col("bucket"))
+  }
+
   /** Interpolated Kneser-Ney bigram LM score — the smoothing that
     * actually ships in n-gram LM filters (KenLM's default):
     * P_KN(w₂|w₁) = (max(c(w₁w₂) − D, 0) + D·N₁₊(w₁·)·P_cont(w₂)) / c(w₁·)

@@ -110,8 +110,9 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     // round-13: d30 is the d28 pair population + fixed multiplication
     // chains (no libm pow) + contract-rounded sums — the planner must
     // agree on arbitrary corpora (incl. empty-pair ones, driven from
-    // the config list on both sides)
-    "d30_lsh_band_planner")
+    // the config list on both sides); t52 cuts t27's contract-rounded
+    // scores with a deterministic NTILE and sums them DECIMAL-exact
+    "d30_lsh_band_planner", "t52_perplexity_buckets")
 
   private def generate(seed: Int, nDocs: Int): Seq[(Long, String, String, String, Long)] = {
     val rnd = new scala.util.Random(seed)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.pipeline.Dedup
+import graft.pipeline.{Dedup, TextAnalysis}
 
 /** Round-13 operators: LSH band-shape planner, perplexity bucketing,
   * PQ distortion audit, spectral features.
@@ -71,6 +71,57 @@ class Round13Spec extends AnyFunSuite {
         assert(a.getDouble(4) <= b.getDouble(4) + 1e-12, "exp_fp monotone")
         assert(a.getDouble(5) >= b.getDouble(5) - 1e-12, "exp_fn monotone")
         assert(a.getDouble(6) <= b.getDouble(6) + 1e-12, "recall monotone")
+      case _ =>
+    }
+  }
+
+  // ---------------- t52: perplexity buckets ----------------
+
+  test("perplexityBuckets == in-memory bucketing of interpolatedLogProb") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(71)
+    val words = Vector("the", "cat", "sat", "mat", "dog", "ran", "fast", "zzq")
+    val docs = (0 until 47).map { i =>
+      val len = 2 + rnd.nextInt(20)
+      (i.toLong, Seq.fill(len)(words(rnd.nextInt(words.size))).mkString(" "))
+    }.toDF("doc_id", "text").repartition(4)
+
+    val perDoc = TextAnalysis.interpolatedLogProb(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // bucket cut: score desc, id asc; NTILE gives the first
+    // (n mod k) buckets one extra row
+    val sorted = perDoc.sortBy { case (id, _, lp) => (-lp, id) }
+    val n = sorted.length
+    val k = 5
+    val base = n / k; val extra = n % k
+    val expected = (1 to k).map { b =>
+      val start = (b - 1) * base + math.min(b - 1, extra)
+      val size = base + (if (b <= extra) 1 else 0)
+      val slice = sorted.slice(start, start + size)
+      val avg = slice.map(t => BigDecimal(t._3).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / size
+      (b.toLong, size.toLong, slice.map(_._2).sum,
+        slice.map(_._3).min, slice.map(_._3).max, avg)
+    }
+
+    val got = TextAnalysis.perplexityBuckets(docs, "text", "doc_id",
+        lambda = 0.5, buckets = k)
+      .orderBy(col("bucket")).collect()
+    assert(got.length == k)
+    got.zip(expected).foreach { case (r, (b, nd, nb, mn, mx, avg)) =>
+      assert(r.getLong(0) == b)
+      assert(r.getLong(1) == nd, s"n_docs at bucket $b")
+      assert(r.getLong(2) == nb, s"n_bigrams at bucket $b")
+      assert(r.getDouble(3) == mn && r.getDouble(4) == mx,
+        s"logp range at bucket $b")
+      assert(math.abs(r.getDouble(5) - avg) < 1e-9, s"avg_logp at bucket $b")
+      assert(math.abs(r.getDouble(6) - math.exp(-r.getDouble(5))) < 1e-5,
+        s"ppl at bucket $b")
+    }
+    // the head/tail ordering: perplexity non-decreasing across buckets
+    got.sliding(2).foreach {
+      case Array(a, b) => assert(a.getDouble(6) <= b.getDouble(6) + 1e-9,
+        "ppl_of_avg must be non-decreasing in bucket")
       case _ =>
     }
   }
