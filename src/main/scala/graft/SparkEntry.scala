@@ -5591,6 +5591,39 @@ object SparkEntry {
         "doc_id", lambda = 0.5, buckets = 10)
       .orderBy(col("bucket")))
 
+  // PQ distortion audit: per-subspace mean/worst quantization error
+  // of the seeded codebook (s16's) — the resolution check run before
+  // trusting ADC scores. The PqSubErrors kernel computes all m
+  // errors in one codegen scan; the oracle replays the argmin
+  // distance per (vec, j) with the same i-ascending fold.
+  private val s32 = Q("s32_pq_distortion", Some("""
+    WITH js AS (SELECT unnest(range(8)) AS j),
+    seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+    cb AS (
+      SELECT js.j, seeds.code,
+             list_transform(generate_series(1, 8), i -> v[js.j*8 + i]) AS cent
+      FROM seeds, js),
+    dists AS (
+      SELECT e.vec_id, c.j, c.code,
+        list_sum(list_transform(generate_series(1, 8),
+          i -> (CAST(e.embedding[c.j*8+i] AS DOUBLE) - c.cent[i])
+             * (CAST(e.embedding[c.j*8+i] AS DOUBLE) - c.cent[i]))) AS d
+      FROM embeddings e CROSS JOIN cb c),
+    best AS (
+      SELECT vec_id, j, d FROM (
+        SELECT vec_id, j, d,
+          ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+        FROM dists) WHERE rn = 1)
+    SELECT CAST(j AS BIGINT) AS j, COUNT(*) AS n_vecs,
+      ROUND(AVG(d), 6) AS mse, MAX(d) AS max_err
+    FROM best GROUP BY j ORDER BY j"""),
+    (s, dir) => graft.pipeline.Pq.distortionReport(T(s, dir, "embeddings"),
+        "embedding", "vec_id", m = 8, ksub = 16)
+      .orderBy(col("j")))
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -5604,7 +5637,7 @@ object SparkEntry {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
     d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
-    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31,
+    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
     t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45,

@@ -146,6 +146,118 @@ object PqExpressions {
       copy(child = c)
   }
 
+  /** `array<double>` of length m: per subspace, the squared L2
+    * distance to the NEAREST codebook centroid — the quantization
+    * error the encoder would commit to. Same scan order and argmin
+    * discipline as [[PqEncode]] (i-ascending accumulation, strict `<`
+    * so ties keep the lower code), so the per-subspace error is the
+    * `d` of the code [[PqEncode]] picks, bit-for-bit. Null on a
+    * length mismatch or null slot, like the encoder.
+    */
+  case class PqSubErrors(child: Expression,
+      codebooks: Array[Array[Array[Double]]]) extends UnaryExpression {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "empty codebooks")
+    private val m = codebooks.length
+    private val sub = codebooks.head.head.length
+    private lazy val elemNullable: Boolean = child.dataType match {
+      case ArrayType(_, n) => n
+      case _ => true
+    }
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pq_sub_errors expects array<float>/array<double>, got ${other.catalogString}")
+    }
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(a: Any): Any = {
+      val xs = a.asInstanceOf[ArrayData]
+      if (xs.numElements() != m * sub) return null
+      if (elemNullable) {
+        var i = 0
+        while (i < m * sub) {
+          if (xs.isNullAt(i)) return null
+          i += 1
+        }
+      }
+      val fl = isFloat(child.dataType)
+      val errs = new Array[Double](m)
+      var j = 0
+      while (j < m) {
+        val cb = codebooks(j)
+        var best = Double.PositiveInfinity
+        var c = 0
+        while (c < cb.length) {
+          val cent = cb(c)
+          var d = 0.0
+          var i = 0
+          while (i < sub) {
+            val x = (if (fl) xs.getFloat(j * sub + i).toDouble
+                     else xs.getDouble(j * sub + i)) - cent(i)
+            d += x * x
+            i += 1
+          }
+          if (d < best) best = d
+          c += 1
+        }
+        errs(j) = best
+        j += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(errs)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val books = ctx.addReferenceObj("pqBooks", codebooks, "double[][][]")
+        val g = if (isFloat(child.dataType)) "getFloat" else "getDouble"
+        val errs = ctx.freshName("errs")
+        val j = ctx.freshName("j"); val c = ctx.freshName("c")
+        val i = ctx.freshName("i"); val d = ctx.freshName("d")
+        val x = ctx.freshName("x"); val best = ctx.freshName("best")
+        val cb = ctx.freshName("cb"); val cent = ctx.freshName("cent")
+        val nullScan = if (elemNullable) {
+          val ni = ctx.freshName("ni")
+          s"""
+          for (int $ni = 0; $ni < ${m * sub} && !${ev.isNull}; $ni++) {
+            if ($a.isNullAt($ni)) { ${ev.isNull} = true; }
+          }
+          """
+        } else ""
+        s"""
+        if ($a.numElements() != ${m * sub}) {
+          ${ev.isNull} = true;
+        }
+        $nullScan
+        if (!${ev.isNull}) {
+          double[] $errs = new double[$m];
+          for (int $j = 0; $j < $m; $j++) {
+            double[][] $cb = $books[$j];
+            double $best = Double.POSITIVE_INFINITY;
+            for (int $c = 0; $c < $cb.length; $c++) {
+              double[] $cent = $cb[$c];
+              double $d = 0.0;
+              for (int $i = 0; $i < $sub; $i++) {
+                double $x = ((double) $a.$g($j * $sub + $i)) - $cent[$i];
+                $d += $x * $x;
+              }
+              if ($d < $best) { $best = $d; }
+            }
+            $errs[$j] = $best;
+          }
+          ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+            .fromPrimitiveArray($errs);
+        }
+        """
+      })
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** ADC cosine approximation from a codes column:
     * `Σ dotTab[j][code_j] / (qNorm · sqrt(Σ nrm2Tab[j][code_j]))`.
     * The tables (m×ksub doubles) are referenced constants — two array
@@ -226,6 +338,8 @@ object PqExpressions {
 
   def pqEncode(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
     ExprBridge.column(PqEncode(ExprBridge.expression(v), codebooks))
+  def pqSubErrors(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ExprBridge.column(PqSubErrors(ExprBridge.expression(v), codebooks))
   def pqAdcScore(codes: Column, dotTab: Array[Array[Double]],
       nrm2Tab: Array[Array[Double]], qNorm: Double): Column =
     ExprBridge.column(PqAdcScore(ExprBridge.expression(codes), dotTab,

@@ -139,6 +139,41 @@ object Pq {
       .limit(k)
   }
 
+  /** PQ distortion audit with the SEEDED codebook — per subspace, the
+    * mean and worst quantization error the encoder commits to: the
+    * number that tells you whether m subspaces × ksub codes is enough
+    * resolution BEFORE trusting ADC scores built on it (the PQ leg's
+    * tuning audit, beside s30's cell balance and s31's nprobe curve).
+    * A lopsided subspace (mse far above its peers) means the dim
+    * slicing misaligns with the data's variance — the signal to
+    * permute dims or train codebooks (OPQ's motivation, Ge et al.
+    * 2013).
+    *
+    * Scale shape: map-only — the
+    * [[graft.functions.PqExpressions.PqSubErrors]] kernel computes
+    * all m errors in one codegen scan, and only (j, err) scalars
+    * reach the m-row aggregation. `mse` is ROUND(6) (engine sum
+    * order); `max_err` is exact (each error is bit-identical to the
+    * oracle's argmin distance).
+    *
+    * @return (j, n_vecs, mse, max_err) ordered by subspace j
+    */
+  def distortionReport(emb: DataFrame, vecCol: String, idCol: String,
+      m: Int, ksub: Int): DataFrame = {
+    val books = seedCodebooks(emb, vecCol, idCol, m, ksub)
+    emb
+      .select(graft.functions.PqExpressions.pqSubErrors(col(vecCol), books)
+        .as("errs"))
+      .where(col("errs").isNotNull)
+      .select(posexplode(col("errs")).as(Seq("j", "err")))
+      .groupBy(col("j").cast("long").as("j"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(avg(col("err")), 6).as("mse"),
+        max(col("err")).as("max_err"))
+      .orderBy(col("j"))
+  }
+
   /** Adds a `codes` column (array<int>, length m): per subspace, the
     * L2-nearest codebook entry, ties to the lower code. Map-only via
     * the [[graft.functions.PqExpressions.PqEncode]] codegen kernel —

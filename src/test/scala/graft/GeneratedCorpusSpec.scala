@@ -172,7 +172,11 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     // threshold-literal comparisons — the sweep must agree on
     // arbitrary vectors (incl. zero-drop thresholds, driven from the
     // threshold list on both sides)
-    "d29_semdedup_threshold_curve")
+    "d29_semdedup_threshold_curve",
+    // round-13: s32's per-subspace argmin distances are the s16
+    // encoder's fold — the kernel's errors must stay bit-identical to
+    // the SQL argmin on arbitrary vectors
+    "s32_pq_distortion")
 
   /** Canonical cell stringification: array columns print as
     * "[a, b, ...]" on BOTH sides (Spark rows yield Scala Seqs,

@@ -126,6 +126,74 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  // ---------------- s32: PQ distortion ----------------
+
+  test("pqSubErrors kernel == in-memory argmin distances; mse reconciles") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    val dim = 16; val m = 4; val sub = dim / m; val ksub = 6
+    val vecs = (0 until 80).map(i =>
+      (i.toLong, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)))
+    // executor-side eval: a LocalRelation would evaluate driver-side
+    // and mask serialization bugs
+    val emb = vecs.toDF("vec_id", "embedding").repartition(4)
+    val books = graft.pipeline.Pq.seedCodebooks(emb, "embedding", "vec_id",
+      m, ksub)
+
+    def refErrs(v: Array[Float]): Array[Double] =
+      Array.tabulate(m) { j =>
+        books(j).map { cent =>
+          var d = 0.0
+          var i = 0
+          while (i < sub) {
+            val x = v(j * sub + i).toDouble - cent(i)
+            d += x * x
+            i += 1
+          }
+          d
+        }.min
+      }
+
+    val got = emb.select(col("vec_id"),
+        graft.functions.PqExpressions.pqSubErrors(col("embedding"), books)
+          .as("errs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    vecs.foreach { case (id, v) =>
+      val exp = refErrs(v)
+      val act = got(id)
+      assert(act.sameElements(exp), s"errs mismatch for vec $id")
+    }
+
+    // the reported err per subspace IS the distance of the code the
+    // encoder picks (audit and encoder can never disagree)
+    val codes = graft.pipeline.Pq.encode(emb, "embedding", books)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Int](r.fieldIndex("codes")).toArray).toMap
+    vecs.foreach { case (id, v) =>
+      (0 until m).foreach { j =>
+        val cent = books(j)(codes(id)(j))
+        var d = 0.0
+        var i = 0
+        while (i < sub) {
+          val x = v(j * sub + i).toDouble - cent(i); d += x * x; i += 1
+        }
+        assert(d == got(id)(j), s"err != picked-code distance at ($id, $j)")
+      }
+    }
+
+    val report = graft.pipeline.Pq.distortionReport(emb, "embedding",
+        "vec_id", m, ksub).orderBy(col("j")).collect()
+    assert(report.length == m)
+    report.foreach { r =>
+      val j = r.getLong(0).toInt
+      val all = vecs.map { case (_, v) => refErrs(v)(j) }
+      assert(r.getLong(1) == vecs.size)
+      assert(math.abs(r.getDouble(2) - all.sum / all.size) < 1e-5,
+        s"mse at j=$j")
+      assert(r.getDouble(3) == all.max, s"max_err at j=$j")
+    }
+  }
+
   test("lshBandPlanner on a pairless corpus still reports every config") {
     import spark.implicits._
     val docs = Seq((1L, (1 to 30).map(i => s"a$i").mkString(" ")),
