@@ -5624,6 +5624,42 @@ object SparkEntry {
         "embedding", "vec_id", m = 8, ksub = 16)
       .orderBy(col("j")))
 
+  // Spectral shape features (centroid / bandwidth / flatness) from
+  // the m14 DFT fold over bins 1..8 — the numbers audio quality
+  // gating thresholds on. Every feature is an O(1) ratio of per-doc
+  // sums over 8 bit-exact bin energies, so ROUND(6) closes it.
+  private val m19 = Q("m19_spectral_features", Some("""
+    WITH d AS (SELECT doc_id,
+        octet_length(CAST(text AS BLOB)) AS n,
+        string_split(text, '') AS cs
+      FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) > 0
+        AND octet_length(CAST(text AS BLOB)) = length(text)),
+    b AS (SELECT doc_id, n, cs, k FROM d, UNNEST(generate_series(1, 8)) AS g(k)),
+    co AS (SELECT doc_id AS sample_id, CAST(k AS BIGINT) AS bin,
+      ROUND(list_sum(list_transform(generate_series(0, n - 1), i ->
+        CAST(ord(cs[CAST(i + 1 AS BIGINT)]) * 128 AS DOUBLE) * cos(2 * pi() * k * i / n))), 6) + 0.0 AS c,
+      ROUND(list_sum(list_transform(generate_series(0, n - 1), i ->
+        CAST(ord(cs[CAST(i + 1 AS BIGINT)]) * 128 AS DOUBLE) * sin(2 * pi() * k * i / n))), 6) + 0.0 AS s
+      FROM b),
+    e AS (SELECT sample_id, bin, c * c + s * s AS e FROM co),
+    agg AS (SELECT sample_id, COUNT(*) AS nb, SUM(e) AS se,
+        SUM(bin * e) AS ske, SUM(bin * bin * e) AS sk2e,
+        SUM(ln(e + 1)) AS sl, SUM(e + 1) AS sa
+      FROM e GROUP BY sample_id)
+    SELECT sample_id,
+      CASE WHEN se > 0 THEN ROUND(ske / se, 6) END AS centroid,
+      CASE WHEN se > 0 THEN ROUND(sqrt(GREATEST(sk2e / se - (ske / se) * (ske / se), 0.0)), 6) END AS bandwidth,
+      ROUND(exp(sl / CAST(nb AS DOUBLE)) / (sa / CAST(nb AS DOUBLE)), 6) AS flatness
+    FROM agg ORDER BY sample_id"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents").where(octet_length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
+      Multimodal.spectralFeatures(
+          Multimodal.textAsWav(docs, "doc_id", "text"), nBins = 8)
+        .orderBy(col("sample_id"))
+    })
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -5643,7 +5679,7 @@ object SparkEntry {
     t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45,
     t46, t47, t48, t49, t50, t51, t52,
     m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14,
-    m15, m16, m17, m18)
+    m15, m16, m17, m18, m19)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))

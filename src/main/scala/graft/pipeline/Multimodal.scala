@@ -1023,6 +1023,51 @@ object Multimodal {
       .toDF("sample_id", "bin", "n_samples", "power", "c", "s")
   }
 
+  /** Spectral shape features over the [[wavDftEnergy]] bins — the
+    * summary numbers audio quality-gating actually thresholds on:
+    * spectral CENTROID (energy-weighted mean bin — brightness),
+    * BANDWIDTH (energy-weighted std dev around it — tonal vs broad),
+    * and FLATNESS (geometric/arithmetic energy-mean ratio — ~1 for
+    * noise-like spectra, →0 for single-tone; the Wiener entropy audio
+    * fingerprinting keys on). Computed from bins 1..nBins of the real
+    * DFT fold.
+    *
+    * Determinism: each bin energy c²+s² is bit-exact (c/s carry the
+    * m14 ROUND(6) contract); the per-doc sums span only nBins rows
+    * and every reported feature is an O(1)-magnitude RATIO of them,
+    * so the final ROUND(6) absorbs engine sum order (the big absolute
+    * sums themselves are never emitted). Flatness uses ln(e+1) so
+    * zero-energy bins are defined.
+    *
+    * Scale shape: [[wavDftEnergy]]'s decode mapPartitions emits
+    * (id, bin, c, s) scalars only; this adds one sample_id-keyed
+    * partial-agg exchange over nBins rows per clip.
+    *
+    * @return (sample_id, centroid, bandwidth, flatness) ordered by
+    *         sample_id; centroid/bandwidth null on a zero-energy clip
+    */
+  def spectralFeatures(media: DataFrame, nBins: Int = 8,
+      idCol: String = "sample_id", payloadCol: String = "payload"): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val e = wavDftEnergy(media, 1 to nBins, idCol, payloadCol)
+      .select(col("sample_id"), col("bin"),
+        (col("c") * col("c") + col("s") * col("s")).as("e"))
+    val agg = e.groupBy(col("sample_id")).agg(
+      count(lit(1)).as("nb"),
+      sum(col("e")).as("se"),
+      sum(col("bin") * col("e")).as("ske"),
+      sum(col("bin") * col("bin") * col("e")).as("sk2e"),
+      sum(log(col("e") + lit(1.0))).as("sl"),
+      sum(col("e") + lit(1.0)).as("sa"))
+    val cen = col("ske") / col("se")
+    agg.select(col("sample_id"),
+      when(col("se") > 0.0, round(cen, 6)).as("centroid"),
+      when(col("se") > 0.0, round(sqrt(greatest(
+        col("sk2e") / col("se") - cen * cen, lit(0.0))), 6)).as("bandwidth"),
+      round(exp(col("sl") / col("nb").cast("double")) /
+        (col("sa") / col("nb").cast("double")), 6).as("flatness"))
+  }
+
   /** Voice-activity segments over REAL decoded PCM — the segmentation
     * primitive audio curation runs before transcription (cut silence,
     * keep speech): fixed-length frames (`frameLen` samples, the last

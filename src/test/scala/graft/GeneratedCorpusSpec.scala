@@ -111,8 +111,11 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     // chains (no libm pow) + contract-rounded sums — the planner must
     // agree on arbitrary corpora (incl. empty-pair ones, driven from
     // the config list on both sides); t52 cuts t27's contract-rounded
-    // scores with a deterministic NTILE and sums them DECIMAL-exact
-    "d30_lsh_band_planner", "t52_perplexity_buckets")
+    // scores with a deterministic NTILE and sums them DECIMAL-exact;
+    // m19's features are O(1) ratios of 8 bit-exact bin energies
+    // (the m14 class), contract-rounded
+    "d30_lsh_band_planner", "t52_perplexity_buckets",
+    "m19_spectral_features")
 
   private def generate(seed: Int, nDocs: Int): Seq[(Long, String, String, String, Long)] = {
     val rnd = new scala.util.Random(seed)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.pipeline.{Dedup, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, TextAnalysis}
 
 /** Round-13 operators: LSH band-shape planner, perplexity bucketing,
   * PQ distortion audit, spectral features.
@@ -192,6 +192,66 @@ class Round13Spec extends AnyFunSuite {
         s"mse at j=$j")
       assert(r.getDouble(3) == all.max, s"max_err at j=$j")
     }
+  }
+
+  // ---------------- m19: spectral features ----------------
+
+  test("spectralFeatures == in-memory DFT reference; pure tone concentrates") {
+    import spark.implicits._
+    val n = 200
+    // clip 1: pure tone at bin 3 (offset keeps samples positive-ish,
+    // irrelevant to bins >= 1); clip 2: broadband pseudo-noise
+    val tone = Array.tabulate(n)(i =>
+      (8000 + 6000 * math.cos(2 * math.Pi * 3 * i / n)).toShort)
+    val rnd = new scala.util.Random(11)
+    val noise = Array.tabulate(n)(_ => (rnd.nextInt(16000)).toShort)
+    val media = Seq(
+      (1L, Multimodal.WavCodec.encodePcm16(tone, 16000)),
+      (2L, Multimodal.WavCodec.encodePcm16(noise, 16000))
+    ).toDF("sample_id", "payload").repartition(2)
+
+    def refFeatures(samples: Array[Short], nBins: Int): (Double, Double, Double) = {
+      def r6(v: Double): Double =
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      val es = (1 to nBins).map { k =>
+        var c = 0.0; var s = 0.0
+        for (j <- samples.indices) {
+          val th = 2.0 * math.Pi * k * j / samples.length
+          c += samples(j) * math.cos(th)
+          s += samples(j) * math.sin(th)
+        }
+        val cr = r6(c); val sr = r6(s)
+        cr * cr + sr * sr
+      }
+      val se = es.sum
+      val ske = es.zipWithIndex.map { case (e, i) => (i + 1) * e }.sum
+      val sk2e = es.zipWithIndex.map { case (e, i) => (i + 1).toDouble * (i + 1) * e }.sum
+      val cen = ske / se
+      val bw = math.sqrt(math.max(sk2e / se - cen * cen, 0.0))
+      val fl = math.exp(es.map(e => math.log(e + 1)).sum / nBins) /
+        (es.map(_ + 1.0).sum / nBins)
+      (cen, bw, fl)
+    }
+
+    val got = Multimodal.spectralFeatures(media, nBins = 8)
+      .orderBy(col("sample_id")).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    Seq(1L -> tone, 2L -> noise).foreach { case (id, samples) =>
+      val (cen, bw, fl) = refFeatures(samples, 8)
+      val (gc, gb, gf) = got(id)
+      assert(math.abs(gc - cen) < 1e-5, s"centroid clip $id")
+      assert(math.abs(gb - bw) < 1e-5, s"bandwidth clip $id")
+      assert(math.abs(gf - fl) < 1e-5, s"flatness clip $id")
+    }
+    // physics: the tone's energy sits at bin 3 with near-zero spread
+    // and low flatness; the noise spreads out and is flatter
+    val (tc, tb, tf) = got(1L)
+    assert(math.abs(tc - 3.0) < 0.05, s"tone centroid $tc !~ 3")
+    assert(tb < 0.5, s"tone bandwidth $tb not concentrated")
+    val (_, nb2, nf2) = got(2L)
+    assert(nf2 > tf, "noise must be flatter than the tone")
+    assert(nb2 > tb, "noise must be broader than the tone")
   }
 
   test("lshBandPlanner on a pairless corpus still reports every config") {
