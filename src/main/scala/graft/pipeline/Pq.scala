@@ -161,11 +161,16 @@ object Pq {
   def distortionReport(emb: DataFrame, vecCol: String, idCol: String,
       m: Int, ksub: Int): DataFrame = {
     val books = seedCodebooks(emb, vecCol, idCol, m, ksub)
+    // posexplode_outer + a post-explode scalar filter: a plain
+    // isNotNull guard on the array makes InferFiltersFromGenerate
+    // re-evaluate the kernel inside the Filter (2x per row); the
+    // outer generate skips the inferred filter, so the kernel runs
+    // exactly once, and malformed vectors surface as one null row
     emb
       .select(graft.functions.PqExpressions.pqSubErrors(col(vecCol), books)
         .as("errs"))
-      .where(col("errs").isNotNull)
-      .select(posexplode(col("errs")).as(Seq("j", "err")))
+      .select(posexplode_outer(col("errs")).as(Seq("j", "err")))
+      .where(col("err").isNotNull)
       .groupBy(col("j").cast("long").as("j"))
       .agg(
         count(lit(1)).as("n_vecs"),

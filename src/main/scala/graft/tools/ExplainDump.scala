@@ -124,6 +124,10 @@ object ExplainDump {
       "t46_mlm_mask" -> "MLM masking (round-12 kernel): the per-token md5 decisions and BOTH fingerprint digests stream through ONE MlmMaskSummary pass per row (the HOF chain evaluated interpreted per element and profiled 5x slower — A/B in the triage above); still zero exchanges below the presentation sort",
       "s31_recall_vs_nprobe" -> "IVF tuning curve: the whole recall@k-vs-nprobe sweep costs ONE corpus scan — every vector carries its cell's probe rank (inlined when-chain, no join), the per-nprobe top-k windows ride the 4x-exploded broadcast, and the exact leg reuses the same cached scored frame",
       "d29_semdedup_threshold_curve" -> "SemDeDup tuning curve: ONE within-cell pair pass (the d05/d14 cell-blocked shape) computes each member's survival threshold (max cosine to a smaller-id neighbor); the whole sweep is a histogram over that column — no per-threshold re-run",
+      "d30_lsh_band_planner" -> "LSH band planner: the d28 audit's one measured pair pass; the (bands,rows) sweep is a when-chain of multiplication-chain probabilities over a 4-row config broadcast — no per-config re-measurement, no libm pow",
+      "t52_perplexity_buckets" -> "perplexity buckets: the t27 LM plan (AQE-shared aggregations, 1-row total broadcast) + ONE global NTILE sort over per-doc scalars (the oracle contract; approx_percentile boundaries are the documented 100 TB swap) + a 10-row rollup",
+      "s32_pq_distortion" -> "PQ distortion audit: the PqSubErrors kernel computes all m argmin errors inside the scan stage (map-only, codebook a referenced constant); only (j, err) scalars reach the single m-row partial-agg exchange",
+      "m19_spectral_features" -> "spectral features: bin energies come out of the decode mapPartitions (payloads never cross an exchange); ONE sample-keyed partial-agg exchange over nBins scalar rows per clip, features are O(1) ratios",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")

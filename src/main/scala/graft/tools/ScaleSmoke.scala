@@ -430,6 +430,22 @@ object ScaleSmoke {
         graft.pipeline.Similarity.mipsTopKBatch(emb,
           emb.filter(col("vec_id") < 3), "embedding", "vec_id", "vec_id",
           k = 5).count() }
+      // one measured pair pass; config sweep is broadcast arithmetic
+      time("d30 lshBandPlanner") {
+        graft.pipeline.Dedup.lshBandPlanner(docs, "text", "doc_id").count() }
+      // the t27 plan + one global-NTILE sort over per-doc scalars
+      time("t52 perplexityBuckets") {
+        graft.pipeline.TextAnalysis.perplexityBuckets(docs, "text",
+          "doc_id").count() }
+      // map-only kernel scan + one m-row partial agg
+      time("s32 pqDistortionReport m=8") {
+        graft.pipeline.Pq.distortionReport(emb, "embedding", "vec_id",
+          m = 8, ksub = 16).count() }
+      // decode-stage energies; one sample-keyed exchange of scalars
+      time("m19 spectralFeatures 8 bins") {
+        graft.pipeline.Multimodal.spectralFeatures(
+          graft.pipeline.Multimodal.textAsWav(docs, "doc_id", "text"),
+          nBins = 8).count() }
       spark.catalog.clearCache()
     }
 

@@ -606,4 +606,38 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("dotproduct") || plan.contains("DotProduct"),
       s"the codegen dot kernel must be in the plan:\n$plan")
   }
+
+  test("d30 band planner: config sweep is a broadcast join, no per-config corpus pass") {
+    val plan = planOf(graft.pipeline.Dedup.lshBandPlanner(
+      spark.read.parquet(s"$sf/documents.parquet"), "text", "doc_id"))
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(!exchanges.exists(_.contains("text#")),
+      s"document text must never shuffle:\n${exchanges.mkString("\n")}")
+    // one measured pass: the shingle scan appears once, not per config
+    assert(plan.linesIterator.count(_.contains("documents.parquet")) <= 6,
+      s"the corpus must not be re-scanned per config:\n$plan")
+  }
+
+  test("s32 distortion: PqSubErrors kernel in the scan stage, no join") {
+    val plan = planOf(graft.pipeline.Pq.distortionReport(
+      Tables.load(spark, sf, "embeddings"), "embedding", "vec_id",
+      m = 8, ksub = 16))
+    assert(plan.contains("pqsuberrors") || plan.contains("PqSubErrors"),
+      s"the codegen error kernel must be in the plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin")
+      && !plan.contains("BroadcastHashJoin"),
+      s"map-only — the codebook is a referenced constant, not a join:\n$plan")
+  }
+
+  test("m19 spectral features: one sample-keyed exchange of scalars") {
+    val media = graft.pipeline.Multimodal.textAsWav(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")
+    val plan = planOf(graft.pipeline.Multimodal.spectralFeatures(media, nBins = 8))
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.size == 1,
+      s"exactly one keyed exchange expected:\n${exchanges.mkString("\n")}")
+    assert(!exchanges.exists(_.contains("payload#")),
+      s"payload bytes must never shuffle:\n${exchanges.mkString("\n")}")
+  }
 }
