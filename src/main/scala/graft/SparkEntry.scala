@@ -5660,6 +5660,96 @@ object SparkEntry {
         .orderBy(col("sample_id"))
     })
 
+  // MinHash signature-size sweep: estimator error vs k from ONE
+  // 16-slot signature pass (a k-slot estimate is a prefix match
+  // count) — "how many hashes" beside d30's "how to band them".
+  private val d31 = Q("d31_minhash_size_sweep", Some(s"""
+    WITH toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    sig AS (SELECT doc_id,
+        ${(0 until 16).map(i => s"MIN(md5('$i:' || shingle)) AS m$i")
+          .mkString(",\n        ")}
+      FROM sh GROUP BY doc_id),
+    bnd AS (
+      SELECT doc_id, 0 AS band, m0 || '|' || m1 AS key FROM sig
+      UNION ALL SELECT doc_id, 1, m2 || '|' || m3 FROM sig
+      UNION ALL SELECT doc_id, 2, m4 || '|' || m5 FROM sig
+      UNION ALL SELECT doc_id, 3, m6 || '|' || m7 FROM sig),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bnd a JOIN bnd b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    pref AS (SELECT c.id_a, c.id_b,
+        ${Seq(4, 8, 16).map(k => (0 until k).map(i =>
+            s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)")
+          .mkString(" + ") + s" AS n$k").mkString(",\n        ")}
+      FROM cand c JOIN sig a ON a.doc_id = c.id_a JOIN sig b ON b.doc_id = c.id_b),
+    inter AS (SELECT c.id_a AS ia, c.id_b AS ib, COUNT(*) AS n_inter
+      FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2),
+    errs AS (SELECT ts.k,
+        ABS(CASE ts.k WHEN 4 THEN CAST(p.n4 AS DOUBLE) / 4.0
+                      WHEN 8 THEN CAST(p.n8 AS DOUBLE) / 8.0
+                      ELSE CAST(p.n16 AS DOUBLE) / 16.0 END
+          - CAST(i.n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE)) AS err
+      FROM pref p
+        JOIN inter i ON i.ia = p.id_a AND i.ib = p.id_b
+        JOIN sizes na ON na.doc_id = p.id_a
+        JOIN sizes nb ON nb.doc_id = p.id_b
+        CROSS JOIN (SELECT UNNEST([4, 8, 16]) AS k) ts),
+    agg AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        ROUND(AVG(err), 6) AS mean_abs_err,
+        ROUND(sqrt(AVG(err * err)), 6) AS rmse,
+        MAX(err) AS max_abs_err
+      FROM errs GROUP BY k)
+    SELECT CAST(ks.k AS BIGINT) AS k, COALESCE(a.n_pairs, 0) AS n_pairs,
+      a.mean_abs_err, a.rmse, a.max_abs_err
+    FROM (SELECT UNNEST([4, 8, 16]) AS k) ks LEFT JOIN agg a USING (k)
+    ORDER BY ks.k"""),
+    (s, dir) => Dedup.minHashSizeSweep(T(s, dir, "documents"), "text", "doc_id",
+        shingleN = 3, ks = Seq(4, 8, 16), candidateHashes = 8, auditBands = 4)
+      .orderBy(col("k")))
+
+  // Packing-waste curve: per candidate context length, packs /
+  // padding / straddled docs from the ONE running-sum window t16
+  // already runs — the sweep is integer floor-division arithmetic.
+  private val t53 = Q("t53_packing_waste_curve", Some("""
+    WITH d AS (SELECT source, doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        CAST(SUM(len(string_split(text, ' '))) OVER
+          (PARTITION BY source ORDER BY doc_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM documents),
+    ls AS (SELECT CAST(UNNEST([128, 256, 512, 1024]) AS BIGINT) AS budget),
+    straddle AS (SELECT l.budget,
+        CAST(SUM(CASE WHEN (d.cum - d.n_tokens) // l.budget
+                       <> (d.cum - 1) // l.budget THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_straddled
+      FROM d CROSS JOIN ls l GROUP BY l.budget),
+    st AS (SELECT source, MAX(cum) AS t FROM d GROUP BY source),
+    packs AS (SELECT l.budget,
+        CAST(SUM((s.t + l.budget - 1) // l.budget) AS BIGINT) AS n_packs,
+        CAST(SUM(s.t) AS BIGINT) AS n_tokens,
+        CAST(SUM(((s.t + l.budget - 1) // l.budget) * l.budget - s.t) AS BIGINT)
+          AS n_padding
+      FROM st s CROSS JOIN ls l GROUP BY l.budget)
+    SELECT p.budget, p.n_packs, p.n_tokens, p.n_padding,
+      CAST(p.n_padding AS DOUBLE) / CAST(p.n_packs * p.budget AS DOUBLE)
+        AS padding_frac,
+      s.n_straddled
+    FROM packs p JOIN straddle s USING (budget)
+    ORDER BY p.budget"""),
+    (s, dir) => graft.pipeline.Sampling.packingWasteCurve(
+        T(s, dir, "documents"), "text", "doc_id", "source",
+        budgets = Seq(128L, 256L, 512L, 1024L))
+      .orderBy(col("budget")))
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -5671,13 +5761,13 @@ object SparkEntry {
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
-    d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30,
+    d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
     s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
     t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45,
-    t46, t47, t48, t49, t50, t51, t52,
+    t46, t47, t48, t49, t50, t51, t52, t53,
     m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14,
     m15, m16, m17, m18, m19)
 

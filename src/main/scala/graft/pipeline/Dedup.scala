@@ -858,6 +858,67 @@ object Dedup {
           round(col("pa") / col("na").cast("double"), 6)).as("recall_at_tau"))
   }
 
+  /** MinHash signature-SIZE sweep — realized estimator error (mean
+    * abs / RMSE / worst case vs exact Jaccard) at every candidate
+    * signature size, from ONE maxK-slot signature pass: hash i of a
+    * k-slot signature is hash i of any longer signature (the hash
+    * family is indexed, not sized), so the k-slot estimate is a
+    * PREFIX match count and the whole sweep is arithmetic on one
+    * signature join. The "how many hashes do I need" planner beside
+    * [[lshBandPlanner]]'s "how do I band them" — d28 audits the
+    * shipped k; this prices every k before committing one (error
+    * should fall ~1/√k, Broder 1997).
+    *
+    * Scale shape: d28's — one banded candidate pass, one maxK-slot
+    * signature join, one exact-Jaccard leg; the k sweep explodes
+    * |ks| scalar rows per pair.
+    *
+    * @return (k, n_pairs, mean_abs_err, rmse, max_abs_err) ordered by
+    *         k; error columns null when no candidate pairs exist
+    */
+  def minHashSizeSweep(docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, ks: Seq[Int] = Seq(4, 8, 16),
+      candidateHashes: Int = 8, auditBands: Int = 4): DataFrame = {
+    require(ks.nonEmpty && ks == ks.sorted && ks.distinct == ks,
+      "ks must be sorted distinct")
+    val maxK = ks.max
+    val cand = minHashLshMd5(docs, textCol, idCol, shingleN,
+      candidateHashes, auditBands)
+    val sig = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
+      minHashSigMd5(docs, textCol, idCol, shingleN, maxK))
+    val docSets = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
+      graft.ops.ScaleOps.fanOut(docs)
+        .select(col(idCol).as("id"),
+          graft.functions.ShingleHashes(col(textCol), shingleN).as("sh_arr"))
+        .where(size(col("sh_arr")) > 0))
+    def pref(p: String) = sig.select(col("id").as(s"${p}id") +:
+      (0 until maxK).map(i => col(s"m$i").as(s"$p$i")): _*)
+    def nMatch(k: Int) = (0 until k).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
+    val exact = col("n_inter").cast("double") /
+      (size(col("sa")) + size(col("sb")) - col("n_inter")).cast("double")
+    val errStructs = ks.map(k => struct(lit(k.toLong).as("k"),
+      abs(nMatch(k).cast("double") / lit(k.toDouble) - exact).as("err")))
+    val errs = cand
+      .join(pref("a"), col("id_a") === col("aid"))
+      .join(pref("b"), col("id_b") === col("bid"))
+      .join(docSets.select(col("id").as("id_a"), col("sh_arr").as("sa")), Seq("id_a"))
+      .join(docSets.select(col("id").as("id_b"), col("sh_arr").as("sb")), Seq("id_b"))
+      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
+      .select(explode(array(errStructs: _*)).as("e"))
+      .select(col("e.k").as("k"), col("e.err").as("err"))
+    val agg = errs.groupBy(col("k")).agg(
+      count(lit(1)).as("np"),
+      round(avg(col("err")), 6).as("mean_abs_err"),
+      round(sqrt(avg(col("err") * col("err"))), 6).as("rmse"),
+      max(col("err")).as("max_abs_err"))
+    val ksDf = docs.sparkSession.createDataFrame(ks.map(k => Tuple1(k.toLong)))
+      .toDF("k")
+    ksDf.join(broadcast(agg), Seq("k"), "left")
+      .select(col("k"), coalesce(col("np"), lit(0L)).as("n_pairs"),
+        col("mean_abs_err"), col("rmse"), col("max_abs_err"))
+  }
+
   /** 32-bit SimHash over md5-derived bits — the oracle twin of
     * [[simHash]] (the d12/s16 move for the SimHash family): bit j of
     * a token is bit (j mod 4) of hex digit (j div 4) of md5(token),

@@ -100,6 +100,59 @@ object Sampling {
         .cast("long"))
   }
 
+  /** Packing-waste curve — for every candidate context length, what
+    * the [[packSequences]] concat-and-chunk layout would cost: packs
+    * needed, padding tokens (each group's final partial pack),
+    * padding fraction, and how many documents STRADDLE a pack
+    * boundary (the attention-fragmentation cost packing trades
+    * against padding — short contexts waste little padding but split
+    * many documents; long contexts the reverse). The context-length
+    * planner beside t16's layout, run before committing a sequence
+    * length.
+    *
+    * One group-keyed running-sum window — the same pass t16 runs —
+    * shared by EVERY candidate length: per-length straddle flags and
+    * pack counts are integer floor-division arithmetic on (cum,
+    * n_tokens, total), so the sweep adds no second corpus pass.
+    * Everything is exact integers until the one padding_frac divide.
+    *
+    * @return (budget, n_packs, n_tokens, n_padding, padding_frac,
+    *         n_straddled) ordered by budget
+    */
+  def packingWasteCurve(df: DataFrame, textCol: String, idCol: String,
+      groupCol: String, budgets: Seq[Long]): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_ > 0) &&
+      budgets == budgets.sorted && budgets.distinct == budgets,
+      "budgets must be positive, sorted, distinct")
+    val base = df.select(col(groupCol).as("grp"),
+      col(idCol).as("id"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ls = broadcast(df.sparkSession
+      .createDataFrame(budgets.map(Tuple1(_))).toDF("budget"))
+    val straddle = base.withColumn("cum", sum(col("n_tokens")).over(w))
+      .crossJoin(ls)
+      .groupBy(col("budget"))
+      .agg(sum(when(
+        expr("(cum - n_tokens) div budget") =!= expr("(cum - 1) div budget"),
+        1L).otherwise(0L)).as("n_straddled"))
+    // each group's total = max(cum); summed directly so the totals
+    // leg needs no second window pass
+    val st = base.groupBy(col("grp")).agg(sum(col("n_tokens")).as("t"))
+    val packs = st.crossJoin(ls)
+      .groupBy(col("budget"))
+      .agg(
+        sum(expr("(t + budget - 1) div budget")).as("n_packs"),
+        sum(col("t")).as("n_tokens"),
+        sum(expr("((t + budget - 1) div budget) * budget - t")).as("n_padding"))
+    packs.join(broadcast(straddle), Seq("budget"))
+      .select(col("budget"), col("n_packs"), col("n_tokens"), col("n_padding"),
+        (col("n_padding").cast("double") /
+          (col("n_packs") * col("budget")).cast("double")).as("padding_frac"),
+        col("n_straddled"))
+  }
+
   /** Deterministic train/val/test split by hashed id — the dataset
     * split step every training pipeline needs. A row's split is a
     * pure function of its id (md5), so the assignment is reproducible

@@ -214,4 +214,47 @@ object Processors {
       throw new IllegalArgumentException("mlm-mask: pluginOptions.idColumn required"))
     graft.pipeline.TextAnalysis.mlmMask(df, textCol, idCol)
   })
+
+  private def longList(o: Map[String, JsonNode], k: String): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    o.get(k).toSeq.flatMap { n =>
+      if (n.isArray) n.elements().asScala.map(_.asLong()).toSeq
+      else Seq(n.asLong())
+    }
+  }
+
+  /** `perplexity-buckets`: the CCNet head/middle/tail table
+    * ([[graft.pipeline.TextAnalysis.perplexityBuckets]]) over any
+    * query result — the curation planner on the REST chain. Options:
+    * `textColumn`/`idColumn` (required), `buckets` (default 10).
+    */
+  register("perplexity-buckets", (df, opts) => {
+    val textCol = strOpt(opts, "textColumn").getOrElse(
+      throw new IllegalArgumentException("perplexity-buckets: pluginOptions.textColumn required"))
+    val idCol = strOpt(opts, "idColumn").getOrElse(
+      throw new IllegalArgumentException("perplexity-buckets: pluginOptions.idColumn required"))
+    val buckets = intOpt(opts, "buckets").getOrElse(10)
+    graft.pipeline.TextAnalysis.perplexityBuckets(df, textCol, idCol,
+      buckets = buckets)
+  })
+
+  /** `packing-waste`: the context-length planner
+    * ([[graft.pipeline.Sampling.packingWasteCurve]]) over any query
+    * result. Options: `textColumn`/`idColumn`/`groupColumn`
+    * (required), `budgets` (int list, default 128/256/512/1024).
+    */
+  register("packing-waste", (df, opts) => {
+    val textCol = strOpt(opts, "textColumn").getOrElse(
+      throw new IllegalArgumentException("packing-waste: pluginOptions.textColumn required"))
+    val idCol = strOpt(opts, "idColumn").getOrElse(
+      throw new IllegalArgumentException("packing-waste: pluginOptions.idColumn required"))
+    val groupCol = strOpt(opts, "groupColumn").getOrElse(
+      throw new IllegalArgumentException("packing-waste: pluginOptions.groupColumn required"))
+    val budgets = longList(opts, "budgets") match {
+      case Nil => Seq(128L, 256L, 512L, 1024L)
+      case bs => bs
+    }
+    graft.pipeline.Sampling.packingWasteCurve(df, textCol, idCol, groupCol,
+      budgets)
+  })
 }

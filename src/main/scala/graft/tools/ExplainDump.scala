@@ -128,6 +128,8 @@ object ExplainDump {
       "t52_perplexity_buckets" -> "perplexity buckets: the t27 LM plan (AQE-shared aggregations, 1-row total broadcast) + ONE global NTILE sort over per-doc scalars (the oracle contract; approx_percentile boundaries are the documented 100 TB swap) + a 10-row rollup",
       "s32_pq_distortion" -> "PQ distortion audit: the PqSubErrors kernel computes all m argmin errors inside the scan stage (map-only, codebook a referenced constant); only (j, err) scalars reach the single m-row partial-agg exchange",
       "m19_spectral_features" -> "spectral features: bin energies come out of the decode mapPartitions (payloads never cross an exchange); ONE sample-keyed partial-agg exchange over nBins scalar rows per clip, features are O(1) ratios",
+      "d31_minhash_size_sweep" -> "signature-size sweep: ONE 16-slot signature pass (a k-slot estimate is a prefix match count), the d28 candidate/exact legs, |ks| scalar rows exploded per pair — no per-k re-signing",
+      "t53_packing_waste_curve" -> "packing-waste curve: the t16 running-sum window computed ONCE; every candidate context length is integer floor-division arithmetic on (cum, n, total) over a 4-row budget broadcast — no per-length corpus pass",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")

@@ -446,6 +446,13 @@ object ScaleSmoke {
         graft.pipeline.Multimodal.spectralFeatures(
           graft.pipeline.Multimodal.textAsWav(docs, "doc_id", "text"),
           nBins = 8).count() }
+      // one 16-slot signature pass; k sweep is prefix arithmetic
+      time("d31 minHashSizeSweep ks=4,8,16") {
+        graft.pipeline.Dedup.minHashSizeSweep(docs, "text", "doc_id").count() }
+      // one running-sum window; per-L metrics are integer division
+      time("t53 packingWasteCurve 4 budgets") {
+        graft.pipeline.Sampling.packingWasteCurve(docs, "text", "doc_id",
+          "source", budgets = Seq(128L, 256L, 512L, 1024L)).count() }
       spark.catalog.clearCache()
     }
 

@@ -115,7 +115,12 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     // m19's features are O(1) ratios of 8 bit-exact bin energies
     // (the m14 class), contract-rounded
     "d30_lsh_band_planner", "t52_perplexity_buckets",
-    "m19_spectral_features")
+    "m19_spectral_features",
+    // d31 is the d28 class with 16 slots + prefix-count integers +
+    // contract-rounded error means; t53 is integers end to end
+    // (token counts, running sums, floor divisions) + one exact
+    // divide per row
+    "d31_minhash_size_sweep", "t53_packing_waste_curve")
 
   private def generate(seed: Int, nDocs: Int): Seq[(Long, String, String, String, Long)] = {
     val rnd = new scala.util.Random(seed)

@@ -362,6 +362,59 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("postProcessors: perplexity-buckets table through the REST chain") {
+    val body =
+      s"""{"dataSources":[{"format":"parquet","name":"documents",
+          "location":"${SparkFixture.sfDir}/documents.parquet"}],
+          "query":{"sql":"SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 60",
+            "postProcessors":[{"module":"perplexity-buckets",
+              "pluginOptions":{"textColumn":"text","idColumn":"doc_id",
+                "buckets":5}}]}}"""
+    val r = post("/dataframe/query", body)
+    assert(r.statusCode() == 200, r.body())
+    val rows = new com.fasterxml.jackson.databind.ObjectMapper().readTree(r.body())
+    assert(rows.size() == 5, r.body())
+    val expected = graft.pipeline.TextAnalysis.perplexityBuckets(
+        Tables.load(SparkFixture.spark, SparkFixture.sfDir, "documents")
+          .orderBy(org.apache.spark.sql.functions.col("doc_id")).limit(60),
+        "text", "doc_id", buckets = 5)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2))))
+      .toMap
+    (0 until rows.size()).foreach { i =>
+      val n = rows.get(i)
+      val (nd, nb) = expected(n.get("bucket").asLong())
+      assert(n.get("n_docs").asLong() == nd &&
+        n.get("n_bigrams").asLong() == nb, s"row $i: ${n.toString}")
+    }
+  }
+
+  test("postProcessors: packing-waste curve through the REST chain") {
+    val body =
+      s"""{"dataSources":[{"format":"parquet","name":"documents",
+          "location":"${SparkFixture.sfDir}/documents.parquet"}],
+          "query":{"sql":"SELECT doc_id, text, source FROM documents ORDER BY doc_id LIMIT 50",
+            "postProcessors":[{"module":"packing-waste",
+              "pluginOptions":{"textColumn":"text","idColumn":"doc_id",
+                "groupColumn":"source","budgets":[64,256]}}]}}"""
+    val r = post("/dataframe/query", body)
+    assert(r.statusCode() == 200, r.body())
+    val rows = new com.fasterxml.jackson.databind.ObjectMapper().readTree(r.body())
+    assert(rows.size() == 2, r.body())
+    val expected = graft.pipeline.Sampling.packingWasteCurve(
+        Tables.load(SparkFixture.spark, SparkFixture.sfDir, "documents")
+          .orderBy(org.apache.spark.sql.functions.col("doc_id")).limit(50),
+        "text", "doc_id", "source", budgets = Seq(64L, 256L))
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(3), x.getLong(5)))).toMap
+    (0 until rows.size()).foreach { i =>
+      val n = rows.get(i)
+      val (np, pad, st) = expected(n.get("budget").asLong())
+      assert(n.get("n_packs").asLong() == np &&
+        n.get("n_padding").asLong() == pad &&
+        n.get("n_straddled").asLong() == st, s"row $i: ${n.toString}")
+    }
+  }
+
   test("postProcessors: unknown module is a clean 4xx, not a 500") {
     val body =
       s"""{"dataSources":[{"format":"parquet","name":"region",

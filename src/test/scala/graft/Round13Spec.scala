@@ -254,6 +254,123 @@ class Round13Spec extends AnyFunSuite {
     assert(nb2 > tb, "noise must be broader than the tone")
   }
 
+  // ---------------- d31: MinHash signature-size sweep ----------------
+
+  test("minHashSizeSweep == in-memory prefix-match error curve") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base),
+      (3L, base.replace("w9", "x9").replace("w33", "x33").replace("w51", "q")),
+      (4L, ((1 to 30).map(i => s"w$i") ++ (1 to 30).map(i => s"z$i")).mkString(" ")),
+      (5L, (1 to 60).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text").repartition(3)
+    val ks = Seq(4, 8, 16)
+
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    def shingles(t: String): Set[String] = {
+      val ts = t.toLowerCase.replaceAll("\\s+", " ").trim.split(" ")
+      if (ts.length < 3) Set.empty
+      else (0 to ts.length - 3).map(i => s"${ts(i)} ${ts(i + 1)} ${ts(i + 2)}").toSet
+    }
+    val sets = Map(1L -> base, 2L -> base,
+      3L -> base.replace("w9", "x9").replace("w33", "x33").replace("w51", "q"),
+      4L -> ((1 to 30).map(i => s"w$i") ++ (1 to 30).map(i => s"z$i")).mkString(" "),
+      5L -> (1 to 60).map(i => s"u$i").mkString(" ")).map {
+      case (id, t) => id -> shingles(t)
+    }
+    def sig(id: Long): IndexedSeq[String] =
+      (0 until 16).map(i => sets(id).map(sh => md5hex(s"$i:$sh")).min)
+    // candidate pairs: 4 bands of 2 over the first 8 slots
+    val ids = sets.keys.toSeq.sorted
+    val cands = for {
+      a <- ids; b <- ids if a < b
+      if (0 until 4).exists(bd =>
+        sig(a)(bd * 2) == sig(b)(bd * 2) && sig(a)(bd * 2 + 1) == sig(b)(bd * 2 + 1))
+    } yield (a, b)
+    assert(cands.nonEmpty)
+    val errsByK = ks.map { k =>
+      k -> cands.map { case (a, b) =>
+        val est = (0 until k).count(i => sig(a)(i) == sig(b)(i)).toDouble / k
+        val inter = (sets(a) & sets(b)).size.toDouble
+        val exact = inter / (sets(a).size + sets(b).size - inter)
+        math.abs(est - exact)
+      }
+    }.toMap
+
+    val got = Dedup.minHashSizeSweep(docs, "text", "doc_id", shingleN = 3,
+        ks = ks, candidateHashes = 8, auditBands = 4)
+      .orderBy(col("k")).collect()
+    assert(got.length == ks.size)
+    got.foreach { r =>
+      val k = r.getLong(0).toInt
+      val errs = errsByK(k)
+      assert(r.getLong(1) == cands.size, s"n_pairs at k=$k")
+      assert(math.abs(r.getDouble(2) - errs.sum / errs.size) < 1e-5,
+        s"mean_abs_err at k=$k")
+      assert(math.abs(r.getDouble(3) -
+        math.sqrt(errs.map(e => e * e).sum / errs.size)) < 1e-5, s"rmse at k=$k")
+      assert(math.abs(r.getDouble(4) - errs.max) < 1e-12, s"max at k=$k")
+    }
+  }
+
+  // ---------------- t53: packing-waste curve ----------------
+
+  test("packingWasteCurve == in-memory concat-chunk accounting") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val docs = (0 until 80).map { i =>
+      val len = 1 + rnd.nextInt(40)
+      (i.toLong, Seq.fill(len)("tok").mkString(" "), s"src${i % 3}")
+    }.toDF("doc_id", "text", "source").repartition(4)
+    val budgets = Seq(16L, 64L, 256L)
+
+    val rows = docs.select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").length.toLong,
+        r.getString(2)))
+    val bySrc = rows.groupBy(_._3).map { case (s, rs) =>
+      s -> rs.sortBy(_._1).map(_._2)
+    }
+    val expected = budgets.map { l =>
+      var straddled = 0L
+      bySrc.values.foreach { lens =>
+        var cum = 0L
+        lens.foreach { n =>
+          val st = cum; cum += n
+          if (st / l != (cum - 1) / l) straddled += 1
+        }
+      }
+      val totals = bySrc.values.map(_.sum)
+      val nPacks = totals.map(t => (t + l - 1) / l).sum
+      val nTokens = totals.sum
+      val nPad = totals.map(t => ((t + l - 1) / l) * l - t).sum
+      (l, nPacks, nTokens, nPad, nPad.toDouble / (nPacks * l), straddled)
+    }
+
+    val got = graft.pipeline.Sampling.packingWasteCurve(docs, "text",
+        "doc_id", "source", budgets)
+      .orderBy(col("budget")).collect()
+    got.zip(expected).foreach { case (r, (l, np, nt, pad, frac, st)) =>
+      assert(r.getLong(0) == l)
+      assert(r.getLong(1) == np, s"n_packs at L=$l")
+      assert(r.getLong(2) == nt, s"n_tokens at L=$l")
+      assert(r.getLong(3) == pad, s"n_padding at L=$l")
+      assert(math.abs(r.getDouble(4) - frac) < 1e-12, s"padding_frac at L=$l")
+      assert(r.getLong(5) == st, s"n_straddled at L=$l")
+    }
+    // the trade: longer contexts straddle fewer docs, waste more padding
+    got.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(5) >= b.getLong(5), "straddles non-increasing in L")
+      case _ =>
+    }
+  }
+
   test("lshBandPlanner on a pairless corpus still reports every config") {
     import spark.implicits._
     val docs = Seq((1L, (1 to 30).map(i => s"a$i").mkString(" ")),
