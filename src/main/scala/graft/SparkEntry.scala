@@ -5750,6 +5750,37 @@ object SparkEntry {
         budgets = Seq(128L, 256L, 512L, 1024L))
       .orderBy(col("budget")))
 
+  // Scalar-quantization bit-width sweep: reconstruction MSE and
+  // worst-case error per candidate width from ONE corpus scan — each
+  // width is a different level count in the same affine round-trip.
+  // The memory-vs-fidelity curve beside s32's PQ resolution check.
+  private val s33 = Q("s33_sq_bits_sweep", Some("""
+    WITH ls AS (SELECT * FROM (VALUES (2, 3.0), (4, 15.0), (6, 63.0), (8, 255.0))
+        AS t(bits, lev)),
+    per AS (SELECT l.bits, l.lev,
+        list_sum(list_transform(e.embedding, x ->
+          (CAST(x AS DOUBLE)
+            - (GREATEST(0.0, LEAST(l.lev,
+                ROUND((CAST(x AS DOUBLE) - (-2.0)) / 4.0 * l.lev))) / l.lev * 4.0 + (-2.0)))
+          * (CAST(x AS DOUBLE)
+            - (GREATEST(0.0, LEAST(l.lev,
+                ROUND((CAST(x AS DOUBLE) - (-2.0)) / 4.0 * l.lev))) / l.lev * 4.0 + (-2.0)))))
+          AS sq_sum,
+        list_max(list_transform(e.embedding, x ->
+          ABS(CAST(x AS DOUBLE)
+            - (GREATEST(0.0, LEAST(l.lev,
+                ROUND((CAST(x AS DOUBLE) - (-2.0)) / 4.0 * l.lev))) / l.lev * 4.0 + (-2.0)))))
+          AS mx,
+        CAST(len(e.embedding) AS BIGINT) AS n
+      FROM embeddings e CROSS JOIN ls l)
+    SELECT CAST(bits AS BIGINT) AS bits, CAST(SUM(n) AS BIGINT) AS n_values,
+      ROUND(SUM(sq_sum) / CAST(SUM(n) AS DOUBLE), 6) AS mse,
+      MAX(mx) AS max_abs_err
+    FROM per GROUP BY bits ORDER BY bits"""),
+    (s, dir) => graft.pipeline.Quantize.bitsSweep(T(s, dir, "embeddings"),
+        "embedding", lo = -2.0, hi = 2.0, bitsList = Seq(2, 4, 6, 8))
+      .orderBy(col("bits")))
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -5763,7 +5794,7 @@ object SparkEntry {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
     d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
-    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32,
+    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
     t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45,

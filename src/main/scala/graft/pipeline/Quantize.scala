@@ -78,6 +78,50 @@ object Quantize {
     array_max(zip_with(vec, dequantize(qvec, lo, hi),
       (x, r) => abs(x.cast("double") - r)))
 
+  /** Scalar-quantization BIT-WIDTH sweep — reconstruction MSE and
+    * worst-case error at every candidate bit width, from ONE corpus
+    * scan: each width is just a different level count in the same
+    * affine round-trip, so the whole memory-vs-fidelity curve
+    * (the number read before choosing SQ8 vs SQ4 storage) is
+    * arithmetic over a |bits|-row broadcast. Completes the
+    * quantization tuning-audit pair with [[graft.pipeline.Pq
+    * .distortionReport]] (PQ's resolution check); expect MSE to fall
+    * ~4× per bit (uniform-quantizer noise ∝ step²).
+    *
+    * Map-only; only (bits, sq_sum, mx, n) scalars reach the
+    * |bits|-row aggregation. Per-element errors are bit-exact (the
+    * s06 affine spelling); `mse` carries ROUND(6) for engine sum
+    * order, `max_abs_err` is exact.
+    *
+    * @return (bits, n_values, mse, max_abs_err) ordered by bits
+    */
+  def bitsSweep(df: DataFrame, vecCol: String, lo: Double, hi: Double,
+      bitsList: Seq[Int] = Seq(2, 4, 6, 8)): DataFrame = {
+    require(bitsList.nonEmpty && bitsList == bitsList.sorted &&
+      bitsList.distinct == bitsList && bitsList.forall(b => b >= 1 && b <= 16),
+      "bits must be sorted distinct in [1,16]")
+    require(hi > lo, "hi must exceed lo")
+    val ls = broadcast(df.sparkSession.createDataFrame(
+        bitsList.map(b => (b.toLong, ((1 << b) - 1).toDouble)))
+      .toDF("bits", "lev"))
+    val rng = hi - lo
+    def err(x: Column) = x.cast("double") -
+      (greatest(lit(0.0), least(col("lev"),
+        round((x.cast("double") - lit(lo)) / lit(rng) * col("lev")))) /
+        col("lev") * lit(rng) + lit(lo))
+    df.select(col(vecCol).as("v")).crossJoin(ls)
+      .select(col("bits"),
+        aggregate(transform(col("v"), x => err(x) * err(x)),
+          lit(0.0), _ + _).as("sq_sum"),
+        array_max(transform(col("v"), x => abs(err(x)))).as("mx"),
+        size(col("v")).cast("long").as("n"))
+      .groupBy(col("bits"))
+      .agg(sum(col("n")).as("n_values"),
+        round(sum(col("sq_sum")) / sum(col("n")).cast("double"), 6).as("mse"),
+        max(col("mx")).as("max_abs_err"))
+      .orderBy(col("bits"))
+  }
+
   /** Brute-force cosine top-k over DEQUANTIZED vectors — the scan
     * side of a quantized index: the corpus holds int8 codes (4×
     * smaller), reconstruction happens on the fly in the scan stage.

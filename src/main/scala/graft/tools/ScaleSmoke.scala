@@ -453,6 +453,9 @@ object ScaleSmoke {
       time("t53 packingWasteCurve 4 budgets") {
         graft.pipeline.Sampling.packingWasteCurve(docs, "text", "doc_id",
           "source", budgets = Seq(128L, 256L, 512L, 1024L)).count() }
+      // one scan; each width a level count in the same round-trip
+      time("s33 sqBitsSweep 4 widths") {
+        graft.pipeline.Quantize.bitsSweep(emb, "embedding", -2.0, 2.0).count() }
       spark.catalog.clearCache()
     }
 

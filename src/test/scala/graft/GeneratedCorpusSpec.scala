@@ -183,8 +183,9 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     "d29_semdedup_threshold_curve",
     // round-13: s32's per-subspace argmin distances are the s16
     // encoder's fold — the kernel's errors must stay bit-identical to
-    // the SQL argmin on arbitrary vectors
-    "s32_pq_distortion")
+    // the SQL argmin on arbitrary vectors; s33's per-element affine
+    // round-trips are the s06 class swept over a level broadcast
+    "s32_pq_distortion", "s33_sq_bits_sweep")
 
   /** Canonical cell stringification: array columns print as
     * "[a, b, ...]" on BOTH sides (Spark rows yield Scala Seqs,

@@ -371,6 +371,55 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  // ---------------- s33: SQ bit-width sweep ----------------
+
+  test("bitsSweep == in-memory affine round-trip; reconciles with the SQ8 path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vecs = (0 until 70).map(i =>
+      (i.toLong, Array.fill(12)((rnd.nextDouble() * 4 - 2).toFloat)))
+    val emb = vecs.toDF("vec_id", "embedding").repartition(3)
+    val (lo, hi) = (-2.0, 2.0)
+    val bitsList = Seq(2, 4, 8)
+
+    def errOf(x: Double, lev: Double): Double = {
+      val code = math.max(0.0, math.min(lev,
+        BigDecimal((x - lo) / (hi - lo) * lev)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      x - (code / lev * (hi - lo) + lo)
+    }
+    val expected = bitsList.map { b =>
+      val lev = ((1 << b) - 1).toDouble
+      val errs = vecs.flatMap(_._2.map(x => errOf(x.toDouble, lev)))
+      (b.toLong, errs.size.toLong,
+        errs.map(e => e * e).sum / errs.size, errs.map(math.abs).max)
+    }
+
+    val got = graft.pipeline.Quantize.bitsSweep(emb, "embedding", lo, hi,
+        bitsList).orderBy(col("bits")).collect()
+    got.zip(expected).foreach { case (r, (b, n, mse, mx)) =>
+      assert(r.getLong(0) == b)
+      assert(r.getLong(1) == n, s"n_values at bits=$b")
+      assert(math.abs(r.getDouble(2) - mse) < 1e-5, s"mse at bits=$b")
+      assert(math.abs(r.getDouble(3) - mx) < 1e-12, s"max at bits=$b")
+    }
+    // fidelity is monotone in width
+    got.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getDouble(2) >= b.getDouble(2), "mse non-increasing in bits")
+        assert(a.getDouble(3) >= b.getDouble(3), "max non-increasing in bits")
+      case _ =>
+    }
+    // the 8-bit arm IS the shipped SQ8 round-trip: its worst error
+    // must equal the max of s06's per-vector maxReconstructionError
+    val sq8Max = graft.pipeline.Quantize.scalarQuantize(emb, "embedding", lo, hi)
+      .select(graft.pipeline.Quantize.maxReconstructionError(
+        col("embedding"), col("qvec"), lo, hi).as("e"))
+      .agg(max(col("e"))).head().getDouble(0)
+    assert(got.last.getDouble(3) == sq8Max,
+      "bits=8 worst error must equal the SQ8 path's")
+  }
+
   test("lshBandPlanner on a pairless corpus still reports every config") {
     import spark.implicits._
     val docs = Seq((1L, (1 to 30).map(i => s"a$i").mkString(" ")),
