@@ -5131,7 +5131,7 @@ object SparkEntry {
     FROM tot, ncl WHERE tot.ntot - ncl.n > 0
     ORDER BY cluster_size"""),
     (s, dir) => Dedup.dedupImpactReport(T(s, dir, "documents"), "text", "doc_id",
-        n = 3, threshold = 0.3)
+        n = 3, threshold = 0.3, maxPostings = None) // exact: oracle-comparable
       .orderBy(col("cluster_size")))
 
   // Trained NB language-ID confusion matrix: add-one multinomial NB
@@ -5781,6 +5781,42 @@ object SparkEntry {
         "embedding", lo = -2.0, hi = 2.0, bitsList = Seq(2, 4, 6, 8))
       .orderBy(col("bits")))
 
+  // Containment-threshold curve: directed pair count + distinct docs
+  // a containment dedup would drop per candidate tau, from ONE
+  // inverted-index pair pass at tau_min — the curve behind d07's 0.9.
+  private val d32 = Q("d32_containment_curve", Some("""
+    WITH toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    dir AS (
+      SELECT id_a AS id_sub, CAST(n_inter AS DOUBLE) / CAST(na.n_sh AS DOUBLE) AS containment
+      FROM inter JOIN sizes na ON na.doc_id = id_a
+      UNION ALL
+      SELECT id_b, CAST(n_inter AS DOUBLE) / CAST(nb.n_sh AS DOUBLE)
+      FROM inter JOIN sizes nb ON nb.doc_id = id_b),
+    base AS (SELECT id_sub, containment FROM dir WHERE containment >= 0.5),
+    tsl AS (SELECT CAST(UNNEST([0.5, 0.7, 0.8, 0.9, 0.95]) AS DOUBLE) AS threshold),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+    agg AS (SELECT t.threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(COUNT(DISTINCT b.id_sub) AS BIGINT) AS n_docs_dropped
+      FROM base b JOIN tsl t ON b.containment >= t.threshold
+      GROUP BY t.threshold)
+    SELECT t.threshold, COALESCE(a.n_pairs, 0) AS n_pairs,
+      COALESCE(a.n_docs_dropped, 0) AS n_docs_dropped,
+      CAST(COALESCE(a.n_docs_dropped, 0) AS DOUBLE) / tot.nd AS drop_frac
+    FROM tsl t LEFT JOIN agg a USING (threshold), tot
+    ORDER BY t.threshold"""),
+    (s, dir) => Dedup.containmentCurve(T(s, dir, "documents"), "text", "doc_id",
+        n = 3, thresholds = Seq(0.5, 0.7, 0.8, 0.9, 0.95), maxPostings = None)
+      .orderBy(col("threshold")))
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -5792,7 +5828,7 @@ object SparkEntry {
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
-    d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31,
+    d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31, d32,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
     s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,

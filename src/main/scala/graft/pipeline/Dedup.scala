@@ -919,6 +919,47 @@ object Dedup {
         col("mean_abs_err"), col("rmse"), col("max_abs_err"))
   }
 
+  /** Containment-threshold curve — per candidate containment
+    * threshold, how many directed (sub ⊂ super) pairs fire and how
+    * many DISTINCT documents a containment-dedup pass would drop
+    * (a doc drops when ANY super contains it at ≥ τ, so the doc leg
+    * is a histogram over each doc's max containment — the d29 trick
+    * on [[containmentPairs]]'s population). Containment catches the
+    * quote/subset duplicates Jaccard dilutes away; this is the curve
+    * read before fixing d07's τ. Zero-hit thresholds still report
+    * (driven from the threshold list).
+    *
+    * Scale shape: ONE inverted-index pair pass at τ_min; the sweep is
+    * a |thresholds|-row broadcast over (id_sub, containment) scalars.
+    *
+    * @return (threshold, n_pairs, n_docs_dropped, drop_frac) ordered
+    *         by threshold
+    */
+  def containmentCurve(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, thresholds: Seq[Double] = Seq(0.5, 0.7, 0.8, 0.9, 0.95),
+      maxPostings: Option[Int] = None): DataFrame = {
+    require(thresholds.nonEmpty && thresholds == thresholds.sorted &&
+      thresholds.distinct == thresholds, "thresholds must be sorted distinct")
+    val base = containmentPairs(docs, textCol, idCol, n, thresholds.min,
+        maxPostings)
+      .select(col("id_sub"), col("containment"))
+    val tDf = docs.sparkSession.createDataFrame(thresholds.map(Tuple1(_)))
+      .toDF("threshold")
+    val tot = docs.agg(count(lit(1)).cast("double").as("nd"))
+    val agg = base.crossJoin(broadcast(tDf))
+      .where(col("containment") >= col("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("np"),
+        countDistinct(col("id_sub")).as("ndrop"))
+    tDf.join(broadcast(agg), Seq("threshold"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("threshold"),
+        coalesce(col("np"), lit(0L)).as("n_pairs"),
+        coalesce(col("ndrop"), lit(0L)).as("n_docs_dropped"),
+        (coalesce(col("ndrop"), lit(0L)).cast("double") / col("nd"))
+          .as("drop_frac"))
+  }
+
   /** 32-bit SimHash over md5-derived bits — the oracle twin of
     * [[simHash]] (the d12/s16 move for the SimHash family): bit j of
     * a token is bit (j mod 4) of hex digit (j div 4) of md5(token),
@@ -1060,13 +1101,22 @@ object Dedup {
     * the d06 closure (component-keyed counts), corpus work is the
     * pair graph it already shares with d06/d11/d22.
     *
+    * `maxPostings` defaults to the capped path like [[dedupedCorpus]]:
+    * the uncapped default was a REAL scale bug — at 10× smoke scale a
+    * hot shingle's uncapped posting list fans out m²/2 pre-threshold
+    * pairs, and the statically-planned join inside the closure's
+    * cached pair frame then tries to broadcast the exploded side
+    * (hard-fails at Spark's 8 GiB broadcast ceiling). Pass None only
+    * where exactness beats robustness (the sf-scale oracle).
+    *
     * @return (cluster_size, n_clusters, n_docs, n_removable) ordered
     *         by cluster_size
     */
   def dedupImpactReport(docs: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, threshold: Double = 0.3): DataFrame = {
+      n: Int = 3, threshold: Double = 0.3,
+      maxPostings: Option[Int] = Some(10000)): DataFrame = {
     val pairs = ngramJaccardPairs(docs, textCol, idCol, n, threshold,
-      maxPostings = None)
+      maxPostings)
     val comp = connectedComponents(pairs)
     val hist = comp.groupBy(col("component"))
       .agg(count(lit(1)).as("cluster_size"))

@@ -131,6 +131,7 @@ object ExplainDump {
       "d31_minhash_size_sweep" -> "signature-size sweep: ONE 16-slot signature pass (a k-slot estimate is a prefix match count), the d28 candidate/exact legs, |ks| scalar rows exploded per pair — no per-k re-signing",
       "t53_packing_waste_curve" -> "packing-waste curve: the t16 running-sum window computed ONCE; every candidate context length is integer floor-division arithmetic on (cum, n, total) over a 4-row budget broadcast — no per-length corpus pass",
       "s33_sq_bits_sweep" -> "SQ bit-width sweep: ONE corpus scan, each width a different level count in the same affine round-trip over a 4-row broadcast; only (bits, sq_sum, mx, n) scalars reach the 4-row agg",
+      "d32_containment_curve" -> "containment curve: ONE inverted-index pair pass at tau_min (the d07 shape); the threshold sweep is a 5-row broadcast over (id_sub, containment) scalars — no per-tau pair re-join",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")

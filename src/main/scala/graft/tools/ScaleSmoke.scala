@@ -384,8 +384,9 @@ object ScaleSmoke {
           graft.pipeline.Multimodal.textAsBmp(
             docs.where(octet_length(col("text")) > 0), "doc_id", "text", 10))
           .count() }
-      // d06 closure + cluster-count-sized rollup
-      time("d27 dedupImpactReport") {
+      // d06 closure + cluster-count-sized rollup (capped postings —
+      // the uncapped path hard-fails on replica-corpus hot shingles)
+      time("d27 dedupImpactReport (capped)") {
         graft.pipeline.Dedup.dedupImpactReport(docs, "text", "doc_id").count() }
       // (doc,label,token) agg + |classes|-way scoring join
       time("t50 nbLangConfusion") {
@@ -412,15 +413,20 @@ object ScaleSmoke {
           docs.where(col("doc_id") % 50 =!= 0),
           docs.where(col("doc_id") % 50 === 0),
           "text", "doc_id", ns = Seq(2, 4, 8)).count() }
-      // the whole tuning sweep in one corpus scan (cell-rank trick)
+      // the whole tuning sweep in one corpus scan (cell-rank trick);
+      // collect() — same join-elimination hazard as the d29 row below
       time("s31 recallVsNprobe") {
         graft.pipeline.Ivf.recallVsNprobe(emb, "embedding", "vec_id",
           queryId = 0L, k = 10, numCells = 8, nprobes = Seq(1, 2, 4, 8))
-          .count() }
-      // one cell-blocked pair pass; sweep is a histogram
+          .collect().length.toLong }
+      // one cell-blocked pair pass; sweep is a histogram.
+      // collect(), NOT count(): these curve ops end in a left join
+      // onto the unique-keyed config list, and count() alone lets the
+      // optimizer ELIMINATE the join (row count = |configs| without
+      // computing the curve) — a count-timed row measures nothing
       time(s"d29 semDedupThresholdCurve k=$semK") {
         graft.pipeline.Clustering.semDedupThresholdCurve(emb, "embedding",
-          "vec_id", semK, thresholds = Seq(0.2, 0.3, 0.4)).count() }
+          "vec_id", semK, thresholds = Seq(0.2, 0.3, 0.4)).collect().length.toLong }
       // map-only assignment + one cell-keyed partial agg
       time("s30 cellBalanceReport k=8") {
         graft.pipeline.Clustering.cellBalanceReport(emb, "embedding",
@@ -432,7 +438,8 @@ object ScaleSmoke {
           k = 5).count() }
       // one measured pair pass; config sweep is broadcast arithmetic
       time("d30 lshBandPlanner") {
-        graft.pipeline.Dedup.lshBandPlanner(docs, "text", "doc_id").count() }
+        graft.pipeline.Dedup.lshBandPlanner(docs, "text", "doc_id")
+          .collect().length.toLong }
       // the t27 plan + one global-NTILE sort over per-doc scalars
       time("t52 perplexityBuckets") {
         graft.pipeline.TextAnalysis.perplexityBuckets(docs, "text",
@@ -448,7 +455,8 @@ object ScaleSmoke {
           nBins = 8).count() }
       // one 16-slot signature pass; k sweep is prefix arithmetic
       time("d31 minHashSizeSweep ks=4,8,16") {
-        graft.pipeline.Dedup.minHashSizeSweep(docs, "text", "doc_id").count() }
+        graft.pipeline.Dedup.minHashSizeSweep(docs, "text", "doc_id")
+          .collect().length.toLong }
       // one running-sum window; per-L metrics are integer division
       time("t53 packingWasteCurve 4 budgets") {
         graft.pipeline.Sampling.packingWasteCurve(docs, "text", "doc_id",
@@ -456,6 +464,10 @@ object ScaleSmoke {
       // one scan; each width a level count in the same round-trip
       time("s33 sqBitsSweep 4 widths") {
         graft.pipeline.Quantize.bitsSweep(emb, "embedding", -2.0, 2.0).count() }
+      // one capped inverted-index pair pass; tau sweep is broadcast
+      time("d32 containmentCurve (capped)") {
+        graft.pipeline.Dedup.containmentCurve(docs, "text", "doc_id",
+          maxPostings = Some(10000)).collect().length.toLong }
       spark.catalog.clearCache()
     }
 

@@ -119,8 +119,10 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     // d31 is the d28 class with 16 slots + prefix-count integers +
     // contract-rounded error means; t53 is integers end to end
     // (token counts, running sums, floor divisions) + one exact
-    // divide per row
-    "d31_minhash_size_sweep", "t53_packing_waste_curve")
+    // divide per row; d32 is the d07 pair class + threshold-literal
+    // comparisons (driven from the threshold list on both sides)
+    "d31_minhash_size_sweep", "t53_packing_waste_curve",
+    "d32_containment_curve")
 
   private def generate(seed: Int, nDocs: Int): Seq[(Long, String, String, String, Long)] = {
     val rnd = new scala.util.Random(seed)

@@ -420,6 +420,56 @@ class Round13Spec extends AnyFunSuite {
       "bits=8 worst error must equal the SQ8 path's")
   }
 
+  // ---------------- d32: containment-threshold curve ----------------
+
+  test("containmentCurve == in-memory max-containment histogram") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),                                       // superset
+      (2L, (1 to 20).map(i => s"c$i").mkString(" ")),   // contained fully
+      (3L, ((1 to 12).map(i => s"c$i") ++ Seq("zz", "qq")).mkString(" ")),
+      (4L, (1 to 40).map(i => s"u$i").mkString(" "))    // unrelated
+    ).toDF("doc_id", "text").repartition(2)
+    val ts = Seq(0.3, 0.6, 0.9, 0.99)
+
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ")
+      (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }
+    val sets = Map(1L -> base,
+      2L -> (1 to 20).map(i => s"c$i").mkString(" "),
+      3L -> ((1 to 12).map(i => s"c$i") ++ Seq("zz", "qq")).mkString(" "),
+      4L -> (1 to 40).map(i => s"u$i").mkString(" ")
+    ).map { case (k, v) => k -> shingles(v) }
+    val ids = sets.keys.toSeq.sorted
+    val dirPairs = for {
+      a <- ids; b <- ids if a != b
+      inter = (sets(a) & sets(b)).size if inter > 0
+    } yield (a, inter.toDouble / sets(a).size)
+    val expected = ts.map { t =>
+      val hit = dirPairs.filter(_._2 >= t)
+      (t, hit.size.toLong, hit.map(_._1).distinct.size.toLong,
+        hit.map(_._1).distinct.size.toDouble / 4.0)
+    }
+
+    val got = Dedup.containmentCurve(docs, "text", "doc_id", n = 3,
+        thresholds = ts, maxPostings = None)
+      .orderBy(col("threshold")).collect()
+    got.zip(expected).foreach { case (r, (t, np, nd, frac)) =>
+      assert(r.getDouble(0) == t)
+      assert(r.getLong(1) == np, s"n_pairs at t=$t: ${r.getLong(1)} != $np")
+      assert(r.getLong(2) == nd, s"n_docs_dropped at t=$t")
+      assert(math.abs(r.getDouble(3) - frac) < 1e-12, s"drop_frac at t=$t")
+    }
+    // monotone: higher tau can only fire on fewer pairs/docs
+    got.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(1) >= b.getLong(1) && a.getLong(2) >= b.getLong(2))
+      case _ =>
+    }
+  }
+
   test("lshBandPlanner on a pairless corpus still reports every config") {
     import spark.implicits._
     val docs = Seq((1L, (1 to 30).map(i => s"a$i").mkString(" ")),
