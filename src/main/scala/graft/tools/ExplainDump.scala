@@ -194,6 +194,36 @@ DriftProfile (fresh JVM, t05 leading as the throwaway, 5 reps each):
 | s01_knn_bruteforce | 0.209 | 0.201 / 0.216 | a 50 ms move on a 0.2 s query — sub-noise |
 | m03_frame_sample | 0.658 | 0.716 / 0.728 | isolated REPRODUCES the bench number: the ~0.7 s cost is real plan cost, not billing. Code and plan byte-unchanged since r9 (the session touched codecs m03 does not use), so the r9 0.47 was either the favorable end of the machine band or this window runs hot (t05 control also reads high). WATCH: if m03 drifts again next round it gets the full profile-vs-r9-plan treatment |
 
+## Round-13 bench health + the two smoke-caught bugs
+
+Driver-bench comparison (bench_out.json, 204→208 queries): total
+126.7 s vs the prior run's 140.0 s on a broadly FASTER board (ten
+queries improved ≥1.6×, e.g. t40 1.87→0.94, t35 1.41→0.81); the only
+≥1.25× movers were q21 (0.28→0.35) and d12 (1.54→1.95), both inside
+the machine band a board-wide speedup implies — adjudicated as
+variance, WATCH d12 if it moves again. New-query costs sit in their
+families' class: d30 1.88 (the d28 audit pass + arithmetic), t52 1.53
+(the t27 plan + NTILE), d29 1.29, m19 0.84, s32 0.27.
+
+The 10× ScaleSmoke caught two real defects this round:
+
+1. **dedupImpactReport's uncapped default** — maxPostings=None let a
+   hot shingle fan out m²/2 pre-threshold pairs; inside the closure's
+   `.cache()`d pair plan the join is STATICALLY planned (AQE does not
+   re-plan cached subtrees), so the misestimated broadcast of the
+   exploded side hard-failed at Spark's 8 GiB ceiling. Fixed: capped
+   default like dedupedCorpus; the sf-scale oracle passes None
+   explicitly. Lesson: inside caches, static size estimates decide
+   broadcasts — never leave an unbounded fan-out upstream of one.
+2. **count()-eliminated smoke rows** — the curve/planner operators end
+   in a LEFT join onto their unique-keyed config list; under a bare
+   `count()` Catalyst PROVES the row count equals the config list's
+   and eliminates the entire expensive branch, so d29/d30/d31/d32/s31
+   timed flat at both scales while measuring nothing. Fixed: those
+   rows time `collect()` (output ≤5 rows); honest growth numbers are
+   in IMPLEMENTATION.md (d30 1.18→3.20 s tracking audit pairs, etc.).
+   Bench was never affected (noop-format write).
+
 ## Round-12 t50 join-shape A/B (exploded likelihood join vs map-join)
 
 t50 is the slowest round-12 query (2.89 s driver bench). Hypothesis:
