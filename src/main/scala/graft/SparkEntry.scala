@@ -5817,6 +5817,76 @@ object SparkEntry {
         n = 3, thresholds = Seq(0.5, 0.7, 0.8, 0.9, 0.95), maxPostings = None)
       .orderBy(col("threshold")))
 
+  // Jaccard-threshold curve for the core n-gram dedup: qualifying
+  // pairs + docs the keep-min-id convention would drop per candidate
+  // tau — one inverted-index pass, the curve behind d02/d06/d11's 0.3.
+  private val d33 = Q("d33_jaccard_threshold_curve", Some("""
+    WITH toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    pairs AS (SELECT id_a, id_b,
+        CAST(n_inter AS DOUBLE) /
+          CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) AS jaccard
+      FROM inter JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b),
+    base AS (SELECT id_b, jaccard FROM pairs WHERE jaccard >= 0.2),
+    mx AS (SELECT id_b, MAX(jaccard) AS m FROM base GROUP BY id_b),
+    tsl AS (SELECT CAST(UNNEST([0.2, 0.3, 0.5, 0.7, 0.9]) AS DOUBLE) AS threshold),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+    pagg AS (SELECT t.threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM base b JOIN tsl t ON b.jaccard >= t.threshold GROUP BY t.threshold),
+    dagg AS (SELECT t.threshold, CAST(COUNT(*) AS BIGINT) AS n_docs_dropped
+      FROM mx JOIN tsl t ON mx.m >= t.threshold GROUP BY t.threshold)
+    SELECT t.threshold, COALESCE(p.n_pairs, 0) AS n_pairs,
+      COALESCE(d.n_docs_dropped, 0) AS n_docs_dropped,
+      CAST(COALESCE(d.n_docs_dropped, 0) AS DOUBLE) / tot.nd AS drop_frac
+    FROM tsl t LEFT JOIN pagg p USING (threshold)
+      LEFT JOIN dagg d USING (threshold), tot
+    ORDER BY t.threshold"""),
+    (s, dir) => Dedup.jaccardThresholdCurve(T(s, dir, "documents"), "text",
+        "doc_id", n = 3, thresholds = Seq(0.2, 0.3, 0.5, 0.7, 0.9),
+        maxPostings = None)
+      .orderBy(col("threshold")))
+
+  // Octave-band log energies (bins 1 | 2-3 | 4-7 | 8-15 of the real
+  // DFT fold) — the constant-Q banding audio fingerprints use. Band
+  // sums of bit-exact bin energies, ROUND(6) on the O(30) log.
+  private val m20 = Q("m20_octave_band_energies", Some("""
+    WITH d AS (SELECT doc_id,
+        octet_length(CAST(text AS BLOB)) AS n,
+        string_split(text, '') AS cs
+      FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) > 0
+        AND octet_length(CAST(text AS BLOB)) = length(text)),
+    b AS (SELECT doc_id, n, cs, k FROM d, UNNEST(generate_series(1, 15)) AS g(k)),
+    co AS (SELECT doc_id AS sample_id, CAST(k AS BIGINT) AS bin,
+      ROUND(list_sum(list_transform(generate_series(0, n - 1), i ->
+        CAST(ord(cs[CAST(i + 1 AS BIGINT)]) * 128 AS DOUBLE) * cos(2 * pi() * k * i / n))), 6) + 0.0 AS c,
+      ROUND(list_sum(list_transform(generate_series(0, n - 1), i ->
+        CAST(ord(cs[CAST(i + 1 AS BIGINT)]) * 128 AS DOUBLE) * sin(2 * pi() * k * i / n))), 6) + 0.0 AS s
+      FROM b),
+    e AS (SELECT sample_id, bin, c * c + s * s AS e FROM co),
+    bands AS (SELECT sample_id,
+        CAST(CASE WHEN bin = 1 THEN 1 WHEN bin <= 3 THEN 2
+                  WHEN bin <= 7 THEN 3 ELSE 4 END AS BIGINT) AS band, e
+      FROM e)
+    SELECT sample_id, band, ROUND(ln(1 + SUM(e)), 6) AS log_energy
+    FROM bands GROUP BY sample_id, band ORDER BY sample_id, band"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents").where(octet_length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
+      Multimodal.octaveBandEnergies(
+          Multimodal.textAsWav(docs, "doc_id", "text"))
+        .orderBy(col("sample_id"), col("band"))
+    })
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -5828,7 +5898,7 @@ object SparkEntry {
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
-    d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31, d32,
+    d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31, d32, d33,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
     s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
@@ -5836,7 +5906,7 @@ object SparkEntry {
     t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45,
     t46, t47, t48, t49, t50, t51, t52, t53,
     m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14,
-    m15, m16, m17, m18, m19)
+    m15, m16, m17, m18, m19, m20)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))

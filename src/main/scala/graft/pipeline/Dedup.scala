@@ -960,6 +960,54 @@ object Dedup {
           .as("drop_frac"))
   }
 
+  /** Jaccard-threshold curve for the CORE n-gram dedup — per
+    * candidate τ: qualifying pair count and the DISTINCT docs d11's
+    * keep-min-id convention would drop (a doc drops when paired with
+    * a SMALLER id at ≥ τ, so the doc leg is a histogram over each
+    * doc's max Jaccard to a smaller-id partner — the d29 trick).
+    * Completes the threshold-curve set: one calibration sweep per
+    * dedup family (semantic d29, banding d30, signature size d31,
+    * containment d32, and now the exact-Jaccard τ behind
+    * d02/d06/d11).
+    *
+    * Scale shape: ONE inverted-index pair pass at τ_min; the sweep is
+    * a |thresholds|-row broadcast over (id_b, jaccard) scalars.
+    *
+    * Note: drop counts here are PRE-closure (direct pairs). The
+    * transitive closure can only drop more; [[dedupImpactReport]]
+    * gives the closed accounting at one τ.
+    *
+    * @return (threshold, n_pairs, n_docs_dropped, drop_frac) ordered
+    *         by threshold
+    */
+  def jaccardThresholdCurve(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, thresholds: Seq[Double] = Seq(0.2, 0.3, 0.5, 0.7, 0.9),
+      maxPostings: Option[Int] = Some(10000)): DataFrame = {
+    require(thresholds.nonEmpty && thresholds == thresholds.sorted &&
+      thresholds.distinct == thresholds, "thresholds must be sorted distinct")
+    val base = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
+      ngramJaccardPairs(docs, textCol, idCol, n, thresholds.min, maxPostings)
+        .select(col("id_b"), col("jaccard")))
+    val mx = base.groupBy(col("id_b")).agg(max(col("jaccard")).as("m"))
+    val tDf = docs.sparkSession.createDataFrame(thresholds.map(Tuple1(_)))
+      .toDF("threshold")
+    val tot = docs.agg(count(lit(1)).cast("double").as("nd"))
+    val pagg = base.crossJoin(broadcast(tDf))
+      .where(col("jaccard") >= col("threshold"))
+      .groupBy(col("threshold")).agg(count(lit(1)).as("np"))
+    val dagg = mx.crossJoin(broadcast(tDf))
+      .where(col("m") >= col("threshold"))
+      .groupBy(col("threshold")).agg(count(lit(1)).as("ndrop"))
+    tDf.join(broadcast(pagg), Seq("threshold"), "left")
+      .join(broadcast(dagg), Seq("threshold"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("threshold"),
+        coalesce(col("np"), lit(0L)).as("n_pairs"),
+        coalesce(col("ndrop"), lit(0L)).as("n_docs_dropped"),
+        (coalesce(col("ndrop"), lit(0L)).cast("double") / col("nd"))
+          .as("drop_frac"))
+  }
+
   /** 32-bit SimHash over md5-derived bits — the oracle twin of
     * [[simHash]] (the d12/s16 move for the SimHash family): bit j of
     * a token is bit (j mod 4) of hex digit (j div 4) of md5(token),

@@ -1068,6 +1068,35 @@ object Multimodal {
         (col("sa") / col("nb").cast("double")), 6).as("flatness"))
   }
 
+  /** Octave-band log energies over the [[wavDftEnergy]] bins — the
+    * constant-Q banding audio fingerprints and band-pass quality
+    * checks use: DFT bins 1..15 grouped into 4 octave bands
+    * (1 | 2-3 | 4-7 | 8-15), each reported as ln(1 + Σ energy). The
+    * octave mapping is a literal when-chain, not floor(log2(bin)) —
+    * log2 of an exact power of two can land a hair under the integer
+    * and misbucket the band boundary.
+    *
+    * Determinism: bin energies are bit-exact (m14's ROUND(6) c/s);
+    * each band sums ≤ 8 of them (sum order absorbed by the final
+    * ROUND(6) on the O(30) log). Same scale shape as
+    * [[spectralFeatures]]: decode-stage energies, one sample-keyed
+    * exchange of scalars.
+    *
+    * @return (sample_id, band, log_energy), 4 rows per clip, ordered
+    *         by (sample_id, band)
+    */
+  def octaveBandEnergies(media: DataFrame,
+      idCol: String = "sample_id", payloadCol: String = "payload"): DataFrame = {
+    val e = wavDftEnergy(media, 1 to 15, idCol, payloadCol)
+      .select(col("sample_id"), col("bin"),
+        (col("c") * col("c") + col("s") * col("s")).as("e"))
+    val band = when(col("bin") === 1L, 1L).when(col("bin") <= 3L, 2L)
+      .when(col("bin") <= 7L, 3L).otherwise(4L)
+    e.select(col("sample_id"), band.as("band"), col("e"))
+      .groupBy(col("sample_id"), col("band"))
+      .agg(round(log(lit(1.0) + sum(col("e"))), 6).as("log_energy"))
+  }
+
   /** Voice-activity segments over REAL decoded PCM — the segmentation
     * primitive audio curation runs before transcription (cut silence,
     * keep speech): fixed-length frames (`frameLen` samples, the last

@@ -132,6 +132,8 @@ object ExplainDump {
       "t53_packing_waste_curve" -> "packing-waste curve: the t16 running-sum window computed ONCE; every candidate context length is integer floor-division arithmetic on (cum, n, total) over a 4-row budget broadcast — no per-length corpus pass",
       "s33_sq_bits_sweep" -> "SQ bit-width sweep: ONE corpus scan, each width a different level count in the same affine round-trip over a 4-row broadcast; only (bits, sq_sum, mx, n) scalars reach the 4-row agg",
       "d32_containment_curve" -> "containment curve: ONE inverted-index pair pass at tau_min (the d07 shape); the threshold sweep is a 5-row broadcast over (id_sub, containment) scalars — no per-tau pair re-join",
+      "d33_jaccard_threshold_curve" -> "jaccard tau curve: ONE inverted-index pair pass at tau_min (the d02 shape); pair counts and keep-min-id drop counts both sweep over (id_b, jaccard) scalars via a 5-row broadcast",
+      "m20_octave_band_energies" -> "octave bands: the m19 decode-stage energy shape over bins 1..15; band mapping is a literal when-chain in the same projection, ONE sample-keyed exchange of (id, band, e) scalars",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")

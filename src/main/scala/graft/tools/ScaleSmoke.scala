@@ -468,6 +468,14 @@ object ScaleSmoke {
       time("d32 containmentCurve (capped)") {
         graft.pipeline.Dedup.containmentCurve(docs, "text", "doc_id",
           maxPostings = Some(10000)).collect().length.toLong }
+      time("d33 jaccardThresholdCurve (capped)") {
+        graft.pipeline.Dedup.jaccardThresholdCurve(docs, "text", "doc_id",
+          maxPostings = Some(10000)).collect().length.toLong }
+      // 15-bin decode-stage energies; one keyed exchange of scalars
+      time("m20 octaveBandEnergies") {
+        graft.pipeline.Multimodal.octaveBandEnergies(
+          graft.pipeline.Multimodal.textAsWav(docs, "doc_id", "text"))
+          .count() }
       spark.catalog.clearCache()
     }
 

@@ -122,7 +122,11 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     // divide per row; d32 is the d07 pair class + threshold-literal
     // comparisons (driven from the threshold list on both sides)
     "d31_minhash_size_sweep", "t53_packing_waste_curve",
-    "d32_containment_curve")
+    "d32_containment_curve",
+    // d33 is the d02 pair class + threshold literals (driven from the
+    // list on both sides); m20 bands the m14 bit-exact energies with
+    // a literal when-chain + contract-rounded logs
+    "d33_jaccard_threshold_curve", "m20_octave_band_energies")
 
   private def generate(seed: Int, nDocs: Int): Seq[(Long, String, String, String, Long)] = {
     val rnd = new scala.util.Random(seed)

@@ -470,6 +470,97 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  // ---------------- d33: Jaccard-threshold curve ----------------
+
+  test("jaccardThresholdCurve == in-memory keep-min-id histogram") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"j$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base), // jaccard 1 with doc 1
+      (3L, base.replace("j7", "x").replace("j21", "y")), // high-jaccard
+      (4L, ((1 to 20).map(i => s"j$i") ++ (1 to 20).map(i => s"k$i"))
+        .mkString(" ")), // partial
+      (5L, (1 to 40).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text").repartition(2)
+    val ts = Seq(0.1, 0.4, 0.8, 0.99)
+
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ")
+      (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }
+    val texts = Map(1L -> base, 2L -> base,
+      3L -> base.replace("j7", "x").replace("j21", "y"),
+      4L -> ((1 to 20).map(i => s"j$i") ++ (1 to 20).map(i => s"k$i")).mkString(" "),
+      5L -> (1 to 40).map(i => s"z$i").mkString(" "))
+    val sets = texts.map { case (k, v) => k -> shingles(v) }
+    val ids = sets.keys.toSeq.sorted
+    val pairs = for {
+      a <- ids; b <- ids if a < b
+      inter = (sets(a) & sets(b)).size if inter > 0
+      j = inter.toDouble / (sets(a).size + sets(b).size - inter)
+      if j >= ts.min
+    } yield (b, j) // id_b is the dropped side under keep-min-id
+    val expected = ts.map { t =>
+      val hit = pairs.filter(_._2 >= t)
+      (t, hit.size.toLong, hit.map(_._1).distinct.size.toLong)
+    }
+
+    val got = Dedup.jaccardThresholdCurve(docs, "text", "doc_id", n = 3,
+        thresholds = ts, maxPostings = None)
+      .orderBy(col("threshold")).collect()
+    got.zip(expected).foreach { case (r, (t, np, nd)) =>
+      assert(r.getDouble(0) == t)
+      assert(r.getLong(1) == np, s"n_pairs at t=$t: ${r.getLong(1)} != $np")
+      assert(r.getLong(2) == nd, s"n_docs_dropped at t=$t")
+      assert(math.abs(r.getDouble(3) - nd / 5.0) < 1e-12, s"drop_frac at t=$t")
+    }
+    got.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(1) >= b.getLong(1) && a.getLong(2) >= b.getLong(2),
+          "curve must be non-increasing in threshold")
+      case _ =>
+    }
+  }
+
+  // ---------------- m20: octave-band energies ----------------
+
+  test("octaveBandEnergies == in-memory band sums; a tone lands in its octave") {
+    import spark.implicits._
+    val n = 160
+    // tone at bin 5 (band 3: bins 4-7); DC offset keeps samples positive
+    val tone = Array.tabulate(n)(i =>
+      (9000 + 5000 * math.cos(2 * math.Pi * 5 * i / n)).toShort)
+    val media = Seq((1L, Multimodal.WavCodec.encodePcm16(tone, 16000)))
+      .toDF("sample_id", "payload").repartition(1)
+
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val es = (1 to 15).map { k =>
+      var c = 0.0; var s = 0.0
+      for (j <- 0 until n) {
+        val th = 2.0 * math.Pi * k * j / n
+        c += tone(j) * math.cos(th); s += tone(j) * math.sin(th)
+      }
+      val cr = r6(c); val sr = r6(s)
+      k -> (cr * cr + sr * sr)
+    }.toMap
+    val bandOf = (k: Int) => if (k == 1) 1 else if (k <= 3) 2 else if (k <= 7) 3 else 4
+    val expected = (1 to 4).map(b =>
+      b.toLong -> r6(math.log1p(es.filter(kv => bandOf(kv._1) == b).values.sum)))
+      .toMap
+
+    val got = Multimodal.octaveBandEnergies(media)
+      .orderBy(col("band")).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    expected.foreach { case (b, v) =>
+      assert(math.abs(got(b) - v) < 1e-5, s"band $b: ${got(b)} != $v")
+    }
+    // physics: the tone's octave (band 3) carries the most energy
+    assert(got(3L) == got.values.max, s"tone must dominate band 3: $got")
+  }
+
   test("lshBandPlanner on a pairless corpus still reports every config") {
     import spark.implicits._
     val docs = Seq((1L, (1 to 30).map(i => s"a$i").mkString(" ")),
