@@ -683,15 +683,39 @@ object Dedup {
     * boundary.
     *
     * Scale shape: chunk boundaries, slices and md5 digests all
-    * evaluate INSIDE the scan projection (array HOFs over the
-    * char-code array — document text never leaves its scan task);
-    * the df aggregation and the per-doc rollup exchange (fp, len)
-    * pairs only.
+    * evaluate INSIDE the scan projection (one imperative code-point
+    * scan per document, [[graft.functions.CdcChunkDigests]] — document
+    * text never leaves its scan task); the df aggregation and the
+    * per-doc rollup exchange (fp, len) pairs only. The kernel replaced
+    * a per-position array-HOF hash chain that paid a ~4.5× interpreted-
+    * dispatch constant at the 10× smoke scale; the chain survives as
+    * [[cdcChunkDedupComposable]], the differential twin Round14Spec
+    * pins bit-identical.
     *
     * @return (doc_id, n_chunks, n_dup_chunks, dup_char_ratio) per doc
     *         with ≥ W chars
     */
   def cdcChunkDedup(docs: DataFrame, textCol: String, idCol: String,
+      window: Int = 16, modulus: Int = 16): DataFrame = {
+    require(window >= 2 && modulus >= 2, "bad cdc params")
+    val chunks = graft.ops.ScaleOps.fanOut(docs)
+      .where(length(col(textCol)) >= window)
+      .select(col(idCol).as("id"),
+        explode(graft.functions.CdcExpressions.cdcChunkDigests(
+          col(textCol), window, modulus)).as("c"))
+      .select(col("id"), col("c.fp").as("fp"), col("c.clen").as("clen"))
+    cdcRollup(chunks)
+  }
+
+  /** The composable HOF spelling of [[cdcChunkDedup]]'s chunking —
+    * boundary window-hashes as array HOFs over the char-code array,
+    * digests via `substr` in the same projection. Kept as the
+    * engine-portable differential twin of [[graft.functions.CdcChunkDigests]]
+    * (the d26 oracle replays this spelling in SQL); ~4.5× slower than
+    * the kernel at the 10× smoke scale from per-position interpreted
+    * dispatch, so production callers want [[cdcChunkDedup]].
+    */
+  def cdcChunkDedupComposable(docs: DataFrame, textCol: String, idCol: String,
       window: Int = 16, modulus: Int = 16): DataFrame = {
     require(window >= 2 && modulus >= 2, "bad cdc params")
     val M = 2147483648L // 2^31
@@ -719,6 +743,14 @@ object Dedup {
           (e - when(k === 0, lit(0)).otherwise(element_at(col("ends"), k)))
             .cast("long").as("clen")))).as("c"))
       .select(col("id"), col("c.fp").as("fp"), col("c.clen").as("clen"))
+    cdcRollup(chunks)
+  }
+
+  /** Shared (fp, clen) → per-doc dup-accounting rollup for the two
+    * [[cdcChunkDedup]] spellings: only these scalar pairs ever cross
+    * an exchange.
+    */
+  private def cdcRollup(chunks: DataFrame): DataFrame = {
     val df = chunks.groupBy(col("fp")).agg(count(lit(1)).as("c"))
     chunks.join(df, Seq("fp"))
       .groupBy(col("id"))
@@ -932,12 +964,18 @@ object Dedup {
     * Scale shape: ONE inverted-index pair pass at τ_min; the sweep is
     * a |thresholds|-row broadcast over (id_sub, containment) scalars.
     *
+    * `maxPostings` defaults to the capped path like every other
+    * pair-emitting API: the round-10 smoke proved an uncapped posting
+    * list inside a cached pair plan is an 8 GiB-broadcast hard-fail
+    * at scale (see [[dedupImpactReport]]). Pass `None` only for
+    * sf-scale exact oracles (the declared d32 query does).
+    *
     * @return (threshold, n_pairs, n_docs_dropped, drop_frac) ordered
     *         by threshold
     */
   def containmentCurve(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, thresholds: Seq[Double] = Seq(0.5, 0.7, 0.8, 0.9, 0.95),
-      maxPostings: Option[Int] = None): DataFrame = {
+      maxPostings: Option[Int] = Some(10000)): DataFrame = {
     require(thresholds.nonEmpty && thresholds == thresholds.sorted &&
       thresholds.distinct == thresholds, "thresholds must be sorted distinct")
     val base = containmentPairs(docs, textCol, idCol, n, thresholds.min,

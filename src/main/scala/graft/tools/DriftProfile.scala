@@ -31,6 +31,7 @@ object DriftProfile {
     if (names == Seq("__range_ab")) { rangeAb(spark, sfDir); spark.stop(); return }
     if (names == Seq("__lev_ab")) { levAb(spark); spark.stop(); return }
     if (names == Seq("__mlm_ab")) { mlmAb(spark, sfDir); spark.stop(); return }
+    if (names == Seq("__cdc_ab")) { cdcAb(spark, sfDir); spark.stop(); return }
     names.foreach { n =>
       val q = graft.SparkEntry.queries(n)
       // warm (scan caches, codegen)
@@ -72,6 +73,35 @@ object DriftProfile {
     variants.foreach { case (n, _) =>
       val ts = times(n)
       println(f"[mlm_ab] $n%-10s min=${ts.min}%.3f median=${ts.sorted.apply(2)}%.3f " +
+        ts.map(t => f"$t%.3f").mkString("[", ", ", "]"))
+    }
+    docs.unpersist(): Unit
+  }
+
+  /** A/B the d26 chunking spellings (dev-only): the one-pass
+    * CdcChunkDigests kernel vs the composable per-position HOF chain,
+    * interleaved round-robin on the sf documents table.
+    */
+  private def cdcAb(spark: SparkSession, sfDir: String): Unit = {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    docs.cache().count(): Unit
+    def run(f: () => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      f().write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val variants: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "kernel" -> (() => graft.pipeline.Dedup.cdcChunkDedup(docs, "text", "doc_id")),
+      "hof chain" -> (() => graft.pipeline.Dedup.cdcChunkDedupComposable(docs, "text", "doc_id")))
+    variants.foreach { case (_, f) => run(f) } // warm
+    val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    (1 to 5).foreach { _ =>
+      variants.foreach { case (n, f) => times(n) = times(n) :+ run(f) }
+    }
+    variants.foreach { case (n, _) =>
+      val ts = times(n)
+      println(f"[cdc_ab] $n%-10s min=${ts.min}%.3f median=${ts.sorted.apply(2)}%.3f " +
         ts.map(t => f"$t%.3f").mkString("[", ", ", "]"))
     }
     docs.unpersist(): Unit
