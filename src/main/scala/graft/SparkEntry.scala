@@ -4498,6 +4498,74 @@ object SparkEntry {
     sb.toString
   }
 
+  /** t54 oracle: induce + encode (shared CTEs), then DECODE every
+    * document (token concatenation), prove round-trip identity vs the
+    * normalized source stream, vocab-check every token against the
+    * k merge products, and roll up chars-per-token per source.
+    */
+  private def bpeRoundTripOracleSql(k: Int): String = {
+    val sb = new StringBuilder(bpeInductionCtes(k))
+    sb.append(""",
+    e0 AS MATERIALIZED (
+      SELECT doc_id, trim(regexp_replace(
+        COALESCE(array_to_string(regexp_extract_all(lower(text), '[a-z]+'), '|'), ''),
+        '(.)', '\1 ', 'g')) AS s
+      FROM documents)""")
+    (0 until k).foreach { i =>
+      sb.append(s""",
+    e${i + 1} AS MATERIALIZED (
+      SELECT doc_id, trim(regexp_replace(replace(
+          ' ' || replace(s, ' ', '  ') || ' ',
+          ' ' || (SELECT l FROM b$i) || '  ' || (SELECT r FROM b$i) || ' ',
+          ' ' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ' '),
+        ' +', ' ', 'g')) AS s
+      FROM e$i)""")
+    }
+    val mg = (0 until k).map(i => s"SELECT l || r AS m FROM b$i")
+      .mkString("\n    UNION ALL\n    ")
+    sb.append(s""",
+    mg AS ($mg),
+    lm AS (SELECT list(m) AS ms FROM mg),
+    per AS (
+      SELECT d.source,
+        CASE WHEN replace(e.s, ' ', '') =
+          COALESCE(array_to_string(regexp_extract_all(lower(d.text), '[a-z]+'), '|'), '')
+          THEN 1 ELSE 0 END AS rt_ok,
+        CAST(len(list_filter(string_split(e.s, ' '), t -> t <> '' AND t <> '|'
+          AND NOT regexp_matches(t, '^[a-z]${"$"}')
+          AND NOT list_contains(lm.ms, t))) AS BIGINT) AS n_viol,
+        CAST(len(list_filter(string_split(e.s, ' '), t -> t <> '|' AND t <> '')) AS BIGINT) AS n_tok,
+        CAST(length(replace(replace(e.s, ' ', ''), '|', '')) AS BIGINT) AS n_ch
+      FROM e$k e JOIN documents d USING (doc_id), lm)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(rt_ok) AS BIGINT) AS n_roundtrip_ok,
+      CAST(SUM(n_viol) AS BIGINT) AS n_vocab_violations,
+      CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      CAST(SUM(n_ch) AS BIGINT) AS n_chars,
+      CASE WHEN SUM(n_tok) = 0 THEN NULL ELSE
+        ROUND(CAST(SUM(n_ch) AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE), 6) END AS chars_per_token
+    FROM per GROUP BY source ORDER BY source""")
+    sb.toString
+  }
+
+  // BPE round-trip + vocabulary audit — the inverse pass closing the
+  // t44/t45 loop: decode = token concatenation must reproduce the
+  // normalized source stream exactly, every emitted token must be in
+  // the decoder's vocabulary (single char, boundary, or a merge
+  // product), and chars-per-token compression reported per source —
+  // the number a data-mixing decision consumes. The oracle replays
+  // induction + encode (shared CTEs) AND the decode/vocab legs, so a
+  // lossy rewrite or an invented symbol breaks counted rows.
+  private val t54 = Q("t54_bpe_roundtrip", Some(bpeRoundTripOracleSql(8)),
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val merges = TextAnalysis.bpeMerges(docs, "text", k = 8)
+        .orderBy(col("round")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeRoundTripAudit(docs, "text", "source", merges)
+        .orderBy(col("source"))
+    })
+
   // Distributed BPE merge induction (Sennrich et al. 2016): k rounds
   // of argmax-pair-merge over the word vocabulary; only the initial
   // word-frequency aggregation touches the corpus — the tokenizer-
@@ -5133,6 +5201,65 @@ object SparkEntry {
     (s, dir) => Dedup.dedupImpactReport(T(s, dir, "documents"), "text", "doc_id",
         n = 3, threshold = 0.3, maxPostings = None) // exact: oracle-comparable
       .orderBy(col("cluster_size")))
+
+  // The COMPOSED dedup pipeline run: candidates (d12's banding) →
+  // exact-Jaccard verify at τ (d24) → closure (d06) → keep-min-id
+  // (d11), emitting the deduped corpus AND the per-stage audit counts
+  // in one result — the config chosen from the d29–d33 curves,
+  // actually RUN. The oracle replays every stage, so a wrong count in
+  // any leg or a mis-kept doc breaks the hash.
+  private val d34 = Q("d34_dedup_pipeline_run", Some("""
+    WITH RECURSIVE toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    sig AS (SELECT doc_id,
+        MIN(md5('0:' || shingle)) AS m0, MIN(md5('1:' || shingle)) AS m1,
+        MIN(md5('2:' || shingle)) AS m2, MIN(md5('3:' || shingle)) AS m3,
+        MIN(md5('4:' || shingle)) AS m4, MIN(md5('5:' || shingle)) AS m5,
+        MIN(md5('6:' || shingle)) AS m6, MIN(md5('7:' || shingle)) AS m7
+      FROM sh GROUP BY doc_id),
+    bnd AS (
+      SELECT doc_id, 0 AS band, m0 || '|' || m1 AS key FROM sig
+      UNION ALL SELECT doc_id, 1, m2 || '|' || m3 FROM sig
+      UNION ALL SELECT doc_id, 2, m4 || '|' || m5 FROM sig
+      UNION ALL SELECT doc_id, 3, m6 || '|' || m7 FROM sig),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bnd a JOIN bnd b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+      FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2),
+    ver AS (SELECT id_a, id_b
+      FROM inter
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+      WHERE CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) >= 0.3),
+    sym AS (SELECT id_a AS u, id_b AS v FROM ver UNION SELECT id_b, id_a FROM ver),
+    reach(u, v) AS (SELECT u, v FROM sym
+                    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u),
+    dropped AS (SELECT doc_id FROM comp WHERE doc_id <> rep),
+    kept AS (SELECT 'kept' AS stage, d.doc_id, CAST(NULL AS BIGINT) AS n
+      FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)),
+    counts AS (
+      SELECT 'candidates' AS stage, CAST(NULL AS BIGINT) AS doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n FROM cand
+      UNION ALL SELECT 'verified', NULL, CAST(COUNT(*) AS BIGINT) FROM ver
+      UNION ALL SELECT 'clusters', NULL, CAST(COUNT(DISTINCT rep) AS BIGINT) FROM comp
+      UNION ALL SELECT 'dropped', NULL, CAST(COUNT(*) AS BIGINT) FROM dropped)
+    SELECT stage, doc_id, n FROM kept
+    UNION ALL SELECT stage, doc_id, n FROM counts
+    ORDER BY stage, doc_id"""),
+    (s, dir) => Dedup.dedupPipelineRun(T(s, dir, "documents"), "text", "doc_id",
+        shingleN = 3, numHashes = 8, bands = 4, tau = 0.3)
+      .orderBy(col("stage"), col("doc_id").asc_nulls_last))
 
   // Trained NB language-ID confusion matrix: add-one multinomial NB
   // (trained on the corpus's own labels) predicts every doc, confusion
@@ -5898,13 +6025,13 @@ object SparkEntry {
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
-    d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31, d32, d33,
+    d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31, d32, d33, d34,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
     s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
     t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45,
-    t46, t47, t48, t49, t50, t51, t52, t53,
+    t46, t47, t48, t49, t50, t51, t52, t53, t54,
     m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14,
     m15, m16, m17, m18, m19, m20)
 

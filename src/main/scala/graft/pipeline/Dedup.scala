@@ -604,6 +604,85 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** The COMPOSED dedup pipeline run — the operator a production job
+    * actually deploys after reading the calibration curves (d29–d33
+    * price τ/bands/k in isolation; this RUNS the chosen config):
+    * md5-banded MinHash candidates → exact-Jaccard verification at τ
+    * → transitive closure → keep-min-id, emitting the deduped corpus
+    * AND the per-stage audit trail (candidates, verified pairs,
+    * clusters, docs dropped) in ONE result — the counts every
+    * production dedup job logs beside its output.
+    *
+    * Scale shape: the candidate and verified-pair frames are scoped-
+    * cached so ONE banding pass and ONE verification pass feed both
+    * the corpus leg (closure → anti-join) and the counts legs —
+    * nothing corpus-scale runs beyond what d11 already pays; the
+    * counts are single-row aggregates of pair-sized frames unioned
+    * onto the ids-only kept leg (document text never reshuffles).
+    *
+    * @return (stage, doc_id, n): one `stage='kept'` row per surviving
+    *         doc (n null), plus four audit rows
+    *         `stage ∈ candidates|verified|clusters|dropped`
+    *         (doc_id null, n the count)
+    */
+  def dedupPipelineRun(docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      tau: Double = 0.3): DataFrame = {
+    val spark = docs.sparkSession
+    val idType = docs.schema(idCol).dataType
+    // plain caches with a synchronous unpersist point: the closure is
+    // eager (connectedComponents probes/iterates before returning), so
+    // the pair stages are fully consumed inside this call — counting
+    // them HERE, while the caches are hot, is what makes "one banding
+    // pass, one verify pass" literally true (a lazy count leg in the
+    // result plan would recompute both: the closure's probe execution
+    // releases any CacheScope'd frame before the result ever runs)
+    val cand = minHashLshMd5(docs, textCol, idCol, shingleN, numHashes, bands)
+      .cache()
+    val docSets = graft.ops.ScaleOps.fanOut(docs)
+      .select(col(idCol).as("id"),
+        graft.functions.ShingleHashes(col(textCol), shingleN).as("sh_arr"))
+      .where(size(col("sh_arr")) > 0)
+      .cache() // feeds both sides of the verify join
+    val verified = cand
+      .join(docSets.select(col("id").as("id_a"), col("sh_arr").as("sa")), Seq("id_a"))
+      .join(docSets.select(col("id").as("id_b"), col("sh_arr").as("sb")), Seq("id_b"))
+      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("n_inter")).cast("double"))
+      .where(col("jaccard") >= lit(tau))
+      .select(col("id_a"), col("id_b"))
+      .cache()
+    val (nCand, nVer, comp) =
+      try {
+        val nc = cand.count()
+        val nv = verified.count() // materializes off the cand/docSets caches
+        // closure (eager): reads the verified cache; returns a local
+        // labelling at any sane dup rate, or a CacheScope'd
+        // distributed frame read once by the result execution below
+        (nc, nv, connectedComponents(verified))
+      } finally { verified.unpersist(); cand.unpersist(); docSets.unpersist() }
+    val dropped = comp.where(col("id") =!= col("component")).select(col("id"))
+    val kept = docs.select(col(idCol).as("id"))
+      .join(dropped, Seq("id"), "left_anti")
+      .select(lit("kept").as("stage"), col("id").as("doc_id"),
+        lit(null).cast("long").as("n"))
+    def c1(stage: String, n: Column) = spark.range(1).select(
+      lit(stage).as("stage"), lit(null).cast(idType).as("doc_id"),
+      n.cast("long").as("n"))
+    val counts = c1("candidates", lit(nCand))
+      .unionAll(c1("verified", lit(nVer)))
+      .unionAll(comp.agg(countDistinct(col("component")).as("c"))
+        .select(lit("clusters").as("stage"), lit(null).cast(idType).as("doc_id"),
+          col("c").cast("long").as("n")))
+      .unionAll(comp.where(col("id") =!= col("component"))
+        .agg(count(lit(1)).as("c"))
+        .select(lit("dropped").as("stage"), lit(null).cast(idType).as("doc_id"),
+          col("c").cast("long").as("n")))
+    kept.unionAll(counts)
+  }
+
   /** LSH candidates verified by EDIT DISTANCE — the character-level
     * sibling of [[lshVerifiedPairsMd5]]: md5-banded MinHash finds the
     * candidate sliver, then Levenshtein similarity

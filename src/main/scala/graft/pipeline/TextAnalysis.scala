@@ -1366,6 +1366,59 @@ object TextAnalysis {
     merges
   }
 
+  /** BPE round-trip + vocabulary audit — the inverse pass that closes
+    * the t44/t45 tokenizer loop: decode every encoded document
+    * (BPE decode IS token concatenation — merges only ever remove
+    * separators) and prove encode∘decode = identity against the
+    * normalized source stream, while checking every emitted token is
+    * reachable from the vocabulary (a single `[a-z]` character, the
+    * `|` word boundary, or the product `l+r` of a learned merge —
+    * anything else means the encoder invented a symbol the decoder's
+    * vocab can't hold). Reported per SOURCE with chars-per-token
+    * compression — the number a data-mixing decision consumes
+    * (pairs with t10's source mix and t49's budget select: a source
+    * that compresses poorly costs more tokens per byte of text).
+    *
+    * Scale shape: ONE map-only encode pass (the [[graft.functions.BpeEncode]]
+    * kernel; merge list and its k product symbols are literals baked
+    * into the projection — nothing driver-side scales with the
+    * corpus), then a partial-aggregated groupBy on the source key
+    * (source cardinality ≪ corpus) — only per-doc scalars cross the
+    * exchange.
+    *
+    * @param merges (left, right) pairs in induction order
+    * @return (source, n_docs, n_roundtrip_ok, n_vocab_violations,
+    *         n_tokens, n_chars, chars_per_token) — chars_per_token
+    *         rounded 6 dp, null for token-free sources
+    */
+  def bpeRoundTripAudit(docs: DataFrame, textCol: String, srcCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val products = validated(merges).map { case (l, r) => l + r }
+    val enc = graft.functions.BpeEncode(col(textCol), merges)
+    val decoded = call_function("replace", col("enc"), lit(" "), lit(""))
+    val norm = array_join(
+      regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0)), "|")
+    val viol = size(filter(split(col("enc"), " "), t =>
+      t =!= lit("") && t =!= lit("|") && !t.rlike("^[a-z]$") &&
+        !t.isin(products: _*))).cast("long")
+    docs.select(col(srcCol).as("source"), col(textCol), enc.as("enc"))
+      .select(col("source"),
+        (decoded === norm).cast("long").as("rt_ok"),
+        viol.as("n_viol"),
+        nTokensOf(col("enc")).as("n_tok"),
+        nAzOf(col("enc")).as("n_ch"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("rt_ok")).as("n_roundtrip_ok"),
+        sum(col("n_viol")).as("n_vocab_violations"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_ch")).as("n_chars"))
+      .withColumn("chars_per_token",
+        when(col("n_tokens") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("n_chars").cast("double") /
+            col("n_tokens").cast("double"), 6)))
+  }
+
   private def bpeEncodeFrom(docs: DataFrame, idCol: String,
       enc: Column): DataFrame =
     docs

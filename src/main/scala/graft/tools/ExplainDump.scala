@@ -134,6 +134,9 @@ object ExplainDump {
       "d32_containment_curve" -> "containment curve: ONE inverted-index pair pass at tau_min (the d07 shape); the threshold sweep is a 5-row broadcast over (id_sub, containment) scalars — no per-tau pair re-join",
       "d33_jaccard_threshold_curve" -> "jaccard tau curve: ONE inverted-index pair pass at tau_min (the d02 shape); pair counts and keep-min-id drop counts both sweep over (id_b, jaccard) scalars via a 5-row broadcast",
       "m20_octave_band_energies" -> "octave bands: the m19 decode-stage energy shape over bins 1..15; band mapping is a literal when-chain in the same projection, ONE sample-keyed exchange of (id, band, e) scalars",
+      "d26_cdc_chunk_dedup" -> "CDC dedup (round-14 kernel): boundaries, slices and digests in ONE CdcChunkDigests code-point scan inside the scan projection — text never leaves its task; only (fp, len) pairs reach the two digest-keyed exchanges",
+      "d34_dedup_pipeline_run" -> "composed dedup run: banding and verify each ran ONCE (cached, counted hot, released synchronously — the eager closure makes a lazy count leg recompute instead); the result plan is just the ids-only anti-join vs the broadcast labelling + literal/labelling count rows",
+      "t54_bpe_roundtrip" -> "BPE round-trip audit: decode identity, vocab check and chars/token all in the ONE map-only encode projection (merges + products are literals); a source-keyed partial-agg exchange of scalars is the only shuffle",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")
@@ -156,6 +159,51 @@ object ExplainDump {
     * regeneration preserves the record.
     */
   private val driftTriage: String = """
+## Round-14 watch-list adjudication (t40 / m03 / d12)
+
+The r10 verdict flagged t40_leakage_safe_split 1.155→1.419 s in the
+driver artifact on unchanged code (its own interim runs had shown the
+opposite direction) and kept m03/d12 on watch. Isolated 5-rep
+protocol (`DriftProfile`, throwaway lead query, sf0.1, fresh cache
+per rep):
+
+| query | isolated min | isolated median | driver r10 | adjudication |
+|---|---|---|---|---|
+| t40_leakage_safe_split | 1.210 | 1.309 | 1.419 | REAL plan cost ~1.2-1.3 s, stable across reps; 1.13x of the r9 driver number — inside the ~1.2x noise band. The cost is the shared ngramJaccardPairs + connectedComponents pass every cluster-keyed operator pays (d06/d11 shape); no regression, no fix task. |
+| m03_frame_sample | 0.404 | 0.490 | ~0.7 (r10 triage) | improved vs the prior isolated ~0.7; code unchanged — run-to-run. Off watch. |
+| d12_minhash_md5_oracle | 1.244 | 1.276 | 1.26 | isolated == driver; inside band. Off watch. |
+
+The t40 instability across driver runs (0.94 ↔ 1.42) brackets the
+same ~1.2-1.3 s isolated cost — the driver artifact samples one run
+of a query whose pair-pass timing breathes ±20% with task placement.
+Steady state recorded here as the comparator for future rounds.
+
+## Round-14 d26 kernel A/B (CdcChunkDigests vs the HOF chain)
+
+d26's boundary window-hashes were spelled as array HOFs over the
+char-code array — the exact per-element interpreted-dispatch shape the
+t46 triage measured 5.1x slow — and its 10x ScaleSmoke growth constant
+(1.68→7.66 s, ~4.5x) said the same tax was being paid. The one-pass
+kernel (`functions/CdcExpressions.CdcChunkDigests`) makes one
+code-point scan per document: each window hash is a 16-term long loop
+(identical exact-integer arithmetic, term-for-term — single mod 2^31 at
+the end of the sum, so bit-portable to the DuckDB oracle), and every
+chunk streams through one reused MessageDigest. A/B (`DriftProfile
+__cdc_ab`, sf0.1, interleaved, 5 reps):
+
+| spelling | min | median |
+|---|---|---|
+| CdcChunkDigests kernel | 0.535 | 0.649 |
+| composable HOF chain | 1.069 | 1.260 |
+
+1.9x isolated at sf0.1 (the dispatch tax scales with document length,
+so the 10x smoke constant was larger); d26 still hash-matches (the
+oracle replays the HOF spelling in SQL) and Round14Spec pins the two
+spellings bit-identical through a repartition, multibyte and
+length==window edges included. The chain survives as
+`cdcChunkDedupComposable` — the mlmMaskComposable pattern, third
+instance (Bpe/Mlm/Cdc).
+
 ## Round-12 d25 verifier kernel A/B (full DP vs banded Levenshtein)
 
 The 10× ScaleSmoke replica run exposed d25's verify cost: 241k

@@ -20,6 +20,11 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     require(factor >= 1, s"factor must be >= 1, got $factor")
+    // optional second arg: comma-separated label substrings — time
+    // only matching rows (fast iteration on newly added operators)
+    val only: Seq[String] = args.drop(1).headOption
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
     // same env conventions as graft.Bench
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -78,6 +83,7 @@ object ScaleSmoke {
       s"emb ${nEmb} -> ${nEmb * factor} (${factor}x)")
 
     def time(name: String)(f: => Long): Unit = {
+      if (only.nonEmpty && !only.exists(name.contains)) return
       val t0 = System.nanoTime()
       val rows = f
       val secs = "%8.2f".formatLocal(java.util.Locale.ROOT,
@@ -316,6 +322,13 @@ object ScaleSmoke {
           .map(r => (r.getString(1), r.getString(2))).toSeq
         graft.pipeline.TextAnalysis.bpeEncode(docs, "text", "doc_id", merges)
           .count() }
+      // same one map-only encode pass + a source-keyed scalar rollup
+      time("t54 bpeRoundTripAudit") {
+        val merges = graft.pipeline.TextAnalysis.bpeMerges(docs, "text", 8)
+          .orderBy(col("round")).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.pipeline.TextAnalysis.bpeRoundTripAudit(docs, "text", "source",
+          merges).collect().length.toLong }
       // pure hash-math projection, no shuffle
       time("t46 mlmMask") {
         graft.pipeline.TextAnalysis.mlmMask(docs, "text", "doc_id")
@@ -388,6 +401,13 @@ object ScaleSmoke {
       // the uncapped path hard-fails on replica-corpus hot shingles)
       time("d27 dedupImpactReport (capped)") {
         graft.pipeline.Dedup.dedupImpactReport(docs, "text", "doc_id").count() }
+      // ONE banding + ONE verify pass (scoped-cached) feed the corpus
+      // and the four count legs; collect() (tiny result) dodges
+      // count()-elimination of the union legs
+      time("d34 dedupPipelineRun") {
+        graft.pipeline.Dedup.dedupPipelineRun(docs, "text", "doc_id")
+          .groupBy(col("stage")).agg(count(lit(1)))
+          .collect().length.toLong }
       // (doc,label,token) agg + |classes|-way scoring join
       time("t50 nbLangConfusion") {
         graft.pipeline.TextAnalysis.nbLangConfusion(docs, "text",

@@ -66,6 +66,113 @@ class Round14Spec extends AnyFunSuite {
     assert(exact.map(_.getLong(1)).sum == 16L)
   }
 
+  // ---------------- d34: composed dedup pipeline run ----------------
+
+  test("dedupPipelineRun == composition of its published stages") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val alt = (1 to 30).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, base + " tail"), // cluster {1,2,3}
+      (4L, alt), (5L, alt), // cluster {4,5}
+      (6L, (1 to 30).map(i => s"z$i").mkString(" ")), // singleton
+      (7L, "short") // shingle-free: must be kept
+    ).toDF("doc_id", "text").repartition(3)
+
+    val pairs = pipeline.Dedup.lshVerifiedPairsMd5(docs, "text", "doc_id",
+      shingleN = 3, numHashes = 8, bands = 4, threshold = 0.3)
+    val nCand = pipeline.Dedup.minHashLshMd5(docs, "text", "doc_id",
+      shingleN = 3, numHashes = 8, bands = 4).count()
+    val nVer = pairs.count()
+    val comp = pipeline.Dedup.connectedComponents(
+      pairs.select("id_a", "id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val droppedIds = comp.filter { case (id, c) => id != c }.map(_._1).toSet
+    val nClusters = comp.map(_._2).distinct.length.toLong
+
+    val got = pipeline.Dedup.dedupPipelineRun(docs, "text", "doc_id",
+      shingleN = 3, numHashes = 8, bands = 4, tau = 0.3).collect()
+    val kept = got.filter(_.getString(0) == "kept").map(_.getLong(1)).toSet
+    val counts = got.filter(_.getString(0) != "kept")
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(kept == (1L to 7L).toSet -- droppedIds)
+    assert(kept.contains(7L), "shingle-free docs must survive")
+    assert(counts == Map("candidates" -> nCand, "verified" -> nVer,
+      "clusters" -> nClusters, "dropped" -> droppedIds.size.toLong))
+    assert(droppedIds.nonEmpty && nClusters >= 2L,
+      "fixture must exercise real clusters")
+    // the audit identity every production log relies on
+    assert(kept.size + counts("dropped") == 7L)
+  }
+
+  // ---------------- t54: BPE round-trip audit ----------------
+
+  test("bpeRoundTripAudit == independent in-memory BPE over a fixture") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "a"),
+      (2L, "the thematic cat", "a"),
+      (3L, "THE CAT, the cat!", "b"), // case/punct: normalizes into [a-z]+ runs
+      (4L, "12345 --- !!!", "b"), // wordless: zero tokens, still round-trips
+      (5L, "concatenate that theory", "c")
+    ).toDF("doc_id", "text", "source").repartition(3)
+    val merges = pipeline.TextAnalysis.bpeMerges(docs, "text", k = 4)
+      .orderBy("round").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.size == 4)
+
+    // independent reference: leftmost non-overlapping application in
+    // induction order over the '|'-joined char stream
+    def encode(text: String): Seq[String] = {
+      val words = "[a-z]+".r.findAllIn(text.toLowerCase).toSeq
+      var syms: Seq[String] = words.mkString("|").map(_.toString)
+      merges.foreach { case (l, r) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += l + r; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toSeq
+      }
+      syms
+    }
+    val rows = Seq(
+      (1L, "the cat sat on the mat", "a"), (2L, "the thematic cat", "a"),
+      (3L, "THE CAT, the cat!", "b"), (4L, "12345 --- !!!", "b"),
+      (5L, "concatenate that theory", "c"))
+    val expected = rows.groupBy(_._3).map { case (src, rs) =>
+      val encs = rs.map(r => (r._2, encode(r._2)))
+      val toks = encs.map(_._2.filterNot(_ == "|"))
+      val nTok = toks.map(_.size.toLong).sum
+      val nCh = toks.map(_.map(_.length).sum.toLong).sum
+      src -> (rs.size.toLong,
+        encs.count { case (t, s) =>
+          s.mkString == "[a-z]+".r.findAllIn(t.toLowerCase).mkString("|") }.toLong,
+        nTok, nCh,
+        if (nTok == 0L) None
+        else Some(BigDecimal(nCh.toDouble / nTok).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+
+    val got = pipeline.TextAnalysis.bpeRoundTripAudit(docs, "text", "source",
+      merges).orderBy("source").collect()
+    assert(got.length == 3)
+    got.foreach { r =>
+      val (nDocs, nOk, nTok, nCh, cpt) = expected(r.getString(0))
+      assert(r.getLong(1) == nDocs, s"n_docs for ${r.getString(0)}")
+      assert(r.getLong(2) == nOk && nOk == nDocs,
+        s"round-trip must hold for every doc in ${r.getString(0)}")
+      assert(r.getLong(3) == 0L, "vocab violations must be zero")
+      assert(r.getLong(4) == nTok, s"n_tokens for ${r.getString(0)}")
+      assert(r.getLong(5) == nCh, s"n_chars for ${r.getString(0)}")
+      cpt match {
+        case Some(v) => assert(math.abs(r.getDouble(6) - v) < 1e-9)
+        case None => assert(r.isNullAt(6))
+      }
+    }
+  }
+
   // ---------------- capped-postings default invariant ----------------
 
   test("every pair-emitting Dedup API defaults maxPostings = Some(10000)") {
