@@ -40,9 +40,9 @@ case class MlmMaskSummary(left: Expression, right: Expression,
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (LongType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"mlm_mask expects (bigint, string), got (${l.catalogString}, ${r.catalogString})")
+        s"mlm_mask expects (string, string), got (${l.catalogString}, ${r.catalogString})")
     }
 
   override def dataType: DataType = StructType(Seq(
@@ -65,7 +65,11 @@ case class MlmMaskSummary(left: Expression, right: Expression,
   }
 
   override def nullSafeEval(idAny: Any, textAny: Any): Any = {
-    val id = idAny.asInstanceOf[Long]
+    // the id arrives as its STRING form (the caller casts), so the
+    // decision hash agrees with the composable chain's
+    // `cast(id as string)` for EVERY id type — a long-cast here made
+    // zero-padded string ids ('007') silently diverge (ADVICE r10)
+    val idBytes = idAny.asInstanceOf[UTF8String].getBytes
     val text = textAny.asInstanceOf[UTF8String].toString
     val decide = java.security.MessageDigest.getInstance("MD5")
     val maskedDig = java.security.MessageDigest.getInstance("MD5")
@@ -86,7 +90,7 @@ case class MlmMaskSummary(left: Expression, right: Expression,
       nTokens += 1
       val tokBytes = text.substring(start, end).getBytes("UTF-8")
       decide.reset()
-      decide.update(String.valueOf(id).getBytes(ascii))
+      decide.update(idBytes)
       decide.update(':'.toByte)
       decide.update(String.valueOf(nTokens).getBytes(ascii))
       val nibble = (decide.digest()(0) >> 4) & 0xf

@@ -108,7 +108,8 @@ object Clustering {
     * Assignment is the s07 map-only projection; the histogram is one
     * cell-keyed partial agg and the totals broadcast back over k rows.
     *
-    * @return (cell, n_members, frac, imbalance) ordered by cell
+    * @return (cell, n_members, frac, imbalance), one row per cell
+    *         (unsorted — callers order)
     */
   def cellBalanceReport(
       emb: DataFrame, vecCol: String, idCol: String, k: Int): DataFrame = {
@@ -139,7 +140,8 @@ object Clustering {
     * cell-keyed exchange bounding pair work to (|cell|²)/2 per cell,
     * then a doc-keyed max and a |thresholds|-row rollup.
     *
-    * @return (threshold, n_dropped, drop_frac) ordered by threshold
+    * @return (threshold, n_dropped, drop_frac), one row per threshold
+    *         (unsorted — callers order)
     */
   def semDedupThresholdCurve(
       emb: DataFrame, vecCol: String, idCol: String, k: Int,

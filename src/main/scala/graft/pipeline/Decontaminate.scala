@@ -48,7 +48,8 @@ object Decontaminate {
     * n (hash-only joins, benchmark side broadcast); the output is
     * |ns| rows.
     *
-    * @return (shingle_n, n_flagged, frac_flagged) ordered by n
+    * @return (shingle_n, n_flagged, frac_flagged), one row per n
+    *         (unsorted — callers order)
     */
   def contaminationCurve(candidates: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, ns: Seq[Int]): DataFrame = {

@@ -908,12 +908,20 @@ object Dedup {
     * (s², s⁴=s²·s², …) — bit-identical to the oracle's spelling with
     * no libm pow — so bands/rows must be powers of two.
     *
+    * Population caveat: the measured pairs are CONDITIONED on the
+    * audit banding — true pairs the `auditBands` shape itself missed
+    * never enter the sums, so for candidate shapes MORE permissive
+    * than the audit shape, recall_at_tau is an UPPER bound (exp_fn a
+    * lower bound); shapes at-or-stricter are unbiased. For an
+    * unconditioned population, source pairs from an exact-Jaccard
+    * pass above a floor the way [[lshRecallReport]] (d19) does.
+    *
     * Scale shape: the audit's one banded-candidate pass; the config
     * sweep is arithmetic on a |configs|-row broadcast.
     *
     * @return (bands, rows_per_band, n_below, n_above, exp_fp, exp_fn,
-    *         recall_at_tau) ordered by bands; recall null when no
-    *         pair reaches τ
+    *         recall_at_tau), one row per config (unsorted — callers
+    *         order); recall null when no pair reaches τ
     */
   def lshBandPlanner(docs: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, numHashes: Int = 8, auditBands: Int = 4,
@@ -984,8 +992,9 @@ object Dedup {
     * signature join, one exact-Jaccard leg; the k sweep explodes
     * |ks| scalar rows per pair.
     *
-    * @return (k, n_pairs, mean_abs_err, rmse, max_abs_err) ordered by
-    *         k; error columns null when no candidate pairs exist
+    * @return (k, n_pairs, mean_abs_err, rmse, max_abs_err), one row
+    *         per k (unsorted — callers order); error columns null
+    *         when no candidate pairs exist
     */
   def minHashSizeSweep(docs: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, ks: Seq[Int] = Seq(4, 8, 16),
@@ -1049,8 +1058,8 @@ object Dedup {
     * at scale (see [[dedupImpactReport]]). Pass `None` only for
     * sf-scale exact oracles (the declared d32 query does).
     *
-    * @return (threshold, n_pairs, n_docs_dropped, drop_frac) ordered
-    *         by threshold
+    * @return (threshold, n_pairs, n_docs_dropped, drop_frac), one row
+    *         per threshold (unsorted — callers order)
     */
   def containmentCurve(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, thresholds: Seq[Double] = Seq(0.5, 0.7, 0.8, 0.9, 0.95),
@@ -1094,8 +1103,8 @@ object Dedup {
     * transitive closure can only drop more; [[dedupImpactReport]]
     * gives the closed accounting at one τ.
     *
-    * @return (threshold, n_pairs, n_docs_dropped, drop_frac) ordered
-    *         by threshold
+    * @return (threshold, n_pairs, n_docs_dropped, drop_frac), one row
+    *         per threshold (unsorted — callers order)
     */
   def jaccardThresholdCurve(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, thresholds: Seq[Double] = Seq(0.2, 0.3, 0.5, 0.7, 0.9),
@@ -1274,8 +1283,8 @@ object Dedup {
     * (hard-fails at Spark's 8 GiB broadcast ceiling). Pass None only
     * where exactness beats robustness (the sf-scale oracle).
     *
-    * @return (cluster_size, n_clusters, n_docs, n_removable) ordered
-    *         by cluster_size
+    * @return (cluster_size, n_clusters, n_docs, n_removable), one row
+    *         per size (unsorted — callers order)
     */
   def dedupImpactReport(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.3,

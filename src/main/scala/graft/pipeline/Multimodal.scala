@@ -1043,8 +1043,9 @@ object Multimodal {
     * (id, bin, c, s) scalars only; this adds one sample_id-keyed
     * partial-agg exchange over nBins rows per clip.
     *
-    * @return (sample_id, centroid, bandwidth, flatness) ordered by
-    *         sample_id; centroid/bandwidth null on a zero-energy clip
+    * @return (sample_id, centroid, bandwidth, flatness), one row per
+    *         clip (unsorted — callers order); centroid/bandwidth null
+    *         on a zero-energy clip
     */
   def spectralFeatures(media: DataFrame, nBins: Int = 8,
       idCol: String = "sample_id", payloadCol: String = "payload"): DataFrame = {
@@ -1082,8 +1083,8 @@ object Multimodal {
     * [[spectralFeatures]]: decode-stage energies, one sample-keyed
     * exchange of scalars.
     *
-    * @return (sample_id, band, log_energy), 4 rows per clip, ordered
-    *         by (sample_id, band)
+    * @return (sample_id, band, log_energy), 4 rows per clip
+    *         (unsorted — callers order)
     */
   def octaveBandEnergies(media: DataFrame,
       idCol: String = "sample_id", payloadCol: String = "payload"): DataFrame = {

@@ -1465,8 +1465,12 @@ object TextAnalysis {
     // three digests in one token scan (DriftProfile A/B in PLANS.md).
     // Round12Spec pins the two spellings bit-identical.
     val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    // id hashed in STRING form — agrees with the composable chain for
+    // every id type (a long cast nulled non-numeric ids and collapsed
+    // zero-padded ones, ADVICE r10); the REST mlm-mask processor feeds
+    // arbitrary frames here
     val s = graft.functions.MlmExpressions.mlmMaskSummary(
-      col(idCol).cast("long"), norm, maskHex)
+      col(idCol).cast("string"), norm, maskHex)
     docs.select(col(idCol), s.as("s"))
       .select(col(idCol),
         col("s.n_tokens").as("n_tokens"),

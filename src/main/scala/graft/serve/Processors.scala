@@ -134,6 +134,19 @@ object Processors {
   private def intOpt(o: Map[String, JsonNode], k: String): Option[Int] =
     o.get(k).filter(_.isNumber).map(_.asInt())
 
+  /** Long-valued option: token budgets in the billions are the NORMAL
+    * case for budget-select, and Jackson's asInt() silently truncates
+    * above Int.MaxValue. Rejects non-integral numbers instead of
+    * rounding them.
+    */
+  private def longOpt(o: Map[String, JsonNode], k: String): Option[Long] =
+    o.get(k).filter(_.isNumber).map { n =>
+      require(n.canConvertToLong && (n.isIntegralNumber ||
+          n.asDouble() == n.asDouble().floor),
+        s"$k must be an integral value that fits in a 64-bit long, got $n")
+      n.asLong()
+    }
+
   /** `drop-common-chunks`: the boilerplate-removal rebuild
     * ([[graft.pipeline.Dedup.dropCommonChunks]]) surfaced on the REST
     * chain — an API user dedups a text result set without shipping
@@ -197,9 +210,9 @@ object Processors {
       throw new IllegalArgumentException("budget-select: pluginOptions.textColumn required"))
     val idCol = strOpt(opts, "idColumn").getOrElse(
       throw new IllegalArgumentException("budget-select: pluginOptions.idColumn required"))
-    val budget = intOpt(opts, "budget").getOrElse(
+    val budget = longOpt(opts, "budget").getOrElse(
       throw new IllegalArgumentException("budget-select: pluginOptions.budget required"))
-    graft.pipeline.Sampling.tokenBudgetSelect(df, textCol, idCol, budget.toLong)
+    graft.pipeline.Sampling.tokenBudgetSelect(df, textCol, idCol, budget)
   })
 
   /** `mlm-mask`: deterministic MLM corruption fingerprints

@@ -35,10 +35,63 @@ object ExternalTable {
   // Tail clauses, each anchored at the current scan position; matched
   // repeatedly so STORED AS / OPTIONS / LOCATION compose in any order.
   private val StoredClause = """(?is)^STORED\s+AS\s+([A-Za-z]+)\s*(.*)$""".r
-  private val OptionsClause = """(?is)^OPTIONS\s*\((.*?)\)\s*(.*)$""".r
   private val LocationClause = """(?is)^LOCATION\s+'([^']+)'\s*(.*)$""".r
 
-  private val OptionPair = """'([^']*)'\s+'([^']*)'""".r
+  private val OptionsHead = """(?is)^OPTIONS\s*\(""".r
+
+  /** One single-quoted SQL string starting at or after `i0`
+    * (whitespace skipped), with `''` as the escaped quote — returns
+    * (unescaped value, index past the closing quote).
+    */
+  private def scanQuoted(s: String, i0: Int): Option[(String, Int)] = {
+    var i = i0
+    while (i < s.length && s(i).isWhitespace) i += 1
+    if (i >= s.length || s(i) != '\'') return None
+    i += 1
+    val sb = new StringBuilder
+    while (i < s.length) {
+      if (s(i) == '\'') {
+        if (i + 1 < s.length && s(i + 1) == '\'') { sb += '\''; i += 2 }
+        else return Some((sb.toString, i + 1))
+      } else { sb += s(i); i += 1 }
+    }
+    None
+  }
+
+  /** Scan an `OPTIONS ('k' 'v', …)` clause off the head of `tail` by
+    * walking the quoted pairs to the MATCHING close paren — a
+    * non-greedy `\((.*?)\)` truncated the capture at the first `)`
+    * inside a quoted value (e.g. `format.delimiter ')'`), leaving an
+    * unparseable tail (ADVICE r10). Returns (pairs, rest) or None for
+    * a malformed clause (→ Spark's original parse error, like
+    * DataFusion's own failure mode).
+    */
+  private def scanOptions(tail: String): Option[(Map[String, String], String)] =
+    OptionsHead.findFirstMatchIn(tail).flatMap { h =>
+      var i = h.end
+      val pairs = Map.newBuilder[String, String]
+      var done = false
+      var ok = true
+      var first = true
+      while (!done && ok) {
+        var j = i
+        while (j < tail.length && tail(j).isWhitespace) j += 1
+        if (j < tail.length && tail(j) == ')') { i = j + 1; done = true }
+        else {
+          if (!first && j < tail.length && tail(j) == ',') j += 1
+          (for {
+            (k, j2) <- scanQuoted(tail, j)
+            (v, j3) <- scanQuoted(tail, j2)
+          } yield (k, v, j3)) match {
+            case Some((k, v, j3)) =>
+              pairs += (k.toLowerCase -> v); i = j3; first = false
+            case None => ok = false
+          }
+        }
+      }
+      if (ok && done) Some((pairs.result(), tail.substring(i).stripLeading()))
+      else None
+    }
 
   final case class Parsed(
       ifNotExists: Boolean,
@@ -62,9 +115,9 @@ object ExternalTable {
             format = Some(fmt.toUpperCase); tail = rest
           case LocationClause(path, rest) if location.isEmpty =>
             location = Some(path); tail = rest
-          case OptionsClause(text, rest) if options.isEmpty =>
-            options = Some(OptionPair.findAllMatchIn(text)
-              .map(p => p.group(1).toLowerCase -> p.group(2)).toMap)
+          case t if options.isEmpty && scanOptions(t).isDefined =>
+            val (parsed, rest) = scanOptions(t).get
+            options = Some(parsed)
             tail = rest
           // unknown or duplicated clause: not our DDL — fall through
           // to Spark's original parse error

@@ -224,6 +224,31 @@ class AdviceFixesSpec extends AnyFunSuite {
       "CREATE EXTERNAL TABLE t STORED AS PARQUET LOCATION '/x' WITH ORDER (a)").isEmpty)
   }
 
+  test("OPTIONS values containing ')' / ',' / '' parse to the matching paren") {
+    import graft.sqlcompat.ExternalTable
+    // a ')' inside a quoted value used to truncate the non-greedy
+    // capture at the first close paren, leaving an unparseable tail
+    val p = ExternalTable.parse(
+      "CREATE EXTERNAL TABLE t STORED AS CSV " +
+        "OPTIONS ('format.delimiter' ')') LOCATION '/x.csv'").get
+    assert(p.options == Map("format.delimiter" -> ")"))
+    assert(p.location == "/x.csv")
+    val p2 = ExternalTable.parse(
+      "CREATE EXTERNAL TABLE t STORED AS CSV LOCATION '/x.csv' " +
+        "OPTIONS ('format.delimiter' ',', 'format.has_header' 'false')").get
+    assert(p2.options == Map(
+      "format.delimiter" -> ",", "format.has_header" -> "false"))
+    // SQL-escaped quote inside a value
+    val p3 = ExternalTable.parse(
+      "CREATE EXTERNAL TABLE t STORED AS CSV " +
+        "OPTIONS ('format.delimiter' '''') LOCATION '/x.csv'").get
+    assert(p3.options == Map("format.delimiter" -> "'"))
+    // unbalanced clause is not our DDL — falls through to Spark
+    assert(ExternalTable.parse(
+      "CREATE EXTERNAL TABLE t STORED AS CSV " +
+        "OPTIONS ('format.delimiter' ') LOCATION '/x.csv'").isEmpty)
+  }
+
   test("CREATE EXTERNAL TABLE OPTIONS-last runs end-to-end through the session door") {
     val mgr = new graft.engine.SessionManager(spark)
     try {

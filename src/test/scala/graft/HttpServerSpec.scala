@@ -336,6 +336,28 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("postProcessors: budget-select accepts billion-scale budgets (Long, not Int)") {
+    // Jackson asInt() used to truncate 5e9 silently; budgets in the
+    // billions are the normal use case (ADVICE r10)
+    val body =
+      s"""{"dataSources":[{"format":"parquet","name":"documents",
+          "location":"${SparkFixture.sfDir}/documents.parquet"}],
+          "query":{"sql":"SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 20",
+            "postProcessors":[{"module":"budget-select",
+              "pluginOptions":{"textColumn":"text","idColumn":"doc_id",
+                "budget":5000000000}}]}}"""
+    val r = post("/dataframe/query", body)
+    assert(r.statusCode() == 200, r.body())
+    val rows = new com.fasterxml.jackson.databind.ObjectMapper().readTree(r.body())
+    // a budget beyond the corpus's total tokens selects EVERY row —
+    // an int truncation (5e9 -> 705032704) would too, so also check
+    // the fractional-budget rejection below pins the parse path
+    assert(rows.size() == 20, r.body())
+    val bad = post("/dataframe/query", body.replace("5000000000", "12.5"))
+    assert(bad.statusCode() != 200,
+      s"fractional budget must be rejected: ${bad.body()}")
+  }
+
   test("postProcessors: mlm-mask fingerprints through the REST chain") {
     val body =
       s"""{"dataSources":[{"format":"parquet","name":"documents",

@@ -66,6 +66,31 @@ class Round14Spec extends AnyFunSuite {
     assert(exact.map(_.getLong(1)).sum == 16L)
   }
 
+  // ---------------- mlmMask string-id agreement (ADVICE r10) ----------------
+
+  test("mlmMask kernel == composable for non-numeric and zero-padded ids") {
+    import spark.implicits._
+    // '007' used to collapse to 7 via a long cast; 'doc-x' to null
+    val docs = Seq(
+      ("007", "the quick brown fox jumps over the lazy dog"),
+      ("7", "the quick brown fox jumps over the lazy dog"),
+      ("doc-x", "pack my box with five dozen liquor jugs"),
+      ("", "single"),
+      ("42", "numeric id stays numeric")
+    ).toDF("doc_id", "text").repartition(2)
+    val k = pipeline.TextAnalysis.mlmMask(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    val c = pipeline.TextAnalysis.mlmMaskComposable(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(k.length == c.length && k.nonEmpty)
+    k.zip(c).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+    // '007' and '7' see the same text but must mask DIFFERENTLY (the
+    // id string is the decision salt) — guards against a re-collapse
+    val by = k.map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(by("007") != by("7") || k.find(_.getString(0) == "007").get.getLong(2) == 0L,
+      "zero-padded id must salt the decisions differently")
+  }
+
   // ---------------- d34: composed dedup pipeline run ----------------
 
   test("dedupPipelineRun == composition of its published stages") {
