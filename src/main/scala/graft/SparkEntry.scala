@@ -6014,6 +6014,184 @@ object SparkEntry {
         .orderBy(col("sample_id"), col("band"))
     })
 
+  // Audio near-dup pairs by lossless energy-grid blocking — the audio
+  // sibling of m11's image pairs: 4 octave-band log-energies per clip,
+  // per-band cells of width 2τ at offsets {0, τ} (two values within τ
+  // share a cell in ≥1 grid — the pigeonhole for continuous features),
+  // composite keys across all 4 bands in 16 offset combos, exact
+  // all-band |Δe| ≤ τ verification on bucket-mates only. τ = 0.125
+  // (exact binary) keeps the floor arithmetic bit-identical.
+  private val m21 = Q("m21_audio_fingerprint_pairs", Some("""
+    WITH d AS (SELECT doc_id,
+        octet_length(CAST(text AS BLOB)) AS n,
+        string_split(text, '') AS cs
+      FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) > 0
+        AND octet_length(CAST(text AS BLOB)) = length(text)),
+    b AS (SELECT doc_id, n, cs, k FROM d, UNNEST(generate_series(1, 15)) AS g(k)),
+    co AS (SELECT doc_id AS sample_id, CAST(k AS BIGINT) AS bin,
+      ROUND(list_sum(list_transform(generate_series(0, n - 1), i ->
+        CAST(ord(cs[CAST(i + 1 AS BIGINT)]) * 128 AS DOUBLE) * cos(2 * pi() * k * i / n))), 6) + 0.0 AS c,
+      ROUND(list_sum(list_transform(generate_series(0, n - 1), i ->
+        CAST(ord(cs[CAST(i + 1 AS BIGINT)]) * 128 AS DOUBLE) * sin(2 * pi() * k * i / n))), 6) + 0.0 AS s
+      FROM b),
+    e AS (SELECT sample_id, bin, c * c + s * s AS e FROM co),
+    bnd AS (SELECT sample_id,
+        CAST(CASE WHEN bin = 1 THEN 1 WHEN bin <= 3 THEN 2
+                  WHEN bin <= 7 THEN 3 ELSE 4 END AS BIGINT) AS band, e
+      FROM e),
+    be AS (SELECT sample_id, band, ROUND(ln(1 + SUM(e)), 6) AS le
+      FROM bnd GROUP BY sample_id, band),
+    vec AS (SELECT sample_id,
+        MAX(CASE WHEN band = 1 THEN le END) AS e1,
+        MAX(CASE WHEN band = 2 THEN le END) AS e2,
+        MAX(CASE WHEN band = 3 THEN le END) AS e3,
+        MAX(CASE WHEN band = 4 THEN le END) AS e4
+      FROM be GROUP BY sample_id),
+    combos AS (SELECT g AS cid FROM UNNEST(generate_series(0, 15)) t(g)),
+    keys AS (SELECT v.sample_id, v.e1, v.e2, v.e3, v.e4, c.cid,
+        CAST(floor((e1 + ((cid >> 0) & 1) * 0.125) / 0.25) AS BIGINT) AS k1,
+        CAST(floor((e2 + ((cid >> 1) & 1) * 0.125) / 0.25) AS BIGINT) AS k2,
+        CAST(floor((e3 + ((cid >> 2) & 1) * 0.125) / 0.25) AS BIGINT) AS k3,
+        CAST(floor((e4 + ((cid >> 3) & 1) * 0.125) / 0.25) AS BIGINT) AS k4
+      FROM vec v, combos c)
+    SELECT DISTINCT a.sample_id AS id_a, b.sample_id AS id_b,
+      GREATEST(abs(a.e1 - b.e1), abs(a.e2 - b.e2),
+               abs(a.e3 - b.e3), abs(a.e4 - b.e4)) AS max_band_diff
+    FROM keys a JOIN keys b
+      ON a.cid = b.cid AND a.k1 = b.k1 AND a.k2 = b.k2
+        AND a.k3 = b.k3 AND a.k4 = b.k4 AND a.sample_id < b.sample_id
+    WHERE abs(a.e1 - b.e1) <= 0.125 AND abs(a.e2 - b.e2) <= 0.125
+      AND abs(a.e3 - b.e3) <= 0.125 AND abs(a.e4 - b.e4) <= 0.125
+    ORDER BY id_a, id_b"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents").where(octet_length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
+      Multimodal.audioFingerprintDupPairs(
+          Multimodal.textAsWav(docs, "doc_id", "text"), tau = 0.125)
+        .orderBy(col("id_a"), col("id_b"))
+    })
+
+  // The INCREMENTAL composed dedup run: admit a daily batch
+  // (doc_id % 10 = 0, d10's split) against the standing corpus —
+  // corpus near-dups drop first (corpus wins), the remainder dedups
+  // within the batch via closure + keep-min-id; per-doc dispositions
+  // and the two pair counts in one result. Oracle replays every stage.
+  private val d35 = Q("d35_incremental_dedup_run", Some("""
+    WITH RECURSIVE toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    cinter AS (SELECT n.doc_id AS new_id, c.doc_id AS corpus_id, COUNT(*) AS n_inter
+              FROM sh n JOIN sh c USING (shingle)
+              WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+              GROUP BY 1, 2),
+    cp AS (SELECT new_id, corpus_id FROM (
+        SELECT new_id, corpus_id,
+          CAST(n_inter AS DOUBLE) / CAST(sn.n_sh + sc.n_sh - n_inter AS DOUBLE) AS jaccard
+        FROM cinter
+          JOIN sizes sn ON sn.doc_id = new_id
+          JOIN sizes sc ON sc.doc_id = corpus_id)
+      WHERE jaccard >= 0.3),
+    cdup AS (SELECT DISTINCT new_id AS id FROM cp),
+    newdocs AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+    clean AS (SELECT doc_id FROM newdocs
+      WHERE doc_id NOT IN (SELECT id FROM cdup)),
+    binter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id
+                AND a.doc_id IN (SELECT doc_id FROM clean)
+                AND b.doc_id IN (SELECT doc_id FROM clean)
+              GROUP BY 1, 2),
+    bp AS (SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+          CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) AS jaccard
+        FROM binter
+          JOIN sizes na ON na.doc_id = id_a
+          JOIN sizes nb ON nb.doc_id = id_b)
+      WHERE jaccard >= 0.3),
+    sym AS (SELECT id_a AS u, id_b AS v FROM bp UNION SELECT id_b, id_a FROM bp),
+    reach(u, v) AS (SELECT u, v FROM sym
+                    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u),
+    bdrop AS (SELECT doc_id FROM comp WHERE doc_id <> rep),
+    disp AS (
+      SELECT 'dropped_corpus' AS stage, id AS doc_id, CAST(NULL AS BIGINT) AS n FROM cdup
+      UNION ALL SELECT 'dropped_batch', doc_id, NULL FROM bdrop
+      UNION ALL SELECT 'admitted', doc_id, NULL FROM clean
+        WHERE doc_id NOT IN (SELECT doc_id FROM bdrop)),
+    counts AS (
+      SELECT 'corpus_pairs' AS stage, CAST(NULL AS BIGINT) AS doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n FROM cp
+      UNION ALL SELECT 'batch_pairs', NULL, CAST(COUNT(*) AS BIGINT) FROM bp)
+    SELECT stage, doc_id, n FROM disp
+    UNION ALL SELECT stage, doc_id, n FROM counts
+    ORDER BY stage, doc_id"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.incrementalDedupRun(
+          docs.where(col("doc_id") % 10 === 0),
+          docs.where(col("doc_id") % 10 =!= 0),
+          "text", "doc_id", n = 3, threshold = 0.3,
+          maxPostings = None, maxCorpusPostings = None) // exact: oracle
+        .orderBy(col("stage"), col("doc_id").asc_nulls_last)
+    })
+
+  // IVF APPEND cell-drift report: the existing index's centroids
+  // (k smallest-id vectors of the OLD corpus — the s18/s30 seeding)
+  // assign a new batch; per cell old/new counts, growth, and the
+  // post-append imbalance — the audit before deciding a re-train.
+  private val s34 = Q("s34_ivf_cell_drift", Some("""
+    WITH oldv AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 0),
+    newv AS (SELECT * FROM embeddings WHERE vec_id % 10 = 0),
+    cents AS (SELECT vec_id AS cell, embedding AS cvec FROM oldv ORDER BY vec_id LIMIT 8),
+    simso AS (SELECT e.vec_id, c.cell,
+        list_sum(list_transform(generate_series(1, len(e.embedding)),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      FROM oldv e, cents c),
+    ao AS (SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, sim,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        FROM simso) WHERE rn = 1),
+    ho AS (SELECT cell, COUNT(*) AS n_old_raw FROM ao GROUP BY 1),
+    simsn AS (SELECT e.vec_id, c.cell,
+        list_sum(list_transform(generate_series(1, len(e.embedding)),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      FROM newv e, cents c),
+    an AS (SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, sim,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        FROM simsn) WHERE rn = 1),
+    hn AS (SELECT cell, COUNT(*) AS n_new_raw FROM an GROUP BY 1),
+    j AS (SELECT c.cell, COALESCE(ho.n_old_raw, 0) AS n_old,
+        COALESCE(hn.n_new_raw, 0) AS n_new
+      FROM cents c LEFT JOIN ho ON ho.cell = c.cell
+        LEFT JOIN hn ON hn.cell = c.cell),
+    tot AS (SELECT CAST(SUM(n_old + n_new) AS DOUBLE) AS nt,
+        CAST(MAX(n_old + n_new) AS DOUBLE) AS mx FROM j)
+    SELECT cell, CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+      CASE WHEN n_old = 0 THEN NULL
+        ELSE CAST(n_new AS DOUBLE) / CAST(n_old AS DOUBLE) END AS growth,
+      CAST(n_old AS DOUBLE) / nt AS frac_old,
+      CAST(n_new AS DOUBLE) / nt AS frac_new,
+      CAST(mx AS DOUBLE) * 8 / nt AS imbalance_after
+    FROM j, tot ORDER BY cell"""),
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      graft.pipeline.Clustering.cellDriftReport(
+          emb.where(col("vec_id") % 10 =!= 0),
+          emb.where(col("vec_id") % 10 === 0),
+          "embedding", "vec_id", k = 8)
+        .orderBy(col("cell"))
+    })
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -6025,15 +6203,15 @@ object SparkEntry {
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
-    d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31, d32, d33, d34,
+    d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
-    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33,
+    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
     t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45,
     t46, t47, t48, t49, t50, t51, t52, t53, t54,
     m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14,
-    m15, m16, m17, m18, m19, m20)
+    m15, m16, m17, m18, m19, m20, m21)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))

@@ -126,6 +126,60 @@ object Clustering {
           col("nt").cast("double")).as("imbalance"))
   }
 
+  /** IVF APPEND cell-drift report — the index-maintenance audit run
+    * before deciding whether an append forces a re-train: the
+    * EXISTING index's centroids (seeded from the old corpus, the
+    * s18/s30 convention) assign the new batch, and each cell reports
+    * its old/new member counts, growth, and the post-append imbalance
+    * factor. A cell whose growth is far above the mean means the new
+    * data's distribution drifted away from the trained centroids —
+    * probes hitting it scan ever more than N·nprobe/k, the number
+    * [[cellBalanceReport]] (s30) watches at build time; this watches
+    * it across appends. Empty cells still report (driven from the
+    * k-cell seed list).
+    *
+    * Scale shape: both assignments are the s07 map-only projection
+    * (centroids inlined as literals — no join, no shuffle); the
+    * histograms are one cell-keyed partial agg each and the totals
+    * broadcast back over k rows.
+    *
+    * @return (cell, n_old, n_new, growth, frac_old, frac_new,
+    *         imbalance_after) — growth = n_new/n_old, null for
+    *         previously-empty cells; imbalance_after =
+    *         max(n_old+n_new)·k / total
+    */
+  def cellDriftReport(oldEmb: DataFrame, newEmb: DataFrame,
+      vecCol: String, idCol: String, k: Int): DataFrame = {
+    val spark = oldEmb.sparkSession
+    val seeds = seedVectors(oldEmb, vecCol, idCol, k)
+    require(seeds.nonEmpty, "cannot seed cells from an empty corpus")
+    def hist(df: DataFrame, name: String) =
+      assignToCentroidArrays(df, vecCol, idCol, seeds.toSeq)
+        .select(col("cell"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as(name))
+    val cells = spark.createDataFrame(seeds.map(s => Tuple1(s._1)).toSeq)
+      .toDF("cell")
+    val joined = cells
+      .join(broadcast(hist(oldEmb, "n_old_raw")), Seq("cell"), "left")
+      .join(broadcast(hist(newEmb, "n_new_raw")), Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_old_raw"), lit(0L)).as("n_old"),
+        coalesce(col("n_new_raw"), lit(0L)).as("n_new"))
+    val tot = joined.agg(
+      sum(col("n_old") + col("n_new")).as("nt"),
+      max(col("n_old") + col("n_new")).as("mx"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_old"), col("n_new"),
+        when(col("n_old") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_new").cast("double") / col("n_old").cast("double"))
+          .as("growth"),
+        (col("n_old").cast("double") / col("nt").cast("double")).as("frac_old"),
+        (col("n_new").cast("double") / col("nt").cast("double")).as("frac_new"),
+        ((col("mx").cast("double") * lit(k.toDouble)) /
+          col("nt").cast("double")).as("imbalance_after"))
+  }
+
   /** SemDeDup threshold-sweep curve — how much of the corpus each
     * candidate cosine threshold would drop, from ONE within-cell pair
     * pass: each member's MAX cosine to a smaller-id same-cell

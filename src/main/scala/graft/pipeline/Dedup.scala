@@ -416,6 +416,77 @@ object Dedup {
       .select(col("new_id"), col("corpus_id"), col("jaccard"))
   }
 
+  /** The INCREMENTAL composed dedup run — [[dedupPipelineRun]]'s
+    * daily-ingest sibling: admit a new batch against an existing
+    * corpus, emitting every new doc's DISPOSITION plus the audit
+    * counts in one result. Corpus wins (an existing doc is never
+    * displaced): a new doc near-dupping the corpus at ≥ τ drops as
+    * `dropped_corpus`; the remainder dedups within the batch
+    * (pair → closure → keep-min-id) as `dropped_batch`; the rest is
+    * `admitted`. Count rows: `corpus_pairs` (new×corpus qualifying
+    * pairs) and `batch_pairs` (within-batch qualifying pairs among
+    * corpus-clean docs).
+    *
+    * Scale shape: the corpus side is [[incrementalNearDupPairs]]'s —
+    * the corpus scans ONCE with the batch's shingles broadcast,
+    * corpus text never reshuffles; the within-batch side is
+    * batch-sized ([[ngramJaccardPairs]] on the new docs only). Both
+    * pair frames are consumed eagerly while cached (the d34
+    * discipline — the closure's probe would release scoped caches
+    * before a lazy count leg ran), and the result plan is ids-only
+    * joins plus literal count rows.
+    *
+    * @return (stage, doc_id, n): one disposition row per new doc
+    *         (stage ∈ admitted|dropped_corpus|dropped_batch, n null)
+    *         plus two count rows (doc_id null)
+    */
+  def incrementalDedupRun(newDocs: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String, n: Int = 3, threshold: Double = 0.3,
+      maxPostings: Option[Int] = Some(10000),
+      maxCorpusPostings: Option[Int] = Some(10000)): DataFrame = {
+    val spark = newDocs.sparkSession
+    val idType = newDocs.schema(idCol).dataType
+    val corpusPairs = incrementalNearDupPairs(newDocs, corpus, textCol, idCol,
+      n, threshold, maxCorpusPostings).cache()
+    val (nCorpusPairs, corpusDupIds) =
+      try {
+        val np = corpusPairs.count()
+        val dup = corpusPairs.select(col("new_id").as("id")).distinct().cache()
+        dup.count() // materialize off the pair cache BEFORE releasing it
+        (np, dup)
+      } finally corpusPairs.unpersist()
+    val clean = newDocs.join(
+      corpusDupIds.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+    val batchPairs = ngramJaccardPairs(clean, textCol, idCol, n, threshold,
+      maxPostings).cache()
+    val (nBatchPairs, comp) =
+      try (batchPairs.count(), connectedComponents(batchPairs))
+      finally batchPairs.unpersist()
+    // the eager phase (count + closure probe) is done reading the
+    // corpus-dup id cache; scope it NOW so the caller's one result
+    // execution reads it hot and then releases it — scoping earlier
+    // would let the eager phase burn it and force a corpus rescan
+    org.apache.spark.sql.graftbridge.CacheScope
+      .releaseAfterUseExisting(corpusDupIds)
+    val batchDropped = comp.where(col("id") =!= col("component"))
+      .select(col("id"))
+    val ids = newDocs.select(col(idCol).as("id"))
+    def tag(df: DataFrame, stage: String) = df.select(
+      lit(stage).as("stage"), col("id").as("doc_id"),
+      lit(null).cast("long").as("n"))
+    val dispositions = tag(ids.join(corpusDupIds, Seq("id"), "left_semi"),
+        "dropped_corpus")
+      .unionAll(tag(batchDropped, "dropped_batch"))
+      .unionAll(tag(ids.join(corpusDupIds, Seq("id"), "left_anti")
+        .join(batchDropped, Seq("id"), "left_anti"), "admitted"))
+    def c1(stage: String, v: Long) = spark.range(1).select(
+      lit(stage).as("stage"), lit(null).cast(idType).as("doc_id"),
+      lit(v).as("n"))
+    dispositions
+      .unionAll(c1("corpus_pairs", nCorpusPairs))
+      .unionAll(c1("batch_pairs", nBatchPairs))
+  }
+
   /** DIRECTED containment pairs: C(sub→super) = |Sh(sub) ∩ Sh(super)|
     * / |Sh(sub)| ≥ threshold — the near-subset relation Jaccard
     * misses when a small document (a quote, a boilerplate block, a

@@ -1098,6 +1098,66 @@ object Multimodal {
       .agg(round(log(lit(1.0) + sum(col("e"))), 6).as("log_energy"))
   }
 
+  /** Audio near-dup pairs by LOSSLESS energy-grid blocking — the
+    * audio sibling of [[phashDupPairs]] (m11 blocks image hashes by
+    * Hamming pigeonhole; this blocks clips by their 4 octave-band
+    * log-energy fingerprint, [[octaveBandEnergies]]): clips whose
+    * band energies ALL sit within `tau` pair up.
+    *
+    * Blocking guarantee (the pigeonhole for CONTINUOUS features):
+    * per band, grid cells of width 2·tau at offsets {0, tau} — the
+    * combined grid boundaries are tau apart, so an interval of length
+    * ≤ tau contains at most one, and two values within tau share a
+    * cell in at least one of the two grids. Requiring a shared
+    * composite cell across all 4 bands in ≥1 of the 2⁴ = 16 offset
+    * combinations therefore loses NO qualifying pair; the exact
+    * all-band |Δe| ≤ tau check then runs only on bucket-mates.
+    * `tau` defaults to an exact binary fraction so the floor
+    * arithmetic is bit-identical cross-engine on the 6-dp-rounded
+    * energies.
+    *
+    * Scale shape: energies come out of the decode stage (payloads
+    * never cross an exchange); each clip contributes 16 composite
+    * keys of 4 longs — the self-join is bucket-local exactly like the
+    * m11/d12 banding, and verification needs no second join (both
+    * sides' 4 energies ride the banded rows).
+    *
+    * @return (id_a, id_b, max_band_diff), id_a < id_b, every band
+    *         within tau
+    */
+  def audioFingerprintDupPairs(media: DataFrame, tau: Double = 0.125,
+      idCol: String = "sample_id", payloadCol: String = "payload"): DataFrame = {
+    require(tau > 0.0, "tau must be positive")
+    val e = octaveBandEnergies(media, idCol, payloadCol)
+    def bandE(b: Int) = max(when(col("band") === b.toLong, col("log_energy")))
+      .as(s"e$b")
+    val vecs = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
+      e.groupBy(col("sample_id"))
+        .agg(bandE(1), bandE(2), bandE(3), bandE(4)))
+    val width = 2.0 * tau
+    val combos = (0 until 16).map { cid =>
+      val keys = (1 to 4).map { b =>
+        val off = if (((cid >> (b - 1)) & 1) == 1) tau else 0.0
+        floor((col(s"e$b") + lit(off)) / lit(width)).cast("long").as(s"k$b")
+      }
+      struct(lit(cid).as("cid") +: keys: _*)
+    }
+    val banded = vecs
+      .select(col("sample_id") +: (1 to 4).map(b => col(s"e$b")) :+
+        explode(array(combos: _*)).as("bk"): _*)
+      .select(col("sample_id"), col("e1"), col("e2"), col("e3"), col("e4"),
+        col("bk"))
+    val diffs = (1 to 4).map(b => abs(col(s"a.e$b") - col(s"b.e$b")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.bk") === col("b.bk") &&
+          col("a.sample_id") < col("b.sample_id"))
+      .where(diffs.map(_ <= lit(tau)).reduce(_ && _))
+      .select(col("a.sample_id").as("id_a"), col("b.sample_id").as("id_b"),
+        greatest(diffs: _*).as("max_band_diff"))
+      .distinct()
+  }
+
   /** Voice-activity segments over REAL decoded PCM — the segmentation
     * primitive audio curation runs before transcription (cut silence,
     * keep speech): fixed-length frames (`frameLen` samples, the last

@@ -137,6 +137,9 @@ object ExplainDump {
       "d26_cdc_chunk_dedup" -> "CDC dedup (round-14 kernel): boundaries, slices and digests in ONE CdcChunkDigests code-point scan inside the scan projection — text never leaves its task; only (fp, len) pairs reach the two digest-keyed exchanges",
       "d34_dedup_pipeline_run" -> "composed dedup run: banding and verify each ran ONCE (cached, counted hot, released synchronously — the eager closure makes a lazy count leg recompute instead); the result plan is just the ids-only anti-join vs the broadcast labelling + literal/labelling count rows",
       "t54_bpe_roundtrip" -> "BPE round-trip audit: decode identity, vocab check and chars/token all in the ONE map-only encode projection (merges + products are literals); a source-keyed partial-agg exchange of scalars is the only shuffle",
+      "m21_audio_fingerprint_pairs" -> "audio fingerprint pairs: octave energies from the decode stage, 16 composite grid keys per clip (lossless continuous-feature pigeonhole), bucket-local self-join with in-row verification — the m11 blocking shape for audio",
+      "d35_incremental_dedup_run" -> "incremental dedup run: corpus scans ONCE with the batch's shingles broadcast (d10's shape); within-batch pass is batch-sized; dispositions are ids-only joins + literal count rows (the d34 eager-count discipline)",
+      "s34_ivf_cell_drift" -> "IVF append drift: both assignments map-only (centroids inlined as literals, no join); two cell-keyed partial aggs broadcast onto the k-row seed list",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")
@@ -159,6 +162,30 @@ object ExplainDump {
     * regeneration preserves the record.
     */
   private val driftTriage: String = """
+## Round-14 r8→r10 drift backfill (the r9 gap round)
+
+The r10 verdict asked for a full d/m/q family comparison r8→r10 now
+that `bench_out.json` is committed per round. Adjudication of what the
+artifacts actually hold: `BENCH_r08.json` / `BENCH_r09.json` carry
+only a TRUNCATED stdout tail (r8 starts at q50; r9 at s05 — the d and
+m families are in neither), and `bench_out.json` exists only from r10
+— so r8/r9 numbers for the d/m families survive in NO artifact and
+the hole cannot be backfilled; it is closed going forward by the
+committed full map. Over the 69 recoverable common queries
+(q50–q69, s, t families):
+
+| | r8 | r10 | ratio |
+|---|---|---|---|
+| q-family (n=20) | 9.70 s | 8.72 s | 0.90× |
+| s-family (n=21) | 7.52 s | 6.86 s | 0.91× |
+| t-family (n=28) | 20.32 s | 16.87 s | 0.83× |
+| total | 37.5 s | 32.5 s | 0.86× |
+
+**Zero ≥1.5× regressions r8→r10.** Three ≥1.5× improvements:
+t27_interpolated_logprob 2.257→1.166 (the round-10 TokenHash kernel),
+t13_decontaminate_filter 1.002→0.602, s15_knn_pq_indexed 0.274→0.179.
+Nothing to triage.
+
 ## Round-14 watch-list adjudication (t40 / m03 / d12)
 
 The r10 verdict flagged t40_leakage_safe_split 1.155→1.419 s in the

@@ -408,6 +408,27 @@ object ScaleSmoke {
         graft.pipeline.Dedup.dedupPipelineRun(docs, "text", "doc_id")
           .groupBy(col("stage")).agg(count(lit(1)))
           .collect().length.toLong }
+      // corpus scans once with batch shingles broadcast; batch-side
+      // pair pass is batch-sized
+      time("d35 incrementalDedupRun") {
+        val batch = docs.where(col("doc_id") % 10 === 0)
+        val corpus = docs.where(col("doc_id") % 10 =!= 0)
+        graft.pipeline.Dedup.incrementalDedupRun(batch, corpus,
+            "text", "doc_id")
+          .groupBy(col("stage")).agg(count(lit(1)))
+          .collect().length.toLong }
+      // decode-stage energies; 16 composite keys/clip, bucket-local join
+      time("m21 audioFingerprintPairs") {
+        graft.pipeline.Multimodal.audioFingerprintDupPairs(
+          graft.pipeline.Multimodal.textAsWav(
+            docs.where(octet_length(col("text")) > 0), "doc_id", "text"))
+          .count() }
+      // two map-only assignments + k-row rollups
+      time("s34 cellDriftReport") {
+        graft.pipeline.Clustering.cellDriftReport(
+          emb.where(col("vec_id") % 10 =!= 0),
+          emb.where(col("vec_id") % 10 === 0),
+          "embedding", "vec_id", 8).collect().length.toLong }
       // (doc,label,token) agg + |classes|-way scoring join
       time("t50 nbLangConfusion") {
         graft.pipeline.TextAnalysis.nbLangConfusion(docs, "text",
