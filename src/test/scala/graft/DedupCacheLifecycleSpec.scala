@@ -16,6 +16,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * id set rather than demanding global emptiness, so an unrelated
   * suite's cache in the shared test JVM can't fail these.
   */
+// Cache-lifecycle RE-verification (re-runs whole operators to watch
+// release) — tagged Slow with the generative suites; the full gate
+// (`sbt test`) still runs it.
+@org.scalatest.tags.Slow
 class DedupCacheLifecycleSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
   private val sfDir = SparkFixture.sfDir

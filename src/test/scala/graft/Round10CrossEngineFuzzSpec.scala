@@ -14,6 +14,9 @@ import graft.pipeline.TextAnalysis
   * codepoints. Both engines read the SAME parquet and must agree
   * bit-for-bit — doubles included (fixed-order IEEE arithmetic).
   */
+// Seeded cross-engine fuzz — the generative re-verification class
+// (r9 item #8); full gate unchanged.
+@org.scalatest.tags.Slow
 class Round10CrossEngineFuzzSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
 
