@@ -6192,6 +6192,110 @@ object SparkEntry {
         .orderBy(col("cell"))
     })
 
+  // Post-dedup TOKEN budget per source: how many of each source's
+  // tokens survive keep-min-id dedup at tau — the d27 impact numbers
+  // re-denominated in the unit budgets are written in (t03 tokens),
+  // feeding t49/t10 with post-dedup counts. Oracle replays the d11
+  // closure + the per-source accounting.
+  private val t55 = Q("t55_dedup_token_budget", Some("""
+    WITH RECURSIVE toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+          CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) AS jaccard
+        FROM inter
+          JOIN sizes na ON na.doc_id = id_a
+          JOIN sizes nb ON nb.doc_id = id_b)
+      WHERE jaccard >= 0.3),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach(u, v) AS (SELECT u, v FROM sym
+                    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u),
+    losers AS (SELECT doc_id FROM comp WHERE doc_id <> rep),
+    per AS (SELECT source, doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+        CASE WHEN doc_id IN (SELECT doc_id FROM losers) THEN 0 ELSE 1 END AS kept
+      FROM documents)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(kept) AS BIGINT) AS n_docs_kept,
+      CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+      CAST(SUM(kept * ntok) AS BIGINT) AS n_tokens_kept,
+      CASE WHEN SUM(ntok) = 0 THEN NULL ELSE
+        ROUND(CAST(SUM(kept * ntok) AS DOUBLE) / CAST(SUM(ntok) AS DOUBLE), 6) END
+        AS token_keep_frac
+    FROM per GROUP BY source ORDER BY source"""),
+    (s, dir) => Dedup.dedupTokenBudgetReport(T(s, dir, "documents"),
+        "text", "doc_id", "source", n = 3, threshold = 0.3,
+        maxPostings = None) // exact: oracle-comparable
+      .orderBy(col("source")))
+
+  // Audio dup CLUSTERS: m21's pairs closed transitively (the d06 move
+  // for the audio family) — cluster representative + size per clip in
+  // >=1 qualifying pair, the frame an audio dedup consumes directly.
+  private val m22 = Q("m22_audio_dup_clusters", Some("""
+    WITH RECURSIVE d AS (SELECT doc_id,
+        octet_length(CAST(text AS BLOB)) AS n,
+        string_split(text, '') AS cs
+      FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) > 0
+        AND octet_length(CAST(text AS BLOB)) = length(text)),
+    b AS (SELECT doc_id, n, cs, k FROM d, UNNEST(generate_series(1, 15)) AS g(k)),
+    co AS (SELECT doc_id AS sample_id, CAST(k AS BIGINT) AS bin,
+      ROUND(list_sum(list_transform(generate_series(0, n - 1), i ->
+        CAST(ord(cs[CAST(i + 1 AS BIGINT)]) * 128 AS DOUBLE) * cos(2 * pi() * k * i / n))), 6) + 0.0 AS c,
+      ROUND(list_sum(list_transform(generate_series(0, n - 1), i ->
+        CAST(ord(cs[CAST(i + 1 AS BIGINT)]) * 128 AS DOUBLE) * sin(2 * pi() * k * i / n))), 6) + 0.0 AS s
+      FROM b),
+    e AS (SELECT sample_id, bin, c * c + s * s AS e FROM co),
+    bnd AS (SELECT sample_id,
+        CAST(CASE WHEN bin = 1 THEN 1 WHEN bin <= 3 THEN 2
+                  WHEN bin <= 7 THEN 3 ELSE 4 END AS BIGINT) AS band, e
+      FROM e),
+    be AS (SELECT sample_id, band, ROUND(ln(1 + SUM(e)), 6) AS le
+      FROM bnd GROUP BY sample_id, band),
+    vec AS (SELECT sample_id,
+        MAX(CASE WHEN band = 1 THEN le END) AS e1,
+        MAX(CASE WHEN band = 2 THEN le END) AS e2,
+        MAX(CASE WHEN band = 3 THEN le END) AS e3,
+        MAX(CASE WHEN band = 4 THEN le END) AS e4
+      FROM be GROUP BY sample_id),
+    combos AS (SELECT g AS cid FROM UNNEST(generate_series(0, 15)) t(g)),
+    keys AS (SELECT v.sample_id, v.e1, v.e2, v.e3, v.e4, c.cid,
+        CAST(floor((e1 + ((cid >> 0) & 1) * 0.125) / 0.25) AS BIGINT) AS k1,
+        CAST(floor((e2 + ((cid >> 1) & 1) * 0.125) / 0.25) AS BIGINT) AS k2,
+        CAST(floor((e3 + ((cid >> 2) & 1) * 0.125) / 0.25) AS BIGINT) AS k3,
+        CAST(floor((e4 + ((cid >> 3) & 1) * 0.125) / 0.25) AS BIGINT) AS k4
+      FROM vec v, combos c),
+    prs AS (SELECT DISTINCT a.sample_id AS id_a, b.sample_id AS id_b
+      FROM keys a JOIN keys b
+        ON a.cid = b.cid AND a.k1 = b.k1 AND a.k2 = b.k2
+          AND a.k3 = b.k3 AND a.k4 = b.k4 AND a.sample_id < b.sample_id
+      WHERE abs(a.e1 - b.e1) <= 0.125 AND abs(a.e2 - b.e2) <= 0.125
+        AND abs(a.e3 - b.e3) <= 0.125 AND abs(a.e4 - b.e4) <= 0.125),
+    sym AS (SELECT id_a AS u, id_b AS v FROM prs UNION SELECT id_b, id_a FROM prs),
+    reach(u, v) AS (SELECT u, v FROM sym
+                    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    comp AS (SELECT u AS sample_id, LEAST(u, MIN(v)) AS cluster_rep FROM reach GROUP BY u)
+    SELECT sample_id, cluster_rep,
+      CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
+    FROM comp ORDER BY sample_id"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents").where(octet_length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
+      Multimodal.audioDupClusters(
+          Multimodal.textAsWav(docs, "doc_id", "text"), tau = 0.125)
+        .orderBy(col("sample_id"))
+    })
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -6209,9 +6313,9 @@ object SparkEntry {
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
     t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45,
-    t46, t47, t48, t49, t50, t51, t52, t53, t54,
+    t46, t47, t48, t49, t50, t51, t52, t53, t54, t55,
     m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14,
-    m15, m16, m17, m18, m19, m20, m21)
+    m15, m16, m17, m18, m19, m20, m21, m22)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))

@@ -1380,6 +1380,48 @@ object Dedup {
     hist.unionAll(singletons)
   }
 
+  /** Post-dedup TOKEN budget per source — the headline number a
+    * training run reads off a dedup pass: how many of each source's
+    * tokens survive keep-min-id dedup at τ. Pairs the d27 impact
+    * histogram (docs and clusters) with the unit data budgets are
+    * actually denominated in (tokens, t03's whitespace count), and
+    * feeds t49's budget select / t10's source mix with post-dedup
+    * numbers instead of raw ones.
+    *
+    * Scale shape: ONE pair pass + closure (d11's work — capped
+    * postings by default), then one corpus scan computing per-doc
+    * token counts with the loser-id frame joined (cluster-loser-
+    * sized, AQE-broadcast); the rollup exchanges |sources| scalar
+    * rows.
+    *
+    * @return (source, n_docs, n_docs_kept, n_tokens, n_tokens_kept,
+    *         token_keep_frac) — frac rounded 6 dp, null for
+    *         token-free sources
+    */
+  def dedupTokenBudgetReport(docs: DataFrame, textCol: String, idCol: String,
+      srcCol: String, n: Int = 3, threshold: Double = 0.3,
+      maxPostings: Option[Int] = Some(10000)): DataFrame = {
+    val losers = connectedComponents(
+        ngramJaccardPairs(docs, textCol, idCol, n, threshold, maxPostings)
+          .select(col("id_a"), col("id_b")))
+      .where(col("id") =!= col("component"))
+      .select(col("id").as("__lid"))
+    docs
+      .select(col(srcCol).as("source"), col(idCol).as("__id"),
+        graft.pipeline.TextAnalysis.tokenCount(col(textCol)).as("__nt"))
+      .join(losers, col("__id") === col("__lid"), "left")
+      .select(col("source"), col("__nt"), col("__lid").isNull.as("__kept"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__kept"), 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(col("__nt")).as("n_tokens"),
+        sum(when(col("__kept"), col("__nt")).otherwise(0L)).as("n_tokens_kept"))
+      .withColumn("token_keep_frac",
+        when(col("n_tokens") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("n_tokens_kept").cast("double") /
+            col("n_tokens").cast("double"), 6)))
+  }
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
       localEdgeLimit: Int = 100000): DataFrame = {
     val spark = pairs.sparkSession
@@ -1434,11 +1476,20 @@ object Dedup {
     val edges = base.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(base.select(col("id_b").as("u"), col("id_a").as("v")))
       .cache()
+    // per-round labellings are LOCALLY CHECKPOINTED (eager), not just
+    // cached: the loop references `current` twice per round and cache
+    // substitution happens only at execution time, so a plain cache
+    // leaves a LOGICAL plan that doubles each round — at round k the
+    // plan string carries 2^k copies of the caller's pair plan, and
+    // the listener bus's plan description OOMed the driver in the 10×
+    // smoke (m22's large DFT pair plan × a multi-round graph).
+    // localCheckpoint truncates the lineage to a flat LogicalRDD;
+    // superseded rounds' blocks are released by the ContextCleaner as
+    // their RDDs drop out of reference.
     var current = edges.select(col("u").as("id"))
       .distinct()
       .select(col("id"), col("id").as("component"))
-      .cache()
-    var returnedDistributed = false
+      .localCheckpoint()
     try {
       var iter = 0
       var changed = 1L
@@ -1454,9 +1505,8 @@ object Dedup {
           .select(col("id"),
             least(col("component"), col("nbr_min")).as("component"),
             (col("nbr_min") < col("component")).as("chg"))
-          .cache()
+          .localCheckpoint()
         changed = next.where(col("chg")).count()
-        current.unpersist()
         current = next
         iter += 1
       }
@@ -1465,29 +1515,19 @@ object Dedup {
           s"connectedComponents did not converge in $maxIter rounds — " +
             "pathological graph diameter; raise maxIter")
       val labels = current.select(col("id"), col("component"))
-      // localize small results so the per-round caches don't outlive
-      // the call: possible even past the edge limit when the graph is
+      // localize small results so no executor-side blocks outlive the
+      // call: possible even past the edge limit when the graph is
       // dense (many edges over few vertices)
       val probe = labels.limit(localRowLimit + 1).collect()
       if (probe.length <= localRowLimit) {
         spark.createDataFrame(
           java.util.Arrays.asList(probe: _*), labels.schema)
       } else {
-        returnedDistributed = true
-        // a genuinely huge labelling stays distributed and cached, but
-        // the "caller owns the unpersist" contract was honored by no
-        // caller — scope it instead: the cache self-releases after the
-        // caller's first (and per the server contract, only) execution
-        org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUseExisting(current)
+        // a genuinely huge labelling stays distributed, backed by its
+        // checkpoint blocks; they free once the caller drops the frame
         labels
       }
-    } finally {
-      edges.unpersist()
-      // keep the final cache alive only when it backs the returned
-      // distributed labelling (CacheScope releases it after first
-      // use); release it on localization and on any exception path
-      if (!returnedDistributed) current.unpersist()
-    }
+    } finally edges.unpersist()
   }
 
   /** Hybrid near-dup pairs: the union of lexical (word n-gram

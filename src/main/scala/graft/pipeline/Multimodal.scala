@@ -1158,6 +1158,32 @@ object Multimodal {
       .distinct()
   }
 
+  /** Audio dup CLUSTERS — [[audioFingerprintDupPairs]] closed
+    * transitively (the d06 move for the audio family): each clip's
+    * cluster representative (min id) and cluster size, the frame an
+    * audio dedup pass consumes directly (drop non-representatives, or
+    * weight by 1/cluster_size).
+    *
+    * Scale shape: the pair pass is m21's (decode-stage energies,
+    * bucket-local join); the closure input is (id, id) pairs only —
+    * [[graft.pipeline.Dedup.connectedComponents]]'s bounded-probe
+    * local/distributed dispatch applies unchanged.
+    *
+    * @return (sample_id, cluster_rep, cluster_size) for every clip in
+    *         ≥1 qualifying pair
+    */
+  def audioDupClusters(media: DataFrame, tau: Double = 0.125,
+      idCol: String = "sample_id", payloadCol: String = "payload"): DataFrame = {
+    val pairs = audioFingerprintDupPairs(media, tau, idCol, payloadCol)
+      .select(col("id_a"), col("id_b"))
+    graft.pipeline.Dedup.connectedComponents(pairs)
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("component"))).cast("long"))
+      .select(col("id").as("sample_id"), col("component").as("cluster_rep"),
+        col("cluster_size"))
+  }
+
   /** Voice-activity segments over REAL decoded PCM — the segmentation
     * primitive audio curation runs before transcription (cut silence,
     * keep speech): fixed-length frames (`frameLen` samples, the last

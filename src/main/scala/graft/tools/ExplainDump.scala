@@ -140,6 +140,7 @@ object ExplainDump {
       "m21_audio_fingerprint_pairs" -> "audio fingerprint pairs: octave energies from the decode stage, 16 composite grid keys per clip (lossless continuous-feature pigeonhole), bucket-local self-join with in-row verification — the m11 blocking shape for audio",
       "d35_incremental_dedup_run" -> "incremental dedup run: corpus scans ONCE with the batch's shingles broadcast (d10's shape); within-batch pass is batch-sized; dispositions are ids-only joins + literal count rows (the d34 eager-count discipline)",
       "s34_ivf_cell_drift" -> "IVF append drift: both assignments map-only (centroids inlined as literals, no join); two cell-keyed partial aggs broadcast onto the k-row seed list",
+      "t55_dedup_token_budget" -> "post-dedup token budget: d11's pair+closure work, then ONE corpus scan of (source, token-count) with the loser-id frame AQE-broadcast onto it; the rollup exchanges |sources| scalar rows",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")
@@ -162,6 +163,35 @@ object ExplainDump {
     * regeneration preserves the record.
     */
   private val driftTriage: String = """
+## Round-15 closure lineage fix (driver OOM caught by the m22 10× smoke)
+
+`distributedComponents`' hash-min loop referenced its per-round
+labelling TWICE per round (neighbourhood-min join + label merge).
+Cache substitution happens only at execution time, so the LOGICAL
+plan doubled every round — 2^k copies of the caller's pair plan by
+round k — and the listener bus's plan-description string OOMed the
+driver heap on m22's large DFT pair plan over a multi-round graph
+(10× smoke, 271k pairs / 47k clips). Per-round `localCheckpoint`
+truncates the lineage to a flat LogicalRDD: same data, bounded plans,
+prior rounds' blocks released by the ContextCleaner. Side effect
+measured at 10×: d34's closure fell 56.8 → 17.2 s (it was paying the
+same exponential plan tax below the OOM threshold); d22 unchanged
+within noise (35.9 → 37.2 isolated). All closure-fed oracles
+(d06/d11/d22/d27/d34/d35/t40/t55) re-verified hash-matched — the fix
+changes lineage, never data.
+
+## Round-15 bench environment note
+
+The round-11 builder bench refresh (bench_out.json, 215 queries,
+value 145.2) ran ~1.12× above the r10 driver artifact UNIFORMLY —
+median per-query ratio 1.12× including untouched trivial queries
+(q42_map_funcs 0.089→0.114, q02 1.09×), with zero movers isolated-
+confirmed: DriftProfile on the largest (d12 1.51×, t44 1.56×, s16
+1.62×) lands between the two rounds' numbers on unchanged code —
+ambient machine noise, not regressions. The queries this round
+actually touched moved the RIGHT way: d26 2.52→0.88 (CDC kernel,
+2.9×), d31 7.80→3.05, t46/d32/d33 flat.
+
 ## Round-14 r8→r10 drift backfill (the r9 gap round)
 
 The r10 verdict asked for a full d/m/q family comparison r8→r10 now

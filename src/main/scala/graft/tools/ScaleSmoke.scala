@@ -423,6 +423,16 @@ object ScaleSmoke {
           graft.pipeline.Multimodal.textAsWav(
             docs.where(octet_length(col("text")) > 0), "doc_id", "text"))
           .count() }
+      // m21's pair pass + bounded-probe closure over (id, id) pairs
+      time("m22 audioDupClusters") {
+        graft.pipeline.Multimodal.audioDupClusters(
+          graft.pipeline.Multimodal.textAsWav(
+            docs.where(octet_length(col("text")) > 0), "doc_id", "text"))
+          .count() }
+      // d11's pair+closure work + one token-count scan
+      time("t55 dedupTokenBudget (capped)") {
+        graft.pipeline.Dedup.dedupTokenBudgetReport(docs, "text",
+          "doc_id", "source").collect().length.toLong }
       // two map-only assignments + k-row rollups
       time("s34 cellDriftReport") {
         graft.pipeline.Clustering.cellDriftReport(

@@ -117,6 +117,87 @@ class Round15Spec extends AnyFunSuite {
     assert(counts("batch_pairs") == bp.count())
   }
 
+  // ---------------- m22: audio dup clusters ----------------
+
+  test("audioDupClusters == closure of the fingerprint pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(22)
+    val base = (1 to 100).map(_ => (' ' + rnd.nextInt(64)).toChar).mkString
+    val docs = (
+      (1L to 10L).map { i =>
+        (i, (1 to (40 + rnd.nextInt(100)))
+          .map(_ => (' ' + rnd.nextInt(64)).toChar).mkString)
+      } :+ (61L, base) :+ (62L, base) :+ (63L, base) // 3-clique of exact dups
+    ).toDF("doc_id", "text").repartition(2)
+    val media = Multimodal.textAsWav(docs, "doc_id", "text")
+    val pairs = Multimodal.audioFingerprintDupPairs(media, tau = 0.125)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // in-memory union-find over the pair set
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(v => v -> find(v)).toMap
+    val sizes = expected.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+
+    val got = Multimodal.audioDupClusters(media, tau = 0.125).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      assert(r.getLong(1) == expected(r.getLong(0)), s"rep of ${r.getLong(0)}")
+      assert(r.getLong(2) == sizes(r.getLong(1)), s"size at ${r.getLong(0)}")
+    }
+    assert(got.exists(_.getLong(2) >= 3L), "fixture must form a 3-cluster")
+  }
+
+  // ---------------- t55: post-dedup token budget ----------------
+
+  test("dedupTokenBudgetReport == dedupedCorpus + tokenCount composition") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base, "a"), (2L, base, "a"), // dup pair in a
+      (3L, (1 to 10).map(i => s"u$i").mkString(" "), "a"),
+      (4L, base + " tail", "b"), // near-dups 1 cross-source
+      (5L, (1 to 20).map(i => s"z$i").mkString(" "), "b"),
+      (6L, "", "c") // empty text: 1 token by the count identity
+    ).toDF("doc_id", "text", "source").repartition(2)
+
+    val kept = Dedup.dedupedCorpus(docs, "text", "doc_id",
+      n = 3, threshold = 0.3, maxPostings = None)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = Seq((1L, base, "a"), (2L, base, "a"),
+      (3L, (1 to 10).map(i => s"u$i").mkString(" "), "a"),
+      (4L, base + " tail", "b"), (5L, (1 to 20).map(i => s"z$i").mkString(" "), "b"),
+      (6L, "", "c"))
+    def ntok(t: String): Long = t.count(_ == ' ').toLong + 1L
+    val expected = rows.groupBy(_._3).map { case (src, rs) =>
+      val nt = rs.map(r => ntok(r._2)).sum
+      val ntKept = rs.filter(r => kept(r._1)).map(r => ntok(r._2)).sum
+      src -> (rs.size.toLong, rs.count(r => kept(r._1)).toLong, nt, ntKept)
+    }
+    assert(kept.size < 6, "fixture must drop docs")
+
+    val got = Dedup.dedupTokenBudgetReport(docs, "text", "doc_id", "source",
+      n = 3, threshold = 0.3, maxPostings = None)
+      .orderBy("source").collect()
+    assert(got.length == 3)
+    got.foreach { r =>
+      val (nd, ndk, nt, ntk) = expected(r.getString(0))
+      assert(r.getLong(1) == nd && r.getLong(2) == ndk &&
+        r.getLong(3) == nt && r.getLong(4) == ntk, s"row $r")
+      assert(math.abs(r.getDouble(5) -
+        BigDecimal(ntk.toDouble / nt).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
+
   // ---------------- s34: IVF append cell drift ----------------
 
   test("cellDriftReport == in-memory assignment accounting") {
