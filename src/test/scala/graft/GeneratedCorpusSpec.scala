@@ -126,7 +126,17 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     // d33 is the d02 pair class + threshold literals (driven from the
     // list on both sides); m20 bands the m14 bit-exact energies with
     // a literal when-chain + contract-rounded logs
-    "d33_jaccard_threshold_curve", "m20_octave_band_energies")
+    "d33_jaccard_threshold_curve", "m20_octave_band_energies",
+    // round-14/15: t54 extends the t45 chain with decode identity +
+    // vocab-membership integers + one exact division; d34/d35 compose
+    // the d12/d24 digest classes with the d06 closure (counts and ids
+    // only); t55 is the closure + integer token counts + one exact
+    // division; m21 grids the m14/m20 contract-rounded energies with
+    // exact-binary floors + literal-τ comparisons; m22 adds the
+    // recursive closure over m21's integer pairs
+    "t54_bpe_roundtrip", "d34_dedup_pipeline_run",
+    "d35_incremental_dedup_run", "t55_dedup_token_budget",
+    "m21_audio_fingerprint_pairs", "m22_audio_dup_clusters")
 
   private def generate(seed: Int, nDocs: Int): Seq[(Long, String, String, String, Long)] = {
     val rnd = new scala.util.Random(seed)
@@ -191,7 +201,11 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     // encoder's fold — the kernel's errors must stay bit-identical to
     // the SQL argmin on arbitrary vectors; s33's per-element affine
     // round-trips are the s06 class swept over a level broadcast
-    "s32_pq_distortion", "s33_sq_bits_sweep")
+    "s32_pq_distortion", "s33_sq_bits_sweep",
+    // round-15: s34 is the d14/s30 assignment class run twice (old
+    // corpus seeds, both splits assigned) + integer histograms +
+    // exact divisions over the k-cell seed list
+    "s34_ivf_cell_drift")
 
   /** Canonical cell stringification: array columns print as
     * "[a, b, ...]" on BOTH sides (Spark rows yield Scala Seqs,
