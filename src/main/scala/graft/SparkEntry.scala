@@ -6296,6 +6296,51 @@ object SparkEntry {
         .orderBy(col("sample_id"))
     })
 
+  // Post-dedup temperature mixture: the α-sampling weights (t28's
+  // math, α=0.5 IEEE-sqrt-exact) computed over the DEDUPED corpus —
+  // raw source counts overweight duplicate-heavy sources, so the
+  // mixture a run deploys reads post-dedup counts (pairs with t55's
+  // token budget). Pure composition: d11's closure feeds t28's
+  // weights; the oracle replays both.
+  private val t56 = Q("t56_dedup_temperature_mix", Some("""
+    WITH RECURSIVE toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+          CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) AS jaccard
+        FROM inter
+          JOIN sizes na ON na.doc_id = id_a
+          JOIN sizes nb ON nb.doc_id = id_b)
+      WHERE jaccard >= 0.3),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach(u, v) AS (SELECT u, v FROM sym
+                    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u),
+    kept AS (SELECT * FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> rep)),
+    s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM kept GROUP BY source),
+    t AS (SELECT source, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS p FROM s)
+    SELECT source, n_docs,
+      ROUND(CAST(n_docs AS DOUBLE) / SUM(CAST(n_docs AS DOUBLE)) OVER (), 6)
+        AS natural_frac,
+      ROUND(p / SUM(p) OVER (), 6) AS temp_weight
+    FROM t ORDER BY source"""),
+    (s, dir) => graft.pipeline.Sampling.temperatureWeights(
+        Dedup.dedupedCorpus(T(s, dir, "documents"), "text", "doc_id",
+          n = 3, threshold = 0.3, maxPostings = None), // exact: oracle
+        "source", alpha = 0.5)
+      .orderBy(col("source")))
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -6313,7 +6358,7 @@ object SparkEntry {
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
     t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45,
-    t46, t47, t48, t49, t50, t51, t52, t53, t54, t55,
+    t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56,
     m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14,
     m15, m16, m17, m18, m19, m20, m21, m22)
 

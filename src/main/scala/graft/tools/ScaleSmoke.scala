@@ -433,6 +433,11 @@ object ScaleSmoke {
       time("t55 dedupTokenBudget (capped)") {
         graft.pipeline.Dedup.dedupTokenBudgetReport(docs, "text",
           "doc_id", "source").collect().length.toLong }
+      // d11's closure + a |sources|-row weight rollup
+      time("t56 dedupTemperatureMix (capped)") {
+        graft.pipeline.Sampling.temperatureWeights(
+          graft.pipeline.Dedup.dedupedCorpus(docs, "text", "doc_id"),
+          "source", 0.5).collect().length.toLong }
       // two map-only assignments + k-row rollups
       time("s34 cellDriftReport") {
         graft.pipeline.Clustering.cellDriftReport(

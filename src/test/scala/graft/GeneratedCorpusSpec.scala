@@ -136,7 +136,10 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     // recursive closure over m21's integer pairs
     "t54_bpe_roundtrip", "d34_dedup_pipeline_run",
     "d35_incremental_dedup_run", "t55_dedup_token_budget",
-    "m21_audio_fingerprint_pairs", "m22_audio_dup_clusters")
+    "m21_audio_fingerprint_pairs", "m22_audio_dup_clusters",
+    // t56 composes the d22 closure class with t28's α=0.5 weights
+    // (IEEE-sqrt-exact, contract-rounded)
+    "t56_dedup_temperature_mix")
 
   private def generate(seed: Int, nDocs: Int): Seq[(Long, String, String, String, Long)] = {
     val rnd = new scala.util.Random(seed)

@@ -640,4 +640,51 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!exchanges.exists(_.contains("payload#")),
       s"payload bytes must never shuffle:\n${exchanges.mkString("\n")}")
   }
+
+  test("m21 audio pairs: bucket-local equi-join, never a nested loop; payload stays in decode") {
+    val media = graft.pipeline.Multimodal.textAsWav(
+      spark.read.parquet(s"$sf/documents.parquet")
+        .where(org.apache.spark.sql.functions.octet_length(
+          org.apache.spark.sql.functions.col("text")) > 0), "doc_id", "text")
+    val plan = planOf(graft.pipeline.Multimodal.audioFingerprintDupPairs(media))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"the grid blocking must make this an equi-join:\n$plan")
+    assert(plan.linesIterator.filter(_.contains("Exchange"))
+      .forall(!_.contains("payload#")),
+      "audio payload bytes must never cross an exchange")
+  }
+
+  test("d34 composed run result plan: ids-only anti-join + count rows, no corpus re-pass") {
+    val plan = planOf(SparkEntry.queries("d34_dedup_pipeline_run")(spark, sf))
+    // the banding/verify work ran eagerly inside the operator — the
+    // RESULT plan must not contain the shingle explode (Generate) or
+    // any text-carrying exchange
+    assert(!plan.contains("Generate explode"),
+      s"corpus-scale pair work leaked into the result plan:\n$plan")
+    assert(plan.contains("LeftAnti"), s"expected the keep-min-id anti-join:\n$plan")
+    assert(plan.linesIterator.filter(_.contains("Exchange"))
+      .forall(!_.contains("text#")),
+      "document text must never cross an exchange in the result plan")
+  }
+
+  test("t55 token budget: loser join is ids-only, text never shuffles") {
+    val plan = planOf(SparkEntry.queries("t55_dedup_token_budget")(spark, sf))
+    assert(plan.linesIterator.filter(_.contains("Exchange"))
+      .forall(!_.contains("text#")),
+      s"document text must never cross an exchange:\n$plan")
+  }
+
+  test("s34 cell drift: both assignments map-only (no join below the k-row rollup)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    import org.apache.spark.sql.functions.col
+    val plan = planOf(graft.pipeline.Clustering.cellDriftReport(
+      emb.where(col("vec_id") % 10 =!= 0), emb.where(col("vec_id") % 10 === 0),
+      "embedding", "vec_id", k = 8))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"assignment must be a projection; only broadcast joins onto the seed list:\n$plan")
+    assert(plan.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .forall(!_.contains("embedding#")),
+      "vectors must never cross a keyed exchange")
+  }
 }

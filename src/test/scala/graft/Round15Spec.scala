@@ -198,6 +198,31 @@ class Round15Spec extends AnyFunSuite {
     }
   }
 
+  // ---------------- t56: post-dedup temperature mix ----------------
+
+  test("t56 composition: weights computed on the deduped corpus, not the raw one") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    // source 'a' is duplicate-heavy: raw counts overweight it
+    val docs = Seq(
+      (1L, base, "a"), (2L, base, "a"), (3L, base, "a"),
+      (4L, (1 to 30).map(i => s"x$i").mkString(" "), "a"),
+      (5L, (1 to 30).map(i => s"y$i").mkString(" "), "b"),
+      (6L, (1 to 30).map(i => s"z$i").mkString(" "), "b")
+    ).toDF("doc_id", "text", "source").repartition(2)
+    val deduped = pipeline.Dedup.dedupedCorpus(docs, "text", "doc_id",
+      n = 3, threshold = 0.3, maxPostings = None)
+    val got = pipeline.Sampling.temperatureWeights(deduped, "source", 0.5)
+      .orderBy("source").collect()
+    // after dedup both sources hold 2 docs — equal weights; the raw
+    // corpus would give 'a' 2/3 of the natural mass
+    assert(got.map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("a" -> 2L, "b" -> 2L))
+    got.foreach { r =>
+      assert(r.getDouble(2) == 0.5 && r.getDouble(3) == 0.5, s"row $r")
+    }
+  }
+
   // ---------------- s34: IVF append cell drift ----------------
 
   test("cellDriftReport == in-memory assignment accounting") {
