@@ -1476,20 +1476,31 @@ object Dedup {
     val edges = base.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(base.select(col("id_b").as("u"), col("id_a").as("v")))
       .cache()
-    // per-round labellings are LOCALLY CHECKPOINTED (eager), not just
-    // cached: the loop references `current` twice per round and cache
-    // substitution happens only at execution time, so a plain cache
-    // leaves a LOGICAL plan that doubles each round — at round k the
-    // plan string carries 2^k copies of the caller's pair plan, and
-    // the listener bus's plan description OOMed the driver in the 10×
-    // smoke (m22's large DFT pair plan × a multi-round graph).
-    // localCheckpoint truncates the lineage to a flat LogicalRDD;
-    // superseded rounds' blocks are released by the ContextCleaner as
-    // their RDDs drop out of reference.
-    var current = edges.select(col("u").as("id"))
+    // Per-round lineage control WITHOUT giving up fault tolerance:
+    // the loop references each round's labelling twice and cache
+    // substitution is execution-time only, so plain caches leave a
+    // LOGICAL plan that doubles every round — 2^k copies of the
+    // caller's pair plan by round k, and the listener bus's plan
+    // description OOMed the driver in the 10× smoke (m22's large DFT
+    // pair plan × a multi-round graph). Each round therefore caches
+    // its labelling AND feeds the next round through a FLAT
+    // LogicalRDD view over the cached Dataset's RDD: the logical plan
+    // stays one round deep, while a lost cache block still recomputes
+    // through the physical lineage (an InMemoryTableScan falls back
+    // to its child; the RDD chain links round k to round k−1) —
+    // unlike a localCheckpoint, whose blocks are unrecoverable on
+    // executor loss. Superseded rounds unpersist deterministically.
+    def flat(ds: DataFrame): DataFrame =
+      spark.createDataFrame(ds.asInstanceOf[
+        org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]].rdd,
+        ds.schema)
+    var currentCached = edges.select(col("u").as("id"))
       .distinct()
       .select(col("id"), col("id").as("component"))
-      .localCheckpoint()
+      .cache()
+    currentCached.count(): Unit // materialize before the flat view reads it
+    var current = flat(currentCached)
+    var returnedDistributed = false
     try {
       var iter = 0
       var changed = 1L
@@ -1505,29 +1516,59 @@ object Dedup {
           .select(col("id"),
             least(col("component"), col("nbr_min")).as("component"),
             (col("nbr_min") < col("component")).as("chg"))
-          .localCheckpoint()
+          .cache()
         changed = next.where(col("chg")).count()
-        current = next
+        currentCached.unpersist()
+        currentCached = next
+        current = flat(next).select(col("id"), col("component"))
         iter += 1
+        // every few rounds cut the PHYSICAL lineage too: the flat view
+        // bounds the logical plan, but the round chain still deepens
+        // the serialized RDD object graph and the 10× m22 graph's
+        // dozens of rounds overflowed task DEserialization
+        // (StackOverflowError). Reliable checkpoint when the session
+        // has a checkpoint dir (the production setting — survives
+        // executor loss); localCheckpoint otherwise, which is exactly
+        // safe in local mode where no separate executor can be lost.
+        if (iter % 8 == 0) {
+          val cut =
+            if (spark.sparkContext.getCheckpointDir.isDefined)
+              currentCached.checkpoint()
+            else currentCached.localCheckpoint()
+          currentCached.unpersist()
+          currentCached = cut
+          current = cut.select(col("id"), col("component"))
+        }
       }
       if (changed > 0)
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxIter rounds — " +
             "pathological graph diameter; raise maxIter")
-      val labels = current.select(col("id"), col("component"))
-      // localize small results so no executor-side blocks outlive the
-      // call: possible even past the edge limit when the graph is
+      val labels = currentCached.select(col("id"), col("component"))
+      // localize small results so the per-round caches don't outlive
+      // the call: possible even past the edge limit when the graph is
       // dense (many edges over few vertices)
       val probe = labels.limit(localRowLimit + 1).collect()
       if (probe.length <= localRowLimit) {
         spark.createDataFrame(
           java.util.Arrays.asList(probe: _*), labels.schema)
       } else {
-        // a genuinely huge labelling stays distributed, backed by its
-        // checkpoint blocks; they free once the caller drops the frame
+        returnedDistributed = true
+        // a genuinely huge labelling stays distributed and cached, but
+        // the "caller owns the unpersist" contract was honored by no
+        // caller — scope it instead: the cache self-releases after the
+        // caller's first (and per the server contract, only) execution
+        org.apache.spark.sql.graftbridge.CacheScope
+          .releaseAfterUseExisting(currentCached)
         labels
       }
-    } finally edges.unpersist()
+    } finally {
+      edges.unpersist()
+      // keep the final cache alive only when it backs the returned
+      // distributed labelling (CacheScope releases it after first
+      // use); release it on localization and on any exception path
+      if (!returnedDistributed) currentCached.unpersist()
+    }
   }
 
   /** Hybrid near-dup pairs: the union of lexical (word n-gram

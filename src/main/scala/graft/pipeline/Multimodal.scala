@@ -1174,9 +1174,18 @@ object Multimodal {
     */
   def audioDupClusters(media: DataFrame, tau: Double = 0.125,
       idCol: String = "sample_id", payloadCol: String = "payload"): DataFrame = {
+    // materialize the pair frame FULLY before the closure: the
+    // closure's bounded probe is a partial execution, and it would
+    // release m21's scoped energy cache with most pair partitions
+    // still unbuilt — the rest would then re-run the DFT pipeline
+    // uncached (the d34 eager-consumption discipline)
     val pairs = audioFingerprintDupPairs(media, tau, idCol, payloadCol)
       .select(col("id_a"), col("id_b"))
-    graft.pipeline.Dedup.connectedComponents(pairs)
+      .cache()
+    val comp =
+      try { pairs.count(); graft.pipeline.Dedup.connectedComponents(pairs) }
+      finally pairs.unpersist()
+    comp
       .withColumn("cluster_size",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("component"))).cast("long"))

@@ -93,6 +93,14 @@ object ExternalTable {
       else None
     }
 
+  /** Extractor form of [[scanOptions]] so the clause loop's guard and
+    * body share one scan.
+    */
+  private object OptionsClause {
+    def unapply(tail: String): Option[(Map[String, String], String)] =
+      scanOptions(tail)
+  }
+
   final case class Parsed(
       ifNotExists: Boolean,
       table: String,
@@ -115,8 +123,7 @@ object ExternalTable {
             format = Some(fmt.toUpperCase); tail = rest
           case LocationClause(path, rest) if location.isEmpty =>
             location = Some(path); tail = rest
-          case t if options.isEmpty && scanOptions(t).isDefined =>
-            val (parsed, rest) = scanOptions(t).get
+          case OptionsClause(parsed, rest) if options.isEmpty =>
             options = Some(parsed)
             tail = rest
           // unknown or duplicated clause: not our DDL — fall through

@@ -172,14 +172,36 @@ Cache substitution happens only at execution time, so the LOGICAL
 plan doubled every round — 2^k copies of the caller's pair plan by
 round k — and the listener bus's plan-description string OOMed the
 driver heap on m22's large DFT pair plan over a multi-round graph
-(10× smoke, 271k pairs / 47k clips). Per-round `localCheckpoint`
-truncates the lineage to a flat LogicalRDD: same data, bounded plans,
-prior rounds' blocks released by the ContextCleaner. Side effect
-measured at 10×: d34's closure fell 56.8 → 17.2 s (it was paying the
-same exponential plan tax below the OOM threshold); d22 unchanged
-within noise (35.9 → 37.2 isolated). All closure-fed oracles
-(d06/d11/d22/d27/d34/d35/t40/t55) re-verified hash-matched — the fix
-changes lineage, never data.
+(10× smoke, 271k pairs / 47k clips). Fix: each round caches its
+labelling and feeds the NEXT round through a flat LogicalRDD view
+over the cached Dataset's RDD — logical plans stay one round deep
+while a lost cache block still recomputes through the physical
+lineage (an InMemoryTableScan falls back to its child). A first-draft
+`localCheckpoint` fix was rejected in review: checkpoint blocks are
+unrecoverable on executor loss — routine with dynamic allocation at
+exactly the corpus scales that take the distributed path — and their
+release depended on driver GC; the flat-view form keeps the old
+code's deterministic per-round unpersist and the CacheScope'd final
+labelling. The flat view alone was not enough: the serialized RDD
+object graph still deepens per round, and the 10× m22 graph's dozens
+of rounds overflowed task DEserialization (StackOverflowError) —
+every 8 rounds the loop also cuts the PHYSICAL lineage, reliably
+(`checkpoint()`) when the session has a checkpoint dir configured —
+the production setting, surviving executor loss — and via
+localCheckpoint otherwise, which is exactly safe in local mode where
+no separate executor can be lost (the GraphX Pregel discipline).
+Side effect measured at 10×: d34's closure fell 56.8 → 13.8 s (it
+was paying the same exponential plan tax below the OOM threshold);
+d22 unchanged within noise (35.9 → 37.2 isolated). All closure-fed
+oracles (d06/d11/d22/d27/d34/d35/t40/t55/t56) re-verified
+hash-matched — the fix changes lineage, never data.
+
+The same review pass hardened the new operators' cache discipline:
+`audioDupClusters` now materializes its pair frame FULLY before the
+closure (the closure's bounded probe is a partial execution and would
+release m21's scoped energy cache with most pair partitions unbuilt),
+and ScaleSmoke/ExternalTable picked up arg-order and double-scan
+cleanups.
 
 ## Round-15 bench environment note
 

@@ -18,7 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
-    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val factor = args.headOption.map { a =>
+      scala.util.Try(a.toInt).getOrElse(sys.error(
+        s"first arg must be the replication factor (an int), got '$a' — " +
+          "usage: ScaleSmoke <factor> [label,label,...]"))
+    }.getOrElse(10)
     require(factor >= 1, s"factor must be >= 1, got $factor")
     // optional second arg: comma-separated label substrings — time
     // only matching rows (fast iteration on newly added operators)
