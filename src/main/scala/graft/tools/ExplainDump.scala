@@ -205,15 +205,18 @@ cleanups.
 
 ## Round-15 bench environment note
 
-The round-11 builder bench refresh (bench_out.json, 215 queries,
-value 145.2) ran ~1.12× above the r10 driver artifact UNIFORMLY —
-median per-query ratio 1.12× including untouched trivial queries
-(q42_map_funcs 0.089→0.114, q02 1.09×), with zero movers isolated-
-confirmed: DriftProfile on the largest (d12 1.51×, t44 1.56×, s16
-1.62×) lands between the two rounds' numbers on unchanged code —
-ambient machine noise, not regressions. The queries this round
-actually touched moved the RIGHT way: d26 2.52→0.88 (CDC kernel,
-2.9×), d31 7.80→3.05, t46/d32/d33 flat.
+The round-11 builder bench refreshes (bench_out.json, final run: 218
+queries, value 151.6, zero errors) ran ~1.14× above the r10 driver
+artifact UNIFORMLY — median per-query ratio 1.14× including untouched
+trivial queries (q42_map_funcs, q02, q10 — all in the sub-0.6 s noise
+class), with zero movers isolated-confirmed: DriftProfile on the
+largest (d12 1.51×, t44 1.56×, s16 1.62×) lands between the two
+rounds' numbers on unchanged code — ambient machine noise across this
+session's runs, not regressions. The queries this round actually
+touched moved the RIGHT way: d26 2.52→0.91 (CDC kernel), d31
+7.80→3.29 (was the suite-slowest), d22 1.50→0.97 (closure lineage
+fix), t46/d32/d33 flat. The eight new operators land at 0.6–2.3 s
+each at sf0.1.
 
 ## Round-14 r8→r10 drift backfill (the r9 gap round)
 
