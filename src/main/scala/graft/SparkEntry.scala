@@ -6341,6 +6341,57 @@ object SparkEntry {
         "source", alpha = 0.5)
       .orderBy(col("source")))
 
+  // Image dup CLUSTERS: m11's banded phash pairs closed transitively
+  // (the d06 move for the image family, m22's sibling) — cluster
+  // representative + size per image in >=1 qualifying pair. Same
+  // perturbed-union corpus as m11 so real near-dup clusters exist.
+  private val m23 = Q("m23_phash_dup_clusters", Some("""
+    WITH RECURSIVE base AS (SELECT doc_id, text FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) > 0
+        AND octet_length(CAST(text AS BLOB)) = length(text)),
+    un AS (SELECT doc_id, text FROM base
+           UNION ALL SELECT doc_id + 100000, text || 'x' FROM base),
+    d AS (SELECT doc_id,
+        octet_length(CAST(text AS BLOB)) AS nb,
+        (octet_length(CAST(text AS BLOB)) + 9) // 10 AS h,
+        string_split(text, '') AS cs
+      FROM un),
+    g AS (SELECT doc_id, h, nb, cs, r * 8 + c AS i,
+        ((r * h) // 8) * 10 + (c * 10) // 8 AS idx
+      FROM d, UNNEST(generate_series(0, 7)) AS gr(r),
+             UNNEST(generate_series(0, 7)) AS gc(c)),
+    v AS (SELECT doc_id, i,
+        CASE WHEN idx < nb THEN ord(cs[CAST(idx + 1 AS BIGINT)]) ELSE 0 END AS val
+      FROM g),
+    m AS (SELECT doc_id, CAST(SUM(val) AS DOUBLE) / 64.0 AS mean FROM v GROUP BY doc_id),
+    ah AS (SELECT v.doc_id,
+        CAST(SUM(CASE WHEN v.val > m.mean AND v.i < 32 THEN (CAST(1 AS BIGINT) << v.i) ELSE 0 END) AS BIGINT) AS hi,
+        CAST(SUM(CASE WHEN v.val > m.mean AND v.i >= 32 THEN (CAST(1 AS BIGINT) << (v.i - 32)) ELSE 0 END) AS BIGINT) AS lo
+      FROM v JOIN m USING (doc_id) GROUP BY v.doc_id),
+    prs AS (SELECT id_a, id_b FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+      FROM ah a JOIN ah b ON a.doc_id < b.doc_id)
+      WHERE hamming <= 3),
+    sym AS (SELECT id_a AS u, id_b AS v FROM prs UNION SELECT id_b, id_a FROM prs),
+    reach(u, v) AS (SELECT u, v FROM sym
+                    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    comp AS (SELECT u AS sample_id, LEAST(u, MIN(v)) AS cluster_rep FROM reach GROUP BY u)
+    SELECT sample_id, cluster_rep,
+      CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
+    FROM comp ORDER BY sample_id"""),
+    (s, dir) => {
+      val base = T(s, dir, "documents").where(octet_length(col("text")) > 0 &&
+          octet_length(col("text")) === length(col("text")))
+        .select(col("doc_id"), col("text"))
+      val perturbed = base.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit("x")).as("text"))
+      val hashes = Multimodal.perceptualHash(
+        Multimodal.textAsBmp(base.unionByName(perturbed), "doc_id", "text", width = 10))
+      Multimodal.phashDupClusters(hashes.toDF(), maxHamming = 3)
+        .orderBy(col("sample_id"))
+    })
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -6360,7 +6411,7 @@ object SparkEntry {
     t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45,
     t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56,
     m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14,
-    m15, m16, m17, m18, m19, m20, m21, m22)
+    m15, m16, m17, m18, m19, m20, m21, m22, m23)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))

@@ -1158,6 +1158,33 @@ object Multimodal {
       .distinct()
   }
 
+  /** Image dup CLUSTERS — [[phashDupPairs]] closed transitively (the
+    * d06 move for the image family, the sibling of
+    * [[audioDupClusters]]): each image's cluster representative
+    * (min id) and cluster size, the frame an image dedup consumes
+    * directly. Same eager pair materialization discipline: the
+    * closure's bounded probe must not release the hash frame's scope
+    * mid-build.
+    *
+    * @return (sample_id, cluster_rep, cluster_size) for every image
+    *         in ≥1 qualifying pair
+    */
+  def phashDupClusters(hashes: DataFrame, maxHamming: Int = 7,
+      idCol: String = "sample_id"): DataFrame = {
+    val pairs = phashDupPairs(hashes, maxHamming, idCol)
+      .select(col("id_a"), col("id_b"))
+      .cache()
+    val comp =
+      try { pairs.count(); graft.pipeline.Dedup.connectedComponents(pairs) }
+      finally pairs.unpersist()
+    comp
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("component"))).cast("long"))
+      .select(col("id").as("sample_id"), col("component").as("cluster_rep"),
+        col("cluster_size"))
+  }
+
   /** Audio dup CLUSTERS — [[audioFingerprintDupPairs]] closed
     * transitively (the d06 move for the audio family): each clip's
     * cluster representative (min id) and cluster size, the frame an

@@ -142,6 +142,7 @@ object ExplainDump {
       "s34_ivf_cell_drift" -> "IVF append drift: both assignments map-only (centroids inlined as literals, no join); two cell-keyed partial aggs broadcast onto the k-row seed list",
       "t55_dedup_token_budget" -> "post-dedup token budget: d11's pair+closure work, then ONE corpus scan of (source, token-count) with the loser-id frame AQE-broadcast onto it; the rollup exchanges |sources| scalar rows",
       "t56_dedup_temperature_mix" -> "post-dedup temperature mix: d11's closure feeds t28's alpha-weights — the per-source rollup and the window sums run over |sources| rows; the corpus contributes one ids-only anti-join",
+      "m23_phash_dup_clusters" -> "image dup clusters: m11's codec + banded pair pass (pairs materialized fully before the closure probe), bounded-probe closure over (id, id) pairs, one size window",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")

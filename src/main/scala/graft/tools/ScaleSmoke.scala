@@ -427,6 +427,13 @@ object ScaleSmoke {
           graft.pipeline.Multimodal.textAsWav(
             docs.where(octet_length(col("text")) > 0), "doc_id", "text"))
           .count() }
+      // m10/m11's codec + banded pairs + the bounded-probe closure
+      time("m23 phashDupClusters") {
+        graft.pipeline.Multimodal.phashDupClusters(
+          graft.pipeline.Multimodal.perceptualHash(
+            graft.pipeline.Multimodal.textAsBmp(
+              docs.where(octet_length(col("text")) > 0), "doc_id", "text", 10))
+            .toDF(), maxHamming = 3).count() }
       // m21's pair pass + bounded-probe closure over (id, id) pairs
       time("m22 audioDupClusters") {
         graft.pipeline.Multimodal.audioDupClusters(

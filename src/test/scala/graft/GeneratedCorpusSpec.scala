@@ -138,8 +138,9 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     "d35_incremental_dedup_run", "t55_dedup_token_budget",
     "m21_audio_fingerprint_pairs", "m22_audio_dup_clusters",
     // t56 composes the d22 closure class with t28's α=0.5 weights
-    // (IEEE-sqrt-exact, contract-rounded)
-    "t56_dedup_temperature_mix")
+    // (IEEE-sqrt-exact, contract-rounded); m23 adds the recursive
+    // closure over m11's integer-bit pairs (ASCII pin)
+    "t56_dedup_temperature_mix", "m23_phash_dup_clusters")
 
   private def generate(seed: Int, nDocs: Int): Seq[(Long, String, String, String, Long)] = {
     val rnd = new scala.util.Random(seed)

@@ -198,6 +198,46 @@ class Round15Spec extends AnyFunSuite {
     }
   }
 
+  // ---------------- m23: image dup clusters ----------------
+
+  test("phashDupClusters == closure of the phash pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val docs = (
+      (1L to 8L).map { i =>
+        (i, (1 to (30 + rnd.nextInt(60)))
+          .map(_ => (' ' + rnd.nextInt(64)).toChar).mkString)
+      } :+ (71L, "A" * 50) :+ (72L, "A" * 50) :+ (73L, "A" * 50)
+    ).toDF("doc_id", "text").repartition(2)
+    val hashes = Multimodal.perceptualHash(
+      Multimodal.textAsBmp(docs, "doc_id", "text", width = 10))
+    val pairs = Multimodal.phashDupPairs(hashes.toDF(), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(v => v -> find(v)).toMap
+    val sizes = expected.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+
+    val got = Multimodal.phashDupClusters(hashes.toDF(), maxHamming = 3)
+      .collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      assert(r.getLong(1) == expected(r.getLong(0)))
+      assert(r.getLong(2) == sizes(r.getLong(1)))
+    }
+    assert(got.exists(r => r.getLong(2) >= 3L && Set(71L, 72L, 73L)(r.getLong(0))),
+      "the identical-image triple must cluster")
+  }
+
   // ---------------- t56: post-dedup temperature mix ----------------
 
   test("t56 composition: weights computed on the deduped corpus, not the raw one") {
