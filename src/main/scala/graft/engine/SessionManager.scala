@@ -79,6 +79,30 @@ final class SessionManager(root: SparkSession, reaperPeriodMs: Long = 1000L) {
 
   private val sessions = new ConcurrentHashMap[String, SessionHandle]()
 
+  // Closure-heavy operators (Dedup.connectedComponents) cut physical
+  // lineage with a RELIABLE checkpoint only when the context has a
+  // checkpoint dir, falling back to localCheckpoint — whose blocks
+  // are unrecoverable on executor loss, i.e. exactly safe only in
+  // local mode. The server path must get the fault-tolerant cut BY
+  // CONSTRUCTION, not only when a deployer remembered to configure
+  // one: default a scratch dir here, scoped under spark.local.dir
+  // (the disk Spark already spills to). An explicitly-set checkpoint
+  // dir always wins — and on a multi-node cluster deployers SHOULD
+  // set one on shared storage (HDFS/object store), since a node-local
+  // default is only reachable by that node's executors. The dir is
+  // deleted on shutdown(); the closure additionally deletes each
+  // checkpoint's files as soon as they are superseded.
+  private val ownedCheckpointDir: Option[java.nio.file.Path] =
+    if (root.sparkContext.getCheckpointDir.isDefined) None
+    else {
+      val base = java.nio.file.Paths.get(
+        root.sparkContext.getConf.get("spark.local.dir",
+          System.getProperty("java.io.tmpdir")))
+      val dir = java.nio.file.Files.createTempDirectory(base, "graft-ckpt-")
+      root.sparkContext.setCheckpointDir(dir.toString)
+      Some(dir)
+    }
+
   /** Optional `table@ns` federation hook (SURVEY §2.A10-A11). */
   @volatile var resolver: Option[Federation.NamespaceResolver] = None
 
@@ -281,5 +305,11 @@ final class SessionManager(root: SparkSession, reaperPeriodMs: Long = 1000L) {
     // an explicit DELETE — bypassing it leaked cache memory JVM-wide
     sessions.values().asScala.filter(_.expired).foreach(h => remove(h.id))
 
-  def shutdown(): Unit = reaper.shutdownNow()
+  def shutdown(): Unit = {
+    reaper.shutdownNow()
+    ownedCheckpointDir.foreach { d =>
+      try org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
+      catch { case _: Throwable => () }
+    }: Unit
+  }
 }

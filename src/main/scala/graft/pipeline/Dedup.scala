@@ -1457,43 +1457,76 @@ object Dedup {
         return spark.createDataFrame(
           java.util.Arrays.asList(rows: _*), schema)
       }
-      distributedComponents(base, maxIter, localEdgeLimit)
+      distributedComponentsWithRounds(base, maxIter, localEdgeLimit)._1
     } finally base.unpersist()
   }
 
-  /** The distributed hash-min propagation behind
-    * [[connectedComponents]]; `base` is the cached (id_a, id_b) long
-    * edge frame. Per-round caches are released via try/finally even
-    * when the convergence guard throws; the returned frame is either
-    * a LocalRelation (small labelling — the caches are all released)
+  /** The distributed closure behind [[connectedComponents]]; `base`
+    * is the cached (id_a, id_b) long edge frame. Label propagation
+    * (hash-min) with a POINTER JUMP each round: first the classic
+    * neighbourhood step c(v) := min(c(v), min over neighbours u of
+    * c(u)), then the shortcut c(v) := min(c(v), c(c(v))) — labels are
+    * always ids of vertices in the same component (min of member ids
+    * is a member id; a member's label is a member id) and only ever
+    * decrease, so the fixpoint is exactly the min-id labelling plain
+    * hash-min produced (bit-identical output). The jump is what
+    * collapses convergence from O(diameter) to O(log diameter)
+    * rounds: each round roughly doubles how far a label has travelled
+    * toward its component's root, so a 500-long chain — the REAL
+    * shape of incremental-edit dup graphs (doc1~doc2~…~docN with no
+    * shortcut edges) — converges in ~10 rounds where plain hash-min
+    * burned a 50-round cap and then threw (round-11 verdict item #2;
+    * the `maxIter` guard remains, but pointer jumping puts every
+    * physically-possible graph orders of magnitude inside it:
+    * 50 rounds cover diameters around 2^49).
+    *
+    * Per-round caches are released via try/finally even when the
+    * convergence guard throws; the returned frame is either a
+    * LocalRelation (small labelling — the caches are all released)
     * or, for a genuinely huge labelling, the final cached frame,
     * scoped via [[org.apache.spark.sql.graftbridge.CacheScope]] to
-    * self-release after the caller's first execution.
+    * self-release after the caller's first execution. Reliable
+    * checkpoint files are deleted as soon as they are superseded
+    * (each lineage cut obsoletes the previous cut's files), and the
+    * final file is deleted with the result — in the finally when the
+    * labelling localizes, or by the CacheScope release hook when it
+    * stays distributed — so a long-lived server session running
+    * closure-heavy queries accumulates no checkpoint-dir garbage.
+    *
+    * @return (labelling, rounds) — rounds includes the final
+    *         fixpoint-detection round (the one that observes zero
+    *         changes)
     */
-  private def distributedComponents(base: DataFrame, maxIter: Int,
-      localRowLimit: Int): DataFrame = {
+  private[graft] def distributedComponentsWithRounds(base: DataFrame,
+      maxIter: Int, localRowLimit: Int): (DataFrame, Int) = {
     val spark = base.sparkSession
     val edges = base.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(base.select(col("id_b").as("u"), col("id_a").as("v")))
       .cache()
     // Per-round lineage control WITHOUT giving up fault tolerance:
-    // the loop references each round's labelling twice and cache
-    // substitution is execution-time only, so plain caches leave a
-    // LOGICAL plan that doubles every round — 2^k copies of the
-    // caller's pair plan by round k, and the listener bus's plan
-    // description OOMed the driver in the 10× smoke (m22's large DFT
-    // pair plan × a multi-round graph). Each round therefore caches
-    // its labelling AND feeds the next round through a FLAT
-    // LogicalRDD view over the cached Dataset's RDD: the logical plan
-    // stays one round deep, while a lost cache block still recomputes
-    // through the physical lineage (an InMemoryTableScan falls back
-    // to its child; the RDD chain links round k to round k−1) —
-    // unlike a localCheckpoint, whose blocks are unrecoverable on
-    // executor loss. Superseded rounds unpersist deterministically.
+    // the loop references each round's frames more than once and
+    // cache substitution is execution-time only, so plain caches
+    // would leave a LOGICAL plan that doubles every round — 2^k
+    // copies of the caller's pair plan by round k, and the listener
+    // bus's plan description OOMed the driver in the 10× smoke
+    // (m22's large DFT pair plan × a multi-round graph). Each round
+    // therefore caches its frames AND feeds the next step through a
+    // FLAT LogicalRDD view over the cached Dataset's RDD: the logical
+    // plan stays one step deep, while a lost cache block still
+    // recomputes through the physical lineage (an InMemoryTableScan
+    // falls back to its child; the RDD chain links round k to round
+    // k−1) — unlike a localCheckpoint, whose blocks are unrecoverable
+    // on executor loss. Superseded rounds unpersist deterministically.
     def flat(ds: DataFrame): DataFrame =
       spark.createDataFrame(ds.asInstanceOf[
         org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]].rdd,
         ds.schema)
+    def deleteCkpt(file: String): Unit = try {
+      val path = new org.apache.hadoop.fs.Path(file)
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(path, true): Unit
+    } catch { case _: Throwable => () }
+    var prevCkptFile: Option[String] = None
     var currentCached = edges.select(col("u").as("id"))
       .distinct()
       .select(col("id"), col("id").as("component"))
@@ -1505,36 +1538,64 @@ object Dedup {
       var iter = 0
       var changed = 1L
       while (changed > 0 && iter < maxIter) {
-        // min label among the neighbourhood: every vertex appears as v
-        // in the symmetric edge list, so the join is total (no left
-        // join / coalesce needed)
+        // 1. propagate: min label among the neighbourhood. Every
+        // vertex appears as v in the symmetric edge list, so the join
+        // is total (no left join / coalesce needed).
         val nbrMin = edges
           .join(current.select(col("id").as("u"), col("component")), Seq("u"))
           .groupBy(col("v").as("id"))
           .agg(min(col("component")).as("nbr_min"))
-        val next = current.join(nbrMin, Seq("id"))
+        val propC = current.join(nbrMin, Seq("id"))
           .select(col("id"),
             least(col("component"), col("nbr_min")).as("component"),
             (col("nbr_min") < col("component")).as("chg"))
           .cache()
+        propC.count(): Unit // materialize: the jump reads it twice
+        val prop = flat(propC)
+        // 2. pointer jump: c(v) := min(c(v), c(c(v))). Left join +
+        // coalesce only for invariant robustness — every label is a
+        // vertex id present in the labelling, so the lookup is total.
+        val next = prop.join(
+            prop.select(col("id").as("component"), col("component").as("__jmp")),
+            Seq("component"), "left")
+          .select(col("id"),
+            least(col("component"),
+              coalesce(col("__jmp"), col("component"))).as("component"),
+            (col("chg") ||
+              coalesce(col("__jmp"), col("component")) < col("component"))
+              .as("chg"))
+          .cache()
         changed = next.where(col("chg")).count()
+        propC.unpersist()
         currentCached.unpersist()
         currentCached = next
         current = flat(next).select(col("id"), col("component"))
         iter += 1
         // every few rounds cut the PHYSICAL lineage too: the flat view
         // bounds the logical plan, but the round chain still deepens
-        // the serialized RDD object graph and the 10× m22 graph's
-        // dozens of rounds overflowed task DEserialization
-        // (StackOverflowError). Reliable checkpoint when the session
-        // has a checkpoint dir (the production setting — survives
-        // executor loss); localCheckpoint otherwise, which is exactly
-        // safe in local mode where no separate executor can be lost.
+        // the serialized RDD object graph and a deep chain overflowed
+        // task DEserialization (StackOverflowError) in the 10× m22
+        // smoke. Reliable checkpoint when the session has a checkpoint
+        // dir (the production setting — SessionManager defaults one at
+        // bootstrap; survives executor loss); localCheckpoint
+        // otherwise, which is exactly safe in local mode where no
+        // separate executor can be lost. The RDD-level spelling (vs
+        // Dataset.checkpoint) exposes getCheckpointFile, so superseded
+        // checkpoint files can be deleted the moment the next cut
+        // materializes instead of accumulating for the session's life.
         if (iter % 8 == 0) {
-          val cut =
-            if (spark.sparkContext.getCheckpointDir.isDefined)
-              currentCached.checkpoint()
-            else currentCached.localCheckpoint()
+          val rdd = currentCached.asInstanceOf[
+            org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]].rdd
+          if (spark.sparkContext.getCheckpointDir.isDefined) rdd.checkpoint()
+          else rdd.localCheckpoint()
+          rdd.count(): Unit // materialize the cut through the hot cache
+          val cut = spark.createDataFrame(rdd, currentCached.schema)
+          // nothing references the previous cut's files once this cut
+          // is materialized (local checkpoints return no file)
+          rdd.getCheckpointFile.foreach { f =>
+            prevCkptFile.foreach(deleteCkpt)
+            prevCkptFile = Some(f)
+          }
           currentCached.unpersist()
           currentCached = cut
           current = cut.select(col("id"), col("component"))
@@ -1543,31 +1604,44 @@ object Dedup {
       if (changed > 0)
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxIter rounds — " +
-            "pathological graph diameter; raise maxIter")
+            "with pointer jumping this covers graph diameters around " +
+            "2^" + (maxIter - 1) + ", so a non-convergence here means " +
+            "label corruption, not a big graph")
       val labels = currentCached.select(col("id"), col("component"))
       // localize small results so the per-round caches don't outlive
       // the call: possible even past the edge limit when the graph is
       // dense (many edges over few vertices)
       val probe = labels.limit(localRowLimit + 1).collect()
       if (probe.length <= localRowLimit) {
-        spark.createDataFrame(
-          java.util.Arrays.asList(probe: _*), labels.schema)
+        (spark.createDataFrame(
+          java.util.Arrays.asList(probe: _*), labels.schema), iter)
       } else {
         returnedDistributed = true
         // a genuinely huge labelling stays distributed and cached, but
         // the "caller owns the unpersist" contract was honored by no
         // caller — scope it instead: the cache self-releases after the
-        // caller's first (and per the server contract, only) execution
+        // caller's first (and per the server contract, only)
+        // execution, and the release hook drops the final checkpoint
+        // files with it. cache() is a no-op when already cached and
+        // (re-)registers the entry when the last loop action was a
+        // lineage cut (whose flat view is NOT cached).
+        currentCached = currentCached.cache()
+        val ckpt = prevCkptFile
         org.apache.spark.sql.graftbridge.CacheScope
-          .releaseAfterUseExisting(currentCached)
-        labels
+          .releaseAfterUseExisting(currentCached,
+            () => ckpt.foreach(deleteCkpt))
+        (currentCached.select(col("id"), col("component")), iter)
       }
     } finally {
       edges.unpersist()
-      // keep the final cache alive only when it backs the returned
-      // distributed labelling (CacheScope releases it after first
-      // use); release it on localization and on any exception path
-      if (!returnedDistributed) currentCached.unpersist()
+      // keep the final cache + checkpoint alive only when they back
+      // the returned distributed labelling (CacheScope releases both
+      // after first use); release them on localization and on any
+      // exception path
+      if (!returnedDistributed) {
+        currentCached.unpersist()
+        prevCkptFile.foreach(deleteCkpt)
+      }
     }
   }
 

@@ -1401,9 +1401,14 @@ object TextAnalysis {
     val viol = size(filter(split(col("enc"), " "), t =>
       t =!= lit("") && t =!= lit("|") && !t.rlike("^[a-z]$") &&
         !t.isin(products: _*))).cast("long")
-    docs.select(col(srcCol).as("source"), col(textCol), enc.as("enc"))
+    // null text must agree with the oracle's COALESCE(..., '') token
+    // stream: both sides treat a null-text doc as the empty stream
+    // (rt_ok = 1, zero tokens/chars) instead of Spark null-propagating
+    // through decoded === norm and silently counting it as a failure
+    docs.select(col(srcCol).as("source"), col(textCol),
+        coalesce(enc, lit("")).as("enc"))
       .select(col("source"),
-        (decoded === norm).cast("long").as("rt_ok"),
+        (decoded === coalesce(norm, lit(""))).cast("long").as("rt_ok"),
         viol.as("n_viol"),
         nTokensOf(col("enc")).as("n_tok"),
         nAzOf(col("enc")).as("n_ch"))

@@ -95,12 +95,23 @@ object CacheScope {
   /** Scope an ALREADY-cached frame (e.g. the survivor of an iterative
     * loop) the same way: unpersist after its first downstream use.
     */
-  def releaseAfterUseExisting(cached: DataFrame): DataFrame = {
-    builderOf(cached).foreach(b => watch(cached, b))
+  def releaseAfterUseExisting(cached: DataFrame): DataFrame =
+    releaseAfterUseExisting(cached, () => ())
+
+  /** [[releaseAfterUseExisting]] with a post-release hook, run once
+    * after the unpersist: the place to drop auxiliary state the
+    * frame's recompute path pinned (e.g. the closure loop's reliable
+    * checkpoint files — load-bearing for fault tolerance until the
+    * first execution completes, garbage after it, exactly like the
+    * cache blocks themselves under the execute-once server contract).
+    */
+  def releaseAfterUseExisting(cached: DataFrame, onRelease: () => Unit): DataFrame = {
+    builderOf(cached).foreach(b => watch(cached, b, onRelease))
     cached
   }
 
-  private def watch(cached: DataFrame, b: CachedRDDBuilder): Unit = {
+  private def watch(cached: DataFrame, b: CachedRDDBuilder,
+      onRelease: () => Unit = () => ()): Unit = {
     val spark = cached.sparkSession
     val listener: QueryExecutionListener = new QueryExecutionListener {
       private val done = new AtomicBoolean(false)
@@ -115,7 +126,11 @@ object CacheScope {
           } catch { case _: Throwable => false }
         if (usesThisCache && done.compareAndSet(false, true)) {
           try cached.unpersist()
-          finally spark.listenerManager.unregister(this)
+          finally {
+            try onRelease()
+            catch { case _: Throwable => () }
+            finally spark.listenerManager.unregister(this)
+          }
         }
       }
       override def onSuccess(funcName: String, qe: QueryExecution,

@@ -317,4 +317,27 @@ class AdviceFixesSpec extends AnyFunSuite {
       "QUALIFY row_number() OVER (ORDER BY k) = 1 ORDER BY v + 1"
     assert(SqlRewrite.rewrite(fb) == fb)
   }
+
+  test("bpeRoundTripAudit counts a null-text doc as an empty-stream round-trip (oracle agreement)") {
+    import spark.implicits._
+    // the t54 oracle COALESCEs the token stream to '', so a null-text
+    // doc round-trips ('' == '') with zero tokens/chars; Spark must
+    // not null-propagate it into a silent rt failure + skipped sums
+    val docs = Seq(
+      (1L, null.asInstanceOf[String], "web"),
+      (2L, "hello world", "web")).toDF("doc_id", "text", "source")
+    val out = graft.pipeline.TextAnalysis
+      .bpeRoundTripAudit(docs, "text", "source", Seq(("h", "e")))
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_docs") == 2L)
+    assert(r.getAs[Long]("n_roundtrip_ok") == 2L,
+      s"null-text doc must count as rt_ok: $r")
+    assert(r.getAs[Long]("n_vocab_violations") == 0L)
+    // tokens/chars come from the non-null doc only: "hello|world"
+    // char-split with merge (h,e) applied -> he l l o | w o r l d
+    assert(r.getAs[Long]("n_tokens") == 9L, s"$r")
+    assert(r.getAs[Long]("n_chars") == 10L, s"$r")
+  }
 }
