@@ -6392,6 +6392,101 @@ object SparkEntry {
         .orderBy(col("sample_id"))
     })
 
+  // The COMPOSED audio curation run — the m-family's d34, the
+  // operator a multimodal training-data pipeline schedules nightly:
+  // m16's decode-stage quality gates (silence ratio, dynamic range)
+  // drop unusable clips, m21/m22's fingerprint pair pass + closure
+  // cluster the survivors, min-id representatives are kept, and the
+  // result carries the curated clip list (with source) + per-stage
+  // audit counts + the per-source kept rollup. The oracle replays
+  // every stage (gate scalars, energies, banding, verify, recursive
+  // closure, rollups) so a wrong count in any leg, a mis-gated clip,
+  // or a mis-kept representative breaks the hash.
+  private val m24 = Q("m24_audio_curation_run", Some("""
+    WITH RECURSIVE d AS (SELECT doc_id, source,
+        octet_length(CAST(text AS BLOB)) AS n,
+        string_split(text, '') AS cs
+      FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) > 0
+        AND octet_length(CAST(text AS BLOB)) = length(text)),
+    q AS (SELECT doc_id,
+        CAST(len(list_filter(cs, c -> ord(c) <= 32)) AS DOUBLE) / n AS silence_ratio,
+        (list_max(list_transform(cs, c -> ord(c))) -
+         list_min(list_transform(cs, c -> ord(c)))) * 128 AS dyn_range
+      FROM d),
+    pass AS (SELECT doc_id FROM q WHERE silence_ratio <= 0.19 AND dyn_range >= 3000),
+    dp AS (SELECT d.doc_id, d.n, d.cs FROM d JOIN pass ON pass.doc_id = d.doc_id),
+    b AS (SELECT doc_id, n, cs, k FROM dp, UNNEST(generate_series(1, 15)) AS g(k)),
+    co AS (SELECT doc_id AS sample_id, CAST(k AS BIGINT) AS bin,
+      ROUND(list_sum(list_transform(generate_series(0, n - 1), i ->
+        CAST(ord(cs[CAST(i + 1 AS BIGINT)]) * 128 AS DOUBLE) * cos(2 * pi() * k * i / n))), 6) + 0.0 AS c,
+      ROUND(list_sum(list_transform(generate_series(0, n - 1), i ->
+        CAST(ord(cs[CAST(i + 1 AS BIGINT)]) * 128 AS DOUBLE) * sin(2 * pi() * k * i / n))), 6) + 0.0 AS s
+      FROM b),
+    e AS (SELECT sample_id, bin, c * c + s * s AS e FROM co),
+    bnd AS (SELECT sample_id,
+        CAST(CASE WHEN bin = 1 THEN 1 WHEN bin <= 3 THEN 2
+                  WHEN bin <= 7 THEN 3 ELSE 4 END AS BIGINT) AS band, e
+      FROM e),
+    be AS (SELECT sample_id, band, ROUND(ln(1 + SUM(e)), 6) AS le
+      FROM bnd GROUP BY sample_id, band),
+    vec AS (SELECT sample_id,
+        MAX(CASE WHEN band = 1 THEN le END) AS e1,
+        MAX(CASE WHEN band = 2 THEN le END) AS e2,
+        MAX(CASE WHEN band = 3 THEN le END) AS e3,
+        MAX(CASE WHEN band = 4 THEN le END) AS e4
+      FROM be GROUP BY sample_id),
+    combos AS (SELECT g AS cid FROM UNNEST(generate_series(0, 15)) t(g)),
+    keys AS (SELECT v.sample_id, v.e1, v.e2, v.e3, v.e4, c.cid,
+        CAST(floor((e1 + ((cid >> 0) & 1) * 0.125) / 0.25) AS BIGINT) AS k1,
+        CAST(floor((e2 + ((cid >> 1) & 1) * 0.125) / 0.25) AS BIGINT) AS k2,
+        CAST(floor((e3 + ((cid >> 2) & 1) * 0.125) / 0.25) AS BIGINT) AS k3,
+        CAST(floor((e4 + ((cid >> 3) & 1) * 0.125) / 0.25) AS BIGINT) AS k4
+      FROM vec v, combos c),
+    prs AS (SELECT DISTINCT a.sample_id AS id_a, b.sample_id AS id_b
+      FROM keys a JOIN keys b
+        ON a.cid = b.cid AND a.k1 = b.k1 AND a.k2 = b.k2
+          AND a.k3 = b.k3 AND a.k4 = b.k4 AND a.sample_id < b.sample_id
+      WHERE abs(a.e1 - b.e1) <= 0.125 AND abs(a.e2 - b.e2) <= 0.125
+        AND abs(a.e3 - b.e3) <= 0.125 AND abs(a.e4 - b.e4) <= 0.125),
+    sym AS (SELECT id_a AS u, id_b AS v FROM prs UNION SELECT id_b, id_a FROM prs),
+    reach(u, v) AS (SELECT u, v FROM sym
+                    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    comp AS (SELECT u AS sample_id, LEAST(u, MIN(v)) AS cluster_rep FROM reach GROUP BY u),
+    dropped AS (SELECT sample_id FROM comp WHERE sample_id <> cluster_rep),
+    keptids AS (SELECT doc_id FROM pass WHERE doc_id NOT IN (SELECT sample_id FROM dropped)),
+    kept AS (SELECT 'kept' AS stage, k.doc_id AS sample_id, d.source,
+        CAST(NULL AS BIGINT) AS n
+      FROM keptids k JOIN d ON d.doc_id = k.doc_id),
+    counts AS (
+      SELECT 'input' AS stage, CAST(NULL AS BIGINT) AS sample_id,
+        CAST(NULL AS VARCHAR) AS source, CAST(COUNT(*) AS BIGINT) AS n FROM d
+      UNION ALL SELECT 'quality_fail', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        CAST((SELECT COUNT(*) FROM d) - (SELECT COUNT(*) FROM pass) AS BIGINT)
+      UNION ALL SELECT 'pairs', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        CAST(COUNT(*) AS BIGINT) FROM prs
+      UNION ALL SELECT 'clusters', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        CAST(COUNT(DISTINCT cluster_rep) AS BIGINT) FROM comp
+      UNION ALL SELECT 'dup_dropped', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        CAST(COUNT(*) AS BIGINT) FROM dropped),
+    bysrc AS (SELECT 'kept_source' AS stage, CAST(NULL AS BIGINT) AS sample_id,
+        d.source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM keptids k JOIN d ON d.doc_id = k.doc_id GROUP BY d.source)
+    SELECT stage, sample_id, source, n FROM kept
+    UNION ALL SELECT stage, sample_id, source, n FROM counts
+    UNION ALL SELECT stage, sample_id, source, n FROM bysrc
+    ORDER BY stage, sample_id, source"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents").where(octet_length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
+      Multimodal.audioCurationRun(
+          Multimodal.textAsWav(docs, "doc_id", "text"),
+          docs.select(col("doc_id").as("sample_id"), col("source")),
+          tau = 0.125, maxSilenceRatio = 0.19, minDynRange = 3000L)
+        .orderBy(col("stage"), col("sample_id").asc_nulls_last,
+          col("source").asc_nulls_last)
+    })
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -6411,7 +6506,7 @@ object SparkEntry {
     t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45,
     t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56,
     m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14,
-    m15, m16, m17, m18, m19, m20, m21, m22, m23)
+    m15, m16, m17, m18, m19, m20, m21, m22, m23, m24)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1126,14 +1126,35 @@ object Multimodal {
     *         within tau
     */
   def audioFingerprintDupPairs(media: DataFrame, tau: Double = 0.125,
+      idCol: String = "sample_id", payloadCol: String = "payload"): DataFrame =
+    fingerprintPairsFromVecs(
+      org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
+        energyVecs(media, idCol, payloadCol)), tau)
+
+  /** The per-clip 4-band energy fingerprint behind
+    * [[audioFingerprintDupPairs]]: (sample_id, e1..e4), one row per
+    * clip, computed in the decode stage (payloads never shuffle).
+    * Exposed separately so composed runs ([[audioCurationRun]]) can
+    * filter the SCALAR fingerprints (e.g. by a quality gate) before
+    * the pair pass without ever joining against payloads.
+    */
+  private[pipeline] def energyVecs(media: DataFrame,
       idCol: String = "sample_id", payloadCol: String = "payload"): DataFrame = {
-    require(tau > 0.0, "tau must be positive")
     val e = octaveBandEnergies(media, idCol, payloadCol)
     def bandE(b: Int) = max(when(col("band") === b.toLong, col("log_energy")))
       .as(s"e$b")
-    val vecs = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
-      e.groupBy(col("sample_id"))
-        .agg(bandE(1), bandE(2), bandE(3), bandE(4)))
+    e.groupBy(col("sample_id"))
+      .agg(bandE(1), bandE(2), bandE(3), bandE(4))
+  }
+
+  /** The lossless offset-grid banding + exact verify over a
+    * fingerprint frame from [[energyVecs]] — the caller owns the
+    * frame's cache lifecycle (the pair pass reads it twice through
+    * the self-join).
+    */
+  private[pipeline] def fingerprintPairsFromVecs(vecs: DataFrame,
+      tau: Double): DataFrame = {
+    require(tau > 0.0, "tau must be positive")
     val width = 2.0 * tau
     val combos = (0 until 16).map { cid =>
       val keys = (1 to 4).map { b =>
@@ -1218,6 +1239,106 @@ object Multimodal {
           .partitionBy(col("component"))).cast("long"))
       .select(col("id").as("sample_id"), col("component").as("cluster_rep"),
         col("cluster_size"))
+  }
+
+  /** The COMPOSED audio curation run — the m-family's d34: the
+    * operator a multimodal training-data pipeline actually schedules
+    * nightly. Decode-stage quality gates ([[audioQualityReport]]'s
+    * silence-ratio and dynamic-range signals) drop unusable clips,
+    * the m21/m22 fingerprint pair pass + transitive closure clusters
+    * the survivors, each cluster keeps its min-id representative, and
+    * the result carries the curated clip list (with its source) plus
+    * the per-stage audit counts and the per-source kept rollup — the
+    * numbers a curation job logs beside its output and a data-mixing
+    * decision consumes.
+    *
+    * Scale shape: both decode passes (quality scalars, band
+    * energies) run in the scan stage — clip payloads never cross an
+    * exchange; the quality gate applies to the id+energy SCALARS via
+    * one id-keyed join (never to payloads), so the pair pass is
+    * bucket-local over survivors only. The d34 cache discipline
+    * applies: the gate, fingerprint, and pair frames are counted
+    * eagerly while their plain caches are hot (the closure's eager
+    * probe would burn a scoped cache mid-build) and released in
+    * try/finally; the survivor-id cache alone outlives the call —
+    * scoped AFTER the closure so only the caller's single result
+    * execution releases it. Counts ride as literal rows; the closure
+    * labelling feeds the kept / clusters / dropped legs of ONE
+    * result plan.
+    *
+    * @param media (idCol, payloadCol) WAV clips
+    * @param meta  (metaIdCol, srcCol) clip provenance for the kept
+    *              rows and the per-source rollup
+    * @return (stage, sample_id, source, n): one `stage='kept'` row
+    *         per curated clip (n null), audit rows
+    *         `stage ∈ input|quality_fail|pairs|clusters|dup_dropped`
+    *         (sample_id/source null, n the count), and one
+    *         `stage='kept_source'` row per source (sample_id null)
+    */
+  def audioCurationRun(media: DataFrame, meta: DataFrame,
+      tau: Double = 0.125, maxSilenceRatio: Double = 0.25,
+      minDynRange: Long = 3000L,
+      idCol: String = "sample_id", payloadCol: String = "payload",
+      metaIdCol: String = "sample_id", srcCol: String = "source"): DataFrame = {
+    val spark = media.sparkSession
+    val q = audioQualityReport(media, idCol = idCol, payloadCol = payloadCol)
+      .select(col("sample_id"), col("silence_ratio"), col("dyn_range"))
+      .cache()
+    val passC = q
+      .where(col("silence_ratio") <= lit(maxSilenceRatio) &&
+        col("dyn_range") >= lit(minDynRange))
+      .select(col("sample_id"))
+      .cache()
+    val vecs = energyVecs(media, idCol, payloadCol)
+      .join(passC, Seq("sample_id"))
+      .cache()
+    val pairs = fingerprintPairsFromVecs(vecs, tau)
+      .select(col("id_a"), col("id_b"))
+      .cache()
+    val (nIn, nPass, nPairs, comp) =
+      try {
+        val ni = q.count()
+        val np = passC.count() // through the hot quality cache
+        val npr = pairs.count() // materializes vecs + pairs
+        // closure (eager): reads the pair cache; returns a local
+        // labelling at any sane dup rate, or a CacheScope'd
+        // distributed frame read once by the result execution below
+        (ni, np, npr, graft.pipeline.Dedup.connectedComponents(pairs))
+      } finally { pairs.unpersist(); vecs.unpersist(); q.unpersist() }
+    // the survivor-id cache feeds the kept leg and the per-source
+    // rollup of the RESULT plan, so it must outlive this call —
+    // scoped only NOW, after the eager closure, so the closure's
+    // internal executions could not release it mid-build
+    org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUseExisting(passC)
+    val dropped = comp.where(col("id") =!= col("component"))
+      .select(col("id").as("sample_id"))
+    val metaSlim = meta.select(col(metaIdCol).cast("long").as("sample_id"),
+      col(srcCol).cast("string").as("source"))
+    val keptIds = passC.join(dropped, Seq("sample_id"), "left_anti")
+    val kept = keptIds.join(metaSlim, Seq("sample_id"), "left")
+      .select(lit("kept").as("stage"), col("sample_id"), col("source"),
+        lit(null).cast("long").as("n"))
+    def c1(stage: String, n: Column) = spark.range(1).select(
+      lit(stage).as("stage"), lit(null).cast("long").as("sample_id"),
+      lit(null).cast("string").as("source"), n.cast("long").as("n"))
+    val counts = c1("input", lit(nIn))
+      .unionAll(c1("quality_fail", lit(nIn - nPass)))
+      .unionAll(c1("pairs", lit(nPairs)))
+      .unionAll(comp.agg(countDistinct(col("component")).as("c"))
+        .select(lit("clusters").as("stage"),
+          lit(null).cast("long").as("sample_id"),
+          lit(null).cast("string").as("source"), col("c").cast("long").as("n")))
+      .unionAll(dropped.agg(count(lit(1)).as("c"))
+        .select(lit("dup_dropped").as("stage"),
+          lit(null).cast("long").as("sample_id"),
+          lit(null).cast("string").as("source"), col("c").cast("long").as("n")))
+    val bySource = keptIds.join(metaSlim, Seq("sample_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("c"))
+      .select(lit("kept_source").as("stage"),
+        lit(null).cast("long").as("sample_id"), col("source"),
+        col("c").cast("long").as("n"))
+    kept.unionAll(counts).unionAll(bySource)
   }
 
   /** Voice-activity segments over REAL decoded PCM — the segmentation

@@ -421,25 +421,38 @@ object ScaleSmoke {
             "text", "doc_id")
           .groupBy(col("stage")).agg(count(lit(1)))
           .collect().length.toLong }
+      // the m21/m22/m23 query definitions pin ASCII-only docs
+      // (octet_length = char length) on top of non-empty — the smoke
+      // must time the same population or multibyte docs outside the
+      // operators' pinned semantics skew (or break) the 10x timing
+      val asciiDocs = docs.where(octet_length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
       // decode-stage energies; 16 composite keys/clip, bucket-local join
       time("m21 audioFingerprintPairs") {
         graft.pipeline.Multimodal.audioFingerprintDupPairs(
-          graft.pipeline.Multimodal.textAsWav(
-            docs.where(octet_length(col("text")) > 0), "doc_id", "text"))
+          graft.pipeline.Multimodal.textAsWav(asciiDocs, "doc_id", "text"))
           .count() }
       // m10/m11's codec + banded pairs + the bounded-probe closure
       time("m23 phashDupClusters") {
         graft.pipeline.Multimodal.phashDupClusters(
           graft.pipeline.Multimodal.perceptualHash(
-            graft.pipeline.Multimodal.textAsBmp(
-              docs.where(octet_length(col("text")) > 0), "doc_id", "text", 10))
+            graft.pipeline.Multimodal.textAsBmp(asciiDocs, "doc_id", "text", 10))
             .toDF(), maxHamming = 3).count() }
       // m21's pair pass + bounded-probe closure over (id, id) pairs
       time("m22 audioDupClusters") {
         graft.pipeline.Multimodal.audioDupClusters(
-          graft.pipeline.Multimodal.textAsWav(
-            docs.where(octet_length(col("text")) > 0), "doc_id", "text"))
+          graft.pipeline.Multimodal.textAsWav(asciiDocs, "doc_id", "text"))
           .count() }
+      // the composed curation run: m16 gate + m21/m22 pair+closure on
+      // survivors + rollups; the gate filters id+energy scalars, one
+      // decode pass per stage, payloads never shuffle
+      time("m24 audioCurationRun") {
+        graft.pipeline.Multimodal.audioCurationRun(
+          graft.pipeline.Multimodal.textAsWav(asciiDocs, "doc_id", "text"),
+          asciiDocs.select(col("doc_id").as("sample_id"), col("source")),
+          maxSilenceRatio = 0.19)
+          .groupBy(col("stage")).agg(count(lit(1)))
+          .collect().length.toLong }
       // d11's pair+closure work + one token-count scan
       time("t55 dedupTokenBudget (capped)") {
         graft.pipeline.Dedup.dedupTokenBudgetReport(docs, "text",
