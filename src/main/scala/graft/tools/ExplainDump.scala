@@ -143,6 +143,7 @@ object ExplainDump {
       "t55_dedup_token_budget" -> "post-dedup token budget: d11's pair+closure work, then ONE corpus scan of (source, token-count) with the loser-id frame AQE-broadcast onto it; the rollup exchanges |sources| scalar rows",
       "t56_dedup_temperature_mix" -> "post-dedup temperature mix: d11's closure feeds t28's alpha-weights — the per-source rollup and the window sums run over |sources| rows; the corpus contributes one ids-only anti-join",
       "m23_phash_dup_clusters" -> "image dup clusters: m11's codec + banded pair pass (pairs materialized fully before the closure probe), bounded-probe closure over (id, id) pairs, one size window",
+      "m24_audio_curation_run" -> "composed audio curation run: m16 gate + m21 pair pass + closure SHARE the per-stage caches (counted hot, released synchronously); the gate filters id+energy scalars via one keyed join — clip payloads never shuffle; the result plan is the ids-only kept/rollup legs + literal count rows over the broadcast labelling",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")
@@ -165,6 +166,46 @@ object ExplainDump {
     * regeneration preserves the record.
     */
   private val driftTriage: String = """
+## Round-16 signal-of-record adjudication (d27 / q44 / t36 / t13)
+
+The r11 driver artifact showed three >=1.5x movers the builder's
+same-code, same-day run contradicted, plus t13 as the one >1.5x mover
+inside the builder's own artifact (vs the r10 DRIVER number).
+Isolated 5-rep protocol (`DriftProfile`, throwaway lead query, sf0.1,
+fresh cache per rep), run before any round-12 code touched these
+queries:
+
+| query | driver r10 | builder r10 | builder r11 | driver r11 | isolated min/median (r12) | adjudication |
+|---|---|---|---|---|---|---|
+| d27_dedup_impact | (truncated) | 1.638 | 1.516 | **4.506** | 1.340 / 1.467 | isolated sits AT/BELOW both builder runs and 3.1x below the driver number; the shared closure's other consumers (d06/d11/d22) did not move in either artifact. Driver-run contention, not plan cost. Off `weak`. |
+| q44_correlated_subquery | (truncated) | 0.302 | 0.275 | **0.563** | 0.309 / 0.312 | isolated == builder both rounds; the driver number is a 1.8x outlier on a 0.3 s query — the class PLANS.md's noise-band note covers. Noise. |
+| t36_vocab_overlap | 1.181 | 1.371 | 1.149 | **2.089** | 1.014 / 1.068 | isolated BELOW every prior artifact value. Noise. |
+| t13_decontaminate_filter | 0.602 | 0.887 | 0.962 | 0.777 | 0.797 / 0.886 | the "0.60 -> 0.96" scare compared the r10 DRIVER number to the r11 BUILDER number — cross-artifact. Within each artifact the movement is 1.08x (builder) / 1.29x (driver); isolated agrees with the builder numbers from BOTH rounds. Steady state is ~0.85 +-0.1 s and the r10 driver 0.602 was the favorable outlier. Stable; recorded as the comparator. |
+
+Pattern across all four: the isolated protocol reproduces the
+BUILDER artifact and never the driver outliers — consistent with the
+round-15 environment note (driver runs sample one execution per query
+under full-suite contention). d27 leaves the `weak` set.
+
+## Round-16 closure upgrade: pointer jumping (O(log diameter) rounds)
+
+`distributedComponents` adds a pointer-jump step to each hash-min
+round (c(v) := min(c(v), c(c(v))), a flat self-join of the cached
+labelling): labels remain min-ids of same-component members and only
+decrease, so the fixpoint — and every closure-fed oracle hash — is
+bit-identical, but convergence collapses from O(diameter) to
+O(log diameter) rounds. The r11 verdict's scale cliff (a >50-diameter
+incremental-edit chain burned the full closure cost THEN threw) is
+gone: a 500-long chain converges in 9 rounds (Round16Spec pins <= 12),
+and maxIter=50 now covers diameters ~2^49 — a pure invariant guard.
+The round-15 lineage discipline is unchanged (flat LogicalRDD views,
+8-round reliable checkpoint cuts, deterministic unpersist); checkpoint
+files are now deleted on supersession and with the result, and
+SessionManager bootstraps a checkpoint dir so the server path takes
+the fault-tolerant cut by construction. All closure-fed oracles
+(d06/d11/d22/d27/d34/d35/t40/t55/t56/m22/m23 + the new m24)
+re-verified hash-matched after the change.
+
 ## Round-15 closure lineage fix (driver OOM caught by the m22 10× smoke)
 
 `distributedComponents`' hash-min loop referenced its per-round
