@@ -45,17 +45,45 @@ object Clustering {
       .sortBy(_._1)
   }
 
-  /** Nearest-centroid assignment as a pure projection over
-    * driver-local centroids: for each row, the cosine against each
-    * inlined centroid vector, then an argmax via `greatest` over
-    * (sim, -cell) structs — ties break to the smallest cell,
-    * mirroring `ORDER BY sim DESC, cell` in SQL. Map-only: no join,
-    * no shuffle, no k-fold row expansion. Output: (idCol, cell, sim).
+  /** Above this centroid count the inlined-literal projection stops
+    * being a win: k × dim literal doubles make a multi-MB plan
+    * (analyzer/codegen blowup — and the SemDeDup recipe's k ≈ √N
+    * means tens of thousands of cells at 100 TB), so the dispatch
+    * below routes large k through the [[graft.pipeline.Ivf.assign]]
+    * broadcast-join shape instead. At the declared queries' k ≤ 8 the
+    * literal path is byte-identical to before the dispatch existed.
+    */
+  private[graft] val literalInlineMaxK = 64
+
+  /** Nearest-centroid assignment: for each row the cosine against
+    * each centroid, argmax with ties to the smallest cell (mirroring
+    * `ORDER BY sim DESC, cell` in SQL). Output: the input columns
+    * plus (cell, sim).
+    *
+    * Two plan shapes behind one contract, dispatched on k:
+    *  - k ≤ [[literalInlineMaxK]]: centroids inlined as literal
+    *    arrays, argmax via `greatest` over (sim, -cell) structs —
+    *    map-only, no join, no shuffle, no k-fold row expansion.
+    *  - larger k: centroids become a broadcast k-row frame; the
+    *    crossJoin + max(struct(sim, -cell)) argmax groups by id and
+    *    joins back — one id-keyed exchange, but the plan size is
+    *    O(1) in k and the argmax struct ordering is the same
+    *    expression-for-expression (greatest and max share Spark's
+    *    struct comparator), so the two shapes are value-identical
+    *    (Round16Spec pins them equal, sim bit-included).
     */
   def assignToCentroidArrays(
       emb: DataFrame, vecCol: String, idCol: String,
       cents: Seq[(Long, Array[Double])]): DataFrame = {
     require(cents.nonEmpty, "no centroids to assign to")
+    if (cents.size <= literalInlineMaxK)
+      assignViaLiterals(emb, vecCol, idCol, cents)
+    else assignViaBroadcastJoin(emb, vecCol, idCol, cents)
+  }
+
+  private[graft] def assignViaLiterals(
+      emb: DataFrame, vecCol: String, idCol: String,
+      cents: Seq[(Long, Array[Double])]): DataFrame = {
     val candidates: Seq[Column] = cents.map { case (cell, vec) =>
       val cvec = array(vec.toSeq.map(lit): _*)
       struct(
@@ -72,6 +100,39 @@ object Clustering {
       .withColumn("cell", -col("__best.neg_cell"))
       .withColumn("sim", col("__best.sim"))
       .drop("__best")
+  }
+
+  private[graft] def assignViaBroadcastJoin(
+      emb: DataFrame, vecCol: String, idCol: String,
+      cents: Seq[(Long, Array[Double])]): DataFrame = {
+    val spark = emb.sparkSession
+    import scala.jdk.CollectionConverters._
+    val rows = cents.map { case (cell, v) =>
+      org.apache.spark.sql.Row(cell, v.toSeq)
+    }.asJava
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__cell",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("__cent",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false))))
+    val centDf = spark.createDataFrame(rows, schema)
+    // the Ivf.assign shape: k-row broadcast, per-(row, cell) cosine,
+    // argmax via the same struct ordering greatest() uses; only
+    // (id, sim, cell) triples reach the exchange — vectors stay in
+    // the scan stage
+    val best = emb.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centDf))
+      .select(col(idCol), struct(
+        Similarity.cosine(col(vecCol), col("__cent")).as("sim"),
+        (-col("__cell")).as("neg_cell")).as("__c"))
+      .groupBy(col(idCol))
+      .agg(max(col("__c")).as("__best"))
+    graft.ops.ScaleOps.fanOut(emb)
+      .join(best, Seq(idCol))
+      .select(emb.columns.map(col) ++ Seq(
+        (-col("__best.neg_cell")).as("cell"),
+        col("__best.sim").as("sim")): _*)
   }
 
   /** [[assignToCentroidArrays]] seeded by the k smallest-id vectors. */

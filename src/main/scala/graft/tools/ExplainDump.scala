@@ -187,6 +187,25 @@ BUILDER artifact and never the driver outliers — consistent with the
 round-15 environment note (driver runs sample one execution per query
 under full-suite contention). d27 leaves the `weak` set.
 
+## Round-16 centroid-assignment dispatch A/B (literal vs broadcast join)
+
+`assignToCentroidArrays` now dispatches on k: <= 64 centroids keep the
+literal-inline map-only projection (byte-identical plan to before),
+larger k routes through the `Ivf.assign` broadcast-join shape (k-row
+broadcast, struct-ordering argmax, id-keyed join back) so SemDeDup's
+k ~ sqrt(N) — tens of thousands of cells at 100 TB — can't inline a
+multi-MB plan through the analyzer. Round16Spec pins the two shapes
+bit-identical (sim included; greatest() and max() share Spark's
+struct comparator) and runs k=5000 through the public dispatch.
+Declared-k consumers after the change (isolated 5-rep, sf0.1; builder
+r11 artifact as comparator — all literal-path, plan unchanged):
+
+| query | builder r11 | isolated min/median (post-dispatch) |
+|---|---|---|
+| d14_semantic_dedup | 0.937 | 0.747 / 0.761 |
+| d29_semdedup_threshold_curve | 1.131 | 0.714 / 0.744 |
+| s34_ivf_cell_drift | 0.755 | 0.607 / 0.663 |
+
 ## Round-16 closure upgrade: pointer jumping (O(log diameter) rounds)
 
 `distributedComponents` adds a pointer-jump step to each hash-min

@@ -147,4 +147,44 @@ class Round16Spec extends AnyFunSuite {
       .map(r => r.getString(2) -> r.getLong(3)).toMap
     assert(bySrc == kept.groupBy(_._2).view.mapValues(_.size.toLong).toMap)
   }
+
+  test("centroid assignment dispatches on k: broadcast shape == literal shape; k=5000 runs without plan blowup") {
+    import spark.implicits._
+    import graft.pipeline.Clustering
+    val rnd = new scala.util.Random(12)
+    val emb = (1L to 200L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding").repartition(4)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1),
+      java.lang.Double.doubleToLongBits(r.getDouble(2)))
+    // the two shapes must agree bit-for-bit (sim included) — same
+    // cosine expression, same struct-ordering argmax
+    val cents = (0L until 8L).map(c =>
+      (c, Array.fill(8)(rnd.nextDouble() * 2 - 1))).toSeq
+    val viaLit = Clustering.assignViaLiterals(emb, "embedding", "vec_id", cents)
+    val viaBc = Clustering.assignViaBroadcastJoin(emb, "embedding", "vec_id", cents)
+    assert(viaBc.columns.toSeq == viaLit.columns.toSeq)
+    assert(viaBc.select(col("vec_id"), col("cell"), col("sim")).collect().map(key).sortBy(_._1).toSeq ==
+      viaLit.select(col("vec_id"), col("cell"), col("sim")).collect().map(key).sortBy(_._1).toSeq)
+    // k=5000 through the PUBLIC dispatch: the literal spelling would
+    // inline 40k doubles into one projection; the broadcast shape must
+    // run with an O(1)-in-k plan and pick the true nearest cell
+    val big = (0L until 5000L).map(c =>
+      (c, Array.fill(8)(rnd.nextDouble() * 2 - 1))).toSeq
+    val got = Clustering.assignToCentroidArrays(emb, "embedding", "vec_id", big)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 200)
+    val vecs = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = vecs.map { case (id, v) =>
+      id -> big.map { case (c, cv) => (cos(v, cv), c) }
+        .maxBy { case (s, c) => (s, -c) }._2
+    }
+    assert(got == want)
+  }
 }
