@@ -6487,6 +6487,205 @@ object SparkEntry {
           col("source").asc_nulls_last)
     })
 
+  // The COMPOSED image curation run — m24's image sibling, closing
+  // the m-family's composed-run pair: perceptual quality gates
+  // (contrast n_set, brightness sample_mean — both replayed from the
+  // ground-truth text by the oracle) drop unusable images, m11/m23's
+  // banded pair pass + closure cluster the survivors, min-id reps
+  // kept, per-stage counts + per-source rollup ride one result. Same
+  // perturbed-union corpus as m11/m23 so real near-dup clusters
+  // exist; ONE decode pass feeds gate and pairs (the gate is a plain
+  // filter on the scalar hash frame — no id join at all).
+  private val m25 = Q("m25_image_curation_run", Some("""
+    WITH RECURSIVE base AS (SELECT doc_id, text, source FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) > 0
+        AND octet_length(CAST(text AS BLOB)) = length(text)),
+    un AS (SELECT doc_id, text FROM base
+           UNION ALL SELECT doc_id + 100000, text || 'x' FROM base),
+    src AS (SELECT doc_id, source FROM base
+            UNION ALL SELECT doc_id + 100000, source FROM base),
+    d AS (SELECT doc_id,
+        octet_length(CAST(text AS BLOB)) AS nb,
+        (octet_length(CAST(text AS BLOB)) + 9) // 10 AS h,
+        string_split(text, '') AS cs
+      FROM un),
+    g AS (SELECT doc_id, h, nb, cs, r * 8 + c AS i,
+        ((r * h) // 8) * 10 + (c * 10) // 8 AS idx
+      FROM d, UNNEST(generate_series(0, 7)) AS gr(r),
+             UNNEST(generate_series(0, 7)) AS gc(c)),
+    v AS (SELECT doc_id, i,
+        CASE WHEN idx < nb THEN ord(cs[CAST(idx + 1 AS BIGINT)]) ELSE 0 END AS val
+      FROM g),
+    m AS (SELECT doc_id, CAST(SUM(val) AS DOUBLE) / 64.0 AS mean FROM v GROUP BY doc_id),
+    ah AS (SELECT v.doc_id,
+        CAST(SUM(CASE WHEN v.val > m.mean AND v.i < 32 THEN (CAST(1 AS BIGINT) << v.i) ELSE 0 END) AS BIGINT) AS hi,
+        CAST(SUM(CASE WHEN v.val > m.mean AND v.i >= 32 THEN (CAST(1 AS BIGINT) << (v.i - 32)) ELSE 0 END) AS BIGINT) AS lo,
+        CAST(SUM(CASE WHEN v.val > m.mean THEN 1 ELSE 0 END) AS BIGINT) AS n_set,
+        ANY_VALUE(m.mean) AS mean
+      FROM v JOIN m USING (doc_id) GROUP BY v.doc_id),
+    pass AS (SELECT doc_id, hi, lo FROM ah WHERE n_set >= 16 AND mean >= 90.0),
+    prs AS (SELECT id_a, id_b FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+      FROM pass a JOIN pass b ON a.doc_id < b.doc_id)
+      WHERE hamming <= 3),
+    sym AS (SELECT id_a AS u, id_b AS v FROM prs UNION SELECT id_b, id_a FROM prs),
+    reach(u, v) AS (SELECT u, v FROM sym
+                    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    comp AS (SELECT u AS sample_id, LEAST(u, MIN(v)) AS cluster_rep FROM reach GROUP BY u),
+    dropped AS (SELECT sample_id FROM comp WHERE sample_id <> cluster_rep),
+    keptids AS (SELECT doc_id FROM pass WHERE doc_id NOT IN (SELECT sample_id FROM dropped)),
+    kept AS (SELECT 'kept' AS stage, k.doc_id AS sample_id, s.source,
+        CAST(NULL AS BIGINT) AS n
+      FROM keptids k JOIN src s ON s.doc_id = k.doc_id),
+    counts AS (
+      SELECT 'input' AS stage, CAST(NULL AS BIGINT) AS sample_id,
+        CAST(NULL AS VARCHAR) AS source, CAST(COUNT(*) AS BIGINT) AS n FROM ah
+      UNION ALL SELECT 'quality_fail', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        CAST((SELECT COUNT(*) FROM ah) - (SELECT COUNT(*) FROM pass) AS BIGINT)
+      UNION ALL SELECT 'pairs', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        CAST(COUNT(*) AS BIGINT) FROM prs
+      UNION ALL SELECT 'clusters', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        CAST(COUNT(DISTINCT cluster_rep) AS BIGINT) FROM comp
+      UNION ALL SELECT 'dup_dropped', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        CAST(COUNT(*) AS BIGINT) FROM dropped),
+    bysrc AS (SELECT 'kept_source' AS stage, CAST(NULL AS BIGINT) AS sample_id,
+        s.source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM keptids k JOIN src s ON s.doc_id = k.doc_id GROUP BY s.source)
+    SELECT stage, sample_id, source, n FROM kept
+    UNION ALL SELECT stage, sample_id, source, n FROM counts
+    UNION ALL SELECT stage, sample_id, source, n FROM bysrc
+    ORDER BY stage, sample_id, source"""),
+    (s, dir) => {
+      val base = T(s, dir, "documents").where(octet_length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
+      val un = base.select(col("doc_id"), col("text")).unionByName(
+        base.select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit("x")).as("text")))
+      val meta = base.select(col("doc_id").as("sample_id"), col("source"))
+        .unionByName(base.select((col("doc_id") + 100000).as("sample_id"),
+          col("source")))
+      Multimodal.imageCurationRun(
+          Multimodal.textAsBmp(un, "doc_id", "text", width = 10), meta,
+          maxHamming = 3, minSetBits = 16L, minMean = 90.0)
+        .orderBy(col("stage"), col("sample_id").asc_nulls_last,
+          col("source").asc_nulls_last)
+    })
+
+  // Dup-rate by quality decile: the curation cross-tab read before
+  // choosing between quality filtering and dedup (spam is both
+  // low-quality and heavily duplicated — if the bottom decile carries
+  // most dup mass a quality gate gets the dedup nearly free). t02's
+  // quality heuristic bucketed by NTILE (the t43 exact-cut contract),
+  // d11's keep-min-id drops counted per bucket, DECIMAL-exact means.
+  // The oracle replays score, closure, buckets, and accounting.
+  private val t57 = Q("t57_quality_dedup_report", Some("""
+    WITH RECURSIVE q AS (SELECT doc_id,
+        ROUND(
+          0.5 * LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+          + 0.3 * LEAST(
+              ((LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' the ', ' '))) / 4.0
+               + (LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' and ', ' '))) / 4.0
+               + (LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' of ', ' '))) / 3.0)
+              / GREATEST(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 10.0, 1.0)
+          + 0.2 * (1.0 - LEAST(CAST(LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+              / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0) * 10.0, 1.0)), 6) AS q
+      FROM documents),
+    toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+          CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) AS jaccard
+        FROM inter
+          JOIN sizes na ON na.doc_id = id_a
+          JOIN sizes nb ON nb.doc_id = id_b)
+      WHERE jaccard >= 0.3),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach(u, v) AS (SELECT u, v FROM sym
+                    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u),
+    losers AS (SELECT doc_id FROM comp WHERE doc_id <> rep),
+    b AS (SELECT q.doc_id, q.q,
+        NTILE(10) OVER (ORDER BY q.q, q.doc_id) AS bin,
+        CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dropped
+      FROM q LEFT JOIN losers l ON l.doc_id = q.doc_id)
+    SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+      CAST(SUM(dropped) AS DOUBLE) / COUNT(*) AS drop_frac,
+      CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_quality
+    FROM b GROUP BY bin ORDER BY bin"""),
+    (s, dir) => Dedup.qualityDedupReport(T(s, dir, "documents"),
+        "text", "doc_id", bins = 10, n = 3, threshold = 0.3,
+        maxPostings = None) // exact: oracle-comparable
+      .orderBy(col("bin")))
+
+  // IVF REBUILD decision: s34's drift audit turned into the one-row
+  // verdict an index-maintenance job acts on — re-train when the
+  // post-append imbalance breaks the cost model or the appended mass
+  // outgrows the trained centroids. The %3 split appends a third of
+  // the corpus, so the declared run exercises the rebuild=1 branch.
+  private val s35 = Q("s35_ivf_rebuild_decision", Some("""
+    WITH oldv AS (SELECT * FROM embeddings WHERE vec_id % 3 <> 0),
+    newv AS (SELECT * FROM embeddings WHERE vec_id % 3 = 0),
+    cents AS (SELECT vec_id AS cell, embedding AS cvec FROM oldv ORDER BY vec_id LIMIT 8),
+    simso AS (SELECT e.vec_id, c.cell,
+        list_sum(list_transform(generate_series(1, len(e.embedding)),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      FROM oldv e, cents c),
+    ao AS (SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, sim,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        FROM simso) WHERE rn = 1),
+    ho AS (SELECT cell, COUNT(*) AS n_old_raw FROM ao GROUP BY 1),
+    simsn AS (SELECT e.vec_id, c.cell,
+        list_sum(list_transform(generate_series(1, len(e.embedding)),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      FROM newv e, cents c),
+    an AS (SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, sim,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        FROM simsn) WHERE rn = 1),
+    hn AS (SELECT cell, COUNT(*) AS n_new_raw FROM an GROUP BY 1),
+    j AS (SELECT c.cell, COALESCE(ho.n_old_raw, 0) AS n_old,
+        COALESCE(hn.n_new_raw, 0) AS n_new
+      FROM cents c LEFT JOIN ho ON ho.cell = c.cell
+        LEFT JOIN hn ON hn.cell = c.cell),
+    tot AS (SELECT CAST(SUM(n_old + n_new) AS BIGINT) AS n_total,
+        CAST(SUM(n_new) AS BIGINT) AS nn,
+        CAST(MAX(n_old + n_new) AS DOUBLE) * 8 / CAST(SUM(n_old + n_new) AS DOUBLE) AS imbalance_after,
+        MAX(CASE WHEN n_old = 0 THEN NULL
+          ELSE CAST(n_new AS DOUBLE) / CAST(n_old AS DOUBLE) END) AS max_growth,
+        CAST(SUM(CASE WHEN n_old = 0 AND n_new > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unseeded_cells
+      FROM j)
+    SELECT n_total,
+      CAST(nn AS DOUBLE) / CAST(n_total AS DOUBLE) AS new_frac,
+      imbalance_after, max_growth, n_unseeded_cells,
+      CAST(CASE WHEN imbalance_after > 1.5
+        OR CAST(nn AS DOUBLE) / CAST(n_total AS DOUBLE) > 0.3
+        THEN 1 ELSE 0 END AS BIGINT) AS rebuild
+    FROM tot"""),
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      graft.pipeline.Clustering.rebuildDecision(
+        emb.where(col("vec_id") % 3 =!= 0),
+        emb.where(col("vec_id") % 3 === 0),
+        "embedding", "vec_id", k = 8,
+        maxImbalance = 1.5, maxNewFrac = 0.3)
+    })
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -6500,13 +6699,13 @@ object SparkEntry {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
     d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
-    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34,
+    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
     t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45,
-    t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56,
+    t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56, t57,
     m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14,
-    m15, m16, m17, m18, m19, m20, m21, m22, m23, m24)
+    m15, m16, m17, m18, m19, m20, m21, m22, m23, m24, m25)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))

@@ -241,6 +241,45 @@ object Clustering {
           col("nt").cast("double")).as("imbalance_after"))
   }
 
+  /** IVF REBUILD decision — the one-row maintenance verdict composed
+    * from [[cellDriftReport]]'s audit (s30 watches balance at build
+    * time, s34 watches it across appends; this turns the watch into
+    * the decision an index-maintenance job acts on): re-train when the
+    * post-append imbalance factor exceeds `maxImbalance` (a monster
+    * cell breaks every IVF cost model) or the appended mass exceeds
+    * `maxNewFrac` of the index (the trained centroids no longer
+    * represent the corpus). Also reports the max per-cell growth and
+    * the count of previously-empty cells that received batch mass —
+    * the drift shape diagnostics beside the verdict.
+    *
+    * Scale shape: the drift report's two map-only assignments +
+    * k-row rollups, then one k-row aggregation — nothing here scales
+    * with the corpus beyond the two scans.
+    *
+    * @return one row: (n_total, new_frac, imbalance_after,
+    *         max_growth, n_unseeded_cells, rebuild) — rebuild as
+    *         0/1 BIGINT for oracle portability
+    */
+  def rebuildDecision(oldEmb: DataFrame, newEmb: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      maxImbalance: Double = 1.5, maxNewFrac: Double = 0.3): DataFrame = {
+    val drift = cellDriftReport(oldEmb, newEmb, vecCol, idCol, k)
+    drift.agg(
+        sum(col("n_old") + col("n_new")).as("n_total"),
+        sum(col("n_new")).as("__nn"),
+        max(col("imbalance_after")).as("imbalance_after"),
+        max(col("growth")).as("max_growth"),
+        sum(when(col("n_old") === 0L && col("n_new") > 0L, 1L)
+          .otherwise(0L)).as("n_unseeded_cells"))
+      .select(col("n_total"),
+        (col("__nn").cast("double") / col("n_total").cast("double"))
+          .as("new_frac"),
+        col("imbalance_after"), col("max_growth"), col("n_unseeded_cells"),
+        (col("imbalance_after") > lit(maxImbalance) ||
+          (col("__nn").cast("double") / col("n_total").cast("double")) >
+            lit(maxNewFrac)).cast("long").as("rebuild"))
+  }
+
   /** SemDeDup threshold-sweep curve — how much of the corpus each
     * candidate cosine threshold would drop, from ONE within-cell pair
     * pass: each member's MAX cosine to a smaller-id same-cell

@@ -1422,6 +1422,53 @@ object Dedup {
             col("n_tokens").cast("double"), 6)))
   }
 
+  /** Dup-rate by quality decile — the curation cross-tab read before
+    * choosing between quality filtering and dedup (they overlap: spam
+    * is both low-quality and heavily duplicated; if the bottom decile
+    * carries most of the dup mass, a quality gate gets the dedup
+    * nearly for free, and vice versa). Buckets every doc into quality
+    * deciles (t02's heuristic score, NTILE over (score, id) — the t43
+    * exact-cut contract) and reports each decile's doc count,
+    * dedup-dropped count (d11's keep-min-id convention over the
+    * closure), drop fraction, and DECIMAL-exact mean quality.
+    *
+    * Scale shape: the quality score is a scan-stage projection; the
+    * dedup side is d06/d11's pair + closure work; the NTILE is one
+    * global sort over per-doc (score, id) scalars (the t43/t49
+    * oracle-able contract — swap for approx_percentile boundaries at
+    * 100 TB) and the rollup is `bins` rows.
+    *
+    * @return (bin, n_docs, n_dropped, drop_frac, mean_quality), one
+    *         row per decile (unsorted — callers order)
+    */
+  def qualityDedupReport(docs: DataFrame, textCol: String, idCol: String,
+      bins: Int = 10, n: Int = 3, threshold: Double = 0.3,
+      maxPostings: Option[Int] = Some(10000)): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val losers = connectedComponents(
+        ngramJaccardPairs(docs, textCol, idCol, n, threshold, maxPostings)
+          .select(col("id_a"), col("id_b")))
+      .where(col("id") =!= col("component"))
+      .select(col("id").as("__lid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("q"), col("__id"))
+    docs
+      .select(col(idCol).as("__id"),
+        round(graft.pipeline.TextAnalysis.qualityScore(col(textCol)), 6).as("q"))
+      .withColumn("bin", ntile(bins).over(w))
+      .join(losers, col("__id") === col("__lid"), "left")
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__lid").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        sum(col("q").cast("decimal(18,6)")).as("__qsum"))
+      .select(col("bin").cast("long").as("bin"),
+        col("n_docs"), col("n_dropped"),
+        (col("n_dropped").cast("double") / col("n_docs").cast("double"))
+          .as("drop_frac"),
+        (col("__qsum").cast("double") / col("n_docs").cast("double"))
+          .as("mean_quality"))
+  }
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
       localEdgeLimit: Int = 100000): DataFrame = {
     val spark = pairs.sparkSession

@@ -1341,6 +1341,88 @@ object Multimodal {
     kept.unionAll(counts).unionAll(bySource)
   }
 
+  /** The COMPOSED image curation run — [[audioCurationRun]]'s image
+    * sibling, closing the m-family's composed-run pair: perceptual
+    * decode-stage quality gates (contrast via `n_set` set bits,
+    * brightness via the lattice `sample_mean`) drop unusable images,
+    * the m11/m23 banded pair pass + transitive closure clusters the
+    * survivors, min-id representatives are kept, and one result
+    * carries the curated image list (with source), the per-stage
+    * audit counts, and the per-source kept rollup.
+    *
+    * Scale shape: ONE decode pass ([[perceptualHash]]) produces the
+    * scalar (hash, n_set, mean) frame that feeds BOTH the gate and
+    * the pair stage — image bytes never cross an exchange, and the
+    * gate is a plain filter on that scalar frame (no id join at
+    * all, one better than the audio run's). The d34 cache
+    * discipline: the hash and pair frames are counted eagerly while
+    * hot and released in try/finally; the survivor-id cache alone
+    * outlives the call, scoped after the eager closure.
+    *
+    * @param media (idCol, payloadCol) BMP images
+    * @param meta  (metaIdCol, srcCol) image provenance
+    * @return (stage, sample_id, source, n): `stage='kept'` rows per
+    *         curated image, audit rows
+    *         `stage ∈ input|quality_fail|pairs|clusters|dup_dropped`,
+    *         and one `stage='kept_source'` row per source
+    */
+  def imageCurationRun(media: DataFrame, meta: DataFrame,
+      maxHamming: Int = 3, minSetBits: Long = 16L, minMean: Double = 90.0,
+      idCol: String = "sample_id", payloadCol: String = "payload",
+      metaIdCol: String = "sample_id", srcCol: String = "source"): DataFrame = {
+    val spark = media.sparkSession
+    val hashes = perceptualHash(media, grid = 8, idCol = idCol,
+        payloadCol = payloadCol).toDF()
+      .select(col("sample_id"), col("ahash_hi"), col("ahash_lo"),
+        col("n_set"), col("sample_mean"))
+      .cache()
+    val gated = hashes.where(col("n_set") >= lit(minSetBits) &&
+      col("sample_mean") >= lit(minMean))
+    val passC = gated.select(col("sample_id")).cache()
+    val pairs = phashDupPairs(gated, maxHamming)
+      .select(col("id_a"), col("id_b"))
+      .cache()
+    val (nIn, nPass, nPairs, comp) =
+      try {
+        val ni = hashes.count()
+        val np = passC.count() // through the hot hash cache
+        val npr = pairs.count() // materializes the banded pair pass
+        (ni, np, npr, graft.pipeline.Dedup.connectedComponents(pairs))
+      } finally { pairs.unpersist(); hashes.unpersist() }
+    // survivor ids feed the result legs — scoped after the eager
+    // closure so only the caller's single execution releases them
+    org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUseExisting(passC)
+    val dropped = comp.where(col("id") =!= col("component"))
+      .select(col("id").as("sample_id"))
+    val metaSlim = meta.select(col(metaIdCol).cast("long").as("sample_id"),
+      col(srcCol).cast("string").as("source"))
+    val keptIds = passC.join(dropped, Seq("sample_id"), "left_anti")
+    val kept = keptIds.join(metaSlim, Seq("sample_id"), "left")
+      .select(lit("kept").as("stage"), col("sample_id"), col("source"),
+        lit(null).cast("long").as("n"))
+    def c1(stage: String, n: Column) = spark.range(1).select(
+      lit(stage).as("stage"), lit(null).cast("long").as("sample_id"),
+      lit(null).cast("string").as("source"), n.cast("long").as("n"))
+    val counts = c1("input", lit(nIn))
+      .unionAll(c1("quality_fail", lit(nIn - nPass)))
+      .unionAll(c1("pairs", lit(nPairs)))
+      .unionAll(comp.agg(countDistinct(col("component")).as("c"))
+        .select(lit("clusters").as("stage"),
+          lit(null).cast("long").as("sample_id"),
+          lit(null).cast("string").as("source"), col("c").cast("long").as("n")))
+      .unionAll(dropped.agg(count(lit(1)).as("c"))
+        .select(lit("dup_dropped").as("stage"),
+          lit(null).cast("long").as("sample_id"),
+          lit(null).cast("string").as("source"), col("c").cast("long").as("n")))
+    val bySource = keptIds.join(metaSlim, Seq("sample_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("c"))
+      .select(lit("kept_source").as("stage"),
+        lit(null).cast("long").as("sample_id"), col("source"),
+        col("c").cast("long").as("n"))
+    kept.unionAll(counts).unionAll(bySource)
+  }
+
   /** Voice-activity segments over REAL decoded PCM — the segmentation
     * primitive audio curation runs before transcription (cut silence,
     * keep speech): fixed-length frames (`frameLen` samples, the last

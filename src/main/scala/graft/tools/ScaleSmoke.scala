@@ -453,6 +453,17 @@ object ScaleSmoke {
           maxSilenceRatio = 0.19)
           .groupBy(col("stage")).agg(count(lit(1)))
           .collect().length.toLong }
+      // ONE decode pass feeds gate + banded pairs; closure on survivors
+      time("m25 imageCurationRun") {
+        graft.pipeline.Multimodal.imageCurationRun(
+          graft.pipeline.Multimodal.textAsBmp(asciiDocs, "doc_id", "text", 10),
+          asciiDocs.select(col("doc_id").as("sample_id"), col("source")))
+          .groupBy(col("stage")).agg(count(lit(1)))
+          .collect().length.toLong }
+      // d11's pair+closure work + a scan-stage score + one NTILE sort
+      time("t57 qualityDedupReport (capped)") {
+        graft.pipeline.Dedup.qualityDedupReport(docs, "text", "doc_id")
+          .collect().length.toLong }
       // d11's pair+closure work + one token-count scan
       time("t55 dedupTokenBudget (capped)") {
         graft.pipeline.Dedup.dedupTokenBudgetReport(docs, "text",

@@ -187,4 +187,122 @@ class Round16Spec extends AnyFunSuite {
     }
     assert(got == want)
   }
+
+  test("imageCurationRun reconciles with its published stages (phash gate + m23 clusters)") {
+    import spark.implicits._
+    import graft.pipeline.Multimodal
+    val rnd = new scala.util.Random(25)
+    def txt(n: Int) = (1 to n).map(_ => ('!' + rnd.nextInt(90)).toChar).mkString
+    val base = txt(120)
+    val docs = (
+      (1L to 12L).map(i => (i, txt(80 + rnd.nextInt(60)), s"s${i % 3}")) :+
+        (21L, base, "s0") :+ (22L, base, "s1") // exact dup pair
+    ).toDF("doc_id", "text", "source").repartition(3)
+    val media = Multimodal.textAsBmp(docs, "doc_id", "text", width = 10)
+    val meta = docs.select(col("doc_id").as("sample_id"), col("source"))
+    // pick a mean gate from the data so both branches populate
+    val hashes = Multimodal.perceptualHash(media).toDF()
+    val means = hashes.select(col("sample_id"), col("sample_mean")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val cut = means.values.toSeq.sorted.apply(2) // 3rd smallest: gate fails 1-2 (mean ties collapse)
+    val out = Multimodal.imageCurationRun(media, meta,
+      maxHamming = 3, minSetBits = 1L, minMean = cut).collect()
+    val passIds = means.filter { case (id, m) => m >= cut }.keySet
+    val gatedHashes = hashes.where(col("sample_mean") >= cut)
+    val pairs = Multimodal.phashDupPairs(gatedHashes, maxHamming = 3).collect()
+    val clusters = Multimodal.phashDupClusters(gatedHashes, maxHamming = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dupDropped = clusters.filter { case (id, rep) => id != rep }.keySet
+    val kept = out.filter(_.getString(0) == "kept")
+      .map(r => r.getLong(1) -> r.getString(2)).toMap
+    assert(kept.keySet == passIds -- dupDropped)
+    val counts = out.filter(r => !r.getString(0).startsWith("kept"))
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(counts("input") == 14L)
+    assert(counts("quality_fail") == (14L - passIds.size))
+    assert(counts("quality_fail") >= 1L)
+    assert(counts("pairs") == pairs.length.toLong)
+    assert(counts("clusters") == clusters.values.toSet.size.toLong)
+    assert(counts("dup_dropped") == dupDropped.size.toLong)
+    val bySrc = out.filter(_.getString(0) == "kept_source")
+      .map(r => r.getString(2) -> r.getLong(3)).toMap
+    assert(bySrc == kept.groupBy(_._2).view.mapValues(_.size.toLong).toMap)
+  }
+
+  test("rebuildDecision reconciles with the drift report and flips on both thresholds") {
+    import spark.implicits._
+    import graft.pipeline.Clustering
+    val rnd = new scala.util.Random(35)
+    val emb = (1L to 90L).map(i => (i, Array.fill(6)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding").repartition(3)
+    val old = emb.where(col("vec_id") % 3 =!= 0)
+    val nw = emb.where(col("vec_id") % 3 === 0)
+    val drift = Clustering.cellDriftReport(old, nw, "embedding", "vec_id", 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(6))).toSeq
+    val nTotal = drift.map(t => t._1 + t._2).sum
+    val nNew = drift.map(_._2).sum
+    val imb = drift.head._3
+    val r1 = Clustering.rebuildDecision(old, nw, "embedding", "vec_id", 4,
+      maxImbalance = 100.0, maxNewFrac = 0.9).collect().head
+    assert(r1.getAs[Long]("n_total") == nTotal)
+    assert(r1.getAs[Double]("new_frac") == nNew.toDouble / nTotal)
+    assert(r1.getAs[Double]("imbalance_after") == imb)
+    assert(r1.getAs[Long]("rebuild") == 0L, s"$r1")
+    // new mass is a third of the corpus -> the new-frac threshold fires
+    val r2 = Clustering.rebuildDecision(old, nw, "embedding", "vec_id", 4,
+      maxImbalance = 100.0, maxNewFrac = 0.3).collect().head
+    assert(r2.getAs[Long]("rebuild") == 1L)
+    // any real cell histogram has imbalance > 1.0 -> the imbalance
+    // threshold fires on its own
+    val r3 = Clustering.rebuildDecision(old, nw, "embedding", "vec_id", 4,
+      maxImbalance = 1.0, maxNewFrac = 0.9).collect().head
+    assert(if (imb > 1.0) r3.getAs[Long]("rebuild") == 1L
+           else r3.getAs[Long]("rebuild") == 0L)
+  }
+
+  test("qualityDedupReport reconciles with quality scores + union-find drops") {
+    import spark.implicits._
+    import graft.pipeline.{Dedup, TextAnalysis}
+    val rnd = new scala.util.Random(57)
+    val words = Seq("the", "and", "of", "data", "spark", "pipeline", "quality",
+      "tokens", "cluster", "sample", "metric", "report")
+    def txt() = (1 to 20 + rnd.nextInt(60)).map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+    val base = txt()
+    val docs = ((1L to 37L).map(i => (i, txt())) :+ (41L, base) :+ (42L, base) :+ (43L, base))
+      .toDF("doc_id", "text").repartition(3)
+    val out = Dedup.qualityDedupReport(docs, "text", "doc_id", bins = 4,
+      n = 3, threshold = 0.3, maxPostings = None)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // independent composition: scores + closure drops + manual buckets
+    val q = docs.select(col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.3, None)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val px = parent.getOrElseUpdate(x, x)
+      if (px == x) x else { val r = find(px); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val losers = parent.keys.filter(v => find(v) != v).toSet
+    assert(losers.nonEmpty, "planted dups must drop")
+    val ordered = q.sortBy { case (id, sc) => (sc, id) }
+    val n = ordered.length
+    // NTILE semantics: first (n % bins) buckets get one extra row
+    val bins = 4
+    val sizes = (1 to bins).map(b => n / bins + (if (b <= n % bins) 1 else 0))
+    var idx = 0
+    sizes.zipWithIndex.foreach { case (sz, bi) =>
+      val slice = ordered.slice(idx, idx + sz); idx += sz
+      val (nd, nq) = (slice.count(t => losers(t._1)).toLong, slice.length.toLong)
+      val (gotN, gotD, gotF) = out(bi + 1L)
+      assert(gotN == nq && gotD == nd, s"bin ${bi + 1}: got ($gotN,$gotD) want ($nq,$nd)")
+      assert(gotF == nd.toDouble / nq)
+    }
+  }
 }
