@@ -6686,6 +6686,85 @@ object SparkEntry {
         maxImbalance = 1.5, maxNewFrac = 0.3)
     })
 
+  // The COMPOSED corpus release run — the text family's d34/m24, the
+  // nightly job that turns a crawl into a releasable corpus with its
+  // manifest: near-dup dedup (d11) -> benchmark decontamination (t13)
+  // -> quality gate (t02), drop counts attributed in that order (they
+  // sum exactly to the input), kept docs with source + the per-source
+  // rollup. The oracle replays every stage: the recursive closure,
+  // the shared-shingle hit rule, and the quality formula.
+  private val t58 = Q("t58_corpus_release_run", Some("""
+    WITH RECURSIVE train AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+    toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    tsh AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM tsh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM tsh a JOIN tsh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+          CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) AS jaccard
+        FROM inter
+          JOIN sizes na ON na.doc_id = id_a
+          JOIN sizes nb ON nb.doc_id = id_b)
+      WHERE jaccard >= 0.3),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach(u, v) AS (SELECT u, v FROM sym
+                    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u),
+    dups AS (SELECT doc_id FROM comp WHERE doc_id <> rep),
+    bshingle AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+    hits AS (SELECT s.doc_id, COUNT(*) AS n_hits
+             FROM tsh s JOIN bshingle USING (shingle) GROUP BY 1),
+    contam AS (SELECT doc_id FROM hits WHERE n_hits >= 2),
+    flags AS (SELECT t.doc_id, t.source,
+        ROUND(
+          0.5 * LEAST(CAST(len(string_split(t.text, ' ')) AS DOUBLE) / 100.0, 1.0)
+          + 0.3 * LEAST(
+              ((LENGTH(' ' || lower(t.text) || ' ') - LENGTH(replace(' ' || lower(t.text) || ' ', ' the ', ' '))) / 4.0
+               + (LENGTH(' ' || lower(t.text) || ' ') - LENGTH(replace(' ' || lower(t.text) || ' ', ' and ', ' '))) / 4.0
+               + (LENGTH(' ' || lower(t.text) || ' ') - LENGTH(replace(' ' || lower(t.text) || ' ', ' of ', ' '))) / 3.0)
+              / GREATEST(CAST(len(string_split(t.text, ' ')) AS DOUBLE), 1.0) * 10.0, 1.0)
+          + 0.2 * (1.0 - LEAST(CAST(LENGTH(regexp_replace(t.text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+              / GREATEST(CAST(LENGTH(t.text) AS DOUBLE), 1.0) * 10.0, 1.0)), 6) AS q,
+        t.doc_id IN (SELECT doc_id FROM dups) AS dup,
+        t.doc_id IN (SELECT doc_id FROM contam) AS contam
+      FROM train t),
+    kept AS (SELECT 'kept' AS stage, doc_id, source, CAST(NULL AS BIGINT) AS n
+      FROM flags WHERE NOT dup AND NOT contam AND q >= 0.4),
+    counts AS (
+      SELECT 'input' AS stage, CAST(NULL AS BIGINT) AS doc_id,
+        CAST(NULL AS VARCHAR) AS source, CAST(COUNT(*) AS BIGINT) AS n FROM flags
+      UNION ALL SELECT 'dedup_dropped', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+      UNION ALL SELECT 'contam_dropped', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        CAST(SUM(CASE WHEN NOT dup AND contam THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+      UNION ALL SELECT 'quality_dropped', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        CAST(SUM(CASE WHEN NOT dup AND NOT contam AND q < 0.4 THEN 1 ELSE 0 END) AS BIGINT) FROM flags),
+    bysrc AS (SELECT 'kept_source' AS stage, CAST(NULL AS BIGINT) AS doc_id,
+        source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM flags WHERE NOT dup AND NOT contam AND q >= 0.4 GROUP BY source)
+    SELECT stage, doc_id, source, n FROM kept
+    UNION ALL SELECT stage, doc_id, source, n FROM counts
+    UNION ALL SELECT stage, doc_id, source, n FROM bysrc
+    ORDER BY stage, doc_id, source"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.pipeline.CorpusRelease.corpusReleaseRun(
+          docs.where(col("doc_id") % 50 =!= 0),
+          docs.where(col("doc_id") % 50 === 0),
+          "text", "doc_id", "source", n = 3, tau = 0.3, minHits = 2L,
+          minQuality = 0.4, maxPostings = None) // exact: oracle
+        .orderBy(col("stage"), col("doc_id").asc_nulls_last,
+          col("source").asc_nulls_last)
+    })
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -6703,7 +6782,7 @@ object SparkEntry {
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
     t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45,
-    t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56, t57,
+    t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56, t57, t58,
     m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14,
     m15, m16, m17, m18, m19, m20, m21, m22, m23, m24, m25)
 

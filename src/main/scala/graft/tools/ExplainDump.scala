@@ -144,6 +144,10 @@ object ExplainDump {
       "t56_dedup_temperature_mix" -> "post-dedup temperature mix: d11's closure feeds t28's alpha-weights — the per-source rollup and the window sums run over |sources| rows; the corpus contributes one ids-only anti-join",
       "m23_phash_dup_clusters" -> "image dup clusters: m11's codec + banded pair pass (pairs materialized fully before the closure probe), bounded-probe closure over (id, id) pairs, one size window",
       "m24_audio_curation_run" -> "composed audio curation run: m16 gate + m21 pair pass + closure SHARE the per-stage caches (counted hot, released synchronously); the gate filters id+energy scalars via one keyed join — clip payloads never shuffle; the result plan is the ids-only kept/rollup legs + literal count rows over the broadcast labelling",
+      "m25_image_curation_run" -> "composed image curation run: ONE decode pass produces the scalar hash frame that feeds BOTH the quality gate (a plain filter — no id join) and the banded pair pass; closure on survivors; the result plan is ids-only kept/rollup legs + literal count rows",
+      "s35_ivf_rebuild_decision" -> "IVF rebuild decision: two map-only inlined-centroid assignments + k-row rollups + one k-row aggregation — the corpus contributes exactly two scans, the verdict arithmetic touches k rows",
+      "t57_quality_dedup_report" -> "quality-decile dup report: the quality score is a scan-stage projection, the dedup side is d06/d11's pair+closure, ONE global NTILE sort over per-doc (score, id) scalars (the t43 exact-cut contract; approx_percentile boundaries at 100 TB), bins-row rollup",
+      "t58_corpus_release_run" -> "corpus release run: d11's eager closure, one hash-broadcast contamination join, scan-stage quality score — the scope-cached per-doc flag frame (5 scalar columns) feeds the kept leg, four count legs, and the source rollup of ONE plan",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")

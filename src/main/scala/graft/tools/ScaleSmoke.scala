@@ -464,6 +464,15 @@ object ScaleSmoke {
       time("t57 qualityDedupReport (capped)") {
         graft.pipeline.Dedup.qualityDedupReport(docs, "text", "doc_id")
           .collect().length.toLong }
+      // d11's closure + one broadcast contamination join + scan-stage
+      // quality; the flag frame feeds every leg of one plan
+      time("t58 corpusReleaseRun (capped)") {
+        val bench = docs.where(col("doc_id") % 50 === 0)
+        val train = docs.where(col("doc_id") % 50 =!= 0)
+        graft.pipeline.CorpusRelease.corpusReleaseRun(train, bench,
+            "text", "doc_id", "source")
+          .groupBy(col("stage")).agg(count(lit(1)))
+          .collect().length.toLong }
       // d11's pair+closure work + one token-count scan
       time("t55 dedupTokenBudget (capped)") {
         graft.pipeline.Dedup.dedupTokenBudgetReport(docs, "text",

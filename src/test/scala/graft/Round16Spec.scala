@@ -305,4 +305,54 @@ class Round16Spec extends AnyFunSuite {
       assert(gotF == nd.toDouble / nq)
     }
   }
+
+  test("corpusReleaseRun reconciles with its published stages and counts sum to input") {
+    import spark.implicits._
+    import graft.pipeline.{CorpusRelease, Decontaminate, Dedup, TextAnalysis}
+    val rnd = new scala.util.Random(58)
+    val words = Seq("the", "and", "of", "data", "spark", "query", "token",
+      "batch", "join", "scan", "merge", "row")
+    def txt() = (1 to 15 + rnd.nextInt(40)).map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+    val dupBase = txt()
+    val benchText = txt()
+    val docs = (
+      (1L to 30L).map(i => (i, txt(), s"s${i % 3}")) :+
+        (41L, dupBase, "s0") :+ (42L, dupBase, "s1") :+ // near-dup pair
+        (51L, benchText, "s2") :+ // contaminated: verbatim benchmark copy
+        (61L, "x", "s0") // low quality (1 token, no stopwords)
+    ).toDF("doc_id", "text", "source").repartition(3)
+    val bench = Seq((1000L, benchText)).toDF("doc_id", "text")
+    val out = CorpusRelease.corpusReleaseRun(docs, bench, "text", "doc_id",
+      "source", n = 3, tau = 0.3, minHits = 2L, minQuality = 0.4,
+      maxPostings = None).collect()
+    // published stages, composed independently
+    val losers = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.3, None)
+          .select(col("id_a"), col("id_b")))
+      .where(col("id") =!= col("component"))
+      .collect().map(_.getLong(0)).toSet
+    val contam = Decontaminate.contaminationCounts(docs, bench, "text", "doc_id", 3)
+      .where(col("n_hits") >= 2L).collect().map(_.getLong(0)).toSet
+    val q = docs.select(col("doc_id"), col("source"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("q"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    val wantKept = q.keySet
+      .filterNot(losers).filterNot(contam).filter(id => q(id)._2 >= 0.4)
+    val kept = out.filter(_.getString(0) == "kept").map(_.getLong(1)).toSet
+    assert(kept == wantKept)
+    assert(losers.contains(42L) && kept.contains(41L))
+    assert(contam.contains(51L) && !kept.contains(51L))
+    assert(!kept.contains(61L), "1-token doc must fail the quality gate")
+    val counts = out.filter(r => !r.getString(0).startsWith("kept"))
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(counts("input") == 34L)
+    assert(counts("dedup_dropped") == losers.size.toLong)
+    assert(counts("contam_dropped") == (contam -- losers).size.toLong)
+    assert(counts("input") == counts("dedup_dropped") + counts("contam_dropped") +
+      counts("quality_dropped") + kept.size,
+      s"stage counts must sum to input: $counts kept=${kept.size}")
+    val bySrc = out.filter(_.getString(0) == "kept_source")
+      .map(r => r.getString(2) -> r.getLong(3)).toMap
+    assert(bySrc == wantKept.groupBy(id => q(id)._1).view.mapValues(_.size.toLong).toMap)
+  }
 }
