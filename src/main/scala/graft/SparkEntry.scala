@@ -6765,6 +6765,95 @@ object SparkEntry {
           col("source").asc_nulls_last)
     })
 
+  // Cluster FIDELITY audit: per dup cluster, how tight the evidence
+  // that formed it is — pair count vs possible pairs (density) and the
+  // min/max/DECIMAL-mean Jaccard of the qualifying pairs. The read
+  // before trusting transitive closure at a τ: chains of barely-τ
+  // pairs over-merge, and this is where that shows. Oracle replays
+  // pairs (with their Jaccards), the recursive closure, and both
+  // rollups.
+  private val d36 = Q("d36_cluster_fidelity", Some("""
+    WITH RECURSIVE toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    pairsj AS (
+      SELECT id_a, id_b, ROUND(jaccard, 6) AS j FROM (
+        SELECT id_a, id_b,
+          CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) AS jaccard
+        FROM inter
+          JOIN sizes na ON na.doc_id = id_a
+          JOIN sizes nb ON nb.doc_id = id_b)
+      WHERE jaccard >= 0.3),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairsj UNION SELECT id_b, id_a FROM pairsj),
+    reach(u, v) AS (SELECT u, v FROM sym
+                    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u),
+    csize AS (SELECT rep, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM comp GROUP BY rep),
+    pc AS (SELECT c.rep, p.j FROM pairsj p JOIN comp c ON c.doc_id = p.id_a),
+    pagg AS (SELECT rep, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        MIN(j) AS min_jaccard, MAX(j) AS max_jaccard,
+        CAST(SUM(CAST(j AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_jaccard
+      FROM pc GROUP BY rep)
+    SELECT s.rep AS cluster_rep, s.cluster_size, p.n_pairs,
+      p.min_jaccard, p.max_jaccard, p.mean_jaccard,
+      CAST(s.cluster_size * (s.cluster_size - 1) / 2 AS BIGINT) AS n_possible,
+      CAST(p.n_pairs AS DOUBLE) / CAST(s.cluster_size * (s.cluster_size - 1) / 2 AS DOUBLE) AS density
+    FROM csize s JOIN pagg p ON p.rep = s.rep
+    ORDER BY cluster_rep"""),
+    (s, dir) => Dedup.clusterFidelityReport(T(s, dir, "documents"),
+        "text", "doc_id", n = 3, threshold = 0.3,
+        maxPostings = None) // exact: oracle-comparable
+      .orderBy(col("cluster_rep")))
+
+  // Contamination ATTRIBUTION: for every flagged training doc (t13's
+  // >=2-shared-shingle rule), WHICH benchmark doc it shares the most
+  // shingles with (ties to the smallest bench id) — the forensics
+  // step deciding "fix the crawler or retire the benchmark". Oracle
+  // replays hits, per-pair shares, and the argmax.
+  private val t59 = Q("t59_contamination_attribution", Some("""
+    WITH toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    tsh AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+    bsh AS (SELECT * FROM sh WHERE doc_id % 50 = 0),
+    hits AS (SELECT t.doc_id, COUNT(DISTINCT t.shingle) AS n_hits
+             FROM tsh t JOIN (SELECT DISTINCT shingle FROM bsh) b USING (shingle)
+             GROUP BY 1),
+    pairshare AS (SELECT t.doc_id, b.doc_id AS bench_doc_id, COUNT(*) AS n_shared
+                  FROM tsh t JOIN bsh b USING (shingle)
+                  GROUP BY 1, 2),
+    attributed AS (SELECT doc_id, bench_doc_id, n_shared FROM (
+        SELECT doc_id, bench_doc_id, n_shared,
+          ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY n_shared DESC, bench_doc_id) AS rn
+        FROM pairshare) WHERE rn = 1)
+    SELECT a.doc_id, CAST(a.bench_doc_id AS BIGINT) AS bench_doc_id,
+      CAST(a.n_shared AS BIGINT) AS n_shared_top,
+      CAST(h.n_hits AS BIGINT) AS n_hits_total
+    FROM attributed a JOIN hits h USING (doc_id)
+    WHERE h.n_hits >= 2
+    ORDER BY a.doc_id"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.pipeline.Decontaminate.contaminationAttribution(
+          docs.where(col("doc_id") % 50 =!= 0),
+          docs.where(col("doc_id") % 50 === 0),
+          "text", "doc_id", n = 3, minHits = 2L)
+        .select(col("id").as("doc_id"), col("bench_id").as("bench_doc_id"),
+          col("n_shared_top"), col("n_hits_total"))
+        .orderBy(col("doc_id"))
+    })
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -6776,13 +6865,13 @@ object SparkEntry {
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
-    d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35,
+    d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
     s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
     t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45,
-    t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56, t57, t58,
+    t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56, t57, t58, t59,
     m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14,
     m15, m16, m17, m18, m19, m20, m21, m22, m23, m24, m25)
 

@@ -40,6 +40,52 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Contamination ATTRIBUTION — for every flagged training doc
+    * (total distinct shared shingles ≥ `minHits`, t13's rule), WHICH
+    * benchmark document it shares the most shingles with (ties to the
+    * smallest benchmark id) and both counts. The release-forensics
+    * step after [[contaminationCounts]] flags: "which eval leaked
+    * into the crawl" decides whether to fix the crawler or retire the
+    * benchmark.
+    *
+    * Scale shape: one shingle-keyed join (benchmark side tiny —
+    * AQE-broadcast), per-(train, bench) counts bounded by shared
+    * shingles, then a train-keyed argmax whose filter sits on the raw
+    * row_number so InferWindowGroupLimit caps map-side forwarding at
+    * 1 row per doc (the balancedSample pin). The flag leg reuses the
+    * scope-cached candidate shingle frame.
+    *
+    * @return (id, bench_id, n_shared_top, n_hits_total), one row per
+    *         flagged doc (unsorted — callers order)
+    */
+  def contaminationAttribution(candidates: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 3,
+      minHits: Long = 2L): DataFrame = {
+    val cand = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
+      Dedup.hashedShingles(candidates, textCol, idCol, n))
+    val bsh = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
+      Dedup.hashedShingles(benchmark, textCol, idCol, n)
+        .select(col("id").as("bench_id"), col("shingle")))
+    // hashedShingles emits distinct (id, shingle) rows, so both counts
+    // are exact distinct-shingle counts without a countDistinct shuffle
+    val hits = cand.join(bsh.select(col("shingle")).distinct(), Seq("shingle"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits_total"))
+      .where(col("n_hits_total") >= lit(minHits))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+      .orderBy(col("n_shared_top").desc, col("bench_id"))
+    val attributed = cand.join(bsh, Seq("shingle"))
+      .groupBy(col("id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared_top"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+    attributed.join(hits, Seq("id"))
+      .select(col("id"), col("bench_id"), col("n_shared_top"),
+        col("n_hits_total"))
+  }
+
   /** Contamination SENSITIVITY curve — flagged-document counts across
     * shingle sizes n: the calibration run before committing to a
     * decontamination n (small n flags everything that shares common

@@ -1469,6 +1469,61 @@ object Dedup {
           .as("mean_quality"))
   }
 
+  /** Cluster FIDELITY audit — per dup cluster, how tight the evidence
+    * that formed it is: member count, direct-pair count, min/max/mean
+    * Jaccard of the qualifying pairs, the possible-pair count and the
+    * edge density. The read before trusting transitive closure at a
+    * given τ: a big cluster glued together by a chain of barely-τ
+    * pairs (low min_jaccard, low density) is a different release
+    * decision than a dense clique of 0.95s — chains over-merge, and
+    * this report is where that shows.
+    *
+    * Scale shape: one capped pair pass (d02's inverted-index shape),
+    * the eager closure, then a pair-keyed join to the labelling and a
+    * cluster-count-sized rollup. The pair frame is materialized fully
+    * before the closure's partial probes (the m23 discipline) and
+    * stays cached for the result legs — scoped AFTER the closure so
+    * only the caller's single execution releases it. Jaccards are
+    * rounded 6 dp and mean-aggregated through DECIMAL (the t43
+    * order-independence discipline).
+    *
+    * @return (cluster_rep, cluster_size, n_pairs, min_jaccard,
+    *         max_jaccard, mean_jaccard, n_possible, density), one row
+    *         per cluster (unsorted — callers order)
+    */
+  def clusterFidelityReport(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.3,
+      maxPostings: Option[Int] = Some(10000)): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, textCol, idCol, n, threshold, maxPostings)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("j"))
+      .cache()
+    pairs.count(): Unit // materialize fully before the closure's probes
+    val comp = connectedComponents(pairs.select(col("id_a"), col("id_b")))
+    // the pair cache also feeds the fidelity legs of the result plan —
+    // scoped only now, after the eager closure
+    org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUseExisting(pairs)
+    val csize = comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val pagg = pairs
+      .join(comp.select(col("id").as("id_a"), col("component")), Seq("id_a"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("j")).as("min_jaccard"),
+        max(col("j")).as("max_jaccard"),
+        sum(col("j").cast("decimal(18,6)")).as("__js"))
+    csize.join(pagg, Seq("component"))
+      .withColumn("n_possible",
+        (col("cluster_size") * (col("cluster_size") - lit(1)) / lit(2))
+          .cast("long"))
+      .select(col("component").as("cluster_rep"), col("cluster_size"),
+        col("n_pairs"), col("min_jaccard"), col("max_jaccard"),
+        (col("__js").cast("double") / col("n_pairs").cast("double"))
+          .as("mean_jaccard"),
+        col("n_possible"),
+        (col("n_pairs").cast("double") / col("n_possible").cast("double"))
+          .as("density"))
+  }
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
       localEdgeLimit: Int = 100000): DataFrame = {
     val spark = pairs.sparkSession

@@ -148,6 +148,8 @@ object ExplainDump {
       "s35_ivf_rebuild_decision" -> "IVF rebuild decision: two map-only inlined-centroid assignments + k-row rollups + one k-row aggregation — the corpus contributes exactly two scans, the verdict arithmetic touches k rows",
       "t57_quality_dedup_report" -> "quality-decile dup report: the quality score is a scan-stage projection, the dedup side is d06/d11's pair+closure, ONE global NTILE sort over per-doc (score, id) scalars (the t43 exact-cut contract; approx_percentile boundaries at 100 TB), bins-row rollup",
       "t58_corpus_release_run" -> "corpus release run: d11's eager closure, one hash-broadcast contamination join, scan-stage quality score — the scope-cached per-doc flag frame (5 scalar columns) feeds the kept leg, four count legs, and the source rollup of ONE plan",
+      "d36_cluster_fidelity" -> "cluster fidelity audit: the capped pair pass runs ONCE (materialized before the closure's probes, scoped for the result legs); the fidelity rollup joins pairs to the labelling on pair keys and aggregates cluster-count rows",
+      "t59_contamination_attribution" -> "contamination attribution: one shingle-keyed join with the benchmark side broadcast; the per-doc argmax filter sits on the raw row_number so Partial WindowGroupLimit forwards 1 row per doc per map partition",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")

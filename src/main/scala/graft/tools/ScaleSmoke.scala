@@ -473,6 +473,16 @@ object ScaleSmoke {
             "text", "doc_id", "source")
           .groupBy(col("stage")).agg(count(lit(1)))
           .collect().length.toLong }
+      // pair pass + closure + pair-keyed fidelity rollup
+      time("d36 clusterFidelity (capped)") {
+        graft.pipeline.Dedup.clusterFidelityReport(docs, "text", "doc_id")
+          .count() }
+      // one shingle-keyed join (bench broadcast) + train-keyed argmax
+      time("t59 contaminationAttribution") {
+        graft.pipeline.Decontaminate.contaminationAttribution(
+            docs.where(col("doc_id") % 50 =!= 0),
+            docs.where(col("doc_id") % 50 === 0), "text", "doc_id")
+          .count() }
       // d11's pair+closure work + one token-count scan
       time("t55 dedupTokenBudget (capped)") {
         graft.pipeline.Dedup.dedupTokenBudgetReport(docs, "text",

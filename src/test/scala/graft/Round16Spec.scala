@@ -355,4 +355,68 @@ class Round16Spec extends AnyFunSuite {
       .map(r => r.getString(2) -> r.getLong(3)).toMap
     assert(bySrc == wantKept.groupBy(id => q(id)._1).view.mapValues(_.size.toLong).toMap)
   }
+
+  test("clusterFidelityReport: a chain cluster reports density < 1, a clique reports 1") {
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    // chain: A~B and B~C qualify, A~C does not (transitive closure
+    // glues all three) — the exact over-merge shape the audit exposes
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = "alpha beta gamma delta epsilon zeta iota kappa" // j(a,b)=4/8
+    val c = "mu nu gamma delta epsilon zeta iota kappa"      // j(b,c)=4/8, j(a,c)=2/10<0.3
+    val d1 = "one two three four five six seven"
+    val d2 = "one two three four five six seven"           // exact dup of d1
+    val docs = Seq((1L, a), (2L, b), (3L, c), (10L, d1), (11L, d2), (20L, "unrelated text entirely"))
+      .toDF("doc_id", "text").repartition(2)
+    val got = Dedup.clusterFidelityReport(docs, "text", "doc_id",
+        n = 3, threshold = 0.3, maxPostings = None)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // independent pair ground truth
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.3, None)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        BigDecimal(r.getDouble(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+      .toMap
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)) &&
+      !pairs.contains((1L, 3L)), s"chain construction broke: ${pairs.keys}")
+    val chain = got(1L)
+    assert(chain.getAs[Long]("cluster_size") == 3L)
+    assert(chain.getAs[Long]("n_pairs") == 2L)
+    assert(chain.getAs[Long]("n_possible") == 3L)
+    assert(chain.getAs[Double]("density") == 2.0 / 3.0)
+    val clique = got(10L)
+    assert(clique.getAs[Long]("cluster_size") == 2L &&
+      clique.getAs[Double]("density") == 1.0 &&
+      clique.getAs[Double]("min_jaccard") == 1.0)
+    assert(!got.contains(20L), "singletons have no cluster row")
+    // mean over the chain's two pairs matches the decimal mean
+    val want = (pairs((1L, 2L)) + pairs((2L, 3L))) / 2
+    assert(math.abs(chain.getAs[Double]("mean_jaccard") - want.toDouble) < 1e-12)
+  }
+
+  test("contaminationAttribution picks the max-share benchmark doc, ties to the smaller id") {
+    import spark.implicits._
+    import graft.pipeline.Decontaminate
+    val bench = Seq(
+      (100L, "red green blue yellow purple orange pink"),
+      (200L, "one two three four five six seven eight nine")).toDF("doc_id", "text")
+    val train = Seq(
+      // shares 2 shingles with 100, 5 with 200 -> attributed to 200
+      (1L, "red green blue yellow one two three four five six seven"),
+      // shares with 100 only
+      (2L, "red green blue yellow purple something else here"),
+      // 1 shared shingle -> below minHits, absent
+      (3L, "one two three unrelated words follow now"),
+      // no overlap
+      (4L, "completely different content nothing shared at all")
+    ).toDF("doc_id", "text").repartition(2)
+    val got = Decontaminate.contaminationAttribution(train, bench,
+        "text", "doc_id", n = 3, minHits = 2L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == Set(1L, 2L), s"$got")
+    assert(got(1L)._1 == 200L, s"doc 1 must attribute to bench 200: ${got(1L)}")
+    assert(got(2L)._1 == 100L)
+    // exact counts: doc 1 shares "red green blue"/"green blue yellow"
+    // with 100 and five 3-shingles of the 1..7 run with 200
+    assert(got(1L)._2 == 5L && got(1L)._3 == 7L, s"${got(1L)}")
+  }
 }
