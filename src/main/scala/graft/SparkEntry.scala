@@ -6854,6 +6854,107 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     })
 
+  // Split LEAKAGE audit: per source, how many VAL docs have a
+  // near-dup in TRAIN — the eval-hygiene check on any split not built
+  // leakage-safe (random/hash splits cut straight through near-dup
+  // clusters, the failure t40 prevents); nonzero leak_frac means val
+  // scores are partly memorization. Oracle replays the cross-split
+  // pair pass and the per-source rollup.
+  private val t60 = Q("t60_split_leakage_audit", Some("""
+    WITH toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    vsh AS (SELECT * FROM sh WHERE doc_id % 7 = 0),
+    tsh AS (SELECT * FROM sh WHERE doc_id % 7 <> 0),
+    vsz AS (SELECT doc_id, COUNT(*) AS n_v FROM vsh GROUP BY 1),
+    tsz AS (SELECT doc_id, COUNT(*) AS n_t FROM tsh GROUP BY 1),
+    inter AS (SELECT v.doc_id AS vid, t.doc_id AS tid, COUNT(*) AS n_inter
+              FROM vsh v JOIN tsh t USING (shingle) GROUP BY 1, 2),
+    leaked AS (SELECT DISTINCT vid AS doc_id FROM inter
+      JOIN vsz ON vsz.doc_id = vid
+      JOIN tsz ON tsz.doc_id = tid
+      WHERE CAST(n_inter AS DOUBLE) / CAST(n_v + n_t - n_inter AS DOUBLE) >= 0.3)
+    SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_val,
+      CAST(SUM(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+      CAST(SUM(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS leak_frac
+    FROM documents d LEFT JOIN leaked l ON l.doc_id = d.doc_id
+    WHERE d.doc_id % 7 = 0
+    GROUP BY d.source ORDER BY d.source"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.splitLeakageBySource(
+          docs.where(col("doc_id") % 7 =!= 0),
+          docs.where(col("doc_id") % 7 === 0),
+          "text", "doc_id", "source", n = 3, tau = 0.3,
+          maxCorpusPostings = None) // exact: oracle
+        .orderBy(col("source"))
+    })
+
+  // Cross-video COPY detection by frame-hash containment — the d07
+  // containment move at frame granularity over m12's decoded frame
+  // hashes: clipped/extended copies keep high containment where
+  // Jaccard dilutes. Same perturbed-union corpus as m11/m23/m25 so
+  // real video copies exist (the appended byte changes only the last
+  // frame). Oracle rebuilds every frame hash from the text byte map
+  // and replays the containment join.
+  private val m26 = Q("m26_video_dup_pairs", Some("""
+    WITH base AS (SELECT doc_id, text FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) > 0
+        AND octet_length(CAST(text AS BLOB)) = length(text)),
+    un AS (SELECT doc_id, text FROM base
+           UNION ALL SELECT doc_id + 100000, text || 'x' FROM base),
+    d AS (SELECT doc_id,
+        octet_length(CAST(text AS BLOB)) AS nb,
+        (octet_length(CAST(text AS BLOB)) + 9) // 10 AS nf,
+        string_split(text, '') AS cs
+      FROM un),
+    fr AS (SELECT doc_id, nb, cs, f
+      FROM d, UNNEST(generate_series(0, nf - 1)) AS gf(f)),
+    g AS (SELECT doc_id, f, nb, cs, r * 8 + c AS i,
+        f * 10 + ((r * 2) // 8) * 5 + (c * 5) // 8 AS idx
+      FROM fr, UNNEST(generate_series(0, 7)) AS gr(r),
+              UNNEST(generate_series(0, 7)) AS gc(c)),
+    v AS (SELECT doc_id, f, i,
+        CASE WHEN idx < nb THEN ord(cs[CAST(idx + 1 AS BIGINT)]) ELSE 0 END AS val
+      FROM g),
+    m AS (SELECT doc_id, f, CAST(SUM(val) AS DOUBLE) / 64.0 AS mean
+          FROM v GROUP BY doc_id, f),
+    ah AS (SELECT v.doc_id, v.f,
+        CAST(SUM(CASE WHEN v.val > m.mean AND v.i < 32 THEN (CAST(1 AS BIGINT) << v.i) ELSE 0 END) AS BIGINT) AS hi,
+        CAST(SUM(CASE WHEN v.val > m.mean AND v.i >= 32 THEN (CAST(1 AS BIGINT) << (v.i - 32)) ELSE 0 END) AS BIGINT) AS lo
+      FROM v JOIN m ON v.doc_id = m.doc_id AND v.f = m.f
+      GROUP BY v.doc_id, v.f),
+    fh AS (SELECT DISTINCT doc_id, hi, lo FROM ah),
+    szall AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf FROM fh GROUP BY 1),
+    sz AS (SELECT * FROM szall WHERE nf >= 3),
+    fh3 AS (SELECT fh.* FROM fh JOIN sz USING (doc_id)),
+    shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM fh3 a JOIN fh3 b ON a.hi = b.hi AND a.lo = b.lo AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, n_shared,
+      CAST(n_shared AS DOUBLE) / CAST(LEAST(sa.nf, sb.nf) AS DOUBLE) AS containment
+    FROM shared
+      JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b
+    WHERE CAST(n_shared AS DOUBLE) / CAST(LEAST(sa.nf, sb.nf) AS DOUBLE) >= 0.8
+    ORDER BY id_a, id_b"""),
+    (s, dir) => {
+      val base = T(s, dir, "documents").where(octet_length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
+      val un = base.select(col("doc_id"), col("text")).unionByName(
+        base.select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit("x")).as("text")))
+      Multimodal.videoDupPairs(
+          Multimodal.framePerceptualHash(
+            Multimodal.textAsAvi(un, "doc_id", "text")).toDF(),
+          minContainment = 0.8, minFrames = 3,
+          maxPostings = None) // exact: oracle
+        .orderBy(col("id_a"), col("id_b"))
+    })
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -6871,9 +6972,9 @@ object SparkEntry {
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
     t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45,
-    t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56, t57, t58, t59,
+    t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56, t57, t58, t59, t60,
     m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14,
-    m15, m16, m17, m18, m19, m20, m21, m22, m23, m24, m25)
+    m15, m16, m17, m18, m19, m20, m21, m22, m23, m24, m25, m26)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))

@@ -1469,6 +1469,40 @@ object Dedup {
           .as("mean_quality"))
   }
 
+  /** Split LEAKAGE audit — per source, how many VAL docs have a
+    * near-duplicate (n-gram Jaccard ≥ τ) in TRAIN. The eval-hygiene
+    * check run on any split that was NOT built leakage-safe (random
+    * and hash splits both cut straight through near-dup clusters —
+    * the failure t40's cluster-keyed split exists to prevent); a
+    * nonzero leak_frac here means val scores are partly memorization.
+    *
+    * Scale shape: [[incrementalNearDupPairs]]'s — the train corpus
+    * scans once with the val split's shingles broadcast (val is the
+    * small side by construction), pair work is bounded by the capped
+    * posting lists, and the rollup is |sources| rows.
+    *
+    * @return (source, n_val, n_leaked, leak_frac), one row per source
+    *         present in val (unsorted — callers order)
+    */
+  def splitLeakageBySource(train: DataFrame, valSplit: DataFrame,
+      textCol: String, idCol: String, srcCol: String,
+      n: Int = 3, tau: Double = 0.3,
+      maxCorpusPostings: Option[Int] = Some(10000)): DataFrame = {
+    val leaked = incrementalNearDupPairs(valSplit, train, textCol, idCol,
+        n, tau, maxCorpusPostings)
+      .select(col("new_id").as("__lid"))
+      .distinct()
+    valSplit
+      .select(col(srcCol).as("source"), col(idCol).as("__id"))
+      .join(leaked, col("__id") === col("__lid"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_val"),
+        sum(when(col("__lid").isNotNull, 1L).otherwise(0L)).as("n_leaked"))
+      .select(col("source"), col("n_val"), col("n_leaked"),
+        (col("n_leaked").cast("double") / col("n_val").cast("double"))
+          .as("leak_frac"))
+  }
+
   /** Cluster FIDELITY audit — per dup cluster, how tight the evidence
     * that formed it is: member count, direct-pair count, min/max/mean
     * Jaccard of the qualifying pairs, the possible-pair count and the

@@ -1423,6 +1423,80 @@ object Multimodal {
     kept.unionAll(counts).unionAll(bySource)
   }
 
+  /** Cross-video COPY detection by frame-hash containment — the
+    * video-level near-dup operator above [[staticFrameFlags]]'s
+    * within-video signal: two videos pair when the smaller one's
+    * distinct frame-hash set is ≥ `minContainment` contained in the
+    * overlap (the d07 containment move at frame granularity —
+    * clipped/extended copies keep high containment where Jaccard
+    * dilutes, exactly the quote/subset asymmetry d07 documents for
+    * text). Input is [[framePerceptualHash]]'s output, so video bytes
+    * were already reduced to (id, frame, 2×32-bit halves) scalars in
+    * the decode stage.
+    *
+    * Scale shape: one distinct pass over (id, hash) scalars, an
+    * inverted-index self-join keyed on the exact hash (the only
+    * corpus-sized exchange — hashes, never frames), per-pair counts,
+    * and a size join. Two guards bound the quadratic term:
+    *  - `minFrames` (default 3): shorter clips don't participate — a
+    *    1-frame video pairs at containment 1.0 with ANYTHING sharing
+    *    that frame, a collision report rather than copy detection;
+    *  - `maxPostings` (default 100, deliberately far below the text
+    *    shingle cap): a frame hash present in more videos than that
+    *    is boilerplate (black frames, title cards, static logos) and
+    *    drops from the index — measured on the sf0.1 corpus the
+    *    uncapped join fan-out is 186M rows vs 350k at cap 100, the
+    *    excess concentrated in 151 boilerplate-class hashes. `None`
+    *    is exact (sf-scale oracles).
+    *
+    * @return (id_a, id_b, n_shared, containment), id_a < id_b,
+    *         containment = shared / min(|frames_a|, |frames_b|) ≥
+    *         `minContainment`
+    */
+  def videoDupPairs(frameHashes: DataFrame, minContainment: Double = 0.8,
+      minFrames: Int = 3, maxPostings: Option[Int] = Some(100),
+      idCol: String = "sample_id"): DataFrame = {
+    require(minContainment > 0.0 && minContainment <= 1.0, "bad containment")
+    require(minFrames >= 1, "minFrames must be positive")
+    val fhAll = frameHashes.select(col(idCol).cast("long").as("id"),
+        col("ahash_hi"), col("ahash_lo"))
+      .distinct()
+    val okIds = fhAll.groupBy(col("id")).agg(count(lit(1)).as("nf"))
+      .where(col("nf") >= lit(minFrames))
+    val fh = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
+      fhAll.join(okIds.select(col("id")), Seq("id")))
+    val guarded = maxPostings match {
+      case Some(cap) =>
+        val kept = fh.groupBy(col("ahash_hi"), col("ahash_lo"))
+          .agg(count(lit(1)).as("__c"))
+          .where(col("__c") <= lit(cap))
+          .select(col("ahash_hi"), col("ahash_lo"))
+        fh.join(kept, Seq("ahash_hi", "ahash_lo"))
+      case None => fh
+    }
+    // containment denominators count INDEXED frames only: a frame the
+    // cap classified as boilerplate contributes to neither the overlap
+    // nor the sizes, so wall-to-wall black frames can't dilute a true
+    // copy below threshold (under `None` this is every frame — the
+    // exact oracle path is unchanged)
+    val sizes = guarded.groupBy(col("id")).agg(count(lit(1)).as("nf"))
+    val shared = guarded.select(col("id").as("id_a"),
+        col("ahash_hi"), col("ahash_lo"))
+      .join(guarded.select(col("id").as("id_b"),
+        col("ahash_hi"), col("ahash_lo")), Seq("ahash_hi", "ahash_lo"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("nf").as("__na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("nf").as("__nb")), Seq("id_b"))
+      .withColumn("containment",
+        col("n_shared").cast("double") /
+          least(col("__na"), col("__nb")).cast("double"))
+      .where(col("containment") >= lit(minContainment))
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("containment"))
+  }
+
   /** Voice-activity segments over REAL decoded PCM — the segmentation
     * primitive audio curation runs before transcription (cut silence,
     * keep speech): fixed-length frames (`frameLen` samples, the last

@@ -150,6 +150,8 @@ object ExplainDump {
       "t58_corpus_release_run" -> "corpus release run: d11's eager closure, one hash-broadcast contamination join, scan-stage quality score — the scope-cached per-doc flag frame (5 scalar columns) feeds the kept leg, four count legs, and the source rollup of ONE plan",
       "d36_cluster_fidelity" -> "cluster fidelity audit: the capped pair pass runs ONCE (materialized before the closure's probes, scoped for the result legs); the fidelity rollup joins pairs to the labelling on pair keys and aggregates cluster-count rows",
       "t59_contamination_attribution" -> "contamination attribution: one shingle-keyed join with the benchmark side broadcast; the per-doc argmax filter sits on the raw row_number so Partial WindowGroupLimit forwards 1 row per doc per map partition",
+      "t60_split_leakage_audit" -> "split leakage audit: d10's incremental pair shape — train scans once with the val split's shingles broadcast, pair work capped, |sources|-row rollup",
+      "m26_video_dup_pairs" -> "cross-video copy detection: decode-stage frame hashes, ONE hash-keyed self-join over sub-cap postings (boilerplate frames dropped from index AND denominators), per-pair counts + a size join — video bytes never shuffle",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")

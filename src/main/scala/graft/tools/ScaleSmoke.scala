@@ -483,6 +483,27 @@ object ScaleSmoke {
             docs.where(col("doc_id") % 50 =!= 0),
             docs.where(col("doc_id") % 50 === 0), "text", "doc_id")
           .count() }
+      // corpus scans once with the val split's shingles broadcast
+      time("t60 splitLeakage (capped)") {
+        graft.pipeline.Dedup.splitLeakageBySource(
+            docs.where(col("doc_id") % 7 =!= 0),
+            docs.where(col("doc_id") % 7 === 0),
+            "text", "doc_id", "source")
+          .count() }
+      // decode-stage frame hashes; hash-keyed self-join (capped).
+      // Planted extended copies (the declared query's construction):
+      // the raw corpus's qualifying pairs are all boilerplate-class
+      // hash collisions the cap exists to drop, so without planting
+      // the capped smoke times a zero-output plan
+      time("m26 videoDupPairs (capped)") {
+        val un = asciiDocs.select(col("doc_id"), col("text")).unionByName(
+          asciiDocs.select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(col("text"), lit("x")).as("text")))
+        graft.pipeline.Multimodal.videoDupPairs(
+          graft.pipeline.Multimodal.framePerceptualHash(
+            graft.pipeline.Multimodal.textAsAvi(un, "doc_id", "text"))
+            .toDF())
+          .count() }
       // d11's pair+closure work + one token-count scan
       time("t55 dedupTokenBudget (capped)") {
         graft.pipeline.Dedup.dedupTokenBudgetReport(docs, "text",

@@ -419,4 +419,72 @@ class Round16Spec extends AnyFunSuite {
     // with 100 and five 3-shingles of the 1..7 run with 200
     assert(got(1L)._2 == 5L && got(1L)._3 == 7L, s"${got(1L)}")
   }
+
+  test("splitLeakageBySource flags exactly the val docs with a train near-dup") {
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    val rnd = new scala.util.Random(60)
+    val words = Seq("the", "and", "of", "alpha", "beta", "gamma", "delta",
+      "epsilon", "zeta", "eta", "theta", "iota")
+    def txt() = (1 to 25 + rnd.nextInt(30)).map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+    val leakText = txt()
+    val train = ((1L to 20L).map(i => (i, txt(), s"s${i % 2}")) :+
+      (31L, leakText, "s0")).toDF("doc_id", "text", "source")
+    val valSplit = Seq(
+      (101L, leakText, "s0"), // verbatim leak
+      (102L, txt(), "s0"),
+      (103L, txt(), "s1")).toDF("doc_id", "text", "source")
+    val got = Dedup.splitLeakageBySource(train, valSplit, "text", "doc_id",
+        "source", n = 3, tau = 0.3, maxCorpusPostings = None)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // independent: which val docs have a train pair at >= tau
+    val leaked = Dedup.incrementalNearDupPairs(valSplit, train, "text",
+        "doc_id", 3, 0.3, None)
+      .select(col("new_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(leaked.contains(101L))
+    val bySrc = valSplit.collect().map(r => (r.getLong(0), r.getString(2)))
+      .groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    bySrc.foreach { case (src, ids) =>
+      val (nv, nl, frac) = got(src)
+      assert(nv == ids.length.toLong)
+      assert(nl == ids.count(leaked).toLong, s"$src: $got vs leaked=$leaked")
+      assert(frac == nl.toDouble / nv)
+    }
+  }
+
+  test("videoDupPairs: containment catches the extended copy; the hot-frame cap bounds fan-out") {
+    import spark.implicits._
+    import graft.pipeline.Multimodal
+    val rnd = new scala.util.Random(26)
+    def txt(n: Int) = (1 to n).map(_ => ('!' + rnd.nextInt(90)).toChar).mkString
+    val base = txt(100) // 10 frames
+    val docs = (
+      (1L to 10L).map(i => (i, txt(80 + rnd.nextInt(40)))) :+
+        (21L, base) :+ (22L, base + "xyzabcdefe") // extended copy: 10 of 11 frames shared
+    ).toDF("doc_id", "text").repartition(2)
+    val hashes = Multimodal.framePerceptualHash(
+      Multimodal.textAsAvi(docs, "doc_id", "text")).toDF()
+    val got = Multimodal.videoDupPairs(hashes, minContainment = 0.8,
+        maxPostings = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(got.contains((21L, 22L)), s"extended copy must pair: $got")
+    assert(got((21L, 22L)) >= 0.9, s"${got((21L, 22L))}")
+    // brute-force ground truth over distinct frame-hash sets
+    val sets = hashes.select(col("sample_id"), col("ahash_hi"), col("ahash_lo"))
+      .distinct().collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => (r.getLong(1), r.getLong(2))).toSet).toMap
+    val ids = sets.keys.toSeq.sorted
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      c = (sets(a) & sets(b)).size.toDouble / math.min(sets(a).size, sets(b).size)
+      if c >= 0.8
+    } yield (a, b) -> c).toMap
+    assert(got == want)
+    // a cap of 1 drops every shared frame hash (each shared hash is in
+    // >= 2 videos) -> no pairs survive, and nothing blows up
+    val capped = Multimodal.videoDupPairs(hashes, minContainment = 0.8,
+      maxPostings = Some(1)).collect()
+    assert(capped.isEmpty)
+  }
 }
