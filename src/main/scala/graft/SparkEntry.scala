@@ -6898,8 +6898,14 @@ object SparkEntry {
   // hashes: clipped/extended copies keep high containment where
   // Jaccard dilutes. Same perturbed-union corpus as m11/m23/m25 so
   // real video copies exist (the appended byte changes only the last
-  // frame). Oracle rebuilds every frame hash from the text byte map
-  // and replays the containment join.
+  // frame). The boilerplate cap is COUNT-based and deterministic, so
+  // the declared query runs the CAPPED scale path and the oracle
+  // replays the cap itself (HAVING COUNT(*) <= 100) — the one capped
+  // path in the suite that is hash-proven rather than subset-pinned;
+  // uncapped, the boilerplate-class hashes fan the self-join out to
+  // 186M rows at sf0.1 (measured 48.6 s — the suite's slowest row by
+  // 16x — against ~1 s capped). Oracle rebuilds every frame hash from
+  // the text byte map and replays cap, participation, and join.
   private val m26 = Q("m26_video_dup_pairs", Some("""
     WITH base AS (SELECT doc_id, text FROM documents
       WHERE octet_length(CAST(text AS BLOB)) > 0
@@ -6928,11 +6934,11 @@ object SparkEntry {
       FROM v JOIN m ON v.doc_id = m.doc_id AND v.f = m.f
       GROUP BY v.doc_id, v.f),
     fh AS (SELECT DISTINCT doc_id, hi, lo FROM ah),
-    szall AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf FROM fh GROUP BY 1),
-    sz AS (SELECT * FROM szall WHERE nf >= 3),
-    fh3 AS (SELECT fh.* FROM fh JOIN sz USING (doc_id)),
+    keep AS (SELECT hi, lo FROM fh GROUP BY hi, lo HAVING COUNT(*) <= 100),
+    fhk AS (SELECT fh.* FROM fh JOIN keep USING (hi, lo)),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf FROM fhk GROUP BY 1 HAVING COUNT(*) >= 3),
     shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
-      FROM fh3 a JOIN fh3 b ON a.hi = b.hi AND a.lo = b.lo AND a.doc_id < b.doc_id
+      FROM fhk a JOIN fhk b ON a.hi = b.hi AND a.lo = b.lo AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT id_a, id_b, n_shared,
       CAST(n_shared AS DOUBLE) / CAST(LEAST(sa.nf, sb.nf) AS DOUBLE) AS containment
@@ -6951,7 +6957,7 @@ object SparkEntry {
           Multimodal.framePerceptualHash(
             Multimodal.textAsAvi(un, "doc_id", "text")).toDF(),
           minContainment = 0.8, minFrames = 3,
-          maxPostings = None) // exact: oracle
+          maxPostings = Some(100)) // the oracle replays this cap
         .orderBy(col("id_a"), col("id_b"))
     })
 

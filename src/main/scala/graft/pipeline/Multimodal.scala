@@ -1461,25 +1461,28 @@ object Multimodal {
     val fhAll = frameHashes.select(col(idCol).cast("long").as("id"),
         col("ahash_hi"), col("ahash_lo"))
       .distinct()
-    val okIds = fhAll.groupBy(col("id")).agg(count(lit(1)).as("nf"))
-      .where(col("nf") >= lit(minFrames))
-    val fh = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
-      fhAll.join(okIds.select(col("id")), Seq("id")))
-    val guarded = maxPostings match {
+    // boilerplate-ness is a corpus-wide property of the FRAME: the cap
+    // applies first, over every video's distinct hashes
+    val indexed = maxPostings match {
       case Some(cap) =>
-        val kept = fh.groupBy(col("ahash_hi"), col("ahash_lo"))
+        val kept = fhAll.groupBy(col("ahash_hi"), col("ahash_lo"))
           .agg(count(lit(1)).as("__c"))
           .where(col("__c") <= lit(cap))
           .select(col("ahash_hi"), col("ahash_lo"))
-        fh.join(kept, Seq("ahash_hi", "ahash_lo"))
-      case None => fh
+        fhAll.join(kept, Seq("ahash_hi", "ahash_lo"))
+      case None => fhAll
     }
-    // containment denominators count INDEXED frames only: a frame the
-    // cap classified as boilerplate contributes to neither the overlap
-    // nor the sizes, so wall-to-wall black frames can't dilute a true
-    // copy below threshold (under `None` this is every frame — the
-    // exact oracle path is unchanged)
-    val sizes = guarded.groupBy(col("id")).agg(count(lit(1)).as("nf"))
+    // participation and containment denominators both count INDEXED
+    // frames only: a video with fewer than `minFrames` non-boilerplate
+    // frames doesn't participate (its pairings would be collision
+    // reports), and dropped boilerplate contributes to neither the
+    // overlap nor the sizes, so black-frame runs can't dilute a true
+    // copy below threshold. Under `None` every frame is indexed — the
+    // exact oracle path.
+    val sizes = indexed.groupBy(col("id")).agg(count(lit(1)).as("nf"))
+      .where(col("nf") >= lit(minFrames))
+    val guarded = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
+      indexed.join(sizes.select(col("id")), Seq("id")))
     val shared = guarded.select(col("id").as("id_a"),
         col("ahash_hi"), col("ahash_lo"))
       .join(guarded.select(col("id").as("id_b"),

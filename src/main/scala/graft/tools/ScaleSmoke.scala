@@ -493,8 +493,14 @@ object ScaleSmoke {
       // decode-stage frame hashes; hash-keyed self-join (capped).
       // Planted extended copies (the declared query's construction):
       // the raw corpus's qualifying pairs are all boilerplate-class
-      // hash collisions the cap exists to drop, so without planting
-      // the capped smoke times a zero-output plan
+      // hash collisions the cap exists to drop. NOTE the synthetic
+      // text-frames are LOW-ENTROPY, so collision posting counts grow
+      // with corpus size (unlike real video boilerplate, which is
+      // content-driven): at 10x nearly every synthetic frame crosses
+      // the default cap and the run reports 0 pairs — the timing row
+      // still proves the fan-out stays bounded (the uncapped 10x run
+      // measured 388 s; capped ~5 s), and the 1x row proves planted
+      // copies are found
       time("m26 videoDupPairs (capped)") {
         val un = asciiDocs.select(col("doc_id"), col("text")).unionByName(
           asciiDocs.select((col("doc_id") + 10000000L).as("doc_id"),

@@ -687,4 +687,52 @@ class PlanQualitySpec extends AnyFunSuite {
       .forall(!_.contains("embedding#")),
       "vectors must never cross a keyed exchange")
   }
+
+  test("t59 attribution: argmax capped map-side; text never crosses an exchange") {
+    val plan = planOf(SparkEntry.queries("t59_contamination_attribution")(spark, sf))
+    assert(plan.contains("WindowGroupLimit"),
+      s"the per-doc argmax must cap map-side forwarding:\n$plan")
+    assert(plan.linesIterator.filter(_.contains("Exchange"))
+      .forall(!_.contains("text#")),
+      "document text must never cross an exchange")
+  }
+
+  test("t60 split leakage: corpus scans once with val shingles broadcast; text never shuffles") {
+    val plan = planOf(SparkEntry.queries("t60_split_leakage_audit")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the val-split shingle side must broadcast (the d10 shape):\n$plan")
+    assert(plan.linesIterator.filter(_.contains("Exchange"))
+      .forall(!_.contains("text#")),
+      "document text must never cross an exchange")
+  }
+
+  test("m26 video dup pairs: hash-keyed equi-join, payload stays in decode") {
+    import org.apache.spark.sql.functions.{col, octet_length, length}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .where(octet_length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
+    val plan = planOf(graft.pipeline.Multimodal.videoDupPairs(
+      graft.pipeline.Multimodal.framePerceptualHash(
+        graft.pipeline.Multimodal.textAsAvi(docs, "doc_id", "text")).toDF()))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"frame-hash containment must be an equi-join:\n$plan")
+    assert(plan.linesIterator.filter(_.contains("Exchange"))
+      .forall(!_.contains("payload#")),
+      "video payload bytes must never cross an exchange")
+  }
+
+  test("m24 curation run result plan: payloads never cross an exchange") {
+    val plan = planOf(SparkEntry.queries("m24_audio_curation_run")(spark, sf))
+    assert(plan.linesIterator.filter(_.contains("Exchange"))
+      .forall(l => !l.contains("payload#") && !l.contains("text#")),
+      s"clip payloads/text must never shuffle in the result plan:\n$plan")
+  }
+
+  test("t57 quality-decile report: score is scan-stage; text never shuffles") {
+    val plan = planOf(SparkEntry.queries("t57_quality_dedup_report")(spark, sf))
+    assert(plan.linesIterator.filter(_.contains("Exchange"))
+      .forall(!_.contains("text#")),
+      s"document text must never cross an exchange:\n$plan")
+  }
 }
