@@ -4498,6 +4498,68 @@ object SparkEntry {
     sb.toString
   }
 
+  /** t62 oracle: induce + encode (t44/t45's shared CTEs), predict the
+    * language per doc (t01's CTE verbatim), and roll up
+    * chars-per-token per LANGUAGE.
+    */
+  private def tokenizerFertilityOracleSql(k: Int): String = {
+    val sb = new StringBuilder(bpeInductionCtes(k))
+    sb.append(""",
+    e0 AS MATERIALIZED (
+      SELECT doc_id, trim(regexp_replace(
+        COALESCE(array_to_string(regexp_extract_all(lower(text), '[a-z]+'), '|'), ''),
+        '(.)', '\1 ', 'g')) AS s
+      FROM documents)""")
+    (0 until k).foreach { i =>
+      sb.append(s""",
+    e${i + 1} AS MATERIALIZED (
+      SELECT doc_id, trim(regexp_replace(replace(
+          ' ' || replace(s, ' ', '  ') || ' ',
+          ' ' || (SELECT l FROM b$i) || '  ' || (SELECT r FROM b$i) || ' ',
+          ' ' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ' '),
+        ' +', ' ', 'g')) AS s
+      FROM e$i)""")
+    }
+    sb.append(s""",
+    sc AS (
+      SELECT doc_id,
+        CAST(LENGTH(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS BIGINT) AS cjk,
+        ((LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' the ', ' '))) / 4.0
+         + (LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' and ', ' '))) / 4.0
+         + (LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' of ', ' '))) / 3.0) AS s_en,
+        ((LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' der ', ' '))) / 4.0
+         + (LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' und ', ' '))) / 4.0
+         + (LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' nicht ', ' '))) / 6.0) AS s_de,
+        ((LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' le ', ' '))) / 3.0
+         + (LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' et ', ' '))) / 3.0
+         + (LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' les ', ' '))) / 4.0) AS s_fr,
+        ((LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' el ', ' '))) / 3.0
+         + (LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' y ', ' '))) / 2.0
+         + (LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' los ', ' '))) / 4.0) AS s_es
+      FROM documents),
+    lang AS (SELECT doc_id,
+      CASE WHEN cjk > 0 THEN 'zh'
+           WHEN GREATEST(s_en, s_de, s_fr, s_es) <= 0.0 THEN 'unknown'
+           WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+           WHEN s_de = GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
+           WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+           WHEN s_es = GREATEST(s_en, s_de, s_fr, s_es) THEN 'es'
+           ELSE 'unknown' END AS lang_pred
+      FROM sc),
+    per AS (SELECT l.lang_pred,
+        CAST(len(list_filter(string_split(e.s, ' '), t -> t <> '|' AND t <> '')) AS BIGINT) AS n_tok,
+        CAST(length(replace(replace(e.s, ' ', ''), '|', '')) AS BIGINT) AS n_ch
+      FROM e$k e JOIN lang l USING (doc_id))
+    SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      CAST(SUM(n_ch) AS BIGINT) AS n_chars,
+      CASE WHEN SUM(n_tok) = 0 THEN NULL
+        ELSE ROUND(CAST(SUM(n_ch) AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE), 6)
+        END AS fertility
+    FROM per GROUP BY lang_pred ORDER BY lang_pred""")
+    sb.toString
+  }
+
   /** t54 oracle: induce + encode (shared CTEs), then DECODE every
     * document (token concatenation), prove round-trip identity vs the
     * normalized source stream, vocab-check every token against the
@@ -6961,6 +7023,267 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     })
 
+  // WATER-FILLING token-budget allocation across the t28 tiers: the
+  // step between "what mixture do we want" (t28's temperature
+  // weights) and "which docs fill a source's share" (t49's budget
+  // select) — allocate B tokens ∝ n_docs^0.5, except no source can
+  // give more tokens than it has; the surplus of saturated sources
+  // redistributes among the rest. Sort-based closed form: by supply
+  // per weight ascending, the saturated set is the prefix before the
+  // first failing cross-multiplied flag (the water level R/W is
+  // non-decreasing while flags hold). B = 15000 saturates the rare
+  // tier at the correctness SF, so both branches execute under the
+  // oracle. The oracle replays the prefix math window for window.
+  private val t61 = Q("t61_budget_allocation", Some("""
+    WITH tiers AS (SELECT CASE
+          WHEN CAST(substr(source, 4) AS INT) < 1 THEN 'rare'
+          WHEN CAST(substr(source, 4) AS INT) < 5 THEN 'mid'
+          ELSE 'common' END AS source, text
+        FROM documents),
+    s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+        FROM tiers GROUP BY source),
+    w AS (SELECT *, sqrt(CAST(n_docs AS DOUBLE)) AS w,
+          CAST(avail_tokens AS DOUBLE) / sqrt(CAST(n_docs AS DOUBLE)) AS ratio
+        FROM s),
+    p AS (SELECT *,
+        COALESCE(SUM(CAST(avail_tokens AS DOUBLE)) OVER (ORDER BY ratio, source
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS pa,
+        COALESCE(SUM(w) OVER (ORDER BY ratio, source
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS pw,
+        SUM(w) OVER () AS tw
+      FROM w),
+    f AS (SELECT *, CASE WHEN CAST(avail_tokens AS DOUBLE) * (tw - pw)
+          <= w * (15000.0 - pa) THEN 1 ELSE 0 END AS flag FROM p),
+    c AS (SELECT *, MIN(flag) OVER (ORDER BY ratio, source
+        ROWS UNBOUNDED PRECEDING) AS sat FROM f),
+    lvl AS (SELECT (15000.0 - COALESCE(SUM(CASE WHEN sat = 1
+            THEN CAST(avail_tokens AS DOUBLE) END), 0.0)) /
+          (MAX(tw) - COALESCE(SUM(CASE WHEN sat = 1 THEN w END), 0.0)) AS level
+        FROM c)
+    SELECT source, n_docs, avail_tokens, ROUND(w, 6) AS weight,
+      CAST(sat AS BIGINT) AS saturated,
+      ROUND(CASE WHEN sat = 1 THEN CAST(avail_tokens AS DOUBLE)
+        ELSE w * level END, 6) AS alloc_tokens,
+      ROUND(CASE WHEN sat = 1 THEN CAST(avail_tokens AS DOUBLE)
+        ELSE w * level END / CAST(avail_tokens AS DOUBLE), 6) AS fill_frac
+    FROM c, lvl ORDER BY source"""),
+    (s, dir) => {
+      val sfx = substring(col("source"), 4, 10).cast("int")
+      val tiered = T(s, dir, "documents").withColumn("source",
+        when(sfx < 1, "rare").when(sfx < 5, "mid").otherwise("common"))
+      graft.pipeline.Sampling.budgetAllocation(tiered, "source", "text",
+          budget = 15000L, alpha = 0.5)
+        .orderBy(col("source"))
+    })
+
+  // Tokenizer FERTILITY by language: chars-per-token per predicted
+  // language (t01's langid contract) under the t44-induced merge
+  // list — the per-language tokenizer cost a multilingual data
+  // budget is written around (a language the BPE compresses poorly
+  // burns more budget per byte). t54 keys the same compression by
+  // source; languages cut across sources. Oracle = t44 induction +
+  // t45 encode + t01 langid + the rollup.
+  private val t62 = Q("t62_tokenizer_fertility", Some(tokenizerFertilityOracleSql(8)),
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val merges = TextAnalysis.bpeMerges(docs, "text", k = 8)
+        .orderBy(col("round")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.tokenizerFertilityByLang(docs, "text", merges)
+        .orderBy(col("lang_pred"))
+    })
+
+  // KEEP-BEST dedup: d11's corpus with each near-dup cluster
+  // collapsed to its highest-QUALITY member (t02's score, ties to the
+  // smallest id) instead of the min id unconditionally — what a
+  // production dedup actually keeps when a cluster mixes a clean
+  // original with boilerplate-injected mirrors. Oracle replays the
+  // pair pass, the recursive closure, the quality formula, and the
+  // per-cluster argmax.
+  private val d37 = Q("d37_dedup_keep_best", Some("""
+    WITH RECURSIVE toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+          CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) AS jaccard
+        FROM inter
+          JOIN sizes na ON na.doc_id = id_a
+          JOIN sizes nb ON nb.doc_id = id_b)
+      WHERE jaccard >= 0.3),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach(u, v) AS (SELECT u, v FROM sym
+                    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u),
+    q AS (SELECT doc_id,
+        ROUND(
+          0.5 * LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+          + 0.3 * LEAST(
+              ((LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' the ', ' '))) / 4.0
+               + (LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' and ', ' '))) / 4.0
+               + (LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' of ', ' '))) / 3.0)
+              / GREATEST(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 10.0, 1.0)
+          + 0.2 * (1.0 - LEAST(CAST(LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+              / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0) * 10.0, 1.0)), 6) AS q
+      FROM documents),
+    best AS (SELECT doc_id FROM (
+        SELECT c.doc_id,
+          ROW_NUMBER() OVER (PARTITION BY c.rep ORDER BY q.q DESC, c.doc_id) AS rn
+        FROM comp c JOIN q ON q.doc_id = c.doc_id) WHERE rn = 1),
+    csz AS (SELECT rep, CAST(COUNT(*) AS BIGINT) AS cluster_size
+            FROM comp GROUP BY rep)
+    SELECT d.doc_id, d.source, q.q AS quality,
+      CAST(COALESCE(cs.cluster_size, 1) AS BIGINT) AS cluster_size
+    FROM documents d
+      JOIN q ON q.doc_id = d.doc_id
+      LEFT JOIN comp c ON c.doc_id = d.doc_id
+      LEFT JOIN csz cs ON cs.rep = c.rep
+    WHERE c.doc_id IS NULL OR d.doc_id IN (SELECT doc_id FROM best)
+    ORDER BY d.doc_id"""),
+    (s, dir) => Dedup.dedupedCorpusKeepBest(T(s, dir, "documents"),
+        "text", "doc_id", "source", n = 3, threshold = 0.3,
+        maxPostings = None) // exact: oracle-comparable
+      .orderBy(col("doc_id")))
+
+  // One LLOYD refinement step — the re-train s35's rebuild verdict
+  // triggers: assign all vectors to the seeded centroids, recompute
+  // each cell's centroid as the per-dim DECIMAL-exact mean of its
+  // members, report per-cell movement — the convergence signal an
+  // index-maintenance job watches across refresh cycles. Oracle
+  // replays the s07 assignment, the per-dim means, and the
+  // order-independent DECIMAL distance sum.
+  private val s36 = Q("s36_centroid_refresh", Some("""
+    WITH cents AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+    sims AS (SELECT e.vec_id, c.cell,
+        list_sum(list_transform(generate_series(1, len(e.embedding)),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      FROM embeddings e, cents c),
+    assigned AS (SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, sim,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        FROM sims) WHERE rn = 1),
+    dims AS (SELECT a.cell, i - 1 AS dim, ROUND(CAST(e.embedding[i] AS DOUBLE), 6) AS v
+      FROM assigned a JOIN embeddings e USING (vec_id),
+           UNNEST(generate_series(1, len(e.embedding))) AS g(i)),
+    mu AS (SELECT cell, dim,
+        CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS m,
+        COUNT(*) AS n
+      FROM dims GROUP BY 1, 2),
+    oldc AS (SELECT cell, i - 1 AS dim, ROUND(CAST(cvec[i] AS DOUBLE), 6) AS o
+      FROM cents, UNNEST(generate_series(1, len(cvec))) AS g(i)),
+    t AS (SELECT mu.cell, mu.n,
+        CAST(ROUND((m - o) * (m - o), 12) AS DECIMAL(28,12)) AS tt
+      FROM mu JOIN oldc USING (cell, dim))
+    SELECT cell, CAST(MAX(n) AS BIGINT) AS n_members,
+      ROUND(sqrt(CAST(SUM(tt) AS DOUBLE)), 6) AS movement
+    FROM t GROUP BY cell ORDER BY cell"""),
+    (s, dir) => graft.pipeline.Clustering.centroidRefresh(
+        T(s, dir, "embeddings"), "embedding", "vec_id", k = 8)
+      .orderBy(col("cell")))
+
+  // The COMPOSED video curation run — the m24/m25 trilogy's closing
+  // member: m26's boilerplate cap indexes distinctive frames, videos
+  // with < 3 of them drop as under-indexed (the video-native quality
+  // gate), the containment pair pass + transitive closure clusters
+  // the survivors, min-id reps kept; the result carries the curated
+  // list, the per-stage audit counts, and the per-source rollup.
+  // Same perturbed-union corpus as m26 so real video copies exist.
+  // The oracle rebuilds every frame hash, replays the cap, the
+  // containment join, and the recursive closure.
+  private val m27 = Q("m27_video_curation_run", Some("""
+    WITH RECURSIVE base AS (SELECT doc_id, source, text FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) > 0
+        AND octet_length(CAST(text AS BLOB)) = length(text)),
+    un AS (SELECT doc_id, source, text FROM base
+           UNION ALL SELECT doc_id + 100000, source, text || 'x' FROM base),
+    d AS (SELECT doc_id,
+        octet_length(CAST(text AS BLOB)) AS nb,
+        (octet_length(CAST(text AS BLOB)) + 9) // 10 AS nf,
+        string_split(text, '') AS cs
+      FROM un),
+    fr AS (SELECT doc_id, nb, cs, f
+      FROM d, UNNEST(generate_series(0, nf - 1)) AS gf(f)),
+    g AS (SELECT doc_id, f, nb, cs, r * 8 + c AS i,
+        f * 10 + ((r * 2) // 8) * 5 + (c * 5) // 8 AS idx
+      FROM fr, UNNEST(generate_series(0, 7)) AS gr(r),
+              UNNEST(generate_series(0, 7)) AS gc(c)),
+    v AS (SELECT doc_id, f, i,
+        CASE WHEN idx < nb THEN ord(cs[CAST(idx + 1 AS BIGINT)]) ELSE 0 END AS val
+      FROM g),
+    m AS (SELECT doc_id, f, CAST(SUM(val) AS DOUBLE) / 64.0 AS mean
+          FROM v GROUP BY doc_id, f),
+    ah AS (SELECT v.doc_id, v.f,
+        CAST(SUM(CASE WHEN v.val > m.mean AND v.i < 32 THEN (CAST(1 AS BIGINT) << v.i) ELSE 0 END) AS BIGINT) AS hi,
+        CAST(SUM(CASE WHEN v.val > m.mean AND v.i >= 32 THEN (CAST(1 AS BIGINT) << (v.i - 32)) ELSE 0 END) AS BIGINT) AS lo
+      FROM v JOIN m ON v.doc_id = m.doc_id AND v.f = m.f
+      GROUP BY v.doc_id, v.f),
+    fh AS (SELECT DISTINCT doc_id, hi, lo FROM ah),
+    keep AS (SELECT hi, lo FROM fh GROUP BY hi, lo HAVING COUNT(*) <= 100),
+    fhk AS (SELECT fh.* FROM fh JOIN keep USING (hi, lo)),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf FROM fhk GROUP BY 1 HAVING COUNT(*) >= 3),
+    shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM fhk a JOIN fhk b ON a.hi = b.hi AND a.lo = b.lo AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pv AS (SELECT id_a, id_b FROM shared
+      JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b
+      WHERE CAST(n_shared AS DOUBLE) / CAST(LEAST(sa.nf, sb.nf) AS DOUBLE) >= 0.8),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pv UNION SELECT id_b, id_a FROM pv),
+    reach(u, v) AS (SELECT u, v FROM sym
+                    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    compc AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u),
+    dropped AS (SELECT doc_id FROM compc WHERE doc_id <> rep),
+    srcm AS (SELECT DISTINCT doc_id, source FROM un),
+    kept AS (SELECT 'kept' AS stage, s.doc_id AS sample_id, u.source,
+        CAST(NULL AS BIGINT) AS n
+      FROM sz s JOIN srcm u USING (doc_id)
+      WHERE s.doc_id NOT IN (SELECT doc_id FROM dropped)),
+    counts AS (
+      SELECT 'input' AS stage, CAST(NULL AS BIGINT) AS sample_id,
+        CAST(NULL AS VARCHAR) AS source, CAST(COUNT(*) AS BIGINT) AS n FROM un
+      UNION ALL SELECT 'underindexed_dropped', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        CAST((SELECT COUNT(*) FROM un) - (SELECT COUNT(*) FROM sz) AS BIGINT)
+      UNION ALL SELECT 'pairs', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        CAST((SELECT COUNT(*) FROM pv) AS BIGINT)
+      UNION ALL SELECT 'clusters', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        CAST((SELECT COUNT(DISTINCT rep) FROM compc) AS BIGINT)
+      UNION ALL SELECT 'dup_dropped', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        CAST((SELECT COUNT(*) FROM dropped) AS BIGINT)),
+    bysrc AS (SELECT 'kept_source' AS stage, CAST(NULL AS BIGINT) AS sample_id,
+        source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM kept GROUP BY source)
+    SELECT stage, sample_id, source, n FROM kept
+    UNION ALL SELECT stage, sample_id, source, n FROM counts
+    UNION ALL SELECT stage, sample_id, source, n FROM bysrc
+    ORDER BY stage, sample_id, source"""),
+    (s, dir) => {
+      val base = T(s, dir, "documents").where(octet_length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
+      val un = base.select(col("doc_id"), col("source"), col("text"))
+        .unionByName(base.select((col("doc_id") + 100000).as("doc_id"),
+          col("source"), concat(col("text"), lit("x")).as("text")))
+      Multimodal.videoCurationRun(
+          Multimodal.framePerceptualHash(
+            Multimodal.textAsAvi(un, "doc_id", "text")).toDF(),
+          un.select(col("doc_id"), col("source")),
+          minContainment = 0.8, minFrames = 3,
+          maxPostings = Some(100), // the oracle replays this cap
+          metaIdCol = "doc_id")
+        .orderBy(col("stage"), col("sample_id").asc_nulls_last,
+          col("source").asc_nulls_last)
+    })
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -6972,15 +7295,15 @@ object SparkEntry {
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
-    d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36,
+    d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
-    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35,
+    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
     t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45,
-    t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56, t57, t58, t59, t60,
+    t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56, t57, t58, t59, t60, t61, t62,
     m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14,
-    m15, m16, m17, m18, m19, m20, m21, m22, m23, m24, m25, m26)
+    m15, m16, m17, m18, m19, m20, m21, m22, m23, m24, m25, m26, m27)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))

@@ -280,6 +280,63 @@ object Clustering {
             lit(maxNewFrac)).cast("long").as("rebuild"))
   }
 
+  /** One LLOYD REFINEMENT step — the re-train [[rebuildDecision]]
+    * triggers, executed as a single exact iteration: assign every
+    * vector to its nearest current centroid (the seeded-assignment
+    * contract), recompute each non-empty cell's centroid as the
+    * per-dimension mean of its members, and report how far each
+    * centroid MOVED — the convergence signal an index-maintenance
+    * job watches across refresh cycles (movement ≈ 0 means the
+    * partitioning has stabilized and further re-trains are wasted
+    * work).
+    *
+    * Determinism (what makes one k-means step oracle-comparable when
+    * trained k-means is not): the iteration count is fixed at ONE,
+    * the seeds are the deterministic smallest-id vectors, and every
+    * mean runs through round-6 values summed as DECIMAL — the
+    * summation-order hazard of a float mean across partitions is
+    * gone, so the new centroids are bit-identical on any engine. The
+    * movement's 64-term sum is DECIMAL too (each squared diff rounded
+    * 12 dp), so the distance is order-independent as well.
+    *
+    * Scale shape: one map-only assignment (literal or broadcast
+    * dispatch by k), one posexplode to (cell, dim) keyed partial
+    * aggregation — n×dim tiny rows in, k×dim groups out — and a
+    * broadcast join of the k×dim old-centroid frame. Vectors never
+    * shuffle; the explode carries (cell, one double) pairs.
+    *
+    * @return (cell, n_members, movement) for non-empty cells,
+    *         movement = round-6 L2 distance old→new (unsorted —
+    *         callers order)
+    */
+  def centroidRefresh(emb: DataFrame, vecCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val cents = seedVectors(emb, vecCol, idCol, k)
+    val dims = assignToCentroidArrays(emb, vecCol, idCol, cents)
+      .select(col("cell"),
+        posexplode(transform(col(vecCol), v => round(v.cast("double"), 6))))
+      .toDF("cell", "dim", "v")
+    val mu = dims.groupBy(col("cell"), col("dim"))
+      .agg(sum(col("v").cast("decimal(18,6)")).as("__s"),
+        count(lit(1)).as("__n"))
+      .withColumn("m", col("__s").cast("double") / col("__n").cast("double"))
+    import spark.implicits._
+    // rounded through Spark's round(), not driver BigDecimal, so the
+    // old side carries the same rounding semantics as the members
+    val old = cents.toSeq.flatMap { case (cell, vec) =>
+      vec.zipWithIndex.map { case (v, i) => (cell, i, v) }
+    }.toDF("cell", "dim", "__raw")
+      .select(col("cell"), col("dim"), round(col("__raw"), 6).as("o"))
+    mu.join(broadcast(old), Seq("cell", "dim"))
+      .withColumn("__t",
+        round((col("m") - col("o")) * (col("m") - col("o")), 12)
+          .cast("decimal(28,12)"))
+      .groupBy(col("cell"))
+      .agg(max(col("__n")).as("n_members"),
+        round(sqrt(sum(col("__t")).cast("double")), 6).as("movement"))
+  }
+
   /** SemDeDup threshold-sweep curve — how much of the corpus each
     * candidate cosine threshold would drop, from ONE within-cell pair
     * pass: each member's MAX cosine to a smaller-id same-cell

@@ -341,6 +341,53 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[dedupedCorpus]] with the representative a PRODUCTION dedup
+    * actually keeps: the highest-QUALITY member of each near-dup
+    * cluster (ties to the smallest id), not the smallest id
+    * unconditionally. Min-id keep is the right oracle-stable default
+    * for audits, but when a cluster mixes a clean original with
+    * boilerplate-injected mirrors, the min id is just whichever the
+    * crawler saw first — keep-best retains the member worth training
+    * on. Quality is the t02 contract ([[TextAnalysis.qualityScore]],
+    * rounded 6 dp so the argmax is bit-portable cross-engine).
+    *
+    * Scale shape: the capped pair pass + eager closure (d06/d11's),
+    * one extra scan-stage quality projection, and a per-cluster
+    * row_number whose partitions are cluster-sized. The labelling and
+    * the id-keyed joins move (id, component, quality) triples only —
+    * document text never reshuffles; singletons join the result via
+    * an ids-only anti-join.
+    *
+    * @return (idCol, srcCol, quality round-6, cluster_size), one row
+    *         per kept doc (unsorted — callers order)
+    */
+  def dedupedCorpusKeepBest(docs: DataFrame, textCol: String, idCol: String,
+      srcCol: String, n: Int = 3, threshold: Double = 0.3,
+      maxPostings: Option[Int] = Some(10000)): DataFrame = {
+    val labels = connectedComponents(
+      ngramJaccardPairs(docs, textCol, idCol, n, threshold, maxPostings)
+        .select(col("id_a"), col("id_b")))
+    val scored = docs.select(col(idCol).as("__id"), col(srcCol),
+      round(graft.pipeline.TextAnalysis.qualityScore(col(textCol)), 6)
+        .as("quality"))
+    val sizes = labels.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("quality").desc, col("__id"))
+    val best = labels.select(col("id").as("__id"), col("component"))
+      .join(scored, Seq("__id"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .join(sizes, Seq("component"))
+      .select(col("__id"), col(srcCol), col("quality"), col("cluster_size"))
+    val singletons = scored
+      .join(labels.select(col("id").as("__id")), Seq("__id"), "left_anti")
+      .select(col("__id"), col(srcCol), col("quality"),
+        lit(1L).as("cluster_size"))
+    best.unionByName(singletons).withColumnRenamed("__id", idCol)
+  }
+
   /** INCREMENTAL near-dup pairs: the new batch × the existing corpus
     * only (no within-batch or within-corpus pairs) — the shape a
     * continuously-ingesting pipeline runs on every micro-batch, where

@@ -1500,6 +1500,121 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("n_shared"), col("containment"))
   }
 
+  /** The COMPOSED video curation run — the m24/m25 trilogy's closing
+    * member, the operator a video training-data pipeline schedules
+    * nightly: the m26 boilerplate cap indexes each video's distinct
+    * frame hashes, videos with fewer than `minFrames` distinctive
+    * frames are dropped as under-indexed (mostly black/boilerplate
+    * content — the video-native quality gate), [[videoDupPairs]]'
+    * containment pair pass + transitive closure clusters the
+    * survivors (clipped/extended copies land in one cluster), min-id
+    * representatives are kept, and one result carries the curated
+    * video list (with source), the per-stage audit counts, and the
+    * per-source kept rollup.
+    *
+    * Scale shape: frame hashes arrive precomputed (the decode pass is
+    * the caller's [[framePerceptualHash]] — payloads never enter this
+    * operator), the cap and participation gates are count-rollups on
+    * (id, hash) pairs, and the pair pass is the m26 bucket join whose
+    * fan-out the cap bounds. The d34 cache discipline: hash, gate,
+    * and pair frames are counted eagerly while hot and released in
+    * try/finally; the survivor-id cache alone outlives the call,
+    * scoped after the eager closure.
+    *
+    * @param frameHashes (idCol, frame_idx, ahash_hi, ahash_lo) — the
+    *        [[framePerceptualHash]] output
+    * @param meta (metaIdCol, srcCol) video provenance
+    * @return (stage, sample_id, source, n): `stage='kept'` rows per
+    *         curated video, audit rows `stage ∈ input|
+    *         underindexed_dropped|pairs|clusters|dup_dropped`, and
+    *         one `stage='kept_source'` row per source
+    */
+  def videoCurationRun(frameHashes: DataFrame, meta: DataFrame,
+      minContainment: Double = 0.8, minFrames: Int = 3,
+      maxPostings: Option[Int] = Some(100),
+      idCol: String = "sample_id", metaIdCol: String = "sample_id",
+      srcCol: String = "source"): DataFrame = {
+    require(minContainment > 0.0 && minContainment <= 1.0, "bad containment")
+    require(minFrames >= 1, "minFrames must be positive")
+    val spark = frameHashes.sparkSession
+    val fhAll = frameHashes.select(col(idCol).cast("long").as("sample_id"),
+        col("ahash_hi"), col("ahash_lo"))
+      .distinct().cache()
+    val indexed = maxPostings match {
+      case Some(cap) =>
+        val kept = fhAll.groupBy(col("ahash_hi"), col("ahash_lo"))
+          .agg(count(lit(1)).as("__c"))
+          .where(col("__c") <= lit(cap))
+          .select(col("ahash_hi"), col("ahash_lo"))
+        fhAll.join(kept, Seq("ahash_hi", "ahash_lo"))
+      case None => fhAll
+    }
+    val sizes = indexed.groupBy(col("sample_id")).agg(count(lit(1)).as("nf"))
+      .where(col("nf") >= lit(minFrames))
+      .cache()
+    val participants = sizes.select(col("sample_id")).cache()
+    val guarded = indexed.join(participants, Seq("sample_id")).cache()
+    val pairs = guarded.select(col("sample_id").as("id_a"),
+        col("ahash_hi"), col("ahash_lo"))
+      .join(guarded.select(col("sample_id").as("id_b"),
+        col("ahash_hi"), col("ahash_lo")), Seq("ahash_hi", "ahash_lo"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("sample_id").as("id_a"), col("nf").as("__na")),
+        Seq("id_a"))
+      .join(sizes.select(col("sample_id").as("id_b"), col("nf").as("__nb")),
+        Seq("id_b"))
+      .where(col("n_shared").cast("double") /
+        least(col("__na"), col("__nb")).cast("double") >= lit(minContainment))
+      .select(col("id_a"), col("id_b"))
+      .cache()
+    val (nIn, nPart, nPairs, comp) =
+      try {
+        val ni = fhAll.select(col("sample_id")).distinct().count()
+        val np = participants.count()
+        val npr = pairs.count() // materializes guarded + pairs hot
+        (ni, np, npr, graft.pipeline.Dedup.connectedComponents(pairs))
+      } finally {
+        pairs.unpersist(); guarded.unpersist(); sizes.unpersist()
+        fhAll.unpersist()
+      }
+    // survivor ids feed the kept leg and the per-source rollup of the
+    // RESULT plan — scoped only now, after the eager closure, so the
+    // closure's internal executions could not release it mid-build
+    org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUseExisting(
+      participants)
+    val dropped = comp.where(col("id") =!= col("component"))
+      .select(col("id").as("sample_id"))
+    val metaSlim = meta.select(col(metaIdCol).cast("long").as("sample_id"),
+      col(srcCol).cast("string").as("source"))
+    val keptIds = participants.join(dropped, Seq("sample_id"), "left_anti")
+    val kept = keptIds.join(metaSlim, Seq("sample_id"), "left")
+      .select(lit("kept").as("stage"), col("sample_id"), col("source"),
+        lit(null).cast("long").as("n"))
+    def c1(stage: String, n: Column) = spark.range(1).select(
+      lit(stage).as("stage"), lit(null).cast("long").as("sample_id"),
+      lit(null).cast("string").as("source"), n.cast("long").as("n"))
+    val counts = c1("input", lit(nIn))
+      .unionAll(c1("underindexed_dropped", lit(nIn - nPart)))
+      .unionAll(c1("pairs", lit(nPairs)))
+      .unionAll(comp.agg(countDistinct(col("component")).as("c"))
+        .select(lit("clusters").as("stage"),
+          lit(null).cast("long").as("sample_id"),
+          lit(null).cast("string").as("source"), col("c").cast("long").as("n")))
+      .unionAll(dropped.agg(count(lit(1)).as("c"))
+        .select(lit("dup_dropped").as("stage"),
+          lit(null).cast("long").as("sample_id"),
+          lit(null).cast("string").as("source"), col("c").cast("long").as("n")))
+    val bySource = keptIds.join(metaSlim, Seq("sample_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("c"))
+      .select(lit("kept_source").as("stage"),
+        lit(null).cast("long").as("sample_id"), col("source"),
+        col("c").cast("long").as("n"))
+    kept.unionAll(counts).unionAll(bySource)
+  }
+
   /** Voice-activity segments over REAL decoded PCM — the segmentation
     * primitive audio curation runs before transcription (cut silence,
     * keep speech): fixed-length frames (`frameLen` samples, the last

@@ -404,6 +404,78 @@ object Sampling {
       .select(col("doc_id"), col("priority"), col("n_tokens"), col("cum_before"))
   }
 
+  /** WATER-FILLING token-budget allocation across sources — the step
+    * between [[temperatureWeights]] (what mixture do we WANT) and
+    * [[tokenBudgetSelect]] (which docs fill a source's share): given a
+    * total token budget B and per-source supply A_s, allocate B
+    * proportionally to the temperature weights w_s ∝ n_docs^α, except
+    * a source can never be allocated more tokens than it HAS — its
+    * surplus redistributes proportionally among the unsaturated rest
+    * (rare sources saturate first; exactly the situation α-sampling
+    * creates by design). The fixpoint has a sort-based closed form:
+    * order sources by supply-per-weight A_s/w_s ascending — the
+    * saturated set is a prefix of that order, because the water level
+    * R/W (remaining budget over remaining weight) is non-decreasing
+    * while saturation continues and each flag compares the next ratio
+    * against the current level. The prefix ends at the FIRST failing
+    * flag (cumulative AND), after which every remaining source takes
+    * w_s × final level < A_s.
+    *
+    * Determinism: flags cross-multiply (A_s·W ≤ w_s·R) instead of
+    * dividing, prefix sums run in the one explicit (ratio, source)
+    * order on both engines, and α = 0.5 routes through IEEE-exact
+    * sqrt (the t28 contract).
+    *
+    * Scale shape: ONE corpus scan (per-source count + token sum with
+    * map-side partial aggregation); everything after operates on the
+    * |sources|-row frame, where the unpartitioned windows are free.
+    *
+    * @return (source, n_docs, avail_tokens, weight round-6,
+    *         saturated 0/1, alloc_tokens round-6, fill_frac round-6)
+    */
+  def budgetAllocation(df: DataFrame, strataCol: String, textCol: String,
+      budget: Long, alpha: Double = 0.5): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val base = graft.ops.ScaleOps.fanOut(df)
+      .groupBy(col(strataCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col(textCol), " ")).cast("long")).as("avail_tokens"))
+      .withColumn("w",
+        if (alpha == 0.5) sqrt(col("n_docs").cast("double"))
+        else pow(col("n_docs").cast("double"), lit(alpha)))
+      .withColumn("ratio", col("avail_tokens").cast("double") / col("w"))
+    // |sources| rows from here on — global windows are k-row state
+    val ord = Window.orderBy(col("ratio"), col("source"))
+    val pre = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val all = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val b = lit(budget.toDouble)
+    val flagged = base
+      .withColumn("pa", coalesce(
+        sum(col("avail_tokens").cast("double")).over(pre), lit(0.0)))
+      .withColumn("pw", coalesce(sum(col("w")).over(pre), lit(0.0)))
+      .withColumn("tw", sum(col("w")).over(all))
+      // A_k · W_{k-1} ≤ w_k · R_{k-1}, cross-multiplied (all terms > 0)
+      .withColumn("flag",
+        when(col("avail_tokens").cast("double") * (col("tw") - col("pw")) <=
+          col("w") * (b - col("pa")), lit(1)).otherwise(lit(0)))
+      .withColumn("saturated", min(col("flag")).over(cum))
+    val level =
+      (b - coalesce(sum(when(col("saturated") === 1,
+          col("avail_tokens").cast("double"))).over(all), lit(0.0))) /
+        (col("tw") - coalesce(sum(when(col("saturated") === 1,
+          col("w"))).over(all), lit(0.0)))
+    val alloc = when(col("saturated") === 1,
+      col("avail_tokens").cast("double")).otherwise(col("w") * level)
+    flagged.select(
+      col("source"), col("n_docs"), col("avail_tokens"),
+      round(col("w"), 6).as("weight"),
+      col("saturated").cast("long").as("saturated"),
+      round(alloc, 6).as("alloc_tokens"),
+      round(alloc / col("avail_tokens").cast("double"), 6).as("fill_frac"))
+  }
+
   def sourceMix(df: DataFrame, strataCol: String, idCol: String,
       mix: Map[String, (Int, Int)]): DataFrame = {
     require(mix.nonEmpty, "mix must name at least one stratum")

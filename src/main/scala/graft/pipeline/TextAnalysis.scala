@@ -1424,6 +1424,45 @@ object TextAnalysis {
             col("n_tokens").cast("double"), 6)))
   }
 
+  /** Tokenizer FERTILITY by language — the per-language cost of a
+    * tokenizer: chars-per-token for each predicted language
+    * ([[withLanguageId]]'s t01 contract) under a given merge list.
+    * The number multilingual data budgets are written around: a
+    * language the BPE compresses poorly (its frequent pairs never
+    * made the merge list) burns more of the token budget per byte of
+    * text, so the same document share is a larger compute share —
+    * this report is how that imbalance is seen BEFORE training.
+    * t54 reports the same compression keyed by source; languages cut
+    * across sources, and tokenizer equity audits key on language.
+    *
+    * Scale shape: ONE map-only projection computes both the language
+    * scores and the encode ([[graft.functions.BpeEncode]] kernel —
+    * merges are literals in the plan), then a |languages|-row
+    * partial-aggregated rollup; only per-doc scalars cross the
+    * exchange.
+    *
+    * @param merges (left, right) pairs in induction order
+    * @return (lang_pred, n_docs, n_tokens, n_chars, fertility) —
+    *         fertility rounded 6 dp, null for token-free languages
+    */
+  def tokenizerFertilityByLang(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val enc = graft.functions.BpeEncode(col(textCol), validated(merges))
+    withLanguageId(docs, textCol)
+      .select(col("lang_pred"), coalesce(enc, lit("")).as("enc"))
+      .select(col("lang_pred"),
+        nTokensOf(col("enc")).as("n_tok"),
+        nAzOf(col("enc")).as("n_ch"))
+      .groupBy(col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_ch")).as("n_chars"))
+      .withColumn("fertility",
+        when(col("n_tokens") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("n_chars").cast("double") /
+            col("n_tokens").cast("double"), 6)))
+  }
+
   private def bpeEncodeFrom(docs: DataFrame, idCol: String,
       enc: Column): DataFrame =
     docs

@@ -525,6 +525,44 @@ object ScaleSmoke {
           emb.where(col("vec_id") % 10 =!= 0),
           emb.where(col("vec_id") % 10 === 0),
           "embedding", "vec_id", 8).collect().length.toLong }
+      // d11's pair+closure work + a scan-stage quality projection and
+      // a per-cluster argmax window (partitions are cluster-sized)
+      time("d37 dedupKeepBest (capped)") {
+        graft.pipeline.Dedup.dedupedCorpusKeepBest(docs, "text",
+          "doc_id", "source").count() }
+      // ONE corpus scan to |tiers| rows; the water-filling windows
+      // run on that tiny frame — growth is the scan alone
+      time("t61 budgetAllocation") {
+        graft.pipeline.Sampling.budgetAllocation(docs, "source", "text",
+          budget = 15000L).collect().length.toLong }
+      // induce once (vocab rounds), then ONE map-only projection
+      // computing langid + encode together; |languages|-row rollup
+      time("t62 tokenizerFertility (induce+apply)") {
+        val merges = graft.pipeline.TextAnalysis.bpeMerges(docs, "text", 8)
+          .orderBy(col("round")).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.pipeline.TextAnalysis.tokenizerFertilityByLang(docs, "text",
+          merges).collect().length.toLong }
+      // one map-only assignment + a (cell, dim)-keyed partial agg
+      // (n×dim tiny rows in, k×dim groups out) + k×dim broadcast join
+      time("s36 centroidRefresh") {
+        graft.pipeline.Clustering.centroidRefresh(emb, "embedding",
+          "vec_id", 8).collect().length.toLong }
+      // m26's capped pair pass + participation gate + closure +
+      // rollups; frame hashes in, payloads never enter the operator
+      time("m27 videoCurationRun (capped)") {
+        val un = asciiDocs.select(col("doc_id"), col("source"), col("text"))
+          .unionByName(asciiDocs.select(
+            (col("doc_id") + 10000000L).as("doc_id"), col("source"),
+            concat(col("text"), lit("x")).as("text")))
+        graft.pipeline.Multimodal.videoCurationRun(
+            graft.pipeline.Multimodal.framePerceptualHash(
+              graft.pipeline.Multimodal.textAsAvi(un, "doc_id", "text"))
+              .toDF(),
+            un.select(col("doc_id"), col("source")),
+            metaIdCol = "doc_id")
+          .groupBy(col("stage")).agg(count(lit(1)))
+          .collect().length.toLong }
       // (doc,label,token) agg + |classes|-way scoring join
       time("t50 nbLangConfusion") {
         graft.pipeline.TextAnalysis.nbLangConfusion(docs, "text",

@@ -1,0 +1,309 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Clustering, Dedup, Sampling, TextAnalysis}
+
+/** Round-17 operators: water-filling budget allocation (t61),
+  * tokenizer fertility by language (t62), keep-best dedup (d37), and
+  * the one-step Lloyd centroid refresh (s36).
+  */
+class Round17Spec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def docsDf = {
+    import spark.implicits._
+    // three "sources" with very different supply so saturation is real:
+    // tiny has 2 docs x 3 tokens; big has 40 docs x 12 tokens
+    val tiny = (0 until 2).map(i => (i.toLong, "tiny", "a b c"))
+    val mid = (0 until 10).map(i => (100L + i, "mid",
+      Seq.fill(6)("w" + i).mkString(" ")))
+    val big = (0 until 40).map(i => (200L + i, "big",
+      Seq.fill(12)("x" + i).mkString(" ")))
+    (tiny ++ mid ++ big).toDF("doc_id", "source", "text")
+  }
+
+  // ---------------- t61 water-filling allocation ----------------
+
+  test("budgetAllocation conserves the budget and caps every source at its supply") {
+    val out = Sampling.budgetAllocation(docsDf, "source", "text",
+      budget = 300L, alpha = 0.5).collect()
+    assert(out.length == 3)
+    val bySrc = out.map(r => r.getString(0) -> r).toMap
+    val avail = bySrc.view.mapValues(_.getLong(2)).toMap
+    assert(avail == Map("tiny" -> 6L, "mid" -> 60L, "big" -> 480L))
+    val alloc = bySrc.view.mapValues(_.getDouble(5)).toMap
+    // nobody over-allocated
+    alloc.foreach { case (s, a) =>
+      assert(a <= avail(s) + 1e-6, s"$s allocated $a > supply ${avail(s)}")
+    }
+    // budget fully spent (supply 546 > budget 300)
+    assert(math.abs(alloc.values.sum - 300.0) < 1e-4,
+      s"allocations ${alloc.values.sum} must sum to the budget")
+    // tiny (ratio 4.24) and mid (ratio 18.97 < the 294/9.49 = 31.0
+    // level after tiny saturates) both saturate; big takes the rest
+    assert(bySrc("tiny").getLong(4) == 1L && alloc("tiny") == 6.0)
+    assert(bySrc("mid").getLong(4) == 1L && alloc("mid") == 60.0)
+    assert(bySrc("big").getLong(4) == 0L)
+    assert(math.abs(alloc("big") - 234.0) < 1e-6,
+      s"big absorbs the leftover budget: ${alloc("big")}")
+  }
+
+  test("budgetAllocation degenerate ends: B over supply saturates all; B tiny saturates none") {
+    val all = Sampling.budgetAllocation(docsDf, "source", "text",
+      budget = 100000L, alpha = 0.5).collect()
+    all.foreach { r =>
+      assert(r.getLong(4) == 1L)
+      assert(r.getDouble(5) == r.getLong(2).toDouble, "alloc == supply when B covers everything")
+      assert(r.getDouble(6) == 1.0)
+    }
+    val none = Sampling.budgetAllocation(docsDf, "source", "text",
+      budget = 10L, alpha = 0.5).collect()
+    assert(none.forall(_.getLong(4) == 0L))
+    val sum = none.map(_.getDouble(5)).sum
+    assert(math.abs(sum - 10.0) < 1e-6, s"tiny budget still fully allocated: $sum")
+    // pure proportional split: alloc ∝ sqrt(n_docs)
+    val w = none.map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(math.abs(w("mid") / w("tiny") - math.sqrt(10.0 / 2.0)) < 1e-6)
+  }
+
+  test("budgetAllocation matches a driver-side water-filling reference on the sf corpus") {
+    val docs = Tables.load(spark, SparkFixture.sfDir, "documents")
+    val out = Sampling.budgetAllocation(docs, "source", "text",
+        budget = 9000L, alpha = 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(4), r.getDouble(5))).sortBy(_._1)
+    // reference: iterate saturation to a fixpoint (the textbook loop
+    // the sort-based closed form replaces)
+    val base = out.map(t => (t._1, t._2, t._3)).toSeq
+    var satRef = Set.empty[String]
+    var changed = true
+    while (changed) {
+      val rem = 9000.0 - base.filter(t => satRef(t._1)).map(_._3.toDouble).sum
+      val wRem = base.filter(t => !satRef(t._1)).map(t => math.sqrt(t._2.toDouble)).sum
+      val next = base.filter { t =>
+        !satRef(t._1) && math.sqrt(t._2.toDouble) * rem / wRem >= t._3.toDouble
+      }.map(_._1).toSet
+      changed = next.nonEmpty
+      satRef ++= next
+    }
+    val remF = 9000.0 - base.filter(t => satRef(t._1)).map(_._3.toDouble).sum
+    val wF = base.filter(t => !satRef(t._1)).map(t => math.sqrt(t._2.toDouble)).sum
+    out.foreach { case (s, n, a, satGot, allocGot) =>
+      assert((satGot == 1L) == satRef(s), s"saturation flag mismatch for $s")
+      val expect = if (satRef(s)) a.toDouble else math.sqrt(n.toDouble) * remF / wF
+      assert(math.abs(allocGot - expect) < 1e-4,
+        s"$s: got $allocGot expected $expect")
+    }
+  }
+
+  // ---------------- t62 fertility by language ----------------
+
+  test("tokenizerFertilityByLang reconciles with per-doc encode x langid") {
+    val docs = Tables.load(spark, SparkFixture.sfDir, "documents")
+    val merges = TextAnalysis.bpeMerges(docs, "text", k = 8)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = TextAnalysis.tokenizerFertilityByLang(docs, "text", merges)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val perDoc = TextAnalysis.withLanguageId(docs, "text")
+      .select(col("doc_id"), col("lang_pred"))
+      .join(TextAnalysis.bpeEncode(docs, "text", "doc_id", merges),
+        Seq("doc_id"))
+      .groupBy(col("lang_pred"))
+      .agg(count(lit(1)).as("n"), sum("n_tokens").as("t"), sum("n_az_chars").as("c"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == perDoc)
+    assert(got.values.map(_._1).sum == docs.count())
+  }
+
+  test("tokenizerFertilityByLang fertility column is the rounded ratio, null at zero tokens") {
+    import spark.implicits._
+    // one doc with no [a-z] at all -> zero tokens for its language
+    val docs = Seq((1L, "the and of the and"), (2L, "123 456 !!!"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tokenizerFertilityByLang(docs, "text",
+        Seq(("t", "h"), ("th", "e")))
+      .collect().map(r => r.getString(0) -> r.isNullAt(4)).toMap
+    assert(out.contains("en") && !out("en"), "english row carries a fertility")
+    assert(out.contains("unknown") && out("unknown"),
+      "token-free language reports null fertility")
+  }
+
+  // ---------------- d37 keep-best dedup ----------------
+
+  test("dedupedCorpusKeepBest keeps the max-quality member per cluster, min id on ties") {
+    import spark.implicits._
+    // two mirrored docs: same token stream => same cluster; the longer
+    // doc (more tokens) scores higher under t02's length term
+    val hi = (1 to 60).map(i => "tok" + (i % 20)).mkString(" ")
+    val lo = (1 to 24).map(i => "tok" + (i % 20)).mkString(" ")
+    val docs = Seq(
+      (10L, "a", lo), (11L, "a", hi), // near-dups (shared 3-gram sets), hi wins
+      (30L, "b", "completely different words entirely here")
+    ).toDF("doc_id", "source", "text")
+    val kept = Dedup.dedupedCorpusKeepBest(docs, "text", "doc_id", "source",
+        n = 3, threshold = 0.1, maxPostings = None)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(kept.contains(11L), "higher-quality member kept, not the min id")
+    assert(!kept.contains(10L))
+    assert(kept(11L) == 2L, "cluster_size rides the kept row")
+    assert(kept(30L) == 1L, "singleton kept with size 1")
+    // ties: identical text -> identical quality -> min id wins
+    val tied = Seq((5L, "a", hi), (6L, "a", hi)).toDF("doc_id", "source", "text")
+    val keptTied = Dedup.dedupedCorpusKeepBest(tied, "text", "doc_id", "source",
+        n = 3, threshold = 0.1, maxPostings = None)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptTied == Set(5L))
+  }
+
+  test("dedupedCorpusKeepBest keeps exactly one member per cluster (same cardinality as d11)") {
+    val docs = Tables.load(spark, SparkFixture.sfDir, "documents")
+    val keepBest = Dedup.dedupedCorpusKeepBest(docs, "text", "doc_id", "source",
+      n = 3, threshold = 0.3, maxPostings = None)
+    val minId = Dedup.dedupedCorpus(docs, "text", "doc_id",
+      n = 3, threshold = 0.3, maxPostings = None)
+    assert(keepBest.count() == minId.count(),
+      "both policies keep one representative per cluster plus singletons")
+    // every kept row's quality must equal the max over its cluster —
+    // spot-check via the t57 report's closure: total kept == docs - losers
+    assert(keepBest.select(sum(col("cluster_size"))).collect()(0).getLong(0) ==
+      docs.count(), "cluster sizes partition the corpus")
+  }
+
+  // ---------------- s36 centroid refresh ----------------
+
+  test("centroidRefresh matches a driver-side exact Lloyd step") {
+    val emb = Tables.load(spark, SparkFixture.sfDir, "embeddings")
+    val got = Clustering.centroidRefresh(emb, "embedding", "vec_id", k = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // reference: pull all vectors, assign by cosine (ties min cell),
+    // per-dim mean over round-6 values via BigDecimal, L2 to old
+    val vecs = emb.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val cents = vecs.toSeq.sortBy(_._1).take(8)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val assign = vecs.map { case (id, v) =>
+      id -> cents.map { case (c, cv) => (c, cos(v, cv)) }
+        .maxBy { case (c, s) => (s, -c) }._1
+    }
+    def r6(d: Double): BigDecimal = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    got.foreach { case (cell, (n, movement)) =>
+      val members = vecs.filter { case (id, _) => assign(id) == cell }.values.toSeq
+      assert(n == members.size.toLong, s"cell $cell member count")
+      val dims = members.head.length
+      val oldV = cents.find(_._1 == cell).get._2
+      val sq = (0 until dims).map { i =>
+        val m = (members.map(v => r6(v(i))).sum / members.size).toDouble
+        val d = m - r6(oldV(i)).toDouble
+        BigDecimal(d * d).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      val expect = BigDecimal(math.sqrt(sq.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(movement - expect) < 1e-9,
+        s"cell $cell movement $movement vs $expect")
+    }
+    assert(got.values.map(_._1).sum == vecs.size.toLong,
+      "members partition the corpus")
+  }
+
+  // ---------------- m27 video curation run ----------------
+
+  test("videoCurationRun: gate, cap, pairs, closure and rollups on a planted fixture") {
+    import spark.implicits._
+    import graft.pipeline.Multimodal
+    // hash ids: A=1 B=2 C=3 D=4 X=8 Y=9 P=11 Q=12 R=13, boilerplate W=99
+    // video 1 {A,B,C,D,W}, video 2 {A,B,C,W} (contained in 1),
+    // video 3 {X,Y} under-indexed, video 4 {P,Q,R,W} independent
+    def f(id: Long, hs: Seq[Long]) =
+      hs.zipWithIndex.map { case (h, i) => (id, i, h, h * 7L) }
+    val frames = (f(1L, Seq(1, 2, 3, 4, 99)) ++ f(2L, Seq(1, 2, 3, 99)) ++
+      f(3L, Seq(8, 9)) ++ f(4L, Seq(11, 12, 13, 99)))
+      .toDF("sample_id", "frame_idx", "ahash_hi", "ahash_lo")
+    val meta = Seq((1L, "sa"), (2L, "sa"), (3L, "sb"), (4L, "sb"))
+      .toDF("sample_id", "source")
+    // cap 2: W rides 3 videos -> dropped from the index entirely
+    val out = Multimodal.videoCurationRun(frames, meta,
+        minContainment = 0.8, minFrames = 3, maxPostings = Some(2))
+      .collect()
+    val counts = out.filter(r => r.getString(0) != "kept" &&
+        r.getString(0) != "kept_source")
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(counts == Map("input" -> 4L, "underindexed_dropped" -> 1L,
+      "pairs" -> 1L, "clusters" -> 1L, "dup_dropped" -> 1L))
+    val kept = out.filter(_.getString(0) == "kept")
+      .map(r => (r.getLong(1), r.getString(2))).toSet
+    assert(kept == Set((1L, "sa"), (4L, "sb")),
+      s"video 2 collapses into 1, video 3 under-indexed: $kept")
+    val bySrc = out.filter(_.getString(0) == "kept_source")
+      .map(r => r.getString(2) -> r.getLong(3)).toMap
+    assert(bySrc == Map("sa" -> 1L, "sb" -> 1L))
+    // stage accounting partitions the input
+    assert(kept.size + counts("underindexed_dropped") + counts("dup_dropped") ==
+      counts("input"))
+  }
+
+  test("videoCurationRun kept set == participants minus videoDupPairs closure losers") {
+    import graft.pipeline.Multimodal
+    val docs = Tables.load(spark, SparkFixture.sfDir, "documents")
+      .where(octet_length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
+      .limit(60)
+    val un = docs.select(col("doc_id"), col("source"), col("text"))
+      .unionByName(docs.select((col("doc_id") + 100000).as("doc_id"),
+        col("source"), concat(col("text"), lit("x")).as("text")))
+    val fh = Multimodal.framePerceptualHash(
+      Multimodal.textAsAvi(un, "doc_id", "text")).toDF().cache()
+    try {
+      val run = Multimodal.videoCurationRun(fh,
+        un.select(col("doc_id"), col("source")),
+        minContainment = 0.8, minFrames = 3, maxPostings = Some(100),
+        metaIdCol = "doc_id")
+      val keptGot = run.where(col("stage") === "kept")
+        .select(col("sample_id")).collect().map(_.getLong(0)).toSet
+      // independent composition: the published pair operator + closure
+      val pairs = Multimodal.videoDupPairs(fh, minContainment = 0.8,
+        minFrames = 3, maxPostings = Some(100))
+      val losers = Dedup.connectedComponents(
+          pairs.select(col("id_a"), col("id_b")))
+        .where(col("id") =!= col("component"))
+        .collect().map(_.getLong(0)).toSet
+      val participants = fh
+        .select(col("sample_id").cast("long").as("id"),
+          col("ahash_hi"), col("ahash_lo")).distinct()
+        .join(fh.select(col("sample_id").cast("long").as("id"),
+            col("ahash_hi"), col("ahash_lo")).distinct()
+          .groupBy("ahash_hi", "ahash_lo").count()
+          .where(col("count") <= 100).drop("count"),
+          Seq("ahash_hi", "ahash_lo"))
+        .groupBy(col("id")).count().where(col("count") >= 3)
+        .collect().map(_.getLong(0)).toSet
+      assert(keptGot == participants -- losers)
+      assert(keptGot.nonEmpty)
+    } finally fh.unpersist()
+  }
+
+  test("centroidRefresh is a fixpoint when every centroid is its own cell") {
+    import spark.implicits._
+    // k vectors, mutually orthogonal-ish: each is alone in its cell,
+    // so the refreshed centroid IS the (rounded) old one -> movement 0
+    val rows = (0 until 4).map { i =>
+      (i.toLong, Array.tabulate(8)(j => if (j == i * 2) 1.0f else 0.0f))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Clustering.centroidRefresh(emb, "embedding", "vec_id", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 4)
+    out.foreach { case (_, n, mv) =>
+      assert(n == 1L)
+      assert(mv == 0.0, s"self-cell refresh must not move, got $mv")
+    }
+  }
+}
