@@ -152,6 +152,11 @@ object ExplainDump {
       "t59_contamination_attribution" -> "contamination attribution: one shingle-keyed join with the benchmark side broadcast; the per-doc argmax filter sits on the raw row_number so Partial WindowGroupLimit forwards 1 row per doc per map partition",
       "t60_split_leakage_audit" -> "split leakage audit: d10's incremental pair shape — train scans once with the val split's shingles broadcast, pair work capped, |sources|-row rollup",
       "m26_video_dup_pairs" -> "cross-video copy detection: decode-stage frame hashes, ONE hash-keyed self-join over sub-cap postings (boilerplate frames dropped from index AND denominators), per-pair counts + a size join — video bytes never shuffle",
+      "d37_dedup_keep_best" -> "keep-best dedup: d11's pair+closure, a scan-stage quality projection, a per-cluster argmax window (partitions cluster-sized), ids-only anti-join for singletons — text never reshuffles",
+      "t61_budget_allocation" -> "water-filling allocation: ONE partial-aggregated corpus scan to a |tiers|-row frame; every window below runs on those rows (the global windows are k-row state, not a corpus sort)",
+      "t62_tokenizer_fertility" -> "tokenizer fertility by language: langid scores AND the BPE encode kernel in ONE map-only projection (merges are plan literals); a |languages|-row partial-agg exchange of scalars is the only shuffle",
+      "s36_centroid_refresh" -> "one-step Lloyd refresh: map-only inlined-centroid assignment, a (cell, dim)-keyed partial agg (n x dim scalar rows in, k x dim groups out), k x dim old-centroid broadcast join — vectors never shuffle",
+      "m27_video_curation_run" -> "composed video curation run: m26's capped pair pass + participation gate + closure share the eagerly-counted caches; the result plan is ids-only kept/rollup legs + literal count rows — frame hashes in, payloads never enter",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")
