@@ -7284,6 +7284,161 @@ object SparkEntry {
           col("source").asc_nulls_last)
     })
 
+  // REPAIR the split t60 audits: leaked val docs (near-dup in train
+  // at τ) move to train — the cheap post-hoc fix that preserves the
+  // rest of the assignment where a full leakage-safe re-split would
+  // reshuffle everything. Oracle replays t60's cross-split pair pass
+  // and the CASE.
+  private val t63 = Q("t63_split_leakage_repair", Some("""
+    WITH toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    vsh AS (SELECT * FROM sh WHERE doc_id % 7 = 0),
+    tsh AS (SELECT * FROM sh WHERE doc_id % 7 <> 0),
+    vsz AS (SELECT doc_id, COUNT(*) AS n_v FROM vsh GROUP BY 1),
+    tsz AS (SELECT doc_id, COUNT(*) AS n_t FROM tsh GROUP BY 1),
+    inter AS (SELECT v.doc_id AS vid, t.doc_id AS tid, COUNT(*) AS n_inter
+              FROM vsh v JOIN tsh t USING (shingle) GROUP BY 1, 2),
+    leaked AS (SELECT DISTINCT vid AS doc_id FROM inter
+      JOIN vsz ON vsz.doc_id = vid
+      JOIN tsz ON tsz.doc_id = tid
+      WHERE CAST(n_inter AS DOUBLE) / CAST(n_v + n_t - n_inter AS DOUBLE) >= 0.3)
+    SELECT d.doc_id, d.source,
+      CASE WHEN d.doc_id % 7 <> 0 THEN 'train'
+           WHEN l.doc_id IS NOT NULL THEN 'train' ELSE 'val' END AS split,
+      CAST(CASE WHEN d.doc_id % 7 = 0 AND l.doc_id IS NOT NULL
+        THEN 1 ELSE 0 END AS BIGINT) AS moved
+    FROM documents d LEFT JOIN leaked l ON l.doc_id = d.doc_id
+    ORDER BY d.doc_id"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.repairLeakedSplit(
+          docs.where(col("doc_id") % 7 =!= 0),
+          docs.where(col("doc_id") % 7 === 0),
+          "text", "doc_id", "source", n = 3, tau = 0.3,
+          maxCorpusPostings = None) // exact: oracle
+        .orderBy(col("doc_id"))
+    })
+
+  // PQ distortion per IVF cell: s32's global codebook MSE localized
+  // to s07's cell partitioning — "WHERE is the codebook bad", the
+  // read that turns a rebuild verdict into a targeted re-train.
+  // Oracle replays the s07 assignment, the s32 sub-distances, the
+  // ordered per-vector fold, and the DECIMAL per-cell mean.
+  private val s37 = Q("s37_pq_cell_distortion", Some("""
+    WITH cents AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+    sims AS (SELECT e.vec_id, c.cell,
+        list_sum(list_transform(generate_series(1, len(e.embedding)),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      FROM embeddings e, cents c),
+    assigned AS (SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, sim,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        FROM sims) WHERE rn = 1),
+    js AS (SELECT unnest(range(8)) AS j),
+    seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+    cb AS (
+      SELECT js.j, seeds.code,
+             list_transform(generate_series(1, 8), i -> v[js.j*8 + i]) AS cent
+      FROM seeds, js),
+    dists AS (
+      SELECT e.vec_id, c.j, c.code,
+        list_sum(list_transform(generate_series(1, 8),
+          i -> (CAST(e.embedding[c.j*8+i] AS DOUBLE) - c.cent[i])
+             * (CAST(e.embedding[c.j*8+i] AS DOUBLE) - c.cent[i]))) AS d
+      FROM embeddings e CROSS JOIN cb c),
+    best AS (
+      SELECT vec_id, j, d FROM (
+        SELECT vec_id, j, d,
+          ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+        FROM dists) WHERE rn = 1),
+    pv AS (SELECT vec_id, ROUND(list_sum(list(d ORDER BY j)), 6) AS terr
+           FROM best GROUP BY vec_id)
+    SELECT a.cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      CAST(SUM(CAST(terr AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mse,
+      MAX(terr) AS max_err
+    FROM pv JOIN assigned a USING (vec_id)
+    GROUP BY a.cell ORDER BY cell"""),
+    (s, dir) => graft.pipeline.Pq.cellDistortionReport(
+        T(s, dir, "embeddings"), "embedding", "vec_id",
+        k = 8, m = 8, ksub = 16)
+      .orderBy(col("cell")))
+
+  // Copy-SPAN localization for m26's pairs: per qualifying pair, the
+  // consecutive runs of id_a's indexed frames whose hash occurs in
+  // id_b — WHICH part was copied. Oracle = m26's frame-hash replay +
+  // the matched-frame join + one gaps-and-islands window.
+  private val m28 = Q("m28_video_copy_spans", Some("""
+    WITH base AS (SELECT doc_id, text FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) > 0
+        AND octet_length(CAST(text AS BLOB)) = length(text)),
+    un AS (SELECT doc_id, text FROM base
+           UNION ALL SELECT doc_id + 100000, text || 'x' FROM base),
+    d AS (SELECT doc_id,
+        octet_length(CAST(text AS BLOB)) AS nb,
+        (octet_length(CAST(text AS BLOB)) + 9) // 10 AS nf,
+        string_split(text, '') AS cs
+      FROM un),
+    fr AS (SELECT doc_id, nb, cs, f
+      FROM d, UNNEST(generate_series(0, nf - 1)) AS gf(f)),
+    g AS (SELECT doc_id, f, nb, cs, r * 8 + c AS i,
+        f * 10 + ((r * 2) // 8) * 5 + (c * 5) // 8 AS idx
+      FROM fr, UNNEST(generate_series(0, 7)) AS gr(r),
+              UNNEST(generate_series(0, 7)) AS gc(c)),
+    v AS (SELECT doc_id, f, i,
+        CASE WHEN idx < nb THEN ord(cs[CAST(idx + 1 AS BIGINT)]) ELSE 0 END AS val
+      FROM g),
+    m AS (SELECT doc_id, f, CAST(SUM(val) AS DOUBLE) / 64.0 AS mean
+          FROM v GROUP BY doc_id, f),
+    ah AS (SELECT v.doc_id, v.f,
+        CAST(SUM(CASE WHEN v.val > m.mean AND v.i < 32 THEN (CAST(1 AS BIGINT) << v.i) ELSE 0 END) AS BIGINT) AS hi,
+        CAST(SUM(CASE WHEN v.val > m.mean AND v.i >= 32 THEN (CAST(1 AS BIGINT) << (v.i - 32)) ELSE 0 END) AS BIGINT) AS lo
+      FROM v JOIN m ON v.doc_id = m.doc_id AND v.f = m.f
+      GROUP BY v.doc_id, v.f),
+    fh AS (SELECT DISTINCT doc_id, hi, lo FROM ah),
+    keep AS (SELECT hi, lo FROM fh GROUP BY hi, lo HAVING COUNT(*) <= 100),
+    fhk AS (SELECT fh.* FROM fh JOIN keep USING (hi, lo)),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf FROM fhk GROUP BY 1 HAVING COUNT(*) >= 3),
+    shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM fhk a JOIN fhk b ON a.hi = b.hi AND a.lo = b.lo AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pv AS (SELECT id_a, id_b FROM shared
+      JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b
+      WHERE CAST(n_shared AS DOUBLE) / CAST(LEAST(sa.nf, sb.nf) AS DOUBLE) >= 0.8),
+    af AS (SELECT ah.doc_id, ah.f, ah.hi, ah.lo FROM ah JOIN keep USING (hi, lo)),
+    mt AS (SELECT p.id_a, p.id_b, a.f
+           FROM pv p JOIN af a ON a.doc_id = p.id_a
+           JOIN fhk b ON b.doc_id = p.id_b AND b.hi = a.hi AND b.lo = a.lo),
+    isl AS (SELECT id_a, id_b, f,
+        f - ROW_NUMBER() OVER (PARTITION BY id_a, id_b ORDER BY f) AS grp
+      FROM mt)
+    SELECT id_a, id_b, CAST(MIN(f) AS BIGINT) AS start_frame,
+      CAST(MAX(f) AS BIGINT) AS end_frame, CAST(COUNT(*) AS BIGINT) AS n_frames
+    FROM isl GROUP BY id_a, id_b, grp
+    ORDER BY id_a, id_b, start_frame"""),
+    (s, dir) => {
+      val base = T(s, dir, "documents").where(octet_length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
+      val un = base.select(col("doc_id"), col("text")).unionByName(
+        base.select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit("x")).as("text")))
+      Multimodal.videoCopySpans(
+          Multimodal.framePerceptualHash(
+            Multimodal.textAsAvi(un, "doc_id", "text")).toDF(),
+          minContainment = 0.8, minFrames = 3,
+          maxPostings = Some(100)) // the oracle replays this cap
+        .orderBy(col("id_a"), col("id_b"), col("start_frame"))
+    })
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -7297,13 +7452,13 @@ object SparkEntry {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
     d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
-    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36,
+    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
     t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45,
-    t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56, t57, t58, t59, t60, t61, t62,
+    t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56, t57, t58, t59, t60, t61, t62, t63,
     m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14,
-    m15, m16, m17, m18, m19, m20, m21, m22, m23, m24, m25, m26, m27)
+    m15, m16, m17, m18, m19, m20, m21, m22, m23, m24, m25, m26, m27, m28)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))

@@ -1550,6 +1550,41 @@ object Dedup {
           .as("leak_frac"))
   }
 
+  /** REPAIR the split [[splitLeakageBySource]] audits: every val doc
+    * with a near-duplicate (n-gram Jaccard ≥ τ) in train MOVES to
+    * train — the cheap post-hoc fix for a split that was not built
+    * leakage-safe (the alternative, re-splitting with
+    * [[graft.pipeline.Sampling.leakageSafeSplit]], reshuffles every
+    * doc and invalidates downstream artifacts; moving only the leaked
+    * sliver preserves the rest of the assignment). Val shrinks; what
+    * remains measures generalization instead of memorization.
+    *
+    * Scale shape: [[incrementalNearDupPairs]]'s — the train corpus
+    * scans once with the val split's shingles broadcast; the output
+    * is the input split plus a flag join against the leaked-ids
+    * sliver (AQE-broadcast), so document text never reshuffles.
+    *
+    * @return (idCol, srcCol, split ∈ train|val, moved 0/1) — one row
+    *         per doc across both inputs (unsorted — callers order)
+    */
+  def repairLeakedSplit(train: DataFrame, valSplit: DataFrame,
+      textCol: String, idCol: String, srcCol: String,
+      n: Int = 3, tau: Double = 0.3,
+      maxCorpusPostings: Option[Int] = Some(10000)): DataFrame = {
+    val leaked = incrementalNearDupPairs(valSplit, train, textCol, idCol,
+        n, tau, maxCorpusPostings)
+      .select(col("new_id").as("__lid"))
+      .distinct()
+    val t = train.select(col(idCol), col(srcCol),
+      lit("train").as("split"), lit(0L).as("moved"))
+    val v = valSplit.select(col(idCol), col(srcCol))
+      .join(leaked, col(idCol) === col("__lid"), "left")
+      .select(col(idCol), col(srcCol),
+        when(col("__lid").isNotNull, "train").otherwise("val").as("split"),
+        when(col("__lid").isNotNull, 1L).otherwise(0L).as("moved"))
+    t.unionByName(v)
+  }
+
   /** Cluster FIDELITY audit — per dup cluster, how tight the evidence
     * that formed it is: member count, direct-pair count, min/max/mean
     * Jaccard of the qualifying pairs, the possible-pair count and the

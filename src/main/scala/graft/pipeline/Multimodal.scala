@@ -1500,6 +1500,66 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("n_shared"), col("containment"))
   }
 
+  /** Copy-SPAN localization for the pairs [[videoDupPairs]] detects:
+    * for each qualifying (id_a, id_b) pair, the consecutive runs of
+    * id_a's frames whose hash also occurs in id_b — "WHICH part was
+    * copied", the forensics step after copy detection (a 30 s clip
+    * lifted into an hour-long video is one island; a re-encode of the
+    * whole video is one island spanning everything). Matching counts
+    * INDEXED frames only (the m26 boilerplate cap), so black-frame
+    * runs don't weld unrelated islands together.
+    *
+    * Scale shape: the pair frame is qualifying pairs only (tiny,
+    * AQE-broadcast onto the frame table); the a-side keeps its frame
+    * indexes, the b-side contributes a distinct (id, hash) set, and
+    * the islands are one gaps-and-islands window partitioned by pair
+    * — frame payloads never enter, per-pair state is its matched
+    * frame count.
+    *
+    * @return (id_a, id_b, start_frame, end_frame, n_frames), one row
+    *         per island (unsorted — callers order)
+    */
+  def videoCopySpans(frameHashes: DataFrame, minContainment: Double = 0.8,
+      minFrames: Int = 3, maxPostings: Option[Int] = Some(100),
+      idCol: String = "sample_id"): DataFrame = {
+    val pairs = videoDupPairs(frameHashes, minContainment, minFrames,
+        maxPostings, idCol)
+      .select(col("id_a"), col("id_b"))
+    val frames = frameHashes.select(col(idCol).cast("long").as("id"),
+      col("frame_idx"), col("ahash_hi"), col("ahash_lo"))
+    val distinctHashes = frames.select(col("id"), col("ahash_hi"),
+      col("ahash_lo")).distinct()
+    // the same corpus-wide cap videoDupPairs applied: non-indexed
+    // (boilerplate) frames neither match nor extend an island
+    val indexedHashes = maxPostings match {
+      case Some(cap) =>
+        distinctHashes.join(
+          distinctHashes.groupBy(col("ahash_hi"), col("ahash_lo"))
+            .agg(count(lit(1)).as("__c"))
+            .where(col("__c") <= lit(cap))
+            .select(col("ahash_hi"), col("ahash_lo")),
+          Seq("ahash_hi", "ahash_lo"))
+      case None => distinctHashes
+    }
+    val aFrames = frames
+      .join(indexedHashes.select(col("id"), col("ahash_hi"),
+        col("ahash_lo")), Seq("id", "ahash_hi", "ahash_lo"), "left_semi")
+    val matched = pairs
+      .join(aFrames.withColumnRenamed("id", "id_a"), Seq("id_a"))
+      .join(indexedHashes.select(col("id").as("id_b"), col("ahash_hi"),
+        col("ahash_lo")), Seq("id_b", "ahash_hi", "ahash_lo"), "left_semi")
+      .select(col("id_a"), col("id_b"), col("frame_idx"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"), col("id_b")).orderBy(col("frame_idx"))
+    matched
+      .withColumn("__grp", col("frame_idx") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"), col("__grp"))
+      .agg(min(col("frame_idx")).cast("long").as("start_frame"),
+        max(col("frame_idx")).cast("long").as("end_frame"),
+        count(lit(1)).as("n_frames"))
+      .drop("__grp")
+  }
+
   /** The COMPOSED video curation run — the m24/m25 trilogy's closing
     * member, the operator a video training-data pipeline schedules
     * nightly: the m26 boilerplate cap indexes each video's distinct

@@ -179,6 +179,52 @@ object Pq {
       .orderBy(col("j"))
   }
 
+  /** PQ distortion per IVF CELL — [[distortionReport]]'s global MSE
+    * localized to the cell partitioning: per cell, the count and the
+    * mean/max total reconstruction error of its members under the
+    * seeded codebooks. The read that turns s32's "is the codebook
+    * good" into "WHERE is it bad": a cell whose residuals the shared
+    * codebook fits worst is where a localized re-train
+    * ([[graft.pipeline.Clustering.centroidRefresh]]'s PQ analogue)
+    * pays, and a drifting append (s34) shows up here as distortion
+    * concentrating in the unseeded cells.
+    *
+    * Determinism: the per-vector total folds the m sub-errors in
+    * subspace order (left fold — mirrored by the oracle's ordered
+    * list_sum), is rounded 6 dp, and the per-cell mean sums those
+    * round-6 totals as DECIMAL — order-independent on any engine.
+    *
+    * Scale shape: ONE map-only projection computes assignment (the
+    * k-dispatch literal/broadcast shape) AND the PQ sub-errors; only
+    * (cell, total-error) scalar pairs reach the k-row aggregation.
+    *
+    * @return (cell, n_vecs, mse, max_err), one row per non-empty
+    *         cell (unsorted — callers order)
+    */
+  def cellDistortionReport(emb: DataFrame, vecCol: String, idCol: String,
+      k: Int, m: Int, ksub: Int): DataFrame = {
+    val books = seedCodebooks(emb, vecCol, idCol, m, ksub)
+    // null guard on the INPUT column, not the kernel output — a
+    // filter on errs would make Catalyst re-evaluate the kernel
+    // inside the Filter (the distortionReport lesson)
+    graft.pipeline.Clustering.assignToSeeds(
+        emb.where(col(vecCol).isNotNull), vecCol, idCol, k)
+      .select(col("cell"),
+        graft.functions.PqExpressions.pqSubErrors(col(vecCol), books)
+          .as("errs"))
+      .select(col("cell"),
+        round(aggregate(col("errs"), lit(0.0),
+          (acc, e) => acc + e), 6).as("terr"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("terr").cast("decimal(18,6)")).as("__ts"),
+        max(col("terr")).as("max_err"))
+      .select(col("cell"), col("n_vecs"),
+        (col("__ts").cast("double") / col("n_vecs").cast("double"))
+          .as("mse"),
+        col("max_err"))
+  }
+
   /** Adds a `codes` column (array<int>, length m): per subspace, the
     * L2-nearest codebook entry, ties to the lower code. Map-only via
     * the [[graft.functions.PqExpressions.PqEncode]] codegen kernel —

@@ -157,6 +157,9 @@ object ExplainDump {
       "t62_tokenizer_fertility" -> "tokenizer fertility by language: langid scores AND the BPE encode kernel in ONE map-only projection (merges are plan literals); a |languages|-row partial-agg exchange of scalars is the only shuffle",
       "s36_centroid_refresh" -> "one-step Lloyd refresh: map-only inlined-centroid assignment, a (cell, dim)-keyed partial agg (n x dim scalar rows in, k x dim groups out), k x dim old-centroid broadcast join — vectors never shuffle",
       "m27_video_curation_run" -> "composed video curation run: m26's capped pair pass + participation gate + closure share the eagerly-counted caches; the result plan is ids-only kept/rollup legs + literal count rows — frame hashes in, payloads never enter",
+      "t63_split_leakage_repair" -> "split leakage repair: t60's cross-split pair shape (train scans once, val shingles broadcast) feeding an ids-only flag join — document text never reshuffles; moved is a CASE on the join",
+      "s37_pq_cell_distortion" -> "PQ cell distortion: assignment and the PQ sub-error kernel in ONE map-only projection (centroids and codebooks are plan literals); only (cell, total-error) scalars reach the k-row aggregation",
+      "m28_video_copy_spans" -> "video copy spans: the qualifying-pair frame AQE-broadcasts onto the frame table (a-side keeps indexes, b-side is a distinct hash set), then one gaps-and-islands window partitioned by pair",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")

@@ -548,6 +548,28 @@ object ScaleSmoke {
       time("s36 centroidRefresh") {
         graft.pipeline.Clustering.centroidRefresh(emb, "embedding",
           "vec_id", 8).collect().length.toLong }
+      // t60's broadcast cross-split pair pass + an ids-only flag join
+      time("t63 splitLeakageRepair (capped)") {
+        graft.pipeline.Dedup.repairLeakedSplit(
+            docs.where(col("doc_id") % 7 =!= 0),
+            docs.where(col("doc_id") % 7 === 0),
+            "text", "doc_id", "source")
+          .count() }
+      // ONE map-only assignment+sub-error projection; k-row rollup
+      time("s37 pqCellDistortion") {
+        graft.pipeline.Pq.cellDistortionReport(emb, "embedding",
+          "vec_id", k = 8, m = 8, ksub = 16).collect().length.toLong }
+      // m26's capped pair pass, then pair-broadcast frame joins and
+      // one gaps-and-islands window partitioned by pair
+      time("m28 videoCopySpans (capped)") {
+        val un = asciiDocs.select(col("doc_id"), col("text")).unionByName(
+          asciiDocs.select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(col("text"), lit("x")).as("text")))
+        graft.pipeline.Multimodal.videoCopySpans(
+          graft.pipeline.Multimodal.framePerceptualHash(
+            graft.pipeline.Multimodal.textAsAvi(un, "doc_id", "text"))
+            .toDF())
+          .count() }
       // m26's capped pair pass + participation gate + closure +
       // rollups; frame hashes in, payloads never enter the operator
       time("m27 videoCurationRun (capped)") {

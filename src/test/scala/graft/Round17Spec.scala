@@ -290,6 +290,132 @@ class Round17Spec extends AnyFunSuite {
     } finally fh.unpersist()
   }
 
+  // ---------------- t63 split leakage repair ----------------
+
+  test("repairLeakedSplit moves exactly the leaked val docs, train rows untouched") {
+    import spark.implicits._
+    val shared = (1 to 40).map(i => "tok" + (i % 25)).mkString(" ")
+    val train = Seq((1L, "a", shared), (2L, "a", "unrelated train words here entirely"))
+      .toDF("doc_id", "source", "text")
+    val valS = Seq(
+      (10L, "a", shared), // near-dup of train doc 1 -> moves
+      (11L, "b", "totally disjoint val content nothing shared anywhere")
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.repairLeakedSplit(train, valS, "text", "doc_id", "source",
+        n = 3, tau = 0.3, maxCorpusPostings = None)
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    assert(out.size == 4)
+    assert(out(1L) == ("train", 0L) && out(2L) == ("train", 0L))
+    assert(out(10L) == ("train", 1L), "leaked val doc moves to train")
+    assert(out(11L) == ("val", 0L), "clean val doc stays")
+  }
+
+  test("repairLeakedSplit moved counts reconcile with splitLeakageBySource") {
+    val docs = Tables.load(spark, SparkFixture.sfDir, "documents")
+    val train = docs.where(col("doc_id") % 7 =!= 0)
+    val valS = docs.where(col("doc_id") % 7 === 0)
+    val movedBySrc = Dedup.repairLeakedSplit(train, valS, "text", "doc_id",
+        "source", maxCorpusPostings = None)
+      .where(col("moved") === 1L)
+      .groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val audit = Dedup.splitLeakageBySource(train, valS, "text", "doc_id",
+        "source", maxCorpusPostings = None)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(audit.filter(_._2 > 0L) == movedBySrc,
+      "the repair moves exactly the docs the audit counts as leaked")
+  }
+
+  // ---------------- s37 PQ cell distortion ----------------
+
+  test("cellDistortionReport matches a driver-side assignment x PQ-error reference") {
+    val emb = Tables.load(spark, SparkFixture.sfDir, "embeddings")
+    val got = graft.pipeline.Pq.cellDistortionReport(emb, "embedding",
+        "vec_id", k = 8, m = 8, ksub = 16)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val vecs = emb.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val cents = vecs.toSeq.sortBy(_._1).take(8)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val books = vecs.toSeq.sortBy(_._1).take(16).map(_._2) // 16 seed vectors
+    def subErr(v: Array[Double], j: Int): Double =
+      books.map { bv =>
+        (0 until 8).map { i =>
+          val d = v(j * 8 + i) - bv(j * 8 + i); d * d
+        }.sum
+      }.min
+    def r6(d: Double): Double = BigDecimal(d)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val perVec = vecs.map { case (id, v) =>
+      val cell = cents.map { case (c, cv) => (c, cos(v, cv)) }
+        .maxBy { case (c, s) => (s, -c) }._1
+      // left fold in subspace order, like the kernel and the oracle
+      val terr = (0 until 8).foldLeft(0.0)((acc, j) => acc + subErr(v, j))
+      (id, cell, r6(terr))
+    }
+    perVec.groupBy(_._2).foreach { case (cell, rows) =>
+      val (n, mse, mx) = got(cell)
+      assert(n == rows.size.toLong)
+      val expMse = (rows.map(r => BigDecimal(r._3)).sum / rows.size).toDouble
+      assert(math.abs(mse - expMse) < 1e-9, s"cell $cell mse $mse vs $expMse")
+      assert(mx == rows.map(_._3).max)
+    }
+    assert(got.values.map(_._1).sum == vecs.size.toLong)
+  }
+
+  // ---------------- m28 video copy spans ----------------
+
+  test("videoCopySpans islands split on unmatched frames and skip boilerplate") {
+    import spark.implicits._
+    import graft.pipeline.Multimodal
+    // video 1 frames: h1 h2 h3 | h9 (no match) | h4 h5 ; video 2 holds
+    // h1..h5; boilerplate hash 99 rides many videos (over cap)
+    def f(id: Long, hs: Seq[Long]) =
+      hs.zipWithIndex.map { case (h, i) => (id, i, h, h * 3L) }
+    val frames = (f(1L, Seq(1, 2, 3, 9, 4, 5)) ++ f(2L, Seq(1, 2, 3, 4, 5)) ++
+      f(3L, Seq(99, 21, 22)) ++ f(4L, Seq(99, 31, 32)) ++ f(5L, Seq(99, 41, 42)))
+      .toDF("sample_id", "frame_idx", "ahash_hi", "ahash_lo")
+    val spans = Multimodal.videoCopySpans(frames, minContainment = 0.8,
+        minFrames = 3, maxPostings = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(spans == Set((1L, 2L, 0L, 2L, 3L), (1L, 2L, 4L, 5L, 2L)),
+      s"two islands split by the unmatched frame: $spans")
+  }
+
+  test("videoCopySpans frame totals reconcile with videoDupPairs n_shared on sf data") {
+    import graft.pipeline.Multimodal
+    val docs = Tables.load(spark, SparkFixture.sfDir, "documents")
+      .where(octet_length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
+      .limit(60)
+    val un = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit("x")).as("text")))
+    val fh = Multimodal.framePerceptualHash(
+      Multimodal.textAsAvi(un, "doc_id", "text")).toDF().cache()
+    try {
+      val spanSums = Multimodal.videoCopySpans(fh, 0.8, 3, Some(100))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(sum(col("n_frames")).as("nf"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val pairs = Multimodal.videoDupPairs(fh, 0.8, 3, Some(100))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(pairs.nonEmpty && spanSums.keySet == pairs.keySet)
+      // every pair's island frames cover at least its shared DISTINCT
+      // hashes (frames can repeat a hash, so >= not ==)
+      pairs.foreach { case (k, nShared) =>
+        assert(spanSums(k) >= nShared,
+          s"pair $k islands ${spanSums(k)} < shared hashes $nShared")
+      }
+    } finally fh.unpersist()
+  }
+
   test("centroidRefresh is a fixpoint when every centroid is its own cell") {
     import spark.implicits._
     // k vectors, mutually orthogonal-ish: each is alone in its cell,
