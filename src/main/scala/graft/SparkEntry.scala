@@ -7439,6 +7439,352 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"), col("start_frame"))
     })
 
+  // IDF-WEIGHTED Jaccard pairs: d02 with each shingle weighted by
+  // round-6 ln(N/df) — shared boilerplate (high df) contributes ~0 to
+  // either side of the ratio, so only rare-shingle overlap pairs
+  // docs. Weighted min-hash approximates this measure; the inverted
+  // index computes it exactly. Oracle replays weights and both
+  // DECIMAL sums.
+  private val d38 = Q("d38_weighted_jaccard", Some("""
+    WITH toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM sh),
+    dfq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+    w AS (SELECT shingle,
+        CAST(ROUND(ln(nn.n / CAST(df AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w
+      FROM dfq, nn),
+    sws AS (SELECT doc_id, SUM(w) AS sw
+            FROM sh JOIN w USING (shingle) GROUP BY 1),
+    iw AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(w.w) AS swi
+      FROM sh a JOIN sh b USING (shingle) JOIN w USING (shingle)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT id_a, id_b,
+      ROUND(CAST(swi AS DOUBLE) / CAST(sa.sw + sb.sw - swi AS DOUBLE), 6) AS w_jaccard
+    FROM iw JOIN sws sa ON sa.doc_id = id_a JOIN sws sb ON sb.doc_id = id_b
+    WHERE CAST(swi AS DOUBLE) / CAST(sa.sw + sb.sw - swi AS DOUBLE) >= 0.3
+    ORDER BY id_a, id_b"""),
+    (s, dir) => Dedup.weightedJaccardPairs(T(s, dir, "documents"),
+        "text", "doc_id", n = 3, threshold = 0.3,
+        maxPostings = None) // exact: oracle-comparable
+      .orderBy(col("id_a"), col("id_b")))
+
+  // Residual-vs-raw PQ distortion: the measurement behind IVF-PQ's
+  // residual layout — on clustered data r = v − centroid fits the
+  // same codebook budget with lower error; res_mse AT OR ABOVE
+  // raw_mse (as on these structureless synthetic embeddings) is the
+  // signal the residual layout won't pay. Oracle replays assignment,
+  // both codebooks, both argmins, and the DECIMAL means.
+  private val s38 = Q("s38_residual_pq_distortion", Some("""
+    WITH cents AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+    sims AS (SELECT e.vec_id, c.cell,
+        list_sum(list_transform(generate_series(1, len(e.embedding)),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      FROM embeddings e, cents c),
+    assigned AS (SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, sim,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        FROM sims) WHERE rn = 1),
+    js AS (SELECT unnest(range(8)) AS j),
+    seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+    cb AS (
+      SELECT js.j, seeds.code,
+             list_transform(generate_series(1, 8), i -> v[js.j*8 + i]) AS cent
+      FROM seeds, js),
+    dists AS (
+      SELECT e.vec_id, c.j, c.code,
+        list_sum(list_transform(generate_series(1, 8),
+          i -> (CAST(e.embedding[c.j*8+i] AS DOUBLE) - c.cent[i])
+             * (CAST(e.embedding[c.j*8+i] AS DOUBLE) - c.cent[i]))) AS d
+      FROM embeddings e CROSS JOIN cb c),
+    best AS (
+      SELECT vec_id, j, d FROM (
+        SELECT vec_id, j, d,
+          ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+        FROM dists) WHERE rn = 1),
+    resv AS (SELECT e.vec_id,
+        list_transform(generate_series(1, len(e.embedding)),
+          i -> CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)) AS r
+      FROM embeddings e JOIN assigned a USING (vec_id)
+        JOIN cents c ON c.cell = a.cell),
+    rseeds AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, r AS v
+      FROM (SELECT vec_id, r FROM resv ORDER BY vec_id LIMIT 16)),
+    rcb AS (SELECT js.j, rseeds.code,
+        list_transform(generate_series(1, 8), i -> v[js.j*8 + i]) AS cent
+      FROM rseeds, js),
+    rdists AS (SELECT e.vec_id, c.j, c.code,
+        list_sum(list_transform(generate_series(1, 8),
+          i -> (e.r[c.j*8+i] - c.cent[i]) * (e.r[c.j*8+i] - c.cent[i]))) AS d
+      FROM resv e CROSS JOIN rcb c),
+    rbest AS (SELECT vec_id, j, d FROM (
+        SELECT vec_id, j, d,
+          ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+        FROM rdists) WHERE rn = 1),
+    pj AS (SELECT b.vec_id, b.j, ROUND(b.d, 6) AS rawe, ROUND(rb.d, 6) AS rese
+      FROM best b JOIN rbest rb ON rb.vec_id = b.vec_id AND rb.j = b.j)
+    SELECT CAST(j AS BIGINT) AS j, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      CAST(SUM(CAST(rawe AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS raw_mse,
+      CAST(SUM(CAST(rese AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS res_mse
+    FROM pj GROUP BY j ORDER BY j"""),
+    (s, dir) => graft.pipeline.Pq.residualDistortionReport(
+        T(s, dir, "embeddings"), "embedding", "vec_id",
+        k = 8, m = 8, ksub = 16)
+      .orderBy(col("j")))
+
+  // The DROP-OVERLAP matrix: t58 attributes drops in production
+  // order, which HIDES how much the three filters overlap — this is
+  // the ordering-invariant 2×2×2 contingency (dup × contam × lowq)
+  // with per-cell mean quality, the data that settles filter-ordering
+  // debates. Oracle replays the t58 flag frame and groups it.
+  private val t64 = Q("t64_drop_overlap_matrix", Some("""
+    WITH RECURSIVE train AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+    toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    tsh AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM tsh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM tsh a JOIN tsh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+          CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) AS jaccard
+        FROM inter
+          JOIN sizes na ON na.doc_id = id_a
+          JOIN sizes nb ON nb.doc_id = id_b)
+      WHERE jaccard >= 0.3),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach(u, v) AS (SELECT u, v FROM sym
+                    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u),
+    dups AS (SELECT doc_id FROM comp WHERE doc_id <> rep),
+    bshingle AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+    hits AS (SELECT s.doc_id, COUNT(*) AS n_hits
+             FROM tsh s JOIN bshingle USING (shingle) GROUP BY 1),
+    contam AS (SELECT doc_id FROM hits WHERE n_hits >= 2),
+    flags AS (SELECT t.doc_id,
+        ROUND(
+          0.5 * LEAST(CAST(len(string_split(t.text, ' ')) AS DOUBLE) / 100.0, 1.0)
+          + 0.3 * LEAST(
+              ((LENGTH(' ' || lower(t.text) || ' ') - LENGTH(replace(' ' || lower(t.text) || ' ', ' the ', ' '))) / 4.0
+               + (LENGTH(' ' || lower(t.text) || ' ') - LENGTH(replace(' ' || lower(t.text) || ' ', ' and ', ' '))) / 4.0
+               + (LENGTH(' ' || lower(t.text) || ' ') - LENGTH(replace(' ' || lower(t.text) || ' ', ' of ', ' '))) / 3.0)
+              / GREATEST(CAST(len(string_split(t.text, ' ')) AS DOUBLE), 1.0) * 10.0, 1.0)
+          + 0.2 * (1.0 - LEAST(CAST(LENGTH(regexp_replace(t.text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+              / GREATEST(CAST(LENGTH(t.text) AS DOUBLE), 1.0) * 10.0, 1.0)), 6) AS q,
+        CASE WHEN t.doc_id IN (SELECT doc_id FROM dups) THEN 1 ELSE 0 END AS dup,
+        CASE WHEN t.doc_id IN (SELECT doc_id FROM contam) THEN 1 ELSE 0 END AS contam
+      FROM train t),
+    agg AS (SELECT dup, contam,
+        CASE WHEN q < 0.4 THEN 1 ELSE 0 END AS lowq,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_quality
+      FROM flags GROUP BY 1, 2, 3),
+    cells AS (SELECT d.c AS dup, c.c AS contam, q.c AS lowq
+      FROM (VALUES (0), (1)) d(c), (VALUES (0), (1)) c(c), (VALUES (0), (1)) q(c))
+    SELECT CAST(cells.dup AS BIGINT) AS dup,
+      CAST(cells.contam AS BIGINT) AS contam,
+      CAST(cells.lowq AS BIGINT) AS lowq,
+      COALESCE(a.n_docs, 0) AS n_docs, a.mean_quality
+    FROM cells LEFT JOIN agg a
+      ON a.dup = cells.dup AND a.contam = cells.contam AND a.lowq = cells.lowq
+    ORDER BY dup, contam, lowq"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.pipeline.CorpusRelease.dropOverlapMatrix(
+          docs.where(col("doc_id") % 50 =!= 0),
+          docs.where(col("doc_id") % 50 === 0),
+          "text", "doc_id", "source", n = 3, tau = 0.3, minHits = 2L,
+          minQuality = 0.4, maxPostings = None) // exact: oracle
+        .orderBy(col("dup"), col("contam"), col("lowq"))
+    })
+
+  // PAIR EVIDENCE: for each d02 pair, the 3 rarest shared shingles
+  // (df ascending, ties by text) — what a reviewer reads before
+  // trusting a dedup drop; rare shared content vs boilerplate glue.
+  // Oracle replays pairs, the df rollup, and the per-pair top-k.
+  private val d39 = Q("d39_pair_evidence", Some("""
+    WITH toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    dfq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+          CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) AS jaccard
+        FROM inter
+          JOIN sizes na ON na.doc_id = id_a
+          JOIN sizes nb ON nb.doc_id = id_b)
+      WHERE jaccard >= 0.3),
+    shared AS (SELECT p.id_a, p.id_b, s.shingle, d.df
+      FROM pairs p
+      JOIN sh s ON s.doc_id = p.id_a
+      JOIN sh s2 ON s2.doc_id = p.id_b AND s2.shingle = s.shingle
+      JOIN dfq d ON d.shingle = s.shingle),
+    rk AS (SELECT id_a, id_b, shingle, df,
+        ROW_NUMBER() OVER (PARTITION BY id_a, id_b ORDER BY df, shingle) AS rn
+      FROM shared)
+    SELECT id_a, id_b, CAST(rn AS BIGINT) AS rank, shingle,
+      CAST(df AS BIGINT) AS df
+    FROM rk WHERE rn <= 3
+    ORDER BY id_a, id_b, rank"""),
+    (s, dir) => Dedup.pairEvidence(T(s, dir, "documents"),
+        "text", "doc_id", n = 3, threshold = 0.3, k = 3,
+        maxPostings = None) // exact: oracle-comparable
+      .orderBy(col("id_a"), col("id_b"), col("rank")))
+
+  // Bit-width DECISION: s33's sweep turned into the one-row verdict a
+  // quantized-index build acts on — the smallest width whose MSE
+  // meets the target (storage minimized, error the constraint),
+  // largest-candidate fallback flagged unmet. Oracle replays the
+  // sweep and the sort-limit selection.
+  private val s39 = Q("s39_sq_bits_decision", Some("""
+    WITH ls AS (SELECT * FROM (VALUES (2, 3.0), (4, 15.0), (6, 63.0), (8, 255.0))
+        AS t(bits, lev)),
+    per AS (SELECT l.bits, l.lev,
+        list_sum(list_transform(e.embedding, x ->
+          (CAST(x AS DOUBLE)
+            - (GREATEST(0.0, LEAST(l.lev,
+                ROUND((CAST(x AS DOUBLE) - (-2.0)) / 4.0 * l.lev))) / l.lev * 4.0 + (-2.0)))
+          * (CAST(x AS DOUBLE)
+            - (GREATEST(0.0, LEAST(l.lev,
+                ROUND((CAST(x AS DOUBLE) - (-2.0)) / 4.0 * l.lev))) / l.lev * 4.0 + (-2.0)))))
+          AS sq_sum,
+        list_max(list_transform(e.embedding, x ->
+          ABS(CAST(x AS DOUBLE)
+            - (GREATEST(0.0, LEAST(l.lev,
+                ROUND((CAST(x AS DOUBLE) - (-2.0)) / 4.0 * l.lev))) / l.lev * 4.0 + (-2.0)))))
+          AS mx,
+        CAST(len(e.embedding) AS BIGINT) AS n
+      FROM embeddings e CROSS JOIN ls l),
+    agg AS (SELECT CAST(bits AS BIGINT) AS bits, CAST(SUM(n) AS BIGINT) AS n_values,
+        ROUND(SUM(sq_sum) / CAST(SUM(n) AS DOUBLE), 6) AS mse,
+        MAX(mx) AS max_abs_err
+      FROM per GROUP BY bits),
+    d AS (SELECT *, CAST(CASE WHEN mse <= 0.001 THEN 1 ELSE 0 END AS BIGINT) AS met
+      FROM agg)
+    SELECT bits, n_values, mse, max_abs_err,
+      CAST(0.001 AS DOUBLE) AS target_mse, met
+    FROM d
+    ORDER BY met DESC, CASE WHEN met = 1 THEN bits ELSE -bits END
+    LIMIT 1"""),
+    (s, dir) => graft.pipeline.Quantize.bitsDecision(
+        T(s, dir, "embeddings"), "embedding", lo = -2.0, hi = 2.0,
+        targetMse = 0.001, bitsList = Seq(2, 4, 6, 8)))
+
+  // INCREMENTAL release run: t58's daily-ingest sibling (the d35 move
+  // for the full release pipeline) — admit a batch against a standing
+  // released corpus: corpus near-dups drop first (the corpus already
+  // shipped), the remainder dedups within the batch, then benchmark
+  // decontamination and the quality gate; drop counts attributed in
+  // that order sum exactly to the batch. Oracle replays every stage
+  // including the remainder-restricted closure.
+  private val t65 = Q("t65_incremental_release_run", Some("""
+    WITH RECURSIVE toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    nsh AS (SELECT * FROM sh WHERE doc_id % 7 = 0 AND doc_id % 50 <> 0),
+    csh AS (SELECT * FROM sh WHERE doc_id % 7 <> 0 AND doc_id % 50 <> 0),
+    bshingle AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+    nsz AS (SELECT doc_id, COUNT(*) AS n_n FROM nsh GROUP BY 1),
+    csz AS (SELECT doc_id, COUNT(*) AS n_c FROM csh GROUP BY 1),
+    xinter AS (SELECT n.doc_id AS nid, c.doc_id AS cid, COUNT(*) AS n_inter
+               FROM nsh n JOIN csh c USING (shingle) GROUP BY 1, 2),
+    corpusdup AS (SELECT DISTINCT nid AS doc_id FROM xinter
+      JOIN nsz ON nsz.doc_id = nid
+      JOIN csz ON csz.doc_id = cid
+      WHERE CAST(n_inter AS DOUBLE) / CAST(n_n + n_c - n_inter AS DOUBLE) >= 0.3),
+    rsh AS (SELECT * FROM nsh
+            WHERE doc_id NOT IN (SELECT doc_id FROM corpusdup)),
+    rsz AS (SELECT doc_id, COUNT(*) AS n_sh FROM rsh GROUP BY 1),
+    rinter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+               FROM rsh a JOIN rsh b USING (shingle)
+               WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    rpairs AS (SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+          CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) AS jaccard
+        FROM rinter
+          JOIN rsz na ON na.doc_id = id_a
+          JOIN rsz nb ON nb.doc_id = id_b)
+      WHERE jaccard >= 0.3),
+    sym AS (SELECT id_a AS u, id_b AS v FROM rpairs UNION SELECT id_b, id_a FROM rpairs),
+    reach(u, v) AS (SELECT u, v FROM sym
+                    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u),
+    batchdup AS (SELECT doc_id FROM comp WHERE doc_id <> rep),
+    hits AS (SELECT n.doc_id, COUNT(*) AS n_hits
+             FROM nsh n JOIN bshingle USING (shingle) GROUP BY 1),
+    contam AS (SELECT doc_id FROM hits WHERE n_hits >= 2),
+    flags AS (SELECT t.doc_id, t.source,
+        ROUND(
+          0.5 * LEAST(CAST(len(string_split(t.text, ' ')) AS DOUBLE) / 100.0, 1.0)
+          + 0.3 * LEAST(
+              ((LENGTH(' ' || lower(t.text) || ' ') - LENGTH(replace(' ' || lower(t.text) || ' ', ' the ', ' '))) / 4.0
+               + (LENGTH(' ' || lower(t.text) || ' ') - LENGTH(replace(' ' || lower(t.text) || ' ', ' and ', ' '))) / 4.0
+               + (LENGTH(' ' || lower(t.text) || ' ') - LENGTH(replace(' ' || lower(t.text) || ' ', ' of ', ' '))) / 3.0)
+              / GREATEST(CAST(len(string_split(t.text, ' ')) AS DOUBLE), 1.0) * 10.0, 1.0)
+          + 0.2 * (1.0 - LEAST(CAST(LENGTH(regexp_replace(t.text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+              / GREATEST(CAST(LENGTH(t.text) AS DOUBLE), 1.0) * 10.0, 1.0)), 6) AS q,
+        t.doc_id IN (SELECT doc_id FROM corpusdup) AS cdup,
+        t.doc_id IN (SELECT doc_id FROM batchdup) AS bdup,
+        t.doc_id IN (SELECT doc_id FROM contam) AS contam
+      FROM documents t WHERE t.doc_id % 7 = 0 AND t.doc_id % 50 <> 0),
+    admitted AS (SELECT 'admitted' AS stage, doc_id, source,
+        CAST(NULL AS BIGINT) AS n
+      FROM flags WHERE NOT cdup AND NOT bdup AND NOT contam AND q >= 0.4),
+    counts AS (
+      SELECT 'input' AS stage, CAST(NULL AS BIGINT) AS doc_id,
+        CAST(NULL AS VARCHAR) AS source, CAST(COUNT(*) AS BIGINT) AS n FROM flags
+      UNION ALL SELECT 'dropped_corpus', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        CAST(SUM(CASE WHEN cdup THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+      UNION ALL SELECT 'dropped_batch', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        CAST(SUM(CASE WHEN NOT cdup AND bdup THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+      UNION ALL SELECT 'dropped_contam', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        CAST(SUM(CASE WHEN NOT cdup AND NOT bdup AND contam THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+      UNION ALL SELECT 'dropped_quality', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        CAST(SUM(CASE WHEN NOT cdup AND NOT bdup AND NOT contam AND q < 0.4 THEN 1 ELSE 0 END) AS BIGINT) FROM flags),
+    bysrc AS (SELECT 'admitted_source' AS stage, CAST(NULL AS BIGINT) AS doc_id,
+        source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM flags WHERE NOT cdup AND NOT bdup AND NOT contam AND q >= 0.4
+      GROUP BY source)
+    SELECT stage, doc_id, source, n FROM admitted
+    UNION ALL SELECT stage, doc_id, source, n FROM counts
+    UNION ALL SELECT stage, doc_id, source, n FROM bysrc
+    ORDER BY stage, doc_id, source"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.pipeline.CorpusRelease.incrementalReleaseRun(
+          docs.where(col("doc_id") % 7 === 0 && col("doc_id") % 50 =!= 0),
+          docs.where(col("doc_id") % 7 =!= 0 && col("doc_id") % 50 =!= 0),
+          docs.where(col("doc_id") % 50 === 0),
+          "text", "doc_id", "source", n = 3, tau = 0.3, minHits = 2L,
+          minQuality = 0.4, maxPostings = None) // exact: oracle
+        .orderBy(col("stage"), col("doc_id").asc_nulls_last,
+          col("source").asc_nulls_last)
+    })
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -7450,13 +7796,13 @@ object SparkEntry {
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
-    d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37,
+    d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
-    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37,
+    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38, s39,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
     t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45,
-    t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56, t57, t58, t59, t60, t61, t62, t63,
+    t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65,
     m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14,
     m15, m16, m17, m18, m19, m20, m21, m22, m23, m24, m25, m26, m27, m28)
 

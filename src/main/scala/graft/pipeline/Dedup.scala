@@ -317,6 +317,137 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** IDF-WEIGHTED n-gram Jaccard pairs — [[ngramJaccardPairs]] with
+    * each shingle weighted by its corpus rarity, w(s) = round-6
+    * ln(N/df(s)): two docs sharing rare shingles are near-dups; two
+    * docs sharing only boilerplate shingles (header/footer/license
+    * text — exactly what df counts) are not. Plain Jaccard inflates
+    * the second class; weighted Jaccard wJ(A,B) = Σ_{A∩B} w / Σ_{A∪B}
+    * w sends a df=N shingle's weight to ln(1)=0, so boilerplate
+    * contributes nothing to either side of the ratio. The weighted
+    * min-hash literature (consistent sampling) approximates this
+    * measure; here the inverted index computes it exactly.
+    *
+    * Determinism: weights are rounded 6 dp and both sums run through
+    * DECIMAL(18,6) (exact on any engine, any partitioning); the final
+    * ratio is one double division.
+    *
+    * Scale shape: d02's inverted index with the df rollup reused as
+    * the weight table (one extra shingle-keyed join, AQE-broadcast at
+    * realistic vocabulary skew); `maxPostings` drops over-cap
+    * shingles from the index — PRINCIPLED here, not just a guard:
+    * a shingle in more than `cap` docs carries near-zero idf, so the
+    * cap removes exactly the rows whose weight rounds toward 0.
+    * df and N always count the FULL corpus (the cap prunes the pair
+    * index, not the statistics).
+    *
+    * @return (id_a, id_b, w_jaccard round-6) with id_a < id_b and
+    *         w_jaccard ≥ threshold (unsorted — callers order)
+    */
+  def weightedJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+      n: Int, threshold: Double,
+      maxPostings: Option[Int] = Some(10000)): DataFrame = {
+    val spark = docs.sparkSession
+    // the d02 shape end to end: hashed shingles (64-bit keys — every
+    // exchange carries (id, long, decimal) triples, never strings;
+    // collisions are the suite's accepted xxhash64 odds), the shingle
+    // kernel runs ONCE behind a scoped cache, and pairs expand from
+    // per-shingle POSTING LISTS map-side instead of a posting
+    // self-join (the self-join spelling measured 3.7x this shape's
+    // wall at 10x). The weight table is the df rollup itself; the
+    // posting collect_list reuses the weight join's shingle
+    // partitioning, so the weighted pair pass costs the df rollup +
+    // one pair exchange + one doc-sum exchange beyond d02.
+    val docSets = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
+      graft.ops.ScaleOps.fanOut(docs).select(
+        col(idCol).as("id"),
+        graft.functions.ShingleHashes(col(textCol), n).as("sh_arr")))
+    val exploded = docSets.select(explode(col("sh_arr")).as("shingle"), col("id"))
+    val nDocs = exploded.select(countDistinct(col("id")).as("n"))
+    val dfW = exploded.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("shingle"), col("df"),
+        round(log(col("n").cast("double") / col("df").cast("double")), 6)
+          .cast("decimal(18,6)").as("w"))
+    val wExploded = exploded.join(dfW, Seq("shingle"))
+    // scope-cached: (a) it feeds BOTH final joins; (b) the cache's
+    // known statistics let the planner BROADCAST it onto the pair
+    // frame — without them the 50k-row frame sort-merge-joined the
+    // 113M-row candidate set at the 10x smoke (150 s vs 9 s
+    // measured). At broadcast-breaking corpus sizes the join degrades
+    // to SMJ on its own and the cache spills — pair-bound either way.
+    val docSums = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
+      wExploded.groupBy(col("id")).agg(sum(col("w")).as("sw")))
+    val indexed = maxPostings match {
+      case Some(cap) => wExploded.where(col("df") <= lit(cap))
+      case None => wExploded
+    }
+    val interW = indexed
+      .groupBy(col("shingle"))
+      .agg(collect_list(col("id")).as("ids"), first(col("w")).as("w"))
+      .where(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("id_a"), col("ids"), col("w"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"), col("w"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("w")).as("swi"))
+    val wj = col("swi").cast("double") /
+      (col("sw_a") + col("sw_b") - col("swi")).cast("double")
+    interW
+      .join(docSums.select(col("id").as("id_a"), col("sw").as("sw_a")),
+        Seq("id_a"))
+      .join(docSums.select(col("id").as("id_b"), col("sw").as("sw_b")),
+        Seq("id_b"))
+      .where(wj >= lit(threshold))
+      .select(col("id_a"), col("id_b"), round(wj, 6).as("w_jaccard"))
+  }
+
+  /** PAIR EVIDENCE — for each qualifying near-dup pair, the k RAREST
+    * shared shingles (rarity = corpus-wide df ascending, ties to the
+    * shingle text): the lines a human reviewer actually reads before
+    * trusting a dedup drop. Two docs pairing through distinctive
+    * content show rare shared shingles (df=2); a pair glued together
+    * by boilerplate shows df in the hundreds — the review-queue
+    * triage signal, and the per-pair drill-down behind d38's
+    * corpus-level weighting.
+    *
+    * Scale shape: the pair pass is d02's (capped, hashed); shingle
+    * STRINGS appear in exactly two places — the corpus-wide df
+    * rollup (strings cross one exchange, the t47 "strings shuffle
+    * once" budget) and the evidence rows themselves, which are
+    * restricted to qualifying-pair members before any string join
+    * (pairs × shingles-per-doc rows, a sliver). The per-pair top-k
+    * filter sits on the raw row_number so InferWindowGroupLimit caps
+    * map-side forwarding at k.
+    *
+    * @return (id_a, id_b, rank 1..k, shingle, df) (unsorted —
+    *         callers order)
+    */
+  def pairEvidence(docs: DataFrame, textCol: String, idCol: String,
+      n: Int, threshold: Double, k: Int = 3,
+      maxPostings: Option[Int] = Some(10000)): DataFrame = {
+    require(k > 0, "k must be positive")
+    val pairs = ngramJaccardPairs(docs, textCol, idCol, n, threshold,
+        maxPostings)
+      .select(col("id_a"), col("id_b"))
+    val sh = shingles(docs, textCol, idCol, n)
+    val dfT = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // restrict to pair members FIRST: strings join only on the sliver
+    val aSide = pairs.join(sh.withColumnRenamed("id", "id_a"), Seq("id_a"))
+    val shared = aSide
+      .join(sh.select(col("id").as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"), "left_semi")
+      .join(dfT, Seq("shingle"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"), col("id_b"))
+      .orderBy(col("df"), col("shingle"))
+    shared
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col("id_a"), col("id_b"), col("__rn").cast("long").as("rank"),
+        col("shingle"), col("df"))
+  }
+
   /** The actionable end of the dedup suite: the corpus with every
     * near-dup CLUSTER collapsed to its minimum-id representative —
     * pair detection ([[ngramJaccardPairs]]) → transitive closure

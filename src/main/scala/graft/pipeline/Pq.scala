@@ -225,6 +225,107 @@ object Pq {
         col("max_err"))
   }
 
+  /** Residual-vs-raw PQ distortion — the measurement behind WHY
+    * IVF-PQ encodes residuals: after IVF assignment, the residual
+    * r = v − centroid(cell) has most of the coarse structure removed,
+    * so the same codebook budget (m × ksub) fits what remains with
+    * lower error. This report quantifies that per subspace: encode
+    * every vector twice — raw v against raw seed codebooks, residual
+    * r against RESIDUAL seed codebooks (the residuals of the same
+    * ksub smallest-id seeds, under the same assignment) — and compare
+    * the per-subspace MSEs. res_mse ≪ raw_mse is the justification
+    * for the IVF-PQ index layout; res_mse at or ABOVE raw_mse means
+    * the centroids don't model the data (cosine cells on
+    * structureless embeddings can even ADD magnitude error) and the
+    * residual layout won't pay — run this BEFORE committing the
+    * index format, beside the s35 rebuild verdict.
+    *
+    * Determinism: residuals are double subtractions (exact IEEE both
+    * engines), per-subspace errors are rounded 6 dp, means sum as
+    * DECIMAL — order-independent.
+    *
+    * Scale shape: ONE map-only projection computes the assignment,
+    * the residual (k-row centroid frame broadcast), and both PQ
+    * error kernels; only (j, raw-err, res-err) scalar triples reach
+    * the m-row aggregation.
+    *
+    * @return (j, n_vecs, raw_mse, res_mse) ordered by subspace j
+    */
+  def residualDistortionReport(emb: DataFrame, vecCol: String,
+      idCol: String, k: Int, m: Int, ksub: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val rawBooks = seedCodebooks(emb, vecCol, idCol, m, ksub)
+    // driver-side: the k centroids and the ksub seed residuals under
+    // the SAME assignment math the engine runs (index-ordered folds —
+    // bit-identical to the kernels)
+    val cents = emb
+      .select(col(idCol), transform(col(vecCol), _.cast("double")).as("v"))
+      .orderBy(col(idCol)).limit(k)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val seeds = emb
+      .select(col(idCol), transform(col(vecCol), _.cast("double")).as("v"))
+      .orderBy(col(idCol)).limit(ksub)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val resSeeds = seeds.map { case (_, v) =>
+      val bestCell = cents.map { case (c, cv) => (c, cos(v, cv)) }
+        .maxBy { case (c, s) => (s, -c) }._1
+      val cv = cents.find(_._1 == bestCell).get._2
+      v.indices.map(i => v(i) - cv(i)).toArray
+    }
+    val dim = seeds.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val resBooks = Array.tabulate(m) { j =>
+      resSeeds.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+    }
+    import scala.jdk.CollectionConverters._
+    val centRows = cents.map { case (c, v) =>
+      org.apache.spark.sql.Row(c, v.toSeq)
+    }.toSeq.asJava
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("__cent",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false))))
+    val centDf = spark.createDataFrame(centRows, centSchema)
+    val assigned = graft.pipeline.Clustering.assignToCentroidArrays(
+        emb.where(col(vecCol).isNotNull), vecCol, idCol, cents.toSeq)
+      .select(col(vecCol), col("cell"))
+      .join(broadcast(centDf), Seq("cell"))
+      .select(col(vecCol),
+        zip_with(col(vecCol), col("__cent"),
+          (a, b) => a.cast("double") - b).as("__res"))
+    assigned
+      .select(
+        graft.functions.PqExpressions.pqSubErrors(col(vecCol), rawBooks)
+          .as("re"),
+        graft.functions.PqExpressions.pqSubErrors(col("__res"), resBooks)
+          .as("se"))
+      .select(posexplode(zip_with(col("re"), col("se"),
+        (a, b) => struct(a.as("r"), b.as("s")))).as(Seq("j", "p")))
+      .select(col("j").cast("long").as("j"),
+        round(col("p.r"), 6).as("rawe"), round(col("p.s"), 6).as("rese"))
+      .groupBy(col("j"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("rawe").cast("decimal(18,6)")).as("__rs"),
+        sum(col("rese").cast("decimal(18,6)")).as("__ss"))
+      .select(col("j"), col("n_vecs"),
+        (col("__rs").cast("double") / col("n_vecs").cast("double"))
+          .as("raw_mse"),
+        (col("__ss").cast("double") / col("n_vecs").cast("double"))
+          .as("res_mse"))
+  }
+
   /** Adds a `codes` column (array<int>, length m): per subspace, the
     * L2-nearest codebook entry, ties to the lower code. Map-only via
     * the [[graft.functions.PqExpressions.PqEncode]] codegen kernel —

@@ -122,6 +122,36 @@ object Quantize {
       .orderBy(col("bits"))
   }
 
+  /** Bit-width DECISION — [[bitsSweep]] turned into the one-row
+    * verdict a quantized-index build acts on: the SMALLEST bit width
+    * whose corpus MSE meets `targetMse` (storage is the thing being
+    * minimized; error is the constraint), falling back to the largest
+    * candidate — flagged unmet — when none qualifies. Reports the
+    * chosen width's full sweep row so the build manifest records the
+    * error actually accepted.
+    *
+    * Scale shape: the sweep's one corpus scan; the decision is a
+    * |bits|-row sort-limit.
+    *
+    * @return one row (bits, n_values, mse, max_abs_err, target_mse,
+    *         met 0/1)
+    */
+  def bitsDecision(df: DataFrame, vecCol: String, lo: Double, hi: Double,
+      targetMse: Double,
+      bitsList: Seq[Int] = Seq(2, 4, 6, 8)): DataFrame = {
+    require(targetMse > 0.0, "targetMse must be positive")
+    val sweep = bitsSweep(df, vecCol, lo, hi, bitsList)
+      .withColumn("met", (col("mse") <= lit(targetMse)).cast("long"))
+    // smallest qualifying width, else the largest candidate: one
+    // deterministic sort over |bits| rows
+    sweep
+      .orderBy(col("met").desc,
+        when(col("met") === 1L, col("bits")).otherwise(-col("bits")))
+      .limit(1)
+      .select(col("bits"), col("n_values"), col("mse"), col("max_abs_err"),
+        lit(targetMse).as("target_mse"), col("met"))
+  }
+
   /** Brute-force cosine top-k over DEQUANTIZED vectors — the scan
     * side of a quantized index: the corpus holds int8 codes (4×
     * smaller), reconstruction happens on the fly in the scan stage.

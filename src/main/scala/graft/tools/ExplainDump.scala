@@ -160,6 +160,12 @@ object ExplainDump {
       "t63_split_leakage_repair" -> "split leakage repair: t60's cross-split pair shape (train scans once, val shingles broadcast) feeding an ids-only flag join — document text never reshuffles; moved is a CASE on the join",
       "s37_pq_cell_distortion" -> "PQ cell distortion: assignment and the PQ sub-error kernel in ONE map-only projection (centroids and codebooks are plan literals); only (cell, total-error) scalars reach the k-row aggregation",
       "m28_video_copy_spans" -> "video copy spans: the qualifying-pair frame AQE-broadcasts onto the frame table (a-side keeps indexes, b-side is a distinct hash set), then one gaps-and-islands window partitioned by pair",
+      "d38_weighted_jaccard" -> "idf-weighted Jaccard: d02's inverted index + ONE shingle-keyed weight join (df rollup reused as the weight table); DECIMAL weight sums, one double division — boilerplate shingles carry ~0 weight",
+      "s38_residual_pq_distortion" -> "residual PQ distortion: assignment, residual subtraction (k-row centroid broadcast) and BOTH pq-error kernels in one projection; only (j, raw, res) scalar triples reach the m-row agg",
+      "t64_drop_overlap_matrix" -> "drop-overlap matrix: the scope-cached t58 flag frame grouped by its three booleans (8 groups) + an 8-row literal join — ordering-invariant where t58's attribution is not",
+      "d39_pair_evidence" -> "pair evidence: d02's pair pass; shingle strings cross exactly one exchange (the df rollup) and otherwise appear only on the pair-restricted sliver; the per-pair top-k filter sits on the raw row_number (WindowGroupLimit)",
+      "s39_sq_bits_decision" -> "bit-width decision: the s33 sweep's one corpus scan; the verdict is a |bits|-row sort-limit carrying the chosen row into the build manifest",
+      "t65_incremental_release_run" -> "incremental release run: the corpus scans ONCE with the batch's shingles broadcast (d35's shape), the within-batch closure is batch-sized, contamination is the hash-broadcast bench join, quality is scan-stage; one batch-sized flag frame feeds every leg",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")

@@ -548,6 +548,42 @@ object ScaleSmoke {
       time("s36 centroidRefresh") {
         graft.pipeline.Clustering.centroidRefresh(emb, "embedding",
           "vec_id", 8).collect().length.toLong }
+      // d02's capped pair pass; strings only on the df rollup and the
+      // pair-restricted evidence sliver; top-k via WindowGroupLimit
+      time("d39 pairEvidence (capped)") {
+        graft.pipeline.Dedup.pairEvidence(docs, "text", "doc_id",
+          n = 3, threshold = 0.3).count() }
+      // the sweep's one corpus scan; the verdict is a 4-row sort
+      time("s39 sqBitsDecision") {
+        graft.pipeline.Quantize.bitsDecision(emb, "embedding",
+          lo = -2.0, hi = 2.0, targetMse = 0.001).collect().length.toLong }
+      // d35's corpus-scans-once shape + the t58 contamination/quality
+      // legs over the batch-sized flag frame
+      time("t65 incrementalRelease (capped)") {
+        graft.pipeline.CorpusRelease.incrementalReleaseRun(
+            docs.where(col("doc_id") % 7 === 0 && col("doc_id") % 50 =!= 0),
+            docs.where(col("doc_id") % 7 =!= 0 && col("doc_id") % 50 =!= 0),
+            docs.where(col("doc_id") % 50 === 0),
+            "text", "doc_id", "source")
+          .groupBy(col("stage")).agg(count(lit(1)))
+          .collect().length.toLong }
+      // d02's inverted index + one shingle-keyed weight join; the cap
+      // drops near-zero-idf shingles (principled, not just a guard)
+      time("d38 weightedJaccard (capped)") {
+        graft.pipeline.Dedup.weightedJaccardPairs(docs, "text", "doc_id",
+          n = 3, threshold = 0.3).count() }
+      // ONE map-only assignment+residual+two-kernel projection;
+      // m-row rollup
+      time("s38 residualPqDistortion") {
+        graft.pipeline.Pq.residualDistortionReport(emb, "embedding",
+          "vec_id", k = 8, m = 8, ksub = 16).collect().length.toLong }
+      // the t58 flag frame grouped 8 ways + an 8-row literal join
+      time("t64 dropOverlapMatrix (capped)") {
+        graft.pipeline.CorpusRelease.dropOverlapMatrix(
+            docs.where(col("doc_id") % 50 =!= 0),
+            docs.where(col("doc_id") % 50 === 0),
+            "text", "doc_id", "source")
+          .collect().length.toLong }
       // t60's broadcast cross-split pair pass + an ids-only flag join
       time("t63 splitLeakageRepair (capped)") {
         graft.pipeline.Dedup.repairLeakedSplit(

@@ -416,6 +416,262 @@ class Round17Spec extends AnyFunSuite {
     } finally fh.unpersist()
   }
 
+  // ---------------- d38 idf-weighted Jaccard ----------------
+
+  test("weightedJaccardPairs: boilerplate-only overlap does not pair; rare overlap does") {
+    import spark.implicits._
+    // a LONG boilerplate prefix rides EVERY doc: its internal
+    // 3-grams have df=N -> weight ln(1)=0. Docs 1/2 additionally
+    // share rare content; docs 3/4 share ONLY the boilerplate.
+    val boiler = (1 to 8).map("b" + _).mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler rare alpha beta gamma delta"),
+      (2L, s"$boiler rare alpha beta gamma epsilon"),
+      (3L, s"$boiler completely different trailing words"),
+      (4L, s"$boiler unrelated set of other tokens")
+    ).toDF("doc_id", "text")
+    val weighted = Dedup.weightedJaccardPairs(docs, "text", "doc_id",
+        n = 3, threshold = 0.25, maxPostings = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(weighted == Set((1L, 2L)),
+      s"only the rare-content pair survives idf weighting: $weighted")
+    // plain Jaccard pairs (3, 4) through the shared zero-information
+    // boilerplate (6 shared shingles / ~14 union ≈ 0.43)
+    val plain = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 3, threshold = 0.25, maxPostings = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain.contains((3L, 4L)),
+      s"contrast baseline: plain jaccard pairs through boilerplate: $plain")
+  }
+
+  test("weightedJaccardPairs matches a driver-side weighted-Jaccard reference") {
+    val docs = Tables.load(spark, SparkFixture.sfDir, "documents")
+    val got = Dedup.weightedJaccardPairs(docs, "text", "doc_id",
+        n = 3, threshold = 0.3, maxPostings = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // reference: shingle sets + idf weights in plain Scala
+    val sh = Dedup.shingles(docs, "text", "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDoc = sh.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val df = sh.groupBy(_._2).view.mapValues(_.length).toMap
+    val n = byDoc.size.toDouble
+    def w(s: String): BigDecimal = BigDecimal(math.log(n / df(s)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val ids = byDoc.keys.toSeq.sorted
+    val expect = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      inter = byDoc(a) intersect byDoc(b)
+      if inter.nonEmpty
+      swi = inter.toSeq.map(w).sum
+      denom = byDoc(a).toSeq.map(w).sum + byDoc(b).toSeq.map(w).sum - swi
+      wj = swi.toDouble / denom.toDouble
+      if wj >= 0.3
+    } yield (a, b) -> BigDecimal(wj)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - expect(k)) < 1e-9, s"$k: $v vs ${expect(k)}")
+    }
+  }
+
+  // ---------------- s38 residual PQ distortion ----------------
+
+  test("residualDistortionReport matches a driver-side residual/raw reference") {
+    val emb = Tables.load(spark, SparkFixture.sfDir, "embeddings")
+    val got = graft.pipeline.Pq.residualDistortionReport(emb, "embedding",
+        "vec_id", k = 8, m = 8, ksub = 16)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.size == 8)
+    val vecs = emb.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val cents = vecs.toSeq.sortBy(_._1).take(8)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def cellOf(v: Array[Double]): Long =
+      cents.map { case (c, cv) => (c, cos(v, cv)) }.maxBy { case (c, s) => (s, -c) }._1
+    def resOf(v: Array[Double]): Array[Double] = {
+      val cv = cents.find(_._1 == cellOf(v)).get._2
+      v.indices.map(i => v(i) - cv(i)).toArray
+    }
+    val rawSeeds = vecs.toSeq.sortBy(_._1).take(16).map(_._2)
+    val resSeeds = rawSeeds.map(resOf)
+    def subErr(v: Array[Double], books: Seq[Array[Double]], j: Int): Double =
+      books.map { bv =>
+        (0 until 8).map { i => val d = v(j * 8 + i) - bv(j * 8 + i); d * d }.sum
+      }.min
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    (0 until 8).foreach { j =>
+      val raws = vecs.values.toSeq.map(v => r6(subErr(v, rawSeeds, j)))
+      val ress = vecs.values.toSeq.map(v => r6(subErr(resOf(v), resSeeds, j)))
+      val (n, rawMse, resMse) = got(j.toLong)
+      assert(n == vecs.size.toLong)
+      assert(math.abs(rawMse - (raws.sum / raws.size).toDouble) < 1e-9)
+      assert(math.abs(resMse - (ress.sum / ress.size).toDouble) < 1e-9)
+    }
+    // the operator is a DECISION tool, not a guarantee: on clustered
+    // data residuals cut MSE (the IVF-PQ justification); on these
+    // structureless synthetic embeddings cosine-assigned centroids
+    // don't model magnitude, so residual error comes out HIGHER —
+    // exactly the reading that tells an index job NOT to pay for the
+    // residual layout here. Pin that the report surfaces the signal.
+    val totRaw = got.values.map(_._2).sum
+    val totRes = got.values.map(_._3).sum
+    assert(totRaw > 0 && totRes > 0 && totRes != totRaw,
+      s"report must separate the two layouts: raw $totRaw res $totRes")
+  }
+
+  // ---------------- t64 drop-overlap matrix ----------------
+
+  test("dropOverlapMatrix cells partition the corpus and reconcile with the release run") {
+    val docs = Tables.load(spark, SparkFixture.sfDir, "documents")
+    val train = docs.where(col("doc_id") % 50 =!= 0)
+    val bench = docs.where(col("doc_id") % 50 === 0)
+    val cells = graft.pipeline.CorpusRelease.dropOverlapMatrix(train, bench,
+        "text", "doc_id", "source", maxPostings = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        r.getLong(3)).toMap
+    assert(cells.size == 8, "all 8 cells always report")
+    assert(cells.values.sum == train.count(), "cells partition the corpus")
+    val run = graft.pipeline.CorpusRelease.corpusReleaseRun(train, bench,
+        "text", "doc_id", "source", maxPostings = None)
+      .where(col("doc_id").isNull && col("source").isNull)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    def tot(p: ((Long, Long, Long)) => Boolean) =
+      cells.filter { case (k, _) => p(k) }.values.sum
+    assert(run("dedup_dropped") == tot { case (d, _, _) => d == 1L })
+    assert(run("contam_dropped") == tot { case (d, c, _) => d == 0L && c == 1L })
+    assert(run("quality_dropped") == tot { case (d, c, q) => d == 0L && c == 0L && q == 1L })
+    assert(run("input") == cells.values.sum)
+  }
+
+  // ---------------- d39 pair evidence ----------------
+
+  test("pairEvidence ranks the rarest shared shingles first, capped at k") {
+    import spark.implicits._
+    // docs 1/2 near-dup: share a long run (many shingles); the
+    // boilerplate prefix also rides docs 3/4 so its shingles have
+    // df=4 while the rare shared content has df=2
+    val boiler = (1 to 5).map("b" + _).mkString(" ")
+    val run = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"$boiler $run one"),
+      (2L, s"$boiler $run two"),
+      (3L, s"$boiler unrelated trailing content words"),
+      (4L, s"$boiler other unrelated trailing material")
+    ).toDF("doc_id", "text")
+    val ev = Dedup.pairEvidence(docs, "text", "doc_id",
+        n = 3, threshold = 0.4, k = 3, maxPostings = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))
+    assert(ev.nonEmpty && ev.forall(e => e._1 == 1L && e._2 == 2L),
+      s"only the 1-2 pair qualifies at 0.4: ${ev.toSeq}")
+    assert(ev.length == 3, "top-k caps the evidence rows")
+    assert(ev.forall(_._5 == 2L),
+      s"rare (df=2) shared shingles outrank the df=4 boilerplate: ${ev.toSeq}")
+    // ranks are 1..3 and ordered by (df, shingle)
+    assert(ev.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L))
+    val sortedByRank = ev.sortBy(_._3).map(_._4).toSeq
+    assert(sortedByRank == sortedByRank.sorted,
+      "df ties break by shingle text")
+  }
+
+  test("pairEvidence covers every qualifying pair with shingles both docs contain") {
+    val docs = Tables.load(spark, SparkFixture.sfDir, "documents")
+    val ev = Dedup.pairEvidence(docs, "text", "doc_id",
+        n = 3, threshold = 0.3, k = 3, maxPostings = None)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getString(3)))
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 3, threshold = 0.3, maxPostings = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ev.map(_._1).toSet == pairs,
+      "every qualifying pair carries evidence (intersection is non-empty by construction)")
+    val sh = Dedup.shingles(docs, "text", "doc_id", 3)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getString(1)).toSet).toMap
+    ev.foreach { case ((a, b), s) =>
+      assert(sh(a).contains(s) && sh(b).contains(s),
+        s"evidence shingle must be shared: ($a,$b) '$s'")
+    }
+  }
+
+  // ---------------- s39 bits decision ----------------
+
+  test("bitsDecision picks the smallest width meeting the target, else flags unmet") {
+    val emb = Tables.load(spark, SparkFixture.sfDir, "embeddings")
+    val sweep = graft.pipeline.Quantize.bitsSweep(emb, "embedding",
+        lo = -2.0, hi = 2.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val met = graft.pipeline.Quantize.bitsDecision(emb, "embedding",
+        lo = -2.0, hi = 2.0, targetMse = 0.001).collect()(0)
+    val expectBits = sweep.filter(_._2 <= 0.001).keys.min
+    assert(met.getLong(0) == expectBits && met.getLong(5) == 1L)
+    assert(met.getDouble(2) == sweep(expectBits), "verdict carries the sweep row")
+    val unmet = graft.pipeline.Quantize.bitsDecision(emb, "embedding",
+        lo = -2.0, hi = 2.0, targetMse = 1e-12).collect()(0)
+    assert(unmet.getLong(0) == sweep.keys.max && unmet.getLong(5) == 0L,
+      "no width qualifies -> largest candidate, flagged unmet")
+  }
+
+  // ---------------- t65 incremental release run ----------------
+
+  test("incrementalReleaseRun dispositions on a planted batch") {
+    import spark.implicits._
+    import graft.pipeline.CorpusRelease
+    val longGood = (1 to 120).map(i => "tok" + (i % 37)).mkString(" ")
+    val longGood2 = (1 to 120).map(i => "alt" + (i % 41)).mkString(" ")
+    val corpus = Seq((100L, "c", longGood)).toDF("doc_id", "source", "text")
+    val bench = Seq((200L, "b", "secret eval question answer pair text here"))
+      .toDF("doc_id", "source", "text")
+    val batch = Seq(
+      (1L, "a", longGood), // near-dup of corpus -> dropped_corpus
+      (2L, "a", longGood2), // batch-dup pair with 3, min id kept
+      (3L, "a", longGood2 + " extra"), // -> dropped_batch
+      (4L, "a", (1 to 120).map(i => "q" + (i % 43)).mkString(" ")
+        + " secret eval question answer pair"), // -> dropped_contam
+      (5L, "a", "short low"), // -> dropped_quality (tiny score)
+      (6L, "a", (1 to 120).map(i => "w" + (i % 47)).mkString(" ")) // admitted
+    ).toDF("doc_id", "source", "text")
+    val out = CorpusRelease.incrementalReleaseRun(batch, corpus, bench,
+        "text", "doc_id", "source", maxPostings = None)
+      .collect()
+    val counts = out
+      .filter(r => r.getString(0) != "admitted" && r.getString(0) != "admitted_source")
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(counts == Map("input" -> 6L, "dropped_corpus" -> 1L,
+      "dropped_batch" -> 1L, "dropped_contam" -> 1L, "dropped_quality" -> 1L),
+      s"got $counts")
+    val admitted = out.filter(_.getString(0) == "admitted")
+      .map(r => r.getLong(1)).toSet
+    assert(admitted == Set(2L, 6L), s"min-id batch winner + clean doc: $admitted")
+    // exact-sum invariant
+    assert(counts("input") == counts("dropped_corpus") + counts("dropped_batch") +
+      counts("dropped_contam") + counts("dropped_quality") + admitted.size)
+  }
+
+  test("incrementalReleaseRun with no bench and no gate == incrementalDedupRun dispositions") {
+    import graft.pipeline.CorpusRelease
+    val docs = Tables.load(spark, SparkFixture.sfDir, "documents")
+    val batch = docs.where(col("doc_id") % 7 === 0)
+    val corpus = docs.where(col("doc_id") % 7 =!= 0)
+    val bench = docs.where(lit(false))
+    val admitted = CorpusRelease.incrementalReleaseRun(batch, corpus, bench,
+        "text", "doc_id", "source", minQuality = 0.0, maxPostings = None)
+      .where(col("stage") === "admitted")
+      .collect().map(_.getLong(1)).toSet
+    val d35 = graft.pipeline.Dedup.incrementalDedupRun(batch, corpus,
+        "text", "doc_id", maxPostings = None, maxCorpusPostings = None)
+      .where(col("stage") === "admitted")
+      .collect().map(_.getLong(1)).toSet
+    assert(admitted == d35,
+      "with the release-only stages disabled, the two incremental runs admit the same docs")
+  }
+
   test("centroidRefresh is a fixpoint when every centroid is its own cell") {
     import spark.implicits._
     // k vectors, mutually orthogonal-ish: each is alone in its cell,
