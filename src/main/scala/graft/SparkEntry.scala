@@ -7785,6 +7785,477 @@ object SparkEntry {
           col("source").asc_nulls_last)
     })
 
+  // PREFIX-FILTERED exact similarity join (Bayardo/Chaudhuri all-pairs
+  // prefix filtering): the oracle is the plain exact-Jaccard pair set
+  // at τ — the HASH MATCH is the losslessness proof (every qualifying
+  // pair must survive the prefix candidate cut), while Round18Spec
+  // pins the candidate REDUCTION the prefix index buys on a
+  // boilerplate-heavy corpus.
+  private val d40 = Q("d40_prefix_filter_pairs", Some("""
+    WITH toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT id_a, id_b,
+        CAST(n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) AS jaccard
+      FROM inter
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b)
+    WHERE jaccard >= 0.8 ORDER BY id_a, id_b"""),
+    // τ = 0.8, the near-dup operating point: the prefix length is
+    // |d|−⌈τ·|d|⌉+1, so the index (and the candidate set) SHRINKS as
+    // τ rises — the plain inverted index pays the same fan-out at any
+    // τ. At low τ the prefix keeps most of each doc and buys little.
+    (s, dir) => Dedup.prefixFilterPairs(T(s, dir, "documents"), "text", "doc_id",
+        n = 3, threshold = 0.8, maxPostings = None) // exact: oracle-comparable
+      .orderBy(col("id_a"), col("id_b")))
+
+  // TOMBSTONE/COMPACTION audit: the deletion-side index-maintenance
+  // decision (s34 watches appends, s35 decides rebuilds — this
+  // decides per-cell compaction after tombstoned deletes). Oracle
+  // replays the seeded assignment, the deletion rollup, and both the
+  // live-fraction arithmetic and the action CASE.
+  private val s40 = Q("s40_tombstone_compaction", Some("""
+    WITH cents AS (SELECT vec_id AS cell, embedding AS cvec
+        FROM embeddings ORDER BY vec_id LIMIT 8),
+    sims AS (SELECT e.vec_id, c.cell,
+        list_sum(list_transform(generate_series(1, len(e.embedding)),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      FROM embeddings e, cents c),
+    a AS (SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, sim,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        FROM sims) WHERE rn = 1),
+    st AS (SELECT cell, COUNT(*) AS n_total_raw,
+        SUM(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END) AS n_dead_raw
+      FROM a GROUP BY cell),
+    j AS (SELECT c.cell, COALESCE(st.n_total_raw, 0) AS n_total,
+        COALESCE(st.n_dead_raw, 0) AS n_dead
+      FROM cents c LEFT JOIN st USING (cell))
+    SELECT cell, CAST(n_total AS BIGINT) AS n_total,
+      CAST(n_total - n_dead AS BIGINT) AS n_live,
+      CAST(n_dead AS BIGINT) AS n_dead,
+      CASE WHEN n_total = 0 THEN NULL
+        ELSE ROUND(CAST(n_total - n_dead AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+        END AS live_frac,
+      CASE WHEN n_total = 0 THEN 'empty'
+        WHEN CAST(n_total - n_dead AS DOUBLE) / CAST(n_total AS DOUBLE) < 0.8
+          THEN 'compact'
+        ELSE 'keep' END AS action
+    FROM j ORDER BY cell"""),
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      graft.pipeline.Clustering.tombstoneCompactionReport(emb, "embedding",
+          "vec_id", k = 8,
+          deletedIds = emb.where(col("vec_id") % 5 === 0).select(col("vec_id")),
+          delIdCol = "vec_id", minLiveFrac = 0.8)
+        .orderBy(col("cell"))
+    })
+
+  // PER-SOURCE percentile gate vs the raw global threshold — the
+  // calibration decision behind cross-source quality filtering: the
+  // raw cutoff's admission rate skews with each source's score
+  // distribution, the percentile gate admits the same top fraction
+  // everywhere. Oracle replays the t02 score, the windowed
+  // percent_rank (total order, id tie-break), and both rollups.
+  private val t66 = Q("t66_percentile_gate", Some("""
+    WITH q AS (SELECT source, doc_id,
+      0.5 * LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+        + 0.3 * LEAST(
+            ((LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' the ', ' '))) / 4.0
+             + (LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' and ', ' '))) / 4.0
+             + (LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' of ', ' '))) / 3.0)
+            / GREATEST(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 10.0, 1.0)
+        + 0.2 * (1.0 - LEAST(CAST(LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+            / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0) * 10.0, 1.0)) AS quality
+      FROM documents),
+    pr AS (SELECT source, quality,
+        PERCENT_RANK() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS pr
+      FROM q)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN quality >= 0.55 THEN 1 ELSE 0 END) AS BIGINT) AS n_admit_raw,
+      CAST(SUM(CASE WHEN pr <= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_admit_pct,
+      ROUND(CAST(SUM(CASE WHEN quality >= 0.55 THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS raw_rate,
+      ROUND(CAST(SUM(CASE WHEN pr <= 0.4 THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS pct_rate
+    FROM pr GROUP BY source ORDER BY source"""),
+    (s, dir) => TextAnalysis.percentileGateBySource(T(s, dir, "documents"),
+        "text", "doc_id", "source", topFrac = 0.4, rawThreshold = 0.55)
+      .orderBy(col("source")))
+
+  // GRAPH-ANN: one NN-descent refinement round over an IVF-seeded kNN
+  // graph, recall-audited against the exact leg at both stages — the
+  // graph index family beside LSH/IVF/PQ. Oracle replays seeding,
+  // cell-mate top-k, the 2-hop expansion, the exact leg, and both
+  // recall rollups.
+  private val s41 = Q("s41_nn_descent", Some("""
+    WITH cents AS (SELECT vec_id AS cell, embedding AS cvec
+        FROM embeddings ORDER BY vec_id LIMIT 8),
+    nrm AS (SELECT vec_id, embedding,
+        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nm
+      FROM embeddings),
+    sims AS (SELECT e.vec_id, c.cell,
+        list_sum(list_transform(generate_series(1, len(e.embedding)),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
+        / (e.nm
+           * sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      FROM nrm e, cents c),
+    asn AS (SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, sim,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        FROM sims) WHERE rn = 1),
+    cm AS (SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+    c0 AS (SELECT cm.src, cm.dst,
+        list_sum(list_transform(generate_series(1, len(e1.embedding)),
+          i -> CAST(e1.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)))
+        / (e1.nm * e2.nm) AS cs
+      FROM cm JOIN nrm e1 ON e1.vec_id = cm.src
+              JOIN nrm e2 ON e2.vec_id = cm.dst),
+    n0 AS (SELECT src, dst FROM (
+        SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rn
+        FROM c0) WHERE rn <= 5),
+    cand AS (SELECT src, dst FROM n0
+      UNION
+      SELECT a.src, b.dst FROM n0 a JOIN n0 b ON a.dst = b.src
+      WHERE b.dst <> a.src),
+    c1 AS (SELECT cand.src, cand.dst,
+        list_sum(list_transform(generate_series(1, len(e1.embedding)),
+          i -> CAST(e1.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)))
+        / (e1.nm * e2.nm) AS cs
+      FROM cand JOIN nrm e1 ON e1.vec_id = cand.src
+                JOIN nrm e2 ON e2.vec_id = cand.dst),
+    n1 AS (SELECT src, dst FROM (
+        SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rn
+        FROM c1) WHERE rn <= 5),
+    ce AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        list_sum(list_transform(generate_series(1, len(a.embedding)),
+          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        / (a.nm * b.nm) AS cs
+      FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id),
+    ex AS (SELECT src, dst FROM (
+        SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rn
+        FROM ce) WHERE rn <= 5),
+    tot AS (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS n_queries,
+        CAST(COUNT(*) AS BIGINT) AS n_possible FROM ex),
+    li AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+        CAST(SUM(CASE WHEN ex.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM n0 LEFT JOIN ex ON ex.src = n0.src AND ex.dst = n0.dst),
+    lr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+        CAST(SUM(CASE WHEN ex.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM n1 LEFT JOIN ex ON ex.src = n1.src AND ex.dst = n1.dst)
+    SELECT 'init' AS stage, n_queries, n_edges, n_hits, n_possible,
+      ROUND(CAST(n_hits AS DOUBLE) / CAST(n_possible AS DOUBLE), 6) AS recall
+    FROM li, tot
+    UNION ALL
+    SELECT 'round1', n_queries, n_edges, n_hits, n_possible,
+      ROUND(CAST(n_hits AS DOUBLE) / CAST(n_possible AS DOUBLE), 6)
+    FROM lr, tot
+    ORDER BY stage"""),
+    (s, dir) => graft.pipeline.GraphAnn.nnDescentRecallAudit(
+        T(s, dir, "embeddings"), "embedding", "vec_id", kCells = 8, k = 5,
+        auditMod = 1L) // full audit: oracle-comparable
+      .orderBy(col("stage")))
+
+  // CROSS-MODAL dup disagreement audit: image-dup pairs (phash) vs
+  // caption-dup pairs (exact) classified both/image_only/caption_only
+  // — the disagreements are what single-modality dedup misses. The
+  // three-leg corpus plants all three classes: +100000 re-captions a
+  // near-dup image, +200000 re-renders the same caption. Oracle
+  // replays the m23 phash lattice on the image leg, exact caption
+  // equality, and the full-outer classification.
+  private val m29 = Q("m29_crossmodal_dup_audit", Some("""
+    WITH base AS (SELECT doc_id, text FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) > 0
+        AND octet_length(CAST(text AS BLOB)) = length(text)),
+    un AS (SELECT doc_id AS sample_id, text AS img, text AS cap FROM base
+      UNION ALL SELECT doc_id + 100000, text || 'x', text || 'x' FROM base
+      UNION ALL SELECT doc_id + 200000, reverse(text), text FROM base),
+    d AS (SELECT sample_id,
+        octet_length(CAST(img AS BLOB)) AS nb,
+        (octet_length(CAST(img AS BLOB)) + 9) // 10 AS h,
+        string_split(img, '') AS cs
+      FROM un),
+    g AS (SELECT sample_id, h, nb, cs, r * 8 + c AS i,
+        ((r * h) // 8) * 10 + (c * 10) // 8 AS idx
+      FROM d, UNNEST(generate_series(0, 7)) AS gr(r),
+             UNNEST(generate_series(0, 7)) AS gc(c)),
+    v AS (SELECT sample_id, i,
+        CASE WHEN idx < nb THEN ord(cs[CAST(idx + 1 AS BIGINT)]) ELSE 0 END AS val
+      FROM g),
+    m AS (SELECT sample_id, CAST(SUM(val) AS DOUBLE) / 64.0 AS mean FROM v GROUP BY sample_id),
+    ah AS (SELECT v.sample_id,
+        CAST(SUM(CASE WHEN v.val > m.mean AND v.i < 32 THEN (CAST(1 AS BIGINT) << v.i) ELSE 0 END) AS BIGINT) AS hi,
+        CAST(SUM(CASE WHEN v.val > m.mean AND v.i >= 32 THEN (CAST(1 AS BIGINT) << (v.i - 32)) ELSE 0 END) AS BIGINT) AS lo
+      FROM v JOIN m USING (sample_id) GROUP BY v.sample_id),
+    iprs AS (SELECT id_a, id_b FROM (
+      SELECT a.sample_id AS id_a, b.sample_id AS id_b,
+        CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+      FROM ah a JOIN ah b ON a.sample_id < b.sample_id)
+      WHERE hamming <= 3),
+    cprs AS (SELECT a.sample_id AS id_a, b.sample_id AS id_b
+      FROM un a JOIN un b ON a.cap = b.cap AND a.sample_id < b.sample_id),
+    allp AS (SELECT id_a, id_b FROM iprs UNION SELECT id_a, id_b FROM cprs)
+    SELECT p.id_a, p.id_b,
+      CAST(CASE WHEN i.id_a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS image_dup,
+      CAST(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS caption_dup,
+      CASE WHEN i.id_a IS NOT NULL AND c.id_a IS NOT NULL THEN 'both'
+        WHEN i.id_a IS NOT NULL THEN 'image_only'
+        ELSE 'caption_only' END AS kind
+    FROM allp p
+      LEFT JOIN iprs i ON i.id_a = p.id_a AND i.id_b = p.id_b
+      LEFT JOIN cprs c ON c.id_a = p.id_a AND c.id_b = p.id_b
+    ORDER BY p.id_a, p.id_b"""),
+    (s, dir) => {
+      val base = T(s, dir, "documents").where(octet_length(col("text")) > 0 &&
+          octet_length(col("text")) === length(col("text")))
+        .select(col("doc_id"), col("text"))
+      val samples = base.select(col("doc_id").as("sample_id"),
+          col("text").as("img_text"), col("text").as("caption"))
+        .unionByName(base.select((col("doc_id") + 100000).as("sample_id"),
+          concat(col("text"), lit("x")).as("img_text"),
+          concat(col("text"), lit("x")).as("caption")))
+        .unionByName(base.select((col("doc_id") + 200000).as("sample_id"),
+          reverse(col("text")).as("img_text"), col("text").as("caption")))
+      Multimodal.crossModalDupAudit(samples, "sample_id", "img_text",
+          "caption", maxHamming = 3, width = 10)
+        .orderBy(col("id_a"), col("id_b"))
+    })
+
+  // FUZZY decontamination: max-Jaccard vs the benchmark (%50 docs) at
+  // τ=0.5 with the argmax benchmark doc as evidence — the near-match
+  // class exact n-gram hit counts (t09/t13) dilute away under edits.
+  // Oracle replays the cross-split pairs, the threshold, and the
+  // per-doc argmax (ties to the smaller benchmark id).
+  private val t67 = Q("t67_fuzzy_decontamination", Some("""
+    WITH toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT b.doc_id AS bench_id, c.doc_id AS did, COUNT(*) AS n_inter
+              FROM sh b JOIN sh c USING (shingle)
+              WHERE b.doc_id % 50 = 0 AND c.doc_id % 50 <> 0
+              GROUP BY 1, 2),
+    jac AS (SELECT bench_id, did, jaccard FROM (
+        SELECT bench_id, did,
+          CAST(n_inter AS DOUBLE) / CAST(sb.n_sh + sc.n_sh - n_inter AS DOUBLE) AS jaccard
+        FROM inter
+          JOIN sizes sb ON sb.doc_id = bench_id
+          JOIN sizes sc ON sc.doc_id = did)
+      WHERE jaccard >= 0.5),
+    mx AS (SELECT did, bench_id, jaccard FROM (
+        SELECT did, bench_id, jaccard,
+          ROW_NUMBER() OVER (PARTITION BY did ORDER BY jaccard DESC, bench_id) AS rn
+        FROM jac) WHERE rn = 1)
+    SELECT d.doc_id, d.source, mx.bench_id,
+      ROUND(mx.jaccard, 6) AS max_jaccard
+    FROM mx JOIN documents d ON d.doc_id = mx.did
+    ORDER BY d.doc_id"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.pipeline.Decontaminate.fuzzyContamination(
+          docs.where(col("doc_id") % 50 =!= 0),
+          docs.where(col("doc_id") % 50 === 0),
+          "text", "doc_id", "source", n = 3, tau = 0.5,
+          maxCorpusPostings = None) // exact: oracle-comparable
+        .orderBy(col("doc_id"))
+    })
+
+  // ADC vs SDC: the PQ scoring-mode decision measured — recall@10 of
+  // both modes against the exact leg for 3 queries on the seeded
+  // (oracle-reconstructable) codebook. Oracle replays the encode,
+  // both table constructions, both rank windows, the exact leg, and
+  // the rollups.
+  private val s42 = Q("s42_adc_sdc_compare", Some("""
+    WITH js AS (SELECT unnest(range(8)) AS j),
+    seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+    cb AS (
+      SELECT js.j, seeds.code,
+             list_transform(generate_series(1, 8), i -> v[js.j*8 + i]) AS cent
+      FROM seeds, js),
+    cbn AS (SELECT j, code, cent,
+        list_sum(list_transform(cent, x -> x*x)) AS nrm2 FROM cb),
+    dists AS (
+      SELECT e.vec_id, c.j, c.code,
+        list_sum(list_transform(generate_series(1, 8),
+          i -> (CAST(e.embedding[c.j*8+i] AS DOUBLE) - c.cent[i])
+             * (CAST(e.embedding[c.j*8+i] AS DOUBLE) - c.cent[i]))) AS d
+      FROM embeddings e CROSS JOIN cb c),
+    codes AS (
+      SELECT vec_id, j, code FROM (
+        SELECT vec_id, j, code,
+          ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+        FROM dists) WHERE rn = 1),
+    qv AS (SELECT vec_id AS src, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < 3),
+    qn AS (SELECT src, sqrt(list_sum(list_transform(qv, x -> x*x))) AS qnorm FROM qv),
+    atabs AS (SELECT q.src, c.j, c.code,
+        list_sum(list_transform(generate_series(1, 8), i -> q.qv[c.j*8+i] * c.cent[i])) AS dot,
+        c.nrm2
+      FROM cbn c, qv q),
+    aparts AS (SELECT t.src, cd.vec_id, cd.j, t.dot, t.nrm2
+      FROM codes cd JOIN atabs t ON cd.j = t.j AND cd.code = t.code),
+    ascored AS (SELECT src, vec_id,
+        list_sum(list(dot ORDER BY j)) AS dsum,
+        list_sum(list(nrm2 ORDER BY j)) AS nsum
+      FROM aparts GROUP BY src, vec_id),
+    atop AS (SELECT src, dst FROM (
+        SELECT a.src, a.vec_id AS dst,
+          ROW_NUMBER() OVER (PARTITION BY a.src
+            ORDER BY ROUND(a.dsum / (qn.qnorm * sqrt(a.nsum)), 6) DESC, a.vec_id) AS rn
+        FROM ascored a JOIN qn ON qn.src = a.src
+        WHERE a.vec_id <> a.src) WHERE rn <= 10),
+    qcodes AS (SELECT vec_id AS src, j, code FROM codes WHERE vec_id < 3),
+    sdctabs AS (SELECT qc.src, c2.j, c2.code,
+        list_sum(list_transform(generate_series(1, 8), i -> cq.cent[i] * c2.cent[i])) AS dot,
+        c2.nrm2
+      FROM qcodes qc
+        JOIN cbn cq ON cq.j = qc.j AND cq.code = qc.code
+        JOIN cbn c2 ON c2.j = qc.j),
+    qhat AS (SELECT qc.src,
+        sqrt(list_sum(list(cq.nrm2 ORDER BY qc.j))) AS qn2
+      FROM qcodes qc JOIN cbn cq ON cq.j = qc.j AND cq.code = qc.code
+      GROUP BY qc.src),
+    sparts AS (SELECT t.src, cd.vec_id, cd.j, t.dot, t.nrm2
+      FROM codes cd JOIN sdctabs t ON cd.j = t.j AND cd.code = t.code),
+    sscored AS (SELECT src, vec_id,
+        list_sum(list(dot ORDER BY j)) AS dsum,
+        list_sum(list(nrm2 ORDER BY j)) AS nsum
+      FROM sparts GROUP BY src, vec_id),
+    stop AS (SELECT src, dst FROM (
+        SELECT s.src, s.vec_id AS dst,
+          ROW_NUMBER() OVER (PARTITION BY s.src
+            ORDER BY ROUND(s.dsum / (q.qn2 * sqrt(s.nsum)), 6) DESC, s.vec_id) AS rn
+        FROM sscored s JOIN qhat q ON q.src = s.src
+        WHERE s.vec_id <> s.src) WHERE rn <= 10),
+    ce AS (SELECT q.src, e.vec_id AS dst,
+        list_sum(list_transform(generate_series(1, len(e.embedding)),
+          i -> CAST(e.embedding[i] AS DOUBLE) * q.qv[i]))
+        / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cs
+      FROM qv q, embeddings e WHERE e.vec_id <> q.src),
+    ex AS (SELECT src, dst FROM (
+        SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rn
+        FROM ce) WHERE rn <= 10),
+    tot AS (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS n_queries,
+        CAST(COUNT(*) AS BIGINT) AS n_possible FROM ex),
+    la AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_returned,
+        CAST(SUM(CASE WHEN ex.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM atop LEFT JOIN ex ON ex.src = atop.src AND ex.dst = atop.dst),
+    ls AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_returned,
+        CAST(SUM(CASE WHEN ex.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM stop LEFT JOIN ex ON ex.src = stop.src AND ex.dst = stop.dst)
+    SELECT 'adc' AS method, n_queries, n_returned, n_hits, n_possible,
+      ROUND(CAST(n_hits AS DOUBLE) / CAST(n_possible AS DOUBLE), 6) AS recall
+    FROM la, tot
+    UNION ALL
+    SELECT 'sdc', n_queries, n_returned, n_hits, n_possible,
+      ROUND(CAST(n_hits AS DOUBLE) / CAST(n_possible AS DOUBLE), 6)
+    FROM ls, tot
+    ORDER BY method"""),
+    (s, dir) => graft.pipeline.Pq.adcSdcRecallCompare(
+        T(s, dir, "embeddings"), "embedding", "vec_id",
+        queryIds = Seq(0L, 1L, 2L), k = 10, m = 8, ksub = 16)
+      .orderBy(col("method")))
+
+  // The COMPOSED paired-corpus release run (the m-family t58 over
+  // m29's corpus): image clusters drop first, exact-caption groups
+  // over the remainder drop second, min-id reps kept — admitted rows
+  // + stage counts + per-source rollup in one result. Oracle replays
+  // the phash lattice, the recursive closure, the caption window, and
+  // every rollup.
+  private val m30 = Q("m30_paired_release_run", Some("""
+    WITH RECURSIVE base AS (SELECT doc_id, text, source FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) > 0
+        AND octet_length(CAST(text AS BLOB)) = length(text)),
+    un AS (SELECT doc_id AS sample_id, text AS img, text AS cap, source FROM base
+      UNION ALL SELECT doc_id + 100000, text || 'x', text || 'x', source FROM base
+      UNION ALL SELECT doc_id + 200000, reverse(text), text, source FROM base),
+    d AS (SELECT sample_id,
+        octet_length(CAST(img AS BLOB)) AS nb,
+        (octet_length(CAST(img AS BLOB)) + 9) // 10 AS h,
+        string_split(img, '') AS cs
+      FROM un),
+    g AS (SELECT sample_id, h, nb, cs, r * 8 + c AS i,
+        ((r * h) // 8) * 10 + (c * 10) // 8 AS idx
+      FROM d, UNNEST(generate_series(0, 7)) AS gr(r),
+             UNNEST(generate_series(0, 7)) AS gc(c)),
+    v AS (SELECT sample_id, i,
+        CASE WHEN idx < nb THEN ord(cs[CAST(idx + 1 AS BIGINT)]) ELSE 0 END AS val
+      FROM g),
+    m AS (SELECT sample_id, CAST(SUM(val) AS DOUBLE) / 64.0 AS mean FROM v GROUP BY sample_id),
+    ah AS (SELECT v.sample_id,
+        CAST(SUM(CASE WHEN v.val > m.mean AND v.i < 32 THEN (CAST(1 AS BIGINT) << v.i) ELSE 0 END) AS BIGINT) AS hi,
+        CAST(SUM(CASE WHEN v.val > m.mean AND v.i >= 32 THEN (CAST(1 AS BIGINT) << (v.i - 32)) ELSE 0 END) AS BIGINT) AS lo
+      FROM v JOIN m USING (sample_id) GROUP BY v.sample_id),
+    prs AS (SELECT id_a, id_b FROM (
+      SELECT a.sample_id AS id_a, b.sample_id AS id_b,
+        CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+      FROM ah a JOIN ah b ON a.sample_id < b.sample_id)
+      WHERE hamming <= 3),
+    sym AS (SELECT id_a AS u, id_b AS v FROM prs UNION SELECT id_b, id_a FROM prs),
+    reach(u, v) AS (SELECT u, v FROM sym
+                    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    comp AS (SELECT u AS sample_id, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u),
+    imgdrop AS (SELECT sample_id FROM comp WHERE sample_id <> rep),
+    rem AS (SELECT sample_id, cap, source FROM un
+      WHERE sample_id NOT IN (SELECT sample_id FROM imgdrop)),
+    wk AS (SELECT sample_id, source,
+        MIN(sample_id) OVER (PARTITION BY cap) AS keep FROM rem),
+    adm AS (SELECT 'admitted' AS stage, sample_id, source,
+        CAST(NULL AS BIGINT) AS n FROM wk WHERE sample_id = keep),
+    counts AS (
+      SELECT 'input' AS stage, CAST(NULL AS BIGINT) AS sample_id,
+        CAST(NULL AS VARCHAR) AS source, CAST(COUNT(*) AS BIGINT) AS n FROM un
+      UNION ALL SELECT 'image_pairs', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        CAST(COUNT(*) AS BIGINT) FROM prs
+      UNION ALL SELECT 'image_clusters', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        CAST(COUNT(DISTINCT rep) AS BIGINT) FROM comp
+      UNION ALL SELECT 'dropped_image', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        CAST(COUNT(*) AS BIGINT) FROM imgdrop
+      UNION ALL SELECT 'dropped_caption', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        CAST(COUNT(*) AS BIGINT) FROM wk WHERE sample_id <> keep),
+    bysrc AS (SELECT 'admitted_source' AS stage, CAST(NULL AS BIGINT) AS sample_id,
+        source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM wk WHERE sample_id = keep GROUP BY source)
+    SELECT stage, sample_id, source, n FROM adm
+    UNION ALL SELECT stage, sample_id, source, n FROM counts
+    UNION ALL SELECT stage, sample_id, source, n FROM bysrc
+    ORDER BY stage, sample_id, source"""),
+    (s, dir) => {
+      val base = T(s, dir, "documents").where(octet_length(col("text")) > 0 &&
+          octet_length(col("text")) === length(col("text")))
+        .select(col("doc_id"), col("text"), col("source"))
+      val samples = base.select(col("doc_id").as("sample_id"),
+          col("text").as("img_text"), col("text").as("caption"), col("source"))
+        .unionByName(base.select((col("doc_id") + 100000).as("sample_id"),
+          concat(col("text"), lit("x")).as("img_text"),
+          concat(col("text"), lit("x")).as("caption"), col("source")))
+        .unionByName(base.select((col("doc_id") + 200000).as("sample_id"),
+          reverse(col("text")).as("img_text"), col("text").as("caption"),
+          col("source")))
+      Multimodal.pairedReleaseRun(samples, "sample_id", "img_text",
+          "caption", "source", maxHamming = 3, width = 10)
+        .orderBy(col("stage"), col("sample_id").asc_nulls_last,
+          col("source").asc_nulls_last)
+    })
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -7796,15 +8267,15 @@ object SparkEntry {
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
-    d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39,
+    d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
-    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38, s39,
+    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38, s39, s40, s41, s42,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
     t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45,
-    t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65,
+    t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67,
     m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14,
-    m15, m16, m17, m18, m19, m20, m21, m22, m23, m24, m25, m26, m27, m28)
+    m15, m16, m17, m18, m19, m20, m21, m22, m23, m24, m25, m26, m27, m28, m29, m30)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))

@@ -241,6 +241,61 @@ object Clustering {
           col("nt").cast("double")).as("imbalance_after"))
   }
 
+  /** TOMBSTONE / COMPACTION audit — the deletion-side index-health
+    * check beside [[cellDriftReport]]'s append side: a served ANN
+    * index deletes by tombstoning (the vector stays in its cell,
+    * marked dead, still scanned by every probe), so per-cell dead
+    * mass is pure wasted probe work until a compaction rewrites the
+    * cell. This reports, per cell, live/dead counts, the live
+    * fraction, and the action a compaction job takes: `compact` when
+    * live_frac < `minLiveFrac`, `keep` otherwise, `empty` for a cell
+    * holding nothing (possible when a seed duplicates a smaller-id
+    * seed and the tie-break drains it).
+    *
+    * Scale shape: one map-only assignment scan + one id-keyed join
+    * against the deletion set (ids only — AQE broadcasts a small
+    * tombstone set, degrades to a shuffle join when deletions are
+    * corpus-scale) + a k-row rollup; the k-row seed list left-joins
+    * the histogram so silent cells still report.
+    *
+    * @param deletedIds frame of tombstoned ids, `delIdCol` typed like
+    *        `idCol`
+    * @return (cell, n_total, n_live, n_dead, live_frac round-6 —
+    *         null for empty cells, action) one row per cell
+    *         (unsorted — callers order)
+    */
+  def tombstoneCompactionReport(emb: DataFrame, vecCol: String,
+      idCol: String, k: Int, deletedIds: DataFrame, delIdCol: String,
+      minLiveFrac: Double): DataFrame = {
+    val spark = emb.sparkSession
+    val seeds = seedVectors(emb, vecCol, idCol, k)
+    require(seeds.nonEmpty, "cannot seed cells from an empty corpus")
+    val dead = deletedIds.select(col(delIdCol).as("__did"),
+      lit(1L).as("__dead")).distinct()
+    val hist = assignToCentroidArrays(emb, vecCol, idCol, seeds.toSeq)
+      .select(col(idCol), col("cell"))
+      .join(dead, col(idCol) === col("__did"), "left")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_total_raw"),
+        sum(coalesce(col("__dead"), lit(0L))).as("n_dead_raw"))
+    val cells = spark.createDataFrame(seeds.map(s => Tuple1(s._1)).toSeq)
+      .toDF("cell")
+    val liveFrac = (col("n_total") - col("n_dead")).cast("double") /
+      col("n_total").cast("double")
+    cells
+      .join(broadcast(hist), Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_total_raw"), lit(0L)).as("n_total"),
+        coalesce(col("n_dead_raw"), lit(0L)).as("n_dead"))
+      .select(col("cell"), col("n_total"),
+        (col("n_total") - col("n_dead")).as("n_live"), col("n_dead"),
+        when(col("n_total") === 0L, lit(null).cast("double"))
+          .otherwise(round(liveFrac, 6)).as("live_frac"),
+        when(col("n_total") === 0L, lit("empty"))
+          .when(liveFrac < lit(minLiveFrac), lit("compact"))
+          .otherwise(lit("keep")).as("action"))
+  }
+
   /** IVF REBUILD decision — the one-row maintenance verdict composed
     * from [[cellDriftReport]]'s audit (s30 watches balance at build
     * time, s34 watches it across appends; this turns the watch into

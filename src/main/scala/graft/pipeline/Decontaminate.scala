@@ -200,6 +200,44 @@ object Decontaminate {
     * reproducible in SQL (so the WHOLE filter, false positives
     * included, is oracle-checkable).
     */
+  /** FUZZY benchmark-overlap decontamination — the near-match class
+    * the exact n-gram filters above can't see: a paraphrased or
+    * lightly-edited benchmark copy dilutes its shared-shingle HIT
+    * COUNT (the [[contaminationCounts]] measure) across edits, but
+    * its set-level Jaccard against the benchmark doc stays high. This
+    * flags every candidate whose max Jaccard against ANY benchmark
+    * doc reaches τ, and carries the evidence: WHICH benchmark doc
+    * (ties to the smallest id) and the similarity — the row a
+    * decontamination reviewer actually adjudicates.
+    *
+    * Scale shape: [[graft.pipeline.Dedup.incrementalNearDupPairs]]'
+    * corpus-scans-once shape with the benchmark on the broadcast side
+    * (benchmarks are small by construction); the per-doc argmax is
+    * one pair-keyed rollup of (id, id, double) triples.
+    *
+    * @return (id, source, bench_id, max_jaccard round-6) — one row
+    *         per CONTAMINATED candidate (unsorted; callers order)
+    */
+  def fuzzyContamination(candidates: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, srcCol: String,
+      n: Int = 3, tau: Double = 0.5,
+      maxCorpusPostings: Option[Int] = Some(10000)): DataFrame = {
+    val pairs = graft.pipeline.Dedup.incrementalNearDupPairs(
+      benchmark, candidates, textCol, idCol, n, tau, maxCorpusPostings)
+    // argmax via struct max: larger jaccard wins, ties to the SMALLER
+    // benchmark id (the same struct-ordering trick as the s07 argmax)
+    val flagged = pairs
+      .groupBy(col("corpus_id"))
+      .agg(max(struct(col("jaccard").as("j"), (-col("new_id")).as("nb")))
+        .as("__m"))
+      .select(col("corpus_id").as("__did"),
+        (-col("__m.nb")).as("bench_id"),
+        round(col("__m.j"), 6).as("max_jaccard"))
+    candidates.select(col(idCol), col(srcCol))
+      .join(flagged, col(idCol) === col("__did"))
+      .select(col(idCol), col(srcCol), col("bench_id"), col("max_jaccard"))
+  }
+
   def bloomPos(shingle: org.apache.spark.sql.Column, j: Int, mBits: Int)
       : org.apache.spark.sql.Column =
     conv(substring(md5(concat_ws(":", lit(j), shingle)), 1, 4), 16, 10)

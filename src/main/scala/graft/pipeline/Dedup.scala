@@ -402,6 +402,121 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(wj, 6).as("w_jaccard"))
   }
 
+  /** PREFIX-FILTERED exact Jaccard pairs — [[ngramJaccardPairs]]'
+    * result through the all-pairs prefix-filtering plan (Chaudhuri et
+    * al. SSJoin / Bayardo et al. WWW'07, public literature): order
+    * every doc's shingles by global rarity (df ascending, hash
+    * tie-break) and index ONLY each doc's first
+    * `p = |d| − ⌈τ·|d|⌉ + 1` shingles. Guarantee (lossless): J(x,y) ≥
+    * τ ⟹ |x∩y| ≥ ⌈τ·max(|x|,|y|)⌉ =: α, and two sets sorted by one
+    * global order with overlap ≥ α must share an element inside their
+    * (|·| − α + 1)-prefixes — which the p-prefixes contain (α ≥
+    * ⌈τ·|d|⌉). So every qualifying pair surfaces as a candidate; the
+    * exact verify then computes true Jaccard on candidates only.
+    *
+    * Why it matters at 100 TB: d02's inverted index pays pair fan-out
+    * on EVERY shared shingle — boilerplate (header/footer/license
+    * text, df ≈ N) fans out N²-ish candidate work even though no
+    * boilerplate-only pair can pass τ. Under the df-ascending order,
+    * boilerplate shingles rank LAST inside each doc and fall outside
+    * the prefix, so they are never indexed: candidates collapse to
+    * pairs sharing RARE content (Round18Spec pins zero candidates on
+    * a shared-boilerplate corpus where the full index fans out all
+    * pairs). Cost: one extra df rollup + one id-keyed window exchange
+    * versus d02; the verify joins move one hash array per CANDIDATE
+    * doc (the d24 verify shape).
+    *
+    * `maxPostings` caps surviving PREFIX posting lists (default 10k,
+    * the Dedup-surface invariant); prefix lists are rare-token lists
+    * by construction, so the cap binds only on degenerate corpora.
+    * Pass None for the exact oracle-comparable baseline.
+    *
+    * @return (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥
+    *         threshold (unsorted — callers order)
+    */
+  def prefixFilterPairs(docs: DataFrame, textCol: String, idCol: String,
+      n: Int, threshold: Double,
+      maxPostings: Option[Int] = Some(10000)): DataFrame = {
+    val (cand, docSets) =
+      prefixFilterCandidates(docs, textCol, idCol, n, threshold, maxPostings)
+    val nInter = size(array_intersect(col("arr_a"), col("arr_b"))).cast("long")
+    cand
+      .join(docSets.select(col("id").as("id_a"), col("sh_arr").as("arr_a")),
+        Seq("id_a"))
+      .join(docSets.select(col("id").as("id_b"), col("sh_arr").as("arr_b")),
+        Seq("id_b"))
+      .withColumn("n_inter", nInter)
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("arr_a")).cast("long") + size(col("arr_b")).cast("long")
+          - col("n_inter")).cast("double"))
+      .where(col("jaccard") >= lit(threshold))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Candidate stage of [[prefixFilterPairs]], exposed for the
+    * Round18Spec reduction pin. Returns (candidates (id_a, id_b)
+    * distinct with id_a < id_b, scope-cached docSets (id, sh_arr)).
+    */
+  private[graft] def prefixFilterCandidates(
+      docs: DataFrame, textCol: String, idCol: String,
+      n: Int, threshold: Double,
+      maxPostings: Option[Int]): (DataFrame, DataFrame) = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    // scope-cached: feeds the prefix ranking AND both verify joins
+    val docSets = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
+      graft.ops.ScaleOps.fanOut(docs).select(
+        col(idCol).as("id"),
+        graft.functions.ShingleHashes(col(textCol), n).as("sh_arr")))
+    val exploded = docSets
+      .where(size(col("sh_arr")) > 0)
+      .select(col("id"), size(col("sh_arr")).cast("long").as("n_sh"),
+        explode(col("sh_arr")).as("shingle"))
+    // df as a count window over the shingle partitioning instead of a
+    // groupBy + join back: ONE explode pass + one exchange where the
+    // rollup/join spelling computed the explode twice and exchanged
+    // three times
+    val wDf = Window.partitionBy(col("shingle"))
+    // global rarity order (df asc, hash asc); prefix keeps ranks
+    // 1..|d|−⌈τ·|d|⌉+1 — ≥ 1 for any τ ≤ 1, so no doc vanishes
+    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))
+    val prefixRows = exploded
+      .withColumn("df", count(lit(1)).over(wDf))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <=
+        col("n_sh") - ceil(lit(threshold) * col("n_sh")) + lit(1L))
+      .select(col("shingle"), col("id"))
+    val postings = maxPostings match {
+      case Some(m) =>
+        // same count-first cap as [[shingleIntersections]]: no reducer
+        // row materializes more than m ids; drops surface via observe
+        ensurePostingDropLogger(docs.sparkSession)
+        val counts = prefixRows
+          .groupBy(col("shingle"))
+          .agg(count(lit(1)).as("n_docs_sh"))
+          .observe(s"$postingMetricName.${postingMetricSeq.incrementAndGet()}",
+            sum(when(col("n_docs_sh") > lit(m) && col("n_docs_sh") >= 2, 1L)
+              .otherwise(0L)).as("dropped_posting_lists"))
+          .where(col("n_docs_sh") >= 2 && col("n_docs_sh") <= lit(m))
+        prefixRows
+          .join(counts.select(col("shingle")), Seq("shingle"))
+          .groupBy(col("shingle"))
+          .agg(collect_list(col("id")).as("ids"))
+      case None =>
+        prefixRows
+          .groupBy(col("shingle"))
+          .agg(collect_list(col("id")).as("ids"))
+          .where(size(col("ids")) >= 2)
+    }
+    // a pair may share several prefix shingles → distinct before verify
+    val cand = postings
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .distinct()
+    (cand, docSets)
+  }
+
   /** PAIR EVIDENCE — for each qualifying near-dup pair, the k RAREST
     * shared shingles (rarity = corpus-wide df ascending, ties to the
     * shingle text): the lines a human reviewer actually reads before

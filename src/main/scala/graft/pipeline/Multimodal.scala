@@ -1206,6 +1206,137 @@ object Multimodal {
         col("cluster_size"))
   }
 
+  /** CROSS-MODAL duplicate disagreement audit — the image-text-pair
+    * dedup read (the LAION/DataComp curation problem): an image-text
+    * corpus duplicates along EACH modality independently, and the
+    * disagreements are the actionable rows. `image_only` pairs (same
+    * image, different caption — re-hosted or re-captioned media) are
+    * what caption-level dedup MISSES; `caption_only` pairs (same
+    * caption, different image — template/boilerplate captions) are
+    * what image-level dedup misses; `both` pairs are true duplicates
+    * either pass would catch. A pipeline gating on one modality alone
+    * silently keeps the other column's duplicates.
+    *
+    * Scale shape: the image leg is [[phashDupPairs]]' lossless banded
+    * blocking over one [[perceptualHash]] decode pass; the caption
+    * leg groups md5 fingerprints into posting lists and emits pairs
+    * list-local (never a corpus self-join); the classification is one
+    * full-outer join of two (id, id) pair frames. Payloads never
+    * enter a shuffle — hashes and digests do.
+    *
+    * @param samples (id, image-bearing text, caption) — the image is
+    *        rendered via [[textAsBmp]] (codec stub; a real decoder
+    *        slots into the same plumbing)
+    * @return (id_a, id_b, image_dup 0/1, caption_dup 0/1, kind ∈
+    *         both|image_only|caption_only) with id_a < id_b — one row
+    *         per pair duplicated in ≥1 modality (unsorted — callers
+    *         order)
+    */
+  def crossModalDupAudit(samples: DataFrame, idCol: String,
+      imageTextCol: String, captionCol: String,
+      maxHamming: Int = 3, width: Int = 10): DataFrame = {
+    val slim = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
+      samples.select(col(idCol).cast("long").as("sample_id"),
+        col(imageTextCol).as("__img"), col(captionCol).as("__cap")))
+    val imgPairs = phashDupPairs(
+      perceptualHash(textAsBmp(slim.select(col("sample_id"), col("__img")),
+        "sample_id", "__img", width = width)).toDF(), maxHamming)
+      .select(col("id_a"), col("id_b"), lit(1L).as("__img_dup"))
+    val capPairs = slim
+      .select(col("sample_id"), md5(col("__cap")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(collect_list(col("sample_id")).as("ids"))
+      .where(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1L).as("__cap_dup"))
+    imgPairs
+      .join(capPairs, Seq("id_a", "id_b"), "full_outer")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("__img_dup"), lit(0L)).as("image_dup"),
+        coalesce(col("__cap_dup"), lit(0L)).as("caption_dup"))
+      .withColumn("kind",
+        when(col("image_dup") === 1L && col("caption_dup") === 1L, "both")
+          .when(col("image_dup") === 1L, "image_only")
+          .otherwise("caption_only"))
+  }
+
+  /** The COMPOSED paired-corpus release run — [[crossModalDupAudit]]
+    * turned into the nightly job an image-text pipeline ships: dedup
+    * BOTH modalities with production attribution order (image
+    * clusters first — re-hosted media is the dominant dup mass — then
+    * exact-caption groups over the remainder), keep min-id
+    * representatives, and emit the admitted pair list + per-stage
+    * audit counts + the per-source admitted rollup in one result.
+    * Attribution order matters and is part of the contract: a pair
+    * duplicated in both modalities counts against the image stage,
+    * so `dropped_caption` is caption-ONLY dup mass (the audit's
+    * caption_only class, actioned).
+    *
+    * Scale shape: one [[perceptualHash]] decode pass; banded lossless
+    * image pairs ([[phashDupPairs]]); the closure input is (id, id)
+    * pairs fully materialized before the eager closure (the m22
+    * cache-release discipline); caption dedup is one md5-keyed window
+    * over the remainder (ids/digests only). Payloads never shuffle.
+    *
+    * @return (stage, sample_id, source, n): `admitted` rows carry
+    *         ids+source; `input`/`image_pairs`/`image_clusters`/
+    *         `dropped_image`/`dropped_caption` carry counts;
+    *         `admitted_source` carries the rollup (unsorted — callers
+    *         order)
+    */
+  def pairedReleaseRun(samples: DataFrame, idCol: String,
+      imgTextCol: String, captionCol: String, srcCol: String,
+      maxHamming: Int = 3, width: Int = 10): DataFrame = {
+    val spark = samples.sparkSession
+    val slim = samples.select(col(idCol).cast("long").as("sample_id"),
+      col(imgTextCol).as("__img"), col(captionCol).as("__cap"),
+      col(srcCol).cast("string").as("source")).cache()
+    val pairs = phashDupPairs(perceptualHash(textAsBmp(
+        slim.select(col("sample_id"), col("__img")), "sample_id", "__img",
+        width)).toDF(), maxHamming)
+      .select(col("id_a"), col("id_b")).cache()
+    // materialize pairs FULLY before the eager closure (the m22
+    // partial-execution cache-release hazard); slim stays hot through
+    // the closure and is scoped only after it
+    val (nIn, nPairs, comp) =
+      try {
+        val ni = slim.count()
+        val np = pairs.count()
+        (ni, np, graft.pipeline.Dedup.connectedComponents(pairs))
+      } finally pairs.unpersist()
+    org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUseExisting(slim)
+    val imgDropped = comp.where(col("id") =!= col("component"))
+      .select(col("id").as("sample_id"))
+    val remainder = slim.join(imgDropped, Seq("sample_id"), "left_anti")
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val withKeep = remainder
+      .select(col("sample_id"), col("source"), md5(col("__cap")).as("fp"))
+      .withColumn("__keep", min(col("sample_id")).over(wFp))
+    val admitted = withKeep.where(col("sample_id") === col("__keep"))
+    def c1(stage: String, n: Column) = spark.range(1).select(
+      lit(stage).as("stage"), lit(null).cast("long").as("sample_id"),
+      lit(null).cast("string").as("source"), n.cast("long").as("n"))
+    def cAgg(stage: String, df: DataFrame, agg: Column) = df.agg(agg.as("c"))
+      .select(lit(stage).as("stage"), lit(null).cast("long").as("sample_id"),
+        lit(null).cast("string").as("source"), col("c").cast("long").as("n"))
+    val admittedRows = admitted.select(lit("admitted").as("stage"),
+      col("sample_id"), col("source"), lit(null).cast("long").as("n"))
+    val counts = c1("input", lit(nIn))
+      .unionAll(c1("image_pairs", lit(nPairs)))
+      .unionAll(cAgg("image_clusters", comp, countDistinct(col("component"))))
+      .unionAll(cAgg("dropped_image", imgDropped, count(lit(1))))
+      .unionAll(cAgg("dropped_caption",
+        withKeep.where(col("sample_id") =!= col("__keep")), count(lit(1))))
+    val bySource = admitted.groupBy(col("source"))
+      .agg(count(lit(1)).as("c"))
+      .select(lit("admitted_source").as("stage"),
+        lit(null).cast("long").as("sample_id"), col("source"),
+        col("c").cast("long").as("n"))
+    admittedRows.unionAll(counts).unionAll(bySource)
+  }
+
   /** Audio dup CLUSTERS — [[audioFingerprintDupPairs]] closed
     * transitively (the d06 move for the audio family): each clip's
     * cluster representative (min id) and cluster size, the frame an

@@ -372,6 +372,108 @@ object Pq {
     (dotTab, nrm2Tab, math.sqrt(q.map(x => x * x).sum))
   }
 
+  /** ADC vs SDC retrieval comparison — the PQ scoring-mode decision
+    * (Jégou et al. TPAMI'11, public literature): ADC keeps the query
+    * EXACT and scores it against reconstructed docs (one quantization
+    * error per pair); SDC quantizes BOTH sides so scores reduce to a
+    * ksub×ksub table lookup per subspace (two errors per pair, but
+    * the query-side tables are precomputable and the scan never
+    * touches a float vector). The standing advice is "ADC unless the
+    * lookup-table locality pays for the extra error" — this measures
+    * the actual recall gap on the corpus at hand, against the exact
+    * leg, for a fixed query batch.
+    *
+    * Both modes ride the SAME codegen scan kernel
+    * ([[graft.functions.PqExpressions.pqAdcScore]]) with different
+    * driver-built tables: ADC gets dot(q_j, c) and ‖q‖; SDC gets
+    * dot(c_{q_j}, c) and the reconstructed ‖q̂‖ — the scan cost is
+    * identical by construction, isolating the ERROR comparison.
+    *
+    * Scale shape: one encode scan (scope-cached codes reused by every
+    * per-query leg), per-query TakeOrderedAndProject top-ks, one
+    * broadcast exact leg over the query batch (the audit protocol),
+    * and a 2-row method rollup.
+    *
+    * @return (method ∈ adc|sdc, n_queries, n_returned, n_hits,
+    *         n_possible, recall round-6) — unsorted, callers order
+    */
+  def adcSdcRecallCompare(emb: DataFrame, vecCol: String, idCol: String,
+      queryIds: Seq[Long], k: Int, m: Int, ksub: Int): DataFrame = {
+    require(queryIds.nonEmpty, "need at least one query id")
+    val books = seedCodebooks(emb, vecCol, idCol, m, ksub)
+    val sub = books.head.head.length
+    val encoded = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
+      encode(graft.ops.ScaleOps.fanOut(emb)
+        .select(col(idCol).as("id"), col(vecCol).as("v")), "v", books)
+        .select(col("id"), col("codes")))
+    def legsFor(qid: Long): Seq[DataFrame] = {
+      val q = collectQuery(emb, vecCol, idCol, qid)
+      val (dotTab, nrm2Tab, qNorm) = adcTables(q, books)
+      // query-side encode on the driver: per-subspace L2 argmin,
+      // ties to the smaller code — the same rule as the scan kernel
+      val qCodes = Array.tabulate(m) { j =>
+        var best = 0; var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < books(j).length) {
+          var d = 0.0; var i = 0
+          while (i < sub) {
+            val t = q(j * sub + i) - books(j)(c)(i); d += t * t; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+      val sdcDotTab: Array[Array[Double]] = Array.tabulate(m) { j =>
+        val qc = books(j)(qCodes(j))
+        books(j).map { cent =>
+          var s = 0.0; var i = 0
+          while (i < sub) { s += qc(i) * cent(i); i += 1 }
+          s
+        }
+      }
+      val nqHat = math.sqrt(
+        Array.tabulate(m)(j => nrm2Tab(j)(qCodes(j))).sum)
+      def top(method: String, dt: Array[Array[Double]], qn: Double) =
+        encoded
+          .where(col("id") =!= lit(qid))
+          .withColumn("sim", round(graft.functions.PqExpressions.pqAdcScore(
+            col("codes"), dt, nrm2Tab, qn), 6))
+          .where(col("sim").isNotNull)
+          .orderBy(col("sim").desc, col("id"))
+          .limit(k)
+          .select(lit(qid).as("src"), col("id").as("dst"),
+            lit(method).as("method"))
+      Seq(top("adc", dotTab, qNorm), top("sdc", sdcDotTab, nqHat))
+    }
+    val approx = queryIds.flatMap(legsFor).reduce(_ unionByName _)
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("cs").desc, col("dst"))
+    val exact = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
+      graft.ops.ScaleOps.fanOut(emb)
+        .select(col(idCol).as("dst"), col(vecCol).as("vb"))
+        .crossJoin(broadcast(emb.where(col(idCol).isin(queryIds: _*))
+          .select(col(idCol).as("src"), col(vecCol).as("qv"))))
+        .where(col("dst") =!= col("src"))
+        .withColumn("cs", Similarity.cosine(col("vb"), col("qv")))
+        .withColumn("rn", row_number().over(wSrc))
+        .where(col("rn") <= k)
+        .select(col("src"), col("dst")))
+    val totals = exact.agg(
+      countDistinct(col("src")).as("n_queries"),
+      count(lit(1)).as("n_possible"))
+    approx
+      .join(exact.withColumn("__hit", lit(1L)), Seq("src", "dst"), "left")
+      .groupBy(col("method"))
+      .agg(count(lit(1)).as("n_returned"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .crossJoin(broadcast(totals))
+      .select(col("method"), col("n_queries"), col("n_returned"),
+        col("n_hits"), col("n_possible"),
+        round(col("n_hits").cast("double") /
+          col("n_possible").cast("double"), 6).as("recall"))
+  }
+
   /** ADC top-candidates → exact-cosine re-rank: the candidate ids are
     * a bounded driver list (≤ max(k, rerank)) that becomes an `isin`
     * PUSHDOWN filter over the original vectors — join-free, the IVF

@@ -130,6 +130,58 @@ object TextAnalysis {
       lit(0.2) * (lit(1.0) - least(punctRatio * lit(10.0), lit(1.0)))
   }
 
+  /** PER-SOURCE PERCENTILE quality gate vs the raw global threshold —
+    * the calibration decision behind any cross-source quality filter:
+    * a single global score cutoff admits sources in proportion to
+    * their score DISTRIBUTIONS (a clean source sails through, a noisy
+    * one is decimated — silently reweighting the mix), while gating on
+    * the within-source percentile admits the same top fraction of
+    * every source, preserving the mix by construction. This reports
+    * both admission counts side by side per source, so the skew a raw
+    * threshold would introduce is measured before anyone ships it.
+    *
+    * Scale shape: one scan computes the [[qualityScore]] scalar, the
+    * within-source percent_rank is ONE source-keyed window exchange
+    * carrying (source, score, id) triples — documents never shuffle —
+    * and the report is a |sources|-row rollup. Skewed sources are the
+    * window's partition skew; at 100 TB the (source) partition key is
+    * coarse but each partition only sorts scalar triples.
+    *
+    * Determinism: percent_rank = (rank−1)/(n−1) over a TOTAL order
+    * (score desc, id asc — the id tie-break makes every rank unique),
+    * so the double compares identically on any engine; rates are
+    * single exact-integer divisions rounded 6 dp.
+    *
+    * @param topFrac    admit docs with percent_rank ≤ topFrac
+    * @param rawThreshold the global score cutoff being compared
+    * @return (source, n_docs, n_admit_raw, n_admit_pct, raw_rate,
+    *         pct_rate) — one row per source (unsorted; callers order)
+    */
+  def percentileGateBySource(docs: DataFrame, textCol: String,
+      idCol: String, srcCol: String, topFrac: Double,
+      rawThreshold: Double): DataFrame = {
+    val scored = graft.ops.ScaleOps.fanOut(docs).select(
+      col(srcCol).as("source"), col(idCol).as("id"),
+      qualityScore(col(textCol)).as("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("id"))
+    scored
+      .withColumn("pr", percent_rank().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("quality") >= lit(rawThreshold), 1L).otherwise(0L))
+          .as("n_admit_raw"),
+        sum(when(col("pr") <= lit(topFrac), 1L).otherwise(0L))
+          .as("n_admit_pct"))
+      .withColumn("raw_rate",
+        round(col("n_admit_raw").cast("double") /
+          col("n_docs").cast("double"), 6))
+      .withColumn("pct_rate",
+        round(col("n_admit_pct").cast("double") /
+          col("n_docs").cast("double"), 6))
+  }
+
   /** Canonical-form document fingerprint: md5 of the
     * lowercased, whitespace-collapsed text. Identical fingerprints ⇒
     * exact near-duplicates under normalization.

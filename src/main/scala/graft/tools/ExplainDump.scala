@@ -166,6 +166,14 @@ object ExplainDump {
       "d39_pair_evidence" -> "pair evidence: d02's pair pass; shingle strings cross exactly one exchange (the df rollup) and otherwise appear only on the pair-restricted sliver; the per-pair top-k filter sits on the raw row_number (WindowGroupLimit)",
       "s39_sq_bits_decision" -> "bit-width decision: the s33 sweep's one corpus scan; the verdict is a |bits|-row sort-limit carrying the chosen row into the build manifest",
       "t65_incremental_release_run" -> "incremental release run: the corpus scans ONCE with the batch's shingles broadcast (d35's shape), the within-batch closure is batch-sized, contamination is the hash-broadcast bench join, quality is scan-stage; one batch-sized flag frame feeds every leg",
+      "d40_prefix_filter_pairs" -> "prefix-filtered exact join: df via a count window on the shingle partitioning, the id-keyed rank window keeps only each doc's rare prefix, candidates verify via array-intersect joins — lossless (hash-matched vs the plain exact oracle), boilerplate never indexed",
+      "s40_tombstone_compaction" -> "tombstone/compaction audit: one map-only inlined-centroid assignment + ids-only tombstone join (AQE-broadcast at small delete sets) + k-row rollup left-joined onto the seed list so drained cells report",
+      "s41_nn_descent" -> "NN-descent round: cell-blocked init pairs, 2-hop frontier via two edge self-joins, candidate rescoring moves one vector per candidate row, every top-k is a WindowGroupLimit; the exact audit leg is a broadcast query sample (auditMod contract)",
+      "s42_adc_sdc_compare" -> "ADC vs SDC: ONE scope-cached encode scan feeds every per-query leg; both modes ride the same pqAdcScore kernel with different driver tables, so the plans differ only in literals — the recall gap isolates the error, not the plan",
+      "t66_percentile_gate" -> "percentile gate: scan-stage quality score, ONE source-keyed window exchange of (source, score, id) scalar triples (total order — id tie-break), |sources|-row rollup",
+      "t67_fuzzy_decontamination" -> "fuzzy decontamination: d10's corpus-scans-once shape with benchmark shingles broadcast; the per-doc argmax is a pair-keyed struct-max rollup — text never reshuffles",
+      "m29_crossmodal_dup_audit" -> "cross-modal dup audit: one phash decode pass + banded image pairs; caption pairs emit list-local from md5 posting lists (never a corpus self-join); classification is one full-outer join of (id, id) pair frames",
+      "m30_paired_release_run" -> "paired release run: pairs materialized fully before the eager closure (m22 discipline), caption dedup is one md5-keyed min window over the remainder, result plan is ids-only admitted/rollup legs + literal count rows",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")
@@ -188,6 +196,45 @@ object ExplainDump {
     * regeneration preserves the record.
     */
   private val driftTriage: String = """
+## Round-18 operator notes (d40 / s40 / s41 / s42 / t66 / t67 / m29 / m30)
+
+**d40 prefix-filter cost adjudication.** The first cut declared
+tau=0.4 and measured 4.7 s isolated at sf0.1 vs d02's 1.5 s on the
+same exact pair set — the stage profile showed 522,615 candidates,
+i.e. the prefix cut was barely cutting. Cause: at tau=0.4 the safe
+prefix is |d|-ceil(0.4|d|)+1 ~ 61% of each doc, and this corpus's
+30-word synthetic vocabulary has no df tail for the rarity order to
+exploit (the operator's win condition is boilerplate-vs-rare CONTRAST,
+which Round18Spec pins: 190 -> 0 candidates on a shared-header
+corpus). Two fixes landed: df now comes from a count window on the
+shingle partitioning (one explode pass + one exchange instead of a
+rollup+join's two explodes + three), and the DECLARED operating point
+moved to tau=0.8 — the near-dup threshold a production dedup actually
+runs, where the prefix is ~20%+1 of each doc (candidates 118k,
+isolated 3.1 s; the residual gap vs d02 on THIS corpus is the missing
+df tail, documented so nobody "fixes" it into a regression on real
+data). Same 256-pair result set, hash-matched at both tau.
+
+**s41 exact-leg contract.** The NN-descent audit's brute-force leg is
+O(N * |sample|): `auditMod` restricts audited queries to ids = 0 (mod
+m) and every reported counter restricts to the same sample
+(spec-pinned consistency). The declared query audits everything
+(auditMod=1, oracle-clean); the 10x smoke audits ~500 sampled queries
+and the wall stays flat (9.6 -> 10.4 s) while the graph side grows
+10x.
+
+**m29/m30 three-leg corpus.** +100000 re-captions a near-dup image
+(caption differs, phash within 3 bits), +200000 re-renders the same
+caption (image differs) — all three disagreement classes exist by
+construction and the release run's two dedup stages both have work.
+Attribution order in m30 is contract: both-modality dups count against
+the image stage; `dropped_caption` is caption-ONLY mass.
+
+Isolated 5-rep timings (sf0.1, DriftProfile protocol, throwaway lead):
+d40 4.6/4.7 (pre-fix; 3.1 post-tau-fix) · s40 0.44/0.54 · s41 3.4/3.8
+(full audit) · t66 0.49/0.55 · m29 0.87/0.97 min/median s; smoke
+singles: t67 3.8 · s42 2.9 · m30 6.5.
+
 ## Round-16 signal-of-record adjudication (d27 / q44 / t36 / t13)
 
 The r11 driver artifact showed three >=1.5x movers the builder's

@@ -621,6 +621,75 @@ object ScaleSmoke {
             metaIdCol = "doc_id")
           .groupBy(col("stage")).agg(count(lit(1)))
           .collect().length.toLong }
+      // df rollup + one id-keyed prefix window + candidate pass; the
+      // growth signal is candidates (rare-shingle pairs), not corpus²
+      time("d40 prefixFilterPairs (capped)") {
+        graft.pipeline.Dedup.prefixFilterPairs(docs, "text", "doc_id",
+          n = 3, threshold = 0.8).count() }
+      // one assignment scan + ids-only tombstone join + k-row rollup
+      time("s40 tombstoneCompaction") {
+        graft.pipeline.Clustering.tombstoneCompactionReport(emb,
+          "embedding", "vec_id", k = 8,
+          emb.where(col("vec_id") % 5 === 0).select(col("vec_id")),
+          "vec_id", minLiveFrac = 0.8).collect().length.toLong }
+      // one score scan + one source-keyed window of scalar triples
+      time("t66 percentileGate") {
+        graft.pipeline.TextAnalysis.percentileGateBySource(docs, "text",
+          "doc_id", "source", topFrac = 0.4, rawThreshold = 0.55)
+          .collect().length.toLong }
+      // graph legs scale with cells/edges; the exact audit leg is
+      // pinned to ~500 sampled queries (the auditMod contract), so
+      // wall growth measures the GRAPH side, not the N² audit
+      time("s41 nnDescent (sampled audit)") {
+        val am = math.max(1L, emb.count() / 500L)
+        graft.pipeline.GraphAnn.nnDescentRecallAudit(emb, "embedding",
+          "vec_id", kCells = semK, k = 5, auditMod = am)
+          .collect().length.toLong }
+      // one phash decode pass + banded image pairs + list-local
+      // caption pairs + a pair-keyed full-outer join
+      time("m29 crossModalDupAudit") {
+        val samples = asciiDocs.select(col("doc_id").as("sample_id"),
+            col("text").as("img_text"), col("text").as("caption"))
+          .unionByName(asciiDocs.select(
+            (col("doc_id") + 10000000L).as("sample_id"),
+            concat(col("text"), lit("x")).as("img_text"),
+            concat(col("text"), lit("x")).as("caption")))
+          .unionByName(asciiDocs.select(
+            (col("doc_id") + 20000000L).as("sample_id"),
+            reverse(col("text")).as("img_text"),
+            col("text").as("caption")))
+        graft.pipeline.Multimodal.crossModalDupAudit(samples,
+          "sample_id", "img_text", "caption").count() }
+      // corpus scans once, benchmark shingles broadcast (the d10
+      // shape) + one pair-keyed argmax rollup
+      time("t67 fuzzyDecontamination (capped)") {
+        graft.pipeline.Decontaminate.fuzzyContamination(
+          docs.where(col("doc_id") % 50 =!= 0),
+          docs.where(col("doc_id") % 50 === 0),
+          "text", "doc_id", "source").count() }
+      // one encode scan reused by all per-query legs + broadcast
+      // exact leg over the 3-query batch
+      time("s42 adcSdcCompare") {
+        graft.pipeline.Pq.adcSdcRecallCompare(emb, "embedding", "vec_id",
+          queryIds = Seq(0L, 1L, 2L), k = 10, m = 8, ksub = 16)
+          .collect().length.toLong }
+      // one phash pass + banded pairs + closure + md5 caption window
+      time("m30 pairedReleaseRun") {
+        val samples = asciiDocs.select(col("doc_id").as("sample_id"),
+            col("text").as("img_text"), col("text").as("caption"),
+            col("source"))
+          .unionByName(asciiDocs.select(
+            (col("doc_id") + 10000000L).as("sample_id"),
+            concat(col("text"), lit("x")).as("img_text"),
+            concat(col("text"), lit("x")).as("caption"), col("source")))
+          .unionByName(asciiDocs.select(
+            (col("doc_id") + 20000000L).as("sample_id"),
+            reverse(col("text")).as("img_text"), col("text").as("caption"),
+            col("source")))
+        graft.pipeline.Multimodal.pairedReleaseRun(samples, "sample_id",
+            "img_text", "caption", "source")
+          .groupBy(col("stage")).agg(count(lit(1)))
+          .collect().length.toLong }
       // (doc,label,token) agg + |classes|-way scoring join
       time("t50 nbLangConfusion") {
         graft.pipeline.TextAnalysis.nbLangConfusion(docs, "text",
