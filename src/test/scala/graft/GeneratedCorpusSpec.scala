@@ -140,7 +140,22 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     // t56 composes the d22 closure class with t28's α=0.5 weights
     // (IEEE-sqrt-exact, contract-rounded); m23 adds the recursive
     // closure over m11's integer-bit pairs (ASCII pin)
-    "t56_dedup_temperature_mix", "m23_phash_dup_clusters")
+    "t56_dedup_temperature_mix", "m23_phash_dup_clusters",
+    // round-18: d40 is the d02 pair class behind a lossless candidate
+    // cut — the replay re-proves losslessness per corpus; t66's score
+    // is a fixed per-row expression tree (the t02 class) and its
+    // percent_rank is the t37 total-order class (integer counts, two
+    // exact divisions)
+    "d40_prefix_filter_pairs", "t66_percentile_gate",
+    // m29 composes the m23 phash-bit class (ASCII pin) with exact
+    // caption equality and a pair-keyed classification — counts,
+    // ids, and strings only
+    "m29_crossmodal_dup_audit",
+    // t67 is the d10 cross-pair class + a threshold literal + an
+    // argmax over exact-division doubles (ties integer); m30 composes
+    // the m23 closure class with an md5-keyed min window — ids and
+    // counts only
+    "t67_fuzzy_decontamination", "m30_paired_release_run")
 
   private def generate(seed: Int, nDocs: Int): Seq[(Long, String, String, String, Long)] = {
     val rnd = new scala.util.Random(seed)
@@ -155,10 +170,16 @@ class GeneratedCorpusSpec extends AnyFunSuite {
       (i.toLong, text, langs(rnd.nextInt(langs.size)),
         s"src${rnd.nextInt(5)}", text.length.toLong)
     }
-    // plant exact duplicates (10%) so the dedup families have work
+    // plant exact duplicates (10%) so the dedup families have work,
+    // plus BENCHMARK LEAKS (copies of %50==0 docs — the t09/t13/t67
+    // benchmark slots) so the decontamination families have work too;
+    // the two rules never collide (no id is ≡9 mod 10 and ≡3 mod 25)
     base.map { case row @ (id, _, lang, src, _) =>
       if (id % 10 == 9) {
         val orig = base((id / 2).toInt)
+        (id, orig._2, lang, src, orig._2.length.toLong)
+      } else if (id % 25 == 3) {
+        val orig = base(((id / 50) * 50).toInt)
         (id, orig._2, lang, src, orig._2.length.toLong)
       } else row
     }
@@ -209,7 +230,17 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     // round-15: s34 is the d14/s30 assignment class run twice (old
     // corpus seeds, both splits assigned) + integer histograms +
     // exact divisions over the k-cell seed list
-    "s34_ivf_cell_drift")
+    "s34_ivf_cell_drift",
+    // round-18: s40 is the s34 assignment class + integer tombstone
+    // histograms + exact divisions + a threshold CASE on the exact
+    // division — must agree on arbitrary vectors; s41 composes the
+    // s34 assignment with three rank windows over the pinned cosine
+    // kernel + integer hit counts + one exact division
+    "s40_tombstone_compaction", "s41_nn_descent",
+    // s42 composes the s16 encode/table class (both modes ride the
+    // same kernel) with rank windows over round-6 scores + integer
+    // hit counts — must agree on arbitrary vectors
+    "s42_adc_sdc_compare")
 
   /** Canonical cell stringification: array columns print as
     * "[a, b, ...]" on BOTH sides (Spark rows yield Scala Seqs,
