@@ -8256,6 +8256,112 @@ object SparkEntry {
           col("source").asc_nulls_last)
     })
 
+  // OVER-FETCH under tombstones: the s40 serving-side companion — a
+  // tombstoning index filters deleted ids AFTER retrieval, so plain
+  // fetch-k silently loses recall; over-fetch (2k, filter, truncate)
+  // is the mitigation, measured here against exact-over-live. Oracle
+  // replays the scored scan, the dead flag, all three rank windows,
+  // and both rollups.
+  private val s43 = Q("s43_overfetch_deletes", Some("""
+    WITH qv AS (SELECT vec_id AS src, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < 3),
+    sc AS (SELECT q.src, e.vec_id AS dst,
+        list_sum(list_transform(generate_series(1, len(e.embedding)),
+          i -> CAST(e.embedding[i] AS DOUBLE) * q.qv[i]))
+        / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cs,
+        CASE WHEN e.vec_id % 5 = 0 THEN 1 ELSE 0 END AS is_dead
+      FROM qv q, embeddings e WHERE e.vec_id <> q.src),
+    f AS (SELECT src, dst, is_dead,
+        ROW_NUMBER() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rn
+      FROM sc),
+    fk AS (SELECT src, dst FROM f WHERE rn <= 10 AND is_dead = 0),
+    ofq AS (SELECT src, dst FROM (
+        SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY rn) AS rn2
+        FROM f WHERE rn <= 20 AND is_dead = 0) WHERE rn2 <= 10),
+    ex AS (SELECT src, dst FROM (
+        SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rn
+        FROM sc WHERE is_dead = 0) WHERE rn <= 10),
+    tot AS (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS n_queries,
+        CAST(COUNT(*) AS BIGINT) AS n_possible FROM ex),
+    lfk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_returned,
+        CAST(SUM(CASE WHEN ex.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM fk LEFT JOIN ex ON ex.src = fk.src AND ex.dst = fk.dst),
+    lof AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_returned,
+        CAST(SUM(CASE WHEN ex.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM ofq LEFT JOIN ex ON ex.src = ofq.src AND ex.dst = ofq.dst)
+    SELECT 'fetch_k' AS strategy, n_queries, n_returned, n_hits, n_possible,
+      ROUND(CAST(n_hits AS DOUBLE) / CAST(n_possible AS DOUBLE), 6) AS recall
+    FROM lfk, tot
+    UNION ALL
+    SELECT 'overfetch', n_queries, n_returned, n_hits, n_possible,
+      ROUND(CAST(n_hits AS DOUBLE) / CAST(n_possible AS DOUBLE), 6)
+    FROM lof, tot
+    ORDER BY strategy"""),
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      graft.pipeline.Clustering.overfetchUnderDeletes(emb, "embedding",
+          "vec_id", queryIds = Seq(0L, 1L, 2L),
+          deletedIds = emb.where(col("vec_id") % 5 === 0).select(col("vec_id")),
+          delIdCol = "vec_id", k = 10, fetchFactor = 2)
+        .orderBy(col("strategy"))
+    })
+
+  // PER-SOURCE quality drift between snapshots (old = %10≠0, new =
+  // %10=0): counts, exact-decimal means, and the exact two-sample KS
+  // statistic over the round-6 score — the ingest-monitoring read.
+  // Oracle replays the score, the (source, score) rollup, the
+  // cumulative windows, and the verdict.
+  private val t68 = Q("t68_quality_drift", Some("""
+    WITH sc AS (SELECT source,
+      CAST(ROUND(
+      0.5 * LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+        + 0.3 * LEAST(
+            ((LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' the ', ' '))) / 4.0
+             + (LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' and ', ' '))) / 4.0
+             + (LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' of ', ' '))) / 3.0)
+            / GREATEST(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 10.0, 1.0)
+        + 0.2 * (1.0 - LEAST(CAST(LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+            / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0) * 10.0, 1.0)), 6) AS DECIMAL(18,6)) AS s,
+      CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS is_new
+      FROM documents),
+    per AS (SELECT source, s,
+        SUM(CASE WHEN is_new = 0 THEN 1 ELSE 0 END) AS co,
+        SUM(CASE WHEN is_new = 1 THEN 1 ELSE 0 END) AS cn
+      FROM sc GROUP BY source, s),
+    cum AS (SELECT source, s, co, cn,
+        SUM(co) OVER (PARTITION BY source ORDER BY s
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_o,
+        SUM(cn) OVER (PARTITION BY source ORDER BY s
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+        SUM(co) OVER (PARTITION BY source) AS n_old,
+        SUM(cn) OVER (PARTITION BY source) AS n_new
+      FROM per),
+    agg AS (SELECT source, MAX(n_old) AS n_old, MAX(n_new) AS n_new,
+        SUM(s * co) AS sum_o, SUM(s * cn) AS sum_n,
+        MAX(CASE WHEN n_old > 0 AND n_new > 0 THEN
+          ABS(CAST(cum_o AS DOUBLE) / CAST(n_old AS DOUBLE)
+            - CAST(cum_n AS DOUBLE) / CAST(n_new AS DOUBLE)) END) AS ks_raw
+      FROM cum GROUP BY source)
+    SELECT source, CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+      CASE WHEN n_old = 0 THEN NULL
+        ELSE ROUND(CAST(sum_o AS DOUBLE) / CAST(n_old AS DOUBLE), 6) END AS mean_old,
+      CASE WHEN n_new = 0 THEN NULL
+        ELSE ROUND(CAST(sum_n AS DOUBLE) / CAST(n_new AS DOUBLE), 6) END AS mean_new,
+      ROUND(ks_raw, 6) AS ks,
+      CASE WHEN ks_raw IS NULL THEN NULL
+        WHEN ks_raw > 0.2 THEN CAST(1 AS BIGINT)
+        ELSE CAST(0 AS BIGINT) END AS drifted
+    FROM agg ORDER BY source"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      TextAnalysis.qualityDriftBySource(
+          docs.where(col("doc_id") % 10 =!= 0),
+          docs.where(col("doc_id") % 10 === 0),
+          "text", "source", ksThreshold = 0.2)
+        .orderBy(col("source"))
+    })
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -8269,11 +8375,11 @@ object SparkEntry {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
     d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
-    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38, s39, s40, s41, s42,
+    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38, s39, s40, s41, s42, s43,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
     t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45,
-    t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67,
+    t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68,
     m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14,
     m15, m16, m17, m18, m19, m20, m21, m22, m23, m24, m25, m26, m27, m28, m29, m30)
 

@@ -296,6 +296,78 @@ object Clustering {
           .otherwise(lit("keep")).as("action"))
   }
 
+  /** OVER-FETCH under tombstones — the serving-side companion to
+    * [[tombstoneCompactionReport]]: a tombstoning index still SCORES
+    * deleted vectors and filters them after retrieval, so a plain
+    * fetch-k returns fewer than k live results (silent recall loss —
+    * the classic production incident after a large delete). The
+    * standard mitigation is over-fetching (retrieve f·k, filter,
+    * truncate to k); this measures both strategies' recall against
+    * the exact-over-LIVE leg, so the over-fetch factor is chosen from
+    * data instead of folklore.
+    *
+    * Scale shape: ONE scored scan (queries broadcast — the audit
+    * protocol; corpus scans once, deleted flags ride an ids-only
+    * join) feeds all three rank windows (fetch-k, fetch-f·k, exact
+    * live); every window is a WindowGroupLimit over (src, cs, id)
+    * scalars.
+    *
+    * @return (strategy ∈ fetch_k|overfetch, n_queries, n_returned,
+    *         n_hits, n_possible, recall round-6) — unsorted, callers
+    *         order
+    */
+  def overfetchUnderDeletes(emb: DataFrame, vecCol: String, idCol: String,
+      queryIds: Seq[Long], deletedIds: DataFrame, delIdCol: String,
+      k: Int, fetchFactor: Int = 2): DataFrame = {
+    require(k > 0 && fetchFactor >= 1, s"bad k=$k / fetchFactor=$fetchFactor")
+    val dead = deletedIds.select(col(delIdCol).as("dst"),
+      lit(1L).as("__dead")).distinct()
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("cs").desc, col("dst"))
+    // one scored scan: every vector (live or dead) scored, the dead
+    // flag joined on ids — feeds all three windows via a scoped cache
+    val scored = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
+      graft.ops.ScaleOps.fanOut(emb)
+        .select(col(idCol).as("dst"), col(vecCol).as("vb"))
+        .crossJoin(broadcast(emb.where(col(idCol).isin(queryIds: _*))
+          .select(col(idCol).as("src"), col(vecCol).as("qv"))))
+        .where(col("dst") =!= col("src"))
+        .withColumn("cs", Similarity.cosine(col("vb"), col("qv")))
+        .join(dead, Seq("dst"), "left")
+        .withColumn("is_dead", coalesce(col("__dead"), lit(0L)))
+        .select(col("src"), col("dst"), col("cs"), col("is_dead")))
+    // the index's view: dead vectors still rank; filter AFTER
+    val fetched = scored.withColumn("rn", row_number().over(wSrc))
+    val fetchK = fetched.where(col("rn") <= k && col("is_dead") === 0L)
+      .select(col("src"), col("dst"))
+    val wSrc2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("rn"))
+    val overfetch = fetched.where(col("rn") <= k * fetchFactor &&
+        col("is_dead") === 0L)
+      .withColumn("rn2", row_number().over(wSrc2))
+      .where(col("rn2") <= k)
+      .select(col("src"), col("dst"))
+    // ground truth: exact top-k over the LIVE corpus only
+    val exact = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
+      scored.where(col("is_dead") === 0L)
+        .withColumn("rn", row_number().over(wSrc))
+        .where(col("rn") <= k)
+        .select(col("src"), col("dst")))
+    val totals = exact.agg(
+      countDistinct(col("src")).as("n_queries"),
+      count(lit(1)).as("n_possible"))
+    def leg(strategy: String, nbrs: DataFrame) = nbrs
+      .join(exact.withColumn("__hit", lit(1L)), Seq("src", "dst"), "left")
+      .agg(count(lit(1)).as("n_returned"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .crossJoin(broadcast(totals))
+      .select(lit(strategy).as("strategy"), col("n_queries"),
+        col("n_returned"), col("n_hits"), col("n_possible"),
+        round(col("n_hits").cast("double") /
+          col("n_possible").cast("double"), 6).as("recall"))
+    leg("fetch_k", fetchK).unionByName(leg("overfetch", overfetch))
+  }
+
   /** IVF REBUILD decision — the one-row maintenance verdict composed
     * from [[cellDriftReport]]'s audit (s30 watches balance at build
     * time, s34 watches it across appends; this turns the watch into

@@ -182,6 +182,72 @@ object TextAnalysis {
           col("n_docs").cast("double"), 6))
   }
 
+  /** PER-SOURCE quality DRIFT between two corpus snapshots — the
+    * monitoring read a standing ingest pipeline alarms on: when a
+    * source's scraper, upstream site, or spam profile changes, its
+    * quality-score DISTRIBUTION moves long before any fixed-threshold
+    * admission count does. Reports, per source, both snapshot counts,
+    * both means, and the exact two-sample Kolmogorov–Smirnov
+    * statistic (max ECDF gap over the contract-rounded score), with a
+    * drift verdict at `ksThreshold`.
+    *
+    * Determinism: scores are round-6 DECIMAL(18,6) before any
+    * aggregation (exact sums on any engine/partitioning — the t43
+    * discipline); the ECDF gap is |cum_old/n_old − cum_new/n_new| on
+    * exact integers, a fixed expression per distinct score value;
+    * means are one decimal-sum division rounded 6 dp.
+    *
+    * Scale shape: one score scan per snapshot, a (source, score)
+    * rollup, ONE source-keyed cumulative window over DISTINCT score
+    * rows (not docs), and a |sources|-row rollup.
+    *
+    * @return (source, n_old, n_new, mean_old, mean_new, ks, drifted
+    *         0/1 — null ks/drifted when either side is empty); one
+    *         row per source present in either snapshot (unsorted)
+    */
+  def qualityDriftBySource(oldDocs: DataFrame, newDocs: DataFrame,
+      textCol: String, srcCol: String,
+      ksThreshold: Double = 0.2): DataFrame = {
+    def scored(df: DataFrame, flag: Int) =
+      graft.ops.ScaleOps.fanOut(df).select(col(srcCol).as("source"),
+        round(qualityScore(col(textCol)), 6).cast(DecimalType(18, 6)).as("s"),
+        lit(flag).as("is_new"))
+    val per = scored(oldDocs, 0).unionByName(scored(newDocs, 1))
+      .groupBy(col("source"), col("s"))
+      .agg(sum(when(col("is_new") === 0, 1L).otherwise(0L)).as("co"),
+        sum(when(col("is_new") === 1, 1L).otherwise(0L)).as("cn"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+    val cum = per
+      .withColumn("cum_o", sum(col("co")).over(wCum))
+      .withColumn("cum_n", sum(col("cn")).over(wCum))
+      .withColumn("n_old", sum(col("co")).over(wAll))
+      .withColumn("n_new", sum(col("cn")).over(wAll))
+    val gap = abs(col("cum_o").cast("double") / col("n_old").cast("double")
+      - col("cum_n").cast("double") / col("n_new").cast("double"))
+    val ksRaw = max(when(col("n_old") > 0L && col("n_new") > 0L, gap))
+    cum.groupBy(col("source"))
+      .agg(max(col("n_old")).as("n_old"), max(col("n_new")).as("n_new"),
+        sum(col("s") * col("co")).as("sum_o"),
+        sum(col("s") * col("cn")).as("sum_n"),
+        ksRaw.as("ks_raw"))
+      .select(col("source"), col("n_old"), col("n_new"),
+        when(col("n_old") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("sum_o").cast("double") /
+            col("n_old").cast("double"), 6)).as("mean_old"),
+        when(col("n_new") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("sum_n").cast("double") /
+            col("n_new").cast("double"), 6)).as("mean_new"),
+        round(col("ks_raw"), 6).as("ks"),
+        when(col("ks_raw").isNull, lit(null).cast("long"))
+          .otherwise(when(col("ks_raw") > lit(ksThreshold), 1L)
+            .otherwise(0L)).as("drifted"))
+  }
+
   /** Canonical-form document fingerprint: md5 of the
     * lowercased, whitespace-collapsed text. Identical fingerprints ⇒
     * exact near-duplicates under normalization.

@@ -174,6 +174,8 @@ object ExplainDump {
       "t67_fuzzy_decontamination" -> "fuzzy decontamination: d10's corpus-scans-once shape with benchmark shingles broadcast; the per-doc argmax is a pair-keyed struct-max rollup — text never reshuffles",
       "m29_crossmodal_dup_audit" -> "cross-modal dup audit: one phash decode pass + banded image pairs; caption pairs emit list-local from md5 posting lists (never a corpus self-join); classification is one full-outer join of (id, id) pair frames",
       "m30_paired_release_run" -> "paired release run: pairs materialized fully before the eager closure (m22 discipline), caption dedup is one md5-keyed min window over the remainder, result plan is ids-only admitted/rollup legs + literal count rows",
+      "s43_overfetch_deletes" -> "over-fetch under tombstones: ONE scoped-cached scored scan (query batch broadcast, dead flag an ids-only join) feeds the fetch-k, over-fetch and exact-live rank windows — the three strategies differ only in filters over the same frame",
+      "t68_quality_drift" -> "quality drift: round-6 DECIMAL scores roll up per (source, score); the KS statistic is ONE source-keyed cumulative window over DISTINCT score rows (not docs) — the corpus contributes two scans and scalars",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")
@@ -196,7 +198,7 @@ object ExplainDump {
     * regeneration preserves the record.
     */
   private val driftTriage: String = """
-## Round-18 operator notes (d40 / s40 / s41 / s42 / t66 / t67 / m29 / m30)
+## Round-18 operator notes (d40 / s40-s43 / t66-t68 / m29 / m30)
 
 **d40 prefix-filter cost adjudication.** The first cut declared
 tau=0.4 and measured 4.7 s isolated at sf0.1 vs d02's 1.5 s on the
@@ -232,8 +234,10 @@ the image stage; `dropped_caption` is caption-ONLY mass.
 
 Isolated 5-rep timings (sf0.1, DriftProfile protocol, throwaway lead):
 d40 4.6/4.7 (pre-fix; 3.1 post-tau-fix) · s40 0.44/0.54 · s41 3.4/3.8
-(full audit) · t66 0.49/0.55 · m29 0.87/0.97 min/median s; smoke
-singles: t67 3.8 · s42 2.9 · m30 6.5.
+(full audit) · t66 0.49/0.55 · m29 0.87/0.97 · s43 0.90/1.33 · t68
+0.98/1.08 min/median s; smoke singles: t67 3.8 · s42 2.9 · m30 6.5.
+s43/t68 smoke walls are FLAT at 10x (query-batch-bound / distinct-
+score-bound respectively).
 
 ## Round-16 signal-of-record adjudication (d27 / q44 / t36 / t13)
 

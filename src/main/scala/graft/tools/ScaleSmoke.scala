@@ -690,6 +690,20 @@ object ScaleSmoke {
             "img_text", "caption", "source")
           .groupBy(col("stage")).agg(count(lit(1)))
           .collect().length.toLong }
+      // ONE scored scan (query batch broadcast) feeds all three rank
+      // windows; the dead flag is an ids-only join
+      time("s43 overfetchDeletes") {
+        graft.pipeline.Clustering.overfetchUnderDeletes(emb, "embedding",
+          "vec_id", queryIds = Seq(0L, 1L, 2L),
+          emb.where(col("vec_id") % 5 === 0).select(col("vec_id")),
+          "vec_id", k = 10, fetchFactor = 2).collect().length.toLong }
+      // two score scans, a (source, score) rollup, ONE cumulative
+      // window over DISTINCT score rows, |sources|-row rollup
+      time("t68 qualityDrift") {
+        graft.pipeline.TextAnalysis.qualityDriftBySource(
+          docs.where(col("doc_id") % 10 =!= 0),
+          docs.where(col("doc_id") % 10 === 0),
+          "text", "source").collect().length.toLong }
       // (doc,label,token) agg + |classes|-way scoring join
       time("t50 nbLangConfusion") {
         graft.pipeline.TextAnalysis.nbLangConfusion(docs, "text",

@@ -155,7 +155,11 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     // argmax over exact-division doubles (ties integer); m30 composes
     // the m23 closure class with an md5-keyed min window — ids and
     // counts only
-    "t67_fuzzy_decontamination", "m30_paired_release_run")
+    "t67_fuzzy_decontamination", "m30_paired_release_run",
+    // t68's KS is exact-integer ECDF gaps over the round-6 DECIMAL
+    // score (fixed expression per distinct value) + DECIMAL-exact
+    // mean sums — the t43 class
+    "t68_quality_drift")
 
   private def generate(seed: Int, nDocs: Int): Seq[(Long, String, String, String, Long)] = {
     val rnd = new scala.util.Random(seed)
@@ -239,8 +243,9 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     "s40_tombstone_compaction", "s41_nn_descent",
     // s42 composes the s16 encode/table class (both modes ride the
     // same kernel) with rank windows over round-6 scores + integer
-    // hit counts — must agree on arbitrary vectors
-    "s42_adc_sdc_compare")
+    // hit counts — must agree on arbitrary vectors; s43 is the s04
+    // cosine class + three rank windows + integer hit counts
+    "s42_adc_sdc_compare", "s43_overfetch_deletes")
 
   /** Canonical cell stringification: array columns print as
     * "[a, b, ...]" on BOTH sides (Spark rows yield Scala Seqs,

@@ -414,6 +414,83 @@ class Round18Spec extends AnyFunSuite {
     assert(bySrcSum == nAdmitted, "per-source rollup covers the admitted set")
   }
 
+  // ---------------- s43 over-fetch under deletes ----------------
+
+  test("s43: over-fetch dominates fetch-k and fills the quota") {
+    val emb = embDf
+    val deleted = emb.where(col("vec_id") % 3 === 0).select(col("vec_id"))
+    val out = Clustering.overfetchUnderDeletes(emb, "embedding", "vec_id",
+      queryIds = Seq(1L, 2L), deleted, "vec_id", k = 6, fetchFactor = 3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val fk = out("fetch_k"); val of = out("overfetch")
+    // fetch-k surrenders the dead slots; over-fetch refills from the
+    // next ranks — both return ONLY live ids, so hits ≤ returned
+    assert(fk.getLong(2) <= 2L * 6, "fetch_k returns at most k per query")
+    assert(of.getLong(2) >= fk.getLong(2), "overfetch returns at least as many")
+    assert(of.getDouble(5) >= fk.getDouble(5), "overfetch recall dominates")
+    Seq(fk, of).foreach { r =>
+      assert(r.getLong(1) == 2L && r.getLong(4) == 12L)
+      assert(r.getLong(3) <= r.getLong(2))
+      assert(r.getDouble(5) ==
+        math.rint(r.getLong(3).toDouble / r.getLong(4) * 1e6) / 1e6)
+    }
+    // with a 1/3 deletion rate and 3x over-fetch, the quota refills
+    assert(of.getLong(2) == 12L, "3x over-fetch at 1/3 deletions fills k")
+  }
+
+  test("s43: no deletions makes both strategies exact") {
+    val emb = embDf
+    val out = Clustering.overfetchUnderDeletes(emb, "embedding", "vec_id",
+      queryIds = Seq(0L), emb.limit(0).select(col("vec_id")), "vec_id",
+      k = 5, fetchFactor = 2).collect()
+    out.foreach { r =>
+      assert(r.getDouble(5) == 1.0, s"${r.getString(0)} must be exact")
+      assert(r.getLong(2) == 5L && r.getLong(3) == 5L)
+    }
+  }
+
+  // ---------------- t68 quality drift ----------------
+
+  test("t68: identical snapshots have ks 0, a shifted one drifts") {
+    import spark.implicits._
+    val stable = (0 until 20).map(i =>
+      (i.toLong, "stable", Seq.fill(30)(Seq("the", "and", "word")(i % 3)).mkString(" ")))
+    // old long prose vs new short spam: distribution moves wholesale
+    val shiftOld = (100 until 120).map(i =>
+      (i.toLong, "shifted", Seq.fill(40)("the word of it").mkString(" ")))
+    val shiftNew = (200 until 220).map(i =>
+      (i.toLong, "shifted", "x!" + i))
+    val oldDocs = (stable ++ shiftOld).toDF("doc_id", "source", "text")
+    val newDocs = (stable.map { case (id, s, t) => (id + 1000L, s, t) } ++ shiftNew)
+      .toDF("doc_id", "source", "text")
+    val out = graft.pipeline.TextAnalysis.qualityDriftBySource(oldDocs,
+      newDocs, "text", "source", ksThreshold = 0.2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val st = out("stable")
+    assert(st.getDouble(5) == 0.0 && st.getLong(6) == 0L,
+      "identical score distributions have zero KS")
+    assert(st.getDouble(3) == st.getDouble(4), "means agree when unchanged")
+    val sh = out("shifted")
+    assert(sh.getDouble(5) == 1.0 && sh.getLong(6) == 1L,
+      "disjoint distributions have KS 1 and drift")
+    assert(out.values.forall(r => r.getLong(1) == 20L && r.getLong(2) == 20L))
+  }
+
+  test("t68: a source absent from one snapshot reports null ks") {
+    import spark.implicits._
+    val oldDocs = Seq((1L, "gone", "some words here for the test ok fine"))
+      .toDF("doc_id", "source", "text")
+    val newDocs = Seq((2L, "fresh", "other words also here for this one"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.pipeline.TextAnalysis.qualityDriftBySource(oldDocs,
+      newDocs, "text", "source").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("gone").getLong(2) == 0L && out("gone").isNullAt(5) &&
+      out("gone").isNullAt(6) && out("gone").isNullAt(4))
+    assert(out("fresh").getLong(1) == 0L && out("fresh").isNullAt(5) &&
+      out("fresh").isNullAt(3))
+  }
+
   test("t66: rates are exact divisions of the counts") {
     val docs = mixedDocs.withColumn("source",
       when(col("doc_id") % 2 === 0, "even").otherwise("odd"))
