@@ -8362,6 +8362,136 @@ object SparkEntry {
         .orderBy(col("source"))
     })
 
+  // ADAPTIVE nprobe: cells probed in query-similarity order until the
+  // cumulative member count reaches the candidate budget — per-query
+  // cost control where fixed nprobe (s31) probes blind to cell skew.
+  // Oracle replays seeding, assignment, the cell ranking + cumulative
+  // cut, candidate scoring, the exact leg, and the per-query rollup.
+  private val s44 = Q("s44_adaptive_nprobe", Some("""
+    WITH cents AS (SELECT vec_id AS cell, embedding AS cvec
+        FROM embeddings ORDER BY vec_id LIMIT 8),
+    sims AS (SELECT e.vec_id, c.cell,
+        list_sum(list_transform(generate_series(1, len(e.embedding)),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      FROM embeddings e, cents c),
+    asn AS (SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, sim,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        FROM sims) WHERE rn = 1),
+    cs AS (SELECT cell, COUNT(*) AS n_members FROM asn GROUP BY cell),
+    qv AS (SELECT vec_id AS src, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < 3),
+    qr AS (SELECT q.src, c.cell, COALESCE(cs.n_members, 0) AS nm,
+        list_sum(list_transform(generate_series(1, len(c.cvec)), i -> q.qv[i] * CAST(c.cvec[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+           * sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS csim
+      FROM qv q CROSS JOIN cents c LEFT JOIN cs ON cs.cell = c.cell),
+    rk AS (SELECT src, cell, nm,
+        ROW_NUMBER() OVER (PARTITION BY src ORDER BY csim DESC, cell) AS rk
+      FROM qr),
+    probed AS (SELECT src, cell FROM (
+        SELECT src, cell, nm,
+          SUM(nm) OVER (PARTITION BY src ORDER BY rk
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM rk) WHERE cum - nm < 150),
+    cand AS (SELECT p.src, a.vec_id AS did
+      FROM probed p JOIN asn a ON a.cell = p.cell
+      WHERE a.vec_id <> p.src),
+    scored AS (SELECT c.src, c.did,
+        list_sum(list_transform(generate_series(1, len(e.embedding)),
+          i -> CAST(e.embedding[i] AS DOUBLE) * q.qv[i]))
+        / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cs2
+      FROM cand c JOIN embeddings e ON e.vec_id = c.did
+                  JOIN qv q ON q.src = c.src),
+    approx AS (SELECT src, did AS dst FROM (
+        SELECT src, did, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cs2 DESC, did) AS rn
+        FROM scored) WHERE rn <= 10),
+    ce AS (SELECT q.src, e.vec_id AS dst,
+        list_sum(list_transform(generate_series(1, len(e.embedding)),
+          i -> CAST(e.embedding[i] AS DOUBLE) * q.qv[i]))
+        / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cs3
+      FROM qv q, embeddings e WHERE e.vec_id <> q.src),
+    ex AS (SELECT src, dst FROM (
+        SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cs3 DESC, dst) AS rn
+        FROM ce) WHERE rn <= 10),
+    ncl AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n_cells_probed FROM probed GROUP BY src),
+    ncd AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand GROUP BY src),
+    lg AS (SELECT a.src, CAST(COUNT(*) AS BIGINT) AS n_returned,
+        CAST(SUM(CASE WHEN ex.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM approx a LEFT JOIN ex ON ex.src = a.src AND ex.dst = a.dst
+      GROUP BY a.src),
+    ps AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n_possible FROM ex GROUP BY src)
+    SELECT ncl.src AS query_id, n_cells_probed, n_candidates, n_returned,
+      n_hits, n_possible,
+      ROUND(CAST(n_hits AS DOUBLE) / CAST(n_possible AS DOUBLE), 6) AS recall
+    FROM ncl JOIN ncd ON ncd.src = ncl.src JOIN lg ON lg.src = ncl.src
+      JOIN ps ON ps.src = ncl.src
+    ORDER BY query_id"""),
+    (s, dir) => graft.pipeline.Clustering.adaptiveProbeRecall(
+        T(s, dir, "embeddings"), "embedding", "vec_id",
+        queryIds = Seq(0L, 1L, 2L), k = 10, numCells = 8,
+        targetCandidates = 150L)
+      .orderBy(col("query_id")))
+
+  // REPEAT-EPOCH budget plan (data-constrained scaling): epochs valued
+  // at w·0.5^(r−1), the greedy spend is one global sort of candidate
+  // epochs + a cumulative-cost cut with an exact-integer partial
+  // epoch. Oracle replays the quality means, the candidate ordering,
+  // the cut, and the closed-form effective-token arithmetic.
+  private val t69 = Q("t69_repeat_epoch_plan", Some("""
+    WITH base AS (SELECT source,
+        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS unique_tokens,
+        COUNT(*) AS n_docs,
+        SUM(CAST(ROUND(
+        0.5 * LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+          + 0.3 * LEAST(
+              ((LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' the ', ' '))) / 4.0
+               + (LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' and ', ' '))) / 4.0
+               + (LENGTH(' ' || lower(text) || ' ') - LENGTH(replace(' ' || lower(text) || ' ', ' of ', ' '))) / 3.0)
+              / GREATEST(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 10.0, 1.0)
+          + 0.2 * (1.0 - LEAST(CAST(LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+              / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0) * 10.0, 1.0)), 6) AS DECIMAL(18,6))) AS qsum
+      FROM documents GROUP BY source),
+    b2 AS (SELECT source, unique_tokens,
+        ROUND(CAST(qsum AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS quality_w
+      FROM base),
+    cands AS (SELECT source, unique_tokens, quality_w, r,
+        quality_w * (CASE r WHEN 1 THEN 1.0 WHEN 2 THEN 0.5
+          WHEN 3 THEN 0.25 WHEN 4 THEN 0.125 END) AS v
+      FROM b2, UNNEST(generate_series(1, 4)) AS g(r)),
+    walked AS (SELECT source, unique_tokens, quality_w, r,
+        SUM(unique_tokens) OVER (ORDER BY v DESC, source, r
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+      FROM cands),
+    w2 AS (SELECT source, unique_tokens, quality_w,
+        CASE WHEN cumc <= 40000 THEN 1 ELSE 0 END AS is_full,
+        CASE WHEN cumc - unique_tokens < 40000 AND cumc > 40000
+          THEN 40000 - (cumc - unique_tokens) ELSE 0 END AS ptoks
+      FROM walked),
+    per AS (SELECT source, MAX(unique_tokens) AS unique_tokens,
+        MAX(quality_w) AS quality_w,
+        CAST(SUM(is_full) AS BIGINT) AS epochs_full,
+        CAST(SUM(ptoks) AS BIGINT) AS partial_tokens
+      FROM w2 GROUP BY source)
+    SELECT source, unique_tokens, quality_w, epochs_full, partial_tokens,
+      CAST(epochs_full * unique_tokens + partial_tokens AS BIGINT) AS raw_alloc,
+      ROUND(CAST(unique_tokens AS DOUBLE) * 2.0
+          * (1.0 - (CASE epochs_full WHEN 0 THEN 1.0 WHEN 1 THEN 0.5
+              WHEN 2 THEN 0.25 WHEN 3 THEN 0.125 WHEN 4 THEN 0.0625 END))
+        + CAST(partial_tokens AS DOUBLE)
+          * (CASE epochs_full WHEN 0 THEN 1.0 WHEN 1 THEN 0.5
+              WHEN 2 THEN 0.25 WHEN 3 THEN 0.125 WHEN 4 THEN 0.0625 END), 6)
+        AS effective_tokens
+    FROM per ORDER BY source"""),
+    (s, dir) => graft.pipeline.Sampling.repeatEpochPlan(
+        T(s, dir, "documents"), "source", "text",
+        budget = 40000L, maxEpochs = 4)
+      .orderBy(col("source")))
+
   // ================================================================
 
   private val defs: Seq[Q] = Seq(
@@ -8375,11 +8505,11 @@ object SparkEntry {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
     d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
-    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38, s39, s40, s41, s42, s43,
+    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38, s39, s40, s41, s42, s43, s44,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
     t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45,
-    t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68,
+    t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69,
     m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14,
     m15, m16, m17, m18, m19, m20, m21, m22, m23, m24, m25, m26, m27, m28, m29, m30)
 

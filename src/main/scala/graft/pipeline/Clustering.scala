@@ -368,6 +368,116 @@ object Clustering {
     leg("fetch_k", fetchK).unionByName(leg("overfetch", overfetch))
   }
 
+  /** ADAPTIVE-nprobe IVF search with a per-query recall audit — the
+    * serving refinement over s18/s31's FIXED nprobe: cell populations
+    * are skewed (s30's imbalance read), so a fixed cell count probes
+    * too much near monster cells and too little near sparse ones.
+    * Adaptive termination probes cells in query-similarity order
+    * UNTIL the cumulative member count reaches `targetCandidates` —
+    * the cost budget is per-query work, not cell count — and this
+    * reports, per query, how many cells that took, how many
+    * candidates were scanned, and the recall against the exact leg.
+    *
+    * Scale shape: one map-only assignment scan (scope-cached — feeds
+    * the k-row cell histogram and the candidate join), a |queries|×k
+    * ranked-cells frame with ONE cumulative window over k-row
+    * partitions, candidate scoring confined to probed cells, and the
+    * broadcast exact audit leg (the d19/s41 protocol: sample queries
+    * at corpus scale).
+    *
+    * @return (query_id, n_cells_probed, n_candidates, n_returned,
+    *         n_hits, n_possible, recall round-6) one row per query
+    *         (unsorted — callers order)
+    */
+  def adaptiveProbeRecall(emb: DataFrame, vecCol: String, idCol: String,
+      queryIds: Seq[Long], k: Int, numCells: Int,
+      targetCandidates: Long): DataFrame = {
+    require(k > 0 && targetCandidates > 0, "k and targetCandidates must be positive")
+    val spark = emb.sparkSession
+    val seeds = seedVectors(emb, vecCol, idCol, numCells)
+    require(seeds.nonEmpty, "cannot seed cells from an empty corpus")
+    val assigned = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
+      assignToCentroidArrays(graft.ops.ScaleOps.fanOut(emb)
+        .select(col(idCol).as("did"), col(vecCol).as("v")), "v", "did",
+        seeds.toSeq)
+        .select(col("did"), col("v"), col("cell")))
+    val cellStats = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"))
+    import scala.jdk.CollectionConverters._
+    val centDf = spark.createDataFrame(
+      seeds.map { case (c, v) =>
+        org.apache.spark.sql.Row(c, v.toSeq)
+      }.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cvec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false)))))
+    val q = emb.where(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("src"), col(vecCol).as("qv"))
+    // cells ranked by query-centroid cosine; probe until the
+    // cumulative member count reaches the candidate budget (the
+    // crossing cell is included)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("csim").desc, col("cell"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("rk"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val probed = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
+      q.crossJoin(broadcast(centDf))
+        .withColumn("csim", Similarity.cosine(col("qv"), col("cvec")))
+        .join(broadcast(cellStats), Seq("cell"), "left")
+        .withColumn("nm", coalesce(col("n_members"), lit(0L)))
+        .withColumn("rk", row_number().over(wRank))
+        .withColumn("cum", sum(col("nm")).over(wCum))
+        .where(col("cum") - col("nm") < lit(targetCandidates))
+        .select(col("src"), col("cell")))
+    val cand = probed
+      .join(assigned, Seq("cell"))
+      .where(col("did") =!= col("src"))
+      .select(col("src"), col("did"), col("v"))
+    val wTopC = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("cs").desc, col("did"))
+    val approx = cand
+      .join(broadcast(q), Seq("src"))
+      .withColumn("cs", Similarity.cosine(col("v"), col("qv")))
+      .withColumn("rn", row_number().over(wTopC))
+      .where(col("rn") <= k)
+      .select(col("src"), col("did").as("dst"))
+    val wTopE = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("cs").desc, col("dst"))
+    val exact = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
+      graft.ops.ScaleOps.fanOut(emb)
+        .select(col(idCol).as("dst"), col(vecCol).as("vb"))
+        .crossJoin(broadcast(q))
+        .where(col("dst") =!= col("src"))
+        .withColumn("cs", Similarity.cosine(col("vb"), col("qv")))
+        .withColumn("rn", row_number().over(wTopE))
+        .where(col("rn") <= k)
+        .select(col("src"), col("dst")))
+    val nCells = probed.groupBy(col("src"))
+      .agg(count(lit(1)).as("n_cells_probed"))
+    val nCand = cand.groupBy(col("src"))
+      .agg(count(lit(1)).as("n_candidates"))
+    val legs = approx
+      .join(exact.withColumn("__hit", lit(1L)), Seq("src", "dst"), "left")
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_returned"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+    val possible = exact.groupBy(col("src"))
+      .agg(count(lit(1)).as("n_possible"))
+    nCells
+      .join(nCand, Seq("src")).join(legs, Seq("src"))
+      .join(possible, Seq("src"))
+      .select(col("src").as("query_id"), col("n_cells_probed"),
+        col("n_candidates"), col("n_returned"), col("n_hits"),
+        col("n_possible"),
+        round(col("n_hits").cast("double") /
+          col("n_possible").cast("double"), 6).as("recall"))
+  }
+
   /** IVF REBUILD decision — the one-row maintenance verdict composed
     * from [[cellDriftReport]]'s audit (s30 watches balance at build
     * time, s34 watches it across appends; this turns the watch into

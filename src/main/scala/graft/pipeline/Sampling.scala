@@ -433,6 +433,81 @@ object Sampling {
     * @return (source, n_docs, avail_tokens, weight round-6,
     *         saturated 0/1, alloc_tokens round-6, fill_frac round-6)
     */
+  /** REPEAT-EPOCH budget plan — the data-constrained scaling decision
+    * (Muennighoff et al. 2023, public literature): when the token
+    * budget exceeds the unique supply, sources are REPEATED, and the
+    * value of epoch r decays geometrically (δ^{r−1} of a fresh pass).
+    * The optimal greedy spends each marginal raw token on the
+    * (source, epoch) with the highest marginal value w·δ^{r−1}
+    * (w = the source's mean t02 quality): because v strictly
+    * decreases in r, one global sort of the |sources|×maxEpochs
+    * candidate epochs by (v desc, source, epoch) IS the greedy
+    * trajectory — funded prefix + one partial epoch at the budget
+    * crossing. δ is fixed at 0.5 so every power is exact binary and
+    * the plan is bit-portable.
+    *
+    * Scale shape: ONE partial-aggregated corpus scan to a
+    * |sources|-row frame (token sums + DECIMAL-exact quality means);
+    * everything after runs on |sources|×maxEpochs rows — the t61
+    * k-row-state discipline.
+    *
+    * @return (source, unique_tokens, quality_w, epochs_full,
+    *         partial_tokens, raw_alloc, effective_tokens round-6) one
+    *         row per source (unsorted — callers order)
+    */
+  def repeatEpochPlan(df: DataFrame, strataCol: String, textCol: String,
+      budget: Long, maxEpochs: Int = 4): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(maxEpochs >= 1 && maxEpochs <= 8, "maxEpochs must be in [1, 8]")
+    val base = graft.ops.ScaleOps.fanOut(df)
+      .groupBy(col(strataCol).as("source"))
+      .agg(sum(size(split(col(textCol), " ")).cast("long")).as("unique_tokens"),
+        count(lit(1)).as("n_docs"),
+        sum(round(graft.pipeline.TextAnalysis.qualityScore(col(textCol)), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("qsum"))
+      .withColumn("quality_w",
+        round(col("qsum").cast("double") / col("n_docs").cast("double"), 6))
+      .select(col("source"), col("unique_tokens"), col("quality_w"))
+    // δ^{r−1} as a literal when-chain (δ = 0.5 → exact binary)
+    def dpow(r: Column): Column = (1 to maxEpochs).foldLeft(lit(Double.NaN)) {
+      case (acc, i) => when(r === i, lit(math.pow(0.5, i - 1))).otherwise(acc)
+    }
+    val cands = base
+      .select(col("source"), col("unique_tokens"), col("quality_w"),
+        explode(sequence(lit(1), lit(maxEpochs))).as("r"))
+      .withColumn("v", col("quality_w") * dpow(col("r")))
+    val ord = Window.orderBy(col("v").desc, col("source"), col("r"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val b = lit(budget)
+    val walked = cands
+      .withColumn("cumc", sum(col("unique_tokens")).over(cum))
+      .withColumn("prevc", col("cumc") - col("unique_tokens"))
+      // fully funded epochs fit under B; the crossing epoch takes the
+      // exact integer remainder
+      .withColumn("full", when(col("cumc") <= b, 1L).otherwise(0L))
+      .withColumn("ptoks",
+        when(col("prevc") < b && col("cumc") > b, b - col("prevc"))
+          .otherwise(0L))
+    val perSrc = walked.groupBy(col("source"))
+      .agg(max(col("unique_tokens")).as("unique_tokens"),
+        max(col("quality_w")).as("quality_w"),
+        sum(col("full")).as("epochs_full"),
+        sum(col("ptoks")).as("partial_tokens"))
+      .withColumn("raw_alloc",
+        col("epochs_full") * col("unique_tokens") + col("partial_tokens"))
+    // effective = unique·2·(1 − 0.5^full) + partial·0.5^full (δ = 0.5
+    // geometric sum), the 0.5^full factor again a literal when-chain
+    def hpow(f: Column): Column = (0 to maxEpochs).foldLeft(lit(Double.NaN)) {
+      case (acc, i) => when(f === i, lit(math.pow(0.5, i))).otherwise(acc)
+    }
+    perSrc.select(col("source"), col("unique_tokens"), col("quality_w"),
+      col("epochs_full"), col("partial_tokens"), col("raw_alloc"),
+      round(col("unique_tokens").cast("double") * lit(2.0) *
+          (lit(1.0) - hpow(col("epochs_full"))) +
+        col("partial_tokens").cast("double") * hpow(col("epochs_full")), 6)
+        .as("effective_tokens"))
+  }
+
   def budgetAllocation(df: DataFrame, strataCol: String, textCol: String,
       budget: Long, alpha: Double = 0.5): DataFrame = {
     require(budget > 0, "budget must be positive")

@@ -270,4 +270,51 @@ object Processors {
     graft.pipeline.Sampling.packingWasteCurve(df, textCol, idCol, groupCol,
       budgets)
   })
+
+  private def doubleOpt(o: Map[String, JsonNode], k: String): Option[Double] =
+    o.get(k).filterNot(_.isNull).map(_.asDouble())
+
+  /** `percentile-gate`: the per-source percentile-vs-raw admission
+    * report ([[graft.pipeline.TextAnalysis.percentileGateBySource]])
+    * on the REST chain — API users measure what a raw threshold would
+    * do to their source mix before shipping a gate. Options:
+    * `textColumn`/`idColumn`/`sourceColumn` (required), `topFrac`
+    * (default 0.4), `rawThreshold` (default 0.55).
+    */
+  register("percentile-gate", (df, opts) => {
+    val textCol = strOpt(opts, "textColumn").getOrElse(
+      throw new IllegalArgumentException("percentile-gate: pluginOptions.textColumn required"))
+    val idCol = strOpt(opts, "idColumn").getOrElse(
+      throw new IllegalArgumentException("percentile-gate: pluginOptions.idColumn required"))
+    val srcCol = strOpt(opts, "sourceColumn").getOrElse(
+      throw new IllegalArgumentException("percentile-gate: pluginOptions.sourceColumn required"))
+    graft.pipeline.TextAnalysis.percentileGateBySource(df, textCol, idCol,
+      srcCol, doubleOpt(opts, "topFrac").getOrElse(0.4),
+      doubleOpt(opts, "rawThreshold").getOrElse(0.55))
+  })
+
+  /** `fuzzy-decontaminate`: DROP rows whose max Jaccard against a
+    * registered benchmark table reaches τ
+    * ([[graft.pipeline.Decontaminate.fuzzyContamination]]'s flag set,
+    * anti-joined) — the near-match decontamination pass as a REST
+    * post-processor. Options: `textColumn`/`idColumn`/`sourceColumn`
+    * (required), `benchmarkTable` (required — a registered view in
+    * the session), `tau` (default 0.5).
+    */
+  register("fuzzy-decontaminate", (df, opts) => {
+    val textCol = strOpt(opts, "textColumn").getOrElse(
+      throw new IllegalArgumentException("fuzzy-decontaminate: pluginOptions.textColumn required"))
+    val idCol = strOpt(opts, "idColumn").getOrElse(
+      throw new IllegalArgumentException("fuzzy-decontaminate: pluginOptions.idColumn required"))
+    val srcCol = strOpt(opts, "sourceColumn").getOrElse(
+      throw new IllegalArgumentException("fuzzy-decontaminate: pluginOptions.sourceColumn required"))
+    val benchTable = strOpt(opts, "benchmarkTable").getOrElse(
+      throw new IllegalArgumentException("fuzzy-decontaminate: pluginOptions.benchmarkTable required"))
+    val tau = doubleOpt(opts, "tau").getOrElse(0.5)
+    val bench = df.sparkSession.table(benchTable)
+    val flagged = graft.pipeline.Decontaminate.fuzzyContamination(
+      df, bench, textCol, idCol, srcCol, tau = tau)
+      .select(org.apache.spark.sql.functions.col(idCol))
+    df.join(flagged, Seq(idCol), "left_anti")
+  })
 }

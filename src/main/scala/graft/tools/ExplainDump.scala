@@ -176,6 +176,8 @@ object ExplainDump {
       "m30_paired_release_run" -> "paired release run: pairs materialized fully before the eager closure (m22 discipline), caption dedup is one md5-keyed min window over the remainder, result plan is ids-only admitted/rollup legs + literal count rows",
       "s43_overfetch_deletes" -> "over-fetch under tombstones: ONE scoped-cached scored scan (query batch broadcast, dead flag an ids-only join) feeds the fetch-k, over-fetch and exact-live rank windows — the three strategies differ only in filters over the same frame",
       "t68_quality_drift" -> "quality drift: round-6 DECIMAL scores roll up per (source, score); the KS statistic is ONE source-keyed cumulative window over DISTINCT score rows (not docs) — the corpus contributes two scans and scalars",
+      "s44_adaptive_nprobe" -> "adaptive nprobe: one scope-cached assignment scan feeds the k-row cell histogram AND the candidate join; the probe cut is a cumulative window over |queries|x k ranked-cell rows; candidate scoring is confined to probed cells",
+      "t69_repeat_epoch_plan" -> "repeat-epoch plan: ONE partial-aggregated corpus scan to |sources| rows (token sums + DECIMAL quality means); the greedy is a global sort of |sources|x maxEpochs candidate-epoch rows + one cumulative-cost window — k-row state, not corpus sorts",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")
@@ -198,7 +200,7 @@ object ExplainDump {
     * regeneration preserves the record.
     */
   private val driftTriage: String = """
-## Round-18 operator notes (d40 / s40-s43 / t66-t68 / m29 / m30)
+## Round-18 operator notes (d40 / s40-s44 / t66-t69 / m29 / m30)
 
 **d40 prefix-filter cost adjudication.** The first cut declared
 tau=0.4 and measured 4.7 s isolated at sf0.1 vs d02's 1.5 s on the
@@ -235,9 +237,29 @@ the image stage; `dropped_caption` is caption-ONLY mass.
 Isolated 5-rep timings (sf0.1, DriftProfile protocol, throwaway lead):
 d40 4.6/4.7 (pre-fix; 3.1 post-tau-fix) · s40 0.44/0.54 · s41 3.4/3.8
 (full audit) · t66 0.49/0.55 · m29 0.87/0.97 · s43 0.90/1.33 · t68
-0.98/1.08 min/median s; smoke singles: t67 3.8 · s42 2.9 · m30 6.5.
-s43/t68 smoke walls are FLAT at 10x (query-batch-bound / distinct-
-score-bound respectively).
+0.98/1.08 · s44 1.01/1.07 · t69 0.30/0.32 min/median s; smoke
+singles: t67 3.8 · s42 2.9 · m30 6.5. s43/t68 smoke walls are FLAT at
+10x (query-batch-bound / distinct-score-bound respectively).
+
+## Round-18 bench-mover adjudication (builder artifact refresh)
+
+The refreshed builder bench (252 queries, 229.4 s) reads 1.099x on
+the 236 common queries vs the prior committed artifact — the
+documented ambient band. Six >=1.5x movers, ALL on byte-unchanged
+code, adjudicated by the isolated 5-rep protocol same-day:
+
+| query | old | new | isolated min/median | verdict |
+|---|---|---|---|---|
+| t40_leakage_safe_split | 0.83 | 1.47 | 1.22 / 1.35 | isolated sits between; the OLD number was the favorable outlier. Steady state ~1.35. Noise. |
+| m11_phash_dup_pairs | 0.53 | 0.91 | 0.46 / 0.47 | isolated BELOW both artifacts. Noise. |
+| t48_ridge_quality | 0.46 | 0.78 | 0.70 / 0.78 | isolated == new; old was the favorable outlier. Steady ~0.78. |
+| q45_set_ops_all | 0.51 | 0.82 | 0.34 / 0.35 | isolated far below both. Noise. |
+| t51_contamination_curve | 1.40 | 2.13 | 1.56 / 1.76 | isolated between; sub-2 s steady state. Noise. |
+| t52_perplexity_buckets | 1.16 | 1.74 | 0.85 / 1.01 | isolated below both. Noise. |
+
+No mover reproduces its artifact regression in isolation; the uplift
+is uniform suite-contention drift, consistent with every prior
+round's adjudication of this class.
 
 ## Round-16 signal-of-record adjudication (d27 / q44 / t36 / t13)
 

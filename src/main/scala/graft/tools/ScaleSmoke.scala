@@ -704,6 +704,18 @@ object ScaleSmoke {
           docs.where(col("doc_id") % 10 =!= 0),
           docs.where(col("doc_id") % 10 === 0),
           "text", "source").collect().length.toLong }
+      // one assignment scan + cumulative probe cut + cell-confined
+      // candidate scoring; the exact leg is the 3-query broadcast
+      time("s44 adaptiveNprobe") {
+        graft.pipeline.Clustering.adaptiveProbeRecall(emb, "embedding",
+          "vec_id", queryIds = Seq(0L, 1L, 2L), k = 10,
+          numCells = semK, targetCandidates = 200L)
+          .collect().length.toLong }
+      // ONE partial-agg corpus scan to |sources| rows; the greedy is
+      // |sources|x4 rows of window state
+      time("t69 repeatEpochPlan") {
+        graft.pipeline.Sampling.repeatEpochPlan(docs, "source", "text",
+          budget = 4000000L).collect().length.toLong }
       // (doc,label,token) agg + |classes|-way scoring join
       time("t50 nbLangConfusion") {
         graft.pipeline.TextAnalysis.nbLangConfusion(docs, "text",

@@ -158,8 +158,9 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     "t67_fuzzy_decontamination", "m30_paired_release_run",
     // t68's KS is exact-integer ECDF gaps over the round-6 DECIMAL
     // score (fixed expression per distinct value) + DECIMAL-exact
-    // mean sums — the t43 class
-    "t68_quality_drift")
+    // mean sums — the t43 class; t69 is integer token sums + DECIMAL
+    // quality means + literal half-powers + exact-integer budget cuts
+    "t68_quality_drift", "t69_repeat_epoch_plan")
 
   private def generate(seed: Int, nDocs: Int): Seq[(Long, String, String, String, Long)] = {
     val rnd = new scala.util.Random(seed)
@@ -245,7 +246,10 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     // same kernel) with rank windows over round-6 scores + integer
     // hit counts — must agree on arbitrary vectors; s43 is the s04
     // cosine class + three rank windows + integer hit counts
-    "s42_adc_sdc_compare", "s43_overfetch_deletes")
+    "s42_adc_sdc_compare", "s43_overfetch_deletes",
+    // s44 composes the s34 assignment + the s31 probe-ranking class
+    // with a cumulative-count cut + integer rollups
+    "s44_adaptive_nprobe")
 
   /** Canonical cell stringification: array columns print as
     * "[a, b, ...]" on BOTH sides (Spark rows yield Scala Seqs,

@@ -410,6 +410,73 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("postProcessors: percentile-gate report through the REST chain") {
+    val body =
+      s"""{"dataSources":[{"format":"parquet","name":"documents",
+          "location":"${SparkFixture.sfDir}/documents.parquet"}],
+          "query":{"sql":"SELECT doc_id, text, source FROM documents ORDER BY doc_id LIMIT 80",
+            "postProcessors":[{"module":"percentile-gate",
+              "pluginOptions":{"textColumn":"text","idColumn":"doc_id",
+                "sourceColumn":"source","topFrac":0.25,"rawThreshold":0.5}}]}}"""
+    val r = post("/dataframe/query", body)
+    assert(r.statusCode() == 200, r.body())
+    val rows = new com.fasterxml.jackson.databind.ObjectMapper().readTree(r.body())
+    val expected = graft.pipeline.TextAnalysis.percentileGateBySource(
+        Tables.load(SparkFixture.spark, SparkFixture.sfDir, "documents")
+          .orderBy(org.apache.spark.sql.functions.col("doc_id")).limit(80),
+        "text", "doc_id", "source", topFrac = 0.25, rawThreshold = 0.5)
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(rows.size() == expected.size, r.body())
+    (0 until rows.size()).foreach { i =>
+      val n = rows.get(i)
+      val (nd, nraw, npct) = expected(n.get("source").asText())
+      assert(n.get("n_docs").asLong() == nd &&
+        n.get("n_admit_raw").asLong() == nraw &&
+        n.get("n_admit_pct").asLong() == npct, s"row $i: ${n.toString}")
+    }
+  }
+
+  test("postProcessors: fuzzy-decontaminate drops benchmark near-matches") {
+    // benchmark: two texts copied verbatim from the corpus + one novel
+    val spark = SparkFixture.spark
+    val docs = Tables.load(spark, SparkFixture.sfDir, "documents")
+      .orderBy(org.apache.spark.sql.functions.col("doc_id")).limit(30)
+    val picked = docs.collect().take(2).map(_.getString(1))
+    val benchDir = java.nio.file.Files
+      .createTempDirectory("graft_http_bench").toString
+    import spark.implicits._
+    Seq((9001L, picked(0)), (9002L, picked(1)),
+      (9003L, "utterly novel benchmark content nothing shares"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$benchDir/bench.parquet")
+    try {
+      val body =
+        s"""{"dataSources":[
+            {"format":"parquet","name":"documents",
+             "location":"${SparkFixture.sfDir}/documents.parquet"},
+            {"format":"parquet","name":"bench",
+             "location":"$benchDir/bench.parquet"}],
+            "query":{"sql":"SELECT doc_id, text, source FROM documents ORDER BY doc_id LIMIT 30",
+              "postProcessors":[{"module":"fuzzy-decontaminate",
+                "pluginOptions":{"textColumn":"text","idColumn":"doc_id",
+                  "sourceColumn":"source","benchmarkTable":"bench","tau":0.5}}]}}"""
+      val r = post("/dataframe/query", body)
+      assert(r.statusCode() == 200, r.body())
+      val rows = new com.fasterxml.jackson.databind.ObjectMapper().readTree(r.body())
+      val kept = (0 until rows.size())
+        .map(i => rows.get(i).get("doc_id").asLong()).toSet
+      val bench = spark.read.parquet(s"$benchDir/bench.parquet")
+      val flagged = graft.pipeline.Decontaminate.fuzzyContamination(
+          docs, bench, "text", "doc_id", "source", tau = 0.5)
+        .collect().map(_.getLong(0)).toSet
+      assert(flagged.nonEmpty, "the planted copies must flag")
+      val expected = docs.collect().map(_.getLong(0)).toSet -- flagged
+      assert(kept == expected, s"kept $kept vs expected $expected")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(benchDir))
+  }
+
   test("postProcessors: packing-waste curve through the REST chain") {
     val body =
       s"""{"dataSources":[{"format":"parquet","name":"documents",

@@ -491,6 +491,104 @@ class Round18Spec extends AnyFunSuite {
       out("fresh").isNullAt(3))
   }
 
+  // ---------------- s44 adaptive nprobe ----------------
+
+  test("s44: candidate budget controls probing; full budget is exact") {
+    val emb = embDf // 60 vectors
+    val full = Clustering.adaptiveProbeRecall(emb, "embedding", "vec_id",
+      queryIds = Seq(0L, 1L), k = 5, numCells = 6,
+      targetCandidates = 1000L).collect()
+    full.foreach { r =>
+      assert(r.getLong(1) == 6L, "budget ≥ corpus probes every cell")
+      assert(r.getLong(2) == 59L, "all non-self vectors are candidates")
+      assert(r.getDouble(6) == 1.0, "probing everything is exact")
+    }
+    val tight = Clustering.adaptiveProbeRecall(emb, "embedding", "vec_id",
+      queryIds = Seq(0L, 1L), k = 5, numCells = 6,
+      targetCandidates = 1L).collect()
+    tight.foreach { r =>
+      assert(r.getLong(1) >= 1L && r.getLong(1) <= 6L)
+      assert(r.getLong(2) >= 1L, "the budget-1 probe still reaches a non-empty cell")
+      assert(r.getLong(2) < 59L, "tight budget must not scan the corpus")
+    }
+    // recall is monotone in the candidate budget (probe-set superset)
+    val fullMap = full.map(r => r.getLong(0) -> r.getDouble(6)).toMap
+    tight.foreach { r =>
+      assert(r.getDouble(6) <= fullMap(r.getLong(0)))
+    }
+  }
+
+  test("s44: candidate counts reconcile with the probed cells' members") {
+    val emb = embDf
+    val out = Clustering.adaptiveProbeRecall(emb, "embedding", "vec_id",
+      queryIds = Seq(3L), k = 5, numCells = 4, targetCandidates = 20L)
+      .collect().head
+    val cells = Clustering.assignToSeeds(emb, "embedding", "vec_id", 4)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // n_candidates + (1 if own cell probed) must equal the probed
+    // cells' total membership; bound it both ways
+    val probedTotalLow = out.getLong(2)
+    val probedTotalHigh = out.getLong(2) + 1
+    assert(cells.values.sum == 60L)
+    assert(probedTotalLow >= 20L - cells.values.max + 1 || out.getLong(1) == 1L,
+      "the cut stops at the crossing cell")
+    assert(probedTotalHigh <= cells.values.sum)
+    assert(out.getLong(4) <= out.getLong(3) && out.getLong(3) <= 5L)
+  }
+
+  // ---------------- t69 repeat-epoch plan ----------------
+
+  private def qualityDocs = {
+    import spark.implicits._
+    // 'clean' scores much higher than 'noisy' (the t66 fixture shape),
+    // equal unique-token supply per source
+    val clean = (0 until 10).map { i =>
+      (i.toLong, "clean",
+        Seq.fill(40)(Seq("the", "and", "of", "word")(i % 4)).mkString(" "))
+    }
+    val noisy = (0 until 10).map { i =>
+      (100L + i, "noisy", Seq.fill(40)("x.!;")(0) +
+        Seq.fill(39)("z" + i).mkString(" "))
+    }
+    (clean ++ noisy).toDF("doc_id", "source", "text")
+  }
+
+  test("t69: greedy funds the higher-quality source deeper; budget conserved") {
+    import spark.implicits._
+    val docs = qualityDocs
+    val totalUnique = 2L * 400L
+    val budget = 900L // funds ~2.25 epochs of one source + part of other
+    val out = graft.pipeline.Sampling.repeatEpochPlan(docs, "source",
+      "text", budget = budget, maxEpochs = 4)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.values.map(_.getLong(5)).sum == budget,
+      "raw allocations must sum exactly to the budget")
+    assert(out("clean").getDouble(2) > out("noisy").getDouble(2),
+      "fixture sanity: clean must out-score noisy")
+    assert(out("clean").getLong(3) >= out("noisy").getLong(3),
+      "higher quality is funded at least as deep")
+    out.values.foreach { r =>
+      assert(r.getLong(5) ==
+        r.getLong(3) * r.getLong(1) + r.getLong(4), "raw = full·unique + partial")
+      assert(r.getLong(4) < r.getLong(1), "partial is a strict sub-epoch")
+    }
+    assert(totalUnique * 4 > budget, "fixture must actually ration")
+  }
+
+  test("t69: budget beyond supply funds every epoch; effective formula holds") {
+    val docs = qualityDocs
+    val out = graft.pipeline.Sampling.repeatEpochPlan(docs, "source",
+      "text", budget = 1000000L, maxEpochs = 4).collect()
+    out.foreach { r =>
+      assert(r.getLong(3) == 4L && r.getLong(4) == 0L)
+      assert(r.getLong(5) == 4L * r.getLong(1))
+      val expected = r.getLong(1).toDouble * 2.0 * (1.0 - 0.0625)
+      assert(math.abs(r.getDouble(6) - expected) < 1e-6,
+        "effective == unique·2·(1−0.5^4) at full funding")
+    }
+  }
+
   test("t66: rates are exact divisions of the counts") {
     val docs = mixedDocs.withColumn("source",
       when(col("doc_id") % 2 === 0, "even").otherwise("odd"))
