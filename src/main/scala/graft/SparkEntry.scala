@@ -8028,7 +8028,8 @@ object SparkEntry {
         .unionByName(base.select((col("doc_id") + 200000).as("sample_id"),
           reverse(col("text")).as("img_text"), col("text").as("caption")))
       Multimodal.crossModalDupAudit(samples, "sample_id", "img_text",
-          "caption", maxHamming = 3, width = 10)
+          "caption", maxHamming = 3, width = 10,
+          maxCaptionGroup = None) // exact: oracle-comparable
         .orderBy(col("id_a"), col("id_b"))
     })
 

@@ -358,8 +358,10 @@ object Clustering {
       count(lit(1)).as("n_possible"))
     def leg(strategy: String, nbrs: DataFrame) = nbrs
       .join(exact.withColumn("__hit", lit(1L)), Seq("src", "dst"), "left")
+      // outer coalesce: a fully-tombstoned fetch set must report
+      // n_hits = 0 / recall = 0.0, not NULL
       .agg(count(lit(1)).as("n_returned"),
-        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+        coalesce(sum(coalesce(col("__hit"), lit(0L))), lit(0L)).as("n_hits"))
       .crossJoin(broadcast(totals))
       .select(lit(strategy).as("strategy"), col("n_queries"),
         col("n_returned"), col("n_hits"), col("n_possible"),
@@ -446,17 +448,9 @@ object Clustering {
       .withColumn("rn", row_number().over(wTopC))
       .where(col("rn") <= k)
       .select(col("src"), col("did").as("dst"))
-    val wTopE = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src")).orderBy(col("cs").desc, col("dst"))
+    // the shared exact audit leg (Similarity.exactTopKSelf)
     val exact = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
-      graft.ops.ScaleOps.fanOut(emb)
-        .select(col(idCol).as("dst"), col(vecCol).as("vb"))
-        .crossJoin(broadcast(q))
-        .where(col("dst") =!= col("src"))
-        .withColumn("cs", Similarity.cosine(col("vb"), col("qv")))
-        .withColumn("rn", row_number().over(wTopE))
-        .where(col("rn") <= k)
-        .select(col("src"), col("dst")))
+      Similarity.exactTopKSelf(emb, vecCol, idCol, q, k))
     val nCells = probed.groupBy(col("src"))
       .agg(count(lit(1)).as("n_cells_probed"))
     val nCand = cand.groupBy(col("src"))
@@ -468,13 +462,20 @@ object Clustering {
         sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
     val possible = exact.groupBy(col("src"))
       .agg(count(lit(1)).as("n_possible"))
+    // every probed query reports, even with ZERO candidates (a tight
+    // budget stopping in a cell holding only the query itself): the
+    // candidate/returned/hit legs LEFT-join onto the always-present
+    // probed-cells rollup and coalesce to 0 — a recall-0 query must
+    // report recall 0.0, not vanish from its own audit
     nCells
-      .join(nCand, Seq("src")).join(legs, Seq("src"))
+      .join(nCand, Seq("src"), "left").join(legs, Seq("src"), "left")
       .join(possible, Seq("src"))
       .select(col("src").as("query_id"), col("n_cells_probed"),
-        col("n_candidates"), col("n_returned"), col("n_hits"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_returned"), lit(0L)).as("n_returned"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         col("n_possible"),
-        round(col("n_hits").cast("double") /
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
           col("n_possible").cast("double"), 6).as("recall"))
   }
 

@@ -87,27 +87,22 @@ object GraphAnn {
       .withColumn("rn", row_number().over(wSrc))
       .where(col("rn") <= k)
       .select(col("src"), col("dst"))
-    // exact audit leg: self excluded (the graph never contains it);
-    // queries restricted to the audit sample
+    // exact audit leg (the shared [[Similarity.exactTopKSelf]] shape):
+    // self excluded, queries restricted to the audit sample
     val exact = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
-      graft.ops.ScaleOps.fanOut(emb)
-        .select(col(idCol).as("dst"), col(vecCol).as("vb"))
-        .crossJoin(broadcast(vecs
-          .where(col("id") % lit(auditMod) === 0L)
-          .select(col("id").as("src"), col("v").as("qv"))))
-        .where(col("dst") =!= col("src"))
-        .withColumn("cs", Similarity.cosine(col("vb"), col("qv")))
-        .withColumn("rn", row_number().over(wSrc))
-        .where(col("rn") <= k)
-        .select(col("src"), col("dst")))
+      Similarity.exactTopKSelf(emb, vecCol, idCol,
+        vecs.where(col("id") % lit(auditMod) === 0L)
+          .select(col("id").as("src"), col("v").as("qv")), k))
     val totals = exact.agg(
       countDistinct(col("src")).as("n_queries"),
       count(lit(1)).as("n_possible"))
     def leg(stage: String, nbrs: DataFrame) = nbrs
       .where(col("src") % lit(auditMod) === 0L)
       .join(exact.withColumn("__hit", lit(1L)), Seq("src", "dst"), "left")
+      // outer coalesce: an EMPTY edge set (e.g. kCells ≥ N → singleton
+      // cells) must report n_hits = 0 / recall = 0.0, not NULL
       .agg(count(lit(1)).as("n_edges"),
-        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+        coalesce(sum(coalesce(col("__hit"), lit(0L))), lit(0L)).as("n_hits"))
       .crossJoin(totals)
       .select(lit(stage).as("stage"), col("n_queries"), col("n_edges"),
         col("n_hits"), col("n_possible"),

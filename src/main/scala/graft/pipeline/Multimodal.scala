@@ -1224,6 +1224,14 @@ object Multimodal {
     * full-outer join of two (id, id) pair frames. Payloads never
     * enter a shuffle — hashes and digests do.
     *
+    * `maxCaptionGroup` caps exact-caption groups before pair emission
+    * (default 10k, the pair-emitting-API invariant): a TEMPLATE
+    * caption shared by m docs would otherwise materialize one
+    * m-element reducer row and m²/2 pairs — exactly the boilerplate
+    * class this audit flags. Over-cap groups drop from the caption
+    * leg (their members can still pair through the image leg); pass
+    * None for the exact oracle-comparable baseline.
+    *
     * @param samples (id, image-bearing text, caption) — the image is
     *        rendered via [[textAsBmp]] (codec stub; a real decoder
     *        slots into the same plumbing)
@@ -1234,7 +1242,8 @@ object Multimodal {
     */
   def crossModalDupAudit(samples: DataFrame, idCol: String,
       imageTextCol: String, captionCol: String,
-      maxHamming: Int = 3, width: Int = 10): DataFrame = {
+      maxHamming: Int = 3, width: Int = 10,
+      maxCaptionGroup: Option[Int] = Some(10000)): DataFrame = {
     val slim = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
       samples.select(col(idCol).cast("long").as("sample_id"),
         col(imageTextCol).as("__img"), col(captionCol).as("__cap")))
@@ -1242,11 +1251,24 @@ object Multimodal {
       perceptualHash(textAsBmp(slim.select(col("sample_id"), col("__img")),
         "sample_id", "__img", width = width)).toDF(), maxHamming)
       .select(col("id_a"), col("id_b"), lit(1L).as("__img_dup"))
-    val capPairs = slim
-      .select(col("sample_id"), md5(col("__cap")).as("fp"))
-      .groupBy(col("fp"))
-      .agg(collect_list(col("sample_id")).as("ids"))
-      .where(size(col("ids")) >= 2)
+    val capFps = slim.select(col("sample_id"), md5(col("__cap")).as("fp"))
+    val capGroups = maxCaptionGroup match {
+      case Some(m) =>
+        // count-first cap (the shingleIntersections discipline): no
+        // reducer row materializes more than m ids
+        val kept = capFps.groupBy(col("fp"))
+          .agg(count(lit(1)).as("n_caps"))
+          .where(col("n_caps") >= 2 && col("n_caps") <= lit(m))
+          .select(col("fp"))
+        capFps.join(kept, Seq("fp"))
+          .groupBy(col("fp"))
+          .agg(collect_list(col("sample_id")).as("ids"))
+      case None =>
+        capFps.groupBy(col("fp"))
+          .agg(collect_list(col("sample_id")).as("ids"))
+          .where(size(col("ids")) >= 2)
+    }
+    val capPairs = capGroups
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))

@@ -447,26 +447,20 @@ object Pq {
       Seq(top("adc", dotTab, qNorm), top("sdc", sdcDotTab, nqHat))
     }
     val approx = queryIds.flatMap(legsFor).reduce(_ unionByName _)
-    val wSrc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src")).orderBy(col("cs").desc, col("dst"))
+    // the shared exact audit leg (Similarity.exactTopKSelf)
     val exact = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
-      graft.ops.ScaleOps.fanOut(emb)
-        .select(col(idCol).as("dst"), col(vecCol).as("vb"))
-        .crossJoin(broadcast(emb.where(col(idCol).isin(queryIds: _*))
-          .select(col(idCol).as("src"), col(vecCol).as("qv"))))
-        .where(col("dst") =!= col("src"))
-        .withColumn("cs", Similarity.cosine(col("vb"), col("qv")))
-        .withColumn("rn", row_number().over(wSrc))
-        .where(col("rn") <= k)
-        .select(col("src"), col("dst")))
+      Similarity.exactTopKSelf(emb, vecCol, idCol,
+        emb.where(col(idCol).isin(queryIds: _*))
+          .select(col(idCol).as("src"), col(vecCol).as("qv")), k))
     val totals = exact.agg(
       countDistinct(col("src")).as("n_queries"),
       count(lit(1)).as("n_possible"))
     approx
       .join(exact.withColumn("__hit", lit(1L)), Seq("src", "dst"), "left")
       .groupBy(col("method"))
+      // outer coalesce: zero-hit methods report 0, not NULL
       .agg(count(lit(1)).as("n_returned"),
-        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+        coalesce(sum(coalesce(col("__hit"), lit(0L))), lit(0L)).as("n_hits"))
       .crossJoin(broadcast(totals))
       .select(col("method"), col("n_queries"), col("n_returned"),
         col("n_hits"), col("n_possible"),

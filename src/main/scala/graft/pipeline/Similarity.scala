@@ -210,6 +210,27 @@ object Similarity {
       .select(col("query_id"), col(idCol), col("cos_sim"), col("rank").cast("long").as("rank"))
   }
 
+  /** Exact top-k AUDIT leg shared by the recall audits (s41 NN-descent,
+    * s42 ADC/SDC, s44 adaptive nprobe): per query, the k nearest
+    * non-self corpus vectors by (cosine desc, id asc). One shape, one
+    * tie-break, one rounding discipline — a fix or tie-break change
+    * here moves every audit together instead of diverging hand-rolled
+    * copies. `queries` must carry (src, qv).
+    */
+  private[pipeline] def exactTopKSelf(corpus: DataFrame, vecCol: String,
+      idCol: String, queries: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("cs").desc, col("dst"))
+    graft.ops.ScaleOps.fanOut(corpus)
+      .select(col(idCol).as("dst"), col(vecCol).as("vb"))
+      .crossJoin(broadcast(queries))
+      .where(col("dst") =!= col("src"))
+      .withColumn("cs", cosine(col("vb"), col("qv")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("src"), col("dst"))
+  }
+
   /** Batch maximum-inner-product top-k (MIPS): k corpus vectors with
     * the largest RAW DOT PRODUCT per query — the retrieval mode for
     * un-normalized embeddings where magnitude carries signal

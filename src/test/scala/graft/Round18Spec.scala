@@ -589,6 +589,70 @@ class Round18Spec extends AnyFunSuite {
     }
   }
 
+  // ---------------- review-fix pins (r18 self-review) ----------------
+
+  test("s41: singleton cells (kCells ≥ N) report recall 0, not NULL") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val emb = (0 until 8).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    // every vector seeds its own cell → the cell-mate init graph is
+    // EMPTY; the legs must still report well-defined zeros
+    val out = graft.pipeline.GraphAnn.nnDescentRecallAudit(emb,
+      "embedding", "vec_id", kCells = 8, k = 3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    Seq("init", "round1").foreach { st =>
+      val r = out(st)
+      assert(r.getLong(2) == 0L, s"$st: no edges from singleton cells")
+      assert(!r.isNullAt(3) && r.getLong(3) == 0L, s"$st: hits must be 0")
+      assert(!r.isNullAt(5) && r.getDouble(5) == 0.0, s"$st: recall must be 0.0")
+    }
+  }
+
+  test("s44: a zero-candidate query still reports (recall 0.0)") {
+    import spark.implicits._
+    // 3 well-separated axis vectors: each seeds its own cell and is
+    // its only member, so a budget-1 probe finds the query alone
+    val emb = Seq(
+      (0L, Array.tabulate(8)(j => if (j == 0) 1f else 0f)),
+      (1L, Array.tabulate(8)(j => if (j == 3) 1f else 0f)),
+      (2L, Array.tabulate(8)(j => if (j == 6) 1f else 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Clustering.adaptiveProbeRecall(emb, "embedding", "vec_id",
+      queryIds = Seq(0L), k = 2, numCells = 3, targetCandidates = 1L)
+      .collect()
+    assert(out.length == 1, "the query must not vanish from its own audit")
+    val r = out.head
+    assert(r.getLong(2) == 0L && r.getLong(3) == 0L && r.getLong(4) == 0L)
+    assert(r.getDouble(6) == 0.0)
+  }
+
+  test("m29: the caption-group cap bounds template-caption fan-out losslessly above it") {
+    import spark.implicits._
+    val template = "click here to read the full article now please thanks"
+    val uniques = (0 until 6).map(i =>
+      (100L + i, s"unique content piece number $i with its own words entirely", template))
+    val samples = ((0 until 5).map(i => (i.toLong,
+      s"distinct image text $i for this one here ok", template)) ++ uniques.map {
+      case (id, img, _) => (id, img, s"own caption $id")
+    }).toDF("sample_id", "img_text", "caption")
+    // 5 docs share the template caption: capped at 3 the group drops
+    val capped = graft.pipeline.Multimodal.crossModalDupAudit(samples,
+      "sample_id", "img_text", "caption", maxCaptionGroup = Some(3))
+      .where(col("caption_dup") === 1L).count()
+    assert(capped == 0L, "over-cap caption group must not emit pairs")
+    val exact = graft.pipeline.Multimodal.crossModalDupAudit(samples,
+      "sample_id", "img_text", "caption", maxCaptionGroup = None)
+      .where(col("caption_dup") === 1L).count()
+    assert(exact == 10L, "uncapped: C(5,2) template pairs")
+    // a cap above the group size is exact
+    val wide = graft.pipeline.Multimodal.crossModalDupAudit(samples,
+      "sample_id", "img_text", "caption", maxCaptionGroup = Some(10))
+      .where(col("caption_dup") === 1L).count()
+    assert(wide == exact)
+  }
+
   test("t66: rates are exact divisions of the counts") {
     val docs = mixedDocs.withColumn("source",
       when(col("doc_id") % 2 === 0, "even").otherwise("odd"))
