@@ -259,7 +259,10 @@ code, adjudicated by the isolated 5-rep protocol same-day:
 
 No mover reproduces its artifact regression in isolation; the uplift
 is uniform suite-contention drift, consistent with every prior
-round's adjudication of this class.
+round's adjudication of this class. The FINAL committed artifact
+(254 queries incl. s44/t69, post-review-hardening) reads 213.0 s
+total — 7% below the 252-query run above on the same code, the same
+ambient band in the other direction.
 
 ## Round-16 signal-of-record adjudication (d27 / q44 / t36 / t13)
 
