@@ -8426,11 +8426,17 @@ object SparkEntry {
       FROM approx a LEFT JOIN ex ON ex.src = a.src AND ex.dst = a.dst
       GROUP BY a.src),
     ps AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n_possible FROM ex GROUP BY src)
-    SELECT ncl.src AS query_id, n_cells_probed, n_candidates, n_returned,
-      n_hits, n_possible,
-      ROUND(CAST(n_hits AS DOUBLE) / CAST(n_possible AS DOUBLE), 6) AS recall
-    FROM ncl JOIN ncd ON ncd.src = ncl.src JOIN lg ON lg.src = ncl.src
-      JOIN ps ON ps.src = ncl.src
+    SELECT ncl.src AS query_id, n_cells_probed,
+      COALESCE(n_candidates, 0) AS n_candidates,
+      COALESCE(n_returned, 0) AS n_returned,
+      COALESCE(n_hits, 0) AS n_hits,
+      COALESCE(n_possible, 0) AS n_possible,
+      CASE WHEN COALESCE(n_possible, 0) = 0 THEN 0.0
+        ELSE ROUND(CAST(COALESCE(n_hits, 0) AS DOUBLE)
+          / CAST(n_possible AS DOUBLE), 6) END AS recall
+    FROM ncl LEFT JOIN ncd ON ncd.src = ncl.src
+      LEFT JOIN lg ON lg.src = ncl.src
+      LEFT JOIN ps ON ps.src = ncl.src
     ORDER BY query_id"""),
     (s, dir) => graft.pipeline.Clustering.adaptiveProbeRecall(
         T(s, dir, "embeddings"), "embedding", "vec_id",

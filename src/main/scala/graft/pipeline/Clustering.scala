@@ -469,14 +469,19 @@ object Clustering {
     // report recall 0.0, not vanish from its own audit
     nCells
       .join(nCand, Seq("src"), "left").join(legs, Seq("src"), "left")
-      .join(possible, Seq("src"))
+      // the exact leg joins LEFT too: a probed query whose exact leg
+      // is EMPTY (single-vector corpus — self is excluded, so there
+      // is nothing to find) must still report, with n_possible = 0
+      // and recall 0.0, not vanish from its own audit
+      .join(possible, Seq("src"), "left")
       .select(col("src").as("query_id"), col("n_cells_probed"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         coalesce(col("n_returned"), lit(0L)).as("n_returned"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        col("n_possible"),
-        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
-          col("n_possible").cast("double"), 6).as("recall"))
+        coalesce(col("n_possible"), lit(0L)).as("n_possible"),
+        when(coalesce(col("n_possible"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+            col("n_possible").cast("double"), 6)).as("recall"))
   }
 
   /** IVF REBUILD decision — the one-row maintenance verdict composed

@@ -103,7 +103,11 @@ object GraphAnn {
       // cells) must report n_hits = 0 / recall = 0.0, not NULL
       .agg(count(lit(1)).as("n_edges"),
         coalesce(sum(coalesce(col("__hit"), lit(0L))), lit(0L)).as("n_hits"))
-      .crossJoin(totals)
+      // broadcast: totals is a 1-row agg — without the hint a cold
+      // stats-less plan can pick BNLJ with the big side as build (the
+      // codebase invariant every sibling scalar cross join applies,
+      // e.g. Pq/Dedup)
+      .crossJoin(broadcast(totals))
       .select(lit(stage).as("stage"), col("n_queries"), col("n_edges"),
         col("n_hits"), col("n_possible"),
         round(col("n_hits").cast("double") /

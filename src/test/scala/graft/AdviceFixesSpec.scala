@@ -340,4 +340,33 @@ class AdviceFixesSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_tokens") == 9L, s"$r")
     assert(r.getAs[Long]("n_chars") == 10L, s"$r")
   }
+
+  test("adaptiveProbeRecall: a query with an EMPTY exact leg still reports (no vanishing queries)") {
+    import spark.implicits._
+    // single-vector corpus: self is excluded from both legs, so the
+    // exact leg is empty — before the fix the final rollup
+    // inner-joined 'possible' and the query silently vanished from
+    // its own audit, at odds with the other legs' left-join hardening
+    val emb = Seq((0L, Seq(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = graft.pipeline.Clustering.adaptiveProbeRecall(
+      emb, "embedding", "vec_id", queryIds = Seq(0L), k = 3,
+      numCells = 4, targetCandidates = 10L).collect()
+    assert(out.length == 1, s"query 0 must report, got ${out.length} rows")
+    val r = out.head
+    assert(r.getAs[Long]("query_id") == 0L)
+    assert(r.getAs[Long]("n_candidates") == 0L)
+    assert(r.getAs[Long]("n_returned") == 0L)
+    assert(r.getAs[Long]("n_hits") == 0L)
+    assert(r.getAs[Long]("n_possible") == 0L)
+    assert(r.getAs[Double]("recall") == 0.0, s"recall must be 0.0, not NULL: $r")
+    // and on a normal corpus the populated path is unchanged: a query
+    // with a non-empty exact leg reports n_possible > 0
+    val emb2 = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val full = graft.pipeline.Clustering.adaptiveProbeRecall(
+      emb2, "embedding", "vec_id", queryIds = Seq(0L), k = 2,
+      numCells = 2, targetCandidates = 10L).collect()
+    assert(full.length == 1 && full.head.getAs[Long]("n_possible") == 2L)
+  }
 }

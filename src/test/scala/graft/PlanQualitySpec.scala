@@ -729,6 +729,24 @@ class PlanQualitySpec extends AnyFunSuite {
       s"clip payloads/text must never shuffle in the result plan:\n$plan")
   }
 
+  test("s41 nn-descent: the scalar totals cross join builds on the broadcast 1-row side") {
+    import org.apache.spark.sql.functions.{col, octet_length}
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .where(col("vec_id") < 64)
+    val plan = planOf(graft.pipeline.GraphAnn.nnDescentRecallAudit(
+      emb, "embedding", "vec_id", kCells = 4, k = 5))
+    assert(!plan.contains("CartesianProduct"),
+      s"the totals cross join must broadcast, never cartesian:\n$plan")
+    // every BNLJ in this plan is a 1-row scalar frame — the broadcast
+    // hint forces the tiny side as build even on cold stats-less plans
+    plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .foreach(l => assert(l.contains("BuildRight") || l.contains("BuildLeft"),
+        s"scalar cross joins must have a broadcast build side:\n$l"))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"expected the broadcast scalar join shape:\n$plan")
+  }
+
   test("t57 quality-decile report: score is scan-stage; text never shuffles") {
     val plan = planOf(SparkEntry.queries("t57_quality_dedup_report")(spark, sf))
     assert(plan.linesIterator.filter(_.contains("Exchange"))
