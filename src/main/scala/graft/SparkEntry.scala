@@ -8444,6 +8444,210 @@ object SparkEntry {
         targetCandidates = 150L)
       .orderBy(col("query_id")))
 
+  // NN-DESCENT TO CONVERGENCE under the SAMPLED audit contract — the
+  // serving-shape declaration of the graph-ANN family (the d19
+  // precedent: declare the audited slice): ring init (geometry-blind,
+  // the deterministic stand-in for Dong's random init — the
+  // IVF-cellmate seed of s41 is a PROVABLE fixed point, see
+  // GraphAnn's closure note), undirected 2-hop refinement, iterate
+  // until the round-6 recall gain drops below eps or maxRounds. The
+  // exact leg audits ids = 0 (mod 4) while the graph builds on
+  // everything. Oracle replays the ring, every undirected expansion,
+  // the sampled exact leg, the per-stage recalls, the LAG gain, and
+  // the stop rule.
+  private def s45RoundSql(r: Int): String = {
+    val p = r - 1
+    s"""
+    u$p AS MATERIALIZED (SELECT src, dst FROM n$p UNION SELECT dst, src FROM n$p),
+    cd$r AS MATERIALIZED (SELECT src, dst FROM n$p
+      UNION
+      SELECT a.src, b.dst FROM u$p a JOIN u$p b ON a.dst = b.src
+      WHERE b.dst <> a.src),
+    c$r AS MATERIALIZED (SELECT cd$r.src, cd$r.dst,
+        list_sum(list_transform(generate_series(1, len(e1.embedding)),
+          i -> CAST(e1.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)))
+        / (e1.nm * e2.nm) AS cs
+      FROM cd$r JOIN nrm e1 ON e1.vec_id = cd$r.src
+                JOIN nrm e2 ON e2.vec_id = cd$r.dst),
+    n$r AS MATERIALIZED (SELECT src, dst FROM (
+        SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rn
+        FROM c$r) WHERE rn <= 5),"""
+  }
+  private def s45LegSql(r: Int): String = s"""
+    l$r AS MATERIALIZED (SELECT CAST($r AS BIGINT) AS round_no, CAST(COUNT(*) AS BIGINT) AS n_edges,
+        CAST(COALESCE(SUM(CASE WHEN ex.src IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits
+      FROM (SELECT * FROM n$r WHERE src % 4 = 0) s
+      LEFT JOIN ex ON ex.src = s.src AND ex.dst = s.dst),"""
+  private val s45MaxRounds = 8
+  private val s45 = Q("s45_nn_descent_converge", Some(s"""
+    WITH nrm AS MATERIALIZED (SELECT vec_id, embedding,
+        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nm
+      FROM embeddings),
+    meta AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(vec_id) AS mn FROM embeddings),
+    n0 AS MATERIALIZED (SELECT e.vec_id AS src, ((e.vec_id - mn + j) % n) + mn AS dst
+      FROM embeddings e, meta, generate_series(1, 5) AS t(j)),
+    ${(1 to s45MaxRounds).map(s45RoundSql).mkString("")}
+    ce AS MATERIALIZED (SELECT a.vec_id AS src, b.vec_id AS dst,
+        list_sum(list_transform(generate_series(1, len(a.embedding)),
+          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        / (a.nm * b.nm) AS cs
+      FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id % 4 = 0),
+    ex AS MATERIALIZED (SELECT src, dst FROM (
+        SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rn
+        FROM ce) WHERE rn <= 5),
+    tot AS MATERIALIZED (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS n_queries,
+        CAST(COUNT(*) AS BIGINT) AS n_possible FROM ex),
+    ${(0 to s45MaxRounds).map(s45LegSql).mkString("")}
+    st AS MATERIALIZED (${(0 to s45MaxRounds).map(r => s"SELECT * FROM l$r").mkString("\n      UNION ALL ")}),
+    rc AS MATERIALIZED (SELECT round_no, n_queries, n_edges, n_hits, n_possible,
+        ROUND(CAST(n_hits AS DOUBLE) / CAST(n_possible AS DOUBLE), 6) AS recall
+      FROM st, tot),
+    g AS MATERIALIZED (SELECT round_no, n_queries, n_edges, n_hits, n_possible, recall,
+        ROUND(recall - COALESCE(LAG(recall) OVER (ORDER BY round_no), 0.0), 6) AS gain
+      FROM rc),
+    cut AS MATERIALIZED (SELECT COALESCE(MIN(round_no), $s45MaxRounds) AS stop FROM g
+      WHERE round_no >= 1 AND gain < 0.02)
+    SELECT round_no, n_queries, n_edges, n_hits, n_possible, recall, gain,
+      CAST(CASE WHEN round_no >= 1 AND gain < 0.02 THEN 1 ELSE 0 END AS BIGINT) AS converged
+    FROM g, cut WHERE round_no <= stop ORDER BY round_no"""),
+    (s, dir) => graft.pipeline.GraphAnn.nnDescentConverge(
+        T(s, dir, "embeddings"), "embedding", "vec_id", k = 5,
+        auditMod = 4L, epsilon = 0.02, maxRounds = s45MaxRounds)
+      .orderBy(col("round_no")))
+
+  // INDEX-MAINTENANCE RUN — the s-family's composed nightly (the t58
+  // move): the s35 rebuild verdict, the s40 compaction actions, the
+  // s39 bits decision, and the s43 over-fetch audit in ONE manifest
+  // from ONE shared assignment scan (old ∪ new under the OLD seeds,
+  // origin + dead flags riding). Old = vec_id%7≠6, batch = %7=6,
+  // tombstones = %9=5. Oracle replays the seeding, the shared
+  // assignment, every rollup, the bits sweep over the live corpus,
+  // and the over-fetch legs with the chosen-strategy tie rule.
+  private val s46 = Q("s46_index_maintenance_run", Some("""
+    WITH cents AS MATERIALIZED (SELECT vec_id AS cell, embedding AS cvec
+        FROM embeddings WHERE vec_id % 7 <> 6 ORDER BY vec_id LIMIT 8),
+    fullc AS MATERIALIZED (SELECT vec_id, embedding,
+        CASE WHEN vec_id % 7 = 6 THEN 1 ELSE 0 END AS isnew,
+        CASE WHEN vec_id % 9 = 5 THEN 1 ELSE 0 END AS isdead
+      FROM embeddings),
+    sims AS (SELECT e.vec_id, c.cell,
+        list_sum(list_transform(generate_series(1, len(e.embedding)),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      FROM fullc e, cents c),
+    asn AS MATERIALIZED (SELECT s.vec_id, s.cell, f.isnew, f.isdead FROM (
+        SELECT vec_id, cell,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        FROM sims) s JOIN fullc f ON f.vec_id = s.vec_id WHERE s.rn = 1),
+    percell AS MATERIALIZED (SELECT c.cell,
+        CAST(COUNT(a.vec_id) AS BIGINT) AS n_total,
+        CAST(COALESCE(SUM(a.isnew), 0) AS BIGINT) AS n_new,
+        CAST(COALESCE(SUM(a.isdead), 0) AS BIGINT) AS n_dead
+      FROM cents c LEFT JOIN asn a ON a.cell = c.cell GROUP BY c.cell),
+    reb AS (SELECT CAST(SUM(n_total) AS BIGINT) AS nt,
+        CAST(SUM(n_new) AS BIGINT) AS nn,
+        CAST(MAX(n_total) AS BIGINT) AS mx,
+        MAX(CASE WHEN n_total - n_new > 0
+          THEN CAST(n_new AS DOUBLE) / (n_total - n_new) END) AS mg,
+        CAST(SUM(CASE WHEN n_total - n_new = 0 AND n_new > 0
+          THEN 1 ELSE 0 END) AS BIGINT) AS nu
+      FROM percell),
+    lv AS (SELECT embedding FROM fullc WHERE isdead = 0),
+    ls AS (SELECT * FROM (VALUES (2, 3.0), (4, 15.0), (6, 63.0), (8, 255.0))
+        AS t(bits, lev)),
+    per AS (SELECT l.bits,
+        list_sum(list_transform(e.embedding, x ->
+          (CAST(x AS DOUBLE)
+            - (GREATEST(0.0, LEAST(l.lev,
+                ROUND((CAST(x AS DOUBLE) - (-2.0)) / 4.0 * l.lev))) / l.lev * 4.0 + (-2.0)))
+          * (CAST(x AS DOUBLE)
+            - (GREATEST(0.0, LEAST(l.lev,
+                ROUND((CAST(x AS DOUBLE) - (-2.0)) / 4.0 * l.lev))) / l.lev * 4.0 + (-2.0)))))
+          AS sq_sum,
+        CAST(len(e.embedding) AS BIGINT) AS n
+      FROM lv e CROSS JOIN ls l),
+    bagg AS (SELECT CAST(bits AS BIGINT) AS bits,
+        ROUND(SUM(sq_sum) / CAST(SUM(n) AS DOUBLE), 6) AS mse
+      FROM per GROUP BY bits),
+    bd AS MATERIALIZED (SELECT bits, mse,
+        CAST(CASE WHEN mse <= 0.001 THEN 1 ELSE 0 END AS BIGINT) AS met
+      FROM bagg
+      ORDER BY met DESC, CASE WHEN mse <= 0.001 THEN bits ELSE -bits END
+      LIMIT 1),
+    qv AS (SELECT vec_id AS src, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id IN (1, 2, 3)),
+    sc AS MATERIALIZED (SELECT q.src, e.vec_id AS dst,
+        list_sum(list_transform(generate_series(1, len(e.embedding)),
+          i -> CAST(e.embedding[i] AS DOUBLE) * q.qv[i]))
+        / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cs,
+        e.isdead AS is_dead
+      FROM qv q, fullc e WHERE e.vec_id <> q.src),
+    f AS MATERIALIZED (SELECT src, dst, is_dead,
+        ROW_NUMBER() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rn
+      FROM sc),
+    fk AS (SELECT src, dst FROM f WHERE rn <= 10 AND is_dead = 0),
+    ofq AS (SELECT src, dst FROM (
+        SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY rn) AS rn2
+        FROM f WHERE rn <= 20 AND is_dead = 0) WHERE rn2 <= 10),
+    ex AS MATERIALIZED (SELECT src, dst FROM (
+        SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rn
+        FROM sc WHERE is_dead = 0) WHERE rn <= 10),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_possible FROM ex),
+    lfk AS (SELECT CAST(SUM(CASE WHEN ex.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM fk LEFT JOIN ex ON ex.src = fk.src AND ex.dst = fk.dst),
+    lof AS (SELECT CAST(SUM(CASE WHEN ex.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM ofq LEFT JOIN ex ON ex.src = ofq.src AND ex.dst = ofq.dst),
+    ofl AS MATERIALIZED (
+      SELECT 'fetch_k' AS item, n_hits,
+        ROUND(CAST(n_hits AS DOUBLE) / CAST(n_possible AS DOUBLE), 6) AS recall
+      FROM lfk, tot
+      UNION ALL
+      SELECT 'overfetch', n_hits,
+        ROUND(CAST(n_hits AS DOUBLE) / CAST(n_possible AS DOUBLE), 6)
+      FROM lof, tot),
+    ofm AS (SELECT MAX(recall) AS best,
+        MAX(CASE WHEN item = 'fetch_k' THEN recall END) AS fr FROM ofl)
+    SELECT 'rebuild' AS section, 'decision' AS item, nt AS n,
+      ROUND(mx * 8.0 / nt, 6) AS x,
+      CASE WHEN mx * 8.0 / nt > 1.5 OR CAST(nn AS DOUBLE) / nt > 0.3
+        THEN 'rebuild' ELSE 'keep' END AS verdict
+    FROM reb
+    UNION ALL SELECT 'rebuild', 'new_frac', nn,
+      ROUND(CAST(nn AS DOUBLE) / nt, 6), '' FROM reb
+    UNION ALL SELECT 'rebuild', 'max_growth', nu, ROUND(mg, 6), '' FROM reb
+    UNION ALL SELECT 'compaction', CAST(cell AS VARCHAR), n_total - n_dead,
+      CASE WHEN n_total = 0 THEN NULL
+        ELSE ROUND(CAST(n_total - n_dead AS DOUBLE) / n_total, 6) END,
+      CASE WHEN n_total = 0 THEN 'empty'
+        WHEN CAST(n_total - n_dead AS DOUBLE) / n_total < 0.89 THEN 'compact'
+        ELSE 'keep' END
+    FROM percell
+    UNION ALL SELECT 'sq_bits', 'decision', bits, mse,
+      CASE WHEN met = 1 THEN 'met' ELSE 'unmet' END FROM bd
+    UNION ALL SELECT 'overfetch', item, n_hits, recall,
+      CASE WHEN recall = best AND (item = 'fetch_k' OR fr < best)
+        THEN 'chosen' ELSE '' END
+    FROM ofl, ofm
+    ORDER BY section, item"""),
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      graft.pipeline.Clustering.indexMaintenanceRun(
+          oldEmb = emb.where(col("vec_id") % 7 =!= 6),
+          newEmb = emb.where(col("vec_id") % 7 === 6),
+          vecCol = "embedding", idCol = "vec_id", k = 8,
+          deletedIds = emb.where(col("vec_id") % 9 === 5)
+            .select(col("vec_id")),
+          delIdCol = "vec_id", minLiveFrac = 0.89,
+          maxImbalance = 1.5, maxNewFrac = 0.3,
+          queryIds = Seq(1L, 2L, 3L), kq = 10, fetchFactor = 2,
+          lo = -2.0, hi = 2.0, targetMse = 0.001,
+          bitsList = Seq(2, 4, 6, 8))
+        .orderBy(col("section"), col("item"))
+    })
+
   // REPEAT-EPOCH budget plan (data-constrained scaling): epochs valued
   // at w·0.5^(r−1), the greedy spend is one global sort of candidate
   // epochs + a cumulative-cost cut with an exact-integer partial
@@ -8512,7 +8716,7 @@ object SparkEntry {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
     d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
-    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38, s39, s40, s41, s42, s43, s44,
+    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38, s39, s40, s41, s42, s43, s44, s45, s46,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
     t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45,

@@ -336,6 +336,19 @@ object Clustering {
         .join(dead, Seq("dst"), "left")
         .withColumn("is_dead", coalesce(col("__dead"), lit(0L)))
         .select(col("src"), col("dst"), col("cs"), col("is_dead")))
+    overfetchLegsFromScored(scored, k, fetchFactor)
+  }
+
+  /** The three rank windows + recall rollup behind
+    * [[overfetchUnderDeletes]], factored so the composed maintenance
+    * run ([[indexMaintenanceRun]]) can feed the SAME legs from its
+    * shared scan — value-identity with s43 by construction, not by
+    * parallel maintenance. `scored` carries (src, dst, cs, is_dead).
+    */
+  private def overfetchLegsFromScored(scored: DataFrame, k: Int,
+      fetchFactor: Int): DataFrame = {
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("cs").desc, col("dst"))
     // the index's view: dead vectors still rank; filter AFTER
     val fetched = scored.withColumn("rn", row_number().over(wSrc))
     val fetchK = fetched.where(col("rn") <= k && col("is_dead") === 0L)
@@ -766,5 +779,139 @@ object Clustering {
       .where(col("rank") <= perCluster)
       .select(col("cell"), col(idCol), col("sim"),
         col("rank").cast("long").as("rank"))
+  }
+
+  /** INDEX-MAINTENANCE RUN — the s-family's composed nightly (the
+    * t58 move): the four maintenance verdicts an ANN index job acts
+    * on, emitted as ONE manifest frame from ONE shared scan. An
+    * append batch and a tombstone set arrive against a served index
+    * (seeded on the OLD corpus — a maintenance run never re-seeds;
+    * that is exactly what the rebuild verdict decides):
+    *
+    *  - `rebuild` (the s35 verdict): re-train when post-append
+    *    imbalance breaks the IVF cost model or appended mass outgrows
+    *    the trained centroids; diagnostics rows carry new_frac and
+    *    max cell growth / unseeded-cell count.
+    *  - `compaction` (the s40 actions): per cell live/dead and the
+    *    compact/keep/empty action at `minLiveFrac`, over the
+    *    POST-append corpus.
+    *  - `sq_bits` (the s39 verdict): smallest bit width whose MSE
+    *    meets `targetMse`, measured over the LIVE post-append corpus
+    *    (what the rewrite would actually store).
+    *  - `overfetch` (the s43 audit): fetch-k vs over-fetch recall
+    *    against exact-over-live, the better strategy flagged chosen
+    *    (ties to fetch_k — never over-fetch for nothing).
+    *
+    * Scale shape — the composition IS the deliverable: one
+    * scope-cached assignment scan of old ∪ new (origin + dead flags
+    * attached via an ids-only join) feeds the rebuild histogram, the
+    * compaction rollup, the bits sweep, AND the over-fetch scoring
+    * legs (which ride [[overfetchUnderDeletes]]'s exact factored
+    * windows — value-identity with s43 by construction). Nothing
+    * beyond that scan touches the corpus; every rollup is k-row /
+    * |bits|-row / 2-row.
+    *
+    * @return manifest rows (section, item, n, x, verdict) — see the
+    *         section list above; unsorted, callers order
+    */
+  def indexMaintenanceRun(oldEmb: DataFrame, newEmb: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      deletedIds: DataFrame, delIdCol: String, minLiveFrac: Double,
+      maxImbalance: Double, maxNewFrac: Double,
+      queryIds: Seq[Long], kq: Int, fetchFactor: Int,
+      lo: Double, hi: Double, targetMse: Double,
+      bitsList: Seq[Int] = Seq(2, 4, 6, 8)): DataFrame = {
+    require(kq > 0 && fetchFactor >= 1, s"bad kq=$kq / fetchFactor=$fetchFactor")
+    val spark = oldEmb.sparkSession
+    val seeds = seedVectors(oldEmb, vecCol, idCol, k)
+    require(seeds.nonEmpty, "cannot seed cells from an empty OLD corpus")
+    val full = oldEmb.select(col(idCol), col(vecCol), lit(0L).as("__new"))
+      .unionByName(newEmb.select(col(idCol), col(vecCol), lit(1L).as("__new")))
+    val dead = deletedIds.select(col(delIdCol).as("__did"),
+      lit(1L).as("__dead")).distinct()
+    // THE shared scan: one assignment of old ∪ new under the OLD
+    // seeds, origin + dead flags riding along (ids-only join)
+    val assigned = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
+      assignToCentroidArrays(full, vecCol, idCol, seeds.toSeq)
+        .join(dead, col(idCol) === col("__did"), "left")
+        .select(col(idCol).as("id"), col(vecCol).as("v"), col("cell"),
+          col("__new"), coalesce(col("__dead"), lit(0L)).as("__dead")))
+    val cells = spark.createDataFrame(seeds.map(s => Tuple1(s._1)).toSeq)
+      .toDF("cell")
+    val percell = cells
+      .join(broadcast(assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("nt_raw"), sum(col("__new")).as("nn_raw"),
+          sum(col("__dead")).as("nd_raw"))), Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("nt_raw"), lit(0L)).as("n_total"),
+        coalesce(col("nn_raw"), lit(0L)).as("n_new"),
+        coalesce(col("nd_raw"), lit(0L)).as("n_dead"))
+      .withColumn("n_old", col("n_total") - col("n_new"))
+    // rebuild section — the s35 arithmetic over the shared histogram
+    val imb = col("mx").cast("double") * lit(k.toDouble) /
+      col("nt").cast("double")
+    val nf = col("nn").cast("double") / col("nt").cast("double")
+    val reb = percell.agg(
+      sum(col("n_total")).as("nt"), sum(col("n_new")).as("nn"),
+      max(col("n_total")).as("mx"),
+      max(when(col("n_old") > 0L,
+        col("n_new").cast("double") / col("n_old").cast("double")))
+        .as("max_growth"),
+      sum(when(col("n_old") === 0L && col("n_new") > 0L, 1L).otherwise(0L))
+        .as("nu"))
+    val rebuildRows = reb.select(lit("rebuild").as("section"),
+        lit("decision").as("item"), col("nt").as("n"),
+        round(imb, 6).as("x"),
+        when(imb > lit(maxImbalance) || nf > lit(maxNewFrac),
+          lit("rebuild")).otherwise(lit("keep")).as("verdict"))
+      .unionByName(reb.select(lit("rebuild").as("section"),
+        lit("new_frac").as("item"), col("nn").as("n"),
+        round(nf, 6).as("x"), lit("").as("verdict")))
+      .unionByName(reb.select(lit("rebuild").as("section"),
+        lit("max_growth").as("item"), col("nu").as("n"),
+        round(col("max_growth"), 6).as("x"), lit("").as("verdict")))
+    // compaction section — the s40 arithmetic (unrounded compare)
+    val liveFrac = (col("n_total") - col("n_dead")).cast("double") /
+      col("n_total").cast("double")
+    val compactionRows = percell.select(lit("compaction").as("section"),
+      col("cell").cast("string").as("item"),
+      (col("n_total") - col("n_dead")).as("n"),
+      when(col("n_total") === 0L, lit(null).cast("double"))
+        .otherwise(round(liveFrac, 6)).as("x"),
+      when(col("n_total") === 0L, lit("empty"))
+        .when(liveFrac < lit(minLiveFrac), lit("compact"))
+        .otherwise(lit("keep")).as("verdict"))
+    // sq_bits section — the s39 decision over the LIVE corpus, riding
+    // the shared scan's cache
+    val bitsRow = graft.pipeline.Quantize.bitsDecision(
+        assigned.where(col("__dead") === 0L), "v", lo, hi, targetMse,
+        bitsList)
+      .select(lit("sq_bits").as("section"), lit("decision").as("item"),
+        col("bits").as("n"), col("mse").as("x"),
+        when(col("met") === 1L, lit("met")).otherwise(lit("unmet"))
+          .as("verdict"))
+    // overfetch section — s43's factored legs fed from the shared scan
+    val scored = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
+      assigned.select(col("id").as("dst"), col("v").as("vb"),
+          col("__dead").as("is_dead"))
+        .crossJoin(broadcast(full.where(col(idCol).isin(queryIds: _*))
+          .select(col(idCol).as("src"), col(vecCol).as("qv"))))
+        .where(col("dst") =!= col("src"))
+        .withColumn("cs", Similarity.cosine(col("vb"), col("qv")))
+        .select(col("src"), col("dst"), col("cs"), col("is_dead")))
+    val legs = overfetchLegsFromScored(scored, kq, fetchFactor)
+    val overfetchRows = legs
+      .crossJoin(broadcast(legs.agg(max(col("recall")).as("best"),
+        max(when(col("strategy") === "fetch_k", col("recall")))
+          .as("fetch_recall"))))
+      .select(lit("overfetch").as("section"), col("strategy").as("item"),
+        col("n_hits").as("n"), col("recall").as("x"),
+        // chosen = better recall, ties to fetch_k (cheaper)
+        when(col("recall") === col("best") &&
+            (col("strategy") === "fetch_k" ||
+              col("fetch_recall") < col("best")), lit("chosen"))
+          .otherwise(lit("")).as("verdict"))
+    rebuildRows.unionByName(compactionRows).unionByName(bitsRow)
+      .unionByName(overfetchRows)
   }
 }

@@ -22,16 +22,92 @@ import org.apache.spark.sql.functions._
   */
 object GraphAnn {
 
+  /** Seed kNN graph: top-k among IVF cell-mates (vectors in the same
+    * cell rank their own cell's members). The per-cell self-join is
+    * the semDedup pair shape — O(N²/kCells) rows, never corpus².
+    * `assigned` carries (id, v, cell).
+    */
+  private def initGraph(assigned: DataFrame, k: Int): DataFrame = {
+    val wSrc = Window.partitionBy(col("src"))
+      .orderBy(col("cs").desc, col("dst"))
+    assigned.select(col("cell"), col("id").as("src"), col("v").as("va"))
+      .join(assigned.select(col("cell"), col("id").as("dst"),
+        col("v").as("vb")), Seq("cell"))
+      .where(col("src") =!= col("dst"))
+      .withColumn("cs", Similarity.cosine(col("va"), col("vb")))
+      .withColumn("rn", row_number().over(wSrc))
+      .where(col("rn") <= k)
+      .select(col("src"), col("dst"))
+  }
+
+  /** One NN-descent refinement round: forward 2-hop frontier ∪
+    * current edges, rescored exactly against `vecs` (id, v),
+    * re-ranked to top-k. |cand| ≈ N·k² rows, k small — the only
+    * vector movement is the rescoring join.
+    */
+  private def refineRound(n: DataFrame, vecs: DataFrame, k: Int): DataFrame = {
+    val wSrc = Window.partitionBy(col("src"))
+      .orderBy(col("cs").desc, col("dst"))
+    val hop2 = n.as("x")
+      .join(n.as("y"), col("x.dst") === col("y.src"))
+      .where(col("y.dst") =!= col("x.src"))
+      .select(col("x.src").as("src"), col("y.dst").as("dst"))
+    n.unionByName(hop2).distinct()
+      .join(vecs.select(col("id").as("src"), col("v").as("va")), Seq("src"))
+      .join(vecs.select(col("id").as("dst"), col("v").as("vb")), Seq("dst"))
+      .withColumn("cs", Similarity.cosine(col("va"), col("vb")))
+      .withColumn("rn", row_number().over(wSrc))
+      .where(col("rn") <= k)
+      .select(col("src"), col("dst"))
+  }
+
+  /** One NN-descent refinement round over the UNDIRECTED graph — the
+    * published algorithm's expansion (Dong et al. §2: the local join
+    * runs over N(v) ∪ R(v), forward and reverse neighbors): reverse
+    * every edge, expand 2-hop on the union, rescore exactly, keep
+    * top-k. Reverse edges are what make descent converge — a vector
+    * that APPEARS in many lists propagates its own list back to them.
+    * |cand| ≤ 4·N·k² rows; vectors move only through the rescoring
+    * join.
+    */
+  private def refineRoundUndirected(n: DataFrame, vecs: DataFrame,
+      k: Int): DataFrame = {
+    val wSrc = Window.partitionBy(col("src"))
+      .orderBy(col("cs").desc, col("dst"))
+    val und = n.unionByName(
+      n.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val hop2 = und.as("x")
+      .join(und.as("y"), col("x.dst") === col("y.src"))
+      .where(col("y.dst") =!= col("x.src"))
+      .select(col("x.src").as("src"), col("y.dst").as("dst"))
+    n.unionByName(hop2).distinct()
+      .join(vecs.select(col("id").as("src"), col("v").as("va")), Seq("src"))
+      .join(vecs.select(col("id").as("dst"), col("v").as("vb")), Seq("dst"))
+      .withColumn("cs", Similarity.cosine(col("va"), col("vb")))
+      .withColumn("rn", row_number().over(wSrc))
+      .where(col("rn") <= k)
+      .select(col("src"), col("dst"))
+  }
+
   /** One NN-DESCENT refinement round with a recall audit: seed a kNN
     * graph from IVF cell-mates (vectors in the same cell rank their
     * own cell's members — the cheap-but-myopic initialization: recall
     * is capped by whatever the cell boundary cut off), expand each
     * vector's candidates with its neighbors' neighbors, rescore
     * exactly, keep top-k. Reports recall@k against the exact
-    * brute-force leg for BOTH stages, so the result quantifies what
-    * one round of graph refinement buys over the raw IVF
-    * neighborhood — the measurement behind "how many rounds until the
-    * graph converges".
+    * brute-force leg for BOTH stages.
+    *
+    * CLOSURE PROPERTY (adjudicated round 19): with cell-confined
+    * seeding the forward 2-hop frontier is CLOSED — every neighbor is
+    * a cell-mate, so every neighbor's neighbor is too, and since the
+    * init graph is already the exact top-k within the cell, the
+    * refined graph is bit-identical to it (round1 ≡ init, verified on
+    * every corpus). The two stages therefore measure the IVF
+    * cell-boundary recall ceiling and CONFIRM it is a fixed point
+    * under same-cell refinement; they do not measure graph
+    * improvement. The operator that actually descends is
+    * [[nnDescentConverge]], whose ring init crosses cells by
+    * construction.
     *
     * Exact-leg contract (the d19 recall-audit protocol): the
     * brute-force leg is O(N·|sample|) and exists to GRADE the graph,
@@ -60,33 +136,10 @@ object GraphAnn {
         .select(col(idCol).as("id"), col(vecCol).as("v")))
     val assigned = Clustering.assignToSeeds(emb, vecCol, idCol, kCells)
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("cell"))
-    val wSrc = Window.partitionBy(col("src"))
-      .orderBy(col("cs").desc, col("dst"))
-    // init graph: top-k among cell-mates — the per-cell self-join is
-    // the semDedup pair shape (O(N²/kCells) rows, never corpus²)
+    // init graph + one refinement round (the shared kernels)
     val n0 = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
-      assigned.select(col("cell"), col("id").as("src"), col("v").as("va"))
-        .join(assigned.select(col("cell"), col("id").as("dst"),
-          col("v").as("vb")), Seq("cell"))
-        .where(col("src") =!= col("dst"))
-        .withColumn("cs", Similarity.cosine(col("va"), col("vb")))
-        .withColumn("rn", row_number().over(wSrc))
-        .where(col("rn") <= k)
-        .select(col("src"), col("dst")))
-    // one refinement round: forward 2-hop frontier ∪ current edges,
-    // rescored exactly, re-ranked
-    val hop2 = n0.as("x")
-      .join(n0.as("y"), col("x.dst") === col("y.src"))
-      .where(col("y.dst") =!= col("x.src"))
-      .select(col("x.src").as("src"), col("y.dst").as("dst"))
-    val cand = n0.unionByName(hop2).distinct()
-    val n1 = cand
-      .join(vecs.select(col("id").as("src"), col("v").as("va")), Seq("src"))
-      .join(vecs.select(col("id").as("dst"), col("v").as("vb")), Seq("dst"))
-      .withColumn("cs", Similarity.cosine(col("va"), col("vb")))
-      .withColumn("rn", row_number().over(wSrc))
-      .where(col("rn") <= k)
-      .select(col("src"), col("dst"))
+      initGraph(assigned, k))
+    val n1 = refineRound(n0, vecs, k)
     // exact audit leg (the shared [[Similarity.exactTopKSelf]] shape):
     // self excluded, queries restricted to the audit sample
     val exact = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
@@ -113,5 +166,126 @@ object GraphAnn {
         round(col("n_hits").cast("double") /
           col("n_possible").cast("double"), 6).as("recall"))
     leg("init", n0).unionByName(leg("round1", n1))
+  }
+
+  /** NN-DESCENT TO CONVERGENCE — the actual HNSW-class build loop
+    * (Dong et al. WWW'11, terminate on no improvement): from a
+    * geometry-BLIND ring init, iterate [[refineRoundUndirected]]
+    * until the audited recall@k gain drops below `epsilon` or
+    * `maxRounds` is hit, reporting one row per EXECUTED stage — the
+    * emitted row count IS the rounds-to-converge measurement. The
+    * round exhibiting the sub-ε gain is itself reported (it ran —
+    * that observation is the termination evidence).
+    *
+    * Why not the IVF-cellmate seed of [[nnDescentRecallAudit]]: that
+    * init is a FIXED POINT under 2-hop refinement (see the closure
+    * note there) — descent needs initial edges that cross the
+    * geometry, which is what Dong's random init provides. The
+    * deterministic stand-in: each vector's k initial neighbors are
+    * the vectors at id offsets +1..+k (mod N) — arbitrary w.r.t.
+    * geometry, engine-portable, and every refinement round then
+    * genuinely climbs. Requires a DENSE id column (checked loudly);
+    * the embeddings tables carry one by construction.
+    *
+    * Sampled-audit contract (the d19 protocol, here as the DECLARED
+    * shape — the serving contract a copy-paste user should run):
+    * `auditMod` restricts the recall audit to ids ≡ 0 (mod auditMod);
+    * the graph builds on EVERYTHING while the exact leg stays
+    * O(N·|sample|). Every counter restricts to the same sample.
+    *
+    * Spark shape: the per-round edge frames are cached hand-over-hand
+    * (round r materializes via its own audit action, then round r−1
+    * is released); the loop's driver-side state is five scalars per
+    * round — never data. The convergence decision compares the
+    * ROUND-6 recalls both engines compute identically, so the stop
+    * round is oracle-replayable.
+    *
+    * @return one row per executed stage: (round_no 0=init, n_queries,
+    *         n_edges, n_hits, n_possible, recall, gain, converged) —
+    *         gain at round 0 is the recall itself (gain over the
+    *         empty graph); converged=1 only on a sub-ε round.
+    */
+  def nnDescentConverge(emb: DataFrame, vecCol: String, idCol: String,
+      k: Int, auditMod: Long = 1L, epsilon: Double = 0.001,
+      maxRounds: Int = 6): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(auditMod >= 1L, s"auditMod must be >= 1, got $auditMod")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    require(epsilon >= 0.0, s"epsilon must be >= 0, got $epsilon")
+    val spark = emb.sparkSession
+    val vecs = graft.ops.ScaleOps.fanOut(emb)
+      .select(col(idCol).as("id"), col(vecCol).as("v")).cache()
+    val exact = Similarity.exactTopKSelf(emb, vecCol, idCol,
+      vecs.where(col("id") % lit(auditMod) === 0L)
+        .select(col("id").as("src"), col("v").as("qv")), k).cache()
+    val tot = exact.agg(countDistinct(col("src")).as("q"),
+      count(lit(1)).as("p")).collect()(0)
+    val (nQueries, nPossible) = (tot.getLong(0), tot.getLong(1))
+    // per-stage audit counters — the ONLY actions in the loop, each a
+    // 1-row collect (materializes the round's cached edge frame too)
+    def counters(nbrs: DataFrame): (Long, Long) = {
+      val r = nbrs.where(col("src") % lit(auditMod) === 0L)
+        .join(exact.withColumn("__hit", lit(1L)), Seq("src", "dst"), "left")
+        .agg(count(lit(1)).as("e"),
+          coalesce(sum(coalesce(col("__hit"), lit(0L))), lit(0L)).as("h"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    // Spark's round(x, 6): BigDecimal.valueOf + HALF_UP — use the
+    // same call so the stop decision replays on any engine
+    def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def rec6(h: Long): Double =
+      if (nPossible == 0L) 0.0
+      else round6(h.toDouble / nPossible.toDouble)
+    // ring init over dense ids: offsets +1..+k (mod N) — one 1-row
+    // meta collect + a map-only explode, no shuffle
+    val meta = vecs.agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
+      max(col("id")).as("mx")).collect()(0)
+    val (n, mn, mx) = (meta.getLong(0), meta.getLong(1), meta.getLong(2))
+    require(n > 0, "cannot build a graph over an empty corpus")
+    require(mx - mn + 1L == n,
+      s"ring init needs a dense id column: ids span [$mn,$mx] but count is $n")
+    val ring = vecs.select(col("id").as("src"))
+      .select(col("src"),
+        explode(sequence(lit(1), lit(math.min(k.toLong, n - 1L)))).as("j"))
+      .select(col("src"),
+        (((col("src") - lit(mn)) + col("j")) % lit(n) + lit(mn)).as("dst"))
+      .where(col("dst") =!= col("src"))
+      .distinct()
+    // each round feeds the next through a FLAT LogicalRDD view over
+    // its cached RDD (the closure loop's pattern, Dedup.scala): the
+    // refine step references its input ~5×, so a naive loop's
+    // ANALYZED plan grows 5^rounds and the plan string alone OOMs the
+    // driver. The flat view keeps the logical plan one step deep; a
+    // lost cache block still recomputes through the physical lineage.
+    def flat(ds: DataFrame): DataFrame =
+      spark.createDataFrame(ds.asInstanceOf[
+        org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]].rdd,
+        ds.schema)
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Double, Double, Long)]
+    var cur = ring.cache()
+    val (e0, h0) = counters(cur) // materializes cur before flat reads it
+    var prevRecall = rec6(h0)
+    buf += ((0L, nQueries, e0, h0, nPossible, prevRecall, prevRecall, 0L))
+    var r = 1
+    var stopped = false
+    while (r <= maxRounds && !stopped) {
+      val next = refineRoundUndirected(flat(cur), vecs, k).cache()
+      val (er, hr) = counters(next)
+      val rec = rec6(hr)
+      val gain = round6(rec - prevRecall)
+      val conv = if (gain < epsilon) 1L else 0L
+      buf += ((r.toLong, nQueries, er, hr, nPossible, rec, gain, conv))
+      cur.unpersist()
+      cur = next
+      prevRecall = rec
+      stopped = conv == 1L
+      r += 1
+    }
+    cur.unpersist(); vecs.unpersist(); exact.unpersist()
+    spark.createDataFrame(buf.toSeq).toDF("round_no", "n_queries",
+      "n_edges", "n_hits", "n_possible", "recall", "gain", "converged")
   }
 }

@@ -2415,6 +2415,31 @@ object Multimodal {
     * work ~20×. Per-bucket work is (|bucket|²)/2 on 3-column rows;
     * hot buckets remain observable in shuffle metrics.
     */
+  /** LSH band explosion for 64-bit perceptual hashes: adds (band,
+    * key) rows — nBands per input row — keeping every input column.
+    * Pigeonhole-lossless for hamming ≤ nBands−1: at least one band
+    * must match exactly. Factored from [[phashDupPairs]] so the
+    * incremental release's CROSS-frame join (corpus bands vs
+    * broadcast batch bands) rides the identical keys.
+    */
+  private def withHashBands(df: DataFrame, nBands: Int): DataFrame = {
+    val w = 64 / nBands
+    // bit 63 never carries sign weight here: both halves are 32-bit
+    // non-negative, and the band keys come off unsigned shifts
+    val full = shiftleft(col("ahash_lo"), 32).bitwiseOR(col("ahash_hi"))
+    val bands = (0 until nBands).map { j =>
+      val shifted = shiftrightunsigned(full, j * w)
+      val key = // top band keeps every remaining bit (64 may not divide evenly)
+        if (j == nBands - 1) shifted
+        else shifted.bitwiseAND(lit((1L << w) - 1))
+      struct(lit(j).as("band"), key.as("key"))
+    }
+    df.withColumn("__b", explode(array(bands: _*)))
+      .withColumn("band", col("__b.band"))
+      .withColumn("key", col("__b.key"))
+      .drop("__b")
+  }
+
   def phashDupPairs(hashes: DataFrame, maxHamming: Int = 7,
       idCol: String = "sample_id"): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
@@ -2427,23 +2452,7 @@ object Multimodal {
     // small; scope-released after the first consuming execution.
     val slim = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
       hashes.select(col(idCol), col("ahash_hi"), col("ahash_lo")))
-    val nBands = maxHamming + 1
-    val w = 64 / nBands
-    // bit 63 never carries sign weight here: both halves are 32-bit
-    // non-negative, and the band keys come off unsigned shifts
-    val full = shiftleft(col("ahash_lo"), 32).bitwiseOR(col("ahash_hi"))
-    val bands = (0 until nBands).map { j =>
-      val shifted = shiftrightunsigned(full, j * w)
-      val key = // top band keeps every remaining bit (64 may not divide evenly)
-        if (j == nBands - 1) shifted
-        else shifted.bitwiseAND(lit((1L << w) - 1))
-      struct(lit(j).as("band"), key.as("key"))
-    }
-    val exploded = slim
-      .select(col(idCol), col("ahash_hi"), col("ahash_lo"),
-        explode(array(bands: _*)).as("b"))
-      .select(col(idCol), col("ahash_hi"), col("ahash_lo"),
-        col("b.band").as("band"), col("b.key").as("key"))
+    val exploded = withHashBands(slim, maxHamming + 1)
     val popcnt = (c: org.apache.spark.sql.Column) =>
       call_function("bit_count", c).cast("long")
     exploded.as("a")

@@ -645,6 +645,27 @@ object ScaleSmoke {
         graft.pipeline.GraphAnn.nnDescentRecallAudit(emb, "embedding",
           "vec_id", kCells = semK, k = 5, auditMod = am)
           .collect().length.toLong }
+      // ring init is map-only; each round is edge-keyed self-joins +
+      // one rescoring join (≤4·N·k² candidate rows) — rounds capped
+      // at 2 so the smoke measures PER-ROUND growth, not corpus-
+      // dependent round counts; exact leg sampled like s41
+      time("s45 nnDescentConverge (2 rounds)") {
+        val am = math.max(1L, emb.count() / 500L)
+        graft.pipeline.GraphAnn.nnDescentConverge(emb, "embedding",
+          "vec_id", k = 5, auditMod = am, epsilon = 0.0, maxRounds = 2)
+          .collect().length.toLong }
+      // ONE shared assignment scan feeds all four verdict legs; the
+      // over-fetch scoring is queries×corpus (3 queries), the rest
+      // are k-row / |bits|-row rollups
+      time("s46 indexMaintenanceRun") {
+        graft.pipeline.Clustering.indexMaintenanceRun(
+          emb.where(col("vec_id") % 7 =!= 6), emb.where(col("vec_id") % 7 === 6),
+          "embedding", "vec_id", k = 8,
+          emb.where(col("vec_id") % 9 === 5).select(col("vec_id")),
+          "vec_id", minLiveFrac = 0.89, maxImbalance = 1.5, maxNewFrac = 0.3,
+          queryIds = Seq(1L, 2L, 3L), kq = 10, fetchFactor = 2,
+          lo = -2.0, hi = 2.0, targetMse = 0.001)
+          .collect().length.toLong }
       // one phash decode pass + banded image pairs + list-local
       // caption pairs + a pair-keyed full-outer join
       time("m29 crossModalDupAudit") {

@@ -249,7 +249,16 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     "s42_adc_sdc_compare", "s43_overfetch_deletes",
     // s44 composes the s34 assignment + the s31 probe-ranking class
     // with a cumulative-count cut + integer rollups
-    "s44_adaptive_nprobe")
+    "s44_adaptive_nprobe",
+    // s45 is integer counters + contract-rounded exact divisions; the
+    // ring init and the per-round stop decision must replay on
+    // arbitrary vectors (the loop may cut at a different round per
+    // corpus — both engines must cut at the SAME one)
+    "s45_nn_descent_converge",
+    // s46 composes the s35/s39/s40/s43 verdict arithmetic over one
+    // shared scan — every manifest cell is an integer, a
+    // contract-rounded division, or a CASE verdict
+    "s46_index_maintenance_run")
 
   /** Canonical cell stringification: array columns print as
     * "[a, b, ...]" on BOTH sides (Spark rows yield Scala Seqs,

@@ -747,6 +747,17 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected the broadcast scalar join shape:\n$plan")
   }
 
+  test("s46 maintenance run: all four verdict legs read the ONE shared assignment cache") {
+    val df = SparkEntry.queries("s46_index_maintenance_run")(spark, sf)
+    val plan = planOf(df)
+    val inMem = plan.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(inMem >= 3,
+      s"expected the rebuild/compaction/bits/overfetch legs to consume the " +
+        s"shared scan's cache (>=3 InMemoryTableScans), got $inMem:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the scoring/scalar joins must broadcast, never cartesian:\n$plan")
+  }
+
   test("t57 quality-decile report: score is scan-stage; text never shuffles") {
     val plan = planOf(SparkEntry.queries("t57_quality_dedup_report")(spark, sf))
     assert(plan.linesIterator.filter(_.contains("Exchange"))
