@@ -8257,6 +8257,116 @@ object SparkEntry {
           col("source").asc_nulls_last)
     })
 
+  // INCREMENTAL paired-corpus release — the d35/t65 move for m30: a
+  // new image-text batch (the re-captioned and re-rendered legs of
+  // every third doc) admits against the standing released corpus (the
+  // base leg): corpus image near-dups drop first, corpus caption dups
+  // second, then the within-batch m30 stages. Corpus scans once per
+  // modality with the batch sides broadcast; stage counts sum to the
+  // batch. Oracle replays the phash lattice over corpus ∪ batch, both
+  // cross legs, the batch-restricted closure, and every rollup.
+  private val m31 = Q("m31_incremental_paired_release", Some("""
+    WITH RECURSIVE base AS (SELECT doc_id, text, source FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) > 0
+        AND octet_length(CAST(text AS BLOB)) = length(text)),
+    corp AS (SELECT doc_id AS sample_id, text AS img, text AS cap, source
+      FROM base WHERE doc_id % 2 = 0),
+    bat AS (SELECT doc_id + 100000 AS sample_id, text || 'x' AS img,
+        text || 'x' AS cap, source FROM base WHERE doc_id % 3 = 0
+      UNION ALL SELECT doc_id + 200000, reverse(text), text, source
+        FROM base WHERE doc_id % 3 = 0
+      UNION ALL SELECT doc_id + 300000, upper(reverse(text)), text, source
+        FROM base WHERE doc_id % 3 = 0),
+    rel AS (SELECT * FROM corp UNION ALL SELECT * FROM bat),
+    d AS (SELECT sample_id,
+        octet_length(CAST(img AS BLOB)) AS nb,
+        (octet_length(CAST(img AS BLOB)) + 9) // 10 AS h,
+        string_split(img, '') AS cs
+      FROM rel),
+    g AS (SELECT sample_id, h, nb, cs, r * 8 + c AS i,
+        ((r * h) // 8) * 10 + (c * 10) // 8 AS idx
+      FROM d, UNNEST(generate_series(0, 7)) AS gr(r),
+             UNNEST(generate_series(0, 7)) AS gc(c)),
+    v AS (SELECT sample_id, i,
+        CASE WHEN idx < nb THEN ord(cs[CAST(idx + 1 AS BIGINT)]) ELSE 0 END AS val
+      FROM g),
+    m AS (SELECT sample_id, CAST(SUM(val) AS DOUBLE) / 64.0 AS mean FROM v GROUP BY sample_id),
+    ah AS (SELECT v.sample_id,
+        CAST(SUM(CASE WHEN v.val > m.mean AND v.i < 32 THEN (CAST(1 AS BIGINT) << v.i) ELSE 0 END) AS BIGINT) AS hi,
+        CAST(SUM(CASE WHEN v.val > m.mean AND v.i >= 32 THEN (CAST(1 AS BIGINT) << (v.i - 32)) ELSE 0 END) AS BIGINT) AS lo
+      FROM v JOIN m USING (sample_id) GROUP BY v.sample_id),
+    bah AS (SELECT * FROM ah WHERE sample_id >= 100000),
+    cah AS (SELECT * FROM ah WHERE sample_id < 100000),
+    imghit AS (SELECT DISTINCT b.sample_id FROM bah b JOIN cah c
+      ON bit_count(xor(b.hi, c.hi)) + bit_count(xor(b.lo, c.lo)) <= 3),
+    s1 AS (SELECT * FROM bat
+      WHERE sample_id NOT IN (SELECT sample_id FROM imghit)),
+    caphit AS (SELECT DISTINCT s.sample_id FROM s1 s
+      JOIN corp c ON c.cap = s.cap),
+    s2 AS (SELECT * FROM s1
+      WHERE sample_id NOT IN (SELECT sample_id FROM caphit)),
+    bah2 AS (SELECT a.* FROM bah a JOIN s2 ON s2.sample_id = a.sample_id),
+    prs AS (SELECT id_a, id_b FROM (
+      SELECT a.sample_id AS id_a, b.sample_id AS id_b,
+        CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+      FROM bah2 a JOIN bah2 b ON a.sample_id < b.sample_id)
+      WHERE hamming <= 3),
+    sym AS (SELECT id_a AS u, id_b AS v FROM prs UNION SELECT id_b, id_a FROM prs),
+    reach(u, v) AS (SELECT u, v FROM sym
+                    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    comp AS (SELECT u AS sample_id, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u),
+    imgdrop AS (SELECT sample_id FROM comp WHERE sample_id <> rep),
+    rem AS (SELECT sample_id, cap, source FROM s2
+      WHERE sample_id NOT IN (SELECT sample_id FROM imgdrop)),
+    wk AS (SELECT sample_id, source,
+        MIN(sample_id) OVER (PARTITION BY cap) AS keep FROM rem),
+    adm AS (SELECT 'admitted' AS stage, sample_id, source,
+        CAST(NULL AS BIGINT) AS n FROM wk WHERE sample_id = keep),
+    counts AS (
+      SELECT 'input' AS stage, CAST(NULL AS BIGINT) AS sample_id,
+        CAST(NULL AS VARCHAR) AS source, CAST(COUNT(*) AS BIGINT) AS n FROM bat
+      UNION ALL SELECT 'corpus_image_dup', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        CAST(COUNT(*) AS BIGINT) FROM imghit
+      UNION ALL SELECT 'corpus_caption_dup', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        CAST(COUNT(*) AS BIGINT) FROM caphit
+      UNION ALL SELECT 'batch_image_pairs', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        CAST(COUNT(*) AS BIGINT) FROM prs
+      UNION ALL SELECT 'batch_image_clusters', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        CAST(COUNT(DISTINCT rep) AS BIGINT) FROM comp
+      UNION ALL SELECT 'dropped_image', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        CAST(COUNT(*) AS BIGINT) FROM imgdrop
+      UNION ALL SELECT 'dropped_caption', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        CAST(COUNT(*) AS BIGINT) FROM wk WHERE sample_id <> keep),
+    bysrc AS (SELECT 'admitted_source' AS stage, CAST(NULL AS BIGINT) AS sample_id,
+        source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM wk WHERE sample_id = keep GROUP BY source)
+    SELECT stage, sample_id, source, n FROM adm
+    UNION ALL SELECT stage, sample_id, source, n FROM counts
+    UNION ALL SELECT stage, sample_id, source, n FROM bysrc
+    ORDER BY stage, sample_id, source"""),
+    (s, dir) => {
+      val base = T(s, dir, "documents").where(octet_length(col("text")) > 0 &&
+          octet_length(col("text")) === length(col("text")))
+        .select(col("doc_id"), col("text"), col("source"))
+      val corpus = base.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("sample_id"),
+          col("text").as("img_text"), col("text").as("caption"), col("source"))
+      val third = base.where(col("doc_id") % 3 === 0)
+      val batch = third.select((col("doc_id") + 100000).as("sample_id"),
+          concat(col("text"), lit("x")).as("img_text"),
+          concat(col("text"), lit("x")).as("caption"), col("source"))
+        .unionByName(third.select((col("doc_id") + 200000).as("sample_id"),
+          reverse(col("text")).as("img_text"), col("text").as("caption"),
+          col("source")))
+        .unionByName(third.select((col("doc_id") + 300000).as("sample_id"),
+          upper(reverse(col("text"))).as("img_text"), col("text").as("caption"),
+          col("source")))
+      Multimodal.incrementalPairedRelease(corpus, batch, "sample_id",
+          "img_text", "caption", "source", maxHamming = 3, width = 10)
+        .orderBy(col("stage"), col("sample_id").asc_nulls_last,
+          col("source").asc_nulls_last)
+    })
+
   // OVER-FETCH under tombstones: the s40 serving-side companion — a
   // tombstoning index filters deleted ids AFTER retrieval, so plain
   // fetch-k silently loses recall; over-fetch (2k, filter, truncate)
@@ -8722,7 +8832,7 @@ object SparkEntry {
     t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45,
     t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69,
     m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14,
-    m15, m16, m17, m18, m19, m20, m21, m22, m23, m24, m25, m26, m27, m28, m29, m30)
+    m15, m16, m17, m18, m19, m20, m21, m22, m23, m24, m25, m26, m27, m28, m29, m30, m31)
 
   private def registerViews(s: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))

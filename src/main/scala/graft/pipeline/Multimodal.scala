@@ -1359,6 +1359,135 @@ object Multimodal {
     admittedRows.unionAll(counts).unionAll(bySource)
   }
 
+  /** INCREMENTAL paired-corpus release — the d35/t65 move for
+    * [[pairedReleaseRun]]: admit a new image-text BATCH against a
+    * standing released corpus (the multimodal daily-ingest job). The
+    * corpus already shipped, so it is never deduped again and its
+    * rows never pair with each other — its two projections stream
+    * ONCE each against the broadcast batch sides:
+    *
+    *  1. corpus image near-dups: corpus phash bands (one decode pass,
+    *     never cached, never self-joined) join the BROADCAST batch
+    *     bands — a batch sample within `maxHamming` of ANY released
+    *     image drops (`corpus_image_dup`).
+    *  2. corpus caption dups: corpus caption digests stream against
+    *     the broadcast survivor digests (`corpus_caption_dup`).
+    *  3. the remainder dedups WITHIN the batch exactly like the full
+    *     run: image clusters first (min-id rep kept,
+    *     `dropped_image`), exact captions second (`dropped_caption`)
+    *     — m30's attribution order is contract.
+    *
+    * Stage counts sum exactly to the batch: input = corpus_image_dup
+    * + corpus_caption_dup + dropped_image + dropped_caption +
+    * admitted (spec-reconciled).
+    *
+    * Scale shape: the batch (small by definition — a day's ingest) is
+    * the only cached side; corpus work is two scan-stage projections
+    * (phash decode, caption md5) whose payloads never cross an
+    * exchange; the banded cross join is pigeonhole-LOSSLESS at
+    * hamming ≤ maxHamming (the [[withHashBands]] contract) and
+    * broadcasts the batch bands; the only closure is batch-sized
+    * (materialized fully before the eager probe — the m22/d34 cache
+    * discipline).
+    *
+    * @return (stage, sample_id, source, n): `admitted` rows (n null),
+    *         audit counts (`input`, `corpus_image_dup`,
+    *         `corpus_caption_dup`, `batch_image_pairs`,
+    *         `batch_image_clusters`, `dropped_image`,
+    *         `dropped_caption`), and per-source `admitted_source`
+    *         rows
+    */
+  def incrementalPairedRelease(corpus: DataFrame, batch: DataFrame,
+      idCol: String, imgTextCol: String, captionCol: String,
+      srcCol: String, maxHamming: Int = 3, width: Int = 10): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming must be in [0,7], got $maxHamming")
+    val spark = batch.sparkSession
+    val popcnt = (c: org.apache.spark.sql.Column) =>
+      call_function("bit_count", c).cast("long")
+    val bslim = batch.select(col(idCol).cast("long").as("sample_id"),
+      col(imgTextCol).as("__img"), col(captionCol).as("__cap"),
+      col(srcCol).cast("string").as("source")).cache()
+    val nBatch = bslim.count()
+    // batch phashes: tiny (id + two longs), cached for the cross leg
+    // AND the within-batch pair pass
+    val bhash = perceptualHash(textAsBmp(
+        bslim.select(col("sample_id"), col("__img")), "sample_id", "__img",
+        width)).toDF()
+      .select(col("sample_id"), col("ahash_hi"), col("ahash_lo")).cache()
+    bhash.count(): Unit
+    // corpus pass 1 (image leg): decode + band in the scan stage, the
+    // batch bands broadcast onto it
+    val chash = perceptualHash(textAsBmp(
+        corpus.select(col(idCol).cast("long").as("sample_id"),
+          col(imgTextCol).as("__img")), "sample_id", "__img", width)).toDF()
+      .select(col("ahash_hi"), col("ahash_lo"))
+    val imgHit = withHashBands(chash, maxHamming + 1).as("c")
+      .join(broadcast(withHashBands(bhash, maxHamming + 1).as("b")),
+        col("c.band") === col("b.band") && col("c.key") === col("b.key"))
+      .where(popcnt(col("c.ahash_hi").bitwiseXOR(col("b.ahash_hi"))) +
+        popcnt(col("c.ahash_lo").bitwiseXOR(col("b.ahash_lo")))
+          <= maxHamming)
+      .select(col("b.sample_id")).distinct().cache()
+    val nImgHit = imgHit.count()
+    val surv1 = bslim.join(imgHit, Seq("sample_id"), "left_anti")
+    // corpus pass 2 (caption leg): digests stream against the
+    // broadcast survivor digests
+    val capHit = corpus.select(md5(col(captionCol)).as("fp"))
+      .join(broadcast(surv1.select(col("sample_id"),
+        md5(col("__cap")).as("fp"))), Seq("fp"))
+      .select(col("sample_id")).distinct().cache()
+    val nCapHit = capHit.count()
+    val surv2 = bslim.join(imgHit, Seq("sample_id"), "left_anti")
+      .join(capHit, Seq("sample_id"), "left_anti")
+      .select(col("sample_id"), col("__cap"), col("source"))
+    // within-batch image dedup over the survivors: pairs materialized
+    // FULLY before the eager closure probe (the m22 discipline)
+    val pairs = phashDupPairs(
+        bhash.join(surv2.select(col("sample_id")), Seq("sample_id")),
+        maxHamming)
+      .select(col("id_a"), col("id_b")).cache()
+    val (nPairs, comp) =
+      try { (pairs.count(), graft.pipeline.Dedup.connectedComponents(pairs)) }
+      finally pairs.unpersist()
+    val imgDropped = comp.where(col("id") =!= col("component"))
+      .select(col("id").as("sample_id"))
+    val remainder = surv2.join(imgDropped, Seq("sample_id"), "left_anti")
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val withKeep = remainder
+      .select(col("sample_id"), col("source"), md5(col("__cap")).as("fp"))
+      .withColumn("__keep", min(col("sample_id")).over(wFp))
+    val admitted = withKeep.where(col("sample_id") === col("__keep"))
+    // ids-only caches released after the caller's single execution
+    org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUseExisting(bslim)
+    org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUseExisting(bhash)
+    org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUseExisting(imgHit)
+    org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUseExisting(capHit)
+    def c1(stage: String, n: Long) = spark.range(1).select(
+      lit(stage).as("stage"), lit(null).cast("long").as("sample_id"),
+      lit(null).cast("string").as("source"), lit(n).as("n"))
+    def cAgg(stage: String, df: DataFrame, agg: Column) = df.agg(agg.as("c"))
+      .select(lit(stage).as("stage"), lit(null).cast("long").as("sample_id"),
+        lit(null).cast("string").as("source"), col("c").cast("long").as("n"))
+    val admittedRows = admitted.select(lit("admitted").as("stage"),
+      col("sample_id"), col("source"), lit(null).cast("long").as("n"))
+    val counts = c1("input", nBatch)
+      .unionAll(c1("corpus_image_dup", nImgHit))
+      .unionAll(c1("corpus_caption_dup", nCapHit))
+      .unionAll(c1("batch_image_pairs", nPairs))
+      .unionAll(cAgg("batch_image_clusters", comp,
+        countDistinct(col("component"))))
+      .unionAll(cAgg("dropped_image", imgDropped, count(lit(1))))
+      .unionAll(cAgg("dropped_caption",
+        withKeep.where(col("sample_id") =!= col("__keep")), count(lit(1))))
+    val bySource = admitted.groupBy(col("source"))
+      .agg(count(lit(1)).as("c"))
+      .select(lit("admitted_source").as("stage"),
+        lit(null).cast("long").as("sample_id"), col("source"),
+        col("c").cast("long").as("n"))
+    admittedRows.unionAll(counts).unionAll(bySource)
+  }
+
   /** Audio dup CLUSTERS — [[audioFingerprintDupPairs]] closed
     * transitively (the d06 move for the audio family): each clip's
     * cluster representative (min id) and cluster size, the frame an

@@ -179,6 +179,7 @@ object ExplainDump {
       "s44_adaptive_nprobe" -> "adaptive nprobe: one scope-cached assignment scan feeds the k-row cell histogram AND the candidate join; the probe cut is a cumulative window over |queries|x k ranked-cell rows; candidate scoring is confined to probed cells",
       "s45_nn_descent_converge" -> "NN-descent to convergence: geometry-blind ring init (map-only explode over dense ids), per-round undirected 2-hop expansion rescored via one vector join (<=4Nk^2 candidate rows), hand-over-hand round caches fed through flat LogicalRDD views so the analyzed plan stays one round deep; sampled exact audit leg (auditMod)",
       "s46_index_maintenance_run" -> "index-maintenance run: ONE scope-cached assignment scan of old UNION new (origin + dead flags via ids-only join) feeds the rebuild histogram, the compaction rollup, the live-corpus bits sweep, AND the over-fetch scoring legs (s43's factored windows); every rollup is k-row / |bits|-row / 2-row — PlanQualitySpec pins >=3 InMemoryTableScans of the shared cache",
+      "m31_incremental_paired_release" -> "incremental paired release: the corpus is NEVER self-joined or cached — its phash bands and caption digests each stream once against the BROADCAST batch sides (pigeonhole-lossless banding); the only closure is batch-sized; payloads never cross an exchange",
       "t69_repeat_epoch_plan" -> "repeat-epoch plan: ONE partial-aggregated corpus scan to |sources| rows (token sums + DECIMAL quality means); the greedy is a global sort of |sources|x maxEpochs candidate-epoch rows + one cumulative-cost window — k-row state, not corpus sorts",
     )
     val sb = new StringBuilder
@@ -273,6 +274,20 @@ Isolated 5-rep at sf0.1: 3.1/3.4 min/median s; 10× smoke 4.3 → 7.3 s
 1.168), 4 of 8 cells compact, sq_bits=6 met, overfetch chosen at
 recall 1.0 vs fetch-k's 0.867 — a manifest a nightly would actually
 act on.
+
+**m31 (incremental paired release)** is the d35/t65 admission move for
+m30: corpus phash bands and caption digests each stream once against
+the broadcast batch; the first declared split dropped EVERYTHING at
+the corpus legs (zero within-batch work — the s41 lesson re-applied to
+a composition), so the declared corpus is the even-doc half and the
+batch carries three legs; all five drop stages now fire at sf0.01
+(input 501 = 82 image + 168 caption + 1 batch-image + 82
+batch-caption + 168 admitted, hash-matched). Fixture lesson pinned in
+Round19Spec: reverse/case/prefix transforms do NOT make images
+distinct under phash — distinctness needs different energy quadrants.
+Isolated 5-rep at sf0.1: 3.9/4.2 min/median s; 10× smoke 4.6 → 11.5 s
+(the batch itself grows 10× in the replica construction — batch-bound
+like d35).
 
 ## Round-18 operator notes (d40 / s40-s44 / t66-t69 / m29 / m30)
 

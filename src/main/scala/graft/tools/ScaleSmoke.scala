@@ -711,6 +711,25 @@ object ScaleSmoke {
             "img_text", "caption", "source")
           .groupBy(col("stage")).agg(count(lit(1)))
           .collect().length.toLong }
+      // corpus scans once per modality (phash bands, caption digests)
+      // with the batch sides BROADCAST; the only closure is batch-sized
+      time("m31 incrementalPairedRelease") {
+        val corpus = asciiDocs.select(col("doc_id").as("sample_id"),
+          col("text").as("img_text"), col("text").as("caption"),
+          col("source"))
+        val third = asciiDocs.where(col("doc_id") % 3 === 0)
+        val batch = third.select(
+            (col("doc_id") + 10000000L).as("sample_id"),
+            concat(col("text"), lit("x")).as("img_text"),
+            concat(col("text"), lit("x")).as("caption"), col("source"))
+          .unionByName(third.select(
+            (col("doc_id") + 20000000L).as("sample_id"),
+            reverse(col("text")).as("img_text"), col("text").as("caption"),
+            col("source")))
+        graft.pipeline.Multimodal.incrementalPairedRelease(corpus, batch,
+            "sample_id", "img_text", "caption", "source")
+          .groupBy(col("stage")).agg(count(lit(1)))
+          .collect().length.toLong }
       // ONE scored scan (query batch broadcast) feeds all three rank
       // windows; the dead flag is an ids-only join
       time("s43 overfetchDeletes") {

@@ -156,6 +156,9 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     // the m23 closure class with an md5-keyed min window — ids and
     // counts only
     "t67_fuzzy_decontamination", "m30_paired_release_run",
+    // m31 is m30's class split across a corpus/batch admission — the
+    // cross legs and the batch-restricted closure must replay
+    "m31_incremental_paired_release",
     // t68's KS is exact-integer ECDF gaps over the round-6 DECIMAL
     // score (fixed expression per distinct value) + DECIMAL-exact
     // mean sums — the t43 class; t69 is integer token sums + DECIMAL

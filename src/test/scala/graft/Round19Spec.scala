@@ -202,6 +202,92 @@ class Round19Spec extends AnyFunSuite {
     assert(run.find(_.getString(4) == "chosen").get.getString(1) == "fetch_k")
   }
 
+  // ---------------- m31 incremental paired release ----------------
+
+  // synthetic "images": 80-char ASCII strings with 'z' blocks in
+  // chosen quadrants — distinct block SETS differ in ≥16 phash bits
+  // (each block drives 16 lattice cells), while a one-char edit
+  // inside a block stays within 3 bits. Transforms that preserve the
+  // byte-energy layout (reverse, case flips, one-char prefixes) do
+  // NOT make images distinct under phash — learned debugging this
+  // very fixture.
+  private def img(blocks: Int*): String = {
+    val chars = Array.fill(80)('a')
+    blocks.foreach(b => (b * 20 until b * 20 + 20).foreach(i => chars(i) = 'z'))
+    new String(chars)
+  }
+  private def tweak(s: String): String = s.substring(0, 79) + "b"
+
+  private def m31Fixture = {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, img(0), "capA", "web"),
+      (2L, img(1), "capB", "web"))
+      .toDF("sample_id", "img_text", "caption", "source")
+    val batch = Seq(
+      // near-dup of corpus image 1 — and its caption is ALSO in the
+      // corpus: attribution order must charge the IMAGE stage
+      (10L, tweak(img(0)), "capA", "web"),
+      // image far from everything, caption already released
+      (11L, img(2), "capB", "web"),
+      // batch-internal image dup pair: 12 keeps (min id), 13 drops
+      (12L, img(3), "c12", "web"),
+      (13L, img(3), "c13", "blog"),
+      // batch-internal caption dup, images far apart: 14 keeps
+      (14L, img(2, 3), "c14", "web"),
+      (15L, img(0, 2), "c14", "blog"),
+      // clean
+      (16L, img(1, 3), "c16", "web"))
+      .toDF("sample_id", "img_text", "caption", "source")
+    (corpus, batch)
+  }
+
+  test("m31: stage sums reconcile, attribution order charges corpus-image first") {
+    import graft.pipeline.Multimodal
+    val (corpus, batch) = m31Fixture
+    val out = Multimodal.incrementalPairedRelease(corpus, batch,
+      "sample_id", "img_text", "caption", "source").collect()
+    def n(stage: String) = out.find(_.getString(0) == stage).get.getLong(3)
+    val admitted = out.filter(_.getString(0) == "admitted")
+      .map(_.getLong(1)).toSet
+    assert(n("input") == 7L)
+    assert(n("corpus_image_dup") == 1L, "sample 10 drops at the IMAGE leg")
+    assert(n("corpus_caption_dup") == 1L, "sample 11 drops at the caption leg")
+    assert(n("batch_image_pairs") == 1L && n("dropped_image") == 1L,
+      "the 12/13 pair keeps min id")
+    assert(n("dropped_caption") == 1L, "15 loses the caption group to 14")
+    assert(admitted == Set(12L, 14L, 16L), s"got $admitted")
+    // conservation: every batch row lands in exactly one bucket
+    assert(n("corpus_image_dup") + n("corpus_caption_dup") +
+      n("dropped_image") + n("dropped_caption") + admitted.size == n("input"))
+    // the corpus is immutable: no corpus id ever appears in the output
+    assert(!out.exists(r => !r.isNullAt(1) && r.getLong(1) < 10L))
+    // per-source rollup covers the admitted set
+    assert(out.filter(_.getString(0) == "admitted_source")
+      .map(_.getLong(3)).sum == admitted.size)
+  }
+
+  test("m31 equals the full m30 release restricted to the batch (chain-free corpus)") {
+    import graft.pipeline.Multimodal
+    val (corpus, batch) = m31Fixture
+    val incr = Multimodal.incrementalPairedRelease(corpus, batch,
+        "sample_id", "img_text", "caption", "source")
+      .collect().filter(_.getString(0) == "admitted").map(_.getLong(1)).toSet
+    // full run over corpus ∪ batch: corpus ids are smaller, so full-run
+    // reps/caption-keeps always prefer the released row — batch
+    // admission decisions coincide whenever no batch sample BRIDGES
+    // two corpus rows (the documented incremental contract: the
+    // released corpus is never re-opened, so chain-merges through
+    // dropped batch rows are invisible to the incremental run)
+    val full = Multimodal.pairedReleaseRun(corpus.unionByName(batch),
+        "sample_id", "img_text", "caption", "source")
+      .collect().filter(_.getString(0) == "admitted").map(_.getLong(1)).toSet
+    assert(full.filter(_ >= 10L) == incr,
+      s"full-run batch admits ${full.filter(_ >= 10L)} != incremental $incr")
+    assert(full.filter(_ < 10L) == Set(1L, 2L),
+      "the released corpus itself must always survive the full run here")
+  }
+
   test("s45 beats the s41 fixed point on the same corpus at equal k") {
     // the point of the operator: on a corpus where cell-seeding traps
     // recall at the cell boundary, descent keeps climbing past it
