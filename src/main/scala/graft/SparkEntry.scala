@@ -8075,6 +8075,67 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     })
 
+  // FUZZY DECONTAMINATION AT LSH SCALE — t67's banded sibling for
+  // benchmark unions too large to broadcast: md5 slot-string MinHash
+  // (the d12 kernel) bands BOTH sides, bucket equi-join, exact
+  // Jaccard verify on the collisions. Oracle replays the signatures,
+  // the banding, the cross bucket join, the exact verify, and the
+  // argmax — including any banding false negatives (the recall curve
+  // is part of the contract, and both engines must miss the SAME
+  // pairs).
+  private val t70 = Q("t70_fuzzy_decontamination_lsh", Some("""
+    WITH toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    sig AS (SELECT doc_id,
+        MIN(md5('0:' || shingle)) AS m0, MIN(md5('1:' || shingle)) AS m1,
+        MIN(md5('2:' || shingle)) AS m2, MIN(md5('3:' || shingle)) AS m3,
+        MIN(md5('4:' || shingle)) AS m4, MIN(md5('5:' || shingle)) AS m5,
+        MIN(md5('6:' || shingle)) AS m6, MIN(md5('7:' || shingle)) AS m7
+      FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 0 AS band, m0 || '|' || m1 AS key FROM sig
+      UNION ALL SELECT doc_id, 1, m2 || '|' || m3 FROM sig
+      UNION ALL SELECT doc_id, 2, m4 || '|' || m5 FROM sig
+      UNION ALL SELECT doc_id, 3, m6 || '|' || m7 FROM sig),
+    prs AS (SELECT DISTINCT c.doc_id AS cand_id, b.doc_id AS bench_id
+      FROM bands c JOIN bands b ON c.band = b.band AND c.key = b.key
+      WHERE c.doc_id % 50 <> 0 AND b.doc_id % 50 = 0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    xin AS (SELECT p.cand_id, p.bench_id, COUNT(*) AS n_inter
+      FROM prs p
+      JOIN sh a ON a.doc_id = p.cand_id
+      JOIN sh b ON b.doc_id = p.bench_id AND b.shingle = a.shingle
+      GROUP BY 1, 2),
+    jac AS (SELECT cand_id, bench_id, jaccard FROM (
+        SELECT x.cand_id, x.bench_id,
+          CAST(n_inter AS DOUBLE) / CAST(sc.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+        FROM xin x
+          JOIN sizes sc ON sc.doc_id = x.cand_id
+          JOIN sizes sb ON sb.doc_id = x.bench_id)
+      WHERE jaccard >= 0.5),
+    mx AS (SELECT cand_id, bench_id, jaccard FROM (
+        SELECT cand_id, bench_id, jaccard,
+          ROW_NUMBER() OVER (PARTITION BY cand_id ORDER BY jaccard DESC, bench_id) AS rn
+        FROM jac) WHERE rn = 1)
+    SELECT d.doc_id, d.source, mx.bench_id,
+      ROUND(mx.jaccard, 6) AS max_jaccard
+    FROM mx JOIN documents d ON d.doc_id = mx.cand_id
+    ORDER BY d.doc_id"""),
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.pipeline.Decontaminate.fuzzyContaminationLsh(
+          docs.where(col("doc_id") % 50 =!= 0),
+          docs.where(col("doc_id") % 50 === 0),
+          "text", "doc_id", "source", n = 3, tau = 0.5,
+          numHashes = 8, bands = 4,
+          maxBucket = None) // exact: oracle-comparable
+        .orderBy(col("doc_id"))
+    })
+
   // ADC vs SDC: the PQ scoring-mode decision measured — recall@10 of
   // both modes against the exact leg for 3 queries on the seeded
   // (oracle-reconstructable) codebook. Oracle replays the encode,
@@ -8830,7 +8891,7 @@ object SparkEntry {
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
     t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45,
-    t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69,
+    t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56, t57, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69, t70,
     m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14,
     m15, m16, m17, m18, m19, m20, m21, m22, m23, m24, m25, m26, m27, m28, m29, m30, m31)
 

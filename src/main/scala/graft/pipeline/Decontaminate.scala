@@ -238,6 +238,106 @@ object Decontaminate {
       .select(col(idCol), col(srcCol), col("bench_id"), col("max_jaccard"))
   }
 
+  /** FUZZY DECONTAMINATION AT LSH SCALE — [[fuzzyContamination]]'s
+    * shape when the benchmark union is itself HUGE: t67 broadcasts
+    * the benchmark's shingles (right for eval-suite-sized
+    * benchmarks); once the union of every held-out suite stops
+    * fitting a broadcast, this variant runs the d03 banding on BOTH
+    * sides — shingle → md5 slot-string MinHash (the d12
+    * oracle-replayable kernel) → band → (band, key) bucket equi-join
+    * — and verifies banded collisions with exact Jaccard over
+    * shingle-STRING sets restricted to pair members (the d24 shape).
+    * Cost stays pair-bound: the corpus-sized work is the banding
+    * exchange, never benchmark × corpus.
+    *
+    * Recall contract (the standard S-curve): a pair with true
+    * Jaccard s collides with probability 1 − (1 − s^r)^bands — at
+    * the defaults (8 hashes, 4 bands, r = 2), s = 0.8 collides with
+    * p ≈ 0.98 while s = 0.3 only p ≈ 0.31. On benchmarks small
+    * enough to broadcast, [[fuzzyContamination]] remains the
+    * LOSSLESS reference; the spec pins t70 ⊆ t67 with identical
+    * evidence on every flagged row (verification is exact, so a
+    * banded collision can never flag what t67 would not).
+    *
+    * @param maxBucket degenerate-bucket guard on the benchmark side
+    *        (a template shared by m suite docs would fan out m rows
+    *        per colliding candidate) — the d03 discipline; `None`
+    *        for exact-oracle declarations
+    * @return (idCol, srcCol, bench_id, max_jaccard) — one row per
+    *         FLAGGED candidate, argmax benchmark evidence, ties to
+    *         the smaller bench id (t67's exact output shape)
+    */
+  def fuzzyContaminationLsh(candidates: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, srcCol: String,
+      n: Int = 3, tau: Double = 0.5, numHashes: Int = 8, bands: Int = 4,
+      maxBucket: Option[Int] = Some(10000)): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
+    val r = numHashes / bands
+    def banded(df: DataFrame, side: String) = {
+      val sig = graft.pipeline.Dedup.minHashSigMd5(
+        graft.ops.ScaleOps.fanOut(df), textCol, idCol, n, numHashes)
+      val bandCols = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("|", (0 until r).map(j => col(s"m${b * r + j}")): _*)
+            .as("key"))
+      }
+      sig.select(col("id").as(side), explode(array(bandCols: _*)).as("bk"))
+        .select(col(side), col("bk.band").as("band"), col("bk.key").as("key"))
+    }
+    val cb = banded(candidates, "cand_id")
+    val bb0 = banded(benchmark, "bench_id")
+    val bb = maxBucket match {
+      case Some(m) =>
+        val kept = bb0.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("__nb")).where(col("__nb") <= lit(m))
+          .select(col("band"), col("key"))
+        bb0.join(kept, Seq("band", "key"))
+      case None => bb0
+    }
+    // candidate pairs: bucket-local equi-join, deduped across bands —
+    // scope-cached (feeds the member restriction AND the verify join)
+    val pairs = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
+      cb.join(bb, Seq("band", "key"))
+        .select(col("cand_id"), col("bench_id")).distinct())
+    // exact verification restricted to pair members: shingle-STRING
+    // sets (the same normalization the signatures hash — ShingleStrings
+    // is distinct by contract, so sizes/intersections are set math)
+    def sets(df: DataFrame, side: String) =
+      graft.ops.ScaleOps.fanOut(df)
+        .select(col(idCol).as(side),
+          graft.functions.ShingleStrings(col(textCol), n).as("sh_arr"))
+        .join(pairs.select(col(side)).distinct(), Seq(side))
+    val cs = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
+      sets(candidates, "cand_id"))
+    val bs = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
+      sets(benchmark, "bench_id"))
+    val inter = pairs
+      .join(cs.select(col("cand_id"), explode(col("sh_arr")).as("shingle")),
+        Seq("cand_id"))
+      .join(bs.select(col("bench_id"), explode(col("sh_arr")).as("shingle")),
+        Seq("bench_id", "shingle"))
+      .groupBy(col("cand_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    val jac = inter
+      .join(cs.select(col("cand_id"),
+        size(col("sh_arr")).cast("long").as("n_c")), Seq("cand_id"))
+      .join(bs.select(col("bench_id"),
+        size(col("sh_arr")).cast("long").as("n_b")), Seq("bench_id"))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("n_c") + col("n_b") - col("n_inter")).cast("double"))
+      .where(col("jaccard") >= lit(tau))
+    // t67's argmax: larger jaccard wins, ties to the SMALLER bench id
+    val flagged = jac.groupBy(col("cand_id"))
+      .agg(max(struct(col("jaccard").as("j"), (-col("bench_id")).as("nb")))
+        .as("__m"))
+      .select(col("cand_id").as("__did"), (-col("__m.nb")).as("bench_id"),
+        round(col("__m.j"), 6).as("max_jaccard"))
+    candidates.select(col(idCol), col(srcCol))
+      .join(flagged, col(idCol) === col("__did"))
+      .select(col(idCol), col(srcCol), col("bench_id"), col("max_jaccard"))
+  }
+
   def bloomPos(shingle: org.apache.spark.sql.Column, j: Int, mBits: Int)
       : org.apache.spark.sql.Column =
     conv(substring(md5(concat_ws(":", lit(j), shingle)), 1, 4), 16, 10)

@@ -180,6 +180,7 @@ object ExplainDump {
       "s45_nn_descent_converge" -> "NN-descent to convergence: geometry-blind ring init (map-only explode over dense ids), per-round undirected 2-hop expansion rescored via one vector join (<=4Nk^2 candidate rows), hand-over-hand round caches fed through flat LogicalRDD views so the analyzed plan stays one round deep; sampled exact audit leg (auditMod)",
       "s46_index_maintenance_run" -> "index-maintenance run: ONE scope-cached assignment scan of old UNION new (origin + dead flags via ids-only join) feeds the rebuild histogram, the compaction rollup, the live-corpus bits sweep, AND the over-fetch scoring legs (s43's factored windows); every rollup is k-row / |bits|-row / 2-row — PlanQualitySpec pins >=3 InMemoryTableScans of the shared cache",
       "m31_incremental_paired_release" -> "incremental paired release: the corpus is NEVER self-joined or cached — its phash bands and caption digests each stream once against the BROADCAST batch sides (pigeonhole-lossless banding); the only closure is batch-sized; payloads never cross an exchange",
+      "t70_fuzzy_decontamination_lsh" -> "LSH-scale fuzzy decontamination: NO benchmark broadcast — md5 slot-string MinHash signatures computed scan-side on BOTH frames, one (band, key) bucket exchange, exact-Jaccard verify restricted to collided pair members (shingle arrays move per CANDIDATE doc, the d24 shape)",
       "t69_repeat_epoch_plan" -> "repeat-epoch plan: ONE partial-aggregated corpus scan to |sources| rows (token sums + DECIMAL quality means); the greedy is a global sort of |sources|x maxEpochs candidate-epoch rows + one cumulative-cost window — k-row state, not corpus sorts",
     )
     val sb = new StringBuilder
@@ -288,6 +289,17 @@ distinct under phash — distinctness needs different energy quadrants.
 Isolated 5-rep at sf0.1: 3.9/4.2 min/median s; 10× smoke 4.6 → 11.5 s
 (the batch itself grows 10× in the replica construction — batch-bound
 like d35).
+
+**t70 (LSH-scale fuzzy decontamination)** applies the d03 banding to
+t67's shape for benchmark unions too large to broadcast: md5
+slot-string signatures (d12 kernel) band BOTH sides, one bucket
+exchange, exact verify on collisions. The oracle replays the banding
+itself, so LSH false negatives must agree engine-to-engine — the
+recall S-curve is part of the declared contract, and the spec pins
+t70 ⊆ t67 with identical evidence plus the exact-copy-never-missed
+guarantee. Isolated 5-rep at sf0.1: 2.0/2.1 min/median s (vs t67's
+3.8 smoke single — the banded path is already cheaper at sf);
+10× smoke 2.9 → 5.2 s with flags 10 → 100 (pair-bound).
 
 ## Round-18 operator notes (d40 / s40-s44 / t66-t69 / m29 / m30)
 

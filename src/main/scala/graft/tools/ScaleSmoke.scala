@@ -688,6 +688,13 @@ object ScaleSmoke {
           docs.where(col("doc_id") % 50 =!= 0),
           docs.where(col("doc_id") % 50 === 0),
           "text", "doc_id", "source").count() }
+      // banding exchange on BOTH sides (no benchmark broadcast);
+      // verify joins move shingle arrays per COLLIDED doc only
+      time("t70 fuzzyDecontaminationLsh (capped)") {
+        graft.pipeline.Decontaminate.fuzzyContaminationLsh(
+          docs.where(col("doc_id") % 50 =!= 0),
+          docs.where(col("doc_id") % 50 === 0),
+          "text", "doc_id", "source").count() }
       // one encode scan reused by all per-query legs + broadcast
       // exact leg over the 3-query batch
       time("s42 adcSdcCompare") {

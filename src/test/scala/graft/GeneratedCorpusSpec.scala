@@ -159,6 +159,10 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     // m31 is m30's class split across a corpus/batch admission — the
     // cross legs and the batch-restricted closure must replay
     "m31_incremental_paired_release",
+    // t70 is the d12 md5-banding class composed with t67's exact
+    // verify — banding false negatives must be the SAME on both
+    // engines for arbitrary corpora, or the md5-twin discipline broke
+    "t70_fuzzy_decontamination_lsh",
     // t68's KS is exact-integer ECDF gaps over the round-6 DECIMAL
     // score (fixed expression per distinct value) + DECIMAL-exact
     // mean sums — the t43 class; t69 is integer token sums + DECIMAL

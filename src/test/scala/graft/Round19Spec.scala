@@ -288,6 +288,65 @@ class Round19Spec extends AnyFunSuite {
       "the released corpus itself must always survive the full run here")
   }
 
+  // ---------------- t70 LSH-scale fuzzy decontamination ----------------
+
+  test("t70 ⊆ t67: banded flags are a subset with identical exact evidence") {
+    import spark.implicits._
+    import graft.pipeline.Decontaminate
+    val mk = (id: Long, t: String, s: String) => (id, t, s)
+    val benchTxt = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    val bench = Seq(mk(0L, benchTxt, "suite"),
+      mk(50L, "completely different benchmark text about database engines and query plans running fast", "suite"))
+      .toDF("doc_id", "text", "source")
+    val cands = Seq(
+      // exact copy: J = 1 — banding ALWAYS collides (identical sigs)
+      mk(1L, benchTxt, "web"),
+      // light edit: high J, still caught or honestly missed — but
+      // never flagged with different evidence than the exact t67 run
+      mk(2L, benchTxt + " extra tail", "web"),
+      // unrelated: below tau for both
+      mk(3L, "nothing in common with any suite text at all here truly none whatsoever believe me", "web"))
+      .toDF("doc_id", "text", "source")
+    val t67 = Decontaminate.fuzzyContamination(cands, bench,
+      "text", "doc_id", "source", n = 3, tau = 0.5,
+      maxCorpusPostings = None)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    val t70 = Decontaminate.fuzzyContaminationLsh(cands, bench,
+      "text", "doc_id", "source", n = 3, tau = 0.5,
+      maxBucket = None)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(t70.keySet.subsetOf(t67.keySet),
+      s"banding can only MISS, never invent: ${t70.keySet -- t67.keySet}")
+    assert(t70.contains(1L), "an exact copy has identical signatures — " +
+      "every band collides, banding can never miss J = 1")
+    assert(!t67.contains(3L) && !t70.contains(3L))
+    // verification is exact, so a flagged row's evidence matches the
+    // lossless run whenever the argmax pair itself collided
+    t70.foreach { case (id, (bid, j)) =>
+      assert(t67(id) == ((bid, j)),
+        s"doc $id: banded evidence ($bid, $j) != exact ${t67(id)}")
+    }
+  }
+
+  test("t70 maxBucket drops a degenerate template bucket (the d03 guard)") {
+    import spark.implicits._
+    import graft.pipeline.Decontaminate
+    val template = "shared template header text repeated across the whole benchmark suite verbatim"
+    val bench = (0 until 20).map(i => (i * 50L, template, "suite"))
+      .toDF("doc_id", "text", "source")
+    val cands = Seq((1L, template, "web")).toDF("doc_id", "text", "source")
+    val capped = Decontaminate.fuzzyContaminationLsh(cands, bench,
+      "text", "doc_id", "source", n = 3, tau = 0.5, maxBucket = Some(5))
+    assert(capped.count() == 0L,
+      "every benchmark row shares one bucket of 20 > cap 5 — dropped")
+    val open = Decontaminate.fuzzyContaminationLsh(cands, bench,
+      "text", "doc_id", "source", n = 3, tau = 0.5, maxBucket = None)
+      .collect()
+    assert(open.length == 1 && open.head.getLong(2) == 0L &&
+      open.head.getDouble(3) == 1.0,
+      "uncapped: flagged against the smallest template id at J = 1")
+  }
+
   test("s45 beats the s41 fixed point on the same corpus at equal k") {
     // the point of the operator: on a corpus where cell-seeding traps
     // recall at the cell boundary, descent keeps climbing past it
