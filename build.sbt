@@ -51,3 +51,29 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // latency (irrelevant here) for throughput and stable timings
   "-XX:+UseParallelGC",
 )
+// Two CONCURRENT forked test JVMs: the generative/replay block (the
+// @Slow suites — oracle replays on generated corpora, differential
+// fuzz, lifecycle fuzz; ~9 min) runs BESIDE the per-operator block
+// (~7 min) instead of after it, so the full gate's wall is the max of
+// the halves, not the sum — same tests, same coverage, same
+// within-group co-residency as the single-JVM gate. Safe to run
+// concurrently: every shared resource in the slow block is
+// unique-per-instance (createTempDirectory spools/checkpoints,
+// in-memory DuckDB), and the port-binding / warehouse-writing suites
+// all stay in the fast group together, exactly as before. Suites
+// still run sequentially WITHIN each JVM (no testForkedParallel) —
+// the shared-SparkSession semantics are unchanged.
+Test / testGrouping := {
+  val slow = Set("graft.GeneratedCorpusSpec", "graft.DifferentialFuzzSpec",
+    "graft.ProcessorFuzzSpec", "graft.IndexLifecycleFuzzSpec",
+    "graft.DedupCacheLifecycleSpec", "graft.Round10CrossEngineFuzzSpec")
+  val opts = ForkOptions()
+    .withWorkingDirectory(Option((Test / baseDirectory).value))
+    .withRunJVMOptions((Test / javaOptions).value.toVector)
+  val (s, f) = (Test / definedTests).value.partition(t => slow(t.name))
+  Seq(Tests.Group("slow-replay", s, Tests.SubProcess(opts)),
+    Tests.Group("fast", f, Tests.SubProcess(opts)))
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, 2),
+  Tags.limitAll(8))

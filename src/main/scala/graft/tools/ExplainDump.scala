@@ -301,6 +301,23 @@ guarantee. Isolated 5-rep at sf0.1: 2.0/2.1 min/median s (vs t67's
 3.8 smoke single — the banded path is already cheaper at sf);
 10× smoke 2.9 → 5.2 s with flags 10 → 100 (pair-bound).
 
+## Round-19 suite wall-time: concurrency, not cuts
+
+The r12 verdict asked for the full gate back under 14 min at the
+round-13 query count. Profiling confirmed round 11's adjudication
+still holds — the cost is uniformly spread (the single slowest of 695
+tests measures 927 ms), so folding "superseded differentials" would
+have bought seconds, and the real growth is the @Slow replay block
+(GeneratedCorpusSpec alone 3:11 — every new operator joins its replay
+lists, which is load-bearing coverage). Fix: `Test / testGrouping`
+runs the @Slow block in a SECOND forked JVM concurrently with the
+per-operator block (ForkedTestGroup limit 2) — full gate **16:24 →
+8:28**, 695/695 green, zero tests dropped, within-group co-residency
+unchanged. Safety audit recorded in build.sbt and the verify skill:
+all slow-block shared resources are unique-per-instance; the
+port-binding / warehouse-writing suites stay together in the fast
+group.
+
 ## Round-18 operator notes (d40 / s40-s44 / t66-t69 / m29 / m30)
 
 **d40 prefix-filter cost adjudication.** The first cut declared
