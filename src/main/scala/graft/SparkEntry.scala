@@ -8626,7 +8626,7 @@ object SparkEntry {
   // everything. Oracle replays the ring, every undirected expansion,
   // the sampled exact leg, the per-stage recalls, the LAG gain, and
   // the stop rule.
-  private def s45RoundSql(r: Int): String = {
+  private def s45RoundSql(r: Int, gk: Int = 5): String = {
     val p = r - 1
     s"""
     u$p AS MATERIALIZED (SELECT src, dst FROM n$p UNION SELECT dst, src FROM n$p),
@@ -8642,7 +8642,7 @@ object SparkEntry {
                 JOIN nrm e2 ON e2.vec_id = cd$r.dst),
     n$r AS MATERIALIZED (SELECT src, dst FROM (
         SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rn
-        FROM c$r) WHERE rn <= 5),"""
+        FROM c$r) WHERE rn <= $gk),"""
   }
   private def s45LegSql(r: Int): String = s"""
     l$r AS MATERIALIZED (SELECT CAST($r AS BIGINT) AS round_no, CAST(COUNT(*) AS BIGINT) AS n_edges,
@@ -8657,7 +8657,7 @@ object SparkEntry {
     meta AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(vec_id) AS mn FROM embeddings),
     n0 AS MATERIALIZED (SELECT e.vec_id AS src, ((e.vec_id - mn + j) % n) + mn AS dst
       FROM embeddings e, meta, generate_series(1, 5) AS t(j)),
-    ${(1 to s45MaxRounds).map(s45RoundSql).mkString("")}
+    ${(1 to s45MaxRounds).map(r => s45RoundSql(r)).mkString("")}
     ce AS MATERIALIZED (SELECT a.vec_id AS src, b.vec_id AS dst,
         list_sum(list_transform(generate_series(1, len(a.embedding)),
           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
@@ -8686,6 +8686,82 @@ object SparkEntry {
         T(s, dir, "embeddings"), "embedding", "vec_id", k = 5,
         auditMod = 4L, epsilon = 0.02, maxRounds = s45MaxRounds)
       .orderBy(col("round_no")))
+
+  // GRAPH BEAM SEARCH — the graph-ANN family's SERVING read (the
+  // HNSW-class best-first loop): ring + 3 undirected NN-descent
+  // rounds at degree 10 build the graph, then each query walks it
+  // from the min-id entry, beam 20, 5 fixed hops, recall@5 audited
+  // per hop against the exact leg — the per-hop rows show the
+  // trajectory a latency budget buys. Oracle replays the build (the
+  // s45 CTEs at degree 10), the per-hop frontier expansion,
+  // rescoring, beam cuts, and both counters.
+  private def s47HopSql(h: Int): String = {
+    val bmPrev = if (h == 1) "bm0" else s"bm${h - 1}"
+    s"""
+    hcd$h AS MATERIALIZED (SELECT qid, dst FROM (
+        SELECT b.qid, b.dst FROM $bmPrev b
+        UNION
+        SELECT b.qid, u.dst FROM $bmPrev b JOIN und u ON u.src = b.dst)
+      WHERE dst <> qid),
+    hsc$h AS MATERIALIZED (SELECT c.qid, c.dst,
+        list_sum(list_transform(generate_series(1, len(e.embedding)),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+        / (e.nm * q.nm) AS cs
+      FROM hcd$h c JOIN nrm e ON e.vec_id = c.dst
+                   JOIN nrm q ON q.vec_id = c.qid),
+    bm$h AS MATERIALIZED (SELECT qid, dst, cs FROM (
+        SELECT qid, dst, cs,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, dst) AS rn
+        FROM hsc$h) WHERE rn <= 20),
+    ns$h AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_scored
+      FROM hsc$h GROUP BY qid),
+    hh$h AS (SELECT t.qid,
+        CAST(COALESCE(SUM(CASE WHEN ex.src IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits
+      FROM (SELECT qid, dst FROM (
+          SELECT qid, dst, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, dst) AS rn
+          FROM bm$h) WHERE rn <= 5) t
+      LEFT JOIN ex ON ex.src = t.qid AND ex.dst = t.dst
+      GROUP BY t.qid),
+    row$h AS (SELECT ns$h.qid AS query_id, CAST($h AS BIGINT) AS hop,
+        n_scored, n_hits, ps.n_possible,
+        ROUND(CAST(n_hits AS DOUBLE) / CAST(ps.n_possible AS DOUBLE), 6) AS recall
+      FROM ns$h JOIN hh$h ON hh$h.qid = ns$h.qid
+        JOIN ps ON ps.src = ns$h.qid),"""
+  }
+  private val s47Hops = 5
+  private val s47 = Q("s47_graph_beam_search", Some(s"""
+    WITH nrm AS MATERIALIZED (SELECT vec_id, embedding,
+        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nm
+      FROM embeddings),
+    meta AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(vec_id) AS mn FROM embeddings),
+    n0 AS MATERIALIZED (SELECT e.vec_id AS src, ((e.vec_id - mn + j) % n) + mn AS dst
+      FROM embeddings e, meta, generate_series(1, 10) AS t(j)),
+    ${(1 to 3).map(r => s45RoundSql(r, gk = 10)).mkString("")}
+    und AS MATERIALIZED (SELECT src, dst FROM n3 UNION SELECT dst, src FROM n3),
+    qv AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id IN (1, 2, 3)),
+    ce AS (SELECT q.vec_id AS src, b.vec_id AS dst,
+        list_sum(list_transform(generate_series(1, len(q.embedding)),
+          i -> CAST(q.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        / (q.nm * b.nm) AS cs
+      FROM nrm q JOIN nrm b ON b.vec_id <> q.vec_id
+      WHERE q.vec_id IN (1, 2, 3)),
+    ex AS MATERIALIZED (SELECT src, dst FROM (
+        SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rn
+        FROM ce) WHERE rn <= 5),
+    ps AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n_possible FROM ex GROUP BY src),
+    bm0 AS MATERIALIZED (SELECT q.qid,
+        CASE WHEN q.qid = m.mn THEN m.mn + 1 ELSE m.mn END AS dst
+      FROM qv q, meta m),
+    ${(1 to s47Hops).map(s47HopSql).mkString("")}
+    final_rows AS (${(1 to s47Hops).map(h => s"SELECT * FROM row$h")
+      .mkString("\n      UNION ALL ")})
+    SELECT query_id, hop, n_scored, n_hits, n_possible, recall
+    FROM final_rows ORDER BY query_id, hop"""),
+    (s, dir) => graft.pipeline.GraphAnn.graphBeamSearch(
+        T(s, dir, "embeddings"), "embedding", "vec_id",
+        queryIds = Seq(1L, 2L, 3L), k = 5, beamWidth = 20, graphK = 10,
+        buildRounds = 3, hops = s47Hops)
+      .orderBy(col("query_id"), col("hop")))
 
   // INDEX-MAINTENANCE RUN — the s-family's composed nightly (the t58
   // move): the s35 rebuild verdict, the s40 compaction actions, the
@@ -8887,7 +8963,7 @@ object SparkEntry {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
     d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
-    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38, s39, s40, s41, s42, s43, s44, s45, s46,
+    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38, s39, s40, s41, s42, s43, s44, s45, s46, s47,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
     t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45,

@@ -288,4 +288,152 @@ object GraphAnn {
     spark.createDataFrame(buf.toSeq).toDF("round_no", "n_queries",
       "n_edges", "n_hits", "n_possible", "recall", "gain", "converged")
   }
+
+  /** GRAPH BEAM SEARCH with a per-hop recall audit — the SERVING read
+    * of the graph-ANN family (the best-first search HNSW-class
+    * indexes answer queries with, Malkov & Yashunin's layer-0 loop):
+    * build the kNN graph ([[nnDescentConverge]]'s ring init +
+    * `buildRounds` undirected refinements, no audit), then for each
+    * query walk it — start the beam at a fixed entry vector (the
+    * min-id vector; the next one when the query IS the entry), each
+    * hop expand the beam's undirected neighbors, rescore exactly
+    * against the query, keep the best `beamWidth` — and report, per
+    * (query, hop), the candidates scored THAT hop and the recall@k of
+    * the beam's current top-k against the exact leg. The hop count is
+    * FIXED (serving systems bound latency, and a fixed hop count is
+    * what makes the trajectory oracle-replayable); the per-hop rows
+    * ARE the measurement of how many hops the budget needs.
+    *
+    * Monotonicity: each hop's beam is the top-`beamWidth` of a
+    * candidate SUPERSET of the previous beam under the same total
+    * order (cos desc, id asc), so beam quality — and therefore
+    * recall@k of its top-k — never decreases hop over hop
+    * (spec-pinned).
+    *
+    * Scale shape: the graph build is s45's (per-round flat-view
+    * caches); the search touches O(|queries| · beamWidth · degree)
+    * vectors per hop — the whole point of graph serving: the corpus
+    * is scanned once to build, never per query. Queries broadcast;
+    * the per-hop rescoring join is the only vector movement.
+    *
+    * @return one row per (query, hop 1..hops): (query_id, hop,
+    *         n_scored, n_hits, n_possible, recall round-6) —
+    *         unsorted, callers order
+    */
+  def graphBeamSearch(emb: DataFrame, vecCol: String, idCol: String,
+      queryIds: Seq[Long], k: Int, beamWidth: Int, graphK: Int,
+      buildRounds: Int, hops: Int): DataFrame = {
+    require(k > 0 && beamWidth >= k, s"need beamWidth >= k > 0, " +
+      s"got k=$k beamWidth=$beamWidth")
+    require(graphK > 0 && buildRounds >= 0 && hops >= 1,
+      s"bad graphK=$graphK / buildRounds=$buildRounds / hops=$hops")
+    require(queryIds.nonEmpty, "no queries")
+    val spark = emb.sparkSession
+    val vecs = graft.ops.ScaleOps.fanOut(emb)
+      .select(col(idCol).as("id"), col(vecCol).as("v")).cache()
+    val meta = vecs.agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
+      max(col("id")).as("mx")).collect()(0)
+    val (n, mn, mx) = (meta.getLong(0), meta.getLong(1), meta.getLong(2))
+    require(n >= 2, "cannot search a graph over fewer than 2 vectors")
+    require(mx - mn + 1L == n,
+      s"ring init needs a dense id column: ids span [$mn,$mx] but count is $n")
+    def flat(ds: DataFrame): DataFrame =
+      spark.createDataFrame(ds.asInstanceOf[
+        org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]].rdd,
+        ds.schema)
+    // build: ring + R undirected rounds (the s45 loop, audit-free)
+    var g = vecs.select(col("id").as("src"))
+      .select(col("src"),
+        explode(sequence(lit(1), lit(math.min(graphK.toLong, n - 1L))))
+          .as("j"))
+      .select(col("src"),
+        (((col("src") - lit(mn)) + col("j")) % lit(n) + lit(mn)).as("dst"))
+      .where(col("dst") =!= col("src"))
+      .distinct().cache()
+    g.count(): Unit
+    var r = 0
+    while (r < buildRounds) {
+      val nx = refineRoundUndirected(flat(g), vecs, graphK).cache()
+      nx.count(): Unit
+      g.unpersist(); g = nx; r += 1
+    }
+    val und = g.unionByName(
+        g.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      .cache()
+    und.count(): Unit
+    g.unpersist()
+    val qframe = vecs.where(col("id").isin(queryIds: _*))
+      .select(col("id").as("qid"), col("v").as("qv")).cache()
+    qframe.count(): Unit
+    // exact leg over the queries (the shared audit kernel)
+    val exact = Similarity.exactTopKSelf(emb, vecCol, idCol,
+      qframe.select(col("qid").as("src"), col("qv")), k).cache()
+    val possible = exact.groupBy(col("src"))
+      .agg(count(lit(1)).as("n_possible")).collect()
+      .map(rw => rw.getLong(0) -> rw.getLong(1)).toMap
+    // entry per query: the min-id vector; the NEXT id when the query
+    // is itself the entry (dense ids make it exist — n >= 2)
+    val entries = queryIds.distinct
+      .map(q => (q, if (q == mn) mn + 1L else mn))
+    var beam = spark.createDataFrame(entries).toDF("qid", "dst")
+      .join(vecs.select(col("id").as("dst"), col("v")), Seq("dst"))
+      .join(broadcast(qframe), Seq("qid"))
+      .withColumn("cs", Similarity.cosine(col("v"), col("qv")))
+      .select(col("qid"), col("dst"), col("cs")).cache()
+    beam.count(): Unit
+    val wQ = Window.partitionBy(col("qid"))
+      .orderBy(col("cs").desc, col("dst"))
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Double)]
+    def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    var h = 1
+    while (h <= hops) {
+      val frontier = flat(beam).select(col("qid"), col("dst").as("src"))
+        .join(und, Seq("src"))
+        .select(col("qid"), col("dst"))
+      val cand = flat(beam).select(col("qid"), col("dst"))
+        .unionByName(frontier).distinct()
+        .where(col("dst") =!= col("qid"))
+      // scored is consumed THREE times per hop (counter, beam cut,
+      // hit audit) — cache it, or each consumer re-runs the rescoring
+      // join (measured: the uncached spelling doubled the hop cost)
+      val scored = cand
+        .join(vecs.select(col("id").as("dst"), col("v")), Seq("dst"))
+        .join(broadcast(qframe), Seq("qid"))
+        .withColumn("cs", Similarity.cosine(col("v"), col("qv")))
+        .select(col("qid"), col("dst"), col("cs")).cache()
+      val next = scored
+        .withColumn("rn", row_number().over(wQ))
+        .where(col("rn") <= beamWidth)
+        .select(col("qid"), col("dst"), col("cs")).cache()
+      // per-(query, hop) counters — ONE tiny collect per hop
+      // (candidates scored this hop + hits of the beam's top-k
+      // against the exact leg), which also materializes next's cache
+      val hitLeg = next
+        .withColumn("rn", row_number().over(wQ))
+        .where(col("rn") <= k)
+        .join(exact, col("qid") === col("src") &&
+          next("dst") === exact("dst"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("h"))
+      val counters = scored.groupBy(col("qid"))
+        .agg(count(lit(1)).as("c"))
+        .join(hitLeg, Seq("qid"), "left")
+        .collect()
+        .map(rw => rw.getLong(0) ->
+          (rw.getLong(1), if (rw.isNullAt(2)) 0L else rw.getLong(2))).toMap
+      scored.unpersist()
+      queryIds.distinct.sorted.foreach { q =>
+        val p = possible.getOrElse(q, 0L)
+        val (sc, hh) = counters.getOrElse(q, (0L, 0L))
+        buf += ((q, h.toLong, sc, hh, p,
+          if (p == 0L) 0.0 else round6(hh.toDouble / p.toDouble)))
+      }
+      beam.unpersist(); beam = next; h += 1
+    }
+    beam.unpersist(); und.unpersist(); qframe.unpersist()
+    exact.unpersist(); vecs.unpersist()
+    spark.createDataFrame(buf.toSeq).toDF("query_id", "hop", "n_scored",
+      "n_hits", "n_possible", "recall")
+  }
 }

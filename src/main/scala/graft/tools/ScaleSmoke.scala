@@ -657,6 +657,13 @@ object ScaleSmoke {
       // ONE shared assignment scan feeds all four verdict legs; the
       // over-fetch scoring is queries×corpus (3 queries), the rest
       // are k-row / |bits|-row rollups
+      // build = s45's per-round shape; the search touches
+      // O(|queries|·beam·degree) vectors per hop — never the corpus
+      time("s47 graphBeamSearch") {
+        graft.pipeline.GraphAnn.graphBeamSearch(emb, "embedding",
+          "vec_id", queryIds = Seq(1L, 2L, 3L), k = 5, beamWidth = 20,
+          graphK = 10, buildRounds = 2, hops = 3)
+          .collect().length.toLong }
       time("s46 indexMaintenanceRun") {
         graft.pipeline.Clustering.indexMaintenanceRun(
           emb.where(col("vec_id") % 7 =!= 6), emb.where(col("vec_id") % 7 === 6),

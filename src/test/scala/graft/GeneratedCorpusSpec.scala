@@ -265,7 +265,10 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     // s46 composes the s35/s39/s40/s43 verdict arithmetic over one
     // shared scan — every manifest cell is an integer, a
     // contract-rounded division, or a CASE verdict
-    "s46_index_maintenance_run")
+    "s46_index_maintenance_run",
+    // s47's whole hop trajectory (build, frontier, beam cuts,
+    // per-hop counters) must replay on arbitrary vectors
+    "s47_graph_beam_search")
 
   /** Canonical cell stringification: array columns print as
     * "[a, b, ...]" on BOTH sides (Spark rows yield Scala Seqs,

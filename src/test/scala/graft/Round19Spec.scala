@@ -202,6 +202,53 @@ class Round19Spec extends AnyFunSuite {
     assert(run.find(_.getString(4) == "chosen").get.getString(1) == "fetch_k")
   }
 
+  // ---------------- s47 graph beam search ----------------
+
+  test("s47: per-query recall is monotone over hops; the search never scans the corpus") {
+    val out = GraphAnn.graphBeamSearch(embDf(n = 80, dim = 8, seed = 31),
+      "embedding", "vec_id", queryIds = Seq(1L, 2L), k = 3,
+      beamWidth = 8, graphK = 6, buildRounds = 2, hops = 4)
+      .orderBy(col("query_id"), col("hop")).collect()
+    assert(out.length == 8, "2 queries × 4 hops")
+    out.grouped(4).foreach { rows =>
+      rows.sliding(2).foreach { case Array(a, b) =>
+        assert(b.getAs[Double]("recall") >= a.getAs[Double]("recall"),
+          "the beam is a top-cut of a candidate superset — recall " +
+            "cannot decrease hop over hop")
+      }
+      rows.foreach { r =>
+        assert(r.getAs[Long]("n_scored") < 80L,
+          "graph serving must never score the whole corpus in a hop")
+        assert(r.getAs[Long]("n_possible") == 3L)
+        assert(r.getAs[Double]("recall") ==
+          math.rint(r.getAs[Long]("n_hits").toDouble / 3L * 1e6) / 1e6)
+      }
+    }
+  }
+
+  test("s47: a complete graph reaches exact recall in one hop") {
+    // graphK ≥ N−1 with no refinement: the ring wraps the whole
+    // corpus, so every vector is the entry's und-neighbor — hop 1
+    // scores everything and the beam top-k IS the exact top-k
+    val out = GraphAnn.graphBeamSearch(embDf(n = 12, dim = 8, seed = 37),
+      "embedding", "vec_id", queryIds = Seq(3L), k = 3,
+      beamWidth = 11, graphK = 11, buildRounds = 0, hops = 1).collect()
+    assert(out.length == 1 && out.head.getAs[Double]("recall") == 1.0,
+      s"complete graph must be exact at hop 1: ${out.toSeq}")
+  }
+
+  test("s47: a query that IS the entry vector redirects to the next id") {
+    // query 0 == min id: the entry moves to id 1; the search runs and
+    // self never appears in any audited beam
+    val out = GraphAnn.graphBeamSearch(embDf(n = 40, dim = 8, seed = 41),
+      "embedding", "vec_id", queryIds = Seq(0L), k = 3,
+      beamWidth = 6, graphK = 4, buildRounds = 1, hops = 3)
+      .orderBy(col("hop")).collect()
+    assert(out.length == 3)
+    assert(out.forall(_.getAs[Long]("n_possible") == 3L))
+    assert(out.last.getAs[Long]("n_scored") > 0L)
+  }
+
   // ---------------- m31 incremental paired release ----------------
 
   // synthetic "images": 80-char ASCII strings with 'z' blocks in
