@@ -8319,6 +8319,11 @@ object SparkEntry {
     })
 
   // INCREMENTAL paired-corpus release — the d35/t65 move for m30: a
+  // NOTE the declared split's id-space encoding (batch = doc_id +
+  // 100000/+200000/+300000, SQL splits on sample_id >= 100000)
+  // assumes corpus doc_ids < 100000 — the same fixture convention
+  // m30's declared three-leg union uses; testdata tops out ~5k and
+  // the generated replay corpora at 300.
   // new image-text batch (the re-captioned and re-rendered legs of
   // every third doc) admits against the standing released corpus (the
   // base leg): corpus image near-dups drop first, corpus caption dups
@@ -8655,8 +8660,10 @@ object SparkEntry {
         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nm
       FROM embeddings),
     meta AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(vec_id) AS mn FROM embeddings),
-    n0 AS MATERIALIZED (SELECT e.vec_id AS src, ((e.vec_id - mn + j) % n) + mn AS dst
-      FROM embeddings e, meta, generate_series(1, 5) AS t(j)),
+    n0 AS MATERIALIZED (SELECT DISTINCT e.vec_id AS src,
+        ((e.vec_id - mn + j) % n) + mn AS dst
+      FROM embeddings e, meta, generate_series(1, 5) AS t(j)
+      WHERE j <= n - 1 AND ((e.vec_id - mn + j) % n) + mn <> e.vec_id),
     ${(1 to s45MaxRounds).map(r => s45RoundSql(r)).mkString("")}
     ce AS MATERIALIZED (SELECT a.vec_id AS src, b.vec_id AS dst,
         list_sum(list_transform(generate_series(1, len(a.embedding)),
@@ -8734,8 +8741,10 @@ object SparkEntry {
         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nm
       FROM embeddings),
     meta AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(vec_id) AS mn FROM embeddings),
-    n0 AS MATERIALIZED (SELECT e.vec_id AS src, ((e.vec_id - mn + j) % n) + mn AS dst
-      FROM embeddings e, meta, generate_series(1, 10) AS t(j)),
+    n0 AS MATERIALIZED (SELECT DISTINCT e.vec_id AS src,
+        ((e.vec_id - mn + j) % n) + mn AS dst
+      FROM embeddings e, meta, generate_series(1, 10) AS t(j)
+      WHERE j <= n - 1 AND ((e.vec_id - mn + j) % n) + mn <> e.vec_id),
     ${(1 to 3).map(r => s45RoundSql(r, gk = 10)).mkString("")}
     und AS MATERIALIZED (SELECT src, dst FROM n3 UNION SELECT dst, src FROM n3),
     qv AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id IN (1, 2, 3)),

@@ -280,8 +280,7 @@ object Clustering {
         sum(coalesce(col("__dead"), lit(0L))).as("n_dead_raw"))
     val cells = spark.createDataFrame(seeds.map(s => Tuple1(s._1)).toSeq)
       .toDF("cell")
-    val liveFrac = (col("n_total") - col("n_dead")).cast("double") /
-      col("n_total").cast("double")
+    val (liveFracExpr, actionExpr) = compactionVerdictExprs(minLiveFrac)
     cells
       .join(broadcast(hist), Seq("cell"), "left")
       .select(col("cell"),
@@ -289,12 +288,32 @@ object Clustering {
         coalesce(col("n_dead_raw"), lit(0L)).as("n_dead"))
       .select(col("cell"), col("n_total"),
         (col("n_total") - col("n_dead")).as("n_live"), col("n_dead"),
-        when(col("n_total") === 0L, lit(null).cast("double"))
-          .otherwise(round(liveFrac, 6)).as("live_frac"),
-        when(col("n_total") === 0L, lit("empty"))
-          .when(liveFrac < lit(minLiveFrac), lit("compact"))
-          .otherwise(lit("keep")).as("action"))
+        liveFracExpr.as("live_frac"), actionExpr.as("action"))
   }
+
+  /** The s40 compaction verdict over (n_total, n_dead) columns —
+    * (round-6 live fraction or null, empty/compact/keep action) —
+    * shared by [[tombstoneCompactionReport]] and
+    * [[indexMaintenanceRun]] so the arithmetic is structurally
+    * identical in both, not parallel-maintained (the
+    * overfetchLegsFromScored discipline).
+    */
+  private def compactionVerdictExprs(minLiveFrac: Double): (Column, Column) = {
+    val liveFrac = (col("n_total") - col("n_dead")).cast("double") /
+      col("n_total").cast("double")
+    (when(col("n_total") === 0L, lit(null).cast("double"))
+        .otherwise(round(liveFrac, 6)),
+      when(col("n_total") === 0L, lit("empty"))
+        .when(liveFrac < lit(minLiveFrac), lit("compact"))
+        .otherwise(lit("keep")))
+  }
+
+  /** The s35 rebuild predicate — shared by [[rebuildDecision]] and
+    * [[indexMaintenanceRun]].
+    */
+  private def rebuildPredicate(imbalance: Column, newFrac: Column,
+      maxImbalance: Double, maxNewFrac: Double): Column =
+    imbalance > lit(maxImbalance) || newFrac > lit(maxNewFrac)
 
   /** OVER-FETCH under tombstones — the serving-side companion to
     * [[tombstoneCompactionReport]]: a tombstoning index still SCORES
@@ -531,9 +550,9 @@ object Clustering {
         (col("__nn").cast("double") / col("n_total").cast("double"))
           .as("new_frac"),
         col("imbalance_after"), col("max_growth"), col("n_unseeded_cells"),
-        (col("imbalance_after") > lit(maxImbalance) ||
-          (col("__nn").cast("double") / col("n_total").cast("double")) >
-            lit(maxNewFrac)).cast("long").as("rebuild"))
+        rebuildPredicate(col("imbalance_after"),
+          col("__nn").cast("double") / col("n_total").cast("double"),
+          maxImbalance, maxNewFrac).cast("long").as("rebuild"))
   }
 
   /** One LLOYD REFINEMENT step — the re-train [[rebuildDecision]]
@@ -862,7 +881,7 @@ object Clustering {
     val rebuildRows = reb.select(lit("rebuild").as("section"),
         lit("decision").as("item"), col("nt").as("n"),
         round(imb, 6).as("x"),
-        when(imb > lit(maxImbalance) || nf > lit(maxNewFrac),
+        when(rebuildPredicate(imb, nf, maxImbalance, maxNewFrac),
           lit("rebuild")).otherwise(lit("keep")).as("verdict"))
       .unionByName(reb.select(lit("rebuild").as("section"),
         lit("new_frac").as("item"), col("nn").as("n"),
@@ -870,17 +889,12 @@ object Clustering {
       .unionByName(reb.select(lit("rebuild").as("section"),
         lit("max_growth").as("item"), col("nu").as("n"),
         round(col("max_growth"), 6).as("x"), lit("").as("verdict")))
-    // compaction section — the s40 arithmetic (unrounded compare)
-    val liveFrac = (col("n_total") - col("n_dead")).cast("double") /
-      col("n_total").cast("double")
+    // compaction section — s40's shared verdict expressions
+    val (liveFracExpr, actionExpr) = compactionVerdictExprs(minLiveFrac)
     val compactionRows = percell.select(lit("compaction").as("section"),
       col("cell").cast("string").as("item"),
       (col("n_total") - col("n_dead")).as("n"),
-      when(col("n_total") === 0L, lit(null).cast("double"))
-        .otherwise(round(liveFrac, 6)).as("x"),
-      when(col("n_total") === 0L, lit("empty"))
-        .when(liveFrac < lit(minLiveFrac), lit("compact"))
-        .otherwise(lit("keep")).as("verdict"))
+      liveFracExpr.as("x"), actionExpr.as("verdict"))
     // sq_bits section — the s39 decision over the LIVE corpus, riding
     // the shared scan's cache
     val bitsRow = graft.pipeline.Quantize.bitsDecision(

@@ -273,18 +273,11 @@ object Decontaminate {
       maxBucket: Option[Int] = Some(10000)): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
-    val r = numHashes / bands
-    def banded(df: DataFrame, side: String) = {
-      val sig = graft.pipeline.Dedup.minHashSigMd5(
-        graft.ops.ScaleOps.fanOut(df), textCol, idCol, n, numHashes)
-      val bandCols = (0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws("|", (0 until r).map(j => col(s"m${b * r + j}")): _*)
-            .as("key"))
-      }
-      sig.select(col("id").as(side), explode(array(bandCols: _*)).as("bk"))
-        .select(col(side), col("bk.band").as("band"), col("bk.key").as("key"))
-    }
+    // the d12 banding, shared structurally with Dedup.minHashLshMd5
+    def banded(df: DataFrame, side: String) =
+      graft.pipeline.Dedup.bandedMd5Signature(
+        graft.ops.ScaleOps.fanOut(df), textCol, idCol, n, numHashes,
+        bands, idAlias = side)
     val cb = banded(candidates, "cand_id")
     val bb0 = banded(benchmark, "bench_id")
     val bb = maxBucket match {

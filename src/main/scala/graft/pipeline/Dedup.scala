@@ -847,8 +847,15 @@ object Dedup {
     sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  def minHashLshMd5(docs: DataFrame, textCol: String, idCol: String,
-      shingleN: Int = 3, numHashes: Int = 8, bands: Int = 4): DataFrame = {
+  /** Banded md5 slot-string signature rows (idAlias, band, key) — the
+    * one construction shared by [[minHashLshMd5]] and
+    * [[Decontaminate.fuzzyContaminationLsh]]'s cross-frame banding,
+    * so the two stay byte-identical STRUCTURALLY (the t70-vs-d12
+    * md5-twin discipline), not by parallel maintenance.
+    */
+  private[pipeline] def bandedMd5Signature(docs: DataFrame, textCol: String,
+      idCol: String, shingleN: Int, numHashes: Int, bands: Int,
+      idAlias: String = "id"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sig = minHashSigMd5(docs, textCol, idCol, shingleN, numHashes)
@@ -856,8 +863,14 @@ object Dedup {
       struct(lit(b).as("band"),
         concat_ws("|", (0 until r).map(j => col(s"m${b * r + j}")): _*).as("key"))
     }
-    val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    sig.select(col("id").as(idAlias), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idAlias), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  def minHashLshMd5(docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    val banded = bandedMd5Signature(docs, textCol, idCol, shingleN,
+      numHashes, bands)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
