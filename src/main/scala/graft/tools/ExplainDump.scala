@@ -316,6 +316,17 @@ min/median after the hop cache + single-collect counters). 10× smoke
 query. If the bench total needs trimming next round, the candidate is
 a declared buildRounds cut, not the hop audit.
 
+## Round-19 bench artifact (259 queries)
+
+Final committed builder artifact: **248.2 s total over 259 queries,
+zero errors** (session pass 253.5 s). On the 254 common queries vs the
+r12-final builder artifact: 228.5 s vs 213.0 s = **1.07×** — inside
+the documented ambient band, and for the first time in several rounds
+with **zero >1.5× common-query movers**. The five new queries add
+19.7 s, concentrated exactly where the new work is: s47 9.5 s (a full
+3-round index build + 5-hop serving audit in one query — see its note
+above), m31 3.2 s, s45 3.0 s, s46 2.1 s, t70 1.9 s.
+
 ## Round-19 suite wall-time: concurrency, not cuts
 
 The r12 verdict asked for the full gate back under 14 min at the
