@@ -8772,6 +8772,104 @@ object SparkEntry {
         buildRounds = 3, hops = s47Hops)
       .orderBy(col("query_id"), col("hop")))
 
+  // GRAPH INDEX APPEND — the graph family's daily-ingest move (the
+  // HNSW insert): the last 20% of the id range arrives as a batch
+  // against the graph built over the first 80%; each new vector is
+  // found by the s47 beam kernel, connected to its best 5, and the
+  // touched nodes run the reverse-adoption re-rank. Oracle replays
+  // the corpus build, every search hop, the connect cut, the exact
+  // batch-vs-corpus leg, and the adoption rank.
+  private def s48HopSql(h: Int): String = {
+    val bmPrev = if (h == 1) "abm0" else s"abm${h - 1}"
+    s"""
+    acd$h AS MATERIALIZED (SELECT b.qid, b.dst FROM $bmPrev b
+      UNION
+      SELECT b.qid, u.dst FROM $bmPrev b JOIN und u ON u.src = b.dst),
+    asc$h AS MATERIALIZED (SELECT c.qid, c.dst,
+        list_sum(list_transform(generate_series(1, len(e.embedding)),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+        / (e.nm * q.nm) AS cs
+      FROM acd$h c JOIN nrm e ON e.vec_id = c.dst
+                   JOIN nrm q ON q.vec_id = c.qid),
+    abm$h AS MATERIALIZED (SELECT qid, dst, cs FROM (
+        SELECT qid, dst, cs,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, dst) AS rn
+        FROM asc$h) WHERE rn <= 10),"""
+  }
+  private val s48 = Q("s48_graph_append", Some(s"""
+    WITH nrm AS MATERIALIZED (SELECT vec_id, embedding,
+        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nm
+      FROM embeddings),
+    thr AS (SELECT 4 * (MAX(vec_id) + 1) // 5 AS t FROM embeddings),
+    meta AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(vec_id) AS mn
+      FROM embeddings WHERE vec_id < (SELECT t FROM thr)),
+    n0 AS MATERIALIZED (SELECT DISTINCT e.vec_id AS src,
+        ((e.vec_id - mn + j) % n) + mn AS dst
+      FROM embeddings e, meta, generate_series(1, 5) AS t(j)
+      WHERE e.vec_id < (SELECT t FROM thr)
+        AND j <= n - 1 AND ((e.vec_id - mn + j) % n) + mn <> e.vec_id),
+    ${(1 to 2).map(r => s45RoundSql(r)).mkString("")}
+    und AS MATERIALIZED (SELECT src, dst FROM n2 UNION SELECT dst, src FROM n2),
+    abm0 AS MATERIALIZED (SELECT e.vec_id AS qid, m.mn AS dst
+      FROM embeddings e, meta m WHERE e.vec_id >= (SELECT t FROM thr)),
+    ${(1 to 3).map(s48HopSql).mkString("")}
+    ne AS MATERIALIZED (SELECT qid AS src, dst, cs FROM (
+        SELECT qid, dst, cs,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, dst) AS rn
+        FROM abm3) WHERE rn <= 5),
+    ce AS (SELECT q.vec_id AS src, b.vec_id AS dst,
+        list_sum(list_transform(generate_series(1, len(q.embedding)),
+          i -> CAST(q.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        / (q.nm * b.nm) AS cs
+      FROM nrm q JOIN nrm b ON b.vec_id < (SELECT t FROM thr)
+      WHERE q.vec_id >= (SELECT t FROM thr)),
+    ex AS MATERIALIZED (SELECT src, dst FROM (
+        SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rn
+        FROM ce) WHERE rn <= 5),
+    rr AS (SELECT CAST(COALESCE(SUM(CASE WHEN ex.src IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS h,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS p
+      FROM ne LEFT JOIN ex ON ex.src = ne.src AND ex.dst = ne.dst),
+    rev AS (SELECT dst AS src, src AS dst, cs, 1 AS isnew FROM ne),
+    aff AS MATERIALIZED (SELECT DISTINCT src FROM rev),
+    fe AS (SELECT g.src, g.dst,
+        list_sum(list_transform(generate_series(1, len(a.embedding)),
+          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        / (a.nm * b.nm) AS cs, 0 AS isnew
+      FROM n2 g JOIN aff ON aff.src = g.src
+        JOIN nrm a ON a.vec_id = g.src JOIN nrm b ON b.vec_id = g.dst),
+    ad AS (SELECT src FROM (
+        SELECT src, isnew,
+          ROW_NUMBER() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rn
+        FROM (SELECT * FROM fe UNION ALL SELECT * FROM rev))
+      WHERE rn <= 5 AND isnew = 1)
+    SELECT 'batch' AS metric,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+        WHERE vec_id >= (SELECT t FROM thr)) AS n,
+      CAST(NULL AS DOUBLE) AS x
+    UNION ALL SELECT 'new_edges', (SELECT CAST(COUNT(*) AS BIGINT) FROM ne),
+      CAST(NULL AS DOUBLE)
+    UNION ALL SELECT 'new_edge_recall', h,
+      CASE WHEN p = 0 THEN 0.0
+        ELSE ROUND(CAST(h AS DOUBLE) / CAST(p AS DOUBLE), 6) END FROM rr
+    UNION ALL SELECT 'affected_nodes', (SELECT CAST(COUNT(*) AS BIGINT) FROM aff),
+      CAST(NULL AS DOUBLE)
+    UNION ALL SELECT 'adopted_nodes', CAST(COUNT(DISTINCT src) AS BIGINT),
+      CASE WHEN (SELECT COUNT(*) FROM aff) = 0 THEN 0.0
+        ELSE ROUND(CAST(COUNT(DISTINCT src) AS DOUBLE)
+          / (SELECT CAST(COUNT(*) AS DOUBLE) FROM aff), 6) END FROM ad
+    UNION ALL SELECT 'adopted_edges', CAST(COUNT(*) AS BIGINT),
+      CAST(NULL AS DOUBLE) FROM ad
+    ORDER BY metric"""),
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val thr = 4L * (emb.agg(max(col("vec_id"))).head().getLong(0) + 1L) / 5L
+      graft.pipeline.GraphAnn.graphAppendAudit(
+          emb.where(col("vec_id") < thr), emb.where(col("vec_id") >= thr),
+          "embedding", "vec_id", graphK = 5, buildRounds = 2,
+          beamWidth = 10, hops = 3)
+        .orderBy(col("metric"))
+    })
+
   // INDEX-MAINTENANCE RUN — the s-family's composed nightly (the t58
   // move): the s35 rebuild verdict, the s40 compaction actions, the
   // s39 bits decision, and the s43 over-fetch audit in ONE manifest
@@ -8972,7 +9070,7 @@ object SparkEntry {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
     d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
-    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38, s39, s40, s41, s42, s43, s44, s45, s46, s47,
+    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38, s39, s40, s41, s42, s43, s44, s45, s46, s47, s48,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
     t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45,

@@ -289,6 +289,33 @@ object GraphAnn {
       "n_edges", "n_hits", "n_possible", "recall", "gain", "converged")
   }
 
+  /** Ring init + `buildRounds` undirected NN-descent refinements,
+    * audit-free — the graph BUILD shared by [[graphBeamSearch]] and
+    * [[graphAppendAudit]]. Returns the cached directed edge frame
+    * (caller owns the unpersist); rounds feed through the caller's
+    * flat view to keep the analyzed plan one round deep.
+    */
+  private def buildRingGraph(vecs: DataFrame, n: Long, mn: Long,
+      graphK: Int, buildRounds: Int,
+      flat: DataFrame => DataFrame): DataFrame = {
+    var g = vecs.select(col("id").as("src"))
+      .select(col("src"),
+        explode(sequence(lit(1), lit(math.min(graphK.toLong, n - 1L))))
+          .as("j"))
+      .select(col("src"),
+        (((col("src") - lit(mn)) + col("j")) % lit(n) + lit(mn)).as("dst"))
+      .where(col("dst") =!= col("src"))
+      .distinct().cache()
+    g.count(): Unit
+    var r = 0
+    while (r < buildRounds) {
+      val nx = refineRoundUndirected(flat(g), vecs, graphK).cache()
+      nx.count(): Unit
+      g.unpersist(); g = nx; r += 1
+    }
+    g
+  }
+
   /** GRAPH BEAM SEARCH with a per-hop recall audit — the SERVING read
     * of the graph-ANN family (the best-first search HNSW-class
     * indexes answer queries with, Malkov & Yashunin's layer-0 loop):
@@ -342,21 +369,7 @@ object GraphAnn {
         org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]].rdd,
         ds.schema)
     // build: ring + R undirected rounds (the s45 loop, audit-free)
-    var g = vecs.select(col("id").as("src"))
-      .select(col("src"),
-        explode(sequence(lit(1), lit(math.min(graphK.toLong, n - 1L))))
-          .as("j"))
-      .select(col("src"),
-        (((col("src") - lit(mn)) + col("j")) % lit(n) + lit(mn)).as("dst"))
-      .where(col("dst") =!= col("src"))
-      .distinct().cache()
-    g.count(): Unit
-    var r = 0
-    while (r < buildRounds) {
-      val nx = refineRoundUndirected(flat(g), vecs, graphK).cache()
-      nx.count(): Unit
-      g.unpersist(); g = nx; r += 1
-    }
+    val g = buildRingGraph(vecs, n, mn, graphK, buildRounds, flat)
     val und = g.unionByName(
         g.select(col("dst").as("src"), col("src").as("dst"))).distinct()
       .cache()
@@ -435,5 +448,156 @@ object GraphAnn {
     exact.unpersist(); vecs.unpersist()
     spark.createDataFrame(buf.toSeq).toDF("query_id", "hop", "n_scored",
       "n_hits", "n_possible", "recall")
+  }
+
+  /** GRAPH INDEX APPEND — the daily-ingest move for the graph family
+    * (the d35/t65/s46 pattern applied to the serving index): insert a
+    * BATCH of new vectors into a standing kNN graph the HNSW way —
+    * SEARCH the existing graph for each new vector (the s47 beam
+    * kernel: fixed `hops` from the min-id entry), CONNECT it to its
+    * beam's best `graphK`, then run the REVERSE-adoption step
+    * restricted to the touched nodes: each node a new vector
+    * connected to re-ranks its own list against the reverse edges
+    * (cosine is symmetric, so the scores are already in hand) and
+    * adopts the new vector when it beats the current kth neighbor.
+    * The corpus graph is never rebuilt; only |batch|·beam·degree
+    * search work plus an adoption re-rank over ≤ |batch|·graphK
+    * affected nodes.
+    *
+    * Audited by: (a) recall@graphK of the new vectors' inserted
+    * adjacency against the exact-over-corpus leg (|batch|·N — the
+    * batch-bound audit), and (b) how many affected existing nodes
+    * actually adopted a new vector — the signal that reverse edges
+    * keep the graph navigable as it grows (without adoption, new
+    * vectors are findable only FROM the batch, never TOWARD it).
+    *
+    * @return manifest rows (metric, n, x): batch / new_edges /
+    *         new_edge_recall (n = hits, x = recall) / affected_nodes
+    *         / adopted_nodes (x = adopted fraction) / adopted_edges —
+    *         unsorted, callers order
+    */
+  def graphAppendAudit(corpus: DataFrame, batch: DataFrame,
+      vecCol: String, idCol: String, graphK: Int, buildRounds: Int,
+      beamWidth: Int, hops: Int): DataFrame = {
+    require(graphK > 0 && beamWidth >= graphK,
+      s"need beamWidth >= graphK > 0, got $graphK/$beamWidth")
+    require(buildRounds >= 0 && hops >= 1,
+      s"bad buildRounds=$buildRounds / hops=$hops")
+    val spark = corpus.sparkSession
+    val vecs = graft.ops.ScaleOps.fanOut(corpus)
+      .select(col(idCol).as("id"), col(vecCol).as("v")).cache()
+    val meta = vecs.agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
+      max(col("id")).as("mx")).collect()(0)
+    val (n, mn, mx) = (meta.getLong(0), meta.getLong(1), meta.getLong(2))
+    require(n >= 2, "cannot append to a graph over fewer than 2 vectors")
+    require(mx - mn + 1L == n,
+      s"ring init needs a dense CORPUS id column: ids span [$mn,$mx], count $n")
+    val bvecs = batch.select(col(idCol).as("id"), col(vecCol).as("v")).cache()
+    val nBatch = bvecs.count()
+    require(nBatch > 0, "empty batch")
+    // id spaces must be disjoint — ids-only probe, loud failure
+    require(bvecs.select(col("id"))
+      .join(vecs.select(col("id")), Seq("id")).limit(1).count() == 0L,
+      "batch ids collide with corpus ids")
+    def flat(ds: DataFrame): DataFrame =
+      spark.createDataFrame(ds.asInstanceOf[
+        org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]].rdd,
+        ds.schema)
+    val g = buildRingGraph(vecs, n, mn, graphK, buildRounds, flat)
+    val und = g.unionByName(
+        g.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      .cache()
+    und.count(): Unit
+    val qframe = bvecs.select(col("id").as("qid"), col("v").as("qv")).cache()
+    qframe.count(): Unit
+    val wQ = Window.partitionBy(col("qid"))
+      .orderBy(col("cs").desc, col("dst"))
+    // search the STANDING graph for every new vector (the s47 loop;
+    // batch ids are disjoint from corpus ids, so no self-exclusion)
+    var beam = qframe.select(col("qid"), lit(mn).as("dst"))
+      .join(vecs.select(col("id").as("dst"), col("v")), Seq("dst"))
+      .join(broadcast(qframe), Seq("qid"))
+      .withColumn("cs", Similarity.cosine(col("v"), col("qv")))
+      .select(col("qid"), col("dst"), col("cs")).cache()
+    beam.count(): Unit
+    var h = 1
+    while (h <= hops) {
+      val frontier = flat(beam).select(col("qid"), col("dst").as("src"))
+        .join(und, Seq("src"))
+        .select(col("qid"), col("dst"))
+      val next = flat(beam).select(col("qid"), col("dst"))
+        .unionByName(frontier).distinct()
+        .join(vecs.select(col("id").as("dst"), col("v")), Seq("dst"))
+        .join(broadcast(qframe), Seq("qid"))
+        .withColumn("cs", Similarity.cosine(col("v"), col("qv")))
+        .withColumn("rn", row_number().over(wQ))
+        .where(col("rn") <= beamWidth)
+        .select(col("qid"), col("dst"), col("cs")).cache()
+      next.count(): Unit
+      beam.unpersist(); beam = next; h += 1
+    }
+    // CONNECT: each new vector's adjacency = its beam's best graphK
+    val newEdges = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
+      flat(beam).withColumn("rn", row_number().over(wQ))
+        .where(col("rn") <= graphK)
+        .select(col("qid").as("src"), col("dst"), col("cs")))
+    // audit (a): exact leg over the corpus, batch queries broadcast
+    val exact = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
+      Similarity.exactTopKSelf(corpus, vecCol, idCol,
+        qframe.select(col("qid").as("src"), col("qv")), graphK))
+    val recallRow = newEdges
+      .join(exact.withColumn("__hit", lit(1L)), Seq("src", "dst"), "left")
+      .agg(coalesce(sum(coalesce(col("__hit"), lit(0L))), lit(0L)).as("h"))
+      .crossJoin(broadcast(exact.agg(count(lit(1)).as("p"))))
+      .select(lit("new_edge_recall").as("metric"), col("h").as("n"),
+        when(col("p") === 0L, lit(0.0))
+          .otherwise(round(col("h").cast("double") / col("p").cast("double"),
+            6)).as("x"))
+    // REVERSE adoption, restricted to the touched nodes: each
+    // affected node re-ranks (its current out-edges ∪ the reverse
+    // edges) — cosine symmetry means no new vector movement beyond
+    // rescoring the node's own existing list
+    val rev = newEdges.select(col("dst").as("src"), col("src").as("dst"),
+      col("cs"), lit(1L).as("__new"))
+    val affected = rev.select(col("src")).distinct()
+    val fEdges = g.join(affected, Seq("src"))
+      .join(vecs.select(col("id").as("src"), col("v").as("va")), Seq("src"))
+      .join(vecs.select(col("id").as("dst"), col("v").as("vb")), Seq("dst"))
+      .withColumn("cs", Similarity.cosine(col("va"), col("vb")))
+      .select(col("src"), col("dst"), col("cs"), lit(0L).as("__new"))
+    val wF = Window.partitionBy(col("src"))
+      .orderBy(col("cs").desc, col("dst"))
+    val adopted = fEdges.unionByName(rev)
+      .withColumn("rn", row_number().over(wF))
+      .where(col("rn") <= graphK && col("__new") === 1L)
+    val adoptionRows = adopted
+      .agg(countDistinct(col("src")).as("an"), count(lit(1)).as("ae"))
+      .crossJoin(broadcast(affected.agg(count(lit(1)).as("af"))))
+      .select(explode(array(
+        struct(lit("affected_nodes").as("metric"), col("af").as("n"),
+          lit(null).cast("double").as("x")),
+        struct(lit("adopted_nodes").as("metric"), col("an").as("n"),
+          when(col("af") === 0L, lit(0.0))
+            .otherwise(round(col("an").cast("double") /
+              col("af").cast("double"), 6)).as("x")),
+        struct(lit("adopted_edges").as("metric"), col("ae").as("n"),
+          lit(null).cast("double").as("x")))).as("r"))
+      .select(col("r.metric").as("metric"), col("r.n").as("n"),
+        col("r.x").as("x"))
+    val countRows = spark.createDataFrame(Seq(Tuple1(nBatch))).toDF("nb")
+      .select(lit("batch").as("metric"), col("nb").as("n"),
+        lit(null).cast("double").as("x"))
+      .unionByName(newEdges.agg(count(lit(1)).as("ne"))
+        .select(lit("new_edges").as("metric"), col("ne").as("n"),
+          lit(null).cast("double").as("x")))
+    val out = countRows.unionByName(recallRow).unionByName(adoptionRows)
+    // release the loop caches after the caller's single execution
+    org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUseExisting(beam)
+    org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUseExisting(und)
+    org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUseExisting(qframe)
+    org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUseExisting(vecs)
+    org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUseExisting(bvecs)
+    org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUseExisting(g)
+    out
   }
 }

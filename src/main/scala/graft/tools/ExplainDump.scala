@@ -182,6 +182,7 @@ object ExplainDump {
       "m31_incremental_paired_release" -> "incremental paired release: the corpus is NEVER self-joined or cached — its phash bands and caption digests each stream once against the BROADCAST batch sides (pigeonhole-lossless banding); the only closure is batch-sized; payloads never cross an exchange",
       "t70_fuzzy_decontamination_lsh" -> "LSH-scale fuzzy decontamination: NO benchmark broadcast — md5 slot-string MinHash signatures computed scan-side on BOTH frames, one (band, key) bucket exchange, exact-Jaccard verify restricted to collided pair members (shingle arrays move per CANDIDATE doc, the d24 shape)",
       "s47_graph_beam_search" -> "graph beam search: the build is s45's per-round flat-view loop; each hop is one edge join + one rescoring join over O(|queries|*beam*degree) rows — the corpus is scanned to BUILD, never per query; queries broadcast; per-hop counters are 3-row collects",
+      "s48_graph_append" -> "graph index append: |batch| beam searches over the STANDING graph (batch-bound), connect = one window cut, reverse adoption re-ranks ONLY the touched nodes (<= |batch|*graphK) reusing the symmetric cosines already in hand; the corpus graph is never rebuilt",
       "t69_repeat_epoch_plan" -> "repeat-epoch plan: ONE partial-aggregated corpus scan to |sources| rows (token sums + DECIMAL quality means); the greedy is a global sort of |sources|x maxEpochs candidate-epoch rows + one cumulative-cost window — k-row state, not corpus sorts",
     )
     val sb = new StringBuilder
@@ -315,6 +316,19 @@ min/median after the hop cache + single-collect counters). 10× smoke
 9.7 → 16 s — build-round-bound, the corpus is never scanned per
 query. If the bench total needs trimming next round, the candidate is
 a declared buildRounds cut, not the hop audit.
+
+**s48 (graph index append)** completes the family lifecycle
+(build s45 / serve s47 / append s48): the HNSW insert as
+search-then-connect plus reverse adoption restricted to touched nodes.
+At sf0.01 the manifest reads: 100 batch vectors, 500 connect edges,
+insert recall 0.134 (the honest number for a 2-round degree-5 graph —
+the same weak-graph signal s45/s47 report on this near-uniform
+corpus), 59 touched corpus nodes, ALL of which adopt ≥1 reverse edge
+(218 adopted) — adoption is what keeps the graph navigable TOWARD new
+mass. Isolated 5-rep at sf0.1: 8.0/9.6 min/median s (build + eager
+search steps, the s47 cost profile); 10× smoke 11.0 → 21.6 s — the
+batch itself grows 10× (batch-bound by design; the corpus graph is
+never rebuilt).
 
 ## Round-19 bench artifact (259 queries)
 

@@ -664,6 +664,15 @@ object ScaleSmoke {
           "vec_id", queryIds = Seq(1L, 2L, 3L), k = 5, beamWidth = 20,
           graphK = 10, buildRounds = 2, hops = 3)
           .collect().length.toLong }
+      // search work is batch-bound (|batch|·beam·degree per hop);
+      // adoption re-ranks only the touched nodes
+      time("s48 graphAppendAudit") {
+        val cut = emb.agg(max(col("vec_id"))).head().getLong(0) * 4L / 5L
+        graft.pipeline.GraphAnn.graphAppendAudit(
+          emb.where(col("vec_id") <= cut), emb.where(col("vec_id") > cut),
+          "embedding", "vec_id", graphK = 5, buildRounds = 1,
+          beamWidth = 10, hops = 3)
+          .collect().length.toLong }
       time("s46 indexMaintenanceRun") {
         graft.pipeline.Clustering.indexMaintenanceRun(
           emb.where(col("vec_id") % 7 =!= 6), emb.where(col("vec_id") % 7 === 6),

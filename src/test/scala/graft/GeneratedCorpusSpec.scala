@@ -268,7 +268,10 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     "s46_index_maintenance_run",
     // s47's whole hop trajectory (build, frontier, beam cuts,
     // per-hop counters) must replay on arbitrary vectors
-    "s47_graph_beam_search")
+    "s47_graph_beam_search",
+    // s48 composes the s47 search with the connect cut and the
+    // adoption rank — the whole insert trajectory must replay
+    "s48_graph_append")
 
   /** Canonical cell stringification: array columns print as
     * "[a, b, ...]" on BOTH sides (Spark rows yield Scala Seqs,

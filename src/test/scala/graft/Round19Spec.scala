@@ -249,6 +249,51 @@ class Round19Spec extends AnyFunSuite {
     assert(out.last.getAs[Long]("n_scored") > 0L)
   }
 
+  // ---------------- s48 graph index append ----------------
+
+  test("s48: connect/adoption accounting reconciles; id collisions fail loudly") {
+    import spark.implicits._
+    val corpus = embDf(n = 50, dim = 8, seed = 43)
+    val batch = embDf(n = 60, dim = 8, seed = 44)
+      .where(col("vec_id") >= 50L) // ids 50..59, disjoint
+    val out = graft.pipeline.GraphAnn.graphAppendAudit(corpus, batch,
+      "embedding", "vec_id", graphK = 4, buildRounds = 1,
+      beamWidth = 8, hops = 3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("batch").getLong(1) == 10L)
+    assert(out("new_edges").getLong(1) == 40L,
+      "every new vector connects to exactly graphK nodes when the beam is full")
+    assert(out("new_edge_recall").getLong(1) <= 40L)
+    assert(out("adopted_nodes").getLong(1) <= out("affected_nodes").getLong(1))
+    assert(out("adopted_edges").getLong(1) >= out("adopted_nodes").getLong(1))
+    // id collision: loud require, not silent mis-join
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.GraphAnn.graphAppendAudit(corpus,
+        corpus.where(col("vec_id") < 3L), "embedding", "vec_id",
+        graphK = 2, buildRounds = 0, beamWidth = 4, hops = 1).collect()
+    }
+    assert(e.getMessage.contains("collide"), e.getMessage)
+  }
+
+  test("s48: a complete corpus graph makes every insert exact; an adopted duplicate beats the kth neighbor") {
+    import spark.implicits._
+    // complete graph (graphK ≥ N−1, no rounds): one hop reaches the
+    // whole corpus, so every new vector's adjacency IS its exact top-k
+    val corpus = embDf(n = 10, dim = 8, seed = 47)
+    val dup = corpus.where(col("vec_id") === 4L)
+      .select((col("vec_id") + 100L).as("vec_id"), col("embedding"))
+    val out = graft.pipeline.GraphAnn.graphAppendAudit(corpus, dup,
+      "embedding", "vec_id", graphK = 3, buildRounds = 0,
+      beamWidth = 9, hops = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("new_edge_recall").getDouble(2) == 1.0,
+      s"complete graph ⟹ exact insert: ${out("new_edge_recall")}")
+    // the new vector is a DUPLICATE of corpus vector 4 (cosine 1.0
+    // with it) — vector 4 must adopt it (nothing can outrank cs = 1)
+    assert(out("adopted_nodes").getLong(1) >= 1L,
+      "a planted duplicate must be adopted by its twin")
+  }
+
   // ---------------- m31 incremental paired release ----------------
 
   // synthetic "images": 80-char ASCII strings with 'z' blocks in
