@@ -330,16 +330,18 @@ search steps, the s47 cost profile); 10× smoke 11.0 → 21.6 s — the
 batch itself grows 10× (batch-bound by design; the corpus graph is
 never rebuilt).
 
-## Round-19 bench artifact (259 queries)
+## Round-19 bench artifact (260 queries)
 
-Final committed builder artifact: **248.2 s total over 259 queries,
-zero errors** (session pass 253.5 s). On the 254 common queries vs the
-r12-final builder artifact: 228.5 s vs 213.0 s = **1.07×** — inside
-the documented ambient band, and for the first time in several rounds
-with **zero >1.5× common-query movers**. The five new queries add
-19.7 s, concentrated exactly where the new work is: s47 9.5 s (a full
-3-round index build + 5-hop serving audit in one query — see its note
-above), m31 3.2 s, s45 3.0 s, s46 2.1 s, t70 1.9 s.
+Final committed builder artifact: **244.0 s total over 260 queries,
+zero errors** (session pass 261.5 s). On the 254 common queries vs the
+r12-final builder artifact: 216.9 s vs 213.0 s = **1.02×** —
+essentially flat, and for the first time in several rounds with
+**zero >1.5× common-query movers**. The six new queries add ~27 s,
+concentrated exactly where the new work is: s47 8.3 s and s48 7.9 s
+(each runs a full graph BUILD plus its serving/append audit in one
+query — see their notes above), s45 3.6 s, m31 3.2 s, s46 2.3 s,
+t70 1.7 s. An intermediate 259-query refresh mid-round read 248.2 s /
+1.07× on common — both runs inside the ambient band.
 
 ## Round-19 suite wall-time: concurrency, not cuts
 
