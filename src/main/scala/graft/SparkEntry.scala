@@ -1227,6 +1227,37 @@ object SparkEntry {
         n = 3, threshold = 0.9, maxPostings = None) // exact: oracle-comparable
       .orderBy(col("id_sub"), col("id_super")))
 
+  // PREFIX-FILTERED exact containment join — d40's discipline applied
+  // to d07's directed semantics: only the SUB side is prefix-indexed
+  // (rarity order, pigeonhole-lossless for containment >= tau); the
+  // super side keeps full postings. The oracle is the PLAIN exact
+  // containment-pair SQL — the hash match IS the losslessness proof.
+  private val d41 = Q("d41_prefix_filter_containment", Some("""
+    WITH toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+           FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+           WHERE len(ts) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    dir AS (
+      SELECT id_a AS id_sub, id_b AS id_super,
+        CAST(n_inter AS DOUBLE) / CAST(na.n_sh AS DOUBLE) AS containment
+      FROM inter JOIN sizes na ON na.doc_id = id_a
+      UNION ALL
+      SELECT id_b, id_a,
+        CAST(n_inter AS DOUBLE) / CAST(nb.n_sh AS DOUBLE)
+      FROM inter JOIN sizes nb ON nb.doc_id = id_b)
+    SELECT id_sub, id_super, containment FROM dir
+    WHERE containment >= 0.8 ORDER BY id_sub, id_super"""),
+    (s, dir) => Dedup.prefixFilterContainment(T(s, dir, "documents"),
+        "text", "doc_id", n = 3, threshold = 0.8,
+        maxPostings = None) // exact: oracle-comparable
+      .orderBy(col("id_sub"), col("id_super")))
+
   // Hybrid dedup: lexical (3-gram Jaccard) OR semantic (embedding
   // cosine) evidence, full-outer joined on the pair key so both
   // scores sit side by side; doc_id and vec_id align by construction.
@@ -9068,7 +9099,7 @@ object SparkEntry {
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
-    d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40,
+    d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
     s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38, s39, s40, s41, s42, s43, s44, s45, s46, s47, s48,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,

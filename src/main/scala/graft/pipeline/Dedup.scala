@@ -517,6 +517,97 @@ object Dedup {
     (cand, docSets)
   }
 
+  /** PREFIX-FILTERED exact CONTAINMENT join — [[prefixFilterPairs]]'s
+    * discipline applied to [[containmentPairs]]'s directed semantics
+    * (containment(sub → super) = |sub ∩ super| / |sub| ≥ τ). The
+    * asymmetric prefix scheme: only the SUB side is prefix-indexed
+    * (its first |d| − ⌈τ·|d|⌉ + 1 shingles under the global
+    * df-ascending rarity order — a qualifying overlap of ⌈τ·|sub|⌉
+    * must touch that prefix by pigeonhole), while the SUPER side
+    * keeps FULL postings (its matching shingles can sit anywhere in
+    * its set, so no super-side prefix bound exists without knowing
+    * the smallest sub size). LOSSLESS for containment ≥ τ — proven by
+    * the d41 hash match against the plain exact-pair oracle.
+    *
+    * The 100 TB point, same as d40's: boilerplate (df ≈ N shingles)
+    * ranks LAST in the rarity order and never enters any SUB prefix,
+    * so the candidate join's quadratic side is killed even though the
+    * super side indexes everything — candidates require a sub-prefix
+    * match. Cost beyond d07's full×full intersection: one df count
+    * window + one id-keyed prefix window over (id, long, long)
+    * triples; verify joins move one hash array per CANDIDATE doc.
+    *
+    * @return (id_sub, id_super, containment) — directed, both
+    *         directions evaluated, exact division (unsorted)
+    */
+  def prefixFilterContainment(docs: DataFrame, textCol: String,
+      idCol: String, n: Int, threshold: Double,
+      maxPostings: Option[Int] = Some(10000)): DataFrame = {
+    val (cand, docSets) = prefixFilterContainmentCandidates(
+      docs, textCol, idCol, n, threshold, maxPostings)
+    cand
+      .join(docSets.select(col("id").as("id_sub"), col("sh_arr").as("arr_a")),
+        Seq("id_sub"))
+      .join(docSets.select(col("id").as("id_super"), col("sh_arr").as("arr_b")),
+        Seq("id_super"))
+      .withColumn("containment",
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long")
+          .cast("double") / size(col("arr_a")).cast("long").cast("double"))
+      .where(col("containment") >= lit(threshold))
+      .select(col("id_sub"), col("id_super"), col("containment"))
+  }
+
+  /** Candidate stage of [[prefixFilterContainment]], exposed for the
+    * Round19Spec reduction pin. Returns (directed candidates
+    * (id_sub, id_super) distinct, scope-cached docSets (id, sh_arr)).
+    */
+  private[graft] def prefixFilterContainmentCandidates(
+      docs: DataFrame, textCol: String, idCol: String,
+      n: Int, threshold: Double,
+      maxPostings: Option[Int]): (DataFrame, DataFrame) = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val docSets = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
+      graft.ops.ScaleOps.fanOut(docs).select(
+        col(idCol).as("id"),
+        graft.functions.ShingleHashes(col(textCol), n).as("sh_arr")))
+    val exploded = docSets
+      .where(size(col("sh_arr")) > 0)
+      .select(col("id"), size(col("sh_arr")).cast("long").as("n_sh"),
+        explode(col("sh_arr")).as("shingle"))
+    val wDf = Window.partitionBy(col("shingle"))
+    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))
+    val subPrefix = exploded
+      .withColumn("df", count(lit(1)).over(wDf))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <=
+        col("n_sh") - ceil(lit(threshold) * col("n_sh")) + lit(1L))
+      .select(col("shingle"), col("id").as("id_sub"))
+    val fullRows = maxPostings match {
+      case Some(m) =>
+        // count-first degenerate-posting guard on the FULL super side
+        // (the shingleIntersections discipline); drops surface via the
+        // shared observe logger
+        ensurePostingDropLogger(docs.sparkSession)
+        val kept = exploded
+          .groupBy(col("shingle"))
+          .agg(count(lit(1)).as("n_docs_sh"))
+          .observe(s"$postingMetricName.${postingMetricSeq.incrementAndGet()}",
+            sum(when(col("n_docs_sh") > lit(m), 1L).otherwise(0L))
+              .as("dropped_posting_lists"))
+          .where(col("n_docs_sh") <= lit(m))
+          .select(col("shingle"))
+        exploded.join(kept, Seq("shingle"))
+          .select(col("shingle"), col("id").as("id_super"))
+      case None => exploded.select(col("shingle"), col("id").as("id_super"))
+    }
+    val cand = subPrefix.join(fullRows, Seq("shingle"))
+      .where(col("id_sub") =!= col("id_super"))
+      .select(col("id_sub"), col("id_super"))
+      .distinct()
+    (cand, docSets)
+  }
+
   /** PAIR EVIDENCE — for each qualifying near-dup pair, the k RAREST
     * shared shingles (rarity = corpus-wide df ascending, ties to the
     * shingle text): the lines a human reviewer actually reads before

@@ -182,6 +182,7 @@ object ExplainDump {
       "m31_incremental_paired_release" -> "incremental paired release: the corpus is NEVER self-joined or cached — its phash bands and caption digests each stream once against the BROADCAST batch sides (pigeonhole-lossless banding); the only closure is batch-sized; payloads never cross an exchange",
       "t70_fuzzy_decontamination_lsh" -> "LSH-scale fuzzy decontamination: NO benchmark broadcast — md5 slot-string MinHash signatures computed scan-side on BOTH frames, one (band, key) bucket exchange, exact-Jaccard verify restricted to collided pair members (shingle arrays move per CANDIDATE doc, the d24 shape)",
       "s47_graph_beam_search" -> "graph beam search: the build is s45's per-round flat-view loop; each hop is one edge join + one rescoring join over O(|queries|*beam*degree) rows — the corpus is scanned to BUILD, never per query; queries broadcast; per-hop counters are 3-row collects",
+      "d41_prefix_filter_containment" -> "prefix-filtered containment: SUB side prefix-indexed under the df-ascending rarity order (pigeonhole-lossless for containment >= tau), SUPER side full postings — boilerplate never enters a sub prefix, so the candidate join's quadratic side dies; verify joins move one hash array per candidate doc",
       "s48_graph_append" -> "graph index append: |batch| beam searches over the STANDING graph (batch-bound), connect = one window cut, reverse adoption re-ranks ONLY the touched nodes (<= |batch|*graphK) reusing the symmetric cosines already in hand; the corpus graph is never rebuilt",
       "t69_repeat_epoch_plan" -> "repeat-epoch plan: ONE partial-aggregated corpus scan to |sources| rows (token sums + DECIMAL quality means); the greedy is a global sort of |sources|x maxEpochs candidate-epoch rows + one cumulative-cost window — k-row state, not corpus sorts",
     )
@@ -329,6 +330,17 @@ mass. Isolated 5-rep at sf0.1: 8.0/9.6 min/median s (build + eager
 search steps, the s47 cost profile); 10× smoke 11.0 → 21.6 s — the
 batch itself grows 10× (batch-bound by design; the corpus graph is
 never rebuilt).
+
+**d41 (prefix-filtered containment)** closes the prefix-filter family
+over the directed operator: the asymmetric scheme (SUB-side rarity
+prefix × FULL super postings — no super-side bound exists without the
+minimum sub size) is pigeonhole-lossless, proven two ways: the d41
+hash match against the plain exact oracle at τ=0.8 and a three-τ
+identity pin vs containmentPairs. Boilerplate still generates ZERO
+candidates (spec-pinned on the shared-header corpus where the full
+intersection pairs all 380 directed combinations). Isolated 5-rep at
+sf0.1: 2.0/2.0 min/median s; 10× smoke 2.3 → 11.5 s with output 512 →
+501k directed pairs (pair-bound, the d02 replica-clique artifact).
 
 ## Round-19 bench artifact (260 queries)
 

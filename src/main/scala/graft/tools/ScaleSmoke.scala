@@ -626,6 +626,11 @@ object ScaleSmoke {
       time("d40 prefixFilterPairs (capped)") {
         graft.pipeline.Dedup.prefixFilterPairs(docs, "text", "doc_id",
           n = 3, threshold = 0.8).count() }
+      // sub-side prefix × full super postings; same df rollup + one
+      // id-keyed prefix window as d40
+      time("d41 prefixFilterContainment (capped)") {
+        graft.pipeline.Dedup.prefixFilterContainment(docs, "text",
+          "doc_id", n = 3, threshold = 0.8).count() }
       // one assignment scan + ids-only tombstone join + k-row rollup
       time("s40 tombstoneCompaction") {
         graft.pipeline.Clustering.tombstoneCompactionReport(emb,

@@ -163,6 +163,9 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     // verify — banding false negatives must be the SAME on both
     // engines for arbitrary corpora, or the md5-twin discipline broke
     "t70_fuzzy_decontamination_lsh",
+    // d41 is d40's class for directed containment: integers + exact
+    // divisions; the prefix cut must stay lossless on arbitrary text
+    "d41_prefix_filter_containment",
     // t68's KS is exact-integer ECDF gaps over the round-6 DECIMAL
     // score (fixed expression per distinct value) + DECIMAL-exact
     // mean sums — the t43 class; t69 is integer token sums + DECIMAL

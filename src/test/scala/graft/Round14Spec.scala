@@ -234,7 +234,7 @@ class Round14Spec extends AnyFunSuite {
     val expected = Set("softDedupWeights", "dedupedCorpus",
       "ngramJaccardPairs", "incrementalNearDupPairs", "containmentPairs",
       "containmentCurve", "jaccardThresholdCurve", "dedupImpactReport",
-      "hybridNearDups")
+      "hybridNearDups", "prefixFilterContainment")
     assert(expected.subsetOf(checked.toSet),
       s"missing from reflection sweep: ${expected -- checked.toSet}")
   }

@@ -249,6 +249,58 @@ class Round19Spec extends AnyFunSuite {
     assert(out.last.getAs[Long]("n_scored") > 0L)
   }
 
+  // ---------------- d41 prefix-filtered containment ----------------
+
+  private def d41Mixed = {
+    import spark.implicits._
+    val words = Vector("key", "agg", "row", "scan", "slow", "fast",
+      "table", "value", "part", "hash", "merge", "batch")
+    val rnd = new scala.util.Random(53)
+    val base = (0 until 30).map { i =>
+      (i.toLong, Seq.fill(5 + rnd.nextInt(20))(words(rnd.nextInt(words.size)))
+        .mkString(" "))
+    }
+    // planted containments: doc 100+i is a strict prefix-slice of doc i
+    val subs = base.take(5).map { case (id, t) =>
+      (id + 100L, t.split(" ").take(8).mkString(" "))
+    }
+    (base ++ subs).toDF("doc_id", "text")
+  }
+
+  test("d41: prefix-filtered containment is IDENTICAL to the exact join at three τ") {
+    import graft.pipeline.Dedup
+    Seq(0.5, 0.8, 1.0).foreach { tau =>
+      val exact = Dedup.containmentPairs(d41Mixed, "text", "doc_id",
+          n = 3, threshold = tau, maxPostings = None)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pref = Dedup.prefixFilterContainment(d41Mixed, "text", "doc_id",
+          n = 3, threshold = tau, maxPostings = None)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pref == exact,
+        s"τ=$tau: prefix ${pref.size} vs exact ${exact.size} — " +
+          s"missing ${exact -- pref}, extra ${pref -- exact}")
+      assert(tau > 0.9 || exact.nonEmpty, s"τ=$tau fixture must have pairs")
+    }
+  }
+
+  test("d41: boilerplate never enters a sub prefix — the candidate explosion dies") {
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    val header = (0 until 12).map(i => s"h$i").mkString(" ")
+    val docs = (0 until 20).map { d =>
+      (d.toLong, s"$header " + (0 until 12).map(i => s"u${d}x$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val (cand, _) = Dedup.prefixFilterContainmentCandidates(docs, "text",
+      "doc_id", n = 3, threshold = 0.6, maxPostings = None)
+    assert(cand.count() == 0L,
+      "df-ascending prefixes hold only the unique tails — the shared " +
+        "header (df = N) generates no candidates, where the full " +
+        "intersection pairs all 380 directed combinations")
+    // and the exact join agrees nothing qualifies at this τ
+    assert(Dedup.containmentPairs(docs, "text", "doc_id", n = 3,
+      threshold = 0.6, maxPostings = None).count() == 0L)
+  }
+
   // ---------------- s48 graph index append ----------------
 
   test("s48: connect/adoption accounting reconciles; id collisions fail loudly") {
