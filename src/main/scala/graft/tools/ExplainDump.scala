@@ -342,18 +342,18 @@ intersection pairs all 380 directed combinations). Isolated 5-rep at
 sf0.1: 2.0/2.0 min/median s; 10× smoke 2.3 → 11.5 s with output 512 →
 501k directed pairs (pair-bound, the d02 replica-clique artifact).
 
-## Round-19 bench artifact (260 queries)
+## Round-19 bench artifact (261 queries)
 
-Final committed builder artifact: **244.0 s total over 260 queries,
-zero errors** (session pass 261.5 s). On the 254 common queries vs the
-r12-final builder artifact: 216.9 s vs 213.0 s = **1.02×** —
-essentially flat, and for the first time in several rounds with
-**zero >1.5× common-query movers**. The six new queries add ~27 s,
-concentrated exactly where the new work is: s47 8.3 s and s48 7.9 s
-(each runs a full graph BUILD plus its serving/append audit in one
-query — see their notes above), s45 3.6 s, m31 3.2 s, s46 2.3 s,
-t70 1.7 s. An intermediate 259-query refresh mid-round read 248.2 s /
-1.07× on common — both runs inside the ambient band.
+Final committed builder artifact: **246.5 s total over 261 queries,
+zero errors** (session pass 265.4 s). On the 254 common queries vs the
+r12-final builder artifact: 215.4 s vs 213.0 s = **1.01×** —
+flat, and for the first time in several rounds with **zero >1.5×
+common-query movers**. The seven new queries add ~30 s, concentrated
+exactly where the new work is: s47 8.3 s and s48 7.9 s (each runs a
+full graph BUILD plus its serving/append audit in one query — see
+their notes above), s45 3.6 s, m31 3.2 s, s46 2.3 s, d41 2.3 s,
+t70 1.9 s. Two earlier mid-round refreshes (259 and 260 queries) read
+1.07× and 1.02× on common — every run inside the ambient band.
 
 ## Round-19 suite wall-time: concurrency, not cuts
 
