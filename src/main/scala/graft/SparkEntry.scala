@@ -7998,6 +7998,21 @@ object SparkEntry {
         auditMod = 1L) // full audit: oracle-comparable
       .orderBy(col("stage")))
 
+  // The m29/m30/m31 batch legs encode their split in the ID SPACE
+  // (+100000/+200000/+300000; the SQL oracles split on
+  // sample_id >= 100000), which assumes corpus doc_ids in
+  // [0, 100000) — a fixture convention (testdata tops out ~5k, the
+  // generated replay corpora at 300). Guarded IN-PLAN (raise_error:
+  // zero extra driver round-trips, fails at execution): if the
+  // corpus ever outgrew the band the legs would collide IDENTICALLY
+  // in both engines, so the hash match could never catch it (r13
+  // advice) — the query must fail loudly instead.
+  private def offsetLegId(c: Column, off: Long): Column =
+    when(c >= 0L && c < 100000L, c + lit(off)).otherwise(raise_error(
+      concat(lit("id-offset fixture convention violated: doc_id "),
+        c.cast("string"),
+        lit(s" outside [0, 100000) — the +$off batch leg would collide"))))
+
   // CROSS-MODAL dup disagreement audit: image-dup pairs (phash) vs
   // caption-dup pairs (exact) classified both/image_only/caption_only
   // — the disagreements are what single-modality dedup misses. The
@@ -8053,10 +8068,12 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
       val samples = base.select(col("doc_id").as("sample_id"),
           col("text").as("img_text"), col("text").as("caption"))
-        .unionByName(base.select((col("doc_id") + 100000).as("sample_id"),
+        .unionByName(base.select(offsetLegId(col("doc_id"), 100000L)
+            .as("sample_id"),
           concat(col("text"), lit("x")).as("img_text"),
           concat(col("text"), lit("x")).as("caption")))
-        .unionByName(base.select((col("doc_id") + 200000).as("sample_id"),
+        .unionByName(base.select(offsetLegId(col("doc_id"), 200000L)
+            .as("sample_id"),
           reverse(col("text")).as("img_text"), col("text").as("caption")))
       Multimodal.crossModalDupAudit(samples, "sample_id", "img_text",
           "caption", maxHamming = 3, width = 10,
@@ -8337,10 +8354,12 @@ object SparkEntry {
         .select(col("doc_id"), col("text"), col("source"))
       val samples = base.select(col("doc_id").as("sample_id"),
           col("text").as("img_text"), col("text").as("caption"), col("source"))
-        .unionByName(base.select((col("doc_id") + 100000).as("sample_id"),
+        .unionByName(base.select(offsetLegId(col("doc_id"), 100000L)
+            .as("sample_id"),
           concat(col("text"), lit("x")).as("img_text"),
           concat(col("text"), lit("x")).as("caption"), col("source")))
-        .unionByName(base.select((col("doc_id") + 200000).as("sample_id"),
+        .unionByName(base.select(offsetLegId(col("doc_id"), 200000L)
+            .as("sample_id"),
           reverse(col("text")).as("img_text"), col("text").as("caption"),
           col("source")))
       Multimodal.pairedReleaseRun(samples, "sample_id", "img_text",
@@ -8449,13 +8468,16 @@ object SparkEntry {
         .select(col("doc_id").as("sample_id"),
           col("text").as("img_text"), col("text").as("caption"), col("source"))
       val third = base.where(col("doc_id") % 3 === 0)
-      val batch = third.select((col("doc_id") + 100000).as("sample_id"),
+      val batch = third.select(offsetLegId(col("doc_id"), 100000L)
+          .as("sample_id"),
           concat(col("text"), lit("x")).as("img_text"),
           concat(col("text"), lit("x")).as("caption"), col("source"))
-        .unionByName(third.select((col("doc_id") + 200000).as("sample_id"),
+        .unionByName(third.select(offsetLegId(col("doc_id"), 200000L)
+            .as("sample_id"),
           reverse(col("text")).as("img_text"), col("text").as("caption"),
           col("source")))
-        .unionByName(third.select((col("doc_id") + 300000).as("sample_id"),
+        .unionByName(third.select(offsetLegId(col("doc_id"), 300000L)
+            .as("sample_id"),
           upper(reverse(col("text"))).as("img_text"), col("text").as("caption"),
           col("source")))
       Multimodal.incrementalPairedRelease(corpus, batch, "sample_id",

@@ -272,7 +272,11 @@ object Clustering {
     require(seeds.nonEmpty, "cannot seed cells from an empty corpus")
     val dead = deletedIds.select(col(delIdCol).as("__did"),
       lit(1L).as("__dead")).distinct()
-    val hist = assignToCentroidArrays(emb, vecCol, idCol, seeds.toSeq)
+    // fanOut like every sibling vector scan (s41/s43/s44): a
+    // few-file parquet corpus otherwise runs the map-only assignment
+    // kernel on reader-determined parallelism (r12 advice)
+    val hist = assignToCentroidArrays(graft.ops.ScaleOps.fanOut(emb),
+      vecCol, idCol, seeds.toSeq)
       .select(col(idCol), col("cell"))
       .join(dead, col(idCol) === col("__did"), "left")
       .groupBy(col("cell"))

@@ -526,8 +526,16 @@ object Dedup {
     * must touch that prefix by pigeonhole), while the SUPER side
     * keeps FULL postings (its matching shingles can sit anywhere in
     * its set, so no super-side prefix bound exists without knowing
-    * the smallest sub size). LOSSLESS for containment ≥ τ — proven by
-    * the d41 hash match against the plain exact-pair oracle.
+    * the smallest sub size). LOSSLESS for containment ≥ τ ONLY at
+    * `maxPostings = None` (that exact configuration is what the d41
+    * hash match against the plain exact-pair oracle proves): the
+    * pigeonhole argument needs the super side's postings COMPLETE, so
+    * the capped default — kept for the 8 GiB-broadcast safety reason
+    * every sibling pair API shares — may silently drop a true pair
+    * whose only sub-prefix match runs through a hot (capped) shingle.
+    * Callers needing the exact directed join pass
+    * `maxPostings = None` explicitly and accept the worst-case
+    * posting fan-out.
     *
     * The 100 TB point, same as d40's: boilerplate (df ≈ N shingles)
     * ranks LAST in the rarity order and never enters any SUB prefix,

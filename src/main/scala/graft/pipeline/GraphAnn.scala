@@ -377,7 +377,14 @@ object GraphAnn {
     g.unpersist()
     val qframe = vecs.where(col("id").isin(queryIds: _*))
       .select(col("id").as("qid"), col("v").as("qv")).cache()
-    qframe.count(): Unit
+    // every requested query must exist in the corpus — without this
+    // the audit loop would fabricate (n_scored=0, recall=0) rows for
+    // absent ids while the SQL oracle's inner join omits them: a bad
+    // caller input must fail loudly, not diverge silently (r13 advice)
+    val nQ = qframe.count()
+    require(nQ == queryIds.distinct.size.toLong,
+      s"${queryIds.distinct.size - nQ} of ${queryIds.distinct.size} " +
+        s"query ids are absent from the corpus id column '$idCol'")
     // exact leg over the queries (the shared audit kernel)
     val exact = Similarity.exactTopKSelf(emb, vecCol, idCol,
       qframe.select(col("qid").as("src"), col("qv")), k).cache()
@@ -536,11 +543,20 @@ object GraphAnn {
       next.count(): Unit
       beam.unpersist(); beam = next; h += 1
     }
-    // CONNECT: each new vector's adjacency = its beam's best graphK
-    val newEdges = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
-      flat(beam).withColumn("rn", row_number().over(wQ))
-        .where(col("rn") <= graphK)
-        .select(col("qid").as("src"), col("dst"), col("cs")))
+    // CONNECT: each new vector's adjacency = its beam's best graphK.
+    // Materialized EAGERLY (cache + count) so the two loop caches
+    // the flat views hide from CacheScope can be dropped RIGHT HERE:
+    // beam reaches every downstream plan only as an RDD scan and und
+    // only through beam's lineage, so relationUses never sees their
+    // builders and a deferred release listener would never fire —
+    // they'd stay pinned for the whole server session (r13 advice).
+    val newEdges = flat(beam).withColumn("rn", row_number().over(wQ))
+      .where(col("rn") <= graphK)
+      .select(col("qid").as("src"), col("dst"), col("cs")).cache()
+    newEdges.count(): Unit
+    beam.unpersist()
+    und.unpersist()
+    org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUseExisting(newEdges)
     // audit (a): exact leg over the corpus, batch queries broadcast
     val exact = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(
       Similarity.exactTopKSelf(corpus, vecCol, idCol,
@@ -591,9 +607,10 @@ object GraphAnn {
         .select(lit("new_edges").as("metric"), col("ne").as("n"),
           lit(null).cast("double").as("x")))
     val out = countRows.unionByName(recallRow).unionByName(adoptionRows)
-    // release the loop caches after the caller's single execution
-    org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUseExisting(beam)
-    org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUseExisting(und)
+    // release the remaining caches after the caller's single
+    // execution (each appears in out's plan directly or through a
+    // cached frame's cachedPlan, so the listeners do fire; beam/und
+    // were unpersisted eagerly above — see the CONNECT note)
     org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUseExisting(qframe)
     org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUseExisting(vecs)
     org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUseExisting(bvecs)

@@ -400,6 +400,16 @@ object Pq {
   def adcSdcRecallCompare(emb: DataFrame, vecCol: String, idCol: String,
       queryIds: Seq[Long], k: Int, m: Int, ksub: Int): DataFrame = {
     require(queryIds.nonEmpty, "need at least one query id")
+    // SMALL-BATCH contract (r12 advice): each query contributes TWO
+    // unioned plan legs (adc + sdc), each with its own driver-built
+    // table collect — a large batch would build a 2·|queries|-leg
+    // plan with a driver round-trip per leg. This is a diagnostic
+    // comparator, not a serving path; batch serving is
+    // [[searchTopKBatch]] (one pass, per-query kernel columns).
+    require(queryIds.size <= 64,
+      s"adcSdcRecallCompare is a small-batch diagnostic (2 plan legs " +
+        s"+ 1 driver round-trip per query): got ${queryIds.size} " +
+        "queries, cap is 64 — use searchTopKBatch for batch serving")
     val books = seedCodebooks(emb, vecCol, idCol, m, ksub)
     val sub = books.head.head.length
     val encoded = org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUse(

@@ -369,4 +369,107 @@ class AdviceFixesSpec extends AnyFunSuite {
       numCells = 2, targetCandidates = 10L).collect()
     assert(full.length == 1 && full.head.getAs[Long]("n_possible") == 2L)
   }
+
+  // ---------------- round-13 advisory findings ----------------
+
+  test("graphAppendAudit releases every cache it pins (flat-view loop caches included)") {
+    import spark.implicits._
+    def vec(i: Int, n: Int): Seq[Float] = {
+      val a = 2 * math.Pi * i / n
+      Seq(math.cos(a).toFloat, math.sin(a).toFloat)
+    }
+    val corpus = (0 until 24).map(i => (i.toLong, vec(i, 40)))
+      .toDF("vec_id", "embedding")
+    val batch = (24 until 30).map(i => (i.toLong, vec(i, 40)))
+      .toDF("vec_id", "embedding")
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val out = graft.pipeline.GraphAnn.graphAppendAudit(corpus, batch,
+      "embedding", "vec_id", graphK = 3, buildRounds = 1, beamWidth = 6,
+      hops = 2)
+    assert(out.collect().nonEmpty)
+    // before the fix, the final beam and the undirected corpus graph
+    // stayed pinned for the session: they reach downstream plans only
+    // through flat LogicalRDD views, so CacheScope's relation scan
+    // can never see their builders — release must happen EAGERLY
+    // inside the operator. Listeners for the remaining scoped caches
+    // fire asynchronously: poll (DedupCacheLifecycleSpec discipline).
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    var leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    while (leaked.nonEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    }
+    assert(leaked.isEmpty,
+      s"graphAppendAudit left ${leaked.size} cached RDD block set(s): $leaked")
+  }
+
+  test("graphBeamSearch: an absent query id fails loudly, not as fabricated zero rows") {
+    import spark.implicits._
+    val emb = (0 until 10).map { i =>
+      val a = 2 * math.Pi * i / 10
+      (i.toLong, Seq(math.cos(a).toFloat, math.sin(a).toFloat))
+    }.toDF("vec_id", "embedding")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.pipeline.GraphAnn.graphBeamSearch(emb, "embedding", "vec_id",
+          queryIds = Seq(1L, 999L), k = 2, beamWidth = 4, graphK = 3,
+          buildRounds = 1, hops = 1)
+      }
+      assert(e.getMessage.contains("absent from the corpus"), e.getMessage)
+    } finally spark.catalog.clearCache() // the aborted call's scan cache
+    // present queries are unchanged: one row per (query, hop)
+    val ok = graft.pipeline.GraphAnn.graphBeamSearch(emb, "embedding",
+      "vec_id", queryIds = Seq(1L, 4L), k = 2, beamWidth = 4, graphK = 3,
+      buildRounds = 1, hops = 2).collect()
+    assert(ok.length == 4, ok.mkString(";"))
+  }
+
+  test("adcSdcRecallCompare: the small-batch diagnostic contract is enforced") {
+    import spark.implicits._
+    val emb = (0 until 4).map(i => (i.toLong, Seq.fill(16)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.Pq.adcSdcRecallCompare(emb, "embedding", "vec_id",
+        queryIds = (0L until 65L).toSeq, k = 2, m = 2, ksub = 2)
+    }
+    assert(e.getMessage.contains("cap is 64"), e.getMessage)
+  }
+
+  test("tombstoneCompactionReport fans out a narrow one-file scan like its siblings") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-adv-fanout").toFile.getAbsolutePath
+    (0 until 60).map { i =>
+      val a = 2 * math.Pi * i / 60
+      (i.toLong, Seq(math.cos(a).toFloat, math.sin(a).toFloat))
+    }.toDF("vec_id", "embedding").coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/emb")
+    val emb = spark.read.parquet(s"$dir/emb")
+    val deleted = Seq(3L, 7L).toDF("vec_id")
+    val rep = graft.pipeline.Clustering.tombstoneCompactionReport(
+      emb, "embedding", "vec_id", k = 4, deleted, "vec_id",
+      minLiveFrac = 0.5)
+    assert(rep.collect().length == 4)
+    // the r12 advice: the assignment scan must route through
+    // ScaleOps.fanOut — a one-file scan below cluster parallelism
+    // gets the round-robin spread every sibling vector op applies
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("roundrobinpartitioning"),
+      s"assignment scan not fanned out:\n${plan.take(3000)}")
+  }
+
+  test("m29/m30/m31 id-offset legs reject a corpus outside the fixture id band") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-adv-idband").toFile.getAbsolutePath
+    Seq((150000L, "hello world", "web"), (150001L, "other text", "web"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[Exception] {
+      SparkEntry.queries("m29_crossmodal_dup_audit")(spark, dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("fixture convention violated")),
+      messages(e).mkString(" | "))
+  }
 }
