@@ -89,6 +89,25 @@ object GraphAnn {
       .select(col("src"), col("dst"))
   }
 
+  /** FLAT LogicalRDD view over a cached Dataset — the iterative-loop
+    * plan-depth guard shared by every graph loop here (see
+    * [[nnDescentConverge]]'s note): the refine/hop steps reference
+    * their input several times, so a naive loop's ANALYZED plan grows
+    * exponentially in rounds (the plan string alone OOMs the driver —
+    * the m22 class); the flat view keeps the logical plan one step
+    * deep while a lost cache block still recomputes through the
+    * physical lineage.
+    */
+  private[pipeline] def flat(ds: DataFrame): DataFrame =
+    ds.sparkSession.createDataFrame(ds.asInstanceOf[
+      org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]].rdd,
+      ds.schema)
+
+  /** Undirected closure of a directed adjacency. */
+  private[pipeline] def undirected(g: DataFrame): DataFrame =
+    g.unionByName(g.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+
   /** One NN-DESCENT refinement round with a recall audit: seed a kNN
     * graph from IVF cell-mates (vectors in the same cell rank their
     * own cell's members — the cheap-but-myopic initialization: recall
@@ -253,16 +272,12 @@ object GraphAnn {
         (((col("src") - lit(mn)) + col("j")) % lit(n) + lit(mn)).as("dst"))
       .where(col("dst") =!= col("src"))
       .distinct()
-    // each round feeds the next through a FLAT LogicalRDD view over
-    // its cached RDD (the closure loop's pattern, Dedup.scala): the
-    // refine step references its input ~5×, so a naive loop's
-    // ANALYZED plan grows 5^rounds and the plan string alone OOMs the
-    // driver. The flat view keeps the logical plan one step deep; a
-    // lost cache block still recomputes through the physical lineage.
-    def flat(ds: DataFrame): DataFrame =
-      spark.createDataFrame(ds.asInstanceOf[
-        org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]].rdd,
-        ds.schema)
+    // each round feeds the next through the shared FLAT LogicalRDD
+    // view (the closure loop's pattern, Dedup.scala): the refine step
+    // references its input ~5×, so a naive loop's ANALYZED plan grows
+    // 5^rounds and the plan string alone OOMs the driver. The flat
+    // view keeps the logical plan one step deep; a lost cache block
+    // still recomputes through the physical lineage.
     val buf = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, Long, Long, Long, Double, Double, Long)]
     var cur = ring.cache()
@@ -290,14 +305,14 @@ object GraphAnn {
   }
 
   /** Ring init + `buildRounds` undirected NN-descent refinements,
-    * audit-free — the graph BUILD shared by [[graphBeamSearch]] and
-    * [[graphAppendAudit]]. Returns the cached directed edge frame
-    * (caller owns the unpersist); rounds feed through the caller's
-    * flat view to keep the analyzed plan one round deep.
+    * audit-free — the graph BUILD shared by [[graphBeamSearch]],
+    * [[graphAppendAudit]] and the persisted [[GraphIndex]]. Returns
+    * the cached directed edge frame (caller owns the unpersist);
+    * rounds feed through the flat view to keep the analyzed plan one
+    * round deep.
     */
-  private def buildRingGraph(vecs: DataFrame, n: Long, mn: Long,
-      graphK: Int, buildRounds: Int,
-      flat: DataFrame => DataFrame): DataFrame = {
+  private[pipeline] def buildRingGraph(vecs: DataFrame, n: Long, mn: Long,
+      graphK: Int, buildRounds: Int): DataFrame = {
     var g = vecs.select(col("id").as("src"))
       .select(col("src"),
         explode(sequence(lit(1), lit(math.min(graphK.toLong, n - 1L))))
@@ -331,6 +346,13 @@ object GraphAnn {
     * what makes the trajectory oracle-replayable); the per-hop rows
     * ARE the measurement of how many hops the budget needs.
     *
+    * This entry point BUILDS the graph in-query — the one-shot /
+    * diagnostic shape. Production serving loads a persisted
+    * [[GraphIndex]] instead ([[graphBeamSearchLoaded]]): the two
+    * produce bit-identical trajectories on the same build parameters
+    * (the edge set is deterministic; spec-pinned), the only
+    * difference is who pays for the build.
+    *
     * Monotonicity: each hop's beam is the top-`beamWidth` of a
     * candidate SUPERSET of the previous beam under the same total
     * order (cos desc, id asc), so beam quality — and therefore
@@ -350,12 +372,63 @@ object GraphAnn {
   def graphBeamSearch(emb: DataFrame, vecCol: String, idCol: String,
       queryIds: Seq[Long], k: Int, beamWidth: Int, graphK: Int,
       buildRounds: Int, hops: Int): DataFrame = {
-    require(k > 0 && beamWidth >= k, s"need beamWidth >= k > 0, " +
-      s"got k=$k beamWidth=$beamWidth")
-    require(graphK > 0 && buildRounds >= 0 && hops >= 1,
-      s"bad graphK=$graphK / buildRounds=$buildRounds / hops=$hops")
-    require(queryIds.nonEmpty, "no queries")
-    val spark = emb.sparkSession
+    require(graphK > 0 && buildRounds >= 0,
+      s"bad graphK=$graphK / buildRounds=$buildRounds")
+    val (vecs, n, mn) = servingVecs(emb, vecCol, idCol)
+    try {
+      // build: ring + R undirected rounds (the s45 loop, audit-free)
+      val g = buildRingGraph(vecs, n, mn, graphK, buildRounds)
+      // the serve loop is eager (one collect per hop), so the caches
+      // can drop in finally — the returned frame is driver-local rows
+      try beamServe(emb, vecCol, idCol, vecs, undirected(g), mn,
+        queryIds, k, beamWidth, hops, coarseEntryK = None)
+      finally g.unpersist()
+    } finally vecs.unpersist()
+  }
+
+  /** [[graphBeamSearch]] against a PERSISTED [[GraphIndex]] — the
+    * production serving read: no build job anywhere below this call,
+    * the adjacency comes off the index's parquet edge table. With the
+    * same (graphK, buildRounds) the trajectory is bit-identical to an
+    * in-query build (the edge set is deterministic — spec-pinned), so
+    * the only difference is WHO pays for the build: here it already
+    * ran as the index's nightly job.
+    *
+    * `coarseEntryK = Some(c)` switches the fixed min-id entry to
+    * HIERARCHICAL entry selection — the one-layer version of HNSW's
+    * upper-layer descent (Malkov & Yashunin §4, public literature):
+    * each query's walk starts at its best match among the first `c`
+    * vectors by id (the [[Clustering]] seed discipline — a
+    * deterministic, engine-portable coarse set), found by scoring
+    * just c candidates. A closer entry buys recall per hop while the
+    * selection itself stays O(|queries|·c), flat in N. The entry
+    * selection is AUDITED as hop 0: (n_scored = coarse candidates
+    * scored, the entry's own hit count against the exact leg) — so
+    * the output rows cover hops 0..hops instead of 1..hops.
+    *
+    * Staleness guard: the handle's recorded corpus stats (n, min id)
+    * and column names must match the frame being served — a corpus
+    * regenerated in place under an old index fails loudly here
+    * (complementing the caller's fingerprint keying of `dir`).
+    */
+  def graphBeamSearchLoaded(emb: DataFrame, vecCol: String, idCol: String,
+      handle: GraphIndex.Handle, queryIds: Seq[Long], k: Int,
+      beamWidth: Int, hops: Int,
+      coarseEntryK: Option[Int] = None): DataFrame = {
+    val (vecs, n, mn) = servingVecs(emb, vecCol, idCol)
+    try {
+      requireHandleMatches(handle, n, mn, idCol, vecCol)
+      beamServe(emb, vecCol, idCol, vecs,
+        undirected(GraphIndex.edges(emb.sparkSession, handle)), mn,
+        queryIds, k, beamWidth, hops, coarseEntryK)
+    } finally vecs.unpersist()
+  }
+
+  /** Shared serving prep: fanned-out (id, v) cache + the dense-id
+    * meta check every graph entry point needs.
+    */
+  private def servingVecs(emb: DataFrame, vecCol: String,
+      idCol: String): (DataFrame, Long, Long) = {
     val vecs = graft.ops.ScaleOps.fanOut(emb)
       .select(col(idCol).as("id"), col(vecCol).as("v")).cache()
     val meta = vecs.agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
@@ -364,17 +437,39 @@ object GraphAnn {
     require(n >= 2, "cannot search a graph over fewer than 2 vectors")
     require(mx - mn + 1L == n,
       s"ring init needs a dense id column: ids span [$mn,$mx] but count is $n")
-    def flat(ds: DataFrame): DataFrame =
-      spark.createDataFrame(ds.asInstanceOf[
-        org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]].rdd,
-        ds.schema)
-    // build: ring + R undirected rounds (the s45 loop, audit-free)
-    val g = buildRingGraph(vecs, n, mn, graphK, buildRounds, flat)
-    val und = g.unionByName(
-        g.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-      .cache()
+    (vecs, n, mn)
+  }
+
+  private def requireHandleMatches(handle: GraphIndex.Handle, n: Long,
+      mn: Long, idCol: String, vecCol: String): Unit = {
+    require(handle.idCol == idCol && handle.vecCol == vecCol,
+      s"graph index at ${handle.dir} was built over " +
+        s"(${handle.idCol}, ${handle.vecCol}), serving (${idCol}, ${vecCol})")
+    require(handle.n == n && handle.mn == mn,
+      s"graph index at ${handle.dir} was built over a different corpus: " +
+        s"index has n=${handle.n} min_id=${handle.mn}, the served frame " +
+        s"has n=$n min_id=$mn — re-key the index dir by corpus fingerprint")
+  }
+
+  /** The audited beam walk over an ALREADY-BUILT adjacency — the
+    * serving kernel shared by [[graphBeamSearch]] (in-query build)
+    * and [[graphBeamSearchLoaded]] (persisted index). Caches `undSrc`
+    * for the duration of the hop loop and releases every cache it
+    * pins before returning (the loop runs eagerly — one tiny collect
+    * per hop — so the returned frame is driver-local rows). `vecs`
+    * stays the caller's.
+    */
+  private def beamServe(emb: DataFrame, vecCol: String, idCol: String,
+      vecs: DataFrame, undSrc: DataFrame, mn: Long, queryIds: Seq[Long],
+      k: Int, beamWidth: Int, hops: Int,
+      coarseEntryK: Option[Int]): DataFrame = {
+    require(k > 0 && beamWidth >= k, s"need beamWidth >= k > 0, " +
+      s"got k=$k beamWidth=$beamWidth")
+    require(hops >= 1, s"bad hops=$hops")
+    require(queryIds.nonEmpty, "no queries")
+    val spark = emb.sparkSession
+    val und = undSrc.cache()
     und.count(): Unit
-    g.unpersist()
     val qframe = vecs.where(col("id").isin(queryIds: _*))
       .select(col("id").as("qid"), col("v").as("qv")).cache()
     // every requested query must exist in the corpus — without this
@@ -391,22 +486,62 @@ object GraphAnn {
     val possible = exact.groupBy(col("src"))
       .agg(count(lit(1)).as("n_possible")).collect()
       .map(rw => rw.getLong(0) -> rw.getLong(1)).toMap
-    // entry per query: the min-id vector; the NEXT id when the query
-    // is itself the entry (dense ids make it exist — n >= 2)
-    val entries = queryIds.distinct
-      .map(q => (q, if (q == mn) mn + 1L else mn))
-    var beam = spark.createDataFrame(entries).toDF("qid", "dst")
-      .join(vecs.select(col("id").as("dst"), col("v")), Seq("dst"))
-      .join(broadcast(qframe), Seq("qid"))
-      .withColumn("cs", Similarity.cosine(col("v"), col("qv")))
-      .select(col("qid"), col("dst"), col("cs")).cache()
-    beam.count(): Unit
     val wQ = Window.partitionBy(col("qid"))
       .orderBy(col("cs").desc, col("dst"))
     val buf = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, Long, Long, Long, Double)]
     def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    var beam = coarseEntryK match {
+      case None =>
+        // entry per query: the min-id vector; the NEXT id when the
+        // query is itself the entry (dense ids make it exist — n >= 2)
+        val entries = queryIds.distinct
+          .map(q => (q, if (q == mn) mn + 1L else mn))
+        val b0 = spark.createDataFrame(entries).toDF("qid", "dst")
+          .join(vecs.select(col("id").as("dst"), col("v")), Seq("dst"))
+          .join(broadcast(qframe), Seq("qid"))
+          .withColumn("cs", Similarity.cosine(col("v"), col("qv")))
+          .select(col("qid"), col("dst"), col("cs")).cache()
+        b0.count(): Unit
+        b0
+      case Some(ck) =>
+        require(ck >= 1, s"coarseEntryK must be >= 1, got $ck")
+        // hierarchical entry: score each query against the COARSE SET
+        // (the first ck vectors by id — the seed discipline) and
+        // enter at the argmax (ties to the smaller id, the global
+        // total order). |queries|·ck scores — flat in corpus size.
+        val coarse = vecs.where(col("id") < lit(mn + ck.toLong))
+          .select(col("id").as("dst"), col("v"))
+        val scored0 = qframe.crossJoin(broadcast(coarse))
+          .where(col("dst") =!= col("qid"))
+          .withColumn("cs", Similarity.cosine(col("v"), col("qv")))
+          .select(col("qid"), col("dst"), col("cs")).cache()
+        val b0 = scored0
+          .withColumn("rn", row_number().over(wQ))
+          .where(col("rn") === 1)
+          .select(col("qid"), col("dst"), col("cs")).cache()
+        // hop-0 audit: the entry-selection rows — candidates scored
+        // to pick the entry, and the entry's own hit count vs exact
+        val hit0 = b0.join(exact, col("qid") === col("src") &&
+            b0("dst") === exact("dst"))
+          .groupBy(col("qid")).agg(count(lit(1)).as("h"))
+        val c0 = scored0.groupBy(col("qid"))
+          .agg(count(lit(1)).as("c"))
+          .join(hit0, Seq("qid"), "left")
+          .collect()
+          .map(rw => rw.getLong(0) ->
+            (rw.getLong(1), if (rw.isNullAt(2)) 0L else rw.getLong(2)))
+          .toMap
+        scored0.unpersist()
+        queryIds.distinct.sorted.foreach { q =>
+          val p = possible.getOrElse(q, 0L)
+          val (sc, hh) = c0.getOrElse(q, (0L, 0L))
+          buf += ((q, 0L, sc, hh, p,
+            if (p == 0L) 0.0 else round6(hh.toDouble / p.toDouble)))
+        }
+        b0
+    }
     var h = 1
     while (h <= hops) {
       val frontier = flat(beam).select(col("qid"), col("dst").as("src"))
@@ -452,7 +587,7 @@ object GraphAnn {
       beam.unpersist(); beam = next; h += 1
     }
     beam.unpersist(); und.unpersist(); qframe.unpersist()
-    exact.unpersist(); vecs.unpersist()
+    exact.unpersist()
     spark.createDataFrame(buf.toSeq).toDF("query_id", "hop", "n_scored",
       "n_hits", "n_possible", "recall")
   }
@@ -486,11 +621,35 @@ object GraphAnn {
   def graphAppendAudit(corpus: DataFrame, batch: DataFrame,
       vecCol: String, idCol: String, graphK: Int, buildRounds: Int,
       beamWidth: Int, hops: Int): DataFrame = {
-    require(graphK > 0 && beamWidth >= graphK,
-      s"need beamWidth >= graphK > 0, got $graphK/$beamWidth")
-    require(buildRounds >= 0 && hops >= 1,
-      s"bad buildRounds=$buildRounds / hops=$hops")
-    val spark = corpus.sparkSession
+    require(buildRounds >= 0, s"bad buildRounds=$buildRounds")
+    val (vecs, n, mn) = appendVecs(corpus, vecCol, idCol)
+    // the standing graph, built in-query (the one-shot shape; the
+    // production append runs against a persisted index — see
+    // [[graphAppendAuditLoaded]])
+    val g = buildRingGraph(vecs, n, mn, graphK, buildRounds)
+    appendCore(corpus, batch, vecCol, idCol, vecs, g, mn, graphK,
+      beamWidth, hops)
+  }
+
+  /** [[graphAppendAudit]] against a PERSISTED [[GraphIndex]] — the
+    * production daily-ingest shape: the standing graph comes off the
+    * index's parquet edge table (graphK is the index's), no build job
+    * anywhere below this call. Same manifest, bit-identical to an
+    * in-query build with the handle's parameters (spec-pinned). The
+    * staleness guard matches [[graphBeamSearchLoaded]]'s.
+    */
+  def graphAppendAuditLoaded(corpus: DataFrame, batch: DataFrame,
+      vecCol: String, idCol: String, handle: GraphIndex.Handle,
+      beamWidth: Int, hops: Int): DataFrame = {
+    val (vecs, n, mn) = appendVecs(corpus, vecCol, idCol)
+    requireHandleMatches(handle, n, mn, idCol, vecCol)
+    appendCore(corpus, batch, vecCol, idCol, vecs,
+      GraphIndex.edges(corpus.sparkSession, handle), mn, handle.graphK,
+      beamWidth, hops)
+  }
+
+  private def appendVecs(corpus: DataFrame, vecCol: String,
+      idCol: String): (DataFrame, Long, Long) = {
     val vecs = graft.ops.ScaleOps.fanOut(corpus)
       .select(col(idCol).as("id"), col(vecCol).as("v")).cache()
     val meta = vecs.agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
@@ -499,6 +658,23 @@ object GraphAnn {
     require(n >= 2, "cannot append to a graph over fewer than 2 vectors")
     require(mx - mn + 1L == n,
       s"ring init needs a dense CORPUS id column: ids span [$mn,$mx], count $n")
+    (vecs, n, mn)
+  }
+
+  /** The search/connect/adopt/audit body shared by
+    * [[graphAppendAudit]] (in-query build, `g` cached) and
+    * [[graphAppendAuditLoaded]] (`g` a parquet scan). Owns the
+    * release of every cache it pins plus `vecs` and `g` (scoped to
+    * the caller's single execution where the plan can see them,
+    * dropped eagerly where it can't — see the CONNECT note).
+    */
+  private def appendCore(corpus: DataFrame, batch: DataFrame,
+      vecCol: String, idCol: String, vecs: DataFrame, g: DataFrame,
+      mn: Long, graphK: Int, beamWidth: Int, hops: Int): DataFrame = {
+    require(graphK > 0 && beamWidth >= graphK,
+      s"need beamWidth >= graphK > 0, got $graphK/$beamWidth")
+    require(hops >= 1, s"bad hops=$hops")
+    val spark = corpus.sparkSession
     val bvecs = batch.select(col(idCol).as("id"), col(vecCol).as("v")).cache()
     val nBatch = bvecs.count()
     require(nBatch > 0, "empty batch")
@@ -506,14 +682,7 @@ object GraphAnn {
     require(bvecs.select(col("id"))
       .join(vecs.select(col("id")), Seq("id")).limit(1).count() == 0L,
       "batch ids collide with corpus ids")
-    def flat(ds: DataFrame): DataFrame =
-      spark.createDataFrame(ds.asInstanceOf[
-        org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]].rdd,
-        ds.schema)
-    val g = buildRingGraph(vecs, n, mn, graphK, buildRounds, flat)
-    val und = g.unionByName(
-        g.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-      .cache()
+    val und = undirected(g).cache()
     und.count(): Unit
     val qframe = bvecs.select(col("id").as("qid"), col("v").as("qv")).cache()
     qframe.count(): Unit

@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{GraphAnn, GraphIndex}
+
+/** Round-20 operators: the persisted graph index (s49 lifecycle) and
+  * hierarchical coarse-entry beam search (s50).
+  */
+class Round20Spec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def embDf(n: Int = 60, dim: Int = 8, seed: Int = 7) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-gidx-$tag")
+      .toFile.getAbsolutePath
+
+  // ---------------- s49 persisted graph index ----------------
+
+  test("s49: the loaded-index beam trajectory is bit-identical to the in-query build") {
+    val emb = embDf(n = 80, seed = 31)
+    val fresh = GraphAnn.graphBeamSearch(emb, "embedding", "vec_id",
+      queryIds = Seq(3L, 11L, 42L), k = 4, beamWidth = 8, graphK = 5,
+      buildRounds = 2, hops = 3)
+      .orderBy("query_id", "hop").collect().toSeq
+    val h = GraphIndex.buildIfAbsent(emb, "embedding", "vec_id",
+      s"${tmpDir("s49")}/idx", graphK = 5, buildRounds = 2)
+    val loaded = GraphAnn.graphBeamSearchLoaded(emb, "embedding",
+      "vec_id", h, queryIds = Seq(3L, 11L, 42L), k = 4, beamWidth = 8,
+      hops = 3)
+      .orderBy("query_id", "hop").collect().toSeq
+    // every column including the round-6 recall doubles: the edge SET
+    // is deterministic, so serve-from-disk ≡ serve-from-build
+    assert(fresh == loaded,
+      s"trajectories diverged:\nfresh= $fresh\nloaded=$loaded")
+  }
+
+  test("s49: matching params reuse the persisted index; a param change or half-written dir rebuilds") {
+    val emb = embDf(n = 40, seed = 5)
+    val dir = s"${tmpDir("reuse")}/idx"
+    val h1 = GraphIndex.buildIfAbsent(emb, "embedding", "vec_id", dir,
+      graphK = 4, buildRounds = 1)
+    def edgeFiles: Set[(String, Long)] =
+      new java.io.File(s"$dir/edges").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    val before = edgeFiles
+    val h2 = GraphIndex.buildIfAbsent(emb, "embedding", "vec_id", dir,
+      graphK = 4, buildRounds = 1)
+    assert(h2 == h1)
+    assert(edgeFiles == before, "matching params must REUSE, not rebuild")
+    // a parameter change rebuilds in place (persisted meta comparison)
+    val h3 = GraphIndex.buildIfAbsent(emb, "embedding", "vec_id", dir,
+      graphK = 5, buildRounds = 1)
+    assert(h3.graphK == 5 && GraphIndex.open(spark, dir).graphK == 5)
+    // half-written index (edges present, meta gone — a killed build):
+    // must rebuild, never open
+    graft.pipeline.AnnIndex.deleteDirTree(s"$dir/meta")
+    val h4 = GraphIndex.buildIfAbsent(emb, "embedding", "vec_id", dir,
+      graphK = 5, buildRounds = 1)
+    assert(h4.graphK == 5 && GraphIndex.open(spark, dir).n == 40L)
+  }
+
+  test("s49: serving a different corpus against a handle fails loudly (staleness guard)") {
+    val emb = embDf(n = 40, seed = 9)
+    val h = GraphIndex.buildIfAbsent(emb, "embedding", "vec_id",
+      s"${tmpDir("stale")}/idx", graphK = 4, buildRounds = 1)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        GraphAnn.graphBeamSearchLoaded(embDf(n = 50, seed = 9),
+          "embedding", "vec_id", h, queryIds = Seq(1L), k = 2,
+          beamWidth = 4, hops = 1)
+      }
+      assert(e.getMessage.contains("different corpus"), e.getMessage)
+    } finally spark.catalog.clearCache()
+  }
+
+  test("s48 loaded: append against the persisted graph matches the in-query build") {
+    val emb = embDf(n = 70, seed = 13)
+    val corpus = emb.where(col("vec_id") < 56)
+    val batch = emb.where(col("vec_id") >= 56)
+    val fresh = GraphAnn.graphAppendAudit(corpus, batch, "embedding",
+      "vec_id", graphK = 4, buildRounds = 1, beamWidth = 8, hops = 2)
+      .orderBy("metric").collect().toSeq
+    val h = GraphIndex.buildIfAbsent(corpus, "embedding", "vec_id",
+      s"${tmpDir("append")}/idx", graphK = 4, buildRounds = 1)
+    val loaded = GraphAnn.graphAppendAuditLoaded(corpus, batch,
+      "embedding", "vec_id", h, beamWidth = 8, hops = 2)
+      .orderBy("metric").collect().toSeq
+    assert(fresh == loaded,
+      s"append manifests diverged:\nfresh= $fresh\nloaded=$loaded")
+  }
+
+  test("loaded serve releases every cache it pins (no standing-index session leak)") {
+    val emb = embDf(n = 50, seed = 3)
+    val h = GraphIndex.buildIfAbsent(emb, "embedding", "vec_id",
+      s"${tmpDir("life")}/idx", graphK = 4, buildRounds = 1)
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val out = GraphAnn.graphBeamSearchLoaded(emb, "embedding", "vec_id",
+      h, queryIds = Seq(2L, 17L), k = 3, beamWidth = 6, hops = 2)
+    assert(out.collect().length == 4)
+    // beamServe drops its caches eagerly (the loop is eager), so no
+    // polling needed beyond a grace pass for the listener-free path
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    var leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    while (leaked.nonEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    }
+    assert(leaked.isEmpty, s"loaded serve leaked cache ids $leaked")
+  }
+
+  // ---------------- s50 hierarchical (coarse) entry ----------------
+
+  test("s50: hop-0 audit rows count the coarse scoring; recall is monotone from hop 0") {
+    val emb = embDf(n = 80, seed = 57)
+    val h = GraphIndex.buildIfAbsent(emb, "embedding", "vec_id",
+      s"${tmpDir("coarse")}/idx", graphK = 5, buildRounds = 2)
+    val out = GraphAnn.graphBeamSearchLoaded(emb, "embedding", "vec_id",
+      h, queryIds = Seq(7L, 33L), k = 4, beamWidth = 8, hops = 3,
+      coarseEntryK = Some(8))
+      .orderBy("query_id", "hop").collect()
+    assert(out.length == 2 * 4, s"expected hops 0..3 per query: ${out.length}")
+    // hop-0 n_scored = |coarse \ {query}|: query 7 is INSIDE the
+    // coarse set (ids 0..7), query 33 is not
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ(7L).head.getAs[Long]("n_scored") == 7L)
+    assert(byQ(33L).head.getAs[Long]("n_scored") == 8L)
+    byQ.values.foreach { rows =>
+      rows.sortBy(_.getAs[Long]("hop")).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Double]("recall") >= a.getAs[Double]("recall"),
+            "beam over a candidate superset cannot lose recall")
+        case _ =>
+      }
+    }
+  }
+
+  test("s50: the entry is the coarse argmax (a query cloned from a coarse vector enters there)") {
+    import spark.implicits._
+    // query 20 is an exact clone of coarse vector 5 ⇒ entry must be 5
+    // and the hop-0 beam top-k already contains the exact top-1
+    val rnd = new scala.util.Random(21)
+    val base = (0 until 20).map { i =>
+      (i.toLong, Array.fill(6)(rnd.nextGaussian().toFloat))
+    }
+    val emb = (base :+ (20L, base(5)._2.clone()))
+      .toDF("vec_id", "embedding")
+    val h = GraphIndex.buildIfAbsent(emb, "embedding", "vec_id",
+      s"${tmpDir("argmax")}/idx", graphK = 3, buildRounds = 1)
+    val out = GraphAnn.graphBeamSearchLoaded(emb, "embedding", "vec_id",
+      h, queryIds = Seq(20L), k = 2, beamWidth = 4, hops = 1,
+      coarseEntryK = Some(8))
+      .orderBy("hop").collect()
+    val hop0 = out.head
+    assert(hop0.getAs[Long]("hop") == 0L)
+    // the entry (vector 5, cosine 1.0 with the query) IS the exact
+    // top-1, so the single-node hop-0 beam scores one hit
+    assert(hop0.getAs[Long]("n_hits") == 1L, hop0.toString)
+  }
+
+  test("s50: coarse entry reaches at-least the min-id entry's recall at an equal hop budget") {
+    val emb = embDf(n = 120, dim = 8, seed = 77)
+    val h = GraphIndex.buildIfAbsent(emb, "embedding", "vec_id",
+      s"${tmpDir("budget")}/idx", graphK = 5, buildRounds = 2)
+    val qids = Seq(10L, 55L, 99L)
+    def finalRecallSum(coarse: Option[Int]): Double =
+      GraphAnn.graphBeamSearchLoaded(emb, "embedding", "vec_id", h,
+        queryIds = qids, k = 4, beamWidth = 8, hops = 2,
+        coarseEntryK = coarse)
+        .where(col("hop") === 2).collect()
+        .map(_.getAs[Double]("recall")).sum
+    val minId = finalRecallSum(None)
+    val hier = finalRecallSum(Some(12))
+    assert(hier >= minId,
+      s"coarse entry lost recall at equal hops: $hier < $minId")
+  }
+}
