@@ -8747,15 +8747,38 @@ object SparkEntry {
         auditMod = 4L, epsilon = 0.02, maxRounds = s45MaxRounds)
       .orderBy(col("round_no")))
 
-  // GRAPH BEAM SEARCH — the graph-ANN family's SERVING read (the
-  // HNSW-class best-first loop): ring + 3 undirected NN-descent
-  // rounds at degree 10 build the graph, then each query walks it
-  // from the min-id entry, beam 20, 5 fixed hops, recall@5 audited
-  // per hop against the exact leg — the per-hop rows show the
-  // trajectory a latency budget buys. Oracle replays the build (the
-  // s45 CTEs at degree 10), the per-hop frontier expansion,
-  // rescoring, beam cuts, and both counters.
-  private def s47HopSql(h: Int): String = {
+  // GRAPH BEAM SEARCH family — the graph-ANN SERVING reads (the
+  // HNSW-class best-first loop), all running against the PERSISTED
+  // GraphIndex (the s15 lifecycle: first invocation per (corpus
+  // fingerprint, params) builds and persists the NN-descent edge
+  // table to the JVM tmpdir; every later invocation — and every
+  // query in a serving session — loads it, so s47/s49/s50 share ONE
+  // standing index and s45 remains the declared build measurement).
+  // The loaded trajectory is bit-identical to an in-query build
+  // (Round20Spec), so the oracles still replay the build CTEs: the
+  // graph's content is part of each result's definition, regardless
+  // of which side of the persist boundary computed it.
+  private def graphIdxHandle(s: SparkSession, dir: String,
+      corpus: DataFrame, graphK: Int, buildRounds: Int,
+      tag: String): graft.pipeline.GraphIndex.Handle = {
+    // cache key = corpus FINGERPRINT (path + mtime + size), the s15
+    // discipline: the test corpus is regenerated in place between
+    // rounds and a path-keyed index would serve stale edges
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val key = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        s"$dir|${src.lastModified()}|${src.length()}|$tag|gk$graphK|r$buildRounds")
+        .toLong & 0xffffffffL)
+    graft.pipeline.GraphIndex.openOrBuildCached(s"graph-$key", corpus,
+      "embedding", "vec_id",
+      s"${System.getProperty("java.io.tmpdir")}/graft-gidx-$key",
+      graphK, buildRounds)
+  }
+
+  // one audited hop of the oracle's beam walk: frontier expansion
+  // over the undirected edges, exact rescoring, beam cut, and the
+  // two per-(query, hop) counters
+  private def beamHopSql(h: Int, beam: Int, k: Int): String = {
     val bmPrev = if (h == 1) "bm0" else s"bm${h - 1}"
     s"""
     hcd$h AS MATERIALIZED (SELECT qid, dst FROM (
@@ -8772,14 +8795,14 @@ object SparkEntry {
     bm$h AS MATERIALIZED (SELECT qid, dst, cs FROM (
         SELECT qid, dst, cs,
           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, dst) AS rn
-        FROM hsc$h) WHERE rn <= 20),
+        FROM hsc$h) WHERE rn <= $beam),
     ns$h AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_scored
       FROM hsc$h GROUP BY qid),
     hh$h AS (SELECT t.qid,
         CAST(COALESCE(SUM(CASE WHEN ex.src IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits
       FROM (SELECT qid, dst FROM (
           SELECT qid, dst, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, dst) AS rn
-          FROM bm$h) WHERE rn <= 5) t
+          FROM bm$h) WHERE rn <= $k) t
       LEFT JOIN ex ON ex.src = t.qid AND ex.dst = t.dst
       GROUP BY t.qid),
     row$h AS (SELECT ns$h.qid AS query_id, CAST($h AS BIGINT) AS hop,
@@ -8788,42 +8811,137 @@ object SparkEntry {
       FROM ns$h JOIN hh$h ON hh$h.qid = ns$h.qid
         JOIN ps ON ps.src = ns$h.qid),"""
   }
-  private val s47Hops = 5
-  private val s47 = Q("s47_graph_beam_search", Some(s"""
+
+  // full beam-search oracle: NN-descent build CTEs (ring at degree
+  // gk + rounds undirected refinements), exact leg over the query
+  // batch, entry selection (min-id, or argmax over the first
+  // coarseK ids with a hop-0 audit row), then the audited hops
+  private def beamSearchOracleSql(qids: Seq[Long], k: Int, beam: Int,
+      gk: Int, rounds: Int, hops: Int,
+      coarseK: Option[Int] = None): String = {
+    val inList = qids.mkString(", ")
+    val entrySql = coarseK match {
+      case None => s"""
+    bm0 AS MATERIALIZED (SELECT q.qid,
+        CASE WHEN q.qid = m.mn THEN m.mn + 1 ELSE m.mn END AS dst
+      FROM qv q, meta m),"""
+      case Some(ck) => s"""
+    sc0 AS MATERIALIZED (SELECT q.vec_id AS qid, e.vec_id AS dst,
+        list_sum(list_transform(generate_series(1, len(e.embedding)),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+        / (e.nm * q.nm) AS cs
+      FROM nrm q, meta m, nrm e
+      WHERE q.vec_id IN ($inList)
+        AND e.vec_id < m.mn + $ck AND e.vec_id <> q.vec_id),
+    bm0 AS MATERIALIZED (SELECT qid, dst, cs FROM (
+        SELECT qid, dst, cs,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, dst) AS rn
+        FROM sc0) WHERE rn = 1),
+    ns0 AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_scored
+      FROM sc0 GROUP BY qid),
+    hh0 AS (SELECT t.qid,
+        CAST(COALESCE(SUM(CASE WHEN ex.src IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits
+      FROM (SELECT qid, dst FROM (
+          SELECT qid, dst, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, dst) AS rn
+          FROM bm0) WHERE rn <= $k) t
+      LEFT JOIN ex ON ex.src = t.qid AND ex.dst = t.dst
+      GROUP BY t.qid),
+    row0 AS (SELECT ns0.qid AS query_id, CAST(0 AS BIGINT) AS hop,
+        n_scored, n_hits, ps.n_possible,
+        ROUND(CAST(n_hits AS DOUBLE) / CAST(ps.n_possible AS DOUBLE), 6) AS recall
+      FROM ns0 JOIN hh0 ON hh0.qid = ns0.qid
+        JOIN ps ON ps.src = ns0.qid),"""
+    }
+    val firstRow = if (coarseK.isDefined) 0 else 1
+    s"""
     WITH nrm AS MATERIALIZED (SELECT vec_id, embedding,
         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nm
       FROM embeddings),
     meta AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(vec_id) AS mn FROM embeddings),
     n0 AS MATERIALIZED (SELECT DISTINCT e.vec_id AS src,
         ((e.vec_id - mn + j) % n) + mn AS dst
-      FROM embeddings e, meta, generate_series(1, 10) AS t(j)
+      FROM embeddings e, meta, generate_series(1, $gk) AS t(j)
       WHERE j <= n - 1 AND ((e.vec_id - mn + j) % n) + mn <> e.vec_id),
-    ${(1 to 3).map(r => s45RoundSql(r, gk = 10)).mkString("")}
-    und AS MATERIALIZED (SELECT src, dst FROM n3 UNION SELECT dst, src FROM n3),
-    qv AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id IN (1, 2, 3)),
+    ${(1 to rounds).map(r => s45RoundSql(r, gk = gk)).mkString("")}
+    und AS MATERIALIZED (SELECT src, dst FROM n$rounds UNION SELECT dst, src FROM n$rounds),
+    qv AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id IN ($inList)),
     ce AS (SELECT q.vec_id AS src, b.vec_id AS dst,
         list_sum(list_transform(generate_series(1, len(q.embedding)),
           i -> CAST(q.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
         / (q.nm * b.nm) AS cs
       FROM nrm q JOIN nrm b ON b.vec_id <> q.vec_id
-      WHERE q.vec_id IN (1, 2, 3)),
+      WHERE q.vec_id IN ($inList)),
     ex AS MATERIALIZED (SELECT src, dst FROM (
         SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rn
-        FROM ce) WHERE rn <= 5),
+        FROM ce) WHERE rn <= $k),
     ps AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n_possible FROM ex GROUP BY src),
-    bm0 AS MATERIALIZED (SELECT q.qid,
-        CASE WHEN q.qid = m.mn THEN m.mn + 1 ELSE m.mn END AS dst
-      FROM qv q, meta m),
-    ${(1 to s47Hops).map(s47HopSql).mkString("")}
-    final_rows AS (${(1 to s47Hops).map(h => s"SELECT * FROM row$h")
+    $entrySql
+    ${(1 to hops).map(h => beamHopSql(h, beam, k)).mkString("")}
+    final_rows AS (${(firstRow to hops).map(h => s"SELECT * FROM row$h")
       .mkString("\n      UNION ALL ")})
     SELECT query_id, hop, n_scored, n_hits, n_possible, recall
-    FROM final_rows ORDER BY query_id, hop"""),
-    (s, dir) => graft.pipeline.GraphAnn.graphBeamSearch(
-        T(s, dir, "embeddings"), "embedding", "vec_id",
-        queryIds = Seq(1L, 2L, 3L), k = 5, beamWidth = 20, graphK = 10,
-        buildRounds = 3, hops = s47Hops)
-      .orderBy(col("query_id"), col("hop")))
+    FROM final_rows ORDER BY query_id, hop"""
+  }
+
+  private val s47Hops = 5
+  // s47: the one-index-many-reads family's first read — min-id entry,
+  // beam 20, 5 fixed hops, recall@5 audited per hop against the exact
+  // leg; the per-hop rows show the trajectory a latency budget buys.
+  private val s47 = Q("s47_graph_beam_search",
+    Some(beamSearchOracleSql(Seq(1L, 2L, 3L), k = 5, beam = 20, gk = 10,
+      rounds = 3, hops = s47Hops)),
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val h = graphIdxHandle(s, dir, emb, graphK = 10, buildRounds = 3,
+        tag = "full")
+      graft.pipeline.GraphAnn.graphBeamSearchLoaded(emb, "embedding",
+          "vec_id", h, queryIds = Seq(1L, 2L, 3L), k = 5, beamWidth = 20,
+          hops = s47Hops)
+        .orderBy(col("query_id"), col("hop"))
+    })
+
+  // GRAPH INDEX SEARCH (s49) — the persist/load lifecycle read: a
+  // DIFFERENT query batch served from the SAME standing index as s47
+  // (registry hit — zero build work in this query), at a tighter
+  // serving budget (beam 16, 4 hops). This is the production profile:
+  // one nightly build, many reads with their own parameters. The
+  // oracle replays the identical build CTEs — the persist boundary is
+  // invisible to the result's definition (Round20Spec pins
+  // loaded == fresh bit-identity).
+  private val s49 = Q("s49_graph_index_search",
+    Some(beamSearchOracleSql(Seq(5L, 8L, 13L), k = 5, beam = 16, gk = 10,
+      rounds = 3, hops = 4)),
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val h = graphIdxHandle(s, dir, emb, graphK = 10, buildRounds = 3,
+        tag = "full")
+      graft.pipeline.GraphAnn.graphBeamSearchLoaded(emb, "embedding",
+          "vec_id", h, queryIds = Seq(5L, 8L, 13L), k = 5, beamWidth = 16,
+          hops = 4)
+        .orderBy(col("query_id"), col("hop"))
+    })
+
+  // GRAPH COARSE-ENTRY SEARCH (s50) — hierarchical entry selection
+  // over the same standing index (the one-layer version of HNSW's
+  // upper-layer descent): each query enters at its best match among
+  // the first 16 vectors by id (the seed discipline) instead of the
+  // fixed min-id vector; the selection is audited as hop 0
+  // (n_scored = coarse candidates, the entry's own hits vs exact).
+  // Same hop budget as s47, so the hop-for-hop rows measure what a
+  // closer entry buys; Round20Spec pins recall >= s47's at equal
+  // hops. Entry cost is |queries| x 16 scores — flat in corpus size.
+  private val s50 = Q("s50_graph_coarse_entry",
+    Some(beamSearchOracleSql(Seq(1L, 2L, 3L), k = 5, beam = 20, gk = 10,
+      rounds = 3, hops = s47Hops, coarseK = Some(16))),
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val h = graphIdxHandle(s, dir, emb, graphK = 10, buildRounds = 3,
+        tag = "full")
+      graft.pipeline.GraphAnn.graphBeamSearchLoaded(emb, "embedding",
+          "vec_id", h, queryIds = Seq(1L, 2L, 3L), k = 5, beamWidth = 20,
+          hops = s47Hops, coarseEntryK = Some(16))
+        .orderBy(col("query_id"), col("hop"))
+    })
 
   // GRAPH INDEX APPEND — the graph family's daily-ingest move (the
   // HNSW insert): the last 20% of the id range arrives as a batch
@@ -8916,10 +9034,14 @@ object SparkEntry {
     (s, dir) => {
       val emb = T(s, dir, "embeddings")
       val thr = 4L * (emb.agg(max(col("vec_id"))).head().getLong(0) + 1L) / 5L
-      graft.pipeline.GraphAnn.graphAppendAudit(
+      // the standing 80%-corpus graph is a PERSISTED index (its own
+      // fingerprint-keyed dir — the corpus differs from s47's), so
+      // the declared append pays only search + connect + adoption
+      val h = graphIdxHandle(s, dir, emb.where(col("vec_id") < thr),
+        graphK = 5, buildRounds = 2, tag = "c80")
+      graft.pipeline.GraphAnn.graphAppendAuditLoaded(
           emb.where(col("vec_id") < thr), emb.where(col("vec_id") >= thr),
-          "embedding", "vec_id", graphK = 5, buildRounds = 2,
-          beamWidth = 10, hops = 3)
+          "embedding", "vec_id", h, beamWidth = 10, hops = 3)
         .orderBy(col("metric"))
     })
 
@@ -9123,7 +9245,7 @@ object SparkEntry {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
     d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
-    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38, s39, s40, s41, s42, s43, s44, s45, s46, s47, s48,
+    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38, s39, s40, s41, s42, s43, s44, s45, s46, s47, s48, s49, s50,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
     t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45,

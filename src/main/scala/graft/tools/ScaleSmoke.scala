@@ -678,6 +678,43 @@ object ScaleSmoke {
           "embedding", "vec_id", graphK = 5, buildRounds = 1,
           beamWidth = 10, hops = 3)
           .collect().length.toLong }
+      // persisted-index lifecycle (round 20): the nightly BUILD row
+      // grows with the corpus (the s45 per-round shape + one edge
+      // write), while the LOADED serve rows stay hop-/batch-bound —
+      // the split that makes graph serving viable at 100 TB
+      val gidxDir = java.nio.file.Files.createTempDirectory(
+        s"graft-smoke-gidx").toFile.getAbsolutePath + "/idx"
+      lazy val gidxHandle = graft.pipeline.GraphIndex.build(emb,
+        "embedding", "vec_id", gidxDir, graphK = 10, buildRounds = 2)
+      time("s49a graphIndex build+persist") {
+        spark.read.parquet(s"${gidxHandle.dir}/edges").count() }
+      time("s49b graphBeamSearchLoaded") {
+        graft.pipeline.GraphAnn.graphBeamSearchLoaded(emb, "embedding",
+          "vec_id", gidxHandle, queryIds = Seq(5L, 8L, 13L), k = 5,
+          beamWidth = 16, hops = 4).collect().length.toLong }
+      time("s50 coarseEntryLoaded") {
+        graft.pipeline.GraphAnn.graphBeamSearchLoaded(emb, "embedding",
+          "vec_id", gidxHandle, queryIds = Seq(1L, 2L, 3L), k = 5,
+          beamWidth = 20, hops = 3, coarseEntryK = Some(16))
+          .collect().length.toLong }
+      // build OUTSIDE the timer (lazy, forced on first touch): the
+      // row must measure the loaded append alone, not the nightly
+      lazy val h48 = {
+        val cut = emb.agg(max(col("vec_id"))).head().getLong(0) * 4L / 5L
+        val d48 = java.nio.file.Files.createTempDirectory(
+          s"graft-smoke-gidx48").toFile.getAbsolutePath + "/idx"
+        (cut, graft.pipeline.GraphIndex.build(
+          emb.where(col("vec_id") <= cut), "embedding", "vec_id", d48,
+          graphK = 5, buildRounds = 1))
+      }
+      if (only.isEmpty ||
+        only.exists("s48b graphAppendAuditLoaded".contains)) { h48; () }
+      time("s48b graphAppendAuditLoaded") {
+        val (cut, h) = h48
+        graft.pipeline.GraphAnn.graphAppendAuditLoaded(
+          emb.where(col("vec_id") <= cut), emb.where(col("vec_id") > cut),
+          "embedding", "vec_id", h, beamWidth = 10, hops = 3)
+          .collect().length.toLong }
       time("s46 indexMaintenanceRun") {
         graft.pipeline.Clustering.indexMaintenanceRun(
           emb.where(col("vec_id") % 7 =!= 6), emb.where(col("vec_id") % 7 === 6),

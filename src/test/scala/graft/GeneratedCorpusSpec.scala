@@ -272,6 +272,12 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     // s47's whole hop trajectory (build, frontier, beam cuts,
     // per-hop counters) must replay on arbitrary vectors
     "s47_graph_beam_search",
+    // s49/s50 serve the PERSISTED index (fingerprint-keyed to this
+    // generated corpus, so the replay exercises a fresh build+load):
+    // the load boundary and the coarse-entry hop-0 audit must replay
+    // on arbitrary vectors
+    "s49_graph_index_search",
+    "s50_graph_coarse_entry",
     // s48 composes the s47 search with the connect cut and the
     // adoption rank — the whole insert trajectory must replay
     "s48_graph_append")
