@@ -67,13 +67,30 @@ Test / testGrouping := {
   val slow = Set("graft.GeneratedCorpusSpec", "graft.DifferentialFuzzSpec",
     "graft.ProcessorFuzzSpec", "graft.IndexLifecycleFuzzSpec",
     "graft.DedupCacheLifecycleSpec", "graft.Round10CrossEngineFuzzSpec")
+  // round-20 rebalance: the fast block outgrew the slow one (the
+  // per-operator RoundNSpecs are ~half its wall of real Spark
+  // actions), so the gate now runs THREE concurrent JVMs — slow
+  // replay, the RoundNSpec block, and everything else. The RoundN
+  // suites are pure-computation (SparkFixture + per-test temp dirs):
+  // none binds a port or writes spark-warehouse, so the co-residency
+  // rule below is preserved — port-binding / warehouse-writing suites
+  // all remain together in the "fast" group.
   val opts = ForkOptions()
     .withWorkingDirectory(Option((Test / baseDirectory).value))
     .withRunJVMOptions((Test / javaOptions).value.toVector)
-  val (s, f) = (Test / definedTests).value.partition(t => slow(t.name))
-  Seq(Tests.Group("slow-replay", s, Tests.SubProcess(opts)),
+  val (s, rest) = (Test / definedTests).value.partition(t => slow(t.name))
+  val (r, f) = rest.partition(t => t.name.matches("""graft\.Round\d+Spec"""))
+  // the slow block itself is split: the two oracle-replay suites
+  // (~6 min serial) beside the four fuzz/lifecycle suites (~6 min) —
+  // measured round 20, when the single slow JVM spanned the whole
+  // 12-min wall
+  val replayA = Set("graft.DifferentialFuzzSpec", "graft.GeneratedCorpusSpec")
+  val (sa, sb) = s.partition(t => replayA(t.name))
+  Seq(Tests.Group("slow-replay-a", sa, Tests.SubProcess(opts)),
+    Tests.Group("slow-replay-b", sb, Tests.SubProcess(opts)),
+    Tests.Group("round-ops", r, Tests.SubProcess(opts)),
     Tests.Group("fast", f, Tests.SubProcess(opts)))
 }
 Global / concurrentRestrictions := Seq(
-  Tags.limit(Tags.ForkedTestGroup, 2),
+  Tags.limit(Tags.ForkedTestGroup, 4),
   Tags.limitAll(8))

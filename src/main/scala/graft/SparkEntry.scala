@@ -8943,6 +8943,168 @@ object SparkEntry {
         .orderBy(col("query_id"), col("hop"))
     })
 
+  // GRAPH TOMBSTONE SEARCH (s52) — the s43 over-fetch discipline on
+  // the graph index: tombstones (vec_id %9 = 5, the s46 convention)
+  // still ROUTE the walk (HNSW practice — deleted nodes keep their
+  // edges until the repair job) but are filtered from results; plain
+  // top-k loses recall silently, over-fetch (2k, filter, truncate)
+  // recovers it — both graded from ONE walk against exact-over-LIVE.
+  // Oracle replays the build, the hop walk, both strategy cuts, and
+  // the live exact leg.
+  private val s52 = Q("s52_graph_tombstone_search", Some(s"""
+    WITH nrm AS MATERIALIZED (SELECT vec_id, embedding,
+        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nm
+      FROM embeddings),
+    meta AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(vec_id) AS mn FROM embeddings),
+    n0 AS MATERIALIZED (SELECT DISTINCT e.vec_id AS src,
+        ((e.vec_id - mn + j) % n) + mn AS dst
+      FROM embeddings e, meta, generate_series(1, 10) AS t(j)
+      WHERE j <= n - 1 AND ((e.vec_id - mn + j) % n) + mn <> e.vec_id),
+    ${(1 to 3).map(r => s45RoundSql(r, gk = 10)).mkString("")}
+    und AS MATERIALIZED (SELECT src, dst FROM n3 UNION SELECT dst, src FROM n3),
+    del AS MATERIALIZED (SELECT vec_id AS id FROM embeddings WHERE vec_id % 9 = 5),
+    qv AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id IN (1, 2, 3)),
+    ce AS (SELECT q.vec_id AS src, b.vec_id AS dst,
+        list_sum(list_transform(generate_series(1, len(q.embedding)),
+          i -> CAST(q.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        / (q.nm * b.nm) AS cs
+      FROM nrm q JOIN nrm b ON b.vec_id <> q.vec_id
+      WHERE q.vec_id IN (1, 2, 3)
+        AND b.vec_id NOT IN (SELECT id FROM del)),
+    ex AS MATERIALIZED (SELECT src, dst FROM (
+        SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rn
+        FROM ce) WHERE rn <= 5),
+    ps AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS p FROM ex GROUP BY src),
+    bm0 AS MATERIALIZED (SELECT q.qid,
+        CASE WHEN q.qid = m.mn THEN m.mn + 1 ELSE m.mn END AS dst
+      FROM qv q, meta m),
+    ${(1 to 5).map(h => beamHopSql(h, beam = 20, k = 5)).mkString("")}
+    fb AS MATERIALIZED (SELECT qid, dst, cs,
+        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, dst) AS rn
+      FROM bm5),
+    pl AS (SELECT qid, dst FROM fb
+      WHERE rn <= 5 AND dst NOT IN (SELECT id FROM del)),
+    ov AS (SELECT qid, dst FROM (
+        SELECT qid, dst,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, dst) AS lr
+        FROM fb WHERE rn <= 10 AND dst NOT IN (SELECT id FROM del))
+      WHERE lr <= 5),
+    plc AS (SELECT ql.qid, CAST(COUNT(p.dst) AS BIGINT) AS n_returned,
+        CAST(COALESCE(SUM(CASE WHEN ex.src IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits
+      FROM qv ql LEFT JOIN pl p ON p.qid = ql.qid
+        LEFT JOIN ex ON ex.src = p.qid AND ex.dst = p.dst
+      GROUP BY ql.qid),
+    ovc AS (SELECT ql.qid, CAST(COUNT(p.dst) AS BIGINT) AS n_returned,
+        CAST(COALESCE(SUM(CASE WHEN ex.src IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits
+      FROM qv ql LEFT JOIN ov p ON p.qid = ql.qid
+        LEFT JOIN ex ON ex.src = p.qid AND ex.dst = p.dst
+      GROUP BY ql.qid)
+    SELECT qid AS query_id, 'plain' AS strategy, n_returned, n_hits,
+      CAST(COALESCE(ps.p, 0) AS BIGINT) AS n_possible,
+      CASE WHEN COALESCE(ps.p, 0) = 0 THEN 0.0
+        ELSE ROUND(CAST(n_hits AS DOUBLE) / CAST(ps.p AS DOUBLE), 6) END AS recall
+    FROM plc LEFT JOIN ps ON ps.src = plc.qid
+    UNION ALL
+    SELECT qid, 'overfetch', n_returned, n_hits,
+      CAST(COALESCE(ps.p, 0) AS BIGINT),
+      CASE WHEN COALESCE(ps.p, 0) = 0 THEN 0.0
+        ELSE ROUND(CAST(n_hits AS DOUBLE) / CAST(ps.p AS DOUBLE), 6) END
+    FROM ovc LEFT JOIN ps ON ps.src = ovc.qid
+    ORDER BY query_id, strategy"""),
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val h = graphIdxHandle(s, dir, emb, graphK = 10, buildRounds = 3,
+        tag = "full")
+      graft.pipeline.GraphAnn.graphSearchWithTombstones(emb, "embedding",
+          "vec_id", h, emb.where(col("vec_id") % 9 === 5)
+            .select(col("vec_id")), "vec_id",
+          queryIds = Seq(1L, 2L, 3L), k = 5, beamWidth = 20, hops = 5)
+        .orderBy(col("query_id"), col("strategy"))
+    })
+
+  // GRAPH DELETE + REPAIR (s51) — the maintenance job behind s52's
+  // serve-time mitigation (the s40 compaction analogue for the graph
+  // family): drop the tombstoned nodes from the standing index and
+  // repair each node that lost an edge by promoting candidates
+  // THROUGH its deleted neighbors (the published HNSW-repair move),
+  // rescoring exactly, keeping top graphK. Recall of the repaired
+  // lists vs exact-over-live is the verdict that the tombstones can
+  // be dropped; the exact leg samples affected ids %4 (the d19
+  // protocol). Oracle replays the build, the drop/lost/promotion
+  // sets, the repair rank, and the sampled live exact leg.
+  private val s51 = Q("s51_graph_delete_repair", Some(s"""
+    WITH nrm AS MATERIALIZED (SELECT vec_id, embedding,
+        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nm
+      FROM embeddings),
+    meta AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(vec_id) AS mn FROM embeddings),
+    n0 AS MATERIALIZED (SELECT DISTINCT e.vec_id AS src,
+        ((e.vec_id - mn + j) % n) + mn AS dst
+      FROM embeddings e, meta, generate_series(1, 10) AS t(j)
+      WHERE j <= n - 1 AND ((e.vec_id - mn + j) % n) + mn <> e.vec_id),
+    ${(1 to 3).map(r => s45RoundSql(r, gk = 10)).mkString("")}
+    del AS MATERIALIZED (SELECT vec_id AS id FROM embeddings WHERE vec_id % 9 = 5),
+    ge AS MATERIALIZED (SELECT src, dst FROM n3),
+    gl AS MATERIALIZED (SELECT src, dst FROM ge
+      WHERE src NOT IN (SELECT id FROM del) AND dst NOT IN (SELECT id FROM del)),
+    lost AS MATERIALIZED (SELECT src, dst AS d FROM ge
+      WHERE dst IN (SELECT id FROM del) AND src NOT IN (SELECT id FROM del)),
+    aff AS MATERIALIZED (SELECT DISTINCT src FROM lost),
+    promo AS MATERIALIZED (SELECT DISTINCT l.src, g2.dst
+      FROM lost l JOIN ge g2 ON g2.src = l.d
+      WHERE g2.dst NOT IN (SELECT id FROM del) AND g2.dst <> l.src),
+    cand AS (SELECT gl.src, gl.dst FROM gl JOIN aff ON aff.src = gl.src
+      UNION SELECT src, dst FROM promo),
+    rc AS MATERIALIZED (SELECT c.src, c.dst,
+        list_sum(list_transform(generate_series(1, len(a.embedding)),
+          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        / (a.nm * b.nm) AS cs
+      FROM cand c JOIN nrm a ON a.vec_id = c.src
+                  JOIN nrm b ON b.vec_id = c.dst),
+    rep AS MATERIALIZED (SELECT src, dst FROM (
+        SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rn
+        FROM rc) WHERE rn <= 10),
+    samp AS MATERIALIZED (SELECT src FROM aff WHERE src % 4 = 0),
+    ce AS (SELECT q.vec_id AS src, b.vec_id AS dst,
+        list_sum(list_transform(generate_series(1, len(q.embedding)),
+          i -> CAST(q.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        / (q.nm * b.nm) AS cs
+      FROM nrm q JOIN nrm b ON b.vec_id <> q.vec_id
+      WHERE q.vec_id IN (SELECT src FROM samp)
+        AND b.vec_id NOT IN (SELECT id FROM del)),
+    ex AS MATERIALIZED (SELECT src, dst FROM (
+        SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rn
+        FROM ce) WHERE rn <= 10),
+    hit AS (SELECT CAST(COUNT(*) AS BIGINT) AS h FROM rep
+      JOIN samp ON samp.src = rep.src
+      JOIN ex ON ex.src = rep.src AND ex.dst = rep.dst),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS p FROM ex)
+    SELECT 'deleted_nodes' AS metric,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM del) AS n,
+      CAST(NULL AS DOUBLE) AS x
+    UNION ALL SELECT 'edges_dropped',
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM ge) - (SELECT CAST(COUNT(*) AS BIGINT) FROM gl),
+      CAST(NULL AS DOUBLE)
+    UNION ALL SELECT 'affected_nodes',
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM aff), CAST(NULL AS DOUBLE)
+    UNION ALL SELECT 'promoted_candidates',
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM promo), CAST(NULL AS DOUBLE)
+    UNION ALL SELECT 'repaired_edges',
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM rep), CAST(NULL AS DOUBLE)
+    UNION ALL SELECT 'repair_recall', hit.h,
+      CASE WHEN tot.p = 0 THEN 0.0
+        ELSE ROUND(CAST(hit.h AS DOUBLE) / CAST(tot.p AS DOUBLE), 6) END
+    FROM hit, tot
+    ORDER BY metric"""),
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val h = graphIdxHandle(s, dir, emb, graphK = 10, buildRounds = 3,
+        tag = "full")
+      graft.pipeline.GraphAnn.graphDeleteRepairLoaded(emb, "embedding",
+          "vec_id", h, emb.where(col("vec_id") % 9 === 5)
+            .select(col("vec_id")), "vec_id", auditMod = 4L)
+        .orderBy(col("metric"))
+    })
+
   // GRAPH INDEX APPEND — the graph family's daily-ingest move (the
   // HNSW insert): the last 20% of the id range arrives as a batch
   // against the graph built over the first 80%; each new vector is
@@ -9245,7 +9407,7 @@ object SparkEntry {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
     d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
-    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38, s39, s40, s41, s42, s43, s44, s45, s46, s47, s48, s49, s50,
+    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38, s39, s40, s41, s42, s43, s44, s45, s46, s47, s48, s49, s50, s51, s52,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
     t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45,

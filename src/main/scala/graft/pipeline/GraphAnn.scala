@@ -690,28 +690,14 @@ object GraphAnn {
       .orderBy(col("cs").desc, col("dst"))
     // search the STANDING graph for every new vector (the s47 loop;
     // batch ids are disjoint from corpus ids, so no self-exclusion)
-    var beam = qframe.select(col("qid"), lit(mn).as("dst"))
+    val beam0 = qframe.select(col("qid"), lit(mn).as("dst"))
       .join(vecs.select(col("id").as("dst"), col("v")), Seq("dst"))
       .join(broadcast(qframe), Seq("qid"))
       .withColumn("cs", Similarity.cosine(col("v"), col("qv")))
       .select(col("qid"), col("dst"), col("cs")).cache()
-    beam.count(): Unit
-    var h = 1
-    while (h <= hops) {
-      val frontier = flat(beam).select(col("qid"), col("dst").as("src"))
-        .join(und, Seq("src"))
-        .select(col("qid"), col("dst"))
-      val next = flat(beam).select(col("qid"), col("dst"))
-        .unionByName(frontier).distinct()
-        .join(vecs.select(col("id").as("dst"), col("v")), Seq("dst"))
-        .join(broadcast(qframe), Seq("qid"))
-        .withColumn("cs", Similarity.cosine(col("v"), col("qv")))
-        .withColumn("rn", row_number().over(wQ))
-        .where(col("rn") <= beamWidth)
-        .select(col("qid"), col("dst"), col("cs")).cache()
-      next.count(): Unit
-      beam.unpersist(); beam = next; h += 1
-    }
+    beam0.count(): Unit
+    val beam = walkBeam(vecs, und, qframe, beam0, beamWidth, hops,
+      excludeSelf = false)
     // CONNECT: each new vector's adjacency = its beam's best graphK.
     // Materialized EAGERLY (cache + count) so the two loop caches
     // the flat views hide from CacheScope can be dropped RIGHT HERE:
@@ -785,5 +771,255 @@ object GraphAnn {
     org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUseExisting(bvecs)
     org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUseExisting(g)
     out
+  }
+
+  /** Fixed-hop beam walk WITHOUT the per-hop audit — the lean serving
+    * loop shared by the append search and the tombstone-aware read.
+    * `beam0` must be CACHED and materialized (qid, dst, cs); rounds
+    * feed through the flat view; returns the final beam CACHED (the
+    * caller owns its release). `excludeSelf` removes the query's own
+    * id from every hop's candidates (corpus-member queries); append
+    * batches have disjoint ids and skip the filter.
+    */
+  private def walkBeam(vecs: DataFrame, und: DataFrame, qframe: DataFrame,
+      beam0: DataFrame, beamWidth: Int, hops: Int,
+      excludeSelf: Boolean): DataFrame = {
+    val wQ = Window.partitionBy(col("qid"))
+      .orderBy(col("cs").desc, col("dst"))
+    var beam = beam0
+    var h = 1
+    while (h <= hops) {
+      val frontier = flat(beam).select(col("qid"), col("dst").as("src"))
+        .join(und, Seq("src"))
+        .select(col("qid"), col("dst"))
+      val cand0 = flat(beam).select(col("qid"), col("dst"))
+        .unionByName(frontier).distinct()
+      val cand = if (excludeSelf) cand0.where(col("dst") =!= col("qid"))
+        else cand0
+      val next = cand
+        .join(vecs.select(col("id").as("dst"), col("v")), Seq("dst"))
+        .join(broadcast(qframe), Seq("qid"))
+        .withColumn("cs", Similarity.cosine(col("v"), col("qv")))
+        .withColumn("rn", row_number().over(wQ))
+        .where(col("rn") <= beamWidth)
+        .select(col("qid"), col("dst"), col("cs")).cache()
+      next.count(): Unit
+      beam.unpersist(); beam = next; h += 1
+    }
+    beam
+  }
+
+  /** TOMBSTONE-AWARE GRAPH SERVING — the s43 over-fetch discipline
+    * applied to the graph index: tombstoned nodes still ROUTE (the
+    * HNSW practice — a deleted node keeps its edges until the repair
+    * job runs, so the graph stays navigable) but must never be
+    * RETURNED. Two strategies are graded from ONE beam walk against
+    * the exact-over-LIVE-corpus leg:
+    *   - `plain`: top-k of the final beam, deleted filtered AFTER the
+    *     cut — silently returns fewer than k and loses recall;
+    *   - `overfetch`: top-2k of the same beam, deleted filtered, then
+    *     truncated to k — the mitigation serving systems apply.
+    *
+    * Scale shape: one |queries|-bound walk (O(beam·degree) per hop),
+    * the deleted set joins as ids only (AQE broadcasts a small
+    * tombstone set), and the exact leg is |queries|·|live| — the
+    * audit, not the serve. Queries must be live (no ground truth for
+    * a deleted query — rejected loudly). Eager like the audited walk:
+    * the returned frame is driver-local rows and every internal cache
+    * is released before returning.
+    *
+    * @return (query_id, strategy ∈ overfetch|plain, n_returned,
+    *         n_hits, n_possible, recall round-6) — unsorted
+    */
+  def graphSearchWithTombstones(corpus: DataFrame, vecCol: String,
+      idCol: String, handle: GraphIndex.Handle, deletedIds: DataFrame,
+      delIdCol: String, queryIds: Seq[Long], k: Int, beamWidth: Int,
+      hops: Int): DataFrame = {
+    require(k > 0 && beamWidth >= 2 * k,
+      s"the over-fetch cut needs beamWidth >= 2k, got k=$k beamWidth=$beamWidth")
+    require(hops >= 1, s"bad hops=$hops")
+    require(queryIds.nonEmpty, "no queries")
+    val spark = corpus.sparkSession
+    val (vecs, n, mn) = servingVecs(corpus, vecCol, idCol)
+    try {
+      requireHandleMatches(handle, n, mn, idCol, vecCol)
+      val del = deletedIds.select(col(delIdCol).as("id")).distinct().cache()
+      del.count(): Unit
+      val und = undirected(GraphIndex.edges(spark, handle)).cache()
+      und.count(): Unit
+      val qframe = vecs.where(col("id").isin(queryIds: _*))
+        .select(col("id").as("qid"), col("v").as("qv")).cache()
+      val nQ = qframe.count()
+      require(nQ == queryIds.distinct.size.toLong,
+        s"${queryIds.distinct.size - nQ} of ${queryIds.distinct.size} " +
+          s"query ids are absent from the corpus id column '$idCol'")
+      require(qframe.join(del, col("qid") === col("id")).limit(1)
+        .count() == 0L,
+        "query ids include tombstoned ids — a deleted query has no " +
+          "live ground truth")
+      // min-id entry, deleted or not: routing through tombstones is
+      // exactly the semantics under test
+      val entries = queryIds.distinct
+        .map(q => (q, if (q == mn) mn + 1L else mn))
+      val beam0 = spark.createDataFrame(entries).toDF("qid", "dst")
+        .join(vecs.select(col("id").as("dst"), col("v")), Seq("dst"))
+        .join(broadcast(qframe), Seq("qid"))
+        .withColumn("cs", Similarity.cosine(col("v"), col("qv")))
+        .select(col("qid"), col("dst"), col("cs")).cache()
+      beam0.count(): Unit
+      val beam = walkBeam(vecs, und, qframe, beam0, beamWidth, hops,
+        excludeSelf = true)
+      val fb = flat(beam)
+      // ground truth: exact top-k over the LIVE corpus only
+      val liveEmb = corpus.join(del.select(col("id").as(idCol)),
+        Seq(idCol), "left_anti")
+      val exact = Similarity.exactTopKSelf(liveEmb, vecCol, idCol,
+        qframe.select(col("qid").as("src"), col("qv")), k).cache()
+      val possible = exact.groupBy(col("src"))
+        .agg(count(lit(1)).as("p")).collect()
+        .map(rw => rw.getLong(0) -> rw.getLong(1)).toMap
+      val ex2 = exact.select(col("src"), col("dst").as("edst"),
+        lit(1L).as("__hit"))
+      val wQ = Window.partitionBy(col("qid"))
+        .orderBy(col("cs").desc, col("dst"))
+      val ranked = fb.withColumn("rn", row_number().over(wQ))
+      def legCounters(fetch: Int, truncate: Boolean): Map[Long, (Long, Long)] = {
+        val live = ranked.where(col("rn") <= fetch)
+          .join(del.select(col("id").as("dst")), Seq("dst"), "left_anti")
+        val cut = if (truncate)
+          live.withColumn("lr", row_number().over(wQ)).where(col("lr") <= k)
+        else live
+        cut.select(col("qid"), col("dst"))
+          .join(ex2, col("qid") === col("src") && col("dst") === col("edst"),
+            "left")
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("r"),
+            coalesce(sum(coalesce(col("__hit"), lit(0L))), lit(0L)).as("h"))
+          .collect()
+          .map(rw => rw.getLong(0) -> (rw.getLong(1), rw.getLong(2))).toMap
+      }
+      val plain = legCounters(fetch = k, truncate = false)
+      val over = legCounters(fetch = 2 * k, truncate = true)
+      def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, Long, Long, Long, Double)]
+      queryIds.distinct.sorted.foreach { q =>
+        val p = possible.getOrElse(q, 0L)
+        Seq(("plain", plain), ("overfetch", over)).foreach { case (nm, m) =>
+          val (r, hh) = m.getOrElse(q, (0L, 0L))
+          buf += ((q, nm, r, hh, p,
+            if (p == 0L) 0.0 else round6(hh.toDouble / p.toDouble)))
+        }
+      }
+      beam.unpersist(); und.unpersist(); qframe.unpersist()
+      exact.unpersist(); del.unpersist()
+      spark.createDataFrame(buf.toSeq).toDF("query_id", "strategy",
+        "n_returned", "n_hits", "n_possible", "recall")
+    } finally vecs.unpersist()
+  }
+
+  /** GRAPH DELETE + REPAIR — the s40 tombstone-compaction analogue
+    * for the graph family (the maintenance job behind
+    * [[graphSearchWithTombstones]]'s serve-time mitigation): remove a
+    * tombstoned node set from the standing index and REPAIR the nodes
+    * that lost edges by promoting candidates THROUGH each deleted
+    * neighbor (u -> d -> w for live w — the published HNSW-repair
+    * move: a deleted node's neighborhood is exactly where its
+    * in-neighbors' replacement edges live), rescoring each affected
+    * node's (surviving ∪ promoted) candidates exactly and keeping the
+    * top graphK.
+    *
+    * Audited by recall@graphK of the REPAIRED adjacency against the
+    * exact leg over the LIVE corpus, restricted to the (sampled —
+    * `auditMod`, the d19 protocol) affected nodes: the number that
+    * tells an operator whether mark-and-route can stop and the
+    * tombstones can actually be dropped.
+    *
+    * Scale shape: every step is bounded by the deletion, never the
+    * corpus — dropped/lost edges join the tombstone set as ids,
+    * promotion is |lost|·graphK pairs, the rescoring join moves
+    * vectors only for affected-node candidates, and the exact leg is
+    * |sampled affected|·|live| (the audit, not the repair). EAGER
+    * (counters are scalar collects); every internal cache released.
+    *
+    * @return manifest rows (metric, n, x): deleted_nodes /
+    *         edges_dropped / affected_nodes / promoted_candidates /
+    *         repaired_edges / repair_recall (n = hits, x = recall) —
+    *         unsorted, callers order
+    */
+  def graphDeleteRepairLoaded(corpus: DataFrame, vecCol: String,
+      idCol: String, handle: GraphIndex.Handle, deletedIds: DataFrame,
+      delIdCol: String, auditMod: Long = 1L): DataFrame = {
+    require(auditMod >= 1L, s"auditMod must be >= 1, got $auditMod")
+    val spark = corpus.sparkSession
+    val (vecs, n, mn) = servingVecs(corpus, vecCol, idCol)
+    try {
+      requireHandleMatches(handle, n, mn, idCol, vecCol)
+      val graphK = handle.graphK
+      // tombstones restricted to corpus members (ids only)
+      val del = deletedIds.select(col(delIdCol).as("id")).distinct()
+        .join(vecs.select(col("id")), Seq("id")).cache()
+      val nDel = del.count()
+      val g = GraphIndex.edges(spark, handle)
+      val nEdges = g.count()
+      val gLive = g
+        .join(del.select(col("id").as("src")), Seq("src"), "left_anti")
+        .join(del.select(col("id").as("dst")), Seq("dst"), "left_anti")
+        .select(col("src"), col("dst")).cache()
+      val nLiveEdges = gLive.count()
+      // live nodes that lost an out-edge into a deleted node
+      val lost = g.join(del.select(col("id").as("dst")), Seq("dst"))
+        .join(del.select(col("id").as("src")), Seq("src"), "left_anti")
+        .select(col("src"), col("dst").as("d"))
+      val affected = lost.select(col("src")).distinct().cache()
+      val nAffected = affected.count()
+      // promotion through the deleted neighbor's own out-edges
+      val promoted = lost
+        .join(g.select(col("src").as("d"), col("dst")), Seq("d"))
+        .join(del.select(col("id").as("dst")), Seq("dst"), "left_anti")
+        .where(col("dst") =!= col("src"))
+        .select(col("src"), col("dst")).distinct().cache()
+      val nPromoted = promoted.count()
+      val cand = gLive.join(affected, Seq("src"))
+        .select(col("src"), col("dst"))
+        .unionByName(promoted).distinct()
+      val wSrc = Window.partitionBy(col("src"))
+        .orderBy(col("cs").desc, col("dst"))
+      val repaired = cand
+        .join(vecs.select(col("id").as("src"), col("v").as("va")), Seq("src"))
+        .join(vecs.select(col("id").as("dst"), col("v").as("vb")), Seq("dst"))
+        .withColumn("cs", Similarity.cosine(col("va"), col("vb")))
+        .withColumn("rn", row_number().over(wSrc))
+        .where(col("rn") <= graphK)
+        .select(col("src"), col("dst")).cache()
+      val nRepaired = repaired.count()
+      // recall audit: repaired lists vs exact-over-live, sampled
+      val sampled = affected.where(col("src") % lit(auditMod) === 0L)
+      val liveEmb = corpus.join(del.select(col("id").as(idCol)),
+        Seq(idCol), "left_anti")
+      val qset = vecs.join(sampled, col("id") === col("src"))
+        .select(col("src"), col("v").as("qv"))
+      val exact = Similarity.exactTopKSelf(liveEmb, vecCol, idCol,
+        qset, graphK).cache()
+      val nPossible = exact.count()
+      val nHits = repaired.join(sampled, Seq("src"))
+        .join(exact, Seq("src", "dst")).count()
+      exact.unpersist(); repaired.unpersist(); promoted.unpersist()
+      affected.unpersist(); gLive.unpersist(); del.unpersist()
+      def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      val rows: Seq[(String, Long, Option[Double])] = Seq(
+        ("deleted_nodes", nDel, None),
+        // every edge with a deleted endpoint on either side
+        ("edges_dropped", nEdges - nLiveEdges, None),
+        ("affected_nodes", nAffected, None),
+        ("promoted_candidates", nPromoted, None),
+        ("repaired_edges", nRepaired, None),
+        ("repair_recall", nHits, Some(
+          if (nPossible == 0L) 0.0
+          else round6(nHits.toDouble / nPossible.toDouble))))
+      spark.createDataFrame(rows).toDF("metric", "n", "x")
+    } finally vecs.unpersist()
   }
 }

@@ -184,6 +184,8 @@ object ExplainDump {
       "s47_graph_beam_search" -> "graph beam search vs the PERSISTED GraphIndex (round 20): no build job below the query — the adjacency is a parquet scan off the standing index (first invocation per corpus fingerprint builds it, the s15 lifecycle); each hop is one edge join + one rescoring join over O(|queries|*beam*degree) rows, queries broadcast, per-hop counters are 3-row collects",
       "s49_graph_index_search" -> "persisted-index search (the second read of the standing s47 index — registry hit, zero build): the serving profile at a tighter budget (beam 16, 4 hops); the plan below is hop joins + the sampled exact audit only",
       "s50_graph_coarse_entry" -> "hierarchical coarse-entry search: entry = argmax over the first-16 coarse set (|queries|*16 scores, flat in N — the one-layer HNSW upper-level descent), audited as hop 0; the hop loop is s47's against the same standing index",
+      "s51_graph_delete_repair" -> "graph delete+repair (the s40 compaction move for the graph index): every step bounded by the DELETION, never the corpus — dropped/lost edges join the tombstone ids, promotion-through-deleted is |lost|*graphK pairs, the rescoring join moves vectors only for affected-node candidates, the exact leg samples affected %4 over the live corpus",
+      "s52_graph_tombstone_search" -> "tombstone-aware serving (the s43 over-fetch move on the graph index): tombstones ROUTE but never RETURN; plain top-k and the 2k over-fetch cut are graded from ONE |queries|-bound walk, the deleted set joins as broadcast ids, the exact leg runs over the live corpus",
       "d41_prefix_filter_containment" -> "prefix-filtered containment: SUB side prefix-indexed under the df-ascending rarity order (pigeonhole-lossless for containment >= tau), SUPER side full postings — boilerplate never enters a sub prefix, so the candidate join's quadratic side dies; verify joins move one hash array per candidate doc",
       "s48_graph_append" -> "graph index append vs the PERSISTED GraphIndex (round 20): the standing 80%-corpus graph is a parquet scan off its own fingerprint-keyed index, so the declared append pays only |batch| beam searches (batch-bound) + connect window cut + reverse adoption over the touched nodes (<= |batch|*graphK)",
       "t69_repeat_epoch_plan" -> "repeat-epoch plan: ONE partial-aggregated corpus scan to |sources| rows (token sums + DECIMAL quality means); the greedy is a global sort of |sources|x maxEpochs candidate-epoch rows + one cumulative-cost window — k-row state, not corpus sorts",

@@ -707,6 +707,18 @@ object ScaleSmoke {
           emb.where(col("vec_id") <= cut), "embedding", "vec_id", d48,
           graphK = 5, buildRounds = 1))
       }
+      time("s51 graphDeleteRepairLoaded") {
+        val am = math.max(1L, emb.count() / 500L)
+        graft.pipeline.GraphAnn.graphDeleteRepairLoaded(emb, "embedding",
+          "vec_id", gidxHandle, emb.where(col("vec_id") % 9 === 5)
+            .select(col("vec_id")), "vec_id", auditMod = am)
+          .collect().length.toLong }
+      time("s52 graphSearchWithTombstones") {
+        graft.pipeline.GraphAnn.graphSearchWithTombstones(emb, "embedding",
+          "vec_id", gidxHandle, emb.where(col("vec_id") % 9 === 5)
+            .select(col("vec_id")), "vec_id", queryIds = Seq(1L, 2L, 3L),
+          k = 5, beamWidth = 16, hops = 3)
+          .collect().length.toLong }
       if (only.isEmpty ||
         only.exists("s48b graphAppendAuditLoaded".contains)) { h48; () }
       time("s48b graphAppendAuditLoaded") {

@@ -278,6 +278,11 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     // on arbitrary vectors
     "s49_graph_index_search",
     "s50_graph_coarse_entry",
+    // s51/s52 replay the delete/repair sets and the tombstone-aware
+    // strategy cuts on arbitrary vectors (the %9 tombstone draw and
+    // the promotion-through-deleted sets are data-dependent)
+    "s51_graph_delete_repair",
+    "s52_graph_tombstone_search",
     // s48 composes the s47 search with the connect cut and the
     // adoption rank — the whole insert trajectory must replay
     "s48_graph_append")

@@ -183,4 +183,104 @@ class Round20Spec extends AnyFunSuite {
     assert(hier >= minId,
       s"coarse entry lost recall at equal hops: $hier < $minId")
   }
+
+  // ---------------- s51 delete+repair / s52 tombstone serving ----------------
+
+  test("s52: overfetch never loses to plain; deleted ids cost plain its fill") {
+    import spark.implicits._
+    val emb = embDf(n = 90, seed = 91)
+    val h = GraphIndex.buildIfAbsent(emb, "embedding", "vec_id",
+      s"${tmpDir("ts")}/idx", graphK = 6, buildRounds = 2)
+    val del = (0 until 90 by 7).map(_.toLong).toDF("vec_id") // ~13 deleted
+    val out = GraphAnn.graphSearchWithTombstones(emb, "embedding",
+      "vec_id", h, del, "vec_id", queryIds = Seq(3L, 40L, 75L), k = 4,
+      beamWidth = 10, hops = 3).collect()
+    assert(out.length == 6)
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { rows =>
+      val m = rows.map(r => r.getAs[String]("strategy") -> r).toMap
+      val (pl, ov) = (m("plain"), m("overfetch"))
+      assert(ov.getAs[Double]("recall") >= pl.getAs[Double]("recall"),
+        s"overfetch lost to plain: $ov vs $pl")
+      assert(pl.getAs[Long]("n_returned") <= 4L)
+      assert(ov.getAs[Long]("n_returned") <= 4L)
+      assert(ov.getAs[Long]("n_returned") >= pl.getAs[Long]("n_returned"))
+      assert(pl.getAs[Long]("n_possible") == 4L) // live corpus >> k
+    }
+  }
+
+  test("s52: a tombstoned query id is rejected loudly") {
+    import spark.implicits._
+    val emb = embDf(n = 40, seed = 19)
+    val h = GraphIndex.buildIfAbsent(emb, "embedding", "vec_id",
+      s"${tmpDir("tsq")}/idx", graphK = 4, buildRounds = 1)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        GraphAnn.graphSearchWithTombstones(emb, "embedding", "vec_id", h,
+          Seq(5L).toDF("vec_id"), "vec_id", queryIds = Seq(5L), k = 2,
+          beamWidth = 4, hops = 1)
+      }
+      assert(e.getMessage.contains("tombstoned"), e.getMessage)
+    } finally spark.catalog.clearCache()
+  }
+
+  test("s51: on a complete graph the repair recovers exact live lists (recall 1.0)") {
+    import spark.implicits._
+    val n = 14
+    val emb = embDf(n = n, seed = 23)
+    // graphK >= n-1: the ring init IS the complete graph, so every
+    // affected node's (surviving ∪ promoted) candidates cover all
+    // live nodes and the repaired top-k equals the exact live top-k
+    val h = GraphIndex.buildIfAbsent(emb, "embedding", "vec_id",
+      s"${tmpDir("rep")}/idx", graphK = n - 1, buildRounds = 0)
+    val del = Seq(4L, 9L).toDF("vec_id")
+    val out = GraphAnn.graphDeleteRepairLoaded(emb, "embedding",
+      "vec_id", h, del, "vec_id").collect()
+      .map(r => r.getAs[String]("metric") -> r).toMap
+    assert(out("deleted_nodes").getAs[Long]("n") == 2L)
+    // complete directed graph: each deleted node has n-1 out-edges
+    // and n-1 in-edges, minus the 2 edges between the two deleted
+    // nodes counted once each: 2*2*(n-1) - 2
+    assert(out("edges_dropped").getAs[Long]("n") == (4L * (n - 1) - 2L))
+    assert(out("affected_nodes").getAs[Long]("n") == (n - 2L))
+    assert(out("repair_recall").getAs[Double]("x") == 1.0,
+      out("repair_recall").toString)
+    // every affected node keeps a full list (graphK > live degree)
+    assert(out("repaired_edges").getAs[Long]("n") == (n - 2L) * (n - 3L))
+  }
+
+  test("s51: an empty tombstone set is a no-op manifest") {
+    import spark.implicits._
+    val emb = embDf(n = 30, seed = 29)
+    val h = GraphIndex.buildIfAbsent(emb, "embedding", "vec_id",
+      s"${tmpDir("rep0")}/idx", graphK = 4, buildRounds = 1)
+    val out = GraphAnn.graphDeleteRepairLoaded(emb, "embedding",
+      "vec_id", h, Seq.empty[Long].toDF("vec_id"), "vec_id").collect()
+      .map(r => r.getAs[String]("metric") -> r).toMap
+    Seq("deleted_nodes", "edges_dropped", "affected_nodes",
+      "promoted_candidates", "repaired_edges").foreach { m =>
+      assert(out(m).getAs[Long]("n") == 0L, s"$m: ${out(m)}")
+    }
+    assert(out("repair_recall").getAs[Double]("x") == 0.0)
+  }
+
+  test("s51/s52 release every cache they pin (eager maintenance ops)") {
+    import spark.implicits._
+    val emb = embDf(n = 40, seed = 37)
+    val h = GraphIndex.buildIfAbsent(emb, "embedding", "vec_id",
+      s"${tmpDir("lifec")}/idx", graphK = 4, buildRounds = 1)
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    GraphAnn.graphDeleteRepairLoaded(emb, "embedding", "vec_id", h,
+      Seq(9L, 18L).toDF("vec_id"), "vec_id").collect()
+    GraphAnn.graphSearchWithTombstones(emb, "embedding", "vec_id", h,
+      Seq(9L, 18L).toDF("vec_id"), "vec_id", queryIds = Seq(1L), k = 2,
+      beamWidth = 4, hops = 2).collect()
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    var leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    while (leaked.nonEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    }
+    assert(leaked.isEmpty, s"maintenance ops leaked cache ids $leaked")
+  }
 }
