@@ -86,11 +86,20 @@ Test / testGrouping := {
   // 12-min wall
   val replayA = Set("graft.DifferentialFuzzSpec", "graft.GeneratedCorpusSpec")
   val (sa, sb) = s.partition(t => replayA(t.name))
+  // the RoundNSpec block itself split in two (alternating by sorted
+  // position — deterministic, stays balanced as suites are added):
+  // measured round 20, the single round-ops JVM had become the
+  // ~10-min pole
+  val rSorted = r.sortBy(_.name)
+  val (ra, rb) = rSorted.zipWithIndex.partition(_._2 % 2 == 0) match {
+    case (a, b) => (a.map(_._1), b.map(_._1))
+  }
   Seq(Tests.Group("slow-replay-a", sa, Tests.SubProcess(opts)),
     Tests.Group("slow-replay-b", sb, Tests.SubProcess(opts)),
-    Tests.Group("round-ops", r, Tests.SubProcess(opts)),
+    Tests.Group("round-ops-a", ra, Tests.SubProcess(opts)),
+    Tests.Group("round-ops-b", rb, Tests.SubProcess(opts)),
     Tests.Group("fast", f, Tests.SubProcess(opts)))
 }
 Global / concurrentRestrictions := Seq(
-  Tags.limit(Tags.ForkedTestGroup, 4),
+  Tags.limit(Tags.ForkedTestGroup, 5),
   Tags.limitAll(8))

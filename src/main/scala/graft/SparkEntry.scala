@@ -9207,6 +9207,194 @@ object SparkEntry {
         .orderBy(col("metric"))
     })
 
+  // COMPOSED GRAPH-INDEX MAINTENANCE RUN (s53) — the s46 move for
+  // the graph family: append (s48) + delete/repair (s51) + the
+  // tombstone-aware serve audit (s52, strategy totals) in ONE
+  // manifest against ONE standing persisted graph (the s48 c80
+  // index — registry hit) and one shared corpus scan; every leg
+  // audits the same standing snapshot. Oracle replays the 80% build
+  // once and all three legs off it.
+  private val s53 = Q("s53_graph_maintenance_run", Some(s"""
+    WITH nrm AS MATERIALIZED (SELECT vec_id, embedding,
+        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nm
+      FROM embeddings),
+    thr AS (SELECT 4 * (MAX(vec_id) + 1) // 5 AS t FROM embeddings),
+    meta AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(vec_id) AS mn
+      FROM embeddings WHERE vec_id < (SELECT t FROM thr)),
+    n0 AS MATERIALIZED (SELECT DISTINCT e.vec_id AS src,
+        ((e.vec_id - mn + j) % n) + mn AS dst
+      FROM embeddings e, meta, generate_series(1, 5) AS t(j)
+      WHERE e.vec_id < (SELECT t FROM thr)
+        AND j <= n - 1 AND ((e.vec_id - mn + j) % n) + mn <> e.vec_id),
+    ${(1 to 2).map(r => s45RoundSql(r)).mkString("")}
+    und AS MATERIALIZED (SELECT src, dst FROM n2 UNION SELECT dst, src FROM n2),
+    del AS MATERIALIZED (SELECT vec_id AS id FROM embeddings
+      WHERE vec_id % 9 = 5 AND vec_id < (SELECT t FROM thr)),
+    abm0 AS MATERIALIZED (SELECT e.vec_id AS qid, m.mn AS dst
+      FROM embeddings e, meta m WHERE e.vec_id >= (SELECT t FROM thr)),
+    ${(1 to 3).map(s48HopSql).mkString("")}
+    ne AS MATERIALIZED (SELECT qid AS src, dst, cs FROM (
+        SELECT qid, dst, cs,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, dst) AS rn
+        FROM abm3) WHERE rn <= 5),
+    bce AS (SELECT q.vec_id AS src, b.vec_id AS dst,
+        list_sum(list_transform(generate_series(1, len(q.embedding)),
+          i -> CAST(q.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        / (q.nm * b.nm) AS cs
+      FROM nrm q JOIN nrm b ON b.vec_id < (SELECT t FROM thr)
+      WHERE q.vec_id >= (SELECT t FROM thr)),
+    bex AS MATERIALIZED (SELECT src, dst FROM (
+        SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rn
+        FROM bce) WHERE rn <= 5),
+    brr AS (SELECT CAST(COALESCE(SUM(CASE WHEN bex.src IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS h,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM bex) AS p
+      FROM ne LEFT JOIN bex ON bex.src = ne.src AND bex.dst = ne.dst),
+    arev AS (SELECT dst AS src, src AS dst, cs, 1 AS isnew FROM ne),
+    aaff AS MATERIALIZED (SELECT DISTINCT src FROM arev),
+    afe AS (SELECT g.src, g.dst,
+        list_sum(list_transform(generate_series(1, len(a.embedding)),
+          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        / (a.nm * b.nm) AS cs, 0 AS isnew
+      FROM n2 g JOIN aaff ON aaff.src = g.src
+        JOIN nrm a ON a.vec_id = g.src JOIN nrm b ON b.vec_id = g.dst),
+    aad AS (SELECT src FROM (
+        SELECT src, isnew,
+          ROW_NUMBER() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rn
+        FROM (SELECT * FROM afe UNION ALL SELECT * FROM arev))
+      WHERE rn <= 5 AND isnew = 1),
+    ge AS MATERIALIZED (SELECT src, dst FROM n2),
+    gl AS MATERIALIZED (SELECT src, dst FROM ge
+      WHERE src NOT IN (SELECT id FROM del) AND dst NOT IN (SELECT id FROM del)),
+    lost AS MATERIALIZED (SELECT src, dst AS d FROM ge
+      WHERE dst IN (SELECT id FROM del) AND src NOT IN (SELECT id FROM del)),
+    aff AS MATERIALIZED (SELECT DISTINCT src FROM lost),
+    promo AS MATERIALIZED (SELECT DISTINCT l.src, g2.dst
+      FROM lost l JOIN ge g2 ON g2.src = l.d
+      WHERE g2.dst NOT IN (SELECT id FROM del) AND g2.dst <> l.src),
+    cand AS (SELECT gl.src, gl.dst FROM gl JOIN aff ON aff.src = gl.src
+      UNION SELECT src, dst FROM promo),
+    rc AS MATERIALIZED (SELECT c.src, c.dst,
+        list_sum(list_transform(generate_series(1, len(a.embedding)),
+          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        / (a.nm * b.nm) AS cs
+      FROM cand c JOIN nrm a ON a.vec_id = c.src
+                  JOIN nrm b ON b.vec_id = c.dst),
+    rep AS MATERIALIZED (SELECT src, dst FROM (
+        SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rn
+        FROM rc) WHERE rn <= 5),
+    samp AS MATERIALIZED (SELECT src FROM aff WHERE src % 2 = 0),
+    rce AS (SELECT q.vec_id AS src, b.vec_id AS dst,
+        list_sum(list_transform(generate_series(1, len(q.embedding)),
+          i -> CAST(q.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        / (q.nm * b.nm) AS cs
+      FROM nrm q JOIN nrm b ON b.vec_id <> q.vec_id
+      WHERE q.vec_id IN (SELECT src FROM samp)
+        AND b.vec_id < (SELECT t FROM thr)
+        AND b.vec_id NOT IN (SELECT id FROM del)),
+    rex AS MATERIALIZED (SELECT src, dst FROM (
+        SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rn
+        FROM rce) WHERE rn <= 5),
+    rhit AS (SELECT CAST(COUNT(*) AS BIGINT) AS h FROM rep
+      JOIN samp ON samp.src = rep.src
+      JOIN rex ON rex.src = rep.src AND rex.dst = rep.dst),
+    rtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS p FROM rex),
+    qv AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id IN (1, 2, 3)),
+    sce AS (SELECT q.vec_id AS src, b.vec_id AS dst,
+        list_sum(list_transform(generate_series(1, len(q.embedding)),
+          i -> CAST(q.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        / (q.nm * b.nm) AS cs
+      FROM nrm q JOIN nrm b ON b.vec_id <> q.vec_id
+      WHERE q.vec_id IN (1, 2, 3)
+        AND b.vec_id < (SELECT t FROM thr)
+        AND b.vec_id NOT IN (SELECT id FROM del)),
+    ex AS MATERIALIZED (SELECT src, dst FROM (
+        SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rn
+        FROM sce) WHERE rn <= 5),
+    ps AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS p FROM ex GROUP BY src),
+    bm0 AS MATERIALIZED (SELECT q.qid,
+        CASE WHEN q.qid = m.mn THEN m.mn + 1 ELSE m.mn END AS dst
+      FROM qv q, meta m),
+    ${(1 to 3).map(h => beamHopSql(h, beam = 10, k = 5)).mkString("")}
+    fb AS MATERIALIZED (SELECT qid, dst, cs,
+        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, dst) AS rn
+      FROM bm3),
+    pl AS (SELECT qid, dst FROM fb
+      WHERE rn <= 5 AND dst NOT IN (SELECT id FROM del)),
+    ov AS (SELECT qid, dst FROM (
+        SELECT qid, dst,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, dst) AS lr
+        FROM fb WHERE rn <= 10 AND dst NOT IN (SELECT id FROM del))
+      WHERE lr <= 5),
+    plt AS (SELECT CAST(COUNT(*) AS BIGINT) AS r,
+        CAST(COALESCE(SUM(CASE WHEN ex.src IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS h
+      FROM pl LEFT JOIN ex ON ex.src = pl.qid AND ex.dst = pl.dst),
+    ovt AS (SELECT CAST(COUNT(*) AS BIGINT) AS r,
+        CAST(COALESCE(SUM(CASE WHEN ex.src IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS h
+      FROM ov LEFT JOIN ex ON ex.src = ov.qid AND ex.dst = ov.dst),
+    stot AS (SELECT CAST(COUNT(*) AS BIGINT) AS p FROM ex)
+    SELECT 'append' AS stage, 'batch' AS metric,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+        WHERE vec_id >= (SELECT t FROM thr)) AS n,
+      CAST(NULL AS DOUBLE) AS x
+    UNION ALL SELECT 'append', 'new_edges',
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM ne), CAST(NULL AS DOUBLE)
+    UNION ALL SELECT 'append', 'new_edge_recall', brr.h,
+      CASE WHEN brr.p = 0 THEN 0.0
+        ELSE ROUND(CAST(brr.h AS DOUBLE) / CAST(brr.p AS DOUBLE), 6) END
+      FROM brr
+    UNION ALL SELECT 'append', 'affected_nodes',
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM aaff), CAST(NULL AS DOUBLE)
+    UNION ALL SELECT 'append', 'adopted_nodes',
+      CAST(COUNT(DISTINCT src) AS BIGINT),
+      CASE WHEN (SELECT COUNT(*) FROM aaff) = 0 THEN 0.0
+        ELSE ROUND(CAST(COUNT(DISTINCT src) AS DOUBLE)
+          / (SELECT CAST(COUNT(*) AS DOUBLE) FROM aaff), 6) END FROM aad
+    UNION ALL SELECT 'append', 'adopted_edges',
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM aad), CAST(NULL AS DOUBLE)
+    UNION ALL SELECT 'repair', 'deleted_nodes',
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM del), CAST(NULL AS DOUBLE)
+    UNION ALL SELECT 'repair', 'edges_dropped',
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM ge) - (SELECT CAST(COUNT(*) AS BIGINT) FROM gl),
+      CAST(NULL AS DOUBLE)
+    UNION ALL SELECT 'repair', 'affected_nodes',
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM aff), CAST(NULL AS DOUBLE)
+    UNION ALL SELECT 'repair', 'promoted_candidates',
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM promo), CAST(NULL AS DOUBLE)
+    UNION ALL SELECT 'repair', 'repaired_edges',
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM rep), CAST(NULL AS DOUBLE)
+    UNION ALL SELECT 'repair', 'repair_recall', rhit.h,
+      CASE WHEN rtot.p = 0 THEN 0.0
+        ELSE ROUND(CAST(rhit.h AS DOUBLE) / CAST(rtot.p AS DOUBLE), 6) END
+      FROM rhit, rtot
+    UNION ALL SELECT 'serve', 'plain', plt.h,
+      CASE WHEN stot.p = 0 THEN 0.0
+        ELSE ROUND(CAST(plt.h AS DOUBLE) / CAST(stot.p AS DOUBLE), 6) END
+      FROM plt, stot
+    UNION ALL SELECT 'serve', 'plain_returned',
+      (SELECT r FROM plt), CAST(NULL AS DOUBLE)
+    UNION ALL SELECT 'serve', 'overfetch', ovt.h,
+      CASE WHEN stot.p = 0 THEN 0.0
+        ELSE ROUND(CAST(ovt.h AS DOUBLE) / CAST(stot.p AS DOUBLE), 6) END
+      FROM ovt, stot
+    UNION ALL SELECT 'serve', 'overfetch_returned',
+      (SELECT r FROM ovt), CAST(NULL AS DOUBLE)
+    UNION ALL SELECT 'serve', 'possible',
+      (SELECT p FROM stot), CAST(NULL AS DOUBLE)
+    ORDER BY stage, metric"""),
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val thr = 4L * (emb.agg(max(col("vec_id"))).head().getLong(0) + 1L) / 5L
+      val corpus = emb.where(col("vec_id") < thr)
+      val h = graphIdxHandle(s, dir, corpus, graphK = 5, buildRounds = 2,
+        tag = "c80")
+      graft.pipeline.GraphAnn.graphMaintenanceRun(corpus,
+          emb.where(col("vec_id") >= thr), "embedding", "vec_id", h,
+          emb.where(col("vec_id") % 9 === 5).select(col("vec_id")),
+          "vec_id", queryIds = Seq(1L, 2L, 3L), k = 5, beamWidth = 10,
+          hops = 3, appendBeamWidth = 10, appendHops = 3, auditMod = 2L)
+        .orderBy(col("stage"), col("metric"))
+    })
+
   // INDEX-MAINTENANCE RUN — the s-family's composed nightly (the t58
   // move): the s35 rebuild verdict, the s40 compaction actions, the
   // s39 bits decision, and the s43 over-fetch audit in ONE manifest
@@ -9407,7 +9595,7 @@ object SparkEntry {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
     d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
-    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38, s39, s40, s41, s42, s43, s44, s45, s46, s47, s48, s49, s50, s51, s52,
+    s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38, s39, s40, s41, s42, s43, s44, s45, s46, s47, s48, s49, s50, s51, s52, s53,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
     t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
     t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45,

@@ -1022,4 +1022,231 @@ object GraphAnn {
       spark.createDataFrame(rows).toDF("metric", "n", "x")
     } finally vecs.unpersist()
   }
+
+  /** COMPOSED GRAPH-INDEX MAINTENANCE RUN — the s46 move for the
+    * graph family: the three maintenance legs a production graph
+    * index runs in a day, audited in ONE manifest against ONE
+    * standing persisted graph and one shared corpus scan —
+    *
+    *   - APPEND (the s48 audit): search/connect/adopt a batch of new
+    *     vectors against the standing graph;
+    *   - DELETE+REPAIR (the s51 audit): drop a tombstoned node set
+    *     and repair the nodes that lost edges by
+    *     promotion-through-deleted;
+    *   - SERVE (the s52 audit, summarized per strategy): the
+    *     tombstone-aware read — plain top-k vs the 2k over-fetch cut,
+    *     graded against exact-over-live.
+    *
+    * Every leg audits the SAME standing snapshot (the day's jobs
+    * graded against the index as it stood, not sequential mutations —
+    * s46's discipline), sharing the corpus (id, v) cache, the edge
+    * scan, its undirected closure, and the tombstone id set; only the
+    * three exact audit legs are leg-private (their query sets
+    * differ). EAGER end to end: every counter is a scalar collect and
+    * every cache is released before returning.
+    *
+    * Scale shape = the legs' own: append is batch-bound, repair is
+    * deletion-bound, serve is hop-bound; the one corpus-sized cost is
+    * the shared (id, v) cache each leg would otherwise pay alone.
+    *
+    * @return manifest rows (stage ∈ append|repair|serve, metric, n,
+    *         x) — append: batch/new_edges/new_edge_recall(n=hits,
+    *         x=recall)/affected_nodes/adopted_nodes(x=fraction)/
+    *         adopted_edges; repair: the [[graphDeleteRepairLoaded]]
+    *         six; serve: plain/overfetch (n=total hits,
+    *         x=micro-recall over the query batch),
+    *         plain_returned/overfetch_returned (n=total returned),
+    *         possible (n=total live ground-truth rows) — unsorted
+    */
+  def graphMaintenanceRun(corpus: DataFrame, batch: DataFrame,
+      vecCol: String, idCol: String, handle: GraphIndex.Handle,
+      deletedIds: DataFrame, delIdCol: String, queryIds: Seq[Long],
+      k: Int, beamWidth: Int, hops: Int, appendBeamWidth: Int,
+      appendHops: Int, auditMod: Long = 1L): DataFrame = {
+    require(k > 0 && beamWidth >= 2 * k,
+      s"the over-fetch cut needs beamWidth >= 2k, got k=$k beamWidth=$beamWidth")
+    require(appendBeamWidth >= handle.graphK,
+      s"need appendBeamWidth >= graphK, got $appendBeamWidth/${handle.graphK}")
+    require(hops >= 1 && appendHops >= 1,
+      s"bad hops=$hops / appendHops=$appendHops")
+    require(queryIds.nonEmpty, "no queries")
+    require(auditMod >= 1L, s"auditMod must be >= 1, got $auditMod")
+    val spark = corpus.sparkSession
+    val graphK = handle.graphK
+    val (vecs, n, mn) = servingVecs(corpus, vecCol, idCol)
+    try {
+      requireHandleMatches(handle, n, mn, idCol, vecCol)
+      val g = GraphIndex.edges(spark, handle)
+      val und = undirected(g).cache()
+      und.count(): Unit
+      val del = deletedIds.select(col(delIdCol).as("id")).distinct()
+        .join(vecs.select(col("id")), Seq("id")).cache()
+      val nDel = del.count()
+      def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      val rows = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Long, Option[Double])]
+
+      // ---- leg 1: APPEND (the s48 audit, inlined eager) ----
+      val bvecs = batch.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .cache()
+      val nBatch = bvecs.count()
+      require(nBatch > 0, "empty batch")
+      require(bvecs.select(col("id"))
+        .join(vecs.select(col("id")), Seq("id")).limit(1).count() == 0L,
+        "batch ids collide with corpus ids")
+      val qb = bvecs.select(col("id").as("qid"), col("v").as("qv")).cache()
+      qb.count(): Unit
+      val wQ = Window.partitionBy(col("qid"))
+        .orderBy(col("cs").desc, col("dst"))
+      val beamB0 = qb.select(col("qid"), lit(mn).as("dst"))
+        .join(vecs.select(col("id").as("dst"), col("v")), Seq("dst"))
+        .join(broadcast(qb), Seq("qid"))
+        .withColumn("cs", Similarity.cosine(col("v"), col("qv")))
+        .select(col("qid"), col("dst"), col("cs")).cache()
+      beamB0.count(): Unit
+      val beamB = walkBeam(vecs, und, qb, beamB0, appendBeamWidth,
+        appendHops, excludeSelf = false)
+      val newEdges = flat(beamB).withColumn("rn", row_number().over(wQ))
+        .where(col("rn") <= graphK)
+        .select(col("qid").as("src"), col("dst"), col("cs")).cache()
+      val nNewEdges = newEdges.count()
+      beamB.unpersist()
+      val exactB = Similarity.exactTopKSelf(corpus, vecCol, idCol,
+        qb.select(col("qid").as("src"), col("qv")), graphK).cache()
+      val pB = exactB.count()
+      val hB = newEdges.join(exactB, Seq("src", "dst")).count()
+      val rev = newEdges.select(col("dst").as("src"), col("src").as("dst"),
+        col("cs"), lit(1L).as("__new"))
+      val affectedB = rev.select(col("src")).distinct().cache()
+      val nAffB = affectedB.count()
+      val fEdges = g.join(affectedB, Seq("src"))
+        .join(vecs.select(col("id").as("src"), col("v").as("va")), Seq("src"))
+        .join(vecs.select(col("id").as("dst"), col("v").as("vb")), Seq("dst"))
+        .withColumn("cs", Similarity.cosine(col("va"), col("vb")))
+        .select(col("src"), col("dst"), col("cs"), lit(0L).as("__new"))
+      val wF = Window.partitionBy(col("src"))
+        .orderBy(col("cs").desc, col("dst"))
+      val adoptedRow = fEdges.unionByName(rev)
+        .withColumn("rn", row_number().over(wF))
+        .where(col("rn") <= graphK && col("__new") === 1L)
+        .agg(countDistinct(col("src")).as("an"), count(lit(1)).as("ae"))
+        .collect()(0)
+      val (an, ae) = (adoptedRow.getLong(0), adoptedRow.getLong(1))
+      exactB.unpersist(); newEdges.unpersist(); affectedB.unpersist()
+      qb.unpersist(); bvecs.unpersist(); beamB0.unpersist()
+      rows += (("append", "batch", nBatch, None))
+      rows += (("append", "new_edges", nNewEdges, None))
+      rows += (("append", "new_edge_recall", hB, Some(
+        if (pB == 0L) 0.0 else round6(hB.toDouble / pB.toDouble))))
+      rows += (("append", "affected_nodes", nAffB, None))
+      rows += (("append", "adopted_nodes", an, Some(
+        if (nAffB == 0L) 0.0 else round6(an.toDouble / nAffB.toDouble))))
+      rows += (("append", "adopted_edges", ae, None))
+
+      // ---- leg 2: DELETE+REPAIR (the s51 audit, shared scans) ----
+      val nEdges = g.count()
+      val gLive = g
+        .join(del.select(col("id").as("src")), Seq("src"), "left_anti")
+        .join(del.select(col("id").as("dst")), Seq("dst"), "left_anti")
+        .select(col("src"), col("dst")).cache()
+      val nLiveEdges = gLive.count()
+      val lost = g.join(del.select(col("id").as("dst")), Seq("dst"))
+        .join(del.select(col("id").as("src")), Seq("src"), "left_anti")
+        .select(col("src"), col("dst").as("d"))
+      val affected = lost.select(col("src")).distinct().cache()
+      val nAffected = affected.count()
+      val promoted = lost
+        .join(g.select(col("src").as("d"), col("dst")), Seq("d"))
+        .join(del.select(col("id").as("dst")), Seq("dst"), "left_anti")
+        .where(col("dst") =!= col("src"))
+        .select(col("src"), col("dst")).distinct().cache()
+      val nPromoted = promoted.count()
+      val cand = gLive.join(affected, Seq("src"))
+        .select(col("src"), col("dst"))
+        .unionByName(promoted).distinct()
+      val wSrc = Window.partitionBy(col("src"))
+        .orderBy(col("cs").desc, col("dst"))
+      val repaired = cand
+        .join(vecs.select(col("id").as("src"), col("v").as("va")), Seq("src"))
+        .join(vecs.select(col("id").as("dst"), col("v").as("vb")), Seq("dst"))
+        .withColumn("cs", Similarity.cosine(col("va"), col("vb")))
+        .withColumn("rn", row_number().over(wSrc))
+        .where(col("rn") <= graphK)
+        .select(col("src"), col("dst")).cache()
+      val nRepaired = repaired.count()
+      val sampled = affected.where(col("src") % lit(auditMod) === 0L)
+      val liveEmb = corpus.join(del.select(col("id").as(idCol)),
+        Seq(idCol), "left_anti")
+      val exactR = Similarity.exactTopKSelf(liveEmb, vecCol, idCol,
+        vecs.join(sampled, col("id") === col("src"))
+          .select(col("src"), col("v").as("qv")), graphK).cache()
+      val pR = exactR.count()
+      val hR = repaired.join(sampled, Seq("src"))
+        .join(exactR, Seq("src", "dst")).count()
+      exactR.unpersist(); repaired.unpersist(); promoted.unpersist()
+      affected.unpersist(); gLive.unpersist()
+      rows += (("repair", "deleted_nodes", nDel, None))
+      rows += (("repair", "edges_dropped", nEdges - nLiveEdges, None))
+      rows += (("repair", "affected_nodes", nAffected, None))
+      rows += (("repair", "promoted_candidates", nPromoted, None))
+      rows += (("repair", "repaired_edges", nRepaired, None))
+      rows += (("repair", "repair_recall", hR, Some(
+        if (pR == 0L) 0.0 else round6(hR.toDouble / pR.toDouble))))
+
+      // ---- leg 3: SERVE (the s52 audit, strategy totals) ----
+      val qframe = vecs.where(col("id").isin(queryIds: _*))
+        .select(col("id").as("qid"), col("v").as("qv")).cache()
+      val nQ = qframe.count()
+      require(nQ == queryIds.distinct.size.toLong,
+        s"${queryIds.distinct.size - nQ} of ${queryIds.distinct.size} " +
+          s"query ids are absent from the corpus id column '$idCol'")
+      require(qframe.join(del, col("qid") === col("id")).limit(1)
+        .count() == 0L,
+        "query ids include tombstoned ids — a deleted query has no " +
+          "live ground truth")
+      val entries = queryIds.distinct
+        .map(q => (q, if (q == mn) mn + 1L else mn))
+      val beamQ0 = spark.createDataFrame(entries).toDF("qid", "dst")
+        .join(vecs.select(col("id").as("dst"), col("v")), Seq("dst"))
+        .join(broadcast(qframe), Seq("qid"))
+        .withColumn("cs", Similarity.cosine(col("v"), col("qv")))
+        .select(col("qid"), col("dst"), col("cs")).cache()
+      beamQ0.count(): Unit
+      val beamQ = walkBeam(vecs, und, qframe, beamQ0, beamWidth, hops,
+        excludeSelf = true)
+      val exactS = Similarity.exactTopKSelf(liveEmb, vecCol, idCol,
+        qframe.select(col("qid").as("src"), col("qv")), k).cache()
+      val pS = exactS.count()
+      val ranked = flat(beamQ).withColumn("rn", row_number().over(wQ))
+      def legTotals(fetch: Int, truncate: Boolean): (Long, Long) = {
+        val live = ranked.where(col("rn") <= fetch)
+          .join(del.select(col("id").as("dst")), Seq("dst"), "left_anti")
+        val cut = if (truncate)
+          live.withColumn("lr", row_number().over(wQ)).where(col("lr") <= k)
+        else live
+        val r = cut.select(col("qid"), col("dst"))
+          .join(exactS.select(col("src"), col("dst").as("edst"),
+            lit(1L).as("__hit")),
+            col("qid") === col("src") && col("dst") === col("edst"), "left")
+          .agg(count(lit(1)).as("r"),
+            coalesce(sum(coalesce(col("__hit"), lit(0L))), lit(0L)).as("h"))
+          .collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      val (plR, plH) = legTotals(fetch = k, truncate = false)
+      val (ovR, ovH) = legTotals(fetch = 2 * k, truncate = true)
+      beamQ.unpersist(); exactS.unpersist(); qframe.unpersist()
+      beamQ0.unpersist()
+      rows += (("serve", "plain", plH, Some(
+        if (pS == 0L) 0.0 else round6(plH.toDouble / pS.toDouble))))
+      rows += (("serve", "plain_returned", plR, None))
+      rows += (("serve", "overfetch", ovH, Some(
+        if (pS == 0L) 0.0 else round6(ovH.toDouble / pS.toDouble))))
+      rows += (("serve", "overfetch_returned", ovR, None))
+      rows += (("serve", "possible", pS, None))
+      und.unpersist(); del.unpersist()
+      spark.createDataFrame(rows.toSeq).toDF("stage", "metric", "n", "x")
+    } finally vecs.unpersist()
+  }
 }

@@ -186,6 +186,7 @@ object ExplainDump {
       "s50_graph_coarse_entry" -> "hierarchical coarse-entry search: entry = argmax over the first-16 coarse set (|queries|*16 scores, flat in N — the one-layer HNSW upper-level descent), audited as hop 0; the hop loop is s47's against the same standing index",
       "s51_graph_delete_repair" -> "graph delete+repair (the s40 compaction move for the graph index): every step bounded by the DELETION, never the corpus — dropped/lost edges join the tombstone ids, promotion-through-deleted is |lost|*graphK pairs, the rescoring join moves vectors only for affected-node candidates, the exact leg samples affected %4 over the live corpus",
       "s52_graph_tombstone_search" -> "tombstone-aware serving (the s43 over-fetch move on the graph index): tombstones ROUTE but never RETURN; plain top-k and the 2k over-fetch cut are graded from ONE |queries|-bound walk, the deleted set joins as broadcast ids, the exact leg runs over the live corpus",
+      "s53_graph_maintenance_run" -> "composed graph maintenance (the s46 move for the graph family): append + delete/repair + the tombstone-serve audit in ONE manifest against ONE standing snapshot — the corpus (id, v) cache, edge scan, undirected closure, and tombstone set are shared across legs; only the three exact audit legs are leg-private",
       "d41_prefix_filter_containment" -> "prefix-filtered containment: SUB side prefix-indexed under the df-ascending rarity order (pigeonhole-lossless for containment >= tau), SUPER side full postings — boilerplate never enters a sub prefix, so the candidate join's quadratic side dies; verify joins move one hash array per candidate doc",
       "s48_graph_append" -> "graph index append vs the PERSISTED GraphIndex (round 20): the standing 80%-corpus graph is a parquet scan off its own fingerprint-keyed index, so the declared append pays only |batch| beam searches (batch-bound) + connect window cut + reverse adoption over the touched nodes (<= |batch|*graphK)",
       "t69_repeat_epoch_plan" -> "repeat-epoch plan: ONE partial-aggregated corpus scan to |sources| rows (token sums + DECIMAL quality means); the greedy is a global sort of |sources|x maxEpochs candidate-epoch rows + one cumulative-cost window — k-row state, not corpus sorts",

@@ -719,6 +719,16 @@ object ScaleSmoke {
             .select(col("vec_id")), "vec_id", queryIds = Seq(1L, 2L, 3L),
           k = 5, beamWidth = 16, hops = 3)
           .collect().length.toLong }
+      time("s53 graphMaintenanceRun") {
+        val am = math.max(1L, emb.count() / 500L)
+        val (cut, h) = h48
+        graft.pipeline.GraphAnn.graphMaintenanceRun(
+          emb.where(col("vec_id") <= cut), emb.where(col("vec_id") > cut),
+          "embedding", "vec_id", h,
+          emb.where(col("vec_id") % 9 === 5).select(col("vec_id")),
+          "vec_id", queryIds = Seq(1L, 2L, 3L), k = 5, beamWidth = 10,
+          hops = 3, appendBeamWidth = 10, appendHops = 3, auditMod = am)
+          .collect().length.toLong }
       if (only.isEmpty ||
         only.exists("s48b graphAppendAuditLoaded".contains)) { h48; () }
       time("s48b graphAppendAuditLoaded") {

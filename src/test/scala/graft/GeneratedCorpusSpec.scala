@@ -283,6 +283,9 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     // the promotion-through-deleted sets are data-dependent)
     "s51_graph_delete_repair",
     "s52_graph_tombstone_search",
+    // s53 composes all three maintenance legs off one standing
+    // snapshot — the whole manifest must replay on arbitrary vectors
+    "s53_graph_maintenance_run",
     // s48 composes the s47 search with the connect cut and the
     // adoption rank — the whole insert trajectory must replay
     "s48_graph_append")

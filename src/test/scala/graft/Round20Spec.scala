@@ -283,4 +283,80 @@ class Round20Spec extends AnyFunSuite {
     }
     assert(leaked.isEmpty, s"maintenance ops leaked cache ids $leaked")
   }
+
+  // ---------------- s53 composed maintenance run ----------------
+
+  test("s53: the composed run reconciles leg-by-leg with the standalone operators") {
+    import spark.implicits._
+    val emb = embDf(n = 60, seed = 43)
+    val corpus = emb.where(col("vec_id") < 48)
+    val batch = emb.where(col("vec_id") >= 48)
+    val del = Seq(5L, 14L, 23L, 32L).toDF("vec_id")
+    val h = GraphIndex.buildIfAbsent(corpus, "embedding", "vec_id",
+      s"${tmpDir("mrun")}/idx", graphK = 4, buildRounds = 1)
+    val run = GraphAnn.graphMaintenanceRun(corpus, batch, "embedding",
+      "vec_id", h, del, "vec_id", queryIds = Seq(1L, 2L), k = 3,
+      beamWidth = 6, hops = 2, appendBeamWidth = 6, appendHops = 2)
+      .collect().map(r => (r.getAs[String]("stage"),
+        r.getAs[String]("metric")) -> r).toMap
+    assert(run.size == 17, s"expected 6+6+5 manifest rows, got ${run.size}")
+    // append leg == graphAppendAuditLoaded
+    val app = GraphAnn.graphAppendAuditLoaded(corpus, batch, "embedding",
+      "vec_id", h, beamWidth = 6, hops = 2).collect()
+      .map(r => r.getAs[String]("metric") -> r).toMap
+    app.foreach { case (m, r) =>
+      val c = run(("append", m))
+      assert(c.getAs[Long]("n") == r.getAs[Long]("n"),
+        s"append/$m n: composed ${c.getAs[Long]("n")} vs ${r.getAs[Long]("n")}")
+      val (cx, rx) = (c.getAs[java.lang.Double]("x"), r.getAs[java.lang.Double]("x"))
+      assert((cx == null) == (rx == null) && (cx == null || cx == rx),
+        s"append/$m x: $cx vs $rx")
+    }
+    // repair leg == graphDeleteRepairLoaded
+    val rep = GraphAnn.graphDeleteRepairLoaded(corpus, "embedding",
+      "vec_id", h, del, "vec_id").collect()
+      .map(r => r.getAs[String]("metric") -> r).toMap
+    rep.foreach { case (m, r) =>
+      val c = run(("repair", m))
+      assert(c.getAs[Long]("n") == r.getAs[Long]("n"), s"repair/$m")
+      val (cx, rx) = (c.getAs[java.lang.Double]("x"), r.getAs[java.lang.Double]("x"))
+      assert((cx == null) == (rx == null) && (cx == null || cx == rx),
+        s"repair/$m x: $cx vs $rx")
+    }
+    // serve leg totals == graphSearchWithTombstones summed per strategy
+    val srv = GraphAnn.graphSearchWithTombstones(corpus, "embedding",
+      "vec_id", h, del, "vec_id", queryIds = Seq(1L, 2L), k = 3,
+      beamWidth = 6, hops = 2).collect()
+    Seq("plain", "overfetch").foreach { st =>
+      val rows = srv.filter(_.getAs[String]("strategy") == st)
+      assert(run(("serve", st)).getAs[Long]("n") ==
+        rows.map(_.getAs[Long]("n_hits")).sum, s"serve/$st hits")
+      assert(run(("serve", s"${st}_returned")).getAs[Long]("n") ==
+        rows.map(_.getAs[Long]("n_returned")).sum, s"serve/$st returned")
+    }
+    assert(run(("serve", "possible")).getAs[Long]("n") ==
+      srv.filter(_.getAs[String]("strategy") == "plain")
+        .map(_.getAs[Long]("n_possible")).sum)
+  }
+
+  test("s53 releases every cache it pins") {
+    import spark.implicits._
+    val emb = embDf(n = 50, seed = 47)
+    val corpus = emb.where(col("vec_id") < 40)
+    val batch = emb.where(col("vec_id") >= 40)
+    val h = GraphIndex.buildIfAbsent(corpus, "embedding", "vec_id",
+      s"${tmpDir("mlife")}/idx", graphK = 3, buildRounds = 1)
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    GraphAnn.graphMaintenanceRun(corpus, batch, "embedding", "vec_id",
+      h, Seq(9L, 18L).toDF("vec_id"), "vec_id", queryIds = Seq(1L),
+      k = 2, beamWidth = 4, hops = 2, appendBeamWidth = 4,
+      appendHops = 2).collect()
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    var leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    while (leaked.nonEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    }
+    assert(leaked.isEmpty, s"composed run leaked cache ids $leaked")
+  }
 }
