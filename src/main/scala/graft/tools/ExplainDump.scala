@@ -228,6 +228,31 @@ per rep), run before any round-20 change:
 | q61_interval_join | 0.32 | 0.57 | 0.37 | 0.40 / 0.41 | same class: isolated == builder artifact within the band. Off the watch list. |
 | s34_ivf_cell_drift | 0.63 | 1.11 | 0.83 | 0.73 / 0.79 | isolated BELOW the builder artifact; driver contention on a sub-second query. Off the watch list. |
 
+## Round-20 addendum: the r14 builder-bench movers (t27 / t40 / t36)
+
+The round's final builder bench (266 queries, 284.1 s, zero errors)
+reads 1.05x on the 261 common queries vs the r13 artifact, with three
+>1.5x movers — t27_interpolated_logprob 0.84 -> 1.78, t40_leakage_
+safe_split 0.93 -> 1.76, t36_vocab_overlap 0.95 -> 1.52 — all
+code-byte-unchanged this round (no text-family source touched).
+Adjudication evidence, all same-day, same corpus:
+
+| query | r13 artifact | r14 bench #1 | r14 bench #2 (artifact) | isolated min/median | reading |
+|---|---|---|---|---|---|
+| t27 | 0.84 | 1.48 | 1.78 | 1.47 / 2.09 | isolated REPRODUCES the bench level on THIS round's corpus |
+| t40 | 0.93 | 1.14 | 1.76 | 1.44 / 1.54 | same |
+| t36 | 0.95 | 1.57 | 1.52 | 1.59 / 2.04 | same |
+| q01 control | — | 0.99 | 1.09 | 1.09 / 1.45 | the machine band is normal |
+
+The r13 comparison is CROSS-CORPUS (the driver regenerates testdata
+every round), and these three are exactly the vocabulary/token-
+distribution-bound operators (LM interpolation table, shingle-split
+audit, distinct-token intersection) whose wall tracks the drawn
+token distribution — the d39 class adjudicated at the top of this
+file: real steady-state cost on the current data, not a code
+regression. Steady-state comparators of record: t27 1.47/2.09,
+t40 1.44/1.54, t36 1.59/2.04.
+
 ## Round-19 signal-of-record adjudication (q59_range_join)
 
 The r12 verdict's one >1.5x cross-artifact mover: 0.45 s (builder r11
