@@ -400,11 +400,20 @@ object GraphAnn {
     * each query's walk starts at its best match among the first `c`
     * vectors by id (the [[Clustering]] seed discipline — a
     * deterministic, engine-portable coarse set), found by scoring
-    * just c candidates. A closer entry buys recall per hop while the
-    * selection itself stays O(|queries|·c), flat in N. The entry
-    * selection is AUDITED as hop 0: (n_scored = coarse candidates
-    * scored, the entry's own hit count against the exact leg) — so
-    * the output rows cover hops 0..hops instead of 1..hops.
+    * just c candidates — O(|queries|·c), flat in N. The entry
+    * selection is AUDITED as hop 0 (n_scored = coarse candidates
+    * scored, the entry's own hit count against the exact leg), so
+    * the output rows cover hops 0..hops instead of 1..hops, and the
+    * hop-for-hop trajectory vs the fixed entry MEASURES what the
+    * coarse layer buys on the corpus at hand. What it buys is
+    * data-dependent (greedy walks carry no dominance theorem):
+    * largest at short hop budgets and on corpora with real
+    * neighborhood structure; on a near-orthogonal random corpus the
+    * strategies reach parity by a 5-hop budget (the round-20
+    * `__gentry_ab` A/B — which also exposed that LOW-ID queries are
+    * ring-adjacent to the min-id entry, flattering the fixed entry
+    * by construction). That measurement, not a guaranteed win, is
+    * the operator's contract.
     *
     * Staleness guard: the handle's recorded corpus stats (n, min id)
     * and column names must match the frame being served — a corpus

@@ -32,6 +32,7 @@ object DriftProfile {
     if (names == Seq("__lev_ab")) { levAb(spark); spark.stop(); return }
     if (names == Seq("__mlm_ab")) { mlmAb(spark, sfDir); spark.stop(); return }
     if (names == Seq("__cdc_ab")) { cdcAb(spark, sfDir); spark.stop(); return }
+    if (names == Seq("__gentry_ab")) { gentryAb(spark, sfDir); spark.stop(); return }
     names.foreach { n =>
       val q = graft.SparkEntry.queries(n)
       // warm (scan caches, codegen)
@@ -266,5 +267,36 @@ object DriftProfile {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct().count())
+  }
+
+  /** A/B the graph-serve ENTRY strategies (dev-only): min-id entry vs
+    * the coarse argmax, same standing index, same hop budget, on two
+    * query sets — the low-id set (ring-adjacent to the min-id entry,
+    * which FLATTERS the fixed entry: the ring init links sequential
+    * ids and refinement keeps some of those edges) and a mid-corpus
+    * set with no such adjacency. Prints per-hop recall sums. Round-20
+    * finding: entry choice on this corpus matters mostly through ring
+    * adjacency, which this hook makes visible.
+    */
+  private def gentryAb(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft-gentry")
+      .toFile.getAbsolutePath + "/idx"
+    val h = graft.pipeline.GraphIndex.buildIfAbsent(emb, "embedding",
+      "vec_id", dir, graphK = 10, buildRounds = 3)
+    Seq("low-id" -> Seq(1L, 2L, 3L), "mid" -> Seq(201L, 301L, 401L))
+      .foreach { case (label, qids) =>
+        Seq("min-id" -> None, "coarse16" -> Some(16)).foreach {
+          case (en, ck) =>
+            val out = graft.pipeline.GraphAnn.graphBeamSearchLoaded(emb,
+              "embedding", "vec_id", h, qids, k = 5, beamWidth = 20,
+              hops = 5, coarseEntryK = ck).collect()
+            val byHop = out.groupBy(_.getAs[Long]("hop")).toSeq.sortBy(_._1)
+              .map { case (hp, rs) =>
+                f"h$hp=${rs.map(_.getAs[Double]("recall")).sum}%.1f" }
+            println(f"[gentry_ab] $label%-8s $en%-9s " + byHop.mkString(" "))
+        }
+      }
   }
 }

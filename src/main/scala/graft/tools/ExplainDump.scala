@@ -183,7 +183,7 @@ object ExplainDump {
       "t70_fuzzy_decontamination_lsh" -> "LSH-scale fuzzy decontamination: NO benchmark broadcast — md5 slot-string MinHash signatures computed scan-side on BOTH frames, one (band, key) bucket exchange, exact-Jaccard verify restricted to collided pair members (shingle arrays move per CANDIDATE doc, the d24 shape)",
       "s47_graph_beam_search" -> "graph beam search vs the PERSISTED GraphIndex (round 20): no build job below the query — the adjacency is a parquet scan off the standing index (first invocation per corpus fingerprint builds it, the s15 lifecycle); each hop is one edge join + one rescoring join over O(|queries|*beam*degree) rows, queries broadcast, per-hop counters are 3-row collects",
       "s49_graph_index_search" -> "persisted-index search (the second read of the standing s47 index — registry hit, zero build): the serving profile at a tighter budget (beam 16, 4 hops); the plan below is hop joins + the sampled exact audit only",
-      "s50_graph_coarse_entry" -> "hierarchical coarse-entry search: entry = argmax over the first-16 coarse set (|queries|*16 scores, flat in N — the one-layer HNSW upper-level descent), audited as hop 0; the hop loop is s47's against the same standing index",
+      "s50_graph_coarse_entry" -> "hierarchical coarse-entry search: entry = argmax over the first-16 coarse set (|queries|*16 scores, flat in N — the one-layer HNSW upper-level descent), audited as hop 0; the hop loop is s47's against the same standing index. What the coarse layer buys is the MEASUREMENT, and round 20's __gentry_ab A/B found: nil on this near-orthogonal corpus (parity by hop 5 on unbiased queries), while exposing that s47's low-id queries are ring-adjacent to its min-id entry — the fixed-entry trajectory is flattered by construction",
       "s51_graph_delete_repair" -> "graph delete+repair (the s40 compaction move for the graph index): every step bounded by the DELETION, never the corpus — dropped/lost edges join the tombstone ids, promotion-through-deleted is |lost|*graphK pairs, the rescoring join moves vectors only for affected-node candidates, the exact leg samples affected %4 over the live corpus",
       "s52_graph_tombstone_search" -> "tombstone-aware serving (the s43 over-fetch move on the graph index): tombstones ROUTE but never RETURN; plain top-k and the 2k over-fetch cut are graded from ONE |queries|-bound walk, the deleted set joins as broadcast ids, the exact leg runs over the live corpus",
       "s53_graph_maintenance_run" -> "composed graph maintenance (the s46 move for the graph family): append + delete/repair + the tombstone-serve audit in ONE manifest against ONE standing snapshot — the corpus (id, v) cache, edge scan, undirected closure, and tombstone set are shared across legs; only the three exact audit legs are leg-private",
@@ -252,6 +252,32 @@ token distribution — the d39 class adjudicated at the top of this
 file: real steady-state cost on the current data, not a code
 regression. Steady-state comparators of record: t27 1.47/2.09,
 t40 1.44/1.54, t36 1.59/2.04.
+
+## Round-20 entry-strategy A/B (`__gentry_ab`: min-id vs coarse-16)
+
+Same standing gk10/r3 index, beam 20, k 5, 5 hops, sf0.01; per-hop
+recall SUMS over 3 queries:
+
+| query set | entry | h1 | h2 | h3 | h4 | h5 |
+|---|---|---|---|---|---|---|
+| low-id (1,2,3) | min-id | 0.0 | 0.2 | 1.0 | 1.4 | 1.6 |
+| low-id (1,2,3) | coarse-16 | 0.0 | 0.4 | 0.6 | 1.0 | 1.2 |
+| mid (201,301,401) | min-id | 0.2 | 0.8 | 1.0 | 1.4 | 1.8 |
+| mid (201,301,401) | coarse-16 | 0.2 | 0.6 | 0.8 | 1.4 | 1.8 |
+
+Two findings. (1) On this near-orthogonal random corpus, coarse
+entry selection buys NOTHING at the 5-hop budget (parity on unbiased
+mid-corpus queries) — the walk's progress is frontier-expansion-
+bound, not entry-proximity-bound, when neighborhoods are weak; the
+hierarchy is worth paying for only on structured corpora or short
+budgets (Round20Spec's low-dim 2-hop fixture, where the >= pin
+genuinely holds). (2) The s47-vs-s50 gap on the DECLARED low-id
+queries is an evaluation artifact the hop-0 audit exposed: the ring
+init links sequential ids and refinement keeps some of those edges,
+so queries 1-3 are ring-adjacent to the min-id entry — the fixed
+entry is flattered by construction. s50's contract is exactly this
+measurement; the declared trajectories stay as the oracle-matched
+record of both effects.
 
 ## Round-19 signal-of-record adjudication (q59_range_join)
 

@@ -167,6 +167,11 @@ class Round20Spec extends AnyFunSuite {
     assert(hop0.getAs[Long]("n_hits") == 1L, hop0.toString)
   }
 
+  // scoped to THIS fixture (dim 8, 2-hop budget): entry proximity
+  // pays at short budgets in low dimension. It is NOT a universal
+  // dominance law — greedy walks carry none, and on the
+  // near-orthogonal sf corpora the strategies reach parity by hop 5
+  // (the __gentry_ab A/B, PLANS.md round-20 notes).
   test("s50: coarse entry reaches at-least the min-id entry's recall at an equal hop budget") {
     val emb = embDf(n = 120, dim = 8, seed = 77)
     val h = GraphIndex.buildIfAbsent(emb, "embedding", "vec_id",
