@@ -364,4 +364,41 @@ class Round20Spec extends AnyFunSuite {
     }
     assert(leaked.isEmpty, s"composed run leaked cache ids $leaked")
   }
+
+  test("GraphIndex: concurrent first opens share ONE build; corrupt meta fails loudly") {
+    val emb = embDf(n = 30, seed = 61)
+    val dir = s"${tmpDir("conc")}/idx"
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futs = (1 to 4).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[GraphIndex.Handle] {
+          def call(): GraphIndex.Handle = GraphIndex.openOrBuildCached(
+            "r20-conc-test", emb, "embedding", "vec_id", dir,
+            graphK = 4, buildRounds = 1)
+        })
+      }
+      val handles = futs.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      // computeIfAbsent serializes the first calls on the key: every
+      // caller gets the SAME handle and the dir holds one index
+      assert(handles.distinct.size == 1, handles.mkString(";"))
+      assert(GraphIndex.open(spark, dir).n == 30L)
+    } finally pool.shutdownNow()
+    // a meta table with the wrong row count is corruption, not
+    // absence — open() must throw, never silently rebuild over it
+    import spark.implicits._
+    val dir2 = s"${tmpDir("corrupt")}/idx"
+    GraphIndex.build(emb, "embedding", "vec_id", dir2, graphK = 3,
+      buildRounds = 0)
+    spark.read.parquet(s"$dir2/meta")
+      .unionAll(spark.read.parquet(s"$dir2/meta"))
+      .write.mode("overwrite").parquet(s"$dir2/meta2")
+    // overwrite meta with the doubled copy (write to a sibling then
+    // move — Spark can't overwrite a path it is reading)
+    graft.pipeline.AnnIndex.deleteDirTree(s"$dir2/meta")
+    new java.io.File(s"$dir2/meta2").renameTo(new java.io.File(s"$dir2/meta"))
+    val e = intercept[IllegalStateException] {
+      GraphIndex.open(spark, dir2)
+    }
+    assert(e.getMessage.contains("2 rows"), e.getMessage)
+  }
 }
