@@ -129,6 +129,17 @@ object GraphIndex {
   /** Open if a complete index with MATCHING parameters exists at
     * `dir`, else build — a parameter change rebuilds instead of
     * silently serving a stale graph.
+    *
+    * Concurrency contract: unlike [[AnnIndex]] there is no
+    * condemn/last-reader-reclaim machinery here, because the serving
+    * layer exposes no graph-index CRUD — nothing redefines a dir
+    * under readers in the declared lifecycle. A LIBRARY caller who
+    * rebuilds into a dir with different parameters while another
+    * thread is mid-search on the old edges races that reader
+    * (overwrite-in-place); callers needing redefinition-under-load
+    * must key the new definition to a NEW dir (the fingerprint
+    * discipline extends naturally: include the params in the key, as
+    * the declared queries do).
     */
   def buildIfAbsent(emb: DataFrame, vecCol: String, idCol: String,
       dir: String, graphK: Int, buildRounds: Int): Handle = {
