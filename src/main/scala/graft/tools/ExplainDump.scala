@@ -253,6 +253,16 @@ file: real steady-state cost on the current data, not a code
 regression. Steady-state comparators of record: t27 1.47/2.09,
 t40 1.44/1.54, t36 1.59/2.04.
 
+## Round-20 sf0.1 oracle check of the graph family
+
+Beyond the driver's sf0.01 gate, the full graph family was
+hash-checked against the DuckDB oracle at sf0.1 (2000 vectors — 4x
+the driver's verify scale, with the oracle replaying the complete
+gk10/3-round build over 2000 vectors): **all 8 PASS, 0 FAIL**
+(s45, s47, s48, s49, s50, s51, s52, s53). The cross-engine
+bit-identity of the build, the persist boundary, every serve/append/
+repair leg, and the round-6 recalls holds at the larger draw.
+
 ## Round-20 entry-strategy A/B (`__gentry_ab`: min-id vs coarse-16)
 
 Same standing gk10/r3 index, beam 20, k 5, 5 hops, sf0.01; per-hop
