@@ -1420,6 +1420,52 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     })
 
+  // 128-bit corpus fingerprint for persisted-index cache keys (r21
+  // advice): MD5 over absolute path + per-file (name, size, mtime,
+  // head/tail sample) + the caller's param tag. Wide enough that a
+  // collision is not a practical event (the previous 32-bit
+  // MurmurHash key had a real birthday exposure across driver
+  // rounds), and content-bearing: each file folds in its first,
+  // middle, and last 4 KiB (up to 8 files), so even a same-size
+  // same-millisecond in-place regeneration changes the key — parquet
+  // footers carry row-group stats that differ whenever the data
+  // does. The sample read is bounded (≤ 96 KiB total) and runs once
+  // per registry key.
+  private[graft] def corpusFileKey(dir: String, table: String,
+      extra: String): String = {
+    def sample(f: java.io.File): String = {
+      val len = f.length()
+      val chunk = 4096
+      val raf = new java.io.RandomAccessFile(f, "r")
+      try {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        Seq(0L, math.max(0L, len / 2 - chunk / 2),
+          math.max(0L, len - chunk)).foreach { off =>
+          val buf = new Array[Byte](math.min(chunk.toLong, len).toInt)
+          raf.seek(off)
+          raf.readFully(buf)
+          md.update(buf)
+        }
+        md.digest().map(b => f"$b%02x").mkString
+      } finally raf.close()
+    }
+    def part(f: java.io.File, sampled: Boolean): String =
+      s"${f.getName}|${f.length()}|${f.lastModified()}" +
+        (if (sampled) s"|${sample(f)}" else "")
+    val src = new java.io.File(s"$dir/$table.parquet")
+    val files =
+      if (src.isDirectory)
+        Option(src.listFiles()).map(_.filter(_.isFile).sortBy(_.getName)
+          .zipWithIndex
+          .map { case (f, i) => part(f, sampled = i < 8) }
+          .mkString(",")).getOrElse("")
+      else part(src, sampled = src.isFile)
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${src.getAbsolutePath}|$files|$extra"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+  }
+
   // Indexed IVF-PQ: the build-once/persist/query-many lifecycle.
   // The first invocation per (corpus, params) builds the index (cell-
   // partitioned codes + codebook/cell/meta side tables under the JVM
@@ -1431,14 +1477,12 @@ object SparkEntry {
   private val s15 = Q("s15_knn_pq_indexed", None,
     (s, dir) => {
       val emb = T(s, dir, "embeddings")
-      // cache key = corpus FINGERPRINT (path + mtime + size), not the
-      // path alone: the test corpus is regenerated in place between
-      // rounds, and a path-keyed cache would serve codes encoded from
-      // the previous data against queries resolved from the new one
-      val src = new java.io.File(s"$dir/embeddings.parquet")
-      val key = java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(
-          s"$dir|${src.lastModified()}|${src.length()}").toLong & 0xffffffffL)
+      // cache key = 128-bit corpus FINGERPRINT (per-file size+mtime),
+      // not the path alone: the test corpus is regenerated in place
+      // between rounds, and a path-keyed cache would serve codes
+      // encoded from the previous data against queries resolved from
+      // the new one
+      val key = corpusFileKey(dir, "embeddings", "ivf")
       val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-ann-$key"
       val h = graft.pipeline.AnnIndex.openOrBuildCached(
         s"emb-$key", emb, "embedding", "vec_id", idxDir,
@@ -1713,10 +1757,7 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings")
       // corpus fingerprint in the cache key, as in s15 — plus the
       // build flavor, so seeded and trained indexes never share a dir
-      val src = new java.io.File(s"$dir/embeddings.parquet")
-      val key = java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(
-          s"$dir|${src.lastModified()}|${src.length()}").toLong & 0xffffffffL)
+      val key = corpusFileKey(dir, "embeddings", "seeded")
       val idxDir =
         s"${System.getProperty("java.io.tmpdir")}/graft-ann-seeded-$key"
       val h = graft.pipeline.AnnIndex.openOrBuildCachedSeeded(
@@ -8011,7 +8052,7 @@ object SparkEntry {
     when(c >= 0L && c < 100000L, c + lit(off)).otherwise(raise_error(
       concat(lit("id-offset fixture convention violated: doc_id "),
         c.cast("string"),
-        lit(s" outside [0, 100000) — the +$off batch leg would collide"))))
+        lit(s" outside [0, 100000) — the +$off id-band leg would collide"))))
 
   // CROSS-MODAL dup disagreement audit: image-dup pairs (phash) vs
   // caption-dup pairs (exact) classified both/image_only/caption_only
@@ -8464,8 +8505,13 @@ object SparkEntry {
       val base = T(s, dir, "documents").where(octet_length(col("text")) > 0 &&
           octet_length(col("text")) === length(col("text")))
         .select(col("doc_id"), col("text"), col("source"))
+      // the corpus leg rides the SAME id-band guard (off = 0) as the
+      // batch legs (r21 advice): a doc_id >= 100000 not divisible by
+      // 3 would otherwise flow through unguarded while the oracle's
+      // sample_id >= 100000 split misclassified it as a batch row —
+      // an identical-in-both-engines divergence the hash can't catch
       val corpus = base.where(col("doc_id") % 2 === 0)
-        .select(col("doc_id").as("sample_id"),
+        .select(offsetLegId(col("doc_id"), 0L).as("sample_id"),
           col("text").as("img_text"), col("text").as("caption"), col("source"))
       val third = base.where(col("doc_id") % 3 === 0)
       val batch = third.select(offsetLegId(col("doc_id"), 100000L)
@@ -8761,14 +8807,13 @@ object SparkEntry {
   private def graphIdxHandle(s: SparkSession, dir: String,
       corpus: DataFrame, graphK: Int, buildRounds: Int,
       tag: String): graft.pipeline.GraphIndex.Handle = {
-    // cache key = corpus FINGERPRINT (path + mtime + size), the s15
-    // discipline: the test corpus is regenerated in place between
-    // rounds and a path-keyed index would serve stale edges
-    val src = new java.io.File(s"$dir/embeddings.parquet")
-    val key = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(
-        s"$dir|${src.lastModified()}|${src.length()}|$tag|gk$graphK|r$buildRounds")
-        .toLong & 0xffffffffL)
+    // cache key = 128-bit corpus FINGERPRINT (per-file size+mtime +
+    // params), the s15 discipline widened per the r21 advice: the
+    // test corpus is regenerated in place between rounds, and a
+    // path-keyed (or collision-prone 32-bit) index key would serve
+    // stale edges; requireHandleMatches (n, mn, cols) cannot catch a
+    // same-size content change on its own
+    val key = corpusFileKey(dir, "embeddings", s"$tag|gk$graphK|r$buildRounds")
     graft.pipeline.GraphIndex.openOrBuildCached(s"graph-$key", corpus,
       "embedding", "vec_id",
       s"${System.getProperty("java.io.tmpdir")}/graft-gidx-$key",

@@ -632,12 +632,25 @@ object GraphAnn {
       beamWidth: Int, hops: Int): DataFrame = {
     require(buildRounds >= 0, s"bad buildRounds=$buildRounds")
     val (vecs, n, mn) = appendVecs(corpus, vecCol, idCol)
-    // the standing graph, built in-query (the one-shot shape; the
-    // production append runs against a persisted index — see
-    // [[graphAppendAuditLoaded]])
-    val g = buildRingGraph(vecs, n, mn, graphK, buildRounds)
-    appendCore(corpus, batch, vecCol, idCol, vecs, g, mn, graphK,
-      beamWidth, hops)
+    // catch-and-release, not finally: on success appendCore owns the
+    // deferred release of vecs/g (they must outlive the caller's one
+    // execution of the returned plan), but a failed require anywhere
+    // below must not leave them pinned for the session (r21 advice —
+    // the leak class the r13 fix closed on the serve path)
+    var g: DataFrame = null
+    try {
+      // the standing graph, built in-query (the one-shot shape; the
+      // production append runs against a persisted index — see
+      // [[graphAppendAuditLoaded]])
+      g = buildRingGraph(vecs, n, mn, graphK, buildRounds)
+      appendCore(corpus, batch, vecCol, idCol, vecs, g, mn, graphK,
+        beamWidth, hops)
+    } catch {
+      case t: Throwable =>
+        if (g != null) g.unpersist()
+        vecs.unpersist()
+        throw t
+    }
   }
 
   /** [[graphAppendAudit]] against a PERSISTED [[GraphIndex]] — the
@@ -651,10 +664,18 @@ object GraphAnn {
       vecCol: String, idCol: String, handle: GraphIndex.Handle,
       beamWidth: Int, hops: Int): DataFrame = {
     val (vecs, n, mn) = appendVecs(corpus, vecCol, idCol)
-    requireHandleMatches(handle, n, mn, idCol, vecCol)
-    appendCore(corpus, batch, vecCol, idCol, vecs,
-      GraphIndex.edges(corpus.sparkSession, handle), mn, handle.graphK,
-      beamWidth, hops)
+    // catch-and-release (not finally — on success appendCore defers
+    // the release of vecs past the caller's execution): a staleness
+    // -guard or require failure must not leave the corpus cache
+    // pinned for the session (r21 advice)
+    try {
+      requireHandleMatches(handle, n, mn, idCol, vecCol)
+      appendCore(corpus, batch, vecCol, idCol, vecs,
+        GraphIndex.edges(corpus.sparkSession, handle), mn, handle.graphK,
+        beamWidth, hops)
+    } catch {
+      case t: Throwable => vecs.unpersist(); throw t
+    }
   }
 
   private def appendVecs(corpus: DataFrame, vecCol: String,
@@ -685,12 +706,19 @@ object GraphAnn {
     require(hops >= 1, s"bad hops=$hops")
     val spark = corpus.sparkSession
     val bvecs = batch.select(col(idCol).as("id"), col(vecCol).as("v")).cache()
-    val nBatch = bvecs.count()
-    require(nBatch > 0, "empty batch")
-    // id spaces must be disjoint — ids-only probe, loud failure
-    require(bvecs.select(col("id"))
-      .join(vecs.select(col("id")), Seq("id")).limit(1).count() == 0L,
-      "batch ids collide with corpus ids")
+    // the early requires release bvecs on failure (the caller's catch
+    // releases vecs/g) — a bad batch must not pin the batch cache
+    val nBatch = try {
+      val nb = bvecs.count()
+      require(nb > 0, "empty batch")
+      // id spaces must be disjoint — ids-only probe, loud failure
+      require(bvecs.select(col("id"))
+        .join(vecs.select(col("id")), Seq("id")).limit(1).count() == 0L,
+        "batch ids collide with corpus ids")
+      nb
+    } catch {
+      case t: Throwable => bvecs.unpersist(); throw t
+    }
     val und = undirected(g).cache()
     und.count(): Unit
     val qframe = bvecs.select(col("id").as("qid"), col("v").as("qv")).cache()

@@ -70,6 +70,17 @@ object GraphIndex {
     require(graphK > 0, s"graphK must be positive, got $graphK")
     require(buildRounds >= 0, s"buildRounds must be >= 0, got $buildRounds")
     val spark = emb.sparkSession
+    // REBUILD crash-safety (round-21 advice): a param-change rebuild
+    // lands here with the PREVIOUS build's meta still on disk. Delete
+    // it FIRST — restoring the designed absent-index marker — so a
+    // crash between the edges overwrite and the meta write leaves a
+    // visibly-incomplete dir, never an old meta describing new or
+    // partial edge files that open() would serve silently.
+    locally {
+      val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
+      val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(metaPath)) fs.delete(metaPath, true): Unit
+    }
     val vecs = graft.ops.ScaleOps.fanOut(emb)
       .select(col(idCol).as("id"), col(vecCol).as("v")).cache()
     val meta = vecs.agg(count(lit(1)).as("n"), min(col("id")).as("mn"),

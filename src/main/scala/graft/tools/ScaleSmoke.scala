@@ -719,6 +719,13 @@ object ScaleSmoke {
             .select(col("vec_id")), "vec_id", queryIds = Seq(1L, 2L, 3L),
           k = 5, beamWidth = 16, hops = 3)
           .collect().length.toLong }
+      // force the lazy c80 build BEFORE either consumer's timer (r21
+      // advice: the forcing block used to sit after the s53 timer and
+      // condition only on the s48b label, so an unfiltered run billed
+      // the index build to the s53 row despite the comment's claim)
+      if (only.isEmpty || only.exists(o =>
+        "s53 graphMaintenanceRun".contains(o) ||
+          "s48b graphAppendAuditLoaded".contains(o))) { h48; () }
       time("s53 graphMaintenanceRun") {
         val am = math.max(1L, emb.count() / 500L)
         val (cut, h) = h48
@@ -729,8 +736,6 @@ object ScaleSmoke {
           "vec_id", queryIds = Seq(1L, 2L, 3L), k = 5, beamWidth = 10,
           hops = 3, appendBeamWidth = 10, appendHops = 3, auditMod = am)
           .collect().length.toLong }
-      if (only.isEmpty ||
-        only.exists("s48b graphAppendAuditLoaded".contains)) { h48; () }
       time("s48b graphAppendAuditLoaded") {
         val (cut, h) = h48
         graft.pipeline.GraphAnn.graphAppendAuditLoaded(

@@ -472,4 +472,113 @@ class AdviceFixesSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("fixture convention violated")),
       messages(e).mkString(" | "))
   }
+
+  test("m31's CORPUS leg rides the id-band guard too (even, non-%3 id past the band)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-adv-idband31").toFile.getAbsolutePath
+    // 100004 is even (corpus leg) but NOT divisible by 3 — before the
+    // r21 fix it flowed through m31's corpus leg unguarded while the
+    // oracle's sample_id >= 100000 split misclassified it as a batch
+    // row: an identical-in-both-engines divergence the hash can't
+    // see. Doc 6 keeps the batch legs non-empty so AQE can't
+    // short-circuit the corpus side before the guard evaluates.
+    Seq((100004L, "hello world", "web"), (6L, "other text", "web"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[Exception] {
+      SparkEntry.queries("m31_incremental_paired_release")(spark, dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("fixture convention violated")),
+      messages(e).mkString(" | "))
+  }
+
+  test("corpusFileKey changes when file content changes at equal size+mtime (and is 128-bit)") {
+    val dir = Files.createTempDirectory("graft-adv-fpkey").toFile.getAbsolutePath
+    val f = new java.io.File(s"$dir/emb.parquet")
+    java.nio.file.Files.write(f.toPath, ("A" * 9000).getBytes)
+    f.setLastModified(1700000000000L): Unit
+    val k1 = SparkEntry.corpusFileKey(dir, "emb", "t")
+    assert(k1.length == 32, s"want a 128-bit hex key, got $k1")
+    // same size, same mtime, different content — the r21 advice case
+    // a (path, size, mtime) key cannot distinguish
+    java.nio.file.Files.write(f.toPath, ("A" * 4500 + "B" + "A" * 4499).getBytes)
+    f.setLastModified(1700000000000L): Unit
+    val k2 = SparkEntry.corpusFileKey(dir, "emb", "t")
+    assert(k1 != k2, "content change at equal size+mtime must change the key")
+    // params fold into the key: same corpus, different tag → new dir
+    assert(SparkEntry.corpusFileKey(dir, "emb", "u") != k2)
+  }
+
+  test("a failed graph-index REBUILD restores the absent marker (no stale meta over new edges)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-adv-gidxrb").toFile
+      .getAbsolutePath + "/idx"
+    val emb = (0 until 20).map(i => (i.toLong,
+      Array.fill(4)(new scala.util.Random(i).nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    graft.pipeline.GraphIndex.build(emb, "embedding", "vec_id", dir,
+      graphK = 3, buildRounds = 0)
+    // a rebuild whose input evaluation throws mid-build: the id column
+    // raise_errors, so the build dies after the meta delete but before
+    // (or during) the edges write — the r21 advice crash window
+    val poisoned = emb.withColumn("vec_id",
+      org.apache.spark.sql.functions.when(col("vec_id") < 100L,
+        org.apache.spark.sql.functions.raise_error(
+          org.apache.spark.sql.functions.lit("injected build failure"))
+          .cast("long")).otherwise(col("vec_id")))
+    intercept[Exception] {
+      graft.pipeline.GraphIndex.build(poisoned, "embedding", "vec_id",
+        dir, graphK = 4, buildRounds = 0)
+    }
+    // the old meta must be GONE: a half-rebuilt dir opens as ABSENT
+    // (the designed marker), never as the previous build's definition
+    assert(!new java.io.File(s"$dir/meta").exists(),
+      "failed rebuild left the previous meta behind")
+    // and buildIfAbsent recovers by rebuilding cleanly
+    val h = graft.pipeline.GraphIndex.buildIfAbsent(emb, "embedding",
+      "vec_id", dir, graphK = 4, buildRounds = 0)
+    assert(h.graphK == 4 &&
+      graft.pipeline.GraphIndex.open(spark, dir).graphK == 4)
+  }
+
+  test("graphAppendAuditLoaded releases its caches when the staleness guard fires") {
+    import spark.implicits._
+    val emb = (0 until 30).map(i => (i.toLong,
+      Array.fill(4)(new scala.util.Random(i + 3).nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft-adv-apleak").toFile
+      .getAbsolutePath + "/idx"
+    val h = graft.pipeline.GraphIndex.buildIfAbsent(
+      emb.where(col("vec_id") < 24), "embedding", "vec_id", dir,
+      graphK = 3, buildRounds = 0)
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    // (a) staleness guard: the corpus frame is NOT the indexed one
+    intercept[IllegalArgumentException] {
+      graft.pipeline.GraphAnn.graphAppendAuditLoaded(emb, emb.limit(0),
+        "embedding", "vec_id", h, beamWidth = 4, hops = 1)
+    }
+    // (b) empty batch: fails after the corpus AND batch caches pin
+    intercept[IllegalArgumentException] {
+      graft.pipeline.GraphAnn.graphAppendAuditLoaded(
+        emb.where(col("vec_id") < 24), emb.where(col("vec_id") > 900),
+        "embedding", "vec_id", h, beamWidth = 4, hops = 1)
+    }
+    // (c) id collision: the batch overlaps the corpus id space
+    intercept[IllegalArgumentException] {
+      graft.pipeline.GraphAnn.graphAppendAuditLoaded(
+        emb.where(col("vec_id") < 24), emb.where(col("vec_id") < 2),
+        "embedding", "vec_id", h, beamWidth = 4, hops = 1)
+    }
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    var leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    while (leaked.nonEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    }
+    assert(leaked.isEmpty,
+      s"guard failures left caches pinned: $leaked")
+  }
 }
