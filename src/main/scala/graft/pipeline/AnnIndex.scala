@@ -401,28 +401,23 @@ object AnnIndex {
   }
 
   // ---- session-level registry ----------------------------------
+  // The registry/guard machinery is the SHARED [[IndexLifecycle]]
+  // (extracted round 21 so the graph family gets the same concurrency
+  // discipline); AnnIndex keeps its historical public surface as thin
+  // delegation plus type aliases for the typed exceptions.
 
-  /** Named handles, so a serving session opens an index once and
-    * queries it by name thereafter (and the HTTP layer can expose
-    * index CRUD without re-reading side tables per request).
-    *
-    * ConcurrentHashMap, not TrieMap: `computeIfAbsent` runs the build
-    * thunk atomically per key, so two concurrent first requests for
-    * the same name can't race overlapping mode-overwrite builds into
-    * one directory (TrieMap.getOrElseUpdate evaluates in both racers).
+  private val reg = new IndexLifecycle.IndexRegistry[Handle](_.dir)
+
+  /** The reader-vs-delete guard shared with [[GraphIndex]] (one
+    * global guard keyed by dir — dirs are unique per definition).
     */
-  private val registry =
-    new java.util.concurrent.ConcurrentHashMap[String, Handle]()
+  private def DirGuard = IndexLifecycle.DirGuard
 
-  def register(name: String, handle: Handle): Unit = {
-    registry.put(name, handle): Unit
-  }
-  def get(name: String): Option[Handle] = Option(registry.get(name))
-  def drop(name: String): Boolean = registry.remove(name) != null
-  def list(): Seq[String] = {
-    import scala.jdk.CollectionConverters._
-    registry.keys.asScala.toSeq.sorted
-  }
+  def register(name: String, handle: Handle): Unit =
+    reg.register(name, handle)
+  def get(name: String): Option[Handle] = reg.get(name)
+  def drop(name: String): Boolean = reg.drop(name)
+  def list(): Seq[String] = reg.list()
 
   /** [[drop]] that also deletes the persisted index directory — the
     * serving DELETE semantics. A long-lived session cycling many
@@ -437,11 +432,7 @@ object AnnIndex {
     * of dying on FileNotFoundException mid-stage. New readers that
     * arrive after the drop are refused at acquire time.
     */
-  def dropAndDelete(name: String): Boolean =
-    Option(registry.remove(name)) match {
-      case Some(h) => DirGuard.condemn(h.dir); true
-      case None => false
-    }
+  def dropAndDelete(name: String): Boolean = reg.dropAndDelete(name)
 
   /** Run `body` (a search or append against `handle`'s files) under
     * the dir's reader count: a concurrent drop/rebuild defers file
@@ -449,139 +440,15 @@ object AnnIndex {
     * [[IndexDroppedException]] if the dir was already condemned —
     * the serving layer maps that to its not-found response.
     */
-  def withReader[T](handle: Handle)(body: => T): T =
-    DirGuard.withReader(handle.dir)(body)
+  def withReader[T](handle: Handle)(body: => T): T = reg.withReader(handle)(body)
 
-  /** Thrown by [[withReader]] when the index dir was dropped between
-    * the registry lookup and the read — the lost race is answered
-    * like any other missing index, not as a stream of parquet IO
-    * failures from a half-deleted directory.
+  /** Historical name for [[IndexLifecycle.IndexDroppedException]]. */
+  type IndexDroppedException = IndexLifecycle.IndexDroppedException
+
+  /** Recursive delete of a persisted index dir — see
+    * [[IndexLifecycle.deleteDirTree]] (meta subtree first).
     */
-  final class IndexDroppedException(dir: String)
-    extends IllegalStateException(s"index at $dir was dropped")
-
-  /** Coordinates readers (searches/appends) with directory deletion
-    * (DROP, param-change rebuild). States guarded by one monitor —
-    * transitions are microseconds; the actual file IO runs outside
-    * the lock. Invariants: files are deleted only when the reader
-    * count is zero; once condemned, no new reader can acquire; a
-    * writer (rebuild into the same dir) blocks until the deletion
-    * completes rather than racing its parquet writes against it.
-    */
-  private object DirGuard {
-    private final class St {
-      var readers = 0
-      var condemned = false // no new readers; delete when readers drain
-      var deleting = false  // file IO in flight
-      var deleted = false   // tombstone: files gone, refuse stale readers
-    }
-    private val states = scala.collection.mutable.HashMap[String, St]()
-
-    def withReader[T](dir: String)(body: => T): T = {
-      states.synchronized {
-        val st = states.getOrElseUpdate(dir, new St)
-        if (st.condemned || st.deleting || st.deleted)
-          throw new IndexDroppedException(dir)
-        st.readers += 1
-      }
-      try body finally release(dir)
-    }
-
-    private def release(dir: String): Unit = {
-      val deleteNow = states.synchronized {
-        states.get(dir) match {
-          case Some(st) =>
-            st.readers -= 1
-            if (st.readers == 0 && st.condemned && !st.deleting) {
-              st.deleting = true; true
-            } else {
-              if (st.readers == 0 && !st.condemned) states.remove(dir): Unit
-              false
-            }
-          case None => false
-        }
-      }
-      if (deleteNow) doDelete(dir)
-    }
-
-    /** Mark `dir` dead: delete now if idle, else the last reader's
-      * release deletes. Idempotent.
-      */
-    def condemn(dir: String): Unit = {
-      val deleteNow = states.synchronized {
-        val st = states.getOrElseUpdate(dir, new St)
-        if (st.condemned || st.deleting || st.deleted) false
-        else {
-          st.condemned = true
-          if (st.readers == 0) { st.deleting = true; true } else false
-        }
-      }
-      if (deleteNow) doDelete(dir)
-    }
-
-    /** The entry stays behind as a TOMBSTONE (deleted=true) rather
-      * than vanishing: a stale handle's late [[withReader]] must be
-      * refused with the typed exception, not silently re-admitted to
-      * a directory that no longer exists. The next writer targeting
-      * the path reclaims the tombstone in [[awaitClearForWrite]].
-      */
-    private def doDelete(dir: String): Unit =
-      try deleteDirTree(dir)
-      finally states.synchronized {
-        states.get(dir).foreach { st =>
-          st.deleting = false
-          st.deleted = true
-        }
-        states.notifyAll()
-      }
-
-    /** Block a build that targets `dir` until any pending/condemned
-      * deletion of the same path has finished — a DROP immediately
-      * followed by an identical re-POST must rebuild into a fully
-      * cleared directory, not interleave writes with the delete. A
-      * completed deletion's tombstone is reclaimed here: the writer
-      * owns the path again.
-      */
-    def awaitClearForWrite(dir: String): Unit = states.synchronized {
-      val deadlineNs = System.nanoTime() + 120L * 1000 * 1000 * 1000
-      var done = false
-      while (!done) {
-        states.get(dir) match {
-          case Some(st) if st.deleted =>
-            states.remove(dir): Unit
-            done = true
-          case Some(st) if st.condemned || st.deleting =>
-            val remMs = (deadlineNs - System.nanoTime()) / 1000000
-            if (remMs <= 0) throw new IllegalStateException(
-              s"timed out waiting for pending delete of index dir $dir")
-            states.wait(remMs)
-          case _ => done = true
-        }
-      }
-    }
-  }
-
-  /** Recursive delete of a persisted index dir (local filesystem —
-    * index spools live under the session spool / JVM tmpdir). The
-    * `meta` subtree goes FIRST: meta-presence is the completeness
-    * marker [[openIfPresent]] checks, so a concurrent open during the
-    * walk sees a clean "absent" instead of a corrupt half-index.
-    */
-  def deleteDirTree(dir: String): Unit = {
-    import java.nio.file.Paths
-    deleteTree(Paths.get(dir, "meta"))
-    deleteTree(Paths.get(dir))
-  }
-
-  private def deleteTree(root: java.nio.file.Path): Unit = {
-    import java.nio.file.{Files, Path}
-    if (Files.exists(root)) {
-      val walk = Files.walk(root)
-      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach((p: Path) => Files.deleteIfExists(p): Unit)
-      finally walk.close()
-    }
-  }
+  def deleteDirTree(dir: String): Unit = IndexLifecycle.deleteDirTree(dir)
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
@@ -633,16 +500,7 @@ object AnnIndex {
     * directories, it just can't break in-flight queries either.
     */
   def openOrRebuildCached(name: String, dir: String)(build: => Handle): Handle =
-    registry.compute(name, (_, old) =>
-      if (old != null && old.dir == dir) old
-      else {
-        if (old != null) DirGuard.condemn(old.dir)
-        // a DROP of this same dir may still be deleting (e.g. DELETE
-        // then an identical re-POST resolves to the same path): let
-        // it finish before overwrite-writing into the directory
-        DirGuard.awaitClearForWrite(dir)
-        build
-      })
+    reg.openOrRebuildCached(name, dir)(build)
 
   /** [[openOrRebuildCached]] with an EXACT per-prefix cap on new
     * names. The count-and-admit runs under one lock with a
@@ -653,31 +511,11 @@ object AnnIndex {
     */
   def openOrRebuildCachedBounded(
       name: String, dir: String, prefix: String, cap: Int)(
-      build: => Handle): Handle = {
-    val reservedHere = capLock.synchronized {
-      if (registry.containsKey(name) || reserved.contains(name)) false
-      else {
-        import scala.jdk.CollectionConverters._
-        val live = registry.keys.asScala.count(_.startsWith(prefix))
-        val pending = reserved.count(_.startsWith(prefix))
-        if (live + pending >= cap) throw new IndexCapExceededException(cap)
-        reserved.add(name)
-        true
-      }
-    }
-    try openOrRebuildCached(name, dir)(build)
-    finally if (reservedHere) capLock.synchronized { reserved.remove(name): Unit }
-  }
+      build: => Handle): Handle =
+    reg.openOrRebuildCachedBounded(name, dir, prefix, cap)(build)
 
-  /** Thrown by [[openOrRebuildCachedBounded]] when a session is at
-    * its index cap — the serving layer maps it to 429.
-    */
-  final class IndexCapExceededException(cap: Int)
-    extends IllegalStateException(
-      s"index cap reached ($cap); DELETE an index first")
-
-  private val capLock = new Object
-  private val reserved = scala.collection.mutable.HashSet[String]()
+  /** Historical name for [[IndexLifecycle.IndexCapExceededException]]. */
+  type IndexCapExceededException = IndexLifecycle.IndexCapExceededException
 
   /** Registry-cached open-or-build: the first call builds (or opens a
     * persisted) index and registers it; later calls are a map lookup.
@@ -688,7 +526,7 @@ object AnnIndex {
       name: String, emb: DataFrame, vecCol: String, idCol: String,
       dir: String, numCells: Int, m: Int, ksub: Int, iters: Int = 3,
       maxTrainRows: Int = 100000): Handle =
-    registry.computeIfAbsent(name, _ =>
+    reg.openOrBuildCached(name)(
       buildIfAbsent(emb, vecCol, idCol, dir, numCells, m, ksub, iters,
         maxTrainRows))
 
@@ -698,6 +536,6 @@ object AnnIndex {
   def openOrBuildCachedSeeded(
       name: String, emb: DataFrame, vecCol: String, idCol: String,
       dir: String, numCells: Int, m: Int, ksub: Int): Handle =
-    registry.computeIfAbsent(name, _ =>
+    reg.openOrBuildCached(name)(
       buildSeededIfAbsent(emb, vecCol, idCol, dir, numCells, m, ksub))
 }

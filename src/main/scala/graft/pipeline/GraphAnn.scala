@@ -374,7 +374,12 @@ object GraphAnn {
       buildRounds: Int, hops: Int): DataFrame = {
     require(graphK > 0 && buildRounds >= 0,
       s"bad graphK=$graphK / buildRounds=$buildRounds")
-    val (vecs, n, mn) = servingVecs(emb, vecCol, idCol)
+    val (vecs, n, mn, mx) = servingVecs(emb, vecCol, idCol)
+    // the IN-QUERY build needs the ring init's dense id space; the
+    // loaded serve paths do not (a written-back repaired index serves
+    // a tombstone-compacted — non-dense — corpus)
+    require(mx - mn + 1L == n,
+      s"ring init needs a dense id column: ids span [$mn,$mx] but count is $n")
     try {
       // build: ring + R undirected rounds (the s45 loop, audit-free)
       val g = buildRingGraph(vecs, n, mn, graphK, buildRounds)
@@ -424,7 +429,7 @@ object GraphAnn {
       handle: GraphIndex.Handle, queryIds: Seq[Long], k: Int,
       beamWidth: Int, hops: Int,
       coarseEntryK: Option[Int] = None): DataFrame = {
-    val (vecs, n, mn) = servingVecs(emb, vecCol, idCol)
+    val (vecs, n, mn, _) = servingVecs(emb, vecCol, idCol)
     try {
       requireHandleMatches(handle, n, mn, idCol, vecCol)
       beamServe(emb, vecCol, idCol, vecs,
@@ -433,20 +438,35 @@ object GraphAnn {
     } finally vecs.unpersist()
   }
 
-  /** Shared serving prep: fanned-out (id, v) cache + the dense-id
-    * meta check every graph entry point needs.
+  /** Shared serving prep: fanned-out (id, v) cache + corpus stats.
+    * No density requirement here (round 21): serving a LOADED index
+    * works over any id space — a written-back repaired index's
+    * corpus is tombstone-compacted, hence non-dense. The build entry
+    * points re-assert density themselves (ring init needs it).
     */
   private def servingVecs(emb: DataFrame, vecCol: String,
-      idCol: String): (DataFrame, Long, Long) = {
+      idCol: String): (DataFrame, Long, Long, Long) = {
     val vecs = graft.ops.ScaleOps.fanOut(emb)
       .select(col(idCol).as("id"), col(vecCol).as("v")).cache()
     val meta = vecs.agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
       max(col("id")).as("mx")).collect()(0)
     val (n, mn, mx) = (meta.getLong(0), meta.getLong(1), meta.getLong(2))
     require(n >= 2, "cannot search a graph over fewer than 2 vectors")
-    require(mx - mn + 1L == n,
-      s"ring init needs a dense id column: ids span [$mn,$mx] but count is $n")
-    (vecs, n, mn)
+    (vecs, n, mn, mx)
+  }
+
+  /** Per-query fixed entry: the min-id vector, or — when the query
+    * IS that vector — the second-smallest id. Dense corpora resolve
+    * the alternate as mn+1 by construction; a non-dense (repaired)
+    * corpus resolves it with one tiny agg, run ONLY when some query
+    * actually equals mn (zero extra jobs otherwise, and the same
+    * value as the historical mn+1 on dense ids).
+    */
+  private def fixedEntries(vecs: DataFrame, mn: Long,
+      queryIds: Seq[Long]): Seq[(Long, Long)] = {
+    lazy val alt: Long = vecs.where(col("id") > lit(mn))
+      .agg(min(col("id"))).head().getLong(0)
+    queryIds.distinct.map(q => (q, if (q == mn) alt else mn))
   }
 
   private def requireHandleMatches(handle: GraphIndex.Handle, n: Long,
@@ -484,11 +504,15 @@ object GraphAnn {
     // every requested query must exist in the corpus — without this
     // the audit loop would fabricate (n_scored=0, recall=0) rows for
     // absent ids while the SQL oracle's inner join omits them: a bad
-    // caller input must fail loudly, not diverge silently (r13 advice)
+    // caller input must fail loudly, not diverge silently (r13
+    // advice) — and without pinning the walk caches (r21 advice)
     val nQ = qframe.count()
-    require(nQ == queryIds.distinct.size.toLong,
+    try require(nQ == queryIds.distinct.size.toLong,
       s"${queryIds.distinct.size - nQ} of ${queryIds.distinct.size} " +
         s"query ids are absent from the corpus id column '$idCol'")
+    catch {
+      case t: Throwable => und.unpersist(); qframe.unpersist(); throw t
+    }
     // exact leg over the queries (the shared audit kernel)
     val exact = Similarity.exactTopKSelf(emb, vecCol, idCol,
       qframe.select(col("qid").as("src"), col("qv")), k).cache()
@@ -503,10 +527,9 @@ object GraphAnn {
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     var beam = coarseEntryK match {
       case None =>
-        // entry per query: the min-id vector; the NEXT id when the
-        // query is itself the entry (dense ids make it exist — n >= 2)
-        val entries = queryIds.distinct
-          .map(q => (q, if (q == mn) mn + 1L else mn))
+        // entry per query: the min-id vector; the next-smallest id
+        // when the query is itself the entry (n >= 2 makes it exist)
+        val entries = fixedEntries(vecs, mn, queryIds)
         val b0 = spark.createDataFrame(entries).toDF("qid", "dst")
           .join(vecs.select(col("id").as("dst"), col("v")), Seq("dst"))
           .join(broadcast(qframe), Seq("qid"))
@@ -631,7 +654,11 @@ object GraphAnn {
       vecCol: String, idCol: String, graphK: Int, buildRounds: Int,
       beamWidth: Int, hops: Int): DataFrame = {
     require(buildRounds >= 0, s"bad buildRounds=$buildRounds")
-    val (vecs, n, mn) = appendVecs(corpus, vecCol, idCol)
+    val (vecs, n, mn, mx) = appendVecs(corpus, vecCol, idCol)
+    // in-query build: the ring init needs a dense CORPUS id space
+    // (the loaded append does not — round 21)
+    require(mx - mn + 1L == n,
+      s"ring init needs a dense CORPUS id column: ids span [$mn,$mx], count $n")
     // catch-and-release, not finally: on success appendCore owns the
     // deferred release of vecs/g (they must outlive the caller's one
     // execution of the returned plan), but a failed require anywhere
@@ -663,7 +690,7 @@ object GraphAnn {
   def graphAppendAuditLoaded(corpus: DataFrame, batch: DataFrame,
       vecCol: String, idCol: String, handle: GraphIndex.Handle,
       beamWidth: Int, hops: Int): DataFrame = {
-    val (vecs, n, mn) = appendVecs(corpus, vecCol, idCol)
+    val (vecs, n, mn, _) = appendVecs(corpus, vecCol, idCol)
     // catch-and-release (not finally — on success appendCore defers
     // the release of vecs past the caller's execution): a staleness
     // -guard or require failure must not leave the corpus cache
@@ -679,16 +706,14 @@ object GraphAnn {
   }
 
   private def appendVecs(corpus: DataFrame, vecCol: String,
-      idCol: String): (DataFrame, Long, Long) = {
+      idCol: String): (DataFrame, Long, Long, Long) = {
     val vecs = graft.ops.ScaleOps.fanOut(corpus)
       .select(col(idCol).as("id"), col(vecCol).as("v")).cache()
     val meta = vecs.agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
       max(col("id")).as("mx")).collect()(0)
     val (n, mn, mx) = (meta.getLong(0), meta.getLong(1), meta.getLong(2))
     require(n >= 2, "cannot append to a graph over fewer than 2 vectors")
-    require(mx - mn + 1L == n,
-      s"ring init needs a dense CORPUS id column: ids span [$mn,$mx], count $n")
-    (vecs, n, mn)
+    (vecs, n, mn, mx)
   }
 
   /** The search/connect/adopt/audit body shared by
@@ -877,7 +902,7 @@ object GraphAnn {
     require(hops >= 1, s"bad hops=$hops")
     require(queryIds.nonEmpty, "no queries")
     val spark = corpus.sparkSession
-    val (vecs, n, mn) = servingVecs(corpus, vecCol, idCol)
+    val (vecs, n, mn, _) = servingVecs(corpus, vecCol, idCol)
     try {
       requireHandleMatches(handle, n, mn, idCol, vecCol)
       val del = deletedIds.select(col(delIdCol).as("id")).distinct().cache()
@@ -886,18 +911,24 @@ object GraphAnn {
       und.count(): Unit
       val qframe = vecs.where(col("id").isin(queryIds: _*))
         .select(col("id").as("qid"), col("v").as("qv")).cache()
-      val nQ = qframe.count()
-      require(nQ == queryIds.distinct.size.toLong,
-        s"${queryIds.distinct.size - nQ} of ${queryIds.distinct.size} " +
-          s"query ids are absent from the corpus id column '$idCol'")
-      require(qframe.join(del, col("qid") === col("id")).limit(1)
-        .count() == 0L,
-        "query ids include tombstoned ids — a deleted query has no " +
-          "live ground truth")
+      // the loud query guards release the walk caches on failure
+      // (r21 advice class — a bad caller input must not pin them)
+      try {
+        val nQ = qframe.count()
+        require(nQ == queryIds.distinct.size.toLong,
+          s"${queryIds.distinct.size - nQ} of ${queryIds.distinct.size} " +
+            s"query ids are absent from the corpus id column '$idCol'")
+        require(qframe.join(del, col("qid") === col("id")).limit(1)
+          .count() == 0L,
+          "query ids include tombstoned ids — a deleted query has no " +
+            "live ground truth")
+      } catch {
+        case t: Throwable =>
+          del.unpersist(); und.unpersist(); qframe.unpersist(); throw t
+      }
       // min-id entry, deleted or not: routing through tombstones is
       // exactly the semantics under test
-      val entries = queryIds.distinct
-        .map(q => (q, if (q == mn) mn + 1L else mn))
+      val entries = fixedEntries(vecs, mn, queryIds)
       val beam0 = spark.createDataFrame(entries).toDF("qid", "dst")
         .join(vecs.select(col("id").as("dst"), col("v")), Seq("dst"))
         .join(broadcast(qframe), Seq("qid"))
@@ -990,7 +1021,7 @@ object GraphAnn {
       delIdCol: String, auditMod: Long = 1L): DataFrame = {
     require(auditMod >= 1L, s"auditMod must be >= 1, got $auditMod")
     val spark = corpus.sparkSession
-    val (vecs, n, mn) = servingVecs(corpus, vecCol, idCol)
+    val (vecs, n, mn, _) = servingVecs(corpus, vecCol, idCol)
     try {
       requireHandleMatches(handle, n, mn, idCol, vecCol)
       val graphK = handle.graphK
@@ -1110,7 +1141,7 @@ object GraphAnn {
     require(auditMod >= 1L, s"auditMod must be >= 1, got $auditMod")
     val spark = corpus.sparkSession
     val graphK = handle.graphK
-    val (vecs, n, mn) = servingVecs(corpus, vecCol, idCol)
+    val (vecs, n, mn, _) = servingVecs(corpus, vecCol, idCol)
     try {
       requireHandleMatches(handle, n, mn, idCol, vecCol)
       val g = GraphIndex.edges(spark, handle)
@@ -1127,11 +1158,18 @@ object GraphAnn {
       // ---- leg 1: APPEND (the s48 audit, inlined eager) ----
       val bvecs = batch.select(col(idCol).as("id"), col(vecCol).as("v"))
         .cache()
-      val nBatch = bvecs.count()
-      require(nBatch > 0, "empty batch")
-      require(bvecs.select(col("id"))
-        .join(vecs.select(col("id")), Seq("id")).limit(1).count() == 0L,
-        "batch ids collide with corpus ids")
+      // loud batch guards release the pinned caches on failure (r21)
+      val nBatch = try {
+        val nb = bvecs.count()
+        require(nb > 0, "empty batch")
+        require(bvecs.select(col("id"))
+          .join(vecs.select(col("id")), Seq("id")).limit(1).count() == 0L,
+          "batch ids collide with corpus ids")
+        nb
+      } catch {
+        case t: Throwable =>
+          bvecs.unpersist(); und.unpersist(); del.unpersist(); throw t
+      }
       val qb = bvecs.select(col("id").as("qid"), col("v").as("qv")).cache()
       qb.count(): Unit
       val wQ = Window.partitionBy(col("qid"))
@@ -1234,16 +1272,20 @@ object GraphAnn {
       // ---- leg 3: SERVE (the s52 audit, strategy totals) ----
       val qframe = vecs.where(col("id").isin(queryIds: _*))
         .select(col("id").as("qid"), col("v").as("qv")).cache()
-      val nQ = qframe.count()
-      require(nQ == queryIds.distinct.size.toLong,
-        s"${queryIds.distinct.size - nQ} of ${queryIds.distinct.size} " +
-          s"query ids are absent from the corpus id column '$idCol'")
-      require(qframe.join(del, col("qid") === col("id")).limit(1)
-        .count() == 0L,
-        "query ids include tombstoned ids — a deleted query has no " +
-          "live ground truth")
-      val entries = queryIds.distinct
-        .map(q => (q, if (q == mn) mn + 1L else mn))
+      try {
+        val nQ = qframe.count()
+        require(nQ == queryIds.distinct.size.toLong,
+          s"${queryIds.distinct.size - nQ} of ${queryIds.distinct.size} " +
+            s"query ids are absent from the corpus id column '$idCol'")
+        require(qframe.join(del, col("qid") === col("id")).limit(1)
+          .count() == 0L,
+          "query ids include tombstoned ids — a deleted query has no " +
+            "live ground truth")
+      } catch {
+        case t: Throwable =>
+          qframe.unpersist(); und.unpersist(); del.unpersist(); throw t
+      }
+      val entries = fixedEntries(vecs, mn, queryIds)
       val beamQ0 = spark.createDataFrame(entries).toDF("qid", "dst")
         .join(vecs.select(col("id").as("dst"), col("v")), Seq("dst"))
         .join(broadcast(qframe), Seq("qid"))
@@ -1284,6 +1326,279 @@ object GraphAnn {
       rows += (("serve", "possible", pS, None))
       und.unpersist(); del.unpersist()
       spark.createDataFrame(rows.toSeq).toDF("stage", "metric", "n", "x")
+    } finally vecs.unpersist()
+  }
+
+  /** GRAPH SEARCH TOP-K — the LEAN serving read (no audit legs): the
+    * fixed-hop beam walk against a persisted [[GraphIndex]], cut to
+    * each query's top-k by (cosine desc, id asc). This is what the
+    * REST index door answers with ([[graphBeamSearchLoaded]] is the
+    * recall-audited DIAGNOSTIC — its exact leg is O(|queries|·N),
+    * the audit's cost, which a production read must not pay).
+    *
+    * Scale shape: the walk touches O(|queries|·beam·degree) vectors
+    * per hop; the final cut is |queries|·k rows collected driver-side
+    * (|queries| capped loudly — the Pq batch discipline), so the
+    * result is driver-local and every cache is released before
+    * returning. Cosine is rounded to 6 dp, the engine-portable
+    * contract every scored read here follows.
+    *
+    * @return one row per (query, rank 1..k): (query_id, neighbor_id,
+    *         cosine, rank) — unsorted, callers order
+    */
+  def graphSearchTopK(corpus: DataFrame, vecCol: String, idCol: String,
+      handle: GraphIndex.Handle, queryIds: Seq[Long], k: Int,
+      beamWidth: Int, hops: Int,
+      coarseEntryK: Option[Int] = None): DataFrame = {
+    require(k > 0 && beamWidth >= k,
+      s"need beamWidth >= k > 0, got k=$k beamWidth=$beamWidth")
+    require(hops >= 1, s"bad hops=$hops")
+    require(queryIds.nonEmpty && queryIds.distinct.size <= 256,
+      s"query batch must be 1..256 ids per call, got ${queryIds.distinct.size}")
+    val spark = corpus.sparkSession
+    val (vecs, n, mn, _) = servingVecs(corpus, vecCol, idCol)
+    try {
+      requireHandleMatches(handle, n, mn, idCol, vecCol)
+      val und = undirected(GraphIndex.edges(spark, handle)).cache()
+      und.count(): Unit
+      val qframe = vecs.where(col("id").isin(queryIds: _*))
+        .select(col("id").as("qid"), col("v").as("qv")).cache()
+      try {
+        val nQ = qframe.count()
+        require(nQ == queryIds.distinct.size.toLong,
+          s"${queryIds.distinct.size - nQ} of ${queryIds.distinct.size} " +
+            s"query ids are absent from the corpus id column '$idCol'")
+      } catch {
+        case t: Throwable => und.unpersist(); qframe.unpersist(); throw t
+      }
+      val wQ = Window.partitionBy(col("qid"))
+        .orderBy(col("cs").desc, col("dst"))
+      val beam0 = coarseEntryK match {
+        case None =>
+          val entries = fixedEntries(vecs, mn, queryIds)
+          val b0 = spark.createDataFrame(entries).toDF("qid", "dst")
+            .join(vecs.select(col("id").as("dst"), col("v")), Seq("dst"))
+            .join(broadcast(qframe), Seq("qid"))
+            .withColumn("cs", Similarity.cosine(col("v"), col("qv")))
+            .select(col("qid"), col("dst"), col("cs")).cache()
+          b0.count(): Unit
+          b0
+        case Some(ck) =>
+          require(ck >= 1, s"coarseEntryK must be >= 1, got $ck")
+          // hierarchical entry, the s50 selection without the hop-0
+          // audit: argmax over the first ck vectors by id
+          val coarse = vecs.where(col("id") < lit(mn + ck.toLong))
+            .select(col("id").as("dst"), col("v"))
+          val b0 = qframe.crossJoin(broadcast(coarse))
+            .where(col("dst") =!= col("qid"))
+            .withColumn("cs", Similarity.cosine(col("v"), col("qv")))
+            .withColumn("rn", row_number().over(wQ))
+            .where(col("rn") === 1)
+            .select(col("qid"), col("dst"), col("cs")).cache()
+          b0.count(): Unit
+          b0
+      }
+      val beam = walkBeam(vecs, und, qframe, beam0, beamWidth, hops,
+        excludeSelf = true)
+      val cut = flat(beam)
+        .withColumn("rn", row_number().over(wQ))
+        .where(col("rn") <= k)
+        .select(col("qid"), col("dst"), round(col("cs"), 6).as("cs"),
+          col("rn"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3).toLong))
+      beam.unpersist(); und.unpersist(); qframe.unpersist()
+      spark.createDataFrame(cut.toSeq)
+        .toDF("query_id", "neighbor_id", "cosine", "rank")
+    } finally vecs.unpersist()
+  }
+
+  /** GRAPH APPEND WRITE-BACK — the mutation [[graphAppendAudit]]
+    * grades, PERSISTED (the r14 verdict's "a real nightly ends by
+    * WRITING the new edge table"): search the standing index for
+    * each batch vector (the s48 walk), CONNECT it to its beam's best
+    * graphK, re-rank every touched node's list against the reverse
+    * edges (adoption — this time keeping the full re-ranked list,
+    * not just counting adopters), and write
+    *
+    *   untouched rows ∪ re-ranked affected lists ∪ new-vector lists
+    *
+    * as a NEW index version via [[GraphIndex.writeBack]] (new dir,
+    * meta last — a crash mid-write-back leaves the source version
+    * serving and the dest opening as absent). The post-append corpus
+    * stats (n + |batch|, min id over both) go to the new meta, so
+    * the staleness guard binds the new version to corpus ∪ batch.
+    *
+    * Write-once reuse: a COMPLETE dest whose params and post-append
+    * stats already match is this write-back's own earlier run — the
+    * edge set is deterministic — and is opened, not rewritten (the
+    * declared-query idempotence the whole index family keeps).
+    *
+    * Scale shape: |batch|·beam·degree search + ≤|batch|·graphK
+    * adoption + ONE full edge-table rewrite at cluster width — the
+    * rewrite is the honest cost of a versioned index (same as any
+    * LSM compaction); the corpus vectors move only through the
+    * rescoring joins. Fully eager (the write is the action); every
+    * cache released before returning.
+    */
+  def graphAppendWriteBack(corpus: DataFrame, batch: DataFrame,
+      vecCol: String, idCol: String, handle: GraphIndex.Handle,
+      beamWidth: Int, hops: Int, destDir: String): GraphIndex.Handle = {
+    val graphK = handle.graphK
+    require(beamWidth >= graphK,
+      s"need beamWidth >= graphK, got $beamWidth/$graphK")
+    require(hops >= 1, s"bad hops=$hops")
+    val spark = corpus.sparkSession
+    val (vecs, n, mn, _) = servingVecs(corpus, vecCol, idCol)
+    try {
+      requireHandleMatches(handle, n, mn, idCol, vecCol)
+      val bvecs = batch.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .cache()
+      try {
+        val bs = bvecs.agg(count(lit(1)).as("nb"), min(col("id")).as("bmn"))
+          .collect()(0)
+        val nBatch = bs.getLong(0)
+        require(nBatch > 0, "empty batch")
+        require(bvecs.select(col("id"))
+          .join(vecs.select(col("id")), Seq("id")).limit(1).count() == 0L,
+          "batch ids collide with corpus ids")
+        val newN = n + nBatch
+        val newMn = math.min(mn, bs.getLong(1))
+        GraphIndex.openIfPresent(spark, destDir).filter { d =>
+          d.graphK == graphK && d.buildRounds == handle.buildRounds &&
+            d.n == newN && d.mn == newMn && d.idCol == idCol &&
+            d.vecCol == vecCol
+        }.getOrElse {
+          val g = GraphIndex.edges(spark, handle)
+          val und = undirected(g).cache()
+          und.count(): Unit
+          val qframe = bvecs.select(col("id").as("qid"), col("v").as("qv"))
+            .cache()
+          qframe.count(): Unit
+          val wQ = Window.partitionBy(col("qid"))
+            .orderBy(col("cs").desc, col("dst"))
+          val beam0 = qframe.select(col("qid"), lit(mn).as("dst"))
+            .join(vecs.select(col("id").as("dst"), col("v")), Seq("dst"))
+            .join(broadcast(qframe), Seq("qid"))
+            .withColumn("cs", Similarity.cosine(col("v"), col("qv")))
+            .select(col("qid"), col("dst"), col("cs")).cache()
+          beam0.count(): Unit
+          val beam = walkBeam(vecs, und, qframe, beam0, beamWidth, hops,
+            excludeSelf = false)
+          val newEdges = flat(beam).withColumn("rn", row_number().over(wQ))
+            .where(col("rn") <= graphK)
+            .select(col("qid").as("src"), col("dst"), col("cs")).cache()
+          newEdges.count(): Unit
+          beam.unpersist(); und.unpersist(); qframe.unpersist()
+          // adoption, KEEPING the re-ranked lists (cosine symmetry:
+          // the reverse edges reuse the forward scores)
+          val rev = newEdges.select(col("dst").as("src"),
+            col("src").as("dst"), col("cs"))
+          val affected = rev.select(col("src")).distinct()
+          val fEdges = g.join(affected, Seq("src"))
+            .join(vecs.select(col("id").as("src"), col("v").as("va")),
+              Seq("src"))
+            .join(vecs.select(col("id").as("dst"), col("v").as("vb")),
+              Seq("dst"))
+            .withColumn("cs", Similarity.cosine(col("va"), col("vb")))
+            .select(col("src"), col("dst"), col("cs"))
+          val wF = Window.partitionBy(col("src"))
+            .orderBy(col("cs").desc, col("dst"))
+          val affectedKept = fEdges.unionByName(rev)
+            .withColumn("rn", row_number().over(wF))
+            .where(col("rn") <= graphK)
+            .select(col("src"), col("dst"))
+          val untouched = g.join(affected, Seq("src"), "left_anti")
+            .select(col("src"), col("dst"))
+          val newAdj = untouched.unionByName(affectedKept)
+            .unionByName(newEdges.select(col("src"), col("dst")))
+          val out = GraphIndex.writeBack(handle, newAdj, newN, newMn,
+            destDir)
+          newEdges.unpersist()
+          out
+        }
+      } finally bvecs.unpersist()
+    } finally vecs.unpersist()
+  }
+
+  /** GRAPH REPAIR WRITE-BACK — [[graphDeleteRepairLoaded]]'s
+    * mutation persisted as a NEW index version over the LIVE corpus:
+    * drop every edge touching a tombstoned node, repair each node
+    * that lost an out-edge by promotion-through-deleted (keeping the
+    * repaired lists, not just their recall), and write
+    *
+    *   untouched live rows ∪ repaired lists
+    *
+    * via [[GraphIndex.writeBack]] with the live corpus stats
+    * (n − |deleted ∩ corpus|, min live id) in the new meta. After
+    * the swap the tombstones are actually DROPPABLE: the new version
+    * serves the live corpus directly — [[graphBeamSearchLoaded]] /
+    * [[graphSearchTopK]] over the tombstone-compacted (non-dense)
+    * frame, no over-fetch mitigation needed — and the staleness
+    * guard rejects the pre-delete corpus.
+    *
+    * Scale shape: every step deletion-bound (the s51 discipline) plus
+    * the one full edge rewrite a versioned index pays; write-once
+    * reuse and crash behavior as [[graphAppendWriteBack]].
+    */
+  def graphRepairWriteBack(corpus: DataFrame, vecCol: String,
+      idCol: String, handle: GraphIndex.Handle, deletedIds: DataFrame,
+      delIdCol: String, destDir: String): GraphIndex.Handle = {
+    val spark = corpus.sparkSession
+    val graphK = handle.graphK
+    val (vecs, n, mn, _) = servingVecs(corpus, vecCol, idCol)
+    try {
+      requireHandleMatches(handle, n, mn, idCol, vecCol)
+      val del = deletedIds.select(col(delIdCol).as("id")).distinct()
+        .join(vecs.select(col("id")), Seq("id")).cache()
+      try {
+        val nDel = del.count()
+        val live = vecs.join(del, Seq("id"), "left_anti")
+          .agg(count(lit(1)).as("n"), min(col("id")).as("mn")).collect()(0)
+        val newN = live.getLong(0)
+        require(newN >= 2,
+          s"repair write-back would leave ${newN} live vectors (deleted $nDel)")
+        val newMn = live.getLong(1)
+        GraphIndex.openIfPresent(spark, destDir).filter { d =>
+          d.graphK == graphK && d.buildRounds == handle.buildRounds &&
+            d.n == newN && d.mn == newMn && d.idCol == idCol &&
+            d.vecCol == vecCol
+        }.getOrElse {
+          val g = GraphIndex.edges(spark, handle)
+          val gLive = g
+            .join(del.select(col("id").as("src")), Seq("src"), "left_anti")
+            .join(del.select(col("id").as("dst")), Seq("dst"), "left_anti")
+            .select(col("src"), col("dst"))
+          val lost = g.join(del.select(col("id").as("dst")), Seq("dst"))
+            .join(del.select(col("id").as("src")), Seq("src"), "left_anti")
+            .select(col("src"), col("dst").as("d"))
+          val affected = lost.select(col("src")).distinct()
+          val promoted = lost
+            .join(g.select(col("src").as("d"), col("dst")), Seq("d"))
+            .join(del.select(col("id").as("dst")), Seq("dst"), "left_anti")
+            .where(col("dst") =!= col("src"))
+            .select(col("src"), col("dst")).distinct()
+          val cand = gLive.join(affected, Seq("src"))
+            .select(col("src"), col("dst"))
+            .unionByName(promoted).distinct()
+          val wSrc = Window.partitionBy(col("src"))
+            .orderBy(col("cs").desc, col("dst"))
+          val repaired = cand
+            .join(vecs.select(col("id").as("src"), col("v").as("va")),
+              Seq("src"))
+            .join(vecs.select(col("id").as("dst"), col("v").as("vb")),
+              Seq("dst"))
+            .withColumn("cs", Similarity.cosine(col("va"), col("vb")))
+            .withColumn("rn", row_number().over(wSrc))
+            .where(col("rn") <= graphK)
+            .select(col("src"), col("dst"))
+          val untouched = gLive.join(affected, Seq("src"), "left_anti")
+            .select(col("src"), col("dst"))
+          GraphIndex.writeBack(handle, untouched.unionByName(repaired),
+            newN, newMn, destDir)
+        }
+      } finally del.unpersist()
     } finally vecs.unpersist()
   }
 }

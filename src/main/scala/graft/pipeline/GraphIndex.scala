@@ -70,17 +70,16 @@ object GraphIndex {
     require(graphK > 0, s"graphK must be positive, got $graphK")
     require(buildRounds >= 0, s"buildRounds must be >= 0, got $buildRounds")
     val spark = emb.sparkSession
+    // never interleave with a pending deferred delete of this path
+    // (no-op when the dir is unguarded — the AnnIndex discipline)
+    IndexLifecycle.DirGuard.awaitClearForWrite(dir)
     // REBUILD crash-safety (round-21 advice): a param-change rebuild
     // lands here with the PREVIOUS build's meta still on disk. Delete
     // it FIRST — restoring the designed absent-index marker — so a
     // crash between the edges overwrite and the meta write leaves a
     // visibly-incomplete dir, never an old meta describing new or
     // partial edge files that open() would serve silently.
-    locally {
-      val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
-      val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(metaPath)) fs.delete(metaPath, true): Unit
-    }
+    dropMeta(spark, dir)
     val vecs = graft.ops.ScaleOps.fanOut(emb)
       .select(col(idCol).as("id"), col(vecCol).as("v")).cache()
     val meta = vecs.agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
@@ -94,7 +93,23 @@ object GraphIndex {
       .write.mode("overwrite").parquet(s"$dir/edges")
     g.unpersist()
     vecs.unpersist()
-    // meta written LAST — the crash-safety marker (AnnIndex:131 note)
+    writeMeta(spark, dir, graphK, buildRounds, n, mn, idCol, vecCol)
+    Handle(dir, graphK, buildRounds, n, mn, idCol, vecCol)
+  }
+
+  private def dropMeta(spark: SparkSession, dir: String): Unit = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(metaPath)) fs.delete(metaPath, true): Unit
+  }
+
+  /** meta written LAST — the crash-safety marker (AnnIndex:131
+    * note): its presence marks a complete index, so a killed write
+    * can never be opened half-written.
+    */
+  private def writeMeta(spark: SparkSession, dir: String, graphK: Int,
+      buildRounds: Int, n: Long, mn: Long, idCol: String,
+      vecCol: String): Unit = {
     val metaSchema = StructType(Seq(
       StructField("version", IntegerType, nullable = false),
       StructField("graph_k", IntegerType, nullable = false),
@@ -107,7 +122,44 @@ object GraphIndex {
       Seq(Row(FormatVersion, graphK, buildRounds, n, mn, idCol,
         vecCol)).asJava, metaSchema)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-    Handle(dir, graphK, buildRounds, n, mn, idCol, vecCol)
+  }
+
+  /** WRITE-BACK: persist a MUTATED adjacency (an append's
+    * connected+adopted lists, a repair's promoted lists) as a NEW
+    * index VERSION in its own directory. Versions are immutable —
+    * the write never touches the source dir, so readers mid-search
+    * on the old edges are structurally safe (no
+    * redefinition-under-load race to manage), and the swap is a
+    * registry pointer move with the old dir condemned under
+    * [[IndexLifecycle.DirGuard]] once no reader holds it.
+    *
+    * Crash-safety is the build's own discipline at the destination:
+    * `destDir/meta` is written LAST, so a crash mid-write-back
+    * leaves a dest that opens as ABSENT while the source version
+    * still serves — the nightly reruns, nothing is half-adopted.
+    *
+    * `edges` must carry (src, dst); (n, mn) are the POST-mutation
+    * corpus stats the staleness guard will check at serve time —
+    * the caller computes them from the same frames that produced
+    * the mutation (the [[GraphAnn.graphAppendWriteBack]] /
+    * [[GraphAnn.graphRepairWriteBack]] contracts). Written at
+    * cluster width like the build (the edge table scales with the
+    * corpus).
+    */
+  def writeBack(src: Handle, edges: DataFrame, n: Long, mn: Long,
+      destDir: String): Handle = {
+    require(destDir != src.dir,
+      s"write-back must target a NEW version dir, not the source ($destDir)")
+    require(n >= 1, s"write-back over an empty corpus (n=$n)")
+    val spark = edges.sparkSession
+    IndexLifecycle.DirGuard.awaitClearForWrite(destDir)
+    dropMeta(spark, destDir)
+    edges.select(col("src"), col("dst"))
+      .write.mode("overwrite").parquet(s"$destDir/edges")
+    writeMeta(spark, destDir, src.graphK, src.buildRounds, n, mn,
+      src.idCol, src.vecCol)
+    Handle(destDir, src.graphK, src.buildRounds, n, mn, src.idCol,
+      src.vecCol)
   }
 
   /** Open a persisted index: one tiny meta read. */
@@ -130,7 +182,7 @@ object GraphIndex {
     * propagates: silently rebuilding over corruption would hide the
     * diagnostic behind an expensive overwrite build (AnnIndex:244).
     */
-  private def openIfPresent(spark: SparkSession,
+  private[pipeline] def openIfPresent(spark: SparkSession,
       dir: String): Option[Handle] = {
     val meta = new org.apache.hadoop.fs.Path(s"$dir/meta")
     val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -141,16 +193,17 @@ object GraphIndex {
     * `dir`, else build — a parameter change rebuilds instead of
     * silently serving a stale graph.
     *
-    * Concurrency contract: unlike [[AnnIndex]] there is no
-    * condemn/last-reader-reclaim machinery here, because the serving
-    * layer exposes no graph-index CRUD — nothing redefines a dir
-    * under readers in the declared lifecycle. A LIBRARY caller who
-    * rebuilds into a dir with different parameters while another
-    * thread is mid-search on the old edges races that reader
-    * (overwrite-in-place); callers needing redefinition-under-load
-    * must key the new definition to a NEW dir (the fingerprint
-    * discipline extends naturally: include the params in the key, as
-    * the declared queries do).
+    * Concurrency contract: the serving door (HttpServer `type:
+    * "graph"`, round 21) redefines names ONLY through
+    * [[openOrRebuildCachedBounded]] — dir-per-definition keys, the
+    * superseded dir condemned under [[IndexLifecycle.DirGuard]] and
+    * reclaimed by its last reader — and mutates ONLY through
+    * [[writeBack]] into a NEW version dir. A LIBRARY caller who
+    * bypasses both and rebuilds into the SAME dir with different
+    * parameters while another thread is mid-search on the old edges
+    * still races that reader (overwrite-in-place); such callers must
+    * key the new definition to a NEW dir (include the params in the
+    * fingerprint key, as the declared queries do).
     */
   def buildIfAbsent(emb: DataFrame, vecCol: String, idCol: String,
       dir: String, graphK: Int, buildRounds: Int): Handle = {
@@ -164,17 +217,55 @@ object GraphIndex {
   /** Registry-cached open-or-build (the s15 lifecycle entry): the
     * first call per `name` builds (or opens the persisted) index;
     * later calls are a map lookup. Concurrent first calls serialize
-    * on the key — one builds, the rest share the handle. No
-    * condemn/cap machinery here: unlike [[AnnIndex]], the serving
-    * layer exposes no graph-index CRUD, so names never get redefined
-    * under readers.
+    * on the key — one builds, the rest share the handle.
     */
   def openOrBuildCached(name: String, emb: DataFrame, vecCol: String,
       idCol: String, dir: String, graphK: Int,
       buildRounds: Int): Handle =
-    registry.computeIfAbsent(name, _ =>
+    reg.openOrBuildCached(name)(
       buildIfAbsent(emb, vecCol, idCol, dir, graphK, buildRounds))
 
-  private val registry =
-    new java.util.concurrent.ConcurrentHashMap[String, Handle]()
+  // ---- session-level registry (the serving door's surface) -------
+  // Since round 21 the graph index IS exposed through the REST index
+  // door (HttpServer `type: "graph"`), so the full [[IndexLifecycle]]
+  // discipline applies: reads run under the dir's reader count,
+  // DELETE condemns with deferred file deletion, a param-change
+  // re-POST condemns the superseded dir, and write-back swaps the
+  // registry pointer to the new version's dir.
+
+  private val reg = new IndexLifecycle.IndexRegistry[Handle](_.dir)
+
+  def register(name: String, handle: Handle): Unit =
+    reg.register(name, handle)
+  def get(name: String): Option[Handle] = reg.get(name)
+  def drop(name: String): Boolean = reg.drop(name)
+  def list(): Seq[String] = reg.list()
+
+  /** [[drop]] + deferred deletion of the persisted dir (the serving
+    * DELETE): files go when the last in-flight reader releases.
+    */
+  def dropAndDelete(name: String): Boolean = reg.dropAndDelete(name)
+
+  /** Run a search/append against `handle`'s files under the dir's
+    * reader count; throws [[IndexLifecycle.IndexDroppedException]]
+    * on a lost drop race.
+    */
+  def withReader[T](handle: Handle)(body: => T): T =
+    reg.withReader(handle)(body)
+
+  /** Atomic reuse-or-rebuild for the serving door (dir equality is
+    * the definition check; a superseded dir is condemned, never
+    * deleted under readers), with the exact per-session cap.
+    */
+  def openOrRebuildCachedBounded(name: String, dir: String,
+      prefix: String, cap: Int)(build: => Handle): Handle =
+    reg.openOrRebuildCachedBounded(name, dir, prefix, cap)(build)
+
+  /** Swap `name` to a NEW version's handle (post-write-back): the
+    * superseded version's dir is condemned — deferred-deleted under
+    * the reader guard — unless it is the same dir. Runs inside the
+    * registry's per-key compute, so concurrent swaps serialize.
+    */
+  def swapTo(name: String, next: Handle): Handle =
+    reg.openOrRebuildCached(name, next.dir)(next)
 }

@@ -288,7 +288,14 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     "s53_graph_maintenance_run",
     // s48 composes the s47 search with the connect cut and the
     // adoption rank — the whole insert trajectory must replay
-    "s48_graph_append")
+    "s48_graph_append",
+    // round-21: s54/s55 serve from a WRITTEN-BACK index version
+    // (fingerprint-keyed to this generated corpus → fresh build +
+    // mutation + persist + load per replay) — the mutated adjacency
+    // and the lean top-k walk over it must replay on arbitrary
+    // vectors; s56 is the lean walk over the standing full index
+    "s54_graph_append_writeback", "s55_graph_repair_writeback",
+    "s56_graph_search_topk")
 
   /** Canonical cell stringification: array columns print as
     * "[a, b, ...]" on BOTH sides (Spark rows yield Scala Seqs,
