@@ -143,10 +143,13 @@ final class SessionManager(root: SparkSession, reaperPeriodMs: Long = 1000L) {
       h.cachedFrames.values().asScala.foreach(df =>
         try df.unpersist() catch { case _: Throwable => () })
       h.cachedFrames.clear()
-      // session-scoped ANN index handles die with the session (their
-      // files live under the spool and go with the recursive delete)
+      // session-scoped index handles (both families) die with the
+      // session (their files live under the spool and go with the
+      // recursive delete)
       graft.pipeline.AnnIndex.list().filter(_.startsWith(id + "/"))
         .foreach(graft.pipeline.AnnIndex.drop)
+      graft.pipeline.GraphIndex.list().filter(_.startsWith(id + "/"))
+        .foreach(graft.pipeline.GraphIndex.drop)
       try {
         val d = h.spoolDir.toFile
         // recursive: the spool holds TREES now (cell-partitioned index

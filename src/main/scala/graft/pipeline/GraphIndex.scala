@@ -268,4 +268,14 @@ object GraphIndex {
     */
   def swapTo(name: String, next: Handle): Handle =
     reg.openOrRebuildCached(name, next.dir)(next)
+
+  /** Atomic read-mutate-swap for the serving door's append: `f`
+    * (e.g. [[GraphAnn.graphAppendWriteBack]] into a fresh version
+    * dir) runs inside the per-key compute, so concurrent appends to
+    * one name serialize — each starts from the latest version, no
+    * lost update — and a concurrent DELETE waits; the superseded
+    * dir is condemned. None if the name is not registered.
+    */
+  def mutateExisting(name: String)(f: Handle => Handle): Option[Handle] =
+    reg.mutateExisting(name)(f)
 }

@@ -233,6 +233,25 @@ object IndexLifecycle {
           build
         })
 
+    /** Atomically transform a REGISTERED handle (the serving door's
+      * mutation move — e.g. a graph append that write-backs a new
+      * version and swaps to it): `f` runs inside the registry's
+      * per-key compute, so concurrent mutations of one name
+      * serialize and each starts from the LATEST version (no lost
+      * update), and a concurrent DELETE of the name waits its turn.
+      * When `f` returns a handle in a NEW dir, the superseded dir is
+      * condemned (deferred-deleted under the reader guard). Returns
+      * None — with `f` never run — if the name is not registered.
+      */
+    def mutateExisting(name: String)(f: H => H): Option[H] =
+      Option(registry.compute(name, (_, old) =>
+        if (old == null) null.asInstanceOf[H]
+        else {
+          val next = f(old)
+          if (dirOf(next) != dirOf(old)) DirGuard.condemn(dirOf(old))
+          next
+        }))
+
     /** [[openOrRebuildCached]] with an EXACT per-prefix cap on new
       * names. The count-and-admit runs under one lock with a
       * reservation set, so N concurrent first-POSTs of distinct new

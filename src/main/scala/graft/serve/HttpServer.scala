@@ -288,9 +288,12 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
           else respondJson(ex, 404, err(s"no such dataSource: $name"))
         }
 
-      // ---- ANN index CRUD (extension; serving twin of AnnIndex's
-      // build-once/persist/query-many lifecycle — the registry key is
-      // session-scoped, files live in the session spool and die with it)
+      // ---- index CRUD (extension; serving twin of the persisted
+      // index lifecycles — IVF-PQ via AnnIndex and, since round 21,
+      // the kNN graph via GraphIndex behind `"type": "graph"`. The
+      // registry key is session-scoped, files live in the session
+      // spool and die with it; both families share the
+      // IndexLifecycle reader/condemn discipline.)
       case ("POST", Array(id, "index")) =>
         withSession(ex, id) { h =>
           val n = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -301,83 +304,118 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
             throw new IllegalArgumentException("index.name required")), "index.name")
           val table = safeIdent(txt("table").getOrElse(
             throw new IllegalArgumentException("index.table required")), "index.table")
-          // seeded = deterministic data-derived quantizers (the s20
-          // oracle-twin build flavor), trained Lloyd otherwise
-          val seeded = Option(n.get("seeded")).exists(_.asBoolean(false))
+          val idxType = txt("type").getOrElse("ivf")
+          require(idxType == "ivf" || idxType == "graph",
+            s"index.type must be ivf or graph, got $idxType")
           val vecCol = colIdent(txt("vecCol").getOrElse("embedding"), "vecCol")
           val idCol = colIdent(txt("idCol").getOrElse("id"), "idCol")
-          val (numCells, m, ksub) = (int("numCells", 16), int("m", 8),
-            int("ksub", 16))
-          val iters = int("iters", 3)
           val corpus = h.spark.table(table)
-          // the dir is the index DEFINITION: name and table as their
-          // own validated path segments (no ambiguous "$name-$table"
-          // concatenation), then flavor + every build parameter + the
-          // corpus fingerprint in the leaf — so a changed table,
-          // flavor, param, or re-ingested corpus can never open the
-          // previous definition's codes
-          val fp = graft.pipeline.AnnIndex.corpusFingerprint(corpus)
-          val flavor = if (seeded) "seeded" else s"trained-i$iters"
-          val leaf = s"$flavor-c$numCells-m$m-k$ksub-$vecCol-$idCol-$fp"
-          val dirPath = h.spoolDir.resolve("index").resolve(name)
-            .resolve(table).resolve(leaf)
-          // defense in depth behind the identifier validation: never
-          // write outside the session spool
-          require(dirPath.normalize().startsWith(h.spoolDir.normalize()),
-            s"index dir escapes the session spool: $dirPath")
-          val dir = dirPath.toString
           val regKey = s"${h.id}/$name"
-          // bound the per-session registry: an unbounded index count is
-          // an unbounded spool (each entry holds a persisted codes
-          // table). The cap is enforced EXACTLY inside the registry
-          // (lock + reservation set), so N concurrent first-POSTs of
-          // distinct new names can't all slip past a stale count;
-          // re-POSTs of an existing name (rebuilds) always pass.
-          // reuse-or-rebuild stays atomic per registry key (compute):
-          // concurrent POSTs with different params serialize, and
-          // each 200's handle matches its own request body
+          // one NAME, one index: a name held by the other family is
+          // refused, not shadowed — GET/DELETE/search dispatch by
+          // name, so a cross-family redefinition would be ambiguous
+          def dirFor(leaf: String): String = {
+            // the dir is the index DEFINITION: name and table as
+            // their own validated path segments, then flavor + every
+            // build parameter + the corpus fingerprint in the leaf —
+            // so a changed table, flavor, param, or re-ingested
+            // corpus can never open the previous definition's files
+            val dirPath = h.spoolDir.resolve("index").resolve(name)
+              .resolve(table).resolve(leaf)
+            // defense in depth behind the identifier validation:
+            // never write outside the session spool
+            require(dirPath.normalize().startsWith(h.spoolDir.normalize()),
+              s"index dir escapes the session spool: $dirPath")
+            dirPath.toString
+          }
+          val fp = graft.pipeline.AnnIndex.corpusFingerprint(corpus)
+          // the cap is enforced EXACTLY inside each registry (lock +
+          // reservation set), so N concurrent first-POSTs of distinct
+          // new names can't all slip past a stale count; re-POSTs of
+          // an existing name (rebuilds) always pass. reuse-or-rebuild
+          // stays atomic per registry key (compute): concurrent POSTs
+          // with different params serialize, and each 200's handle
+          // matches its own request body
           try {
-            val handle = graft.pipeline.AnnIndex.openOrRebuildCachedBounded(
-              regKey, dir, h.id + "/", GraftServer.MaxIndexesPerSession) {
-              if (seeded) graft.pipeline.AnnIndex.buildSeededIfAbsent(
-                corpus, vecCol, idCol, dir, numCells, m, ksub)
-              else graft.pipeline.AnnIndex.buildIfAbsent(
-                corpus, vecCol, idCol, dir, numCells, m, ksub, iters)
+            if (idxType == "graph") {
+              if (graft.pipeline.AnnIndex.get(regKey).nonEmpty)
+                respondJson(ex, 409, err(
+                  s"index name $name is held by an ivf index; DELETE it first"))
+              else {
+                val (graphK, buildRounds) =
+                  (int("graphK", 8), int("buildRounds", 2))
+                val dir = dirFor(
+                  s"graph-gk$graphK-r$buildRounds-$vecCol-$idCol-$fp")
+                val handle = graft.pipeline.GraphIndex
+                  .openOrRebuildCachedBounded(regKey, dir, h.id + "/",
+                    GraftServer.MaxIndexesPerSession) {
+                    graft.pipeline.GraphIndex.buildIfAbsent(
+                      corpus, vecCol, idCol, dir, graphK, buildRounds)
+                  }
+                respondJson(ex, 200, graphIndexJson(name, handle))
+              }
+            } else {
+              if (graft.pipeline.GraphIndex.get(regKey).nonEmpty)
+                respondJson(ex, 409, err(
+                  s"index name $name is held by a graph index; DELETE it first"))
+              else {
+                // seeded = deterministic data-derived quantizers (the
+                // s20 oracle-twin build flavor), trained Lloyd otherwise
+                val seeded = Option(n.get("seeded")).exists(_.asBoolean(false))
+                val (numCells, m, ksub) = (int("numCells", 16), int("m", 8),
+                  int("ksub", 16))
+                val iters = int("iters", 3)
+                val flavor = if (seeded) "seeded" else s"trained-i$iters"
+                val dir = dirFor(s"$flavor-c$numCells-m$m-k$ksub-$vecCol-$idCol-$fp")
+                val handle = graft.pipeline.AnnIndex.openOrRebuildCachedBounded(
+                  regKey, dir, h.id + "/", GraftServer.MaxIndexesPerSession) {
+                  if (seeded) graft.pipeline.AnnIndex.buildSeededIfAbsent(
+                    corpus, vecCol, idCol, dir, numCells, m, ksub)
+                  else graft.pipeline.AnnIndex.buildIfAbsent(
+                    corpus, vecCol, idCol, dir, numCells, m, ksub, iters)
+                }
+                respondJson(ex, 200, indexJson(name, handle))
+              }
             }
-            respondJson(ex, 200, indexJson(name, handle))
           } catch {
-            case _: graft.pipeline.AnnIndex.IndexCapExceededException =>
+            case _: graft.pipeline.IndexLifecycle.IndexCapExceededException =>
               respondJson(ex, 429, err(
                 s"session $id has ${GraftServer.MaxIndexesPerSession} indexes (limit); DELETE one first"))
           }
         }
       case ("GET", Array(id, "index")) =>
         withSession(ex, id) { h =>
-          respondJson(ex, 200, graft.pipeline.AnnIndex.list()
-            .filter(_.startsWith(h.id + "/"))
-            .map(k => jstr(k.stripPrefix(h.id + "/")))
-            .mkString("[", ",", "]"))
+          respondJson(ex, 200,
+            (graft.pipeline.AnnIndex.list() ++ graft.pipeline.GraphIndex.list())
+              .filter(_.startsWith(h.id + "/")).sorted
+              .map(k => jstr(k.stripPrefix(h.id + "/")))
+              .mkString("[", ",", "]"))
         }
       case ("GET", Array(id, "index", name)) =>
         withSession(ex, id) { h =>
           graft.pipeline.AnnIndex.get(s"${h.id}/$name") match {
             case Some(hd) => respondJson(ex, 200, indexJson(name, hd))
-            case None => respondJson(ex, 404, err(s"no such index: $name"))
+            case None =>
+              graft.pipeline.GraphIndex.get(s"${h.id}/$name") match {
+                case Some(gd) => respondJson(ex, 200, graphIndexJson(name, gd))
+                case None => respondJson(ex, 404, err(s"no such index: $name"))
+              }
           }
         }
       case ("DELETE", Array(id, "index", name)) =>
         withSession(ex, id) { h =>
           // dropAndDelete, not drop: the serving DELETE removes the
-          // persisted codes/side tables too, so a session cycling many
+          // persisted codes/edge tables too, so a session cycling many
           // indexes doesn't accumulate dead directories until teardown
-          if (graft.pipeline.AnnIndex.dropAndDelete(s"${h.id}/$name"))
+          if (graft.pipeline.AnnIndex.dropAndDelete(s"${h.id}/$name") ||
+            graft.pipeline.GraphIndex.dropAndDelete(s"${h.id}/$name"))
             respondJson(ex, 200, """{"status":"deleted"}""")
           else respondJson(ex, 404, err(s"no such index: $name"))
         }
       case ("POST", Array(id, "index", name, "append")) =>
         withSession(ex, id) { h =>
           graft.pipeline.AnnIndex.get(s"${h.id}/$name") match {
-            case None => respondJson(ex, 404, err(s"no such index: $name"))
+            case None => graphAppend(ex, h, name)
             case Some(hd) =>
               val n = new com.fasterxml.jackson.databind.ObjectMapper()
                 .readTree(readBody(ex))
@@ -398,7 +436,7 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
       case ("POST", Array(id, "index", name, "search")) =>
         withSession(ex, id) { h =>
           graft.pipeline.AnnIndex.get(s"${h.id}/$name") match {
-            case None => respondJson(ex, 404, err(s"no such index: $name"))
+            case None => graphSearch(ex, h, name)
             case Some(hd) =>
               val n = new com.fasterxml.jackson.databind.ObjectMapper()
                 .readTree(readBody(ex))
@@ -633,6 +671,96 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
     s"""{"name":${jstr(name)},"m":${h.m},"ksub":${h.ksub},"dim":${h.dim},""" +
       s""""numCells":${h.numCells},"idCol":${jstr(h.idCol)},""" +
       s""""vecCol":${jstr(h.vecCol)}}"""
+
+  private def graphIndexJson(name: String,
+      h: graft.pipeline.GraphIndex.Handle): String =
+    s"""{"name":${jstr(name)},"type":"graph","graphK":${h.graphK},""" +
+      s""""buildRounds":${h.buildRounds},"n":${h.n},"mn":${h.mn},""" +
+      s""""idCol":${jstr(h.idCol)},"vecCol":${jstr(h.vecCol)}}"""
+
+  /** Graph-index serve read: the LEAN top-k walk
+    * ([[graft.pipeline.GraphAnn.graphSearchTopK]] — no audit legs).
+    * Body: `{table, queryIds: [..], k?, beamWidth?, hops?,
+    * coarseEntryK?, response: {format}?}`. Queries address corpus
+    * ids (the graph family's serving contract; an explicit-vector
+    * query would first be appended). Runs under the dir's reader
+    * count like the IVF search: a concurrent DROP defers deletion,
+    * a lost race answers 404.
+    */
+  private def graphSearch(ex: com.sun.net.httpserver.HttpExchange,
+      h: SessionHandle, name: String): Unit =
+    graft.pipeline.GraphIndex.get(s"${h.id}/$name") match {
+      case None => respondJson(ex, 404, err(s"no such index: $name"))
+      case Some(hd) =>
+        val n = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(readBody(ex))
+        val table = Option(n.get("table")).map(_.asText()).getOrElse(
+          throw new IllegalArgumentException("search.table required"))
+        val qn = Option(n.get("queryIds")).filter(_.isArray).getOrElse(
+          throw new IllegalArgumentException(
+            "graph search requires queryIds (an array of corpus ids)"))
+        import scala.jdk.CollectionConverters._
+        val qids = qn.elements().asScala.map(_.asLong()).toSeq
+        val k = Option(n.get("k")).map(_.asInt()).getOrElse(10)
+        val beamWidth = Option(n.get("beamWidth")).map(_.asInt())
+          .getOrElse(2 * k)
+        val hops = Option(n.get("hops")).map(_.asInt()).getOrElse(3)
+        val coarse = Option(n.get("coarseEntryK")).map(_.asInt())
+        val fmt = Option(n.get("response"))
+          .flatMap(r => Option(r.get("format")).map(_.asText()))
+        try graft.pipeline.GraphIndex.withReader(hd) {
+          respondData(ex, graft.pipeline.GraphAnn.graphSearchTopK(
+            h.spark.table(table), hd.vecCol, hd.idCol, hd, qids, k,
+            beamWidth, hops, coarse), fmt)
+        } catch {
+          case _: graft.pipeline.IndexLifecycle.IndexDroppedException =>
+            respondJson(ex, 404, err(s"no such index: $name"))
+        }
+    }
+
+  /** Graph-index append: [[graft.pipeline.GraphAnn
+    * .graphAppendWriteBack]] into a FRESH version dir, then an
+    * atomic registry swap — the whole read-mutate-swap runs inside
+    * the registry's per-key compute
+    * ([[graft.pipeline.GraphIndex.mutateExisting]]), so concurrent
+    * appends serialize (each starts from the latest version, no
+    * lost update) and the superseded version's files are condemned,
+    * reclaimed only when their last in-flight reader releases.
+    * Body: `{table (the batch), corpusTable (the standing corpus),
+    * beamWidth?, hops?}`. Responds with the NEW version's handle.
+    */
+  private def graphAppend(ex: com.sun.net.httpserver.HttpExchange,
+      h: SessionHandle, name: String): Unit = {
+    val regKey = s"${h.id}/$name"
+    if (graft.pipeline.GraphIndex.get(regKey).isEmpty)
+      respondJson(ex, 404, err(s"no such index: $name"))
+    else {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(readBody(ex))
+      val batchTable = Option(n.get("table")).map(_.asText()).getOrElse(
+        throw new IllegalArgumentException("append.table required"))
+      val corpusTable = Option(n.get("corpusTable")).map(_.asText())
+        .getOrElse(throw new IllegalArgumentException(
+          "graph append requires corpusTable (the standing corpus the " +
+            "index was built over)"))
+      graft.pipeline.GraphIndex.mutateExisting(regKey) { hd =>
+        val beamWidth = Option(n.get("beamWidth")).map(_.asInt())
+          .getOrElse(math.max(2 * hd.graphK, hd.graphK))
+        val hops = Option(n.get("hops")).map(_.asInt()).getOrElse(3)
+        // versions are siblings of the current dir: still inside the
+        // session spool, uniquely numbered per process
+        val destDir = s"${hd.dir}-v${wbVersions.incrementAndGet()}"
+        graft.pipeline.GraphAnn.graphAppendWriteBack(
+          h.spark.table(corpusTable), h.spark.table(batchTable),
+          hd.vecCol, hd.idCol, hd, beamWidth, hops, destDir)
+      } match {
+        case Some(next) => respondJson(ex, 200, graphIndexJson(name, next))
+        case None => respondJson(ex, 404, err(s"no such index: $name"))
+      }
+    }
+  }
+
+  private val wbVersions = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** JSON-escape a string (ids/names come from request bodies). */
   private def jstr(s: String): String =

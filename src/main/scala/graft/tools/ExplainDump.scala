@@ -190,6 +190,9 @@ object ExplainDump {
       "d41_prefix_filter_containment" -> "prefix-filtered containment: SUB side prefix-indexed under the df-ascending rarity order (pigeonhole-lossless for containment >= tau), SUPER side full postings — boilerplate never enters a sub prefix, so the candidate join's quadratic side dies; verify joins move one hash array per candidate doc",
       "s48_graph_append" -> "graph index append vs the PERSISTED GraphIndex (round 20): the standing 80%-corpus graph is a parquet scan off its own fingerprint-keyed index, so the declared append pays only |batch| beam searches (batch-bound) + connect window cut + reverse adoption over the touched nodes (<= |batch|*graphK)",
       "t69_repeat_epoch_plan" -> "repeat-epoch plan: ONE partial-aggregated corpus scan to |sources| rows (token sums + DECIMAL quality means); the greedy is a global sort of |sources|x maxEpochs candidate-epoch rows + one cumulative-cost window — k-row state, not corpus sorts",
+      "s54_graph_append_writeback" -> "graph append WRITE-BACK (round 21): the mutation s48 audits is persisted as a NEW immutable index version (new dir, meta last), then the declared read is the lean top-k walk over the mutated adjacency OFF PARQUET — write-once reuse means verify/bench reps pay the |batch|-bound mutation once; untouched corpus rows stream through the rewrite without rescoring",
+      "s55_graph_repair_writeback" -> "graph repair WRITE-BACK (round 21): s51's deletion-bound repair (drop + promotion-through-deleted lists) persisted over the LIVE corpus, tombstones actually dropped — the serve walks the compacted (non-dense) id space with no over-fetch mitigation and no tombstone joins at read time",
+      "s56_graph_search_topk" -> "lean graph serve (round 21, the REST door's read): fixed-hop beam walk against the standing persisted index + top-k cut — NO exact audit leg anywhere in the plan (that O(|queries|*N) cost belongs to the diagnostic reads); per hop one bounded rescoring join, result is |queries|*k driver-local rows",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")

@@ -742,6 +742,38 @@ object ScaleSmoke {
           emb.where(col("vec_id") <= cut), emb.where(col("vec_id") > cut),
           "embedding", "vec_id", h, beamWidth = 10, hops = 3)
           .collect().length.toLong }
+      // round-21 write-back rows: s54a bills the mutation+persist (a
+      // versioned index's nightly ends by writing the new edge
+      // table — batch-bound work + one cluster-width rewrite); s54b
+      // bills ONLY the lean serve off the already-written version
+      // (the lazy-handle discipline h48 uses)
+      lazy val wb54 = {
+        val (cut, h) = h48
+        val d = java.nio.file.Files.createTempDirectory(
+          "graft-smoke-gwb54").toFile.getAbsolutePath + "/idx"
+        graft.pipeline.GraphAnn.graphAppendWriteBack(
+          emb.where(col("vec_id") <= cut), emb.where(col("vec_id") > cut),
+          "embedding", "vec_id", h, beamWidth = 10, hops = 3, destDir = d)
+      }
+      time("s54a graphAppendWriteBack") { wb54.n }
+      if (only.isEmpty || only.exists(o =>
+        "s54b serveFromWrittenBack".contains(o))) { wb54; () }
+      time("s54b serveFromWrittenBack") {
+        graft.pipeline.GraphAnn.graphSearchTopK(emb, "embedding",
+          "vec_id", wb54, queryIds = Seq(1L, 2L, 3L), k = 5,
+          beamWidth = 10, hops = 3).collect().length.toLong }
+      time("s55 graphRepairWriteBack") {
+        val d = java.nio.file.Files.createTempDirectory(
+          "graft-smoke-gwb55").toFile.getAbsolutePath + "/idx"
+        val wb = graft.pipeline.GraphAnn.graphRepairWriteBack(emb,
+          "embedding", "vec_id", gidxHandle,
+          emb.where(col("vec_id") % 9 === 5).select(col("vec_id")),
+          "vec_id", destDir = d)
+        wb.n }
+      time("s56 graphSearchTopK") {
+        graft.pipeline.GraphAnn.graphSearchTopK(emb, "embedding",
+          "vec_id", gidxHandle, queryIds = Seq(1L, 2L, 3L), k = 5,
+          beamWidth = 16, hops = 4).collect().length.toLong }
       time("s46 indexMaintenanceRun") {
         graft.pipeline.Clustering.indexMaintenanceRun(
           emb.where(col("vec_id") % 7 =!= 6), emb.where(col("vec_id") % 7 === 6),

@@ -170,6 +170,86 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("graph index door: build, search, append (write-back + swap), delete") {
+    val sid = "idx-graph"
+    assert(post(s"/session?id=$sid", "").statusCode() == 200)
+    try {
+      post(s"/session/$sid/datasource", s"""{"format":"parquet","name":"embeddings",
+        "location":"${SparkFixture.sfDir}/embeddings.parquet"}""")
+      // the door serves corpus/batch splits as session tables
+      val sp = post(s"/session/$sid/query",
+        """{"sql":"SELECT 4 * (MAX(vec_id) + 1) / 5 AS t FROM embeddings"}""")
+      assert(sp.statusCode() == 200, sp.body())
+      val thr = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(sp.body()).get(0).get("t").asLong()
+      assert(post(s"/session/$sid/datasource",
+        s"""{"format":"parquet","name":"emb_c80","data":null,
+             "location":"${SparkFixture.sfDir}/embeddings.parquet"}""")
+        .statusCode() == 200)
+      // corpus/batch views via SQL-defined tables
+      assert(post(s"/session/$sid/query",
+        s"""{"sql":"CREATE OR REPLACE TEMP VIEW corpus80 AS SELECT * FROM embeddings WHERE vec_id < $thr"}""")
+        .statusCode() == 200)
+      assert(post(s"/session/$sid/query",
+        s"""{"sql":"CREATE OR REPLACE TEMP VIEW batch20 AS SELECT * FROM embeddings WHERE vec_id >= $thr"}""")
+        .statusCode() == 200)
+      // build a graph index over the 80% corpus
+      val b = post(s"/session/$sid/index",
+        """{"name":"g_idx","table":"corpus80","type":"graph","vecCol":"embedding",
+           "idCol":"vec_id","graphK":5,"buildRounds":1}""")
+      assert(b.statusCode() == 200, b.body())
+      assert(b.body().contains("\"type\":\"graph\"") &&
+        b.body().contains("\"graphK\":5"), b.body())
+      assert(get(s"/session/$sid/index").body() == """["g_idx"]""")
+      val d = get(s"/session/$sid/index/g_idx")
+      assert(d.statusCode() == 200 && d.body().contains("\"type\":\"graph\""))
+      // lean top-k search (no audit legs)
+      val s1 = post(s"/session/$sid/index/g_idx/search",
+        """{"table":"corpus80","queryIds":[1,2,3],"k":4,"beamWidth":8,"hops":2}""")
+      assert(s1.statusCode() == 200, s1.body())
+      val rows = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s1.body())
+      assert(rows.size() == 12, s1.body())
+      assert(rows.get(0).has("query_id") && rows.get(0).has("neighbor_id") &&
+        rows.get(0).has("cosine") && rows.get(0).has("rank"), s1.body())
+      // a cross-family name collision is refused, not shadowed
+      val clash = post(s"/session/$sid/index",
+        """{"name":"g_idx","table":"embeddings","vecCol":"embedding",
+           "idCol":"vec_id","numCells":4,"m":8,"ksub":8}""")
+      assert(clash.statusCode() == 409, clash.body())
+      // append: write-back into a NEW version + atomic swap; the
+      // superseded version's files are condemned and reclaimed
+      val dirBefore = graft.pipeline.GraphIndex.get(s"$sid/g_idx").get.dir
+      val a = post(s"/session/$sid/index/g_idx/append",
+        """{"table":"batch20","corpusTable":"corpus80","beamWidth":8,"hops":2}""")
+      assert(a.statusCode() == 200, a.body())
+      val an = new com.fasterxml.jackson.databind.ObjectMapper().readTree(a.body())
+      assert(an.get("n").asLong() > thr, a.body())
+      val dirAfter = graft.pipeline.GraphIndex.get(s"$sid/g_idx").get.dir
+      assert(dirAfter != dirBefore, "append must swap to a NEW version dir")
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (java.nio.file.Files.exists(java.nio.file.Paths.get(dirBefore)) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dirBefore)),
+        s"superseded version must be reclaimed: $dirBefore")
+      // the new version serves corpus ∪ batch — including a batch id
+      val s2 = post(s"/session/$sid/index/g_idx/search",
+        s"""{"table":"embeddings","queryIds":[1,$thr],"k":3,"beamWidth":6,"hops":2}""")
+      assert(s2.statusCode() == 200, s2.body())
+      assert(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(s2.body()).size() == 6, s2.body())
+      // DELETE removes the handle and the persisted files
+      val dirFinal = graft.pipeline.GraphIndex.get(s"$sid/g_idx").get.dir
+      assert(delete(s"/session/$sid/index/g_idx").statusCode() == 200)
+      assert(get(s"/session/$sid/index").body() == "[]")
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dirFinal)),
+        s"DELETE must remove the graph index dir: $dirFinal")
+      assert(get(s"/session/$sid/index/g_idx").statusCode() == 404)
+    } finally {
+      delete(s"/session/$sid"): Unit
+      assert(!graft.pipeline.GraphIndex.list().exists(_.startsWith(sid + "/")))
+    }
+  }
+
   test("postProcessors: chain applies in order on the session query route") {
     val sid = "pp-chain"
     assert(post(s"/session?id=$sid", "").statusCode() == 200)
