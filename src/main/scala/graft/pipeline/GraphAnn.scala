@@ -386,7 +386,7 @@ object GraphAnn {
       // the serve loop is eager (one collect per hop), so the caches
       // can drop in finally — the returned frame is driver-local rows
       try beamServe(emb, vecCol, idCol, vecs, undirected(g), mn,
-        queryIds, k, beamWidth, hops, coarseEntryK = None)
+        queryIds, k, beamWidth, hops, coarseSet = None)
       finally g.unpersist()
     } finally vecs.unpersist()
   }
@@ -428,15 +428,38 @@ object GraphAnn {
   def graphBeamSearchLoaded(emb: DataFrame, vecCol: String, idCol: String,
       handle: GraphIndex.Handle, queryIds: Seq[Long], k: Int,
       beamWidth: Int, hops: Int,
-      coarseEntryK: Option[Int] = None): DataFrame = {
+      coarseEntryK: Option[Int] = None,
+      coarseEntryIds: Option[Seq[Long]] = None): DataFrame = {
+    require(coarseEntryK.isEmpty || coarseEntryIds.isEmpty,
+      "pass coarseEntryK or coarseEntryIds, not both")
     val (vecs, n, mn, _) = servingVecs(emb, vecCol, idCol)
     try {
       requireHandleMatches(handle, n, mn, idCol, vecCol)
       beamServe(emb, vecCol, idCol, vecs,
         undirected(GraphIndex.edges(emb.sparkSession, handle)), mn,
-        queryIds, k, beamWidth, hops, coarseEntryK)
+        queryIds, k, beamWidth, hops,
+        coarseFrame(vecs, mn, coarseEntryK, coarseEntryIds))
     } finally vecs.unpersist()
   }
+
+  /** The hierarchical-entry coarse candidate set: the first `ck`
+    * vectors by id (the seed discipline — s50's declared shape), or
+    * an EXPLICIT id set (`coarseEntryIds`) for callers whose coarse
+    * layer is computed offline — e.g. k-means medoids (the round-21
+    * `__gentry_ab` medoid arm). Returns (dst, v) rows.
+    */
+  private def coarseFrame(vecs: DataFrame, mn: Long,
+      coarseEntryK: Option[Int],
+      coarseEntryIds: Option[Seq[Long]]): Option[DataFrame] =
+    coarseEntryK.map { ck =>
+      require(ck >= 1, s"coarseEntryK must be >= 1, got $ck")
+      vecs.where(col("id") < lit(mn + ck.toLong))
+        .select(col("id").as("dst"), col("v"))
+    }.orElse(coarseEntryIds.map { ids =>
+      require(ids.nonEmpty, "coarseEntryIds must be non-empty")
+      vecs.where(col("id").isin(ids: _*))
+        .select(col("id").as("dst"), col("v"))
+    })
 
   /** Shared serving prep: fanned-out (id, v) cache + corpus stats.
     * No density requirement here (round 21): serving a LOADED index
@@ -491,7 +514,7 @@ object GraphAnn {
   private def beamServe(emb: DataFrame, vecCol: String, idCol: String,
       vecs: DataFrame, undSrc: DataFrame, mn: Long, queryIds: Seq[Long],
       k: Int, beamWidth: Int, hops: Int,
-      coarseEntryK: Option[Int]): DataFrame = {
+      coarseSet: Option[DataFrame]): DataFrame = {
     require(k > 0 && beamWidth >= k, s"need beamWidth >= k > 0, " +
       s"got k=$k beamWidth=$beamWidth")
     require(hops >= 1, s"bad hops=$hops")
@@ -525,7 +548,7 @@ object GraphAnn {
       .empty[(Long, Long, Long, Long, Long, Double)]
     def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-    var beam = coarseEntryK match {
+    var beam = coarseSet match {
       case None =>
         // entry per query: the min-id vector; the next-smallest id
         // when the query is itself the entry (n >= 2 makes it exist)
@@ -537,14 +560,12 @@ object GraphAnn {
           .select(col("qid"), col("dst"), col("cs")).cache()
         b0.count(): Unit
         b0
-      case Some(ck) =>
-        require(ck >= 1, s"coarseEntryK must be >= 1, got $ck")
+      case Some(coarse) =>
         // hierarchical entry: score each query against the COARSE SET
-        // (the first ck vectors by id — the seed discipline) and
-        // enter at the argmax (ties to the smaller id, the global
-        // total order). |queries|·ck scores — flat in corpus size.
-        val coarse = vecs.where(col("id") < lit(mn + ck.toLong))
-          .select(col("id").as("dst"), col("v"))
+        // ((dst, v) rows — first-ck by id or a caller-supplied medoid
+        // set) and enter at the argmax (ties to the smaller id, the
+        // global total order). |queries|·|coarse| scores — flat in
+        // corpus size.
         val scored0 = qframe.crossJoin(broadcast(coarse))
           .where(col("dst") =!= col("qid"))
           .withColumn("cs", Similarity.cosine(col("v"), col("qv")))
@@ -1349,7 +1370,10 @@ object GraphAnn {
   def graphSearchTopK(corpus: DataFrame, vecCol: String, idCol: String,
       handle: GraphIndex.Handle, queryIds: Seq[Long], k: Int,
       beamWidth: Int, hops: Int,
-      coarseEntryK: Option[Int] = None): DataFrame = {
+      coarseEntryK: Option[Int] = None,
+      coarseEntryIds: Option[Seq[Long]] = None): DataFrame = {
+    require(coarseEntryK.isEmpty || coarseEntryIds.isEmpty,
+      "pass coarseEntryK or coarseEntryIds, not both")
     require(k > 0 && beamWidth >= k,
       s"need beamWidth >= k > 0, got k=$k beamWidth=$beamWidth")
     require(hops >= 1, s"bad hops=$hops")
@@ -1373,7 +1397,7 @@ object GraphAnn {
       }
       val wQ = Window.partitionBy(col("qid"))
         .orderBy(col("cs").desc, col("dst"))
-      val beam0 = coarseEntryK match {
+      val beam0 = coarseFrame(vecs, mn, coarseEntryK, coarseEntryIds) match {
         case None =>
           val entries = fixedEntries(vecs, mn, queryIds)
           val b0 = spark.createDataFrame(entries).toDF("qid", "dst")
@@ -1383,12 +1407,9 @@ object GraphAnn {
             .select(col("qid"), col("dst"), col("cs")).cache()
           b0.count(): Unit
           b0
-        case Some(ck) =>
-          require(ck >= 1, s"coarseEntryK must be >= 1, got $ck")
+        case Some(coarse) =>
           // hierarchical entry, the s50 selection without the hop-0
-          // audit: argmax over the first ck vectors by id
-          val coarse = vecs.where(col("id") < lit(mn + ck.toLong))
-            .select(col("id").as("dst"), col("v"))
+          // audit: argmax over the coarse set
           val b0 = qframe.crossJoin(broadcast(coarse))
             .where(col("dst") =!= col("qid"))
             .withColumn("cs", Similarity.cosine(col("v"), col("qv")))

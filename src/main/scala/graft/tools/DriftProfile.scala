@@ -285,13 +285,30 @@ object DriftProfile {
       .toFile.getAbsolutePath + "/idx"
     val h = graft.pipeline.GraphIndex.buildIfAbsent(emb, "embedding",
       "vec_id", dir, graphK = 10, buildRounds = 3)
+    // medoid arm (round 21): 16 Lloyd-trained centroids (a throwaway
+    // AnnIndex build exposes them), each mapped to its nearest corpus
+    // vector — the principled coarse layer vs the first-16-by-id seed
+    val annDir = java.nio.file.Files.createTempDirectory("graft-gentry-med")
+      .toFile.getAbsolutePath + "/idx"
+    val medoids: Seq[Long] = graft.pipeline.AnnIndex.build(emb,
+      "embedding", "vec_id", annDir, numCells = 16, m = 8, ksub = 16)
+      .centroids.map { case (_, cv) =>
+        emb.select(col("vec_id"),
+          graft.pipeline.Similarity.cosine(col("embedding"),
+            typedLit(cv.toSeq)).as("cs"))
+          .orderBy(col("cs").desc, col("vec_id")).limit(1)
+          .head().getLong(0)
+      }.distinct
+    println(s"[gentry_ab] medoid ids: ${medoids.sorted.mkString(",")}")
     Seq("low-id" -> Seq(1L, 2L, 3L), "mid" -> Seq(201L, 301L, 401L))
       .foreach { case (label, qids) =>
-        Seq("min-id" -> None, "coarse16" -> Some(16)).foreach {
-          case (en, ck) =>
+        Seq(("min-id", None, None),
+          ("coarse16", Some(16), None),
+          ("medoid16", None, Some(medoids))).foreach {
+          case (en, ck, ids) =>
             val out = graft.pipeline.GraphAnn.graphBeamSearchLoaded(emb,
               "embedding", "vec_id", h, qids, k = 5, beamWidth = 20,
-              hops = 5, coarseEntryK = ck).collect()
+              hops = 5, coarseEntryK = ck, coarseEntryIds = ids).collect()
             val byHop = out.groupBy(_.getAs[Long]("hop")).toSeq.sortBy(_._1)
               .map { case (hp, rs) =>
                 f"h$hp=${rs.map(_.getAs[Double]("recall")).sum}%.1f" }

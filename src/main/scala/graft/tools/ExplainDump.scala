@@ -215,6 +215,46 @@ object ExplainDump {
     * regeneration preserves the record.
     */
   private val driftTriage: String = """
+## Round-21 adjudications
+
+**d07_dedup_containment 1.32 → 1.81 s driver-to-driver (the r14
+verdict's watch row)** — isolated 5-rep protocol (DriftProfile, q01
+throwaway lead 1.25/1.30, sf0.1, fresh cache per rep): d07
+min 1.668 / median 1.690 (band 1.67-1.74 across 4 clean reps; one
+3.46 outlier from a concurrent background task). The isolated number
+REPRODUCES the driver level on the current corpus: same adjudication
+as d39/t27/t36/t40 — d07 is pair-bound (containment evidence rows
+track the planted-overlap draw) and the driver regenerates the corpus
+every round; `Dedup.scala` untouched since the r13 plan audit except
+scaladoc. Real steady-state data cost, not a code regression. Off the
+watch list; steady-state comparator of record = 1.668/1.690.
+
+**Round-21 entry-strategy A/B, medoid arm** (`__gentry_ab` now runs
+THREE arms: min-id, coarse-16-by-id, and 16 Lloyd-medoids — trained
+centroids each mapped to their nearest corpus vector, entered via the
+new `coarseEntryIds` door). Same standing gk10/r3 index, beam 20,
+k 5, 5 hops, sf0.01; per-hop recall SUMS over 3 queries:
+
+| query set | entry | h0 | h1 | h2 | h3 | h4 | h5 |
+|---|---|---|---|---|---|---|---|
+| low-id (1,2,3) | min-id | — | 0.0 | 0.2 | 1.0 | 1.4 | 1.6 |
+| low-id (1,2,3) | coarse-16 | 0.0 | 0.0 | 0.4 | 0.6 | 1.0 | 1.2 |
+| low-id (1,2,3) | medoid-16 | 0.0 | 0.0 | 0.0 | 0.6 | 0.8 | 1.0 |
+| mid (201,301,401) | min-id | — | 0.2 | 0.8 | 1.0 | 1.4 | 1.8 |
+| mid (201,301,401) | coarse-16 | 0.0 | 0.2 | 0.6 | 0.8 | 1.4 | 1.8 |
+| mid (201,301,401) | medoid-16 | 0.2 | 0.2 | 0.8 | 0.8 | 1.4 | 1.8 |
+
+Verdict: on unbiased mid-corpus queries the medoid layer is the best
+EARLY entry (h0 already lands a hit; hop-for-hop ≥ coarse-16) and all
+three arms converge to parity by the 5-hop budget — confirming the
+round-20 finding that on a near-orthogonal random corpus entry choice
+is not the frontier bottleneck. NOT adopted for the declared s50
+(coarse-16 stays: deterministic, oracle-replayable, and equal at
+budget); the medoid door (`coarseEntryIds`) ships as API for corpora
+with real neighborhood structure, where the r20 analysis predicts the
+gap widens. The low-id rows remain the known evaluation artifact
+(ring-adjacency flatters min-id by construction).
+
 ## Round-20 signal-of-record adjudication (d39 + the r13 sub-second movers)
 
 The r13 verdict's watch rows: d39_pair_evidence 3.93 s (driver r12) ->

@@ -281,6 +281,51 @@ class Round21Spec extends AnyFunSuite {
 
   // ---------------- registry swap (the door's write-back move) ----------------
 
+  test("orphan sweep retires stale-corpus dirs, never live-corpus or fixture-shaped dirs") {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val liveC = "ab" * 16
+    val staleC = "cd" * 16
+    val pk = "0123456789ab"
+    def mk(name: String): java.io.File = {
+      val f = new java.io.File(tmp, name)
+      f.mkdirs()
+      java.nio.file.Files.write(f.toPath.resolve("marker"), "x".getBytes)
+      f
+    }
+    val stale = mk(s"graft-gidx-$staleC-$pk")
+    val live = mk(s"graft-gidx-$liveC-$pk")
+    val liveOtherTag = mk(s"graft-gidx-$liveC-ba9876543210")
+    // a test fixture's temp dir shares the prefix but not the
+    // hex shape — the sweep must be unable to reach it
+    val fixture = mk("graft-gidx-s49fixture42")
+    try {
+      SparkEntry.pruneOrphanIndexDirs("graft-gidx-", liveC)
+      assert(!stale.exists(), "stale-corpus dir must be retired")
+      assert(live.exists(), "live-corpus dir must survive")
+      assert(liveOtherTag.exists(),
+        "ALL param variants of the live corpus must survive")
+      assert(fixture.exists(), "fixture-shaped dirs must be untouchable")
+    } finally Seq(live, liveOtherTag, fixture, stale).foreach { f =>
+      if (f.exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(f): Unit
+    }
+  }
+
+  test("the declared index keys carry the corpus part as their dir prefix") {
+    // idxKeys ties the sweep's safety to the naming contract: key
+    // starts with the 32-hex corpus part, then a 12-hex param part
+    val dir = java.nio.file.Files.createTempDirectory("graft-idxkeys")
+      .toFile.getAbsolutePath
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/embeddings.parquet"), "pq".getBytes)
+    val (cpart, key) = SparkEntry.idxKeys(dir, "full|gk10|r3")
+    assert(cpart.matches("[0-9a-f]{32}"), cpart)
+    assert(key.matches(s"$cpart-[0-9a-f]{12}"), key)
+    val (cpart2, key2) = SparkEntry.idxKeys(dir, "c80|gk5|r2")
+    assert(cpart2 == cpart && key2 != key,
+      "same corpus, different params: shared corpus part, distinct key")
+  }
+
   test("swapTo repoints the name and condemns the superseded version's dir") {
     val emb = embDf(n = 30, seed = 41)
     val corpus = emb.where(col("vec_id") < 24)
