@@ -305,10 +305,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("s15 indexed knn: repeat invocations hit the registry, never rebuild") {
     val q = SparkEntry.queries("s15_knn_pq_indexed")
     assert(q(spark, sf).collect().nonEmpty) // first call may build
-    val src = new java.io.File(s"$sf/embeddings.parquet")
-    val key = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(
-        s"$sf|${src.lastModified()}|${src.length()}").toLong & 0xffffffffL)
+    val (_, key) = SparkEntry.idxKeys(sf, "ivf")
     assert(graft.pipeline.AnnIndex.get(s"emb-$key").nonEmpty,
       "first s15 call must register the index handle")
     val metaDir = new java.io.File(
@@ -323,10 +320,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("s20 seeded indexed oracle twin: repeat invocations never rebuild") {
     val q = SparkEntry.queries("s20_knn_ivfpq_indexed_oracle")
     assert(q(spark, sf).collect().nonEmpty) // first call may build
-    val src = new java.io.File(s"$sf/embeddings.parquet")
-    val key = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(
-        s"$sf|${src.lastModified()}|${src.length()}").toLong & 0xffffffffL)
+    val (_, key) = SparkEntry.idxKeys(sf, "seeded")
     assert(graft.pipeline.AnnIndex.get(s"emb-seeded-$key").nonEmpty,
       "first s20 call must register the seeded index handle")
     val metaDir = new java.io.File(
