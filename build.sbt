@@ -80,11 +80,13 @@ Test / testGrouping := {
     .withRunJVMOptions((Test / javaOptions).value.toVector)
   val (s, rest) = (Test / definedTests).value.partition(t => slow(t.name))
   val (r, f) = rest.partition(t => t.name.matches("""graft\.Round\d+Spec"""))
-  // the slow block itself is split: the two oracle-replay suites
-  // (~6 min serial) beside the four fuzz/lifecycle suites (~6 min) —
-  // measured round 20, when the single slow JVM spanned the whole
-  // 12-min wall
-  val replayA = Set("graft.DifferentialFuzzSpec", "graft.GeneratedCorpusSpec")
+  // the slow block itself is split: GeneratedCorpusSpec ALONE (its
+  // vector replay grew the round-21 write-back trajectories —
+  // 5:23 isolated, the round-21 pole at 8:12 paired with the
+  // differential fuzz) beside the other five fuzz/lifecycle suites;
+  // DifferentialFuzzSpec (2:49 isolated) moves to slow-replay-b,
+  // whose four suites run well under the pole
+  val replayA = Set("graft.GeneratedCorpusSpec")
   val (sa, sb) = s.partition(t => replayA(t.name))
   // the RoundNSpec block itself split in two (alternating by sorted
   // position — deterministic, stays balanced as suites are added):

@@ -433,6 +433,8 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
               }
           }
         }
+      case ("POST", Array(id, "index", name, "repair")) =>
+        withSession(ex, id) { h => graphRepair(ex, h, name) }
       case ("POST", Array(id, "index", name, "search")) =>
         withSession(ex, id) { h =>
           graft.pipeline.AnnIndex.get(s"${h.id}/$name") match {
@@ -753,6 +755,45 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
         graft.pipeline.GraphAnn.graphAppendWriteBack(
           h.spark.table(corpusTable), h.spark.table(batchTable),
           hd.vecCol, hd.idCol, hd, beamWidth, hops, destDir)
+      } match {
+        case Some(next) => respondJson(ex, 200, graphIndexJson(name, next))
+        case None => respondJson(ex, 404, err(s"no such index: $name"))
+      }
+    }
+  }
+
+  /** Graph-index repair: [[graft.pipeline.GraphAnn
+    * .graphRepairWriteBack]] into a fresh version dir + atomic swap
+    * (same serialization as append) — the door's delete-vectors
+    * move: after the swap the new version serves the
+    * tombstone-compacted corpus directly and the old version's files
+    * are condemned. Body: `{deletedTable (one id column named like
+    * the index's idCol), corpusTable}`. 400 for an ivf index (its
+    * compaction story is rebuild — POST the build route again).
+    */
+  private def graphRepair(ex: com.sun.net.httpserver.HttpExchange,
+      h: SessionHandle, name: String): Unit = {
+    val regKey = s"${h.id}/$name"
+    if (graft.pipeline.AnnIndex.get(regKey).nonEmpty)
+      respondJson(ex, 400, err(
+        s"repair applies to graph indexes; $name is ivf (re-POST the build to compact)"))
+    else if (graft.pipeline.GraphIndex.get(regKey).isEmpty)
+      respondJson(ex, 404, err(s"no such index: $name"))
+    else {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(readBody(ex))
+      val deletedTable = Option(n.get("deletedTable")).map(_.asText())
+        .getOrElse(throw new IllegalArgumentException(
+          "repair.deletedTable required"))
+      val corpusTable = Option(n.get("corpusTable")).map(_.asText())
+        .getOrElse(throw new IllegalArgumentException(
+          "graph repair requires corpusTable (the corpus the index " +
+            "was built over, INCLUDING the rows being deleted)"))
+      graft.pipeline.GraphIndex.mutateExisting(regKey) { hd =>
+        val destDir = s"${hd.dir}-v${wbVersions.incrementAndGet()}"
+        graft.pipeline.GraphAnn.graphRepairWriteBack(
+          h.spark.table(corpusTable), hd.vecCol, hd.idCol, hd,
+          h.spark.table(deletedTable), hd.idCol, destDir)
       } match {
         case Some(next) => respondJson(ex, 200, graphIndexJson(name, next))
         case None => respondJson(ex, 404, err(s"no such index: $name"))

@@ -170,7 +170,7 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("graph index door: build, search, append (write-back + swap), delete") {
+  test("graph index door: build, search, append/repair (write-back + swap), delete") {
     val sid = "idx-graph"
     assert(post(s"/session?id=$sid", "").statusCode() == 200)
     try {
@@ -237,6 +237,42 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(s2.statusCode() == 200, s2.body())
       assert(new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(s2.body()).size() == 6, s2.body())
+      // repair: tombstone a slice, write-back over the LIVE corpus,
+      // swap — the new version serves the compacted id space and the
+      // handle's n drops by the deletion
+      assert(post(s"/session/$sid/query",
+        s"""{"sql":"CREATE OR REPLACE TEMP VIEW dead AS SELECT vec_id FROM embeddings WHERE vec_id % 11 = 7"}""")
+        .statusCode() == 200)
+      assert(post(s"/session/$sid/query",
+        s"""{"sql":"CREATE OR REPLACE TEMP VIEW live AS SELECT * FROM embeddings WHERE vec_id % 11 <> 7"}""")
+        .statusCode() == 200)
+      val nBeforeRepair = an.get("n").asLong()
+      val rp = post(s"/session/$sid/index/g_idx/repair",
+        """{"deletedTable":"dead","corpusTable":"embeddings"}""")
+      assert(rp.statusCode() == 200, rp.body())
+      val rn = new com.fasterxml.jackson.databind.ObjectMapper().readTree(rp.body())
+      assert(rn.get("n").asLong() < nBeforeRepair, rp.body())
+      // the repaired version serves the live (non-dense) corpus
+      val s3 = post(s"/session/$sid/index/g_idx/search",
+        """{"table":"live","queryIds":[1,2],"k":3,"beamWidth":6,"hops":2}""")
+      assert(s3.statusCode() == 200, s3.body())
+      assert(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(s3.body()).size() == 6, s3.body())
+      // and rejects the pre-delete corpus loudly (staleness guard →
+      // the door's 500-with-message envelope is fine here; what
+      // matters is NOT serving silently)
+      val s4 = post(s"/session/$sid/index/g_idx/search",
+        """{"table":"embeddings","queryIds":[1],"k":2,"beamWidth":4,"hops":1}""")
+      assert(s4.statusCode() != 200, s4.body())
+      // repair on an ivf index is a 400, not a silent no-op
+      val bivf = post(s"/session/$sid/index",
+        """{"name":"ivf_r","table":"embeddings","vecCol":"embedding",
+           "idCol":"vec_id","numCells":4,"m":8,"ksub":8}""")
+      assert(bivf.statusCode() == 200, bivf.body())
+      assert(post(s"/session/$sid/index/ivf_r/repair",
+        """{"deletedTable":"dead","corpusTable":"embeddings"}""")
+        .statusCode() == 400)
+      assert(delete(s"/session/$sid/index/ivf_r").statusCode() == 200)
       // DELETE removes the handle and the persisted files
       val dirFinal = graft.pipeline.GraphIndex.get(s"$sid/g_idx").get.dir
       assert(delete(s"/session/$sid/index/g_idx").statusCode() == 200)
