@@ -730,6 +730,14 @@ final class GraftServer(root: SparkSession, port: Int = 0) {
     * reclaimed only when their last in-flight reader releases.
     * Body: `{table (the batch), corpusTable (the standing corpus),
     * beamWidth?, hops?}`. Responds with the NEW version's handle.
+    *
+    * Optimistic-concurrency contract (spec-pinned in
+    * IndexLifecycleFuzzSpec): `corpusTable` must match the handle's
+    * CURRENT corpus. When two appends race, the loser starts from
+    * the winner's new version and its stale corpusTable fails the
+    * staleness guard loudly — the client retries with the refreshed
+    * corpus. A conflict is never resolved by silently dropping a
+    * batch.
     */
   private def graphAppend(ex: com.sun.net.httpserver.HttpExchange,
       h: SessionHandle, name: String): Unit = {

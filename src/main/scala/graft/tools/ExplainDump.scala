@@ -215,6 +215,17 @@ object ExplainDump {
     * regeneration preserves the record.
     */
   private val driftTriage: String = """
+## Round-21 sf0.1 oracle check of the graph family (now 11 queries)
+
+Beyond the driver's sf0.01 gate, the FULL graph family — including
+the three round-21 additions — was hash-checked against the DuckDB
+oracle at sf0.1 (2000 vectors, 4x the driver's verify scale; the
+oracle replays the complete builds AND the write-back mutations over
+2000 vectors): **all 11 PASS, 0 FAIL** (s45, s47–s56). The
+cross-engine bit-identity of the build, the persist boundary, the
+append/repair MUTATIONS as persisted by `GraphIndex.writeBack`, and
+the lean top-k walk all hold at the larger draw.
+
 ## Round-21 adjudications
 
 **d07_dedup_containment 1.32 → 1.81 s driver-to-driver (the r14

@@ -196,4 +196,117 @@ class IndexLifecycleFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         k.startsWith("fzc1/") && k.contains("fzc2")), AnnIndex.list().toString)
     } finally sessions.foreach(s => delete(s"/session/$s"))
   }
+
+  test("graph door lifecycle: staged append/repair agree with the library; concurrent appends serialize without lost updates") {
+    import org.apache.spark.sql.functions._
+    val sid = "fzg1"
+    mkSession(sid)
+    try {
+      val thr = 4L * (maxId + 1L) / 5L
+      def view(name: String, sql: String): Unit =
+        assert(post(s"/session/$sid/query",
+          s"""{"sql":"CREATE OR REPLACE TEMP VIEW $name AS $sql"}""")
+          .statusCode() == 200)
+      val half = thr + (maxId + 1L - thr) / 2L
+      view("gc0", s"SELECT * FROM embeddings WHERE vec_id < $thr")
+      view("gb1", s"SELECT * FROM embeddings WHERE vec_id >= $thr AND vec_id < $half")
+      view("gb2", s"SELECT * FROM embeddings WHERE vec_id >= $half")
+      val b = post(s"/session/$sid/index",
+        """{"name":"gfz","table":"gc0","type":"graph","vecCol":"embedding",
+           "idCol":"vec_id","graphK":4,"buildRounds":1}""")
+      assert(b.statusCode() == 200, b.body())
+      // REST search vs the library on the registered handle — exact
+      // (same kernel, same walk; tolerance absorbs the JSON double)
+      def crossCheck(table: String, libTable: String,
+          qids: Seq[Long]): Unit = {
+        val hd = graft.pipeline.GraphIndex.get(s"$sid/gfz").get
+        val resp = post(s"/session/$sid/index/gfz/search",
+          s"""{"table":"$table","queryIds":[${qids.mkString(",")}],
+              "k":4,"beamWidth":8,"hops":2}""")
+        assert(resp.statusCode() == 200, resp.body())
+        val n = mapper.readTree(resp.body())
+        val restRows = (0 until n.size()).map { i =>
+          val r = n.get(i)
+          (r.get("query_id").asLong(), r.get("neighbor_id").asLong(),
+            r.get("cosine").asDouble())
+        }.sorted
+        // the door's views live in the SESSION's spark; the library
+        // leg reads an identical view registered in the fixture spark
+        val corpusDf = SparkFixture.spark.table(libTable)
+        val libRows = graft.pipeline.GraphAnn.graphSearchTopK(corpusDf,
+          "embedding", "vec_id", hd, qids, k = 4, beamWidth = 8, hops = 2)
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getDouble(2))).toSeq.sorted
+        assert(restRows.map(t => (t._1, t._2)) == libRows.map(t => (t._1, t._2)),
+          s"REST/library divergence on $table: $restRows vs $libRows")
+        restRows.zip(libRows).foreach { case ((_, _, a), (_, _, bb)) =>
+          assert(math.abs(a - bb) < 1e-9, s"score drift $a vs $bb")
+        }
+      }
+      // the temp views live in the SERVER's session-scoped spark —
+      // register twins in the fixture session for the library leg
+      val emb = corpus
+      emb.where(col("vec_id") < thr).createOrReplaceTempView("fz_gc0")
+      crossCheck("gc0", "fz_gc0", Seq(1L, 2L))
+      // CONCURRENT appends of DISJOINT batches, both claiming the
+      // SAME pre-append corpus: they serialize inside the registry's
+      // per-key compute, so the loser starts from the WINNER's new
+      // version and must fail the staleness guard LOUDLY (its
+      // corpusTable no longer matches) — an optimistic-concurrency
+      // conflict, never a silent lost update
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, String)]()
+      val threads = Seq("gb1", "gb2").map { bt =>
+        new Thread(() => {
+          val r = post(s"/session/$sid/index/gfz/append",
+            s"""{"table":"$bt","corpusTable":"gc0","beamWidth":8,"hops":2}""")
+          results.add((bt, r.statusCode(), r.body()))
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(300000))
+      val rs = results.toArray(Array.empty[(String, Int, String)]).toSeq
+      val winners = rs.filter(_._2 == 200)
+      assert(winners.size == 1,
+        s"exactly one concurrent append must win: $rs")
+      val loser = rs.filterNot(_._2 == 200).head
+      assert(loser._3.contains("different corpus"),
+        s"the losing append must fail the staleness guard loudly: $loser")
+      val hd1 = graft.pipeline.GraphIndex.get(s"$sid/gfz").get
+      val winBatch = winners.head._1
+      val expectedN = thr + (if (winBatch == "gb1") half - thr
+        else maxId + 1L - half)
+      assert(hd1.n == expectedN,
+        s"post-append n must be corpus + winner batch: ${hd1.n} vs $expectedN")
+      // the winner's union serves and cross-checks
+      val winUnionSql = if (winBatch == "gb1")
+        s"SELECT * FROM embeddings WHERE vec_id < $half"
+      else s"SELECT * FROM embeddings WHERE vec_id < $thr OR vec_id >= $half"
+      view("gu1", winUnionSql)
+      if (winBatch == "gb1")
+        emb.where(col("vec_id") < half).createOrReplaceTempView("fz_gu1")
+      else emb.where(col("vec_id") < thr || col("vec_id") >= half)
+        .createOrReplaceTempView("fz_gu1")
+      crossCheck("gu1", "fz_gu1", Seq(1L, thr))
+      // repair against the winner's corpus: tombstone every 13th id
+      view("gdead", s"SELECT vec_id FROM ($winUnionSql) WHERE vec_id % 13 = 3")
+      val rp = post(s"/session/$sid/index/gfz/repair",
+        """{"deletedTable":"gdead","corpusTable":"gu1"}""")
+      assert(rp.statusCode() == 200, rp.body())
+      val hd2 = graft.pipeline.GraphIndex.get(s"$sid/gfz").get
+      assert(hd2.n < hd1.n && hd2.dir != hd1.dir, s"${hd2.n} vs ${hd1.n}")
+      // the compacted live corpus serves and cross-checks (non-dense)
+      view("glive", s"SELECT * FROM ($winUnionSql) WHERE vec_id % 13 <> 3")
+      emb.where((col("vec_id") < thr ||
+          (if (winBatch == "gb1") col("vec_id") < half && col("vec_id") >= thr
+          else col("vec_id") >= half)) && col("vec_id") % 13 =!= 3)
+        .createOrReplaceTempView("fz_glive")
+      crossCheck("glive", "fz_glive", Seq(1L, 2L))
+      // dead queries are gone: searching a tombstoned id is loud
+      val sd = post(s"/session/$sid/index/gfz/search",
+        """{"table":"glive","queryIds":[3],"k":2,"beamWidth":4,"hops":1}""")
+      assert(sd.statusCode() != 200, sd.body())
+    } finally {
+      delete(s"/session/$sid"): Unit
+      assert(!graft.pipeline.GraphIndex.list().exists(_.startsWith(sid + "/")))
+    }
+  }
 }
