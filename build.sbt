@@ -80,14 +80,16 @@ Test / testGrouping := {
     .withRunJVMOptions((Test / javaOptions).value.toVector)
   val (s, rest) = (Test / definedTests).value.partition(t => slow(t.name))
   val (r, f) = rest.partition(t => t.name.matches("""graft\.Round\d+Spec"""))
-  // the slow block itself is split: GeneratedCorpusSpec ALONE (its
-  // vector replay grew the round-21 write-back trajectories —
-  // 5:23 isolated, the round-21 pole at 8:12 paired with the
-  // differential fuzz) beside the other five fuzz/lifecycle suites;
-  // DifferentialFuzzSpec (2:49 isolated) moves to slow-replay-b,
-  // whose four suites run well under the pole
+  // the slow block is split THREE ways (round 21: six groups total —
+  // 6 JVMs x local[4] on 32 cpus): GeneratedCorpusSpec alone (its
+  // vector replay grew the write-back trajectories, 5:23 isolated),
+  // DifferentialFuzzSpec alone (2:49 isolated — pairing it with
+  // either neighbor re-created a >10-min pole under contention), and
+  // the four fuzz/lifecycle suites (4:01 isolated) together
   val replayA = Set("graft.GeneratedCorpusSpec")
-  val (sa, sb) = s.partition(t => replayA(t.name))
+  val replayC = Set("graft.DifferentialFuzzSpec")
+  val (sa, sRest) = s.partition(t => replayA(t.name))
+  val (sc, sb) = sRest.partition(t => replayC(t.name))
   // the RoundNSpec block itself split in two (alternating by sorted
   // position — deterministic, stays balanced as suites are added):
   // measured round 20, the single round-ops JVM had become the
@@ -98,10 +100,11 @@ Test / testGrouping := {
   }
   Seq(Tests.Group("slow-replay-a", sa, Tests.SubProcess(opts)),
     Tests.Group("slow-replay-b", sb, Tests.SubProcess(opts)),
+    Tests.Group("slow-replay-c", sc, Tests.SubProcess(opts)),
     Tests.Group("round-ops-a", ra, Tests.SubProcess(opts)),
     Tests.Group("round-ops-b", rb, Tests.SubProcess(opts)),
     Tests.Group("fast", f, Tests.SubProcess(opts)))
 }
 Global / concurrentRestrictions := Seq(
-  Tags.limit(Tags.ForkedTestGroup, 5),
-  Tags.limitAll(8))
+  Tags.limit(Tags.ForkedTestGroup, 6),
+  Tags.limitAll(9))

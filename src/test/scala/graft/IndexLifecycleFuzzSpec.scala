@@ -285,7 +285,10 @@ class IndexLifecycleFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         emb.where(col("vec_id") < half).createOrReplaceTempView("fz_gu1")
       else emb.where(col("vec_id") < thr || col("vec_id") >= half)
         .createOrReplaceTempView("fz_gu1")
-      crossCheck("gu1", "fz_gu1", Seq(1L, thr))
+      // query the WINNER batch's first id (whichever batch won the
+      // race, its vectors must be servable post-append)
+      val batchQid = if (winBatch == "gb1") thr else half
+      crossCheck("gu1", "fz_gu1", Seq(1L, batchQid))
       // repair against the winner's corpus: tombstone every 13th id
       view("gdead", s"SELECT vec_id FROM ($winUnionSql) WHERE vec_id % 13 = 3")
       val rp = post(s"/session/$sid/index/gfz/repair",
