@@ -9717,6 +9717,57 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     })
 
+  // INDEX-ACCELERATED SEMANTIC DEDUP (d42) — the kNN graph as the
+  // near-dup candidate generator: rescore the standing full index's
+  // edges (N·graphK pairs — LINEAR; the pair stage that replaces
+  // semDedup's per-cell quadratic at scale, since the index already
+  // paid for neighbor discovery in its nightly), τ-filter, close,
+  // keep = component min id. Oracle replays the gk10/r3 build, the
+  // τ-pair cut, and the recursive closure (the d06/m23 reach CTE).
+  // NOTE the closure's WITH RECURSIVE is SCOPED to a subquery: a
+  // top-level RECURSIVE keyword changes DuckDB's UNION handling
+  // inside the (otherwise plain) build CTEs — n3 came back with 5000
+  // rows but 724 DISTINCT pairs, duplicates crowding true neighbors
+  // out of the top-k cut — so the build runs under a plain WITH and
+  // only the reach iteration is recursive.
+  private val d42 = Q("d42_graph_semdedup", Some(s"""
+    WITH nrm AS MATERIALIZED (SELECT vec_id, embedding,
+        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nm
+      FROM embeddings),
+    meta AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(vec_id) AS mn FROM embeddings),
+    n0 AS MATERIALIZED (SELECT DISTINCT e.vec_id AS src,
+        ((e.vec_id - mn + j) % n) + mn AS dst
+      FROM embeddings e, meta, generate_series(1, 10) AS t(j)
+      WHERE j <= n - 1 AND ((e.vec_id - mn + j) % n) + mn <> e.vec_id),
+    ${(1 to 3).map(r => s45RoundSql(r, gk = 10)).mkString("")}
+    prs AS MATERIALIZED (SELECT DISTINCT LEAST(g.src, g.dst) AS a,
+        GREATEST(g.src, g.dst) AS b
+      FROM n3 g JOIN nrm x ON x.vec_id = g.src
+                JOIN nrm y ON y.vec_id = g.dst
+      WHERE g.src <> g.dst
+        AND list_sum(list_transform(generate_series(1, len(x.embedding)),
+          i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+        / (x.nm * y.nm) >= 0.4),
+    comp AS (SELECT u AS vec_id, LEAST(u, MIN(v)) AS rep
+      FROM (WITH RECURSIVE
+          sym AS (SELECT a AS u, b AS v FROM prs UNION SELECT b, a FROM prs),
+          reach(u, v) AS (SELECT u, v FROM sym
+                          UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
+        SELECT u, v FROM reach)
+      GROUP BY u)
+    SELECT e.vec_id, COALESCE(c.rep, e.vec_id) AS rep,
+      (COALESCE(c.rep, e.vec_id) = e.vec_id) AS keep
+    FROM embeddings e LEFT JOIN comp c ON c.vec_id = e.vec_id
+    ORDER BY e.vec_id"""),
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val h = graphIdxHandle(s, dir, emb, graphK = 10, buildRounds = 3,
+        tag = "full")
+      graft.pipeline.GraphAnn.graphSemDedup(emb, "embedding", "vec_id",
+          h, tau = 0.4)
+        .orderBy(col("vec_id"))
+    })
+
   // INDEX-MAINTENANCE RUN — the s-family's composed nightly (the t58
   // move): the s35 rebuild verdict, the s40 compaction actions, the
   // s39 bits decision, and the s43 over-fetch audit in ONE manifest
@@ -9915,7 +9966,7 @@ object SparkEntry {
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
-    d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41,
+    d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40, d41, d42,
     s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15,
     s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38, s39, s40, s41, s42, s43, s44, s45, s46, s47, s48, s49, s50, s51, s52, s53, s54, s55, s56,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,

@@ -1543,6 +1543,57 @@ object GraphAnn {
     } finally vecs.unpersist()
   }
 
+  /** INDEX-ACCELERATED SEMANTIC DEDUP — the kNN graph as the
+    * near-dup CANDIDATE GENERATOR: rescore the standing index's
+    * edges (N·graphK pairs — LINEAR in the corpus; the pair stage
+    * that replaces [[Clustering.semDedup]]'s per-cell quadratic at
+    * 100 TB, because the index already paid for neighbor discovery
+    * in its nightly build), keep pairs with cosine >= `tau`, close
+    * over the undirected tau-graph ([[Dedup.connectedComponents]] —
+    * hash-min with pointer jumping), and emit one row per corpus
+    * vector: (id, rep = component min id, keep = is-rep).
+    *
+    * The trade, stated honestly: the graph holds top-graphK lists,
+    * so a tau-pair present in NEITHER endpoint's list is invisible —
+    * dedup recall is bounded by the index's pair coverage. On
+    * near-dup corpora this is the favorable case (true duplicates
+    * are each other's top-1 at cosine ≈ 1, so they are always graph
+    * edges); when exhaustiveness matters more than reuse, the
+    * cell-confined exact pair stage remains the tool. On a
+    * complete-graph index the two coincide exactly (spec-pinned).
+    *
+    * @return (idCol, rep, keep) for every corpus vector — unsorted
+    */
+  def graphSemDedup(corpus: DataFrame, vecCol: String, idCol: String,
+      handle: GraphIndex.Handle, tau: Double): DataFrame = {
+    require(tau >= -1.0 && tau <= 1.0, s"bad tau=$tau")
+    val (vecs, n, mn, _) = servingVecs(corpus, vecCol, idCol)
+    try requireHandleMatches(handle, n, mn, idCol, vecCol)
+    catch { case t: Throwable => vecs.unpersist(); throw t }
+    val g = GraphIndex.edges(corpus.sparkSession, handle)
+    val pairs = g
+      .join(vecs.select(col("id").as("src"), col("v").as("va")), Seq("src"))
+      .join(vecs.select(col("id").as("dst"), col("v").as("vb")), Seq("dst"))
+      .withColumn("cs", Similarity.cosine(col("va"), col("vb")))
+      .where(col("cs") >= lit(tau))
+      // canonical undirected pair: both directions of a graph edge
+      // collapse to one closure edge
+      .select(least(col("src"), col("dst")).as("id_a"),
+        greatest(col("src"), col("dst")).as("id_b"))
+      .where(col("id_a") =!= col("id_b")).distinct()
+    // eager closure (probe collect / label propagation) runs while
+    // vecs is still cached; the returned labelling is LocalRelation
+    // or CacheScope-self-releasing
+    val labels = Dedup.connectedComponents(pairs)
+    val out = vecs.select(col("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("component"), col("id")).as("rep"))
+      .withColumn("keep", col("rep") === col(idCol))
+    org.apache.spark.sql.graftbridge.CacheScope.releaseAfterUseExisting(vecs)
+    out
+  }
+
   /** GRAPH REPAIR WRITE-BACK — [[graphDeleteRepairLoaded]]'s
     * mutation persisted as a NEW index version over the LIVE corpus:
     * drop every edge touching a tombstoned node, repair each node

@@ -193,6 +193,7 @@ object ExplainDump {
       "s54_graph_append_writeback" -> "graph append WRITE-BACK (round 21): the mutation s48 audits is persisted as a NEW immutable index version (new dir, meta last), then the declared read is the lean top-k walk over the mutated adjacency OFF PARQUET — write-once reuse means verify/bench reps pay the |batch|-bound mutation once; untouched corpus rows stream through the rewrite without rescoring",
       "s55_graph_repair_writeback" -> "graph repair WRITE-BACK (round 21): s51's deletion-bound repair (drop + promotion-through-deleted lists) persisted over the LIVE corpus, tombstones actually dropped — the serve walks the compacted (non-dense) id space with no over-fetch mitigation and no tombstone joins at read time",
       "s56_graph_search_topk" -> "lean graph serve (round 21, the REST door's read): fixed-hop beam walk against the standing persisted index + top-k cut — NO exact audit leg anywhere in the plan (that O(|queries|*N) cost belongs to the diagnostic reads); per hop one bounded rescoring join, result is |queries|*k driver-local rows",
+      "d42_graph_semdedup" -> "index-accelerated semantic dedup (round 21): the standing kNN graph IS the candidate generator — N*graphK edge rescorings (LINEAR; replaces semDedup's per-cell quadratic pair stage) + tau cut + hash-min closure; top-graphK coverage bounds recall, the stated trade (complete-graph equality and the miss case both spec-pinned)",
     )
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")

@@ -295,7 +295,11 @@ class GeneratedCorpusSpec extends AnyFunSuite {
     // and the lean top-k walk over it must replay on arbitrary
     // vectors; s56 is the lean walk over the standing full index
     "s54_graph_append_writeback", "s55_graph_repair_writeback",
-    "s56_graph_search_topk")
+    "s56_graph_search_topk",
+    // d42 composes the graph build with a raw-cosine tau cut (the
+    // s25 threshold class) and the d06 recursive closure — the pair
+    // set and components must replay on arbitrary vectors
+    "d42_graph_semdedup")
 
   /** Canonical cell stringification: array columns print as
     * "[a, b, ...]" on BOTH sides (Spark rows yield Scala Seqs,

@@ -279,6 +279,63 @@ class Round21Spec extends AnyFunSuite {
     assert(leaked.isEmpty, s"lean serve leaked cache ids $leaked")
   }
 
+  // ---------------- d42 index-accelerated semantic dedup ----------------
+
+  test("d42: on a complete-graph index graphSemDedup equals the exact tau-component dedup") {
+    import spark.implicits._
+    // planted duplicate clusters: ids {2, 7, 11} are clones of one
+    // vector, {4, 9} of another; the rest are random (near-orthogonal)
+    val rnd = new scala.util.Random(53)
+    val a = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val b = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val emb = (0 until 14).map { i =>
+      val v = if (Set(2, 7, 11)(i)) a.clone()
+        else if (Set(4, 9)(i)) b.clone()
+        else Array.fill(8)(rnd.nextGaussian().toFloat)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    // graphK = n-1: the ring IS the complete graph, so the candidate
+    // set covers every pair and the result must equal exact dedup
+    val h = GraphIndex.buildIfAbsent(emb, "embedding", "vec_id",
+      s"${tmpDir("sd")}/idx", graphK = 13, buildRounds = 0)
+    val out = GraphAnn.graphSemDedup(emb, "embedding", "vec_id", h,
+      tau = 0.999).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == 14)
+    out.foreach { case (id, rep, keep) =>
+      val expectedRep =
+        if (Set(2L, 7L, 11L)(id)) 2L else if (Set(4L, 9L)(id)) 4L else id
+      assert(rep == expectedRep, s"id $id rep $rep != $expectedRep")
+      assert(keep == (id == expectedRep), s"id $id keep $keep")
+    }
+  }
+
+  test("d42: the candidate stage is the index's edges — pair coverage bounds recall (stated trade)") {
+    import spark.implicits._
+    // a sparse graph CAN miss tau-pairs: two clone pairs, graphK = 1
+    // with 0 refinement — each node's single ring edge points at
+    // id+1, so the (0, 5) clone pair has no edge and must be MISSED
+    // while (3, 4) (ring-adjacent) is found. The operator's contract
+    // is the honest trade, not silent exactness.
+    val rnd = new scala.util.Random(59)
+    val a = Array.fill(6)(rnd.nextGaussian().toFloat)
+    val b = Array.fill(6)(rnd.nextGaussian().toFloat)
+    val emb = (0 until 8).map { i =>
+      val v = if (i == 0 || i == 5) a.clone()
+        else if (i == 3 || i == 4) b.clone()
+        else Array.fill(6)(rnd.nextGaussian().toFloat)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val h = GraphIndex.buildIfAbsent(emb, "embedding", "vec_id",
+      s"${tmpDir("sd2")}/idx", graphK = 1, buildRounds = 0)
+    val out = GraphAnn.graphSemDedup(emb, "embedding", "vec_id", h,
+      tau = 0.999).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(4L) == (3L, false), s"ring-adjacent clone found: ${out(4L)}")
+    assert(out(5L) == (5L, true),
+      s"graphK=1 must MISS the non-adjacent clone (the stated trade): ${out(5L)}")
+  }
+
   // ---------------- registry swap (the door's write-back move) ----------------
 
   test("orphan sweep retires stale-corpus dirs, never live-corpus or fixture-shaped dirs") {
