@@ -46,17 +46,21 @@ class AdviceFixesSpec extends AnyFunSuite {
     val mgr = new graft.engine.SessionManager(spark, reaperPeriodMs = 50L)
     try {
       // warm the CSV read path on a throwaway spool first: on a cold
-      // JVM the first inference job takes > the 1 s TTL, so the reaper
-      // deletes the real session's spool MID-JOB and the test fails on
-      // FAILED_READ_FILE instead of testing the reaper
+      // JVM the first inference job takes seconds, so a short TTL
+      // lets the reaper delete the real session's spool MID-JOB and
+      // the test fails on FAILED_READ_FILE instead of testing the
+      // reaper. The 5 s TTL (vs the original 1 s) covers the warmed
+      // registerTable even under the full gate's six-JVM contention,
+      // where the round-15 run measured the warmed path itself
+      // crossing 1 s.
       graft.ingest.Readers.csvBytes(spark, "a\n1\n".getBytes).collect()
-      val h = mgr.create(Some("reapme"), keepAliveSecs = 1L)
+      val h = mgr.create(Some("reapme"), keepAliveSecs = 5L)
       val df = graft.ingest.Readers.csvBytes(h.spark, "a\n1\n".getBytes,
         graft.ingest.IngestOptions(spoolDir = Some(h.spoolDir)))
       mgr.registerTable(h, df, graft.engine.DataSourceDef("t", "csv", None, None))
       val spool = h.spoolDir
       assert(Files.exists(spool))
-      val deadline = System.currentTimeMillis() + 10000
+      val deadline = System.currentTimeMillis() + 20000
       while (Files.exists(spool) && System.currentTimeMillis() < deadline)
         Thread.sleep(100)
       assert(!Files.exists(spool),
