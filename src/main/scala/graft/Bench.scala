@@ -45,7 +45,7 @@ object Bench {
         }
         SparkEntry.queries.view.filterKeys(args.toSet).toMap
       }
-    val spark = SparkSession.builder()
+    val spark = graft.EngineConf.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

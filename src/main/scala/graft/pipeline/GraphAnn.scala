@@ -507,9 +507,29 @@ object GraphAnn {
     * serving kernel shared by [[graphBeamSearch]] (in-query build)
     * and [[graphBeamSearchLoaded]] (persisted index). Caches `undSrc`
     * for the duration of the hop loop and releases every cache it
-    * pins before returning (the loop runs eagerly — one tiny collect
-    * per hop — so the returned frame is driver-local rows). `vecs`
-    * stays the caller's.
+    * pins before returning (the loop runs eagerly — one beam
+    * materialization per hop — so the returned frame is driver-local
+    * rows). `vecs` stays the caller's.
+    *
+    * Round-15 shape (guide §2.4/§3.1 — deliberate join sides, fewer
+    * passes):
+    *   - join sides are PINNED by broadcast hints so the two
+    *     corpus-bounded frames never move: the beam (|q|·beamWidth
+    *     rows) broadcasts onto the edge scan, the candidate id set
+    *     (|q|·beam·degree rows — exactly what the audit reports as
+    *     n_scored) broadcasts onto the vector scan. Without the
+    *     hints the planner — seeing unknown stats on the loop's flat
+    *     views — broadcasts the CACHED side instead, i.e. the edge
+    *     table and the corpus vectors: a per-hop corpus broadcast,
+    *     which dies outright at 100 TB.
+    *   - the per-hop audit counters are DEFERRED: each hop's scored
+    *     frame stays cached and ONE action after the loop computes
+    *     every (query, hop) counter — n_scored, beam-cut hits vs the
+    *     exact leg, n_possible — instead of a groupBy+join+collect
+    *     round-trip per hop. The deferred cut reads the scored
+    *     frames directly: top-k of the beam ≡ top-k of its scored
+    *     superset (k ≤ beamWidth under the same total order), and
+    *     the hop-0 entry is the rank-1 row of its coarse scores.
     */
   private def beamServe(emb: DataFrame, vecCol: String, idCol: String,
       vecs: DataFrame, undSrc: DataFrame, mn: Long, queryIds: Seq[Long],
@@ -536,24 +556,21 @@ object GraphAnn {
     catch {
       case t: Throwable => und.unpersist(); qframe.unpersist(); throw t
     }
-    // exact leg over the queries (the shared audit kernel)
+    // exact leg over the queries (the shared audit kernel) — consumed
+    // only by the deferred counter action after the loop
     val exact = Similarity.exactTopKSelf(emb, vecCol, idCol,
       qframe.select(col("qid").as("src"), col("qv")), k).cache()
-    val possible = exact.groupBy(col("src"))
-      .agg(count(lit(1)).as("n_possible")).collect()
-      .map(rw => rw.getLong(0) -> rw.getLong(1)).toMap
     val wQ = Window.partitionBy(col("qid"))
       .orderBy(col("cs").desc, col("dst"))
-    val buf = scala.collection.mutable.ArrayBuffer
-      .empty[(Long, Long, Long, Long, Long, Double)]
-    def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // per-hop scored frames, retained cached until the counter action
+    val scoredByHop = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, DataFrame)]
     var beam = coarseSet match {
       case None =>
         // entry per query: the min-id vector; the next-smallest id
         // when the query is itself the entry (n >= 2 makes it exist)
         val entries = fixedEntries(vecs, mn, queryIds)
-        val b0 = spark.createDataFrame(entries).toDF("qid", "dst")
+        val b0 = broadcast(spark.createDataFrame(entries).toDF("qid", "dst"))
           .join(vecs.select(col("id").as("dst"), col("v")), Seq("dst"))
           .join(broadcast(qframe), Seq("qid"))
           .withColumn("cs", Similarity.cosine(col("v"), col("qv")))
@@ -565,7 +582,8 @@ object GraphAnn {
         // ((dst, v) rows — first-ck by id or a caller-supplied medoid
         // set) and enter at the argmax (ties to the smaller id, the
         // global total order). |queries|·|coarse| scores — flat in
-        // corpus size.
+        // corpus size. Audited as hop 0 by the deferred counter
+        // action (the hop-0 "beam" is the rank-1 entry alone).
         val scored0 = qframe.crossJoin(broadcast(coarse))
           .where(col("dst") =!= col("qid"))
           .withColumn("cs", Similarity.cosine(col("v"), col("qv")))
@@ -574,39 +592,23 @@ object GraphAnn {
           .withColumn("rn", row_number().over(wQ))
           .where(col("rn") === 1)
           .select(col("qid"), col("dst"), col("cs")).cache()
-        // hop-0 audit: the entry-selection rows — candidates scored
-        // to pick the entry, and the entry's own hit count vs exact
-        val hit0 = b0.join(exact, col("qid") === col("src") &&
-            b0("dst") === exact("dst"))
-          .groupBy(col("qid")).agg(count(lit(1)).as("h"))
-        val c0 = scored0.groupBy(col("qid"))
-          .agg(count(lit(1)).as("c"))
-          .join(hit0, Seq("qid"), "left")
-          .collect()
-          .map(rw => rw.getLong(0) ->
-            (rw.getLong(1), if (rw.isNullAt(2)) 0L else rw.getLong(2)))
-          .toMap
-        scored0.unpersist()
-        queryIds.distinct.sorted.foreach { q =>
-          val p = possible.getOrElse(q, 0L)
-          val (sc, hh) = c0.getOrElse(q, (0L, 0L))
-          buf += ((q, 0L, sc, hh, p,
-            if (p == 0L) 0.0 else round6(hh.toDouble / p.toDouble)))
-        }
+        b0.count(): Unit
+        scoredByHop += ((0L, scored0))
         b0
     }
     var h = 1
     while (h <= hops) {
-      val frontier = flat(beam).select(col("qid"), col("dst").as("src"))
+      val frontier = broadcast(flat(beam)
+          .select(col("qid"), col("dst").as("src")))
         .join(und, Seq("src"))
         .select(col("qid"), col("dst"))
       val cand = flat(beam).select(col("qid"), col("dst"))
         .unionByName(frontier).distinct()
         .where(col("dst") =!= col("qid"))
-      // scored is consumed THREE times per hop (counter, beam cut,
-      // hit audit) — cache it, or each consumer re-runs the rescoring
-      // join (measured: the uncached spelling doubled the hop cost)
-      val scored = cand
+      // scored feeds the beam cut now and the deferred counters later
+      // — cache it, or each consumer re-runs the rescoring join
+      // (measured: the uncached spelling doubled the hop cost)
+      val scored = broadcast(cand)
         .join(vecs.select(col("id").as("dst"), col("v")), Seq("dst"))
         .join(broadcast(qframe), Seq("qid"))
         .withColumn("cs", Similarity.cosine(col("v"), col("qv")))
@@ -615,30 +617,53 @@ object GraphAnn {
         .withColumn("rn", row_number().over(wQ))
         .where(col("rn") <= beamWidth)
         .select(col("qid"), col("dst"), col("cs")).cache()
-      // per-(query, hop) counters — ONE tiny collect per hop
-      // (candidates scored this hop + hits of the beam's top-k
-      // against the exact leg), which also materializes next's cache
-      val hitLeg = next
-        .withColumn("rn", row_number().over(wQ))
-        .where(col("rn") <= k)
-        .join(exact, col("qid") === col("src") &&
-          next("dst") === exact("dst"))
-        .groupBy(col("qid")).agg(count(lit(1)).as("h"))
-      val counters = scored.groupBy(col("qid"))
-        .agg(count(lit(1)).as("c"))
-        .join(hitLeg, Seq("qid"), "left")
-        .collect()
-        .map(rw => rw.getLong(0) ->
-          (rw.getLong(1), if (rw.isNullAt(2)) 0L else rw.getLong(2))).toMap
-      scored.unpersist()
-      queryIds.distinct.sorted.foreach { q =>
-        val p = possible.getOrElse(q, 0L)
-        val (sc, hh) = counters.getOrElse(q, (0L, 0L))
-        buf += ((q, h.toLong, sc, hh, p,
-          if (p == 0L) 0.0 else round6(hh.toDouble / p.toDouble)))
-      }
+      // the hop's only in-loop action: materialize the next beam
+      // (and, through it, the scored cache the counter action reads)
+      next.count(): Unit
+      scoredByHop += ((h.toLong, scored))
       beam.unpersist(); beam = next; h += 1
     }
+    // deferred audit: ONE action over the tagged union of every hop's
+    // cached scored frame — n_scored = rows per (query, hop); n_hits
+    // = the hop's beam cut (rank 1 at hop 0, top-k otherwise) joined
+    // against the exact leg; n_possible folded in from the same
+    // exact frame.
+    val tagged = scoredByHop.map { case (hh, sc) =>
+      sc.withColumn("hop", lit(hh))
+    }.reduce(_.unionByName(_))
+    val wQH = Window.partitionBy(col("qid"), col("hop"))
+      .orderBy(col("cs").desc, col("dst"))
+    val cutoff = when(col("hop") === 0L, lit(1)).otherwise(lit(k))
+    val hitLeg = tagged
+      .withColumn("rn", row_number().over(wQH))
+      .where(col("rn") <= cutoff)
+      .join(broadcast(exact.select(col("src"), col("dst").as("edst"))),
+        col("qid") === col("src") && col("dst") === col("edst"))
+      .groupBy(col("qid"), col("hop")).agg(count(lit(1)).as("h"))
+    val possLeg = exact.groupBy(col("src").as("qid"))
+      .agg(count(lit(1)).as("p"))
+    val counters = tagged.groupBy(col("qid"), col("hop"))
+      .agg(count(lit(1)).as("c"))
+      .join(hitLeg, Seq("qid", "hop"), "left")
+      .join(broadcast(possLeg), Seq("qid"), "left")
+      .collect()
+      .map(rw => (rw.getLong(0), rw.getLong(1)) ->
+        (rw.getLong(2),
+          if (rw.isNullAt(3)) 0L else rw.getLong(3),
+          if (rw.isNullAt(4)) 0L else rw.getLong(4))).toMap
+    def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Double)]
+    val firstHop = if (coarseSet.isDefined) 0L else 1L
+    (firstHop to hops.toLong).foreach { hh =>
+      queryIds.distinct.sorted.foreach { q =>
+        val (sc, hits, p) = counters.getOrElse((q, hh), (0L, 0L, 0L))
+        buf += ((q, hh, sc, hits, p,
+          if (p == 0L) 0.0 else round6(hits.toDouble / p.toDouble)))
+      }
+    }
+    scoredByHop.foreach { case (_, sc) => sc.unpersist() }
     beam.unpersist(); und.unpersist(); qframe.unpersist()
     exact.unpersist()
     spark.createDataFrame(buf.toSeq).toDF("query_id", "hop", "n_scored",
@@ -872,14 +897,19 @@ object GraphAnn {
     var beam = beam0
     var h = 1
     while (h <= hops) {
-      val frontier = flat(beam).select(col("qid"), col("dst").as("src"))
+      // join sides pinned (guide §3.1, the beamServe note): the beam
+      // broadcasts onto the edge scan and the candidate id set onto
+      // the vector scan — the unknown-stats flat views would
+      // otherwise put the CACHED corpus frames on the build side
+      val frontier = broadcast(flat(beam)
+          .select(col("qid"), col("dst").as("src")))
         .join(und, Seq("src"))
         .select(col("qid"), col("dst"))
       val cand0 = flat(beam).select(col("qid"), col("dst"))
         .unionByName(frontier).distinct()
       val cand = if (excludeSelf) cand0.where(col("dst") =!= col("qid"))
         else cand0
-      val next = cand
+      val next = broadcast(cand)
         .join(vecs.select(col("id").as("dst"), col("v")), Seq("dst"))
         .join(broadcast(qframe), Seq("qid"))
         .withColumn("cs", Similarity.cosine(col("v"), col("qv")))

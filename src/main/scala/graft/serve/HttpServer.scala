@@ -880,7 +880,7 @@ object GraftServer {
 object GraftServerMain {
   def main(args: Array[String]): Unit = {
     val port = args.headOption.map(_.toInt).getOrElse(4000)
-    val spark = SparkSession.builder()
+    val spark = graft.EngineConf.tuned(SparkSession.builder())
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-server")
       .config("spark.sql.shuffle.partitions",

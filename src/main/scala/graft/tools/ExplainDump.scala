@@ -11,7 +11,7 @@ object ExplainDump {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val out = args.headOption.getOrElse("PLANS.md")
-    val spark = SparkSession.builder()
+    val spark = graft.EngineConf.tuned(SparkSession.builder())
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
